@@ -1,0 +1,223 @@
+"""Engine: SparkSession wrapper + catalog + FK registry.
+
+Plays the role of the reference interpreter's session/state
+(``/root/reference/preql/core/interpreter.py``, ``preql/api.py:117-257``)
+but emits PySpark plans instead of SQL strings. Tables are DataFrames
+plus a catalog entry ``(name, pk, fks)``; the FK registry replicates the
+reference's ``t_relation`` metadata
+(``/root/reference/preql/core/evaluate.py:70-87``) and powers auto-join
+(``preql/core/pql_functions.py:439-455``).
+
+Scale notes (100 TB design):
+- The engine never collects data to build a plan; all methods are
+  plan-to-plan.  Actions happen only in ``Table.collect/show/write``.
+- AQE is enabled by default so skewed joins / small partitions are
+  re-planned at runtime; broadcast decisions are left to Catalyst's
+  size-based threshold plus explicit ``broadcast=`` hints on joins of
+  FK-discovered dimension tables.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# FK metadata for the driver's TPC-H-ish star schema (TESTDATA.md).
+# Mirrors the role of Preql `t_relation` columns: fk column -> (table, key).
+TPCH_FKS: dict[str, dict[str, tuple[str, str]]] = {
+    "nation": {"n_regionkey": ("region", "r_regionkey")},
+    "customer": {"c_nationkey": ("nation", "n_nationkey")},
+    "supplier": {"s_nationkey": ("nation", "n_nationkey")},
+    "orders": {"o_custkey": ("customer", "c_custkey")},
+    "lineitem": {
+        "l_orderkey": ("orders", "o_orderkey"),
+        "l_partkey": ("part", "p_partkey"),
+        "l_suppkey": ("supplier", "s_suppkey"),
+    },
+}
+
+TPCH_PKS: dict[str, str] = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+TPCH_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@dataclass
+class TableMeta:
+    """Catalog entry: schema lives on the DataFrame; this holds the
+    relational metadata Spark does not track (pk, FK relations)."""
+
+    name: str
+    pk: str | None = None
+    # fk column -> (target table, target column)
+    fks: dict[str, tuple[str, str]] = field(default_factory=dict)
+
+
+def default_session(app_name: str = "preql_spark", cpus: int | None = None) -> SparkSession:
+    """Build a local session tuned per the public PySpark guidance:
+    AQE on, Arrow on, shuffle partitions sized to cores (not 200)."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+class Engine:
+    """Session object — the PySpark analogue of ``Preql()``.
+
+    >>> eng = Engine(spark).load_dir("/root/testdata/sf0.01")
+    >>> eng.t.lineitem.filter(lambda t: t.l_quantity > 30)
+    """
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or default_session()
+        self.catalog: dict[str, TableMeta] = {}
+        self._dfs: dict[str, DataFrame] = {}
+        self.t = _TableNamespace(self)
+
+    # ---- catalog ---------------------------------------------------
+    def register(self, name: str, df: DataFrame, pk: str | None = None,
+                 fks: dict[str, tuple[str, str]] | None = None) -> "Table":
+        self.catalog[name] = TableMeta(name, pk=pk, fks=dict(fks or {}))
+        self._dfs[name] = df
+        df.createOrReplaceTempView(name)
+        return self.table(name)
+
+    def table(self, name: str) -> "Table":
+        from preql_spark.table import Table
+        if name not in self._dfs:
+            # fall back to the Spark catalog (reflection, like
+            # reference import_table — pql_functions.py:689-711)
+            df = self.spark.table(name)
+            return Table(self, df, meta=TableMeta(name))
+        return Table(self, self._dfs[name], meta=self.catalog[name])
+
+    def tables(self) -> list[str]:
+        """Reference ``tables()`` — pql_functions.py:806-817."""
+        return sorted(self._dfs)
+
+    def load_dir(self, path: str, names: list[str] | None = None) -> "Engine":
+        """Bind every parquet table under ``path`` into the namespace
+        (reference ``load_all_tables`` — interpreter.py:158-189),
+        attaching the star-schema FK registry when names match."""
+        if names is None:
+            names = [f[:-8] for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+        # Spark cannot read TIMESTAMP(NANOS) parquet natively; read them
+        # as long and rebuild a (microsecond) timestamp column.
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        for n in names:
+            fp = os.path.join(path, f"{n}.parquet")
+            df = self.spark.read.parquet(fp)
+            for col in _nanos_timestamp_cols(fp):
+                df = df.withColumn(
+                    col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+            self.register(n, df, pk=TPCH_PKS.get(n), fks=TPCH_FKS.get(n))
+        return self
+
+    # ---- constructors ----------------------------------------------
+    def from_df(self, df: DataFrame, name: str | None = None) -> "Table":
+        from preql_spark.table import Table
+        return Table(self, df, meta=TableMeta(name or "anon"))
+
+    def range(self, start: int, stop: int) -> "Table":
+        """``[a..b]`` integer series (reference compiles a recursive CTE,
+        compiler.py:677-712; Spark has a native distributed range)."""
+        return self.from_df(self.spark.range(start, stop).select(F.col("id").alias("item")))
+
+    def list_(self, values: list) -> "Table":
+        """Inline list literal → single-column table named ``item``
+        (reference T.list — pql_types.py:273, ITEM_NAME pql_types.py:66)."""
+        df = self.spark.createDataFrame([(v,) for v in values], ["item"])
+        return self.from_df(df)
+
+    def rows(self, rows: list[dict]) -> "Table":
+        """``[{a:1,b:2}, ...]`` dict-row literal (test_basic.py:1501-1508)."""
+        return self.from_df(self.spark.createDataFrame(rows))
+
+    # ---- escape hatches --------------------------------------------
+    def sql(self, code: str, **tables: "Table | DataFrame") -> "Table":
+        """Raw-SQL escape hatch with table parameter binding — the
+        reference's ``SQL(type, "... $var")`` (pql_functions.py:86-123);
+        DataFrames are injected as temp views."""
+        from preql_spark.table import Table
+        for var, t in tables.items():
+            df = t.df if isinstance(t, Table) else t
+            df.createOrReplaceTempView(var)
+        return self.from_df(self.spark.sql(code))
+
+    # ---- sources (see preql_spark.sources for the full surface) ----
+    def import_csv(self, path: str, header: bool = True) -> "Table":
+        """Reference import_csv — pql_functions.py:902-956."""
+        return self.from_df(
+            self.spark.read.csv(path, header=header, inferSchema=True))
+
+    def import_json(self, path: str) -> "Table":
+        """Reference import_json — pql_functions.py:875-898."""
+        return self.from_df(self.spark.read.json(path))
+
+    def import_pandas(self, **dfs) -> dict[str, "Table"]:
+        """Reference import_pandas — pql_functions.py:849-873."""
+        return {name: self.register(name, self.spark.createDataFrame(pdf))
+                for name, pdf in dfs.items()}
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
+    long under ``nanosAsLong``; we convert back to TimestampType."""
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        schema = pq.read_schema(path)
+        return [f.name for f in schema
+                if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+    except Exception:
+        return []
+
+
+class _TableNamespace:
+    """Attribute-style table access: ``eng.t.lineitem``."""
+
+    def __init__(self, engine: Engine):
+        object.__setattr__(self, "_engine", engine)
+
+    def __getattr__(self, name: str):
+        return self._engine.table(name)
+
+    __getitem__ = __getattr__
+
+
+def connect(spark: SparkSession | None = None, data_dir: str | None = None) -> Engine:
+    """Reference ``connect(uri)`` analogue (pql_functions.py:715-733):
+    Spark *is* the engine, so this just builds a session + catalog."""
+    eng = Engine(spark)
+    if data_dir:
+        eng.load_dir(data_dir)
+    return eng

@@ -1,0 +1,471 @@
+"""Table — the fluent front-end over a DataFrame + catalog metadata.
+
+Each method maps one reference operator (SURVEY.md §2) onto the
+DataFrame expression that Catalyst optimizes best; nothing executes
+until an action (``collect``/``show``/``count``/``write``).  The class
+is immutable: every operator returns a new Table sharing the engine.
+
+Reference parity citations are per-method.  Scale notes: projections
+and filters stay declarative so parquet pushdown + column pruning are
+free; ``order().limit()`` lowers to TakeOrderedAndProject; joins defer
+physical strategy to Catalyst/AQE with explicit broadcast hints
+available for FK-discovered dimension tables.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from preql_spark.engine import Engine, TableMeta
+
+
+class Desc:
+    """Marker for descending sort — Preql ``^field`` (preql.lark:120)."""
+
+    def __init__(self, col):
+        self.col = col
+
+
+def desc(col) -> Desc:
+    return Desc(col)
+
+
+class Exclude:
+    """Ellipsis-exclusion marker — Preql ``... !field``
+    (compiler.py:81-128 ``_expand_ellipsis``)."""
+
+    def __init__(self, *names: str):
+        self.names = names
+
+
+def exclude(*names: str) -> Exclude:
+    return Exclude(*names)
+
+
+def _as_col(x, table: "Table | None" = None) -> Column:
+    if isinstance(x, Column):
+        return x
+    if callable(x) and table is not None:
+        return _as_col(x(table), table)
+    if isinstance(x, str):
+        return F.col(x)
+    return F.lit(x)
+
+
+class Table:
+    """Immutable logical table: DataFrame + (pk, fks) metadata."""
+
+    def __init__(self, engine: Engine, df: DataFrame, meta: TableMeta | None = None):
+        self.engine = engine
+        self.df = df
+        self.meta = meta or TableMeta("anon")
+
+    # ---- column access ---------------------------------------------
+    def __getattr__(self, name: str) -> Column:
+        # attribute misses fall through to column references, like the
+        # reference's name resolution inside projections
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return self.df[name]
+
+    def __getitem__(self, item):
+        # t[col] -> Column;  t[cond] -> filter;  t[a:b] -> slice
+        # (reference selection t[...] compiler.py:583-613; slice :555-580)
+        if isinstance(item, str):
+            return self.df[item]
+        if isinstance(item, slice):
+            return self.slice(item.start or 0, item.stop)
+        if isinstance(item, (Column, list, tuple)):
+            conds = item if isinstance(item, (list, tuple)) else [item]
+            return self.filter(*conds)
+        raise TypeError(f"cannot index Table with {type(item)}")
+
+    @property
+    def columns(self) -> list[str]:
+        """Reference ``columns(t)`` — pql_functions.py:627-665."""
+        return self.df.columns
+
+    @property
+    def schema(self):
+        return self.df.schema
+
+    def _with(self, df: DataFrame, name: str | None = None) -> "Table":
+        return Table(self.engine, df, TableMeta(name or self.meta.name,
+                                                pk=self.meta.pk, fks=self.meta.fks))
+
+    # ---- projection -------------------------------------------------
+    def project(self, *items, **named) -> "Table":
+        """Preql projection ``t{f1, n: expr, ...}`` with ellipsis
+        splicing (compiler.py:186-280; ellipsis :81-128).
+
+        ``items``: column names, Columns, ``...`` (splice remaining
+        columns at this position), or ``exclude("a","b")`` (splice all
+        but those).  ``named``: name=expression (str | Column |
+        callable(table) -> Column).
+        """
+        out: list[Column] = []
+        named_cols = {n: _as_col(e, self).alias(n) for n, e in named.items()}
+        explicit: set[str] = set(named)
+        for it in items:
+            if isinstance(it, str):
+                explicit.add(it)
+        for it in items:
+            if it is Ellipsis or isinstance(it, Exclude):
+                skip = set(it.names) if isinstance(it, Exclude) else set()
+                out.extend(self.df[c] for c in self.df.columns
+                           if c not in explicit and c not in skip)
+            elif isinstance(it, str):
+                out.append(self.df[it])
+            else:
+                out.append(_as_col(it, self))
+        out.extend(named_cols.values())
+        if not out:
+            raise ValueError("empty projection")
+        return self._with(self.df.select(*out))
+
+    def with_columns(self, **named) -> "Table":
+        """Keep everything, add/replace computed columns (sugar for
+        ``project(..., **named)``)."""
+        return self._with(self.df.withColumns(
+            {n: _as_col(e, self) for n, e in named.items()}))
+
+    # ---- selection --------------------------------------------------
+    def filter(self, *conds) -> "Table":
+        """Preql selection ``t[c1, c2]`` — conditions ANDed
+        (compiler.py:583-613)."""
+        df = self.df
+        for c in conds:
+            df = df.filter(_as_col(c, self))
+        return self._with(df)
+
+    # ---- group / aggregate -----------------------------------------
+    def group(self, by=None, **aggs) -> "Table":
+        """Preql grouped projection ``t {keys => aggs}``
+        (compiler.py:217-277).
+
+        ``by``: str | list | dict(name -> expr); None/[] = global
+        aggregate (reference ``{=> aggs}`` compiles LIMIT-1 global agg,
+        compiler.py:274-275).  ``aggs`` values: aggregate Columns, or a
+        bare column-name string → collect the group's values into an
+        array (reference MakeArray, compiler.py:59-63 / sql.py:300-315).
+        """
+        if by is None:
+            by = []
+        if isinstance(by, str):
+            by = [by]
+        if isinstance(by, dict):
+            keys = [_as_col(e, self).alias(n) for n, e in by.items()]
+        else:
+            keys = [_as_col(k, self) for k in by]
+        agg_cols = []
+        for n, e in aggs.items():
+            if isinstance(e, str):
+                e = F.collect_list(self.df[e])  # bare column → array
+            elif callable(e) and not isinstance(e, Column):
+                e = _as_col(e, self)
+            agg_cols.append(e.alias(n))
+        if keys:
+            return self._with(self.df.groupBy(*keys).agg(*agg_cols))
+        return self._with(self.df.agg(*agg_cols))
+
+    def agg_scalar(self, expr) -> "Table":
+        """Whole-table scalar aggregate, e.g. ``sum(t{area})``
+        (reference dual-mode agg — __builtins__.pql:3-27)."""
+        return self.group(None, value=_as_col(expr, self))
+
+    def cube(self, by: list, **aggs) -> "Table":
+        """Beyond-reference: grouping sets (SURVEY §2.4 'cheap to add')."""
+        agg_cols = [_as_col(e, self).alias(n) for n, e in aggs.items()]
+        return self._with(self.df.cube(*[_as_col(k, self) for k in by]).agg(*agg_cols))
+
+    def rollup(self, by: list, **aggs) -> "Table":
+        agg_cols = [_as_col(e, self).alias(n) for n, e in aggs.items()]
+        return self._with(self.df.rollup(*[_as_col(k, self) for k in by]).agg(*agg_cols))
+
+    def pivot(self, key, pivot_col: str, values: list, agg) -> "Table":
+        return self._with(self.df.groupBy(_as_col(key, self))
+                          .pivot(pivot_col, values).agg(agg))
+
+    def distinct(self) -> "Table":
+        """Reference distinct(t) — __builtins__.pql:259-274."""
+        return self._with(self.df.distinct())
+
+    def describe(self) -> "Table":
+        """Reference describe(tbl) — __builtins__.pql:656-667."""
+        return self._with(self.df.summary("count", "mean", "stddev", "min", "max"))
+
+    # ---- order / slice / limit -------------------------------------
+    def order(self, *keys) -> "Table":
+        """Preql ``t order {a, ^b}`` (compiler.py:283-303).  Accepts
+        "col", "^col" (desc), Column, desc(col)."""
+        sort_cols = []
+        for k in keys:
+            if isinstance(k, Desc):
+                sort_cols.append(_as_col(k.col, self).desc())
+            elif isinstance(k, str) and k.startswith("^"):
+                sort_cols.append(F.col(k[1:]).desc())
+            else:
+                sort_cols.append(_as_col(k, self))
+        return self._with(self.df.orderBy(*sort_cols))
+
+    def slice(self, start: int, stop: int | None = None) -> "Table":
+        """Preql ``t[start..stop]`` → OFFSET/LIMIT (compiler.py:555-580).
+        Spark 3.4+ has native offset."""
+        df = self.df
+        if start:
+            df = df.offset(start)
+        if stop is not None:
+            df = df.limit(stop - start)
+        return self._with(df)
+
+    def limit(self, n: int) -> "Table":
+        """Reference limit(t, n) — __builtins__.pql:131-137."""
+        return self._with(self.df.limit(n))
+
+    def page(self, index: int, page_size: int) -> "Table":
+        """Reference page(t, i, size) — __builtins__.pql:553-557."""
+        return self.slice((index - 1) * page_size, index * page_size)
+
+    def top_k(self, k: int, *keys) -> "Table":
+        """Idiom ``order {^x} [..k]`` → TakeOrderedAndProject."""
+        return self.order(*[Desc(k_) if not isinstance(k_, Desc) else k_
+                            for k_ in keys]).limit(k)
+
+    def sample_ratio(self, ratio: float, seed: int = 42) -> "Table":
+        """Reference sample_ratio_fast — __builtins__.pql:515-529."""
+        return self._with(self.df.sample(fraction=ratio, seed=seed))
+
+    def sample_n(self, n: int, seed: int = 42) -> "Table":
+        """Reference sample_fast(t, n) — __builtins__.pql:531-551.
+        Approximate fraction + limit top-up, no full shuffle."""
+        total = self.df.count()
+        if total <= n:
+            return self
+        frac = min(1.0, (n / total) * 1.2)
+        return self._with(self.df.sample(fraction=frac, seed=seed).limit(n))
+
+    # ---- window helpers --------------------------------------------
+    def enum(self, order_by=None) -> "Table":
+        """Reference enum(tbl): prepend 0-based ``index``
+        (__builtins__.pql:290-311).  Spark needs an ordering; without
+        one we use a zipWithIndex-equivalent over the current partition
+        order (monotonically_increasing_id ranked) — deterministic for
+        a given file layout, no single-partition bottleneck until the
+        final rank."""
+        if order_by is not None:
+            w = Window.orderBy(_as_col(order_by, self))
+        else:
+            w = Window.orderBy(F.monotonically_increasing_id())
+        idx = (F.row_number().over(w) - F.lit(1)).alias("index")
+        return self._with(self.df.select(idx, "*"))
+
+    # ---- joins ------------------------------------------------------
+    def join(self, other: "Table", on=None, how: str = "inner",
+             broadcast_other: bool = False) -> "Table":
+        """Flat binary join. ``on=None`` triggers auto-join through the
+        FK registry (reference _auto_join — pql_functions.py:439-455):
+        exactly one FK must exist between the two tables, else error.
+        ``on`` may be a column name, list of names, or a boolean Column
+        (theta join, reference ``$on:`` — pql_functions.py:503-507)."""
+        right = other.df
+        if broadcast_other:
+            right = F.broadcast(right)
+        if on is None:
+            lcol, rcol = _auto_join_cols(self, other)
+            cond = self.df[lcol] == other.df[rcol]
+            return self._with(self.df.join(right, cond, how))
+        if isinstance(on, Column):
+            return self._with(self.df.join(right, on, how))
+        return self._with(self.df.join(right, on, how))
+
+    def joinall(self, other: "Table") -> "Table":
+        """Cartesian product — reference joinall (pql_functions.py:596-613)."""
+        return self._with(self.df.crossJoin(other.df))
+
+    def in_table(self, other: "Table", lcol: str, rcol: str | None = None,
+                 negate: bool = False) -> "Table":
+        """Membership against a table: ``x in t`` → left-semi join;
+        ``!in`` → left-anti (reference Contains — sql.py:319-329)."""
+        how = "left_anti" if negate else "left_semi"
+        cond = self.df[lcol] == other.df[rcol or lcol]
+        return self._with(self.df.join(other.df, cond, how))
+
+    # ---- set operations (compile_binops.py:185-199) -----------------
+    def __add__(self, other: "Table") -> "Table":
+        """``t1 + t2`` → UNION ALL (pql_functions.py:411-417)."""
+        return self._with(self.df.unionByName(other.df))
+
+    def __or__(self, other: "Table") -> "Table":
+        """``t1 | t2`` → UNION DISTINCT (pql_functions.py:403-409)."""
+        return self._with(self.df.unionByName(other.df).distinct())
+
+    def __and__(self, other: "Table") -> "Table":
+        """``t1 & t2`` → INTERSECT (pql_functions.py:385-391)."""
+        return self._with(self.df.intersect(other.df))
+
+    def __sub__(self, other: "Table") -> "Table":
+        """``t1 - t2`` → EXCEPT (pql_functions.py:393-401)."""
+        return self._with(self.df.exceptAll(other.df))
+
+    # ---- row access -------------------------------------------------
+    def one(self, nullable: bool = False):
+        """Assert exactly one row (``one`` / ``one?``) and return it —
+        reference evaluate.py:678-709."""
+        rows = self.df.limit(2).collect()
+        if len(rows) == 1:
+            return rows[0]
+        if not rows and nullable:
+            return None
+        raise ValueError(f"'one' expected 1 row, got {'>1' if rows else '0'}")
+
+    def is_empty(self) -> bool:
+        """Reference is_empty — __builtins__.pql:192-197."""
+        return self.df.isEmpty()
+
+    # ---- actions ----------------------------------------------------
+    def count(self) -> int:
+        return self.df.count()
+
+    def collect(self):
+        return self.df.collect()
+
+    def to_pandas(self):
+        """Reference TablePromise.to_pandas — api.py:31-88."""
+        return self.df.toPandas()
+
+    def to_json(self) -> list[dict]:
+        return [r.asDict(recursive=True) for r in self.df.collect()]
+
+    def show(self, n: int = 20, truncate: bool | int = True, vertical: bool = False):
+        self.df.show(n, truncate=truncate, vertical=vertical)
+
+    def cache(self) -> "Table":
+        return self._with(self.df.cache())
+
+    def temptable(self, name: str) -> "Table":
+        """Reference temptable — pql_functions.py:327-348: session-scoped
+        materialized table."""
+        self.df.cache().createOrReplaceTempView(name)
+        return self.engine.register(name, self.df, pk=self.meta.pk, fks=self.meta.fks)
+
+    def inspect_plan(self, mode: str = "formatted") -> str:
+        """Reference inspect_sql (pql_functions.py:76-83) → the Spark
+        analogue is the optimized/physical plan text."""
+        return self.df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            self.df._jdf.queryExecution(), mode)
+
+    def explain(self, mode: str = "formatted"):
+        self.df.explain(mode)
+
+
+def _auto_join_cols(a: Table, b: Table) -> tuple[str, str]:
+    """Discover the unique FK between two tables (reference
+    _find_table_reference — pql_functions.py:619-625). Returns
+    (left_col, right_col); raises if zero or ambiguous."""
+    cands: list[tuple[str, str]] = []
+    for col, (tgt, tgt_col) in (a.meta.fks or {}).items():
+        if tgt == b.meta.name:
+            cands.append((col, tgt_col))
+    for col, (tgt, tgt_col) in (b.meta.fks or {}).items():
+        if tgt == a.meta.name:
+            cands.append((tgt_col, col))
+    if not cands:
+        raise ValueError(
+            f"no FK relation between {a.meta.name!r} and {b.meta.name!r}")
+    if len(cands) > 1:
+        raise ValueError(
+            f"ambiguous join between {a.meta.name!r} and {b.meta.name!r}: {cands}")
+    return cands[0]
+
+
+def join(how: str = "inner", on: Column | None = None,
+         broadcast: Iterable[str] = (), **tables: Table) -> Table:
+    """N-ary keyword join with struct-per-table output — the reference's
+    ``join(a: t1, b: t2)`` (pql_functions.py:458-529): result columns are
+    one struct per input table, named by the keyword.
+
+    Join keys: explicit ``on`` boolean Column (theta, ``$on:``), else
+    auto-join resolution pairwise through the FK registry over all
+    already-joined tables (pql_functions.py:512-525).
+    ``broadcast``: names of inputs to hint as broadcast (dimension
+    tables at 100 TB scale — keeps the big fact table shuffle-free).
+    """
+    if len(tables) < 2:
+        raise ValueError("join requires at least two tables")
+    names = list(tables)
+    engine = tables[names[0]].engine
+    aliased = {n: t.df.alias(n) for n, t in tables.items()}
+    for n in broadcast:
+        aliased[n] = F.broadcast(aliased[n])
+
+    joined = aliased[names[0]]
+    joined_names = [names[0]]
+    for n in names[1:]:
+        if on is not None and len(names) == 2:
+            cond = on
+        else:
+            cond = _resolve_auto_cond(tables, joined_names, n)
+        joined = joined.join(aliased[n], cond, how)
+        joined_names.append(n)
+
+    structs = [F.struct(*[F.col(f"{n}.{c}") for c in tables[n].df.columns]).alias(n)
+               for n in names]
+    return Table(engine, joined.select(*structs), TableMeta("join"))
+
+
+def leftjoin(on: Column | None = None, **tables: Table) -> Table:
+    """Reference leftjoin — pql_functions.py:582-587."""
+    return join(how="left", on=on, **tables)
+
+
+def outerjoin(on: Column | None = None, **tables: Table) -> Table:
+    """Reference outerjoin — pql_functions.py:589-594."""
+    return join(how="full", on=on, **tables)
+
+
+def joinall(**tables: Table) -> Table:
+    """Reference joinall (cartesian) — pql_functions.py:596-613."""
+    names = list(tables)
+    engine = tables[names[0]].engine
+    joined = tables[names[0]].df.alias(names[0])
+    for n in names[1:]:
+        joined = joined.crossJoin(tables[n].df.alias(n))
+    structs = [F.struct(*[F.col(f"{n}.{c}") for c in tables[n].df.columns]).alias(n)
+               for n in names]
+    return Table(engine, joined.select(*structs), TableMeta("join"))
+
+
+def _resolve_auto_cond(tables: dict[str, Table], joined: list[str], new: str) -> Column:
+    """Auto-join the incoming table against any already-joined one via
+    the FK registry; ambiguity across the chain is an error (reference
+    n-way resolution — pql_functions.py:512-525)."""
+    cands = []
+    t_new = tables[new]
+    for jn in joined:
+        t_j = tables[jn]
+        for col, (tgt, tgt_col) in (t_j.meta.fks or {}).items():
+            if tgt == t_new.meta.name:
+                cands.append(F.col(f"{jn}.{col}") == F.col(f"{new}.{tgt_col}"))
+        for col, (tgt, tgt_col) in (t_new.meta.fks or {}).items():
+            if tgt == t_j.meta.name:
+                cands.append(F.col(f"{new}.{col}") == F.col(f"{jn}.{tgt_col}"))
+    if not cands:
+        raise ValueError(f"no FK path from {joined} to {new!r}")
+    if len(cands) > 1:
+        raise ValueError(f"ambiguous FK path from {joined} to {new!r}")
+    return cands[0]
+
+
+def zipjoin(a: Table, b: Table, how: str = "inner") -> Table:
+    """Positional join, like Python ``zip`` — reference
+    zipjoin/zipjoin_left/zipjoin_longest (__builtins__.pql:167-257):
+    row_number over both sides + equi-join on index."""
+    ea, eb = a.enum().df.alias("a"), b.enum().df.alias("b")
+    hows = {"inner": "inner", "left": "left", "longest": "full"}
+    j = ea.join(eb, F.col("a.index") == F.col("b.index"), hows[how])
+    sa = F.struct(*[F.col(f"a.{c}") for c in a.df.columns]).alias("a")
+    sb = F.struct(*[F.col(f"b.{c}") for c in b.df.columns]).alias("b")
+    return Table(a.engine, j.select(sa, sb), TableMeta("zipjoin"))

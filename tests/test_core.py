@@ -1,0 +1,140 @@
+"""Core relational battery — ports the reference's golden-assert style
+(tests/test_basic.py) onto the TPC-H-ish fixtures."""
+
+from pyspark.sql import functions as F
+
+from preql_spark import table as tbl
+from preql_spark.functions import aggregate as agg
+from preql_spark import exprs
+
+
+def test_project_ellipsis(eng):
+    t = eng.t.region
+    out = t.project(..., upper_name=F.upper(F.col("r_name")))
+    assert out.columns == ["r_regionkey", "r_name", "upper_name"]
+    out2 = t.project(tbl.exclude("r_name"))
+    assert out2.columns == ["r_regionkey"]
+    # named column replaces original position semantics: explicit first
+    out3 = t.project("r_name", ...)
+    assert out3.columns == ["r_name", "r_regionkey"]
+
+
+def test_filter_and_order(eng):
+    t = eng.t.nation
+    rows = t.filter(t.n_regionkey == 0).order("^n_name").collect()
+    assert all(r.n_regionkey == 0 for r in rows)
+    names = [r.n_name for r in rows]
+    assert names == sorted(names, reverse=True)
+
+
+def test_slice_limit(eng):
+    t = eng.t.nation.order("n_nationkey")
+    rows = t.slice(2, 5).collect()
+    assert [r.n_nationkey for r in rows] == [2, 3, 4]
+    assert eng.t.nation.limit(3).count() == 3
+
+
+def test_group_agg(eng):
+    t = eng.t.nation
+    out = t.group("n_regionkey", n=agg.count()).order("n_regionkey").collect()
+    assert sum(r.n for r in out) == t.count()
+
+
+def test_group_collect_list(eng):
+    out = (eng.t.nation.group("n_regionkey", names=agg.collect("n_name", sort=True))
+           .order("n_regionkey").collect())
+    assert all(r.names == sorted(r.names) for r in out)
+
+
+def test_global_agg(eng):
+    out = eng.t.customer.agg_scalar(F.sum("c_acctbal")).collect()
+    assert len(out) == 1
+
+
+def test_auto_join_binary(eng):
+    n, r = eng.t.nation, eng.t.region
+    out = n.join(r)  # via FK registry
+    assert out.count() == n.count()
+
+
+def test_nary_struct_join(eng):
+    j = tbl.join(c=eng.t.customer, n=eng.t.nation, r=eng.t.region,
+                 broadcast=("n", "r"))
+    row = j.df.limit(1).collect()[0]
+    assert set(row.asDict()) == {"c", "n", "r"}
+    assert row.n.n_regionkey == row.r.r_regionkey
+
+
+def test_theta_join(eng):
+    a = eng.range(0, 5)
+    b = eng.range(0, 5)
+    out = tbl.join(a=a, b=b, on=F.col("a.item") > F.col("b.item"))
+    assert out.count() == 10  # pairs i>j over 0..4
+
+
+def test_zipjoin(eng):
+    a = eng.list_([10, 20, 30])
+    b = eng.list_(["x", "y", "z"])
+    rows = tbl.zipjoin(a, b).df.orderBy("a.index").collect()
+    assert [(r.a.item, r.b.item) for r in rows] == [(10, "x"), (20, "y"), (30, "z")]
+
+
+def test_set_ops(eng):
+    a = eng.list_([1, 2, 2, 3])
+    b = eng.list_([2, 3, 4])
+    assert (a + b).count() == 7  # union all
+    assert sorted(r.item for r in (a | b).collect()) == [1, 2, 3, 4]
+    assert sorted(r.item for r in (a & b).collect()) == [2, 3]
+    assert sorted(r.item for r in (a - b).collect()) == [1, 2]
+
+
+def test_range_and_enum(eng):
+    t = eng.range(3, 7)
+    assert [r.item for r in t.order("item").collect()] == [3, 4, 5, 6]
+    e = eng.t.region.enum(order_by="r_regionkey")
+    rows = e.order("index").collect()
+    assert [r["index"] for r in rows] == list(range(5))
+
+
+def test_one(eng):
+    r = eng.t.region.filter(F.col("r_regionkey") == 0).one()
+    assert r.r_name == "AFRICA"
+    assert eng.t.region.filter(F.col("r_regionkey") == 99).one(nullable=True) is None
+
+
+def test_null_semantics():
+    from pyspark.sql import SparkSession
+    s = SparkSession.getActiveSession()
+    df = s.createDataFrame([(1, None), (None, None), (2, 2)], "a int, b int")
+    out = df.select(exprs.eq(F.col("a"), F.col("b")).alias("e")).collect()
+    assert [r.e for r in out] == [False, True, True]
+
+
+def test_value_and_or():
+    from pyspark.sql import SparkSession
+    s = SparkSession.getActiveSession()
+    df = s.createDataFrame([(0, 5), (3, 7)], "a int, b int")
+    out = df.select(exprs.pand(F.col("a"), F.col("b")).alias("x"),
+                    exprs.por(F.col("a"), F.col("b")).alias("y")).collect()
+    # and: returns b if a truthy else a; or: a if truthy else b
+    assert [(r.x, r.y) for r in out] == [(0, 5), (7, 3)]
+
+
+def test_in_table(eng):
+    big = eng.t.customer
+    asia_nations = eng.t.nation.filter(F.col("n_regionkey") == 2)
+    out = big.in_table(asia_nations, "c_nationkey", "n_nationkey")
+    keys = {r.n_nationkey for r in asia_nations.collect()}
+    assert all(r.c_nationkey in keys for r in out.collect())
+
+
+def test_sql_escape_hatch(eng):
+    t = eng.sql("SELECT count(*) AS n FROM orders_v", orders_v=eng.t.orders)
+    assert t.one().n == eng.t.orders.count()
+
+
+def test_distinct_describe(eng):
+    d = eng.t.customer.project("c_mktsegment").distinct()
+    assert d.count() == 5
+    s = eng.t.customer.project("c_acctbal").describe()
+    assert s.count() == 5
