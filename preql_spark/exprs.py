@@ -31,9 +31,13 @@ def ne(a, b) -> Column:
 
 def truthy(x) -> Column:
     """Preql truthiness of a vectorized value: 0 / "" / null are falsy
-    (interpreter path at evaluate.py:509-546 calls cast_to_python bool)."""
+    (interpreter path at evaluate.py:509-546 calls cast_to_python bool).
+    Implemented via string form so it is type-agnostic and safe under
+    ANSI mode (a direct string→boolean cast raises in Spark 4)."""
     x = x if isinstance(x, Column) else F.lit(x)
-    return F.when(x.isNull(), F.lit(False)).otherwise(x.cast("boolean"))
+    s = x.cast("string")
+    return F.when(x.isNull(), F.lit(False)).otherwise(
+        ~s.isin("", "0", "0.0", "false"))
 
 
 def pand(a, b) -> Column:

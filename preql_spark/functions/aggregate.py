@@ -48,14 +48,8 @@ def stddev(col) -> Column:
 
 def product(col) -> Column:
     """product — __builtins__.pql:48-58 (sqlite UDAF / pg CREATE
-    AGGREGATE).  Spark lacks a product aggregate; sign-aware
-    exp(sum(ln|x|)) handles negatives and zeros exactly where the
-    reference's float UDAF does."""
-    c = _c(col)
-    magnitude = F.exp(F.sum(F.log(F.abs(F.nullif(c, F.lit(0))))))
-    sign = F.pow(F.lit(-1.0), F.sum(F.when(c < 0, 1).otherwise(0)))
-    has_zero = F.max(F.when(c == 0, 1).otherwise(0)) == 1
-    return F.when(has_zero, F.lit(0.0)).otherwise(magnitude * sign)
+    AGGREGATE).  Spark 3.2+ has a native multiplicative aggregate."""
+    return F.product(_c(col))
 
 
 def approx_product(col) -> Column:

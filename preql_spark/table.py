@@ -459,13 +459,18 @@ def _resolve_auto_cond(tables: dict[str, Table], joined: list[str], new: str) ->
     return cands[0]
 
 
-def zipjoin(a: Table, b: Table, how: str = "inner") -> Table:
+def zipjoin(a: Table, b: Table, how: str = "inner",
+            order_a=None, order_b=None) -> Table:
     """Positional join, like Python ``zip`` — reference
     zipjoin/zipjoin_left/zipjoin_longest (__builtins__.pql:167-257):
-    row_number over both sides + equi-join on index."""
-    ea, eb = a.enum().df.alias("a"), b.enum().df.alias("b")
+    row_number over both sides + equi-join on index.  ``order_a`` /
+    ``order_b`` define each side's positional order (defaults to the
+    physical row order, like the reference's table order)."""
+    cols_a, cols_b = a.df.columns, b.df.columns
+    ea = a.enum(order_by=order_a).df.withColumnRenamed("index", "__zi").alias("za")
+    eb = b.enum(order_by=order_b).df.withColumnRenamed("index", "__zi").alias("zb")
     hows = {"inner": "inner", "left": "left", "longest": "full"}
-    j = ea.join(eb, F.col("a.index") == F.col("b.index"), hows[how])
-    sa = F.struct(*[F.col(f"a.{c}") for c in a.df.columns]).alias("a")
-    sb = F.struct(*[F.col(f"b.{c}") for c in b.df.columns]).alias("b")
+    j = ea.join(eb, F.col("za.__zi") == F.col("zb.__zi"), hows[how])
+    sa = F.struct(*[F.col(f"za.{c}") for c in cols_a]).alias("a")
+    sb = F.struct(*[F.col(f"zb.{c}") for c in cols_b]).alias("b")
     return Table(a.engine, j.select(sa, sb), TableMeta("zipjoin"))
