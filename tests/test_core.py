@@ -75,7 +75,7 @@ def test_theta_join(eng):
 def test_zipjoin(eng):
     a = eng.list_([10, 20, 30])
     b = eng.list_(["x", "y", "z"])
-    rows = tbl.zipjoin(a, b).df.orderBy("a.index").collect()
+    rows = tbl.zipjoin(a, b).df.orderBy("a.item").collect()
     assert [(r.a.item, r.b.item) for r in rows] == [(10, "x"), (20, "y"), (30, "z")]
 
 
