@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set,
+score per-partition with higher-order array functions (JVM-side, no
+Python), TakeOrdered per query.  Scale path: random-hyperplane LSH
+bucketing so candidate generation is an equi-join on bucket keys, and
+only candidates are scored exactly.  No reference equivalent (Preql
+has no vector operations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from preql_spark.operators.text import portable_hash
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns — zip_with + aggregate, all
+    whole-stage-codegen."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return (dot(a, b) / (norm(a) * norm(b))).cast("double")
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k: returns (query_id, neighbor_id, sim,
+    rank).  The query side is broadcast — the corpus is scanned once
+    with no shuffle until the final per-query TakeOrdered."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("__qv"), F.col("__cv")).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def cosine_pairs(df: DataFrame, threshold: float,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """All pairs with cosine >= threshold (embedding near-dup).
+    Brute O(n²) baseline — use :func:`lsh_cosine_pairs` at scale."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    cosine(F.col("__va"), F.col("__vb")).alias("sim"))
+            .filter(F.col("sim") >= threshold))
+
+
+# ---- LSH scale path --------------------------------------------------------
+
+def _plane_component(p: int, d: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    derived from the portable hash so planes are reproducible across
+    runs and engines without shipping a random state."""
+    return (portable_hash(F.lit(f"plane:{p}:{d}")) % 2001 - 1000) / 1000.0
+
+
+def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+    """Sign pattern of ``n_planes`` random hyperplane projections,
+    packed to a long — Charikar LSH for cosine similarity."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec,
+                           F.array(*[_plane_component(p, d) for d in range(dim)]),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda acc, v: acc + v) > 0,
+            F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        for p in range(n_planes)]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_cosine_pairs(df: DataFrame, threshold: float, dim: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     n_planes: int = 16, bands: int = 4) -> DataFrame:
+    """Near-neighbor pairs via hyperplane-LSH banding + exact verify.
+    Candidate generation is an equi-join on (band, band-bits) — the
+    100 TB path where brute-force pairing is impossible."""
+    bits_per = n_planes // bands
+    sig = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+                    hyperplane_signature(F.col(vec_col), dim, n_planes)
+                    .alias("__sig"))
+    banded = sig.select(
+        "__id", "__v",
+        F.posexplode(F.array(*[
+            (F.shiftright("__sig", b * bits_per) % (2 ** bits_per))
+            for b in range(bands)])).alias("__band", "__bkey"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (a.join(b, (F.col("a.__band") == F.col("b.__band"))
+                    & (F.col("a.__bkey") == F.col("b.__bkey"))
+                    & (F.col("a.__id") < F.col("b.__id")))
+             .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+                     F.col("a.__v").alias("__va"), F.col("b.__v").alias("__vb"))
+             .dropDuplicates(["id_a", "id_b"]))
+    return (cands.select("id_a", "id_b",
+                         cosine(F.col("__va"), F.col("__vb")).alias("sim"))
+            .filter(F.col("sim") >= threshold))

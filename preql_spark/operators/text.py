@@ -1,0 +1,107 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+No reference equivalent (Preql has no text pipeline); designed
+Spark-first: everything is built-in Column expressions (codegen'd,
+shuffle-free per-row transforms), so a 100 TB documents table runs at
+scan speed with full column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword sets for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "es": ["el", "la", "que", "y", "en", "un", "es", "los", "por", "como"],
+    "fr": ["le", "les", "et", "des", "une", "est", "dans", "pour", "au", "sur"],
+}
+
+
+def portable_hash(col) -> Column:
+    """60-bit deterministic hash portable across engines:
+    first 15 hex digits of md5 as a BIGINT.  DuckDB equivalent:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col) -> Column:
+    """BPE-ish sub-word count: words + digit runs + punctuation marks
+    counted separately (a cheap regex proxy for tokenizer cost)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.size(F.regexp_extract_all(
+        c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scores: length, token stats, punctuation /
+    stopword / alpha ratios.  All whole-stage-codegen expressions."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    en_sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    return df.withColumns({
+        "n_chars": F.length(F.col(text_col)),
+        "n_tokens": n_tok,
+        "avg_token_len": (F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+                          / n_tok).cast("double"),
+        "punct_ratio": (F.length(F.regexp_replace(
+            F.col(text_col), r"[^.,;:!?'\"]", "")) /
+            F.length(F.col(text_col))).cast("double"),
+        "stopword_ratio": (F.size(F.filter(t, lambda x: F.array_contains(en_sw, x)))
+                           / n_tok).cast("double"),
+        "alpha_ratio": (F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+                        / F.length(F.col(text_col))).cast("double"),
+    })
+
+
+def lang_scores(col) -> dict[str, Column]:
+    """Stopword-hit counts per language (the classic cheap lang-ID
+    heuristic; CJK presence short-circuits to zh)."""
+    t = tokens(col)
+    out = {}
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+    return out
+
+
+def lang_id(col) -> Column:
+    """Predicted language: zh when CJK characters present, else the
+    stopword-score argmax in fixed priority order en>de>es>fr, 'und'
+    when all scores are zero."""
+    c = col if isinstance(col, Column) else F.col(col)
+    s = lang_scores(c)
+    has_cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", "")) > 0
+    best = F.greatest(*s.values())
+    return (F.when(has_cjk, F.lit("zh"))
+            .when(best == 0, F.lit("und"))
+            .when(s["en"] == best, F.lit("en"))
+            .when(s["de"] == best, F.lit("de"))
+            .when(s["es"] == best, F.lit("es"))
+            .otherwise(F.lit("fr")))
+
+
+def fingerprint(col) -> Column:
+    """Document fingerprint: md5 of case/whitespace-normalized text —
+    the exact-dedup key for content-addressed pipelines."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def fingerprint64(col) -> Column:
+    """Same fingerprint folded to a 60-bit integer (join-friendly)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return portable_hash(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))

@@ -1,0 +1,139 @@
+"""Pipeline-operator battery: dedup, similarity, text, graph, asof,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from preql_spark.operators import dedup, similarity, text, graph, asof, multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(eng):
+    return eng.t.documents.df
+
+
+@pytest.fixture(scope="module")
+def emb(eng):
+    return eng.t.embeddings.df
+
+
+def test_fingerprint_dedup(spark, eng, docs):
+    dup = docs.limit(50)
+    with_dups = docs.unionByName(dup.withColumn("doc_id", F.col("doc_id") + 100000))
+    out = dedup.dedup_exact(with_dups, "doc_id")
+    assert out.count() == docs.count()
+    # survivors are the min ids
+    assert out.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_minhash_lsh_finds_neardups(eng, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.8)
+    rows = pairs.collect()
+    assert all(r.jaccard >= 0.8 for r in rows)
+    assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_minhash_vs_exact_jaccard(eng, docs):
+    """LSH recall check at high threshold vs brute-force exact pairs."""
+    exact = {(r.id_a, r.id_b)
+             for r in dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.9).collect()}
+    lsh = {(r.id_a, r.id_b)
+           for r in dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.9).collect()}
+    assert lsh == exact  # at j>=0.9 with 16 hashes / 8 bands recall is ~1
+
+
+def test_simhash_pairs(eng, docs):
+    sig = docs.select(dedup.simhash("text").alias("s")).limit(5).collect()
+    assert all(isinstance(r.s, int) for r in sig)
+    pairs = dedup.simhash_pairs(docs, "doc_id", max_distance=6)
+    rows = pairs.collect()
+    assert all(r.distance <= 6 for r in rows)
+    assert len(rows) > 0  # near-dups exist in fixture
+
+
+def test_cosine_topk(eng, emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    out = similarity.cosine_topk(emb, q, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert -1.0001 <= r.sim <= 1.0001
+    # ranks are 1..5 per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+def test_cosine_pairs_threshold(eng, emb):
+    out = similarity.cosine_pairs(emb, 0.45).collect()
+    assert all(r.sim >= 0.45 for r in out)
+
+
+def test_lsh_cosine_recall(eng, emb):
+    brute = {(r.id_a, r.id_b) for r in similarity.cosine_pairs(emb, 0.45).collect()}
+    lshp = {(r.id_a, r.id_b)
+            for r in similarity.lsh_cosine_pairs(emb, 0.45, dim=64,
+                                                 n_planes=16, bands=8).collect()}
+    # banding with 8 bands x 2 bits has high recall at cos>=0.45
+    assert lshp.issubset(brute) or brute.issubset(lshp) or len(brute) == 0
+    missed = brute - lshp
+    assert len(missed) <= max(1, len(brute) // 3)
+
+
+def test_text_metrics(eng, docs):
+    out = text.quality_metrics(docs).limit(20).collect()
+    for r in out:
+        assert r.n_tokens > 0
+        assert 0 <= r.stopword_ratio <= 1
+        assert 0 <= r.alpha_ratio <= 1
+
+
+def test_lang_id(eng, docs):
+    out = docs.select(text.lang_id("text").alias("pred")).distinct().collect()
+    assert {r.pred for r in out} <= {"en", "de", "es", "fr", "zh", "und"}
+
+
+def test_fingerprint_stable(eng, docs):
+    a = docs.select("doc_id", text.fingerprint("text").alias("fp"))
+    b = docs.select("doc_id", text.fingerprint("text").alias("fp"))
+    assert a.exceptAll(b).isEmpty()
+
+
+def test_bfs(spark, eng):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (4, 2)], "src long, dst long")
+    initial = spark.createDataFrame([(1,)], "node long")
+    out = graph.bfs(edges, initial)
+    assert sorted(r.node for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_walk_tree(spark, eng):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    initial = spark.createDataFrame([(1,)], "node long")
+    out = graph.walk_tree(edges, initial, max_rank=5)
+    rows = sorted((r.node, r.rank) for r in out.collect())
+    assert rows == [(1, 0), (2, 1), (3, 2)]
+
+
+def test_asof_join(spark, eng):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k long, t long, lv string")
+    right = spark.createDataFrame(
+        [(1, 8, "r1"), (1, 15, "r2"), (2, 9, "r3")], "k long, t long, rv string")
+    out = asof.asof_join(left, right, "k", "t", "t", ["rv"])
+    got = {(r.k, r.t, r.rv) for r in out.collect()}
+    assert got == {(1, 10, "r1"), (1, 20, "r2"), (2, 5, None)}
+
+
+def test_multimodal_plumbing(eng, docs):
+    withbin = multimodal.attach_binary_column(docs.limit(100))
+    feats = multimodal.extract_image_features(withbin)
+    rows = feats.collect()
+    assert len(rows) == 100
+    assert all(64 <= r.width < 256 for r in rows)
+    # determinism: rerun produces identical features
+    again = multimodal.extract_image_features(withbin).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_image_features(withbin, fake=False)
