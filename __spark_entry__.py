@@ -398,6 +398,177 @@ def q31_pivot(spark, sf_dir) -> DataFrame:
             .df)
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (beyond-reference, first-class scope)
+# ---------------------------------------------------------------------------
+
+def q32_dedup_exact(spark, sf_dir) -> DataFrame:
+    """Exact dedup survivors (min doc_id per normalized fingerprint)."""
+    from preql_spark.operators import dedup
+    eng = _eng(spark, sf_dir)
+    return (dedup.dedup_exact(eng.t.documents.df, "doc_id")
+            .select("doc_id", "source"))
+
+
+def q33_fingerprint(spark, sf_dir) -> DataFrame:
+    """Document fingerprinting: md5 + 60-bit portable fold."""
+    from preql_spark.operators import text
+    d = _eng(spark, sf_dir).t.documents
+    return d.df.select("doc_id",
+                       text.fingerprint("text").alias("fp"),
+                       text.fingerprint64("text").alias("fp64"))
+
+
+def q34_token_stats(spark, sf_dir) -> DataFrame:
+    """Token counting rolled up per source."""
+    from preql_spark.operators import text
+    d = _eng(spark, sf_dir).t.documents
+    per_doc = d.df.select("source", text.token_count("text").alias("n_tok"))
+    return (per_doc.groupBy("source")
+            .agg(F.sum("n_tok").alias("total_tokens"),
+                 _pr4(F.avg("n_tok")).alias("avg_tokens"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+def q35_lang_id(spark, sf_dir) -> DataFrame:
+    """Stopword-heuristic language ID per document."""
+    from preql_spark.operators import text
+    d = _eng(spark, sf_dir).t.documents
+    return d.df.select("doc_id", text.lang_id("text").alias("pred"))
+
+
+def q36_quality(spark, sf_dir) -> DataFrame:
+    """Quality scoring: token/punct/stopword/alpha metrics."""
+    from preql_spark.operators import text
+    d = _eng(spark, sf_dir).t.documents
+    m = text.quality_metrics(d.df)
+    return m.select("doc_id", "n_tokens",
+                    _pr4(F.col("avg_token_len")).alias("avg_token_len"),
+                    _pr4(F.col("stopword_ratio")).alias("stopword_ratio"),
+                    _pr4(F.col("alpha_ratio")).alias("alpha_ratio"))
+
+
+def q37_minhash_signature(spark, sf_dir) -> DataFrame:
+    """First 4 MinHash signature components (portable md5 hashing)."""
+    from preql_spark.operators import dedup
+    d = _eng(spark, sf_dir).t.documents
+    sig = dedup.minhash_signature(dedup.token_shingles("text", 3), 4)
+    return d.df.select("doc_id",
+                       sig.getItem(0).alias("h0"), sig.getItem(1).alias("h1"),
+                       sig.getItem(2).alias("h2"), sig.getItem(3).alias("h3"))
+
+
+def q38_neardup_minhash(spark, sf_dir) -> DataFrame:
+    """Near-duplicate pairs: MinHash-LSH candidates verified by exact
+    Jaccard — oracle is the brute-force O(n²) Jaccard (recall check)."""
+    from preql_spark.operators import dedup
+    d = _eng(spark, sf_dir).t.documents
+    pairs = dedup.minhash_lsh_pairs(d.df, "doc_id", threshold=0.9)
+    return pairs.select("id_a", "id_b", _pr4(F.col("jaccard")).alias("jaccard"))
+
+
+def q39_simhash_pairs(spark, sf_dir) -> DataFrame:
+    """SimHash near-dup pairs (60-bit signatures).  max_distance=3
+    with 4 bands gives *guaranteed* recall by pigeonhole (≤3 differing
+    bits leave at least one 15-bit band intact), so the banded plan is
+    exactly equivalent to the brute-force oracle."""
+    from preql_spark.operators import dedup
+    d = _eng(spark, sf_dir).t.documents
+    return dedup.simhash_pairs(d.df, "doc_id", max_distance=3, bands=4)
+
+
+def q40_cosine_topk(spark, sf_dir) -> DataFrame:
+    """Brute-force cosine top-5 for the first 5 query vectors."""
+    from preql_spark.operators import similarity
+    e = _eng(spark, sf_dir).t.embeddings
+    q = e.df.filter(F.col("vec_id") < 5)
+    out = similarity.cosine_topk(e.df, q, k=5)
+    return out.select("query_id", "neighbor_id", "rank",
+                      _pr4(F.col("sim")).alias("sim"))
+
+
+def q41_embedding_neardup(spark, sf_dir) -> DataFrame:
+    """Embedding near-dup pairs at cosine >= 0.45 (brute baseline)."""
+    from preql_spark.operators import similarity
+    e = _eng(spark, sf_dir).t.embeddings
+    out = similarity.cosine_pairs(e.df, 0.45)
+    return out.select("id_a", "id_b", _pr4(F.col("sim")).alias("sim"))
+
+
+def q42_bfs(spark, sf_dir) -> DataFrame:
+    """Iterative BFS reachability over a derived 97-node edge table
+    (reference graph.pql bfs — recursive CTE in the oracle)."""
+    from preql_spark.operators import graph
+    eng = _eng(spark, sf_dir)
+    edges = (eng.t.orders.df
+             .select((F.col("o_custkey") % 97).alias("src"),
+                     (F.col("o_orderkey") % 97).alias("dst"))
+             .distinct())
+    initial = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    return graph.bfs(edges, initial)
+
+
+def q43_walk_tree(spark, sf_dir) -> DataFrame:
+    """Rank-limited walk (graph.pql walk_tree) over a sparse edge set."""
+    from preql_spark.operators import graph
+    eng = _eng(spark, sf_dir)
+    edges = (eng.t.nation.df
+             .select(F.col("n_nationkey").cast("long").alias("src"),
+                     ((F.col("n_nationkey") * 2 + 1) % 25).cast("long").alias("dst")))
+    initial = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    return graph.walk_tree(edges, initial, max_rank=4)
+
+
+def q44_sessionize(spark, sf_dir) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user over the events
+    stream table (batch form; streaming variant in preql_spark.streaming)."""
+    e = _eng(spark, sf_dir).t.events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    newsess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (e.df.withColumn("__new", newsess)
+            .withColumn("session_idx",
+                        F.sum("__new").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("event_id").alias("first_event")))
+
+
+def q45_tumbling_window(spark, sf_dir) -> DataFrame:
+    """Tumbling 1-hour window aggregate over events (batch form of the
+    streaming windowed agg)."""
+    e = _eng(spark, sf_dir).t.events
+    return (e.df.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("bucket"),
+        F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total")))
+
+
+def q46_asof_join(spark, sf_dir) -> DataFrame:
+    """As-of join: each view/click event matched to the user's most
+    recent error event at or before it."""
+    from preql_spark.operators import asof
+    e = _eng(spark, sf_dir).t.events
+    left = (e.df.filter(F.col("event_type").isin("view", "click"))
+            .select("user_id", "ts", "event_id"))
+    right = (e.df.filter(F.col("event_type") == "error")
+             .select("user_id", "ts", F.col("event_id").alias("error_id")))
+    out = asof.asof_join(left, right, "user_id", "ts", "ts", ["error_id"])
+    return out.select("event_id", "error_id")
+
+
+def q47_multimodal_features(spark, sf_dir) -> DataFrame:
+    """Multimodal plumbing: synthesized binary payloads → mapInPandas
+    feature extraction (deterministic fake decoder; no SQL oracle —
+    Python kernel, rows-only check)."""
+    from preql_spark.operators import multimodal
+    d = _eng(spark, sf_dir).t.documents
+    withbin = multimodal.attach_binary_column(d.df)
+    return multimodal.extract_image_features(withbin)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -430,6 +601,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_map_range": q29_map_range,
     "q30_rollup": q30_rollup,
     "q31_pivot": q31_pivot,
+    "q32_dedup_exact": q32_dedup_exact,
+    "q33_fingerprint": q33_fingerprint,
+    "q34_token_stats": q34_token_stats,
+    "q35_lang_id": q35_lang_id,
+    "q36_quality": q36_quality,
+    "q37_minhash_signature": q37_minhash_signature,
+    "q38_neardup_minhash": q38_neardup_minhash,
+    "q39_simhash_pairs": q39_simhash_pairs,
+    "q40_cosine_topk": q40_cosine_topk,
+    "q41_embedding_neardup": q41_embedding_neardup,
+    "q42_bfs": q42_bfs,
+    "q43_walk_tree": q43_walk_tree,
+    "q44_sessionize": q44_sessionize,
+    "q45_tumbling_window": q45_tumbling_window,
+    "q46_asof_join": q46_asof_join,
+    "q47_multimodal_features": q47_multimodal_features,
 }
 
 
@@ -636,6 +823,177 @@ ORACLES: dict[str, str] = {
                round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
                round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "q32_dedup_exact": r"""
+        WITH fp AS (SELECT doc_id,
+                           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+                    FROM documents),
+             w AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f)
+        SELECT d.doc_id, d.source FROM documents d JOIN w USING (doc_id)
+    """,
+    "q33_fingerprint": r"""
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp64
+        FROM documents
+    """,
+    "q34_token_stats": r"""
+        SELECT source,
+               CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+               floor(avg(len(string_split_regex(trim(text), '\s+'))) * 10000 + 0.5) / 10000 AS avg_tokens,
+               count(*) AS n_docs
+        FROM documents GROUP BY source
+    """,
+    "q35_lang_id": r"""
+        WITH t AS (SELECT doc_id, text,
+                          string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, text,
+              len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS s_en,
+              len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], x))) AS s_de,
+              len(list_filter(toks, x -> list_contains(['el','la','que','y','en','un','es','los','por','como'], x))) AS s_es,
+              len(list_filter(toks, x -> list_contains(['le','les','et','des','une','est','dans','pour','au','sur'], x))) AS s_fr
+              FROM t)
+        SELECT doc_id,
+               CASE WHEN length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 THEN 'zh'
+                    WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                    WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS pred
+        FROM s
+    """,
+    "q36_quality": r"""
+        WITH t AS (SELECT doc_id, text,
+                          string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               floor(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(toks) * 10000 + 0.5) / 10000 AS avg_token_len,
+               floor(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) * 1.0 / len(toks) * 10000 + 0.5) / 10000 AS stopword_ratio,
+               floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) * 10000 + 0.5) / 10000 AS alpha_ratio
+        FROM t
+    """,
+    "q37_minhash_signature": r"""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      array_to_string(list_slice(toks, i, i + 2), ' ') AS s
+               FROM t, UNNEST(range(1, greatest(len(toks) - 1, 2))) AS r(i))
+        SELECT doc_id,
+               min(('0x' || substr(md5(s || '#0'), 1, 15))::BIGINT) AS h0,
+               min(('0x' || substr(md5(s || '#1'), 1, 15))::BIGINT) AS h1,
+               min(('0x' || substr(md5(s || '#2'), 1, 15))::BIGINT) AS h2,
+               min(('0x' || substr(md5(s || '#3'), 1, 15))::BIGINT) AS h3
+        FROM sh GROUP BY doc_id
+    """,
+    "q38_neardup_minhash": r"""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      array_to_string(list_slice(toks, i, i + 2), ' ') AS s
+               FROM t, UNNEST(range(1, greatest(len(toks) - 1, 2))) AS r(i)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        jac AS (SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS j
+                FROM inter
+                JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id)
+        SELECT id_a, id_b, floor(j * 10000 + 0.5) / 10000 AS jaccard
+        FROM jac WHERE j >= 0.9
+    """,
+    "q39_simhash_pairs": r"""
+        WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk
+                     FROM documents),
+        th AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
+        bits AS (SELECT doc_id, CAST(b AS INT) AS b,
+                        sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                 FROM th, UNNEST(range(0, 60)) AS r(b) GROUP BY doc_id, b),
+        sig AS (SELECT doc_id,
+                       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS s
+                FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.s, b.s)) AS INT) AS distance
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= 3
+    """,
+    "q40_cosine_topk": """
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     q.embedding AS qe, c.embedding AS ce
+              FROM q, embeddings c WHERE c.vec_id != q.vec_id),
+        u AS (SELECT query_id, neighbor_id, unnest(qe) AS x, unnest(ce) AS y FROM p),
+        s AS (SELECT query_id, neighbor_id,
+                     sum(x::DOUBLE * y::DOUBLE)
+                     / (sqrt(sum(x::DOUBLE * x::DOUBLE)) * sqrt(sum(y::DOUBLE * y::DOUBLE))) AS sim
+              FROM u GROUP BY 1, 2),
+        r AS (SELECT query_id, neighbor_id,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id) AS INT) AS rank, sim
+              FROM s)
+        SELECT query_id, neighbor_id, rank,
+               floor(sim * 10000 + 0.5) / 10000 AS sim
+        FROM r WHERE rank <= 5
+    """,
+    "q41_embedding_neardup": """
+        WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                          a.embedding AS ae, b.embedding AS be
+                   FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+        u AS (SELECT id_a, id_b, unnest(ae) AS x, unnest(be) AS y FROM p),
+        s AS (SELECT id_a, id_b,
+                     sum(x::DOUBLE * y::DOUBLE)
+                     / (sqrt(sum(x::DOUBLE * x::DOUBLE)) * sqrt(sum(y::DOUBLE * y::DOUBLE))) AS sim
+              FROM u GROUP BY 1, 2)
+        SELECT id_a, id_b, floor(sim * 10000 + 0.5) / 10000 AS sim
+        FROM s WHERE sim >= 0.45
+    """,
+    "q42_bfs": """
+        WITH RECURSIVE e AS (SELECT DISTINCT o_custkey % 97 AS src,
+                                             o_orderkey % 97 AS dst FROM orders),
+        r(node) AS (SELECT CAST(0 AS BIGINT)
+                    UNION
+                    SELECT e.dst FROM r JOIN e ON r.node = e.src)
+        SELECT node FROM r
+    """,
+    "q43_walk_tree": """
+        WITH RECURSIVE e AS (SELECT CAST(n_nationkey AS BIGINT) AS src,
+                                    CAST((n_nationkey * 2 + 1) % 25 AS BIGINT) AS dst
+                             FROM nation),
+        w(node, rank) AS (SELECT CAST(0 AS BIGINT), 0
+                          UNION ALL
+                          SELECT e.dst, w.rank + 1
+                          FROM w JOIN e ON w.node = e.src WHERE w.rank < 4)
+        SELECT node, CAST(rank AS INT) AS rank FROM w
+    """,
+    "q44_sessionize": """
+        WITH g AS (SELECT user_id, event_id, ts,
+                          CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(lag(ts) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap
+                   FROM events),
+        s AS (SELECT user_id, event_id,
+                     CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+              FROM g)
+        SELECT user_id, session_idx, count(*) AS n_events,
+               min(event_id) AS first_event
+        FROM s GROUP BY user_id, session_idx
+    """,
+    "q45_tumbling_window": """
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+               event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM events GROUP BY 1, 2
+    """,
+    "q46_asof_join": """
+        WITH l AS (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type IN ('view', 'click')),
+             r AS (SELECT user_id, ts, event_id AS error_id FROM events
+                   WHERE event_type = 'error')
+        SELECT l.event_id, r.error_id
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
 }
 

@@ -62,13 +62,17 @@ def char_shingles(col, k: int = 8) -> Column:
 
 # ---- MinHash + LSH ---------------------------------------------------------
 
+def _seeded_hash(seed: int):
+    # NB: must be a 1-arg lambda — F.transform treats a 2-arg lambda
+    # as (element, index), which would silently shadow the seed.
+    return lambda s: portable_hash(F.concat(s, F.lit(f"#{seed}")))
+
+
 def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
     """Array of ``n_hashes`` minima of seeded portable hashes over the
     shingle set — the standard MinHash signature, entirely JVM-side."""
     return F.array(*[
-        F.array_min(F.transform(
-            shingles,
-            lambda s, seed=i: portable_hash(F.concat(s, F.lit(f"#{seed}")))))
+        F.array_min(F.transform(shingles, _seeded_hash(i)))
         for i in range(n_hashes)])
 
 

@@ -18,14 +18,18 @@ from preql_spark.operators.text import portable_hash
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array columns — zip_with + aggregate, all
-    whole-stage-codegen."""
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
+    whole-stage-codegen.  Elements are widened to double *before* the
+    multiply so float32 inputs accumulate in float64 (portable across
+    engines, and the right numerics at scale)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                              F.lit(0.0), lambda acc, v: acc + v))
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
 
 
 def cosine(a: Column, b: Column) -> Column:

@@ -71,14 +71,15 @@ def main():
             print(f"ROWS-ONLY {name}: {len(srows)} rows")
             continue
         try:
-            ddf = con.execute(oracles[name]).df()
-            drows = ddf.to_dict("records")
+            cur = con.execute(oracles[name])
+            dcols_raw = [d[0] for d in cur.description]
+            drows = [dict(zip(dcols_raw, row)) for row in cur.fetchall()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             failed.append(name)
             continue
         scols = sorted(sdf.columns)
-        dcols = sorted(ddf.columns)
+        dcols = sorted(dcols_raw)
         if scols != dcols:
             print(f"FAIL {name}: schema mismatch spark={scols} duckdb={dcols}")
             failed.append(name)
