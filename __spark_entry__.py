@@ -879,13 +879,16 @@ ORACLES: dict[str, str] = {
                    FROM documents),
         sh AS (SELECT DISTINCT doc_id,
                       array_to_string(list_slice(toks, i, i + 2), ' ') AS s
-               FROM t, UNNEST(range(1, greatest(len(toks) - 1, 2))) AS r(i))
+               FROM t, UNNEST(range(1, greatest(len(toks) - 1, 2))) AS r(i)),
+        hb AS (SELECT doc_id,
+                      ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+               FROM sh)
         SELECT doc_id,
-               min(('0x' || substr(md5(s || '#0'), 1, 15))::BIGINT) AS h0,
-               min(('0x' || substr(md5(s || '#1'), 1, 15))::BIGINT) AS h1,
-               min(('0x' || substr(md5(s || '#2'), 1, 15))::BIGINT) AS h2,
-               min(('0x' || substr(md5(s || '#3'), 1, 15))::BIGINT) AS h3
-        FROM sh GROUP BY doc_id
+               min((h * 506952114 + 17) % 2147483647) AS h0,
+               min((h * 1013904228 + 40520) % 2147483647) AS h1,
+               min((h * 1520856342 + 81023) % 2147483647) AS h2,
+               min((h * 2027808456 + 121526) % 2147483647) AS h3
+        FROM hb GROUP BY doc_id
     """,
     "q38_neardup_minhash": r"""
         WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks

@@ -1,0 +1,62 @@
+"""Benchmark runner — times the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query executes fully via the ``noop`` sink (computes everything,
+collects nothing — measures engine throughput, not driver transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",   # grouped agg battery on fact table
+    "q04_revenue_by_nation", # 4-table FK join + agg + sort
+    "q05_region_order_stats",# join chain with broadcast dims
+    "q06_forecast_revenue",  # pushdown filter + scalar agg
+    "q16_casts",             # wide per-row expression projection
+    "q25_window_rank",       # partitioned window
+    "q38_neardup_minhash",   # MinHash-LSH near-dup (text pipeline)
+    "q40_cosine_topk",       # brute-force vector top-k
+    "q44_sessionize",        # stateful event sessionization
+    "q45_tumbling_window",   # time-bucket aggregation
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from preql_spark.engine import default_session
+    import __spark_entry__ as entry
+
+    spark = default_session("preql_spark_bench")
+    # warm the JVM/executor pool so q1 doesn't pay startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -62,18 +62,54 @@ def char_shingles(col, k: int = 8) -> Column:
 
 # ---- MinHash + LSH ---------------------------------------------------------
 
-def _seeded_hash(seed: int):
-    # NB: must be a 1-arg lambda — F.transform treats a 2-arg lambda
-    # as (element, index), which would silently shadow the seed.
-    return lambda s: portable_hash(F.concat(s, F.lit(f"#{seed}")))
+_MERSENNE31 = 2147483647  # 2^31 - 1
+
+
+def _universal_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the i-th universal hash
+    h_i(x) = (a*x + b) mod (2^31-1). Knuth multiplicative constants;
+    mirrored verbatim in the SQL oracles."""
+    a = ((i + 1) * 2654435761) % _MERSENNE31
+    b = (i * 40503 + 17) % _MERSENNE31
+    return a, b
 
 
 def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
-    """Array of ``n_hashes`` minima of seeded portable hashes over the
-    shingle set — the standard MinHash signature, entirely JVM-side."""
+    """Array of ``n_hashes`` minima over the shingle set — standard
+    MinHash with a universal-hash family: each shingle is md5-hashed
+    ONCE (the expensive step), then the n_hashes variants are integer
+    multiply-adds over that base hash.  At 16 hashes this is ~16×
+    less md5 work than seeded re-hashing; entirely JVM-side."""
+    base = F.transform(shingles, lambda s: portable_hash(s) % _MERSENNE31)
+
+    def mixer(a: int, b: int):
+        # factory: F.transform requires a 1-arg lambda (a 2-arg lambda
+        # means (element, index) to pyspark)
+        return lambda h: (h * a + b) % _MERSENNE31
+
     return F.array(*[
-        F.array_min(F.transform(shingles, _seeded_hash(i)))
+        F.array_min(F.transform(base, mixer(*_universal_params(i))))
         for i in range(n_hashes)])
+
+
+def minhash_signature_df(shingled: DataFrame, id_col: str = "__id",
+                         shingle_col: str = "__sh",
+                         n_hashes: int = 16) -> DataFrame:
+    """Signature as a DataFrame aggregation: explode shingles to
+    narrow rows, md5 each shingle ONCE, take the n_hashes universal-
+    hash minima as grouped aggregates.  Unlike the array-expression
+    form (higher-order functions are CodegenFallback and re-evaluate
+    the base hash per seed), this stays in whole-stage codegen and
+    scales as one narrow shuffle.  Returns (id, __sig array)."""
+    ex = (shingled.select(F.col(id_col), F.explode(shingle_col).alias("__s"))
+          .select(id_col, (portable_hash(F.col("__s")) % _MERSENNE31).alias("__h")))
+    aggs = []
+    for i in range(n_hashes):
+        a, b = _universal_params(i)
+        aggs.append(F.min((F.col("__h") * a + b) % _MERSENNE31).alias(f"__mh{i}"))
+    sig = ex.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[f"__mh{i}" for i in range(n_hashes)])
+                      .alias("__sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
@@ -87,32 +123,43 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     ``max_bucket`` caps degenerate LSH buckets (at scale a hot bucket
     means boilerplate; production pipelines drop or re-band them).
     """
-    rows_per_band = n_hashes // bands
-    sh = df.select(F.col(id_col).alias("__id"),
-                   token_shingles(text_col, shingle_k).alias("__sh"))
-    sh = sh.withColumn("__sig", minhash_signature(F.col("__sh"), n_hashes))
+    from pyspark.sql import Window
 
-    # band keys: (band index, hash of that band's signature slice)
-    banded = sh.select(
-        "__id", "__sh",
+    rows_per_band = n_hashes // bands
+    # shingle sets persisted once — reused for signatures and for the
+    # exact-Jaccard verify of candidates
+    sh = df.select(F.col(id_col).alias("__id"),
+                   token_shingles(text_col, shingle_k).alias("__sh")).persist()
+    sig = minhash_signature_df(sh, "__id", "__sh", n_hashes)
+
+    # banding frame is NARROW (id, band, bkey) — the shuffle moves a
+    # few bytes per row, not the shingle arrays
+    banded = sig.select(
+        "__id",
         F.posexplode(F.array(*[
             F.hash(F.slice("__sig", b * rows_per_band + 1, rows_per_band))
             for b in range(bands)])).alias("__band", "__bkey"))
 
-    # candidate pairs: equi-join within (band, bucket) — never O(n^2)
-    bucket_sizes = banded.groupBy("__band", "__bkey").count() \
-        .filter(F.col("count") <= max_bucket).drop("count")
-    banded = banded.join(bucket_sizes, ["__band", "__bkey"], "left_semi")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # drop degenerate buckets with a windowed count (single pass over
+    # the narrow frame; hot buckets = boilerplate at scale)
+    wb = Window.partitionBy("__band", "__bkey")
+    banded = (banded.withColumn("__bn", F.count(F.lit(1)).over(wb))
+              .filter(F.col("__bn") <= max_bucket).drop("__bn"))
+    a, b = banded.alias("a"), banded.alias("b")
     cands = (a.join(b, (F.col("a.__band") == F.col("b.__band"))
                     & (F.col("a.__bkey") == F.col("b.__bkey"))
                     & (F.col("a.__id") < F.col("b.__id")))
-             .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
-                     F.col("a.__sh").alias("sh_a"), F.col("b.__sh").alias("sh_b"))
+             .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
              .dropDuplicates(["id_a", "id_b"]))
 
-    # exact Jaccard verify on the candidate set
+    # exact Jaccard verify: join the (few) candidates back to the
+    # cached shingle sets
+    shin = sh.select("__id", "__sh")
+    cands = (cands
+             .join(shin.select(F.col("__id").alias("id_a"),
+                               F.col("__sh").alias("sh_a")), "id_a")
+             .join(shin.select(F.col("__id").alias("id_b"),
+                               F.col("__sh").alias("sh_b")), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (cands.select("id_a", "id_b",
