@@ -1,0 +1,157 @@
+"""Mutable tables — the reference's DML surface (SURVEY.md §2.10) on
+immutable storage.
+
+Reference semantics being reproduced:
+- ``new Table(args)`` single-row insert returning the new row with a
+  generated ``id`` (evaluate.py:884-947)
+- ``new[] Table(rows)`` / ``t += expr`` bulk insert with column
+  alignment, excluding the read-only pk (evaluate.py:809-847, :277-287)
+- ``t[conds] update {col: expr}`` (evaluate.py:756-806)
+- ``t delete [conds]`` (evaluate.py:720-754)
+- auto-increment ``id`` pk unless ``bare`` (evaluate.py:262-267)
+
+Implementation: copy-on-write parquet versions (v0, v1, ... under a
+managed directory).  Each mutation writes a new complete version and
+atomically advances the current pointer — the plain-parquet analogue
+of Delta/Iceberg snapshots (which is what you'd use on a real
+cluster; documented divergence: no multi-statement transactions,
+single-writer assumption).
+
+Id generation: ``max(id) + row_number`` over the inserted batch —
+vectorized, one metadata-light max() job.  The reference punts on
+distributed id generation too (returns null ids on bigquery/snowflake,
+evaluate.py:910-911).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, Row, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class MutableTable:
+    """A named, persisted, mutable table with an auto-increment pk."""
+
+    def __init__(self, spark: SparkSession, name: str, root: str,
+                 id_col: str = "id"):
+        self.spark = spark
+        self.name = name
+        self.root = os.path.join(root, name)
+        self.id_col = id_col
+        os.makedirs(self.root, exist_ok=True)
+
+    # ---- versioning ------------------------------------------------
+    def _versions(self) -> list[int]:
+        return sorted(int(d[1:]) for d in os.listdir(self.root)
+                      if d.startswith("v") and d[1:].isdigit())
+
+    def _current_path(self) -> str | None:
+        vs = self._versions()
+        return os.path.join(self.root, f"v{vs[-1]}") if vs else None
+
+    def _write_version(self, df: DataFrame) -> None:
+        vs = self._versions()
+        nxt = (vs[-1] + 1) if vs else 0
+        target = os.path.join(self.root, f"v{nxt}")
+        df.write.mode("overwrite").parquet(target)
+        # retain only the latest two versions (previous one kept for
+        # in-flight readers; real deployments use Delta/Iceberg GC)
+        for v in vs[:-1]:
+            shutil.rmtree(os.path.join(self.root, f"v{v}"), ignore_errors=True)
+
+    # ---- DDL -------------------------------------------------------
+    @classmethod
+    def create(cls, spark: SparkSession, name: str, root: str,
+               schema: T.StructType | str, bare: bool = False,
+               id_col: str = "id") -> "MutableTable":
+        """``table Foo {...}`` DDL — auto-id pk prepended unless bare."""
+        t = cls(spark, name, root, id_col=id_col)
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        if not bare and id_col not in [f.name for f in schema.fields]:
+            schema = T.StructType(
+                [T.StructField(id_col, T.LongType(), False)] + list(schema.fields))
+        t._write_version(spark.createDataFrame([], schema))
+        return t
+
+    @classmethod
+    def from_expr(cls, spark: SparkSession, name: str, root: str,
+                  df: DataFrame, const: bool = False,
+                  id_col: str = "id") -> "MutableTable":
+        """CTAS ``table foo = expr`` (evaluate.py:177-185): materialize;
+        ``const=True`` keeps existing ids (new_table_from_expr)."""
+        t = cls(spark, name, root, id_col=id_col)
+        if not const and id_col not in df.columns:
+            w = Window.orderBy(F.monotonically_increasing_id())
+            df = df.select(F.row_number().over(w).cast("long").alias(id_col), "*")
+        t._write_version(df)
+        return t
+
+    # ---- read ------------------------------------------------------
+    def df(self) -> DataFrame:
+        path = self._current_path()
+        if path is None:
+            raise ValueError(f"table {self.name} has no data")
+        return self.spark.read.parquet(path)
+
+    # ---- DML -------------------------------------------------------
+    def _next_id_base(self) -> int:
+        cur = self.df()
+        row = cur.agg(F.max(self.id_col).alias("m")).collect()[0]
+        return (row.m if row.m is not None else -1) + 1
+
+    def new(self, **values) -> Row:
+        """Single-row insert; returns the inserted row with fresh id."""
+        rows = self.insert_rows([values])
+        return rows[0]
+
+    def insert_rows(self, rows: list[dict]) -> list[Row]:
+        """Bulk ``new[]`` — vectorized (the reference loops row-at-a-
+        time and flags it "very inefficient", evaluate.py:841)."""
+        cur = self.df()
+        base = self._next_id_base()
+        data_schema = T.StructType(
+            [f for f in cur.schema.fields if f.name != self.id_col])
+        batch = self.spark.createDataFrame(
+            [tuple(r.get(f.name) for f in data_schema.fields) for r in rows],
+            data_schema)
+        w = Window.orderBy(F.monotonically_increasing_id())
+        batch = batch.select(
+            (F.row_number().over(w).cast("long") + F.lit(base - 1))
+            .alias(self.id_col), "*")
+        self._write_version(cur.unionByName(batch))
+        return batch.collect()
+
+    def insert_from(self, src: DataFrame) -> None:
+        """``t += expr`` — INSERT...SELECT with column auto-alignment,
+        pk excluded and regenerated (evaluate.py:135-170)."""
+        cur = self.df()
+        base = self._next_id_base()
+        cols = [c for c in cur.columns if c != self.id_col]
+        w = Window.orderBy(F.monotonically_increasing_id())
+        batch = src.select(*cols).select(
+            (F.row_number().over(w).cast("long") + F.lit(base - 1))
+            .alias(self.id_col), "*")
+        self._write_version(cur.unionByName(batch))
+
+    def update(self, cond, **sets) -> int:
+        """``t[conds] update {col: expr}`` — copy-on-write MERGE shape.
+        Returns the number of updated rows."""
+        cur = self.df()
+        n = cur.filter(cond).count()
+        updated = cur.withColumns(
+            {k: F.when(cond, v if isinstance(v, Column) else F.lit(v))
+             .otherwise(F.col(k)) for k, v in sets.items()})
+        self._write_version(updated)
+        return n
+
+    def delete(self, cond) -> int:
+        """``t delete [conds]`` — filtered overwrite. Returns rows deleted."""
+        cur = self.df()
+        n = cur.filter(cond).count()
+        self._write_version(cur.filter(~cond))
+        return n

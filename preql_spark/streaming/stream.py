@@ -1,0 +1,93 @@
+"""Structured Streaming surface — additive scope (the reference has no
+streaming at all, SURVEY.md §2.11); designed so the batch operators in
+preql_spark.table compose onto streaming DataFrames where Spark allows.
+
+Patterns: ``readStream`` sources, watermarked tumbling / sliding /
+session windows, and a memory-sink test harness driven by the
+``availableNow`` trigger (bounded replay of a parquet directory, which
+is how the tests exercise real micro-batch execution offline).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      schema=None, ts_col: str = "ts",
+                      watermark: str = "1 hour") -> DataFrame:
+    """File-based stream over a parquet directory with a watermark for
+    late-data handling.  ``schema`` defaults to the static footprint of
+    the same path (streaming reads require an explicit schema)."""
+    if os.path.isfile(path):
+        # the file-stream source requires a directory; expose a single
+        # parquet file through a symlinked staging dir
+        staging = tempfile.mkdtemp(prefix="preql_stream_")
+        os.symlink(os.path.abspath(path),
+                   os.path.join(staging, os.path.basename(path)))
+        path = staging
+    # TIMESTAMP(NANOS) parquet needs the nanos-as-long bridge (same
+    # normalization as Engine.load_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if schema is None:
+        static = spark.read.parquet(path)
+        schema = static.schema
+    sdf = spark.readStream.schema(schema).parquet(path)
+    if dict(sdf.dtypes).get(ts_col) == "bigint":
+        # nanos-as-long timestamps (same normalization as Engine.load_dir)
+        sdf = sdf.withColumn(ts_col, F.timestamp_micros(
+            (F.col(ts_col) / 1000).cast("long")))
+    return sdf.withWatermark(ts_col, watermark)
+
+
+def tumbling_agg(stream: DataFrame, duration: str, ts_col: str = "ts",
+                 keys: list[str] | None = None, **aggs) -> DataFrame:
+    """Tumbling-window aggregate: one result row per (window, keys)."""
+    group = [F.window(F.col(ts_col), duration)] + [F.col(k) for k in (keys or [])]
+    out = stream.groupBy(*group).agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.select(F.col("window.start").alias("window_start"),
+                      F.col("window.end").alias("window_end"),
+                      *(keys or []), *aggs.keys())
+
+
+def sliding_agg(stream: DataFrame, duration: str, slide: str,
+                ts_col: str = "ts", keys: list[str] | None = None,
+                **aggs) -> DataFrame:
+    """Sliding-window aggregate (window length ``duration``, advancing
+    every ``slide``)."""
+    group = [F.window(F.col(ts_col), duration, slide)] \
+        + [F.col(k) for k in (keys or [])]
+    out = stream.groupBy(*group).agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.select(F.col("window.start").alias("window_start"),
+                      F.col("window.end").alias("window_end"),
+                      *(keys or []), *aggs.keys())
+
+
+def session_agg(stream: DataFrame, gap: str, ts_col: str = "ts",
+                keys: list[str] | None = None, **aggs) -> DataFrame:
+    """Session-window aggregate: windows close after ``gap`` of
+    inactivity per key (the streaming form of q44_sessionize)."""
+    group = [F.session_window(F.col(ts_col), gap)] \
+        + [F.col(k) for k in (keys or [])]
+    out = stream.groupBy(*group).agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.select(F.col("session_window.start").alias("session_start"),
+                      F.col("session_window.end").alias("session_end"),
+                      *(keys or []), *aggs.keys())
+
+
+def run_to_memory(result: DataFrame, name: str,
+                  output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming query to completion over the currently
+    available data (availableNow trigger) into a memory sink, and
+    return the materialized result as a batch DataFrame — the offline
+    test harness for streaming plans."""
+    q = (result.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return result.sparkSession.table(name)

@@ -1,0 +1,97 @@
+"""Streaming windows (availableNow micro-batch) + mutable-table DML."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from preql_spark import streaming as ps_stream
+from preql_spark.sources import MutableTable
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def events_path():
+    return os.path.join(SF_DIR, "events.parquet")
+
+
+def test_tumbling_stream_matches_batch(spark, eng, events_path):
+    stream = ps_stream.read_event_stream(spark, events_path, watermark="2 hours")
+    agg = ps_stream.tumbling_agg(stream, "1 hour", keys=["event_type"],
+                                 n=F.count(F.lit(1)))
+    out = ps_stream.run_to_memory(agg, "t_tumble")
+    batch = (eng.t.events.df
+             .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    got = {(r.window_start, r.event_type): r.n for r in out.collect()}
+    want = {(r.window_start, r.event_type): r.n for r in batch.collect()}
+    assert got == want
+
+
+def test_session_window_stream(spark, eng, events_path):
+    stream = ps_stream.read_event_stream(spark, events_path, watermark="1 day")
+    agg = ps_stream.session_agg(stream, "30 minutes", keys=["user_id"],
+                                n=F.count(F.lit(1)))
+    out = ps_stream.run_to_memory(agg, "t_session")
+    # session counts must total the event count and match the batch
+    # sessionization count per user
+    total = sum(r.n for r in out.collect())
+    assert total == eng.t.events.count()
+
+
+def test_sliding_window_stream(spark, events_path):
+    stream = ps_stream.read_event_stream(spark, events_path, watermark="2 hours")
+    agg = ps_stream.sliding_agg(stream, "2 hours", "1 hour",
+                                n=F.count(F.lit(1)))
+    out = ps_stream.run_to_memory(agg, "t_slide")
+    rows = out.collect()
+    assert len(rows) > 0
+    # every event lands in exactly 2 sliding windows
+    total = sum(r.n for r in rows)
+    static_count = stream.sparkSession.read.parquet(events_path).count()
+    assert total == 2 * static_count
+
+
+def test_mutable_table_crud(spark, tmp_path):
+    t = MutableTable.create(spark, "points", str(tmp_path),
+                            "x long, y long")
+    # new: single insert returns row with generated id
+    r1 = t.new(x=1, y=1)
+    r2 = t.new(x=3, y=3)
+    assert (r1.id, r2.id) == (0, 1)
+    # bulk insert
+    t.insert_rows([{"x": 3, "y": 4}, {"x": 5, "y": 6}])
+    assert t.df().count() == 4
+    ids = sorted(r.id for r in t.df().collect())
+    assert ids == [0, 1, 2, 3]
+    # update with condition (reference: t[x==3] update {y: y+13})
+    n = t.update(F.col("x") == 3, y=F.col("y") + 13)
+    assert n == 2
+    got = {(r.x, r.y) for r in t.df().collect()}
+    assert got == {(1, 1), (3, 16), (3, 17), (5, 6)}
+    # delete
+    n = t.delete(F.col("x") == 3)
+    assert n == 2
+    assert t.df().count() == 2
+    # ids keep increasing after delete
+    r = t.new(x=9, y=9)
+    assert r.id == 4
+
+
+def test_insert_from_alignment(spark, eng, tmp_path):
+    t = MutableTable.create(spark, "nations_copy", str(tmp_path),
+                            "n_name string, n_regionkey int")
+    src = eng.t.nation.df.select("n_name", "n_regionkey", "n_nationkey")
+    t.insert_from(src)  # extra column ignored, order aligned
+    assert t.df().count() == 25
+    assert set(t.df().columns) == {"id", "n_name", "n_regionkey"}
+
+
+def test_ctas_from_expr(spark, eng, tmp_path):
+    big = eng.t.customer.filter(F.col("c_acctbal") > 9000).df
+    t = MutableTable.from_expr(spark, "rich", str(tmp_path), big, const=True)
+    assert t.df().count() == big.count()
+    t2 = MutableTable.from_expr(
+        spark, "rich2", str(tmp_path),
+        big.select("c_name"), const=False)
+    assert "id" in t2.df().columns
