@@ -569,6 +569,88 @@ def q47_multimodal_features(spark, sf_dir) -> DataFrame:
     return multimodal.extract_image_features(withbin)
 
 
+def q48_stream_tumbling(spark, sf_dir) -> DataFrame:
+    """Structured Streaming tumbling window (availableNow replay of the
+    events table) — oracle is the equivalent batch aggregation."""
+    import os
+    from preql_spark import streaming as st
+    _eng(spark, sf_dir)  # ensures nanos conf; stream sets it too
+    stream = st.read_event_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), watermark="2 hours")
+    agg = st.tumbling_agg(stream, "1 hour", keys=["event_type"],
+                          n=F.count(F.lit(1)),
+                          total=F.round(F.sum("value"), 2))
+    out = st.run_to_memory(agg, f"q48_sink_{abs(hash(sf_dir)) % 10**6}")
+    return out.select(F.unix_timestamp("window_start").alias("bucket"),
+                      "event_type", "n", "total")
+
+
+def q49_struct_join_access(spark, sf_dir) -> DataFrame:
+    """Struct-per-table join output + nested field access (reference
+    join result model, pql_functions.py:483)."""
+    from preql_spark import table as tbl
+    eng = _eng(spark, sf_dir)
+    j = tbl.join(n=eng.t.nation, r=eng.t.region, broadcast=("r",))
+    return (eng.from_df(j.df)
+            .project(nation=F.col("n.n_name"),
+                     region=F.col("r.r_name"),
+                     key_sum=F.col("n.n_nationkey") + F.col("r.r_regionkey"))
+            .df)
+
+
+def q50_in_list(spark, sf_dir) -> DataFrame:
+    """``in`` against a literal list (Contains, sql.py:319-329)."""
+    c = _eng(spark, sf_dir).t.customer
+    return (c.filter(c.c_mktsegment.isin("BUILDING", "MACHINERY"))
+            .project("c_custkey", "c_mktsegment")
+            .df)
+
+
+def q51_char_funcs(spark, sf_dir) -> DataFrame:
+    """char / char_ord / char_range / repeat (§2.8)."""
+    from preql_spark.functions import scalar as s
+    n = _eng(spark, sf_dir).t.nation
+    return (n.project("n_nationkey",
+                      first_ord=s.char_ord(F.substring("n_name", 1, 1)),
+                      chr_back=s.char(s.char_ord(F.substring("n_name", 1, 1))),
+                      rep=s.repeat(F.substring("n_name", 1, 2), 3))
+            .df)
+
+
+def q52_window_battery(spark, sf_dir) -> DataFrame:
+    """Beyond-parity window surface: rank / dense_rank / lag / lead /
+    ntile over a partitioned ordering."""
+    o = _eng(spark, sf_dir).t.orders
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (o.filter(F.col("o_custkey") < 200)
+            .project("o_custkey", "o_orderkey",
+                     rnk=F.rank().over(w),
+                     drnk=F.dense_rank().over(w),
+                     prev_key=F.coalesce(F.lag("o_orderkey", 1).over(w), F.lit(-1)),
+                     next_key=F.coalesce(F.lead("o_orderkey", 1).over(w), F.lit(-1)),
+                     quartile=F.ntile(4).over(w))
+            .df)
+
+
+def q53_cube(spark, sf_dir) -> DataFrame:
+    """CUBE grouping sets (beyond-reference, SURVEY §2.4)."""
+    l = _eng(spark, sf_dir).t.lineitem
+    return (l.cube(["l_returnflag", "l_linestatus"],
+                   n=F.count(F.lit(1)),
+                   sum_qty=F.round(F.sum("l_quantity"), 2))
+            .df)
+
+
+def q54_fmt_interpolation(spark, sf_dir) -> DataFrame:
+    """fmt() string interpolation (pql_functions.py:132-169) → concat."""
+    from preql_spark.functions import scalar as s
+    c = _eng(spark, sf_dir).t.customer
+    return (c.project("c_custkey",
+                     msg=s.concat(F.lit("customer "), F.col("c_name"),
+                                  F.lit(" in segment "), F.col("c_mktsegment")))
+            .df)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -617,6 +699,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_tumbling_window": q45_tumbling_window,
     "q46_asof_join": q46_asof_join,
     "q47_multimodal_features": q47_multimodal_features,
+    "q48_stream_tumbling": q48_stream_tumbling,
+    "q49_struct_join_access": q49_struct_join_access,
+    "q50_in_list": q50_in_list,
+    "q51_char_funcs": q51_char_funcs,
+    "q52_window_battery": q52_window_battery,
+    "q53_cube": q53_cube,
+    "q54_fmt_interpolation": q54_fmt_interpolation,
 }
 
 
@@ -997,6 +1086,47 @@ ORACLES: dict[str, str] = {
                    WHERE event_type = 'error')
         SELECT l.event_id, r.error_id
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "q48_stream_tumbling": """
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+               event_type, count(*) AS n, round(sum(value), 2) AS total
+        FROM events GROUP BY 1, 2
+    """,
+    "q49_struct_join_access": """
+        SELECT n_name AS nation, r_name AS region,
+               n_nationkey + r_regionkey AS key_sum
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    "q50_in_list": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    """,
+    "q51_char_funcs": """
+        SELECT n_nationkey,
+               CAST(ascii(substr(n_name, 1, 1)) AS INT) AS first_ord,
+               chr(ascii(substr(n_name, 1, 1))) AS chr_back,
+               repeat(substr(n_name, 1, 2), 3) AS rep
+        FROM nation
+    """,
+    "q52_window_battery": """
+        SELECT o_custkey, o_orderkey,
+               CAST(rank() OVER w AS INT) AS rnk,
+               CAST(dense_rank() OVER w AS INT) AS drnk,
+               coalesce(lag(o_orderkey, 1) OVER w, -1) AS prev_key,
+               coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_key,
+               CAST(ntile(4) OVER w AS INT) AS quartile
+        FROM orders WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "q53_cube": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q54_fmt_interpolation": """
+        SELECT c_custkey,
+               'customer ' || c_name || ' in segment ' || c_mktsegment AS msg
+        FROM customer
     """,
 }
 

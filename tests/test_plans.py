@@ -1,0 +1,94 @@
+"""Physical-plan audits — the 100 TB design gate.
+
+Each test asserts the property that matters at scale: filters reach
+the parquet scan, projections prune columns, small dimensions
+broadcast, aggregates have a map-side partial phase, top-k lowers to
+TakeOrderedAndProject, and hot paths stay inside WholeStageCodegen.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_to_parquet(spark):
+    df = entry.q06_forecast_revenue(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PushedFilters:" in plan
+    # the discount-range predicates must reach the scan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_column_pruning(spark):
+    df = entry.q06_forecast_revenue(spark, SF_DIR)
+    plan = plan_of(df)
+    # scan must read only the three referenced columns
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read and "l_discount" in read
+    assert "l_orderkey" not in read and "l_shipdate" not in read
+
+
+def test_dimension_broadcast(spark):
+    df = entry.q04_revenue_by_nation(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan  # nation hinted broadcast
+
+
+def test_partial_aggregation(spark):
+    df = entry.q01_pricing_summary(spark, SF_DIR)
+    plan = plan_of(df)
+    # map-side combine before the exchange
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_topk_lowering(spark):
+    df = entry.q10_projection_markup(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_hot_path(spark):
+    df = entry.q16_casts(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen")
+    assert "Found 1 WholeStageCodegen subtrees." in plan
+
+
+def test_semi_join_for_membership(spark):
+    df = entry.q18_semi_join(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_for_negation(spark):
+    df = entry.q19_anti_join(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "LeftAnti" in plan
+
+
+def test_minhash_banding_not_cartesian(spark):
+    """The LSH candidate join must be an equi-join on band keys, never
+    a cartesian/BNLJ over documents."""
+    df = entry.q38_neardup_minhash(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_single_shuffle(spark):
+    """The as-of join is one union + one window: exactly one exchange
+    on the key, no join node at all."""
+    df = entry.q46_asof_join(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Join" not in plan  # window-based, joins avoided entirely
+    assert plan.count("Arguments: hashpartitioning") == 1
