@@ -61,12 +61,16 @@ TPCH_TABLES = [
 @dataclass
 class TableMeta:
     """Catalog entry: schema lives on the DataFrame; this holds the
-    relational metadata Spark does not track (pk, FK relations)."""
+    relational metadata Spark does not track (pk, FK relations, and
+    table methods — reference MethodInstance, pql_objects.py:266-274)."""
 
     name: str
     pk: str | None = None
     # fk column -> (target table, target column)
     fks: dict[str, tuple[str, str]] = field(default_factory=dict)
+    # method name -> callable(Table) -> Column (computed attributes,
+    # usable in projections/filters like reference table methods)
+    methods: dict = field(default_factory=dict)
 
 
 def default_session(app_name: str = "preql_spark", cpus: int | None = None) -> SparkSession:
@@ -105,11 +109,21 @@ class Engine:
 
     # ---- catalog ---------------------------------------------------
     def register(self, name: str, df: DataFrame, pk: str | None = None,
-                 fks: dict[str, tuple[str, str]] | None = None) -> "Table":
-        self.catalog[name] = TableMeta(name, pk=pk, fks=dict(fks or {}))
+                 fks: dict[str, tuple[str, str]] | None = None,
+                 methods: dict | None = None) -> "Table":
+        self.catalog[name] = TableMeta(name, pk=pk, fks=dict(fks or {}),
+                                       methods=dict(methods or {}))
         self._dfs[name] = df
         df.createOrReplaceTempView(name)
         return self.table(name)
+
+    def add_index(self, name: str, cols: list[str], unique: bool = False) -> None:
+        """Reference add_index (pql_functions.py:1043-1082): explicitly
+        a no-op on columnar engines (the reference no-ops on snowflake/
+        redshift/bigquery too).  On Spark the analogue is write-time
+        layout — partitioning/bucketing/Z-order — applied by writers,
+        not the catalog."""
+        return None
 
     def table(self, name: str) -> "Table":
         from preql_spark.table import Table

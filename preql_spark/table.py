@@ -65,10 +65,14 @@ class Table:
 
     # ---- column access ---------------------------------------------
     def __getattr__(self, name: str) -> Column:
-        # attribute misses fall through to column references, like the
-        # reference's name resolution inside projections
+        # attribute misses resolve table methods first (reference
+        # MethodInstance dispatch, evaluate.py:57-59), then fall
+        # through to column references
         if name.startswith("_"):
             raise AttributeError(name)
+        meta = object.__getattribute__(self, "meta")
+        if meta.methods and name in meta.methods:
+            return meta.methods[name](self)
         return self.df[name]
 
     def __getitem__(self, item):
@@ -94,7 +98,8 @@ class Table:
 
     def _with(self, df: DataFrame, name: str | None = None) -> "Table":
         return Table(self.engine, df, TableMeta(name or self.meta.name,
-                                                pk=self.meta.pk, fks=self.meta.fks))
+                                                pk=self.meta.pk, fks=self.meta.fks,
+                                                methods=self.meta.methods))
 
     # ---- projection -------------------------------------------------
     def project(self, *items, **named) -> "Table":
@@ -248,19 +253,46 @@ class Table:
         return self._with(self.df.sample(fraction=frac, seed=seed).limit(n))
 
     # ---- window helpers --------------------------------------------
-    def enum(self, order_by=None) -> "Table":
+    def enum(self, order_by=None, distributed: bool = False) -> "Table":
         """Reference enum(tbl): prepend 0-based ``index``
-        (__builtins__.pql:290-311).  Spark needs an ordering; without
-        one we use a zipWithIndex-equivalent over the current partition
-        order (monotonically_increasing_id ranked) — deterministic for
-        a given file layout, no single-partition bottleneck until the
-        final rank."""
+        (__builtins__.pql:290-311).
+
+        Default path: one global window (fine for small/medium results,
+        single-partition for the final rank).  ``distributed=True``
+        uses the two-pass range-partition + per-partition offsets plan
+        that stays parallel at 100 TB (one tiny count job plus per-
+        partition windows instead of one global sort partition)."""
+        if distributed:
+            return self._enum_distributed(order_by)
         if order_by is not None:
             w = Window.orderBy(_as_col(order_by, self))
         else:
             w = Window.orderBy(F.monotonically_increasing_id())
         idx = (F.row_number().over(w) - F.lit(1)).alias("index")
         return self._with(self.df.select(idx, "*"))
+
+    def _enum_distributed(self, order_by=None) -> "Table":
+        """Parallel global enumeration: range-partition on the order
+        key (or keep input partitioning), freeze partition ids, count
+        rows per partition (small driver-side job), then per-partition
+        row_number + broadcast cumulative offsets."""
+        ord_col = _as_col(order_by, self) if order_by is not None \
+            else F.monotonically_increasing_id()
+        part = self.df.repartitionByRange(ord_col) if order_by is not None \
+            else self.df
+        tagged = part.withColumn("__pid", F.spark_partition_id()) \
+            .localCheckpoint(eager=False)
+        counts = tagged.groupBy("__pid").count().collect()
+        offsets, acc = {}, 0
+        for r in sorted(counts, key=lambda r: r["__pid"]):
+            offsets[r["__pid"]] = acc
+            acc += r["count"]
+        omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        w = Window.partitionBy("__pid").orderBy(ord_col)
+        out = (tagged.withColumn(
+            "index", F.row_number().over(w) - 1 + omap[F.col("__pid")])
+            .drop("__pid"))
+        return self._with(out.select("index", *self.df.columns))
 
     # ---- joins ------------------------------------------------------
     def join(self, other: "Table", on=None, how: str = "inner",

@@ -1,0 +1,105 @@
+"""Parity battery for the remaining SURVEY §2 surface: nested structs
+(box_circle fixture), table methods, imports, distributed enum,
+sampling, scalar library."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from preql_spark.engine import Engine
+from preql_spark.functions import scalar as s
+
+
+def test_nested_structs_box_circle(spark, eng):
+    """FIXTURES.md §3: struct columns + nested field predicates +
+    joinall — structs stay native (no name flattening)."""
+    boxes = spark.createDataFrame(
+        [(1, (0.0, 0.0), (10.0, 10.0)), (2, (5.0, 5.0), (6.0, 6.0))],
+        "id long, start struct<x double, y double>, end struct<x double, y double>")
+    circles = spark.createDataFrame(
+        [(1, (5.0, 5.0), 1.0), (2, (20.0, 20.0), 2.0)],
+        "id long, center struct<x double, y double>, radius double")
+    from preql_spark import table as tbl
+    e = Engine(spark)
+    j = tbl.joinall(b=e.from_df(boxes), c=e.from_df(circles))
+    inside = j.df.filter(
+        (F.col("c.center.x") - F.col("c.radius") >= F.col("b.start.x"))
+        & (F.col("c.center.x") + F.col("c.radius") <= F.col("b.end.x"))
+        & (F.col("c.center.y") - F.col("c.radius") >= F.col("b.start.y"))
+        & (F.col("c.center.y") + F.col("c.radius") <= F.col("b.end.y")))
+    got = {(r["b"]["id"], r["c"]["id"]) for r in inside.collect()}
+    assert got == {(1, 1)}
+
+
+def test_table_methods(spark):
+    """FIXTURES.md §4: method declared on the table usable in
+    projections and filters (Square.area() = size*size)."""
+    e = Engine(spark)
+    df = spark.createDataFrame([(1, 2.0), (2, 4.0)], "id long, size double")
+    sq = e.register("square", df,
+                    methods={"area": lambda t: t.size * t.size})
+    out = sq.project("id", area=lambda t: t.area).order("id").collect()
+    assert [r.area for r in out] == [4.0, 16.0]
+    assert sq.filter(lambda t: t.area > 10).one().id == 2
+    # methods survive through operators
+    assert sq.filter(lambda t: t.size > 2).project(a=lambda t: t.area) \
+             .one().a == 16.0
+
+
+def test_import_csv_json_pandas(spark, tmp_path):
+    import pandas as pd
+    e = Engine(spark)
+    csv = tmp_path / "t.csv"
+    csv.write_text("a,b\n1,x\n2,y\n")
+    t = e.import_csv(str(csv))
+    assert sorted((r.a, r.b) for r in t.collect()) == [(1, "x"), (2, "y")]
+
+    jl = tmp_path / "t.jsonl"
+    jl.write_text("\n".join(json.dumps({"a": i, "b": f"v{i}"}) for i in range(3)))
+    t2 = e.import_json(str(jl))
+    assert t2.count() == 3
+
+    tabs = e.import_pandas(pdt=pd.DataFrame({"x": [1, 2, 3]}))
+    assert tabs["pdt"].count() == 3
+    assert "pdt" in e.tables()
+
+
+def test_distributed_enum_matches_window_enum(eng):
+    a = eng.t.nation.enum(order_by="n_name").df.select("index", "n_name")
+    b = eng.t.nation.enum(order_by="n_name", distributed=True) \
+        .df.select("index", "n_name")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_sampling(eng):
+    t = eng.t.customer
+    n = t.count()
+    r = t.sample_ratio(0.1).count()
+    assert 0 < r < n
+    s_ = t.sample_n(50)
+    assert s_.count() <= 50 * 1.3
+
+
+def test_scalar_library(spark, eng):
+    row = (eng.t.region
+           .project(a=s.char(F.lit(66)),
+                    b=s.char_ord(F.lit("B")),
+                    c=s.str_slice(F.lit("hello"), 1, 3),
+                    d=s.round_(F.lit(2.567), 1),
+                    e=s.power(F.lit(2), F.lit(10)),
+                    f=s.to_int(F.lit("42")),
+                    g=s.json_get(F.lit('{"k": 7}'), "$.k"),
+                    h=s.str_index(F.lit("lo"), F.lit("hello")))
+           .limit(1).one())
+    assert (row.a, row.b, row.c, row.d, row.e, row.f, row.g, row.h) == \
+        ("B", 66, "el", 2.6, 1024.0, 42, "7", 3)
+
+
+def test_add_index_noop(eng):
+    eng.add_index("customer", ["c_custkey"], unique=True)  # no-op, no error
+
+
+def test_page(eng):
+    p2 = eng.t.customer.order("c_custkey").page(2, 10).collect()
+    assert [r.c_custkey for r in p2] == list(range(10, 20))
