@@ -651,6 +651,24 @@ def q54_fmt_interpolation(spark, sf_dir) -> DataFrame:
             .df)
 
 
+def q55_lang_pipeline(spark, sf_dir) -> DataFrame:
+    """Preql-syntax front-end: selection → group-by → order, compiled
+    by preql_spark.lang (reference language surface, preql.lark)."""
+    eng = _eng(spark, sf_dir)
+    out = eng.q('customer[c_acctbal > 5000]'
+                '{c_mktsegment => n: count(), total: round(sum(c_acctbal), 2)}'
+                ' order {^total}')
+    return out.df
+
+
+def q56_lang_join(spark, sf_dir) -> DataFrame:
+    """Preql-syntax n-ary join with struct field projection."""
+    eng = _eng(spark, sf_dir)
+    out = eng.q('join(n: nation, r: region)'
+                '{nation: n.n_name, region: r.r_name}')
+    return out.df
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -706,6 +724,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_window_battery": q52_window_battery,
     "q53_cube": q53_cube,
     "q54_fmt_interpolation": q54_fmt_interpolation,
+    "q55_lang_pipeline": q55_lang_pipeline,
+    "q56_lang_join": q56_lang_join,
 }
 
 
@@ -1127,6 +1147,16 @@ ORACLES: dict[str, str] = {
         SELECT c_custkey,
                'customer ' || c_name || ' in segment ' || c_mktsegment AS msg
         FROM customer
+    """,
+    "q55_lang_pipeline": """
+        SELECT c_mktsegment, count(*) AS n,
+               round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total
+        FROM customer WHERE c_acctbal > 5000
+        GROUP BY c_mktsegment ORDER BY total DESC
+    """,
+    "q56_lang_join": """
+        SELECT n_name AS nation, r_name AS region
+        FROM nation JOIN region ON n_regionkey = r_regionkey
     """,
 }
 

@@ -176,6 +176,14 @@ class Engine:
         """``[{a:1,b:2}, ...]`` dict-row literal (test_basic.py:1501-1508)."""
         return self.from_df(self.spark.createDataFrame(rows))
 
+    # ---- query language --------------------------------------------
+    def q(self, src: str, **env):
+        """Evaluate a Preql-syntax query string against the catalog,
+        e.g. ``eng.q('customer[c_acctbal > 9000]{c_name}')``.
+        Returns a Table, Column, or Python scalar."""
+        from preql_spark.lang import q as _q
+        return _q(self, src, **env)
+
     # ---- escape hatches --------------------------------------------
     def sql(self, code: str, **tables: "Table | DataFrame") -> "Table":
         """Raw-SQL escape hatch with table parameter binding — the

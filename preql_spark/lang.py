@@ -1,0 +1,553 @@
+"""A Preql-syntax query front-end compiling directly to DataFrame ops.
+
+Covers the language core (reference grammar
+``/root/reference/preql/core/preql.lark``, 197 lines — ours is a
+deliberately small recursive-descent subset, NOT a port of the Lark
+LALR pipeline):
+
+    Person[age > 18]{name, age}            selection + projection
+    Person{country => count(), names: name} group-by (bare col → array)
+    t order {a, ^b}                        multi-key sort, ^ desc
+    t[3..8]                                slice (OFFSET/LIMIT)
+    [1..100]                               integer range table
+    join(a: Person, b: Country)            n-ary struct join (FK auto)
+    count(t) / sum(t{x}) ...               whole-table aggregates
+    arithmetic + - * / /~ %, comparisons == != < > <= >= ~ (like),
+    and/or/not, in, function calls, dotted access (j{a.name})
+
+Compilation model (mirrors SURVEY §3.4's "new engine IR"): source →
+tokens → direct evaluation against (engine, current-table context) →
+Table / Column.  Projection/aggregation context decides whether a bare
+column is a value or becomes ``collect_list`` — the role of the
+reference's phantom types (pql_types.py:279-280), carried here as a
+plain flag.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from preql_spark import exprs
+from preql_spark.table import Table, desc as desc_marker
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+)
+  | (?P<float>\d+\.\d+)
+  | (?P<int>\d+)
+  | (?P<dots>\.\.\.|\.\.)
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<string>"[^"]*"|'[^']*')
+  | (?P<op>==|!=|<=|>=|=>|!in|/~|[-+*/%<>=~^(){}\[\],:.!|&])
+""", re.VERBOSE)
+
+_KEYWORDS = {"and", "or", "not", "in", "order", "new", "one", "null",
+             "true", "false"}
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+
+
+def tokenize(src: str) -> list[Tok]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise SyntaxError(f"cannot tokenize at: {src[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "name" and text in _KEYWORDS:
+            kind = text
+        out.append(Tok(kind, text))
+    out.append(Tok("eof", ""))
+    return out
+
+
+class Parser:
+    """Recursive-descent evaluator: parse and compile in one pass."""
+
+    def __init__(self, engine, src: str, env: dict | None = None):
+        self.engine = engine
+        self.toks = tokenize(src)
+        self.i = 0
+        self.env = env or {}
+        # evaluation context: current table for name resolution, and
+        # whether we're on the aggregation side of `=>`
+        self.table: Table | None = None
+        self.in_agg = False
+
+    # ---- token helpers ---------------------------------------------
+    def peek(self, k: int = 0) -> Tok:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, text: str | None = None) -> Tok | None:
+        t = self.peek()
+        if t.kind == kind and (text is None or t.text == text):
+            return self.next()
+        return None
+
+    def expect(self, kind: str, text: str | None = None) -> Tok:
+        t = self.accept(kind, text)
+        if t is None:
+            raise SyntaxError(
+                f"expected {text or kind}, got {self.peek().text!r}")
+        return t
+
+    # ---- entry -----------------------------------------------------
+    def parse(self):
+        v = self.expr()
+        self.expect("eof")
+        return v
+
+    # ---- expression ladder (precedence per preql.lark) -------------
+    def expr(self):
+        return self.or_expr()
+
+    def or_expr(self):
+        v = self.and_expr()
+        while self.accept("or"):
+            r = self.and_expr()
+            v = exprs.por(self._col(v), self._col(r))
+        return v
+
+    def and_expr(self):
+        v = self.not_expr()
+        while self.accept("and"):
+            r = self.not_expr()
+            v = exprs.pand(self._col(v), self._col(r))
+        return v
+
+    def not_expr(self):
+        if self.accept("not"):
+            return exprs.pnot(self._col(self.not_expr()))
+        return self.comparison()
+
+    def comparison(self):
+        v = self.additive()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text in ("==", "!=", "<", ">", "<=", ">=", "~"):
+                self.next()
+                r = self.additive()
+                a, b = self._col(v), r if isinstance(r, (int, float, str)) else self._col(r)
+                v = {"==": lambda: exprs.eq(a, b),
+                     "!=": lambda: exprs.ne(a, b),
+                     "<": lambda: a < b, ">": lambda: a > b,
+                     "<=": lambda: a <= b, ">=": lambda: a >= b,
+                     "~": lambda: a.like(b)}[t.text]()
+            elif t.kind in ("in", "op") and (t.kind == "in" or t.text == "!in"):
+                negate = t.text == "!in"
+                self.next()
+                r = self.additive()
+                if isinstance(r, Table):
+                    r = [row[0] for row in r.df.collect()]
+                v = self._col(v).isin(r) if not negate \
+                    else ~self._col(v).isin(r)
+            else:
+                return v
+
+    def additive(self):
+        v = self.mult()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text in ("+", "-"):
+                self.next()
+                r = self.mult()
+                if isinstance(v, Table) and isinstance(r, Table):
+                    v = (v + r) if t.text == "+" else (v - r)
+                else:
+                    a, b = self._col(v), self._col(r)
+                    v = a + b if t.text == "+" else a - b
+            elif t.kind == "op" and t.text in ("|", "&"):
+                self.next()
+                r = self.mult()
+                v = (v | r) if t.text == "|" else (v & r)
+            else:
+                return v
+
+    def mult(self):
+        v = self.unary()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text in ("*", "/", "/~", "%"):
+                self.next()
+                r = self.unary()
+                a = self._col(v)
+                v = {"*": lambda: a * r if isinstance(r, (int, float)) else a * self._col(r),
+                     "/": lambda: exprs.fdiv(a, self._col(r)),
+                     "/~": lambda: exprs.idiv(a, self._col(r)),
+                     "%": lambda: a % self._col(r)}[t.text]()
+            else:
+                return v
+
+    def unary(self):
+        if self.accept("op", "-"):
+            return -self._col(self.unary())
+        return self.postfix()
+
+    # ---- postfix chains: t[...] t{...} t order {...} ---------------
+    def postfix(self):
+        v = self.atom()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text == "[" and isinstance(v, Table):
+                self.next()
+                v = self._selection_or_slice(v)
+            elif t.kind == "op" and t.text == "{" and isinstance(v, Table):
+                self.next()
+                v = self._projection(v)
+            elif t.kind == "order" and isinstance(v, Table):
+                self.next()
+                self.expect("op", "{")
+                v = self._order(v)
+            elif t.kind == "op" and t.text == ".":
+                self.next()
+                name = self.expect("name").text
+                v = self._attr(v, name)
+            elif t.kind == "op" and t.text == "(":
+                self.next()
+                v = self._call(v)
+            else:
+                return v
+
+    def _selection_or_slice(self, tab: Table):
+        # peek for `a..b` slice
+        save = self.i
+        first = None
+        if self.peek().kind == "int":
+            first = int(self.next().text)
+            if self.accept("dots", ".."):
+                stop = None
+                if self.peek().kind == "int":
+                    stop = int(self.next().text)
+                self.expect("op", "]")
+                return tab.slice(first, stop)
+            self.i = save
+        if self.accept("dots", ".."):
+            stop = int(self.expect("int").text)
+            self.expect("op", "]")
+            return tab.slice(0, stop)
+        # conditions, comma-separated, ANDed
+        conds = []
+        prev_table, self.table = self.table, tab
+        try:
+            while not self.accept("op", "]"):
+                conds.append(self._col(self.expr()))
+                self.accept("op", ",")
+        finally:
+            self.table = prev_table
+        return tab.filter(*conds)
+
+    def _projection(self, tab: Table):
+        prev_table, self.table = self.table, tab
+        try:
+            keys, kv = self._proj_items(stop_at=("=>",))
+            if self.accept("op", "=>"):
+                self.in_agg = True
+                try:
+                    _, agg_kv = self._proj_items(stop_at=())
+                finally:
+                    self.in_agg = False
+                self.expect("op", "}")
+                # group keys: bare columns (positional strings) keep
+                # their names; named entries are computed keys
+                by = {k: F.col(k) for k in keys if isinstance(k, str)}
+                by.update(kv)
+                return tab.group(by, **agg_kv)
+            self.expect("op", "}")
+            items = keys
+            return tab.project(*items, **kv)
+        finally:
+            self.table = prev_table
+
+    def _proj_items(self, stop_at=()):
+        """Returns (positional items, named dict). Named fields get
+        auto-names for bare columns / expressions like the reference
+        (compiler.py:46-68)."""
+        items: list = []
+        named: dict = {}
+        auto = 0
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text in ("}",) or t.kind == "eof":
+                break
+            if t.kind == "op" and t.text == "=>":
+                break
+            if self.accept("dots", "..."):
+                # optional exclusions: ... !name !name
+                excl = []
+                while self.accept("op", "!"):
+                    excl.append(self.expect("name").text)
+                if excl:
+                    from preql_spark.table import exclude
+                    items.append(exclude(*excl))
+                else:
+                    items.append(Ellipsis)
+                self.accept("op", ",")
+                continue
+            # NAME ':' expr → named
+            if t.kind == "name" and self.peek(1).kind == "op" \
+                    and self.peek(1).text == ":":
+                name = self.next().text
+                self.next()
+                named[name] = self._agg_col(self.expr())
+            else:
+                v = self.expr()
+                if isinstance(v, Column):
+                    # bare column keeps its own name when trivially a
+                    # column reference; else auto-name
+                    cname = _plain_col_name(v)
+                    if cname is not None and not self.in_agg:
+                        items.append(cname)
+                    else:
+                        named[cname or f"col{auto}"] = self._agg_col(v)
+                        auto += 0 if cname else 1
+                else:
+                    named[f"col{auto}"] = self._agg_col(v)
+                    auto += 1
+            if not self.accept("op", ","):
+                break
+        return items, named
+
+    def _agg_col(self, v):
+        """On the agg side of ``=>``, a bare (non-aggregate) column
+        becomes collect_list — reference MakeArray (compiler.py:59-63)."""
+        col = self._col(v)
+        if self.in_agg and _plain_col_name(col) is not None:
+            return F.collect_list(col)
+        return col
+
+    def _order(self, tab: Table):
+        keys = []
+        prev_table, self.table = self.table, tab
+        try:
+            while not self.accept("op", "}"):
+                if self.accept("op", "^"):
+                    keys.append(desc_marker(self._col(self.expr())))
+                else:
+                    keys.append(self._col(self.expr()))
+                self.accept("op", ",")
+        finally:
+            self.table = prev_table
+        return tab.order(*keys)
+
+    # ---- atoms -----------------------------------------------------
+    def atom(self):
+        t = self.next()
+        if t.kind == "int":
+            return int(t.text)
+        if t.kind == "float":
+            return float(t.text)
+        if t.kind == "string":
+            return t.text[1:-1]
+        if t.kind == "null":
+            return F.lit(None)
+        if t.kind in ("true", "false"):
+            return F.lit(t.kind == "true")
+        if t.kind == "op" and t.text == "(":
+            v = self.expr()
+            self.expect("op", ")")
+            return v
+        if t.kind == "op" and t.text == "[":
+            return self._list_or_range()
+        if t.kind == "name":
+            return self._name(t.text)
+        raise SyntaxError(f"unexpected token {t.text!r}")
+
+    def _list_or_range(self):
+        # [a..b] range table | [x, y, z] list table
+        if self.peek().kind == "int" and self.peek(1).kind == "dots":
+            a = int(self.next().text)
+            self.next()
+            b = int(self.expect("int").text)
+            self.expect("op", "]")
+            # reference semantics: [1..3] == [1, 2] (stop-exclusive,
+            # tests/test_basic.py:631-638)
+            return self.engine.range(a, b)
+        vals = []
+        while not self.accept("op", "]"):
+            v = self.atom()
+            vals.append(v)
+            self.accept("op", ",")
+        return self.engine.list_(vals)
+
+    def _name(self, name: str):
+        # resolution order: current-table column → env → catalog table
+        # → builtin function name (returned as marker for _call)
+        if self.table is not None and name in self.table.df.columns:
+            return self.table.df[name]
+        if self.table is not None and self.table.meta.methods \
+                and name in self.table.meta.methods:
+            return self.table.meta.methods[name](self.table)
+        if name in self.env:
+            return self.env[name]
+        if name in self.engine.tables():
+            return self.engine.table(name)
+        if name in _FUNCTIONS or name in _TABLE_FUNCS:
+            return _FuncRef(name)
+        raise NameError(f"unknown name {name!r}")
+
+    def _attr(self, v, name: str):
+        if isinstance(v, Table):
+            return v[name]
+        if isinstance(v, Column):
+            # struct field or timestamp property
+            from preql_spark.functions import scalar as s
+            props = {"hour": s.dt_hour, "minute": s.dt_minute, "day": s.dt_day,
+                     "month": s.dt_month, "year": s.dt_year,
+                     "day_of_week": s.dt_day_of_week,
+                     "week_of_year": s.dt_week_of_year}
+            if name in props:
+                return props[name](v)
+            return v.getField(name)
+        raise TypeError(f"cannot access .{name} on {type(v)}")
+
+    def _call(self, fn):
+        args, kwargs = [], {}
+        while not self.accept("op", ")"):
+            if self.peek().kind == "name" and self.peek(1).kind == "op" \
+                    and self.peek(1).text == ":":
+                k = self.next().text
+                self.next()
+                kwargs[k] = self.expr()
+            else:
+                args.append(self.expr())
+            self.accept("op", ",")
+        if isinstance(fn, _FuncRef):
+            return _apply_function(self, fn.name, args, kwargs)
+        raise TypeError(f"{fn!r} is not callable")
+
+    # ---- coercion --------------------------------------------------
+    def _col(self, v) -> Column:
+        if isinstance(v, Column):
+            return v
+        if isinstance(v, Table):
+            # 1-column table used as a scalar/vector — take its column
+            if len(v.df.columns) == 1:
+                return v.df[v.df.columns[0]]
+            raise TypeError("cannot use multi-column table as a value")
+        return F.lit(v)
+
+
+@dataclass
+class _FuncRef:
+    name: str
+
+
+def _plain_col_name(c: Column) -> str | None:
+    """Name if the column is a trivial attribute reference."""
+    s = str(c)
+    m = re.fullmatch(r"Column<'(\w+)'>", s)
+    return m.group(1) if m else None
+
+
+# Aggregate / scalar builtins (dual-mode like the reference stdlib:
+# whole-table when called on a table, in-group when inside `=> ...`).
+def _agg_or_table(parser: Parser, fcol, fall):
+    def apply(args):
+        v = args[0] if args else None
+        if isinstance(v, Table):
+            return fall(v)
+        return fcol(parser._col(v) if v is not None else None)
+    return apply
+
+
+def _apply_function(parser: Parser, name: str, args, kwargs):
+    from preql_spark.functions import aggregate as agg
+    from preql_spark import table as tbl
+
+    if name in _TABLE_FUNCS:
+        if name in ("join", "leftjoin", "outerjoin", "joinall"):
+            tables = {k: v for k, v in kwargs.items() if isinstance(v, Table)}
+            on = kwargs.get("on")
+            f = {"join": tbl.join, "leftjoin": tbl.leftjoin,
+                 "outerjoin": tbl.outerjoin}.get(name)
+            if name == "joinall":
+                return tbl.joinall(**tables)
+            return f(on=on, **tables)
+        if name == "distinct":
+            return args[0].distinct()
+        if name == "enum":
+            return args[0].enum()
+        if name == "describe":
+            return args[0].describe()
+        if name == "limit":
+            return args[0].limit(args[1])
+        if name == "temptable":
+            return args[0].cache()
+        if name == "one":
+            return args[0].one()
+
+    col = None
+    if args and isinstance(args[0], Table):
+        t = args[0]
+        if name == "count":
+            return t.count()
+        if len(t.df.columns) != 1:
+            raise TypeError(f"{name}() on multi-column table")
+        # whole-table aggregate → scalar via a 1-row frame
+        c = t.df[t.df.columns[0]]
+        out = t.df.agg(_AGG_MAP[name](c).alias("value")).collect()[0].value
+        return out
+    if args:
+        col = parser._col(args[0])
+    if name == "count":
+        return F.count(F.lit(1)) if col is None else agg.count(col)
+    if name in _AGG_MAP:
+        return _AGG_MAP[name](col)
+    if name in _SCALAR_MAP:
+        return _SCALAR_MAP[name](*[parser._col(a) if isinstance(a, Column)
+                                   else a for a in args])
+    raise NameError(f"unknown function {name!r}")
+
+
+def _make_maps():
+    from preql_spark.functions import aggregate as agg
+    from preql_spark.functions import scalar as s
+    agg_map = {
+        "sum": agg.sum_, "mean": agg.mean, "avg": agg.mean,
+        "min": agg.min_, "max": agg.max_, "stddev": agg.stddev,
+        "first": agg.first, "first_or_null": agg.first_or_null,
+        "count_distinct": agg.count_distinct,
+        "count_true": agg.count_true, "count_false": agg.count_false,
+        "median": agg.median, "product": agg.product,
+        "approx_product": agg.approx_product,
+        "approx_count_distinct": agg.approx_count_distinct,
+    }
+    scalar_map = {
+        "lower": s.lower, "upper": s.upper, "length": s.length,
+        "repeat": lambda c, n: s.repeat(c, n),
+        "char": s.char, "char_ord": s.char_ord,
+        "round": lambda c, p=0: s.round_(c, p if isinstance(p, int) else 0),
+        "str_contains": lambda sub, c: s.str_contains(sub, c),
+        "str_index": lambda sub, c: s.str_index(sub, c),
+        "int": s.to_int, "float": s.to_float, "string": s.to_string,
+        "bool": s.to_bool, "now": lambda: s.now(), "random": lambda: s.random(),
+    }
+    return agg_map, scalar_map
+
+
+_AGG_MAP, _SCALAR_MAP = _make_maps()
+_FUNCTIONS = set(_AGG_MAP) | set(_SCALAR_MAP) | {"count"}
+_TABLE_FUNCS = {"join", "leftjoin", "outerjoin", "joinall", "distinct",
+                "enum", "describe", "limit", "temptable", "one"}
+
+
+def q(engine, src: str, **env):
+    """Compile and evaluate a Preql-syntax query against the engine's
+    catalog.  Returns a Table, Column, or Python scalar."""
+    return Parser(engine, src, env).parse()

@@ -94,15 +94,23 @@ def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
 
 def minhash_signature_df(shingled: DataFrame, id_col: str = "__id",
                          shingle_col: str = "__sh",
-                         n_hashes: int = 16) -> DataFrame:
+                         n_hashes: int = 16,
+                         portable: bool = True) -> DataFrame:
     """Signature as a DataFrame aggregation: explode shingles to
-    narrow rows, md5 each shingle ONCE, take the n_hashes universal-
+    narrow rows, hash each shingle ONCE, take the n_hashes universal-
     hash minima as grouped aggregates.  Unlike the array-expression
     form (higher-order functions are CodegenFallback and re-evaluate
     the base hash per seed), this stays in whole-stage codegen and
-    scales as one narrow shuffle.  Returns (id, __sig array)."""
+    scales as one narrow shuffle.  Returns (id, __sig array).
+
+    ``portable=True`` uses the md5-based cross-engine hash (needed when
+    signature *values* are compared against another engine);
+    ``portable=False`` uses xxhash64 — ~3× cheaper, same statistical
+    quality, right default when signatures are internal."""
+    base = portable_hash(F.col("__s")) if portable \
+        else F.abs(F.xxhash64(F.col("__s")))
     ex = (shingled.select(F.col(id_col), F.explode(shingle_col).alias("__s"))
-          .select(id_col, (portable_hash(F.col("__s")) % _MERSENNE31).alias("__h")))
+          .select(id_col, (base % _MERSENNE31).alias("__h")))
     aggs = []
     for i in range(n_hashes):
         a, b = _universal_params(i)
@@ -122,6 +130,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     ``max_bucket`` caps degenerate LSH buckets (at scale a hot bucket
     means boilerplate; production pipelines drop or re-band them).
+
+    Hashing is xxhash64 (fast path): the hash only shapes the
+    *candidate* set — output pairs are verified by exact Jaccard, so
+    the result is hash-agnostic up to LSH recall (≥ 1 - 2e-6 at
+    j≥0.9 with 16 hashes / 8 bands).
     """
     from pyspark.sql import Window
 
@@ -130,7 +143,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     # exact-Jaccard verify of candidates
     sh = df.select(F.col(id_col).alias("__id"),
                    token_shingles(text_col, shingle_k).alias("__sh")).persist()
-    sig = minhash_signature_df(sh, "__id", "__sh", n_hashes)
+    sig = minhash_signature_df(sh, "__id", "__sh", n_hashes, portable=False)
 
     # banding frame is NARROW (id, band, bkey) — the shuffle moves a
     # few bytes per row, not the shingle arrays

@@ -1,0 +1,141 @@
+"""Preql-syntax front-end tests — specimens mirror the reference's
+golden tests (tests/test_basic.py) on the TPC-H-ish fixtures."""
+
+import pytest
+
+from preql_spark.table import Table
+
+
+def test_selection_projection(eng):
+    out = eng.q('nation[n_regionkey == 0]{n_name, n_nationkey}')
+    rows = out.order("n_nationkey").collect()
+    assert all(set(r.asDict()) == {"n_name", "n_nationkey"} for r in rows)
+    assert len(rows) == 5
+
+
+def test_multi_condition_and_arith(eng):
+    out = eng.q('customer[c_acctbal >= 1000, c_acctbal < 5000]'
+                '{c_custkey, doubled: c_acctbal * 2}')
+    r = out.order("c_custkey").limit(1).one()
+    assert r.doubled == pytest.approx(2 * eng.q(
+        'customer[c_acctbal >= 1000, c_acctbal < 5000]{c_acctbal}')
+        .order("c_acctbal").df.collect()[0].c_acctbal, abs=1e6)
+
+
+def test_groupby_arrow(eng):
+    out = eng.q('nation{n_regionkey => n: count()}')
+    rows = out.order("n_regionkey").collect()
+    assert [r.n for r in rows] == [5, 5, 5, 5, 5]
+
+
+def test_groupby_bare_column_to_array(eng):
+    out = eng.q('nation{n_regionkey => names: n_name}')
+    r = out.filter(out.n_regionkey == 0).one()
+    assert sorted(r.names) == sorted(
+        x.n_name for x in eng.q('nation[n_regionkey == 0]{n_name}').collect())
+
+
+def test_order_desc_slice(eng):
+    out = eng.q('customer order {^c_acctbal, c_custkey} [0..5]')
+    rows = out.collect()
+    assert len(rows) == 5
+    bals = [r.c_acctbal for r in rows]
+    assert bals == sorted(bals, reverse=True)
+
+
+def test_range_literal(eng):
+    assert sorted(r.item for r in eng.q('[1..4]').collect()) == [1, 2, 3]
+    assert sorted(r.item for r in eng.q('[2, 4, 6]').collect()) == [2, 4, 6]
+
+
+def test_whole_table_aggregates(eng):
+    assert eng.q('count(customer)') == eng.t.customer.count()
+    total = eng.q('sum(customer{c_acctbal})')
+    assert total == pytest.approx(
+        eng.t.customer.df.groupBy().sum("c_acctbal").collect()[0][0])
+
+
+def test_range_filter_projection_pipeline(eng):
+    # reference test specimen: x[item == max(x)] analogue
+    out = eng.q('[0..100][item % 10 == 0]{item, sq: item * item}')
+    rows = out.order("item").collect()
+    assert [r.sq for r in rows] == [i * i for i in range(0, 100, 10)]
+
+
+def test_join_named_args(eng):
+    out = eng.q('join(n: nation, r: region)')
+    assert isinstance(out, Table)
+    row = out.df.limit(1).collect()[0]
+    assert set(row.asDict()) == {"n", "r"}
+    assert out.count() == 25
+
+
+def test_join_projection_dotted(eng):
+    out = eng.q('join(n: nation, r: region){nn: n.n_name, rn: r.r_name}')
+    assert out.count() == 25
+    assert set(out.columns) == {"nn", "rn"}
+
+
+def test_in_operator(eng):
+    out = eng.q('customer[c_mktsegment in ["BUILDING", "MACHINERY"]]{c_custkey}')
+    want = eng.t.customer.filter(
+        eng.t.customer.c_mktsegment.isin("BUILDING", "MACHINERY")).count()
+    assert out.count() == want
+
+
+def test_like_operator(eng):
+    out = eng.q('part[p_name ~ "%cold%"]{p_partkey}')
+    assert out.count() == eng.t.part.filter(
+        eng.t.part.p_name.like("%cold%")).count()
+
+
+def test_string_functions(eng):
+    out = eng.q('region{up: upper(r_name), ln: length(r_name)}')
+    r = out.filter(out.up == "AFRICA").one()
+    assert r.ln == 6
+
+
+def test_date_properties(eng):
+    out = eng.q('orders{o_orderkey, y: o_orderdate.year}')
+    years = {r.y for r in out.limit(100).collect()}
+    assert years <= set(range(1995, 2002))
+
+
+def test_ellipsis(eng):
+    out = eng.q('region{...}')
+    assert out.columns == ["r_regionkey", "r_name"]
+    out2 = eng.q('region{... !r_name}')
+    assert out2.columns == ["r_regionkey"]
+
+
+def test_set_ops_lang(eng):
+    a = eng.q('[1, 2, 3] + [3, 4]')
+    assert a.count() == 5
+    b = eng.q('[1, 2, 3] & [2, 3, 4]')
+    assert sorted(r.item for r in b.collect()) == [2, 3]
+
+
+def test_value_or_and(eng):
+    # Preql and/or value semantics (operands must share a kernel type,
+    # like the reference — compiler.py:313-339)
+    out = eng.q('customer{c_custkey, v: c_mktsegment and c_name, '
+                'w: 0 or c_custkey}')
+    sample = out.order("c_custkey").limit(5).collect()
+    # segments are non-empty → v is c_name; 0 is falsy → w is custkey
+    assert all(r.v.startswith("Customer#") for r in sample)
+    assert [r.w for r in sample] == [r.c_custkey for r in sample]
+
+
+def test_nested_pipeline(eng):
+    # selection → group → order → slice, one expression
+    out = eng.q('lineitem[l_quantity > 45]'
+                '{l_returnflag => n: count()} order {^n} [0..2]')
+    rows = out.collect()
+    assert len(rows) == 2
+    assert rows[0].n >= rows[1].n
+
+
+def test_distinct_and_enum(eng):
+    assert eng.q('distinct(customer{c_mktsegment})').count() == 5
+    e = eng.q('enum(region)')
+    assert "index" in e.columns
