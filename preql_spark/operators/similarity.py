@@ -67,6 +67,94 @@ def cosine_pairs(df: DataFrame, threshold: float,
             .filter(F.col("sim") >= threshold))
 
 
+# ---- IVF scale path --------------------------------------------------------
+
+def ivf_build(df: DataFrame, dim: int, n_centroids: int = 16,
+              iters: int = 3, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """Coarse quantizer for IVF search: k-means-lite over DataFrames.
+
+    Deterministic init (the ``n_centroids`` lowest-id vectors), then
+    ``iters`` Lloyd rounds.  Assignment is a broadcast of the (tiny)
+    centroid table against the corpus — one scan per round, no
+    cross-corpus shuffle; the centroid update is a (cid, dim)-grouped
+    average.  Centroids are collected to the driver between rounds
+    (n_centroids × dim floats — metadata-scale).
+
+    Returns (assignments DataFrame (id, __cid, vec), centroids list).
+    """
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    centroids = [list(map(float, r["__v"])) for r in
+                 base.orderBy("__id").limit(n_centroids).collect()]
+
+    def assign(frame, cents):
+        scored = frame.select(
+            "*",
+            F.array(*[
+                F.aggregate(
+                    F.zip_with(F.col("__v"),
+                               F.array(*[F.lit(x) for x in c]),
+                               lambda a, b: (a.cast("double") - b) ** 2),
+                    F.lit(0.0), lambda acc, v: acc + v)
+                for c in cents]).alias("__d"))
+        return scored.select(
+            "*", F.array_position(F.col("__d"), F.array_min("__d"))
+            .cast("int").alias("__cid")).drop("__d")
+
+    for _ in range(iters):
+        assigned = assign(base, centroids)
+        upd = (assigned.select("__cid", F.posexplode("__v").alias("__p", "__x"))
+               .groupBy("__cid", "__p").agg(F.avg("__x").alias("__m"))
+               .groupBy("__cid")
+               .agg(F.array_sort(F.collect_list(F.struct("__p", "__m")))
+                    .alias("__ms"))
+               .select("__cid", F.transform("__ms", lambda s: s["__m"])
+                       .alias("__c")))
+        new = {r["__cid"]: list(map(float, r["__c"])) for r in upd.collect()}
+        centroids = [new.get(i + 1, centroids[i]) for i in range(n_centroids)]
+
+    return assign(base, centroids), centroids
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             dim: int = 64, n_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: score only the ``nprobe`` nearest
+    centroid cells per query instead of the whole corpus — the 100 TB
+    alternative to brute force (scan cost drops by ~n_centroids/nprobe
+    with the usual recall trade-off)."""
+    assigned, centroids = ivf_build(corpus, dim, n_centroids,
+                                    id_col=id_col, vec_col=vec_col)
+    assigned = assigned.persist()
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"))
+    # rank centroids per query, keep nprobe cells
+    dists = q.select(
+        "*",
+        F.posexplode(F.array(*[
+            F.aggregate(
+                F.zip_with(F.col("__qv"),
+                           F.array(*[F.lit(x) for x in c]),
+                           lambda a, b: (a.cast("double") - b) ** 2),
+                F.lit(0.0), lambda acc, v: acc + v)
+            for c in centroids])).alias("__cid0", "__qd"))
+    wq = Window.partitionBy("query_id").orderBy("__qd", "__cid0")
+    probes = (dists.withColumn("__pr", F.row_number().over(wq))
+              .filter(F.col("__pr") <= nprobe)
+              .select("query_id", "__qv",
+                      (F.col("__cid0") + 1).cast("int").alias("__cid")))
+
+    scored = (assigned.join(F.broadcast(probes), "__cid")
+              .filter(F.col("__id") != F.col("query_id"))
+              .select("query_id", F.col("__id").alias("neighbor_id"),
+                      cosine(F.col("__qv"), F.col("__v")).alias("sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 # ---- LSH scale path --------------------------------------------------------
 
 def _plane_component(p: int, d: int) -> Column:

@@ -79,6 +79,35 @@ def session_agg(stream: DataFrame, gap: str, ts_col: str = "ts",
                       *(keys or []), *aggs.keys())
 
 
+def stateful_counter(stream: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-key running event count + last-seen timestamp carried in
+    explicit GroupState across micro-batches — the pattern for
+    operators that watermarked windows can't express (running totals,
+    custom session logic, online features)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "key long, n_events long, last_epoch double"
+    state_schema = "n long, last double"
+
+    def update(key, pdfs, state: GroupState):
+        n, last = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            mx = pdf[ts_col].max()
+            if pd.notna(mx):
+                last = max(last, mx.timestamp())
+        state.update((n, last))
+        yield pd.DataFrame({"key": [key[0]], "n_events": [n],
+                            "last_epoch": [last]})
+
+    return (stream.groupBy(F.col(key_col))
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def run_to_memory(result: DataFrame, name: str,
                   output_mode: str = "complete") -> DataFrame:
     """Execute a streaming query to completion over the currently

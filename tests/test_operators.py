@@ -81,6 +81,17 @@ def test_lsh_cosine_recall(eng, emb):
     assert len(missed) <= max(1, len(brute) // 3)
 
 
+def test_ivf_topk_recall(eng, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in similarity.ivf_topk(emb, q, k=10, dim=64,
+                                        n_centroids=16, nprobe=8).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.75, recall
+
+
 def test_text_metrics(eng, docs):
     out = text.quality_metrics(docs).limit(20).collect()
     for r in out:

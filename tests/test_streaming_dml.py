@@ -52,6 +52,19 @@ def test_sliding_window_stream(spark, events_path):
     assert total == 2 * static_count
 
 
+def test_stateful_counter(spark, eng, events_path):
+    from preql_spark.streaming.stream import stateful_counter
+    stream = ps_stream.read_event_stream(spark, events_path, watermark="1 day")
+    out = stateful_counter(stream)
+    got = ps_stream.run_to_memory(out, "t_stateful", output_mode="update")
+    # final per-key counts must equal the batch group-by
+    batch = {r.user_id: r.n for r in
+             eng.t.events.df.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    rows = {r.key: r.n_events for r in got.collect()}
+    assert rows == batch
+
+
 def test_mutable_table_crud(spark, tmp_path):
     t = MutableTable.create(spark, "points", str(tmp_path),
                             "x long, y long")
