@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from preql_spark.operators.text import portable_hash, tokens, fingerprint
+from preql_spark.operators.text import (
+    ensure_parallelism, fingerprint, portable_hash, tokens)
 
 
 # ---- exact -----------------------------------------------------------------
@@ -42,13 +43,22 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text",
 
 # ---- shingling -------------------------------------------------------------
 
-def token_shingles(col, k: int = 3) -> Column:
-    """Distinct k-token shingles (word n-grams) as strings."""
-    t = tokens(col)
-    n = F.size(t)
+def shingles_from_tokens(tok: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles from an already-materialized token
+    array.  Call sites materialize the token array in a prior select —
+    higher-order functions are CodegenFallback and re-evaluate their
+    input expression per element, so an inline regex split inside the
+    lambda would tokenize the document once per shingle (measured 2.2×
+    slower at sf0.1)."""
+    n = F.size(tok)
     return F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(t, i + 1, k))))
+        lambda i: F.concat_ws(" ", F.slice(tok, i + 1, k))))
+
+
+def token_shingles(col, k: int = 3) -> Column:
+    """Distinct k-token shingles (word n-grams) as strings."""
+    return shingles_from_tokens(tokens(col), k)
 
 
 def char_shingles(col, k: int = 8) -> Column:
@@ -140,9 +150,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
 
     rows_per_band = n_hashes // bands
     # shingle sets persisted once — reused for signatures and for the
-    # exact-Jaccard verify of candidates
-    sh = df.select(F.col(id_col).alias("__id"),
-                   token_shingles(text_col, shingle_k).alias("__sh")).persist()
+    # exact-Jaccard verify of candidates.  Tokenize in a separate
+    # projection (one regex split per doc, not per shingle) and lift
+    # small scans to full parallelism before the CPU-heavy shingling.
+    sh = (ensure_parallelism(df)
+          .select(F.col(id_col).alias("__id"), tokens(text_col).alias("__t"))
+          .select("__id", shingles_from_tokens(F.col("__t"), shingle_k)
+                  .alias("__sh")).persist())
     sig = minhash_signature_df(sh, "__id", "__sh", n_hashes, portable=False)
 
     # banding frame is NARROW (id, band, bkey) — the shuffle moves a
@@ -182,17 +196,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
 
 # ---- SimHash ---------------------------------------------------------------
 
-def simhash(col, bits: int = 60) -> Column:
-    """SimHash signature: per-token portable hash, ±1 vote per bit,
-    sign of the vote sum becomes the bit.  Pure higher-order array
-    functions — no shuffle, no Python."""
-    t = tokens(col)
+def simhash_from_hashes(hashes: Column, bits: int = 60) -> Column:
+    """SimHash signature from an array of per-token hashes: ±1 vote
+    per bit, sign of the vote sum becomes the bit.  Pure higher-order
+    array functions — no shuffle, no Python.  Takes *hashes*, not
+    tokens: the vote lambda references each hash ``bits`` times, and
+    HOF lambdas re-evaluate their argument expression per reference —
+    hashing inside the lambda would md5 every token 60 times."""
     votes = F.aggregate(
-        t,
+        hashes,
         F.array_repeat(F.lit(0), bits),
-        lambda acc, tok: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.array(*[F.when(F.shiftright(portable_hash(tok), b) % 2 == 1,
+            F.array(*[F.when(F.shiftright(h, b) % 2 == 1,
                              F.lit(1)).otherwise(F.lit(-1))
                       for b in range(bits)]),
             lambda x, y: x + y))
@@ -202,6 +218,16 @@ def simhash(col, bits: int = 60) -> Column:
                    lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x)
+
+
+def token_hashes(col) -> Column:
+    """Array of per-token portable hashes — one md5 per token."""
+    return F.transform(tokens(col), lambda t: portable_hash(t))
+
+
+def simhash(col, bits: int = 60) -> Column:
+    """SimHash signature of a text column (see simhash_from_hashes)."""
+    return simhash_from_hashes(token_hashes(col), bits)
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
@@ -216,8 +242,10 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     shared band; wider distances still mostly collide), equi-join per
     band, verify by hamming distance."""
     bits_per = 60 // bands
-    sig = df.select(F.col(id_col).alias("__id"),
-                    simhash(text_col).alias("__sig"))
+    sig = (ensure_parallelism(df)
+           .select(F.col(id_col).alias("__id"),
+                   token_hashes(text_col).alias("__h"))
+           .select("__id", simhash_from_hashes(F.col("__h")).alias("__sig")))
     banded = sig.select(
         "__id", "__sig",
         F.posexplode(F.array(*[
@@ -242,8 +270,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     """Exact Jaccard similarity pairs via shingle-explode + equi-join.
     ``max_doc_freq`` drops shingles appearing in more than that many
     docs (stopword shingles explode the join at scale)."""
-    sh = (df.select(F.col(id_col).alias("__id"),
-                    F.explode(token_shingles(text_col, k)).alias("__s")))
+    sh = (ensure_parallelism(df)
+          .select(F.col(id_col).alias("__id"), tokens(text_col).alias("__t"))
+          .select("__id",
+                  F.explode(shingles_from_tokens(F.col("__t"), k)).alias("__s")))
     if max_doc_freq is not None:
         keep = sh.groupBy("__s").count() \
             .filter(F.col("count") <= max_doc_freq).drop("count")

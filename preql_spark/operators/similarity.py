@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from preql_spark.operators.text import portable_hash
+from preql_spark.operators.text import ensure_parallelism, portable_hash
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -42,13 +42,20 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     rank).  The query side is broadcast — the corpus is scanned once
     with no shuffle until the final per-query TakeOrdered."""
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cv"))
+                       F.col(vec_col).alias("__qv"),
+                       norm(F.col(vec_col)).alias("__qn"))
+    c = (ensure_parallelism(corpus)
+         .select(F.col(id_col).alias("neighbor_id"),
+                 F.col(vec_col).alias("__cv"),
+                 norm(F.col(vec_col)).alias("__cn")))
+    # norms are computed once per row on each side (not per pair) —
+    # the per-pair work is exactly one O(dim) dot product
     scored = (c.crossJoin(F.broadcast(q))
               .filter(F.col("neighbor_id") != F.col("query_id"))
               .select("query_id", "neighbor_id",
-                      cosine(F.col("__qv"), F.col("__cv")).alias("sim")))
+                      (dot(F.col("__qv"), F.col("__cv"))
+                       / (F.col("__qn") * F.col("__cn")))
+                      .cast("double").alias("sim")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -59,11 +66,18 @@ def cosine_pairs(df: DataFrame, threshold: float,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dup).
     Brute O(n²) baseline — use :func:`lsh_cosine_pairs` at scale."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"))
+    a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+                    F.col("__n").alias("__na"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+                    F.col("__n").alias("__nb"))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
-                    cosine(F.col("__va"), F.col("__vb")).alias("sim"))
+                    (dot(F.col("__va"), F.col("__vb"))
+                     / (F.col("__na") * F.col("__nb")))
+                    .cast("double").alias("sim"))
             .filter(F.col("sim") >= threshold))
 
 

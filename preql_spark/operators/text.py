@@ -20,6 +20,19 @@ STOPWORDS = {
 }
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the cluster's default parallelism
+    when the scan yields fewer partitions than cores.  CPU-bound
+    per-row operators (shingling, hashing, vector scoring) call this so
+    a small *file count* never serializes heavy per-row work; at real
+    scale the scan already has >= cores partitions and this is a no-op
+    (no shuffle is added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def portable_hash(col) -> Column:
     """60-bit deterministic hash portable across engines:
     first 15 hex digits of md5 as a BIGINT.  DuckDB equivalent:
@@ -49,10 +62,12 @@ def bpe_ish_token_count(col) -> Column:
 def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality scores: length, token stats, punctuation /
     stopword / alpha ratios.  All whole-stage-codegen expressions."""
-    t = tokens(F.col(text_col))
+    # materialize the token array once — the HOF stopword filter below
+    # is CodegenFallback and would re-split the text per reference
+    t = F.col("__qm_tokens")
     n_tok = F.size(t)
     en_sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    return df.withColumns({
+    return df.withColumn("__qm_tokens", tokens(F.col(text_col))).withColumns({
         "n_chars": F.length(F.col(text_col)),
         "n_tokens": n_tok,
         "avg_token_len": (F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
@@ -64,7 +79,7 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
                            / n_tok).cast("double"),
         "alpha_ratio": (F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
                         / F.length(F.col(text_col))).cast("double"),
-    })
+    }).drop("__qm_tokens")
 
 
 def lang_scores(col) -> dict[str, Column]:
