@@ -676,6 +676,55 @@ def q56_lang_join(spark, sf_dir) -> DataFrame:
     return out.df
 
 
+def q57_describe_stats(spark, sf_dir) -> DataFrame:
+    """Reference describe() semantics (__builtins__.pql:656-667):
+    count/mean/stddev/min/max per numeric column, one scan."""
+    c = _eng(spark, sf_dir).t.customer
+    d = c.describe_stats("c_acctbal", "c_nationkey")
+    return (d.project("col_name", "n",
+                      mean=_pr4(F.col("mean")),
+                      sd=_pr4(F.col("sd")),
+                      lo=F.col("lo"), hi=F.col("hi"))
+            .df)
+
+
+def q58_sample_hash(spark, sf_dir) -> DataFrame:
+    """Deterministic content-hash sampling (reproducible across
+    engines/runs — the scale-correct replacement for rand() splits)."""
+    d = _eng(spark, sf_dir).t.documents
+    return (d.sample_hash("doc_id", 0.25)
+            .project("doc_id", "source")
+            .df)
+
+
+def q59_first_last_by(spark, sf_dir) -> DataFrame:
+    """Deterministic first/last per group via min_by/max_by
+    (reference first() — __builtins__.pql:84-127 — made
+    order-stable for distributed groups)."""
+    from preql_spark.functions import aggregate as agg
+    c = _eng(spark, sf_dir).t.customer
+    return (c.group("c_nationkey",
+                    first_name=agg.first_by("c_name", "c_custkey"),
+                    last_name=agg.last_by("c_name", "c_custkey"))
+            .df)
+
+
+def q60_dml_lifecycle(spark, sf_dir) -> DataFrame:
+    """Mutation surface end-to-end (§2.10): CTAS → update → delete →
+    bulk insert on a copy-on-write MutableTable; returns final state."""
+    import tempfile
+    from preql_spark.sources.mutable import MutableTable
+    root = tempfile.mkdtemp(prefix="preql_dml_q60_")
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    t = MutableTable.from_expr(spark, "nation_dml", root, nation)
+    t.update(F.col("n_regionkey") == 0,
+             n_name=F.concat(F.col("n_name"), F.lit("_AF")))
+    t.delete(F.col("n_regionkey") == 4)
+    t.insert_rows([{"n_nationkey": 900, "n_name": "ATLANTIS",
+                    "n_regionkey": 0}])
+    return t.df().select("n_nationkey", "n_name", "n_regionkey")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -733,6 +782,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_fmt_interpolation": q54_fmt_interpolation,
     "q55_lang_pipeline": q55_lang_pipeline,
     "q56_lang_join": q56_lang_join,
+    "q57_describe_stats": q57_describe_stats,
+    "q58_sample_hash": q58_sample_hash,
+    "q59_first_last_by": q59_first_last_by,
+    "q60_dml_lifecycle": q60_dml_lifecycle,
 }
 
 
@@ -1164,6 +1217,42 @@ ORACLES: dict[str, str] = {
     "q56_lang_join": """
         SELECT n_name AS nation, r_name AS region
         FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    "q57_describe_stats": """
+        SELECT 'c_acctbal' AS col_name, count(c_acctbal) AS n,
+               floor(avg(c_acctbal) * 10000 + 0.5) / 10000 AS mean,
+               floor(stddev_samp(c_acctbal) * 10000 + 0.5) / 10000 AS sd,
+               CAST(min(c_acctbal) AS DOUBLE) AS lo,
+               CAST(max(c_acctbal) AS DOUBLE) AS hi
+        FROM customer
+        UNION ALL
+        SELECT 'c_nationkey', count(c_nationkey),
+               floor(avg(c_nationkey) * 10000 + 0.5) / 10000,
+               floor(stddev_samp(c_nationkey) * 10000 + 0.5) / 10000,
+               CAST(min(c_nationkey) AS DOUBLE),
+               CAST(max(c_nationkey) AS DOUBLE)
+        FROM customer
+    """,
+    "q58_sample_hash": """
+        SELECT doc_id, source
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000 < 250000
+    """,
+    "q59_first_last_by": """
+        SELECT c_nationkey,
+               arg_min(c_name, c_custkey) AS first_name,
+               arg_max(c_name, c_custkey) AS last_name
+        FROM customer GROUP BY c_nationkey
+    """,
+    "q60_dml_lifecycle": """
+        SELECT n_nationkey,
+               CASE WHEN n_regionkey = 0 THEN n_name || '_AF'
+                    ELSE n_name END AS n_name,
+               n_regionkey
+        FROM nation WHERE n_regionkey <> 4
+        UNION ALL
+        SELECT 900, 'ATLANTIS', 0
     """,
 }
 

@@ -66,6 +66,18 @@ def first_or_null(col) -> Column:
     return F.first(_c(col), ignorenulls=True)
 
 
+def first_by(col, order_col) -> Column:
+    """Value of ``col`` at the minimum of ``order_col`` — the
+    deterministic form of first() for unordered distributed groups
+    (plain first() is tie-to-arrival on a shuffled input)."""
+    return F.min_by(_c(col), _c(order_col))
+
+
+def last_by(col, order_col) -> Column:
+    """Value of ``col`` at the maximum of ``order_col``."""
+    return F.max_by(_c(col), _c(order_col))
+
+
 def count_distinct(col) -> Column:
     """count_distinct — __builtins__.pql:354."""
     return F.countDistinct(_c(col))

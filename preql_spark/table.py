@@ -202,6 +202,50 @@ class Table:
         """Reference describe(tbl) — __builtins__.pql:656-667."""
         return self._with(self.df.summary("count", "mean", "stddev", "min", "max"))
 
+    def describe_stats(self, *cols: str) -> "Table":
+        """Deterministic numeric describe: one row per column with
+        (column, n, mean, sd, lo, hi) as typed values — the reference's
+        describe() semantics (count/mean/stddev/min/max,
+        __builtins__.pql:656-667) without .summary()'s string
+        formatting.  One aggregate pass over the table; the per-column
+        rows are unpivoted from a single row of aggregates, so wide
+        tables still scan once."""
+        from pyspark.sql import functions as F
+        cols = cols or [f.name for f in self.df.schema
+                        if f.dataType.typeName() in
+                        ("integer", "long", "double", "float", "short", "decimal")]
+        aggs = []
+        for c in cols:
+            aggs += [F.count(c).alias(f"__n_{c}"),
+                     F.avg(F.col(c).cast("double")).alias(f"__mean_{c}"),
+                     F.stddev(F.col(c).cast("double")).alias(f"__sd_{c}"),
+                     F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                     F.max(F.col(c).cast("double")).alias(f"__hi_{c}")]
+        one = self.df.agg(*aggs)
+        rows = F.array(*[
+            F.struct(F.lit(c).alias("col_name"),
+                     F.col(f"__n_{c}").alias("n"),
+                     F.col(f"__mean_{c}").alias("mean"),
+                     F.col(f"__sd_{c}").alias("sd"),
+                     F.col(f"__lo_{c}").alias("lo"),
+                     F.col(f"__hi_{c}").alias("hi"))
+            for c in cols])
+        return self._with(
+            one.select(F.explode(rows).alias("__s")).select("__s.*"))
+
+    def sample_hash(self, key, ratio: float) -> "Table":
+        """Deterministic content-hash sampling: keep rows whose
+        md5-based portable hash of ``key`` falls below ``ratio``.
+        Unlike rand()-based sample(), the choice is a pure function of
+        the key — reproducible across runs, engines, and cluster
+        topology, which is what training-data pipelines need for
+        stable held-out splits."""
+        from pyspark.sql import functions as F
+        from preql_spark.operators.text import portable_hash
+        k = F.col(key) if isinstance(key, str) else key
+        bucket = portable_hash(k.cast("string")) % 1000000
+        return self._with(self.df.filter(bucket < int(ratio * 1000000)))
+
     # ---- order / slice / limit -------------------------------------
     def order(self, *keys) -> "Table":
         """Preql ``t order {a, ^b}`` (compiler.py:283-303).  Accepts

@@ -138,3 +138,39 @@ def test_distinct_describe(eng):
     assert d.count() == 5
     s = eng.t.customer.project("c_acctbal").describe()
     assert s.count() == 5
+
+
+def test_describe_stats(eng):
+    rows = {r.col_name: r for r in
+            eng.t.customer.describe_stats("c_acctbal", "c_nationkey").collect()}
+    assert set(rows) == {"c_acctbal", "c_nationkey"}
+    n = eng.t.customer.count()
+    assert rows["c_acctbal"].n == n
+    assert rows["c_nationkey"].lo == 0.0 and rows["c_nationkey"].hi == 24.0
+
+
+def test_sample_hash_deterministic(eng):
+    a = eng.t.documents.sample_hash("doc_id", 0.3)
+    b = eng.t.documents.sample_hash("doc_id", 0.3)
+    ids_a = sorted(r.doc_id for r in a.collect())
+    assert ids_a == sorted(r.doc_id for r in b.collect())
+    n = eng.t.documents.count()
+    assert 0 < len(ids_a) < n
+    # monotone: a smaller ratio yields a subset
+    small = {r.doc_id for r in
+             eng.t.documents.sample_hash("doc_id", 0.1).collect()}
+    assert small <= set(ids_a)
+
+
+def test_first_last_by(eng):
+    from preql_spark.functions import aggregate as agg
+    out = {r.c_nationkey: r for r in
+           eng.t.customer.group("c_nationkey",
+                                first_name=agg.first_by("c_name", "c_custkey"),
+                                last_name=agg.last_by("c_name", "c_custkey"))
+           .collect()}
+    probe = next(iter(out))
+    rows = sorted(eng.t.customer.filter(F.col("c_nationkey") == probe).collect(),
+                  key=lambda r: r.c_custkey)
+    assert out[probe].first_name == rows[0].c_name
+    assert out[probe].last_name == rows[-1].c_name
