@@ -725,6 +725,20 @@ def q60_dml_lifecycle(spark, sf_dir) -> DataFrame:
     return t.df().select("n_nationkey", "n_name", "n_regionkey")
 
 
+def q61_lang_user_func(spark, sf_dir) -> DataFrame:
+    """User-defined functions in the Preql-syntax front-end, inlined
+    at compile time into Column expressions (§2.12; eval_func_call,
+    evaluate.py:579-648) — no UDF in the plan."""
+    eng = _eng(spark, sf_dir)
+    out = eng.q(
+        'func disc_price(p, d) = p * (1 - d);'
+        'func cheap(t, lim) = t[l_quantity < lim];'
+        'c = cheap(lineitem, 10);'
+        'c{l_returnflag => n: count(),'
+        '  rev: round(sum(disc_price(l_extendedprice, l_discount)), 2)}')
+    return out.df
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -786,6 +800,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_sample_hash": q58_sample_hash,
     "q59_first_last_by": q59_first_last_by,
     "q60_dml_lifecycle": q60_dml_lifecycle,
+    "q61_lang_user_func": q61_lang_user_func,
 }
 
 
@@ -1253,6 +1268,12 @@ ORACLES: dict[str, str] = {
         FROM nation WHERE n_regionkey <> 4
         UNION ALL
         SELECT 900, 'ATLANTIS', 0
+    """,
+    "q61_lang_user_func": """
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+        FROM lineitem WHERE l_quantity < 10
+        GROUP BY l_returnflag
     """,
 }
 

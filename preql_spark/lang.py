@@ -41,11 +41,11 @@ _TOKEN_RE = re.compile(r"""
   | (?P<dots>\.\.\.|\.\.)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<string>"[^"]*"|'[^']*')
-  | (?P<op>==|!=|<=|>=|=>|!in|/~|[-+*/%<>=~^(){}\[\],:.!|&])
+  | (?P<op>==|!=|<=|>=|=>|!in|/~|[-+*/%<>=~^(){}\[\],:.!|&;])
 """, re.VERBOSE)
 
 _KEYWORDS = {"and", "or", "not", "in", "order", "new", "one", "null",
-             "true", "false"}
+             "true", "false", "func"}
 
 
 @dataclass
@@ -109,9 +109,60 @@ class Parser:
 
     # ---- entry -----------------------------------------------------
     def parse(self):
-        v = self.expr()
+        """Program: statements separated by ``;``; the value of the
+        last statement is the result (reference scripts behave the
+        same — the REPL echoes the last expression)."""
+        v = None
+        while self.peek().kind != "eof":
+            v = self.statement()
+            while self.accept("op", ";"):
+                pass
         self.expect("eof")
         return v
+
+    def statement(self):
+        """``func name(params) = expr`` | ``name = expr`` | expr.
+        Like the reference interpreter, assignment binds into the
+        environment; function bodies are captured unevaluated and
+        inlined at each call site (eval_func_call,
+        evaluate.py:579-648)."""
+        if self.peek().kind == "func":
+            return self._func_def()
+        if self.peek().kind == "name" and self.peek(1).kind == "op" \
+                and self.peek(1).text == "=":
+            name = self.next().text
+            self.next()
+            val = self.expr()
+            self.env[name] = val
+            return val
+        return self.expr()
+
+    def _func_def(self):
+        self.expect("func")
+        name = self.expect("name").text
+        self.expect("op", "(")
+        params = []
+        while not self.accept("op", ")"):
+            params.append(self.expect("name").text)
+            self.accept("op", ",")
+        self.expect("op", "=")
+        # capture the body's token span unevaluated (to the next
+        # top-level ';' or eof); it re-parses per call with parameters
+        # bound — true compile-time inlining, no UDF
+        start, depth = self.i, 0
+        while True:
+            t = self.peek()
+            if t.kind == "eof" or (depth == 0 and t.kind == "op"
+                                   and t.text == ";"):
+                break
+            if t.kind == "op" and t.text in "([{":
+                depth += 1
+            elif t.kind == "op" and t.text in ")]}":
+                depth -= 1
+            self.next()
+        fn = _UserFunc(name, params, self.toks[start:self.i] + [Tok("eof", "")])
+        self.env[name] = fn
+        return fn
 
     # ---- expression ladder (precedence per preql.lark) -------------
     def expr(self):
@@ -429,7 +480,32 @@ class Parser:
             self.accept("op", ",")
         if isinstance(fn, _FuncRef):
             return _apply_function(self, fn.name, args, kwargs)
+        if isinstance(fn, _UserFunc):
+            return self._inline_call(fn, args, kwargs)
         raise TypeError(f"{fn!r} is not callable")
+
+    def _inline_call(self, fn: "_UserFunc", args, kwargs):
+        """Inline a user function: re-parse the captured body with
+        parameters bound to the (already-evaluated) argument values —
+        Columns compose into the caller's expression, Tables flow
+        through relational ops.  No spark.udf anywhere."""
+        if len(args) > len(fn.params):
+            raise TypeError(f"{fn.name}() takes {len(fn.params)} args")
+        binding = dict(zip(fn.params, args))
+        for k, v in kwargs.items():
+            if k not in fn.params:
+                raise TypeError(f"{fn.name}() has no parameter {k!r}")
+            binding[k] = v
+        missing = [p for p in fn.params if p not in binding]
+        if missing:
+            raise TypeError(f"{fn.name}() missing arguments: {missing}")
+        sub = Parser(self.engine, "", {**self.env, **binding})
+        sub.toks = fn.body
+        sub.table = self.table
+        sub.in_agg = self.in_agg
+        v = sub.expr()
+        sub.expect("eof")
+        return v
 
     # ---- coercion --------------------------------------------------
     def _col(self, v) -> Column:
@@ -446,6 +522,16 @@ class Parser:
 @dataclass
 class _FuncRef:
     name: str
+
+
+@dataclass
+class _UserFunc:
+    """``func f(x) = body`` — body kept as an unevaluated token span,
+    inlined at each call site (reference: UserFunction,
+    pql_objects.py:216-236 + eval_func_call, evaluate.py:579-648)."""
+    name: str
+    params: list
+    body: list
 
 
 def _plain_col_name(c: Column) -> str | None:

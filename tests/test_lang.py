@@ -2,6 +2,7 @@
 golden tests (tests/test_basic.py) on the TPC-H-ish fixtures."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from preql_spark.table import Table
 
@@ -139,3 +140,35 @@ def test_distinct_and_enum(eng):
     assert eng.q('distinct(customer{c_mktsegment})').count() == 5
     e = eng.q('enum(region)')
     assert "index" in e.columns
+
+
+def test_user_func_scalar_inline(eng):
+    out = eng.q('func markup(x) = x * 2 + 1;'
+                'nation{n_name, m: markup(n_nationkey)}')
+    rows = {r.n_name: r.m for r in out.collect()}
+    assert rows["NATION_3"] == 7
+
+
+def test_user_func_table_and_assignment(eng):
+    out = eng.q('func rich(t, lim) = t[c_acctbal > lim];'
+                'r = rich(customer, 5000);'
+                'r{c_mktsegment => n: count()}')
+    total = sum(d["n"] for d in out.to_json())
+    expect = eng.t.customer.filter(F.col("c_acctbal") > 5000).count()
+    assert total == expect
+
+
+def test_user_func_nested_and_kwargs(eng):
+    out = eng.q('func double(x) = x + x;'
+                'func quad(x) = double(double(x));'
+                'nation{n_name, q: quad(x: n_nationkey)}')
+    rows = {r.n_name: r.q for r in out.collect()}
+    assert rows["NATION_5"] == 20
+
+
+def test_user_func_errors(eng):
+    import pytest as _pt
+    with _pt.raises(TypeError):
+        eng.q('func f(x) = x + 1; f(1, 2)')
+    with _pt.raises(TypeError):
+        eng.q('func f(x) = x + 1; f()')
