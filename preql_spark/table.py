@@ -279,9 +279,10 @@ class Table:
         return self.slice((index - 1) * page_size, index * page_size)
 
     def top_k(self, k: int, *keys) -> "Table":
-        """Idiom ``order {^x} [..k]`` → TakeOrderedAndProject."""
-        return self.order(*[Desc(k_) if not isinstance(k_, Desc) else k_
-                            for k_ in keys]).limit(k)
+        """Idiom ``order {^x} [..k]`` → TakeOrderedAndProject.  Keys
+        use order() syntax: "col" ascending, "^col" / desc(col)
+        descending — so tiebreakers keep their own direction."""
+        return self.order(*keys).limit(k)
 
     def sample_ratio(self, ratio: float, seed: int = 42) -> "Table":
         """Reference sample_ratio_fast — __builtins__.pql:515-529."""

@@ -1,0 +1,129 @@
+"""Property-based operator-algebra tests (hypothesis) — the layer the
+reference lacks (SURVEY.md §5: "property-based tests for operator
+algebra").  Each property compares the engine's result against a
+Python-side golden model over rows collected once per session, so every
+example costs one Spark job.
+"""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(max_examples=12, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@pytest.fixture(scope="module")
+def cust_rows(eng):
+    return [r.asDict() for r in eng.t.customer.collect()]
+
+
+# ---- filter/projection algebra --------------------------------------------
+
+@settings(**SETTINGS)
+@given(lo=st.integers(-1000, 10000), seg=st.sampled_from(
+    ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]))
+def test_filter_matches_python_model(eng, cust_rows, lo, seg):
+    got = sorted(r.c_custkey for r in
+                 eng.t.customer.filter(F.col("c_acctbal") >= lo,
+                                       F.col("c_mktsegment") == seg).collect())
+    want = sorted(r["c_custkey"] for r in cust_rows
+                  if r["c_acctbal"] >= lo and r["c_mktsegment"] == seg)
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(lo=st.integers(-1000, 10000))
+def test_filter_projection_commute(eng, lo):
+    p = F.col("c_acctbal") >= lo
+    a = eng.t.customer.filter(p).project("c_custkey", "c_acctbal")
+    b = eng.t.customer.project("c_custkey", "c_acctbal").filter(p)
+    assert sorted(r.c_custkey for r in a.collect()) == \
+        sorted(r.c_custkey for r in b.collect())
+
+
+@settings(**SETTINGS)
+@given(lo=st.integers(-1000, 10000))
+def test_predicate_partition_is_total(eng, cust_rows, lo):
+    """t[p] + t[!p] == t for non-null predicates (Preql `+` = UNION ALL)."""
+    p = F.col("c_acctbal") >= lo
+    t = eng.t.customer
+    both = t.filter(p) + t.filter(~p)
+    assert both.count() == len(cust_rows)
+    assert sorted(r.c_custkey for r in both.collect()) == \
+        sorted(r["c_custkey"] for r in cust_rows)
+
+
+# ---- order / slice laws ----------------------------------------------------
+
+@settings(**SETTINGS)
+@given(a=st.integers(0, 200), n=st.integers(0, 200))
+def test_slice_length_law(eng, cust_rows, a, n):
+    total = len(cust_rows)
+    got = eng.t.customer.order("c_custkey").slice(a, a + n).count()
+    assert got == max(0, min(a + n, total) - min(a, total))
+
+
+@settings(**SETTINGS)
+@given(k=st.integers(1, 30))
+def test_topk_agrees_with_sorted_prefix(eng, cust_rows, k):
+    got = [r.c_custkey for r in
+           eng.t.customer.top_k(k, "^c_acctbal", "c_custkey").collect()]
+    want = [r["c_custkey"] for r in
+            sorted(cust_rows, key=lambda r: (-r["c_acctbal"], r["c_custkey"]))[:k]]
+    assert got == want
+
+
+# ---- aggregation consistency ----------------------------------------------
+
+@settings(**SETTINGS)
+@given(lo=st.integers(-1000, 10000))
+def test_groupby_partial_sums_to_total(eng, cust_rows, lo):
+    """sum of per-group sums == global sum under any filter."""
+    t = eng.t.customer.filter(F.col("c_acctbal") >= lo)
+    per = t.group("c_nationkey", s=F.sum("c_acctbal")).collect()
+    want = sum(r["c_acctbal"] for r in cust_rows if r["c_acctbal"] >= lo)
+    assert math.isclose(sum(r.s for r in per) if per else 0.0, want,
+                        rel_tol=1e-9, abs_tol=1e-6)
+
+
+# ---- sampling monotonicity -------------------------------------------------
+
+@settings(**SETTINGS)
+@given(r1=st.floats(0.05, 0.5), r2=st.floats(0.5, 1.0))
+def test_sample_hash_monotone(eng, r1, r2):
+    small = {r.c_custkey for r in
+             eng.t.customer.sample_hash("c_custkey", r1).collect()}
+    big = {r.c_custkey for r in
+           eng.t.customer.sample_hash("c_custkey", r2).collect()}
+    assert small <= big
+
+
+# ---- Preql value-semantics truth table (exhaustive, not random) ------------
+
+def test_value_and_or_truth_table(spark):
+    """`and`/`or` return an operand (value semantics) with SQL
+    three-valued NULL handling — full 3×3 table checked at once."""
+    from preql_spark import exprs
+    vals = [None, 0, 7]
+    df = spark.createDataFrame(
+        [(a, b) for a in vals for b in vals], "a: int, b: int")
+    rows = df.select("a", "b",
+                     exprs.pand(F.col("a"), F.col("b")).alias("land"),
+                     exprs.por(F.col("a"), F.col("b")).alias("lor")).collect()
+
+    def model_and(a, b):
+        if a is None or a == 0:
+            return a
+        return b
+
+    def model_or(a, b):
+        if a is not None and a != 0:
+            return a
+        return b
+
+    for r in rows:
+        assert r.land == model_and(r.a, r.b), (r.a, r.b, r.land)
+        assert r.lor == model_or(r.a, r.b), (r.a, r.b, r.lor)
