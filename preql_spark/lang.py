@@ -41,11 +41,11 @@ _TOKEN_RE = re.compile(r"""
   | (?P<dots>\.\.\.|\.\.)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<string>"[^"]*"|'[^']*')
-  | (?P<op>==|!=|<=|>=|=>|!in|/~|[-+*/%<>=~^(){}\[\],:.!|&;])
+  | (?P<op>==|!=|<=|>=|=>|!in|/~|[-+*/%<>=~^(){}\[\],:.!|&;?])
 """, re.VERBOSE)
 
 _KEYWORDS = {"and", "or", "not", "in", "order", "new", "one", "null",
-             "true", "false", "func"}
+             "true", "false", "func", "if", "else"}
 
 
 @dataclass
@@ -399,6 +399,24 @@ class Parser:
     # ---- atoms -----------------------------------------------------
     def atom(self):
         t = self.next()
+        if t.kind == "one":
+            # ``one [?] molecule`` (preql.lark:130) — exactly-one-row
+            # assertion returning a Row; ``one?`` allows 0 rows → None
+            nullable = self.accept("op", "?") is not None
+            v = self.postfix()
+            if not isinstance(v, Table):
+                raise TypeError("one expects a table")
+            return v.one(nullable=nullable)
+        if t.kind == "if":
+            # vectorized ``if (cond) a else b`` → CASE
+            # (ast.If in vector context, compiler.py:172-181)
+            self.expect("op", "(")
+            cond = self._col(self.expr())
+            self.expect("op", ")")
+            then = self.expr()
+            self.expect("else")
+            other = self.expr()
+            return exprs.if_else(cond, self._col(then), self._col(other))
         if t.kind == "int":
             return int(t.text)
         if t.kind == "float":

@@ -172,3 +172,20 @@ def test_user_func_errors(eng):
         eng.q('func f(x) = x + 1; f(1, 2)')
     with _pt.raises(TypeError):
         eng.q('func f(x) = x + 1; f()')
+
+
+def test_one_prefix(eng):
+    r = eng.q('one nation[n_nationkey == 3]')
+    assert r.n_name == "NATION_3"
+    assert eng.q('one? nation[n_nationkey == 99]') is None
+    with pytest.raises(ValueError):
+        eng.q('one nation')
+
+
+def test_if_else_expression(eng):
+    out = eng.q('customer{c_custkey, tier:'
+                ' if (c_acctbal > 5000) "gold" else "std"}')
+    rows = {r.c_custkey: r.tier for r in out.collect()}
+    gold = {r.c_custkey for r in eng.t.customer
+            .filter(F.col("c_acctbal") > 5000).collect()}
+    assert all((k in gold) == (v == "gold") for k, v in rows.items())
