@@ -739,6 +739,16 @@ def q61_lang_user_func(spark, sf_dir) -> DataFrame:
     return out.df
 
 
+def q62_json_extract(spark, sf_dir) -> DataFrame:
+    """JSON scalar functions (additive — the reference declares T.json
+    but ships no get/extract, pql_types.py:284-285)."""
+    from preql_spark.functions import scalar as sc
+    e = _eng(spark, sf_dir).t.events
+    return (e.project("event_id",
+                      k=sc.to_int(sc.json_get(F.col("props"), "$.k")))
+            .df)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -801,6 +811,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_first_last_by": q59_first_last_by,
     "q60_dml_lifecycle": q60_dml_lifecycle,
     "q61_lang_user_func": q61_lang_user_func,
+    "q62_json_extract": q62_json_extract,
 }
 
 
@@ -1274,6 +1285,9 @@ ORACLES: dict[str, str] = {
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
         FROM lineitem WHERE l_quantity < 10
         GROUP BY l_returnflag
+    """,
+    "q62_json_extract": """
+        SELECT event_id, CAST(props->>'k' AS INT) AS k FROM events
     """,
 }
 

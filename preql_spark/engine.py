@@ -88,6 +88,13 @@ def default_session(app_name: str = "preql_spark", cpus: int | None = None) -> S
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # bucketed-table support (write_bucketed): keep the metastore
+        # and warehouse out of the repo working tree
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               "/tmp/preql_spark_warehouse"))
+        .config("spark.driver.extraJavaOptions",
+                "-Dderby.system.home=/tmp/preql_spark_derby")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

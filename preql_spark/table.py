@@ -14,6 +14,7 @@ available for FK-discovered dimension tables.
 
 from __future__ import annotations
 
+import os
 from typing import Iterable
 
 from pyspark.sql import Column, DataFrame, Window
@@ -421,6 +422,38 @@ class Table:
 
     def cache(self) -> "Table":
         return self._with(self.df.cache())
+
+    def write_bucketed(self, name: str, cols: list[str] | str,
+                       buckets: int = 16, sort_by: list[str] | str | None = None,
+                       mode: str = "overwrite") -> "Table":
+        """Persist hash-bucketed (+ optionally sorted) by the join/agg
+        keys — the engine's scale analogue of the reference's
+        ``add_index`` (pql_functions.py:1043-1082): two tables bucketed
+        on the same keys join with ZERO exchanges (verified in
+        tests/test_plans.py), and aggregations on the bucket keys skip
+        their shuffle.  At 100 TB this is the difference between
+        re-shuffling the fact table per query and paying the shuffle
+        once at write time."""
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        if mode == "overwrite":
+            # drop metastore entry AND any orphaned location (a crashed
+            # writer can leave files without a catalog entry)
+            self.engine.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+            import shutil
+            wh = self.engine.spark.conf.get("spark.sql.warehouse.dir", "")
+            loc = os.path.join(wh.removeprefix("file:"), name.lower())
+            if loc.startswith("/") and os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+        w = (self.df.write.format("parquet").mode(mode)
+             .bucketBy(buckets, *cols))
+        if sort_by:
+            sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            w = w.sortBy(*sort_by)
+        w.saveAsTable(name)
+        out = self.engine.spark.table(name)
+        self.engine.register(name, out, pk=self.meta.pk,
+                             fks=self.meta.fks)
+        return self.engine.table(name)
 
     def temptable(self, name: str) -> "Table":
         """Reference temptable — pql_functions.py:327-348: session-scoped

@@ -92,3 +92,29 @@ def test_asof_single_shuffle(spark):
     plan = plan_of(df)
     assert "Join" not in plan  # window-based, joins avoided entirely
     assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Two tables bucketed on the join key join with ZERO exchanges —
+    the write-time shuffle (write_bucketed, the scale analogue of
+    add_index) replaces every query-time shuffle on that key."""
+    from preql_spark.engine import Engine
+    eng = Engine(spark).load_dir(SF_DIR)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        co = eng.t.customer.write_bucketed("cust_bkt", "c_custkey", 8)
+        oo = eng.t.orders.write_bucketed("ord_bkt", "o_custkey", 8)
+        j = co.join(oo, on=co.c_custkey == oo.o_custkey)
+        plan = plan_of(j.df)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        # sanity: same join on the unbucketed inputs DOES shuffle
+        j2 = eng.t.customer.join(eng.t.orders,
+                                 on=F.col("c_custkey") == F.col("o_custkey"))
+        assert "Exchange" in plan_of(j2.df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS cust_bkt")
+        spark.sql("DROP TABLE IF EXISTS ord_bkt")
