@@ -749,6 +749,22 @@ def q62_json_extract(spark, sf_dir) -> DataFrame:
             .df)
 
 
+def q63_stream_sliding(spark, sf_dir) -> DataFrame:
+    """Structured Streaming sliding window (2h window, 1h slide) —
+    every event lands in exactly two windows; oracle replicates via a
+    2-way unnest."""
+    from preql_spark import streaming as st
+    _eng(spark, sf_dir)
+    stream = st.read_event_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), watermark="4 hours")
+    agg = st.sliding_agg(stream, "2 hours", "1 hour", keys=["event_type"],
+                         n=F.count(F.lit(1)),
+                         total=F.round(F.sum("value"), 2))
+    out = st.run_to_memory(agg, f"q63_sink_{abs(hash(sf_dir)) % 10**6}")
+    return out.select(F.unix_timestamp("window_start").alias("bucket"),
+                      "event_type", "n", "total")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -812,6 +828,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_dml_lifecycle": q60_dml_lifecycle,
     "q61_lang_user_func": q61_lang_user_func,
     "q62_json_extract": q62_json_extract,
+    "q63_stream_sliding": q63_stream_sliding,
 }
 
 
@@ -1288,6 +1305,18 @@ ORACLES: dict[str, str] = {
     """,
     "q62_json_extract": """
         SELECT event_id, CAST(props->>'k' AS INT) AS k FROM events
+    """,
+    "q63_stream_sliding": """
+        SELECT CAST(epoch(ws) AS BIGINT) AS bucket, event_type,
+               count(*) AS n, round(sum(value), 2) AS total
+        FROM (
+            SELECT time_bucket(INTERVAL '1 hour', ts)
+                     - (i * INTERVAL '1 hour') AS ws,
+                   event_type, value, ts
+            FROM events, (SELECT unnest([0, 1]) AS i) shifts
+        ) sub
+        WHERE ts >= ws AND ts < ws + INTERVAL '2 hours'
+        GROUP BY 1, 2
     """,
 }
 

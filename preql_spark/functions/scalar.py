@@ -150,6 +150,17 @@ def to_int(x) -> Column:
     return _c(x).cast("long")
 
 
+def to_int_checked(x) -> Column:
+    """Checked string→int cast (reference casts.py:8-127: a
+    non-numeric string raises instead of yielding NULL).  The check is
+    a codegen'd CASE — no UDF; the error surfaces when the plan runs."""
+    c = _c(x)
+    cast = c.try_cast("long")
+    return F.when(c.isNull() | cast.isNotNull(), cast).otherwise(
+        F.raise_error(F.concat(F.lit("cannot cast to int: "),
+                               c.cast("string"))).cast("long"))
+
+
 def to_float(x) -> Column:
     return _c(x).cast("double")
 

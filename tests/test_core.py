@@ -174,3 +174,17 @@ def test_first_last_by(eng):
                   key=lambda r: r.c_custkey)
     assert out[probe].first_name == rows[0].c_name
     assert out[probe].last_name == rows[-1].c_name
+
+
+def test_to_int_checked(spark):
+    from preql_spark.functions.scalar import to_int_checked
+    df = spark.createDataFrame([("12",), (None,), ("7",)], "s: string")
+    got = sorted((r.v for r in
+                  df.select(to_int_checked(F.col("s")).alias("v")).collect()),
+                 key=lambda x: (x is None, x))
+    assert got == [7, 12, None]
+    import pytest as _pt
+    bad = spark.createDataFrame([("12",), ("oops",)], "s: string")
+    with _pt.raises(Exception) as ei:
+        bad.select(to_int_checked(F.col("s")).alias("v")).collect()
+    assert "cannot cast to int" in str(ei.value)
