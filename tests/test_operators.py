@@ -148,3 +148,23 @@ def test_multimodal_plumbing(eng, docs):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
     with pytest.raises(NotImplementedError):
         multimodal.extract_image_features(withbin, fake=False)
+
+
+def test_salted_join_equivalence(eng):
+    """salted_join == plain join on a deliberately skewed key."""
+    from preql_spark.operators.skew import salted_join
+    spark = eng.spark
+    # 90% of fact rows share one hot key
+    fact = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 50)
+        .cast("long").alias("k"), F.col("id").alias("fact_id"))
+    dim = spark.range(0, 50).select(F.col("id").alias("k"),
+                                    (F.col("id") * 100).alias("dim_val"))
+    got = salted_join(fact, dim, "k").orderBy("fact_id")
+    want = fact.join(dim, "k").orderBy("fact_id")
+    assert [r.asDict() for r in got.collect()] == \
+        [r.asDict() for r in want.collect()]
+    # left join keeps unmatched fact rows
+    dim_small = dim.filter(F.col("k") < 5)
+    got_l = salted_join(fact, dim_small, "k", how="left").count()
+    assert got_l == fact.count()
