@@ -38,6 +38,40 @@ def bfs(edges: DataFrame, initial: DataFrame,
     return visited
 
 
+def bfs_sql(edges: DataFrame, initial: DataFrame,
+            src: str = "src", dst: str = "dst", node: str = "node",
+            max_depth: int = 100) -> DataFrame:
+    """BFS via a native recursive CTE (Spark 4+ WITH RECURSIVE) — the
+    same shape the reference emits for graph.pql bfs (:3-16), executed
+    by Catalyst's recursion operator instead of a driver loop.  The
+    driver-loop :func:`bfs` remains the choice when per-iteration
+    checkpointing / persistence control matters; this form keeps the
+    whole fixpoint inside one query plan.
+
+    **DAGs only**: Spark's recursive CTE supports UNION ALL but not
+    UNION-distinct in the recursive member, and exceeding the level cap
+    raises rather than truncating — a cycle therefore cannot converge.
+    Use the iterative :func:`bfs` (anti-join dedup per round) for
+    general graphs; the reference targets engines whose recursive CTEs
+    dedup (sqlite/postgres UNION), which is what bfs() reproduces."""
+    spark = edges.sparkSession
+    ev, iv = "__bfs_edges", "__bfs_init"
+    edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+        .createOrReplaceTempView(ev)
+    initial.select(F.col(initial.columns[0]).cast(
+        edges.schema[dst].dataType).alias("node")) \
+        .createOrReplaceTempView(iv)
+    return spark.sql(f"""
+        WITH RECURSIVE reach(node) MAX RECURSION LEVEL {max_depth} AS (
+            SELECT node FROM {iv}
+            UNION ALL
+            SELECT e.dst AS node
+            FROM reach r JOIN {ev} e ON r.node = e.src
+        )
+        SELECT DISTINCT node AS {node} FROM reach
+    """)
+
+
 def walk_tree(edges: DataFrame, initial: DataFrame, max_rank: int,
               src: str = "src", dst: str = "dst", node: str = "node",
               ) -> DataFrame:

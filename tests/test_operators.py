@@ -168,3 +168,14 @@ def test_salted_join_equivalence(eng):
     dim_small = dim.filter(F.col("k") < 5)
     got_l = salted_join(fact, dim_small, "k", how="left").count()
     assert got_l == fact.count()
+
+
+def test_bfs_sql_matches_iterative_on_dag(eng):
+    from preql_spark.operators.graph import bfs, bfs_sql
+    spark = eng.spark
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5), (6, 7)], "src: long, dst: long")
+    init = spark.createDataFrame([(1,), (6,)], "n: long")
+    want = sorted(r.node for r in bfs(edges, init).collect())
+    got = sorted(r.node for r in bfs_sql(edges, init).collect())
+    assert got == want == [1, 2, 3, 4, 5, 6, 7]
