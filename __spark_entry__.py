@@ -765,6 +765,20 @@ def q63_stream_sliding(spark, sf_dir) -> DataFrame:
                       "event_type", "n", "total")
 
 
+def q64_tfidf_top_terms(spark, sf_dir) -> DataFrame:
+    """TF-IDF over the documents table (text-pipeline §beyond): top-3
+    terms per document by tfidf with deterministic tie-breaks."""
+    from preql_spark.operators.text import tf_idf
+    d = _eng(spark, sf_dir).t.documents
+    scored = tf_idf(d.df.filter(F.col("doc_id") < 100), "doc_id", "text")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "token", "rnk",
+                    _pr4(F.col("tfidf")).alias("tfidf")))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -829,6 +843,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_lang_user_func": q61_lang_user_func,
     "q62_json_extract": q62_json_extract,
     "q63_stream_sliding": q63_stream_sliding,
+    "q64_tfidf_top_terms": q64_tfidf_top_terms,
 }
 
 
@@ -1317,6 +1332,38 @@ ORACLES: dict[str, str] = {
         ) sub
         WHERE ts >= ws AND ts < ws + INTERVAL '2 hours'
         GROUP BY 1, 2
+    """,
+    "q64_tfidf_top_terms": """
+        WITH docs AS (SELECT * FROM documents WHERE doc_id < 100),
+        toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM docs
+        ),
+        toks2 AS (SELECT * FROM toks WHERE token <> ''),
+        doc_term AS (
+            SELECT doc_id, token, count(*) AS n FROM toks2 GROUP BY 1, 2
+        ),
+        doc_len AS (SELECT doc_id, count(*) AS len FROM toks2 GROUP BY 1),
+        dfreq AS (SELECT token, count(*) AS df FROM doc_term GROUP BY 1),
+        n_docs AS (SELECT count(*) AS n FROM docs),
+        scored AS (
+            SELECT dt.doc_id, dt.token,
+                   (dt.n * 1.0 / dl.len) * ln(nd.n * 1.0 / f.df) AS tfidf
+            FROM doc_term dt
+            JOIN dfreq f USING (token)
+            JOIN doc_len dl USING (doc_id)
+            CROSS JOIN n_docs nd
+        ),
+        ranked AS (
+            SELECT doc_id, token,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, token) AS rnk,
+                   tfidf
+            FROM scored
+        )
+        SELECT doc_id, token, rnk,
+               floor(tfidf * 10000 + 0.5) / 10000 AS tfidf
+        FROM ranked WHERE rnk <= 3
     """,
 }
 

@@ -109,6 +109,42 @@ def lang_id(col) -> Column:
             .otherwise(F.lit("fr")))
 
 
+def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+           min_df: int = 1, max_df_ratio: float = 1.0) -> DataFrame:
+    """Per-(doc, token) TF-IDF: tf = count in doc / doc length,
+    idf = ln(N / df).  Returns (id, token, tf, df, tfidf).
+
+    Scale shape: one explode + two partial-agg shuffles (doc-term
+    counts, then document frequencies); the tiny (N, and optional
+    df-cap) values broadcast.  ``min_df``/``max_df_ratio`` prune the
+    long tail and the stopword head before the join — at 100 TB the
+    df table is the hot side, and pruning it is what keeps the
+    term-join fan-out bounded."""
+    base = (ensure_parallelism(df)
+            .select(F.col(id_col), tokens(text_col).alias("__t")))
+    toks = (base.select(id_col, F.explode("__t").alias("token"))
+            .filter(F.col("token") != ""))
+    n_docs = base.count()
+    doc_term = (toks.groupBy(id_col, "token")
+                .agg(F.count(F.lit(1)).alias("__n")))
+    doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__len"))
+    dfreq = (doc_term.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("df"))
+             .filter((F.col("df") >= min_df)
+                     & (F.col("df") <= int(max_df_ratio * n_docs))))
+    # no broadcast hint on the df table: a pruned vocabulary is often
+    # broadcastable but can reach GBs at corpus scale — AQE decides
+    return (doc_term
+            .join(dfreq, "token")
+            .join(doc_len, id_col)
+            .select(F.col(id_col), "token",
+                    (F.col("__n") / F.col("__len")).alias("tf"),
+                    "df",
+                    ((F.col("__n") / F.col("__len"))
+                     * F.log(F.lit(float(n_docs)) / F.col("df")))
+                    .alias("tfidf")))
+
+
 def fingerprint(col) -> Column:
     """Document fingerprint: md5 of case/whitespace-normalized text —
     the exact-dedup key for content-addressed pipelines."""

@@ -179,3 +179,22 @@ def test_bfs_sql_matches_iterative_on_dag(eng):
     want = sorted(r.node for r in bfs(edges, init).collect())
     got = sorted(r.node for r in bfs_sql(edges, init).collect())
     assert got == want == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_tfidf_model(eng):
+    """TF-IDF against a hand-computed model on a 3-doc corpus."""
+    import math
+    from preql_spark.operators.text import tf_idf
+    spark = eng.spark
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "d d d d")],
+        "doc_id: long, text: string")
+    rows = {(r.doc_id, r.token): r for r in
+            tf_idf(docs, "doc_id", "text").collect()}
+    # 'a' appears in 2 of 3 docs; tf in doc1 = 2/3
+    r = rows[(1, "a")]
+    assert r.tf == pytest.approx(2 / 3)
+    assert r.df == 2
+    assert r.tfidf == pytest.approx((2 / 3) * math.log(3 / 2))
+    # 'd' only in doc3, tf = 1
+    assert rows[(3, "d")].tfidf == pytest.approx(math.log(3.0))
