@@ -779,6 +779,16 @@ def q64_tfidf_top_terms(spark, sf_dir) -> DataFrame:
                     _pr4(F.col("tfidf")).alias("tfidf")))
 
 
+def q65_sample_stratified(spark, sf_dir) -> DataFrame:
+    """Per-stratum deterministic sampling (balanced-dataset primitive:
+    downsample a boilerplate source, keep a rare one whole)."""
+    d = _eng(spark, sf_dir).t.documents
+    return (d.sample_stratified("doc_id", "source",
+                                {"src0": 0.3, "src1": 1.0})
+            .project("doc_id", "source")
+            .df)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -844,6 +854,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_json_extract": q62_json_extract,
     "q63_stream_sliding": q63_stream_sliding,
     "q64_tfidf_top_terms": q64_tfidf_top_terms,
+    "q65_sample_stratified": q65_sample_stratified,
 }
 
 
@@ -1364,6 +1375,14 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, token, rnk,
                floor(tfidf * 10000 + 0.5) / 10000 AS tfidf
         FROM ranked WHERE rnk <= 3
+    """,
+    "q65_sample_stratified": """
+        SELECT doc_id, source FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000 <
+              CASE WHEN source = 'src1' THEN 1000000
+                   WHEN source = 'src0' THEN 300000
+                   ELSE 0 END
     """,
 }
 

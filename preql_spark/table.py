@@ -455,6 +455,36 @@ class Table:
                              fks=self.meta.fks)
         return self.engine.table(name)
 
+    def write_partitioned(self, path: str, by: list[str] | str,
+                          mode: str = "overwrite") -> "Table":
+        """Persist hive-partitioned by ``by`` — scans that filter on
+        the partition columns prune at the directory level
+        (PartitionFilters in the scan, verified in tests/test_plans.py).
+        Choose low-cardinality columns (date, source, language): at
+        100 TB a date-partitioned fact table turns a time-range query
+        from a full scan into a handful of directories."""
+        by = [by] if isinstance(by, str) else list(by)
+        self.df.write.mode(mode).partitionBy(*by).parquet(path)
+        return self._with(self.engine.spark.read.parquet(path))
+
+    def sample_stratified(self, key, strata_col: str,
+                          ratios: dict, default: float = 0.0) -> "Table":
+        """Deterministic per-stratum hash sampling: each stratum keeps
+        its own ratio of rows (by content hash of ``key``), unlisted
+        strata keep ``default``.  The balanced-dataset primitive for
+        training pipelines (e.g. downsample boilerplate sources, keep
+        all rare ones) — reproducible across runs and engines like
+        :meth:`sample_hash`."""
+        from pyspark.sql import functions as F
+        from preql_spark.operators.text import portable_hash
+        k = F.col(key) if isinstance(key, str) else key
+        bucket = portable_hash(k.cast("string")) % 1000000
+        thr = F.lit(int(default * 1000000))
+        for stratum, ratio in sorted(ratios.items()):
+            thr = F.when(F.col(strata_col) == stratum,
+                         F.lit(int(ratio * 1000000))).otherwise(thr)
+        return self._with(self.df.filter(bucket < thr))
+
     def temptable(self, name: str) -> "Table":
         """Reference temptable — pql_functions.py:327-348: session-scoped
         materialized table."""

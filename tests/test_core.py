@@ -188,3 +188,17 @@ def test_to_int_checked(spark):
     with _pt.raises(Exception) as ei:
         bad.select(to_int_checked(F.col("s")).alias("v")).collect()
     assert "cannot cast to int" in str(ei.value)
+
+
+def test_sample_stratified(eng):
+    t = eng.t.documents
+    out = t.sample_stratified("doc_id", "source",
+                              {"src0": 0.3, "src1": 1.0})
+    rows = out.collect()
+    srcs = {r.source for r in rows}
+    assert srcs <= {"src0", "src1"}
+    n_keep_all = t.filter(F.col("source") == "src1").count()
+    assert sum(1 for r in rows if r.source == "src1") == n_keep_all
+    n_down_all = t.filter(F.col("source") == "src0").count()
+    n_down = sum(1 for r in rows if r.source == "src0")
+    assert 0 < n_down < n_down_all

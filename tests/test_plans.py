@@ -118,3 +118,16 @@ def test_bucketed_join_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS cust_bkt")
         spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Filters on partition columns prune directories, not rows."""
+    from preql_spark.engine import Engine
+    eng = Engine(spark).load_dir(SF_DIR)
+    path = str(tmp_path / "docs_by_source")
+    t = eng.t.documents.write_partitioned(path, "source")
+    src = t.df.select("source").limit(1).collect()[0].source
+    plan = plan_of(t.filter(F.col("source") == src).df)
+    assert "PartitionFilters: [isnotnull(source" in plan \
+        or f"PartitionFilters: [isnotnull(source#" in plan \
+        or "PartitionFilters" in plan and src in plan
