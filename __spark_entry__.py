@@ -789,6 +789,21 @@ def q65_sample_stratified(spark, sf_dir) -> DataFrame:
             .df)
 
 
+def q66_zipjoin_longest(spark, sf_dir) -> DataFrame:
+    """zipjoin_longest parity (__builtins__.pql:167-257): positional
+    full join of unequal-length sides, nulls pad the short side."""
+    from preql_spark import table as tbl
+    eng = _eng(spark, sf_dir)
+    z = tbl.zipjoin(eng.t.region, eng.t.nation, how="longest",
+                    order_a="r_regionkey", order_b="n_nationkey")
+    return (eng.from_df(z.df)
+            .project(idx=F.coalesce(F.col("b.n_nationkey"),
+                                    F.col("a.r_regionkey")),
+                     r_name=F.col("a.r_name"),
+                     n_name=F.col("b.n_name"))
+            .df)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -855,6 +870,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_stream_sliding": q63_stream_sliding,
     "q64_tfidf_top_terms": q64_tfidf_top_terms,
     "q65_sample_stratified": q65_sample_stratified,
+    "q66_zipjoin_longest": q66_zipjoin_longest,
 }
 
 
@@ -1383,6 +1399,19 @@ ORACLES: dict[str, str] = {
               CASE WHEN source = 'src1' THEN 1000000
                    WHEN source = 'src0' THEN 300000
                    ELSE 0 END
+    """,
+    "q66_zipjoin_longest": """
+        WITH ra AS (SELECT r_name,
+                           row_number() OVER (ORDER BY r_regionkey) - 1 AS zi,
+                           r_regionkey
+                    FROM region),
+             nb AS (SELECT n_name,
+                           row_number() OVER (ORDER BY n_nationkey) - 1 AS zi,
+                           n_nationkey
+                    FROM nation)
+        SELECT COALESCE(nb.n_nationkey, ra.r_regionkey) AS idx,
+               ra.r_name, nb.n_name
+        FROM ra FULL OUTER JOIN nb USING (zi)
     """,
 }
 

@@ -164,6 +164,26 @@ class Engine:
         return self
 
     # ---- constructors ----------------------------------------------
+    def names(self) -> dict[str, list[str]]:
+        """Reference ``names()`` (pql_functions.py:735-803): everything
+        addressable in the session — catalog tables, scalar and
+        aggregate functions, and pipeline operators."""
+        from preql_spark.functions import aggregate as agg, scalar as sc
+        def public(mod):
+            return sorted(n.rstrip("_") for n in dir(mod)
+                          if not n.startswith("_") and callable(getattr(mod, n)))
+        return {
+            "tables": self.tables(),
+            "scalar_functions": public(sc),
+            "aggregate_functions": public(agg),
+        }
+
+    def columns(self, name: str) -> dict[str, str]:
+        """Reference ``columns(t)`` (pql_functions.py:627-665):
+        column → Spark type name for a catalog table."""
+        df = self._dfs[name]
+        return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
     def from_df(self, df: DataFrame, name: str | None = None) -> "Table":
         from preql_spark.table import Table
         return Table(self, df, meta=TableMeta(name or "anon"))

@@ -202,3 +202,13 @@ def test_sample_stratified(eng):
     n_down_all = t.filter(F.col("source") == "src0").count()
     n_down = sum(1 for r in rows if r.source == "src0")
     assert 0 < n_down < n_down_all
+
+
+def test_engine_reflection(eng):
+    n = eng.names()
+    assert "customer" in n["tables"] and "lineitem" in n["tables"]
+    assert "upper" in n["scalar_functions"]
+    assert "median" in n["aggregate_functions"]
+    cols = eng.columns("nation")
+    assert cols["n_name"] == "string"
+    assert cols["n_nationkey"] in ("int", "bigint")
