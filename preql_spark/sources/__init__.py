@@ -1,3 +1,3 @@
-from preql_spark.sources.mutable import MutableTable
+from preql_spark.sources.mutable import MutableTable, transaction
 
-__all__ = ["MutableTable"]
+__all__ = ["MutableTable", "transaction"]

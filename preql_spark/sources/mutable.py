@@ -14,8 +14,10 @@ Implementation: copy-on-write parquet versions (v0, v1, ... under a
 managed directory).  Each mutation writes a new complete version and
 atomically advances the current pointer — the plain-parquet analogue
 of Delta/Iceberg snapshots (which is what you'd use on a real
-cluster; documented divergence: no multi-statement transactions,
-single-writer assumption).
+cluster).  Multi-statement ``transaction {...}`` blocks are supported
+via version pinning (see :func:`transaction`); documented divergence:
+single-writer assumption — concurrent writers need a real table
+format's commit protocol.
 
 Id generation: ``max(id) + row_number`` over the inserted batch —
 vectorized, one metadata-light max() job.  The reference punts on
@@ -27,6 +29,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
@@ -42,6 +45,9 @@ class MutableTable:
         self.name = name
         self.root = os.path.join(root, name)
         self.id_col = id_col
+        # set while a transaction() is open: the version to keep (and
+        # roll back to) — suspends version GC
+        self._pin: int | None = None
         os.makedirs(self.root, exist_ok=True)
 
     # ---- versioning ------------------------------------------------
@@ -59,9 +65,13 @@ class MutableTable:
         target = os.path.join(self.root, f"v{nxt}")
         df.write.mode("overwrite").parquet(target)
         # retain only the latest two versions (previous one kept for
-        # in-flight readers; real deployments use Delta/Iceberg GC)
-        for v in vs[:-1]:
-            shutil.rmtree(os.path.join(self.root, f"v{v}"), ignore_errors=True)
+        # in-flight readers; real deployments use Delta/Iceberg GC).
+        # An open transaction pins its start version: GC is suspended
+        # so rollback can restore it.
+        if self._pin is None:
+            for v in vs[:-1]:
+                shutil.rmtree(os.path.join(self.root, f"v{v}"),
+                              ignore_errors=True)
 
     # ---- DDL -------------------------------------------------------
     @classmethod
@@ -155,3 +165,44 @@ class MutableTable:
         n = cur.filter(cond).count()
         self._write_version(cur.filter(~cond))
         return n
+
+
+def _rollback_to(t: MutableTable, version: int | None) -> None:
+    for v in t._versions():
+        if version is None or v > version:
+            shutil.rmtree(os.path.join(t.root, f"v{v}"), ignore_errors=True)
+
+
+def _gc(t: MutableTable) -> None:
+    vs = t._versions()
+    for v in vs[:-2]:
+        shutil.rmtree(os.path.join(t.root, f"v{v}"), ignore_errors=True)
+
+
+@contextmanager
+def transaction(*tables: MutableTable):
+    """Reference ``transaction {...}`` semantics (evaluate.py:358-369):
+    mutations inside the block commit together at block exit; any
+    exception rolls every table back to its pre-transaction version.
+
+    The copy-on-write versioning makes this nearly free: BEGIN pins
+    each table's current version (suspending GC), ROLLBACK deletes the
+    versions written since, COMMIT just unpins and GCs.  Single-writer
+    semantics, like the rest of MutableTable — concurrent writers need
+    a real table format (Delta/Iceberg), the documented divergence.
+    """
+    pins: dict[MutableTable, int | None] = {}
+    for t in tables:
+        vs = t._versions()
+        t._pin = vs[-1] if vs else None
+        pins[t] = t._pin
+    try:
+        yield
+    except BaseException:
+        for t, v in pins.items():
+            _rollback_to(t, v)
+        raise
+    finally:
+        for t in pins:
+            t._pin = None
+            _gc(t)

@@ -108,3 +108,28 @@ def test_ctas_from_expr(spark, eng, tmp_path):
         spark, "rich2", str(tmp_path),
         big.select("c_name"), const=False)
     assert "id" in t2.df().columns
+
+
+def test_transaction_commit_and_rollback(spark, tmp_path):
+    from preql_spark.sources.mutable import MutableTable, transaction
+    t = MutableTable.create(spark, "txn_t", str(tmp_path),
+                            "x: long, note: string")
+    t.insert_rows([{"x": 1, "note": "a"}, {"x": 2, "note": "b"}])
+
+    # commit path: both mutations persist
+    with transaction(t):
+        t.update(F.col("x") == 1, note=F.lit("a2"))
+        t.insert_rows([{"x": 3, "note": "c"}])
+    notes = {r.x: r.note for r in t.df().collect()}
+    assert notes == {1: "a2", 2: "b", 3: "c"}
+
+    # rollback path: the failed block leaves no trace
+    try:
+        with transaction(t):
+            t.delete(F.col("x") >= 0)
+            assert t.df().count() == 0
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    notes = {r.x: r.note for r in t.df().collect()}
+    assert notes == {1: "a2", 2: "b", 3: "c"}
