@@ -804,6 +804,22 @@ def q66_zipjoin_longest(spark, sf_dir) -> DataFrame:
             .df)
 
 
+def q67_stream_session(spark, sf_dir) -> DataFrame:
+    """Structured Streaming session windows (30-min inactivity gap per
+    user) — completes the streaming window trio (tumbling q48,
+    sliding q63); oracle is batch gaps-and-islands."""
+    from preql_spark import streaming as st
+    _eng(spark, sf_dir)
+    stream = st.read_event_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), watermark="4 hours")
+    agg = st.session_agg(stream, "30 minutes", keys=["user_id"],
+                         n_events=F.count(F.lit(1)),
+                         first_event=F.min("event_id"))
+    out = st.run_to_memory(agg, f"q67_sink_{abs(hash(sf_dir)) % 10**6}")
+    return out.select(F.unix_timestamp("session_start").alias("start_s"),
+                      "user_id", "n_events", "first_event")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -871,6 +887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_tfidf_top_terms": q64_tfidf_top_terms,
     "q65_sample_stratified": q65_sample_stratified,
     "q66_zipjoin_longest": q66_zipjoin_longest,
+    "q67_stream_session": q67_stream_session,
 }
 
 
@@ -1412,6 +1429,20 @@ ORACLES: dict[str, str] = {
         SELECT COALESCE(nb.n_nationkey, ra.r_regionkey) AS idx,
                ra.r_name, nb.n_name
         FROM ra FULL OUTER JOIN nb USING (zi)
+    """,
+    "q67_stream_session": """
+        WITH g AS (SELECT user_id, event_id, ts,
+                          epoch(ts) - epoch(lag(ts) OVER
+                              (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+                   FROM events),
+        s AS (SELECT user_id, event_id, ts,
+                     CAST(sum(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+              FROM g)
+        SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+               user_id, count(*) AS n_events, min(event_id) AS first_event
+        FROM s GROUP BY user_id, sid
     """,
 }
 
