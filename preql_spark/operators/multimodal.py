@@ -72,7 +72,15 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id",
             "real image decoding requires codec libraries not present "
             "in this container; use fake=True for the plumbing path")
 
-    slim = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col))
+    from preql_spark.operators.text import ensure_parallelism
+    # Arrow batch size bounds peak memory at the Python boundary
+    # (payloads are MBs each in real pipelines); session-level knob,
+    # applied here so callers get it without touching configs
+    df.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        str(target_rows_per_batch))
+    slim = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col)))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
