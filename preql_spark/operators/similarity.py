@@ -130,20 +130,12 @@ def ivf_build(df: DataFrame, dim: int, n_centroids: int = 16,
     return assign(base, centroids), centroids
 
 
-def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-             dim: int = 64, n_centroids: int = 16, nprobe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF approximate top-k: score only the ``nprobe`` nearest
-    centroid cells per query instead of the whole corpus — the 100 TB
-    alternative to brute force (scan cost drops by ~n_centroids/nprobe
-    with the usual recall trade-off)."""
-    assigned, centroids = ivf_build(corpus, dim, n_centroids,
-                                    id_col=id_col, vec_col=vec_col)
-    assigned = assigned.persist()
-
+def _query_probes(queries: DataFrame, centroids: list, nprobe: int,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """(query_id, __qv, __cid) — the ``nprobe`` nearest centroid cells
+    per query, ranked by squared distance."""
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("__qv"))
-    # rank centroids per query, keep nprobe cells
     dists = q.select(
         "*",
         F.posexplode(F.array(*[
@@ -154,11 +146,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 F.lit(0.0), lambda acc, v: acc + v)
             for c in centroids])).alias("__cid0", "__qd"))
     wq = Window.partitionBy("query_id").orderBy("__qd", "__cid0")
-    probes = (dists.withColumn("__pr", F.row_number().over(wq))
-              .filter(F.col("__pr") <= nprobe)
-              .select("query_id", "__qv",
-                      (F.col("__cid0") + 1).cast("int").alias("__cid")))
+    return (dists.withColumn("__pr", F.row_number().over(wq))
+            .filter(F.col("__pr") <= nprobe)
+            .select("query_id", "__qv",
+                    (F.col("__cid0") + 1).cast("int").alias("__cid")))
 
+
+def _topk_from_probed(assigned: DataFrame, probes: DataFrame,
+                      k: int) -> DataFrame:
     scored = (assigned.join(F.broadcast(probes), "__cid")
               .filter(F.col("__id") != F.col("query_id"))
               .select("query_id", F.col("__id").alias("neighbor_id"),
@@ -167,6 +162,54 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.col("sim").desc(), F.col("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             dim: int = 64, n_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: score only the ``nprobe`` nearest
+    centroid cells per query instead of the whole corpus — the 100 TB
+    alternative to brute force (scan cost drops by ~n_centroids/nprobe
+    with the usual recall trade-off)."""
+    assigned, centroids = ivf_build(corpus, dim, n_centroids,
+                                    id_col=id_col, vec_col=vec_col)
+    assigned = assigned.persist()
+    probes = _query_probes(queries, centroids, nprobe, id_col, vec_col)
+    return _topk_from_probed(assigned, probes, k)
+
+
+def ivf_write_index(corpus: DataFrame, name: str, dim: int = 64,
+                    n_centroids: int = 16, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> list:
+    """Build the IVF index once and persist the inverted lists as a
+    table bucketed by centroid id.  Returns the centroid list (tiny —
+    keep it with the index metadata).  Searches against the persisted
+    index read ONLY the probed buckets (bucket pruning shows as
+    SelectedBucketsCount m/n in the scan) — at 100 TB the index build
+    is one job, and each query batch touches nprobe/n_centroids of the
+    corpus bytes."""
+    assigned, centroids = ivf_build(corpus, dim, n_centroids,
+                                    id_col=id_col, vec_col=vec_col)
+    spark = corpus.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    (assigned.select("__cid", "__id", "__v")
+     .write.format("parquet").mode("overwrite")
+     .bucketBy(n_centroids, "__cid").sortBy("__cid").saveAsTable(name))
+    return centroids
+
+
+def ivf_topk_indexed(spark, name: str, centroids: list,
+                     queries: DataFrame, k: int = 10, nprobe: int = 4,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Top-k against a persisted IVF index: the probed cell ids are
+    resolved to literals (centroid-count metadata, driver-side) so the
+    bucketed scan prunes to the probed buckets."""
+    probes = _query_probes(queries, centroids, nprobe, id_col, vec_col)
+    cids = sorted({r["__cid"] for r in
+                   probes.select("__cid").distinct().collect()})
+    assigned = spark.table(name).filter(F.col("__cid").isin(cids))
+    return _topk_from_probed(assigned, probes, k)
 
 
 # ---- LSH scale path --------------------------------------------------------

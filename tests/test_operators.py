@@ -198,3 +198,29 @@ def test_tfidf_model(eng):
     assert r.tfidf == pytest.approx((2 / 3) * math.log(3 / 2))
     # 'd' only in doc3, tf = 1
     assert rows[(3, "d")].tfidf == pytest.approx(math.log(3.0))
+
+
+def test_ivf_indexed_matches_and_prunes(eng):
+    """Persisted-index IVF search returns the same results as the
+    in-memory path, and the bucketed scan prunes to probed buckets."""
+    from preql_spark.operators.similarity import (
+        ivf_topk, ivf_topk_indexed, ivf_write_index)
+    spark = eng.spark
+    corpus = eng.t.embeddings.df
+    queries = corpus.filter(F.col("vec_id") < 5)
+    want = {(r.query_id, r.rank): r.neighbor_id for r in
+            ivf_topk(corpus, queries, k=5, dim=16, n_centroids=8,
+                     nprobe=2).collect()}
+    cents = ivf_write_index(corpus, "ivf_idx_test", dim=16, n_centroids=8)
+    try:
+        out = ivf_topk_indexed(spark, "ivf_idx_test", cents, queries,
+                               k=5, nprobe=2)
+        got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+        assert got == want
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and int(m.group(1)) < int(m.group(2)), \
+            "bucket pruning did not engage"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
