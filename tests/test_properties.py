@@ -127,3 +127,35 @@ def test_value_and_or_truth_table(spark):
     for r in rows:
         assert r.land == model_and(r.a, r.b), (r.a, r.b, r.land)
         assert r.lor == model_or(r.a, r.b), (r.a, r.b, r.lor)
+
+
+# ---- join / membership algebra ---------------------------------------------
+
+@settings(**SETTINGS)
+@given(reg=st.integers(0, 4))
+def test_semi_join_equals_in_filter(eng, reg):
+    """t.in_table(s) == filter by collected membership — the semi-join
+    lowering of Preql `in` preserves semantics."""
+    nations = eng.t.nation.filter(F.col("n_regionkey") == reg)
+    via_semi = sorted(r.c_custkey for r in
+                      eng.t.customer.in_table(nations, "c_nationkey",
+                                              "n_nationkey").collect())
+    keys = {r.n_nationkey for r in nations.collect()}
+    via_isin = sorted(r.c_custkey for r in
+                      eng.t.customer.filter(
+                          F.col("c_nationkey").isin(list(keys) or [-1]))
+                      .collect())
+    assert via_semi == via_isin
+
+
+@settings(**SETTINGS)
+@given(lo=st.integers(-1000, 10000))
+def test_intersect_union_counts(eng, cust_rows, lo):
+    """|A ∪ B| + |A ∩ B| == |A| + |B| on key projections."""
+    t = eng.t.customer.project("c_custkey")
+    a = eng.t.customer.filter(F.col("c_acctbal") >= lo).project("c_custkey")
+    b = eng.t.customer.filter(F.col("c_mktsegment") == "BUILDING") \
+        .project("c_custkey")
+    union = (a | b).count()
+    inter = (a & b).count()
+    assert union + inter == a.count() + b.count()
