@@ -159,3 +159,34 @@ def test_intersect_union_counts(eng, cust_rows, lo):
     union = (a | b).count()
     inter = (a & b).count()
     assert union + inter == a.count() + b.count()
+
+
+# ---- lang front-end differential fuzz --------------------------------------
+
+@settings(**SETTINGS)
+@given(lo=st.integers(0, 9000), desc=st.booleans(),
+       n=st.integers(1, 40), grouped=st.booleans())
+def test_lang_pipeline_equals_api(eng, lo, desc, n, grouped):
+    """A randomly-shaped Preql-syntax pipeline produces exactly the
+    rows of the hand-built DataFrame-API equivalent."""
+    if grouped:
+        src = (f'customer[c_acctbal > {lo}]'
+               '{c_nationkey => cnt: count()}'
+               f' order {{{"^" if desc else ""}cnt, c_nationkey}} [0..{n}]')
+        got = [tuple(r) for r in eng.q(src).collect()]
+        t = (eng.t.customer.filter(F.col("c_acctbal") > lo)
+             .group("c_nationkey", cnt=F.count(F.lit(1)))
+             .order(("^cnt" if desc else "cnt"), "c_nationkey")
+             .slice(0, n))
+        want = [tuple(r) for r in t.collect()]
+    else:
+        src = (f'customer[c_acctbal > {lo}]'
+               '{c_custkey, bal2: c_acctbal * 2}'
+               f' order {{{"^" if desc else ""}bal2, c_custkey}} [0..{n}]')
+        got = [tuple(r) for r in eng.q(src).collect()]
+        t = (eng.t.customer.filter(F.col("c_acctbal") > lo)
+             .project("c_custkey", bal2=F.col("c_acctbal") * 2)
+             .order(("^bal2" if desc else "bal2"), "c_custkey")
+             .slice(0, n))
+        want = [tuple(r) for r in t.collect()]
+    assert got == want
