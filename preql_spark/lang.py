@@ -471,6 +471,11 @@ class Parser:
         raise NameError(f"unknown name {name!r}")
 
     def _attr(self, v, name: str):
+        if isinstance(v, _JoinAlias):
+            if name not in v.table.df.columns:
+                raise AttributeError(
+                    f"table {v.name!r} has no column {name!r}")
+            return F.col(f"{v.name}.{name}")
         if isinstance(v, Table):
             return v[name]
         if isinstance(v, Column):
@@ -487,15 +492,35 @@ class Parser:
 
     def _call(self, fn):
         args, kwargs = [], {}
+        # join-family calls bind their table kwargs into the env as
+        # they are parsed, so a later `on:` condition can reference the
+        # aliases — the reference's `$on` lazy parameter
+        # (evaluate.py:597; test_basic.py:1510-1525)
+        join_scope = isinstance(fn, _FuncRef) and fn.name in (
+            "join", "leftjoin", "outerjoin", "joinall")
+        shadowed: dict[str, object] = {}
         while not self.accept("op", ")"):
             if self.peek().kind == "name" and self.peek(1).kind == "op" \
                     and self.peek(1).text == ":":
                 k = self.next().text
                 self.next()
                 kwargs[k] = self.expr()
+                if join_scope and isinstance(kwargs[k], Table):
+                    if k in self.env:
+                        shadowed[k] = self.env[k]
+                    # alias proxy: `a.col` inside `on:` becomes the
+                    # qualified F.col("a.col"), which resolves against
+                    # the frames join() aliases by kwarg name — and
+                    # stays unambiguous for self-joins
+                    self.env[k] = _JoinAlias(k, kwargs[k])
             else:
                 args.append(self.expr())
             self.accept("op", ",")
+        if join_scope:
+            for k, v in kwargs.items():
+                if isinstance(v, Table) and k not in shadowed:
+                    self.env.pop(k, None)
+            self.env.update(shadowed)
         if isinstance(fn, _FuncRef):
             return _apply_function(self, fn.name, args, kwargs)
         if isinstance(fn, _UserFunc):
@@ -540,6 +565,13 @@ class Parser:
 @dataclass
 class _FuncRef:
     name: str
+
+
+@dataclass
+class _JoinAlias:
+    """Join-scope binding for `on:` conditions (`$on` parity)."""
+    name: str
+    table: "Table"
 
 
 @dataclass

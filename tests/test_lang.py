@@ -189,3 +189,14 @@ def test_if_else_expression(eng):
     gold = {r.c_custkey for r in eng.t.customer
             .filter(F.col("c_acctbal") > 5000).collect()}
     assert all((k in gold) == (v == "gold") for k, v in rows.items())
+
+
+def test_theta_join_on(eng):
+    out = eng.q('join(c: customer, o: orders, on: c.c_custkey == o.o_custkey)'
+                '{n: c.c_name, k: o.o_orderkey}')
+    assert out.count() == eng.t.orders.count()
+    # self theta-join: strict upper triangle of nation x nation
+    out2 = eng.q('join(a: nation, b: nation, on: a.n_nationkey < b.n_nationkey)')
+    assert out2.count() == 25 * 24 // 2
+    with pytest.raises(AttributeError):
+        eng.q('join(a: nation, b: region, on: a.nope == b.r_regionkey)')
