@@ -205,7 +205,17 @@ class Parser:
                 self.next()
                 r = self.additive()
                 if isinstance(r, Table):
-                    r = [row[0] for row in r.df.collect()]
+                    # literal-membership path: the RHS materializes to
+                    # the driver, so bound it — table-scale membership
+                    # belongs in a semi-join (Table.in_table), which
+                    # never collects
+                    vals = [row[0] for row in r.df.limit(100_001).collect()]
+                    if len(vals) > 100_000:
+                        raise ValueError(
+                            "`in <table>` RHS exceeds 100k rows; use "
+                            "Table.in_table (semi-join) for table-scale "
+                            "membership")
+                    r = vals
                 v = self._col(v).isin(r) if not negate \
                     else ~self._col(v).isin(r)
             else:
