@@ -125,9 +125,12 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     toks = (base.select(id_col, F.explode("__t").alias("token"))
             .filter(F.col("token") != ""))
     n_docs = base.count()
+    # doc_term is the reuse point: persisted so the token explode runs
+    # once, and doc lengths derive from it (sum of per-term counts)
+    # instead of a second explode
     doc_term = (toks.groupBy(id_col, "token")
-                .agg(F.count(F.lit(1)).alias("__n")))
-    doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__len"))
+                .agg(F.count(F.lit(1)).alias("__n")).persist())
+    doc_len = doc_term.groupBy(id_col).agg(F.sum("__n").alias("__len"))
     dfreq = (doc_term.groupBy("token")
              .agg(F.count(F.lit(1)).alias("df"))
              .filter((F.col("df") >= min_df)
