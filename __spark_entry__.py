@@ -820,6 +820,16 @@ def q67_stream_session(spark, sf_dir) -> DataFrame:
                       "user_id", "n_events", "first_event")
 
 
+def q68_lang_theta_join(spark, sf_dir) -> DataFrame:
+    """$on theta-join through the Preql-syntax front-end
+    (pql_functions.py:503-507; test_basic.py:1510-1525)."""
+    eng = _eng(spark, sf_dir)
+    out = eng.q(
+        'join(a: nation, b: nation, on: a.n_nationkey < b.n_nationkey)'
+        '{x: a.n_name, y: b.n_name}')
+    return out.df
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -888,6 +898,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_sample_stratified": q65_sample_stratified,
     "q66_zipjoin_longest": q66_zipjoin_longest,
     "q67_stream_session": q67_stream_session,
+    "q68_lang_theta_join": q68_lang_theta_join,
 }
 
 
@@ -1443,6 +1454,10 @@ ORACLES: dict[str, str] = {
         SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
                user_id, count(*) AS n_events, min(event_id) AS first_event
         FROM s GROUP BY user_id, sid
+    """,
+    "q68_lang_theta_join": """
+        SELECT a.n_name AS x, b.n_name AS y
+        FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
     """,
 }
 
