@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "q40_cosine_topk",       # brute-force vector top-k
     "q44_sessionize",        # stateful event sessionization
     "q45_tumbling_window",   # time-bucket aggregation
+    "q64_tfidf_top_terms",   # explode + multi-agg + window top-k (text)
 ]
 
 
