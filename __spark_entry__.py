@@ -830,6 +830,16 @@ def q68_lang_theta_join(spark, sf_dir) -> DataFrame:
     return out.df
 
 
+def q69_collect_explode_roundtrip(spark, sf_dir) -> DataFrame:
+    """collect_list → explode round-trip: grouping to arrays and
+    unnesting back restores the original (key, value) rows."""
+    from preql_spark.functions import aggregate as agg
+    n = _eng(spark, sf_dir).t.nation
+    return (n.group("n_regionkey", names=agg.collect("n_name", sort=True))
+            .explode("names", alias="n_name")
+            .df)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -899,6 +909,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_zipjoin_longest": q66_zipjoin_longest,
     "q67_stream_session": q67_stream_session,
     "q68_lang_theta_join": q68_lang_theta_join,
+    "q69_collect_explode_roundtrip": q69_collect_explode_roundtrip,
 }
 
 
@@ -1458,6 +1469,9 @@ ORACLES: dict[str, str] = {
     "q68_lang_theta_join": """
         SELECT a.n_name AS x, b.n_name AS y
         FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    """,
+    "q69_collect_explode_roundtrip": """
+        SELECT n_regionkey, n_name FROM nation
     """,
 }
 

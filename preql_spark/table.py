@@ -199,6 +199,16 @@ class Table:
         """Reference distinct(t) — __builtins__.pql:259-274."""
         return self._with(self.df.distinct())
 
+    def explode(self, col: str, alias: str | None = None,
+                outer: bool = False) -> "Table":
+        """Unnest an array column to one row per element (the inverse
+        of the bare-column-in-agg collect_list); ``outer=True`` keeps
+        rows with empty/null arrays as a null element."""
+        fn = F.explode_outer if outer else F.explode
+        others = [c for c in self.df.columns if c != col]
+        return self._with(self.df.select(
+            *others, fn(F.col(col)).alias(alias or col)))
+
     def describe(self) -> "Table":
         """Reference describe(tbl) — __builtins__.pql:656-667."""
         return self._with(self.df.summary("count", "mean", "stddev", "min", "max"))

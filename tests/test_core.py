@@ -212,3 +212,13 @@ def test_engine_reflection(eng):
     cols = eng.columns("nation")
     assert cols["n_name"] == "string"
     assert cols["n_nationkey"] in ("int", "bigint")
+
+
+def test_explode_roundtrip(eng):
+    from preql_spark.functions import aggregate as agg
+    back = (eng.t.nation.group("n_regionkey",
+                               names=agg.collect("n_name", sort=True))
+            .explode("names", alias="n_name"))
+    got = sorted((r.n_regionkey, r.n_name) for r in back.collect())
+    want = sorted((r.n_regionkey, r.n_name) for r in eng.t.nation.collect())
+    assert got == want
