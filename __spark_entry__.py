@@ -840,6 +840,37 @@ def q69_collect_explode_roundtrip(spark, sf_dir) -> DataFrame:
             .df)
 
 
+def q70_unpivot(spark, sf_dir) -> DataFrame:
+    """Melt (unpivot) wide quality metrics to long rows — the inverse
+    of pivot; metadata-only reshape."""
+    l = _eng(spark, sf_dir).t.lineitem
+    wide = l.filter(F.col("l_orderkey") < 200).project(
+        "l_orderkey", "l_linenumber",
+        qty=F.col("l_quantity").cast("double"),
+        disc=F.col("l_discount").cast("double"))
+    return (wide.unpivot(["l_orderkey", "l_linenumber"], ["qty", "disc"])
+            .df)
+
+
+def q71_histogram(spark, sf_dir) -> DataFrame:
+    """Fixed-range histogram of account balances (single-pass
+    partial-agg bucketing)."""
+    c = _eng(spark, sf_dir).t.customer
+    h = c.histogram("c_acctbal", -1000.0, 10000.0, 11)
+    return h.project("bucket", "n",
+                     lo=_pr4(F.col("lo")), hi=_pr4(F.col("hi"))).df
+
+
+def q72_corr(spark, sf_dir) -> DataFrame:
+    """Correlation/covariance aggregates per return flag."""
+    from preql_spark.functions import aggregate as agg
+    l = _eng(spark, sf_dir).t.lineitem
+    return (l.group("l_returnflag",
+                    c=_pr4(agg.corr("l_quantity", "l_extendedprice")),
+                    cv=_pr4(agg.covar_samp("l_discount", "l_tax")))
+            .df)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -910,6 +941,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_stream_session": q67_stream_session,
     "q68_lang_theta_join": q68_lang_theta_join,
     "q69_collect_explode_roundtrip": q69_collect_explode_roundtrip,
+    "q70_unpivot": q70_unpivot,
+    "q71_histogram": q71_histogram,
+    "q72_corr": q72_corr,
 }
 
 
@@ -1472,6 +1506,32 @@ ORACLES: dict[str, str] = {
     """,
     "q69_collect_explode_roundtrip": """
         SELECT n_regionkey, n_name FROM nation
+    """,
+    "q70_unpivot": """
+        SELECT l_orderkey, l_linenumber, 'qty' AS variable,
+               CAST(l_quantity AS DOUBLE) AS value
+        FROM lineitem WHERE l_orderkey < 200
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'disc', CAST(l_discount AS DOUBLE)
+        FROM lineitem WHERE l_orderkey < 200
+    """,
+    "q71_histogram": """
+        WITH b AS (
+            SELECT CAST(least(greatest(
+                       floor((c_acctbal - (-1000.0)) / 1000.0), 0), 10) AS INT)
+                   AS bucket
+            FROM customer WHERE c_acctbal IS NOT NULL
+        )
+        SELECT bucket, count(*) AS n,
+               floor((-1000.0 + bucket * 1000.0) * 10000 + 0.5) / 10000 AS lo,
+               floor((-1000.0 + (bucket + 1) * 1000.0) * 10000 + 0.5) / 10000 AS hi
+        FROM b GROUP BY bucket
+    """,
+    "q72_corr": """
+        SELECT l_returnflag,
+               floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS c,
+               floor(covar_samp(l_discount, l_tax) * 10000 + 0.5) / 10000 AS cv
+        FROM lineitem GROUP BY l_returnflag
     """,
 }
 

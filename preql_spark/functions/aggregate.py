@@ -66,6 +66,15 @@ def first_or_null(col) -> Column:
     return F.first(_c(col), ignorenulls=True)
 
 
+def corr(a, b) -> Column:
+    """Pearson correlation (beyond reference — natural in Spark)."""
+    return F.corr(_c(a), _c(b))
+
+
+def covar_samp(a, b) -> Column:
+    return F.covar_samp(_c(a), _c(b))
+
+
 def first_by(col, order_col) -> Column:
     """Value of ``col`` at the minimum of ``order_col`` — the
     deterministic form of first() for unordered distributed groups

@@ -191,6 +191,34 @@ class Table:
         agg_cols = [_as_col(e, self).alias(n) for n, e in aggs.items()]
         return self._with(self.df.rollup(*[_as_col(k, self) for k in by]).agg(*agg_cols))
 
+    def unpivot(self, ids: list[str] | str, value_cols: list[str],
+                var_name: str = "variable",
+                value_name: str = "value") -> "Table":
+        """Melt wide columns to (variable, value) rows — the inverse of
+        pivot.  Metadata-only reshape: no shuffle, output rows =
+        input rows × len(value_cols)."""
+        ids = [ids] if isinstance(ids, str) else list(ids)
+        return self._with(self.df.unpivot(ids, value_cols,
+                                          var_name, value_name))
+
+    def histogram(self, col, lo: float, hi: float, bins: int = 10) -> "Table":
+        """Fixed-range histogram: (bucket, lo, hi, n) — one partial-agg
+        pass, bucket = floor((x-lo)/width) clamped to [0, bins-1].
+        Fixed range keeps it single-pass; for unknown ranges run
+        describe_stats first (two passes total)."""
+        c = F.col(col) if isinstance(col, str) else col
+        width = (hi - lo) / bins
+        bucket = F.least(F.greatest(
+            F.floor((c - lo) / width), F.lit(0)), F.lit(bins - 1)).cast("int")
+        return self._with(
+            self.df.filter(c.isNotNull())
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+            .select("bucket",
+                    (F.lit(lo) + F.col("bucket") * width).alias("lo"),
+                    (F.lit(lo) + (F.col("bucket") + 1) * width).alias("hi"),
+                    "n"))
+
     def pivot(self, key, pivot_col: str, values: list, agg) -> "Table":
         return self._with(self.df.groupBy(_as_col(key, self))
                           .pivot(pivot_col, values).agg(agg))

@@ -222,3 +222,21 @@ def test_explode_roundtrip(eng):
     got = sorted((r.n_regionkey, r.n_name) for r in back.collect())
     want = sorted((r.n_regionkey, r.n_name) for r in eng.t.nation.collect())
     assert got == want
+
+
+def test_unpivot_histogram_corr(eng):
+    w = eng.t.customer.project("c_custkey",
+                               a=F.col("c_acctbal"),
+                               b=F.col("c_acctbal") * 2)
+    long = w.unpivot("c_custkey", ["a", "b"])
+    assert long.count() == 2 * eng.t.customer.count()
+    assert set(long.columns) == {"c_custkey", "variable", "value"}
+
+    h = eng.t.customer.histogram("c_acctbal", -1000, 10000, 11)
+    rows = h.collect()
+    assert sum(r.n for r in rows) == eng.t.customer.count()
+    assert all(0 <= r.bucket <= 10 for r in rows)
+
+    from preql_spark.functions import aggregate as agg
+    r = eng.t.customer.group(None, c=agg.corr("c_acctbal", "c_custkey")).one()
+    assert -1.0 <= r.c <= 1.0
