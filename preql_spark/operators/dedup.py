@@ -262,6 +262,52 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
             .filter(F.col("distance") <= max_distance))
 
 
+# ---- pair clustering (the dedup end-step) ----------------------------------
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 30) -> DataFrame:
+    """Connected components over undirected near-dup pairs — the step
+    that turns pairwise candidates into duplicate CLUSTERS.  Returns
+    (node, component) with component = min node id in the cluster.
+
+    Iterative min-label propagation (the standard large-graph
+    formulation): each round every node takes the min of its own label
+    and its neighbors'; converges in O(cluster diameter) rounds — near-
+    dup clusters are shallow, so a handful.  Per round: one join + one
+    partial-agg shuffle on node; `localCheckpoint` cuts lineage."""
+    edges = pairs.select(F.col(id_a).alias("__a"), F.col(id_b).alias("__b"))
+    sym = edges.union(edges.select(F.col("__b").alias("__a"),
+                                   F.col("__a").alias("__b")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (sym.select(F.col("__a").alias("node")).distinct()
+              .withColumn("component", F.col("node")))
+    for i in range(max_iter):
+        neighbor = (sym.join(labels, sym["__a"] == labels["node"])
+                    .select(F.col("__b").alias("node"), "component"))
+        new = (labels.select("node", "component").union(neighbor)
+               .groupBy("node").agg(F.min("component").alias("component")))
+        new = new.localCheckpoint(eager=True)
+        changed = (new.join(labels.withColumnRenamed("component", "__old"),
+                            "node")
+                   .filter(F.col("component") != F.col("__old")).isEmpty())
+        labels = new
+        if changed:
+            break
+    return labels
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
+                         id_col: str) -> DataFrame:
+    """Keep one canonical row (min id) per duplicate cluster; rows in
+    no cluster survive untouched.  The full near-dup pipeline is
+    pairs = minhash_lsh_pairs(...) → dedup_keep_canonical(df, pairs)."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")) \
+        .select(F.col("node").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
+
+
 # ---- exact n-gram Jaccard (brute via shingle join) -------------------------
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",

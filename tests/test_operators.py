@@ -224,3 +224,21 @@ def test_ivf_indexed_matches_and_prunes(eng):
             "bucket pruning did not engage"
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
+
+
+def test_connected_components_and_canonical(eng):
+    from preql_spark.operators.dedup import (
+        connected_components, dedup_keep_canonical)
+    spark = eng.spark
+    # two chains and an isolated pair: {1,2,3,4}, {10,11}, {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "id_a: long, id_b: long")
+    comp = {r.node: r.component for r in
+            connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]], "doc_id: long")
+    kept = sorted(r.doc_id for r in
+                  dedup_keep_canonical(docs, pairs, "doc_id").collect())
+    assert kept == [1, 10, 20, 99]
