@@ -871,6 +871,18 @@ def q72_corr(spark, sf_dir) -> DataFrame:
             .df)
 
 
+def q73_dedup_canonical(spark, sf_dir) -> DataFrame:
+    """Full near-dup dedup pipeline: MinHash-LSH pairs → connected
+    components (iterative min-label propagation) → keep one canonical
+    doc per cluster.  Oracle recomputes the same clusters with a
+    DuckDB recursive CTE over brute-force exact-Jaccard pairs."""
+    from preql_spark.operators import dedup
+    d = _eng(spark, sf_dir).t.documents
+    pairs = dedup.minhash_lsh_pairs(d.df, "doc_id", threshold=0.9)
+    return (dedup.dedup_keep_canonical(d.df, pairs, "doc_id")
+            .select("doc_id"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -944,6 +956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_unpivot": q70_unpivot,
     "q71_histogram": q71_histogram,
     "q72_corr": q72_corr,
+    "q73_dedup_canonical": q73_dedup_canonical,
 }
 
 
@@ -1532,6 +1545,32 @@ ORACLES: dict[str, str] = {
                floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000 AS c,
                floor(covar_samp(l_discount, l_tax) * 10000 + 0.5) / 10000 AS cv
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "q73_dedup_canonical": r"""
+        WITH RECURSIVE
+        t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      array_to_string(list_slice(toks, i, i + 2), ' ') AS s
+               FROM t, UNNEST(range(1, greatest(len(toks) - 1, 2))) AS r(i)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b FROM inter
+                  JOIN sizes sa ON id_a = sa.doc_id
+                  JOIN sizes sb ON id_b = sb.doc_id
+                  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.9),
+        sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, r) AS (SELECT a, b FROM sym
+                           UNION
+                           SELECT reach.node, sym.b
+                           FROM reach JOIN sym ON reach.r = sym.a),
+        comp AS (SELECT node, least(node, min(r)) AS component
+                 FROM reach GROUP BY node)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM comp WHERE component != node)
     """,
 }
 
