@@ -883,6 +883,17 @@ def q73_dedup_canonical(spark, sf_dir) -> DataFrame:
             .select("doc_id"))
 
 
+def q74_split_by_hash(spark, sf_dir) -> DataFrame:
+    """Deterministic group-aware train/valid/test split counts by
+    source: the label is a pure function of the key hash, so the
+    split is reproducible across engines (oracle recomputes it)."""
+    d = _eng(spark, sf_dir).t.documents
+    return (d.split_by_hash("doc_id",
+                            {"train": 0.8, "valid": 0.1, "test": 0.1})
+            .group(["source", "split"], n=F.count(F.lit(1)))
+            .df)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -957,6 +968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_histogram": q71_histogram,
     "q72_corr": q72_corr,
     "q73_dedup_canonical": q73_dedup_canonical,
+    "q74_split_by_hash": q74_split_by_hash,
 }
 
 
@@ -1571,6 +1583,20 @@ ORACLES: dict[str, str] = {
                  FROM reach GROUP BY node)
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT node FROM comp WHERE component != node)
+    """,
+    "q74_split_by_hash": """
+        WITH b AS (
+            SELECT source,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 AS bucket
+            FROM documents
+        )
+        SELECT source,
+               CASE WHEN bucket < 800000 THEN 'train'
+                    WHEN bucket < 900000 THEN 'valid'
+                    ELSE 'test' END AS split,
+               count(*) AS n
+        FROM b GROUP BY 1, 2
     """,
 }
 

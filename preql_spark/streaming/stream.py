@@ -108,6 +108,23 @@ def stateful_counter(stream: DataFrame, key_col: str = "user_id",
                                     "update", GroupStateTimeout.NoTimeout))
 
 
+def stream_dedup(stream: DataFrame, keys: list[str],
+                 within_watermark: bool = True) -> DataFrame:
+    """Exactly-once event dedup on a stream: drop rows whose ``keys``
+    were already seen.  With ``within_watermark`` (Spark 3.5+
+    ``dropDuplicatesWithinWatermark``) the dedup state is EVICTED once
+    the watermark passes — bounded state, the only formulation that
+    survives an unbounded 100 TB/day stream.  Plain
+    ``dropDuplicates`` keeps every key forever and is only safe on
+    bounded backfills."""
+    if within_watermark:
+        try:
+            return stream.dropDuplicatesWithinWatermark(keys)
+        except AttributeError:  # pragma: no cover - pre-3.5 fallback
+            pass
+    return stream.dropDuplicates(keys)
+
+
 def run_to_memory(result: DataFrame, name: str,
                   output_mode: str = "complete") -> DataFrame:
     """Execute a streaming query to completion over the currently

@@ -1,6 +1,7 @@
 """Core relational battery — ports the reference's golden-assert style
 (tests/test_basic.py) onto the TPC-H-ish fixtures."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from preql_spark import table as tbl
@@ -240,3 +241,25 @@ def test_unpivot_histogram_corr(eng):
     from preql_spark.functions import aggregate as agg
     r = eng.t.customer.group(None, c=agg.corr("c_acctbal", "c_custkey")).one()
     assert -1.0 <= r.c <= 1.0
+
+
+def test_split_by_hash(eng):
+    d = eng.t.documents
+    labeled = d.split_by_hash(
+        "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              labeled.group("split", n=F.count(F.lit(1))).collect()}
+    assert set(counts) <= {"train", "valid", "test"}
+    assert sum(counts.values()) == d.count()
+    assert counts["train"] > counts.get("valid", 0)
+    # deterministic: same assignment on re-evaluation
+    again = {r["split"]: r["n"] for r in
+             d.split_by_hash("doc_id", {"train": 0.8, "valid": 0.1,
+                                        "test": 0.1})
+             .group("split", n=F.count(F.lit(1))).collect()}
+    assert counts == again
+    # group-aware: every doc_id gets exactly one label
+    assert labeled.df.select("doc_id", "split").distinct().count() \
+        == d.count()
+    with pytest.raises(ValueError):
+        d.split_by_hash("doc_id", {"train": 0.5})

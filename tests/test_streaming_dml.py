@@ -133,3 +133,20 @@ def test_transaction_commit_and_rollback(spark, tmp_path):
         pass
     notes = {r.x: r.note for r in t.df().collect()}
     assert notes == {1: "a2", 2: "b", 3: "c"}
+
+
+def test_stream_dedup(spark, tmp_path):
+    # write a parquet dir with duplicated event ids, stream it back
+    # through stream_dedup, and expect exactly one row per id
+    src = spark.createDataFrame(
+        [(i % 5, "2024-01-01 00:%02d:00" % (i % 5)) for i in range(20)],
+        "event_id: long, ts_s: string").selectExpr(
+            "event_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    path = str(tmp_path / "dups")
+    src.write.parquet(path)
+    stream = ps_stream.read_event_stream(spark, path, watermark="10 minutes")
+    out = ps_stream.run_to_memory(
+        ps_stream.stream_dedup(stream, ["event_id"]), "t_dedup",
+        output_mode="append")
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [0, 1, 2, 3, 4]
