@@ -894,6 +894,16 @@ def q74_split_by_hash(spark, sf_dir) -> DataFrame:
             .df)
 
 
+def q75_pack_sequences(spark, sf_dir) -> DataFrame:
+    """Token-budget sequence packing (context-window batch
+    construction): bucketed concat-then-chunk, one shuffle, windows
+    partitioned per bucket — no global sort at scale."""
+    from preql_spark.operators import text
+    d = _eng(spark, sf_dir).t.documents
+    return text.pack_sequences(d.df, "doc_id", "text",
+                               budget=512, n_buckets=16)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -969,6 +979,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_corr": q72_corr,
     "q73_dedup_canonical": q73_dedup_canonical,
     "q74_split_by_hash": q74_split_by_hash,
+    "q75_pack_sequences": q75_pack_sequences,
 }
 
 
@@ -1597,6 +1608,20 @@ ORACLES: dict[str, str] = {
                     ELSE 'test' END AS split,
                count(*) AS n
         FROM b GROUP BY 1, 2
+    """,
+    "q75_pack_sequences": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 16 AS bucket,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, bucket, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket
+                                               ORDER BY doc_id)
+                           - n_tokens) / 512.0) AS BIGINT) AS pack
+        FROM t
     """,
 }
 

