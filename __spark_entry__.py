@@ -904,6 +904,25 @@ def q75_pack_sequences(spark, sf_dir) -> DataFrame:
                                budget=512, n_buckets=16)
 
 
+def q76_chunk_tokens(spark, sf_dir) -> DataFrame:
+    """Overlapping token chunking (RAG / context prep): pure per-row
+    explode, zero shuffles."""
+    from preql_spark.operators import text
+    d = _eng(spark, sf_dir).t.documents
+    return text.chunk_tokens(d.df, chunk=64, overlap=16)
+
+
+def q77_quantile_filter(spark, sf_dir) -> DataFrame:
+    """Corpus-relative quality gate: keep docs at/above their source's
+    25th-percentile token count (exact interpolated percentile,
+    broadcast thresholds — fact table is never re-shuffled)."""
+    from preql_spark.operators import text
+    d = _eng(spark, sf_dir).t.documents
+    base = d.df.select("doc_id", "source",
+                       text.token_count("text").alias("n_tokens"))
+    return text.quantile_filter(base, "n_tokens", 0.25, by="source")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -980,6 +999,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_dedup_canonical": q73_dedup_canonical,
     "q74_split_by_hash": q74_split_by_hash,
     "q75_pack_sequences": q75_pack_sequences,
+    "q76_chunk_tokens": q76_chunk_tokens,
+    "q77_quantile_filter": q77_quantile_filter,
 }
 
 
@@ -1622,6 +1643,32 @@ ORACLES: dict[str, str] = {
                                                ORDER BY doc_id)
                            - n_tokens) / 512.0) AS BIGINT) AS pack
         FROM t
+    """,
+    "q76_chunk_tokens": r"""
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        s AS (SELECT doc_id, toks, CAST(i AS INT) AS start
+              FROM t, UNNEST(range(1, greatest(len(toks) - 16, 1) + 1, 48))
+                      AS r(i))
+        SELECT doc_id,
+               CAST((start - 1) / 48 AS INT) AS chunk_id,
+               CAST(len(list_slice(toks, start, start + 63)) AS INT)
+                   AS n_tokens,
+               array_to_string(list_slice(toks, start, start + 63), ' ')
+                   AS chunk_text
+        FROM s
+    """,
+    "q77_quantile_filter": r"""
+        WITH base AS (SELECT doc_id, source,
+                             CAST(len(string_split_regex(trim(text), '\s+'))
+                                  AS INT) AS n_tokens
+                      FROM documents),
+        thr AS (SELECT source, quantile_cont(n_tokens, 0.25) AS t
+                FROM base GROUP BY source)
+        SELECT b.doc_id, b.source, b.n_tokens
+        FROM base b JOIN thr ON b.source = thr.source
+        WHERE b.n_tokens >= thr.t
     """,
 }
 

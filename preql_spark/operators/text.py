@@ -188,3 +188,50 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
     return t.select(id_col, "bucket", "n_tokens",
                     F.floor((cum - F.col("n_tokens")) / budget)
                     .cast("long").alias("pack"))
+
+
+def chunk_tokens(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", chunk: int = 128,
+                 overlap: int = 32) -> DataFrame:
+    """Split each document into token chunks of ``chunk`` tokens with
+    ``overlap`` tokens carried between consecutive chunks (RAG /
+    context-window prep).  Narrow explode over the token array —
+    per-row work only, no shuffle at all; chunk text is rebuilt
+    JVM-side with slice + concat_ws.  Returns
+    (id, chunk_id, n_tokens, chunk_text)."""
+    if overlap >= chunk:
+        raise ValueError("overlap must be smaller than chunk")
+    step = chunk - overlap
+    t = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    n = F.size("__t")
+    # chunk starts: 1, 1+step, ... while start <= len (1-based slice)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)),
+                        F.lit(step))
+    ex = t.select(id_col, "__t",
+                  F.posexplode(starts).alias("chunk_id", "__start"))
+    piece = F.slice("__t", F.col("__start"), chunk)
+    return ex.select(id_col, "chunk_id",
+                     F.size(piece).alias("n_tokens"),
+                     F.concat_ws(" ", piece).alias("chunk_text"))
+
+
+def quantile_filter(df: DataFrame, value_col: str, q: float,
+                    by: str | None = None,
+                    keep: str = "above") -> DataFrame:
+    """Keep rows whose ``value_col`` is above (or below) the q-th
+    exact interpolated percentile, optionally computed per ``by``
+    group — the corpus-relative quality gate (e.g. drop the bottom
+    quartile of token counts per source).  Thresholds come from one
+    partial-agg shuffle over the groups and are broadcast back — the
+    fact table is never re-shuffled."""
+    from pyspark.sql.functions import broadcast
+    pct = F.expr(f"percentile({value_col}, {q})").alias("__thr")
+    if by is None:
+        thr = df.select(pct)
+        joined = df.crossJoin(broadcast(thr))
+    else:
+        thr = df.groupBy(by).agg(pct)
+        joined = df.join(broadcast(thr), by)
+    cmp = (F.col(value_col) >= F.col("__thr") if keep == "above"
+           else F.col(value_col) <= F.col("__thr"))
+    return joined.filter(cmp).drop("__thr")

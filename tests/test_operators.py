@@ -268,3 +268,42 @@ def test_pack_sequences(eng):
     for b in {r.bucket for r in rows}:
         packs = sorted({r.pack for r in rows if r.bucket == b})
         assert packs == list(range(len(packs)))
+
+
+def test_chunk_tokens(eng):
+    from preql_spark.operators.text import chunk_tokens
+    spark = eng.spark
+    doc = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100))), (2, "a b")],
+        "doc_id: long, text: string")
+    out = chunk_tokens(doc, chunk=40, overlap=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    # starts 1, 31, 61 -> 90 covered? len=100, starts while <= 90:
+    # 1,31,61 -> slices 40,40,40; plus... greatest(100-10)=90 -> 1,31,61 only
+    assert [r.chunk_id for r in c1] == [0, 1, 2]
+    assert [r.n_tokens for r in c1] == [40, 40, 40]
+    assert c1[0].chunk_text.split()[:2] == ["w0", "w1"]
+    # consecutive chunks share the overlap tokens
+    assert c1[0].chunk_text.split()[-10:] == c1[1].chunk_text.split()[:10]
+    assert by_doc[2][0].n_tokens == 2      # short doc -> one chunk
+    # zero-shuffle plan: pure per-row explode
+    plan = chunk_tokens(doc, chunk=40, overlap=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_quantile_filter(eng):
+    from preql_spark.operators.text import quantile_filter
+    spark = eng.spark
+    df = spark.createDataFrame(
+        [("a", i) for i in range(1, 11)] + [("b", i) for i in (5, 50)],
+        "grp: string, v: long")
+    kept = quantile_filter(df, "v", 0.5, by="grp").collect()
+    a_vals = sorted(r.v for r in kept if r.grp == "a")
+    assert a_vals == [6, 7, 8, 9, 10]      # median of 1..10 is 5.5
+    assert sorted(r.v for r in kept if r.grp == "b") == [50]
+    below = quantile_filter(df, "v", 0.5, keep="below").collect()
+    assert max(r.v for r in below) <= 8    # global median of all 12
