@@ -923,6 +923,23 @@ def q77_quantile_filter(spark, sf_dir) -> DataFrame:
     return text.quantile_filter(base, "n_tokens", 0.25, by="source")
 
 
+def q78_interval_join(spark, sf_dir) -> DataFrame:
+    """Range join lowered to an equi-join on time buckets (the raw
+    theta predicate would run as a nested-loop join): count events in
+    each of 15 deterministic 6-hour maintenance windows."""
+    from preql_spark.operators.rangejoin import interval_join
+    eng = _eng(spark, sf_dir)
+    iv = (spark.range(15)
+          .select(F.col("id").alias("window_id"),
+                  (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                   + F.make_interval(days=F.col("id") * 2)).alias("start"))
+          .withColumn("end", F.col("start") + F.expr("INTERVAL 6 HOURS")))
+    ev = eng.t.events.df.select("event_id", "ts")
+    out = interval_join(ev, iv, bucket_s=6 * 3600)
+    return out.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -1001,6 +1018,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_pack_sequences": q75_pack_sequences,
     "q76_chunk_tokens": q76_chunk_tokens,
     "q77_quantile_filter": q77_quantile_filter,
+    "q78_interval_join": q78_interval_join,
 }
 
 
@@ -1669,6 +1687,20 @@ ORACLES: dict[str, str] = {
         SELECT b.doc_id, b.source, b.n_tokens
         FROM base b JOIN thr ON b.source = thr.source
         WHERE b.n_tokens >= thr.t
+    """,
+    "q78_interval_join": """
+        WITH iv AS (
+            SELECT CAST(i AS BIGINT) AS window_id,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                       + INTERVAL (CAST(i AS INT) * 2) DAY AS s,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                       + INTERVAL (CAST(i AS INT) * 2) DAY
+                       + INTERVAL 6 HOUR AS e
+            FROM range(15) AS r(i)
+        )
+        SELECT window_id, count(*) AS n_events
+        FROM events JOIN iv ON ts >= s AND ts < e
+        GROUP BY window_id
     """,
 }
 

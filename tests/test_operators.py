@@ -307,3 +307,40 @@ def test_quantile_filter(eng):
     assert sorted(r.v for r in kept if r.grp == "b") == [50]
     below = quantile_filter(df, "v", 0.5, keep="below").collect()
     assert max(r.v for r in below) <= 8    # global median of all 12
+
+
+def test_interval_join(eng):
+    from preql_spark.operators.rangejoin import interval_join
+    spark = eng.spark
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00", "u1"), (2, "2024-01-01 02:30:00", "u1"),
+         (3, "2024-01-01 00:45:00", "u2"), (4, "2024-01-05 00:00:00", "u1")],
+        "event_id: long, ts_s: string, user: string").selectExpr(
+            "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user")
+    iv = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "2024-01-01 01:00:00", "u1"),
+         (11, "2024-01-01 00:00:00", "2024-01-01 03:00:00", "u1"),
+         (12, "2024-01-01 00:00:00", "2024-01-01 01:00:00", "u2")],
+        "window_id: long, s: string, e: string, user: string").selectExpr(
+            "window_id", "CAST(s AS TIMESTAMP) AS start",
+            "CAST(e AS TIMESTAMP) AS end", "user")
+    # without keys: every containing interval matches, exactly once
+    got = sorted((r.event_id, r.window_id) for r in
+                 interval_join(ev, iv, bucket_s=1800).collect())
+    assert got == [(1, 10), (1, 11), (1, 12), (2, 11), (3, 10), (3, 11),
+                   (3, 12)]
+    # with equality keys the match is also per-user
+    got = sorted((r.event_id, r.window_id) for r in
+                 interval_join(ev, iv, bucket_s=1800,
+                               keys=["user"]).collect())
+    assert got == [(1, 10), (1, 11), (2, 11), (3, 12)]
+    # end is exclusive: an event exactly at end does not match
+    ev2 = spark.createDataFrame([(9, "2024-01-01 01:00:00")],
+                                "event_id: long, ts_s: string") \
+        .selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    assert interval_join(
+        ev2, iv.filter(F.col("window_id") == 10), bucket_s=1800).count() == 0
+    # plan: hash join on buckets, not nested-loop
+    plan = interval_join(ev, iv, bucket_s=1800) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
