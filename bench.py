@@ -5,7 +5,7 @@
 Each query executes fully via the ``noop`` sink (computes everything,
 collects nothing — measures engine throughput, not driver transfer).
 
-Each query runs twice and the best time is reported: the reference's
+Each query runs three times and the best time is reported: the reference's
 baseline numbers (BASELINE.md) are averages of 1000 warm in-process
 iterations, so steady-state is the comparable measurement — the first
 run pays one-time parquet footer reads and whole-stage-codegen
@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "q44_sessionize",        # stateful event sessionization
     "q45_tumbling_window",   # time-bucket aggregation
     "q64_tfidf_top_terms",   # explode + multi-agg + window top-k (text)
+    "q75_pack_sequences",    # bucketed-window token packing
+    "q78_interval_join",     # bucketized range join (no BNLJ)
 ]
 
 
@@ -52,7 +54,7 @@ def main():
     for name in BENCH_QUERIES:
         df = qs[name](spark, sf_dir)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
