@@ -722,6 +722,9 @@ def q60_dml_lifecycle(spark, sf_dir) -> DataFrame:
     t.delete(F.col("n_regionkey") == 4)
     t.insert_rows([{"n_nationkey": 900, "n_name": "ATLANTIS",
                     "n_regionkey": 0}])
+    t.merge(spark.createDataFrame(
+        [(1, "NATION_1_M"), (901, "LEMURIA")],
+        "n_nationkey: long, n_name: string"), on="n_nationkey")
     return t.df().select("n_nationkey", "n_name", "n_regionkey")
 
 
@@ -1480,12 +1483,15 @@ ORACLES: dict[str, str] = {
     """,
     "q60_dml_lifecycle": """
         SELECT n_nationkey,
-               CASE WHEN n_regionkey = 0 THEN n_name || '_AF'
+               CASE WHEN n_nationkey = 1 THEN 'NATION_1_M'
+                    WHEN n_regionkey = 0 THEN n_name || '_AF'
                     ELSE n_name END AS n_name,
                n_regionkey
         FROM nation WHERE n_regionkey <> 4
         UNION ALL
         SELECT 900, 'ATLANTIS', 0
+        UNION ALL
+        SELECT 901, 'LEMURIA', NULL
     """,
     "q61_lang_user_func": """
         SELECT l_returnflag, count(*) AS n,

@@ -159,6 +159,44 @@ class MutableTable:
         self._write_version(updated)
         return n
 
+    def merge(self, src: DataFrame, on: list[str] | str) -> dict:
+        """Upsert (Delta/Iceberg MERGE INTO shape, beyond the
+        reference's DML): rows of ``src`` matching on ``on`` replace
+        the current rows' non-key columns; unmatched src rows are
+        inserted with fresh ids.  One copy-on-write version write;
+        matching is a single full-outer-free plan (anti + semi joins
+        on the keys).  Returns {"updated": n, "inserted": n}."""
+        keys = [on] if isinstance(on, str) else list(on)
+        cur = self.df()
+        data_cols = [c for c in cur.columns if c != self.id_col]
+        upd_cols = [c for c in data_cols
+                    if c in src.columns and c not in keys]
+        src = src.select(*keys, *upd_cols)
+        kept = cur.join(src.select(*keys), keys, "left_anti")
+        matched = (cur.alias("t").join(src.alias("s"), keys)
+                   .select(F.col(f"t.{self.id_col}").alias(self.id_col),
+                           *keys,
+                           *[(F.col(f"s.{c}") if c in upd_cols
+                              else F.col(f"t.{c}")).alias(c)
+                             for c in data_cols if c not in keys]))
+        n_upd = matched.count()
+        fresh = src.join(cur.select(*keys), keys, "left_anti")
+        base = self._next_id_base()
+        w = Window.orderBy(F.monotonically_increasing_id())
+        inserted = fresh.select(
+            *keys, *upd_cols,
+            *[F.lit(None).cast(cur.schema[c].dataType).alias(c)
+              for c in data_cols if c not in keys and c not in upd_cols]
+        ).select(
+            (F.row_number().over(w).cast("long") + F.lit(base - 1))
+            .alias(self.id_col), *data_cols)
+        n_ins = fresh.count()
+        out = (kept.select(self.id_col, *data_cols)
+               .unionByName(matched.select(self.id_col, *data_cols))
+               .unionByName(inserted))
+        self._write_version(out)
+        return {"updated": n_upd, "inserted": n_ins}
+
     def delete(self, cond) -> int:
         """``t delete [conds]`` — filtered overwrite. Returns rows deleted."""
         cur = self.df()

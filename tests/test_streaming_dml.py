@@ -150,3 +150,27 @@ def test_stream_dedup(spark, tmp_path):
         output_mode="append")
     ids = sorted(r.event_id for r in out.collect())
     assert ids == [0, 1, 2, 3, 4]
+
+
+def test_merge_upsert(spark, tmp_path):
+    t = MutableTable.create(spark, "m1", str(tmp_path),
+                            "k: long, val: string, extra: long")
+    t.insert_rows([{"k": 1, "val": "a", "extra": 10},
+                   {"k": 2, "val": "b", "extra": 20}])
+    src = spark.createDataFrame(
+        [(2, "B"), (3, "c")], "k: long, val: string")
+    stats = t.merge(src, on="k")
+    assert stats == {"updated": 1, "inserted": 1}
+    rows = {r.k: (r.val, r.extra) for r in t.df().collect()}
+    # matched row: val updated, untouched column preserved
+    assert rows[1] == ("a", 10)
+    assert rows[2] == ("B", 20)
+    # inserted row: missing column is NULL, id generated
+    assert rows[3] == ("c", None)
+    ids = [r[t.id_col] for r in t.df().collect()]
+    assert len(set(ids)) == 3
+    # merge is idempotent for identical src
+    stats2 = t.merge(src, on="k")
+    assert stats2["inserted"] == 0 and stats2["updated"] == 2
+    assert {r.k: (r.val, r.extra) for r in t.df().collect()} == {
+        1: ("a", 10), 2: ("B", 20), 3: ("c", None)}
