@@ -1,7 +1,7 @@
 from preql_spark.streaming.stream import (
     read_event_stream, tumbling_agg, sliding_agg, session_agg,
-    run_to_memory, stream_dedup,
+    run_to_memory, stream_dedup, stream_join,
 )
 
 __all__ = ["read_event_stream", "tumbling_agg", "sliding_agg",
-           "session_agg", "run_to_memory", "stream_dedup"]
+           "session_agg", "run_to_memory", "stream_dedup", "stream_join"]

@@ -125,6 +125,34 @@ def stream_dedup(stream: DataFrame, keys: list[str],
     return stream.dropDuplicates(keys)
 
 
+def stream_join(left: DataFrame, right: DataFrame, keys: list[str],
+                how: str = "inner",
+                left_ts: str = "ts", right_ts: str = "ts",
+                within: str | None = None) -> DataFrame:
+    """Stream-stream equi-join.  ``within`` adds the event-time range
+    constraint (right.ts in [left.ts - within, left.ts + within])
+    that lets Spark EVICT join state as the watermarks advance —
+    without it, inner-join state grows forever and outer joins are
+    rejected outright.  Both inputs must be watermarked
+    (read_event_stream does this)."""
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__r_{k}")
+    if right_ts == left_ts:
+        r = r.withColumnRenamed(right_ts, f"__r_{right_ts}")
+        right_ts = f"__r_{right_ts}"
+    cond = None
+    for k in keys:
+        c = left[k] == r[f"__r_{k}"]
+        cond = c if cond is None else (cond & c)
+    if within is not None:
+        lo = F.expr(f"{right_ts} >= {left_ts} - INTERVAL {within}")
+        hi = F.expr(f"{right_ts} <= {left_ts} + INTERVAL {within}")
+        cond = cond & lo & hi
+    out = left.join(r, cond, how)
+    return out.drop(*[f"__r_{k}" for k in keys])
+
+
 def run_to_memory(result: DataFrame, name: str,
                   output_mode: str = "complete") -> DataFrame:
     """Execute a streaming query to completion over the currently

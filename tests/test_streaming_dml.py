@@ -174,3 +174,26 @@ def test_merge_upsert(spark, tmp_path):
     assert stats2["inserted"] == 0 and stats2["updated"] == 2
     assert {r.k: (r.val, r.extra) for r in t.df().collect()} == {
         1: ("a", 10), 2: ("B", 20), 3: ("c", None)}
+
+
+def test_stream_stream_join(spark, eng, events_path):
+    # two independent streams over the same events; join each login-ish
+    # event to same-user events within 5 minutes; compare to the
+    # identical batch join
+    l = ps_stream.read_event_stream(spark, events_path, watermark="1 hour") \
+        .select("user_id", "event_id", "ts")
+    r = ps_stream.read_event_stream(spark, events_path, watermark="1 hour") \
+        .select("user_id", F.col("event_id").alias("r_event_id"), "ts")
+    joined = ps_stream.stream_join(l, r, ["user_id"], within="5 minutes")
+    out = ps_stream.run_to_memory(joined, "t_ssjoin", output_mode="append")
+    n_stream = out.count()
+    b = eng.t.events.df
+    lb = b.select("user_id", "event_id", "ts")
+    rb = b.select(F.col("user_id").alias("u2"),
+                  F.col("event_id").alias("r_event_id"),
+                  F.col("ts").alias("ts2"))
+    n_batch = lb.join(
+        rb, (lb.user_id == rb.u2)
+        & (rb.ts2 >= lb.ts - F.expr("INTERVAL 5 MINUTES"))
+        & (rb.ts2 <= lb.ts + F.expr("INTERVAL 5 MINUTES"))).count()
+    assert n_stream == n_batch and n_stream > 0
