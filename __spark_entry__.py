@@ -943,6 +943,24 @@ def q78_interval_join(spark, sf_dir) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"))
 
 
+def q79_stream_stream_join(spark, sf_dir) -> DataFrame:
+    """Stream-stream self-join on user within an event-time range
+    (the 'within' constraint bounds join state under the watermark);
+    oracle is the equivalent batch range self-join."""
+    import os as _os
+    from preql_spark import streaming as st
+    _eng(spark, sf_dir)
+    p = _os.path.join(sf_dir, "events.parquet")
+    l = st.read_event_stream(spark, p, watermark="1 hour") \
+        .select("user_id", "event_id", "ts")
+    r = st.read_event_stream(spark, p, watermark="1 hour") \
+        .select("user_id", F.col("event_id").alias("r_event_id"), "ts")
+    j = st.stream_join(l, r, ["user_id"], within="2 minutes")
+    out = st.run_to_memory(j, f"q79_sink_{abs(hash(sf_dir)) % 10**6}",
+                           output_mode="append")
+    return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -1022,6 +1040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_chunk_tokens": q76_chunk_tokens,
     "q77_quantile_filter": q77_quantile_filter,
     "q78_interval_join": q78_interval_join,
+    "q79_stream_stream_join": q79_stream_stream_join,
 }
 
 
@@ -1707,6 +1726,14 @@ ORACLES: dict[str, str] = {
         SELECT window_id, count(*) AS n_events
         FROM events JOIN iv ON ts >= s AND ts < e
         GROUP BY window_id
+    """,
+    "q79_stream_stream_join": """
+        SELECT l.user_id, count(*) AS n_pairs
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND r.ts >= l.ts - INTERVAL 2 MINUTE
+         AND r.ts <= l.ts + INTERVAL 2 MINUTE
+        GROUP BY l.user_id
     """,
 }
 
