@@ -568,8 +568,9 @@ def q46_asof_join(spark, sf_dir) -> DataFrame:
 
 def q47_multimodal_features(spark, sf_dir) -> DataFrame:
     """Multimodal plumbing: synthesized binary payloads → mapInPandas
-    feature extraction (deterministic fake decoder; no SQL oracle —
-    Python kernel, rows-only check)."""
+    feature extraction.  The fake decoder is md5-derived, so the
+    Arrow-boundary kernel is value-checked against a pure-SQL oracle
+    that recomputes the same features from the digest."""
     from preql_spark.operators import multimodal
     d = _eng(spark, sf_dir).t.documents
     withbin = multimodal.attach_binary_column(d.df)
@@ -1421,6 +1422,23 @@ ORACLES: dict[str, str] = {
                    WHERE event_type = 'error')
         SELECT l.event_id, r.error_id
         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    "q47_multimodal_features": """
+        WITH h AS (SELECT doc_id, md5(text) AS m FROM documents),
+        p AS (SELECT doc_id, m,
+                     ('0x' || substr(m, 9, 8))::BIGINT AS hi,
+                     ('0x' || substr(m, 17, 8))::BIGINT AS lo
+              FROM h)
+        SELECT doc_id,
+               CAST(64 + ('0x' || substr(m, 1, 2))::INT % 192 AS INT)
+                   AS width,
+               CAST(64 + ('0x' || substr(m, 3, 2))::INT % 192 AS INT)
+                   AS height,
+               ('0x' || substr(m, 5, 2))::INT / 255.0 AS mean_luma,
+               CASE WHEN hi >= 2147483648
+                    THEN (hi - 4294967296) * 4294967296 + lo
+                    ELSE hi * 4294967296 + lo END AS phash
+        FROM p
     """,
     "q48_stream_tumbling": """
         SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
