@@ -962,6 +962,25 @@ def q79_stream_stream_join(spark, sf_dir) -> DataFrame:
     return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def q80_centroid_agg(spark, sf_dir) -> DataFrame:
+    """Per-group mean embedding via explode + (group, position)
+    partial agg — scalar rows through the shuffle, not arrays."""
+    from preql_spark.operators.similarity import centroid_agg
+    e = _eng(spark, sf_dir).t.embeddings
+    g = e.df.withColumn("grp", F.col("vec_id") % 8)
+    out = centroid_agg(g, "grp")
+    return out.select("grp", F.transform("centroid", _pr4).alias("centroid"))
+
+
+def q81_grouping_sets(spark, sf_dir) -> DataFrame:
+    """Explicit GROUPING SETS — one shuffle for several groupings."""
+    o = _eng(spark, sf_dir).t.orders
+    return (o.grouping_sets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        n=F.count(F.lit(1)),
+        total=F.round(F.sum("o_totalprice"), 2)).df)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -1042,6 +1061,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_quantile_filter": q77_quantile_filter,
     "q78_interval_join": q78_interval_join,
     "q79_stream_stream_join": q79_stream_stream_join,
+    "q80_centroid_agg": q80_centroid_agg,
+    "q81_grouping_sets": q81_grouping_sets,
 }
 
 
@@ -1752,6 +1773,25 @@ ORACLES: dict[str, str] = {
          AND r.ts >= l.ts - INTERVAL 2 MINUTE
          AND r.ts <= l.ts + INTERVAL 2 MINUTE
         GROUP BY l.user_id
+    """,
+    "q80_centroid_agg": """
+        WITH ex AS (
+            SELECT vec_id % 8 AS grp,
+                   generate_subscripts(embedding, 1) AS p,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        m AS (SELECT grp, p, avg(x) AS m FROM ex GROUP BY grp, p)
+        SELECT grp,
+               list(floor(m * 10000 + 0.5) / 10000 ORDER BY p) AS centroid
+        FROM m GROUP BY grp
+    """,
+    "q81_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
     """,
 }
 

@@ -264,3 +264,21 @@ def lsh_cosine_pairs(df: DataFrame, threshold: float, dim: int,
     return (cands.select("id_a", "id_b",
                          cosine(F.col("__va"), F.col("__vb")).alias("sim"))
             .filter(F.col("sim") >= threshold))
+
+
+def centroid_agg(df: DataFrame, by, vec_col: str = "embedding",
+                 alias: str = "centroid") -> DataFrame:
+    """Per-group elementwise mean embedding (cluster centroids, user/
+    topic profiles).  Explode-to-narrow-rows then (group, position)
+    partial-agg — one shuffle of scalar rows, no array objects through
+    the exchange, stays in whole-stage codegen (HOF aggregation over
+    arrays would ship whole vectors and fall out of codegen)."""
+    keys = [by] if isinstance(by, str) else list(by)
+    ex = df.select(*keys, F.posexplode(vec_col).alias("__p", "__x"))
+    return (ex.groupBy(*keys, "__p")
+            .agg(F.avg(F.col("__x").cast("double")).alias("__m"))
+            .groupBy(*keys)
+            .agg(F.array_sort(F.collect_list(F.struct("__p", "__m")))
+                 .alias("__ms"))
+            .select(*keys, F.transform("__ms", lambda s: s["__m"])
+                    .alias(alias)))

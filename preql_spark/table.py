@@ -191,6 +191,17 @@ class Table:
         agg_cols = [_as_col(e, self).alias(n) for n, e in aggs.items()]
         return self._with(self.df.rollup(*[_as_col(k, self) for k in by]).agg(*agg_cols))
 
+    def grouping_sets(self, sets: list[list[str]], **aggs) -> "Table":
+        """Explicit GROUPING SETS (the general form of cube/rollup):
+        one pass computes an arbitrary list of groupings; columns not
+        in a given set come back NULL.  All sets share one shuffle
+        (Spark expands rows per set before the partial aggregate)."""
+        agg_cols = [_as_col(e, self).alias(n) for n, e in aggs.items()]
+        all_keys = list(dict.fromkeys(k for s in sets for k in s))
+        gs = self.df.groupingSets([[F.col(k) for k in s] for s in sets],
+                                  *[F.col(k) for k in all_keys])
+        return self._with(gs.agg(*agg_cols))
+
     def unpivot(self, ids: list[str] | str, value_cols: list[str],
                 var_name: str = "variable",
                 value_name: str = "value") -> "Table":

@@ -263,3 +263,13 @@ def test_split_by_hash(eng):
         == d.count()
     with pytest.raises(ValueError):
         d.split_by_hash("doc_id", {"train": 0.5})
+
+
+def test_grouping_sets(eng):
+    o = eng.t.orders
+    out = o.grouping_sets(
+        [["o_orderstatus"], []], n=F.count(F.lit(1))).collect()
+    rows = {r.o_orderstatus: r.n for r in out}
+    total = o.count()
+    assert rows[None] == total           # the () grand-total set
+    assert sum(v for k, v in rows.items() if k is not None) == total

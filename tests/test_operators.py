@@ -344,3 +344,13 @@ def test_interval_join(eng):
     plan = interval_join(ev, iv, bucket_s=1800) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+def test_centroid_agg(eng):
+    from preql_spark.operators.similarity import centroid_agg
+    spark = eng.spark
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 4.0]), ("b", [10.0, 20.0])],
+        "grp: string, embedding: array<double>")
+    got = {r.grp: list(r.centroid) for r in centroid_agg(df, "grp").collect()}
+    assert got == {"a": [2.0, 3.0], "b": [10.0, 20.0]}
