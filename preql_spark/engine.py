@@ -84,6 +84,10 @@ def default_session(app_name: str = "preql_spark", cpus: int | None = None) -> S
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # runtime row-level filtering: build a bloom filter from the
+        # selective side of a shuffle join and push it into the other
+        # side's scan — free I/O reduction on big joins at scale
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -542,6 +542,25 @@ class Table:
         self.df.write.mode(mode).partitionBy(*by).parquet(path)
         return self._with(self.engine.spark.read.parquet(path))
 
+    def write_clustered(self, path: str, by: list[str] | str,
+                        mode: str = "overwrite",
+                        n_files: int | None = None) -> "Table":
+        """Persist range-clustered on ``by``: rows are range-
+        partitioned then sorted within files, so every parquet file
+        covers a narrow key range and its min/max footer statistics
+        let range/point predicates skip whole files (the Z-order-lite
+        answer for single-dimension clustering — the complement of
+        hive partitioning for HIGH-cardinality keys like timestamps
+        or ids, where one-directory-per-value would explode)."""
+        by = [by] if isinstance(by, str) else list(by)
+        from pyspark.sql import functions as F
+        cols = [F.col(c) for c in by]
+        part = (self.df.repartitionByRange(n_files, *cols) if n_files
+                else self.df.repartitionByRange(*cols))
+        (part.sortWithinPartitions(*cols)
+         .write.mode(mode).parquet(path))
+        return self._with(self.engine.spark.read.parquet(path))
+
     def sample_stratified(self, key, strata_col: str,
                           ratios: dict, default: float = 0.0) -> "Table":
         """Deterministic per-stratum hash sampling: each stratum keeps

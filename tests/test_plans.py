@@ -131,3 +131,29 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(source" in plan \
         or f"PartitionFilters: [isnotnull(source#" in plan \
         or "PartitionFilters" in plan and src in plan
+
+
+def test_write_clustered_file_skipping(eng, tmp_path):
+    import glob
+    import pyarrow.parquet as pq
+    path = str(tmp_path / "clustered")
+    eng.t.lineitem.write_clustered(path, "l_orderkey", n_files=8)
+    files = glob.glob(path + "/part-*.parquet")
+    assert len(files) > 1, "need multiple files to demonstrate skipping"
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("l_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    # range clustering makes per-file key ranges (nearly) disjoint, so
+    # a point/range predicate touches one file: check total overlap is
+    # tiny relative to the full key span
+    ranges.sort()
+    overlaps = sum(max(0, a_hi - b_lo)
+                   for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]))
+    span = ranges[-1][1] - ranges[0][0]
+    assert overlaps <= span * 0.05
