@@ -981,6 +981,31 @@ def q81_grouping_sets(spark, sf_dir) -> DataFrame:
         total=F.round(F.sum("o_totalprice"), 2)).df)
 
 
+def q82_redact_pii(spark, sf_dir) -> DataFrame:
+    """PII scrubbing (email/phone/IPv4 → placeholders) as a pure
+    regexp chain — scan-local, no shuffle.  PII synthesized onto the
+    corpus so the redaction paths actually fire."""
+    from preql_spark.operators import text
+    d = _eng(spark, sf_dir).t.documents
+    dirty = F.concat(F.col("text"),
+                     F.lit(" contact u"), F.col("doc_id"),
+                     F.lit("@example.com or +1 (555) 010-"),
+                     F.col("doc_id"), F.lit(" at 10.0.0."),
+                     (F.col("doc_id") % 255))
+    return d.df.select("doc_id",
+                       text.redact_pii(dirty).alias("clean"))
+
+
+def q83_strip_short_lines(spark, sf_dir) -> DataFrame:
+    """Rule-based boilerplate removal: drop lines under 4 tokens via
+    a JVM-side array filter (documents given synthetic line breaks)."""
+    from preql_spark.operators import text
+    d = _eng(spark, sf_dir).t.documents
+    lined = F.replace(F.col("text"), F.lit("."), F.lit("\n"))
+    return d.df.select(
+        "doc_id", text.strip_short_lines(lined, min_tokens=4).alias("clean"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -1063,6 +1088,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_stream_stream_join": q79_stream_stream_join,
     "q80_centroid_agg": q80_centroid_agg,
     "q81_grouping_sets": q81_grouping_sets,
+    "q82_redact_pii": q82_redact_pii,
+    "q83_strip_short_lines": q83_strip_short_lines,
 }
 
 
@@ -1792,6 +1819,37 @@ ORACLES: dict[str, str] = {
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), ())
+    """,
+    "q82_redact_pii": r"""
+        WITH dirty AS (
+            SELECT doc_id,
+                   text || ' contact u' || doc_id
+                        || '@example.com or +1 (555) 010-' || doc_id
+                        || ' at 10.0.0.' || (doc_id % 255) AS s
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(s,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g'),
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                 '<IPV4>', 'g') AS clean
+        FROM dirty
+    """,
+    "q83_strip_short_lines": r"""
+        WITH lined AS (
+            SELECT doc_id, replace(text, '.', chr(10)) AS s
+            FROM documents
+        )
+        SELECT doc_id,
+               array_to_string(
+                 list_filter(string_split(s, chr(10)),
+                   x -> len(string_split_regex(trim(x), '\s+')) >= 4),
+                 chr(10)) AS clean
+        FROM lined
     """,
 }
 

@@ -235,3 +235,34 @@ def quantile_filter(df: DataFrame, value_col: str, q: float,
     cmp = (F.col(value_col) >= F.col("__thr") if keep == "above"
            else F.col(value_col) <= F.col("__thr"))
     return joined.filter(cmp).drop("__thr")
+
+
+PII_PATTERNS = {
+    # deliberately simple, RE2-compatible patterns (portable between
+    # Spark's Java regex and DuckDB/RE2 for differential testing)
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(col, kinds: list[str] | None = None) -> Column:
+    """Replace email/phone/IPv4 literals with ``<KIND>`` placeholders —
+    the standard scrub step before a corpus ships to training.  Pure
+    regexp_replace chain: scan-local, codegen, no shuffle."""
+    c = col if isinstance(col, Column) else F.col(col)
+    for kind in (kinds or list(PII_PATTERNS)):
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return c
+
+
+def strip_short_lines(col, min_tokens: int = 3) -> Column:
+    """Drop boilerplate-ish lines (fewer than ``min_tokens`` tokens)
+    from a document — the cheap rule-based cleaning pass (nav menus,
+    copyright footers).  Array pipeline over split lines: filter +
+    rejoin, all JVM-side."""
+    c = col if isinstance(col, Column) else F.col(col)
+    lines = F.split(c, r"\n")
+    kept = F.filter(lines, lambda ln: F.size(F.split(F.trim(ln), r"\s+"))
+                    >= min_tokens)
+    return F.array_join(kept, "\n")

@@ -354,3 +354,26 @@ def test_centroid_agg(eng):
         "grp: string, embedding: array<double>")
     got = {r.grp: list(r.centroid) for r in centroid_agg(df, "grp").collect()}
     assert got == {"a": [2.0, 3.0], "b": [10.0, 20.0]}
+
+
+def test_redact_pii(eng):
+    from preql_spark.operators.text import redact_pii
+    spark = eng.spark
+    df = spark.createDataFrame(
+        [("mail bob@corp.io or call +1 (555) 123-4567 from 192.168.0.1",),
+         ("nothing sensitive here",)], "t: string")
+    got = [r.c for r in df.select(redact_pii("t").alias("c")).collect()]
+    assert got[0] == "mail <EMAIL> or call <PHONE> from <IPV4>"
+    assert got[1] == "nothing sensitive here"
+
+
+def test_strip_short_lines(eng):
+    from preql_spark.operators.text import strip_short_lines
+    spark = eng.spark
+    doc = "Home | About\nthis line has plenty of tokens\nCopyright 2024\n" \
+          "another real sentence with enough words"
+    df = spark.createDataFrame([(doc,)], "t: string")
+    out = df.select(strip_short_lines("t", min_tokens=4).alias("c")) \
+        .collect()[0].c
+    assert out == ("this line has plenty of tokens\n"
+                   "another real sentence with enough words")
