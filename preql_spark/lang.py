@@ -41,7 +41,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<dots>\.\.\.|\.\.)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<string>"[^"]*"|'[^']*')
-  | (?P<op>==|!=|<=|>=|=>|!in|/~|[-+*/%<>=~^(){}\[\],:.!|&;?])
+  | (?P<op>==|!=|<=|>=|=>|!in|/~|\*\*|[-+*/%<>=~^(){}\[\],:.!|&;?])
 """, re.VERBOSE)
 
 _KEYWORDS = {"and", "or", "not", "in", "order", "new", "one", "null",
@@ -118,6 +118,13 @@ class Parser:
             while self.accept("op", ";"):
                 pass
         self.expect("eof")
+        if isinstance(v, Column):
+            # a table-free scalar expression ("a" in "abc", 2 ** 10):
+            # localize it like the reference interpreter would
+            # (cast_to_python, evaluate.py:338-356) — one-row plan,
+            # no table scan
+            v = self.engine.spark.range(1).select(v.alias("v")) \
+                .collect()[0]["v"]
         return v
 
     def statement(self):
@@ -216,8 +223,14 @@ class Parser:
                             "Table.in_table (semi-join) for table-scale "
                             "membership")
                     r = vals
-                v = self._col(v).isin(r) if not negate \
-                    else ~self._col(v).isin(r)
+                if isinstance(r, str):
+                    # string-in-string is a substring test
+                    # (compile_binops.py:147-152 str_contains)
+                    v = F.lit(r).contains(self._col(v)) if not negate \
+                        else ~F.lit(r).contains(self._col(v))
+                else:
+                    v = self._col(v).isin(r) if not negate \
+                        else ~self._col(v).isin(r)
             else:
                 return v
 
@@ -241,12 +254,12 @@ class Parser:
                 return v
 
     def mult(self):
-        v = self.unary()
+        v = self.power()
         while True:
             t = self.peek()
             if t.kind == "op" and t.text in ("*", "/", "/~", "%"):
                 self.next()
-                r = self.unary()
+                r = self.power()
                 a = self._col(v)
                 v = {"*": lambda: a * r if isinstance(r, (int, float)) else a * self._col(r),
                      "/": lambda: exprs.fdiv(a, self._col(r)),
@@ -254,6 +267,17 @@ class Parser:
                      "%": lambda: a % self._col(r)}[t.text]()
             else:
                 return v
+
+    def power(self):
+        """``a ** b`` → power() (compile_binops.py:241-243); binds
+        tighter than * and is right-associative like the reference."""
+        v = self.unary()
+        if self.peek().kind == "op" and self.peek().text == "**":
+            self.next()
+            r = self.power()
+            return F.pow(self._col(v), r if isinstance(r, (int, float))
+                         else self._col(r))
+        return v
 
     def unary(self):
         if self.accept("op", "-"):

@@ -200,3 +200,16 @@ def test_theta_join_on(eng):
     assert out2.count() == 25 * 24 // 2
     with pytest.raises(AttributeError):
         eng.q('join(a: nation, b: region, on: a.nope == b.r_regionkey)')
+
+
+def test_scalar_localization_and_power(eng):
+    assert eng.q('"preql" in "preql_spark"') is True
+    assert eng.q('"xyz" !in "preql_spark"') is True
+    assert eng.q('2 ** 10') == 1024.0
+    assert eng.q('2 * 3 ** 2') == 18.0          # ** binds tighter
+    assert eng.q('2 ** 3 ** 2') == 512.0        # right-associative
+    assert eng.q('upper("abc")') == "ABC"
+    # column context still lazy: table stays a Table
+    out = eng.q('nation{n_nationkey, p: 2 ** n_nationkey}')
+    rows = {r.n_nationkey: r.p for r in out.collect()}
+    assert rows[10] == 1024.0
