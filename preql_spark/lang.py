@@ -243,6 +243,10 @@ class Parser:
                 r = self.mult()
                 if isinstance(v, Table) and isinstance(r, Table):
                     v = (v + r) if t.text == "+" else (v - r)
+                elif t.text == "+" and (self._is_stringy(v)
+                                        or self._is_stringy(r)):
+                    # string + string → concat (compile_binops.py:246-249)
+                    v = F.concat(self._col(v), self._col(r))
                 else:
                     a, b = self._col(v), self._col(r)
                     v = a + b if t.text == "+" else a - b
@@ -260,6 +264,11 @@ class Parser:
             if t.kind == "op" and t.text in ("*", "/", "/~", "%"):
                 self.next()
                 r = self.power()
+                if t.text == "*" and self._is_stringy(v):
+                    # string * n → repeat (compile_binops.py:204-207)
+                    v = F.repeat(self._col(v),
+                                 r if isinstance(r, int) else self._col(r))
+                    continue
                 a = self._col(v)
                 v = {"*": lambda: a * r if isinstance(r, (int, float)) else a * self._col(r),
                      "/": lambda: exprs.fdiv(a, self._col(r)),
@@ -585,6 +594,21 @@ class Parser:
         return v
 
     # ---- coercion --------------------------------------------------
+    def _is_stringy(self, x) -> bool:
+        """Best-effort static stringiness for operator dispatch
+        (compile_binops.py:246-259 dispatches ``+``/``*`` on the
+        Preql type): Python str literals, and bare current-table
+        columns whose schema dtype is string."""
+        if isinstance(x, str):
+            return True
+        if isinstance(x, Column) and self.table is not None:
+            name = str(x)
+            if name.startswith("Column<'") and name.endswith("'>"):
+                name = name[8:-2]
+                dt = dict(self.table.df.dtypes).get(name)
+                return dt == "string"
+        return False
+
     def _col(self, v) -> Column:
         if isinstance(v, Column):
             return v

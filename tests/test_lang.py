@@ -213,3 +213,14 @@ def test_scalar_localization_and_power(eng):
     out = eng.q('nation{n_nationkey, p: 2 ** n_nationkey}')
     rows = {r.n_nationkey: r.p for r in out.collect()}
     assert rows[10] == 1024.0
+
+
+def test_string_concat_repeat(eng):
+    assert eng.q('"ab" + "cd"') == "abcd"
+    assert eng.q('"ab" * 3') == "ababab"
+    out = eng.q('nation[n_nationkey == 3]{x: n_name + "!"}')
+    assert out.collect()[0].x == "NATION_3!"
+    out2 = eng.q('nation[n_nationkey == 3]{x: n_name * 2}')
+    assert out2.collect()[0].x == "NATION_3NATION_3"
+    # numeric + unaffected
+    assert eng.q('2 + 3') == 5
