@@ -379,11 +379,11 @@ def q28_range(spark, sf_dir) -> DataFrame:
 
 
 def q29_map_range(spark, sf_dir) -> DataFrame:
-    """map_range fan-out → explode(sequence())."""
+    """map_range fan-out (__builtins__.pql:592-650) →
+    explode(sequence()), per-row end bound."""
     r = _eng(spark, sf_dir).t.region
-    return (r.project("r_name",
-                      i=F.explode(F.sequence(F.lit(0), F.col("r_regionkey"))))
-            .df)
+    return (r.map_range(0, F.col("r_regionkey") + 1, alias="i")
+            .project("r_name", "i").df)
 
 
 # ---------------------------------------------------------------------------

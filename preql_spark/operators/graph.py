@@ -89,3 +89,8 @@ def walk_tree(edges: DataFrame, initial: DataFrame, max_rank: int,
             break
         out = out.unionByName(frontier)
     return out
+
+
+# connected components lives in operators.dedup (it is the dedup
+# clustering end-step) but is equally a graph operator — re-export
+from preql_spark.operators.dedup import connected_components  # noqa: F401,E402

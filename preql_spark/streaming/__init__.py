@@ -1,7 +1,8 @@
 from preql_spark.streaming.stream import (
     read_event_stream, tumbling_agg, sliding_agg, session_agg,
-    run_to_memory, stream_dedup, stream_join,
+    run_to_memory, stream_dedup, stream_join, stream_to_parquet,
 )
 
 __all__ = ["read_event_stream", "tumbling_agg", "sliding_agg",
-           "session_agg", "run_to_memory", "stream_dedup", "stream_join"]
+           "session_agg", "run_to_memory", "stream_dedup", "stream_join",
+           "stream_to_parquet"]

@@ -25,10 +25,19 @@ def read_event_stream(spark: SparkSession, path: str,
     the same path (streaming reads require an explicit schema)."""
     if os.path.isfile(path):
         # the file-stream source requires a directory; expose a single
-        # parquet file through a symlinked staging dir
-        staging = tempfile.mkdtemp(prefix="preql_stream_")
-        os.symlink(os.path.abspath(path),
-                   os.path.join(staging, os.path.basename(path)))
+        # parquet file through a symlinked staging dir.  The staging
+        # path is DETERMINISTIC per source file (content-addressed by
+        # abspath) so a checkpointed restart resolves to the same
+        # source path the offset log recorded.
+        import hashlib
+        digest = hashlib.md5(
+            os.path.abspath(path).encode()).hexdigest()[:12]
+        staging = os.path.join(tempfile.gettempdir(),
+                               f"preql_stream_{digest}")
+        os.makedirs(staging, exist_ok=True)
+        link = os.path.join(staging, os.path.basename(path))
+        if not os.path.islink(link):
+            os.symlink(os.path.abspath(path), link)
         path = staging
     # TIMESTAMP(NANOS) parquet needs the nanos-as-long bridge (same
     # normalization as Engine.load_dir)
@@ -151,6 +160,23 @@ def stream_join(left: DataFrame, right: DataFrame, keys: list[str],
         cond = cond & lo & hi
     out = left.join(r, cond, how)
     return out.drop(*[f"__r_{k}" for k in keys])
+
+
+def stream_to_parquet(result: DataFrame, path: str, checkpoint: str,
+                      output_mode: str = "append",
+                      available_now: bool = True):
+    """Durable streaming sink: exactly-once parquet append driven by
+    the checkpoint (offset + commit log).  With ``available_now`` the
+    query drains the currently-available input and stops — the batch
+    backfill pattern; pass False for a continuously-running query.
+    Returns the StreamingQuery (caller owns awaitTermination)."""
+    w = (result.writeStream.format("parquet")
+         .option("path", path)
+         .option("checkpointLocation", checkpoint)
+         .outputMode(output_mode))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def run_to_memory(result: DataFrame, name: str,

@@ -248,6 +248,20 @@ class Table:
         return self._with(self.df.select(
             *others, fn(F.col(col)).alias(alias or col)))
 
+    def map_range(self, start, end, alias: str = "index") -> "Table":
+        """Reference map_range(tbl, start, end) — __builtins__.pql:
+        592-650: fan each row out into (end - start) rows carrying an
+        ``alias`` index in [start, end); bounds may be constants or
+        per-row expressions.  Pure explode(sequence()) — scan-local,
+        no shuffle."""
+        s = F.lit(start) if isinstance(start, int) else _as_col(start, self)
+        e = F.lit(end) if isinstance(end, int) else _as_col(end, self)
+        # sequence(5, 4) would auto-step DOWN; empty ranges must fan
+        # out to zero rows (explode drops the null array)
+        seq = F.when(e > s, F.sequence(s, e - 1))
+        return self._with(self.df.select(
+            "*", F.explode(seq).alias(alias)))
+
     def describe(self) -> "Table":
         """Reference describe(tbl) — __builtins__.pql:656-667."""
         return self._with(self.df.summary("count", "mean", "stddev", "min", "max"))

@@ -273,3 +273,15 @@ def test_grouping_sets(eng):
     total = o.count()
     assert rows[None] == total           # the () grand-total set
     assert sum(v for k, v in rows.items() if k is not None) == total
+
+
+def test_map_range(eng):
+    spark = eng.spark
+    t = eng.from_df(spark.createDataFrame(
+        [("a", 0, 3), ("b", 2, 4), ("c", 5, 5)], "k: string, s: int, e: int"))
+    rows = sorted((r.k, r["index"]) for r in
+                  t.map_range(F.col("s"), F.col("e")).collect())
+    # [s, e): c fans out to zero rows
+    assert rows == [("a", 0), ("a", 1), ("a", 2), ("b", 2), ("b", 3)]
+    const = t.map_range(0, 2).count()
+    assert const == 6

@@ -197,3 +197,22 @@ def test_stream_stream_join(spark, eng, events_path):
         & (rb.ts2 >= lb.ts - F.expr("INTERVAL 5 MINUTES"))
         & (rb.ts2 <= lb.ts + F.expr("INTERVAL 5 MINUTES"))).count()
     assert n_stream == n_batch and n_stream > 0
+
+
+def test_stream_to_parquet_sink(spark, tmp_path, events_path):
+    out_path = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ps_stream.read_event_stream(spark, events_path,
+                                         watermark="1 day")
+    q = ps_stream.stream_to_parquet(
+        stream.select("event_id", "user_id"), out_path, ckpt)
+    q.awaitTermination()
+    written = spark.read.parquet(out_path)
+    n_src = spark.read.parquet(events_path).count()
+    assert written.count() == n_src
+    # checkpointed restart is a no-op (exactly-once, no duplicates)
+    q2 = ps_stream.stream_to_parquet(
+        ps_stream.read_event_stream(spark, events_path, watermark="1 day")
+        .select("event_id", "user_id"), out_path, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(out_path).count() == n_src
