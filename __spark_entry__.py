@@ -1006,6 +1006,15 @@ def q83_strip_short_lines(spark, sf_dir) -> DataFrame:
         "doc_id", text.strip_short_lines(lined, min_tokens=4).alias("clean"))
 
 
+def q84_sample_weighted(spark, sf_dir) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirakis over a
+    content-hash uniform): longer documents proportionally more
+    likely; plan is TakeOrderedAndProject (per-partition heaps)."""
+    d = _eng(spark, sf_dir).t.documents
+    return (d.sample_weighted("doc_id", F.length("text"), 50)
+            .project("doc_id").df)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -1090,6 +1099,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_grouping_sets": q81_grouping_sets,
     "q82_redact_pii": q82_redact_pii,
     "q83_strip_short_lines": q83_strip_short_lines,
+    "q84_sample_weighted": q84_sample_weighted,
 }
 
 
@@ -1850,6 +1860,16 @@ ORACLES: dict[str, str] = {
                    x -> len(string_split_regex(trim(x), '\s+')) >= 4),
                  chr(10)) AS clean
         FROM lined
+    """,
+    "q84_sample_weighted": """
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        ::BIGINT % 1000000) + 1) / 1000001.0)
+                   / CAST(length(text) AS DOUBLE) AS s
+            FROM documents
+            ORDER BY s DESC LIMIT 50
+        )
     """,
 }
 

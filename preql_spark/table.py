@@ -593,7 +593,23 @@ class Table:
                          F.lit(int(ratio * 1000000))).otherwise(thr)
         return self._with(self.df.filter(bucket < thr))
 
-    def temptable(self, name: str) -> "Table":
+    def sample_weighted(self, key, weight, n: int) -> "Table":
+        """Deterministic weighted sampling without replacement
+        (Efraimidis-Spirakis A-Res): rank every row by
+        ln(u) / w where u is a (0,1) uniform derived from the content
+        hash of ``key``, keep the top ``n``.  Heavier rows win
+        proportionally more often, the draw is a pure function of the
+        data (reproducible across runs/engines), and the plan is a
+        TakeOrderedAndProject — per-partition heaps, no global sort."""
+        from pyspark.sql import functions as F
+        from preql_spark.operators.text import portable_hash
+        k = F.col(key) if isinstance(key, str) else key
+        w = F.col(weight) if isinstance(weight, str) else weight
+        u = (portable_hash(k.cast("string")) % 1000000 + 1) / 1000001.0
+        score = F.log(u) / w.cast("double")
+        return self._with(
+            self.df.withColumn("__ws", score)
+            .orderBy(F.col("__ws").desc()).limit(n).drop("__ws"))
         """Reference temptable — pql_functions.py:327-348: session-scoped
         materialized table."""
         self.df.cache().createOrReplaceTempView(name)

@@ -285,3 +285,23 @@ def test_map_range(eng):
     assert rows == [("a", 0), ("a", 1), ("a", 2), ("b", 2), ("b", 3)]
     const = t.map_range(0, 2).count()
     assert const == 6
+
+
+def test_sample_weighted(eng):
+    t = eng.t.documents
+    a = sorted(r.doc_id for r in
+               t.sample_weighted("doc_id", F.length("text"), 40).collect())
+    b = sorted(r.doc_id for r in
+               t.sample_weighted("doc_id", F.length("text"), 40).collect())
+    assert a == b and len(a) == 40          # deterministic draw
+    # heavier rows overrepresented: the sampled docs' mean length
+    # exceeds the corpus mean
+    import pyspark.sql.functions as SF
+    corpus_mean = t.df.select(SF.avg(SF.length("text"))).collect()[0][0]
+    picked = t.df.filter(SF.col("doc_id").isin(a)) \
+        .select(SF.avg(SF.length("text"))).collect()[0][0]
+    assert picked > corpus_mean
+    # plan: top-k lowering, not a global sort
+    plan = t.sample_weighted("doc_id", F.length("text"), 40) \
+        .df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
