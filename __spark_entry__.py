@@ -1865,7 +1865,7 @@ ORACLES: dict[str, str] = {
         SELECT doc_id FROM (
             SELECT doc_id,
                    ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                        ::BIGINT % 1000000) + 1) / 1000001.0)
+                        ::BIGINT % 1099511627776) + 1) / 1099511627777.0)
                    / CAST(length(text) AS DOUBLE) AS s
             FROM documents
             ORDER BY s DESC LIMIT 50

@@ -605,7 +605,10 @@ class Table:
         from preql_spark.operators.text import portable_hash
         k = F.col(key) if isinstance(key, str) else key
         w = F.col(weight) if isinstance(weight, str) else weight
-        u = (portable_hash(k.cast("string")) % 1000000 + 1) / 1000001.0
+        # 2^40 buckets: tie probability stays negligible at corpus
+        # scale (1e6 buckets would birthday-collide in the thousands)
+        m = 1 << 40
+        u = (portable_hash(k.cast("string")) % m + 1) / float(m + 1)
         score = F.log(u) / w.cast("double")
         return self._with(
             self.df.withColumn("__ws", score)
