@@ -1015,6 +1015,15 @@ def q84_sample_weighted(spark, sf_dir) -> DataFrame:
             .project("doc_id").df)
 
 
+def q85_lang_fmt(spark, sf_dir) -> DataFrame:
+    """fmt() $var interpolation through the lang front-end
+    (pql_functions.py:132-169) — compiles to one concat expression."""
+    eng = _eng(spark, sf_dir)
+    out = eng.q('customer{c_custkey,'
+                ' msg: fmt("customer $c_name in segment $c_mktsegment")}')
+    return out.df
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -1100,6 +1109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q82_redact_pii": q82_redact_pii,
     "q83_strip_short_lines": q83_strip_short_lines,
     "q84_sample_weighted": q84_sample_weighted,
+    "q85_lang_fmt": q85_lang_fmt,
 }
 
 
@@ -1870,6 +1880,12 @@ ORACLES: dict[str, str] = {
             FROM documents
             ORDER BY s DESC LIMIT 50
         )
+    """,
+    "q85_lang_fmt": """
+        SELECT c_custkey,
+               'customer ' || c_name || ' in segment ' || c_mktsegment
+                   AS msg
+        FROM customer
     """,
 }
 

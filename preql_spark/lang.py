@@ -664,6 +664,24 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
     from preql_spark.functions import aggregate as agg
     from preql_spark import table as tbl
 
+    if name == "fmt":
+        # fmt("$var text") interpolation (pql_functions.py:132-169):
+        # $names resolve in the current evaluation context and the
+        # template compiles to one concat expression
+        template = args[0]
+        if not isinstance(template, str):
+            raise TypeError("fmt() takes a string literal")
+        parts, pos = [], 0
+        for m in re.finditer(r"\$(\w+)", template):
+            if m.start() > pos:
+                parts.append(F.lit(template[pos:m.start()]))
+            parts.append(parser._col(parser._name(m.group(1)))
+                         .cast("string"))
+            pos = m.end()
+        if pos < len(template):
+            parts.append(F.lit(template[pos:]))
+        return F.concat(*parts) if parts else F.lit("")
+
     if name in _TABLE_FUNCS:
         if name in ("join", "leftjoin", "outerjoin", "joinall"):
             tables = {k: v for k, v in kwargs.items() if isinstance(v, Table)}
@@ -685,6 +703,16 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
             return args[0].cache()
         if name == "one":
             return args[0].one()
+        if name == "page":
+            return args[0].page(args[1], args[2])
+        if name == "is_empty":
+            return args[0].is_empty()
+        if name == "sample_ratio_fast":
+            return args[0].sample_ratio(args[1])
+        if name == "sample_fast":
+            return args[0].sample_n(args[1])
+        if name == "limit_offset":
+            return args[0].slice(args[2], args[2] + args[1])
 
     col = None
     if args and isinstance(args[0], Table):
@@ -731,14 +759,19 @@ def _make_maps():
         "str_index": lambda sub, c: s.str_index(sub, c),
         "int": s.to_int, "float": s.to_float, "string": s.to_string,
         "bool": s.to_bool, "now": lambda: s.now(), "random": lambda: s.random(),
+        "char_range": s.char_range,
+        "str_notcontains": lambda sub, c: s.str_notcontains(sub, c),
+        "pi": lambda: F.lit(__import__("math").pi),
     }
     return agg_map, scalar_map
 
 
 _AGG_MAP, _SCALAR_MAP = _make_maps()
-_FUNCTIONS = set(_AGG_MAP) | set(_SCALAR_MAP) | {"count"}
+_FUNCTIONS = set(_AGG_MAP) | set(_SCALAR_MAP) | {"count", "fmt"}
 _TABLE_FUNCS = {"join", "leftjoin", "outerjoin", "joinall", "distinct",
-                "enum", "describe", "limit", "temptable", "one"}
+                "enum", "describe", "limit", "temptable", "one",
+                "page", "is_empty", "sample_ratio_fast", "sample_fast",
+                "limit_offset"}
 
 
 def q(engine, src: str, **env):

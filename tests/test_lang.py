@@ -224,3 +224,15 @@ def test_string_concat_repeat(eng):
     assert out2.collect()[0].x == "NATION_3NATION_3"
     # numeric + unaffected
     assert eng.q('2 + 3') == 5
+
+
+def test_fmt_and_stdlib_funcs(eng):
+    out = eng.q('nation[n_nationkey == 3]'
+                '{msg: fmt("nation $n_name is in region $n_regionkey")}')
+    assert out.collect()[0].msg == "nation NATION_3 is in region 3"
+    assert eng.q('char_range("a", "d")') == ["a", "b", "c", "d"]
+    assert eng.q('is_empty(nation[n_nationkey == 999])') is True
+    assert eng.q('count(page(nation, 1, 10))') == 10
+    assert abs(eng.q('pi()') - 3.141592653589793) < 1e-12
+    n = eng.q('count(sample_ratio_fast(customer, 0.5))')
+    assert 0 < n < eng.t.customer.count()
