@@ -190,3 +190,41 @@ def test_lang_pipeline_equals_api(eng, lo, desc, n, grouped):
              .slice(0, n))
         want = [tuple(r) for r in t.collect()]
     assert got == want
+
+
+# ---- interval join equivalence ---------------------------------------------
+
+@settings(**SETTINGS)
+@given(bucket_s=st.sampled_from([600, 1800, 3600, 7200]),
+       width_m=st.integers(1, 300))
+def test_interval_join_equals_theta_join(eng, bucket_s, width_m):
+    """Bucketized interval_join ≡ the raw theta join, for any bucket
+    width and interval length."""
+    from preql_spark.operators.rangejoin import interval_join
+    spark = eng.spark
+    iv = (spark.range(8)
+          .select(F.col("id").alias("window_id"),
+                  (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                   + F.make_interval(hours=F.col("id") * 37)).alias("start")))
+    iv = iv.withColumn(
+        "end", F.col("start") + F.make_interval(mins=F.lit(width_m)))
+    ev = eng.t.events.df.select("event_id", "ts")
+    got = sorted((r.event_id, r.window_id) for r in
+                 interval_join(ev, iv, bucket_s=bucket_s).collect())
+    want = sorted((r.event_id, r.window_id) for r in
+                  ev.join(iv, (ev.ts >= iv.start) & (ev.ts < iv["end"]))
+                  .collect())
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(f1=st.integers(1, 98))
+def test_split_by_hash_partitions(eng, f1):
+    """Every row gets exactly one label and fractions vary with f1."""
+    f = f1 / 100.0
+    labeled = eng.t.documents.split_by_hash(
+        "doc_id", {"a": f, "b": round(1 - f, 10)})
+    counts = {r["split"]: r["n"] for r in
+              labeled.group("split", n=F.count(F.lit(1))).collect()}
+    assert sum(counts.values()) == eng.t.documents.count()
+    assert set(counts) <= {"a", "b"}
