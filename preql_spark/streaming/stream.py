@@ -179,6 +179,27 @@ def stream_to_parquet(result: DataFrame, path: str, checkpoint: str,
     return w.start()
 
 
+def incremental_rollup(spark: SparkSession, src_path: str, dest_path: str,
+                       checkpoint: str, duration: str = "1 hour",
+                       ts_col: str = "ts", keys: list[str] | None = None,
+                       watermark: str = "0 seconds", **aggs):
+    """Continuous aggregate (hypertable-rollup shape): maintain a
+    time-bucketed rollup of an append-only event directory, processing
+    ONLY files that arrived since the last run (the checkpoint's file
+    log is the incremental state).  Append mode emits a window once
+    the watermark passes its end, so each window lands in the rollup
+    exactly once — re-running against unchanged input is a no-op, and
+    a 100 TB/day feed costs each day's delta, not a full recompute.
+    Windows still inside the watermark stay pending until a later run
+    closes them.  Returns after draining currently-available input."""
+    stream = read_event_stream(spark, src_path, ts_col=ts_col,
+                               watermark=watermark)
+    agg = tumbling_agg(stream, duration, ts_col=ts_col, keys=keys, **aggs)
+    q = stream_to_parquet(agg, dest_path, checkpoint, output_mode="append")
+    q.awaitTermination()
+    return spark.read.parquet(dest_path)
+
+
 def run_to_memory(result: DataFrame, name: str,
                   output_mode: str = "complete") -> DataFrame:
     """Execute a streaming query to completion over the currently

@@ -216,3 +216,41 @@ def test_stream_to_parquet_sink(spark, tmp_path, events_path):
         .select("event_id", "user_id"), out_path, ckpt)
     q2.awaitTermination()
     assert spark.read.parquet(out_path).count() == n_src
+
+
+def test_incremental_rollup(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dest = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt_roll")
+    batch1 = spark.createDataFrame(
+        [(i, "2024-01-01 0%d:1%d:00" % (h, i % 6), "t%d" % (i % 2))
+         for h in range(3) for i in range(6)],
+        "event_id: long, ts_s: string, event_type: string").selectExpr(
+            "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+    batch1.write.parquet(src)
+    r1 = ps_stream.incremental_rollup(
+        spark, src, dest, ckpt, duration="1 hour",
+        keys=["event_type"], n=F.count(F.lit(1)))
+    n1 = r1.count()
+    assert n1 > 0
+    # windows before the final hour are closed and materialized once
+    got = {(r.window_start, r.event_type): r.n for r in r1.collect()}
+    # re-run with NO new files: rollup unchanged (exactly-once)
+    r2 = ps_stream.incremental_rollup(
+        spark, src, dest, ckpt, duration="1 hour",
+        keys=["event_type"], n=F.count(F.lit(1)))
+    assert {(r.window_start, r.event_type): r.n
+            for r in r2.collect()} == got
+    # append a later batch: only the delta is processed, closing the
+    # previously-pending window
+    batch2 = spark.createDataFrame(
+        [(100, "2024-01-01 05:00:00", "t0")],
+        "event_id: long, ts_s: string, event_type: string").selectExpr(
+            "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+    batch2.write.mode("append").parquet(src)
+    r3 = ps_stream.incremental_rollup(
+        spark, src, dest, ckpt, duration="1 hour",
+        keys=["event_type"], n=F.count(F.lit(1)))
+    got3 = {(r.window_start, r.event_type): r.n for r in r3.collect()}
+    assert len(got3) > len(got)            # pending windows closed
+    assert all(got3[k] == v for k, v in got.items())  # old rows immutable
