@@ -301,6 +301,12 @@ class Parser:
             if t.kind == "op" and t.text == "[" and isinstance(v, Table):
                 self.next()
                 v = self._selection_or_slice(v)
+            elif t.kind == "op" and t.text == "[" \
+                    and (isinstance(v, str) or isinstance(v, Column)):
+                # string index / slice (compiler.py:555-597,
+                # sql.StringSlice sql.py:896-926) — 0-based
+                self.next()
+                v = self._string_slice(v)
             elif t.kind == "op" and t.text == "{" and isinstance(v, Table):
                 self.next()
                 v = self._projection(v)
@@ -317,6 +323,22 @@ class Parser:
                 v = self._call(v)
             else:
                 return v
+
+    def _string_slice(self, v):
+        from preql_spark.functions import scalar as s
+        first = None
+        if self.peek().kind == "int":
+            first = int(self.next().text)
+        if self.accept("dots", ".."):
+            stop = None
+            if self.peek().kind == "int":
+                stop = int(self.next().text)
+            self.expect("op", "]")
+            return s.str_slice(self._col(v), first or 0, stop)
+        self.expect("op", "]")
+        if first is None:
+            raise SyntaxError("expected index or slice")
+        return s.str_slice(self._col(v), first, first + 1)
 
     def _selection_or_slice(self, tab: Table):
         # peek for `a..b` slice

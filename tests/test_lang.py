@@ -236,3 +236,12 @@ def test_fmt_and_stdlib_funcs(eng):
     assert abs(eng.q('pi()') - 3.141592653589793) < 1e-12
     n = eng.q('count(sample_ratio_fast(customer, 0.5))')
     assert 0 < n < eng.t.customer.count()
+
+
+def test_string_slicing(eng):
+    assert eng.q('"hello"[1..3]') == "el"
+    assert eng.q('"hello"[2]') == "l"
+    assert eng.q('"hello"[2..]') == "llo"
+    assert eng.q('"hello"[..2]') == "he"
+    out = eng.q('nation[n_nationkey == 7]{x: n_name[0..6]}')
+    assert out.collect()[0].x == "NATION"
