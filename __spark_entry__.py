@@ -1024,6 +1024,19 @@ def q85_lang_fmt(spark, sf_dir) -> DataFrame:
     return out.df
 
 
+def q86_ivf_full_probe(spark, sf_dir) -> DataFrame:
+    """IVF index search probing ALL cells — must equal brute-force
+    exactly (the recall trade-off only appears when nprobe <
+    n_centroids), so it shares q40's oracle.  Proves the inverted-list
+    partition covers the corpus with no loss."""
+    from preql_spark.operators import similarity
+    e = _eng(spark, sf_dir).t.embeddings
+    q = e.df.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(e.df, q, k=5, n_centroids=8, nprobe=8)
+    return out.select("query_id", "neighbor_id", "rank",
+                      _pr4(F.col("sim")).alias("sim"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -1110,6 +1123,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_strip_short_lines": q83_strip_short_lines,
     "q84_sample_weighted": q84_sample_weighted,
     "q85_lang_fmt": q85_lang_fmt,
+    "q86_ivf_full_probe": q86_ivf_full_probe,
 }
 
 
@@ -1891,4 +1905,7 @@ ORACLES: dict[str, str] = {
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    out = dict(ORACLES)
+    # full-probe IVF is exact, so it shares the brute-force oracle
+    out["q86_ivf_full_probe"] = ORACLES["q40_cosine_topk"]
+    return out
