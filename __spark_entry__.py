@@ -1037,6 +1037,24 @@ def q86_ivf_full_probe(spark, sf_dir) -> DataFrame:
                       _pr4(F.col("sim")).alias("sim"))
 
 
+def q87_stream_dedup(spark, sf_dir) -> DataFrame:
+    """Watermark-bounded streaming dedup on (user_id, event_type):
+    the streamed distinct set must equal the batch DISTINCT.  (On a
+    live stream, duplicates farther apart than the watermark delay
+    may re-emit — that's the bounded-state contract; an availableNow
+    replay drains in one micro-batch, so here dedup is exact.)"""
+    import os as _os
+    from preql_spark import streaming as st
+    _eng(spark, sf_dir)
+    p = _os.path.join(sf_dir, "events.parquet")
+    stream = st.read_event_stream(spark, p, watermark="1 day") \
+        .select("user_id", "event_type", "ts")
+    out = st.run_to_memory(
+        st.stream_dedup(stream, ["user_id", "event_type"]),
+        f"q87_sink_{abs(hash(sf_dir)) % 10**6}", output_mode="append")
+    return out.select("user_id", "event_type")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -1124,6 +1142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q84_sample_weighted": q84_sample_weighted,
     "q85_lang_fmt": q85_lang_fmt,
     "q86_ivf_full_probe": q86_ivf_full_probe,
+    "q87_stream_dedup": q87_stream_dedup,
 }
 
 
@@ -1908,4 +1927,6 @@ def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # full-probe IVF is exact, so it shares the brute-force oracle
     out["q86_ivf_full_probe"] = ORACLES["q40_cosine_topk"]
+    out["q87_stream_dedup"] = \
+        "SELECT DISTINCT user_id, event_type FROM events"
     return out
