@@ -129,10 +129,14 @@ def q06_forecast_revenue(spark, sf_dir) -> DataFrame:
 
 def q07_collect_list(spark, sf_dir) -> DataFrame:
     """Bare column in agg position → array (MakeArray parity), sorted
-    for determinism."""
+    for determinism.  Serialized with array_join so the driver's
+    pandas canonicalizer (which can't hash list cells) can compare it
+    value-for-value against the DuckDB oracle."""
     from preql_spark.functions import aggregate as agg
     n = _eng(spark, sf_dir).t.nation
     return (n.group("n_regionkey", names=agg.collect("n_name", sort=True))
+            .project(n_regionkey=F.col("n_regionkey"),
+                     names=F.array_join(F.col("names"), ","))
             .df)
 
 
@@ -964,12 +968,16 @@ def q79_stream_stream_join(spark, sf_dir) -> DataFrame:
 
 def q80_centroid_agg(spark, sf_dir) -> DataFrame:
     """Per-group mean embedding via explode + (group, position)
-    partial agg — scalar rows through the shuffle, not arrays."""
+    partial agg — scalar rows through the shuffle, not arrays.
+    Result flattened to (grp, dim, val) scalar rows so the driver's
+    pandas canonicalizer (which can't hash list cells) can compare
+    it value-for-value against the DuckDB oracle."""
     from preql_spark.operators.similarity import centroid_agg
     e = _eng(spark, sf_dir).t.embeddings
     g = e.df.withColumn("grp", F.col("vec_id") % 8)
     out = centroid_agg(g, "grp")
-    return out.select("grp", F.transform("centroid", _pr4).alias("centroid"))
+    return (out.select("grp", F.posexplode("centroid").alias("dim", "val"))
+            .select("grp", "dim", _pr4(F.col("val")).alias("val")))
 
 
 def q81_grouping_sets(spark, sf_dir) -> DataFrame:
@@ -1204,7 +1212,7 @@ ORACLES: dict[str, str] = {
         WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
     """,
     "q07_collect_list": """
-        SELECT n_regionkey, list_sort(list(n_name)) AS names
+        SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS names
         FROM nation GROUP BY n_regionkey
     """,
     "q08_median_percentile": """
@@ -1860,11 +1868,10 @@ ORACLES: dict[str, str] = {
                    generate_subscripts(embedding, 1) AS p,
                    CAST(unnest(embedding) AS DOUBLE) AS x
             FROM embeddings
-        ),
-        m AS (SELECT grp, p, avg(x) AS m FROM ex GROUP BY grp, p)
-        SELECT grp,
-               list(floor(m * 10000 + 0.5) / 10000 ORDER BY p) AS centroid
-        FROM m GROUP BY grp
+        )
+        SELECT grp, p - 1 AS dim,
+               floor(avg(x) * 10000 + 0.5) / 10000 AS val
+        FROM ex GROUP BY grp, p
     """,
     "q81_grouping_sets": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
