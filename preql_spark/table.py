@@ -613,8 +613,12 @@ class Table:
         return self._with(
             self.df.withColumn("__ws", score)
             .orderBy(F.col("__ws").desc()).limit(n).drop("__ws"))
+
+    def temptable(self, name: str) -> "Table":
         """Reference temptable — pql_functions.py:327-348: session-scoped
-        materialized table."""
+        materialized table.  Spark analogue: cache + temp view + catalog
+        registration so later queries (DataFrame or SQL) reuse the
+        materialization instead of recomputing the lineage."""
         self.df.cache().createOrReplaceTempView(name)
         return self.engine.register(name, self.df, pk=self.meta.pk, fks=self.meta.fks)
 

@@ -305,3 +305,20 @@ def test_sample_weighted(eng):
     plan = t.sample_weighted("doc_id", F.length("text"), 40) \
         .df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_temptable(eng):
+    """Reference temptable (pql_functions.py:327-348): materialize a
+    derived table under a session name; both the Python handle and the
+    SQL catalog see it, and metadata (pk/fks) carries over."""
+    t = eng.t.nation.filter(F.col("n_regionkey") < 2).temptable("nations_lo")
+    assert t.count() == eng.t.nation.filter(F.col("n_regionkey") < 2).count()
+    # registered in the engine catalog with carried-over metadata
+    assert eng.t.nations_lo.meta.pk == eng.t.nation.meta.pk
+    assert eng.t.nations_lo.meta.fks == eng.t.nation.meta.fks
+    # visible to SQL as a temp view
+    n = eng.spark.sql("SELECT count(*) AS n FROM nations_lo").collect()[0].n
+    assert n == t.count()
+    # FK auto-join still works through the temp table
+    joined = eng.t.nations_lo.join(eng.t.region)
+    assert joined.count() == t.count()
