@@ -316,10 +316,15 @@ def q22_cross_join(spark, sf_dir) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q23_set_ops(spark, sf_dir) -> DataFrame:
-    """Union-distinct / intersect / except surfaced as tagged rows."""
+    """Union-distinct / intersect / except surfaced as tagged rows.
+    Inputs deliberately keep duplicate rows (no pre-distinct) and use
+    DIFFERENT column names — attesting that `&`/`-`/`|` dedup like the
+    reference's INTERSECT/EXCEPT/UNION (pql_functions.py:385-409) and
+    that all set ops match columns positionally, keeping the left
+    table's names (sql_bin_op, pql_functions.py:362-383)."""
     eng = _eng(spark, sf_dir)
-    cn = eng.t.customer.project(key=F.col("c_nationkey").cast("int")).distinct()
-    sn = eng.t.supplier.project(key=F.col("s_nationkey").cast("int")).distinct()
+    cn = eng.t.customer.project(key=F.col("c_nationkey").cast("int"))
+    sn = eng.t.supplier.project(skey=F.col("s_nationkey").cast("int"))
     both = (cn & sn).project("key", tag=F.lit("both"))
     conly = (cn - sn).project("key", tag=F.lit("cust_only"))
     union = (cn | sn).project("key", tag=F.lit("any"))
@@ -1304,13 +1309,13 @@ ORACLES: dict[str, str] = {
         CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer)
     """,
     "q23_set_ops": """
-        WITH cn AS (SELECT DISTINCT CAST(c_nationkey AS INT) AS key FROM customer),
-             sn AS (SELECT DISTINCT CAST(s_nationkey AS INT) AS key FROM supplier)
-        SELECT key, 'both' AS tag FROM (SELECT key FROM cn INTERSECT SELECT key FROM sn)
+        WITH cn AS (SELECT CAST(c_nationkey AS INT) AS key FROM customer),
+             sn AS (SELECT CAST(s_nationkey AS INT) AS skey FROM supplier)
+        SELECT key, 'both' AS tag FROM (SELECT key FROM cn INTERSECT SELECT skey FROM sn)
         UNION ALL
-        SELECT key, 'cust_only' AS tag FROM (SELECT key FROM cn EXCEPT SELECT key FROM sn)
+        SELECT key, 'cust_only' AS tag FROM (SELECT key FROM cn EXCEPT SELECT skey FROM sn)
         UNION ALL
-        SELECT key, 'any' AS tag FROM (SELECT key FROM cn UNION SELECT key FROM sn)
+        SELECT key, 'any' AS tag FROM (SELECT key FROM cn UNION SELECT skey FROM sn)
     """,
     "q24_union_all": """
         SELECT o_orderkey FROM orders WHERE o_totalprice > 350000

@@ -461,21 +461,51 @@ class Table:
         return self._with(self.df.join(other.df, cond, how))
 
     # ---- set operations (compile_binops.py:185-199) -----------------
+    def _align_setop(self, other: "Table", name: str) -> DataFrame:
+        """Positional alignment for set ops (reference sql_bin_op —
+        pql_functions.py:362-383): match columns by POSITION, require
+        equal arity and per-position type compatibility; the result
+        keeps the left table's column names (``t1.type``).  Same-typed
+        tables with different column names therefore combine, unlike
+        ``unionByName``."""
+        lf, rf = self.df.schema.fields, other.df.schema.fields
+        if len(lf) != len(rf):
+            raise TypeError(
+                f"Cannot {name} tables due to column mismatch "
+                f"(table1 has {len(lf)} columns, table2 has {len(rf)} columns)")
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import NumericType
+        cols = []
+        for e1, e2 in zip(lf, rf):
+            if e1.dataType == e2.dataType:
+                cols.append(F.col(e2.name).alias(e1.name))
+            elif isinstance(e1.dataType, NumericType) and \
+                    isinstance(e2.dataType, NumericType):
+                cols.append(F.col(e2.name).cast(e1.dataType).alias(e1.name))
+            else:
+                raise TypeError(
+                    f"Cannot {name}. Column types don't match: "
+                    f"'{e1.dataType.simpleString()}' and "
+                    f"'{e2.dataType.simpleString()}'")
+        return other.df.select(*cols)
+
     def __add__(self, other: "Table") -> "Table":
-        """``t1 + t2`` → UNION ALL (pql_functions.py:411-417)."""
-        return self._with(self.df.unionByName(other.df))
+        """``t1 + t2`` → UNION ALL, positional (pql_functions.py:411-417)."""
+        return self._with(self.df.union(self._align_setop(other, "concatenate")))
 
     def __or__(self, other: "Table") -> "Table":
         """``t1 | t2`` → UNION DISTINCT (pql_functions.py:403-409)."""
-        return self._with(self.df.unionByName(other.df).distinct())
+        return self._with(
+            self.df.union(self._align_setop(other, "union")).distinct())
 
     def __and__(self, other: "Table") -> "Table":
-        """``t1 & t2`` → INTERSECT (pql_functions.py:385-391)."""
-        return self._with(self.df.intersect(other.df))
+        """``t1 & t2`` → INTERSECT, distinct (pql_functions.py:385-391)."""
+        return self._with(self.df.intersect(self._align_setop(other, "intersect")))
 
     def __sub__(self, other: "Table") -> "Table":
-        """``t1 - t2`` → EXCEPT (pql_functions.py:393-401)."""
-        return self._with(self.df.exceptAll(other.df))
+        """``t1 - t2`` → EXCEPT, distinct like the reference — NOT
+        EXCEPT ALL (pql_functions.py:393-401: plain EXCEPT dedups)."""
+        return self._with(self.df.subtract(self._align_setop(other, "subtract")))
 
     # ---- row access -------------------------------------------------
     def one(self, nullable: bool = False):

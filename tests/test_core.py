@@ -322,3 +322,35 @@ def test_temptable(eng):
     # FK auto-join still works through the temp table
     joined = eng.t.nations_lo.join(eng.t.region)
     assert joined.count() == t.count()
+
+
+def test_setop_semantics(eng):
+    """Reference sql_bin_op parity (pql_functions.py:362-417):
+    positional matching, left-side names, distinct `-`/`|`/`&`,
+    arity/type errors."""
+    spark = eng.spark
+    a = eng.from_df(spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], "x: int"))
+    b = eng.from_df(spark.createDataFrame(
+        [(1,), (3,), (3,)], "y: int"))       # different column name
+    # '-' is EXCEPT (distinct): 1 appears twice in a but once in b → gone
+    assert sorted(r.x for r in (a - b).collect()) == [2]
+    # '|' is UNION (distinct)
+    assert sorted(r.x for r in (a | b).collect()) == [1, 2, 3]
+    # '&' is INTERSECT (distinct)
+    assert sorted(r.x for r in (a & b).collect()) == [1, 3]
+    # '+' is UNION ALL, positional, keeps left names
+    plus = a + b
+    assert plus.df.columns == ["x"]
+    assert sorted(r.x for r in plus.collect()) == [1, 1, 1, 2, 3, 3, 3]
+    # arity mismatch raises like the reference
+    c2 = eng.from_df(spark.createDataFrame([(1, 2)], "p: int, q: int"))
+    import pytest as _pt
+    with _pt.raises(TypeError, match="column mismatch"):
+        _ = a + c2
+    # incompatible types raise; numeric widening is allowed
+    s = eng.from_df(spark.createDataFrame([("z",)], "s: string"))
+    with _pt.raises(TypeError, match="types don't match"):
+        _ = a + s
+    wide = eng.from_df(spark.createDataFrame([(9.5,)], "d: double"))
+    assert (wide + a).df.schema.fields[0].dataType.simpleString() == "double"
