@@ -19,9 +19,12 @@ via version pinning (see :func:`transaction`); documented divergence:
 single-writer assumption — concurrent writers need a real table
 format's commit protocol.
 
-Id generation: ``max(id) + row_number`` over the inserted batch —
-vectorized, one metadata-light max() job.  The reference punts on
-distributed id generation too (returns null ids on bigquery/snowflake,
+Id generation: ``max(id) + per-partition offsets`` over the inserted
+batch — the same two-pass pattern as ``Table._enum_distributed``
+(count rows per partition, broadcast cumulative offsets, per-partition
+row_number), so a large ``t += expr`` backfill never funnels through a
+single-partition global window.  The reference punts on distributed id
+generation entirely (returns null ids on bigquery/snowflake,
 evaluate.py:910-911).
 """
 
@@ -34,6 +37,33 @@ from contextlib import contextmanager
 from pyspark.sql import Column, DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _assign_ids(df: DataFrame, id_col: str, base: int) -> DataFrame:
+    """Prepend unique sequential longs ``base, base+1, ...`` to ``df``
+    without a global single-partition window: freeze partition ids,
+    count rows per partition (one small job), then per-partition
+    row_number + broadcast cumulative offsets.  Parallel at any batch
+    size; ids are dense but their order across partitions is the
+    partition order, which the reference does not promise either."""
+    cols = df.columns
+    tagged = df.withColumn("__pid", F.spark_partition_id()) \
+        .localCheckpoint(eager=False)
+    counts = tagged.groupBy("__pid").count().collect()
+    offsets, acc = {}, 0
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += r["count"]
+    if not offsets:
+        offsets = {0: 0}   # empty batch: keep the map int-typed
+    omap = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+    w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+    out = tagged.withColumn(
+        id_col,
+        (F.row_number().over(w).cast("long") - 1
+         + omap[F.col("__pid")] + F.lit(base)))
+    return out.select(id_col, *cols)
 
 
 class MutableTable:
@@ -96,8 +126,7 @@ class MutableTable:
         ``const=True`` keeps existing ids (new_table_from_expr)."""
         t = cls(spark, name, root, id_col=id_col)
         if not const and id_col not in df.columns:
-            w = Window.orderBy(F.monotonically_increasing_id())
-            df = df.select(F.row_number().over(w).cast("long").alias(id_col), "*")
+            df = _assign_ids(df, id_col, base=1)
         t._write_version(df)
         return t
 
@@ -121,57 +150,74 @@ class MutableTable:
 
     def insert_rows(self, rows: list[dict]) -> list[Row]:
         """Bulk ``new[]`` — vectorized (the reference loops row-at-a-
-        time and flags it "very inefficient", evaluate.py:841)."""
+        time and flags it "very inefficient", evaluate.py:841).  Ids
+        are assigned driver-side by enumeration: the input IS a local
+        Python list, so this costs zero Spark jobs and preserves the
+        reference's insertion-order id sequence."""
         cur = self.df()
         base = self._next_id_base()
         data_schema = T.StructType(
             [f for f in cur.schema.fields if f.name != self.id_col])
+        full_schema = T.StructType(
+            [T.StructField(self.id_col, T.LongType(), False)]
+            + list(data_schema.fields))
         batch = self.spark.createDataFrame(
-            [tuple(r.get(f.name) for f in data_schema.fields) for r in rows],
-            data_schema)
-        w = Window.orderBy(F.monotonically_increasing_id())
-        batch = batch.select(
-            (F.row_number().over(w).cast("long") + F.lit(base - 1))
-            .alias(self.id_col), "*")
+            [(base + i, *(r.get(f.name) for f in data_schema.fields))
+             for i, r in enumerate(rows)],
+            full_schema)
         self._write_version(cur.unionByName(batch))
         return batch.collect()
 
     def insert_from(self, src: DataFrame) -> None:
         """``t += expr`` — INSERT...SELECT with column auto-alignment,
-        pk excluded and regenerated (evaluate.py:135-170)."""
+        pk excluded and regenerated (evaluate.py:135-170).  Id
+        assignment stays parallel (per-partition offsets, no global
+        window) so a 100 TB backfill doesn't serialize."""
         cur = self.df()
         base = self._next_id_base()
         cols = [c for c in cur.columns if c != self.id_col]
-        w = Window.orderBy(F.monotonically_increasing_id())
-        batch = src.select(*cols).select(
-            (F.row_number().over(w).cast("long") + F.lit(base - 1))
-            .alias(self.id_col), "*")
+        batch = _assign_ids(src.select(*cols), self.id_col, base)
         self._write_version(cur.unionByName(batch))
 
-    def update(self, cond, **sets) -> int:
+    def update(self, cond, count: bool = True, **sets) -> int:
         """``t[conds] update {col: expr}`` — copy-on-write MERGE shape.
-        Returns the number of updated rows."""
+        Returns the number of updated rows (rows where ``cond`` is
+        TRUE; NULL predicates update nothing, like SQL).  Pass
+        ``count=False`` to skip the extra count job on large tables
+        (returns -1)."""
         cur = self.df()
-        n = cur.filter(cond).count()
+        n = cur.filter(cond).count() if count else -1
         updated = cur.withColumns(
             {k: F.when(cond, v if isinstance(v, Column) else F.lit(v))
              .otherwise(F.col(k)) for k, v in sets.items()})
         self._write_version(updated)
         return n
 
-    def merge(self, src: DataFrame, on: list[str] | str) -> dict:
+    def merge(self, src: DataFrame, on: list[str] | str,
+              counts: bool = True) -> dict:
         """Upsert (Delta/Iceberg MERGE INTO shape, beyond the
         reference's DML): rows of ``src`` matching on ``on`` replace
         the current rows' non-key columns; unmatched src rows are
         inserted with fresh ids.  One copy-on-write version write;
         matching is a single full-outer-free plan (anti + semi joins
-        on the keys).  Returns {"updated": n, "inserted": n}."""
+        on the keys).  Like Delta/Iceberg MERGE, raises if ``src``
+        contains duplicate key values (the matched join would fan out
+        and silently duplicate target rows).  Returns
+        {"updated": n, "inserted": n}; ``counts=False`` skips the two
+        count jobs (returns -1s)."""
         keys = [on] if isinstance(on, str) else list(on)
         cur = self.df()
         data_cols = [c for c in cur.columns if c != self.id_col]
         upd_cols = [c for c in data_cols
                     if c in src.columns and c not in keys]
-        src = src.select(*keys, *upd_cols)
+        src = src.select(*keys, *upd_cols).localCheckpoint(eager=False)
+        dup = (src.groupBy(*keys).count()
+               .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            kv = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                f"merge source has multiple rows for key {kv}; "
+                "deduplicate src on the merge keys first")
         kept = cur.join(src.select(*keys), keys, "left_anti")
         matched = (cur.alias("t").join(src.alias("s"), keys)
                    .select(F.col(f"t.{self.id_col}").alias(self.id_col),
@@ -179,29 +225,33 @@ class MutableTable:
                            *[(F.col(f"s.{c}") if c in upd_cols
                               else F.col(f"t.{c}")).alias(c)
                              for c in data_cols if c not in keys]))
-        n_upd = matched.count()
+        n_upd = matched.count() if counts else -1
         fresh = src.join(cur.select(*keys), keys, "left_anti")
         base = self._next_id_base()
-        w = Window.orderBy(F.monotonically_increasing_id())
-        inserted = fresh.select(
-            *keys, *upd_cols,
-            *[F.lit(None).cast(cur.schema[c].dataType).alias(c)
-              for c in data_cols if c not in keys and c not in upd_cols]
-        ).select(
-            (F.row_number().over(w).cast("long") + F.lit(base - 1))
-            .alias(self.id_col), *data_cols)
-        n_ins = fresh.count()
+        inserted = _assign_ids(
+            fresh.select(
+                *keys, *upd_cols,
+                *[F.lit(None).cast(cur.schema[c].dataType).alias(c)
+                  for c in data_cols if c not in keys and c not in upd_cols]
+            ).select(*data_cols),
+            self.id_col, base)
+        n_ins = fresh.count() if counts else -1
         out = (kept.select(self.id_col, *data_cols)
                .unionByName(matched.select(self.id_col, *data_cols))
                .unionByName(inserted))
         self._write_version(out)
         return {"updated": n_upd, "inserted": n_ins}
 
-    def delete(self, cond) -> int:
-        """``t delete [conds]`` — filtered overwrite. Returns rows deleted."""
+    def delete(self, cond, count: bool = True) -> int:
+        """``t delete [conds]`` — filtered overwrite.  Deletes only
+        rows where the predicate is TRUE: rows where it evaluates NULL
+        are KEPT (``~cond`` alone would drop them — NULL negated is
+        NULL), matching SQL/reference DELETE.  Returns rows deleted;
+        ``count=False`` skips the extra count job (returns -1)."""
         cur = self.df()
-        n = cur.filter(cond).count()
-        self._write_version(cur.filter(~cond))
+        hit = cond if isinstance(cond, Column) else F.expr(cond)
+        n = cur.filter(hit).count() if count else -1
+        self._write_version(cur.filter(~hit.eqNullSafe(True)))
         return n
 
 

@@ -766,10 +766,15 @@ def zipjoin(a: Table, b: Table, how: str = "inner",
     zipjoin/zipjoin_left/zipjoin_longest (__builtins__.pql:167-257):
     row_number over both sides + equi-join on index.  ``order_a`` /
     ``order_b`` define each side's positional order (defaults to the
-    physical row order, like the reference's table order)."""
+    physical row order, like the reference's table order).  Both sides
+    enumerate via the distributed two-pass path (per-partition offsets)
+    — no single-partition global window — and then meet in one
+    equi-join shuffle on the index."""
     cols_a, cols_b = a.df.columns, b.df.columns
-    ea = a.enum(order_by=order_a).df.withColumnRenamed("index", "__zi").alias("za")
-    eb = b.enum(order_by=order_b).df.withColumnRenamed("index", "__zi").alias("zb")
+    ea = a.enum(order_by=order_a, distributed=True).df \
+        .withColumnRenamed("index", "__zi").alias("za")
+    eb = b.enum(order_by=order_b, distributed=True).df \
+        .withColumnRenamed("index", "__zi").alias("zb")
     hows = {"inner": "inner", "left": "left", "longest": "full"}
     j = ea.join(eb, F.col("za.__zi") == F.col("zb.__zi"), hows[how])
     sa = F.struct(*[F.col(f"za.{c}") for c in cols_a]).alias("a")

@@ -86,7 +86,9 @@ def test_set_ops(eng):
     assert (a + b).count() == 7  # union all
     assert sorted(r.item for r in (a | b).collect()) == [1, 2, 3, 4]
     assert sorted(r.item for r in (a & b).collect()) == [2, 3]
-    assert sorted(r.item for r in (a - b).collect()) == [1, 2]
+    # reference '-' is EXCEPT (distinct): the duplicate 2 is deduped,
+    # and 2 is removed because it appears in b (pql_functions.py:393-401)
+    assert sorted(r.item for r in (a - b).collect()) == [1]
 
 
 def test_range_and_enum(eng):

@@ -254,3 +254,51 @@ def test_incremental_rollup(spark, tmp_path):
     got3 = {(r.window_start, r.event_type): r.n for r in r3.collect()}
     assert len(got3) > len(got)            # pending windows closed
     assert all(got3[k] == v for k, v in got.items())  # old rows immutable
+
+
+def test_delete_null_predicate_keeps_rows(spark, tmp_path):
+    """SQL DELETE removes only rows where the condition is TRUE; rows
+    where it evaluates NULL must survive (a bare ~cond would drop
+    them: NULL negated is NULL)."""
+    t = MutableTable.create(spark, "dn", str(tmp_path), "v long")
+    t.insert_rows([{"v": 1}, {"v": None}, {"v": 3}])
+    n = t.delete(F.col("v") == 1)
+    assert n == 1
+    left = sorted((r.v if r.v is not None else -99) for r in t.df().collect())
+    assert left == [-99, 3]          # the NULL row is kept
+    # count=False skips the count job
+    assert t.delete(F.col("v") == 3, count=False) == -1
+    assert t.df().count() == 1
+
+
+def test_merge_duplicate_source_raises(spark, tmp_path):
+    t = MutableTable.create(spark, "md", str(tmp_path), "k long, val string")
+    t.insert_rows([{"k": 1, "val": "a"}])
+    src = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "k: long, val: string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="multiple rows"):
+        t.merge(src, on="k")
+    # table unchanged after the failed merge
+    assert [(r.k, r.val) for r in t.df().collect()] == [(1, "a")]
+
+
+def test_insert_from_distributed_ids(spark, eng, tmp_path):
+    """Large-batch id assignment must not funnel through one
+    partition: the plan has per-partition windows (partitioned by
+    __pid), never a global empty-key window."""
+    t = MutableTable.create(spark, "big", str(tmp_path),
+                            "o_orderkey long, o_totalprice double")
+    src = eng.t.orders.df.select("o_orderkey", "o_totalprice") \
+        .repartition(8)
+    from preql_spark.sources.mutable import _assign_ids
+    batch = _assign_ids(src, "id", base=0)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    t.insert_from(src)
+    got = t.df()
+    n = got.count()
+    assert n == src.count()
+    ids = got.agg(F.min("id").alias("lo"), F.max("id").alias("hi"),
+                  F.count_distinct("id").alias("u")).collect()[0]
+    assert (ids.lo, ids.hi, ids.u) == (0, n - 1, n)   # dense + unique
