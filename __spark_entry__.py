@@ -1068,6 +1068,29 @@ def q87_stream_dedup(spark, sf_dir) -> DataFrame:
     return out.select("user_id", "event_type")
 
 
+def q88_lang_dml_lifecycle(spark, sf_dir) -> DataFrame:
+    """In-language statements end-to-end (§2.12 + §2.10 as SYNTAX, not
+    Python API): CTAS from a query, postfix ``update``/``delete``,
+    ``new`` row insert, a ``for`` loop over a range with ``fmt``
+    interpolation — reference grammar preql.lark:2-17,83-85, statement
+    execution evaluate.py:173-437.  Deterministic: the CTAS
+    re-materializes from the parquet source every run."""
+    from preql_spark.engine import Engine
+    eng = Engine(spark)
+    eng.load_dir(sf_dir, names=["nation"])
+    out = eng.q('''
+    table ndml = nation
+    ndml[n_regionkey == 0] update {n_name: n_name + "_AF"}
+    ndml delete [n_regionkey == 4]
+    new ndml(900, "ATLANTIS", 0)
+    for (i in [901..904]) {
+        new ndml(i, fmt("LOST_$i"), 0)
+    }
+    ndml{n_nationkey, n_name, n_regionkey}
+    ''')
+    return out.df
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -1156,6 +1179,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q85_lang_fmt": q85_lang_fmt,
     "q86_ivf_full_probe": q86_ivf_full_probe,
     "q87_stream_dedup": q87_stream_dedup,
+    "q88_lang_dml_lifecycle": q88_lang_dml_lifecycle,
 }
 
 
@@ -1931,6 +1955,17 @@ ORACLES: dict[str, str] = {
                'customer ' || c_name || ' in segment ' || c_mktsegment
                    AS msg
         FROM customer
+    """,
+    "q88_lang_dml_lifecycle": """
+        SELECT n_nationkey,
+               CASE WHEN n_regionkey = 0 THEN n_name || '_AF'
+                    ELSE n_name END AS n_name,
+               n_regionkey
+        FROM nation WHERE n_regionkey <> 4
+        UNION ALL
+        SELECT 900, 'ATLANTIS', 0
+        UNION ALL
+        SELECT i, 'LOST_' || CAST(i AS VARCHAR), 0 FROM range(901, 904) t(i)
     """,
 }
 

@@ -116,6 +116,14 @@ class Engine:
         self.spark = spark or default_session()
         self.catalog: dict[str, TableMeta] = {}
         self._dfs: dict[str, DataFrame] = {}
+        # name -> MutableTable: the in-language DDL/DML surface
+        # (``table Foo {...}``, ``new``, ``update``, ``delete``)
+        self.mutables: dict = {}
+        self._mut_root: str | None = None
+        # persistent language namespace: bindings/functions survive
+        # across q() calls like the reference interpreter state
+        # (interpreter.py Preql namespace)
+        self.lang_env: dict = {}
         self.t = _TableNamespace(self)
 
     # ---- catalog ---------------------------------------------------
@@ -136,8 +144,59 @@ class Engine:
         not the catalog."""
         return None
 
+    # ---- mutable tables (in-language DDL/DML) ----------------------
+    def _mutable_root_dir(self) -> str:
+        if self._mut_root is None:
+            import tempfile
+            self._mut_root = tempfile.mkdtemp(prefix="preql_mutables_")
+        return self._mut_root
+
+    def create_table(self, name: str, schema, bare: bool = False):
+        """``table Foo {...}`` DDL (reference evaluate.py:213-275).
+        If the name already exists as a mutable table, bind to it like
+        the reference's exists-branch instead of clobbering the data."""
+        from preql_spark.sources.mutable import MutableTable
+        if name in self.mutables:
+            return self.mutables[name]
+        mt = MutableTable.create(self.spark, name, self._mutable_root_dir(),
+                                 schema, bare=bare)
+        self.mutables[name] = mt
+        self._sync_mutable(name)
+        return mt
+
+    def create_table_from(self, name: str, df: DataFrame,
+                          const: bool = False):
+        """CTAS ``[const] table foo = expr`` (evaluate.py:177-185)."""
+        from preql_spark.sources.mutable import MutableTable
+        mt = MutableTable.from_expr(self.spark, name,
+                                    self._mutable_root_dir(), df, const=const)
+        self.mutables[name] = mt
+        self._sync_mutable(name)
+        return mt
+
+    def drop_table(self, name: str) -> None:
+        import shutil
+        mt = self.mutables.pop(name, None)
+        if mt is not None:
+            shutil.rmtree(mt.root, ignore_errors=True)
+        self._dfs.pop(name, None)
+        self.catalog.pop(name, None)
+        self.spark.catalog.dropTempView(name)
+
+    def _sync_mutable(self, name: str) -> None:
+        """Refresh the catalog/temp-view binding after a mutation so
+        Python-side ``eng.t.<name>`` and SQL both see the new version."""
+        mt = self.mutables[name]
+        self.register(name, mt.df(), pk=mt.id_col)
+
     def table(self, name: str) -> "Table":
         from preql_spark.table import Table
+        if name in self.mutables:
+            # always read the mutable's current version, never a
+            # stale registered snapshot
+            mt = self.mutables[name]
+            meta = self.catalog.get(name) or TableMeta(name, pk=mt.id_col)
+            return Table(self, mt.df(), meta=meta)
         if name not in self._dfs:
             # fall back to the Spark catalog (reflection, like
             # reference import_table — pql_functions.py:689-711)
@@ -211,9 +270,12 @@ class Engine:
     def q(self, src: str, **env):
         """Evaluate a Preql-syntax query string against the catalog,
         e.g. ``eng.q('customer[c_acctbal > 9000]{c_name}')``.
-        Returns a Table, Column, or Python scalar."""
-        from preql_spark.lang import q as _q
-        return _q(self, src, **env)
+        Returns a Table, Column, or Python scalar.  Bindings and
+        function definitions persist across calls (the reference
+        ``Preql()`` object keeps its namespace the same way)."""
+        from preql_spark.lang import Parser
+        self.lang_env.update(env)
+        return Parser(self, src, self.lang_env).parse()
 
     # ---- escape hatches --------------------------------------------
     def sql(self, code: str, **tables: "Table | DataFrame") -> "Table":

@@ -35,17 +35,47 @@ from preql_spark import exprs
 from preql_spark.table import Table, desc as desc_marker
 
 _TOKEN_RE = re.compile(r"""
-    (?P<ws>\s+)
+    (?P<comment>//[^\n]*|\#[^\n]*)
+  | (?P<nl>\n[ \t\r\n]*)
+  | (?P<ws>[ \t\r]+)
   | (?P<float>\d+\.\d+)
   | (?P<int>\d+)
   | (?P<dots>\.\.\.|\.\.)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<string>"[^"]*"|'[^']*')
-  | (?P<op>==|!=|<=|>=|=>|!in|/~|\*\*|[-+*/%<>=~^(){}\[\],:.!|&;?])
+  | (?P<op>==|!=|<=|>=|=>|!in|/~|\*\*|\+=|[-+*/%<>=~^(){}\[\],:.!|&;?])
 """, re.VERBOSE)
 
 _KEYWORDS = {"and", "or", "not", "in", "order", "new", "one", "null",
-             "true", "false", "func", "if", "else"}
+             "true", "false", "func", "if", "else",
+             # statement keywords (preql.lark:2-17,83-85)
+             "while", "for", "return", "throw", "try", "catch",
+             "print", "assert", "table", "const", "bare",
+             "update", "delete", "transaction"}
+
+# built-in exception types for `new X(msg)` / `catch(X)` — the
+# reference's T.Exception subtree (pql_types.py; Signal in exceptions)
+_EXC_TYPES = {"Exception", "TypeError", "ValueError", "AssertError",
+              "KeyError", "IndexError", "NotImplementedError",
+              "CastError", "DbError"}
+
+
+class LangSignal(Exception):
+    """Reference Signal (exceptions.py): a typed in-language exception
+    thrown by ``throw new X(msg)`` and caught by ``catch (X)``."""
+
+    def __init__(self, type_name: str, message: str = ""):
+        super().__init__(f"{type_name}: {message}")
+        self.type_name = type_name
+        self.message = message
+
+    def isa(self, type_name: str) -> bool:
+        return type_name == "Exception" or type_name == self.type_name
+
+
+class _ReturnSignal(Exception):
+    def __init__(self, value):
+        self.value = value
 
 
 @dataclass
@@ -62,7 +92,11 @@ def tokenize(src: str) -> list[Tok]:
             raise SyntaxError(f"cannot tokenize at: {src[pos:pos+20]!r}")
         pos = m.end()
         kind = m.lastgroup
-        if kind == "ws":
+        if kind in ("ws", "comment"):
+            continue
+        if kind == "nl":
+            if out and out[-1].kind != "nl":
+                out.append(Tok("nl", "\n"))
             continue
         text = m.group()
         if kind == "name" and text in _KEYWORDS:
@@ -79,7 +113,7 @@ class Parser:
         self.engine = engine
         self.toks = tokenize(src)
         self.i = 0
-        self.env = env or {}
+        self.env = env if env is not None else {}
         # evaluation context: current table for name resolution, and
         # whether we're on the aggregation side of `=>`
         self.table: Table | None = None
@@ -107,42 +141,355 @@ class Parser:
                 f"expected {text or kind}, got {self.peek().text!r}")
         return t
 
+    # ---- separators ------------------------------------------------
+    def _skip_nl(self):
+        while self.peek().kind == "nl":
+            self.next()
+
+    def _skip_seps(self):
+        while self.peek().kind == "nl" or \
+                (self.peek().kind == "op" and self.peek().text == ";"):
+            self.next()
+
     # ---- entry -----------------------------------------------------
     def parse(self):
-        """Program: statements separated by ``;``; the value of the
-        last statement is the result (reference scripts behave the
-        same — the REPL echoes the last expression)."""
+        """Program: statements separated by ``;`` or newlines (the
+        reference grammar is newline-delimited, preql.lark:2-17); the
+        value of the last statement is the result — the REPL echoes
+        the last expression."""
         v = None
+        self._skip_seps()
         while self.peek().kind != "eof":
             v = self.statement()
-            while self.accept("op", ";"):
-                pass
+            self._skip_seps()
         self.expect("eof")
+        return self._pyval(v) if isinstance(v, Column) else v
+
+    def _pyval(self, v):
+        """Localize a table-free scalar expression like the reference
+        interpreter (cast_to_python, evaluate.py:338-356) — one-row
+        plan, no table scan."""
         if isinstance(v, Column):
-            # a table-free scalar expression ("a" in "abc", 2 ** 10):
-            # localize it like the reference interpreter would
-            # (cast_to_python, evaluate.py:338-356) — one-row plan,
-            # no table scan
-            v = self.engine.spark.range(1).select(v.alias("v")) \
+            return self.engine.spark.range(1).select(v.alias("v")) \
                 .collect()[0]["v"]
         return v
 
+    def _truthy(self, v) -> bool:
+        return bool(self._pyval(v))
+
     def statement(self):
-        """``func name(params) = expr`` | ``name = expr`` | expr.
-        Like the reference interpreter, assignment binds into the
-        environment; function bodies are captured unevaluated and
-        inlined at each call site (eval_func_call,
-        evaluate.py:579-648)."""
-        if self.peek().kind == "func":
+        """Statement dispatch (reference grammar preql.lark:2-17 and
+        execution evaluate.py:173-437): definitions, control flow,
+        signals, DDL/DML, assignment, expression."""
+        k = self.peek().kind
+        if k == "func":
             return self._func_def()
-        if self.peek().kind == "name" and self.peek(1).kind == "op" \
+        if k == "table" or (k in ("const", "bare")
+                            and self.peek(1).kind == "table"):
+            return self._table_def()
+        if k == "print":
+            return self._print_stmt()
+        if k == "assert":
+            return self._assert_stmt()
+        if k == "while":
+            return self._while_stmt()
+        if k == "for":
+            return self._for_stmt()
+        if k == "try":
+            return self._try_stmt()
+        if k == "transaction":
+            return self._transaction_stmt()
+        if k == "throw":
+            self.next()
+            v = self.expr()
+            if isinstance(v, LangSignal):
+                raise v
+            raise LangSignal("TypeError",
+                             f"can only throw an exception, not {v!r}")
+        if k == "return":
+            self.next()
+            raise _ReturnSignal(self.expr())
+        if k == "if":
+            # statement form `if (c) {...}` vs expression form
+            # `if (c) a else b`: look ahead for the block brace
+            save = self.i
+            self.next()
+            self.expect("op", "(")
+            self._capture_parens()
+            self._skip_nl()
+            is_stmt = self.peek().kind == "op" and self.peek().text == "{"
+            self.i = save
+            if is_stmt:
+                return self._if_stmt()
+            return self.expr()
+        if k == "name" and self.peek(1).kind == "op" \
                 and self.peek(1).text == "=":
             name = self.next().text
             self.next()
             val = self.expr()
             self.env[name] = val
             return val
+        if k == "name" and self.peek(1).kind == "op" \
+                and self.peek(1).text == "+=":
+            return self._insert_stmt()
         return self.expr()
+
+    # ---- span capture (for deferred / repeated execution) ----------
+    def _capture_parens(self) -> list:
+        """From just after '(' to the matching ')'; returns the inner
+        token span (plus eof) and consumes the ')'."""
+        start, depth = self.i, 0
+        while True:
+            t = self.peek()
+            if t.kind == "eof":
+                raise SyntaxError("unterminated (")
+            if t.kind == "op" and t.text == "(":
+                depth += 1
+            elif t.kind == "op" and t.text == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            self.next()
+        span = self.toks[start:self.i] + [Tok("eof", "")]
+        self.expect("op", ")")
+        return span
+
+    def _capture_block(self) -> list:
+        """``{ stmt* }`` codeblock span (preql.lark:60)."""
+        self._skip_nl()
+        self.expect("op", "{")
+        start, depth = self.i, 0
+        while True:
+            t = self.peek()
+            if t.kind == "eof":
+                raise SyntaxError("unterminated block")
+            if t.kind == "op" and t.text == "{":
+                depth += 1
+            elif t.kind == "op" and t.text == "}":
+                if depth == 0:
+                    break
+                depth -= 1
+            self.next()
+        span = self.toks[start:self.i] + [Tok("eof", "")]
+        self.expect("op", "}")
+        return span
+
+    def _sub(self, toks: list) -> "Parser":
+        sub = Parser(self.engine, "")
+        sub.toks = toks
+        sub.env = self.env          # share bindings (module scope)
+        sub.table = self.table
+        sub.in_agg = self.in_agg
+        return sub
+
+    def _eval_span(self, toks: list):
+        sub = self._sub(toks)
+        v = sub.expr()
+        sub._skip_seps()
+        sub.expect("eof")
+        return v
+
+    def _exec_block(self, toks: list, extra: dict | None = None):
+        """Run a codeblock's statements; ``extra`` bindings shadow the
+        shared environment for the duration (use_scope,
+        evaluate.py:351-355)."""
+        shadow, added = {}, []
+        for kk, vv in (extra or {}).items():
+            if kk in self.env:
+                shadow[kk] = self.env[kk]
+            else:
+                added.append(kk)
+            self.env[kk] = vv
+        try:
+            sub = self._sub(toks)
+            sub._skip_seps()
+            last = None
+            while sub.peek().kind != "eof":
+                last = sub.statement()
+                sub._skip_seps()
+            return last
+        finally:
+            self.env.update(shadow)
+            for kk in added:
+                self.env.pop(kk, None)
+
+    # ---- control flow (evaluate.py:330-383) ------------------------
+    def _if_stmt(self, exec_: bool = True):
+        self.expect("if")
+        self.expect("op", "(")
+        cond_span = self._capture_parens()
+        block = self._capture_block()
+        taken = bool(exec_) and self._truthy(self._eval_span(cond_span))
+        if taken:
+            self._exec_block(block)
+        save = self.i
+        self._skip_nl()
+        if self.accept("else"):
+            self._skip_nl()
+            if self.peek().kind == "if":
+                self._if_stmt(exec_=exec_ and not taken)
+            else:
+                eblock = self._capture_block()
+                if exec_ and not taken:
+                    self._exec_block(eblock)
+        else:
+            self.i = save
+        return None
+
+    def _while_stmt(self):
+        self.expect("while")
+        self.expect("op", "(")
+        cond_span = self._capture_parens()
+        block = self._capture_block()
+        guard = 0
+        while self._truthy(self._eval_span(cond_span)):
+            self._exec_block(block)
+            guard += 1
+            if guard > 10_000_000:
+                raise LangSignal("ValueError", "while loop exceeded 1e7 iterations")
+        return None
+
+    def _for_stmt(self):
+        self.expect("for")
+        self.expect("op", "(")
+        var = self.expect("name").text
+        self.expect("in")
+        iterable = self.expr()
+        self.expect("op", ")")
+        block = self._capture_block()
+        for item in self._localize_iter(iterable):
+            self._exec_block(block, {var: item})
+        return None
+
+    def _localize_iter(self, v):
+        """cast_to_python of a for-iterable (evaluate.py:350-355):
+        1-column tables yield values, wider tables yield Rows."""
+        if isinstance(v, Table):
+            rows = v.collect()
+            if len(v.df.columns) == 1:
+                return [r[0] for r in rows]
+            return rows
+        if isinstance(v, (list, tuple, range)):
+            return v
+        raise LangSignal("TypeError", f"cannot iterate over {type(v).__name__}")
+
+    def _try_stmt(self):
+        self.expect("try")
+        body = self._capture_block()
+        self._skip_nl()
+        self.expect("catch")
+        self.expect("op", "(")
+        catch_name = None
+        if self.peek().kind == "name" and self.peek(1).kind == "op" \
+                and self.peek(1).text == ":":
+            catch_name = self.next().text
+            self.next()
+        type_name = self.expect("name").text
+        self.expect("op", ")")
+        handler = self._capture_block()
+        try:
+            self._exec_block(body)
+        except LangSignal as e:
+            if e.isa(type_name):
+                self._exec_block(
+                    handler, {catch_name: e} if catch_name else None)
+            else:
+                raise
+        return None
+
+    def _transaction_stmt(self):
+        """``transaction { ... }`` (evaluate.py:358-369): commit at
+        block exit, roll every mutable table back on a signal."""
+        self.expect("transaction")
+        block = self._capture_block()
+        from preql_spark.sources.mutable import transaction as _txn
+        with _txn(*self.engine.mutables.values()):
+            self._exec_block(block)
+        for name in self.engine.mutables:
+            self.engine._sync_mutable(name)
+        return None
+
+    def _print_stmt(self):
+        self.expect("print")
+        vals = [self.expr()]
+        while self.accept("op", ","):
+            vals.append(self.expr())
+        parts = []
+        for v in vals:
+            if isinstance(v, Table):
+                parts.append("\n".join(str(r.asDict()) for r in
+                                       v.df.limit(20).collect()))
+            else:
+                parts.append(str(self._pyval(v)))
+        print(" ".join(parts))
+        return None
+
+    def _assert_stmt(self):
+        self.expect("assert")
+        start = self.i
+        cond = self.expr()
+        if not self._truthy(cond):
+            src = " ".join(t.text for t in self.toks[start:self.i])
+            raise LangSignal("AssertError", f"Assertion failed: {src}")
+        return None
+
+    # ---- insert: `t += expr` (preql.lark:70; evaluate.py:277-287) --
+    def _insert_stmt(self):
+        name = self.next().text
+        self.next()                         # '+='
+        val = self.expr()
+        if name in self.engine.mutables:
+            mt = self.engine.mutables[name]
+            src = val.df if isinstance(val, Table) else val
+            mt.insert_from(src)
+            self.engine._sync_mutable(name)
+            return self._make_mutable_ref(name)
+        if name in self.env and isinstance(self.env[name], Table) \
+                and isinstance(val, Table):
+            self.env[name] = self.env[name] + val
+            return self.env[name]
+        raise LangSignal("TypeError",
+                         f"+= left side must be a table name, got {name!r}")
+
+    # ---- DDL: table definitions (evaluate.py:177-185,213-275) ------
+    _TYPE_MAP = {"int": "long", "float": "double", "string": "string",
+                 "text": "string", "bool": "boolean",
+                 "timestamp": "timestamp", "json": "string"}
+
+    def _table_def(self):
+        const = bool(self.accept("const"))
+        bare = bool(self.accept("bare"))
+        if not const:
+            const = bool(self.accept("const"))
+        self.expect("table")
+        name = self.expect("name").text
+        self._skip_nl()
+        if self.accept("op", "="):
+            src = self.expr()
+            if not isinstance(src, Table):
+                raise LangSignal("TypeError", "table = expr needs a table")
+            self.engine.create_table_from(name, src.df, const=const)
+            return self._make_mutable_ref(name)
+        self.expect("op", "{")
+        fields = []
+        while True:
+            self._skip_nl()
+            if self.accept("op", "}"):
+                break
+            cname = self.expect("name").text
+            self.expect("op", ":")
+            tname = self.expect("name").text
+            spark_t = self._TYPE_MAP.get(tname)
+            if spark_t is None:
+                raise LangSignal("TypeError", f"unknown column type {tname!r}")
+            fields.append(f"{cname} {spark_t}")
+            self.accept("op", ",")
+        self.engine.create_table(name, ", ".join(fields), bare=bare)
+        return self._make_mutable_ref(name)
+
+    def _make_mutable_ref(self, name: str) -> "_MutableRef":
+        mt = self.engine.mutables[name]
+        return _MutableRef(self.engine, mt)
 
     def _func_def(self):
         self.expect("func")
@@ -152,22 +499,29 @@ class Parser:
         while not self.accept("op", ")"):
             params.append(self.expect("name").text)
             self.accept("op", ",")
-        self.expect("op", "=")
-        # capture the body's token span unevaluated (to the next
-        # top-level ';' or eof); it re-parses per call with parameters
-        # bound — true compile-time inlining, no UDF
-        start, depth = self.i, 0
-        while True:
-            t = self.peek()
-            if t.kind == "eof" or (depth == 0 and t.kind == "op"
-                                   and t.text == ";"):
-                break
-            if t.kind == "op" and t.text in "([{":
-                depth += 1
-            elif t.kind == "op" and t.text in ")]}":
-                depth -= 1
-            self.next()
-        fn = _UserFunc(name, params, self.toks[start:self.i] + [Tok("eof", "")])
+        if self.accept("op", "="):
+            # short form: capture the expression span (to the next
+            # top-level ';'/newline or eof); it re-parses per call with
+            # parameters bound — true compile-time inlining, no UDF
+            start, depth = self.i, 0
+            while True:
+                t = self.peek()
+                if t.kind == "eof" or (depth == 0 and (
+                        t.kind == "nl"
+                        or (t.kind == "op" and t.text == ";"))):
+                    break
+                if t.kind == "op" and t.text in "([{":
+                    depth += 1
+                elif t.kind == "op" and t.text in ")]}":
+                    depth -= 1
+                self.next()
+            fn = _UserFunc(name, params,
+                           self.toks[start:self.i] + [Tok("eof", "")])
+        else:
+            # block form: `func f(x) { stmts }` with `return`
+            # (preql.lark:53-54; ReturnSignal evaluate.py:421-424)
+            body = self._capture_block()
+            fn = _UserFunc(name, params, body, block=True)
         self.env[name] = fn
         return fn
 
@@ -298,7 +652,31 @@ class Parser:
         v = self.atom()
         while True:
             t = self.peek()
-            if t.kind == "op" and t.text == "[" and isinstance(v, Table):
+            if t.kind == "update" and isinstance(v, Table):
+                self.next()
+                v = self._update_postfix(v)
+            elif t.kind == "delete" and isinstance(v, Table):
+                self.next()
+                v = self._delete_postfix(v)
+            elif t.kind == "op" and t.text == "[" \
+                    and isinstance(v, _MutableRef) \
+                    and not (self.peek(1).kind in ("int", "dots")):
+                # selection on a mutable ref keeps the conditions so a
+                # following update/delete can target storage
+                self.next()
+                conds = []
+                prev_table, self.table = self.table, v
+                try:
+                    while True:
+                        self._skip_nl()
+                        if self.accept("op", "]"):
+                            break
+                        conds.append(self._col(self.expr()))
+                        self.accept("op", ",")
+                finally:
+                    self.table = prev_table
+                v = v.with_conds(conds)
+            elif t.kind == "op" and t.text == "[" and isinstance(v, Table):
                 self.next()
                 v = self._selection_or_slice(v)
             elif t.kind == "op" and t.text == "[" \
@@ -310,6 +688,24 @@ class Parser:
             elif t.kind == "op" and t.text == "{" and isinstance(v, Table):
                 self.next()
                 v = self._projection(v)
+            elif t.kind == "op" and t.text == "{" and isinstance(v, Column):
+                # struct inline `s {...}` / `s {... !a}` inside a
+                # projection (from_struct ellipsis, compiler.py:104-112)
+                save = self.i
+                self.next()
+                self._skip_nl()
+                if self.peek().kind == "dots" \
+                        and self.peek().text == "...":
+                    self.next()
+                    excl = []
+                    while self.accept("op", "!"):
+                        excl.append(self.expect("name").text)
+                    self._skip_nl()
+                    self.expect("op", "}")
+                    v = _StructInline(v, excl)
+                else:
+                    self.i = save
+                    return v
             elif t.kind == "order" and isinstance(v, Table):
                 self.next()
                 self.expect("op", "{")
@@ -323,6 +719,54 @@ class Parser:
                 v = self._call(v)
             else:
                 return v
+
+    def _update_postfix(self, v: Table):
+        """``t[conds] update {name: expr, ...}`` (preql.lark:84;
+        evaluate.py:756-806).  Requires a persistent (mutable) table;
+        returns the fresh post-update view."""
+        if not isinstance(v, _MutableRef):
+            raise LangSignal("ValueError",
+                             "Cannot update: Table is not persistent")
+        self.expect("op", "{")
+        sets = {}
+        prev_table, self.table = self.table, v
+        try:
+            while True:
+                self._skip_nl()
+                if self.accept("op", "}"):
+                    break
+                name = self.expect("name").text
+                self.expect("op", ":")
+                sets[name] = self._col(self.expr())
+                self.accept("op", ",")
+        finally:
+            self.table = prev_table
+        if not set(sets) <= set(v.base_df.columns):
+            raise LangSignal(
+                "TypeError", "Update error: Not all keys exist in table")
+        v.apply_update(sets)
+        return self._make_mutable_ref(v.handle.name)
+
+    def _delete_postfix(self, v: Table):
+        """``t delete [conds]`` (preql.lark:85; evaluate.py:713-755).
+        Returns the table without the deleted rows."""
+        if not isinstance(v, _MutableRef):
+            raise LangSignal("ValueError",
+                             "Cannot delete: Table is not persistent")
+        self.expect("op", "[")
+        conds = []
+        prev_table, self.table = self.table, v
+        try:
+            while True:
+                self._skip_nl()
+                if self.accept("op", "]"):
+                    break
+                conds.append(self._col(self.expr()))
+                self.accept("op", ",")
+        finally:
+            self.table = prev_table
+        v.apply_delete(conds)
+        return self._make_mutable_ref(v.handle.name)
 
     def _string_slice(self, v):
         from preql_spark.functions import scalar as s
@@ -361,7 +805,10 @@ class Parser:
         conds = []
         prev_table, self.table = self.table, tab
         try:
-            while not self.accept("op", "]"):
+            while True:
+                self._skip_nl()
+                if self.accept("op", "]"):
+                    break
                 conds.append(self._col(self.expr()))
                 self.accept("op", ",")
         finally:
@@ -371,33 +818,53 @@ class Parser:
     def _projection(self, tab: Table):
         prev_table, self.table = self.table, tab
         try:
-            keys, kv = self._proj_items(stop_at=("=>",))
+            entries = self._proj_items()
             if self.accept("op", "=>"):
                 self.in_agg = True
                 try:
-                    _, agg_kv = self._proj_items(stop_at=())
+                    agg_entries = self._proj_items()
                 finally:
                     self.in_agg = False
                 self.expect("op", "}")
-                # group keys: bare columns (positional strings) keep
-                # their names; named entries are computed keys
-                by = {k: F.col(k) for k in keys if isinstance(k, str)}
-                by.update(kv)
+                by: dict = {}
+                for e in entries:
+                    if isinstance(e, str):
+                        by[e] = F.col(e)
+                    elif isinstance(e, tuple):
+                        by[e[0]] = e[1]
+                    else:
+                        raise SyntaxError("ellipsis not allowed in group keys")
+                agg_kv: dict = {}
+                for e in agg_entries:
+                    if isinstance(e, str):
+                        agg_kv[e] = self._agg_col(F.col(e))
+                    elif isinstance(e, tuple):
+                        agg_kv[e[0]] = e[1]
+                    else:
+                        raise SyntaxError("ellipsis not allowed in aggregates")
                 return tab.group(by, **agg_kv)
             self.expect("op", "}")
-            items = keys
-            return tab.project(*items, **kv)
+            final: list = []
+            for e in entries:
+                if isinstance(e, _StructInline):
+                    final.extend(e.expand(tab))
+                else:
+                    final.append(e)
+            return tab.project(*final)
         finally:
             self.table = prev_table
 
-    def _proj_items(self, stop_at=()):
-        """Returns (positional items, named dict). Named fields get
-        auto-names for bare columns / expressions like the reference
-        (compiler.py:46-68)."""
-        items: list = []
-        named: dict = {}
+    def _proj_items(self):
+        """Ordered projection entries (reference proj_exprs →
+        _expand_ellipsis, compiler.py:46-128): strings for bare column
+        refs, ``(name, Column)`` tuples for named/computed fields
+        (position preserved), Ellipsis / Exclude splice markers, and
+        _StructInline for ``structcol {...}``."""
+        from preql_spark.table import exclude
+        entries: list = []
         auto = 0
         while True:
+            self._skip_nl()
             t = self.peek()
             if t.kind == "op" and t.text in ("}",) or t.kind == "eof":
                 break
@@ -408,36 +875,40 @@ class Parser:
                 excl = []
                 while self.accept("op", "!"):
                     excl.append(self.expect("name").text)
-                if excl:
-                    from preql_spark.table import exclude
-                    items.append(exclude(*excl))
-                else:
-                    items.append(Ellipsis)
+                entries.append(exclude(*excl) if excl else Ellipsis)
                 self.accept("op", ",")
                 continue
-            # NAME ':' expr → named
+            # NAME ':' expr → named (keeps its position in the output)
             if t.kind == "name" and self.peek(1).kind == "op" \
                     and self.peek(1).text == ":":
                 name = self.next().text
                 self.next()
-                named[name] = self._agg_col(self.expr())
+                if self.peek().kind == "dots":
+                    # reference compiler.py:87-89
+                    raise SyntaxError(
+                        "Cannot use a name for ellipsis "
+                        "(inlining operation doesn't accept a name)")
+                entries.append((name, self._agg_col(self.expr())))
             else:
                 v = self.expr()
-                if isinstance(v, Column):
+                if isinstance(v, _StructInline):
+                    entries.append(v)
+                elif isinstance(v, Column):
                     # bare column keeps its own name when trivially a
                     # column reference; else auto-name
                     cname = _plain_col_name(v)
                     if cname is not None and not self.in_agg:
-                        items.append(cname)
+                        entries.append(cname)
                     else:
-                        named[cname or f"col{auto}"] = self._agg_col(v)
+                        entries.append((cname or f"col{auto}",
+                                        self._agg_col(v)))
                         auto += 0 if cname else 1
                 else:
-                    named[f"col{auto}"] = self._agg_col(v)
+                    entries.append((f"col{auto}", self._agg_col(v)))
                     auto += 1
             if not self.accept("op", ","):
                 break
-        return items, named
+        return entries
 
     def _agg_col(self, v):
         """On the agg side of ``=>``, a bare (non-aggregate) column
@@ -451,7 +922,10 @@ class Parser:
         keys = []
         prev_table, self.table = self.table, tab
         try:
-            while not self.accept("op", "}"):
+            while True:
+                self._skip_nl()
+                if self.accept("op", "}"):
+                    break
                 if self.accept("op", "^"):
                     keys.append(desc_marker(self._col(self.expr())))
                 else:
@@ -463,7 +937,10 @@ class Parser:
 
     # ---- atoms -----------------------------------------------------
     def atom(self):
+        self._skip_nl()
         t = self.next()
+        if t.kind == "new":
+            return self._new_expr()
         if t.kind == "one":
             # ``one [?] molecule`` (preql.lark:130) — exactly-one-row
             # assertion returning a Row; ``one?`` allows 0 rows → None
@@ -479,6 +956,7 @@ class Parser:
             cond = self._col(self.expr())
             self.expect("op", ")")
             then = self.expr()
+            self._skip_nl()
             self.expect("else")
             other = self.expr()
             return exprs.if_else(cond, self._col(then), self._col(other))
@@ -513,15 +991,75 @@ class Parser:
             # tests/test_basic.py:631-638)
             return self.engine.range(a, b)
         vals = []
-        while not self.accept("op", "]"):
+        while True:
+            self._skip_nl()
+            if self.accept("op", "]"):
+                break
             v = self.atom()
             vals.append(v)
             self.accept("op", ",")
         return self.engine.list_(vals)
 
+    def _new_expr(self):
+        """``new Table(args)`` row insert returning the new Row with
+        its generated id (evaluate.py:884-947), ``new[] Table(expr)``
+        bulk insert (evaluate.py:809-847), and ``new ExcType(msg)``
+        signal construction.  Argument values are frozen (localized)
+        before the insert — reference freeze(), evaluate.py:875-881 and
+        test_new_freezes_values."""
+        arr = False
+        if self.peek().kind == "op" and self.peek().text == "[" \
+                and self.peek(1).kind == "op" and self.peek(1).text == "]":
+            self.next()
+            self.next()
+            arr = True
+        tname = self.expect("name").text
+        self.expect("op", "(")
+        args, kwargs = [], {}
+        while True:
+            self._skip_nl()
+            if self.accept("op", ")"):
+                break
+            if self.peek().kind == "name" and self.peek(1).kind == "op" \
+                    and self.peek(1).text == ":":
+                k = self.next().text
+                self.next()
+                kwargs[k] = self.expr()
+            else:
+                args.append(self.expr())
+            self.accept("op", ",")
+        if tname in _EXC_TYPES and not arr:
+            msg = args[0] if args else ""
+            return LangSignal(tname, str(self._pyval(msg)))
+        if tname not in self.engine.mutables:
+            raise LangSignal(
+                "TypeError",
+                f"'new' expects a table or exception, got {tname!r}")
+        mt = self.engine.mutables[tname]
+        if arr:
+            src = args[0]
+            if isinstance(src, Table):
+                mt.insert_from(src.df)
+                self.engine._sync_mutable(tname)
+                return self._make_mutable_ref(tname)
+            raise LangSignal("TypeError", "new[] expects a table argument")
+        data_cols = [c for c in mt.df().columns if c != mt.id_col]
+        if len(args) > len(data_cols):
+            raise LangSignal("TypeError",
+                             f"new {tname}: too many arguments")
+        values = {c: self._pyval(a) for c, a in zip(data_cols, args)}
+        for k, v in kwargs.items():
+            if k not in data_cols:
+                raise LangSignal("TypeError",
+                                 f"new {tname}: no column {k!r}")
+            values[k] = self._pyval(v)
+        row = mt.new(**values)
+        self.engine._sync_mutable(tname)
+        return row
+
     def _name(self, name: str):
-        # resolution order: current-table column → env → catalog table
-        # → builtin function name (returned as marker for _call)
+        # resolution order: current-table column → env → mutable table
+        # → catalog table → builtin function name (marker for _call)
         if self.table is not None and name in self.table.df.columns:
             return self.table.df[name]
         if self.table is not None and self.table.meta.methods \
@@ -529,6 +1067,8 @@ class Parser:
             return self.table.meta.methods[name](self.table)
         if name in self.env:
             return self.env[name]
+        if name in self.engine.mutables:
+            return self._make_mutable_ref(name)
         if name in self.engine.tables():
             return self.engine.table(name)
         if name in _FUNCTIONS or name in _TABLE_FUNCS:
@@ -536,6 +1076,10 @@ class Parser:
         raise NameError(f"unknown name {name!r}")
 
     def _attr(self, v, name: str):
+        from pyspark.sql import Row
+        if isinstance(v, Row):
+            # RowInstance attribute access (`row.x` after `new`)
+            return v[name]
         if isinstance(v, _JoinAlias):
             if name not in v.table.df.columns:
                 raise AttributeError(
@@ -564,7 +1108,10 @@ class Parser:
         join_scope = isinstance(fn, _FuncRef) and fn.name in (
             "join", "leftjoin", "outerjoin", "joinall")
         shadowed: dict[str, object] = {}
-        while not self.accept("op", ")"):
+        while True:
+            self._skip_nl()
+            if self.accept("op", ")"):
+                break
             if self.peek().kind == "name" and self.peek(1).kind == "op" \
                     and self.peek(1).text == ":":
                 k = self.next().text
@@ -611,6 +1158,17 @@ class Parser:
         sub.toks = fn.body
         sub.table = self.table
         sub.in_agg = self.in_agg
+        if fn.block:
+            # block body: execute statements; `return` raises through
+            # (reference ReturnSignal, evaluate.py:421-424)
+            try:
+                sub._skip_seps()
+                while sub.peek().kind != "eof":
+                    sub.statement()
+                    sub._skip_seps()
+                return None
+            except _ReturnSignal as r:
+                return r.value
         v = sub.expr()
         sub.expect("eof")
         return v
@@ -647,6 +1205,29 @@ class _FuncRef:
     name: str
 
 
+class _StructInline:
+    """``t{ structcol {...} }`` — inline a struct column's fields as
+    top-level columns at this position (reference from_struct
+    ellipsis, compiler.py:104-112)."""
+
+    def __init__(self, col: Column, excludes: list[str]):
+        self.col = col
+        self.excludes = excludes
+
+    def expand(self, tab: Table) -> list:
+        from pyspark.sql.types import StructType
+        dt = tab.df.select(self.col).schema[0].dataType
+        if not isinstance(dt, StructType):
+            raise TypeError(
+                f"Cannot inline objects of type {dt.simpleString()}")
+        names = [f.name for f in dt.fields]
+        missing = [n for n in self.excludes if n not in names]
+        if missing:
+            raise NameError(f"Fields to exclude {missing} not found")
+        return [(n, self.col.getField(n)) for n in names
+                if n not in self.excludes]
+
+
 @dataclass
 class _JoinAlias:
     """Join-scope binding for `on:` conditions (`$on` parity)."""
@@ -654,14 +1235,58 @@ class _JoinAlias:
     table: "Table"
 
 
+class _MutableRef(Table):
+    """A mutable table reference flowing through the language: behaves
+    as a (possibly filtered) Table everywhere, and additionally
+    carries the MutableTable handle + accumulated selection conditions
+    so postfix ``update {…}`` / ``delete [...]`` can hit storage — the
+    reference's Selection-aware Update/Delete (evaluate.py:720-806)."""
+
+    def __init__(self, engine, handle, conds: list | None = None,
+                 base_df=None):
+        from preql_spark.engine import TableMeta
+        self.handle = handle
+        self.conds = list(conds or [])
+        base = base_df if base_df is not None else handle.df()
+        self.base_df = base
+        view = base
+        for c in self.conds:
+            view = view.filter(c)
+        super().__init__(engine, view,
+                         meta=TableMeta(handle.name, pk=handle.id_col))
+
+    def with_conds(self, conds: list) -> "_MutableRef":
+        return _MutableRef(self.engine, self.handle,
+                           self.conds + list(conds), base_df=self.base_df)
+
+    def _combined_cond(self):
+        if not self.conds:
+            return F.lit(True)
+        out = self.conds[0]
+        for c in self.conds[1:]:
+            out = out & c
+        return out
+
+    def apply_update(self, sets: dict) -> None:
+        self.handle.update(self._combined_cond(), _cur=self.base_df, **sets)
+        self.engine._sync_mutable(self.handle.name)
+
+    def apply_delete(self, extra_conds: list) -> None:
+        cond = self.with_conds(extra_conds)._combined_cond()
+        self.handle.delete(cond, _cur=self.base_df)
+        self.engine._sync_mutable(self.handle.name)
+
+
 @dataclass
 class _UserFunc:
     """``func f(x) = body`` — body kept as an unevaluated token span,
     inlined at each call site (reference: UserFunction,
-    pql_objects.py:216-236 + eval_func_call, evaluate.py:579-648)."""
+    pql_objects.py:216-236 + eval_func_call, evaluate.py:579-648).
+    ``block=True`` marks the statement-body form ``func f(x) {...}``."""
     name: str
     params: list
     body: list
+    block: bool = False
 
 
 def _plain_col_name(c: Column) -> str | None:
@@ -741,6 +1366,12 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
         t = args[0]
         if name == "count":
             return t.count()
+        if name == "list":
+            # reference list(t) — localize a 1-column table
+            # (pql_functions.py, cast table→list)
+            if len(t.df.columns) != 1:
+                raise TypeError("list() expects a 1-column table")
+            return [r[0] for r in t.df.collect()]
         if len(t.df.columns) != 1:
             raise TypeError(f"{name}() on multi-column table")
         # whole-table aggregate → scalar via a 1-row frame
@@ -789,7 +1420,7 @@ def _make_maps():
 
 
 _AGG_MAP, _SCALAR_MAP = _make_maps()
-_FUNCTIONS = set(_AGG_MAP) | set(_SCALAR_MAP) | {"count", "fmt"}
+_FUNCTIONS = set(_AGG_MAP) | set(_SCALAR_MAP) | {"count", "fmt", "list"}
 _TABLE_FUNCS = {"join", "leftjoin", "outerjoin", "joinall", "distinct",
                 "enum", "describe", "limit", "temptable", "one",
                 "page", "is_empty", "sample_ratio_fast", "sample_fast",

@@ -179,13 +179,16 @@ class MutableTable:
         batch = _assign_ids(src.select(*cols), self.id_col, base)
         self._write_version(cur.unionByName(batch))
 
-    def update(self, cond, count: bool = True, **sets) -> int:
+    def update(self, cond, count: bool = True, _cur: DataFrame | None = None,
+               **sets) -> int:
         """``t[conds] update {col: expr}`` — copy-on-write MERGE shape.
         Returns the number of updated rows (rows where ``cond`` is
         TRUE; NULL predicates update nothing, like SQL).  Pass
         ``count=False`` to skip the extra count job on large tables
-        (returns -1)."""
-        cur = self.df()
+        (returns -1).  ``_cur`` lets a caller that built ``cond``
+        against a specific read of the table pass that exact DataFrame
+        (column expressions resolve by attribute id in Spark)."""
+        cur = _cur if _cur is not None else self.df()
         n = cur.filter(cond).count() if count else -1
         updated = cur.withColumns(
             {k: F.when(cond, v if isinstance(v, Column) else F.lit(v))
@@ -242,13 +245,14 @@ class MutableTable:
         self._write_version(out)
         return {"updated": n_upd, "inserted": n_ins}
 
-    def delete(self, cond, count: bool = True) -> int:
+    def delete(self, cond, count: bool = True,
+               _cur: DataFrame | None = None) -> int:
         """``t delete [conds]`` — filtered overwrite.  Deletes only
         rows where the predicate is TRUE: rows where it evaluates NULL
         are KEPT (``~cond`` alone would drop them — NULL negated is
         NULL), matching SQL/reference DELETE.  Returns rows deleted;
         ``count=False`` skips the extra count job (returns -1)."""
-        cur = self.df()
+        cur = _cur if _cur is not None else self.df()
         hit = cond if isinstance(cond, Column) else F.expr(cond)
         n = cur.filter(hit).count() if count else -1
         self._write_version(cur.filter(~hit.eqNullSafe(True)))

@@ -56,6 +56,17 @@ def _as_col(x, table: "Table | None" = None) -> Column:
     return F.lit(x)
 
 
+def _plain_attr_name(c) -> str | None:
+    """The column's name iff it is a trivial attribute reference —
+    used to detect direct column references for ellipsis hiding
+    (reference ``direct_names``, compiler.py:82)."""
+    if not isinstance(c, Column):
+        return None
+    import re as _re
+    m = _re.fullmatch(r"Column<'(\w+)'>", str(c))
+    return m.group(1) if m else None
+
+
 class Table:
     """Immutable logical table: DataFrame + (pk, fks) metadata."""
 
@@ -107,27 +118,50 @@ class Table:
         """Preql projection ``t{f1, n: expr, ...}`` with ellipsis
         splicing (compiler.py:186-280; ellipsis :81-128).
 
-        ``items``: column names, Columns, ``...`` (splice remaining
-        columns at this position), or ``exclude("a","b")`` (splice all
-        but those).  ``named``: name=expression (str | Column |
-        callable(table) -> Column).
-        """
-        out: list[Column] = []
-        named_cols = {n: _as_col(e, self).alias(n) for n, e in named.items()}
-        explicit: set[str] = set(named)
-        for it in items:
+        ``items``: column names, Columns, ``(name, expr)`` tuples
+        (named fields that keep their position), ``...`` (splice
+        remaining columns at this position), or ``exclude("a","b")``
+        (splice all but those).  ``named``: name=expression appended at
+        the end (str | Column | callable(table) -> Column).
+
+        Reference-parity rules (_expand_ellipsis, compiler.py:81-128):
+        the ellipsis expands IN PLACE, in table column order, skipping
+        every directly-referenced column — positional names AND named
+        fields whose value is a plain column reference (``{name2:
+        name, ...}`` hides ``name``; ``{name2: name+"!", ...}`` does
+        not).  Excluding a missing column raises; excluding a directly
+        included one raises."""
+        entries: list = [*items, *named.items()]
+        direct: set[str] = set()
+        for it in entries:
             if isinstance(it, str):
-                explicit.add(it)
-        for it in items:
+                direct.add(it)
+            elif isinstance(it, tuple):
+                src = it[1] if isinstance(it[1], str) else \
+                    _plain_attr_name(it[1])
+                if src is not None:
+                    direct.add(src)
+        out: list[Column] = []
+        for it in entries:
             if it is Ellipsis or isinstance(it, Exclude):
-                skip = set(it.names) if isinstance(it, Exclude) else set()
+                skip = list(it.names) if isinstance(it, Exclude) else []
+                missing = [n for n in skip if n not in self.df.columns]
+                if missing:
+                    raise NameError(
+                        f"Fields to exclude {missing} not found")
+                clash = [n for n in skip if n in direct]
+                if clash:
+                    raise NameError(
+                        f"Field to exclude {clash} is explicitly "
+                        "included in projection")
                 out.extend(self.df[c] for c in self.df.columns
-                           if c not in explicit and c not in skip)
+                           if c not in direct and c not in skip)
             elif isinstance(it, str):
                 out.append(self.df[it])
+            elif isinstance(it, tuple):
+                out.append(_as_col(it[1], self).alias(it[0]))
             else:
                 out.append(_as_col(it, self))
-        out.extend(named_cols.values())
         if not out:
             raise ValueError("empty projection")
         return self._with(self.df.select(*out))

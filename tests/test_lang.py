@@ -245,3 +245,229 @@ def test_string_slicing(eng):
     assert eng.q('"hello"[..2]') == "he"
     out = eng.q('nation[n_nationkey == 7]{x: n_name[0..6]}')
     assert out.collect()[0].x == "NATION"
+
+
+# ---- statements: control flow, signals, DDL/DML ---------------------
+# Specimens ported from reference tests/test_basic.py (update/delete:
+# :323-347; transactions: :1570-1606; new-freezes: TestFlow).
+
+@pytest.fixture()
+def leng(spark):
+    """Fresh engine per test: statement tests mutate the persistent
+    lang namespace and the mutable-table registry."""
+    from preql_spark.engine import Engine
+    return Engine(spark)
+
+
+def test_lang_update_basic(leng):
+    leng.q('''
+    table Point {x: int, y: int}
+
+    new Point(1,3)
+    new Point(2,7)
+    new Point(3,1)
+    new Point(4,2)
+
+    const table backup = Point
+
+    func p2() {
+        Point[x==3] update{y: y + 13}
+        return Point[x==3]
+    }
+    func p() = p2() {...!id}
+    ''')
+    assert [r.asDict() for r in leng.q('p()').collect()] == [{'x': 3, 'y': 14}]
+    assert [r.asDict() for r in leng.q('p()').collect()] == [{'x': 3, 'y': 27}]
+    assert leng.q('list(backup[x==3]{y})') == [1]
+    leng.q('backup[x==3] update {y: x+y}')
+    assert leng.q('list(backup[x==3]{y})') == [4]
+
+
+def test_lang_delete_and_insert(leng):
+    leng.q('''
+    table Point {x: int, y: int}
+    new Point(1,1)
+    new Point(2,2)
+    new Point(3,3)
+    Point delete [x == 2]
+    ''')
+    assert sorted(leng.q('list(Point{x})')) == [1, 3]
+    leng.q('Point += Point{x: x + 10, y: y}')
+    assert sorted(leng.q('list(Point{x})')) == [1, 3, 11, 13]
+    # ids regenerated, unique
+    ids = leng.q('list(Point{id})')
+    assert len(set(ids)) == 4
+
+
+def test_lang_control_flow(leng):
+    leng.q('''
+    total = 0
+    for (i in [1..5]) {
+        total = total + i
+    }
+    n = 0
+    while (n < 4) { n = n + 1 }
+    ''')
+    assert leng.q('total') == 10
+    assert leng.q('n') == 4
+    assert leng.q(
+        'v = 7\n'
+        'if (v < 5) { r = "lo" } else if (v < 10) { r = "mid" }'
+        ' else { r = "hi" }\n'
+        'r') == "mid"
+    # expression-form if still works
+    assert leng.q('if (1 > 2) "a" else "b"') == "b"
+
+
+def test_lang_try_throw_assert(leng):
+    out = leng.q('''
+    caught = "none"
+    try {
+        throw new ValueError("boom")
+    } catch (e: ValueError) {
+        caught = e
+    }
+    caught
+    ''')
+    from preql_spark.lang import LangSignal
+    assert isinstance(out, LangSignal) and out.message == "boom"
+    # type mismatch propagates
+    with pytest.raises(LangSignal):
+        leng.q('try { throw new KeyError("k") } catch (ValueError) { }')
+    # assert raises AssertError (catchable as Exception)
+    with pytest.raises(LangSignal, match="Assertion failed"):
+        leng.q('assert 1 == 2')
+    leng.q('assert 1 == 1')
+
+
+def test_lang_transactions(leng):
+    # reference test_transaction1: rollback undoes the insert
+    leng.q('''
+    table a {
+        x: int
+    }
+
+    try{
+        transaction {
+            new a(4)
+            throw new Exception("Some Error")
+        }
+    } catch(Exception) {
+    }
+
+    table a {
+        x: int
+    }
+    ''')
+    assert leng.q('count(a)') == 0
+    leng.drop_table("a")
+    # reference test_transaction2: caught inside → commit
+    leng.q('''
+    table a {
+        x: int
+    }
+
+    transaction {
+        try{
+            new a(5)
+            throw new Exception("A")
+        } catch(Exception) {
+        }
+    }
+    ''')
+    assert leng.q('list(a{x})') == [5]
+
+
+def test_lang_new_freezes_values(leng):
+    # reference TestFlow.test_new_freezes_values (issue #7)
+    leng.q('''
+    table a{x: float}
+    row = new a(random())
+    assert row.x in a{x}
+    ''')
+
+
+def test_lang_table_from_expr_and_comments(leng):
+    leng.load_dir("/root/testdata/sf0.001")
+    leng.q('''
+    // CTAS from a query expression
+    table rich = customer[c_acctbal > 9000]{c_custkey, c_acctbal}
+    # rows survive re-reads
+    ''')
+    n = leng.q('count(rich)')
+    assert n == leng.t.customer.filter(F.col("c_acctbal") > 9000).count()
+    assert "id" in leng.q('rich').df.columns
+
+
+# ---- ellipsis edge semantics (reference test_basic.py:108-140) ------
+
+@pytest.fixture()
+def person_eng(spark):
+    from preql_spark.engine import Engine
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [(1, "Erez Shinan", "Israel"), (2, "Eric Blaire", "England"),
+         (3, "H.G. Wells", "England")],
+        "id: long, name: string, country: string")
+    eng.register("Person", df, pk="id")
+    return eng
+
+
+def _cols(t):
+    return t.df.columns
+
+
+def test_ellipsis_positions(person_eng):
+    q = person_eng.q
+    assert [r.name for r in
+            q('Person {name, ...}[name=="Erez Shinan"]{name}').collect()] \
+        == ["Erez Shinan"]
+    assert _cols(q('Person {name, ...}')) == ['name', 'id', 'country']
+    assert _cols(q('Person {country, ...}')) == ['country', 'id', 'name']
+    assert _cols(q('Person {..., id}')) == ['name', 'country', 'id']
+    assert _cols(q('Person {country, ..., id}')) == ['country', 'name', 'id']
+
+
+def test_ellipsis_direct_name_hiding(person_eng):
+    q = person_eng.q
+    # a named field whose value is a plain column ref hides that column
+    assert _cols(q('Person {name2: name, ...}')) == ['name2', 'id', 'country']
+    assert _cols(q('Person {name2: name, ..., name3: name}')) \
+        == ['name2', 'id', 'country', 'name3']
+    assert _cols(q('Person {name: name, ...}')) == ['name', 'id', 'country']
+    # ...but a computed expression does NOT hide its source column
+    assert _cols(q('Person {name2: name+"!", ...}')) \
+        == ['name2', 'id', 'name', 'country']
+    assert _cols(q('Person {name2: name+"!", ..., name3: name+"!"}')) \
+        == ['name2', 'id', 'name', 'country', 'name3']
+    assert _cols(q('Person {name2: name+"!", ..., name3: name}')) \
+        == ['name2', 'id', 'country', 'name3']
+
+
+def test_ellipsis_errors(person_eng):
+    q = person_eng.q
+    with pytest.raises(SyntaxError):
+        q('Person {x: ...}')
+    with pytest.raises(NameError):
+        q('Person {... !hello}')          # exclude of unknown field
+    with pytest.raises(NameError):
+        q('Person {name, ... !name}')     # exclude of included field
+
+
+def test_ellipsis_exclude_positions(person_eng):
+    q = person_eng.q
+    assert _cols(q('Person {name, ... !id !country}')) == ['name']
+    assert _cols(q('Person {country, ... !name}')) == ['country', 'id']
+    assert _cols(q('Person {... !name, id}')) == ['country', 'id']
+    assert _cols(q('Person {country, ... !name, id}')) == ['country', 'id']
+
+
+def test_struct_inline(person_eng):
+    q = person_eng.q
+    spark = person_eng.spark
+    df = spark.createDataFrame(
+        [(1, {"a": 10, "b": "x"})], "k: long, s: struct<a: long, b: string>")
+    person_eng.register("S", df)
+    assert _cols(q('S {k, s {...}}')) == ['k', 'a', 'b']
+    assert _cols(q('S {s {... !a}, k}')) == ['b', 'k']
+    assert q('list(S {s {... !a}, k}{b})') == ["x"]
