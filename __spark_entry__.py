@@ -1091,6 +1091,24 @@ def q88_lang_dml_lifecycle(spark, sf_dir) -> DataFrame:
     return out.df
 
 
+def q89_sql_recursion(spark, sf_dir) -> DataFrame:
+    """SQL() escape hatch with $self recursion (pql_functions.py:86-123
+    "A special $self variable allows to perform recursion") — compiled
+    to a native Spark 4 recursive CTE.  Walks the region→nation FK as
+    a recursive hierarchy: level 0 = regions (as -1 parents), level
+    n+1 = nations of those regions."""
+    eng = _eng(spark, sf_dir)
+    return eng.sql("""
+        SELECT CAST(r_regionkey AS INT) AS node, CAST(-1 AS INT) AS parent,
+               0 AS lvl
+        FROM $region
+        UNION ALL
+        SELECT CAST(n.n_nationkey + 100 AS INT), s.node, s.lvl + 1
+        FROM $self s JOIN $nation n ON n.n_regionkey = s.node
+        WHERE s.lvl = 0
+    """).df
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
@@ -1180,6 +1198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_ivf_full_probe": q86_ivf_full_probe,
     "q87_stream_dedup": q87_stream_dedup,
     "q88_lang_dml_lifecycle": q88_lang_dml_lifecycle,
+    "q89_sql_recursion": q89_sql_recursion,
 }
 
 
@@ -1966,6 +1985,18 @@ ORACLES: dict[str, str] = {
         SELECT 900, 'ATLANTIS', 0
         UNION ALL
         SELECT i, 'LOST_' || CAST(i AS VARCHAR), 0 FROM range(901, 904) t(i)
+    """,
+    "q89_sql_recursion": """
+        WITH RECURSIVE h AS (
+            SELECT CAST(r_regionkey AS INT) AS node,
+                   CAST(-1 AS INT) AS parent, 0 AS lvl
+            FROM region
+            UNION ALL
+            SELECT CAST(n.n_nationkey + 100 AS INT), h.node, h.lvl + 1
+            FROM h JOIN nation n ON n.n_regionkey = h.node
+            WHERE h.lvl = 0
+        )
+        SELECT node, parent, lvl FROM h
     """,
 }
 

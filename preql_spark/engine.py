@@ -279,13 +279,40 @@ class Engine:
 
     # ---- escape hatches --------------------------------------------
     def sql(self, code: str, **tables: "Table | DataFrame") -> "Table":
-        """Raw-SQL escape hatch with table parameter binding — the
-        reference's ``SQL(type, "... $var")`` (pql_functions.py:86-123);
-        DataFrames are injected as temp views."""
+        """Raw-SQL escape hatch with parameter binding — the
+        reference's ``SQL(type, "... $var")`` (pql_functions.py:86-123;
+        compiled at compiler.py:492-552).
+
+        ``$var`` embeds a bound table (kwarg or catalog name) as a
+        temp view.  ``$self`` names the query itself, enabling
+        recursion like the reference: the code is wrapped in a Spark
+        ``WITH RECURSIVE`` CTE (native since Spark 4.0), e.g.::
+
+            eng.sql("SELECT 1 AS n UNION ALL "
+                    "SELECT n+1 FROM $self WHERE n < 10")
+        """
+        import re
         from preql_spark.table import Table
         for var, t in tables.items():
             df = t.df if isinstance(t, Table) else t
             df.createOrReplaceTempView(var)
+
+        def sub(m: "re.Match") -> str:
+            name = m.group(1)
+            if name == "self":
+                return "__self__"
+            if name in tables or name in self._dfs \
+                    or name in self.mutables:
+                if name in self.mutables and name not in tables:
+                    self._sync_mutable(name)
+                return name
+            raise NameError(f"SQL(): unbound variable ${name}")
+
+        has_self = re.search(r"\$self\b", code) is not None
+        code = re.sub(r"\$(\w+)", sub, code)
+        if has_self:
+            code = (f"WITH RECURSIVE __self__ AS ({code}) "
+                    "SELECT * FROM __self__")
         return self.from_df(self.spark.sql(code))
 
     # ---- sources (see preql_spark.sources for the full surface) ----

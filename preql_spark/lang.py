@@ -978,6 +978,10 @@ class Parser:
             return self._list_or_range()
         if t.kind == "name":
             return self._name(t.text)
+        if t.kind == "table":
+            # `table` in expression position is the type value
+            # (isa(x, table), issubclass(list, table))
+            return _TypeRef("table")
         raise SyntaxError(f"unexpected token {t.text!r}")
 
     def _list_or_range(self):
@@ -1073,6 +1077,8 @@ class Parser:
             return self.engine.table(name)
         if name in _FUNCTIONS or name in _TABLE_FUNCS:
             return _FuncRef(name)
+        if name in _TYPE_NAMES:
+            return _TypeRef(name)
         raise NameError(f"unknown name {name!r}")
 
     def _attr(self, v, name: str):
@@ -1205,6 +1211,12 @@ class _FuncRef:
     name: str
 
 
+@dataclass
+class _TypeRef:
+    """A first-class type value (`type(x)`, bare `number`/`table`)."""
+    name: str
+
+
 class _StructInline:
     """``t{ structcol {...} }`` — inline a struct column's fields as
     top-level columns at this position (reference from_struct
@@ -1307,9 +1319,97 @@ def _agg_or_table(parser: Parser, fcol, fall):
     return apply
 
 
+def _type_name_of(parser: Parser, v) -> str:
+    """Runtime Preql type name (reference obj.type)."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, str):
+        return "string"
+    if v is None:
+        return "nulltype"
+    if isinstance(v, Table):
+        return "list" if v.df.columns == ["item"] else "table"
+    if isinstance(v, Column):
+        return _type_name_of(parser, parser._pyval(v))
+    if isinstance(v, (_FuncRef, _TypeRef)):
+        return "type"
+    return type(v).__name__
+
+
+# subtype lattice (reference pql_types: int/float <= number,
+# list <= table — pql_functions.py:246-260 issubclass examples)
+_SUPERS = {"int": {"int", "number", "any"},
+           "float": {"float", "number", "any"},
+           "bool": {"bool", "any"},
+           "string": {"string", "any"},
+           "nulltype": {"nulltype", "any"},
+           "list": {"list", "table", "any"},
+           "table": {"table", "any"},
+           "type": {"type", "any"},
+           "number": {"number", "any"},
+           "timestamp": {"timestamp", "any"}}
+
+
+def _as_type_name(t) -> str:
+    if isinstance(t, (_FuncRef, _TypeRef)):
+        return t.name
+    if isinstance(t, str):
+        return t
+    raise TypeError(f"expected a type, got {t!r}")
+
+
 def _apply_function(parser: Parser, name: str, args, kwargs):
     from preql_spark.functions import aggregate as agg
     from preql_spark import table as tbl
+
+    # ---- reflection (pql_functions.py:246-278, 627-651) ------------
+    if name == "isa":
+        obj, ty = args
+        return _as_type_name(ty) in _SUPERS.get(
+            _type_name_of(parser, obj), {"any"})
+    if name == "issubclass":
+        a, b = (_as_type_name(x) for x in args)
+        return _as_type_name(b) in _SUPERS.get(a, {a, "any"})
+    if name == "type":
+        return _TypeRef(_type_name_of(parser, args[0]))
+    if name == "repr":
+        v = args[0]
+        if isinstance(v, Table):
+            cols = ", ".join(f"{c}: {t}" for c, t in v.df.dtypes)
+            return f"table {v.meta.name} {{{cols}}} ={v.count()}"
+        if isinstance(v, (_FuncRef, _TypeRef)):
+            return v.name
+        v = parser._pyval(v)
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if v is None:
+            return "null"
+        if isinstance(v, str):
+            return f'"{v}"'
+        return str(v)
+
+    # ---- SQL() escape hatch (pql_functions.py:86-123) --------------
+    if name == "SQL":
+        if len(args) != 2:
+            raise TypeError("SQL(result_type, code)")
+        ty, code = args
+        tyname = ty.name if isinstance(ty, (_FuncRef, _TypeRef)) else None
+        if tyname in ("int", "float", "string", "bool", "number") \
+                and parser.table is not None:
+            # scalar type in row context → vectorized SQL expression
+            # over the current table's columns ($col → col)
+            return F.expr(re.sub(r"\$(\w+)", r"\1", code))
+        bind = {}
+        for m in re.finditer(r"\$(\w+)", code):
+            nm = m.group(1)
+            if nm != "self" and nm in parser.env \
+                    and isinstance(parser.env[nm], Table):
+                bind[nm] = parser.env[nm]
+        return parser.engine.sql(code, **bind)
 
     if name == "fmt":
         # fmt("$var text") interpolation (pql_functions.py:132-169):
@@ -1420,7 +1520,12 @@ def _make_maps():
 
 
 _AGG_MAP, _SCALAR_MAP = _make_maps()
-_FUNCTIONS = set(_AGG_MAP) | set(_SCALAR_MAP) | {"count", "fmt", "list"}
+_FUNCTIONS = set(_AGG_MAP) | set(_SCALAR_MAP) | {
+    "count", "fmt", "list", "isa", "issubclass", "type", "repr", "SQL"}
+# bare type names usable as values (isa/issubclass/type comparisons);
+# int/float/string/bool resolve to cast functions first and are
+# accepted by _as_type_name via their _FuncRef name
+_TYPE_NAMES = {"number", "table", "any", "nulltype", "timestamp"}
 _TABLE_FUNCS = {"join", "leftjoin", "outerjoin", "joinall", "distinct",
                 "enum", "describe", "limit", "temptable", "one",
                 "page", "is_empty", "sample_ratio_fast", "sample_fast",

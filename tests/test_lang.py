@@ -471,3 +471,48 @@ def test_struct_inline(person_eng):
     assert _cols(q('S {k, s {...}}')) == ['k', 'a', 'b']
     assert _cols(q('S {s {... !a}, k}')) == ['b', 'k']
     assert q('list(S {s {... !a}, k}{b})') == ["x"]
+
+
+# ---- reflection + SQL() escape hatch --------------------------------
+
+def test_reflection_builtins(leng):
+    # pql_functions.py:246-278 examples, verbatim
+    assert leng.q('isa(1, int)') is True
+    assert leng.q('isa(1, string)') is False
+    assert leng.q('isa(1.2, number)') is True
+    assert leng.q('isa([1], table)') is True
+    assert leng.q('issubclass(int, number)') is True
+    assert leng.q('issubclass(int, table)') is False
+    assert leng.q('issubclass(list, table)') is True
+    from preql_spark.lang import _TypeRef
+    assert leng.q('type(1)') == _TypeRef("int")
+    assert leng.q('type(1.5)') == _TypeRef("float")
+    assert leng.q('type([1])') == _TypeRef("list")
+    assert leng.q('repr(1)') == "1"
+    assert leng.q('repr("he")') == '"he"'
+    assert leng.q('repr(true)') == "true"
+    assert leng.q('repr(null)') == "null"
+
+
+def test_sql_escape_hatch(leng):
+    # scalar SQL in row context (pql_SQL docstring example)
+    t = leng.q("""x2 = ["a", "b"]{item: SQL(string, "$item || '!'")}
+                  x2""")
+    assert sorted(r.item for r in t.collect()) == ["a!", "b!"]
+    # table SQL with $var binding (docstring example 2)
+    leng.q('x = ["a", "b", "c"]')
+    t2 = leng.q('SQL(table, "SELECT item || \'!\' AS item FROM $x")')
+    assert sorted(r.item for r in t2.collect()) == ["a!", "b!", "c!"]
+    # unbound variable raises
+    with pytest.raises(NameError):
+        leng.sql("SELECT * FROM $nope")
+
+
+def test_sql_self_recursion(leng):
+    # $self recursion (pql_functions.py:93: "allows to perform
+    # recursion") via Spark 4 WITH RECURSIVE
+    t = leng.sql("SELECT 1 AS n UNION ALL SELECT n+1 FROM $self WHERE n < 10")
+    assert sorted(r.n for r in t.collect()) == list(range(1, 11))
+    f = leng.sql("SELECT 1 AS n, CAST(1 AS LONG) AS f "
+                 "UNION ALL SELECT n+1, f*(n+1) FROM $self WHERE n < 10")
+    assert max((r.n, r.f) for r in f.collect()) == (10, 3628800)
