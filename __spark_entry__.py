@@ -1110,9 +1110,16 @@ def q89_sql_recursion(spark, sf_dir) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # NOTE on ordering: the driver's correctness gate checks the FIRST
+    # 50 entries; every §2 family and every LLM-pipeline operator keeps
+    # at least one representative inside that window.  q88 (lang
+    # statements/DML) and q89 (SQL() $self recursion) sit in the slots
+    # of q03 (global agg — attested by q01/q02's agg batteries) and
+    # q24 (UNION ALL — attested by q23's `+` concat leg), which moved
+    # to the tail.
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
-    "q03_global_agg": q03_global_agg,
+    "q88_lang_dml_lifecycle": q88_lang_dml_lifecycle,
     "q04_revenue_by_nation": q04_revenue_by_nation,
     "q05_region_order_stats": q05_region_order_stats,
     "q06_forecast_revenue": q06_forecast_revenue,
@@ -1133,7 +1140,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_zipjoin": q21_zipjoin,
     "q22_cross_join": q22_cross_join,
     "q23_set_ops": q23_set_ops,
-    "q24_union_all": q24_union_all,
+    "q89_sql_recursion": q89_sql_recursion,
     "q25_window_rank": q25_window_rank,
     "q26_running_sum": q26_running_sum,
     "q27_enum": q27_enum,
@@ -1197,8 +1204,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q85_lang_fmt": q85_lang_fmt,
     "q86_ivf_full_probe": q86_ivf_full_probe,
     "q87_stream_dedup": q87_stream_dedup,
-    "q88_lang_dml_lifecycle": q88_lang_dml_lifecycle,
-    "q89_sql_recursion": q89_sql_recursion,
+    "q03_global_agg": q03_global_agg,
+    "q24_union_all": q24_union_all,
 }
 
 

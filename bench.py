@@ -49,23 +49,54 @@ def main():
     # warm the JVM/executor pool so q1 doesn't pay startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    qs = entry.queries()
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        df = qs[name](spark, sf_dir)
+    from bench_twins import TWINS, normalized_plan
+
+    def run_once(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def time_df(df) -> float:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            run_once(df)
             best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        return best
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    hand: dict[str, float] = {}
+    ratio: dict[str, float] = {}
+    plan_match: dict[str, bool] = {}
+    for name in BENCH_QUERIES:
+        eng_df = qs[name](spark, sf_dir)
+        # hand-authored PySpark twin: measures the engine layer's
+        # overhead over the plan you'd write by hand (the reference's
+        # "within 1-5% of hand-written SQL" claim, measured).  Plan
+        # equality (physical plan modulo expression ids) is the strong
+        # form of the claim; the wall-clock ratio backs it up.
+        twin_df = TWINS[name](spark, sf_dir)
+        plan_match[name] = normalized_plan(eng_df) == normalized_plan(twin_df)
+        # warm BOTH untimed first so neither side pays codegen/footer
+        # costs the other skipped (engine-first timing biased the twin)
+        run_once(eng_df)
+        run_once(twin_df)
+        timings[name] = round(time_df(eng_df), 4)
+        hand[name] = round(time_df(twin_df), 4)
+        ratio[name] = round(timings[name] / hand[name], 3) if hand[name] \
+            else 1.0
 
     total = round(sum(timings.values()), 4)
+    hand_total = round(sum(hand.values()), 4)
     print(json.dumps({
         "metric": "headline_queries_total_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "hand_twin_secs": hand,
+        "engine_over_hand_ratio": ratio,
+        "engine_over_hand_total": round(total / hand_total, 3)
+        if hand_total else 1.0,
+        "plan_match": plan_match,
         "sf": sf,
     }))
 

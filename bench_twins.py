@@ -1,0 +1,234 @@
+"""Hand-authored PySpark twins of the headline benchmark queries.
+
+The reference's transferable performance claim is "generated SQL is
+within 1-5% of hand-written SQL".  The analogous claim here is that the
+engine's generated DataFrame plans ARE the plans you'd write by hand.
+``bench.py`` measures both sides and reports the engine/hand time ratio
+per query, turning that claim into a number.
+
+Each twin reads parquet directly with ``spark.read`` and composes plain
+DataFrame ops — no Engine/Table/lang layer.  For the operator-library
+queries (q38/q40/q64/q75/q78) the twin calls the same operator function
+on raw-read frames: those operators are themselves plain PySpark (what
+a user would hand-write); the twin then measures exactly the overhead
+of the engine wrapper, which is the claim under test.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def normalized_plan(df: DataFrame) -> str:
+    """Physical plan text with expression ids / plan ids / cached-RDD
+    numbers stripped, so two structurally identical plans compare equal.
+
+    Also canonicalizes Catalyst-internal rename noise that differs
+    between semantically identical plans:
+      - ``col# AS _groupingexpression#`` / ``col# AS _extract_col#``
+        wrappers (groupBy on an aliased Column vs a bare name)
+      - lambda variable numbering (``lambda x_7`` vs ``lambda x_17``)
+      - explain-string truncation points (``...`` lands at a different
+        byte once expr-id widths differ)
+    """
+    sc = df.sparkSession
+    mode = sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple")
+    text = df._jdf.queryExecution().explainString(mode)
+    text = re.sub(r"#\d+[L]?", "#", text)
+    # map Catalyst helper aliases back to their source column
+    for orig, alias in re.findall(
+            r"(\w+)# AS ((?:_groupingexpression|_extract_\w+)\d*)#", text):
+        text = text.replace(f"{orig}# AS {alias}#", f"{orig}#")
+        text = text.replace(f"{alias}#", f"{orig}#")
+    text = re.sub(r"\b([a-z]+)_\d+#", r"\1_#", text)   # lambda vars
+    text = re.sub(r"plan_id=\d+", "plan_id=", text)
+    text = re.sub(r"\[id=#\]", "", text)
+    # truncated field lists diverge at the cut point — elide them
+    text = re.sub(r"(DataFilters|PushedFilters|PartitionFilters):"
+                  r" \[[^\]]*\.\.\.", r"\1: [<elided>", text)
+    text = re.sub(r"InMemoryTableScan.*", "InMemoryTableScan", text)
+    return text
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Hand-rolled parquet read.  events.parquet carries
+    TIMESTAMP(NANOS), which Spark reads only via nanosAsLong — any hand
+    author targeting these files writes this same shim."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return spark.read.parquet(path)
+
+
+def q01_pricing_summary(spark, sf_dir):
+    l = _read(spark, sf_dir, "lineitem")
+    return (l.filter(F.col("l_shipdate") <= F.lit("2000-01-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q04_revenue_by_nation(spark, sf_dir):
+    l = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    j = (l.join(o, l.l_orderkey == o.o_orderkey)
+         .join(c, o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    return (j.select(F.col("n_name").alias("nation"),
+                     (F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))).alias("rev"))
+            .groupBy("nation")
+            .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("nation")))
+
+
+def q05_region_order_stats(spark, sf_dir):
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    j = (o.join(c, o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (j.groupBy(F.col("r_name").alias("region"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+def q06_forecast_revenue(spark, sf_dir):
+    l = _read(spark, sf_dir, "lineitem")
+    return (l.filter((F.col("l_discount") >= 0.05)
+                     & (F.col("l_discount") <= 0.07)
+                     & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * F.col("l_discount")), 2).alias("revenue")))
+
+
+def q16_casts(spark, sf_dir):
+    l = _read(spark, sf_dir, "lineitem")
+    qi = F.floor(F.col("l_quantity")).cast("long")
+    return l.select(
+        "l_orderkey", "l_linenumber",
+        qi.alias("qty_int"),
+        qi.cast("string").alias("qty_str"),
+        qi.cast("string").cast("long").alias("back"),
+        (F.floor((F.col("l_extendedprice") / F.col("l_quantity"))
+                 * 10000 + F.lit(0.5)) / 10000).alias("fdiv"),
+        F.floor(F.col("l_orderkey") / 7).cast("long").alias("idiv"))
+
+
+def q25_window_rank(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (c.select("c_custkey", "c_nationkey", "c_acctbal",
+                     F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 3))
+
+
+def q38_neardup_minhash(spark, sf_dir):
+    from preql_spark.operators import dedup
+    d = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", threshold=0.9)
+    return pairs.select(
+        "id_a", "id_b",
+        (F.floor(F.col("jaccard") * 10000 + F.lit(0.5)) / 10000)
+        .alias("jaccard"))
+
+
+def q40_cosine_topk(spark, sf_dir):
+    from preql_spark.operators import similarity
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    out = similarity.cosine_topk(e, q, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        (F.floor(F.col("sim") * 10000 + F.lit(0.5)) / 10000).alias("sim"))
+
+
+def q44_sessionize(spark, sf_dir):
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    newsess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (e.withColumn("__new", newsess)
+            .withColumn("session_idx",
+                        F.sum("__new").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("event_id").alias("first_event")))
+
+
+def q45_tumbling_window(spark, sf_dir):
+    e = _read(spark, sf_dir, "events")
+    return (e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("bucket"),
+        F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total")))
+
+
+def q64_tfidf_top_terms(spark, sf_dir):
+    from preql_spark.operators.text import tf_idf
+    d = _read(spark, sf_dir, "documents")
+    scored = tf_idf(d.filter(F.col("doc_id") < 100), "doc_id", "text")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "token", "rnk",
+                    (F.floor(F.col("tfidf") * 10000 + F.lit(0.5)) / 10000)
+                    .alias("tfidf")))
+
+
+def q75_pack_sequences(spark, sf_dir):
+    from preql_spark.operators import text
+    d = _read(spark, sf_dir, "documents")
+    return text.pack_sequences(d, "doc_id", "text",
+                               budget=512, n_buckets=16)
+
+
+def q78_interval_join(spark, sf_dir):
+    from preql_spark.operators.rangejoin import interval_join
+    iv = (spark.range(15)
+          .select(F.col("id").alias("window_id"),
+                  (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                   + F.make_interval(days=F.col("id") * 2)).alias("start"))
+          .withColumn("end", F.col("start") + F.expr("INTERVAL 6 HOURS")))
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts")
+    out = interval_join(ev, iv, bucket_s=6 * 3600)
+    return out.groupBy("window_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+TWINS = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q04_revenue_by_nation": q04_revenue_by_nation,
+    "q05_region_order_stats": q05_region_order_stats,
+    "q06_forecast_revenue": q06_forecast_revenue,
+    "q16_casts": q16_casts,
+    "q25_window_rank": q25_window_rank,
+    "q38_neardup_minhash": q38_neardup_minhash,
+    "q40_cosine_topk": q40_cosine_topk,
+    "q44_sessionize": q44_sessionize,
+    "q45_tumbling_window": q45_tumbling_window,
+    "q64_tfidf_top_terms": q64_tfidf_top_terms,
+    "q75_pack_sequences": q75_pack_sequences,
+    "q78_interval_join": q78_interval_join,
+}
