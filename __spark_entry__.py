@@ -1109,6 +1109,23 @@ def q89_sql_recursion(spark, sf_dir) -> DataFrame:
     """).df
 
 
+def q90_lazy_param(spark, sf_dir) -> DataFrame:
+    """General `$param` lazy parameters (evaluate.py:597: "$param means
+    don't evaluate expression, leave it to the function"): the
+    call-site expression is captured unevaluated and compiles where the
+    function body references it — here the filter predicate and both
+    sides of the aggregation arrow name columns that only resolve
+    inside the function.  Inlined at compile time: the physical plan is
+    a plain filter + partial-agg, no UDF."""
+    eng = _eng(spark, sf_dir)
+    out = eng.q('''
+    func top_spend(t, $cond, $k, $v) = t[$cond] { $k => total: sum($v) }
+    top_spend(orders, o_totalprice > 1000, o_orderstatus, o_totalprice)
+    ''')
+    return out.df.select("o_orderstatus",
+                         F.round(F.col("total"), 2).alias("total"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1206,6 +1223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_stream_dedup": q87_stream_dedup,
     "q03_global_agg": q03_global_agg,
     "q24_union_all": q24_union_all,
+    "q90_lazy_param": q90_lazy_param,
 }
 
 
@@ -2004,6 +2022,11 @@ ORACLES: dict[str, str] = {
             WHERE h.lvl = 0
         )
         SELECT node, parent, lvl FROM h
+    """,
+    "q90_lazy_param": """
+        SELECT o_orderstatus, ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders WHERE o_totalprice > 1000
+        GROUP BY o_orderstatus
     """,
 }
 

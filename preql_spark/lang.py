@@ -42,6 +42,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<int>\d+)
   | (?P<dots>\.\.\.|\.\.)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<sname>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<string>"[^"]*"|'[^']*')
   | (?P<op>==|!=|<=|>=|=>|!in|/~|\*\*|\+=|[-+*/%<>=~^(){}\[\],:.!|&;?])
 """, re.VERBOSE)
@@ -497,7 +498,12 @@ class Parser:
         self.expect("op", "(")
         params = []
         while not self.accept("op", ")"):
-            params.append(self.expect("name").text)
+            t = self.peek()
+            if t.kind not in ("name", "sname"):
+                raise SyntaxError(f"bad parameter {t.text!r}")
+            # `$x` params are lazy: they bind the call-site token span
+            # unevaluated (reference evaluate.py:597)
+            params.append(self.next().text)
             self.accept("op", ",")
         if self.accept("op", "="):
             # short form: capture the expression span (to the next
@@ -978,6 +984,11 @@ class Parser:
             return self._list_or_range()
         if t.kind == "name":
             return self._name(t.text)
+        if t.kind == "sname":
+            # `$x` — SPECIAL_NAME (preql.lark:188); in expression
+            # position it resolves like any env name (a bound lazy
+            # parameter evaluates here, in the current context)
+            return self._name(t.text)
         if t.kind == "table":
             # `table` in expression position is the type value
             # (isa(x, table), issubclass(list, table))
@@ -1070,7 +1081,12 @@ class Parser:
                 and name in self.table.meta.methods:
             return self.table.meta.methods[name](self.table)
         if name in self.env:
-            return self.env[name]
+            v = self.env[name]
+            # lazy $param: compile the captured call-site expression
+            # here, in the context where the body references it
+            if isinstance(v, _LazySpan):
+                return self._eval_lazy(v)
+            return v
         if name in self.engine.mutables:
             return self._make_mutable_ref(name)
         if name in self.engine.tables():
@@ -1105,6 +1121,35 @@ class Parser:
             return v.getField(name)
         raise TypeError(f"cannot access .{name} on {type(v)}")
 
+    def _capture_arg_span(self) -> "_LazySpan":
+        """Capture one call argument as its raw token span (balanced
+        to the next top-level ``,`` or ``)``) without evaluating it —
+        the `$param` lazy-argument path."""
+        start, depth = self.i, 0
+        while True:
+            t = self.peek()
+            if t.kind == "eof":
+                break
+            if depth == 0 and t.kind == "op" and t.text in (",", ")"):
+                break
+            if t.kind == "op" and t.text in "([{":
+                depth += 1
+            elif t.kind == "op" and t.text in ")]}":
+                depth -= 1
+            self.next()
+        return _LazySpan(self.toks[start:self.i] + [Tok("eof", "")])
+
+    def _eval_lazy(self, lz: "_LazySpan"):
+        """Compile a captured `$param` span in the *current* context
+        (table, aggregation side, env) — reference evaluate.py:597."""
+        sub = Parser(self.engine, "", self.env)
+        sub.toks = lz.toks
+        sub.table = self.table
+        sub.in_agg = self.in_agg
+        v = sub.expr()
+        sub.expect("eof")
+        return v
+
     def _call(self, fn):
         args, kwargs = [], {}
         # join-family calls bind their table kwargs into the env as
@@ -1118,10 +1163,20 @@ class Parser:
             self._skip_nl()
             if self.accept("op", ")"):
                 break
-            if self.peek().kind == "name" and self.peek(1).kind == "op" \
+            if self.peek().kind in ("name", "sname") \
+                    and self.peek(1).kind == "op" \
                     and self.peek(1).text == ":":
                 k = self.next().text
                 self.next()
+                if k.startswith("$") and isinstance(fn, _FuncRef):
+                    # builtins declare `$on` (pql_functions.py:1142);
+                    # both `$on:` and plain `on:` are accepted
+                    k = k[1:]
+                if isinstance(fn, _UserFunc) \
+                        and ("$" + k.lstrip("$")) in fn.params:
+                    kwargs["$" + k.lstrip("$")] = self._capture_arg_span()
+                    self.accept("op", ",")
+                    continue
                 kwargs[k] = self.expr()
                 if join_scope and isinstance(kwargs[k], Table):
                     if k in self.env:
@@ -1132,7 +1187,11 @@ class Parser:
                     # stays unambiguous for self-joins
                     self.env[k] = _JoinAlias(k, kwargs[k])
             else:
-                args.append(self.expr())
+                if isinstance(fn, _UserFunc) and len(args) < len(fn.params) \
+                        and fn.params[len(args)].startswith("$"):
+                    args.append(self._capture_arg_span())
+                else:
+                    args.append(self.expr())
             self.accept("op", ",")
         if join_scope:
             for k, v in kwargs.items():
@@ -1157,6 +1216,11 @@ class Parser:
             if k not in fn.params:
                 raise TypeError(f"{fn.name}() has no parameter {k!r}")
             binding[k] = v
+        for p, v in binding.items():
+            if p.startswith("$") and not isinstance(v, _LazySpan):
+                raise TypeError(
+                    f"{fn.name}() parameter {p!r} is lazy; internal "
+                    f"error: got evaluated value {type(v).__name__}")
         missing = [p for p in fn.params if p not in binding]
         if missing:
             raise TypeError(f"{fn.name}() missing arguments: {missing}")
@@ -1245,6 +1309,20 @@ class _JoinAlias:
     """Join-scope binding for `on:` conditions (`$on` parity)."""
     name: str
     table: "Table"
+
+
+@dataclass
+class _LazySpan:
+    """An unevaluated argument expression, captured as its token span.
+
+    Reference ``$param`` lazy parameters (evaluate.py:597: "$param
+    means don't evaluate expression, leave it to the function"): a
+    function parameter spelled ``$x`` receives the call-site expression
+    *unevaluated*; it compiles only where the body references ``$x``,
+    against whatever table/aggregation context is current there.  This
+    lets callers write ``filt(orders, o_totalprice > 100)`` — the
+    predicate names columns that only exist inside the function."""
+    toks: list
 
 
 class _MutableRef(Table):

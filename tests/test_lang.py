@@ -516,3 +516,48 @@ def test_sql_self_recursion(leng):
     f = leng.sql("SELECT 1 AS n, CAST(1 AS LONG) AS f "
                  "UNION ALL SELECT n+1, f*(n+1) FROM $self WHERE n < 10")
     assert max((r.n, r.f) for r in f.collect()) == (10, 3628800)
+
+
+def test_lazy_dollar_params(eng):
+    """Reference `$param` lazy parameters (evaluate.py:597): the
+    call-site expression is captured unevaluated and compiles where the
+    body references it — so predicates can name columns that only
+    exist inside the function."""
+    out = eng.q('''
+func filt(t, $cond) = t[$cond]
+filt(nation, n_nationkey < 3)
+''')
+    assert out.df.count() == 3
+    # as a projection expression
+    out2 = eng.q('''
+func add_col(t, $e) = t {..., extra: $e}
+add_col(region, r_regionkey * 10)
+''')
+    assert sorted(r.extra for r in out2.collect()) == [0, 10, 20, 30, 40]
+    # keyword spelling `$cond:` binds the same lazy slot
+    out3 = eng.q('''
+func filt2(t, $cond) = t[$cond]
+filt2(nation, $cond: n_nationkey < 3)
+''')
+    assert out3.df.count() == 3
+    # plain `cond:` spelling also accepted for a `$cond` parameter
+    out4 = eng.q('''
+func filt3(t, $cond) = t[$cond]
+filt3(nation, cond: n_nationkey >= 20)
+''')
+    assert out4.df.count() == 5
+    # lazy params on both sides of the aggregation arrow
+    out5 = eng.q('''
+func agg_by(t, $k, $v) = t { $k => total: sum($v) }
+agg_by(nation, n_regionkey, n_nationkey)
+''')
+    rows = out5.order("n_regionkey").collect()
+    assert len(rows) == 5 and rows[0].total == 0 + 5 + 10 + 15 + 20
+
+
+def test_join_dollar_on_spelling(eng):
+    """`$on:` — the reference spelling of the join condition kwarg
+    (pql_functions.py:541,1142) — is accepted alongside `on:`."""
+    out = eng.q('join(a: nation, b: nation,'
+                ' $on: a.n_nationkey < b.n_nationkey)')
+    assert out.df.count() == 25 * 24 // 2
