@@ -472,10 +472,22 @@ class Parser:
             self.engine.create_table_from(name, src.df, const=const)
             return self._make_mutable_ref(name)
         self.expect("op", "{")
-        fields = []
+        fields, ellipsis = [], False
         while True:
             self._skip_nl()
             if self.accept("op", "}"):
+                break
+            if self.peek().kind == "dots" and self.peek().text == "...":
+                # partial declaration: `...` merges the remaining
+                # columns of the already-existing table
+                # (evaluate.py:236-241); must appear last (:220-222)
+                self.next()
+                ellipsis = True
+                self.accept("op", ",")
+                self._skip_nl()
+                if not self.accept("op", "}"):
+                    raise LangSignal("SyntaxError",
+                                     "Ellipsis must appear at the end")
                 break
             cname = self.expect("name").text
             self.expect("op", ":")
@@ -485,12 +497,56 @@ class Parser:
                 raise LangSignal("TypeError", f"unknown column type {tname!r}")
             fields.append(f"{cname} {spark_t}")
             self.accept("op", ",")
+        exists = name in self.engine.mutables or name in self.engine.tables()
+        if exists:
+            return self._connect_existing(name, fields, ellipsis, bare)
+        if ellipsis:
+            raise LangSignal(
+                "TypeError",
+                f"table {name!r} does not exist — '...' only merges "
+                f"an existing table's columns")
         self.engine.create_table(name, ", ".join(fields), bare=bare)
         return self._make_mutable_ref(name)
 
+    def _connect_existing(self, name: str, fields: list[str],
+                          ellipsis: bool, bare: bool):
+        """`table foo {...}` where `foo` already exists: connect to it
+        — validate the declared columns against the live schema, merge
+        the rest through `...` (reference evaluate.py:232-262; the
+        reference also skips the type-compat check).  Connecting never
+        rewrites storage.  A mutable table binds DML-capable; an
+        external input table (parquet under load_dir) binds read-only —
+        documented divergence: Spark does not own external storage, so
+        mutating it needs a CTAS copy (`table foo = bar`) first."""
+        declared = [f.split(" ", 1)[0] for f in fields]
+        cur = self.engine.table(name)
+        cur_cols = list(cur.df.columns)
+        for c in declared:
+            if c not in cur_cols:
+                raise LangSignal(
+                    "TypeError",
+                    f"Column {c!r} defined, but doesn't exist in database.")
+        cols = list(declared)
+        if ellipsis:
+            cols += [c for c in cur_cols if c not in declared]
+        elif not bare and "id" in cur_cols and "id" not in cols:
+            # auto-add id if present and not declared (evaluate.py:244-248)
+            cols = ["id"] + cols
+        if name in self.engine.mutables:
+            mt = self.engine.mutables[name]
+            mt.declared_view = cols if cols != cur_cols else None
+            return self._make_mutable_ref(name)
+        ref = cur.project(*cols) if cols != cur_cols else cur
+        self.env[name] = ref
+        return ref
+
     def _make_mutable_ref(self, name: str) -> "_MutableRef":
         mt = self.engine.mutables[name]
-        return _MutableRef(self.engine, mt)
+        # a partial re-declaration (`table foo {col, ...}`) rebinds the
+        # name to its declared column view durably (evaluate.py:262
+        # new_table select_fields) — stored on the handle
+        return _MutableRef(self.engine, mt,
+                           view_cols=getattr(mt, "declared_view", None))
 
     def _func_def(self):
         self.expect("func")
@@ -1333,21 +1389,29 @@ class _MutableRef(Table):
     reference's Selection-aware Update/Delete (evaluate.py:720-806)."""
 
     def __init__(self, engine, handle, conds: list | None = None,
-                 base_df=None):
+                 base_df=None, view_cols: list | None = None):
         from preql_spark.engine import TableMeta
         self.handle = handle
         self.conds = list(conds or [])
         base = base_df if base_df is not None else handle.df()
         self.base_df = base
+        self.view_cols = list(view_cols) if view_cols else None
         view = base
         for c in self.conds:
             view = view.filter(c)
+        if self.view_cols:
+            # partial declaration connected to an existing table
+            # (evaluate.py:236-241 select_fields): the READ view shows
+            # the declared(+merged) columns; DML still hits the full
+            # storage row via base_df
+            view = view.select(*self.view_cols)
         super().__init__(engine, view,
                          meta=TableMeta(handle.name, pk=handle.id_col))
 
     def with_conds(self, conds: list) -> "_MutableRef":
         return _MutableRef(self.engine, self.handle,
-                           self.conds + list(conds), base_df=self.base_df)
+                           self.conds + list(conds), base_df=self.base_df,
+                           view_cols=self.view_cols)
 
     def _combined_cond(self):
         if not self.conds:

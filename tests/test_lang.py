@@ -561,3 +561,41 @@ def test_join_dollar_on_spelling(eng):
     out = eng.q('join(a: nation, b: nation,'
                 ' $on: a.n_nationkey < b.n_nationkey)')
     assert out.df.count() == 25 * 24 // 2
+
+
+def test_partial_table_declaration(eng):
+    """`table foo {...}` where foo exists connects to it — declared
+    columns validated against the live schema, `...` merges the rest
+    (reference evaluate.py:220-262)."""
+    out = eng.q('table nation {n_name: string, ...}\nnation')
+    assert out.df.columns == ["n_name", "n_nationkey", "n_regionkey"]
+    # without ellipsis: declared columns only (select_fields)
+    out2 = eng.q('table region {r_name: string}')
+    assert out2.df.columns == ["r_name"]
+    # declared column must exist
+    from preql_spark.lang import LangSignal
+    with pytest.raises(LangSignal, match="doesn't exist"):
+        eng.q('table region {nope: int, ...}')
+    # `...` requires the table to exist
+    with pytest.raises(LangSignal, match="does not exist"):
+        eng.q('table never_made_q {x: int, ...}')
+    # ellipsis must be last
+    with pytest.raises(LangSignal, match="at the end"):
+        eng.q('table nation {..., n_name: string}')
+
+
+def test_partial_declaration_mutable_dml(leng):
+    """Reconnecting a partial declaration to a mutable table keeps the
+    DML path live: the read view projects declared(+merged) columns,
+    update/delete still hit full storage rows."""
+    leng.q('''
+    table pdecl {n_name: string, n_regionkey: int}
+    new pdecl("A", 0); new pdecl("B", 0); new pdecl("C", 1)
+    ''')
+    out = leng.q('''
+table pdecl {n_name: string, ...}
+pdecl[n_regionkey == 0] update {n_name: n_name + "_X"}
+pdecl
+''')
+    assert out.df.filter(out.df.n_name.endswith("_X")).count() == 2
+    assert out.df.columns[0] == "n_name"
