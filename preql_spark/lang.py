@@ -1504,6 +1504,63 @@ def _as_type_name(t) -> str:
     raise TypeError(f"expected a type, got {t!r}")
 
 
+def _doc_of(fn_name: str) -> str:
+    """First docstring line of a builtin's implementation, if any."""
+    impl = _SCALAR_MAP.get(fn_name) or _AGG_MAP.get(fn_name)
+    doc = getattr(impl, "__doc__", None) or ""
+    return doc.splitlines()[0].strip() if doc else ""
+
+
+def _names_table(parser: "Parser", obj=None) -> Table:
+    """``names([obj])`` — list the names in scope (or the attributes
+    of ``obj``) as a (name, type, doc) table — pql_functions.py:786-803."""
+    from preql_spark.engine import TableMeta
+    rows: list[tuple] = []
+    if obj is None:
+        for n, v in parser.env.items():
+            if isinstance(v, _UserFunc):
+                rows.append((n, "function", f"func {n}({', '.join(v.params)})"))
+            elif isinstance(v, Table):
+                rows.append((n, "table", ""))
+            else:
+                rows.append((n, _type_name_of(parser, v), ""))
+        for n in parser.engine.tables():
+            rows.append((n, "table", ""))
+        for n in sorted(parser.engine.mutables):
+            rows.append((n, "table", ""))
+        for n in sorted(_FUNCTIONS | _TABLE_FUNCS):
+            rows.append((n, "function", _doc_of(n)))
+    elif isinstance(obj, Table):
+        rows = [(c, t, "") for c, t in obj.df.dtypes]
+    else:
+        raise LangSignal("TypeError", "names() expects a table")
+    rows = sorted(set(rows))
+    df = parser.engine.spark.createDataFrame(
+        rows, "name string, type string, doc string")
+    return Table(parser.engine, df, TableMeta("names"))
+
+
+def _help_text(parser: "Parser", obj=None) -> str:
+    """``help([obj])`` — a brief text summary (pql_functions.py:735-777)."""
+    if obj is None:
+        return ("To see the list of functions and objects available in "
+                "the namespace, type 'names()'\n"
+                "To get help for a specific function, type 'help(an_object)'\n"
+                "For example:\n    >> help(help)\n")
+    if isinstance(obj, _UserFunc):
+        return f"func {obj.name}({', '.join(obj.params)}) — user function"
+    if isinstance(obj, _FuncRef):
+        doc = _doc_of(obj.name)
+        return f"{obj.name}() — {doc}" if doc else \
+            f"{obj.name}() — builtin function"
+    if isinstance(obj, Table):
+        cols = ", ".join(f"{c}: {t}" for c, t in obj.df.dtypes)
+        return f"table {obj.meta.name} {{{cols}}}"
+    if isinstance(obj, _TypeRef):
+        return f"type {obj.name}"
+    return f"No help available for {obj!r}"
+
+
 def _apply_function(parser: Parser, name: str, args, kwargs):
     from preql_spark.functions import aggregate as agg
     from preql_spark import table as tbl
@@ -1533,6 +1590,21 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
         if isinstance(v, str):
             return f'"{v}"'
         return str(v)
+
+    # ---- interactive surface (pql_functions.py:735-813) ------------
+    if name == "names":
+        return _names_table(parser, args[0] if args else None)
+    if name == "help":
+        return _help_text(parser, args[0] if args else None)
+    if name == "tables":
+        from preql_spark.engine import TableMeta
+        rows = [(n, "table") for n in sorted(
+            set(parser.engine.tables()) | set(parser.engine.mutables))]
+        df = parser.engine.spark.createDataFrame(
+            rows or [("", "")], "name string, type string")
+        if not rows:
+            df = df.limit(0)
+        return Table(parser.engine, df, TableMeta("tables"))
 
     # ---- SQL() escape hatch (pql_functions.py:86-123) --------------
     if name == "SQL":
@@ -1663,7 +1735,8 @@ def _make_maps():
 
 _AGG_MAP, _SCALAR_MAP = _make_maps()
 _FUNCTIONS = set(_AGG_MAP) | set(_SCALAR_MAP) | {
-    "count", "fmt", "list", "isa", "issubclass", "type", "repr", "SQL"}
+    "count", "fmt", "list", "isa", "issubclass", "type", "repr", "SQL",
+    "names", "help", "tables"}
 # bare type names usable as values (isa/issubclass/type comparisons);
 # int/float/string/bool resolve to cast functions first and are
 # accepted by _as_type_name via their _FuncRef name

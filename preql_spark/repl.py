@@ -1,0 +1,139 @@
+"""Interactive REPL — the engine analogue of the reference's
+``preql`` console (preql/repl.py; §2.13 of SURVEY.md).
+
+Kept deliberately small and dependency-free: readline history and
+bracket-aware multi-line continuation, Preql-syntax evaluation through
+:meth:`Engine.q`, table preview printing with ``.``-paging (type ``.``
+on its own line for the next page — reference repl.py table preview),
+and in-language ``names()`` / ``help()`` / ``tables()`` for discovery.
+Divergence (documented): no autocomplete engine — the reference runs
+its compiler in a low-access mode to harvest suggestions
+(preql/core/autocomplete.py); readline's default file-history and the
+``names()`` builtin stand in here.
+
+Run:  python -m preql_spark [data_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+PAGE = 20
+
+_BANNER = """preql-spark interactive console
+Type 'names()' to list the namespace, 'help()' for help, Ctrl-D to exit.
+"""
+
+
+def _balanced(src: str) -> bool:
+    depth = 0
+    in_str: str | None = None
+    for ch in src:
+        if in_str:
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in "\"'":
+            in_str = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+    return depth <= 0 and in_str is None
+
+
+class Repl:
+    def __init__(self, engine):
+        self.engine = engine
+        # paging state: last previewed table + current offset
+        self._last = None
+        self._offset = 0
+
+    # ---- output ----------------------------------------------------
+    def _print_table(self, t, offset: int = 0) -> None:
+        from preql_spark.table import Table
+        assert isinstance(t, Table)
+        page = t.df.offset(offset).limit(PAGE) if offset else t.df.limit(PAGE)
+        rows = page.collect()
+        if not rows:
+            print("(no more rows)" if offset else "(empty table)")
+            return
+        cols = page.columns
+        widths = [max(len(c), *(len(str(r[c])) for r in rows)) for c in cols]
+        line = "  ".join(c.ljust(w) for c, w in zip(cols, widths))
+        print(line)
+        print("-" * len(line))
+        for r in rows:
+            print("  ".join(str(r[c]).ljust(w) for c, w in zip(cols, widths)))
+        if len(rows) == PAGE:
+            print(f"... type '.' for more (rows {offset}..{offset + PAGE})")
+
+    def show(self, value) -> None:
+        from pyspark.sql import Column, Row
+        from preql_spark.table import Table
+        if value is None:
+            return
+        if isinstance(value, Table):
+            self._last, self._offset = value, PAGE
+            self._print_table(value)
+        elif isinstance(value, Row):
+            print(dict(value.asDict()))
+        elif isinstance(value, Column):
+            print(value)
+        elif isinstance(value, bool):
+            print("true" if value else "false")
+        else:
+            print(value)
+
+    # ---- loop ------------------------------------------------------
+    def run_line(self, src: str) -> None:
+        if src.strip() == ".":
+            if self._last is None:
+                print("(no table to page)")
+                return
+            self._print_table(self._last, self._offset)
+            self._offset += PAGE
+            return
+        try:
+            self.show(self.engine.q(src))
+        except (Exception,) as e:          # surface, don't die
+            print(f"{type(e).__name__}: {e}", file=sys.stderr)
+
+    def interact(self) -> None:
+        try:
+            import readline  # noqa: F401  (history + line editing)
+        except ImportError:
+            pass
+        print(_BANNER)
+        buf: list[str] = []
+        while True:
+            prompt = "   ... " if buf else "preql> "
+            try:
+                line = input(prompt)
+            except EOFError:
+                print()
+                return
+            except KeyboardInterrupt:
+                print("^C")
+                buf = []
+                continue
+            buf.append(line)
+            src = "\n".join(buf)
+            if not src.strip():
+                buf = []
+                continue
+            if _balanced(src):
+                buf = []
+                self.run_line(src)
+
+
+def main(argv: list[str] | None = None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    from preql_spark import connect
+    data_dir = argv[0] if argv else None
+    eng = connect(data_dir=data_dir) if data_dir else connect()
+    Repl(eng).interact()
+
+
+if __name__ == "__main__":
+    main()

@@ -599,3 +599,41 @@ pdecl
 ''')
     assert out.df.filter(out.df.n_name.endswith("_X")).count() == 2
     assert out.df.columns[0] == "n_name"
+
+
+def test_interactive_builtins(eng):
+    """names()/help()/tables() — pql_functions.py:735-813."""
+    t = eng.q('tables()')
+    assert {"nation", "region"} <= {r.name for r in t.collect()}
+    n = eng.q('names()')
+    got = {r.name: r.type for r in n.collect()}
+    assert got.get("nation") == "table"
+    assert got.get("sum") == "function"
+    cols = eng.q('names(nation)')
+    assert [(r.name, r.type) for r in cols.order("name").collect()] == [
+        ("n_name", "string"), ("n_nationkey", "int"),
+        ("n_regionkey", "int")]
+    assert "names()" in eng.q('help()')
+    assert eng.q('help(nation)').startswith("table nation {")
+    eng.q('func myf(a, b) = a + b')
+    assert eng.q('help(myf)').startswith("func myf(a, b)")
+
+
+def test_repl_mechanics(eng, capsys):
+    """REPL line handling: balanced-bracket continuation, table
+    preview with '.'-paging, errors surfaced not fatal."""
+    from preql_spark.repl import Repl, _balanced
+    assert _balanced("nation{n_name}")
+    assert not _balanced("nation{")
+    assert not _balanced('"unclosed')
+    assert _balanced('"{"')          # brackets inside strings ignored
+    r = Repl(eng)
+    r.run_line("nation[n_nationkey < 3]{n_name}")
+    out = capsys.readouterr().out
+    assert "NATION_0" in out and "NATION_2" in out
+    r.run_line("1 + 2")
+    assert capsys.readouterr().out.strip() == "3"
+    r.run_line("true")
+    assert capsys.readouterr().out.strip() == "true"
+    r.run_line("no_such_name_xyz")
+    assert "NameError" in capsys.readouterr().err
