@@ -274,8 +274,83 @@ class Engine:
         function definitions persist across calls (the reference
         ``Preql()`` object keeps its namespace the same way)."""
         from preql_spark.lang import Parser
-        self.lang_env.update(env)
+        self.lang_env.update({k: self._from_python(v)
+                              for k, v in env.items()})
         return Parser(self, src, self.lang_env).parse()
+
+    # ---- Python embedding API (reference preql/api.py:117-257) -----
+    #: instance attributes that __setattr__ must NOT divert into the
+    #: language namespace (everything else binds as a lang variable,
+    #: like the reference's `p.x = value`)
+    _RESERVED = {"spark", "catalog", "mutables", "lang_env", "t"}
+
+    def __call__(self, code: str, **args):
+        """``eng("code", x=1)`` — run Preql code with Python-value
+        arguments bound as variables (api.py:205-209)."""
+        return self.q(code, **args)
+
+    def _from_python(self, value):
+        """Convert a Python value into a language-level object
+        (reference objects.from_python): pandas/Spark DataFrames and
+        lists become Tables; Tables and scalars pass through."""
+        from preql_spark.table import Table
+        import pandas as pd
+        if isinstance(value, Table) or value is None \
+                or isinstance(value, (int, float, str, bool)):
+            return value
+        if isinstance(value, pd.DataFrame):
+            return self.from_df(self.spark.createDataFrame(value))
+        if isinstance(value, DataFrame):
+            return self.from_df(value)
+        if isinstance(value, (list, tuple)):
+            return self.list_(list(value))
+        return value
+
+    def __getattr__(self, name: str):
+        """``eng.my_func(args)`` / ``eng.my_table`` — language
+        namespace access from Python (api.py:172-182).  Only reached
+        when normal attribute lookup fails.  A lang-defined function
+        returns a delegate callable; tables and values return as-is."""
+        if name.startswith("_"):
+            raise AttributeError(name)
+        # NB: all these lookups use object attributes that exist by
+        # the end of __init__; during __init__ they may not, hence get
+        env = self.__dict__.get("lang_env") or {}
+        if name in env:
+            v = env[name]
+            from preql_spark.lang import _UserFunc
+            if isinstance(v, _UserFunc):
+                return _Delegate(self, v)
+            return v
+        if name in self.__dict__.get("mutables", {}) \
+                or name in self.__dict__.get("_dfs", {}):
+            return self.table(name)
+        raise AttributeError(f"Engine has no attribute or binding {name!r}")
+
+    def __setattr__(self, name: str, value) -> None:
+        """``eng.x = value`` binds a language variable (api.py:188-194)
+        unless it is an engine attribute or ``_``-private."""
+        if name.startswith("_") or name in self._RESERVED:
+            return super().__setattr__(name, value)
+        self.lang_env[name] = self._from_python(value)
+
+    def load(self, filename: str, rel_to: str | None = None):
+        """Run a Preql script file (api.py:211-219; the reference's
+        ``include``)."""
+        path = filename
+        if rel_to:
+            path = os.path.join(os.path.dirname(os.path.abspath(rel_to)),
+                                filename)
+        with open(path) as f:
+            return self.q(f.read())
+
+    def transaction(self):
+        """``with eng.transaction(): ...`` — mutations to every
+        mutable table commit together / roll back together
+        (api.py:221-229; version-pinning semantics documented in
+        sources/mutable.py)."""
+        from preql_spark.sources.mutable import transaction
+        return transaction(*self.mutables.values())
 
     # ---- escape hatches --------------------------------------------
     def sql(self, code: str, **tables: "Table | DataFrame") -> "Table":
@@ -342,6 +417,32 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
                 if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
     except Exception:
         return []
+
+
+class _Delegate:
+    """Callable proxy for a lang-defined function accessed from Python
+    (reference api.py:98-115 ``_Delegate``): ``eng.my_func(1, 2)``
+    inlines the function body with the Python arguments converted to
+    language values."""
+
+    def __init__(self, engine: Engine, fn):
+        self._engine = engine
+        self._fn = fn
+
+    def __call__(self, *args, **kwargs):
+        from pyspark.sql import Column
+        from preql_spark.lang import Parser
+        eng = self._engine
+        p = Parser(eng, "", eng.lang_env)
+        out = p._inline_call(
+            self._fn, [eng._from_python(a) for a in args],
+            {k: eng._from_python(v) for k, v in kwargs.items()})
+        # localize table-free scalar results, like the interpreter
+        # does for a top-level expression (api.py _wrap_result)
+        return p._pyval(out) if isinstance(out, Column) else out
+
+    def __repr__(self):
+        return f"<preql function {self._fn.name}>"
 
 
 class _TableNamespace:

@@ -5,6 +5,8 @@ sampling, scalar library."""
 import json
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from preql_spark.engine import Engine
@@ -103,3 +105,42 @@ def test_add_index_noop(eng):
 def test_page(eng):
     p2 = eng.t.customer.order("c_custkey").page(2, 10).collect()
     assert [r.c_custkey for r in p2] == list(range(10, 20))
+
+
+def test_embedding_api(eng, tmp_path):
+    """Python embedding surface (reference preql/api.py:117-257):
+    callable engine, lang-function delegates, attribute get/set into
+    the language namespace, script loading."""
+    import pandas as pd
+
+    # p("code", **args)
+    t = eng('[1, 2]{item + 1}')
+    assert sorted(r[0] for r in t.collect()) == [2, 3]
+    assert eng('nation[n_nationkey < lim]', lim=3).df.count() == 3
+
+    # p.my_func(args) delegate with scalar localization
+    eng.q('func embed_markup(x) = x * 2 + 1')
+    assert eng.embed_markup(10) == 21
+    eng.q('func embed_pick(t, lim) = t[n_nationkey < lim]')
+    assert eng.embed_pick(eng.t.nation, 4).df.count() == 4
+    assert "embed_markup" in repr(eng.embed_markup)
+
+    # p.x = value binds language variables (scalar / list / pandas)
+    eng.embed_threshold = 20
+    assert eng('count(nation[n_nationkey >= embed_threshold])') == 5
+    eng.embed_list = [5, 6, 7]
+    assert sorted(r.item for r in eng.q('embed_list').collect()) == [5, 6, 7]
+    eng.embed_pdt = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    assert eng.q('embed_pdt{a}').df.count() == 2
+    # ...and reads back through attribute access
+    assert eng.embed_threshold == 20
+
+    # p.load(filename)
+    script = tmp_path / "s.pql"
+    script.write_text("func embed_sq(x) = x * x\nembed_sq(7)")
+    assert eng.load(str(script)) == 49
+
+    # engine attributes are NOT diverted
+    assert callable(eng.q) and eng.spark is not None
+    with pytest.raises(AttributeError):
+        eng.no_such_binding_xyz
