@@ -124,7 +124,11 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             .select(F.col(id_col), tokens(text_col).alias("__t")))
     toks = (base.select(id_col, F.explode("__t").alias("token"))
             .filter(F.col("token") != ""))
-    n_docs = base.count()
+    # N as a broadcast 1-row frame, not an eager .count(): keeps the
+    # operator fully lazy (no job at plan-build time) and lets the
+    # scan of `base` participate in whole-plan optimization
+    n_docs = F.broadcast(
+        base.agg(F.count(F.lit(1)).cast("double").alias("__ndocs")))
     # doc_term is the reuse point: persisted so the token explode runs
     # once, and doc lengths derive from it (sum of per-term counts)
     # instead of a second explode
@@ -133,8 +137,9 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     doc_len = doc_term.groupBy(id_col).agg(F.sum("__n").alias("__len"))
     dfreq = (doc_term.groupBy("token")
              .agg(F.count(F.lit(1)).alias("df"))
+             .join(n_docs)           # 1-row broadcast cross join
              .filter((F.col("df") >= min_df)
-                     & (F.col("df") <= int(max_df_ratio * n_docs))))
+                     & (F.col("df") <= max_df_ratio * F.col("__ndocs"))))
     # no broadcast hint on the df table: a pruned vocabulary is often
     # broadcastable but can reach GBs at corpus scale — AQE decides
     return (doc_term
@@ -144,7 +149,7 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                     (F.col("__n") / F.col("__len")).alias("tf"),
                     "df",
                     ((F.col("__n") / F.col("__len"))
-                     * F.log(F.lit(float(n_docs)) / F.col("df")))
+                     * F.log(F.col("__ndocs") / F.col("df")))
                     .alias("tfidf")))
 
 
