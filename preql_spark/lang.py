@@ -227,6 +227,16 @@ class Parser:
                 and self.peek(1).text == "=":
             name = self.next().text
             self.next()
+            # `A = null` unbinds: the name reads as null afterwards and
+            # a later `table A {...}` reconnects to the storage
+            # (reference test_partial_table: "A = null; assert A==null")
+            nxt = self.peek(1)
+            if self.peek().kind == "null" and (
+                    nxt.kind in ("nl", "eof")
+                    or (nxt.kind == "op" and nxt.text == ";")):
+                self.next()
+                self.env[name] = None
+                return None
             val = self.expr()
             self.env[name] = val
             return val
@@ -472,7 +482,7 @@ class Parser:
             self.engine.create_table_from(name, src.df, const=const)
             return self._make_mutable_ref(name)
         self.expect("op", "{")
-        fields, ellipsis = [], False
+        fields, ellipsis, defaults = [], False, {}
         while True:
             self._skip_nl()
             if self.accept("op", "}"):
@@ -492,11 +502,23 @@ class Parser:
             cname = self.expect("name").text
             self.expect("op", ":")
             tname = self.expect("name").text
+            # `int?` nullable marker (preql.lark type: NAME "?"?) —
+            # Spark columns are nullable by default, so this only
+            # affects parsing; non-null enforcement is not implemented
+            # (the reference enforces it DB-side)
+            self.accept("op", "?")
             spark_t = self._TYPE_MAP.get(tname)
             if spark_t is None:
                 raise LangSignal("TypeError", f"unknown column type {tname!r}")
+            if self.accept("op", "="):
+                # column default (test_basic.py:1055-1068): applied by
+                # `new` when the column is not supplied
+                defaults[cname] = self._pyval(self.expr())
             fields.append(f"{cname} {spark_t}")
             self.accept("op", ",")
+        # a table declaration rebinds the name even if an assignment
+        # (e.g. `A = null`) shadowed it
+        self.env.pop(name, None)
         exists = name in self.engine.mutables or name in self.engine.tables()
         if exists:
             return self._connect_existing(name, fields, ellipsis, bare)
@@ -505,7 +527,8 @@ class Parser:
                 "TypeError",
                 f"table {name!r} does not exist — '...' only merges "
                 f"an existing table's columns")
-        self.engine.create_table(name, ", ".join(fields), bare=bare)
+        mt = self.engine.create_table(name, ", ".join(fields), bare=bare)
+        mt.defaults = dict(defaults)
         return self._make_mutable_ref(name)
 
     def _connect_existing(self, name: str, fields: list[str],
@@ -555,6 +578,14 @@ class Parser:
         params = []
         while not self.accept("op", ")"):
             t = self.peek()
+            if t.kind == "dots" and t.text == "...":
+                # `...x` variadic keyword collector (preql.lark:52;
+                # match_params pql_objects.py:110-212): leftover
+                # keyword arguments bind to x as a row-like dict
+                self.next()
+                params.append("..." + self.expect("name").text)
+                self.accept("op", ",")
+                continue
             if t.kind not in ("name", "sname"):
                 raise SyntaxError(f"bad parameter {t.text!r}")
             # `$x` params are lazy: they bind the call-site token span
@@ -1008,6 +1039,14 @@ class Parser:
             # assertion returning a Row; ``one?`` allows 0 rows → None
             nullable = self.accept("op", "?") is not None
             v = self.postfix()
+            from pyspark.sql import Row
+            if isinstance(v, Row):
+                # `one one t{col}` — one applied to a single-column
+                # row unwraps to the scalar (test_basic.py:1272)
+                vals = list(v)
+                if len(vals) != 1:
+                    raise ValueError("one on a row needs exactly 1 column")
+                return vals[0]
             if not isinstance(v, Table):
                 raise TypeError("one expects a table")
             return v.one(nullable=nullable)
@@ -1124,6 +1163,10 @@ class Parser:
                 raise LangSignal("TypeError",
                                  f"new {tname}: no column {k!r}")
             values[k] = self._pyval(v)
+        # declared column defaults fill unsupplied columns
+        # (test_basic.py:1055-1068)
+        for c, dv in getattr(mt, "defaults", {}).items():
+            values.setdefault(c, dv)
         row = mt.new(**values)
         self.engine._sync_mutable(tname)
         return row
@@ -1157,6 +1200,11 @@ class Parser:
         from pyspark.sql import Row
         if isinstance(v, Row):
             # RowInstance attribute access (`row.x` after `new`)
+            return v[name]
+        if isinstance(v, dict):
+            # vararg collector rows (`func f(...x)`) — test_vararg
+            if name not in v:
+                raise AttributeError(f"row has no field {name!r}")
             return v[name]
         if isinstance(v, _JoinAlias):
             if name not in v.table.df.columns:
@@ -1219,6 +1267,19 @@ class Parser:
             self._skip_nl()
             if self.accept("op", ")"):
                 break
+            if self.peek().kind == "dots" and self.peek().text == "...":
+                # argument splat `f(...x)` — spreads a row/dict value
+                # into keyword arguments (reference test_vararg)
+                from pyspark.sql import Row
+                self.next()
+                spread = self.expr()
+                if isinstance(spread, Row):
+                    spread = spread.asDict()
+                if not isinstance(spread, dict):
+                    raise TypeError("'...' in a call expects a row value")
+                kwargs.update(spread)
+                self.accept("op", ",")
+                continue
             if self.peek().kind in ("name", "sname") \
                     and self.peek(1).kind == "op" \
                     and self.peek(1).text == ":":
@@ -1265,19 +1326,32 @@ class Parser:
         parameters bound to the (already-evaluated) argument values —
         Columns compose into the caller's expression, Tables flow
         through relational ops.  No spark.udf anywhere."""
-        if len(args) > len(fn.params):
-            raise TypeError(f"{fn.name}() takes {len(fn.params)} args")
-        binding = dict(zip(fn.params, args))
+        vararg = None
+        pos_params = fn.params
+        if fn.params and fn.params[-1].startswith("..."):
+            vararg = fn.params[-1][3:]
+            pos_params = fn.params[:-1]
+        if len(args) > len(pos_params):
+            raise TypeError(f"{fn.name}() takes {len(pos_params)} args")
+        binding = dict(zip(pos_params, args))
+        extra: dict = {}
         for k, v in kwargs.items():
-            if k not in fn.params:
-                raise TypeError(f"{fn.name}() has no parameter {k!r}")
+            if k not in pos_params:
+                if vararg is None:
+                    raise TypeError(f"{fn.name}() has no parameter {k!r}")
+                extra[k] = v
+                continue
             binding[k] = v
+        if vararg is not None:
+            # the collector binds as a row-like dict (reference
+            # RowInstance; attribute access and `...x` re-splat work)
+            binding[vararg] = extra
         for p, v in binding.items():
             if p.startswith("$") and not isinstance(v, _LazySpan):
                 raise TypeError(
                     f"{fn.name}() parameter {p!r} is lazy; internal "
                     f"error: got evaluated value {type(v).__name__}")
-        missing = [p for p in fn.params if p not in binding]
+        missing = [p for p in pos_params if p not in binding]
         if missing:
             raise TypeError(f"{fn.name}() missing arguments: {missing}")
         sub = Parser(self.engine, "", {**self.env, **binding})

@@ -637,3 +637,50 @@ def test_repl_mechanics(eng, capsys):
     assert capsys.readouterr().out.strip() == "true"
     r.run_line("no_such_name_xyz")
     assert "NameError" in capsys.readouterr().err
+
+
+def test_partial_table_golden(leng):
+    """Ported reference test_partial_table (test_basic.py:1246-1276):
+    nullable marker, text type, `A = null` unbind, reconnect via
+    partial declaration, `one one` scalar unwrap."""
+    leng.q('table A {a: int, b: int?, c: string, d: float,'
+           ' e: bool, g: text}')
+    leng.q('new A(1, null, "hello", 3.14, true, "world")')
+    assert leng.q('A = null') is None
+    assert leng.A is None
+    out = leng.q('''
+table A {
+    d: float
+    c: string
+    e: bool
+}
+count(A[c ~ "hello"])
+''')
+    assert out == 1
+    assert leng.q('count(A[c ~ "hell"])') == 0
+    assert leng.q('one one A{d}') == 3.14
+
+
+def test_column_default_golden(leng):
+    """Ported reference test_column_default (test_basic.py:1055-1068)."""
+    leng.q('''
+table B {
+    x: int
+    y: int = 2
+}
+a1 = new B(1)
+a2 = new B(2, 1)
+''')
+    assert [r.y for r in leng.q('B{y} order {^y}').collect()] == [2, 1]
+    assert leng.q('a2.y') == 1
+
+
+def test_vararg_golden(leng):
+    """Ported reference test_vararg (test_basic.py:682-697): `...x`
+    collects keyword args as a row, attribute access chains, and
+    `f(...x)` re-splats."""
+    leng.q('func fv(...x) = x')
+    assert leng.q('fv(a:1, b:2)') == {"a": 1, "b": 2}
+    assert leng.q('fv(a:1, b:fv(c:3, d:4)).b.c') == 3
+    leng.q('x1 = fv(a:1, b:2)\nx2 = fv(...x1)')
+    assert leng.x1 == leng.x2 == {"a": 1, "b": 2}
