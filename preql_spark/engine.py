@@ -258,7 +258,11 @@ class Engine:
 
     def list_(self, values: list) -> "Table":
         """Inline list literal → single-column table named ``item``
-        (reference T.list — pql_types.py:273, ITEM_NAME pql_types.py:66)."""
+        (reference T.list — pql_types.py:273, ITEM_NAME pql_types.py:66).
+        An empty literal types as long, like the reference's
+        empty-list default."""
+        if not values:
+            return self.from_df(self.spark.createDataFrame([], "item long"))
         df = self.spark.createDataFrame([(v,) for v in values], ["item"])
         return self.from_df(df)
 

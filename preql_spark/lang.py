@@ -910,6 +910,8 @@ class Parser:
 
     def _projection(self, tab: Table):
         prev_table, self.table = self.table, tab
+        prev_auto = getattr(self, "_auto_ctr", 0)
+        self._auto_ctr = 0
         try:
             entries = self._proj_items()
             if self.accept("op", "=>"):
@@ -919,6 +921,7 @@ class Parser:
                 finally:
                     self.in_agg = False
                 self.expect("op", "}")
+                _check_dup_names(entries, agg_entries)
                 by: dict = {}
                 for e in entries:
                     if isinstance(e, str):
@@ -937,6 +940,7 @@ class Parser:
                         raise SyntaxError("ellipsis not allowed in aggregates")
                 return tab.group(by, **agg_kv)
             self.expect("op", "}")
+            _check_dup_names(entries)
             final: list = []
             for e in entries:
                 if isinstance(e, _StructInline):
@@ -946,6 +950,7 @@ class Parser:
             return tab.project(*final)
         finally:
             self.table = prev_table
+            self._auto_ctr = prev_auto
 
     def _proj_items(self):
         """Ordered projection entries (reference proj_exprs →
@@ -955,7 +960,6 @@ class Parser:
         _StructInline for ``structcol {...}``."""
         from preql_spark.table import exclude
         entries: list = []
-        auto = 0
         while True:
             self._skip_nl()
             t = self.peek()
@@ -988,17 +992,21 @@ class Parser:
                     entries.append(v)
                 elif isinstance(v, Column):
                     # bare column keeps its own name when trivially a
-                    # column reference; else auto-name
+                    # column reference; else auto-name (the counter is
+                    # projection-scoped so key and agg sides never
+                    # collide — `{null, null => null, null}`)
                     cname = _plain_col_name(v)
                     if cname is not None and not self.in_agg:
                         entries.append(cname)
                     else:
-                        entries.append((cname or f"col{auto}",
+                        entries.append((cname or f"col{self._auto_ctr}",
                                         self._agg_col(v)))
-                        auto += 0 if cname else 1
+                        if not cname:
+                            self._auto_ctr += 1
                 else:
-                    entries.append((f"col{auto}", self._agg_col(v)))
-                    auto += 1
+                    entries.append((f"col{self._auto_ctr}",
+                                    self._agg_col(v)))
+                    self._auto_ctr += 1
             if not self.accept("op", ","):
                 break
         return entries
@@ -1108,6 +1116,17 @@ class Parser:
             v = self.atom()
             vals.append(v)
             self.accept("op", ",")
+        # element types must share a kernel type — reference raises
+        # TypeError on ["a", 1] (test_basic.py:881)
+        kinds = {("str" if isinstance(v, str)
+                  else "num" if isinstance(v, (bool, int, float))
+                  else type(v).__name__)
+                 for v in vals if v is not None
+                 and not (isinstance(v, Column))}
+        if len(kinds) > 1:
+            raise LangSignal(
+                "TypeError",
+                f"list elements must share a type, got {sorted(kinds)}")
         return self.engine.list_(vals)
 
     def _new_expr(self):
@@ -1517,11 +1536,33 @@ class _UserFunc:
     block: bool = False
 
 
+def _check_dup_names(entries, agg_entries=()):
+    """A projection output name may appear once — the reference raises
+    TypeError on `{a: 1, a: 2}` and `{a: 1 => a: 2}` alike
+    (test_basic.py:883-885)."""
+    seen: set[str] = set()
+    for e in list(entries) + list(agg_entries):
+        n = e if isinstance(e, str) else \
+            (e[0] if isinstance(e, tuple) else None)
+        if n is None:
+            continue
+        if n in seen:
+            raise LangSignal(
+                "TypeError", f"duplicate name {n!r} in projection")
+        seen.add(n)
+
+
 def _plain_col_name(c: Column) -> str | None:
-    """Name if the column is a trivial attribute reference."""
+    """Name if the column is a trivial attribute reference (literals
+    like NULL/TRUE/42 render the same way but are not references)."""
     s = str(c)
     m = re.fullmatch(r"Column<'(\w+)'>", s)
-    return m.group(1) if m else None
+    if not m:
+        return None
+    name = m.group(1)
+    if name.upper() in ("NULL", "TRUE", "FALSE") or name.isdigit():
+        return None
+    return name
 
 
 # Aggregate / scalar builtins (dual-mode like the reference stdlib:

@@ -684,3 +684,35 @@ def test_vararg_golden(leng):
     assert leng.q('fv(a:1, b:fv(c:3, d:4)).b.c') == 3
     leng.q('x1 = fv(a:1, b:2)\nx2 = fv(...x1)')
     assert leng.x1 == leng.x2 == {"a": 1, "b": 2}
+
+
+def test_list_ops_golden(leng):
+    """Ported reference test_list_ops (test_basic.py:832-887)."""
+    from preql_spark.lang import LangSignal
+    q = leng.q
+    assert [r.item for r in q('[1,2,3]').order("item").collect()] == [1, 2, 3]
+    assert sorted(r.item for r in q('[1,2,3] + [5,6]').collect()) == \
+        [1, 2, 3, 5, 6]
+    assert sorted(r.item for r in q('[1,2,3] | [3,4]').collect()) == \
+        [1, 2, 3, 4]
+    assert sorted(r.item for r in q('[1,2,3] - [3,4]').collect()) == [1, 2]
+    assert sorted(r.v for r in q('[1,2,3]{v:item*2}[v < 5]').collect()) == \
+        [2, 4]
+    assert sorted(r.v for r in q('[1,2,3]{v:item*2}[v in [2,6]]')
+                  .collect()) == [2, 6]
+    assert [r.v for r in q('[1,2,3]{v:item*2}[v !in [2,6]]').collect()] == [4]
+    assert sorted(r.item for r in q('enum([1,8,4,4])[index+1==item]{item}')
+                  .collect()) == [1, 4]
+    assert sorted(r.item for r in q('[1,2,3][..2]').collect()) == [1, 2]
+    assert sorted(r.item for r in q('[1,2,3][1..]').collect()) == [2, 3]
+    assert [r.item for r in q('[1,2,3][1..2]').collect()] == [2]
+    assert q('[1,2,3][1..1]').count() == 0
+    assert q('[] {x:0}').count() == 0
+    with pytest.raises(LangSignal, match="share a type"):
+        q('["a", 1]')
+    with pytest.raises(LangSignal, match="duplicate name"):
+        q('[1] {a: 1, a: 2}')
+    with pytest.raises(LangSignal, match="duplicate name"):
+        q('[1] {a: 1 => a: 2}')
+    row = q('[1] {null, null => null, null}').one()
+    assert list(row.asDict().values()) == [None, None, None, None]
