@@ -745,6 +745,13 @@ class Parser:
         v = self.atom()
         while True:
             t = self.peek()
+            if isinstance(v, list) and t.kind == "op" \
+                    and t.text in ("{", "["):
+                # a localized Python list (e.g. from list(...)) lifts
+                # back to a table when projected/filtered — lists ARE
+                # tables in the reference (test_casts chains
+                # list(list([1,2]{item+1}){item+1}))
+                v = self.engine.list_(v)
             if t.kind == "update" and isinstance(v, Table):
                 self.next()
                 v = self._update_postfix(v)
@@ -769,6 +776,32 @@ class Parser:
                 finally:
                     self.table = prev_table
                 v = v.with_conds(conds)
+            elif t.kind == "op" and t.text == "[" \
+                    and isinstance(v, _OpenRange):
+                # slicing bounds an unbounded series
+                self.next()
+                save = self.i
+                first = 0
+                if self.peek().kind == "int":
+                    first = int(self.next().text)
+                if not self.accept("dots", ".."):
+                    self.i = save
+                    raise LangSignal(
+                        "NotImplementedError",
+                        "an unbounded series supports only slicing")
+                stop = None
+                if self.peek().kind == "int":
+                    stop = int(self.next().text)
+                self.expect("op", "]")
+                v = v.slice(first, stop)
+            elif t.kind == "op" and t.text == "[" \
+                    and isinstance(v, _FuncRef) and v.name == "list":
+                # `list[int](x)` parametrized cast (test_casts,
+                # test_basic.py:599-603)
+                self.next()
+                ty = self.expr()
+                self.expect("op", "]")
+                v = _ListCastRef(_as_type_name(ty))
             elif t.kind == "op" and t.text == "[" and isinstance(v, Table):
                 self.next()
                 v = self._selection_or_slice(v)
@@ -910,8 +943,6 @@ class Parser:
 
     def _projection(self, tab: Table):
         prev_table, self.table = self.table, tab
-        prev_auto = getattr(self, "_auto_ctr", 0)
-        self._auto_ctr = 0
         try:
             entries = self._proj_items()
             if self.accept("op", "=>"):
@@ -950,7 +981,6 @@ class Parser:
             return tab.project(*final)
         finally:
             self.table = prev_table
-            self._auto_ctr = prev_auto
 
     def _proj_items(self):
         """Ordered projection entries (reference proj_exprs →
@@ -987,29 +1017,42 @@ class Parser:
                         "(inlining operation doesn't accept a name)")
                 entries.append((name, self._agg_col(self.expr())))
             else:
+                span_start = self.i
                 v = self.expr()
+                sug = _AutoName(self._suggest_name(
+                    self.toks[span_start:self.i]))
                 if isinstance(v, _StructInline):
                     entries.append(v)
                 elif isinstance(v, Column):
                     # bare column keeps its own name when trivially a
-                    # column reference; else auto-name (the counter is
-                    # projection-scoped so key and agg sides never
-                    # collide — `{null, null => null, null}`)
+                    # column reference; else the guessed name
+                    # (compiler.py:132-148 guess_field_name)
                     cname = _plain_col_name(v)
                     if cname is not None and not self.in_agg:
-                        entries.append(cname)
+                        entries.append(_AutoName(cname))
                     else:
-                        entries.append((cname or f"col{self._auto_ctr}",
+                        entries.append((_AutoName(cname) if cname else sug,
                                         self._agg_col(v)))
-                        if not cname:
-                            self._auto_ctr += 1
                 else:
-                    entries.append((f"col{self._auto_ctr}",
-                                    self._agg_col(v)))
-                    self._auto_ctr += 1
+                    entries.append((sug, self._agg_col(v)))
             if not self.accept("op", ","):
                 break
         return entries
+
+    @staticmethod
+    def _suggest_name(span) -> str:
+        """Guessed field name for an anonymous projection entry from
+        its source tokens — reference guess_field_name
+        (compiler.py:132-148): attribute chains use the last attribute,
+        function calls the function name, everything else '_'."""
+        toks = [t for t in span if t.kind != "nl"]
+        if len(toks) >= 2 and toks[-2].kind == "op" \
+                and toks[-2].text == "." and toks[-1].kind == "name":
+            return toks[-1].text
+        if toks and toks[0].kind == "name" and len(toks) >= 2 \
+                and toks[1].kind == "op" and toks[1].text in ("(", "."):
+            return toks[0].text
+        return "_"
 
     def _agg_col(self, v):
         """On the agg side of ``=>``, a bare (non-aggregate) column
@@ -1099,10 +1142,23 @@ class Parser:
         raise SyntaxError(f"unexpected token {t.text!r}")
 
     def _list_or_range(self):
-        # [a..b] range table | [x, y, z] list table
-        if self.peek().kind == "int" and self.peek(1).kind == "dots":
+        # [a..b] range | [..b] | [a..] open series | [x, y, z] list
+        if self.peek().kind == "dots" and self.peek().text == "..":
+            # [..b] == [0..b] (test_basic.py:625-631)
+            self.next()
+            b = int(self.expect("int").text)
+            self.expect("op", "]")
+            return self.engine.range(0, b)
+        if self.peek().kind == "int" and self.peek(1).kind == "dots" \
+                and self.peek(1).text == "..":
             a = int(self.next().text)
             self.next()
+            if self.accept("op", "]"):
+                # [a..] — unbounded series; stays symbolic until a
+                # slice bounds it (reference compiles an infinite
+                # recursive CTE and pushes LIMIT; engines that can't
+                # raise NotImplementedError — test_basic.py:637-641)
+                return _OpenRange(self.engine, a)
             b = int(self.expect("int").text)
             self.expect("op", "]")
             # reference semantics: [1..3] == [1, 2] (stop-exclusive,
@@ -1338,6 +1394,13 @@ class Parser:
             return _apply_function(self, fn.name, args, kwargs)
         if isinstance(fn, _UserFunc):
             return self._inline_call(fn, args, kwargs)
+        if isinstance(fn, _ListCastRef):
+            if len(args) != 1 or not isinstance(args[0], Table):
+                raise LangSignal("TypeError", "list[...] expects a list")
+            spark_t = self._TYPE_MAP.get(fn.type_name, fn.type_name)
+            src = args[0]
+            return src._with(src.df.select(
+                F.col("item").cast(spark_t).alias("item")))
         raise TypeError(f"{fn!r} is not callable")
 
     def _inline_call(self, fn: "_UserFunc", args, kwargs):
@@ -1416,6 +1479,10 @@ class Parser:
             if len(v.df.columns) == 1:
                 return v.df[v.df.columns[0]]
             raise TypeError("cannot use multi-column table as a value")
+        if isinstance(v, _OpenRange):
+            raise LangSignal(
+                "NotImplementedError",
+                "an unbounded series supports only slicing")
         return F.lit(v)
 
 
@@ -1458,6 +1525,28 @@ class _JoinAlias:
     """Join-scope binding for `on:` conditions (`$on` parity)."""
     name: str
     table: "Table"
+
+
+@dataclass
+class _ListCastRef:
+    """``list[int]`` — a parametrized list-cast callable
+    (test_basic.py:599-603)."""
+    type_name: str
+
+
+@dataclass
+class _OpenRange:
+    """``[a..]`` — an unbounded integer series.  Symbolic: a slice
+    bounds it into a real range table; any other use raises, like the
+    engines the reference documents as not supporting infinite series
+    (test_basic.py:637-641)."""
+    engine: object
+    start: int
+
+    def slice(self, a: int, b: int | None):
+        if b is None:
+            return _OpenRange(self.engine, self.start + a)
+        return self.engine.range(self.start + a, self.start + b)
 
 
 @dataclass
@@ -1536,20 +1625,48 @@ class _UserFunc:
     block: bool = False
 
 
+class _AutoName(str):
+    """A guessed (non-user-defined) projection field name — eligible
+    for collision auto-suffixing (compiler.py:231-243)."""
+
+
 def _check_dup_names(entries, agg_entries=()):
-    """A projection output name may appear once — the reference raises
-    TypeError on `{a: 1, a: 2}` and `{a: 1 => a: 2}` alike
-    (test_basic.py:883-885)."""
-    seen: set[str] = set()
-    for e in list(entries) + list(agg_entries):
-        n = e if isinstance(e, str) else \
+    """Resolve projection output names like the reference
+    (compiler.py:196-243): an explicitly *user-written* name may
+    appear once (`{a: 1, a: 2}` raises TypeError); guessed names
+    (`count()` → "count", `a.b` → "b", anything else → "_") auto-
+    suffix on collision: "_", "_1", "_2" / "count", "count1".
+    Mutates the (name, col) tuples in place by index."""
+    all_entries = list(entries) + list(agg_entries)
+
+    def name_of(e):
+        return e if isinstance(e, str) else \
             (e[0] if isinstance(e, tuple) else None)
-        if n is None:
-            continue
-        if n in seen:
-            raise LangSignal(
-                "TypeError", f"duplicate name {n!r} in projection")
-        seen.add(n)
+
+    user = [n for e in all_entries
+            if (n := name_of(e)) is not None and not isinstance(n, _AutoName)]
+    dups = {n for n in user if user.count(n) > 1}
+    if dups:
+        raise LangSignal(
+            "TypeError",
+            f"Field {sorted(dups)[0]!r} was already used in this projection")
+    taken: set[str] = set(user)
+    for lst in (entries, agg_entries):
+        for i, e in enumerate(lst):
+            n = name_of(e)
+            if n is None or not isinstance(n, _AutoName):
+                continue
+            new, k = str(n), 1
+            while new in taken:
+                new = str(n) + str(k)
+                k += 1
+            taken.add(new)
+            if isinstance(e, tuple):
+                lst[i] = (new, e[1])
+            elif new != n:
+                # a renamed bare column ref must still read the
+                # original column
+                lst[i] = (new, F.col(str(n)))
 
 
 def _plain_col_name(c: Column) -> str | None:

@@ -710,9 +710,67 @@ def test_list_ops_golden(leng):
     assert q('[] {x:0}').count() == 0
     with pytest.raises(LangSignal, match="share a type"):
         q('["a", 1]')
-    with pytest.raises(LangSignal, match="duplicate name"):
+    with pytest.raises(LangSignal, match="already used"):
         q('[1] {a: 1, a: 2}')
-    with pytest.raises(LangSignal, match="duplicate name"):
+    with pytest.raises(LangSignal, match="already used"):
         q('[1] {a: 1 => a: 2}')
     row = q('[1] {null, null => null, null}').one()
     assert list(row.asDict().values()) == [None, None, None, None]
+
+
+def test_strings_golden(leng):
+    """Ported reference test_strings (test_basic.py:580-595)."""
+    q = leng.q
+    assert q('upper("ba")') == "BA"
+    assert q('lower("BA")') == "ba"
+    assert q('"ba" in "kabab"') is True
+    assert q('"ba" !in "kabab"') is False
+    assert q('"bak" in "kabab"') is False
+    assert q('"hello"[0..3]') == "hel"
+    assert q('"hello"[1..]') == "ello"
+    assert q('"hello"[..1]') == "h"
+    assert q('"hello"[2..4]') == "ll"
+    assert q('length("hello")') == 5
+    assert q('list(["hello"]{length(item)})') == [5]
+
+
+def test_casts_golden(leng):
+    """Ported reference test_casts (test_basic.py:597-610)."""
+    from preql_spark.lang import _TypeRef
+    q = leng.q
+    assert q('type(float(1))') == _TypeRef("float")
+    assert q('type(int(float(1)))') == _TypeRef("int")
+    assert isinstance(q('list[float]([1,2])').collect()[0].item, float)
+    assert isinstance(
+        q('list[int](list[float]([1,2]))').collect()[0].item, int)
+    assert sorted(r.item for r in q('list[int]([1.2, 3.4])').collect()) \
+        == [1, 3]
+    assert q('list(list([1,2]{item+1}){item+1})') == [3, 4]
+    assert q('list(["1", "2"]{int(item)})') == [1, 2]
+
+
+def test_range_golden(leng):
+    """Ported reference test_range (test_basic.py:625-645): open
+    series stay symbolic until sliced."""
+    from preql_spark.lang import LangSignal
+    leng.q('func to20() = [..20]\nfunc abc() = [1..3]\nfunc adult() = [18..]')
+    assert leng.q('list(to20())') == list(range(20))
+    assert leng.q('list(abc())') == [1, 2]
+    assert leng.q('list(adult()[..10])') == list(range(18, 28))
+    assert leng.q('list(adult()[..10] + adult()[..1])') == \
+        list(range(18, 28)) + [18]
+    assert leng.q('list( (adult()[..10] + adult()[..1]) {item + 1} )') == \
+        list(range(19, 29)) + [19]
+    with pytest.raises(LangSignal, match="slicing"):
+        leng.q('count([18..])')
+
+
+def test_anonymous_field_names(leng):
+    """Guessed projection names (compiler.py:132-148) with collision
+    auto-suffix (compiler.py:231-243): '_' default, function name for
+    calls, last attribute for dotted access."""
+    row = leng.q('[1] {item + 1, item + 2}').one()
+    assert list(row.asDict()) == ["_", "_1"]
+    assert list(leng.q('[1] {count()}').one().asDict()) == ["count"]
+    assert leng.q('func in_list2(x) = [1,2,3] {item in x{item}}\n'
+                  'list(in_list2([2, 3]))') == [False, True, True]
