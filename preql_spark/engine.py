@@ -329,6 +329,9 @@ class Engine:
         if name in self.__dict__.get("mutables", {}) \
                 or name in self.__dict__.get("_dfs", {}):
             return self.table(name)
+        from preql_spark.lang import _FUNCTIONS, _TABLE_FUNCS
+        if name in _FUNCTIONS or name in _TABLE_FUNCS:
+            return _Delegate(self, name)
         raise AttributeError(f"Engine has no attribute or binding {name!r}")
 
     def __setattr__(self, name: str, value) -> None:
@@ -435,18 +438,22 @@ class _Delegate:
 
     def __call__(self, *args, **kwargs):
         from pyspark.sql import Column
-        from preql_spark.lang import Parser
+        from preql_spark.lang import Parser, _apply_function
         eng = self._engine
         p = Parser(eng, "", eng.lang_env)
-        out = p._inline_call(
-            self._fn, [eng._from_python(a) for a in args],
-            {k: eng._from_python(v) for k, v in kwargs.items()})
+        args = [eng._from_python(a) for a in args]
+        kwargs = {k: eng._from_python(v) for k, v in kwargs.items()}
+        if isinstance(self._fn, str):       # builtin function name
+            out = _apply_function(p, self._fn, args, kwargs)
+        else:
+            out = p._inline_call(self._fn, args, kwargs)
         # localize table-free scalar results, like the interpreter
         # does for a top-level expression (api.py _wrap_result)
         return p._pyval(out) if isinstance(out, Column) else out
 
     def __repr__(self):
-        return f"<preql function {self._fn.name}>"
+        name = self._fn if isinstance(self._fn, str) else self._fn.name
+        return f"<preql function {name}>"
 
 
 class _TableNamespace:

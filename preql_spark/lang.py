@@ -330,7 +330,15 @@ class Parser:
         self.expect("op", "(")
         cond_span = self._capture_parens()
         block = self._capture_block()
-        taken = bool(exec_) and self._truthy(self._eval_span(cond_span))
+        cond_v = self._eval_span(cond_span) if exec_ else None
+        if exec_ and isinstance(cond_v, Column) and self.table is not None:
+            # vectorized: the condition references the current table's
+            # rows, so the statement compiles to one CASE expression —
+            # the reference reaches the same result by evaluating the
+            # function body per vectorized instance (test_nonzero:
+            # apply_to_list).  Both branches must `return` a value.
+            raise _ReturnSignal(self._vector_if(cond_v, block))
+        taken = bool(exec_) and self._truthy(cond_v)
         if taken:
             self._exec_block(block)
         save = self.i
@@ -346,6 +354,38 @@ class Parser:
         else:
             self.i = save
         return None
+
+    def _vector_if(self, cond_v: Column, then_block: list) -> Column:
+        """Compile a block-form if/else over a vectorized condition
+        into CASE WHEN.  Branches execute to harvest their returned
+        expression (side effects are therefore not supported in
+        vectorized branches); else-if chains nest."""
+        then_v = self._block_return(then_block)
+        self._skip_nl()
+        if not self.accept("else"):
+            raise LangSignal(
+                "NotImplementedError",
+                "vectorized if needs an else branch")
+        self._skip_nl()
+        if self.peek().kind == "if":
+            self.expect("if")
+            self.expect("op", "(")
+            espan = self._capture_parens()
+            eblock = self._capture_block()
+            else_v = self._vector_if(self._eval_span(espan), eblock)
+        else:
+            else_v = self._block_return(self._capture_block())
+        return exprs.if_else(exprs.truthy(cond_v),
+                             self._col(then_v), self._col(else_v))
+
+    def _block_return(self, toks: list):
+        try:
+            self._exec_block(toks)
+        except _ReturnSignal as r:
+            return r.value
+        raise LangSignal(
+            "NotImplementedError",
+            "vectorized if branches must return a value")
 
     def _while_stmt(self):
         self.expect("while")
@@ -648,6 +688,23 @@ class Parser:
             if t.kind == "op" and t.text in ("==", "!=", "<", ">", "<=", ">=", "~"):
                 self.next()
                 r = self.additive()
+                # literal type discipline (reference test_compare):
+                # int/str literals are never equal across kernels, and
+                # ordering across kernels is a TypeError; a scalar
+                # cannot compare to a table
+                kv, kr = _literal_kernel(v), _literal_kernel(r)
+                if kv and kr and kv != kr:
+                    if t.text in ("==", "!="):
+                        v = t.text == "!="
+                        continue
+                    if t.text != "~":
+                        raise LangSignal(
+                            "TypeError",
+                            f"cannot compare {kv} to {kr}")
+                if (isinstance(v, Table)) != (isinstance(r, Table)) \
+                        and t.text in ("==", "!="):
+                    raise LangSignal(
+                        "TypeError", "cannot compare a value to a table")
                 a, b = self._col(v), r if isinstance(r, (int, float, str)) else self._col(r)
                 v = {"==": lambda: exprs.eq(a, b),
                      "!=": lambda: exprs.ne(a, b),
@@ -658,6 +715,12 @@ class Parser:
                 negate = t.text == "!in"
                 self.next()
                 r = self.additive()
+                if isinstance(v, Table):
+                    # reference: `[1] in [2]` is a TypeError — lists
+                    # are not members; use a semi-join for that
+                    raise LangSignal(
+                        "TypeError", "a table cannot be a member; "
+                        "use in_table (semi-join)")
                 if isinstance(r, Table):
                     # literal-membership path: the RHS materializes to
                     # the driver, so bound it — table-scale membership
@@ -1667,6 +1730,16 @@ def _check_dup_names(entries, agg_entries=()):
                 # a renamed bare column ref must still read the
                 # original column
                 lst[i] = (new, F.col(str(n)))
+
+
+def _literal_kernel(x) -> str | None:
+    """Kernel type of a Python literal value ('num'/'str'), None for
+    anything vectorized/tabular."""
+    if isinstance(x, (bool, int, float)):
+        return "num"
+    if isinstance(x, str):
+        return "str"
+    return None
 
 
 def _plain_col_name(c: Column) -> str | None:

@@ -774,3 +774,65 @@ def test_anonymous_field_names(leng):
     assert list(leng.q('[1] {count()}').one().asDict()) == ["count"]
     assert leng.q('func in_list2(x) = [1,2,3] {item in x{item}}\n'
                   'list(in_list2([2, 3]))') == [False, True, True]
+
+
+def test_compare_golden(leng):
+    """Ported reference test_compare (test_basic.py:787-829)."""
+    from preql_spark.lang import LangSignal
+    q = leng.q
+    assert q('3 != "3"') is True
+    assert q('null != 1') is True
+    assert q('1 == 1') is True
+    assert q('1 != 2') is True
+    assert q('1 > 2') is False
+    assert q('2 >= 1') is True
+    assert q('"a" == "a"') is True
+    assert q('"a" != "b"') is True
+    assert q('1 in [1,2,3]') is True
+    assert q('1 !in [1,2,3]') is False
+    assert q('4 in [1,2,3]') is False
+    # auto-casts across the literal membership boundary
+    assert q("'4' in [1,2,3]") is False
+    assert q("'3' in [1,2,3]") is True
+    with pytest.raises(LangSignal, match="compare"):
+        q('2 > "a"')
+    with pytest.raises(LangSignal, match="compare"):
+        q('1 == [2]')
+    with pytest.raises(LangSignal, match="member"):
+        q('[1] in [2]')
+    assert q('null == null') is True
+    assert q('null != null') is False
+    assert q('"a" != null') is True
+
+
+def test_nonzero_golden(leng):
+    """Ported reference test_nonzero (test_basic.py:1031-1052): a
+    block function with if/return applied to a column compiles to one
+    CASE expression (no UDF)."""
+    leng.q('''
+func fz(x) {
+    if (x) {
+        return "YES"
+    } else {
+        return "NO"
+    }
+}
+func apply_to_list(lst) = list(lst{fz(item)})
+''')
+    assert leng.fz(1) == "YES"
+    assert leng.fz(0) == "NO"
+    assert leng.fz("a") == "YES"
+    assert leng.fz("") == "NO"
+    assert leng.apply_to_list([0, 1]) == ["NO", "YES"]
+    assert leng.apply_to_list(["", "a"]) == ["NO", "YES"]
+
+
+def test_agg_funcs_golden(leng):
+    """Ported reference test_agg_funcs (test_basic.py:564-576)."""
+    r = leng.q('[0, 2, 0, 0, 3, 4, 0]'
+               ' { => count_true(item), count_false(item) }').one()
+    assert (r.count_true, r.count_false) == (3, 4)
+    leng.q('func sqsum(x) = sum(x*x)')
+    assert leng.q('one [2, 4]{=> sqsum(item)}')["sqsum"] == 20
+    assert leng.q('sum([2, 4])') == 6
+    assert leng.sum([2, 4]) == 6
