@@ -1041,7 +1041,12 @@ class Parser:
                     final.extend(e.expand(tab))
                 else:
                     final.append(e)
-            return tab.project(*final)
+            try:
+                return tab.project(*final)
+            except NameError as e:       # bad `!field` exclusion
+                raise LangSignal("NameError", str(e)) from None
+            except TypeError as e:       # empty projection
+                raise LangSignal("TypeError", str(e)) from None
         finally:
             self.table = prev_table
 

@@ -163,7 +163,9 @@ class Table:
             else:
                 out.append(_as_col(it, self))
         if not out:
-            raise ValueError("empty projection")
+            # reference: excluding every column is a TypeError
+            # (test_basic.py:139 `[3]{... !item}`)
+            raise TypeError("projection is empty (all columns excluded)")
         return self._with(self.df.select(*out))
 
     def with_columns(self, **named) -> "Table":

@@ -445,13 +445,22 @@ def test_ellipsis_direct_name_hiding(person_eng):
 
 
 def test_ellipsis_errors(person_eng):
+    from preql_spark.lang import LangSignal
     q = person_eng.q
     with pytest.raises(SyntaxError):
         q('Person {x: ...}')
-    with pytest.raises(NameError):
+    with pytest.raises(LangSignal, match="not found"):
         q('Person {... !hello}')          # exclude of unknown field
-    with pytest.raises(NameError):
+    with pytest.raises(LangSignal, match="included"):
         q('Person {name, ... !name}')     # exclude of included field
+    # excluding every column is a TypeError (test_basic.py:139)
+    with pytest.raises(LangSignal, match="empty"):
+        q('[3]{... !item}')
+    # ...and the signals carry reference type names (isa-checkable)
+    try:
+        q('[3]{... !hello}')
+    except LangSignal as e:
+        assert e.isa("NameError")
 
 
 def test_ellipsis_exclude_positions(person_eng):
