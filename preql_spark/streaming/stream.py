@@ -46,10 +46,15 @@ def read_event_stream(spark: SparkSession, path: str,
         static = spark.read.parquet(path)
         schema = static.schema
     sdf = spark.readStream.schema(schema).parquet(path)
-    if dict(sdf.dtypes).get(ts_col) == "bigint":
+    dt = dict(sdf.dtypes).get(ts_col)
+    if dt == "bigint":
         # nanos-as-long timestamps (same normalization as Engine.load_dir)
         sdf = sdf.withColumn(ts_col, F.timestamp_micros(
             (F.col(ts_col) / 1000).cast("long")))
+    elif dt == "timestamp_ntz":
+        # watermarks require TIMESTAMP (LTZ); session tz is pinned UTC so
+        # the cast is wall-clock-preserving
+        sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return sdf.withWatermark(ts_col, watermark)
 
 
