@@ -67,26 +67,49 @@ def main():
     hand: dict[str, float] = {}
     ratio: dict[str, float] = {}
     plan_match: dict[str, bool] = {}
+    errors: dict[str, str] = {}
+    # Per-query failure isolation (round-2 lesson: one broken twin
+    # aborted the whole run and the round shipped zero perf numbers).
+    # Engine and twin sides fail independently: a dead twin still
+    # yields the engine timing, and vice versa.  Always exits 0 with
+    # one parseable JSON line.
     for name in BENCH_QUERIES:
-        eng_df = qs[name](spark, sf_dir)
+        eng_df = twin_df = None
+        try:
+            eng_df = qs[name](spark, sf_dir)
+            run_once(eng_df)  # warm untimed (codegen/footer costs)
+            timings[name] = round(time_df(eng_df), 4)
+        except Exception as e:  # noqa: BLE001 - isolate per query
+            errors[name] = f"engine: {type(e).__name__}: {e}"[:500]
         # hand-authored PySpark twin: measures the engine layer's
         # overhead over the plan you'd write by hand (the reference's
         # "within 1-5% of hand-written SQL" claim, measured).  Plan
         # equality (physical plan modulo expression ids) is the strong
         # form of the claim; the wall-clock ratio backs it up.
-        twin_df = TWINS[name](spark, sf_dir)
-        plan_match[name] = normalized_plan(eng_df) == normalized_plan(twin_df)
-        # warm BOTH untimed first so neither side pays codegen/footer
-        # costs the other skipped (engine-first timing biased the twin)
-        run_once(eng_df)
-        run_once(twin_df)
-        timings[name] = round(time_df(eng_df), 4)
-        hand[name] = round(time_df(twin_df), 4)
-        ratio[name] = round(timings[name] / hand[name], 3) if hand[name] \
-            else 1.0
+        try:
+            twin_df = TWINS[name](spark, sf_dir)
+            run_once(twin_df)
+            hand[name] = round(time_df(twin_df), 4)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = (errors.get(name, "") +
+                            f" twin: {type(e).__name__}: {e}"[:500]).strip()
+        if eng_df is not None and twin_df is not None:
+            try:
+                plan_match[name] = \
+                    normalized_plan(eng_df) == normalized_plan(twin_df)
+            except Exception as e:  # noqa: BLE001
+                errors[name] = (errors.get(name, "") +
+                                f" plan: {type(e).__name__}: {e}"[:300]).strip()
+        if name in timings and name in hand:
+            ratio[name] = round(timings[name] / hand[name], 3) \
+                if hand[name] else 1.0
 
     total = round(sum(timings.values()), 4)
-    hand_total = round(sum(hand.values()), 4)
+    # hand total over the queries timed on BOTH sides, so the aggregate
+    # ratio compares like with like even under partial failure
+    both = [n for n in timings if n in hand]
+    hand_total = round(sum(hand[n] for n in both), 4)
+    eng_both_total = round(sum(timings[n] for n in both), 4)
     print(json.dumps({
         "metric": "headline_queries_total_wall_seconds",
         "value": total,
@@ -94,12 +117,25 @@ def main():
         "queries": timings,
         "hand_twin_secs": hand,
         "engine_over_hand_ratio": ratio,
-        "engine_over_hand_total": round(total / hand_total, 3)
+        "engine_over_hand_total": round(eng_both_total / hand_total, 3)
         if hand_total else 1.0,
         "plan_match": plan_match,
+        "errors": errors,
+        "n_queries": len(BENCH_QUERIES),
+        "n_timed": len(timings),
         "sf": sf,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - emit parseable JSON, exit 0
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "headline_queries_total_wall_seconds",
+            "value": -1.0, "unit": "sec", "queries": {},
+            "errors": {"__harness__": f"{type(e).__name__}: {e}"[:500]},
+        }))
+    sys.exit(0)

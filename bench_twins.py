@@ -56,16 +56,14 @@ def normalized_plan(df: DataFrame) -> str:
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Hand-rolled parquet read.  events.parquet carries
-    TIMESTAMP(NANOS), which Spark reads only via nanosAsLong — any hand
-    author targeting these files writes this same shim."""
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    return spark.read.parquet(path)
+    """Parquet read through the shared schema-driven normalizer
+    (preql_spark.parquet_io) — the same helper the engine uses, so the
+    twins can never desynchronize from the testdata's actual timestamp
+    encoding again (the round-2 bench crash was a stale hardcoded
+    TIMESTAMP(NANOS) shim here after the testdata moved to
+    timestamp[us])."""
+    from preql_spark.parquet_io import read_parquet
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def q01_pricing_summary(spark, sf_dir):

@@ -212,18 +212,13 @@ class Engine:
         """Bind every parquet table under ``path`` into the namespace
         (reference ``load_all_tables`` — interpreter.py:158-189),
         attaching the star-schema FK registry when names match."""
+        from preql_spark.parquet_io import read_parquet
         if names is None:
             names = [f[:-8] for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
-        # Spark cannot read TIMESTAMP(NANOS) parquet natively; read them
-        # as long and rebuild a (microsecond) timestamp column.
-        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         for n in names:
             fp = os.path.join(path, f"{n}.parquet")
-            df = self.spark.read.parquet(fp)
-            for col in _nanos_timestamp_cols(fp):
-                df = df.withColumn(
-                    col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
-            self.register(n, df, pk=TPCH_PKS.get(n), fks=TPCH_FKS.get(n))
+            self.register(n, read_parquet(self.spark, fp),
+                          pk=TPCH_PKS.get(n), fks=TPCH_FKS.get(n))
         return self
 
     # ---- constructors ----------------------------------------------
@@ -413,17 +408,9 @@ class Engine:
                 for name, pdf in dfs.items()}
 
 
-def _nanos_timestamp_cols(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
-    long under ``nanosAsLong``; we convert back to TimestampType."""
-    try:
-        import pyarrow.parquet as pq
-        import pyarrow as pa
-        schema = pq.read_schema(path)
-        return [f.name for f in schema
-                if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
-    except Exception:
-        return []
+# single source of truth for testdata timestamp handling lives in
+# preql_spark.parquet_io; kept as an alias for older imports
+from preql_spark.parquet_io import nanos_timestamp_cols as _nanos_timestamp_cols  # noqa: E402
 
 
 class _Delegate:

@@ -28,7 +28,18 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     scale the scan already has >= cores partitions and this is a no-op
     (no shuffle is added)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # partition-count signal without df.rdd (which forces a plan->RDD
+    # translation per call, VERDICT r2 item 7): a file-backed scan's
+    # parallelism floor is its file count (files may split further by
+    # maxPartitionBytes, so this only ever under-counts — worst case a
+    # no-op-at-scale repartition).  Non-file frames (createDataFrame,
+    # post-shuffle) already parallelize to defaultParallelism /
+    # shuffle.partitions, so they skip the repartition.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # pragma: no cover - non-file-backed plans
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

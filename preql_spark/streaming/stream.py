@@ -39,22 +39,23 @@ def read_event_stream(spark: SparkSession, path: str,
         if not os.path.islink(link):
             os.symlink(os.path.abspath(path), link)
         path = staging
-    # TIMESTAMP(NANOS) parquet needs the nanos-as-long bridge (same
-    # normalization as Engine.load_dir)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from preql_spark.parquet_io import NANOS_CONF, nanos_timestamp_cols, \
+        normalize_event_ts
+    # the NTZ→LTZ cast in normalize_event_ts is wall-clock-preserving
+    # only under UTC; default_session pins it, but this function accepts
+    # any SparkSession — pin here too so a caller-supplied session can't
+    # silently shift event instants across window/watermark boundaries
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # TIMESTAMP(NANOS) parquet needs the nanos-as-long bridge; only
+    # touch the session conf when such columns actually exist (the
+    # schema check is the same one Engine.load_dir uses)
+    if nanos_timestamp_cols(path):
+        spark.conf.set(NANOS_CONF, "true")
     if schema is None:
         static = spark.read.parquet(path)
         schema = static.schema
     sdf = spark.readStream.schema(schema).parquet(path)
-    dt = dict(sdf.dtypes).get(ts_col)
-    if dt == "bigint":
-        # nanos-as-long timestamps (same normalization as Engine.load_dir)
-        sdf = sdf.withColumn(ts_col, F.timestamp_micros(
-            (F.col(ts_col) / 1000).cast("long")))
-    elif dt == "timestamp_ntz":
-        # watermarks require TIMESTAMP (LTZ); session tz is pinned UTC so
-        # the cast is wall-clock-preserving
-        sdf = sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    sdf = normalize_event_ts(sdf, ts_col)
     return sdf.withWatermark(ts_col, watermark)
 
 

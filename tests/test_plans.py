@@ -133,6 +133,33 @@ def test_partitioned_write_prunes(spark, tmp_path):
         or "PartitionFilters" in plan and src in plan
 
 
+# ---- twin plan equality (the bench's strong claim, gated in CI) ----
+# Queries where engine and hand-twin plans legitimately differ, with
+# reasons.  Keep this list <= 3; anything new must either be fixed or
+# argued here.
+PLAN_WAIVERS: dict[str, str] = {}
+
+
+def _twin_names():
+    from bench_twins import TWINS
+    return sorted(TWINS)
+
+
+@pytest.mark.parametrize("name", _twin_names())
+def test_twin_plan_equality(spark, name):
+    """The engine's generated plan must BE the plan a PySpark user
+    would write by hand (the reference's "generated ≈ hand-written"
+    claim, checked structurally rather than by wall clock).  Runs in
+    CI at sf0.001 so a plan regression is caught before the driver
+    bench sees it (VERDICT r2 item 4)."""
+    from bench_twins import TWINS, normalized_plan
+    if name in PLAN_WAIVERS:
+        pytest.skip(f"waived: {PLAN_WAIVERS[name]}")
+    eng_df = entry.queries()[name](spark, SF_DIR)
+    twin_df = TWINS[name](spark, SF_DIR)
+    assert normalized_plan(eng_df) == normalized_plan(twin_df)
+
+
 def test_write_clustered_file_skipping(eng, tmp_path):
     import glob
     import pyarrow.parquet as pq
