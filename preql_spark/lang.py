@@ -1355,6 +1355,18 @@ class Parser:
                     f"table {v.name!r} has no column {name!r}")
             return F.col(f"{v.name}.{name}")
         if isinstance(v, Table):
+            # terminal `table.col` inside a join kwarg names a join key
+            # (reference join-by-column spelling) — keep the table
+            j = 0
+            while self.peek(j).kind == "nl":
+                j += 1
+            nxt = self.peek(j)
+            if getattr(self, "_join_arg", False) \
+                    and nxt.kind == "op" and nxt.text in (",", ")"):
+                if name not in v.df.columns:
+                    raise AttributeError(
+                        f"table has no column {name!r}")
+                return _JoinColRef(v, name)
             return v[name]
         if isinstance(v, Column):
             # struct field or timestamp property
@@ -1405,6 +1417,10 @@ class Parser:
         # (evaluate.py:597; test_basic.py:1510-1525)
         join_scope = isinstance(fn, _FuncRef) and fn.name in (
             "join", "leftjoin", "outerjoin", "joinall")
+        # the join-by-column flag never leaks into THIS call's argument
+        # parsing (a nested call inside a join kwarg parses normally)
+        outer_join_arg = getattr(self, "_join_arg", False)
+        self._join_arg = False
         shadowed: dict[str, object] = {}
         while True:
             self._skip_nl()
@@ -1437,15 +1453,24 @@ class Parser:
                     kwargs["$" + k.lstrip("$")] = self._capture_arg_span()
                     self.accept("op", ",")
                     continue
-                kwargs[k] = self.expr()
-                if join_scope and isinstance(kwargs[k], Table):
+                if join_scope:
+                    self._join_arg = True
+                try:
+                    kwargs[k] = self.expr()
+                finally:
+                    self._join_arg = False
+                if join_scope and isinstance(kwargs[k],
+                                             (Table, _JoinColRef)):
                     if k in self.env:
                         shadowed[k] = self.env[k]
                     # alias proxy: `a.col` inside `on:` becomes the
                     # qualified F.col("a.col"), which resolves against
                     # the frames join() aliases by kwarg name — and
                     # stays unambiguous for self-joins
-                    self.env[k] = _JoinAlias(k, kwargs[k])
+                    t = kwargs[k].table if isinstance(kwargs[k],
+                                                      _JoinColRef) \
+                        else kwargs[k]
+                    self.env[k] = _JoinAlias(k, t)
             else:
                 if isinstance(fn, _UserFunc) and len(args) < len(fn.params) \
                         and fn.params[len(args)].startswith("$"):
@@ -1455,9 +1480,11 @@ class Parser:
             self.accept("op", ",")
         if join_scope:
             for k, v in kwargs.items():
-                if isinstance(v, Table) and k not in shadowed:
+                if isinstance(v, (Table, _JoinColRef)) \
+                        and k not in shadowed:
                     self.env.pop(k, None)
             self.env.update(shadowed)
+        self._join_arg = outer_join_arg
         if isinstance(fn, _FuncRef):
             return _apply_function(self, fn.name, args, kwargs)
         if isinstance(fn, _UserFunc):
@@ -1593,6 +1620,17 @@ class _JoinAlias:
     """Join-scope binding for `on:` conditions (`$on` parity)."""
     name: str
     table: "Table"
+
+
+@dataclass
+class _JoinColRef:
+    """Join-by-column argument ``join(c: Country.name, n: lst.item)``
+    (reference pql_functions.py join: column operands name the join
+    keys directly; tests/test_autocomplete.py test_attr).  Captured at
+    parse time inside a join kwarg, where a plain ``table.col`` read
+    would lose the table identity."""
+    table: "Table"
+    col: str
 
 
 @dataclass
@@ -1955,8 +1993,18 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
 
     if name in _TABLE_FUNCS:
         if name in ("join", "leftjoin", "outerjoin", "joinall"):
-            tables = {k: v for k, v in kwargs.items() if isinstance(v, Table)}
+            tables = {k: (v.table if isinstance(v, _JoinColRef) else v)
+                      for k, v in kwargs.items()
+                      if isinstance(v, (Table, _JoinColRef))}
             on = kwargs.get("on")
+            # join-by-column spelling: equate consecutive column
+            # operands (reference join(a: t1.x, b: t2.y) ⇒ x == y)
+            refs = [(k, v.col) for k, v in kwargs.items()
+                    if isinstance(v, _JoinColRef)]
+            if on is None and len(refs) >= 2:
+                for (a, ca), (b, cb) in zip(refs, refs[1:]):
+                    c = F.col(f"{a}.{ca}") == F.col(f"{b}.{cb}")
+                    on = c if on is None else (on & c)
             f = {"join": tbl.join, "leftjoin": tbl.leftjoin,
                  "outerjoin": tbl.outerjoin}.get(name)
             if name == "joinall":

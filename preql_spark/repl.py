@@ -5,11 +5,10 @@ Kept deliberately small and dependency-free: readline history and
 bracket-aware multi-line continuation, Preql-syntax evaluation through
 :meth:`Engine.q`, table preview printing with ``.``-paging (type ``.``
 on its own line for the next page — reference repl.py table preview),
-and in-language ``names()`` / ``help()`` / ``tables()`` for discovery.
-Divergence (documented): no autocomplete engine — the reference runs
-its compiler in a low-access mode to harvest suggestions
-(preql/core/autocomplete.py); readline's default file-history and the
-``names()`` builtin stand in here.
+in-language ``names()`` / ``help()`` / ``tables()`` for discovery, and
+context-aware tab completion via :mod:`preql_spark.autocomplete` (the
+engine analogue of the reference's partial-compile suggestion harvest,
+preql/core/autocomplete.py).
 
 Run:  python -m preql_spark [data_dir]
 """
@@ -100,12 +99,18 @@ class Repl:
             print(f"{type(e).__name__}: {e}", file=sys.stderr)
 
     def interact(self) -> None:
+        buf: list[str] = []
         try:
             import readline  # noqa: F401  (history + line editing)
+            from preql_spark.autocomplete import make_completer
+            readline.set_completer(make_completer(self.engine, buf))
+            # '.' is a delimiter so `tbl.<TAB>` completes the attribute
+            readline.set_completer_delims(
+                " \t\n`~!@#$%^&*()-=+[{]}\\|;:'\",<>/?.")
+            readline.parse_and_bind("tab: complete")
         except ImportError:
             pass
         print(_BANNER)
-        buf: list[str] = []
         while True:
             prompt = "   ... " if buf else "preql> "
             try:
@@ -115,15 +120,15 @@ class Repl:
                 return
             except KeyboardInterrupt:
                 print("^C")
-                buf = []
+                buf.clear()
                 continue
             buf.append(line)
             src = "\n".join(buf)
             if not src.strip():
-                buf = []
+                buf.clear()
                 continue
             if _balanced(src):
-                buf = []
+                buf.clear()
                 self.run_line(src)
 
 

@@ -572,6 +572,34 @@ def test_join_dollar_on_spelling(eng):
     assert out.df.count() == 25 * 24 // 2
 
 
+def test_join_by_column_spelling(eng):
+    """`join(a: t1.x, b: t2.y)` — the reference's join-by-column
+    operands (pql_functions.py join; used throughout the reference
+    tests, e.g. tests/test_autocomplete.py test_attr) name the join
+    keys directly."""
+    out = eng.q('join(n: nation.n_regionkey, r: region.r_regionkey)'
+                '{nn: n.n_name, rn: r.r_name}')
+    assert out.df.count() == 25
+    # equivalent to the explicit on: spelling
+    out2 = eng.q('join(n: nation, r: region,'
+                 ' on: n.n_regionkey == r.r_regionkey)'
+                 '{nn: n.n_name, rn: r.r_name}')
+    assert sorted(map(tuple, out.collect())) \
+        == sorted(map(tuple, out2.collect()))
+    # left join keeps unmatched left rows
+    out3 = eng.q('leftjoin(l: ["NATION_1", "NO_SUCH"].item,'
+                 ' u: nation.n_name)')
+    rows = out3.collect()
+    assert len(rows) == 2
+    matched = {r.l.item: r.u for r in rows}
+    assert matched["NO_SUCH"] is None or matched["NO_SUCH"].n_name is None
+    assert matched["NATION_1"].n_name == "NATION_1"
+    # a non-terminal `.col` inside a join kwarg is still a plain read
+    out4 = eng.q('x = nation\n'
+                 'join(a: x, b: region, on: a.n_regionkey == b.r_regionkey)')
+    assert out4.df.count() == 25
+
+
 def test_partial_table_declaration(eng):
     """`table foo {...}` where foo exists connects to it — declared
     columns validated against the live schema, `...` merges the rest
