@@ -1126,6 +1126,44 @@ def q90_lazy_param(spark, sf_dir) -> DataFrame:
                          F.round(F.col("total"), 2).alias("total"))
 
 
+def q91_join_by_column(spark, sf_dir) -> DataFrame:
+    """Join-by-column operands — the reference's `join(a: t1.x,
+    b: t2.y)` spelling (pql_functions.py join; used across its tests,
+    e.g. tests/test_autocomplete.py test_attr): the column operands
+    name the join keys directly, no `on:` needed.  Plan: identical to
+    the equi-join the on: spelling produces (BroadcastHashJoin on the
+    dimension)."""
+    eng = _eng(spark, sf_dir)
+    out = eng.q(
+        'join(c: customer.c_nationkey, n: nation.n_nationkey)'
+        '{nation: n.n_name, bal: c.c_acctbal}'
+        '{nation => n_cust: count(), total_bal: sum(bal)}')
+    return out.df.select("nation", "n_cust",
+                         F.round(F.col("total_bal"), 2).alias("total_bal"))
+
+
+def q92_table_methods(spark, sf_dir) -> DataFrame:
+    """Table methods declared in lang DDL (reference
+    test_basic.py:700-744; MethodInstance pql_objects.py:266-274):
+    `func area() = size * size` usable in projections and selections,
+    composing (is_big calls area).  Methods inline to plain Column
+    expressions — the physical plan is a filter + project, no UDF."""
+    from preql_spark.engine import Engine
+    eng = Engine(spark)
+    eng.load_dir(sf_dir, names=["nation"])
+    out = eng.q('''
+    table Sq {
+        size: float
+
+        func area() = size * size
+        func is_big(lim) = area() > lim
+    }
+    Sq += nation{size: float(n_nationkey)}
+    Sq[is_big(100.0)]{size, a: area()}
+    ''')
+    return out.df
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1224,6 +1262,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q03_global_agg": q03_global_agg,
     "q24_union_all": q24_union_all,
     "q90_lazy_param": q90_lazy_param,
+    "q91_join_by_column": q91_join_by_column,
+    "q92_table_methods": q92_table_methods,
 }
 
 
@@ -2027,6 +2067,20 @@ ORACLES: dict[str, str] = {
         SELECT o_orderstatus, ROUND(SUM(o_totalprice), 2) AS total
         FROM orders WHERE o_totalprice > 1000
         GROUP BY o_orderstatus
+    """,
+    "q91_join_by_column": """
+        SELECT n_name AS nation, COUNT(*) AS n_cust,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "q92_table_methods": """
+        SELECT CAST(n_nationkey AS DOUBLE) AS size,
+               CAST(n_nationkey AS DOUBLE) * CAST(n_nationkey AS DOUBLE)
+                   AS a
+        FROM nation
+        WHERE CAST(n_nationkey AS DOUBLE) * CAST(n_nationkey AS DOUBLE)
+              > 100.0
     """,
 }
 

@@ -169,17 +169,34 @@ def _bind(engine, seg: list[Tok], scope: dict) -> None:
             return
         name = rest[0].text
         if len(rest) > 1 and rest[1].kind == "op" and rest[1].text == "=":
-            scope[name] = _safe_eval(engine, rest[2:], scope)
+            scope[name] = _bind_value(engine, name, rest[2:], scope)
         else:
             cols = _tabledef_cols(rest[1:])
             scope[name] = _pseudo_table(engine, name, cols)
         return
     if k == "name" and len(seg) > 1 and seg[1].kind == "op" \
             and seg[1].text == "=":
-        scope[seg[0].text] = _safe_eval(engine, seg[2:], scope)
+        scope[seg[0].text] = _bind_value(engine, seg[0].text,
+                                         seg[2:], scope)
         return
     # for/while/if/try bodies are their own scope; print/assert/DML
     # bind nothing — same as reference eval_autocomplete dispatch
+
+
+def _bind_value(engine, name: str, rhs: list[Tok], scope: dict):
+    """Evaluate an assignment RHS for the scratch scope.  When a
+    join-family RHS cannot be evaluated (unknown inputs), recover its
+    output columns from the kwarg names so selections/projections over
+    the binding still suggest them — the reference's UnknownInstance
+    propagation (test_autocomplete.py test_progressive2)."""
+    rhs = [t for t in rhs if t.kind != "nl"] or rhs
+    val = _safe_eval(engine, rhs, scope)
+    if val is None:
+        cols = _join_kwarg_columns(rhs)
+        if cols:
+            return _pseudo_table(engine, name,
+                                 [(c, "string") for c in cols])
+    return val
 
 
 def _func_header(seg: list[Tok]):
@@ -235,7 +252,7 @@ def _pseudo_table(engine, name: str, cols: list[tuple[str, str]]):
     try:
         from preql_spark.engine import TableMeta
         from preql_spark.table import Table
-        ddl = ", ".join([f"id long"] +
+        ddl = ", ".join(["id long"] +
                         [f"{c} {_DDL_TYPES.get(ty, 'string')}"
                          for c, ty in cols])
         df = engine.spark.createDataFrame([], ddl)
@@ -441,6 +458,9 @@ def _primary_before(seg: list[Tok], idx: int) -> list[Tok] | None:
     return prim or None
 
 
+_JOIN_FAMILY = {"join", "leftjoin", "outerjoin", "joinall"}
+
+
 def _eval_columns(engine, prim: list[Tok] | None, scope: dict
                   ) -> list[str] | None:
     if not prim:
@@ -453,7 +473,31 @@ def _eval_columns(engine, prim: list[Tok] | None, scope: dict
         if meta is not None:
             cols += list(getattr(meta, "methods", {}) or {})
         return cols
-    return None
+    return _join_kwarg_columns(prim)
+
+
+def _join_kwarg_columns(prim: list[Tok]) -> list[str] | None:
+    """Column names of a join-family call that could NOT be evaluated
+    (unknown inputs — the reference's UnknownInstance propagation):
+    the output struct columns ARE the kwarg names, recoverable
+    syntactically.  `leftjoin(l: logins.item, u: User.login)` suggests
+    l and u even when logins/User are unresolvable (reference
+    tests/test_autocomplete.py test_progressive2)."""
+    if len(prim) < 2 or prim[0].kind != "name" \
+            or prim[0].text not in _JOIN_FAMILY \
+            or prim[1].kind != "op" or prim[1].text != "(":
+        return None
+    names, depth = [], 0
+    for i, t in enumerate(prim[1:], start=1):
+        if t.kind == "op" and t.text in "([{":
+            depth += 1
+        elif t.kind == "op" and t.text in ")]}":
+            depth -= 1
+        elif depth == 1 and t.kind == "op" and t.text == ":" \
+                and prim[i - 1].kind == "name" \
+                and prim[i - 1].text != "on":
+            names.append(prim[i - 1].text)
+    return names or None
 
 
 def _attr_fields(engine, prim: list[Tok], seg: list[Tok],

@@ -185,9 +185,12 @@ class Engine:
 
     def _sync_mutable(self, name: str) -> None:
         """Refresh the catalog/temp-view binding after a mutation so
-        Python-side ``eng.t.<name>`` and SQL both see the new version."""
+        Python-side ``eng.t.<name>`` and SQL both see the new version.
+        Lang-declared methods and FKs ride along on the meta."""
         mt = self.mutables[name]
-        self.register(name, mt.df(), pk=mt.id_col)
+        self.register(name, mt.df(), pk=mt.id_col,
+                      fks=getattr(mt, "fks", None),
+                      methods=getattr(mt, "methods", None))
 
     def table(self, name: str) -> "Table":
         from preql_spark.table import Table

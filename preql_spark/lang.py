@@ -52,7 +52,7 @@ _KEYWORDS = {"and", "or", "not", "in", "order", "new", "one", "null",
              # statement keywords (preql.lark:2-17,83-85)
              "while", "for", "return", "throw", "try", "catch",
              "print", "assert", "table", "const", "bare",
-             "update", "delete", "transaction"}
+             "update", "delete", "transaction", "struct"}
 
 # built-in exception types for `new X(msg)` / `catch(X)` — the
 # reference's T.Exception subtree (pql_types.py; Signal in exceptions)
@@ -185,6 +185,8 @@ class Parser:
         k = self.peek().kind
         if k == "func":
             return self._func_def()
+        if k == "struct":
+            return self._struct_def()
         if k == "table" or (k in ("const", "bare")
                             and self.peek(1).kind == "table"):
             return self._table_def()
@@ -523,6 +525,8 @@ class Parser:
             return self._make_mutable_ref(name)
         self.expect("op", "{")
         fields, ellipsis, defaults = [], False, {}
+        methods: dict[str, _LangMethod] = {}
+        fks: dict[str, tuple[str, str]] = {}
         while True:
             self._skip_nl()
             if self.accept("op", "}"):
@@ -539,6 +543,13 @@ class Parser:
                     raise LangSignal("SyntaxError",
                                      "Ellipsis must appear at the end")
                 break
+            if self.peek().kind == "func":
+                # table method `func area() = size * size`
+                # (reference test_basic.py:700-744; MethodInstance
+                # pql_objects.py:266-274)
+                m = self._capture_method()
+                methods[m.name] = m
+                continue
             cname = self.expect("name").text
             self.expect("op", ":")
             tname = self.expect("name").text
@@ -547,9 +558,15 @@ class Parser:
             # affects parsing; non-null enforcement is not implemented
             # (the reference enforces it DB-side)
             self.accept("op", "?")
-            spark_t = self._TYPE_MAP.get(tname)
+            spark_t = self._resolve_type_ddl(tname, selfname=name)
             if spark_t is None:
                 raise LangSignal("TypeError", f"unknown column type {tname!r}")
+            if tname not in self._TYPE_MAP \
+                    and not isinstance(self.env.get(tname), _StructDef):
+                # table-typed column = FK stored as the target's id
+                # (reference t_relation; `parent: Node?` self-FKs work
+                # because the defining table resolves by name)
+                fks[cname] = (tname, "id")
             if self.accept("op", "="):
                 # column default (test_basic.py:1055-1068): applied by
                 # `new` when the column is not supplied
@@ -569,7 +586,82 @@ class Parser:
                 f"an existing table's columns")
         mt = self.engine.create_table(name, ", ".join(fields), bare=bare)
         mt.defaults = dict(defaults)
+        mt.methods = dict(methods)
+        mt.fks = dict(fks)
+        self.engine._sync_mutable(name)    # publish methods/fks to meta
         return self._make_mutable_ref(name)
+
+    def _resolve_type_ddl(self, tname: str,
+                          selfname: str | None = None) -> str | None:
+        """Spark DDL type for a lang type name: scalar map, declared
+        struct (→ struct<...>), or a table name (→ FK id column —
+        including a self-reference like `parent: Node?` inside
+        `table Node`)."""
+        if tname in self._TYPE_MAP:
+            return self._TYPE_MAP[tname]
+        sd = self.env.get(tname)
+        if isinstance(sd, _StructDef):
+            inner = ", ".join(f"{n}: {t}" for n, t in sd.fields)
+            return f"struct<{inner}>"
+        if tname == selfname or tname in self.engine.mutables \
+                or tname in self.engine.tables():
+            return "long"
+        return None
+
+    def _struct_def(self):
+        """``struct Point { x: float, y: float }`` — a named struct
+        type usable as a column type and constructed by list coercion
+        in ``new`` (reference StructDef, evaluate.py resolve;
+        tests/box_circle.pql)."""
+        self.expect("struct")
+        name = self.expect("name").text
+        self._skip_nl()
+        self.expect("op", "{")
+        fields: list[tuple[str, str]] = []
+        while True:
+            self._skip_nl()
+            if self.accept("op", "}"):
+                break
+            fname = self.expect("name").text
+            self.expect("op", ":")
+            tname = self.expect("name").text
+            self.accept("op", "?")
+            ddl = self._resolve_type_ddl(tname)
+            if ddl is None:
+                raise LangSignal("TypeError",
+                                 f"unknown struct field type {tname!r}")
+            fields.append((fname, ddl))
+            self.accept("op", ",")
+        sd = _StructDef(name, fields)
+        self.env[name] = sd
+        return sd
+
+    def _capture_method(self) -> "_LangMethod":
+        """Capture a table-def method body as its token span — compiled
+        lazily per call site with the bound table as context (`this`)."""
+        self.expect("func")
+        mname = self.expect("name").text
+        self.expect("op", "(")
+        params = []
+        while not self.accept("op", ")"):
+            params.append(self.expect("name").text)
+            self.accept("op", ",")
+        self.expect("op", "=")
+        start, depth = self.i, 0
+        while True:
+            t = self.peek()
+            if t.kind == "eof":
+                break
+            if depth == 0 and (t.kind == "nl"
+                               or (t.kind == "op" and t.text == "}")):
+                break
+            if t.kind == "op" and t.text in "([{":
+                depth += 1
+            elif t.kind == "op" and t.text in ")]}":
+                depth -= 1
+            self.next()
+        return _LangMethod(mname, params,
+                           self.toks[start:self.i] + [Tok("eof", "")])
 
     def _connect_existing(self, name: str, fields: list[str],
                           ellipsis: bool, bare: bool):
@@ -1034,13 +1126,16 @@ class Parser:
                         raise SyntaxError("ellipsis not allowed in aggregates")
                 return tab.group(by, **agg_kv)
             self.expect("op", "}")
-            _check_dup_names(entries)
+            # struct spreads expand FIRST so their fields participate
+            # in collision auto-suffixing ({...a, ...b} → item, item1)
             final: list = []
             for e in entries:
                 if isinstance(e, _StructInline):
-                    final.extend(e.expand(tab))
+                    final.extend((_AutoName(n), c)
+                                 for n, c in e.expand(tab))
                 else:
                     final.append(e)
+            _check_dup_names(final)
             try:
                 return tab.project(*final)
             except NameError as e:       # bad `!field` exclusion
@@ -1066,6 +1161,15 @@ class Parser:
             if t.kind == "op" and t.text == "=>":
                 break
             if self.accept("dots", "..."):
+                if self.peek().kind == "name":
+                    # `...structcol` — spread a struct column's fields
+                    # inline (reference from_struct, compiler.py:104-112;
+                    # test_basic.py:1084-1091), with the same collision
+                    # auto-suffix as plain projection entries
+                    v = self.expr()
+                    entries.append(_StructInline(self._col(v), []))
+                    self.accept("op", ",")
+                    continue
                 # optional exclusions: ... !name !name
                 excl = []
                 while self.accept("op", "!"):
@@ -1310,9 +1414,41 @@ class Parser:
         # (test_basic.py:1055-1068)
         for c, dv in getattr(mt, "defaults", {}).items():
             values.setdefault(c, dv)
+        # declared-type coercion: lists → structs (box_circle.pql
+        # `new Box([1,1],[10,10])`), rows → FK ids, ISO strings →
+        # timestamps (test_basic.py:1527-1540)
+        schema = {f.name: f.dataType for f in mt.df().schema.fields}
+        values = {c: _coerce_new_value(schema.get(c), v)
+                  for c, v in values.items()}
         row = mt.new(**values)
         self.engine._sync_mutable(tname)
         return row
+
+    def _invoke_method(self, bm: "_BoundMethod", args, kwargs):
+        """Inline a table method at its call site: body compiled with
+        the bound table as the name-resolution context, `this` bound to
+        it, and parameters bound to the arguments.  Sibling methods
+        resolve naturally because the context table carries them."""
+        m = bm.method
+        if len(args) > len(m.params):
+            raise LangSignal("TypeError",
+                             f"{m.name}(): too many arguments")
+        sub = Parser(self.engine, "", dict(self.env))
+        sub.toks = m.toks
+        sub.i = 0
+        sub.table = bm.table
+        sub.in_agg = self.in_agg
+        for p, a in zip(m.params, args):
+            sub.env[p] = a
+        for k, v in kwargs.items():
+            if k not in m.params:
+                raise LangSignal("TypeError",
+                                 f"{m.name}(): no parameter {k!r}")
+            sub.env[k] = v
+        sub.env["this"] = bm.table
+        v = sub.expr()
+        sub.expect("eof")
+        return v
 
     def _name(self, name: str):
         # resolution order: current-table column → env → mutable table
@@ -1321,7 +1457,10 @@ class Parser:
             return self.table.df[name]
         if self.table is not None and self.table.meta.methods \
                 and name in self.table.meta.methods:
-            return self.table.meta.methods[name](self.table)
+            m = self.table.meta.methods[name]
+            if isinstance(m, _LangMethod):
+                return _BoundMethod(m, self.table)
+            return m(self.table)
         if name in self.env:
             v = self.env[name]
             # lazy $param: compile the captured call-site expression
@@ -1355,6 +1494,10 @@ class Parser:
                     f"table {v.name!r} has no column {name!r}")
             return F.col(f"{v.name}.{name}")
         if isinstance(v, Table):
+            # lang-declared method: `Node[...].children()`
+            mm = getattr(v.meta, "methods", None) or {}
+            if name in mm and isinstance(mm[name], _LangMethod):
+                return _BoundMethod(mm[name], v)
             # terminal `table.col` inside a join kwarg names a join key
             # (reference join-by-column spelling) — keep the table
             j = 0
@@ -1487,6 +1630,8 @@ class Parser:
         self._join_arg = outer_join_arg
         if isinstance(fn, _FuncRef):
             return _apply_function(self, fn.name, args, kwargs)
+        if isinstance(fn, _BoundMethod):
+            return self._invoke_method(fn, args, kwargs)
         if isinstance(fn, _UserFunc):
             return self._inline_call(fn, args, kwargs)
         if isinstance(fn, _ListCastRef):
@@ -1623,6 +1768,33 @@ class _JoinAlias:
 
 
 @dataclass
+class _StructDef:
+    """``struct Name {field: type}`` declaration — a named struct type
+    (reference StructDef; tests/box_circle.pql)."""
+    name: str
+    fields: list  # [(field_name, spark_ddl_type)]
+
+
+@dataclass
+class _LangMethod:
+    """Table method declared in DDL (`func area() = size * size`) —
+    body kept as tokens, compiled per call with the bound table in
+    context (reference MethodInstance, pql_objects.py:266-274)."""
+    name: str
+    params: list
+    toks: list
+
+
+@dataclass
+class _BoundMethod:
+    """A `_LangMethod` resolved against a concrete table — produced by
+    name lookup inside that table's context (or `t.method`), consumed
+    by `_call`."""
+    method: _LangMethod
+    table: "Table"
+
+
+@dataclass
 class _JoinColRef:
     """Join-by-column argument ``join(c: Country.name, n: lst.item)``
     (reference pql_functions.py join: column operands name the join
@@ -1694,7 +1866,11 @@ class _MutableRef(Table):
             # storage row via base_df
             view = view.select(*self.view_cols)
         super().__init__(engine, view,
-                         meta=TableMeta(handle.name, pk=handle.id_col))
+                         meta=TableMeta(handle.name, pk=handle.id_col,
+                                        fks=getattr(handle, "fks", None)
+                                        or {},
+                                        methods=getattr(handle, "methods",
+                                                        None) or {}))
 
     def with_conds(self, conds: list) -> "_MutableRef":
         return _MutableRef(self.engine, self.handle,
@@ -1773,6 +1949,42 @@ def _check_dup_names(entries, agg_entries=()):
                 # a renamed bare column ref must still read the
                 # original column
                 lst[i] = (new, F.col(str(n)))
+
+
+def _coerce_new_value(dtype, v):
+    """Coerce a `new`-supplied Python value to its declared column
+    type: lists/rows → struct tuples (recursively), row values → their
+    id for FK (long) columns, ISO strings → datetimes.  Mirrors the
+    reference's insert-time cast (evaluate.py new → cast_to_instance)."""
+    import datetime as _dt
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+    if v is None or dtype is None:
+        return v
+    if isinstance(dtype, T.StructType):
+        if isinstance(v, Table):
+            # lang list literal `[1, 1]` arrives as a one-column table
+            # — its items fill the struct fields positionally
+            v = [row[0] for row in v.df.collect()]
+        if isinstance(v, Row):
+            v = list(v)
+        if isinstance(v, (list, tuple)):
+            return tuple(_coerce_new_value(f.dataType, x)
+                         for f, x in zip(dtype.fields, v))
+        if isinstance(v, dict):
+            return {f.name: _coerce_new_value(f.dataType, v.get(f.name))
+                    for f in dtype.fields}
+        return v
+    if isinstance(dtype, T.DoubleType) and isinstance(v, int) \
+            and not isinstance(v, bool):
+        return float(v)
+    if isinstance(dtype, T.LongType) and isinstance(v, Row):
+        d = v.asDict()
+        if "id" in d:
+            return d["id"]
+    if isinstance(dtype, T.TimestampType) and isinstance(v, str):
+        return _dt.datetime.fromisoformat(v)
+    return v
 
 
 def _literal_kernel(x) -> str | None:
@@ -2019,7 +2231,14 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
         if name == "limit":
             return args[0].limit(args[1])
         if name == "temptable":
-            return args[0].cache()
+            # reference temptable creates its own counting id field
+            # (pql_functions.py:327-343); distributed id assignment
+            # (per-partition offsets, no global window)
+            t = args[0]
+            if "id" not in t.df.columns:
+                from preql_spark.sources.mutable import _assign_ids
+                t = t._with(_assign_ids(t.df, "id", base=1))
+            return t.cache()
         if name == "one":
             return args[0].one()
         if name == "page":

@@ -2,11 +2,17 @@
 columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` pipelines.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBS: ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (seeded by
-content hash) produces stable features — the Spark-side plumbing
-(schema, batch iteration, partition sizing) is real and tested.
+Decode kernels, by availability (feature-gated at runtime):
+
+- ``PIL`` when importable — full-format decode (production path);
+- a dependency-free PNG decoder (zlib inflate + scanline unfilter,
+  8-bit gray/RGB/RGBA, non-interlaced) — real decode that works in
+  codec-less containers like this one;
+- the deterministic fake (seeded by content hash) — stable features
+  for oracle checks regardless of environment (``fake=True``).
+
+Video/audio codecs are genuinely absent; those kernels raise
+NotImplementedError outside the fake path.
 
 Scale notes: binary payloads dominate row size, so these operators
 repartition by byte budget (``target_rows_per_batch``) before the
@@ -17,6 +23,8 @@ boundary (column pruning), and return slim feature rows.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -57,21 +65,164 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float, int]:
     return width, height, mean_luma, phash
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_decode_luma(data: bytes):
+    """Dependency-free PNG decode to a luma (grayscale) pixel matrix:
+    ``(width, height, [[float]])``.  Supports the baseline bit depth
+    (8) for gray / gray+alpha / RGB / RGBA, non-interlaced — what an
+    in-pipeline thumbnailer emits.  Anything else raises
+    NotImplementedError (a production cluster installs PIL and never
+    reaches this decoder)."""
+    if data[:8] != _PNG_MAGIC:
+        raise NotImplementedError("not a PNG payload")
+    pos, idat = 8, b""
+    w = h = bitd = ctype = interlace = None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln                       # len + type + data + crc
+        if typ == b"IHDR":
+            w, h, bitd, ctype = struct.unpack(">IIBB", chunk[:10])
+            interlace = chunk[12]
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    if w is None or bitd != 8 or interlace or ctype not in (0, 2, 4, 6):
+        raise NotImplementedError(
+            f"PNG variant not supported by the built-in decoder "
+            f"(bit depth {bitd}, color type {ctype}, interlace "
+            f"{interlace}) — install PIL for full-format decode")
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    prev = bytearray(stride)
+    rows = []
+    i = 0
+    for _ in range(h):
+        f = raw[i]
+        line = bytearray(raw[i + 1:i + 1 + stride])
+        i += 1 + stride
+        if f == 1:                           # Sub
+            for x in range(nch, stride):
+                line[x] = (line[x] + line[x - nch]) & 0xFF
+        elif f == 2:                         # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:                         # Average
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:                         # Paeth
+            for x in range(stride):
+                a = line[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        elif f != 0:
+            raise NotImplementedError(f"PNG filter type {f}")
+        if ctype in (0, 4):                  # gray / gray+alpha
+            rows.append([float(line[x * nch]) for x in range(w)])
+        else:                                # RGB / RGBA
+            rows.append([0.299 * line[x * nch] + 0.587 * line[x * nch + 1]
+                         + 0.114 * line[x * nch + 2] for x in range(w)])
+        prev = line
+    return w, h, rows
+
+
+def _ahash(rows, w: int, h: int) -> int:
+    """64-bit average hash: 8x8 block-mean luma thresholded by the
+    global mean — the standard perceptual near-dup fingerprint."""
+    cells = []
+    for by in range(8):
+        y0, y1 = by * h // 8, max(by * h // 8 + 1, (by + 1) * h // 8)
+        for bx in range(8):
+            x0, x1 = bx * w // 8, max(bx * w // 8 + 1, (bx + 1) * w // 8)
+            vals = [rows[y][x] for y in range(y0, min(y1, h))
+                    for x in range(x0, min(x1, w))]
+            cells.append(sum(vals) / len(vals) if vals else 0.0)
+    mean = sum(cells) / len(cells)
+    bits = 0
+    for c in cells:
+        bits = (bits << 1) | (1 if c > mean else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def _real_decode(payload: bytes) -> tuple[int, int, float, int]:
+    """Real image decode → (width, height, mean_luma, ahash).  PIL if
+    installed (any format), else the built-in PNG decoder."""
+    try:
+        from PIL import Image                # pragma: no cover - no PIL here
+        import io
+        img = Image.open(io.BytesIO(bytes(payload))).convert("L")
+        w, h = img.size
+        px = list(img.getdata())
+        rows = [[float(px[y * w + x]) for x in range(w)] for y in range(h)]
+    except ImportError:
+        w, h, rows = _png_decode_luma(bytes(payload))
+    mean = sum(sum(r) for r in rows) / (w * h * 255.0)
+    return w, h, mean, _ahash(rows, w, h)
+
+
+def encode_png(rows: list[list[int]], filter_type: int = 0) -> bytes:
+    """Minimal grayscale PNG encoder (test fixture generator — the
+    round-trip partner of :func:`_png_decode_luma`).  ``filter_type``
+    applies one PNG scanline filter to every row, exercising each
+    unfilter branch of the decoder."""
+    h, w = len(rows), len(rows[0])
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    raw = bytearray()
+    prev = bytearray(w)
+    for r in rows:
+        line = bytearray(r)
+        filt = bytearray(w)
+        for x in range(w):
+            a = line[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = b
+            elif filter_type == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filt[x] = (line[x] - pred) & 0xFF
+        raw += bytes([filter_type]) + filt
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
 def extract_image_features(df: DataFrame, id_col: str = "doc_id",
                            payload_col: str = "payload",
                            fake: bool = True,
                            target_rows_per_batch: int = 1024) -> DataFrame:
     """Decode + feature-extract over binary payloads via mapInPandas.
 
-    With real codecs installed this is where PIL/ffmpeg decode goes;
-    here the kernel is the deterministic fake (or NotImplementedError
-    with ``fake=False``), but batching, pruning and schema are real.
+    ``fake=True`` (default) keeps the deterministic content-hash
+    kernel — environment-independent, which is what the q47 value
+    oracle checks.  ``fake=False`` decodes for real: PIL when
+    installed, the built-in PNG decoder otherwise; unsupported
+    formats raise NotImplementedError at execution.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real image decoding requires codec libraries not present "
-            "in this container; use fake=True for the plumbing path")
-
     from preql_spark.operators.text import ensure_parallelism
     # Arrow batch size bounds peak memory at the Python boundary
     # (payloads are MBs each in real pipelines); session-level knob,
@@ -82,9 +233,11 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id",
     slim = ensure_parallelism(
         df.select(F.col(id_col).alias("doc_id"), F.col(payload_col)))
 
+    decode = _fake_decode if fake else _real_decode
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+            feats = [decode(bytes(p)) for p in pdf[payload_col]]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].values,
                 "width": [f[0] for f in feats],

@@ -575,6 +575,20 @@ class Table:
     def show(self, n: int = 20, truncate: bool | int = True, vertical: bool = False):
         self.df.show(n, truncate=truncate, vertical=vertical)
 
+    def preview(self, offset: int = 0, fmt: str = "text") -> str:
+        """Bounded table rendering (reference table_repr,
+        preql/core/display.py:189-221): header with `=N` / `>=N`
+        count, preview rows, `...` marker when truncated.  Never
+        scans more than display.MAX_AUTO_COUNT rows."""
+        from preql_spark.display import table_repr
+        return table_repr(self, offset=offset, fmt=fmt)
+
+    def _repr_html_(self) -> str:
+        """Jupyter hook — the reference's HtmlDisplay surface
+        (display.py:282-305)."""
+        from preql_spark.display import table_repr
+        return table_repr(self, fmt="html")
+
     def cache(self) -> "Table":
         return self._with(self.df.cache())
 

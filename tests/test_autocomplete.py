@@ -4,13 +4,10 @@ preql_spark.autocomplete — same positional harness: ``<<<name>>>``
 marks a position where ``name`` must be among the suggestions for the
 code cut at that point.
 
-Documented divergence: the reference's ``test_progressive2`` relies on
-unknown-typed function parameters flowing through ``leftjoin`` so that
-an alias of a join over an *unknown* table still suggests its struct
-columns (UnknownInstance propagation).  This engine resolves columns
-from real DataFrame schemas, so suggestions inside expressions over
-unresolvable bindings degrade to names-in-scope (never wrong, just
-less specific); the general-scope asserts from that test are kept.
+The reference's UnknownInstance propagation (a join over *unknown*
+tables still suggests its alias columns) is covered by syntactic
+kwarg-name recovery: a join-family RHS that cannot be evaluated binds
+a pseudo table whose columns are the kwarg names.
 """
 
 import re
@@ -99,22 +96,26 @@ def test_progressive1(ac_eng):
     progressive_test(ac_eng, s0, True)
 
 
-def test_progressive2_scope_subset(ac_eng):
-    # the names-in-scope asserts of reference test_progressive2 (see
-    # module docstring for the waived struct-column part)
+def test_progressive2(ac_eng):
+    # reference test_progressive2 (test_autocomplete.py:56-75): the
+    # join-alias columns (u, l) must suggest even though logins/User
+    # are unresolvable — kwarg-name recovery stands in for the
+    # reference's UnknownInstance propagation
     s1 = """
     func get_users(logins) {
         const table matched_logins = <<<leftjoin>>>(l:logins.item, u:User.login)
 
-        existing_users = <<<matched_logins>>>[u != null] {u.id}
+        existing_users = <<<matched_logins>>>[<<<u>>>!=null] {<<<u>>>.id}
+        new_users = new[] User(login: <<<matched_logins>>>[<<<u>>>==null] {<<<l>>>.item})
 
-        return <<<existing_users>>> + 1
+        return <<<existing_users>>> + <<<new_users>>>
     }
 
     hello = <<<get_users>>>([1,2,3])
     do_whatever = <<<hello>>>
     """
-    progressive_test(ac_eng, s1)
+    progressive_test(ac_eng, s1 * 2)
+    progressive_test(ac_eng, s1, True)
 
 
 def test_progressive3(ac_eng):

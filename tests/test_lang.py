@@ -873,3 +873,131 @@ def test_agg_funcs_golden(leng):
     assert leng.q('one [2, 4]{=> sqsum(item)}')["sqsum"] == 20
     assert leng.q('sum([2, 4])') == 6
     assert leng.sum([2, 4]) == 6
+
+
+# ---- remaining reference golden sections (VERDICT r2 item 9) --------
+
+def test_structs_golden(leng):
+    """Ported reference test_structs (test_basic.py:1072-1091) with the
+    box_circle.pql fixture content (tests/box_circle.pql): struct
+    declarations, struct-typed columns, list→struct `new` coercion,
+    nested-field predicates, struct projection juggling, and the
+    temptable/{...!id} equivalence of the two spellings."""
+    leng.q('''
+struct Point {
+    x: float
+    y: float
+}
+
+table Box {
+    start: Point
+    end: Point
+}
+
+table Circle {
+    center: Point
+    radius: float
+}
+
+box1 = new Box([1, 1], [10, 10])
+box2 = new Box([1, 1], [2, 2])
+circle1 = new Circle([3, 3], 2)
+circl2 = new Circle([20, 20], 2)
+
+const table tmp1 = Box[start.x < 10.0]
+const table tmp2 = Box[end.x < 10.0] {start, end}
+
+func circles_contained1() = joinall(c: Circle, b: Box) [
+        c.center.x - c.radius >= b.start.x,
+        c.center.y - c.radius >= b.start.y,
+        c.center.x + c.radius <= b.end.x,
+        c.center.y + c.radius <= b.end.y
+    ] {x: c, s: b.start, b.end} {x.center, r: x.radius, start: s, end}
+
+func circles_contained2() = joinall(c: Circle, b: Box) { c.center, r: c.radius, b.start, b.end} [
+        center.x - r >= start.x,
+        center.y - r >= start.y,
+        center.x + r <= end.x,
+        center.y + r <= end.y
+    ]
+''')
+    res1 = leng.circles_contained1().collect()
+    res2 = leng.circles_contained2().collect()
+    res3 = leng.q("temptable(circles_contained2()) {...!id}").collect()
+    as_set = lambda rows: {tuple(map(str, r)) for r in rows}
+    assert len(res1) == 1
+    assert as_set(res1) == as_set(res2) == as_set(res3)
+    r = res1[0]
+    assert (r.center.x, r.center.y, r.r) == (3.0, 3.0, 2.0)
+    assert (r.start.x, r.end.x) == (1.0, 10.0)
+    # the const CTAS snapshots evaluated correctly too
+    assert leng.q('count(tmp1)') == 2 and leng.q('count(tmp2)') == 1
+
+
+def test_struct_inline_golden(leng):
+    """Ported reference test_struct_inline (test_basic.py:1084-1091):
+    `...a` spreads a join struct inline; name collisions auto-suffix."""
+    res = leng.q('list(join(a: [1..10].item, b: [8..20].item) {...a})')
+    assert sorted(res) == [8, 9]
+    rows = leng.q('joinall(a: [1], b: [2]) {...a, ...b}').collect()
+    assert [r.asDict() for r in rows] == [{"item": 1, "item1": 2}]
+
+
+def test_dates_golden(leng):
+    """Ported reference test_dates (test_basic.py:1527-1540): timestamp
+    column default now(), row-attr reuse, string→timestamp coercion."""
+    leng.q('''
+table A {
+    dt: timestamp = now()
+}
+
+x = new A()
+y = new A(x.dt)
+z = new A("2021-04-02 22:28:41")
+''')
+    x, y, z = leng.x, leng.y, leng.z
+    assert x["dt"] == y["dt"] != z["dt"]
+    assert z["dt"].year == 2021 and z["dt"].second == 41
+
+
+def test_methods_golden(leng):
+    """Ported reference test_methods (test_basic.py:700-744): methods
+    declared in table DDL, usable in projections/filters, composing
+    (is_area_larger calls area), and `this`-joins for FK children."""
+    from preql_spark.lang import LangSignal
+    leng.q('''
+table Square {
+    size: float
+
+    func area() = size * size
+    func is_area_larger(num) = area() > num
+}
+
+s = new Square(4)
+size4 = Square[size == 4]
+
+table a {
+    size: int
+}
+''')
+    with pytest.raises((LangSignal, NameError)):
+        leng.q('a{area()}')
+    rows = leng.q('size4{ area() }').collect()
+    assert [r.asDict() for r in rows] == [{"area": 16.0}]
+    assert leng.q('count(Square[area() > 18.0])') == 0
+    assert leng.q('count(Square[area() < 18.0])') == 1
+    assert leng.q('count(Square[is_area_larger(18.0)])') == 0
+    assert leng.q('count(Square[is_area_larger(14.0)])') == 1
+
+    leng.q('''
+table Node {
+    parent: Node?
+
+    func children() = join(s: this.id, n: Node.parent) {n}
+}
+
+a = new Node(null)
+b = new Node(a)
+c = new Node(a)
+''')
+    assert leng.q('count(Node[parent == null].children())') == 2

@@ -144,3 +144,69 @@ def test_embedding_api(eng, tmp_path):
     assert callable(eng.q) and eng.spark is not None
     with pytest.raises(AttributeError):
         eng.no_such_binding_xyz
+
+
+def test_display_surface(eng):
+    """Reference display.py parity: bounded count, preview shape,
+    text/html rendering, truncation marker (display.py:80-231)."""
+    from preql_spark import display
+    # bounded count never exceeds the ceiling
+    n, s = display.bounded_count(eng.t.nation)
+    assert (n, s) == (25, "=25")
+    big = eng.t.lineitem
+    n2, s2 = display.bounded_count(big)
+    if n2 == display.MAX_AUTO_COUNT:
+        assert s2.startswith(">=")
+    txt = eng.t.nation.preview()
+    assert txt.splitlines()[0].startswith("table nation =25")
+    assert "n_name" in txt and "NATION_0" in txt
+    assert "..." in txt          # 25 rows > PREVIEW_SHELL
+    # offset paging (reference table_more)
+    txt2 = eng.t.nation.preview(offset=16)
+    assert "[16..]" in txt2.splitlines()[0]
+    assert "..." not in txt2     # the tail fits
+    # html form, escaped + marked up like the reference
+    h = eng.t.region._repr_html_()
+    assert 'class="preql_table"' in h and "<th>r_name</th>" in h
+    assert "<pre>table region =5</pre>" in h
+    # nulls render as '-', bools as true/false (pql_repr rules)
+    df = eng.spark.createDataFrame([(None, True)], "a string, b boolean")
+    t = eng.from_df(df)
+    row = t.preview().splitlines()[-1]
+    assert "-" in row and "true" in row
+    # inline repr
+    assert display.table_inline_repr(eng.t.region, 2).startswith("[{")
+
+
+def test_serve_rest(eng):
+    """Reference serve_rest parity (pql_functions.py:985-1040) on the
+    stdlib server: route listing, table pages (bounded), function
+    endpoints with path params."""
+    import json
+    from urllib.request import urlopen
+    from preql_spark.rest import serve_rest
+
+    eng.q("func plus(a, b) = a + b")
+    srv = serve_rest(eng, {
+        "nation": eng.t.nation,
+        "plus": eng.plus,
+        "index": lambda: "Hello World!",
+    }, port=0, block=False)
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        assert json.load(urlopen(f"{base}/")) == ["index", "nation",
+                                                  "plus"]
+        rows = json.load(urlopen(f"{base}/nation?limit=3"))
+        assert len(rows) == 3 and rows[0]["n_name"].startswith("NATION")
+        page2 = json.load(urlopen(f"{base}/nation?limit=3&offset=3"))
+        assert page2[0]["n_nationkey"] != rows[0]["n_nationkey"]
+        assert json.load(urlopen(f"{base}/plus/2/3")) == 5
+        assert json.load(urlopen(f"{base}/index")) == "Hello World!"
+        import urllib.error
+        try:
+            urlopen(f"{base}/nope")
+            assert False, "404 expected"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
