@@ -1164,6 +1164,20 @@ def q92_table_methods(spark, sf_dir) -> DataFrame:
     return out.df
 
 
+def q93_fk_traversal(spark, sf_dir) -> DataFrame:
+    """FK attribute traversal (reference test_basic.py
+    test_self_reference: `parent.name` follows the relation): dotted
+    access on an FK column compiles to a left join through the FK
+    registry, chaining across tables
+    (orders → customer → nation).  Plan: two BroadcastHashJoins, the
+    filter pushed to the orders scan."""
+    eng = _eng(spark, sf_dir)
+    out = eng.q('orders[o_totalprice > 400000]'
+                '{o_orderkey, cust: o_custkey.c_name,'
+                ' nation: o_custkey.c_nationkey.n_name}')
+    return out.df
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1264,6 +1278,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q90_lazy_param": q90_lazy_param,
     "q91_join_by_column": q91_join_by_column,
     "q92_table_methods": q92_table_methods,
+    "q93_fk_traversal": q93_fk_traversal,
 }
 
 
@@ -2081,6 +2096,13 @@ ORACLES: dict[str, str] = {
         FROM nation
         WHERE CAST(n_nationkey AS DOUBLE) * CAST(n_nationkey AS DOUBLE)
               > 100.0
+    """,
+    "q93_fk_traversal": """
+        SELECT o_orderkey, c_name AS cust, n_name AS nation
+        FROM orders
+        LEFT JOIN customer ON o_custkey = c_custkey
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_totalprice > 400000
     """,
 }
 

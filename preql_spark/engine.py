@@ -71,6 +71,10 @@ class TableMeta:
     # method name -> callable(Table) -> Column (computed attributes,
     # usable in projections/filters like reference table methods)
     methods: dict = field(default_factory=dict)
+    # reverse relations declared with `col: Target -> name` (reference
+    # backrefs, test_basic.py test_self_reference):
+    # backref name -> (source table, fk column on the source)
+    backrefs: dict = field(default_factory=dict)
 
 
 def default_session(app_name: str = "preql_spark", cpus: int | None = None) -> SparkSession:
@@ -129,9 +133,11 @@ class Engine:
     # ---- catalog ---------------------------------------------------
     def register(self, name: str, df: DataFrame, pk: str | None = None,
                  fks: dict[str, tuple[str, str]] | None = None,
-                 methods: dict | None = None) -> "Table":
+                 methods: dict | None = None,
+                 backrefs: dict | None = None) -> "Table":
         self.catalog[name] = TableMeta(name, pk=pk, fks=dict(fks or {}),
-                                       methods=dict(methods or {}))
+                                       methods=dict(methods or {}),
+                                       backrefs=dict(backrefs or {}))
         self._dfs[name] = df
         df.createOrReplaceTempView(name)
         return self.table(name)
@@ -190,7 +196,8 @@ class Engine:
         mt = self.mutables[name]
         self.register(name, mt.df(), pk=mt.id_col,
                       fks=getattr(mt, "fks", None),
-                      methods=getattr(mt, "methods", None))
+                      methods=getattr(mt, "methods", None),
+                      backrefs=getattr(mt, "backrefs", None))
 
     def table(self, name: str) -> "Table":
         from preql_spark.table import Table
@@ -295,10 +302,16 @@ class Engine:
         """Convert a Python value into a language-level object
         (reference objects.from_python): pandas/Spark DataFrames and
         lists become Tables; Tables and scalars pass through."""
+        from pyspark.sql import Row
         from preql_spark.table import Table
         import pandas as pd
         if isinstance(value, Table) or value is None \
                 or isinstance(value, (int, float, str, bool)):
+            return value
+        if isinstance(value, Row):
+            # row values stay rows (`new Person("Isaac", ab)` takes
+            # the FK from the row's id) — NB Row subclasses tuple, so
+            # this must precede the list/tuple branch
             return value
         if isinstance(value, pd.DataFrame):
             return self.from_df(self.spark.createDataFrame(value))

@@ -527,6 +527,8 @@ class Parser:
         fields, ellipsis, defaults = [], False, {}
         methods: dict[str, _LangMethod] = {}
         fks: dict[str, tuple[str, str]] = {}
+        # (backref name, target table, fk column) — applied post-create
+        backref_requests: list[tuple[str, str, str]] = []
         while True:
             self._skip_nl()
             if self.accept("op", "}"):
@@ -557,16 +559,42 @@ class Parser:
             # Spark columns are nullable by default, so this only
             # affects parsing; non-null enforcement is not implemented
             # (the reference enforces it DB-side)
+            # FK to a specific column: `x_axis: Point.x`
+            # (reference test_basic.py test_foreign_key)
+            fk_field = None
+            if self.accept("op", "."):
+                fk_field = self.expect("name").text
             self.accept("op", "?")
-            spark_t = self._resolve_type_ddl(tname, selfname=name)
-            if spark_t is None:
-                raise LangSignal("TypeError", f"unknown column type {tname!r}")
-            if tname not in self._TYPE_MAP \
-                    and not isinstance(self.env.get(tname), _StructDef):
-                # table-typed column = FK stored as the target's id
-                # (reference t_relation; `parent: Node?` self-FKs work
-                # because the defining table resolves by name)
-                fks[cname] = (tname, "id")
+            if fk_field is not None:
+                tgt = self.engine.table(tname)
+                if fk_field not in tgt.df.columns:
+                    raise LangSignal(
+                        "TypeError",
+                        f"{tname!r} has no column {fk_field!r}")
+                spark_t = dict(tgt.df.dtypes)[fk_field]
+                fks[cname] = (tname, fk_field)
+            else:
+                spark_t = self._resolve_type_ddl(tname, selfname=name)
+                if spark_t is None:
+                    raise LangSignal("TypeError",
+                                     f"unknown column type {tname!r}")
+                if tname not in self._TYPE_MAP \
+                        and not isinstance(self.env.get(tname),
+                                           _StructDef):
+                    # table-typed column = FK stored as the target's id
+                    # (reference t_relation; `parent: Node?` self-FKs
+                    # work because the defining table resolves by name)
+                    fks[cname] = (tname, "id")
+            # backref: `parent: Person? -> children` declares the
+            # reverse relation on the TARGET table (reference
+            # test_self_reference)
+            if self.peek().kind == "op" and self.peek().text == "-" \
+                    and self.peek(1).kind == "op" \
+                    and self.peek(1).text == ">":
+                self.next()
+                self.next()
+                backref_requests.append(
+                    (self.expect("name").text, tname, cname))
             if self.accept("op", "="):
                 # column default (test_basic.py:1055-1068): applied by
                 # `new` when the column is not supplied
@@ -588,6 +616,14 @@ class Parser:
         mt.defaults = dict(defaults)
         mt.methods = dict(methods)
         mt.fks = dict(fks)
+        for bname, tgt, cname in backref_requests:
+            holder = mt if tgt == name else self.engine.mutables.get(tgt)
+            if holder is not None:
+                brs = dict(getattr(holder, "backrefs", {}) or {})
+                brs[bname] = (name, cname)
+                holder.backrefs = brs
+                if holder is not mt:
+                    self.engine._sync_mutable(tgt)
         self.engine._sync_mutable(name)    # publish methods/fks to meta
         return self._make_mutable_ref(name)
 
@@ -921,6 +957,7 @@ class Parser:
                 self.next()
                 conds = []
                 prev_table, self.table = self.table, v
+                aug = None
                 try:
                     while True:
                         self._skip_nl()
@@ -928,9 +965,18 @@ class Parser:
                             break
                         conds.append(self._col(self.expr()))
                         self.accept("op", ",")
+                    if self.table is not v:
+                        aug = self.table
                 finally:
                     self.table = prev_table
-                v = v.with_conds(conds)
+                if aug is not None:
+                    # FK traversal in the condition joined helper
+                    # columns: filter the augmented frame, original
+                    # schema out (read-only — storage-targeting DML
+                    # needs storage-resolvable conditions)
+                    v = aug.filter(*conds).project(*v.df.columns)
+                else:
+                    v = v.with_conds(conds)
             elif t.kind == "op" and t.text == "[" \
                     and isinstance(v, _OpenRange):
                 # slicing bounds an unbounded series
@@ -1092,6 +1138,12 @@ class Parser:
                     break
                 conds.append(self._col(self.expr()))
                 self.accept("op", ",")
+            if self.table is not tab:
+                # FK traversal in a condition joined helper columns —
+                # filter on the augmented frame, keep the original
+                # schema (`_MutableRef` DML still binds via tab)
+                return self.table.filter(*conds).project(
+                    *tab.df.columns)
         finally:
             self.table = prev_table
         return tab.filter(*conds)
@@ -1124,7 +1176,9 @@ class Parser:
                         agg_kv[e[0]] = e[1]
                     else:
                         raise SyntaxError("ellipsis not allowed in aggregates")
-                return tab.group(by, **agg_kv)
+                # self.table, not tab: FK/backref traversal inside the
+                # entries may have joined helper tables onto the context
+                return self.table.group(by, **agg_kv)
             self.expect("op", "}")
             # struct spreads expand FIRST so their fields participate
             # in collision auto-suffixing ({...a, ...b} → item, item1)
@@ -1137,7 +1191,8 @@ class Parser:
                     final.append(e)
             _check_dup_names(final)
             try:
-                return tab.project(*final)
+                # self.table, not tab: see the grouped branch above
+                return self.table.project(*final)
             except NameError as e:       # bad `!field` exclusion
                 raise LangSignal("NameError", str(e)) from None
             except TypeError as e:       # empty projection
@@ -1450,11 +1505,62 @@ class Parser:
         sub.expect("eof")
         return v
 
+    def _fk_field(self, colname: str, field: str) -> Column:
+        """Follow an FK column to a field of its target table: left
+        join the target (columns privately prefixed) onto the context
+        table, once per FK — repeated traversals reuse the join.
+        The helper columns never leak: projections list explicit
+        outputs, ellipsis skips the private prefix, and selections
+        re-project the original schema."""
+        tgt_name, tgt_key = self.table.meta.fks[colname]
+        tgt = self.engine.table(tgt_name)
+        if field not in tgt.df.columns:
+            raise AttributeError(
+                f"table {tgt_name!r} has no column {field!r}")
+        prefix = f"__fk_{colname}__"
+        if prefix + field not in self.table.df.columns:
+            renamed = tgt.df.select(
+                [tgt.df[c].alias(prefix + c) for c in tgt.df.columns])
+            joined = self.table.df.join(
+                renamed,
+                self.table.df[colname] == renamed[prefix + tgt_key],
+                "left")
+            aug = self.table._with(joined)
+            # the target's own FKs ride along under the prefix so
+            # traversal chains: orders.o_custkey.c_nationkey.n_name
+            aug.meta.fks = {**aug.meta.fks,
+                            **{prefix + c: rel
+                               for c, rel in (tgt.meta.fks or {}).items()}}
+            self.table = aug
+        return self.table.df[prefix + field]
+
+    def _backref(self, name: str) -> "_BackrefRef":
+        """Reverse relation (`parent: Person? -> children`): left join
+        the source table onto the context table by the FK, privately
+        prefixed; `count(children)` counts matching rows,
+        `children.field` reads their fields (array-valued under an
+        aggregation arrow)."""
+        src_name, fk_col = self.table.meta.backrefs[name]
+        src = self.engine.table(src_name)
+        prefix = f"__br_{name}__"
+        pk = self.table.meta.pk or "id"
+        if not any(c.startswith(prefix) for c in self.table.df.columns):
+            renamed = src.df.select(
+                [src.df[c].alias(prefix + c) for c in src.df.columns])
+            joined = self.table.df.join(
+                renamed, self.table.df[pk] == renamed[prefix + fk_col],
+                "left")
+            self.table = self.table._with(joined)
+        return _BackrefRef(name, prefix, src, self.table)
+
     def _name(self, name: str):
         # resolution order: current-table column → env → mutable table
         # → catalog table → builtin function name (marker for _call)
         if self.table is not None and name in self.table.df.columns:
             return self.table.df[name]
+        if self.table is not None and name in (self.table.meta.backrefs
+                                               or {}):
+            return self._backref(name)
         if self.table is not None and self.table.meta.methods \
                 and name in self.table.meta.methods:
             m = self.table.meta.methods[name]
@@ -1511,7 +1617,17 @@ class Parser:
                         f"table has no column {name!r}")
                 return _JoinColRef(v, name)
             return v[name]
+        if isinstance(v, _BackrefRef):
+            return v.field(name)
         if isinstance(v, Column):
+            # FK attribute traversal: `parent.name` follows the
+            # relation via a (cached) left join on the context table
+            # (reference test_self_reference; compiled as a join, the
+            # same plan the reference's SQL emits)
+            cn = _plain_col_name(v)
+            if cn is not None and self.table is not None \
+                    and cn in (self.table.meta.fks or {}):
+                return self._fk_field(cn, name)
             # struct field or timestamp property
             from preql_spark.functions import scalar as s
             props = {"hour": s.dt_hour, "minute": s.dt_minute, "day": s.dt_day,
@@ -1714,6 +1830,8 @@ class Parser:
     def _col(self, v) -> Column:
         if isinstance(v, Column):
             return v
+        if isinstance(v, _BackrefRef):
+            return v.pk_col()
         if isinstance(v, Table):
             # 1-column table used as a scalar/vector — take its column
             if len(v.df.columns) == 1:
@@ -1765,6 +1883,29 @@ class _JoinAlias:
     """Join-scope binding for `on:` conditions (`$on` parity)."""
     name: str
     table: "Table"
+
+
+class _BackrefRef:
+    """A reverse relation resolved in a table context (reference
+    backrefs, test_basic.py test_self_reference).  `count(children)`
+    counts the joined rows (non-null source pks); `children.field`
+    reads a source field (collect_list'd under `=>`)."""
+
+    def __init__(self, name: str, prefix: str, src, context):
+        self.name = name
+        self.prefix = prefix
+        self.src = src
+        self.context = context
+
+    def pk_col(self) -> Column:
+        pk = self.src.meta.pk or "id"
+        return self.context.df[self.prefix + pk]
+
+    def field(self, field: str) -> Column:
+        if field not in self.src.df.columns:
+            raise AttributeError(
+                f"backref {self.name!r} has no field {field!r}")
+        return self.context.df[self.prefix + field]
 
 
 @dataclass
@@ -1870,7 +2011,10 @@ class _MutableRef(Table):
                                         fks=getattr(handle, "fks", None)
                                         or {},
                                         methods=getattr(handle, "methods",
-                                                        None) or {}))
+                                                        None) or {},
+                                        backrefs=getattr(handle,
+                                                         "backrefs",
+                                                         None) or {}))
 
     def with_conds(self, conds: list) -> "_MutableRef":
         return _MutableRef(self.engine, self.handle,
@@ -2124,6 +2268,11 @@ def _help_text(parser: "Parser", obj=None) -> str:
 def _apply_function(parser: Parser, name: str, args, kwargs):
     from preql_spark.functions import aggregate as agg
     from preql_spark import table as tbl
+
+    # a backref argument (`count(children)`) stands for the joined
+    # source rows: its pk column (non-null per matching row)
+    args = [a.pk_col() if isinstance(a, _BackrefRef) else a
+            for a in args]
 
     # ---- reflection (pql_functions.py:246-278, 627-651) ------------
     if name == "isa":

@@ -111,7 +111,10 @@ class Table:
     def _with(self, df: DataFrame, name: str | None = None) -> "Table":
         return Table(self.engine, df, TableMeta(name or self.meta.name,
                                                 pk=self.meta.pk, fks=self.meta.fks,
-                                                methods=self.meta.methods))
+                                                methods=self.meta.methods,
+                                                backrefs=getattr(
+                                                    self.meta, "backrefs",
+                                                    None) or {}))
 
     # ---- projection -------------------------------------------------
     def project(self, *items, **named) -> "Table":
@@ -155,7 +158,10 @@ class Table:
                         f"Field to exclude {clash} is explicitly "
                         "included in projection")
                 out.extend(self.df[c] for c in self.df.columns
-                           if c not in direct and c not in skip)
+                           if c not in direct and c not in skip
+                           # FK/backref traversal helper columns are
+                           # private to the expression that made them
+                           and not c.startswith(("__fk_", "__br_")))
             elif isinstance(it, str):
                 out.append(self.df[it])
             elif isinstance(it, tuple):

@@ -1001,3 +1001,61 @@ b = new Node(a)
 c = new Node(a)
 ''')
     assert leng.q('count(Node[parent == null].children())') == 2
+
+
+def test_self_reference_golden(leng):
+    """Ported reference test_self_reference (test_basic.py): FK
+    attribute traversal (`parent.name` joins through the relation) and
+    backrefs (`-> children`: count + field collection)."""
+    leng.q('''
+table Person {
+    name: string
+    parent: Person? -> children
+}
+''')
+    abraham = leng.q('new Person("Abraham", null)')
+    isaac = leng.q('new Person("Isaac", ab)', ab=abraham)
+    leng.q('new Person("Jacob", isaac)', isaac=isaac)
+    leng.q('new Person("Esau", isaac)', isaac=isaac)
+
+    rows = leng.q('Person[name=="Jacob"] {name: parent.name}').collect()
+    assert [r.asDict() for r in rows] == [{"name": "Isaac"}]
+
+    out = leng.q('Person {name => c: count(children)} [c > 0]')
+    got = sorted((r.name, r.c) for r in out.collect())
+    assert got == [("Abraham", 1), ("Isaac", 2)]
+
+    out2 = leng.q('Person {name => cn: children.name}')
+    got2 = {r.name: sorted(r.cn) for r in out2.collect()}
+    assert got2 == {"Abraham": ["Isaac"], "Esau": [],
+                    "Isaac": ["Esau", "Jacob"], "Jacob": []}
+
+    # traversal inside a selection condition keeps the schema clean
+    out3 = leng.q('Person[parent.name == "Isaac"] {name}')
+    assert sorted(r.name for r in out3.collect()) == ["Esau", "Jacob"]
+    assert out3.columns == ["name"]
+
+
+def test_foreign_key_golden(leng):
+    """Ported reference test_foreign_key (test_basic.py): FK to a
+    specific column (`x_axis: Point.x`) + auto-join through it."""
+    leng.q('''
+table Point {
+    x: int
+    y: int
+}
+
+table HRuler {
+    x_axis: Point.x
+}
+
+new Point(1, 1)
+new Point(3, 3)
+new Point(3, 4)
+new HRuler(3)
+new HRuler(4)
+''')
+    got = leng.q('join(h: HRuler[x_axis==3], p: Point) {p.y}')
+    assert sorted(r.y for r in got.collect()) == [3, 4]
+    got2 = leng.q('join(h: HRuler[x_axis==4], p: Point) {p.y}')
+    assert got2.collect() == []
