@@ -1391,6 +1391,9 @@ class Parser:
             # reference semantics: [1..3] == [1, 2] (stop-exclusive,
             # tests/test_basic.py:631-638)
             return self.engine.range(a, b)
+        self._skip_nl()
+        if self.peek().kind == "op" and self.peek().text == "{":
+            return self._dict_rows()
         vals = []
         while True:
             self._skip_nl()
@@ -1411,6 +1414,35 @@ class Parser:
                 "TypeError",
                 f"list elements must share a type, got {sorted(kinds)}")
         return self.engine.list_(vals)
+
+    def _dict_rows(self):
+        """``[{a: 1, b: 2} {a: 10, b: 20}]`` — dict-row table literal
+        (reference test_basic.py test_table_def_dicts; rows separated
+        by newlines or commas, keys must agree)."""
+        rows: list[dict] = []
+        while True:
+            self._skip_nl()
+            if self.accept("op", "]"):
+                break
+            self.expect("op", "{")
+            row: dict = {}
+            while True:
+                self._skip_nl()
+                if self.accept("op", "}"):
+                    break
+                k = self.expect("name").text
+                self.expect("op", ":")
+                row[k] = self._pyval(self.expr())
+                self.accept("op", ",")
+            if rows and set(row) != set(rows[0]):
+                raise LangSignal(
+                    "TypeError",
+                    "dict rows must share the same keys")
+            rows.append(row)
+            self.accept("op", ",")
+        if not rows:
+            raise LangSignal("TypeError", "empty dict-row literal")
+        return self.engine.rows(rows)
 
     def _new_expr(self):
         """``new Table(args)`` row insert returning the new Row with

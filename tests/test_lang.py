@@ -1059,3 +1059,47 @@ new HRuler(4)
     assert sorted(r.y for r in got.collect()) == [3, 4]
     got2 = leng.q('join(h: HRuler[x_axis==4], p: Point) {p.y}')
     assert got2.collect() == []
+
+
+def test_table_def_dicts_golden(leng):
+    """Ported reference test_table_def_dicts (test_basic.py)."""
+    out = leng.q('''[
+        {a: 1, b: 2}
+        {a: 10, b: 20}
+    ]{c: a+b}''')
+    assert sorted(r.c for r in out.collect()) == [3, 30]
+    with pytest.raises(Exception):
+        leng.q('[{a: 1} {b: 2}]')
+
+
+def test_join_on_golden(leng):
+    """Ported reference test_join_on (test_basic.py): leftjoin with a
+    $on theta condition, null struct rows for unmatched lefts."""
+    leng.q('A = [1, 3]\n'
+           'B = [1, 2]\n'
+           'res = leftjoin(a: A, b: B, $on: a.item > b.item)'
+           ' order {a.item, b.item}')
+    got = [r.asDict(recursive=True) for r in leng.q('res').collect()]
+    assert got == [
+        {"a": {"item": 1}, "b": {"item": None}},
+        {"a": {"item": 3}, "b": {"item": 1}},
+        {"a": {"item": 3}, "b": {"item": 2}},
+    ]
+
+
+def test_copy_rows_golden(leng):
+    """Ported reference test_copy_rows: `Y += X{v}` insert-select."""
+    leng.q('table X1 { v: int }\nnew X1(1)\nnew X1(2)')
+    leng.q('table Y1 { v: int }\nY1 += X1{v}')
+    assert sorted(r.v for r in leng.q('Y1').collect()) == [1, 2]
+
+
+def test_rowtype_golden(leng):
+    """Ported reference test_rowtype (row values, FK rows, row attr)."""
+    leng.q('table RA { x: int }\nra = new RA(4)\n'
+           'table RB { a: RA }\nrb = new RB(ra)')
+    assert leng.q('ra.x') == 4
+    assert dict(leng.ra.asDict()) == {"id": 0, "x": 4}
+    # the FK column stored ra's id
+    assert leng.rb["a"] == leng.ra["id"]
+    assert leng.q('one RB[a == 0]')["a"] == 0
