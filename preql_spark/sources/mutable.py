@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, Row, SparkSession, Window
@@ -66,6 +67,16 @@ def _assign_ids(df: DataFrame, id_col: str, base: int) -> DataFrame:
     return out.select(id_col, *cols)
 
 
+def _locked(fn):
+    """Serialize a DML method on the table's lock (see ``_lock``)."""
+    def wrap(self, *a, **kw):
+        with self._lock:
+            return fn(self, *a, **kw)
+    wrap.__name__ = fn.__name__
+    wrap.__doc__ = fn.__doc__
+    return wrap
+
+
 class MutableTable:
     """A named, persisted, mutable table with an auto-increment pk."""
 
@@ -78,6 +89,13 @@ class MutableTable:
         # set while a transaction() is open: the version to keep (and
         # roll back to) — suspends version GC
         self._pin: int | None = None
+        # serializes the read-base → assign-ids → write-version
+        # critical section so concurrent DML from driver threads never
+        # loses an insert or duplicates an id (reference test_threading
+        # runs 10 writer threads).  Driver-side only by design: this
+        # single-writer model is the documented divergence from a real
+        # multi-writer table format (Delta/Iceberg OCC).
+        self._lock = threading.RLock()
         os.makedirs(self.root, exist_ok=True)
 
     # ---- versioning ------------------------------------------------
@@ -148,6 +166,7 @@ class MutableTable:
         rows = self.insert_rows([values])
         return rows[0]
 
+    @_locked
     def insert_rows(self, rows: list[dict]) -> list[Row]:
         """Bulk ``new[]`` — vectorized (the reference loops row-at-a-
         time and flags it "very inefficient", evaluate.py:841).  Ids
@@ -168,6 +187,7 @@ class MutableTable:
         self._write_version(cur.unionByName(batch))
         return batch.collect()
 
+    @_locked
     def insert_from(self, src: DataFrame) -> None:
         """``t += expr`` — INSERT...SELECT with column auto-alignment,
         pk excluded and regenerated (evaluate.py:135-170).  Id
@@ -179,6 +199,7 @@ class MutableTable:
         batch = _assign_ids(src.select(*cols), self.id_col, base)
         self._write_version(cur.unionByName(batch))
 
+    @_locked
     def update(self, cond, count: bool = True, _cur: DataFrame | None = None,
                **sets) -> int:
         """``t[conds] update {col: expr}`` — copy-on-write MERGE shape.
@@ -196,6 +217,7 @@ class MutableTable:
         self._write_version(updated)
         return n
 
+    @_locked
     def merge(self, src: DataFrame, on: list[str] | str,
               counts: bool = True) -> dict:
         """Upsert (Delta/Iceberg MERGE INTO shape, beyond the
@@ -245,6 +267,7 @@ class MutableTable:
         self._write_version(out)
         return {"updated": n_upd, "inserted": n_ins}
 
+    @_locked
     def delete(self, cond, count: bool = True,
                _cur: DataFrame | None = None) -> int:
         """``t delete [conds]`` — filtered overwrite.  Deletes only

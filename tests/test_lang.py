@@ -1103,3 +1103,21 @@ def test_rowtype_golden(leng):
     # the FK column stored ra's id
     assert leng.rb["a"] == leng.ra["id"]
     assert leng.q('one RB[a == 0]')["a"] == 0
+
+
+def test_threading_golden(leng):
+    """Ported reference test_threading (test_basic.py): 10 driver
+    threads each inserting via a lang-function delegate; no lost
+    inserts, no duplicate ids."""
+    from multiprocessing.pool import ThreadPool
+    leng.q('table ta = [0]\n'
+           'func add_n(n) = new ta(n)')
+    with ThreadPool(processes=10) as pool:
+        pool.map(leng.add_n, range(100))
+    rows = leng.q('ta').collect()
+    assert len(rows) == 101
+    assert len({r.id for r in rows}) == 101          # unique pks
+    assert sorted(r.item for r in rows) == list(range(0, 101)) \
+        or sorted(r.item for r in rows) == [0] + list(range(100))
+    # reference also checks a{item} - [..100] == [] (set equality)
+    assert leng.q('count(ta{item} - [..100])') == 0
