@@ -362,6 +362,47 @@ class Engine:
         with open(path) as f:
             return self.q(f.read())
 
+    def commit(self) -> None:
+        """Reference ``commit()`` (__builtins__.pql:176-182): make the
+        current state the rollback point for every mutable table (the
+        copy-on-write writes themselves are already durable)."""
+        for mt in self.mutables.values():
+            with mt._lock:
+                vs = mt._versions()
+                if vs:
+                    mt._mark = vs[-1]
+
+    def rollback(self) -> None:
+        """Reference ``rollback()`` (__builtins__.pql:183-189): revert
+        every mutable table to its last ``commit()`` point (creation
+        state if never committed).  Divergence (documented): a table
+        *created* since the last commit reverts to its empty creation
+        version rather than disappearing."""
+        from preql_spark.sources.mutable import _rollback_to
+        for name, mt in list(self.mutables.items()):
+            with mt._lock:
+                _rollback_to(mt, mt._mark)
+            self._sync_mutable(name)
+
+    def run_statement(self, code: str) -> None:
+        """Reference ``run_statement(code)`` (__builtins__.pql:559-561)
+        — execute a raw SQL statement for effect.  ``DROP TABLE`` on a
+        session table routes through the catalog (Spark temp views
+        reject the table form)."""
+        import re
+        m = re.fullmatch(
+            r"\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?[`\"]?(\w+)[`\"]?\s*;?\s*",
+            code, re.IGNORECASE)
+        if m:
+            name = m.group(2)
+            if name in self.mutables or name in self._dfs:
+                self.drop_table(name)
+            elif not m.group(1):
+                raise NameError(f"no such table {name!r}")
+            return None
+        self.spark.sql(code)
+        return None
+
     def transaction(self):
         """``with eng.transaction(): ...`` — mutations to every
         mutable table commit together / roll back together

@@ -52,7 +52,7 @@ _KEYWORDS = {"and", "or", "not", "in", "order", "new", "one", "null",
              # statement keywords (preql.lark:2-17,83-85)
              "while", "for", "return", "throw", "try", "catch",
              "print", "assert", "table", "const", "bare",
-             "update", "delete", "transaction", "struct"}
+             "update", "delete", "transaction", "struct", "like"}
 
 # built-in exception types for `new X(msg)` / `catch(X)` — the
 # reference's T.Exception subtree (pql_types.py; Signal in exceptions)
@@ -813,7 +813,13 @@ class Parser:
         v = self.additive()
         while True:
             t = self.peek()
-            if t.kind == "op" and t.text in ("==", "!=", "<", ">", "<=", ">=", "~"):
+            if (t.kind == "op"
+                    and t.text in ("==", "!=", "<", ">", "<=", ">=", "~")) \
+                    or t.kind == "like":
+                # `like` keyword is the tutorial spelling of `~`
+                # (docs/tutorial.md "name like \"%l%\"")
+                if t.kind == "like":
+                    t = Tok("op", "~")
                 self.next()
                 r = self.additive()
                 # literal type discipline (reference test_compare):
@@ -928,7 +934,10 @@ class Parser:
 
     def unary(self):
         if self.accept("op", "-"):
-            return -self._col(self.unary())
+            v = self.unary()
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                return -v               # literal stays a Python scalar
+            return -self._col(v)
         return self.postfix()
 
     # ---- postfix chains: t[...] t{...} t order {...} ---------------
@@ -1399,7 +1408,7 @@ class Parser:
             self._skip_nl()
             if self.accept("op", "]"):
                 break
-            v = self.atom()
+            v = self.expr()            # full expressions: [-20, 1+2]
             vals.append(v)
             self.accept("op", ",")
         # element types must share a kernel type — reference raises
@@ -2332,6 +2341,31 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
             return f'"{v}"'
         return str(v)
 
+    # ---- session / DDL control (__builtins__.pql:176-189,559-573) --
+    if name == "dict":
+        # `dict(a:1, b:2)` — a row value from kwargs
+        # (__builtins__.pql:164)
+        return {k: parser._pyval(v) for k, v in kwargs.items()}
+    if name == "commit":
+        parser.engine.commit()
+        return None
+    if name == "rollback":
+        parser.engine.rollback()
+        return None
+    if name == "run_statement":
+        parser.engine.run_statement(parser._pyval(args[0]))
+        return None
+    if name in ("remove_table", "remove_table_if_exists"):
+        t = args[0]
+        tname = t.meta.name if isinstance(t, Table) else parser._pyval(t)
+        known = tname in parser.engine.mutables \
+            or tname in parser.engine.tables()
+        if not known and name == "remove_table":
+            raise LangSignal("KeyError", f"no such table {tname!r}")
+        if known:
+            parser.engine.drop_table(tname)
+        return None
+
     # ---- interactive surface (pql_functions.py:735-813) ------------
     if name == "names":
         return _names_table(parser, args[0] if args else None)
@@ -2356,8 +2390,27 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
         if tyname in ("int", "float", "string", "bool", "number") \
                 and parser.table is not None:
             # scalar type in row context → vectorized SQL expression
-            # over the current table's columns ($col → col)
-            return F.expr(re.sub(r"\$(\w+)", r"\1", code))
+            # over the current table's columns.  $name resolves through
+            # the env first so an inlined function parameter substitutes
+            # its bound column/literal (tutorial do_sql_stuff:
+            # SQL(string, "lower($x) ...") with x=item)
+            def subv(m: "re.Match") -> str:
+                nm = m.group(1)
+                try:
+                    v = parser._name(nm)
+                except Exception:
+                    return nm
+                if isinstance(v, Column):
+                    cn = _plain_col_name(v)
+                    if cn:
+                        return cn
+                elif isinstance(v, str):
+                    return "'" + v.replace("'", "''") + "'"
+                elif isinstance(v, (int, float)) \
+                        and not isinstance(v, bool):
+                    return repr(v)
+                return nm
+            return F.expr(re.sub(r"\$(\w+)", subv, code))
         bind = {}
         for m in re.finditer(r"\$(\w+)", code):
             nm = m.group(1)
@@ -2483,10 +2536,21 @@ def _make_maps():
         "str_contains": lambda sub, c: s.str_contains(sub, c),
         "str_index": lambda sub, c: s.str_index(sub, c),
         "int": s.to_int, "float": s.to_float, "string": s.to_string,
-        "bool": s.to_bool, "now": lambda: s.now(), "random": lambda: s.random(),
+        "bool": s.to_bool,
+        # timestamp(x) cast — resolves as a cast function first, as a
+        # type name in isa()/type() via _FuncRef (like int/float)
+        "timestamp": lambda c:
+            (c if isinstance(c, Column) else F.lit(c)).cast("timestamp"),
+        "now": lambda: s.now(), "random": lambda: s.random(),
         "char_range": s.char_range,
         "str_notcontains": lambda sub, c: s.str_notcontains(sub, c),
         "pi": lambda: F.lit(__import__("math").pi),
+        # date-part function forms (__builtins__.pql:347-353; the
+        # property forms x.year etc. are the same kernels)
+        "year": s.dt_year, "month": s.dt_month, "day": s.dt_day,
+        "hour": s.dt_hour, "minute": s.dt_minute,
+        "day_of_week": s.dt_day_of_week,
+        "week_of_year": s.dt_week_of_year,
     }
     return agg_map, scalar_map
 
@@ -2494,7 +2558,10 @@ def _make_maps():
 _AGG_MAP, _SCALAR_MAP = _make_maps()
 _FUNCTIONS = set(_AGG_MAP) | set(_SCALAR_MAP) | {
     "count", "fmt", "list", "isa", "issubclass", "type", "repr", "SQL",
-    "names", "help", "tables"}
+    "names", "help", "tables",
+    # session/DDL control + row constructor (__builtins__.pql)
+    "dict", "commit", "rollback", "run_statement",
+    "remove_table", "remove_table_if_exists"}
 # bare type names usable as values (isa/issubclass/type comparisons);
 # int/float/string/bool resolve to cast functions first and are
 # accepted by _as_type_name via their _FuncRef name

@@ -96,6 +96,10 @@ class MutableTable:
         # single-writer model is the documented divergence from a real
         # multi-writer table format (Delta/Iceberg OCC).
         self._lock = threading.RLock()
+        # last committed version (reference commit()/rollback(),
+        # __builtins__.pql:176-189): creation state is the implicit
+        # first commit point; GC never collects the marked version
+        self._mark: int = 0
         os.makedirs(self.root, exist_ok=True)
 
     # ---- versioning ------------------------------------------------
@@ -118,6 +122,8 @@ class MutableTable:
         # so rollback can restore it.
         if self._pin is None:
             for v in vs[:-1]:
+                if v == self._mark:
+                    continue           # rollback target stays restorable
                 shutil.rmtree(os.path.join(self.root, f"v{v}"),
                               ignore_errors=True)
 
@@ -159,7 +165,9 @@ class MutableTable:
     def _next_id_base(self) -> int:
         cur = self.df()
         row = cur.agg(F.max(self.id_col).alias("m")).collect()[0]
-        return (row.m if row.m is not None else -1) + 1
+        # first id is 1, like the reference's sqlite autoincrement
+        # (docs/tutorial.md shows Country ids starting at 1)
+        return (row.m if row.m is not None else 0) + 1
 
     def new(self, **values) -> Row:
         """Single-row insert; returns the inserted row with fresh id."""

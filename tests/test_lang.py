@@ -1099,10 +1099,10 @@ def test_rowtype_golden(leng):
     leng.q('table RA { x: int }\nra = new RA(4)\n'
            'table RB { a: RA }\nrb = new RB(ra)')
     assert leng.q('ra.x') == 4
-    assert dict(leng.ra.asDict()) == {"id": 0, "x": 4}
+    assert dict(leng.ra.asDict()) == {"id": 1, "x": 4}
     # the FK column stored ra's id
     assert leng.rb["a"] == leng.ra["id"]
-    assert leng.q('one RB[a == 0]')["a"] == 0
+    assert leng.q('one RB[a == 1]')["a"] == 1
 
 
 def test_threading_golden(leng):
@@ -1121,3 +1121,59 @@ def test_threading_golden(leng):
         or sorted(r.item for r in rows) == [0] + list(range(100))
     # reference also checks a{item} - [..100] == [] (set equality)
     assert leng.q('count(ta{item} - [..100])') == 0
+
+
+def test_transaction2_golden(leng):
+    """Ported reference test_transaction2 (test_basic.py): rollback on
+    a fresh session, a transaction whose exception is caught INSIDE
+    commits, run_statement DROP TABLE, commit()."""
+    leng.q("rollback()")
+    leng.q('''
+table ta2 {
+    x: int
+}
+
+transaction {
+    try {
+        new ta2(5)
+        throw new Exception("A")
+    } catch(Exception) {
+    }
+}
+''')
+    assert leng.q("list(ta2{x})") == [5]
+    leng.run_statement("DROP TABLE ta2")
+    leng.commit()
+    assert "ta2" not in leng.tables()
+
+
+def test_commit_rollback_golden(leng):
+    """commit()/rollback() builtins (__builtins__.pql:176-189):
+    rollback reverts to the last commit point."""
+    leng.q("table cr { x: int }\nnew cr(1)")
+    leng.q("commit()")
+    leng.q("new cr(2)\nnew cr(3)")
+    assert leng.q("count(cr)") == 3
+    leng.q("rollback()")
+    assert leng.q("count(cr)") == 1
+    assert leng.q("one cr").x == 1
+
+
+def test_stdlib_function_forms(leng):
+    """dict(), remove_table*, date-part function spellings
+    (__builtins__.pql:164,347-353,563-573)."""
+    d = leng.q("dict(a: 1, b: 2)")
+    assert d == {"a": 1, "b": 2}
+    out = leng.q('[{t: "2021-04-02 22:28:41"}]'
+                 '{y: year(timestamp(t)), m: month(timestamp(t)),'
+                 ' h: hour(timestamp(t)), w: day_of_week(timestamp(t))}')
+    r = out.one()
+    assert (r.y, r.m, r.h) == (2021, 4, 22)
+    leng.q("table rt { x: int }")
+    leng.q("remove_table(rt)")
+    assert "rt" not in leng.tables()
+    leng.q('remove_table_if_exists("rt")')   # absent: silently ok
+    import pytest as _pt
+    from preql_spark.lang import LangSignal
+    with _pt.raises(LangSignal):
+        leng.q('remove_table("rt")')

@@ -71,12 +71,12 @@ def test_mutable_table_crud(spark, tmp_path):
     # new: single insert returns row with generated id
     r1 = t.new(x=1, y=1)
     r2 = t.new(x=3, y=3)
-    assert (r1.id, r2.id) == (0, 1)
+    assert (r1.id, r2.id) == (1, 2)
     # bulk insert
     t.insert_rows([{"x": 3, "y": 4}, {"x": 5, "y": 6}])
     assert t.df().count() == 4
     ids = sorted(r.id for r in t.df().collect())
-    assert ids == [0, 1, 2, 3]
+    assert ids == [1, 2, 3, 4]
     # update with condition (reference: t[x==3] update {y: y+13})
     n = t.update(F.col("x") == 3, y=F.col("y") + 13)
     assert n == 2
@@ -88,7 +88,7 @@ def test_mutable_table_crud(spark, tmp_path):
     assert t.df().count() == 2
     # ids keep increasing after delete
     r = t.new(x=9, y=9)
-    assert r.id == 4
+    assert r.id == 5
 
 
 def test_insert_from_alignment(spark, eng, tmp_path):
@@ -301,4 +301,4 @@ def test_insert_from_distributed_ids(spark, eng, tmp_path):
     assert n == src.count()
     ids = got.agg(F.min("id").alias("lo"), F.max("id").alias("hi"),
                   F.count_distinct("id").alias("u")).collect()[0]
-    assert (ids.lo, ids.hi, ids.u) == (0, n - 1, n)   # dense + unique
+    assert (ids.lo, ids.hi, ids.u) == (1, n, n)   # dense + unique
