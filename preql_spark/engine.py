@@ -412,7 +412,8 @@ class Engine:
         return transaction(*self.mutables.values())
 
     # ---- escape hatches --------------------------------------------
-    def sql(self, code: str, **tables: "Table | DataFrame") -> "Table":
+    def sql(self, code: str, _self_columns: list[str] | None = None,
+            **tables: "Table | DataFrame") -> "Table":
         """Raw-SQL escape hatch with parameter binding — the
         reference's ``SQL(type, "... $var")`` (pql_functions.py:86-123;
         compiled at compiler.py:492-552).
@@ -445,8 +446,29 @@ class Engine:
         has_self = re.search(r"\$self\b", code) is not None
         code = re.sub(r"\$(\w+)", sub, code)
         if has_self:
-            code = (f"WITH RECURSIVE __self__ AS ({code}) "
-                    "SELECT * FROM __self__")
+            # Spark's recursive CTE accepts only UNION ALL in the
+            # recursive member; the reference targets engines whose
+            # UNION dedups per step (graph.pql bfs).  For TERMINATING
+            # recursions the results are equal up to duplicates, so a
+            # bare top-level UNION rewrites to UNION ALL + a DISTINCT
+            # over the fixpoint.  Cyclic graphs need the step-wise
+            # dedup to converge — use operators.graph.bfs (iterative,
+            # anti-join dedup per round) for those; the level cap
+            # below turns a runaway recursion into an error, not a
+            # hang.
+            distinct = ""
+            if re.search(r"\bUNION\b(?!\s+ALL)", code, re.IGNORECASE):
+                code = re.sub(r"\bUNION\b(?!\s+ALL)", "UNION ALL",
+                              code, flags=re.IGNORECASE)
+                distinct = "DISTINCT "
+            # the declared result type names the recursion's columns
+            # (SQL(list[int], "... $self bfs ... bfs.item"))
+            collist = f" ({', '.join(_self_columns)})" \
+                if _self_columns else ""
+            code = (f"WITH RECURSIVE __self__{collist} "
+                    f"MAX RECURSION LEVEL 100 "
+                    f"AS ({code}) "
+                    f"SELECT {distinct}* FROM __self__")
         return self.from_df(self.spark.sql(code))
 
     # ---- sources (see preql_spark.sources for the full surface) ----

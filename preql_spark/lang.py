@@ -26,7 +26,7 @@ plain flag.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -52,7 +52,8 @@ _KEYWORDS = {"and", "or", "not", "in", "order", "new", "one", "null",
              # statement keywords (preql.lark:2-17,83-85)
              "while", "for", "return", "throw", "try", "catch",
              "print", "assert", "table", "const", "bare",
-             "update", "delete", "transaction", "struct", "like"}
+             "update", "delete", "transaction", "struct", "like",
+             "import"}
 
 # built-in exception types for `new X(msg)` / `catch(X)` — the
 # reference's T.Exception subtree (pql_types.py; Signal in exceptions)
@@ -176,6 +177,9 @@ class Parser:
         return v
 
     def _truthy(self, v) -> bool:
+        if isinstance(v, Table):
+            # table truthiness is non-emptiness (examples/primes.pql)
+            return not v.df.isEmpty()
         return bool(self._pyval(v))
 
     def statement(self):
@@ -187,6 +191,8 @@ class Parser:
             return self._func_def()
         if k == "struct":
             return self._struct_def()
+        if k == "import":
+            return self._import_stmt()
         if k == "table" or (k in ("const", "bare")
                             and self.peek(1).kind == "table"):
             return self._table_def()
@@ -644,6 +650,24 @@ class Parser:
             return "long"
         return None
 
+    def _import_stmt(self):
+        """``import graph`` (reference module import, examples/tree.pql).
+        Built-in modules bind a namespace of native functions; a
+        ``<name>.pql`` file in the working directory loads as source
+        (the reference resolves modules the same two ways)."""
+        import os as _os
+        self.expect("import")
+        mod = self.expect("name").text
+        if mod == "graph":
+            self.env["graph"] = _graph_module()
+            return None
+        path = f"{mod}.pql"
+        if _os.path.exists(path):
+            with open(path) as f:
+                Parser(self.engine, f.read(), self.env).parse()
+            return None
+        raise LangSignal("ImportError", f"no module {mod!r}")
+
     def _struct_def(self):
         """``struct Point { x: float, y: float }`` — a named struct
         type usable as a column type and constructed by list coercion
@@ -744,6 +768,7 @@ class Parser:
         name = self.expect("name").text
         self.expect("op", "(")
         params = []
+        defaults: dict = {}
         while not self.accept("op", ")"):
             t = self.peek()
             if t.kind == "dots" and t.text == "...":
@@ -758,7 +783,25 @@ class Parser:
                 raise SyntaxError(f"bad parameter {t.text!r}")
             # `$x` params are lazy: they bind the call-site token span
             # unevaluated (reference evaluate.py:597)
-            params.append(self.next().text)
+            pname = self.next().text
+            params.append(pname)
+            # optional type annotation `edges: table`, `ids: list[int]`
+            # (reference param_type, preql.lark:50) — accepted, not
+            # enforced (Spark resolves types structurally)
+            if self.accept("op", ":"):
+                # type names may be keywords (`table`, `struct`)
+                if self.peek().kind in ("name", "table", "struct"):
+                    self.next()
+                else:
+                    raise SyntaxError(
+                        f"bad parameter type {self.peek().text!r}")
+                if self.accept("op", "["):
+                    self.expect("name")
+                    self.expect("op", "]")
+                self.accept("op", "?")
+            # default value `b=4` (reference test_keywords)
+            if self.accept("op", "="):
+                defaults[pname] = self._pyval(self.expr())
             self.accept("op", ",")
         if self.accept("op", "="):
             # short form: capture the expression span (to the next
@@ -777,12 +820,14 @@ class Parser:
                     depth -= 1
                 self.next()
             fn = _UserFunc(name, params,
-                           self.toks[start:self.i] + [Tok("eof", "")])
+                           self.toks[start:self.i] + [Tok("eof", "")],
+                           defaults=defaults)
         else:
             # block form: `func f(x) { stmts }` with `return`
             # (preql.lark:53-54; ReturnSignal evaluate.py:421-424)
             body = self._capture_block()
-            fn = _UserFunc(name, params, body, block=True)
+            fn = _UserFunc(name, params, body, block=True,
+                           defaults=defaults)
         self.env[name] = fn
         return fn
 
@@ -806,7 +851,12 @@ class Parser:
 
     def not_expr(self):
         if self.accept("not"):
-            return exprs.pnot(self._col(self.not_expr()))
+            v = self.not_expr()
+            if isinstance(v, Table):
+                # table truthiness is non-emptiness (reference
+                # examples/primes.pql `if (not primes)`)
+                return v.df.isEmpty()
+            return exprs.pnot(self._col(v))
         return self.comparison()
 
     def comparison(self):
@@ -1271,7 +1321,10 @@ class Parser:
                                         self._agg_col(v)))
                 else:
                     entries.append((sug, self._agg_col(v)))
-            if not self.accept("op", ","):
+            if not self.accept("op", ",") \
+                    and self.peek().kind != "nl":
+                # entries separate on commas OR newlines (reference
+                # grammar; examples/matrices.pql projections)
                 break
         return entries
 
@@ -1787,6 +1840,8 @@ class Parser:
         self._join_arg = outer_join_arg
         if isinstance(fn, _FuncRef):
             return _apply_function(self, fn.name, args, kwargs)
+        if isinstance(fn, _NativeFunc):
+            return fn.fn(self, args, kwargs)
         if isinstance(fn, _BoundMethod):
             return self._invoke_method(fn, args, kwargs)
         if isinstance(fn, _UserFunc):
@@ -1820,6 +1875,9 @@ class Parser:
                     raise TypeError(f"{fn.name}() has no parameter {k!r}")
                 extra[k] = v
                 continue
+            if k in pos_params[:len(args)]:
+                raise TypeError(
+                    f"{fn.name}(): parameter {k!r} bound twice")
             binding[k] = v
         if vararg is not None:
             # the collector binds as a row-like dict (reference
@@ -1830,6 +1888,8 @@ class Parser:
                 raise TypeError(
                     f"{fn.name}() parameter {p!r} is lazy; internal "
                     f"error: got evaluated value {type(v).__name__}")
+        for p, dv in (getattr(fn, "defaults", None) or {}).items():
+            binding.setdefault(p, dv)
         missing = [p for p in pos_params if p not in binding]
         if missing:
             raise TypeError(f"{fn.name}() missing arguments: {missing}")
@@ -1865,7 +1925,18 @@ class Parser:
             if name.startswith("Column<'") and name.endswith("'>"):
                 name = name[8:-2]
                 dt = dict(self.table.df.dtypes).get(name)
-                return dt == "string"
+                if dt is not None:
+                    return dt == "string"
+            # computed column (CASE/concat/...): ask the analyzer for
+            # its type against the context table — plan-only, no job
+            # (fizzbuzz: fizz(i) + buzz(i) concatenates CASE strings)
+            try:
+                from pyspark.sql.types import StringType
+                return isinstance(
+                    self.table.df.select(x).schema[0].dataType,
+                    StringType)
+            except Exception:
+                return False
         return False
 
     def _col(self, v) -> Column:
@@ -1947,6 +2018,46 @@ class _BackrefRef:
             raise AttributeError(
                 f"backref {self.name!r} has no field {field!r}")
         return self.context.df[self.prefix + field]
+
+
+class _NativeFunc:
+    """A module-provided native function: called with the parser so it
+    can convert lang values ↔ DataFrames (reference module functions,
+    preql/modules/graph.pql)."""
+
+    def __init__(self, name: str, fn):
+        self.name = name
+        self.fn = fn
+
+    def __repr__(self):
+        return f"<native function {self.name}>"
+
+
+def _graph_module() -> dict:
+    """The reference ``graph`` module (graph.pql:3-36) on the Spark
+    graph operators: bfs → reachable nodes as a list (item), walk_tree
+    → (id, rank) rows with revisits, like the reference's UNION ALL
+    recursion."""
+    from preql_spark.operators import graph as g
+
+    def _df(v):
+        return v.df if isinstance(v, Table) else v
+
+    def bfs(parser, args, kwargs):
+        edges, initial = args[0], args[1]
+        out = g.bfs(_df(edges), _df(initial))
+        return parser.engine.from_df(
+            out.select(F.col(out.columns[0]).alias("item")))
+
+    def walk_tree(parser, args, kwargs):
+        edges, initial, max_rank = args[0], args[1], args[2]
+        out = g.walk_tree(_df(edges), _df(initial),
+                          int(parser._pyval(max_rank)))
+        return parser.engine.from_df(
+            out.select(F.col(out.columns[0]).alias("id"), "rank"))
+
+    return {"bfs": _NativeFunc("bfs", bfs),
+            "walk_tree": _NativeFunc("walk_tree", walk_tree)}
 
 
 @dataclass
@@ -2090,6 +2201,8 @@ class _UserFunc:
     params: list
     body: list
     block: bool = False
+    # parameter defaults `func f(a, b=4)` (reference test_keywords)
+    defaults: dict = field(default_factory=dict)
 
 
 class _AutoName(str):
@@ -2417,7 +2530,19 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
             if nm != "self" and nm in parser.env \
                     and isinstance(parser.env[nm], Table):
                 bind[nm] = parser.env[nm]
-        return parser.engine.sql(code, **bind)
+        # the declared result type names the columns a $self recursion
+        # exposes (reference SQL(list[int], ...) recursions reference
+        # `bfs.item`; SQL(node, ...) references the table's columns)
+        self_cols = None
+        if isinstance(ty, _ListCastRef):
+            self_cols = ["item"]
+        elif isinstance(ty, Table):
+            self_cols = list(ty.df.columns)
+        out = parser.engine.sql(code, _self_columns=self_cols, **bind)
+        if isinstance(ty, _ListCastRef) and len(out.df.columns) == 1 \
+                and out.df.columns != ["item"]:
+            out = parser.engine.from_df(out.df.toDF("item"))
+        return out
 
     if name == "fmt":
         # fmt("$var text") interpolation (pql_functions.py:132-169):
@@ -2506,7 +2631,21 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
     if args:
         col = parser._col(args[0])
     if name == "count":
-        return F.count(F.lit(1)) if col is None else agg.count(col)
+        if col is None:
+            return F.count(F.lit(1))
+        # row-context count of an ARRAY column is its length
+        # (reference count also measures struct size / json-array
+        # length, pql_functions.py:280-324):
+        # [..]{k => item}{count(item)} counts each group's values
+        if parser.table is not None and not parser.in_agg:
+            try:
+                from pyspark.sql.types import ArrayType
+                dt = parser.table.df.select(col).schema[0].dataType
+                if isinstance(dt, ArrayType):
+                    return F.size(col)
+            except Exception:
+                pass
+        return agg.count(col)
     if name in _AGG_MAP:
         return _AGG_MAP[name](col)
     if name in _SCALAR_MAP:

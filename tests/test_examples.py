@@ -1,0 +1,222 @@
+"""Reference example programs (/root/reference/examples/*.pql) run as
+conformance tests — complete programs a reference user ships, covering
+control flow + vectorization + joins + aggregation end to end.
+Adaptations are noted inline (e.g. the primes example's infinite loop
+is bounded)."""
+
+import pytest
+
+
+@pytest.fixture()
+def ex(spark):
+    from preql_spark.engine import Engine
+    return Engine(spark)
+
+
+def test_fizzbuzz(ex):
+    """examples/fizzbuzz.pql verbatim (print replaced by a binding)."""
+    ex.q('''
+func fizz(i) {
+    if (i % 3 == 0) {
+        return "Fizz"
+    } else {
+        return ""
+    }
+}
+
+func buzz(i) {
+    if (i % 5 == 0) {
+        return "Buzz"
+    } else {
+        return ""
+    }
+}
+
+func fizzbuzz(i) = (fizz(i) + buzz(i)) or string(i)
+
+out = [1..16] {n: item, fb: fizzbuzz(item)}
+''')
+    got = {r.n: r.fb for r in ex.q("out").collect()}
+    assert got == {1: "1", 2: "2", 3: "Fizz", 4: "4", 5: "Buzz",
+                   6: "Fizz", 7: "7", 8: "8", 9: "Fizz", 10: "Buzz",
+                   11: "11", 12: "Fizz", 13: "13", 14: "14",
+                   15: "FizzBuzz"}
+
+
+def test_primes(ex):
+    """examples/primes.pql with the infinite search bounded to the
+    first 10 primes (the original runs forever by design); exercises
+    table truthiness (`not primes`), while loops, is_empty selection,
+    commit(), and fmt()."""
+    ex.q('''
+table primes {
+    num: int
+}
+
+func find_primes(up_to) {
+    if (not primes) {
+        new primes(2)
+        new primes(3)
+    }
+
+    n = max(primes{num})
+
+    while (count(primes) < up_to) {
+        n = n + 2
+
+        if (is_empty(primes[n % num == 0])) {
+            new primes(n)
+            commit()
+        }
+    }
+}
+
+find_primes(10)
+''')
+    got = sorted(r.num for r in ex.q("primes").collect())
+    assert got == [2, 3, 5, 7, 11, 13, 17, 19, 23, 29]
+    # fault tolerance: calling again resumes from the stored state
+    ex.q("find_primes(12)")
+    got = sorted(r.num for r in ex.q("primes").collect())
+    assert got == [2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37]
+
+
+def test_matrices(ex):
+    """examples/matrices.pql: matrix multiply as a join-by-column with
+    a grouped dotted-key aggregation."""
+    ex.q('''
+func matrix_from_list(M, width) {
+    return enum(M) {
+        row: int(index / width)
+        col: index % width
+        value: item
+    }
+}
+
+func mult_matrices(A, B) {
+    return join(a: A.col, b: B.row) {
+        a.row, b.col => value: sum(a.value * b.value)
+    }
+}
+
+M1 = [-1, 0, 6,
+       2, 5, 1]
+m1 = matrix_from_list(M1, 3)
+
+M2 = [2, -4, 9, 3,
+      0, 5,  1, 2,
+      3, 6, -1, 1]
+m2 = matrix_from_list(M2, 4)
+
+prod = mult_matrices(m1, m2)
+''')
+    got = {(r.row, r.col): r.value for r in ex.q("prod").collect()}
+    assert got == {(0, 0): 16, (0, 1): 40, (0, 2): -15, (0, 3): 3,
+                   (1, 0): 7, (1, 1): 23, (1, 2): 22, (1, 3): 17}
+
+
+def test_tree(ex):
+    """examples/tree.pql: self-FK tree, user-defined bfs via SQL $self
+    recursion (UNION-dedup spelling), graph module walk_tree, path /
+    descendant queries.  Adaptation: most-common-ancestor picks the
+    minimum walk rank instead of relying on the engine's recursion row
+    order (the reference leans on sqlite's discovery order)."""
+    ex.q('''
+import graph
+
+table Tree {
+    value: string
+    parent: Tree?
+}
+
+animal = new Tree("Animal", null)
+mammal = new Tree("Mammal", animal)
+dog = new Tree("Dog", mammal)
+new Tree("Golden Retriever", dog)
+new Tree("Lion", mammal)
+new Tree("Fish", animal)
+
+func bfs(edges: table, initial: table) {
+    "Performs a breadth-first search on a graph"
+    bfs = SQL(list[int], "SELECT * FROM $initial UNION SELECT e.dst FROM $edges e JOIN $self bfs ON e.src = bfs.item")
+    return SQL(list[int], "SELECT bfs.item FROM $bfs bfs")
+}
+
+roots = Tree[parent == null]
+edges_downwards = Tree{
+    src: parent
+    dst: id
+}
+edges_upwards = Tree{
+    src: id
+    dst: parent
+}
+
+func get_trees(ids: list[int]) {
+    "Return a list of tree rows from a given list of ids"
+    return join(_: ids.item, t: Tree.id){
+        t.id
+        t.value
+    }
+}
+
+func find_path_to_root(initial: table) {
+    "Find all nodes connecting the given nodes to the root"
+    path_to_root = bfs(edges_upwards, initial{id})
+    return get_trees(path_to_root)
+}
+
+func find_descendants(initial: table) {
+    "Find all descendants of given nodes"
+    descendants_ids = bfs(edges_downwards, initial{id})[item !in initial{id}]
+    return get_trees(descendants_ids)
+}
+
+func is_a(a: string, b: string) {
+    return b in find_path_to_root(Tree[value == a]){value}
+}
+''')
+    # hierarchy via the graph module's walk_tree (print_hierarchy)
+    hier = ex.q('nodes_by_rank = graph.walk_tree(edges_downwards,'
+                ' roots{id}, 1000)\n'
+                'join(r: nodes_by_rank.id, t: Tree.id)'
+                ' { hierarchy: repeat(" ", r.rank*2) + t.value }')
+    got = sorted(r.hierarchy for r in hier.collect())
+    assert got == sorted([
+        "Animal", "  Mammal", "    Dog", "      Golden Retriever",
+        "    Lion", "  Fish"])
+
+    assert ex.q('is_a("Dog", "Animal")') is True
+    assert ex.q('is_a("Dog", "Mammal")') is True
+    assert ex.q('is_a("Fish", "Mammal")') is False
+    assert ex.q('is_a("Dog", "Lion")') is False
+
+    mammals = ex.q('find_descendants(Tree[value == "Mammal"])')
+    assert sorted(r.value for r in mammals.collect()) \
+        == ["Dog", "Golden Retriever", "Lion"]
+
+    # common ancestors + closest by minimum upward walk rank
+    ex.q('''
+func common_ancestors(a: string, b: string) {
+    path_a = find_path_to_root(Tree[value == a])
+    path_b = find_path_to_root(Tree[value == b])
+    return join(a: path_a.id, b: path_b.id){
+        a.id
+        a.value
+    }
+}
+
+func closest_ancestor(a: string, b: string) {
+    ranked = graph.walk_tree(edges_upwards, Tree[value == a]{id}, 1000)
+    common = common_ancestors(a, b)
+    ranked_common = join(r: ranked.id, c: common.id) order {r.rank} {c.value}
+    return first_or_null(ranked_common{value})
+}
+''')
+    assert sorted(r.value for r in
+                  ex.q('common_ancestors("Dog", "Lion")').collect()) \
+        == ["Animal", "Mammal"]
+    assert ex.q('closest_ancestor("Dog", "Lion")') == "Mammal"
+    assert ex.q('closest_ancestor("Dog", "Mammal")') == "Mammal"
+    assert ex.q('closest_ancestor("Dog", "Fish")') == "Animal"
+    assert ex.q('closest_ancestor("Dog", "Alien") == null') is True

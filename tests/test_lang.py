@@ -1177,3 +1177,61 @@ def test_stdlib_function_forms(leng):
     from preql_spark.lang import LangSignal
     with _pt.raises(LangSignal):
         leng.q('remove_table("rt")')
+
+
+def test_keywords_golden(leng):
+    """Ported reference test_keywords (test_basic.py): parameter
+    defaults + keyword args; duplicate binding raises."""
+    leng.q('func fk(a, b=4) = a + b')
+    assert leng.fk(b=2, a=3) == 5
+    assert leng.fk(3, b=10) == 13
+    with pytest.raises(Exception):
+        leng.q('fk(3, a: 10)')          # 'a' bound twice
+    with pytest.raises(Exception):
+        leng.q('fk()')                  # 'a' has no default
+
+
+def test_list_arith_golden(leng):
+    """Ported reference test_list_ops / test_table_arith / test_arith
+    / test_empty_count / test_json (test_basic.py) — set-valued
+    results compared order-insensitively (Spark promises no row
+    order)."""
+    q = leng.q
+    assert sorted(q('list([1,2,3] + [5,6])')) == [1, 2, 3, 5, 6]
+    assert sorted(q('list([1,2,3] | [3,4])')) == [1, 2, 3, 4]
+    assert sorted(q('list([1,2,3] - [3,4])')) == [1, 2]
+    assert q('list([1] + [])') == [1]
+    assert q('list([] + [1])') == [1]
+    assert q('list([])') == []
+    rows = q('[1,2,3]{v: item*2}[v < 5]').collect()
+    assert sorted(r.v for r in rows) == [2, 4]
+    rows = q('[1,2,3]{v: item*2}[v in [2,6]]').collect()
+    assert sorted(r.v for r in rows) == [2, 6]
+    rows = q('[1,2,3]{v: item*2}[v !in [2,6]]').collect()
+    assert [r.v for r in rows] == [4]
+    # arith battery
+    assert q('1 + 2 / 4') == 1.5
+    assert q('1 + 2 /~ 4 + 1') == 2
+    assert q('"a" * 3') == "aaa"
+    assert q('"ab" * 3') == "ababab"
+    assert q('"a" + "b"*2 + "c"') == "abbc"
+    assert q('"abc" ~ "a%c"') is True
+    assert q('"ab" ~ "a%c"') is False
+    assert q('1 - 2**3') == -7
+    assert q('10**-2') == 0.01
+    assert q('list([0.0, 10.0, 1.2]{item ** 2})') == [0.0, 100.0, 1.44]
+    # empty_count
+    assert q('one one [1,2,3] { => count()}') == 3
+    assert sorted(r["count"] for r in
+                  q('[1,2,3] { item /~ 2 => count()} {count}').collect()) \
+        == [1, 2]
+    # json: count of a grouped array column is its length
+    assert q('list([1,7,3,4]{item%2 => item}{count(item)} order {count})') \
+        == [1, 3]
+    # nested projections (test_nested_projections)
+    r1 = q('joinall(a:[1,2], b:[2, 3]) {a.item => count(b.item)}')
+    r2 = q('joinall(a:[1,2], b:[2, 3]) {a.item => count(b)}')
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
+    r = q('one joinall(a:[1,2], b:[2, 3])'
+          ' {a: a.item => b: count(b.item)} {b => a: count(a)}')
+    assert (r.b, r.a) == (2, 2)
