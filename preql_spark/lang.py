@@ -43,7 +43,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<dots>\.\.\.|\.\.)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<sname>\$[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<string>"[^"]*"|'[^']*')
+  | (?P<string>\"\"\"[\s\S]*?\"\"\"|'''[\s\S]*?'''|"[^"]*"|'[^']*')
   | (?P<op>==|!=|<=|>=|=>|!in|/~|\*\*|\+=|[-+*/%<>=~^(){}\[\],:.!|&;?])
 """, re.VERBOSE)
 
@@ -1406,6 +1406,10 @@ class Parser:
         if t.kind == "float":
             return float(t.text)
         if t.kind == "string":
+            # triple-quoted forms strip three quotes (language.md:
+            # 'a' "a" '''a''' \"\"\"a\"\"\")
+            if t.text[:3] in ("'''", '"""'):
+                return t.text[3:-3]
             return t.text[1:-1]
         if t.kind == "null":
             return F.lit(None)
@@ -1417,6 +1421,21 @@ class Parser:
             return v
         if t.kind == "op" and t.text == "[":
             return self._list_or_range()
+        if t.kind == "op" and t.text == "{":
+            # on-the-fly struct literal `{x: 1, y: item}`
+            # (language.md "Structs can be created on the fly")
+            fields = []
+            while True:
+                self._skip_nl()
+                if self.accept("op", "}"):
+                    break
+                fname = self.expect("name").text
+                self.expect("op", ":")
+                fields.append(self._col(self.expr()).alias(fname))
+                self.accept("op", ",")
+            if not fields:
+                raise LangSignal("TypeError", "empty struct literal")
+            return F.struct(*fields)
         if t.kind == "name":
             return self._name(t.text)
         if t.kind == "sname":

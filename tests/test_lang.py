@@ -1235,3 +1235,17 @@ def test_list_arith_golden(leng):
     r = q('one joinall(a:[1,2], b:[2, 3])'
           ' {a: a.item => b: count(b.item)} {b => a: count(a)}')
     assert (r.b, r.a) == (2, 2)
+
+
+def test_literal_forms_golden(leng):
+    """language.md literal forms: quote styles incl. triple quotes,
+    on-the-fly struct literals."""
+    assert leng.q("'a' + 'b'") == "ab"
+    assert leng.q("'''tri<'>ple'''") == "tri<'>ple"
+    assert leng.q('"""doc "quoted" text"""') == 'doc "quoted" text'
+    rows = leng.q('[1, 2]{n: item, p: {x: item, y: item * 10}}').collect()
+    assert sorted((r.n, r.p.x, r.p.y) for r in rows) == [(1, 1, 10),
+                                                         (2, 2, 20)]
+    # struct literal fields project back out
+    out = leng.q('[3]{p: {x: item}}{px: p.x}')
+    assert [r.px for r in out.collect()] == [3]
