@@ -1178,6 +1178,20 @@ def q93_fk_traversal(spark, sf_dir) -> DataFrame:
     return out.df
 
 
+def q94_backref_agg(spark, sf_dir) -> DataFrame:
+    """Reverse relations (`-> name` backrefs, reference
+    test_basic.py test_self_reference `count(children)`): the catalog
+    registers TPC-H backrefs, so `count(customers)` inside a nation
+    aggregation counts the joined customer rows, and
+    `customers.c_acctbal` collects their values.  Plan: one left join
+    + grouped agg, the backref source never scanned twice."""
+    eng = _eng(spark, sf_dir)
+    out = eng.q('nation{n_name => n_cust: count(customers),'
+                ' total_bal: sum(customers.c_acctbal)}')
+    return out.df.select("n_name", "n_cust",
+                         F.round(F.col("total_bal"), 2).alias("total_bal"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1279,6 +1293,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_join_by_column": q91_join_by_column,
     "q92_table_methods": q92_table_methods,
     "q93_fk_traversal": q93_fk_traversal,
+    "q94_backref_agg": q94_backref_agg,
 }
 
 
@@ -2103,6 +2118,12 @@ ORACLES: dict[str, str] = {
         LEFT JOIN customer ON o_custkey = c_custkey
         LEFT JOIN nation ON c_nationkey = n_nationkey
         WHERE o_totalprice > 400000
+    """,
+    "q94_backref_agg": """
+        SELECT n_name, COUNT(c_custkey) AS n_cust,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY n_name
     """,
 }
 

@@ -40,6 +40,16 @@ TPCH_FKS: dict[str, dict[str, tuple[str, str]]] = {
     },
 }
 
+# reverse relations (reference `-> name` backrefs): holder table ->
+# {backref name -> (source table, fk column on the source)}
+TPCH_BACKREFS: dict[str, dict[str, tuple[str, str]]] = {
+    "region": {"nations": ("nation", "n_regionkey")},
+    "nation": {"customers": ("customer", "c_nationkey"),
+               "suppliers": ("supplier", "s_nationkey")},
+    "customer": {"orders": ("orders", "o_custkey")},
+    "orders": {"items": ("lineitem", "l_orderkey")},
+}
+
 TPCH_PKS: dict[str, str] = {
     "region": "r_regionkey",
     "nation": "n_nationkey",
@@ -228,7 +238,8 @@ class Engine:
         for n in names:
             fp = os.path.join(path, f"{n}.parquet")
             self.register(n, read_parquet(self.spark, fp),
-                          pk=TPCH_PKS.get(n), fks=TPCH_FKS.get(n))
+                          pk=TPCH_PKS.get(n), fks=TPCH_FKS.get(n),
+                          backrefs=TPCH_BACKREFS.get(n))
         return self
 
     # ---- constructors ----------------------------------------------
