@@ -36,6 +36,7 @@ from preql_spark.table import Table, desc as desc_marker
 
 _TOKEN_RE = re.compile(r"""
     (?P<comment>//[^\n]*|\#[^\n]*)
+  | (?P<cont>\\[ \t]*\n[ \t]*)
   | (?P<nl>\n[ \t\r\n]*)
   | (?P<ws>[ \t\r]+)
   | (?P<float>\d+\.\d+)
@@ -94,7 +95,9 @@ def tokenize(src: str) -> list[Tok]:
             raise SyntaxError(f"cannot tokenize at: {src[pos:pos+20]!r}")
         pos = m.end()
         kind = m.lastgroup
-        if kind in ("ws", "comment"):
+        if kind in ("ws", "comment", "cont"):
+            # `cont`: backslash-newline line continuation
+            # (examples/movie_recommender.pql)
             continue
         if kind == "nl":
             if out and out[-1].kind != "nl":
@@ -2498,6 +2501,27 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
             parser.engine.drop_table(tname)
         return None
 
+    if name in ("import_csv", "import_json"):
+        # `import_csv(tbl, path, header)` loads INTO a declared table
+        # (reference pql_functions.py:902-956; movie_recommender.pql);
+        # with a string first argument it registers a new table
+        tgt = args[0]
+        path = parser._pyval(args[1])
+        header = bool(parser._pyval(args[2])) if len(args) > 2 else True
+        spark = parser.engine.spark
+        if name == "import_csv":
+            df = spark.read.csv(path, header=header, inferSchema=True)
+        else:
+            df = spark.read.json(path)
+        if isinstance(tgt, _MutableRef):
+            tgt.handle.insert_from(df)
+            parser.engine._sync_mutable(tgt.handle.name)
+            return parser._make_mutable_ref(tgt.handle.name)
+        if isinstance(tgt, str):
+            return parser.engine.register(tgt, df)
+        raise LangSignal("TypeError",
+                         f"{name}() expects a table or name first")
+
     # ---- interactive surface (pql_functions.py:735-813) ------------
     if name == "names":
         return _names_table(parser, args[0] if args else None)
@@ -2719,7 +2743,8 @@ _FUNCTIONS = set(_AGG_MAP) | set(_SCALAR_MAP) | {
     "names", "help", "tables",
     # session/DDL control + row constructor (__builtins__.pql)
     "dict", "commit", "rollback", "run_statement",
-    "remove_table", "remove_table_if_exists"}
+    "remove_table", "remove_table_if_exists",
+    "import_csv", "import_json"}
 # bare type names usable as values (isa/issubclass/type comparisons);
 # int/float/string/bool resolve to cast functions first and are
 # accepted by _as_type_name via their _FuncRef name

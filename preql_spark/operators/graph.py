@@ -1,11 +1,14 @@
 """Graph operators — BFS reachability and rank-limited tree walk.
 
 Reference: ``/root/reference/preql/modules/graph.pql:3-36`` implements
-``bfs``/``walk_tree`` as recursive CTEs.  Spark has no recursive CTE,
-so these are driver-side iterative fixpoint loops over DataFrame
-joins, with ``localCheckpoint`` every few rounds to cut lineage — the
-standard Pregel-lite pattern.  Each iteration is one hash join on the
-edge table (co-partitioned by src after the first shuffle).
+``bfs``/``walk_tree`` as recursive CTEs.  Two implementations here:
+driver-side iterative fixpoint loops over DataFrame joins (cycle-safe
+— anti-join dedup per round — with ``localCheckpoint`` every few
+rounds to cut lineage, the standard Pregel-lite pattern; each
+iteration is one hash join on the edge table, co-partitioned by src
+after the first shuffle), and :func:`bfs_sql` on Spark 4's native
+``WITH RECURSIVE`` operator for DAGs (also what the lang's ``SQL()``
+``$self`` recursion compiles to).
 """
 
 from __future__ import annotations

@@ -220,3 +220,76 @@ func closest_ancestor(a: string, b: string) {
     assert ex.q('closest_ancestor("Dog", "Mammal")') == "Mammal"
     assert ex.q('closest_ancestor("Dog", "Fish")') == "Animal"
     assert ex.q('closest_ancestor("Dog", "Alien") == null') is True
+
+
+def test_movie_recommender(ex, tmp_path):
+    """examples/movie_recommender.pql with a small synthetic MovieLens
+    stand-in (the original downloads ml-latest-small; the algorithm,
+    csv import into declared FK tables, line continuations, and the
+    join/aggregation pipeline are verbatim).  Adaptation: the final
+    join spells its key (join-by-column) — FK metadata does not
+    propagate through struct-join outputs here."""
+    ratings_csv = tmp_path / "ratings.csv"
+    ratings_csv.write_text(
+        "userId,movieId,rating,timestamp\n"
+        "1,1,5.0,0\n1,2,4.0,0\n1,3,5.0,0\n"
+        "2,1,1.0,0\n2,3,2.0,0\n2,4,5.0,0\n"
+        "3,2,3.0,0\n3,4,4.0,0\n")
+    movies_csv = tmp_path / "movies.csv"
+    movies_csv.write_text(
+        "movieId,title,genres\n"
+        "1,Toy Story,Animation\n2,Jumanji,Adventure\n"
+        "3,Heat,Crime\n4,Casino,Drama\n")
+    ex.q(f'''
+table movies {{
+    movieId: int
+    title: string
+    genres: string
+}}
+
+table ratings {{
+    userId: int
+    movieId: movies.movieId
+    rating: float
+    timestamp: int
+}}
+
+import_csv(ratings, "{ratings_csv}", true)
+import_csv(movies, "{movies_csv}", true)
+
+func recommend(liked_movie_ids) {{
+    liked_ratings = ratings[movieId in liked_movie_ids]
+
+    user_similarity = liked_ratings {{
+        userId
+          =>
+        similarity_score: sum(rating)
+    }}
+
+    unseen_ratings = ratings[movieId !in liked_movie_ids]
+
+    unseen_ratings_with_similarity = \\
+        join(
+            rating: unseen_ratings.userId,
+            rater: user_similarity.userId
+        ) {{
+            rater.similarity_score
+            ...rating
+        }}
+
+    movie_score = unseen_ratings_with_similarity {{
+        movieId
+          =>
+        score: sum(similarity_score * rating)
+    }}
+
+    return movie_score order {{ ^score }}
+}}
+''')
+    r = ex.q("recommend([1, 2])")
+    got = [(x.movieId, x.score) for x in r.collect()]
+    # u1 similarity 9, u2 1, u3 3 → Heat: 9*5+1*2=47, Casino: 1*5+3*4=17
+    assert got == [(3, 47.0), (4, 17.0)]
+    titles = ex.q('join(s: recommend([1, 2]).movieId, m: movies.movieId)'
+                  ' { Movie: "* " + m.title } [..1]')
+    assert [x.Movie for x in titles.collect()] == ["* Heat"]
