@@ -1315,9 +1315,17 @@ class Parser:
                 elif isinstance(v, Column):
                     # bare column keeps its own name when trivially a
                     # column reference; else the guessed name
-                    # (compiler.py:132-148 guess_field_name)
+                    # (compiler.py:132-148 guess_field_name).  FK /
+                    # backref traversal helpers are private — their
+                    # entries auto-name by the traversed field
+                    # (`country.language` → language)
                     cname = _plain_col_name(v)
-                    if cname is not None and not self.in_agg:
+                    if cname is not None \
+                            and cname.startswith(("__fk_", "__br_")):
+                        entries.append(
+                            (_AutoName(cname.rsplit("__", 1)[-1]),
+                             self._agg_col(v)))
+                    elif cname is not None and not self.in_agg:
                         entries.append(_AutoName(cname))
                     else:
                         entries.append((_AutoName(cname) if cname else sug,

@@ -293,3 +293,64 @@ func recommend(liked_movie_ids) {{
     titles = ex.q('join(s: recommend([1, 2]).movieId, m: movies.movieId)'
                   ' { Movie: "* " + m.title } [..1]')
     assert [x.Movie for x in titles.collect()] == ["* Heat"]
+
+
+def test_simple2_implicit_joins(ex):
+    """tests/simple2.pql — the reference's implicit-join showcase.
+    Its own test (test_basic.py test_simple2) is SKIPPED upstream
+    ("Not ready yet"); this engine runs the fixture: FK traversal in
+    selections, projections, and group keys, backref counts and
+    collections, FK auto-join of a filtered dimension."""
+    ex.q('''
+table Country {
+    name: string
+    language: string
+}
+
+table Person {
+    name: string
+    country: Country -> citizens
+}
+
+isr = new Country("Israel", "he")
+eng = new Country("England", "en")
+us = new Country("United States", "en")
+
+me = new Person("Erez Shinan", isr)
+new Person("Ephraim Kishon", isr)
+new Person("Eric Blaire", eng)
+new Person("H.G. Wells", eng)
+new Person("John Steinbeck", us)
+''')
+    # FK traversal in a selection
+    rows = ex.q('Person[country.language == "en"]{name}').collect()
+    assert sorted(r.name for r in rows) == \
+        ["Eric Blaire", "H.G. Wells", "John Steinbeck"]
+    # traversal in a projection (auto-named by the last attribute)
+    rows = ex.q('Person {name, country.language}').collect()
+    assert {(r.name, r.language) for r in rows} == {
+        ("Erez Shinan", "he"), ("Ephraim Kishon", "he"),
+        ("Eric Blaire", "en"), ("H.G. Wells", "en"),
+        ("John Steinbeck", "en")}
+    # group by language, names as arrays
+    rows = ex.q('Country {language => name}').collect()
+    got = {r.language: sorted(r.name) for r in rows}
+    assert got == {"he": ["Israel"],
+                   "en": ["England", "United States"]}
+    # traversal as a GROUP KEY
+    rows = ex.q('Person {country.name => count(id)}').collect()
+    assert {(r.name, r["count"]) for r in rows} == {
+        ("Israel", 2), ("England", 2), ("United States", 1)}
+    # backref count and collection
+    rows = ex.q('Country {name => count(citizens)}').collect()
+    assert {(r.name, r["count"]) for r in rows} == {
+        ("Israel", 2), ("England", 2), ("United States", 1)}
+    rows = ex.q('Country {name => citizens.name}').collect()
+    got = {r[0]: sorted(r[1]) for r in rows}
+    assert got["Israel"] == ["Ephraim Kishon", "Erez Shinan"]
+    # FK auto-join with a filtered dimension
+    j = ex.q('join(c: Country[language == "en"], p: Person)'
+             '{ p.name, country: c.name }')
+    assert {(r.name, r.country) for r in j.collect()} == {
+        ("Eric Blaire", "England"), ("H.G. Wells", "England"),
+        ("John Steinbeck", "United States")}
