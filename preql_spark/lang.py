@@ -44,7 +44,8 @@ _TOKEN_RE = re.compile(r"""
   | (?P<dots>\.\.\.|\.\.)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<sname>\$[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<string>\"\"\"[\s\S]*?\"\"\"|'''[\s\S]*?'''|"[^"]*"|'[^']*')
+  | (?P<string>\"\"\"[\s\S]*?\"\"\"|'''[\s\S]*?'''
+        |"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
   | (?P<op>==|!=|<=|>=|=>|!in|/~|\*\*|\+=|[-+*/%<>=~^(){}\[\],:.!|&;?])
 """, re.VERBOSE)
 
@@ -87,6 +88,15 @@ class Tok:
     text: str
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\",
+            '"': '"', "'": "'", "0": "\0"}
+
+
+def _unescape(s: str) -> str:
+    return re.sub(r"\\(.)", lambda m: _ESCAPES.get(m.group(1),
+                                                   "\\" + m.group(1)), s)
+
+
 def tokenize(src: str) -> list[Tok]:
     out, pos = [], 0
     while pos < len(src):
@@ -123,6 +133,10 @@ class Parser:
         # whether we're on the aggregation side of `=>`
         self.table: Table | None = None
         self.in_agg = False
+        # set whenever an aggregate builtin is constructed; reset per
+        # projection entry so `{ => sign(item)}` (no aggregate inside)
+        # collects to an array like a bare column (reference MakeArray)
+        self._agg_seen = False
 
     # ---- token helpers ---------------------------------------------
     def peek(self, k: int = 0) -> Tok:
@@ -615,7 +629,9 @@ class Parser:
         self.env.pop(name, None)
         exists = name in self.engine.mutables or name in self.engine.tables()
         if exists:
-            return self._connect_existing(name, fields, ellipsis, bare)
+            return self._connect_existing(name, fields, ellipsis, bare,
+                                          fks=fks, methods=methods,
+                                          backref_requests=backref_requests)
         if ellipsis:
             raise LangSignal(
                 "TypeError",
@@ -727,7 +743,10 @@ class Parser:
                            self.toks[start:self.i] + [Tok("eof", "")])
 
     def _connect_existing(self, name: str, fields: list[str],
-                          ellipsis: bool, bare: bool):
+                          ellipsis: bool, bare: bool,
+                          fks: dict | None = None,
+                          methods: dict | None = None,
+                          backref_requests: list | tuple = ()):
         """`table foo {...}` where `foo` already exists: connect to it
         — validate the declared columns against the live schema, merge
         the rest through `...` (reference evaluate.py:232-262; the
@@ -750,13 +769,51 @@ class Parser:
         elif not bare and "id" in cur_cols and "id" not in cols:
             # auto-add id if present and not declared (evaluate.py:244-248)
             cols = ["id"] + cols
+        # a redeclaration may ATTACH relations to the live binding —
+        # chinook.pql: `table albums {ArtistId: artists.ArtistId, ...}`
+        # adds FK metadata over an already-imported table (reference
+        # evaluate.py exists-branch keeps the declared relations)
+        self._attach_relations(name, fks, methods, backref_requests)
         if name in self.engine.mutables:
             mt = self.engine.mutables[name]
             mt.declared_view = cols if cols != cur_cols else None
+            self.engine._sync_mutable(name)
             return self._make_mutable_ref(name)
-        ref = cur.project(*cols) if cols != cur_cols else cur
+        ref = self.engine.table(name)
+        ref = ref.project(*cols) if cols != cur_cols else ref
         self.env[name] = ref
         return ref
+
+    def _attach_relations(self, name: str, fks, methods,
+                          backref_requests) -> None:
+        """Merge declared FKs / methods / backrefs into an existing
+        table's metadata (mutable handle or catalog meta)."""
+        eng = self.engine
+        if name in eng.mutables:
+            mt = eng.mutables[name]
+            if fks:
+                mt.fks = {**(getattr(mt, "fks", {}) or {}), **fks}
+            if methods:
+                mt.methods = {**(getattr(mt, "methods", {}) or {}),
+                              **methods}
+        else:
+            meta = eng.catalog.get(name)
+            if meta is not None:
+                if fks:
+                    meta.fks = {**(meta.fks or {}), **fks}
+                if methods:
+                    meta.methods = {**(meta.methods or {}), **methods}
+        for bname, tgt, cname in backref_requests or ():
+            if tgt in eng.mutables:
+                holder = eng.mutables[tgt]
+                brs = dict(getattr(holder, "backrefs", {}) or {})
+                brs[bname] = (name, cname)
+                holder.backrefs = brs
+                eng._sync_mutable(tgt)
+            elif tgt in eng.catalog:
+                tmeta = eng.catalog[tgt]
+                tmeta.backrefs = {**(tmeta.backrefs or {}),
+                                  bname: (name, cname)}
 
     def _make_mutable_ref(self, name: str) -> "_MutableRef":
         mt = self.engine.mutables[name]
@@ -1233,6 +1290,7 @@ class Parser:
                 agg_kv: dict = {}
                 for e in agg_entries:
                     if isinstance(e, str):
+                        self._agg_seen = False
                         agg_kv[e] = self._agg_col(F.col(e))
                     elif isinstance(e, tuple):
                         agg_kv[e[0]] = e[1]
@@ -1282,9 +1340,14 @@ class Parser:
                     # `...structcol` — spread a struct column's fields
                     # inline (reference from_struct, compiler.py:104-112;
                     # test_basic.py:1084-1091), with the same collision
-                    # auto-suffix as plain projection entries
+                    # auto-suffix as plain projection entries and
+                    # optional `!field` exclusions (chinook.pql
+                    # `...t !GenreId !AlbumId !TrackId`)
                     v = self.expr()
-                    entries.append(_StructInline(self._col(v), []))
+                    excl = []
+                    while self.accept("op", "!"):
+                        excl.append(self.expect("name").text)
+                    entries.append(_StructInline(self._col(v), excl))
                     self.accept("op", ",")
                     continue
                 # optional exclusions: ... !name !name
@@ -1304,9 +1367,11 @@ class Parser:
                     raise SyntaxError(
                         "Cannot use a name for ellipsis "
                         "(inlining operation doesn't accept a name)")
+                self._agg_seen = False
                 entries.append((name, self._agg_col(self.expr())))
             else:
                 span_start = self.i
+                self._agg_seen = False
                 v = self.expr()
                 sug = _AutoName(self._suggest_name(
                     self.toks[span_start:self.i]))
@@ -1356,9 +1421,15 @@ class Parser:
 
     def _agg_col(self, v):
         """On the agg side of ``=>``, a bare (non-aggregate) column
-        becomes collect_list — reference MakeArray (compiler.py:59-63)."""
+        becomes collect_list — reference MakeArray (compiler.py:59-63).
+        A COMPUTED entry with no aggregate inside (``{ => sign(item)}``,
+        test_basic.py test_vectorized_logic) collects the same way —
+        ``_agg_seen`` is reset per entry and set by the aggregate
+        builtins."""
         col = self._col(v)
-        if self.in_agg and _plain_col_name(col) is not None:
+        if self.in_agg and not self._agg_seen \
+                and isinstance(v, (Column, str)) \
+                and not _is_literal_col(col):
             return F.collect_list(col)
         return col
 
@@ -1418,10 +1489,12 @@ class Parser:
             return float(t.text)
         if t.kind == "string":
             # triple-quoted forms strip three quotes (language.md:
-            # 'a' "a" '''a''' \"\"\"a\"\"\")
+            # 'a' "a" '''a''' \"\"\"a\"\"\"); single-quoted forms
+            # process \n \t \\ \" escapes (reference Lark string
+            # unescape; test_basic.py test_text)
             if t.text[:3] in ("'''", '"""'):
                 return t.text[3:-3]
-            return t.text[1:-1]
+            return _unescape(t.text[1:-1])
         if t.kind == "null":
             return F.lit(None)
         if t.kind in ("true", "false"):
@@ -1440,9 +1513,21 @@ class Parser:
                 self._skip_nl()
                 if self.accept("op", "}"):
                     break
-                fname = self.expect("name").text
-                self.expect("op", ":")
-                fields.append(self._col(self.expr()).alias(fname))
+                if self.peek().kind == "name" \
+                        and self.peek(1).kind == "op" \
+                        and self.peek(1).text == ":":
+                    fname = self.next().text
+                    self.next()
+                    fields.append(self._col(self.expr()).alias(fname))
+                else:
+                    # bare-entry shorthand `{item}` / `{a.item}` —
+                    # auto-named like a projection entry
+                    # (test_basic.py test_nested2 `[1] {a:{b:{item}}}`)
+                    span_start = self.i
+                    v = self.expr()
+                    fname = _plain_col_name(self._col(v)) \
+                        or self._suggest_name(self.toks[span_start:self.i])
+                    fields.append(self._col(v).alias(fname))
                 self.accept("op", ",")
             if not fields:
                 raise LangSignal("TypeError", "empty struct literal")
@@ -1468,9 +1553,18 @@ class Parser:
             b = int(self.expect("int").text)
             self.expect("op", "]")
             return self.engine.range(0, b)
-        if self.peek().kind == "int" and self.peek(1).kind == "dots" \
-                and self.peek(1).text == "..":
+        neg = (self.peek().kind == "op" and self.peek().text == "-"
+               and self.peek(1).kind == "int"
+               and self.peek(2).kind == "dots"
+               and self.peek(2).text == "..")
+        if neg or (self.peek().kind == "int"
+                   and self.peek(1).kind == "dots"
+                   and self.peek(1).text == ".."):
+            if neg:
+                self.next()
             a = int(self.next().text)
+            if neg:
+                a = -a
             self.next()
             if self.accept("op", "]"):
                 # [a..] — unbounded series; stays symbolic until a
@@ -1478,7 +1572,10 @@ class Parser:
                 # recursive CTE and pushes LIMIT; engines that can't
                 # raise NotImplementedError — test_basic.py:637-641)
                 return _OpenRange(self.engine, a)
+            bneg = bool(self.accept("op", "-"))
             b = int(self.expect("int").text)
+            if bneg:
+                b = -b
             self.expect("op", "]")
             # reference semantics: [1..3] == [1, 2] (stop-exclusive,
             # tests/test_basic.py:631-638)
@@ -1625,9 +1722,12 @@ class Parser:
                                  f"{m.name}(): no parameter {k!r}")
             sub.env[k] = v
         sub.env["this"] = bm.table
-        v = sub.expr()
-        sub.expect("eof")
-        return v
+        try:
+            v = sub.expr()
+            sub.expect("eof")
+            return v
+        finally:
+            self._agg_seen = self._agg_seen or sub._agg_seen
 
     def _fk_field(self, colname: str, field: str) -> Column:
         """Follow an FK column to a field of its target table: left
@@ -1788,9 +1888,12 @@ class Parser:
         sub.toks = lz.toks
         sub.table = self.table
         sub.in_agg = self.in_agg
-        v = sub.expr()
-        sub.expect("eof")
-        return v
+        try:
+            v = sub.expr()
+            sub.expect("eof")
+            return v
+        finally:
+            self._agg_seen = self._agg_seen or sub._agg_seen
 
     def _call(self, fn):
         args, kwargs = [], {}
@@ -1927,20 +2030,26 @@ class Parser:
         sub.toks = fn.body
         sub.table = self.table
         sub.in_agg = self.in_agg
-        if fn.block:
-            # block body: execute statements; `return` raises through
-            # (reference ReturnSignal, evaluate.py:421-424)
-            try:
-                sub._skip_seps()
-                while sub.peek().kind != "eof":
-                    sub.statement()
+        try:
+            if fn.block:
+                # block body: execute statements; `return` raises
+                # through (reference ReturnSignal, evaluate.py:421-424)
+                try:
                     sub._skip_seps()
-                return None
-            except _ReturnSignal as r:
-                return r.value
-        v = sub.expr()
-        sub.expect("eof")
-        return v
+                    while sub.peek().kind != "eof":
+                        sub.statement()
+                        sub._skip_seps()
+                    return None
+                except _ReturnSignal as r:
+                    return r.value
+            v = sub.expr()
+            sub.expect("eof")
+            return v
+        finally:
+            # aggregate usage inside the inlined body counts for the
+            # caller's agg-entry wrapping (`{=> sqsum(item)}` where
+            # sqsum contains sum — no MakeArray around an aggregate)
+            self._agg_seen = self._agg_seen or sub._agg_seen
 
     # ---- coercion --------------------------------------------------
     def _is_stringy(self, x) -> bool:
@@ -2325,14 +2434,31 @@ def _literal_kernel(x) -> str | None:
     return None
 
 
+def _is_literal_col(c: Column) -> bool:
+    """True for constant literal columns (NULL/TRUE/42/'s') — these
+    stay scalar on the agg side instead of collecting to arrays
+    (reference keeps constants as constants; test_list_ops
+    `{null => null}`)."""
+    m = re.fullmatch(r"Column<'(.*)'>", str(c), re.S)
+    if not m:
+        return False
+    inner = m.group(1)
+    return (inner.upper() in ("NULL", "TRUE", "FALSE")
+            or re.fullmatch(r"-?\d+(\.\d+)?", inner) is not None
+            or re.fullmatch(r"'[^']*'", inner) is not None)
+
+
 def _plain_col_name(c: Column) -> str | None:
     """Name if the column is a trivial attribute reference (literals
     like NULL/TRUE/42 render the same way but are not references)."""
     s = str(c)
-    m = re.fullmatch(r"Column<'(\w+)'>", s)
+    # qualified refs (`view.col` — catalog-table reads resolve
+    # qualified) keep the leaf, like the reference guess_field_name
+    # (compiler.py:132-148)
+    m = re.fullmatch(r"Column<'(\w+(?:\.\w+)*)'>", s)
     if not m:
         return None
-    name = m.group(1)
+    name = m.group(1).rsplit(".", 1)[-1]
     if name.upper() in ("NULL", "TRUE", "FALSE") or name.isdigit():
         return None
     return name
@@ -2520,7 +2646,17 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
         if name == "import_csv":
             df = spark.read.csv(path, header=header, inferSchema=True)
         else:
-            df = spark.read.json(path)
+            # a file whose first byte is '[' is a JSON ARRAY document
+            # (examples/airports.pql gist), not NDJSON — Spark needs
+            # multiLine to parse it as one value per file
+            multi = False
+            try:
+                with open(path, "rb") as fh:
+                    head = fh.read(64).lstrip()
+                multi = head.startswith(b"[")
+            except OSError:
+                pass
+            df = spark.read.json(path, multiLine=multi)
         if isinstance(tgt, _MutableRef):
             tgt.handle.insert_from(df)
             parser.engine._sync_mutable(tgt.handle.name)
@@ -2529,6 +2665,28 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
             return parser.engine.register(tgt, df)
         raise LangSignal("TypeError",
                          f"{name}() expects a table or name first")
+
+    if name == "import_table":
+        # reflect an existing warehouse table into the namespace
+        # (reference pql_import_table — pql_functions.py:689-711;
+        # examples/bigquery_covid19.pql).  On Spark the warehouse is
+        # the session catalog (metastore tables / temp views); an
+        # optional second argument whitelists columns.
+        qual = parser._pyval(args[0])
+        try:
+            df = parser.engine.spark.table(qual)
+        except Exception:
+            raise LangSignal("KeyError",
+                             f"no such catalog table {qual!r}") from None
+        if len(args) > 1:
+            cols = parser._pyval(args[1])
+            missing = [c for c in cols if c not in df.columns]
+            if missing:
+                raise LangSignal(
+                    "TypeError", f"columns {missing} not in {qual!r}")
+            df = df.select(*cols)
+        # bind under the unqualified leaf name, like the reference
+        return parser.engine.register(qual.split(".")[-1], df)
 
     # ---- interactive surface (pql_functions.py:735-813) ------------
     if name == "names":
@@ -2620,13 +2778,16 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
                       if isinstance(v, (Table, _JoinColRef))}
             on = kwargs.get("on")
             # join-by-column spelling: equate consecutive column
-            # operands (reference join(a: t1.x, b: t2.y) ⇒ x == y)
+            # operands (reference join(a: t1.x, b: t2.y) ⇒ x == y);
+            # for k-way chains each step joins the new operand to the
+            # previous one (test_basic.py test_triple_join)
             refs = [(k, v.col) for k, v in kwargs.items()
                     if isinstance(v, _JoinColRef)]
-            if on is None and len(refs) >= 2:
-                for (a, ca), (b, cb) in zip(refs, refs[1:]):
-                    c = F.col(f"{a}.{ca}") == F.col(f"{b}.{cb}")
-                    on = c if on is None else (on & c)
+            if on is None and len(refs) >= 2 and len(refs) == len(tables):
+                on = [F.col(f"{a}.{ca}") == F.col(f"{b}.{cb}")
+                      for (a, ca), (b, cb) in zip(refs, refs[1:])]
+                if len(on) == 1:
+                    on = on[0]
             f = {"join": tbl.join, "leftjoin": tbl.leftjoin,
                  "outerjoin": tbl.outerjoin}.get(name)
             if name == "joinall":
@@ -2662,7 +2823,19 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
         if name == "limit_offset":
             return args[0].slice(args[2], args[2] + args[1])
 
+    if name == "columns":
+        # `columns(t)` → {column_name: column_type} (reference
+        # pql_columns — pql_functions.py:653-665); `count()` of the
+        # result is the column count (test_basic.py test_bare_table)
+        t = args[0]
+        if not isinstance(t, Table):
+            raise LangSignal("TypeError", "columns() expects a table")
+        return dict(t.df.dtypes)
+
     col = None
+    if args and isinstance(args[0], dict):
+        if name == "count":
+            return len(args[0])
     if args and isinstance(args[0], Table):
         t = args[0]
         if name == "count":
@@ -2682,6 +2855,7 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
     if args:
         col = parser._col(args[0])
     if name == "count":
+        parser._agg_seen = True
         if col is None:
             return F.count(F.lit(1))
         # row-context count of an ARRAY column is its length
@@ -2698,6 +2872,7 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
                 pass
         return agg.count(col)
     if name in _AGG_MAP:
+        parser._agg_seen = True
         return _AGG_MAP[name](col)
     if name in _SCALAR_MAP:
         return _SCALAR_MAP[name](*[parser._col(a) if isinstance(a, Column)
@@ -2752,7 +2927,7 @@ _FUNCTIONS = set(_AGG_MAP) | set(_SCALAR_MAP) | {
     # session/DDL control + row constructor (__builtins__.pql)
     "dict", "commit", "rollback", "run_statement",
     "remove_table", "remove_table_if_exists",
-    "import_csv", "import_json"}
+    "import_csv", "import_json", "import_table", "columns"}
 # bare type names usable as values (isa/issubclass/type comparisons);
 # int/float/string/bool resolve to cast functions first and are
 # accepted by _as_type_name via their _FuncRef name

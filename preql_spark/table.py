@@ -758,11 +758,29 @@ def join(how: str = "inner", on: Column | None = None,
     for n in broadcast:
         aliased[n] = F.broadcast(aliased[n])
 
+    # `on` forms: a single Column (theta join of two tables) or a list
+    # of k-1 Columns applied stepwise for a k-way chain (join-by-column
+    # spelling `join(a: t1.x, b: t2.y, c: t3.z)` — reference
+    # test_basic.py test_triple_join)
+    conds: list | None
+    if on is None:
+        conds = None
+    elif isinstance(on, (list, tuple)):
+        if len(on) != len(names) - 1:
+            raise ValueError(
+                f"join of {len(names)} tables needs {len(names) - 1} "
+                f"conditions, got {len(on)}")
+        conds = list(on)
+    elif len(names) == 2:
+        conds = [on]
+    else:
+        raise ValueError("explicit `on` with >2 tables must be a list "
+                         "of per-step conditions")
     joined = aliased[names[0]]
     joined_names = [names[0]]
-    for n in names[1:]:
-        if on is not None and len(names) == 2:
-            cond = on
+    for step, n in enumerate(names[1:]):
+        if conds is not None:
+            cond = conds[step]
         else:
             cond = _resolve_auto_cond(tables, joined_names, n)
         joined = joined.join(aliased[n], cond, how)

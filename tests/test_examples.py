@@ -354,3 +354,135 @@ new Person("John Steinbeck", us)
     assert {(r.name, r.country) for r in j.collect()} == {
         ("Eric Blaire", "England"), ("H.G. Wells", "England"),
         ("John Steinbeck", "United States")}
+
+def test_chinook_joins(ex, tmp_path):
+    """examples/chinook.pql — FK-attaching partial redeclaration over
+    already-imported tables (`table albums {ArtistId: artists.ArtistId,
+    ...}`), pure-reflect `table genres {...}`, then the 4-way FK
+    auto-join with position-aware ellipsis exclusions and derived
+    projections over excluded source columns.  The sqlite source is
+    replaced by local CSVs (same columns as the Chinook schema)."""
+    (tmp_path / "artists.csv").write_text(
+        "ArtistId,Name\n1,AC/DC\n2,Accept\n")
+    (tmp_path / "albums.csv").write_text(
+        "AlbumId,Title,ArtistId\n"
+        "1,For Those About To Rock,1\n2,Balls to the Wall,2\n"
+        "3,Restless and Wild,2\n")
+    (tmp_path / "genres.csv").write_text(
+        "GenreId,Name\n1,Rock\n2,Jazz\n")
+    (tmp_path / "tracks.csv").write_text(
+        "TrackId,Name,AlbumId,GenreId,Milliseconds,Bytes\n"
+        "1,For Those About To Rock (We Salute You),1,1,343719,11170334\n"
+        "2,Balls to the Wall,2,1,342562,5510424\n"
+        "3,Fast As a Shark,3,1,230619,3990994\n"
+        "4,Restless and Wild,3,2,252051,4331779\n")
+    ex.q(f'''
+import_csv("artists", "{tmp_path / 'artists.csv'}", true)
+import_csv("albums", "{tmp_path / 'albums.csv'}", true)
+import_csv("genres", "{tmp_path / 'genres.csv'}", true)
+import_csv("tracks", "{tmp_path / 'tracks.csv'}", true)
+
+table genres {{...}}
+
+table albums {{
+    ArtistId: artists.ArtistId
+    ...
+}}
+
+table tracks {{
+    AlbumId: albums.AlbumId,
+    GenreId: genres.GenreId
+    ...
+}}
+
+tracks_joined = join(art: artists, alb: albums, t: tracks, g: genres) {{
+    ...t !GenreId !AlbumId !TrackId
+    Artist: art.Name
+    Album: alb.Title
+    Genre: g.Name
+}}
+
+tracks_pretty = tracks_joined {{
+    ... !Milliseconds !Bytes
+    Seconds: Milliseconds / 1000
+    MB: Bytes / 1024 / 1024
+}}
+''')
+    rows = ex.q('tracks_joined order {Name}').collect()
+    assert [(r.Name, r.Artist, r.Album, r.Genre) for r in rows] == [
+        ("Balls to the Wall", "Accept", "Balls to the Wall", "Rock"),
+        ("Fast As a Shark", "Accept", "Restless and Wild", "Rock"),
+        ("For Those About To Rock (We Salute You)", "AC/DC",
+         "For Those About To Rock", "Rock"),
+        ("Restless and Wild", "Accept", "Restless and Wild", "Jazz"),
+    ]
+    pretty = ex.q('tracks_pretty order {Name}')
+    cols = pretty.columns
+    assert "Milliseconds" not in cols and "Bytes" not in cols
+    r0 = pretty.collect()[0]
+    assert r0.Seconds == 342562 // 1000 or abs(r0.Seconds - 342.562) < 1
+
+def test_airports(ex, tmp_path):
+    """examples/airports.pql — import_json of a JSON-array document
+    into a new table, ellipsis exclusions, order by ^elev, group-count.
+    The gist download is replaced by a local file with the same record
+    shape."""
+    import json
+    data = [
+        {"code": "BPX", "lat": 31.1442, "lon": 97.174, "elev": 14219,
+         "name": "Bangda Airport", "city": "Qamdo", "state": "Tibet",
+         "country": "China", "url": "", "tz": "Asia/Shanghai",
+         "phone": "", "email": "", "type": "airport"},
+        {"code": "LPB", "lat": -16.5094, "lon": -68.1906, "elev": 13325,
+         "name": "El Alto International Airport", "city": "La Paz",
+         "state": "La Paz", "country": "Bolivia", "url": "", "tz": "",
+         "phone": "", "email": "", "type": "airport"},
+        {"code": "JUL", "lat": -15.4642, "lon": -70.1544, "elev": 12552,
+         "name": "Juliaca Airport", "city": "Juliaca", "state": "Puno",
+         "country": "Peru", "url": "", "tz": "", "phone": "",
+         "email": "", "type": "airport"},
+        {"code": "CUZ", "lat": -13.5308, "lon": -71.9472, "elev": 10860,
+         "name": "Velazco Astete Airport", "city": "San Sebastián",
+         "state": "Cusco", "country": "Peru", "url": "", "tz": "",
+         "phone": "", "email": "", "type": "airport"},
+    ]
+    p = tmp_path / "airports.json"
+    p.write_text(json.dumps(data))
+    ex.q(f'''
+import_json("airports", "{p}")
+
+airports_short = airports{{... !url !tz !phone !email !type}}
+
+airports_by_highest = airports order {{^elev}}
+
+airports_by_country = airports {{country => airport_count: count()}} \\
+    order {{^airport_count}}
+''')
+    short_cols = ex.q("airports_short").columns
+    assert not {"url", "tz", "phone", "email", "type"} & set(short_cols)
+    assert {"code", "elev", "country"} <= set(short_cols)
+    highest = ex.q("airports_by_highest {code}").collect()
+    assert [r.code for r in highest] == ["BPX", "LPB", "JUL", "CUZ"]
+    bc = ex.q("airports_by_country").collect()
+    assert [(r.country, r.airport_count) for r in bc[:1]] == [("Peru", 2)]
+
+def test_bigquery_covid19(ex):
+    """examples/bigquery_covid19.pql — import_table() reflection of a
+    warehouse catalog table, then the grouped positive-rate query
+    verbatim.  The BigQuery public dataset is replaced by a local temp
+    view with the same columns (Spark's session catalog plays the
+    warehouse role)."""
+    ex.spark.createDataFrame(
+        [("US", 100.0, 1000.0), ("US", 200.0, 1500.0),
+         ("IL", 50.0, 100.0), ("IL", 25.0, 200.0),
+         ("GB", 0.0, 0.0)],
+        "country_code string, cumulative_confirmed double,"
+        " cumulative_tested double",
+    ).createOrReplaceTempView("covid19_open_data")
+    ex.q('covid19 = import_table("covid19_open_data")')
+    r = ex.q('''covid19[cumulative_tested > 0]{
+    country_code => confirmed_ratio: sum(cumulative_confirmed) / sum(cumulative_tested)
+} order {^confirmed_ratio}''')
+    got = [(x.country_code, round(x.confirmed_ratio, 3))
+           for x in r.collect()]
+    assert got == [("IL", 0.25), ("US", 0.12)]

@@ -1249,3 +1249,135 @@ def test_literal_forms_golden(leng):
     # struct literal fields project back out
     out = leng.q('[3]{p: {x: item}}{px: p.x}')
     assert [r.px for r in out.collect()] == [3]
+
+
+def test_triple_join_golden(leng):
+    """Ported reference test_triple_join (test_basic.py): 3-way
+    join-by-column chain — each operand names its join key, steps
+    equate consecutive operands."""
+    r = leng.q('join(a: [1..10].item, b: [2..20].item,'
+               ' c: [3,5,15].item) {c.item}')
+    assert sorted(x.item for x in r.collect()) == [3, 5]
+
+
+def test_nested2_golden(leng):
+    """Ported reference test_nested2: nested on-the-fly struct
+    literals with bare-entry shorthand, struct projection
+    round-trips."""
+    r = leng.q('[1] {a:{b:{item}}}').collect()
+    assert [x.asDict(True) for x in r] == [{'a': {'b': {'item': 1}}}]
+    a = leng.q('[1] {a:{item}} {a}').collect()
+    assert [x.asDict(True) for x in a] == [{'a': {'item': 1}}]
+    b = leng.q('([1] {a:{item}}) {a.item}').collect()
+    assert [x.item for x in b] == [1]
+
+
+def test_text_golden(leng):
+    """Ported reference test_text: text columns hold embedded
+    newlines; string literals process \\n escapes."""
+    leng.q('table TxtA { x: text }')
+    leng.q('a = new TxtA("hello")')
+    leng.q('b = new TxtA("hello\\nworld")')
+    assert leng.q('one TxtA[id==1]{x}').x == "hello"
+    assert leng.q('one TxtA[id==2]{x}').x == "hello\nworld"
+
+
+def test_repeat_golden(leng):
+    """Ported reference test_repeat: vectorized repeat(str, n)."""
+    r = leng.q('[1,2,3]{repeat("a", item)}').collect()
+    assert [x.repeat for x in r] == ["a", "aa", "aaa"]
+
+
+def test_round_golden(leng):
+    """Ported reference test_round: round(x), round(x, n) including
+    negative n (half-away-from-zero like the reference's Python
+    round-half-even differs on ties — the reference asserts these
+    exact values)."""
+    q = leng.q
+    assert float(q('round(1928.9182)')) == 1929
+    assert float(q('round(1928.9182, 0)')) == 1929
+    assert float(q('round(1928.9182, 1)')) == 1928.9
+    assert float(q('round(1928.9182, 2)')) == 1928.92
+    assert float(q('round(1928.9182, -1)')) == 1930
+    assert float(q('round(1928.9182, -3)')) == 2000
+    assert float(q('round(-59.9)')) == -60
+    assert float(q('round(-4.535, 2)')) == -4.54
+
+
+def test_lists2_golden(leng):
+    """Ported reference test_lists2: membership against a computed
+    list inside a function body (boolean column; the reference's
+    sqlite renders 0/1)."""
+    leng.q('func in_list(x) = [1,2,3] {item in x{item}}')
+    r = leng.q('in_list([2, 3])').collect()
+    assert [bool(x[0]) for x in r] == [False, True, True]
+
+
+def test_partial_table2_golden(leng):
+    """Ported reference test_partial_table2: CTAS from list, shadow
+    with null, reconnect via `table A {...}`, insert."""
+    leng.q('table PTA = [1, 2, 3]')
+    leng.q('PTA = null')
+    assert leng.q('PTA == null') is True
+    leng.q('table PTA {...}')
+    leng.q('new PTA(10)')
+    assert sorted(r.item for r in leng.q('PTA{item}').collect()) \
+        == [1, 2, 3, 10]
+
+
+def test_table_from_expr_golden(leng):
+    """Ported reference test_table_from_expr: CTAS from a range is
+    insertable."""
+    leng.q('table TFE = [1..3]')
+    leng.q('new TFE(5)')
+    assert sorted(r.item for r in leng.q('TFE{item}').collect()) \
+        == [1, 2, 5]
+
+
+def test_bare_table_columns_golden(leng):
+    """Ported reference test_bare_table + columns() builtin
+    (pql_functions.py:653-665): bare tables get no auto-id and
+    columns() returns the name→type mapping."""
+    leng.q('bare table BareT {x: int}')
+    assert leng.q('count(columns(BareT))') == 1
+    leng.q('table IdT {x: int}')
+    cols = leng.q('columns(IdT)')
+    assert list(cols) == ['id', 'x']
+
+
+def test_vectorized_logic_golden(leng):
+    """Ported reference test_vectorized_logic: multi-branch scalar
+    function vectorizes over a negative-bound range; bare-column agg
+    collects to an array."""
+    leng.q('''func sign(x) {
+    if (x == 0) {
+        return 0
+    } else if (x > 0) {
+        return 1
+    } else {
+        return -1
+    }
+}''')
+    assert leng.q('list([-2..3]{sign(item)})') == [-1, -1, 0, 1, 1]
+    r = leng.q('[-2..3]{=>sign(item)}').collect()
+    assert [sorted(x[0]) for x in r] == [[-1, -1, 0, 1, 1]]
+
+
+def test_join_to_temptable_golden(leng):
+    """Ported reference test_join_to_temptable: leftjoin by column
+    into temptable, struct-field selections incl. null probe."""
+    leng.q('jl1 = [1, 2, 3]')
+    leng.q('jl2 = [1, 2, 4]')
+    leng.q('jt = temptable(leftjoin(a: jl1.item, b: jl2.item))')
+    assert [r.item for r in
+            leng.q('jt[a.item == 1] {a.item}').collect()] == [1]
+    assert [r.item for r in
+            leng.q('jt[b.item==null] {a.item}').collect()] == [3]
+
+
+def test_empty_count_golden(leng):
+    """Ported reference test_empty_count: argless count() in global
+    and keyed groupings."""
+    assert leng.q('one one [1,2,3] { => count()}') == 3
+    r = leng.q('[1,2,3] { item /~ 2 => count()} {count}').collect()
+    assert sorted(x[0] for x in r) == [1, 2]
