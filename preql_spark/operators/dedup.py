@@ -308,6 +308,52 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
     return df.join(losers, id_col, "left_anti")
 
 
+# ---- benchmark decontamination (train/eval n-gram overlap) -----------------
+
+def contaminated_ids(train: DataFrame, eval_df: DataFrame, id_col: str,
+                     text_col: str = "text", k: int = 8,
+                     portable: bool = False) -> DataFrame:
+    """Ids of training documents that share at least one k-token
+    shingle with the eval corpus — benchmark decontamination in the
+    GPT-3 appendix-C / Dolma style (drop training docs overlapping
+    held-out eval sets).
+
+    Scale shape: the eval side is the tiny one (benchmarks are MBs,
+    the corpus is TBs) — its distinct shingle hashes are broadcast, so
+    the 100 TB train side is ONE scan + per-row shingling + a broadcast
+    semi-join; the only train-side shuffle is the final distinct on
+    matched ids (contaminated docs, a small set).  Returns distinct
+    ``id_col`` rows.
+
+    ``portable=True`` hashes shingles with the md5-based cross-engine
+    hash (for differential testing); default xxhash64 is ~3× cheaper
+    and equivalent here because hashes only mediate the equality join.
+    """
+    hash_fn = portable_hash if portable \
+        else (lambda c: F.xxhash64(c))
+
+    def _shingle_hashes(df: DataFrame) -> DataFrame:
+        return (ensure_parallelism(df)
+                .select(F.col(id_col).alias("__id"),
+                        tokens(text_col).alias("__t"))
+                .select("__id",
+                        F.explode(shingles_from_tokens(F.col("__t"), k))
+                        .alias("__s"))
+                .select("__id", hash_fn(F.col("__s")).alias("__h")))
+
+    ev = F.broadcast(_shingle_hashes(eval_df).select("__h").distinct())
+    return (_shingle_hashes(train).join(ev, "__h", "left_semi")
+            .select(F.col("__id").alias(id_col)).distinct())
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame, id_col: str,
+                  text_col: str = "text", k: int = 8) -> DataFrame:
+    """Remove training documents contaminated by eval overlap
+    (anti-join against :func:`contaminated_ids`)."""
+    bad = contaminated_ids(train, eval_df, id_col, text_col, k)
+    return train.join(bad, id_col, "left_anti")
+
+
 # ---- exact n-gram Jaccard (brute via shingle join) -------------------------
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",

@@ -282,3 +282,45 @@ def centroid_agg(df: DataFrame, by, vec_col: str = "embedding",
                  .alias("__ms"))
             .select(*keys, F.transform("__ms", lambda s: s["__m"])
                     .alias(alias)))
+
+
+# ---- vector transforms (normalization / quantization) ----------------------
+
+def normalize_vectors(df: DataFrame, vec_col: str = "embedding",
+                      out_col: str = "unit") -> DataFrame:
+    """L2-normalize a vector column (unit vectors — the prep step that
+    turns cosine into dot product for ANN indexes).  The norm is
+    materialized into its own column first: HOF lambdas re-evaluate
+    referenced expressions per element, so an inline ``norm(vec)``
+    inside the transform would recompute the reduction per component
+    (O(d²)); a column reference is O(1) per element.  Zero vectors
+    pass through unchanged.  Scan-local, no shuffle."""
+    nrm = F.sqrt(F.aggregate(vec_col, F.lit(0.0),
+                             lambda a, x: a + x.cast("double") * x))
+    return (df.withColumn("__nrm", nrm)
+            .withColumn(out_col, F.when(
+                F.col("__nrm") > 0,
+                F.transform(vec_col,
+                            lambda x: x.cast("double") / F.col("__nrm")))
+                .otherwise(F.transform(vec_col,
+                                       lambda x: x.cast("double"))))
+            .drop("__nrm"))
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                  out_col: str = "q", scale_col: str = "scale") -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = 127/max|x|``,
+    ``q_i = round_half_up(x_i * scale)`` — 4× memory reduction for
+    embedding storage and SIMD-friendly ANN distance kernels.  The
+    round is the portable floor(x+0.5) form (bit-identical on DuckDB
+    for differential testing).  All-zero vectors quantize to zeros
+    with scale 0.  Scan-local higher-order functions, no shuffle."""
+    amax = F.array_max(F.transform(vec_col, F.abs)).cast("double")
+    d = df.withColumn(
+        "__sc", F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0)))
+    return (d.withColumn(
+        out_col,
+        F.transform(vec_col,
+                    lambda x: F.floor(x.cast("double") * F.col("__sc")
+                                      + F.lit(0.5)).cast("int")))
+        .withColumnRenamed("__sc", scale_col))

@@ -253,6 +253,76 @@ def quantile_filter(df: DataFrame, value_col: str, q: float,
     return joined.filter(cmp).drop("__thr")
 
 
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-document repetition statistics — the Gopher-style quality
+    gates that catch boilerplate and degenerate generations:
+
+    - ``n_lines``            non-blank line count
+    - ``dup_line_frac``      fraction of line occurrences that repeat
+                             an earlier identical line
+    - ``dup_line_char_frac`` fraction of non-blank-line characters
+                             inside those repeated occurrences
+    - ``top_bigram_frac``    share of the most frequent word bigram
+                             among all bigram occurrences
+
+    Scale shape: lines/bigrams are exploded to NARROW rows (id, hash,
+    len) before any shuffle — the text itself never moves.  Each branch
+    is two partial-agg shuffles keyed by (id, unit-hash) then (id); the
+    final joins are between doc-keyed aggregates (co-partitioned, AQE
+    broadcasts the small side).  Collision risk of grouping on xxhash64
+    instead of the raw line is ~2^-64 per doc — the values the oracle
+    compares are counts and lengths, which hashing preserves."""
+    base = df.select(F.col(id_col),
+                     F.length(F.col(text_col)).alias("__tc"),
+                     F.filter(F.transform(F.split(F.col(text_col), r"\n"),
+                                          F.trim),
+                              lambda x: x != "").alias("__lines"),
+                     tokens(F.col(text_col)).alias("__toks"))
+
+    ln = (base.select(id_col, F.explode("__lines").alias("__ln"))
+          .select(id_col, F.xxhash64("__ln").alias("__h"),
+                  F.length("__ln").alias("__len")))
+    per_line = (ln.groupBy(id_col, "__h")
+                .agg(F.count(F.lit(1)).alias("__c"),
+                     F.min("__len").alias("__len")))
+    line_stats = (per_line.groupBy(id_col)
+                  .agg(F.sum("__c").alias("n_lines"),
+                       F.sum(F.col("__c") - 1).alias("__dup"),
+                       F.sum(F.col("__c") * F.col("__len")).alias("__chars"),
+                       F.sum((F.col("__c") - 1) * F.col("__len"))
+                       .alias("__dup_chars")))
+
+    n = F.size("__toks")
+    bigrams = F.zip_with(F.slice("__toks", 1, F.greatest(n - 1, F.lit(0))),
+                         F.slice("__toks", 2, F.greatest(n - 1, F.lit(0))),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    bg = (base.select(id_col, F.explode(bigrams).alias("__g"))
+          .select(id_col, F.xxhash64("__g").alias("__h")))
+    per_gram = (bg.groupBy(id_col, "__h")
+                .agg(F.count(F.lit(1)).alias("__c")))
+    gram_stats = (per_gram.groupBy(id_col)
+                  .agg(F.max("__c").alias("__mx"),
+                       F.sum("__c").alias("__tot")))
+
+    docs = base.select(id_col)
+    zero = F.lit(0).cast("long")
+    return (docs.join(line_stats, id_col, "left")
+            .join(gram_stats, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce("n_lines", zero).alias("n_lines"),
+                F.when(F.coalesce("n_lines", zero) > 0,
+                       F.col("__dup") / F.col("n_lines"))
+                .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+                F.when(F.coalesce("__chars", zero) > 0,
+                       F.col("__dup_chars") / F.col("__chars"))
+                .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+                F.when(F.coalesce("__tot", zero) > 0,
+                       F.col("__mx") / F.col("__tot"))
+                .otherwise(F.lit(0.0)).alias("top_bigram_frac")))
+
+
 PII_PATTERNS = {
     # deliberately simple, RE2-compatible patterns (portable between
     # Spark's Java regex and DuckDB/RE2 for differential testing)

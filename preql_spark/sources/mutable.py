@@ -116,12 +116,13 @@ class MutableTable:
         nxt = (vs[-1] + 1) if vs else 0
         target = os.path.join(self.root, f"v{nxt}")
         df.write.mode("overwrite").parquet(target)
-        # retain only the latest two versions (previous one kept for
-        # in-flight readers; real deployments use Delta/Iceberg GC).
-        # An open transaction pins its start version: GC is suspended
-        # so rollback can restore it.
+        # retain the latest four versions: lazily-held reader handles
+        # (df() is lazy) must survive a few subsequent writes before
+        # they execute (real deployments use Delta/Iceberg snapshot
+        # GC).  An open transaction pins its start version: GC is
+        # suspended so rollback can restore it.
         if self._pin is None:
-            for v in vs[:-1]:
+            for v in vs[:-3]:
                 if v == self._mark:
                     continue           # rollback target stays restorable
                 shutil.rmtree(os.path.join(self.root, f"v{v}"),
@@ -156,10 +157,16 @@ class MutableTable:
 
     # ---- read ------------------------------------------------------
     def df(self) -> DataFrame:
-        path = self._current_path()
-        if path is None:
-            raise ValueError(f"table {self.name} has no data")
-        return self.spark.read.parquet(path)
+        # Under the table lock: version GC (inside _write_version,
+        # same lock) could otherwise delete the listed path between
+        # the listdir and the parquet footer read — observed as a
+        # flaky PATH_NOT_FOUND in the ported threading test when 10
+        # writer threads churn versions under CPU contention.
+        with self._lock:
+            path = self._current_path()
+            if path is None:
+                raise ValueError(f"table {self.name} has no data")
+            return self.spark.read.parquet(path)
 
     # ---- DML -------------------------------------------------------
     def _next_id_base(self) -> int:

@@ -420,3 +420,55 @@ def test_strip_short_lines(eng):
         .collect()[0].c
     assert out == ("this line has plenty of tokens\n"
                    "another real sentence with enough words")
+
+
+def test_repetition_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "a b\na b\nc d e"),        # "a b" repeats: 3 lines, 1 dup
+         (2, "x y z"),                   # no repeats
+         (3, "")],                       # blank doc
+        ["doc_id", "text"])
+    rows = {r.doc_id: r for r in text.repetition_metrics(df).collect()}
+    r1 = rows[1]
+    assert r1.n_lines == 3
+    assert r1.dup_line_frac == pytest.approx(1 / 3)
+    # chars: "a b"(3)*2 + "c d e"(5) = 11; dup chars = 3
+    assert r1.dup_line_char_frac == pytest.approx(3 / 11)
+    # bigrams: "a b" doc: [a b, b a, a b, b c, c d, d e] -> top "a b"=2/6
+    assert r1.top_bigram_frac == pytest.approx(2 / 6)
+    assert rows[2].dup_line_frac == 0.0
+    assert rows[2].top_bigram_frac == pytest.approx(1 / 2)  # 2 distinct bigrams
+    assert rows[3].n_lines == 0
+    assert rows[3].dup_line_frac == 0.0
+
+
+def test_decontaminate(spark):
+    shared = "one two three four five six seven eight"
+    train = spark.createDataFrame(
+        [(1, f"prefix {shared} suffix words here"),
+         (2, "totally different content with no overlap at all today")],
+        ["doc_id", "text"])
+    ev = spark.createDataFrame(
+        [(100, f"intro {shared} outro")], ["doc_id", "text"])
+    bad = dedup.contaminated_ids(train, ev, "doc_id", k=8)
+    assert {r.doc_id for r in bad.collect()} == {1}
+    kept = dedup.decontaminate(train, ev, "doc_id", k=8)
+    assert {r.doc_id for r in kept.collect()} == {2}
+    # scale shape: eval side broadcast, train side semi-joined
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "LeftSemi" in plan
+
+
+def test_vector_quantize_and_normalize(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, -4.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    q = {r.vec_id: r for r in similarity.quantize_int8(df).collect()}
+    assert q[1].scale == pytest.approx(127 / 4.0)
+    assert q[1].q == [95, -127]        # 3*31.75=95.25 -> 95
+    assert q[2].scale == 0.0 and q[2].q == [0, 0]
+    u = {r.vec_id: r
+         for r in similarity.normalize_vectors(df, "embedding", "unit").collect()}
+    assert u[1].unit == pytest.approx([0.6, -0.8])
+    assert u[2].unit == [0.0, 0.0]     # zero vector passes through
