@@ -1239,6 +1239,21 @@ def q97_quantize_embeddings(spark, sf_dir) -> DataFrame:
                     _pr4(F.col("__un")).alias("unit_norm")))
 
 
+def q98_bm25_top_terms(spark, sf_dir) -> DataFrame:
+    """Okapi BM25 (Lucene positive-idf) top-3 terms per doc — the
+    retrieval-scoring companion to TF-IDF (q64); corpus constants
+    broadcast, one explode + two partial-agg shuffles."""
+    from preql_spark.operators.text import bm25
+    d = _eng(spark, sf_dir).t.documents.df
+    scored = bm25(d.filter(F.col("doc_id") < 100), "doc_id", "text")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("bm25").desc(), F.col("token"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "token", "rnk",
+                    _pr4(F.col("bm25")).alias("bm25")))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1348,6 +1363,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_repetition_metrics": q95_repetition_metrics,
     "q96_decontaminate": q96_decontaminate,
     "q97_quantize_embeddings": q97_quantize_embeddings,
+    "q98_bm25_top_terms": q98_bm25_top_terms,
 }
 
 
@@ -2276,6 +2292,42 @@ ORACLES: dict[str, str] = {
                           ELSE 0.0 END
                      * 10000 + 0.5) / 10000 AS unit_norm
         FROM n
+    """,
+    "q98_bm25_top_terms": r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents WHERE doc_id < 100
+        ),
+        dt AS (
+            SELECT doc_id, token, count(*) AS c
+            FROM tok WHERE token <> '' GROUP BY doc_id, token
+        ),
+        dl AS (SELECT doc_id, sum(c) AS dl FROM dt GROUP BY doc_id),
+        ndocs AS (SELECT count(*) * 1.0 AS n
+                  FROM documents WHERE doc_id < 100),
+        stats AS (SELECT avg(dl) AS avgdl FROM dl),
+        dfq AS (SELECT token, count(*) AS df FROM dt GROUP BY token),
+        scored AS (
+            SELECT dt.doc_id, dt.token,
+                   ln((ndocs.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                   * (dt.c * (1.2 + 1))
+                   / (dt.c + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       AS s
+            FROM dt
+            JOIN dfq USING (token)
+            JOIN dl USING (doc_id)
+            CROSS JOIN ndocs CROSS JOIN stats
+        ),
+        r AS (
+            SELECT doc_id, token, s,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY s DESC, token) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, token, rnk,
+               floor(s * 10000 + 0.5) / 10000 AS bm25
+        FROM r WHERE rnk <= 3
     """,
 }
 

@@ -164,6 +164,46 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                     .alias("tfidf")))
 
 
+def bm25(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+         k1: float = 1.2, b: float = 0.75,
+         min_df: int = 1, max_df_ratio: float = 1.0) -> DataFrame:
+    """Per-(doc, token) Okapi BM25 with the Lucene-style positive idf:
+    ``idf = ln((N - df + 0.5)/(df + 0.5) + 1)``,
+    ``score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+    Returns (id, token, tf, df, bm25) — tf is the raw in-doc count.
+
+    Same scale shape as :func:`tf_idf`: one explode + two partial-agg
+    shuffles (doc-term counts, document frequencies); the corpus
+    constants (N, avgdl) ride along as a broadcast 1-row frame so the
+    operator stays fully lazy.  ``min_df``/``max_df_ratio`` prune the
+    vocabulary tail/head before the term join."""
+    base = (ensure_parallelism(df)
+            .select(F.col(id_col), tokens(text_col).alias("__t")))
+    toks = (base.select(id_col, F.explode("__t").alias("token"))
+            .filter(F.col("token") != ""))
+    doc_term = (toks.groupBy(id_col, "token")
+                .agg(F.count(F.lit(1)).alias("__n")).persist())
+    doc_len = doc_term.groupBy(id_col).agg(F.sum("__n").alias("__dl"))
+    n_docs = base.agg(F.count(F.lit(1)).cast("double").alias("__ndocs"))
+    stats = F.broadcast(
+        doc_len.agg(F.avg("__dl").alias("__avgdl")).join(n_docs))
+    dfreq = (doc_term.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("df"))
+             .join(stats)             # 1-row broadcast cross join
+             .filter((F.col("df") >= min_df)
+                     & (F.col("df") <= max_df_ratio * F.col("__ndocs"))))
+    idf = F.log((F.col("__ndocs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1)
+    denom = F.col("__n") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+    return (doc_term
+            .join(dfreq, "token")
+            .join(doc_len, id_col)
+            .select(F.col(id_col), "token",
+                    F.col("__n").alias("tf"), "df",
+                    (idf * (F.col("__n") * (k1 + 1)) / denom)
+                    .alias("bm25")))
+
+
 def fingerprint(col) -> Column:
     """Document fingerprint: md5 of case/whitespace-normalized text —
     the exact-dedup key for content-addressed pipelines."""

@@ -472,3 +472,18 @@ def test_vector_quantize_and_normalize(spark):
          for r in similarity.normalize_vectors(df, "embedding", "unit").collect()}
     assert u[1].unit == pytest.approx([0.6, -0.8])
     assert u[2].unit == [0.0, 0.0]     # zero vector passes through
+
+
+def test_bm25(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], ["doc_id", "text"])
+    rows = {(r.doc_id, r.token): r for r in text.bm25(df).collect()}
+    import math
+    # N=2, avgdl=2.5; d1: dl=3, tf(b)=1, df(b)=1
+    exp_b = math.log((2 - 1 + 0.5) / (1 + 0.5) + 1) \
+        * (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * 3 / 2.5))
+    assert rows[(1, "b")].bm25 == pytest.approx(exp_b)
+    # common term "a" scores below rare terms everywhere
+    assert rows[(1, "a")].bm25 < rows[(1, "b")].bm25
+    assert rows[(2, "a")].bm25 < rows[(2, "c")].bm25
+    assert rows[(1, "a")].tf == 2 and rows[(1, "a")].df == 2
