@@ -1254,6 +1254,18 @@ def q98_bm25_top_terms(spark, sf_dir) -> DataFrame:
                     _pr4(F.col("bm25")).alias("bm25")))
 
 
+def q99_lm_perplexity(spark, sf_dir) -> DataFrame:
+    """CCNet-style bigram-LM perplexity quality scores (add-0.4
+    smoothing, self-trained corpus model); model tables are two
+    partial aggs, V broadcast as a 1-row frame."""
+    from preql_spark.operators.text import lm_perplexity
+    d = _eng(spark, sf_dir).t.documents.df
+    out = lm_perplexity(d.filter(F.col("doc_id") < 200))
+    return out.select("doc_id", "n_bigrams",
+                      _pr4(F.col("avg_logp")).alias("avg_logp"),
+                      _pr4(F.col("ppl")).alias("ppl"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1364,6 +1376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_decontaminate": q96_decontaminate,
     "q97_quantize_embeddings": q97_quantize_embeddings,
     "q98_bm25_top_terms": q98_bm25_top_terms,
+    "q99_lm_perplexity": q99_lm_perplexity,
 }
 
 
@@ -2328,6 +2341,36 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, token, rnk,
                floor(s * 10000 + 0.5) / 10000 AS bm25
         FROM r WHERE rnk <= 3
+    """,
+    "q99_lm_perplexity": r"""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE doc_id < 200
+        ),
+        bg AS (
+            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            FROM tok, UNNEST(range(1, len(t))) AS r(i)
+        ),
+        cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+        v AS (SELECT count(DISTINCT w) * 1.0 AS v
+              FROM (SELECT w1 AS w FROM bg
+                    UNION ALL SELECT w2 FROM bg)),
+        lp AS (
+            SELECT bg.doc_id,
+                   ln((cb.cb + 0.4) / (cu.cu + 0.4 * v.v)) AS lp
+            FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
+            CROSS JOIN v
+        ),
+        pd AS (SELECT doc_id, count(*) AS n_bigrams,
+                      avg(lp) AS avg_logp
+               FROM lp GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(pd.n_bigrams, 0) AS n_bigrams,
+               floor(pd.avg_logp * 10000 + 0.5) / 10000 AS avg_logp,
+               floor(exp(-pd.avg_logp) * 10000 + 0.5) / 10000 AS ppl
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+        LEFT JOIN pd USING (doc_id)
     """,
 }
 

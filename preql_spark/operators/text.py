@@ -204,6 +204,71 @@ def bm25(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                     .alias("bm25")))
 
 
+def lm_perplexity(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  train_df: DataFrame | None = None,
+                  alpha: float = 0.4) -> DataFrame:
+    """Per-document bigram language-model perplexity — the CCNet-style
+    quality filter (docs far from the reference distribution score
+    high perplexity and get bucketed/dropped).
+
+    A bigram LM with add-``alpha`` smoothing is trained on
+    ``train_df`` (default: the scored corpus itself):
+    ``P(w2|w1) = (C(w1,w2) + a) / (C(w1) + a*V)``, and each document
+    is scored ``avg_logp = mean(ln P)`` over its bigrams;
+    ``ppl = exp(-avg_logp)``.  Returns (id, n_bigrams, avg_logp, ppl);
+    documents with no bigrams (≤1 token) get NULL scores.
+
+    Scale shape: bigrams are built scan-locally (zip_with over the
+    token array — no position self-join); model tables are two
+    partial-agg shuffles over (w1,w2)/(w1) hashes; scoring joins the
+    exploded corpus against them on those hash keys.  V rides a
+    broadcast 1-row frame.  At 100 TB the model tables are
+    vocabulary²-bounded (far smaller than the corpus) and the joins
+    are plain equi-joins AQE can broadcast when the model is small."""
+    def _bigrams(d: DataFrame) -> DataFrame:
+        t = (ensure_parallelism(d)
+             .select(F.col(id_col), tokens(text_col).alias("__t")))
+        n = F.size("__t")
+        pairs = F.zip_with(
+            F.slice("__t", 1, F.greatest(n - 1, F.lit(0))),
+            F.slice("__t", 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+        return (t.select(id_col, F.explode(pairs).alias("__bg"))
+                .select(id_col, F.col("__bg.w1").alias("__w1"),
+                        F.col("__bg.w2").alias("__w2")))
+
+    train = _bigrams(df if train_df is None else train_df)
+    cb = train.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__cb"))
+    cu = train.groupBy("__w1").agg(F.count(F.lit(1)).alias("__cu"))
+    vocab = F.broadcast(
+        train.select(F.explode(F.array("__w1", "__w2")).alias("__w"))
+        .agg(F.count_distinct("__w").cast("double").alias("__v")))
+
+    score = _bigrams(df) if train_df is not None else train
+    logp = F.log((F.col("__cb") + alpha)
+                 / (F.col("__cu") + alpha * F.col("__v")))
+    scored = (score
+              .join(cb, ["__w1", "__w2"], "left")
+              .join(cu, "__w1", "left")
+              .join(vocab)
+              .select(F.col(id_col),
+                      F.coalesce(logp, F.log(
+                          F.lit(alpha) / (F.coalesce("__cu", F.lit(0))
+                                          + alpha * F.col("__v"))))
+                      .alias("__lp")))
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.avg("__lp").alias("avg_logp")))
+    docs = df.select(F.col(id_col))
+    return (docs.join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0).cast("long"))
+                    .alias("n_bigrams"),
+                    F.col("avg_logp"),
+                    F.exp(-F.col("avg_logp")).alias("ppl")))
+
+
 def fingerprint(col) -> Column:
     """Document fingerprint: md5 of case/whitespace-normalized text —
     the exact-dedup key for content-addressed pipelines."""

@@ -487,3 +487,25 @@ def test_bm25(spark):
     assert rows[(1, "a")].bm25 < rows[(1, "b")].bm25
     assert rows[(2, "a")].bm25 < rows[(2, "c")].bm25
     assert rows[(1, "a")].tf == 2 and rows[(1, "a")].df == 2
+
+
+def test_lm_perplexity(spark):
+    import math
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b z q"), (3, "x")], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in text.lm_perplexity(df).collect()}
+    # the common-pattern doc scores lower perplexity than the rare one
+    assert rows[1].ppl < rows[2].ppl
+    assert rows[3].n_bigrams == 0 and rows[3].ppl is None
+    # hand-check: corpus bigrams = [ab,ba,ab | ab,bz,zq]; V counts
+    # tokens seen in bigrams = {a,b,z,q} = 4 ("x" forms no bigram)
+    # C(a,b)=3, C(a as w1)=3 -> P(b|a)=(3+.4)/(3+.4*4)=3.4/4.6
+    # C(b,a)=1, C(b as w1)=2 -> P(a|b)=(1+.4)/(2+.4*4)=1.4/3.6
+    exp1 = (2 * math.log(3.4 / 4.6) + math.log(1.4 / 3.6)) / 3
+    assert rows[1].avg_logp == pytest.approx(exp1)
+    assert rows[1].ppl == pytest.approx(math.exp(-exp1))
+    # held-out scoring with unseen bigrams backs off to alpha mass
+    held = spark.createDataFrame([(9, "a b unseen")], ["doc_id", "text"])
+    out = {r.doc_id: r
+           for r in text.lm_perplexity(held, train_df=df).collect()}
+    assert out[9].n_bigrams == 2 and out[9].ppl is not None
