@@ -315,7 +315,7 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding",
     round is the portable floor(x+0.5) form (bit-identical on DuckDB
     for differential testing).  All-zero vectors quantize to zeros
     with scale 0.  Scan-local higher-order functions, no shuffle."""
-    amax = F.array_max(F.transform(vec_col, F.abs)).cast("double")
+    amax = F.array_max(F.transform(vec_col, lambda x: F.abs(x))).cast("double")
     d = df.withColumn(
         "__sc", F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0)))
     return (d.withColumn(

@@ -380,8 +380,13 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
     compares are counts and lengths, which hashing preserves."""
     base = df.select(F.col(id_col),
                      F.length(F.col(text_col)).alias("__tc"),
+                     # NB: lambda wrapper is load-bearing — F.trim has
+                     # an optional 2nd param, so passing it bare makes
+                     # transform() treat it as an (element, index)
+                     # lambda and call trim(x, index): it then trims
+                     # the INDEX DIGIT, not whitespace
                      F.filter(F.transform(F.split(F.col(text_col), r"\n"),
-                                          F.trim),
+                                          lambda x: F.trim(x)),
                               lambda x: x != "").alias("__lines"),
                      tokens(F.col(text_col)).alias("__toks"))
 

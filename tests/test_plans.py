@@ -184,3 +184,29 @@ def test_write_clustered_file_skipping(eng, tmp_path):
                    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]))
     span = ranges[-1][1] - ranges[0][0]
     assert overlaps <= span * 0.05
+
+
+def test_quantize_normalize_zero_exchange(spark):
+    """Vector quantization + normalization must be pure scan-local
+    transforms — any Exchange would mean an accidental shuffle."""
+    from preql_spark.operators import similarity
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    out = similarity.normalize_vectors(
+        similarity.quantize_int8(e), "embedding", "unit")
+    plan = plan_of(out)
+    assert "Exchange" not in plan
+
+
+def test_repetition_metrics_narrow_shuffle(spark):
+    """The document text column must never reach an Exchange — lines
+    and bigrams are hashed to narrow rows before any shuffle."""
+    from preql_spark.operators import text
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = plan_of(text.repetition_metrics(d))
+    for block in plan.split("\n\n"):
+        if block.strip().startswith("(") and "Exchange" in block.splitlines()[0]:
+            assert "text" not in block, block
+    # cheaper global form: no exchange's Arguments list carries text
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)

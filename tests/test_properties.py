@@ -228,3 +228,50 @@ def test_split_by_hash_partitions(eng, f1):
               labeled.group("split", n=F.count(F.lit(1))).collect()}
     assert sum(counts.values()) == eng.t.documents.count()
     assert set(counts) <= {"a", "b"}
+
+
+# ---- vector quantization round-trip ----------------------------------------
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vecs=st.lists(
+    st.lists(st.floats(-100, 100, allow_nan=False, width=32),
+             min_size=2, max_size=6),
+    min_size=1, max_size=5))
+def test_quantize_roundtrip_error_bound(spark, vecs):
+    """Dequantized values are within half a quantization step of the
+    original, and q stays inside int8 range."""
+    from preql_spark.operators import similarity
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    for r in similarity.quantize_int8(df).collect():
+        if r.scale == 0.0:
+            assert all(q == 0 for q in r.q)
+            continue
+        step = 1.0 / r.scale
+        for x, q in zip(r.embedding, r.q):
+            assert -127 <= q <= 127
+            assert abs(x - q * step) <= step / 2 + 1e-9
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(
+    st.text(alphabet="ab \n", min_size=0, max_size=40),
+    min_size=1, max_size=5))
+def test_repetition_metrics_bounds(spark, texts):
+    """All fractions land in [0, 1]; a doc with all-distinct lines has
+    dup fractions exactly 0."""
+    from preql_spark.operators import text as tx
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    for r in tx.repetition_metrics(df).collect():
+        assert 0.0 <= r.dup_line_frac <= 1.0
+        assert 0.0 <= r.dup_line_char_frac <= 1.0
+        assert 0.0 <= r.top_bigram_frac <= 1.0
+        lines = [ln.strip() for ln in texts[r.doc_id].split("\n")
+                 if ln.strip()]
+        assert r.n_lines == len(lines)
+        if len(set(lines)) == len(lines):
+            assert r.dup_line_frac == 0.0 == r.dup_line_char_frac
