@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "q64_tfidf_top_terms",   # explode + multi-agg + window top-k (text)
     "q75_pack_sequences",    # bucketed-window token packing
     "q78_interval_join",     # bucketized range join (no BNLJ)
+    "q95_repetition_metrics",# Gopher repetition gates (narrow hashed shuffles)
+    "q99_lm_perplexity",     # bigram-LM quality scores (vocab-bounded joins)
 ]
 
 

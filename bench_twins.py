@@ -215,6 +215,30 @@ def q78_interval_join(spark, sf_dir):
     return out.groupBy("window_id").agg(F.count(F.lit(1)).alias("n_events"))
 
 
+def _pr4(col):
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+
+def q95_repetition_metrics(spark, sf_dir):
+    from preql_spark.operators import text
+    d = _read(spark, sf_dir, "documents")
+    m = text.repetition_metrics(d)
+    return m.select("doc_id", "n_lines",
+                    _pr4(F.col("dup_line_frac")).alias("dup_line_frac"),
+                    _pr4(F.col("dup_line_char_frac"))
+                    .alias("dup_line_char_frac"),
+                    _pr4(F.col("top_bigram_frac")).alias("top_bigram_frac"))
+
+
+def q99_lm_perplexity(spark, sf_dir):
+    from preql_spark.operators.text import lm_perplexity
+    d = _read(spark, sf_dir, "documents")
+    out = lm_perplexity(d.filter(F.col("doc_id") < 200))
+    return out.select("doc_id", "n_bigrams",
+                      _pr4(F.col("avg_logp")).alias("avg_logp"),
+                      _pr4(F.col("ppl")).alias("ppl"))
+
+
 TWINS = {
     "q01_pricing_summary": q01_pricing_summary,
     "q04_revenue_by_nation": q04_revenue_by_nation,
@@ -229,4 +253,6 @@ TWINS = {
     "q64_tfidf_top_terms": q64_tfidf_top_terms,
     "q75_pack_sequences": q75_pack_sequences,
     "q78_interval_join": q78_interval_join,
+    "q95_repetition_metrics": q95_repetition_metrics,
+    "q99_lm_perplexity": q99_lm_perplexity,
 }
