@@ -486,3 +486,40 @@ def test_bigquery_covid19(ex):
     got = [(x.country_code, round(x.confirmed_ratio, 3))
            for x in r.collect()]
     assert got == [("IL", 0.25), ("US", 0.12)]
+
+
+def test_simple1_selection_functions(ex):
+    """Ported reference test_simple1 (test_basic.py:1111-1124) +
+    tests/simple1.pql fixture: selection via user functions,
+    table-valued function parameters (`_table_func(t, c)` takes a
+    TABLE argument), ordered projections, grouped count with order."""
+    ex.q('''
+table Person {
+    name: string
+    country: string
+}
+
+new Person("Erez Shinan", "Israel")
+new Person("Eric Blaire", "England")
+new Person("H.G. Wells", "England")
+
+english = Person[country=="England"] {id, name}
+func by_country(c) = Person[country==c]
+english2 = by_country("England") order{^name} {name}
+
+func _table_func(t, c) = t[country==c]
+func _f2(t) = _table_func(t, "Israel")
+f3 = _f2(Person) {name}
+
+demography = Person {country => population: count(id)} order {^population}
+''')
+    assert {r.name for r in ex.q("english").collect()} == \
+        {"Eric Blaire", "H.G. Wells"}
+    assert [r.name for r in ex.q('by_country("Israel")').collect()] == \
+        ["Erez Shinan"]
+    assert [r.name for r in ex.q("english2").collect()] == \
+        ["H.G. Wells", "Eric Blaire"]
+    assert [r.name for r in ex.q("f3").collect()] == ["Erez Shinan"]
+    assert [(r.country, r.population)
+            for r in ex.q("demography").collect()] == \
+        [("England", 2), ("Israel", 1)]
