@@ -949,6 +949,21 @@ class Parser:
                         and t.text in ("==", "!="):
                     raise LangSignal(
                         "TypeError", "cannot compare a value to a table")
+                if isinstance(v, (_TypeRef, _FuncRef)) \
+                        or isinstance(r, (_TypeRef, _FuncRef)):
+                    # first-class type/function values compare by name
+                    # at the driver (`type(10/3) == float`,
+                    # reference test_basic.py:85)
+                    if t.text in ("==", "!="):
+                        # compare by name: a bare type name (`float`)
+                        # resolves to its cast _FuncRef, which IS the
+                        # type value in the reference's model
+                        same = (getattr(v, "name", object())
+                                == getattr(r, "name", object()))
+                        v = same if t.text == "==" else not same
+                        continue
+                    raise LangSignal(
+                        "TypeError", "types support only ==/!=")
                 a, b = self._col(v), r if isinstance(r, (int, float, str)) else self._col(r)
                 v = {"==": lambda: exprs.eq(a, b),
                      "!=": lambda: exprs.ne(a, b),
@@ -2092,6 +2107,14 @@ class Parser:
             raise LangSignal(
                 "NotImplementedError",
                 "an unbounded series supports only slicing")
+        from pyspark.sql import Row
+        if isinstance(v, Row):
+            # a row value in a scalar position compares by its primary
+            # key (reference RowInstance semantics — `Person[id != me]`
+            # where `me = new Person(...)`, test_basic.py:99-100)
+            d = v.asDict()
+            if "id" in d:
+                return F.lit(d["id"])
         return F.lit(v)
 
 

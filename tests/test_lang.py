@@ -1381,3 +1381,47 @@ def test_empty_count_golden(leng):
     assert leng.q('one one [1,2,3] { => count()}') == 3
     r = leng.q('[1,2,3] { item /~ 2 => count()} {count}').collect()
     assert sorted(x[0] for x in r) == [1, 2]
+
+
+def test_basic1_country_person_golden(leng):
+    """Ported reference _test_basic over the country_person.pql
+    fixture (test_basic.py:67-100): scalar arith/casts, group-by on a
+    reassigned item key, list() of selections, and row-value
+    comparisons (`Person[id != me]` compares by primary key —
+    RowInstance semantics)."""
+    assert float(leng.q("3.14")) == 3.14
+    assert leng.q("1") == 1
+    assert leng.q("-(1)") == -1
+    assert leng.q("1 / 2") == 0.5
+    assert leng.q("10 /~ 3") == 3
+    assert leng.q("type(10/3) == float")
+    assert [r.asDict() for r in
+            leng.q("[1,2,3]{v: item/~2 => sum(item)}").collect()] == \
+        [{"v": 0, "sum": 1}, {"v": 1, "sum": 5}]
+    assert [r.asDict() for r in
+            leng.q("[1,2,3]{item: item/~2 => sum(item)}").collect()] == \
+        [{"item": 0, "sum": 1}, {"item": 1, "sum": 5}]
+    leng.q('''
+table Country { name: string, language: string }
+table Person { name: string, country: int }
+
+isr = new Country("Israel", "he")
+eng = new Country("England", language: "en")
+us = new Country(language: "en", name: "United States")
+
+me = new Person("Erez Shinan", isr.id)
+new Person("Ephraim Kishon", isr.id)
+new Person("Eric Blaire", eng.id)
+new Person("H.G. Wells", eng.id)
+new Person("John Steinbeck", us.id)
+
+func query1() = list(Country[language=="en"]{name})
+''')
+    assert set(leng.q("query1()")) == {"England", "United States"}
+    assert set(leng.q('list(Person[country==isr]{name})')) == \
+        {"Erez Shinan", "Ephraim Kishon"}
+    assert set(leng.q('list(Person[id!=me]{name})')) == \
+        {"Ephraim Kishon", "Eric Blaire", "H.G. Wells", "John Steinbeck"}
+    # name-affects-type (reference _test_cache)
+    assert leng.q('Person {name2: name}').df.columns == ["name2"]
+    assert leng.q('Person {name}').df.columns == ["name"]
