@@ -2633,6 +2633,78 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
             return f'"{v}"'
         return str(v)
 
+    if name == "cast":
+        # pql_cast (pql_functions.py:668-682): cast(obj, type) applies
+        # the type's cast function; the type arg is a _FuncRef (int,
+        # float, ...) or _TypeRef
+        obj, ty = args
+        tyname = _as_type_name(ty)
+        if tyname in _SCALAR_MAP:
+            return _SCALAR_MAP[tyname](
+                obj if isinstance(obj, Column) else parser._col(obj))
+        raise LangSignal("TypeError", f"cannot cast to {tyname!r}")
+    if name in ("table_concat", "table_union", "table_intersect",
+                "table_substract"):
+        # function spellings of + | & - (pql_functions.py:385-417,
+        # incl. the reference's "substract" spelling)
+        t1, t2 = args
+        if not isinstance(t1, Table) or not isinstance(t2, Table):
+            raise LangSignal("TypeError", f"{name}() arguments must be tables")
+        return {"table_concat": lambda: t1 + t2,
+                "table_union": lambda: t1 | t2,
+                "table_intersect": lambda: t1 & t2,
+                "table_substract": lambda: t1 - t2}[name]()
+    if name == "env_vars":
+        # pql_env_vars (pql_functions.py:820-828): (name, value) table
+        import os as _os
+        rows = [(k, v) for k, v in _os.environ.items()]
+        df = parser.engine.spark.createDataFrame(
+            rows or [("", "")], "name string, value string")
+        if not rows:
+            df = df.limit(0)
+        return parser.engine.from_df(df)
+    if name == "get_db_type":
+        # pql_get_db_type (pql_functions.py:351-359) — ours is spark
+        return "spark"
+    if name == "force_eval":
+        # pql_force_eval (pql_functions.py:125-130): execute now and
+        # return the localized Python value
+        v = args[0]
+        if isinstance(v, Table):
+            return [r.asDict(recursive=True) for r in v.df.collect()]
+        return parser._pyval(v)
+    if name == "inspect_sql":
+        # pql_inspect_sql (pql_functions.py:76-83): the executable
+        # form of the query — for Spark, the optimized plan text
+        v = args[0]
+        if not isinstance(v, Table):
+            raise LangSignal("TypeError",
+                             "inspect_sql() expects a table expression")
+        return v.inspect_plan()
+    if name == "PY":
+        # pql_PY (pql_functions.py:43-73): evaluate a Python
+        # expression, $var interpolated from the lang environment
+        import re as _re
+        code = parser._pyval(args[0])
+        setup = parser._pyval(args[1]) if len(args) > 1 else None
+        ns: dict = {}
+        if setup:
+            exec(setup, ns)  # noqa: S102 - the reference's escape hatch
+
+        def _sub(m):
+            return str(parser._pyval(parser._name(m.group()[1:])))
+        code = _re.sub(r"\$\w+", _sub, code)
+        return eval(code, ns)  # noqa: S307 - reference PY() semantics
+    if name in ("debug", "breakpoint"):
+        # pql_debug / pql_breakpoint (pql_functions.py:202-242):
+        # interactive only — enter a nested REPL bound to the current
+        # engine when stdin is a tty, else no-op (documented)
+        import sys as _sys
+        if _sys.stdin.isatty():  # pragma: no cover - interactive
+            from preql_spark.repl import Repl
+            Repl(parser.engine).interact()
+        return None
+
     # ---- session / DDL control (__builtins__.pql:176-189,559-573) --
     if name == "dict":
         # `dict(a:1, b:2)` — a row value from kwargs
@@ -2950,7 +3022,12 @@ _FUNCTIONS = set(_AGG_MAP) | set(_SCALAR_MAP) | {
     # session/DDL control + row constructor (__builtins__.pql)
     "dict", "commit", "rollback", "run_statement",
     "remove_table", "remove_table_if_exists",
-    "import_csv", "import_json", "import_table", "columns"}
+    "import_csv", "import_json", "import_table", "columns",
+    # escape hatches / set-op function spellings / environment
+    # introspection (pql_functions.py:43-73,125-130,351-417,820-828)
+    "cast", "table_concat", "table_union", "table_intersect",
+    "table_substract", "env_vars", "get_db_type", "force_eval",
+    "inspect_sql", "PY", "debug", "breakpoint"}
 # bare type names usable as values (isa/issubclass/type comparisons);
 # int/float/string/bool resolve to cast functions first and are
 # accepted by _as_type_name via their _FuncRef name

@@ -1425,3 +1425,29 @@ func query1() = list(Country[language=="en"]{name})
     # name-affects-type (reference _test_cache)
     assert leng.q('Person {name2: name}').df.columns == ["name2"]
     assert leng.q('Person {name}').df.columns == ["name"]
+
+
+def test_builtin_escape_hatches_golden(leng):
+    """Reference builtin surface: cast() (pql_functions.py:668-682),
+    table_concat/union/intersect/substract function spellings
+    (:385-417, reference's own spelling), env_vars() (:820-828),
+    get_db_type() (:351-359), force_eval() (:125-130), inspect_sql()
+    (:76-83), PY() with $var interpolation and setup code (:43-73)."""
+    assert leng.q('cast(3.2, int)') == 3
+    assert leng.q('cast(42, string)') == "42"
+    assert leng.q('count(table_concat([1], [2]))') == 2
+    assert leng.q('count(table_union([1,2],[2,3]))') == 3
+    assert leng.q('list(table_intersect([1,2],[2,3]))') == [2]
+    assert leng.q('list(table_substract([1,2],[2]))') == [1]
+    assert leng.q('count(env_vars()) > 0')
+    assert leng.q('env_vars()').df.columns == ["name", "value"]
+    assert leng.q('get_db_type()') == "spark"
+    assert leng.q('force_eval([1,2]{v: item+1})') == [{"v": 2}, {"v": 3}]
+    assert "Physical Plan" in leng.q('inspect_sql([1,2]{item+1})')
+    assert leng.q('PY("1+1")') == 2
+    assert leng.q('PY("sys.maxsize > 0", "import sys")') is True
+    leng.q('x = 5')
+    assert leng.q('PY("$x * 2")') == 10
+    # debug()/breakpoint() are no-ops outside a tty
+    assert leng.q('debug()') is None
+    assert leng.q('breakpoint()') is None
