@@ -1617,6 +1617,11 @@ class Parser:
             raise LangSignal(
                 "TypeError",
                 f"list elements must share a type, got {sorted(kinds)}")
+        # localize Column-valued elements (`[true, false]` — the
+        # true/false keywords parse to lit Columns) so createDataFrame
+        # can infer the element type
+        vals = [self._pyval(v) if isinstance(v, Column) else v
+                for v in vals]
         return self.engine.list_(vals)
 
     def _dict_rows(self):
@@ -2917,6 +2922,28 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
             return args[0].sample_n(args[1])
         if name == "limit_offset":
             return args[0].slice(args[2], args[2] + args[1])
+        if name in ("zipjoin", "zipjoin_left", "zipjoin_longest"):
+            # positional join family (__builtins__.pql:167-257)
+            how = {"zipjoin": "inner", "zipjoin_left": "left",
+                   "zipjoin_longest": "longest"}[name]
+            return tbl.zipjoin(args[0], args[1], how=how)
+        if name == "map_range":
+            # map_range(tbl, start, end) — bounds are ints or functions
+            # applied per row to the single column; a function END is
+            # INCLUSIVE (__builtins__.pql:592-650:
+            # map_range(["a","ab"], 1, length) → 3 rows)
+            t = args[0]
+
+            def _bound(x, inclusive=False):
+                if isinstance(x, _FuncRef) and x.name in _SCALAR_MAP:
+                    if len(t.df.columns) != 1:
+                        raise LangSignal(
+                            "TypeError", "function bound needs a 1-column table")
+                    c = _SCALAR_MAP[x.name](t.df[t.df.columns[0]])
+                    return c + 1 if inclusive else c
+                return x
+            return t.map_range(_bound(args[1]),
+                               _bound(args[2], inclusive=True))
 
     if name == "columns":
         # `columns(t)` → {column_name: column_type} (reference
@@ -2984,7 +3011,8 @@ def _make_maps():
         "first": agg.first, "first_or_null": agg.first_or_null,
         "count_distinct": agg.count_distinct,
         "count_true": agg.count_true, "count_false": agg.count_false,
-        "median": agg.median, "product": agg.product,
+        "median": agg.median, "list_median": agg.median,
+        "product": agg.product,
         "approx_product": agg.approx_product,
         "approx_count_distinct": agg.approx_count_distinct,
     }
@@ -3035,7 +3063,8 @@ _TYPE_NAMES = {"number", "table", "any", "nulltype", "timestamp"}
 _TABLE_FUNCS = {"join", "leftjoin", "outerjoin", "joinall", "distinct",
                 "enum", "describe", "limit", "temptable", "one",
                 "page", "is_empty", "sample_ratio_fast", "sample_fast",
-                "limit_offset"}
+                "limit_offset", "zipjoin", "zipjoin_left",
+                "zipjoin_longest", "map_range"}
 
 
 def q(engine, src: str, **env):

@@ -1451,3 +1451,23 @@ def test_builtin_escape_hatches_golden(leng):
     # debug()/breakpoint() are no-ops outside a tty
     assert leng.q('debug()') is None
     assert leng.q('breakpoint()') is None
+
+
+def test_stdlib_function_spellings_golden(leng):
+    """Stdlib functions callable by their reference names
+    (__builtins__.pql): zipjoin family (:167-257), map_range with int
+    and per-row function bounds (:592-650 — function end is
+    inclusive), list_median (:199-209), boolean list literals."""
+    assert leng.q('count(zipjoin([1,2],[3,4]))') == 2
+    assert leng.q('count(zipjoin_left([1,2],[3]))') == 2
+    assert leng.q('count(zipjoin_longest([1],[3,4]))') == 2
+    assert [r.asDict() for r in
+            leng.q('map_range(["a", "b"], 0, 3)').collect()] == [
+        {"item": "a", "index": 0}, {"item": "a", "index": 1},
+        {"item": "a", "index": 2}, {"item": "b", "index": 0},
+        {"item": "b", "index": 1}, {"item": "b", "index": 2}]
+    assert leng.q('count(map_range(["a", "ab"], 1, length))') == 3
+    assert leng.q('[1,2,9]{ => list_median(item)}').collect()[0][0] == 2.0
+    assert leng.q('[true,false,false]{ => count_false(item)}') \
+        .collect()[0][0] == 2
+    assert leng.q('list([true, false])') == [True, False]
