@@ -133,10 +133,65 @@ class Repl:
 
 
 def main(argv: list[str] | None = None) -> None:
-    argv = sys.argv[1:] if argv is None else argv
+    """CLI with the reference's argument surface
+    (/root/reference/preql/__main__.py): -f/--file runs a script,
+    -m/--module runs `<module>.pql` from the working directory,
+    -i/--interactive enters the REPL after a script, --version prints
+    the version, --time reports script wall time, and a `.preql`
+    dotfile found in the cwd or any parent is auto-run before an
+    interactive session.  The positional argument is the data
+    directory (the engine's analogue of the reference's database
+    URL)."""
+    import argparse
+    import time
+    from pathlib import Path
+
+    p = argparse.ArgumentParser(
+        prog="preql_spark",
+        description="preql_spark command-line interface (aka REPL)")
+    p.add_argument("-i", "--interactive", action="store_true",
+                   help="enter interactive mode after running the script")
+    p.add_argument("-v", "--version", action="store_true",
+                   help="print version")
+    p.add_argument("-f", "--file", type=str,
+                   help="path to a Preql script to run")
+    p.add_argument("-m", "--module", type=str,
+                   help="name of a Preql module to run (<module>.pql)")
+    p.add_argument("--time", action="store_true",
+                   help="displays how long the script ran")
+    p.add_argument("data_dir", type=str, nargs="?", default=None,
+                   help="directory of parquet tables to load")
+    args = p.parse_args(sys.argv[1:] if argv is None else argv)
+
+    if args.version:
+        from preql_spark import __version__
+        print(__version__)
+        if not (args.file or args.module or args.interactive):
+            return
+
     from preql_spark import connect
-    data_dir = argv[0] if argv else None
-    eng = connect(data_dir=data_dir) if data_dir else connect()
+    eng = connect(data_dir=args.data_dir) if args.data_dir else connect()
+
+    script = None
+    if args.file:
+        script = Path(args.file)
+    elif args.module:
+        script = Path(f"{args.module}.pql")
+    if script is not None:
+        t0 = time.perf_counter()
+        eng.q(script.read_text())
+        if args.time:
+            print(f"script took {time.perf_counter() - t0:.3f}s")
+        if not args.interactive:
+            return
+    elif script is None and not args.file:
+        # reference find_dot_preql: a `.preql` file in the cwd or any
+        # parent runs before the interactive session
+        for d in [Path.cwd(), *Path.cwd().parents]:
+            dot = d / ".preql"
+            if dot.exists():
+                eng.q(dot.read_text())
+                break
     Repl(eng).interact()
 
 

@@ -210,3 +210,17 @@ def test_serve_rest(eng):
             assert e.code == 404
     finally:
         srv.shutdown()
+
+
+def test_cli_main(spark, tmp_path, capsys, monkeypatch):
+    """Reference CLI surface (/root/reference/preql/__main__.py):
+    --version, -f script, --time, and `.preql` dotfile auto-load."""
+    from preql_spark.repl import main
+    main(["--version"])
+    from preql_spark import __version__
+    assert __version__ in capsys.readouterr().out
+    script = tmp_path / "s.pql"
+    script.write_text("x = [1..4]{n: item}\nprint x\n")
+    main(["-f", str(script), "--time"])
+    out = capsys.readouterr().out
+    assert "{'n': 1}" in out and "script took" in out
