@@ -2700,6 +2700,25 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
             return str(parser._pyval(parser._name(m.group()[1:])))
         code = _re.sub(r"\$\w+", _sub, code)
         return eval(code, ns)  # noqa: S307 - reference PY() semantics
+    if name == "exit":
+        # pql_exit — quit the interpreter/REPL
+        raise SystemExit(0)
+    if name == "connect":
+        # pql_connect (pql_functions.py:715-733): attach a data
+        # source.  Spark IS the engine, so the URI is a directory of
+        # parquet tables to load into the catalog.
+        parser.engine.load_dir(parser._pyval(args[0]))
+        return None
+    if name == "get_qualified_name":
+        # pql_get_qualified_name (:224-228) — no schema qualification
+        # in the session catalog; the name is already qualified
+        return parser._pyval(args[0])
+    if name == "set_setting":
+        # pql_set_setting (:210-216): display settings
+        from preql_spark import display as _display
+        setattr(_display, str(parser._pyval(args[0])).upper(),
+                parser._pyval(args[1]))
+        return None
     if name in ("debug", "breakpoint"):
         # pql_debug / pql_breakpoint (pql_functions.py:202-242):
         # interactive only — enter a nested REPL bound to the current
@@ -3055,7 +3074,8 @@ _FUNCTIONS = set(_AGG_MAP) | set(_SCALAR_MAP) | {
     # introspection (pql_functions.py:43-73,125-130,351-417,820-828)
     "cast", "table_concat", "table_union", "table_intersect",
     "table_substract", "env_vars", "get_db_type", "force_eval",
-    "inspect_sql", "PY", "debug", "breakpoint"}
+    "inspect_sql", "PY", "debug", "breakpoint",
+    "exit", "connect", "get_qualified_name", "set_setting"}
 # bare type names usable as values (isa/issubclass/type comparisons);
 # int/float/string/bool resolve to cast functions first and are
 # accepted by _as_type_name via their _FuncRef name

@@ -1471,3 +1471,20 @@ def test_stdlib_function_spellings_golden(leng):
     assert leng.q('[true,false,false]{ => count_false(item)}') \
         .collect()[0][0] == 2
     assert leng.q('list([true, false])') == [True, False]
+
+
+def test_session_builtins_golden(leng):
+    """connect() loads a data dir (pql_functions.py:715-733),
+    get_qualified_name is identity in a schema-less catalog (:224-228),
+    set_setting writes display knobs (:210-216), exit() raises
+    SystemExit (quits the REPL)."""
+    import pytest as _pytest
+    leng.q('connect("/root/testdata/sf0.001")')
+    assert leng.q('count(nation)') == 25
+    assert leng.q('get_qualified_name("nation")') == "nation"
+    leng.q('set_setting("test_knob", 3)')
+    from preql_spark import display
+    assert display.TEST_KNOB == 3
+    del display.TEST_KNOB
+    with _pytest.raises(SystemExit):
+        leng.q('exit()')
