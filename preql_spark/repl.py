@@ -94,7 +94,15 @@ class Repl:
             self._offset += PAGE
             return
         try:
-            self.show(self.engine.q(src))
+            v = self.engine.q(src)
+            # --print-plan / set_setting("print_plan", true): the
+            # reference's --print-sql analogue — show the physical
+            # plan that will execute before the result
+            from preql_spark import display as _display
+            if getattr(_display, "PRINT_PLAN", False) \
+                    and hasattr(v, "inspect_plan"):
+                print(v.inspect_plan("simple"))
+            self.show(v)
         except (Exception,) as e:          # surface, don't die
             print(f"{type(e).__name__}: {e}", file=sys.stderr)
 
@@ -159,6 +167,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="name of a Preql module to run (<module>.pql)")
     p.add_argument("--time", action="store_true",
                    help="displays how long the script ran")
+    p.add_argument("--print-plan", action="store_true",
+                   help="print the physical plan before each result "
+                        "(the reference's --print-sql)")
     p.add_argument("data_dir", type=str, nargs="?", default=None,
                    help="directory of parquet tables to load")
     args = p.parse_args(sys.argv[1:] if argv is None else argv)
@@ -168,6 +179,10 @@ def main(argv: list[str] | None = None) -> None:
         print(__version__)
         if not (args.file or args.module or args.interactive):
             return
+
+    if args.print_plan:
+        from preql_spark import display as _display
+        _display.PRINT_PLAN = True
 
     from preql_spark import connect
     eng = connect(data_dir=args.data_dir) if args.data_dir else connect()

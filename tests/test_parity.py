@@ -224,3 +224,20 @@ def test_cli_main(spark, tmp_path, capsys, monkeypatch):
     main(["-f", str(script), "--time"])
     out = capsys.readouterr().out
     assert "{'n': 1}" in out and "script took" in out
+
+
+def test_repl_print_plan(spark, capsys):
+    """set_setting("print_plan", true) makes the REPL print the
+    physical plan before each table result — the reference's
+    --print-sql analogue."""
+    from preql_spark.engine import Engine
+    from preql_spark.repl import Repl
+    from preql_spark import display
+    r = Repl(Engine(spark))
+    r.run_line('set_setting("print_plan", true)')
+    try:
+        r.run_line("[1,2]{n: item + 1}")
+        out = capsys.readouterr().out
+        assert "Physical Plan" in out and "n" in out
+    finally:
+        display.PRINT_PLAN = False
