@@ -238,11 +238,16 @@ def lm_perplexity(df: DataFrame, id_col: str = "doc_id",
                 .select(id_col, F.col("__bg.w1").alias("__w1"),
                         F.col("__bg.w2").alias("__w2")))
 
-    train = _bigrams(df if train_df is None else train_df)
-    cb = train.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__cb"))
-    cu = train.groupBy("__w1").agg(F.count(F.lit(1)).alias("__cu"))
+    # the corpus-scale bigram explode runs ONCE (persisted); the
+    # unigram counts and vocabulary size derive from the (w1,w2)
+    # count table, which is vocabulary²-bounded — far smaller than
+    # the corpus — so the model build costs one scan + one shuffle
+    train = _bigrams(df if train_df is None else train_df).persist()
+    cb = (train.groupBy("__w1", "__w2")
+          .agg(F.count(F.lit(1)).alias("__cb")).persist())
+    cu = cb.groupBy("__w1").agg(F.sum("__cb").alias("__cu"))
     vocab = F.broadcast(
-        train.select(F.explode(F.array("__w1", "__w2")).alias("__w"))
+        cb.select(F.explode(F.array("__w1", "__w2")).alias("__w"))
         .agg(F.count_distinct("__w").cast("double").alias("__v")))
 
     score = _bigrams(df) if train_df is not None else train
