@@ -2713,6 +2713,13 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
         # pql_get_qualified_name (:224-228) — no schema qualification
         # in the session catalog; the name is already qualified
         return parser._pyval(args[0])
+    if name == "set_active_dataset":
+        # pql_set_active_dataset (:218-222) — BigQuery dataset
+        # switching; no analogue in a single session catalog
+        raise LangSignal(
+            "NotImplementedError",
+            "set_active_dataset is BigQuery-specific; the Spark "
+            "session catalog has a single namespace")
     if name == "set_setting":
         # pql_set_setting (:210-216): display settings
         from preql_spark import display as _display
@@ -3075,7 +3082,8 @@ _FUNCTIONS = set(_AGG_MAP) | set(_SCALAR_MAP) | {
     "cast", "table_concat", "table_union", "table_intersect",
     "table_substract", "env_vars", "get_db_type", "force_eval",
     "inspect_sql", "PY", "debug", "breakpoint",
-    "exit", "connect", "get_qualified_name", "set_setting"}
+    "exit", "connect", "get_qualified_name", "set_setting",
+    "set_active_dataset"}
 # bare type names usable as values (isa/issubclass/type comparisons);
 # int/float/string/bool resolve to cast functions first and are
 # accepted by _as_type_name via their _FuncRef name
