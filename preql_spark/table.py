@@ -598,6 +598,24 @@ class Table:
     def cache(self) -> "Table":
         return self._with(self.df.cache())
 
+    def write_jsonl(self, path: str, mode: str = "overwrite",
+                    n_shards: int | None = None) -> None:
+        """Write as JSON-lines shards — the interchange format of
+        training-data pipelines.  ``n_shards`` repartitions to an
+        exact shard count (costs one round-robin shuffle — asking for
+        a fixed count is a layout decision); None keeps the plan's
+        partitioning, which at 100 TB (one file per task) is the
+        right default."""
+        df = self.df
+        if n_shards is not None:
+            df = df.repartition(n_shards)
+        df.write.mode(mode).json(path)
+
+    def write_parquet(self, path: str, mode: str = "overwrite") -> None:
+        """Plain parquet sink (see write_partitioned / write_bucketed /
+        write_clustered for the layout-aware variants)."""
+        self.df.write.mode(mode).parquet(path)
+
     def write_bucketed(self, name: str, cols: list[str] | str,
                        buckets: int = 16, sort_by: list[str] | str | None = None,
                        mode: str = "overwrite") -> "Table":

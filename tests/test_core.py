@@ -356,3 +356,14 @@ def test_setop_semantics(eng):
         _ = a + s
     wide = eng.from_df(spark.createDataFrame([(9.5,)], "d: double"))
     assert (wide + a).df.schema.fields[0].dataType.simpleString() == "double"
+
+
+def test_write_jsonl_roundtrip(eng, tmp_path):
+    """JSONL shard sink round-trips through spark.read.json."""
+    p = str(tmp_path / "shards")
+    eng.t.nation.project("n_nationkey", "n_name").write_jsonl(p, n_shards=2)
+    back = eng.spark.read.json(p)
+    assert back.count() == 25
+    assert set(back.columns) == {"n_nationkey", "n_name"}
+    import glob
+    assert len(glob.glob(p + "/part-*")) == 2
