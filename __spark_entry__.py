@@ -1266,6 +1266,27 @@ def q99_lm_perplexity(spark, sf_dir) -> DataFrame:
                       _pr4(F.col("ppl")).alias("ppl"))
 
 
+def q100_kmeans(spark, sf_dir) -> DataFrame:
+    """Lloyd k-means over the embedding corpus (k=8, 2 update rounds,
+    deterministic lowest-id init).  Assignment is a scan-local argmin
+    against driver-held centroid literals — zero corpus-scale shuffle
+    per round; the update ships only (cluster, dim, avg) scalar rows.
+    The oracle replays the identical iterations as chained DuckDB CTEs."""
+    from preql_spark.operators.cluster import kmeans
+    e = _eng(spark, sf_dir).t.embeddings
+    assigned, _ = kmeans(e.df, k=8, iters=2)
+    return assigned.select("vec_id", "cluster")
+
+
+def q101_semdedup(spark, sf_dir) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): k-means clusters, then drop every
+    vector with a lower-id cluster-mate at cosine >= 0.45 — the pair
+    join is cluster-local (equi-join on cluster id), never corpus^2."""
+    from preql_spark.operators.cluster import semdedup
+    e = _eng(spark, sf_dir).t.embeddings
+    return semdedup(e.df, tau=0.45, k=8, iters=2)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1282,11 +1303,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       perplexity) ← q29 (map_range; range family keeps q28).
     #       All rotated-out queries stay tri-scale green in the local
     #       battery (tools/check_oracle.py, 99/99 at sf0.001/0.01/0.1).
+    #   r3b: q100 (k-means) ← q26 (running sum; window family keeps
+    #       q25, battery keeps q52), q101 (SemDeDup) ← q05 (fact-dim
+    #       join agg attested by q04).
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
     "q88_lang_dml_lifecycle": q88_lang_dml_lifecycle,
     "q04_revenue_by_nation": q04_revenue_by_nation,
-    "q05_region_order_stats": q05_region_order_stats,
+    "q101_semdedup": q101_semdedup,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q07_collect_list": q07_collect_list,
     "q08_median_percentile": q08_median_percentile,
@@ -1307,7 +1331,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_set_ops": q23_set_ops,
     "q89_sql_recursion": q89_sql_recursion,
     "q25_window_rank": q25_window_rank,
-    "q26_running_sum": q26_running_sum,
+    "q100_kmeans": q100_kmeans,
     "q27_enum": q27_enum,
     "q28_range": q28_range,
     "q99_lm_perplexity": q99_lm_perplexity,
@@ -1381,6 +1405,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_bm25_top_terms": q98_bm25_top_terms,
     "q33_fingerprint": q33_fingerprint,
     "q29_map_range": q29_map_range,
+    "q05_region_order_stats": q05_region_order_stats,
+    "q26_running_sum": q26_running_sum,
 }
 
 
@@ -2375,6 +2401,114 @@ ORACLES: dict[str, str] = {
                floor(exp(-pd.avg_logp) * 10000 + 0.5) / 10000 AS ppl
         FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
         LEFT JOIN pd USING (doc_id)
+    """,
+    # Lloyd k-means, k=8, 2 centroid updates + final assignment —
+    # chained CTEs replay the engine's iterations exactly: same
+    # lowest-id init, same (a-b)*(a-b) fold distance, same
+    # empty-cluster carryover (COALESCE), ties to the lowest cid.
+    "q100_kmeans": """
+        WITH emb AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, v AS c
+          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+        ),
+        a1 AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(e.v, c.c),
+                              x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
+            FROM emb e CROSS JOIN c0 c) WHERE rn = 1
+        ),
+        c1 AS (
+          SELECT c0.cid, COALESCE(u.c, c0.c) AS c FROM c0 LEFT JOIN (
+            SELECT cid, list(m ORDER BY p) AS c FROM (
+              SELECT a.cid AS cid, t.i AS p, avg(a.v[t.i]) AS m
+              FROM a1 a CROSS JOIN generate_series(1, 64) t(i)
+              GROUP BY a.cid, t.i) GROUP BY cid) u ON u.cid = c0.cid
+        ),
+        a2 AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(e.v, c.c),
+                              x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
+            FROM emb e CROSS JOIN c1 c) WHERE rn = 1
+        ),
+        c2 AS (
+          SELECT c1.cid, COALESCE(u.c, c1.c) AS c FROM c1 LEFT JOIN (
+            SELECT cid, list(m ORDER BY p) AS c FROM (
+              SELECT a.cid AS cid, t.i AS p, avg(a.v[t.i]) AS m
+              FROM a2 a CROSS JOIN generate_series(1, 64) t(i)
+              GROUP BY a.cid, t.i) GROUP BY cid) u ON u.cid = c1.cid
+        )
+        SELECT vec_id, cid - 1 AS cluster FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(list_zip(e.v, c.c),
+                            x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
+          FROM emb e CROSS JOIN c2 c) WHERE rn = 1
+    """,
+    # SemDeDup: the q100 clustering, then NOT EXISTS a lower-id
+    # cluster-mate at cosine >= 0.45.
+    "q101_semdedup": """
+        WITH emb AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, v AS c
+          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+        ),
+        a1 AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(e.v, c.c),
+                              x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
+            FROM emb e CROSS JOIN c0 c) WHERE rn = 1
+        ),
+        c1 AS (
+          SELECT c0.cid, COALESCE(u.c, c0.c) AS c FROM c0 LEFT JOIN (
+            SELECT cid, list(m ORDER BY p) AS c FROM (
+              SELECT a.cid AS cid, t.i AS p, avg(a.v[t.i]) AS m
+              FROM a1 a CROSS JOIN generate_series(1, 64) t(i)
+              GROUP BY a.cid, t.i) GROUP BY cid) u ON u.cid = c0.cid
+        ),
+        a2 AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(e.v, c.c),
+                              x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
+            FROM emb e CROSS JOIN c1 c) WHERE rn = 1
+        ),
+        c2 AS (
+          SELECT c1.cid, COALESCE(u.c, c1.c) AS c FROM c1 LEFT JOIN (
+            SELECT cid, list(m ORDER BY p) AS c FROM (
+              SELECT a.cid AS cid, t.i AS p, avg(a.v[t.i]) AS m
+              FROM a2 a CROSS JOIN generate_series(1, 64) t(i)
+              GROUP BY a.cid, t.i) GROUP BY cid) u ON u.cid = c1.cid
+        ),
+        final AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(e.v, c.c),
+                              x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
+            FROM emb e CROSS JOIN c2 c) WHERE rn = 1
+        )
+        SELECT f.vec_id, f.cid - 1 AS cluster FROM final f
+        WHERE NOT EXISTS (
+          SELECT 1 FROM final g
+          WHERE g.cid = f.cid AND g.vec_id < f.vec_id
+            AND list_dot_product(g.v, f.v)
+                / (sqrt(list_dot_product(g.v, g.v))
+                   * sqrt(list_dot_product(f.v, f.v))) >= 0.45
+        )
     """,
 }
 

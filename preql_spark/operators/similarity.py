@@ -108,7 +108,12 @@ def ivf_build(df: DataFrame, dim: int, n_centroids: int = 16,
                 F.aggregate(
                     F.zip_with(F.col("__v"),
                                F.array(*[F.lit(x) for x in c]),
-                               lambda a, b: (a.cast("double") - b) ** 2),
+                               # (a-b)*(a-b), not **2: the multiply is
+                               # correctly-rounded IEEE on every engine,
+                               # pow(x, 2) is only 1-ulp-accurate — keeps
+                               # the k-means oracle mirror bit-exact
+                               lambda a, b: ((a.cast("double") - b)
+                                             * (a.cast("double") - b))),
                     F.lit(0.0), lambda acc, v: acc + v)
                 for c in cents]).alias("__d"))
         return scored.select(

@@ -509,3 +509,65 @@ def test_lm_perplexity(spark):
     out = {r.doc_id: r
            for r in text.lm_perplexity(held, train_df=df).collect()}
     assert out[9].n_bigrams == 2 and out[9].ppl is not None
+
+
+def test_kmeans_matches_numpy(spark):
+    """Lloyd iterations over DataFrames == the same algorithm in numpy
+    (deterministic init, ties to lowest cluster id)."""
+    import numpy as np
+    from preql_spark.operators.cluster import kmeans
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 6)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+    assigned, cents = kmeans(df, k=3, iters=2)
+    got = {r.vec_id: r.cluster for r in assigned.collect()}
+
+    v = vecs.astype("float64")
+    c = v[:3].copy()
+    for _ in range(2):
+        d = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(3):
+            if (a == j).any():
+                c[j] = v[a == j].mean(axis=0)
+    final = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    assert got == {i: int(final[i]) for i in range(40)}
+    assert np.allclose(np.array(cents), c, atol=1e-9)
+
+
+def test_kmeans_empty_cluster_carryover(spark):
+    """A centroid that captures no points keeps its previous value
+    instead of vanishing (cluster ids stay dense in [0, k))."""
+    from preql_spark.operators.cluster import kmeans
+    # two tight blobs far apart; k=3 seeds from the first 3 points,
+    # two of which sit in the same blob -> one seed ends up empty
+    pts = [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [100.0, 0.0]),
+           (3, [0.05, 0.0]), (4, [100.1, 0.0]), (5, [99.9, 0.0])]
+    df = spark.createDataFrame(pts, "vec_id: long, embedding: array<float>")
+    assigned, cents = kmeans(df, k=3, iters=3)
+    assert len(cents) == 3
+    clusters = {r.vec_id: r.cluster for r in assigned.collect()}
+    assert set(clusters.values()) <= {0, 1, 2}
+    # the two blobs never land in the same cluster
+    assert clusters[2] == clusters[4] == clusters[5]
+    assert clusters[0] == clusters[3]
+    assert clusters[0] != clusters[2]
+
+
+def test_semdedup_keep_rule(spark):
+    """Within a cluster the lowest id of every cosine-neighborhood
+    survives; cross-cluster near-dups are NOT dropped (by design —
+    that's the recall/cost trade the clustering buys)."""
+    from preql_spark.operators.cluster import semdedup
+    pts = [(0, [1.0, 0.0]), (1, [0.999, 0.01]),   # near-dup pair, blob A
+           (2, [1.0, 0.02]),                        # also close to 0/1
+           (10, [-1.0, 0.0]), (11, [-1.0, -0.01])]  # near-dup pair, blob B
+    df = spark.createDataFrame(pts, "vec_id: long, embedding: array<float>")
+    kept = {r.vec_id for r in
+            semdedup(df, tau=0.99, k=2, iters=2).collect()}
+    assert 0 in kept and 10 in kept          # lowest ids survive
+    assert 1 not in kept and 2 not in kept   # dominated by id 0
+    assert 11 not in kept                    # dominated by id 10
