@@ -1287,6 +1287,17 @@ def q101_semdedup(spark, sf_dir) -> DataFrame:
     return semdedup(e.df, tau=0.45, k=8, iters=2)
 
 
+def q102_chunk_dedup(spark, sf_dir) -> DataFrame:
+    """Chunk-level exact dedup with doc reassembly (CCNet paragraph
+    dedup over 3-token units): first corpus occurrence of each unit
+    survives, docs are rebuilt from their surviving units.  Chunking
+    is scan-local (sequence+slice); the keep-pick is one shuffle on
+    the unit string."""
+    from preql_spark.operators.dedup import chunk_dedup
+    d = _eng(spark, sf_dir).t.documents
+    return chunk_dedup(d.df, chunk=3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1305,7 +1316,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       battery (tools/check_oracle.py, 99/99 at sf0.001/0.01/0.1).
     #   r3b: q100 (k-means) ← q26 (running sum; window family keeps
     #       q25, battery keeps q52), q101 (SemDeDup) ← q05 (fact-dim
-    #       join agg attested by q04).
+    #       join agg attested by q04), q102 (chunk dedup) ← q34
+    #       (token stats; text family keeps q35/q36/q95).
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
     "q88_lang_dml_lifecycle": q88_lang_dml_lifecycle,
@@ -1339,7 +1351,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_pivot": q31_pivot,
     "q32_dedup_exact": q32_dedup_exact,
     "q95_repetition_metrics": q95_repetition_metrics,
-    "q34_token_stats": q34_token_stats,
+    "q102_chunk_dedup": q102_chunk_dedup,
     "q35_lang_id": q35_lang_id,
     "q36_quality": q36_quality,
     "q37_minhash_signature": q37_minhash_signature,
@@ -1407,6 +1419,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_map_range": q29_map_range,
     "q05_region_order_stats": q05_region_order_stats,
     "q26_running_sum": q26_running_sum,
+    "q34_token_stats": q34_token_stats,
 }
 
 
@@ -2509,6 +2522,32 @@ ORACLES: dict[str, str] = {
                 / (sqrt(list_dot_product(g.v, g.v))
                    * sqrt(list_dot_product(f.v, f.v))) >= 0.45
         )
+    """,
+    # chunk-level exact dedup: 3-token units, global first occurrence
+    # by (doc_id, unit_no) wins, docs reassembled from survivors
+    "q102_chunk_dedup": """
+        WITH ulist AS (
+          SELECT doc_id,
+                 list_transform(range(0, CAST(ceil(len(words) / 3.0) AS INT)),
+                     i -> array_to_string(list_slice(words, i*3 + 1, i*3 + 3),
+                                          ' ')) AS us
+          FROM (SELECT doc_id, string_split(text, ' ') AS words
+                FROM documents) d
+        ),
+        units AS (
+          SELECT doc_id, unnest(range(0, len(us))) AS unit_no,
+                 unnest(us) AS unit
+          FROM ulist
+        ),
+        kept AS (
+          SELECT doc_id, unit_no, unit FROM (
+            SELECT *, row_number() OVER (PARTITION BY unit
+                        ORDER BY doc_id, unit_no) AS rn
+            FROM units) WHERE rn = 1
+        )
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(unit, ' ' ORDER BY unit_no) AS text_dedup
+        FROM kept GROUP BY doc_id
     """,
 }
 

@@ -20,7 +20,7 @@ engine-portable (same values on DuckDB for differential testing).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from preql_spark.operators.text import (
@@ -384,3 +384,69 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                     (F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")))
                     .cast("double").alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
+
+
+# ---- unit-level (line / paragraph / chunk) dedup ---------------------------
+
+def dedup_units(units: DataFrame, id_col: str = "doc_id",
+                pos_col: str = "unit_no", unit_col: str = "unit") -> DataFrame:
+    """Corpus-wide first-occurrence dedup of sub-document units (the
+    CCNet paragraph-dedup shape): for every distinct unit string only
+    the occurrence with the lowest ``(id, pos)`` survives.  One
+    shuffle, keyed on the unit itself (Spark hash-partitions the
+    string — equivalent to the hash-bucket-then-compare scheme, with
+    the exact compare done by the partitioner's equality)."""
+    w = Window.partitionBy(unit_col).orderBy(id_col, pos_col)
+    return (units.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def chunk_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", chunk: int = 3,
+                sep: str = " ") -> DataFrame:
+    """Chunk-level exact dedup with document reassembly: split each
+    doc into ``chunk``-token units (scan-local — sequence+slice, no
+    shuffle to chunk), drop every unit already seen earlier in the
+    corpus (first occurrence by (doc_id, unit_no) wins), and rebuild
+    the surviving text per doc.
+
+    Returns ``(id_col, n_kept, text_dedup)``; docs whose every unit
+    was seen elsewhere drop out entirely.  Cost at scale: one shuffle
+    of (unit, id, pos) for the global first-occurrence pick + one
+    shuffle on doc id for reassembly — text crosses the wire once per
+    stage, never joined row-to-row."""
+    words = F.split(F.col(text_col), sep)
+    n_units = F.ceil(F.size(words) / F.lit(chunk)).cast("int")
+    unit_list = F.transform(
+        F.sequence(F.lit(0), n_units - 1),
+        lambda i: F.array_join(F.slice(words, i * chunk + 1, chunk), sep))
+    units = df.select(id_col,
+                      F.posexplode(unit_list).alias("unit_no", "unit"))
+    kept = dedup_units(units, id_col, "unit_no", "unit")
+    return (kept.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("unit_no", "unit"))),
+                         lambda s: s["unit"]),
+                     sep).alias("text_dedup")))
+
+
+def line_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """Line/paragraph-level exact dedup (CCNet-style): one unit per
+    ``sep``-separated segment.  Same keep rule and reassembly as
+    :func:`chunk_dedup`."""
+    units = df.select(id_col,
+                      F.posexplode(F.split(F.col(text_col), sep))
+                      .alias("unit_no", "unit"))
+    kept = dedup_units(units, id_col, "unit_no", "unit")
+    return (kept.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("unit_no", "unit"))),
+                         lambda s: s["unit"]),
+                     sep).alias("text_dedup")))

@@ -571,3 +571,31 @@ def test_semdedup_keep_rule(spark):
     assert 0 in kept and 10 in kept          # lowest ids survive
     assert 1 not in kept and 2 not in kept   # dominated by id 0
     assert 11 not in kept                    # dominated by id 10
+
+
+def test_chunk_and_line_dedup(spark):
+    """Global first-occurrence keep rule + in-order reassembly."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y a b"), (3, "a b x y")],
+        "doc_id: long, text: string")
+    out = {r.doc_id: (r.n_kept, r.text_dedup)
+           for r in dedup.chunk_dedup(docs, chunk=2).collect()}
+    # doc1 keeps both units; doc2's "a b" lost to doc1, keeps "x y";
+    # doc3 loses everything ("a b" -> doc1, "x y" -> doc2) and drops out
+    assert out == {1: (2, "a b c d"), 2: (1, "x y")}
+
+    lines = spark.createDataFrame(
+        [(1, "hello\nworld"), (2, "world\nagain")],
+        "doc_id: long, text: string")
+    lout = {r.doc_id: r.text_dedup
+            for r in dedup.line_dedup(lines).collect()}
+    assert lout == {1: "hello\nworld", 2: "again"}
+
+
+def test_dedup_units_within_doc(spark):
+    """A unit repeated inside ONE doc also dedups to its first
+    position (pos tiebreak after id)."""
+    docs = spark.createDataFrame([(5, "p q p q")],
+                                 "doc_id: long, text: string")
+    out = dedup.chunk_dedup(docs, chunk=2).collect()[0]
+    assert (out.n_kept, out.text_dedup) == (1, "p q")
