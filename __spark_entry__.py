@@ -1298,6 +1298,40 @@ def q102_chunk_dedup(spark, sf_dir) -> DataFrame:
     return chunk_dedup(d.df, chunk=3)
 
 
+def q103_domain_cap(spark, sf_dir) -> DataFrame:
+    """Domain balancing: keep the top 5 docs per source, ranked by
+    length then id — one shuffle on the domain key, per-domain
+    row_number (no global sort)."""
+    from preql_spark.operators.text import cap_per_domain
+    d = _eng(spark, sf_dir).t.documents
+    out = cap_per_domain(d.df, "source", 5,
+                         [F.col("n_chars").desc(), F.col("doc_id")])
+    return out.select("doc_id", "source", "n_chars")
+
+
+def q104_scd2_history(spark, sf_dir) -> DataFrame:
+    """SCD2 versioning of each customer's order-priority change log:
+    consecutive equal observations collapse, validity ranges from
+    lead(ts).  Both windows share one shuffle on the business key."""
+    from preql_spark.operators.history import scd2_history
+    o = _eng(spark, sf_dir).t.orders
+    log = o.df.filter(F.col("o_custkey") < 200)
+    return scd2_history(log, ["o_custkey"], "o_orderdate",
+                        ["o_orderpriority"], ["o_orderkey"])
+
+
+def q105_llr_importance(spark, sf_dir) -> DataFrame:
+    """DSIR-style unigram log-likelihood-ratio importance scores
+    against a target domain (sources src0-src3): one token explode,
+    vocab-sized weight table, totals on a broadcast 1-row frame."""
+    from preql_spark.operators.text import llr_importance
+    d = _eng(spark, sf_dir).t.documents
+    target = F.col("source").isin("src0", "src1", "src2", "src3")
+    out = llr_importance(d.df, target)
+    return out.select("doc_id", "n_tokens",
+                      _pr4(F.col("score")).alias("score"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1318,6 +1352,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       q25, battery keeps q52), q101 (SemDeDup) ← q05 (fact-dim
     #       join agg attested by q04), q102 (chunk dedup) ← q34
     #       (token stats; text family keeps q35/q36/q95).
+    #   r3c: q104 (SCD2) ← q18 (semi membership attested in-window by
+    #       q50 in-list), q103 (domain cap) ← q19 (anti join; battery
+    #       keeps q96 decontaminate's anti path and q19 itself),
+    #       q105 (LLR importance) ← q35 (lang-ID; text family keeps
+    #       q36/q95/q102 in-window, q35 stays green in the battery).
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
     "q88_lang_dml_lifecycle": q88_lang_dml_lifecycle,
@@ -1335,8 +1374,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_case_when": q15_case_when,
     "q16_casts": q16_casts,
     "q17_leftjoin": q17_leftjoin,
-    "q18_semi_join": q18_semi_join,
-    "q19_anti_join": q19_anti_join,
+    "q104_scd2_history": q104_scd2_history,
+    "q103_domain_cap": q103_domain_cap,
     "q20_theta_join": q20_theta_join,
     "q93_fk_traversal": q93_fk_traversal,
     "q91_join_by_column": q91_join_by_column,
@@ -1352,7 +1391,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_dedup_exact": q32_dedup_exact,
     "q95_repetition_metrics": q95_repetition_metrics,
     "q102_chunk_dedup": q102_chunk_dedup,
-    "q35_lang_id": q35_lang_id,
+    "q105_llr_importance": q105_llr_importance,
     "q36_quality": q36_quality,
     "q37_minhash_signature": q37_minhash_signature,
     "q38_neardup_minhash": q38_neardup_minhash,
@@ -1420,6 +1459,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q05_region_order_stats": q05_region_order_stats,
     "q26_running_sum": q26_running_sum,
     "q34_token_stats": q34_token_stats,
+    "q18_semi_join": q18_semi_join,
+    "q19_anti_join": q19_anti_join,
+    "q35_lang_id": q35_lang_id,
 }
 
 
@@ -2548,6 +2590,68 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, count(*) AS n_kept,
                string_agg(unit, ' ' ORDER BY unit_no) AS text_dedup
         FROM kept GROUP BY doc_id
+    """,
+    "q103_domain_cap": """
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY n_chars DESC, doc_id) AS rk
+          FROM documents) WHERE rk <= 5
+    """,
+    # SCD2: collapse each customer's order-priority log into validity
+    # ranges — consecutive equal observations merge, lead(ts) closes
+    # each version, the open version is current
+    "q104_scd2_history": """
+        WITH log AS (
+          SELECT o_custkey, o_orderdate AS ts, o_orderpriority AS prio,
+                 o_orderkey AS tb
+          FROM orders WHERE o_custkey < 200
+        ),
+        seq AS (
+          SELECT *, row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY ts, tb) AS rn,
+                 lag(prio) OVER (PARTITION BY o_custkey
+                        ORDER BY ts, tb) AS prev
+          FROM log
+        ),
+        vers AS (
+          SELECT o_custkey, ts, tb, prio FROM seq
+          WHERE rn = 1 OR prio IS DISTINCT FROM prev
+        )
+        SELECT o_custkey, prio AS o_orderpriority, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts, tb)
+                   AS valid_to,
+               lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts, tb)
+                   IS NULL AS is_current
+        FROM vers
+    """,
+    # DSIR-style unigram LLR importance: add-0.5 smoothing over the
+    # joint vocabulary, target = sources src0..src3
+    "q105_llr_importance": """
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN source IN ('src0','src1','src2','src3')
+                      THEN 1.0 ELSE 0.0 END AS t,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS w
+          FROM documents
+        ),
+        stats AS (
+          SELECT w, sum(t) AS ct, sum(1.0 - t) AS cb
+          FROM toks GROUP BY w
+        ),
+        tot AS (
+          SELECT sum(ct) AS tt, sum(cb) AS tb,
+                 CAST(count(*) AS DOUBLE) AS v
+          FROM stats
+        ),
+        wt AS (
+          SELECT w, ln(((ct + 0.5) / (tt + 0.5 * v))
+                       / ((cb + 0.5) / (tb + 0.5 * v))) AS lw
+          FROM stats, tot
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               floor((sum(lw) / count(*)) * 10000 + 0.5) / 10000 AS score
+        FROM toks JOIN wt USING (w) GROUP BY doc_id
     """,
 }
 

@@ -8,7 +8,7 @@ scan speed with full column pruning.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small per-language stopword sets for the n-gram/stopword heuristic.
@@ -467,3 +467,57 @@ def strip_short_lines(col, min_tokens: int = 3) -> Column:
     kept = F.filter(lines, lambda ln: F.size(F.split(F.trim(ln), r"\s+"))
                     >= min_tokens)
     return F.array_join(kept, "\n")
+
+
+def cap_per_domain(df: DataFrame, group_col: str = "source", n: int = 5,
+                   order_by: list | None = None) -> DataFrame:
+    """Domain balancing: keep at most ``n`` rows per ``group_col``,
+    ranked by ``order_by`` (a list of Columns — pass a deterministic
+    total order, e.g. quality desc then id asc, or the cap is
+    nondeterministic).  One shuffle on the domain key; per-domain
+    row_number never needs a global sort.  Skewed mega-domains are the
+    classic hazard — AQE skew-split handles the shuffle, and the
+    window keeps only a running counter per partition key."""
+    if not order_by:
+        raise ValueError("cap_per_domain needs an explicit order_by "
+                         "for deterministic results")
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n).drop("__rk"))
+
+
+def llr_importance(df: DataFrame, target: Column, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """DSIR-flavored importance scoring (Xie et al. 2023,
+    arXiv:2302.03169, simplified to unigrams): score each document by
+    the mean log-likelihood ratio of its tokens under the target-
+    versus-background unigram distributions (add-0.5 smoothing over
+    the joint vocabulary).  ``target`` is a boolean Column marking the
+    in-domain rows.
+
+    Plan shape: one token explode + one vocab-sized aggregate; the
+    corpus totals ride a broadcast 1-row frame (no eager count), and
+    the weight table joins back to the token stream vocab-sized —
+    Catalyst broadcasts it when small, AQE decides otherwise.
+    Returns ``(id_col, n_tokens, score)``."""
+    toks = df.select(F.col(id_col).alias("__id"),
+                     target.cast("double").alias("__t"),
+                     F.explode(tokens(text_col)).alias("__w"))
+    stats = toks.groupBy("__w").agg(
+        F.sum("__t").alias("__ct"),
+        F.sum(1.0 - F.col("__t")).alias("__cb"))
+    tot = stats.agg(F.sum("__ct").alias("__tt"),
+                    F.sum("__cb").alias("__tb"),
+                    F.count(F.lit(1)).cast("double").alias("__v"))
+    weights = (stats.crossJoin(F.broadcast(tot))
+               .select("__w",
+                       F.log(((F.col("__ct") + 0.5)
+                              / (F.col("__tt") + 0.5 * F.col("__v")))
+                             / ((F.col("__cb") + 0.5)
+                                / (F.col("__tb") + 0.5 * F.col("__v"))))
+                       .alias("__lw")))
+    return (toks.join(weights, "__w")
+            .groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 (F.sum("__lw") / F.count(F.lit(1))).alias("score"))
+            .withColumnRenamed("__id", id_col))

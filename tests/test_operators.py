@@ -599,3 +599,75 @@ def test_dedup_units_within_doc(spark):
                                  "doc_id: long, text: string")
     out = dedup.chunk_dedup(docs, chunk=2).collect()[0]
     assert (out.n_kept, out.text_dedup) == (1, "p q")
+
+
+def test_scd2_history(spark):
+    """Change-log collapse: consecutive equal attrs merge, validity
+    ranges chain, NULL->NULL is not a change."""
+    from preql_spark.operators.history import (scd2_as_of, scd2_current,
+                                               scd2_history)
+    log = spark.createDataFrame(
+        [(1, "2024-01-01", "gold"), (1, "2024-02-01", "gold"),
+         (1, "2024-03-01", "silver"), (1, "2024-04-01", "gold"),
+         (2, "2024-01-15", None), (2, "2024-02-15", None),
+         (2, "2024-03-15", "bronze")],
+        "k: long, ts: string, tier: string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    h = scd2_history(log, ["k"], "ts", ["tier"])
+    rows = sorted(h.collect(), key=lambda r: (r.k, r.valid_from))
+    assert [(r.k, r.tier, r.is_current) for r in rows] == [
+        (1, "gold", False), (1, "silver", False), (1, "gold", True),
+        (2, None, False), (2, "bronze", True)]
+    # ranges chain: each valid_to equals the next valid_from
+    assert rows[0].valid_to == rows[1].valid_from
+    assert rows[1].valid_to == rows[2].valid_from
+    cur = {r.k: r.tier for r in scd2_current(h).collect()}
+    assert cur == {1: "gold", 2: "bronze"}
+    asof = {r.k: r.tier
+            for r in scd2_as_of(h, "2024-03-20 00:00:00").collect()}
+    assert asof == {1: "silver", 2: "bronze"}
+
+
+def test_cap_per_domain(spark):
+    from preql_spark.operators.text import cap_per_domain
+    df = spark.createDataFrame(
+        [("a", i, 100 - i) for i in range(10)]
+        + [("b", 100, 7)],
+        "source: string, doc_id: long, q: long")
+    out = cap_per_domain(df, "source", 3,
+                         [F.col("q").desc(), F.col("doc_id")])
+    got = sorted((r.source, r.doc_id) for r in out.collect())
+    assert got == [("a", 0), ("a", 1), ("a", 2), ("b", 100)]
+    with pytest.raises(ValueError):
+        cap_per_domain(df, "source", 3)
+
+
+def test_llr_importance(spark):
+    """Target-exclusive tokens score positive, background-exclusive
+    negative; scores match a straight Python replay."""
+    import math
+    from preql_spark.operators.text import llr_importance
+    df = spark.createDataFrame(
+        [(1, "apple apple pie", True), (2, "apple tart", True),
+         (3, "motor oil oil", False), (4, "oil pie", False)],
+        "doc_id: long, text: string, is_t: boolean")
+    out = {r.doc_id: r for r in
+           llr_importance(df, F.col("is_t")).collect()}
+    # python replay
+    toks = {1: ["apple", "apple", "pie"], 2: ["apple", "tart"],
+            3: ["motor", "oil", "oil"], 4: ["oil", "pie"]}
+    tgt = {1, 2}
+    ct, cb = {}, {}
+    for d, ws in toks.items():
+        for w in ws:
+            (ct if d in tgt else cb)[w] = (ct if d in tgt else cb).get(w, 0) + 1
+    vocab = set(ct) | set(cb)
+    tt, tb, v = sum(ct.values()), sum(cb.values()), len(vocab)
+    def w(t):
+        return math.log(((ct.get(t, 0) + 0.5) / (tt + 0.5 * v))
+                        / ((cb.get(t, 0) + 0.5) / (tb + 0.5 * v)))
+    for d, ws in toks.items():
+        want = sum(w(t) for t in ws) / len(ws)
+        assert abs(out[d].score - want) < 1e-9, d
+        assert out[d].n_tokens == len(ws)
+    assert out[1].score > 0 > out[3].score

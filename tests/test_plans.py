@@ -210,3 +210,35 @@ def test_repetition_metrics_narrow_shuffle(spark):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1)
+
+
+def test_scd2_single_exchange(spark):
+    """Both SCD2 window passes partition on the business key — the
+    second window must reuse the first's hash partitioning (exactly
+    one Exchange in the whole plan)."""
+    import re
+    df = entry.q104_scd2_history(spark, SF_DIR)
+    plan = plan_of(df)
+    assert len(set(re.findall(r"\(\d+\) Exchange", plan))) == 1
+
+
+def test_domain_cap_no_global_sort(spark):
+    """Per-domain top-n sorts within partitions only — a global sort
+    of the corpus would be a scale killer."""
+    df = entry.q103_domain_cap(spark, SF_DIR)
+    plan = plan_of(df)
+    # window sort is per-partition (global=false); no range partition
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_kmeans_assignment_no_shuffle(spark):
+    """k-means assignment (against driver-held centroids) must be
+    scan-local: the assignment frame's plan contains no Exchange."""
+    from preql_spark.operators.cluster import kmeans
+    emb = entry._eng(spark, SF_DIR).t.embeddings.df
+    assigned, _ = kmeans(emb, k=4, iters=1)
+    plan = plan_of(assigned)
+    # the only exchange allowed is ensure_parallelism's round-robin
+    # (small-file-count guard, a no-op at scale)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
