@@ -1332,6 +1332,31 @@ def q105_llr_importance(spark, sf_dir) -> DataFrame:
                       _pr4(F.col("score")).alias("score"))
 
 
+def q106_bloom_semi_join(spark, sf_dir) -> DataFrame:
+    """Bloom-accelerated exact semi join: lineitem rows of expensive
+    orders.  The fact side is pruned scan-locally against a broadcast
+    bloom of the order-key set BEFORE the join shuffle; the exact
+    left-semi join then removes false positives, so the result equals
+    the plain semi join while only bloom survivors cross the wire."""
+    from preql_spark.operators.bloom import bloom_semi_join
+    eng = _eng(spark, sf_dir)
+    expensive = eng.t.orders.df.filter(F.col("o_totalprice") > 400000)
+    out = bloom_semi_join(eng.t.lineitem.df, "l_orderkey",
+                          expensive, "o_orderkey")
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q107_corpus_overlap(spark, sf_dir) -> DataFrame:
+    """Dataset diff: fingerprint overlap between two corpus slices —
+    8-byte fingerprints through the shuffles, one global agg row."""
+    from preql_spark.operators.dedup import corpus_overlap
+    d = _eng(spark, sf_dir).t.documents.df
+    out = corpus_overlap(d.filter(F.col("doc_id") < 300),
+                         d.filter(F.col("doc_id") >= 200))
+    return out.select("n_a", "n_b", "n_common",
+                      _pr4(F.col("jaccard")).alias("jaccard"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1357,6 +1382,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       keeps q96 decontaminate's anti path and q19 itself),
     #       q105 (LLR importance) ← q35 (lang-ID; text family keeps
     #       q36/q95/q102 in-window, q35 stays green in the battery).
+    #   r3d: q106 (bloom semi join) ← q09 (product agg; §2.4 keeps
+    #       q01/q02/q07/q08), q107 (corpus overlap) ← q37 (minhash
+    #       signatures; family attested end-to-end by q38 LSH).
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
     "q88_lang_dml_lifecycle": q88_lang_dml_lifecycle,
@@ -1365,7 +1393,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q06_forecast_revenue": q06_forecast_revenue,
     "q07_collect_list": q07_collect_list,
     "q08_median_percentile": q08_median_percentile,
-    "q09_product_agg": q09_product_agg,
+    "q106_bloom_semi_join": q106_bloom_semi_join,
     "q10_projection_markup": q10_projection_markup,
     "q11_selection": q11_selection,
     "q12_slice_page": q12_slice_page,
@@ -1393,7 +1421,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q102_chunk_dedup": q102_chunk_dedup,
     "q105_llr_importance": q105_llr_importance,
     "q36_quality": q36_quality,
-    "q37_minhash_signature": q37_minhash_signature,
+    "q107_corpus_overlap": q107_corpus_overlap,
     "q38_neardup_minhash": q38_neardup_minhash,
     "q39_simhash_pairs": q39_simhash_pairs,
     "q40_cosine_topk": q40_cosine_topk,
@@ -1462,6 +1490,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_semi_join": q18_semi_join,
     "q19_anti_join": q19_anti_join,
     "q35_lang_id": q35_lang_id,
+    "q09_product_agg": q09_product_agg,
+    "q37_minhash_signature": q37_minhash_signature,
 }
 
 
@@ -2652,6 +2682,37 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, count(*) AS n_tokens,
                floor((sum(lw) / count(*)) * 10000 + 0.5) / 10000 AS score
         FROM toks JOIN wt USING (w) GROUP BY doc_id
+    """,
+    # bloom pruning is a pure accelerator — the exact-join result IS
+    # the oracle contract
+    "q106_bloom_semi_join": """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_totalprice > 400000)
+    """,
+    "q107_corpus_overlap": r"""
+        WITH fa AS (
+          SELECT DISTINCT ('0x' || substr(md5(regexp_replace(
+              lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp
+          FROM documents WHERE doc_id < 300
+        ),
+        fb AS (
+          SELECT DISTINCT ('0x' || substr(md5(regexp_replace(
+              lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp
+          FROM documents WHERE doc_id >= 200
+        ),
+        j AS (
+          SELECT fa.fp AS fpa, fb.fp AS fpb
+          FROM fa FULL OUTER JOIN fb ON fa.fp = fb.fp
+        )
+        SELECT count(fpa) AS n_a, count(fpb) AS n_b,
+               CAST(sum(CASE WHEN fpa IS NOT NULL AND fpb IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+               floor(CAST(sum(CASE WHEN fpa IS NOT NULL AND fpb IS NOT NULL
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) * 10000 + 0.5) / 10000 AS jaccard
+        FROM j
     """,
 }
 

@@ -492,6 +492,17 @@ class Engine:
         """Reference import_json — pql_functions.py:875-898."""
         return self.from_df(self.spark.read.json(path))
 
+    def import_jsonl(self, path: str, schema=None) -> "Table":
+        """JSON-lines source (pairs with ``Table.write_jsonl``).  Pass
+        a DDL string or StructType: schema inference is an extra full
+        pass over the data — at 100 TB that doubles the read, so the
+        explicit schema is the scale path.  None falls back to
+        inference for ad-hoc use."""
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return self.from_df(reader.json(path))
+
     def import_pandas(self, **dfs) -> dict[str, "Table"]:
         """Reference import_pandas — pql_functions.py:849-873."""
         return {name: self.register(name, self.spark.createDataFrame(pdf))

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from preql_spark.operators.text import (
-    ensure_parallelism, fingerprint, portable_hash, tokens)
+    ensure_parallelism, fingerprint, fingerprint64, portable_hash, tokens)
 
 
 # ---- exact -----------------------------------------------------------------
@@ -450,3 +450,30 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
                              F.struct("unit_no", "unit"))),
                          lambda s: s["unit"]),
                      sep).alias("text_dedup")))
+
+
+# ---- dataset diff / overlap ------------------------------------------------
+
+def corpus_overlap(a: DataFrame, b: DataFrame,
+                   text_col: str = "text") -> DataFrame:
+    """Content overlap between two corpora by normalized fingerprint:
+    one row ``(n_a, n_b, n_common, jaccard)`` over the DISTINCT
+    fingerprint sets.  The dataset-diff primitive for "how much of
+    snapshot B is already in A" questions (crawl refresh triage,
+    train/eval leakage audits at corpus granularity).
+
+    Plan shape: each side is one scan + distinct on the 64-bit
+    fingerprint (8-byte keys through the shuffle, never text), a
+    fingerprint-keyed full outer join, then a single global agg row."""
+    fa = (a.select(fingerprint64(F.col(text_col)).alias("__fp"))
+          .distinct().withColumn("__ina", F.lit(1)))
+    fb = (b.select(fingerprint64(F.col(text_col)).alias("__fp"))
+          .distinct().withColumn("__inb", F.lit(1)))
+    j = fa.join(fb, "__fp", "full_outer")
+    both = F.col("__ina").isNotNull() & F.col("__inb").isNotNull()
+    return j.agg(
+        F.count("__ina").alias("n_a"),
+        F.count("__inb").alias("n_b"),
+        F.sum(both.cast("long")).alias("n_common"),
+        (F.sum(both.cast("long"))
+         / F.count(F.lit(1)).cast("double")).alias("jaccard"))

@@ -671,3 +671,56 @@ def test_llr_importance(spark):
         assert abs(out[d].score - want) < 1e-9, d
         assert out[d].n_tokens == len(ws)
     assert out[1].score > 0 > out[3].score
+
+
+def test_bloom_semi_join_exact(spark, eng):
+    """Bloom pruning + exact join == plain left-semi join, bit for bit."""
+    from preql_spark.operators.bloom import bloom_semi_join
+    li = eng.t.lineitem.df
+    expensive = eng.t.orders.df.filter(F.col("o_totalprice") > 300000)
+    got = sorted((r.l_orderkey, r.l_linenumber) for r in
+                 bloom_semi_join(li, "l_orderkey", expensive, "o_orderkey")
+                 .select("l_orderkey", "l_linenumber").collect())
+    keys = expensive.select(F.col("o_orderkey").alias("l_orderkey"))
+    want = sorted((r.l_orderkey, r.l_linenumber) for r in
+                  li.join(keys, "l_orderkey", "left_semi")
+                  .select("l_orderkey", "l_linenumber").collect())
+    assert got == want and len(got) > 0
+
+
+def test_bloom_probe_no_false_negatives(spark):
+    """Every true key passes the bloom even at a deliberately tiny,
+    collision-heavy bit budget."""
+    from preql_spark.operators.bloom import bloom_build, bloom_probe
+    small = spark.range(50).select((F.col("id") * 7).alias("k"))
+    big = spark.range(1000).select(F.col("id").alias("k"))
+    bloom = bloom_build(small, "k", n_bits=256, n_hashes=2)
+    passed = {r.k for r in bloom_probe(big, bloom, "k",
+                                       n_bits=256, n_hashes=2).collect()}
+    true_keys = {i * 7 for i in range(50) if i * 7 < 1000}
+    assert true_keys <= passed  # superset: no false negatives
+
+
+def test_corpus_overlap(spark):
+    from preql_spark.operators.dedup import corpus_overlap
+    a = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "cc"), (4, "BB ")],  # 4 normalizes to bb
+        "doc_id: long, text: string")
+    b = spark.createDataFrame(
+        [(1, "bb"), (2, "dd")], "doc_id: long, text: string")
+    r = corpus_overlap(a, b).collect()[0]
+    assert (r.n_a, r.n_b, r.n_common) == (3, 2, 1)
+    assert abs(r.jaccard - 0.25) < 1e-12
+
+
+def test_import_jsonl_roundtrip(spark, eng, tmp_path):
+    """write_jsonl -> import_jsonl with explicit schema preserves rows
+    without a second inference pass."""
+    p = str(tmp_path / "docs_jsonl")
+    t = eng.t.nation
+    t.write_jsonl(p)
+    back = eng.import_jsonl(
+        p, "n_nationkey bigint, n_name string, n_regionkey bigint")
+    assert back.df.count() == t.df.count()
+    assert {r.n_name for r in back.df.collect()} \
+        == {r.n_name for r in t.df.collect()}
