@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "q78_interval_join",     # bucketized range join (no BNLJ)
     "q95_repetition_metrics",# Gopher repetition gates (narrow hashed shuffles)
     "q99_lm_perplexity",     # bigram-LM quality scores (vocab-bounded joins)
+    "q102_chunk_dedup",      # unit dedup + doc reassembly (text shuffles)
+    "q106_bloom_semi_join",  # bloom-pruned fact⋈dim semi join
 ]
 
 

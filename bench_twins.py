@@ -239,6 +239,20 @@ def q99_lm_perplexity(spark, sf_dir):
                       _pr4(F.col("ppl")).alias("ppl"))
 
 
+def q102_chunk_dedup(spark, sf_dir):
+    from preql_spark.operators.dedup import chunk_dedup
+    return chunk_dedup(_read(spark, sf_dir, "documents"), chunk=3)
+
+
+def q106_bloom_semi_join(spark, sf_dir):
+    from preql_spark.operators.bloom import bloom_semi_join
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders") \
+        .filter(F.col("o_totalprice") > 400000)
+    return bloom_semi_join(li, "l_orderkey", o, "o_orderkey") \
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+
+
 TWINS = {
     "q01_pricing_summary": q01_pricing_summary,
     "q04_revenue_by_nation": q04_revenue_by_nation,
@@ -255,4 +269,6 @@ TWINS = {
     "q78_interval_join": q78_interval_join,
     "q95_repetition_metrics": q95_repetition_metrics,
     "q99_lm_perplexity": q99_lm_perplexity,
+    "q102_chunk_dedup": q102_chunk_dedup,
+    "q106_bloom_semi_join": q106_bloom_semi_join,
 }

