@@ -61,3 +61,27 @@ def scd2_as_of(history: DataFrame, ts) -> DataFrame:
     return history.filter((F.col("valid_from") <= t)
                           & (F.col("valid_to").isNull()
                              | (F.col("valid_to") > t)))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """CDC between two table snapshots: one full outer join on the
+    business key, classifying every key as inserted / deleted /
+    changed / unchanged (null-safe struct comparison over
+    ``compare_cols``, default = all non-key columns of ``new``).
+
+    Returns ``key_cols + (change_type, __old, __new)`` where __old /
+    __new are structs of the compared columns (null on the missing
+    side).  At scale this is one co-partitioned shuffle join; two
+    snapshots written bucketed on the key diff with ZERO exchanges.
+    """
+    cc = compare_cols or [c for c in new.columns if c not in key_cols]
+    o = old.select(*key_cols, F.struct(*cc).alias("__old"))
+    n = new.select(*key_cols, F.struct(*cc).alias("__new"))
+    j = o.join(n, key_cols, "full_outer")
+    ct = (F.when(F.col("__old").isNull(), F.lit("inserted"))
+          .when(F.col("__new").isNull(), F.lit("deleted"))
+          .when(~F.col("__old").eqNullSafe(F.col("__new")),
+                F.lit("changed"))
+          .otherwise(F.lit("unchanged")))
+    return j.select(*key_cols, ct.alias("change_type"), "__old", "__new")

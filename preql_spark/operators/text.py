@@ -521,3 +521,24 @@ def llr_importance(df: DataFrame, target: Column, id_col: str = "doc_id",
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  (F.sum("__lw") / F.count(F.lit(1))).alias("score"))
             .withColumnRenamed("__id", id_col))
+
+
+def quantile_bucketize(df: DataFrame, value_col: str, n_buckets: int,
+                       out_col: str = "bucket") -> DataFrame:
+    """Equal-frequency bucketing: thresholds are the exact
+    (i/n)-percentiles computed in ONE partial-agg pass and broadcast
+    back as a 1-row frame; bucket assignment is then scan-local
+    (count of thresholds below the value).  The naive spelling —
+    ``ntile(n) OVER (ORDER BY value)`` — needs a GLOBAL sort of the
+    corpus; this shape never sorts and never shuffles the fact rows.
+    Rows equal to a threshold go to the lower bucket on every engine
+    (strict ``>`` comparison)."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    ts = F.broadcast(df.agg(F.percentile(
+        F.col(value_col), F.array(*[F.lit(q) for q in qs])).alias("__ts")))
+    v = F.col(value_col)
+    return (df.crossJoin(ts)
+            .withColumn(out_col,
+                        F.size(F.filter(F.col("__ts"), lambda t: v > t))
+                        .cast("int"))
+            .drop("__ts"))

@@ -724,3 +724,36 @@ def test_import_jsonl_roundtrip(spark, eng, tmp_path):
     assert back.df.count() == t.df.count()
     assert {r.n_name for r in back.df.collect()} \
         == {r.n_name for r in t.df.collect()}
+
+
+def test_snapshot_diff(spark):
+    from preql_spark.operators.history import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30)],
+        "k: long, v: string, x: long")
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40), (5, None, None)],
+        "k: long, v: string, x: long")
+    got = {r.k: r.change_type
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "deleted",
+                   4: "inserted", 5: "inserted"}
+    # restrict comparison to one column: v-only change becomes invisible
+    got_x = {r.k: r.change_type
+             for r in snapshot_diff(old, new, ["k"], ["x"]).collect()}
+    assert got_x[2] == "unchanged"
+
+
+def test_quantile_bucketize(spark):
+    from preql_spark.operators.text import quantile_bucketize
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               "id: long, v: double")
+    out = quantile_bucketize(df, "v", 4)
+    counts = {r.bucket: r.n for r in
+              out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # equal-frequency: 4 buckets of ~25 each, in order
+    assert set(counts) == {0, 1, 2, 3}
+    assert all(20 <= c <= 30 for c in counts.values())
+    by_v = {r.v: r.bucket for r in out.collect()}
+    assert by_v[0.0] == 0 and by_v[99.0] == 3
+    assert all(by_v[float(i)] <= by_v[float(i + 1)] for i in range(99))
