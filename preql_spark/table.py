@@ -108,6 +108,16 @@ class Table:
     def schema(self):
         return self.df.schema
 
+    def pipe(self, fn, *args, **kwargs):
+        """Apply a DataFrame operator while staying in the fluent
+        Table API: ``t.pipe(chunk_dedup, chunk=3).group(...)``.
+        ``fn`` takes the underlying DataFrame first (every function in
+        ``preql_spark.operators`` fits); a DataFrame result is
+        re-wrapped as a Table, anything else (stats tuples, model
+        objects) passes through unchanged."""
+        out = fn(self.df, *args, **kwargs)
+        return self._with(out) if isinstance(out, DataFrame) else out
+
     def _with(self, df: DataFrame, name: str | None = None) -> "Table":
         return Table(self.engine, df, TableMeta(name or self.meta.name,
                                                 pk=self.meta.pk, fks=self.meta.fks,

@@ -367,3 +367,15 @@ def test_write_jsonl_roundtrip(eng, tmp_path):
     assert set(back.columns) == {"n_nationkey", "n_name"}
     import glob
     assert len(glob.glob(p + "/part-*")) == 2
+
+
+def test_table_pipe(eng):
+    """pipe() bridges DataFrame operators into the fluent Table API."""
+    from preql_spark.operators.dedup import chunk_dedup
+    out = eng.t.documents.pipe(chunk_dedup, chunk=3)
+    from preql_spark.table import Table
+    assert isinstance(out, Table)
+    assert set(out.df.columns) == {"doc_id", "n_kept", "text_dedup"}
+    # non-DataFrame results pass through unwrapped
+    assert eng.t.documents.pipe(lambda df: df.columns) == \
+        ["doc_id", "text", "lang", "source", "n_chars"]

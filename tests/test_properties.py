@@ -275,3 +275,74 @@ def test_repetition_metrics_bounds(spark, texts):
         assert r.n_lines == len(lines)
         if len(set(lines)) == len(lines):
             assert r.dup_line_frac == 0.0 == r.dup_line_char_frac
+
+
+# ---- round-3b operator invariants ------------------------------------------
+
+@pytest.fixture(scope="module")
+def doc_rows(eng):
+    return [r.asDict() for r in eng.t.documents.collect()]
+
+
+@settings(**SETTINGS)
+@given(chunk=st.integers(1, 6))
+def test_chunk_dedup_model(eng, doc_rows, chunk):
+    """chunk_dedup == a sequential-python first-occurrence model, for
+    any chunk size."""
+    from preql_spark.operators.dedup import chunk_dedup
+    sub = eng.t.documents.filter(F.col("doc_id") < 60)
+    got = {r.doc_id: (r.n_kept, r.text_dedup)
+           for r in chunk_dedup(sub.df, chunk=chunk).collect()}
+    seen, want = set(), {}
+    for r in sorted((r for r in doc_rows if r["doc_id"] < 60),
+                    key=lambda r: r["doc_id"]):
+        words = r["text"].split(" ")
+        units = [" ".join(words[i:i + chunk])
+                 for i in range(0, len(words), chunk)]
+        kept = []
+        for u in units:            # first occurrence ACROSS AND WITHIN docs
+            if u not in seen:
+                kept.append(u)
+                seen.add(u)
+        if kept:
+            want[r["doc_id"]] = (len(kept), " ".join(kept))
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(n=st.integers(2, 12))
+def test_bucketize_is_partition(eng, n):
+    """Buckets are ordered, contiguous, and jointly exhaustive."""
+    from preql_spark.operators.text import quantile_bucketize
+    out = quantile_bucketize(eng.t.orders.df, "o_totalprice", n) \
+        .select("o_totalprice", "bucket").collect()
+    assert all(0 <= r.bucket < n for r in out)
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r.o_totalprice)
+    ordered = sorted(by_bucket)
+    for a, b in zip(ordered, ordered[1:]):
+        assert max(by_bucket[a]) <= min(by_bucket[b])
+
+
+@settings(**SETTINGS)
+@given(mod=st.integers(2, 20))
+def test_scd2_ranges_partition_time(eng, mod):
+    """Per key: validity ranges are disjoint, chained, and exactly one
+    version is current."""
+    from preql_spark.operators.history import scd2_history
+    log = eng.t.orders.filter(F.col("o_custkey") % mod == 1).df
+    h = scd2_history(log, ["o_custkey"], "o_orderdate",
+                     ["o_orderpriority"], ["o_orderkey"])
+    rows = sorted(h.collect(),
+                  key=lambda r: (r.o_custkey, r.valid_from))
+    from itertools import groupby
+    for k, grp in groupby(rows, key=lambda r: r.o_custkey):
+        vs = list(grp)
+        assert sum(1 for v in vs if v.is_current) == 1
+        assert vs[-1].valid_to is None and vs[-1].is_current
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from
+        # consecutive versions really differ
+        for a, b in zip(vs, vs[1:]):
+            assert a.o_orderpriority != b.o_orderpriority
