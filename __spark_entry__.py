@@ -1386,6 +1386,28 @@ def q109_quantile_bucketize(spark, sf_dir) -> DataFrame:
     return out.select("o_orderkey", "bucket")
 
 
+def q110_zorder_key(spark, sf_dir) -> DataFrame:
+    """Morton (Z-order) interleave of two keys — the layout key behind
+    write_zordered; pure shift/and/or codegen, mirrored bit-for-bit
+    in the oracle."""
+    from preql_spark.operators.layout import zorder_key
+    o = _eng(spark, sf_dir).t.orders.df
+    return o.select("o_orderkey",
+                    zorder_key(["o_custkey", "o_orderkey"], bits=10)
+                    .alias("zkey"))
+
+
+def q111_skew_report(spark, sf_dir) -> DataFrame:
+    """Join-key skew diagnostic: top-20 heaviest event users with
+    row share and uniform-load multiple (broadcast totals, top-k)."""
+    from preql_spark.operators.layout import skew_report
+    e = _eng(spark, sf_dir).t.events.df
+    out = skew_report(e, "user_id", top=20)
+    return out.select(F.col("key").alias("user_id"), "n_rows",
+                      _pr4(F.col("share")).alias("share"),
+                      _pr4(F.col("x_uniform")).alias("x_uniform"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1524,6 +1546,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # battery-only (families attested in-window by q104 / q08)
     "q108_snapshot_diff": q108_snapshot_diff,
     "q109_quantile_bucketize": q109_quantile_bucketize,
+    "q110_zorder_key": q110_zorder_key,
+    "q111_skew_report": q111_skew_report,
 }
 
 
@@ -2778,7 +2802,41 @@ ORACLES: dict[str, str] = {
                    AS bucket
         FROM orders, t
     """,
+    "q111_skew_report": """
+        WITH counts AS (
+          SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+        ),
+        tot AS (
+          SELECT CAST(sum(n_rows) AS DOUBLE) AS total,
+                 count(*) AS nkeys
+          FROM counts
+        )
+        SELECT user_id, n_rows,
+               floor(n_rows / total * 10000 + 0.5) / 10000 AS share,
+               floor(n_rows * nkeys / total * 10000 + 0.5) / 10000
+                   AS x_uniform
+        FROM counts, tot
+        ORDER BY n_rows DESC, user_id LIMIT 20
+    """,
 }
+
+
+def _zorder_terms(cols: list[str], bits: int) -> str:
+    """The q110 oracle's Morton expression, generated with the same
+    bit placement as operators.layout.zorder_key (bit i of col j at
+    position i*n + j)."""
+    n = len(cols)
+    return " | ".join(
+        f"((({c} >> {i}) & 1) << {i * n + j})"
+        for j, c in enumerate(cols) for i in range(bits))
+
+
+ORACLES["q110_zorder_key"] = f"""
+    SELECT o_orderkey,
+           CAST({_zorder_terms(['o_custkey', 'o_orderkey'], 10)} AS BIGINT)
+               AS zkey
+    FROM orders
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -626,6 +626,27 @@ class Table:
         write_clustered for the layout-aware variants)."""
         self.df.write.mode(mode).parquet(path)
 
+    def write_zordered(self, path: str, cols: list, bits: int = 16,
+                       n_files: int | None = None,
+                       mode: str = "overwrite") -> None:
+        """Z-ordered parquet layout (the Delta/Iceberg `OPTIMIZE
+        ZORDER BY` shape): one range-partitioned global sort on the
+        Morton interleave of ``cols``, so every file's min/max footer
+        stats are tight on ALL interleaved columns — scans filtering
+        on any of them prune files, not just the leading sort key.
+        Costs exactly the one sort shuffle a plain sorted write costs.
+        ``n_files`` pins the output file count (a layout decision,
+        like write_jsonl's n_shards); None lets AQE size the range
+        partitions."""
+        from preql_spark.operators.layout import zorder_key
+        df = self.df.withColumn("__z", zorder_key(cols, bits))
+        if n_files is not None:
+            df = df.repartitionByRange(n_files, "__z") \
+                   .sortWithinPartitions("__z")
+        else:
+            df = df.orderBy("__z")
+        df.drop("__z").write.mode(mode).parquet(path)
+
     def write_bucketed(self, name: str, cols: list[str] | str,
                        buckets: int = 16, sort_by: list[str] | str | None = None,
                        mode: str = "overwrite") -> "Table":

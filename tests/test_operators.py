@@ -757,3 +757,75 @@ def test_quantile_bucketize(spark):
     by_v = {r.v: r.bucket for r in out.collect()}
     assert by_v[0.0] == 0 and by_v[99.0] == 3
     assert all(by_v[float(i)] <= by_v[float(i + 1)] for i in range(99))
+
+
+def test_zorder_key_matches_python_morton(spark):
+    from preql_spark.operators.layout import zorder_key
+    rows = [(i, i * 37 % 100, i * 53 % 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "id: long, x: long, y: long")
+    got = {r.id: r.z for r in
+           df.select("id", zorder_key(["x", "y"], bits=8).alias("z"))
+           .collect()}
+
+    def morton(x, y):
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {i: morton(x, y) for i, x, y in rows}
+    with pytest.raises(ValueError):
+        zorder_key(["x", "y"], bits=32)  # 64 bits won't fit signed
+
+
+def test_write_zordered_prunes(spark, eng, tmp_path):
+    """Z-ordered files have tight min/max on BOTH interleaved columns
+    — the data-skipping property the layout exists for.  Keys must
+    span the masked bit domain (the documented bucketize-first
+    contract): a key using only the low bits never reaches the top
+    interleaved bits and gets no pruning."""
+    import os
+
+    import pyarrow.parquet as pq
+    p = str(tmp_path / "zorders")
+    df = spark.range(20000).select(
+        (F.col("id") * 37 % 1024).alias("x"),
+        (F.col("id") * 991 % 1024).alias("y"))
+    eng.from_df(df).write_zordered(p, ["x", "y"], bits=10, n_files=4)
+
+    def span(col):
+        out = []
+        for f in os.listdir(p):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(p, f))
+            c = {md.schema.column(i).name: i
+                 for i in range(md.num_columns)}
+            lo = min(md.row_group(g).column(c[col]).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(c[col]).statistics.max
+                     for g in range(md.num_row_groups))
+            out.append((lo, hi))
+        return out
+
+    for col in ("x", "y"):
+        spans = span(col)
+        assert len(spans) > 1
+        total = max(h for _, h in spans) - min(l for l, _ in spans)
+        # per-file spans narrower than global: a range predicate on
+        # EITHER column can skip files — neither is "the" sort key
+        assert sum(h - l for l, h in spans) < total * len(spans) * 0.8, col
+
+
+def test_skew_report(spark):
+    from preql_spark.operators.layout import skew_report
+    df = spark.createDataFrame(
+        [(1,)] * 60 + [(2,)] * 30 + [(k,) for k in range(3, 13)],
+        "k: long")
+    rows = skew_report(df, "k", top=3).collect()
+    assert [r.key for r in rows] == [1, 2, 3]
+    top = rows[0]
+    assert top.n_rows == 60 and abs(top.share - 0.6) < 1e-12
+    # 12 distinct keys over 100 rows: uniform load is 100/12
+    assert abs(top.x_uniform - 60 * 12 / 100) < 1e-12
