@@ -537,8 +537,10 @@ def quantile_bucketize(df: DataFrame, value_col: str, n_buckets: int,
     ts = F.broadcast(df.agg(F.percentile(
         F.col(value_col), F.array(*[F.lit(q) for q in qs])).alias("__ts")))
     v = F.col(value_col)
+    bucket = F.size(F.filter(F.col("__ts"), lambda t: v > t)).cast("int")
+    # NULL in -> NULL bucket: the filter lambda silently drops null
+    # comparisons, which would misfile nulls into bucket 0
     return (df.crossJoin(ts)
-            .withColumn(out_col,
-                        F.size(F.filter(F.col("__ts"), lambda t: v > t))
-                        .cast("int"))
+            .withColumn(out_col, F.when(v.isNull(), F.lit(None)
+                                        .cast("int")).otherwise(bucket))
             .drop("__ts"))

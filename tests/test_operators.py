@@ -829,3 +829,30 @@ def test_skew_report(spark):
     assert top.n_rows == 60 and abs(top.share - 0.6) < 1e-12
     # 12 distinct keys over 100 rows: uniform load is 100/12
     assert abs(top.x_uniform - 60 * 12 / 100) < 1e-12
+
+
+def test_new_operator_null_edges(spark):
+    """Pinned null semantics: null text contributes no units (doc
+    drops out), null bucketize values stay null (never bucket 0),
+    null SCD2 timestamps sort first (open-ended first version)."""
+    from preql_spark.operators.dedup import chunk_dedup
+    from preql_spark.operators.history import scd2_history
+    from preql_spark.operators.text import quantile_bucketize
+
+    docs = spark.createDataFrame([(1, "a b"), (2, None)],
+                                 "doc_id: long, text: string")
+    assert [r.doc_id for r in chunk_dedup(docs, chunk=2).collect()] == [1]
+
+    df = spark.createDataFrame([(1, 1.0), (2, None), (3, 3.0)],
+                               "id: long, v: double")
+    got = {r.id: r.bucket for r in quantile_bucketize(df, "v", 2).collect()}
+    assert got[2] is None and got[1] == 0 and got[3] == 1
+
+    log = spark.createDataFrame(
+        [(1, None, "x"), (1, "2024-01-01", "y")],
+        "k: long, ts: string, a: string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = sorted(scd2_history(log, ["k"], "ts", ["a"]).collect(),
+                  key=lambda r: (r.valid_from is not None, r.valid_from))
+    assert rows[0].valid_from is None and not rows[0].is_current
+    assert rows[1].is_current
