@@ -218,3 +218,50 @@ def run_to_memory(result: DataFrame, name: str,
          .start())
     q.awaitTermination()
     return result.sparkSession.table(name)
+
+
+def incremental_dedup_ingest(spark: SparkSession, src_path: str,
+                             store_path: str, checkpoint: str,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Incremental corpus ingestion with dedup against everything
+    already ingested — the streaming face of exact dedup: each
+    micro-batch of new files is fingerprinted, deduped within itself
+    (min id per fingerprint), anti-joined against the store's
+    fingerprint column, and appended to the store.
+
+    ``foreachBatch`` is the deliberate escape hatch here: the
+    anti-join targets a batch table that GROWS as the query runs,
+    which no pure streaming operator expresses.  Idempotence is
+    content-addressed — a replayed batch (checkpoint recovery) finds
+    its fingerprints already in the store and appends nothing, so the
+    sink is exactly-once at content level without transactional
+    writes.
+
+    Scale shape per batch: one batch scan + one fingerprint-keyed
+    anti-join whose store side is column-pruned to the 8-byte
+    fingerprint; the store's text is never re-read.  Returns the
+    store as a batch DataFrame after draining available input."""
+    from preql_spark.operators.text import fingerprint64
+
+    schema = spark.read.parquet(src_path).schema  # footer-only peek
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        b = batch.withColumn("__fp", fingerprint64(F.col(text_col)))
+        winners = (b.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+                   .select(id_col))
+        b = b.join(winners, id_col, "left_semi")
+        if os.path.isdir(store_path) and any(
+                f.endswith(".parquet") for f in os.listdir(store_path)):
+            seen = (batch.sparkSession.read.parquet(store_path)
+                    .select("__fp").distinct())
+            b = b.join(seen, "__fp", "left_anti")
+        b.write.mode("append").parquet(store_path)
+
+    q = (spark.readStream.schema(schema).parquet(src_path)
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(store_path)

@@ -302,3 +302,32 @@ def test_insert_from_distributed_ids(spark, eng, tmp_path):
     ids = got.agg(F.min("id").alias("lo"), F.max("id").alias("hi"),
                   F.count_distinct("id").alias("u")).collect()[0]
     assert (ids.lo, ids.hi, ids.u) == (1, n, n)   # dense + unique
+
+
+def test_incremental_dedup_ingest(spark, eng, tmp_path):
+    """foreachBatch ingest: within-batch dedup, dedup against the
+    growing store, idempotent re-runs."""
+    from preql_spark.streaming.stream import incremental_dedup_ingest
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+
+    docs = eng.t.documents.df.select("doc_id", "text")
+    # wave 1: docs 0-49 plus an in-wave duplicate of doc 0's text
+    wave1 = docs.filter(F.col("doc_id") < 50).unionByName(
+        docs.filter(F.col("doc_id") == 0)
+        .select((F.col("doc_id") + 90000).alias("doc_id"), "text"))
+    wave1.write.mode("overwrite").parquet(src)
+    out1 = incremental_dedup_ingest(spark, src, store, ck)
+    assert out1.count() == 50                      # in-wave dup dropped
+    assert out1.filter(F.col("doc_id") >= 90000).count() == 0
+
+    # wave 2: docs 40-79 — 10 overlap the store by content
+    docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80)) \
+        .write.mode("append").parquet(src)
+    out2 = incremental_dedup_ingest(spark, src, store, ck)
+    assert out2.count() == 80                      # only 30 new landed
+
+    # re-run with nothing new: checkpoint sees no files, store unchanged
+    out3 = incremental_dedup_ingest(spark, src, store, ck)
+    assert out3.count() == 80
