@@ -1430,6 +1430,18 @@ def q112_stream_ingest_dedup(spark, sf_dir) -> DataFrame:
     return out.select("doc_id")
 
 
+def q113_contrastive_pairs(spark, sf_dir) -> DataFrame:
+    """Contrastive pair mining: per anchor, near-dup positives
+    (cosine >= 0.45) plus the 3 hardest negatives below the
+    threshold — brute verification baseline (LSH/IVF are the
+    scale-path candidate generators, same labeling tail)."""
+    from preql_spark.operators.similarity import mine_contrastive_pairs
+    e = _eng(spark, sf_dir).t.embeddings
+    out = mine_contrastive_pairs(e.df, pos_tau=0.45, k_neg=3)
+    return out.select("anchor", "partner",
+                      _pr4(F.col("sim")).alias("sim"), "label")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1571,6 +1583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q110_zorder_key": q110_zorder_key,
     "q111_skew_report": q111_skew_report,
     "q112_stream_ingest_dedup": q112_stream_ingest_dedup,
+    "q113_contrastive_pairs": q113_contrastive_pairs,
 }
 
 
@@ -2845,6 +2858,29 @@ ORACLES: dict[str, str] = {
     "q112_stream_ingest_dedup": r"""
         SELECT min(doc_id) AS doc_id FROM documents
         GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    """,
+    "q113_contrastive_pairs": """
+        WITH emb AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT a.vec_id AS anchor, b.vec_id AS partner,
+                 list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) AS sim
+          FROM emb a JOIN emb b ON a.vec_id != b.vec_id
+        )
+        SELECT anchor, partner,
+               floor(sim * 10000 + 0.5) / 10000 AS sim, 1 AS label
+        FROM scored WHERE sim >= 0.45
+        UNION ALL
+        SELECT anchor, partner,
+               floor(sim * 10000 + 0.5) / 10000 AS sim, 0 AS label
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY anchor
+                        ORDER BY sim DESC, partner) AS rk
+          FROM scored WHERE sim < 0.45) WHERE rk <= 3
     """,
 }
 

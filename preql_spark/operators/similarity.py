@@ -329,3 +329,41 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding",
                     lambda x: F.floor(x.cast("double") * F.col("__sc")
                                       + F.lit(0.5)).cast("int")))
         .withColumnRenamed("__sc", scale_col))
+
+
+def mine_contrastive_pairs(df: DataFrame, pos_tau: float = 0.45,
+                           k_neg: int = 3, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Contrastive training pairs from an embedding corpus: per
+    anchor, positives are every neighbor at cosine >= ``pos_tau``
+    (near-dups — the natural self-supervised positives) and hard
+    negatives are the ``k_neg`` MOST similar neighbors strictly below
+    the threshold (the informative negatives; random negatives are
+    trivially separable).  Returns directed rows
+    ``(anchor, partner, sim, label)`` with label 1/0.
+
+    This spelling scores all pairs (the verification baseline, like
+    :func:`cosine_pairs`); at corpus scale generate candidates with
+    :func:`lsh_cosine_pairs` (positives) and :func:`ivf_topk`
+    (hard negatives) and reuse the same labeling tail."""
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"))
+    a = base.select(F.col("__id").alias("anchor"),
+                    F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    b = base.select(F.col("__id").alias("partner"),
+                    F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    scored = (a.join(b, F.col("anchor") != F.col("partner"))
+              .select("anchor", "partner",
+                      (dot(F.col("__va"), F.col("__vb"))
+                       / (F.col("__na") * F.col("__nb")))
+                      .cast("double").alias("sim")))
+    pos = scored.filter(F.col("sim") >= pos_tau) \
+        .withColumn("label", F.lit(1))
+    wneg = Window.partitionBy("anchor").orderBy(
+        F.col("sim").desc(), F.col("partner"))
+    neg = (scored.filter(F.col("sim") < pos_tau)
+           .withColumn("__rk", F.row_number().over(wneg))
+           .filter(F.col("__rk") <= k_neg).drop("__rk")
+           .withColumn("label", F.lit(0)))
+    return pos.unionByName(neg)

@@ -856,3 +856,23 @@ def test_new_operator_null_edges(spark):
                   key=lambda r: (r.valid_from is not None, r.valid_from))
     assert rows[0].valid_from is None and not rows[0].is_current
     assert rows[1].is_current
+
+
+def test_mine_contrastive_pairs(spark):
+    """Positives above tau, exactly k hard negatives below it, and
+    the negatives really are the hardest (max-sim) ones."""
+    from preql_spark.operators.similarity import mine_contrastive_pairs
+    pts = [(0, [1.0, 0.0]), (1, [0.999, 0.02]),     # pos pair
+           (2, [0.7, 0.7]), (3, [0.0, 1.0]), (4, [-1.0, 0.1])]
+    df = spark.createDataFrame(pts, "vec_id: long, embedding: array<float>")
+    out = mine_contrastive_pairs(df, pos_tau=0.99, k_neg=2).collect()
+    pos = {(r.anchor, r.partner) for r in out if r.label == 1}
+    assert pos == {(0, 1), (1, 0)}                   # directed both ways
+    negs = {}
+    for r in out:
+        if r.label == 0:
+            negs.setdefault(r.anchor, []).append((r.partner, r.sim))
+    assert all(len(v) == 2 for v in negs.values())
+    # anchor 0's hardest sub-threshold neighbors are 2 then 3
+    assert [p for p, _ in sorted(negs[0], key=lambda t: -t[1])] == [2, 3]
+    assert all(s < 0.99 for v in negs.values() for _, s in v)
