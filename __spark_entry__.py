@@ -1442,6 +1442,26 @@ def q113_contrastive_pairs(spark, sf_dir) -> DataFrame:
                       _pr4(F.col("sim")).alias("sim"), "label")
 
 
+def q114_curation_pipeline(spark, sf_dir) -> DataFrame:
+    """End-to-end corpus curation as ONE composed lazy plan — quality
+    gate (token count) + language filter → exact dedup → benchmark
+    decontamination (8-token shingle overlap with the eval slice) →
+    per-domain cap.  The whole chain is a single DuckDB oracle, so the
+    stages are value-checked IN COMPOSITION, not just individually."""
+    from preql_spark.operators import dedup
+    from preql_spark.operators.text import cap_per_domain, token_count
+    d = _eng(spark, sf_dir).t.documents.df
+    gated = d.filter((token_count(F.col("text")) >= 30)
+                     & (F.col("lang") == "en"))
+    deduped = dedup.dedup_exact(gated, "doc_id")
+    ev = d.filter(F.col("doc_id") % 5 == 0)
+    train = deduped.filter(F.col("doc_id") % 5 != 0)
+    clean = dedup.decontaminate(train, ev, "doc_id")
+    capped = cap_per_domain(clean, "source", 10,
+                            [F.col("n_chars").desc(), F.col("doc_id")])
+    return capped.select("doc_id", "source", "n_chars")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1469,7 +1489,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       q36/q95/q102 in-window, q35 stays green in the battery).
     #   r3d: q106 (bloom semi join) ← q09 (product agg; §2.4 keeps
     #       q01/q02/q07/q08), q107 (corpus overlap) ← q37 (minhash
-    #       signatures; family attested end-to-end by q38 LSH).
+    #       signatures; family attested end-to-end by q38 LSH),
+    #       q114 (composed curation pipeline) ← q32 (exact dedup —
+    #       a strict subset of q114's dedup stage; battery-green).
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
     "q88_lang_dml_lifecycle": q88_lang_dml_lifecycle,
@@ -1501,7 +1523,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_lm_perplexity": q99_lm_perplexity,
     "q30_rollup": q30_rollup,
     "q31_pivot": q31_pivot,
-    "q32_dedup_exact": q32_dedup_exact,
+    "q114_curation_pipeline": q114_curation_pipeline,
     "q95_repetition_metrics": q95_repetition_metrics,
     "q102_chunk_dedup": q102_chunk_dedup,
     "q105_llr_importance": q105_llr_importance,
@@ -1584,6 +1606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q111_skew_report": q111_skew_report,
     "q112_stream_ingest_dedup": q112_stream_ingest_dedup,
     "q113_contrastive_pairs": q113_contrastive_pairs,
+    "q32_dedup_exact": q32_dedup_exact,
 }
 
 
@@ -2881,6 +2904,52 @@ ORACLES: dict[str, str] = {
           SELECT *, row_number() OVER (PARTITION BY anchor
                         ORDER BY sim DESC, partner) AS rk
           FROM scored WHERE sim < 0.45) WHERE rk <= 3
+    """,
+    # the full curation chain replayed stage by stage: gate -> exact
+    # dedup (min-id by normalized fingerprint) -> 8-token-shingle
+    # decontamination vs the eval slice -> per-domain cap
+    "q114_curation_pipeline": r"""
+        WITH gated AS (
+          SELECT * FROM documents
+          WHERE len(string_split_regex(trim(text), '\s+')) >= 30
+            AND lang = 'en'
+        ),
+        dedup AS (
+          SELECT * FROM gated WHERE doc_id IN (
+            SELECT min(doc_id) FROM gated
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        ),
+        tok_tr AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM dedup WHERE doc_id % 5 <> 0
+        ),
+        tok_ev AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE doc_id % 5 = 0
+        ),
+        sh_tr AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(t, i, i + 7), ' ') AS s
+          FROM tok_tr, UNNEST(range(1, greatest(len(t) - 6, 2))) AS r(i)
+        ),
+        sh_ev AS (
+          SELECT DISTINCT array_to_string(list_slice(t, i, i + 7), ' ') AS s
+          FROM tok_ev, UNNEST(range(1, greatest(len(t) - 6, 2))) AS r(i)
+        ),
+        bad AS (
+          SELECT DISTINCT sh_tr.doc_id FROM sh_tr
+          JOIN sh_ev ON sh_tr.s = sh_ev.s
+        ),
+        clean AS (
+          SELECT * FROM dedup
+          WHERE doc_id % 5 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM bad)
+        )
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY n_chars DESC, doc_id) AS rk
+          FROM clean) WHERE rk <= 10
     """,
 }
 
