@@ -82,6 +82,24 @@ class _ReturnSignal(Exception):
         self.value = value
 
 
+#: scalar subtype lattice: name -> every name it is a subtype of
+#: (reflexive).  Mirrors the reference's numeric/text hierarchies
+#: (preql/core/pql_types.py).
+_TYPE_ANCESTORS = {
+    "int": {"int", "number", "any"},
+    "float": {"float", "number", "any"},
+    "number": {"number", "any"},
+    "text": {"text", "string", "any"},
+    "string": {"string", "any"},
+    "bool": {"bool", "any"},
+    "timestamp": {"timestamp", "any"},
+    "table": {"table", "any"},
+    "list": {"list", "table", "any"},
+    "nulltype": {"nulltype", "any"},
+    "any": {"any"},
+}
+
+
 @dataclass
 class Tok:
     kind: str
@@ -178,9 +196,15 @@ class Parser:
         the last expression."""
         v = None
         self._skip_seps()
-        while self.peek().kind != "eof":
-            v = self.statement()
-            self._skip_seps()
+        try:
+            while self.peek().kind != "eof":
+                v = self.statement()
+                self._skip_seps()
+        except _ReturnSignal:
+            # reference: `return` at module level is a Signal
+            # (test_basic.py:269 `return 1`), not an internal leak
+            raise LangSignal("SyntaxError",
+                             "'return' outside a function") from None
         self.expect("eof")
         return self._pyval(v) if isinstance(v, Column) else v
 
@@ -899,6 +923,13 @@ class Parser:
         v = self.and_expr()
         while self.accept("or"):
             r = self.and_expr()
+            if isinstance(v, Table) and isinstance(r, Table):
+                # table truthiness is non-emptiness: `[1] or [2]`
+                # keeps the first non-empty operand (reference
+                # test_logical, test_basic.py:240).  The emptiness
+                # probe is a bounded limit-1 job, like `one`.
+                v = v if not v.df.isEmpty() else r
+                continue
             v = exprs.por(self._col(v), self._col(r))
         return v
 
@@ -906,6 +937,11 @@ class Parser:
         v = self.not_expr()
         while self.accept("and"):
             r = self.not_expr()
+            if isinstance(v, Table) and isinstance(r, Table):
+                # `[1] and [2]` yields the last operand when the
+                # first is non-empty, else the (empty) first
+                v = r if not v.df.isEmpty() else v
+                continue
             v = exprs.pand(self._col(v), self._col(r))
         return v
 
@@ -962,8 +998,22 @@ class Parser:
                                 == getattr(r, "name", object()))
                         v = same if t.text == "==" else not same
                         continue
+                    if t.text in ("<=", ">=", "<", ">"):
+                        # scalar subtype lattice (reference
+                        # pql_types.py issubclass, test_basic.py:1623
+                        # `T.int <= T.number`); union/struct type
+                        # constructors are reference-internal API —
+                        # Catalyst owns composite typing here
+                        nv = getattr(v, "name", None)
+                        nr = getattr(r, "name", None)
+                        le = nr in _TYPE_ANCESTORS.get(nv, {nv})
+                        ge = nv in _TYPE_ANCESTORS.get(nr, {nr})
+                        v = {"<=": le, ">=": ge,
+                             "<": le and nv != nr,
+                             ">": ge and nv != nr}[t.text]
+                        continue
                     raise LangSignal(
-                        "TypeError", "types support only ==/!=")
+                        "TypeError", "types support only ==/!=/<=/>=")
                 a, b = self._col(v), r if isinstance(r, (int, float, str)) else self._col(r)
                 v = {"==": lambda: exprs.eq(a, b),
                      "!=": lambda: exprs.ne(a, b),
@@ -2835,6 +2885,11 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
             raise TypeError("SQL(result_type, code)")
         ty, code = args
         tyname = ty.name if isinstance(ty, (_FuncRef, _TypeRef)) else None
+        if tyname is None and ty in (int, float, str, bool):
+            # python-embedding spelling: p.SQL(int, "SELECT 2")
+            # (reference test_from_python, test_basic.py:271-286)
+            tyname = {int: "int", float: "float",
+                      str: "string", bool: "bool"}[ty]
         if tyname in ("int", "float", "string", "bool", "number") \
                 and parser.table is not None:
             # scalar type in row context → vectorized SQL expression
@@ -2874,6 +2929,13 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
         elif isinstance(ty, Table):
             self_cols = list(ty.df.columns)
         out = parser.engine.sql(code, _self_columns=self_cols, **bind)
+        if tyname in ("int", "float", "string", "bool", "number"):
+            # declared-scalar SQL outside a row context localizes to
+            # one value (reference SQL(int, "SELECT COUNT(*) ...") ==
+            # 9, test_SQL2 test_basic.py:507-513) — a bounded
+            # single-row collect, like whole-table aggregates
+            rows = out.df.limit(1).collect()
+            return rows[0][0] if rows else None
         if isinstance(ty, _ListCastRef) and len(out.df.columns) == 1 \
                 and out.df.columns != ["item"]:
             out = parser.engine.from_df(out.df.toDF("item"))

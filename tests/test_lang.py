@@ -1488,3 +1488,161 @@ def test_session_builtins_golden(leng):
     del display.TEST_KNOB
     with _pytest.raises(SystemExit):
         leng.q('exit()')
+
+
+# ---- round-3 golden ports: the remaining reference test_basic.py
+# sections not yet mirrored by name --------------------------------
+
+def test_logical_golden(leng):
+    """Ported reference test_logical (test_basic.py:210-241): scalar
+    and/or are value-semantics (return an operand, not a bool), table
+    operands resolve by non-emptiness."""
+    assert leng.q('1==0 or isa(1, int)')
+    assert not leng.q('1==0 or isa(1, float)')
+    assert [r.r for r in leng.q('[0,1,2,3][item < 2]{r: item or 0}')
+            .order("r").collect()] == [0, 1]
+    assert sorted(r.r for r in leng.q('[0,1,2,3][item < 2]{r: item or 10}')
+                  .collect()) == [1, 10]
+    assert [r.r for r in
+            leng.q('[0,1,2,3]{r: item > 1 and item < 3}[r]').collect()] \
+        == [True]
+    assert [r.asDict() for r in
+            leng.q('[0,1,2,3]{r: item < 3, item}[not r]').collect()] \
+        == [{"r": False, "item": 3}]
+    with pytest.raises(Exception):
+        leng.q('"hello" or 1')          # mixed types (reference Signal)
+    assert leng.q('"hello" or "a"') == "hello"
+    assert leng.q('"hello" and "a"') == "a"
+    assert leng.q('"hello" and ""') == ""
+    assert leng.q('"" and "hello"') == ""
+    assert leng.q('"" or "hello"') == "hello"
+    assert leng.q('"bla" and "hello"') == "hello"
+    assert leng.q('1 or 2 or 3') == 1
+    assert leng.q('1 and 2 and 3') == 3
+    assert leng.q('1 and 2 or 3') == 2
+    assert leng.q('1 or 2 and 3') == 1
+    assert [r.item for r in leng.q('[1] or [2]').collect()] == [1]
+    assert [r.item for r in leng.q('[1] and [2]').collect()] == [2]
+    assert [r.item for r in leng.q('[1][item > 5] or [2]').collect()] == [2]
+
+
+def test_vectorized_logic2_golden(leng):
+    """Ported reference test_vectorized_logic2 (test_basic.py:288-315):
+    value-semantics and/or vectorized over string rows."""
+    assert [bool(x) for x in
+            leng.q('list(["a", "b"]{length(item)>1 or true})')] == [True, True]
+    assert leng.q('["hello"]{item[..1]}').collect()[0][0] == "h"
+    with pytest.raises(Exception):
+        leng.q('["hello"]{item or 1}').collect()
+    pairs = [('["hello"]{item or "a"}', "hello"),
+             ('["hello"]{item and "a"}', "a"),
+             ('["hello"]{item and ""}', ""),
+             ('[""]{item or "a"}', "a"),
+             ('[""]{item and "a"}', ""),
+             ('[""]{item or ""}', ""),
+             ('[""]{item and ""}', ""),
+             ('["hello"]{item or "a" and "b"}', "hello"),
+             ('["hello"]{item and "a" or "b"}', "a")]
+    for src, want in pairs:
+        assert leng.q(src).collect()[0][0] == want, src
+
+
+def test_basic2_golden(leng):
+    """Ported reference test_basic2 (test_basic.py:243-269)."""
+    assert [r.item for r in leng.q('''
+        x = [1..4]
+        x[item == max(x)]
+    ''').collect()] == [3]
+    with pytest.raises(Exception):
+        leng.q('[min..]')
+    assert leng.q('"hello"[1]') == "e"
+    assert leng.q('list(["hello"]{item[1..2]})') == ["e"]
+    assert leng.q('list(["hello"]{item[1]})') == ["e"]
+    from preql_spark.lang import LangSignal
+    with pytest.raises(LangSignal):
+        leng.q('return 1')
+
+
+def test_sql2_golden(leng):
+    """Ported reference test_SQL2 (test_basic.py:507-513): SQL() with
+    a declared scalar type localizes to one value; $name binds a
+    local table."""
+    leng.q('''
+        a = [1..10]
+        func f() = SQL(int, "SELECT COUNT(*) FROM $a")
+    ''')
+    assert leng.q('f()') == 9
+
+
+def test_builtins_golden(leng):
+    """Ported reference test_builtins (test_basic.py:1476-1494)."""
+    assert leng.q('list([1.1, 2.3]{round(item)})') == [1.0, 2.0]
+    assert leng.q('round(1.3)') == 1.0
+    assert leng.q('list(["A", "Ab"]{length(item)})') == [1, 2]
+    assert leng.q('list(["A", "Ab"]{lower(item)})') == ["a", "ab"]
+    assert leng.q('list(["A", "Ab"]{upper(item)})') == ["A", "AB"]
+    assert leng.q('length("Ab")') == 2
+    assert leng.q('lower("Ab")') == "ab"
+    assert leng.q('upper("Ab")') == "AB"
+    assert leng.q('list(["Ab", "Aab"]{str_index("b", item)})') == [1, 2]
+    assert leng.q('str_index("b", "Ab")') == 1
+    assert leng.q('char(65)') == "A"
+    assert leng.q('char_ord("A")') == 65
+    assert leng.q('char_range("a", "c")') == ["a", "b", "c"]
+
+
+def test_types_golden(leng):
+    """Ported reference test_types scalar subset (test_basic.py:1623):
+    subtype ordering on the lang's first-class type values.  The
+    union/struct type constructors are reference-INTERNAL python API
+    (pql_types.py) — composite typing belongs to Catalyst here."""
+    assert leng.q('int == int')
+    assert leng.q('int != number')
+    assert leng.q('int <= number')
+    assert leng.q('float <= number')
+    assert not leng.q('number <= int')
+    assert leng.q('int < number')
+    assert leng.q('int >= int')
+    assert not leng.q('string <= number')
+
+
+def test_names_golden(leng):
+    """Ported reference test_names (test_basic.py:1093-1106): missing
+    attribute raises, names()/columns() reflect a declared table."""
+    with pytest.raises(AttributeError):
+        leng.a
+    leng.q('table a {x: int}')
+    assert leng.q("list(names(a)[not (type ~ 'function%')]{name})") \
+        == ["id", "x"]
+    assert leng.q('columns(a)') == {"id": "bigint", "x": "bigint"}
+
+
+def test_from_python_golden(leng):
+    """Ported reference test_from_python (test_basic.py:271-286):
+    python-side calls into lang functions and builtins.  Divergence:
+    list-typed SQL stays a lazy Table (localize with .collect());
+    the reference localizes at the API boundary."""
+    leng.q('func f(x) = count(x)')
+    assert leng.f([1, 2, 3]) == 3
+    assert leng.count([1, 2, 3]) == 3
+    en = leng.enum([1])
+    assert [r.asDict() for r in en.collect()] == [{"index": 0, "item": 1}]
+    assert leng.SQL(int, "SELECT 2") == 2
+    lst = leng.SQL(leng.q('type([1])'),
+                   "SELECT 1 AS item UNION ALL SELECT 2")
+    vals = sorted(r[0] for r in lst.collect()) if hasattr(lst, "collect") \
+        else lst
+    assert vals == [1, 2]
+
+
+def test_pandas_golden(leng):
+    """Ported reference test_pandas (test_basic.py:1684-1689):
+    import_pandas round-trips through a lang projection.  (Our
+    createDataFrame adds no auto-id, so no `!id` exclusion needed.)"""
+    from pandas import DataFrame
+    f = DataFrame([[1, 2, "a"], [4, 5, "b"], [7, 8, "c"]],
+                  columns=["x", "y", "z"])
+    leng.import_pandas(x=f)
+    back = leng.q('x{...}').df.toPandas().sort_values("x") \
+        .reset_index(drop=True)
+    assert (back == f).all().all()
