@@ -1462,6 +1462,17 @@ def q114_curation_pipeline(spark, sf_dir) -> DataFrame:
     return capped.select("doc_id", "source", "n_chars")
 
 
+def q115_mixture_sample(spark, sf_dir) -> DataFrame:
+    """Data-mixture sampling: per-source deterministic keep fractions
+    (content-hash buckets keyed on doc_id) — the mixture-weighting
+    step of training-data assembly.  Scan-local, no shuffle."""
+    d = _eng(spark, sf_dir).t.documents
+    out = d.sample_mixture(
+        "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        key="doc_id")
+    return out.df.select("doc_id", "source")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1607,6 +1618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q112_stream_ingest_dedup": q112_stream_ingest_dedup,
     "q113_contrastive_pairs": q113_contrastive_pairs,
     "q32_dedup_exact": q32_dedup_exact,
+    "q115_mixture_sample": q115_mixture_sample,
 }
 
 
@@ -2950,6 +2962,21 @@ ORACLES: dict[str, str] = {
                  row_number() OVER (PARTITION BY source
                      ORDER BY n_chars DESC, doc_id) AS rk
           FROM clean) WHERE rk <= 10
+    """,
+    "q115_mixture_sample": """
+        SELECT doc_id, source FROM documents
+        WHERE (source = 'src0' AND
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 < 1000000)
+           OR (source = 'src1' AND
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 < 500000)
+           OR (source = 'src2' AND
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 < 250000)
+           OR (source = 'src3' AND
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000000 < 100000)
     """,
 }
 

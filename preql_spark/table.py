@@ -362,6 +362,49 @@ class Table:
         bucket = portable_hash(k.cast("string")) % 1000000
         return self._with(self.df.filter(bucket < int(ratio * 1000000)))
 
+    def sample_mixture(self, group_col: str, ratios: dict,
+                       key: str | None = None) -> "Table":
+        """Data-mixture sampling: keep a per-group deterministic
+        fraction of rows — the mixture-weighting step of training-data
+        assembly (upsample/downsample each source toward target
+        proportions; ratios > 1 are clamped to keep-all, this operator
+        never duplicates rows).  Selection is the same content-hash
+        bucket rule as :meth:`sample_hash` (a pure function of
+        ``key``, default the group+row content via ``group_col`` —
+        pass the id column for stability under text edits), so the
+        mixture is reproducible across runs, engines, and topology.
+        Scan-local: one filter, no shuffle."""
+        from pyspark.sql import functions as F
+
+        from preql_spark.operators.text import portable_hash
+        k = F.col(key if key is not None else group_col)
+        bucket = portable_hash(k.cast("string")) % 1000000
+        cond = F.lit(False)
+        for grp, ratio in ratios.items():
+            cond = cond | ((F.col(group_col) == grp)
+                           & (bucket < int(min(ratio, 1.0) * 1000000)))
+        return self._with(self.df.filter(cond))
+
+    def shuffle_deterministic(self, key, seed: int = 0,
+                              n_files: int | None = None) -> "Table":
+        """Deterministic global permutation for training-order
+        shuffling: sort by a seeded content hash of ``key``.  The
+        order is a pure function of (key, seed) — re-runs, engines,
+        and cluster topologies all produce the same epoch order, and
+        changing ``seed`` gives an independent permutation per epoch.
+        One range-partitioned sort (what any global shuffle costs);
+        ``n_files`` pins the output partition count for writing."""
+        from pyspark.sql import functions as F
+        k = F.col(key) if isinstance(key, str) else key
+        h = F.xxhash64(k.cast("string"), F.lit(seed))
+        df = self.df.withColumn("__shuf", h)
+        if n_files is not None:
+            df = df.repartitionByRange(n_files, "__shuf") \
+                   .sortWithinPartitions("__shuf")
+        else:
+            df = df.orderBy("__shuf")
+        return self._with(df.drop("__shuf"))
+
     def split_by_hash(self, key, splits: dict, label: str = "split") -> "Table":
         """Deterministic train/validation/test split: label every row
         by which cumulative hash-bucket range its ``key`` falls into,

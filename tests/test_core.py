@@ -379,3 +379,37 @@ def test_table_pipe(eng):
     # non-DataFrame results pass through unwrapped
     assert eng.t.documents.pipe(lambda df: df.columns) == \
         ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def test_sample_mixture(eng):
+    """Per-source keep fractions are deterministic and approximately
+    proportional; unlisted sources drop entirely."""
+    d = eng.t.documents
+    ratios = {"src0": 1.0, "src1": 0.5, "src4": 0.0}
+    out = d.sample_mixture("source", ratios, key="doc_id")
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    assert set(by_src) <= {"src0", "src1"}
+    full = {r.source: r.n for r in
+            d.group("source", n=F.count(F.lit(1))).collect()}
+    assert by_src["src0"] == full["src0"]          # ratio 1.0 keeps all
+    assert 0 < by_src.get("src1", 0) < full["src1"]
+    # deterministic: second run identical
+    again = {(r.doc_id, r.source)
+             for r in d.sample_mixture("source", ratios, key="doc_id")
+             .collect()}
+    assert again == {(r.doc_id, r.source) for r in rows}
+
+
+def test_shuffle_deterministic(eng):
+    """Same (key, seed) -> same permutation; different seed -> a
+    different permutation of the same rows."""
+    n = eng.t.nation
+    a = [r.n_nationkey for r in n.shuffle_deterministic("n_nationkey").collect()]
+    b = [r.n_nationkey for r in n.shuffle_deterministic("n_nationkey").collect()]
+    c = [r.n_nationkey for r in
+         n.shuffle_deterministic("n_nationkey", seed=1).collect()]
+    assert a == b
+    assert sorted(a) == sorted(c) and a != c
