@@ -54,19 +54,32 @@ def cluster_sizes(assignments: DataFrame) -> DataFrame:
 
 
 def semdedup(df: DataFrame, tau: float = 0.45, k: int = 8, iters: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Semantic dedup: cluster, then drop any vector whose cosine
-    similarity to a *lower-id* member of the same cluster is >= tau.
-    The keep rule is deterministic (the lowest id of every near-dup
-    neighborhood survives) so results are reproducible across runs
-    and cluster topologies.
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             keep: str = "min_id") -> DataFrame:
+    """Semantic dedup: cluster, then drop near-duplicate cluster-mates
+    at cosine >= tau, keeping one representative per neighborhood.
+
+    ``keep`` selects the representative rule, both deterministic:
+
+    - ``"min_id"`` (default): drop any vector with a *lower-id*
+      cluster-mate at cosine >= tau — one pair join, no extra passes;
+      the rule the q101 oracle replays.
+    - ``"far_from_centroid"``: the paper's rule (SemDeDup §2, keep the
+      example with the LOWEST cosine similarity to the cluster
+      centroid) — near-dup pairs become connected components
+      (:func:`preql_spark.operators.dedup.connected_components`), and
+      each component keeps its centroid-farthest member (id as
+      tiebreak).  Costs the CC iteration on the PAIR graph only
+      (near-dup pairs, not the corpus).
 
     Returns the surviving rows ``(id_col, cluster)``.  The pair join
     is cluster-local: both sides shuffle once on the cluster id and
     candidates are |cluster|-bounded, never corpus-bounded.
     """
-    assigned, _ = kmeans(df, k=k, iters=iters, id_col=id_col,
-                         vec_col=vec_col)
+    assigned, cents = kmeans(df, k=k, iters=iters, id_col=id_col,
+                             vec_col=vec_col)
+    if keep == "far_from_centroid":
+        return _semdedup_centroid(assigned, cents, tau, id_col, vec_col)
     base = assigned.select(F.col(id_col).alias("__id"), "cluster",
                            F.col(vec_col).alias("__v"),
                            norm(F.col(vec_col)).alias("__n"))
@@ -82,4 +95,53 @@ def semdedup(df: DataFrame, tau: float = 0.45, k: int = 8, iters: int = 2,
              .select(F.col("id_b").alias("__drop"))
              .distinct())
     return (base.join(drops, base["__id"] == drops["__drop"], "left_anti")
+            .select(F.col("__id").alias(id_col), "cluster"))
+
+
+def _semdedup_centroid(assigned: DataFrame, cents: list, tau: float,
+                       id_col: str, vec_col: str) -> DataFrame:
+    """Paper-rule SemDeDup keep: near-dup pairs -> connected
+    components -> keep each component's member with the lowest cosine
+    to its cluster centroid (i.e. farthest from the centroid; lowest
+    id breaks exact ties)."""
+    from pyspark.sql import Window
+
+    from preql_spark.operators.dedup import connected_components
+
+    base = assigned.select(F.col(id_col).alias("__id"), "cluster",
+                           F.col(vec_col).alias("__v"),
+                           norm(F.col(vec_col)).alias("__n"))
+    left = base.select(F.col("__id").alias("id_a"), "cluster",
+                       F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    right = base.select(F.col("__id").alias("id_b"),
+                        F.col("cluster").alias("__cb"),
+                        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    pairs = (left.join(right, (F.col("cluster") == F.col("__cb"))
+                       & (F.col("id_a") < F.col("id_b")))
+             .filter((dot(F.col("__va"), F.col("__vb"))
+                      / (F.col("__na") * F.col("__nb"))) >= tau)
+             .select("id_a", "id_b"))
+    comp = connected_components(pairs)  # (node, component)
+
+    # cosine of every paired vector to its own cluster centroid —
+    # centroid literals ride the expression, no join
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                         for c in cents])
+    cvec = F.element_at(cent_arr, F.col("cluster") + 1)
+    cn = F.sqrt(F.aggregate(F.transform(cvec, lambda x: x * x),
+                            F.lit(0.0), lambda a, v: a + v))
+    to_cent = (dot(F.col("__v"), cvec) / (F.col("__n") * cn)).alias("__cc")
+
+    scored = (base.join(comp, base["__id"] == comp["node"])
+              .select("__id", "cluster", F.col("component").alias("__g"),
+                      to_cent))
+    w = Window.partitionBy("__g").orderBy(F.col("__cc").asc(), F.col("__id"))
+    keepers = (scored.withColumn("__rk", F.row_number().over(w))
+               .filter(F.col("__rk") == 1)
+               .select(F.col("__id").alias("__keep")))
+    in_any_pair = comp.select(F.col("node").alias("__id"))
+    survivors_solo = base.join(in_any_pair, "__id", "left_anti")
+    survivors_rep = base.join(
+        keepers, base["__id"] == keepers["__keep"], "left_semi")
+    return (survivors_solo.unionByName(survivors_rep)
             .select(F.col("__id").alias(id_col), "cluster"))

@@ -876,3 +876,23 @@ def test_mine_contrastive_pairs(spark):
     # anchor 0's hardest sub-threshold neighbors are 2 then 3
     assert [p for p, _ in sorted(negs[0], key=lambda t: -t[1])] == [2, 3]
     assert all(s < 0.99 for v in negs.values() for _, s in v)
+
+
+def test_semdedup_centroid_policy(spark):
+    """Paper keep rule: within a near-dup component the member
+    FARTHEST from the cluster centroid survives (not the lowest id)."""
+    from preql_spark.operators.cluster import semdedup
+    # one tight blob (near-dups) + one far point; the blob's outlier
+    # member (id 2, pulled away from the blob/centroid) must survive
+    pts = [(0, [1.0, 0.0]), (1, [0.998, 0.01]), (2, [0.93, 0.36]),
+           (10, [-1.0, 0.0])]
+    df = spark.createDataFrame(pts, "vec_id: long, embedding: array<float>")
+    kept_min = {r.vec_id for r in
+                semdedup(df, tau=0.93, k=2, iters=2).collect()}
+    kept_far = {r.vec_id for r in
+                semdedup(df, tau=0.93, k=2, iters=2,
+                         keep="far_from_centroid").collect()}
+    assert 10 in kept_min and 10 in kept_far      # solo point untouched
+    assert kept_min & {0, 1, 2} == {0}            # min-id keeps 0
+    # centroid sits near the blob mean; id 2 is the farthest member
+    assert kept_far & {0, 1, 2} == {2}
