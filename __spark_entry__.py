@@ -1473,6 +1473,21 @@ def q115_mixture_sample(spark, sf_dir) -> DataFrame:
     return out.df.select("doc_id", "source")
 
 
+def q116_audio_features(spark, sf_dir) -> DataFrame:
+    """Audio feature extraction through the Arrow mapInPandas kernel
+    (fake deterministic decode — the value oracle replays the md5
+    math; the REAL PCM-WAV path is pytest-verified since the driver
+    fixtures carry text, not audio)."""
+    from preql_spark.operators import multimodal
+    d = _eng(spark, sf_dir).t.documents
+    withbin = multimodal.attach_binary_column(d.df.filter(
+        F.col("doc_id") < 300))
+    out = multimodal.extract_audio_features(withbin)
+    return out.select("doc_id", "sample_rate", "n_samples",
+                      _pr4(F.col("duration_s")).alias("duration_s"),
+                      _pr4(F.col("rms")).alias("rms"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1619,6 +1634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q113_contrastive_pairs": q113_contrastive_pairs,
     "q32_dedup_exact": q32_dedup_exact,
     "q115_mixture_sample": q115_mixture_sample,
+    "q116_audio_features": q116_audio_features,
 }
 
 
@@ -2977,6 +2993,27 @@ ORACLES: dict[str, str] = {
            OR (source = 'src3' AND
                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                % 1000000 < 100000)
+    """,
+    # fake audio decode replayed: sr table-lookup on h[0]%4,
+    # n = 1000 + int(h[1:4]) % 100000, rms = h[4]/255
+    "q116_audio_features": """
+        WITH h AS (SELECT doc_id, md5(text) AS m FROM documents
+                   WHERE doc_id < 300),
+        p AS (SELECT doc_id,
+                     ('0x' || substr(m, 1, 2))::INT % 4 AS sridx,
+                     1000 + ('0x' || substr(m, 3, 6))::BIGINT % 100000 AS n,
+                     ('0x' || substr(m, 9, 2))::INT / 255.0 AS rms
+              FROM h),
+        s AS (SELECT doc_id,
+                     CAST(list_extract([8000, 16000, 22050, 44100],
+                                       sridx + 1) AS INT) AS sample_rate,
+                     n, rms
+              FROM p)
+        SELECT doc_id, sample_rate, CAST(n AS BIGINT) AS n_samples,
+               floor(CAST(n AS DOUBLE) / sample_rate * 10000 + 0.5) / 10000
+                   AS duration_s,
+               floor(rms * 10000 + 0.5) / 10000 AS rms
+        FROM s
     """,
 }
 

@@ -256,3 +256,156 @@ def frame_sample_plan(df: DataFrame, id_col: str, n_frames: int) -> DataFrame:
     return df.select(F.col(id_col),
                      F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1)))
                      .alias("frame_idx"))
+
+
+# ---- audio ----------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+])
+
+
+def encode_wav(samples: list, sample_rate: int = 16000) -> bytes:
+    """Test/fixture helper: 16-bit mono PCM WAV from [-1, 1] floats
+    (stdlib ``wave`` — no codecs needed)."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"".join(
+            struct.pack("<h", max(-32768, min(32767, round(s * 32767))))
+            for s in samples))
+    return buf.getvalue()
+
+
+def _wav_decode(payload: bytes) -> tuple[int, int, float, float]:
+    """Real audio decode for PCM WAV via stdlib ``wave`` + numpy RMS —
+    like the PNG path, a genuine kernel that needs no external codecs.
+    Non-WAV payloads raise NotImplementedError (compressed formats
+    need real codec libraries)."""
+    import io
+    import wave
+
+    import numpy as np
+    if payload[:4] != b"RIFF":
+        raise NotImplementedError(
+            "only PCM WAV decodes without codec libraries")
+    with wave.open(io.BytesIO(bytes(payload))) as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+    x = np.frombuffer(raw, dtype=dtype).astype("float64")
+    if width == 1:
+        x = x - 128.0
+    peak = float(2 ** (8 * width - 1))
+    rms = float(np.sqrt(np.mean((x / peak) ** 2))) if len(x) else 0.0
+    return sr, n, n / sr if sr else 0.0, rms
+
+
+def _fake_audio_decode(payload: bytes) -> tuple[int, int, float, float]:
+    """Deterministic fake audio features from the content digest."""
+    h = hashlib.md5(payload).digest()
+    sr = (8000, 16000, 22050, 44100)[h[0] % 4]
+    n = 1000 + int.from_bytes(h[1:4], "big") % 100000
+    return sr, n, n / sr, h[4] / 255.0
+
+
+def extract_audio_features(df: DataFrame, id_col: str = "doc_id",
+                           payload_col: str = "payload",
+                           fake: bool = True,
+                           target_rows_per_batch: int = 1024) -> DataFrame:
+    """Audio decode + feature extraction (sample rate, length,
+    duration, RMS level) via the same Arrow ``mapInPandas`` shape as
+    the image path: payload-pruned input, slim feature rows out.
+    ``fake=False`` decodes real PCM WAV (stdlib wave + numpy)."""
+    from preql_spark.operators.text import ensure_parallelism
+    df.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        str(target_rows_per_batch))
+    slim = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col)))
+    decode = _fake_audio_decode if fake else _wav_decode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "sample_rate": [f[0] for f in feats],
+                "n_samples": [f[1] for f in feats],
+                "duration_s": [f[2] for f in feats],
+                "rms": [f[3] for f in feats],
+            })
+
+    return slim.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
+# ---- image resize ---------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def _resize_builtin(payload: bytes, w: int, h: int) -> bytes:
+    """Nearest-neighbor luma resize through the dependency-free PNG
+    decode/encode pair (PIL, when installed, handles richer formats —
+    tried first by :func:`_real_resize`)."""
+    sw, sh, rows = _png_decode_luma(bytes(payload))
+    out = [[int(rows[y * sh // h][x * sw // w]) for x in range(w)]
+           for y in range(h)]
+    return encode_png(out)
+
+
+def _real_resize(payload: bytes, w: int, h: int) -> bytes:
+    try:
+        import io
+
+        from PIL import Image
+        img = Image.open(io.BytesIO(bytes(payload))).convert("L")
+        img = img.resize((w, h), Image.NEAREST)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+    except ImportError:
+        return _resize_builtin(payload, w, h)
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  id_col: str = "doc_id", payload_col: str = "payload",
+                  target_rows_per_batch: int = 256) -> DataFrame:
+    """Batch image resize: payload in, resized PNG payload out —
+    the standard multimodal-preprocessing step (fixed input dims for
+    vision encoders).  Arrow-batched like the other kernels; batch
+    size defaults lower because BOTH sides of this boundary carry
+    image bytes."""
+    from preql_spark.operators.text import ensure_parallelism
+    df.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        str(target_rows_per_batch))
+    slim = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc_id"), F.col(payload_col)))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "width": width,
+                "height": height,
+                "payload": [_real_resize(p, width, height)
+                            for p in pdf[payload_col]],
+            })
+
+    return slim.mapInPandas(kernel, RESIZED_SCHEMA)

@@ -896,3 +896,47 @@ def test_semdedup_centroid_policy(spark):
     assert kept_min & {0, 1, 2} == {0}            # min-id keeps 0
     # centroid sits near the blob mean; id 2 is the farthest member
     assert kept_far & {0, 1, 2} == {2}
+
+
+def test_audio_features_real_wav(spark):
+    """Real WAV decode inside the Arrow kernel: a 1 kHz-ish square
+    wave's RMS and duration come back exact."""
+    sr = 8000
+    square = [1.0 if i % 8 < 4 else -1.0 for i in range(sr)]  # 1 s
+    silence = [0.0] * (sr // 2)                               # 0.5 s
+    df = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_wav(square, sr))),
+         (2, bytearray(multimodal.encode_wav(silence, sr)))],
+        "doc_id long, payload binary")
+    feats = {r.doc_id: r for r in
+             multimodal.extract_audio_features(df, fake=False).collect()}
+    assert feats[1].sample_rate == sr and feats[1].n_samples == sr
+    assert feats[1].duration_s == pytest.approx(1.0)
+    assert feats[1].rms == pytest.approx(1.0, abs=1e-3)
+    assert feats[2].duration_s == pytest.approx(0.5)
+    assert feats[2].rms == pytest.approx(0.0, abs=1e-6)
+    # non-WAV payloads fail AT EXECUTION with NotImplementedError
+    bad = spark.createDataFrame([(3, bytearray(b"mp3data"))],
+                                "doc_id long, payload binary")
+    with pytest.raises(Exception, match="WAV|NotImplemented"):
+        multimodal.extract_audio_features(bad, fake=False).collect()
+    # fake path is deterministic
+    a = multimodal.extract_audio_features(df).collect()
+    b = multimodal.extract_audio_features(df).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_resize_images_roundtrip(spark):
+    """Nearest-neighbor resize through the built-in PNG pair: output
+    dims and pixel mapping are exact (out[y][x] = src[y*sh//h][x*sw//w])."""
+    src = [[(x + y * 4) * 16 for x in range(4)] for y in range(4)]
+    df = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_png(src)))],
+        "doc_id long, payload binary")
+    out = multimodal.resize_images(df, 2, 2).collect()[0]
+    assert (out.width, out.height) == (2, 2)
+    w, h, rows = multimodal._png_decode_luma(bytes(out.payload))
+    assert (w, h) == (2, 2)
+    want = [[src[y * 4 // 2][x * 4 // 2] for x in range(2)]
+            for y in range(2)]
+    assert [[int(v) for v in r] for r in rows] == want
