@@ -940,3 +940,22 @@ def test_resize_images_roundtrip(spark):
     want = [[src[y * 4 // 2][x * 4 // 2] for x in range(2)]
             for y in range(2)]
     assert [[int(v) for v in r] for r in rows] == want
+
+
+def test_extract_frame_features(spark):
+    """Frame fan-out happens before the Arrow boundary; per-frame
+    features are deterministic and distinct per index."""
+    df = spark.createDataFrame([(1, bytearray(b"videopayload")),
+                                (2, bytearray(b"other"))],
+                               "doc_id long, payload binary")
+    out = multimodal.extract_frame_features(df, n_frames=3).collect()
+    assert len(out) == 6
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.frame_idx] = r.phash
+    assert set(by_doc[1]) == {0, 1, 2}
+    assert len(set(by_doc[1].values())) == 3       # distinct per frame
+    again = multimodal.extract_frame_features(df, n_frames=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with pytest.raises(Exception, match="codec|NotImplemented"):
+        multimodal.extract_frame_features(df, 2, fake=False).collect()
