@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "q99_lm_perplexity",     # bigram-LM quality scores (vocab-bounded joins)
     "q102_chunk_dedup",      # unit dedup + doc reassembly (text shuffles)
     "q106_bloom_semi_join",  # bloom-pruned fact⋈dim semi join
+    "q114_curation_pipeline",# composed gate→dedup→decontam→cap chain
 ]
 
 

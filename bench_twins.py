@@ -253,6 +253,21 @@ def q106_bloom_semi_join(spark, sf_dir):
         .select("l_orderkey", "l_linenumber", "l_quantity")
 
 
+def q114_curation_pipeline(spark, sf_dir):
+    from preql_spark.operators import dedup
+    from preql_spark.operators.text import cap_per_domain, token_count
+    d = _read(spark, sf_dir, "documents")
+    gated = d.filter((token_count(F.col("text")) >= 30)
+                     & (F.col("lang") == "en"))
+    deduped = dedup.dedup_exact(gated, "doc_id")
+    ev = d.filter(F.col("doc_id") % 5 == 0)
+    train = deduped.filter(F.col("doc_id") % 5 != 0)
+    clean = dedup.decontaminate(train, ev, "doc_id")
+    return cap_per_domain(clean, "source", 10,
+                          [F.col("n_chars").desc(), F.col("doc_id")]) \
+        .select("doc_id", "source", "n_chars")
+
+
 TWINS = {
     "q01_pricing_summary": q01_pricing_summary,
     "q04_revenue_by_nation": q04_revenue_by_nation,
@@ -271,4 +286,5 @@ TWINS = {
     "q99_lm_perplexity": q99_lm_perplexity,
     "q102_chunk_dedup": q102_chunk_dedup,
     "q106_bloom_semi_join": q106_bloom_semi_join,
+    "q114_curation_pipeline": q114_curation_pipeline,
 }
