@@ -1488,6 +1488,20 @@ def q116_audio_features(spark, sf_dir) -> DataFrame:
                       _pr4(F.col("rms")).alias("rms"))
 
 
+def q117_validation_report(spark, sf_dir) -> DataFrame:
+    """Data-quality expectation gate as one lazy plan: null-rate,
+    uniqueness, value-range, and FK-integrity rules each contribute a
+    (rule, violations) row — the publish gate of a pipeline run."""
+    from preql_spark.operators.expect import validation_report
+    eng = _eng(spark, sf_dir)
+    return validation_report(
+        eng.t.orders.df,
+        not_null=["o_orderpriority"],
+        unique=["o_orderkey", "o_orderpriority"],
+        ranges={"o_totalprice": (0, 400000)},
+        fk=[("o_custkey", eng.t.customer.df, "c_custkey")])
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1635,6 +1649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_dedup_exact": q32_dedup_exact,
     "q115_mixture_sample": q115_mixture_sample,
     "q116_audio_features": q116_audio_features,
+    "q117_validation_report": q117_validation_report,
 }
 
 
@@ -3014,6 +3029,33 @@ ORACLES: dict[str, str] = {
                    AS duration_s,
                floor(rms * 10000 + 0.5) / 10000 AS rms
         FROM s
+    """,
+    "q117_validation_report": """
+        SELECT 'not_null:o_orderpriority' AS rule,
+               CAST(coalesce(sum(CASE WHEN o_orderpriority IS NULL
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'range:o_totalprice',
+               CAST(coalesce(sum(CASE WHEN o_totalprice < 0
+                                   OR o_totalprice > 400000
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'unique:o_orderkey',
+               count(*) - count(DISTINCT
+                   coalesce(CAST(o_orderkey AS VARCHAR), chr(1)))
+        FROM orders
+        UNION ALL
+        SELECT 'unique:o_orderpriority',
+               count(*) - count(DISTINCT coalesce(o_orderpriority, chr(1)))
+        FROM orders
+        UNION ALL
+        SELECT 'fk:o_custkey',
+               (SELECT count(*) FROM orders
+                WHERE o_custkey IS NOT NULL
+                  AND o_custkey NOT IN (SELECT c_custkey FROM customer))
     """,
 }
 

@@ -85,3 +85,23 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     elif dt == "timestamp_ntz":
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
+
+
+def compact_parquet(spark: SparkSession, src: str, dst: str,
+                    target_mb: int = 128, mode: str = "overwrite") -> int:
+    """Small-file compaction: rewrite a parquet directory as
+    ``ceil(total_bytes / target_mb)`` right-sized files.  The classic
+    table-maintenance op — streaming sinks and per-task writers leave
+    thousands of tiny files, and every scan then pays a per-file
+    open + footer read (the measured file-count bottleneck in
+    SCALE.md's 4x experiment).  Sizing comes from the filesystem
+    listing (metadata-scale, no data read); the rewrite is one
+    round-robin shuffle.  Returns the target file count."""
+    import glob
+    import math
+    files = glob.glob(os.path.join(src, "**", "*.parquet"),
+                      recursive=True) or glob.glob(src)
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    read_parquet(spark, src).repartition(n).write.mode(mode).parquet(dst)
+    return n

@@ -959,3 +959,23 @@ def test_extract_frame_features(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
     with pytest.raises(Exception, match="codec|NotImplemented"):
         multimodal.extract_frame_features(df, 2, fake=False).collect()
+
+
+def test_validation_report(spark):
+    from preql_spark.operators.expect import expect_clean, validation_report
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, None, 50), (3, "a", -1), (4, "b", None)],
+        "id: long, name: string, v: long")
+    dim = spark.createDataFrame([("a",), ("c",)], "name: string")
+    rep = {r.rule: r.violations for r in validation_report(
+        df, not_null=["name"], unique=["id", "name"],
+        ranges={"v": (0, 10)},
+        fk=[("name", dim, "name")]).collect()}
+    assert rep == {"not_null:name": 1,
+                   "unique:id": 0,
+                   "unique:name": 1,       # "a" twice
+                   "range:v": 2,           # 50 and -1; null not counted
+                   "fk:name": 1}           # "b" unmatched; null exempt
+    with pytest.raises(ValueError, match="not_null:name"):
+        expect_clean(df, not_null=["name"])
+    expect_clean(df, unique=["id"])        # clean rule passes silently

@@ -91,3 +91,18 @@ def test_read_event_stream_pins_utc(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_compact_parquet(spark, tmp_path):
+    """Many tiny files in, ceil(bytes/target) files out, rows intact."""
+    import os
+    from preql_spark.parquet_io import compact_parquet, read_parquet
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    spark.range(10000).repartition(40).write.parquet(src)
+    n_small = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_small == 40
+    n = compact_parquet(spark, src, dst, target_mb=128)
+    assert n == 1
+    n_out = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_out == 1
+    assert read_parquet(spark, dst).count() == 10000
