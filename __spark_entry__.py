@@ -1502,6 +1502,26 @@ def q117_validation_report(spark, sf_dir) -> DataFrame:
         fk=[("o_custkey", eng.t.customer.df, "c_custkey")])
 
 
+def q118_stream_stateful_counter(spark, sf_dir) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running count + last-seen carried in explicit GroupState.
+    After an availableNow drain, each key's FINAL state must equal the
+    batch aggregate — that equality is the oracle (update-mode sinks
+    emit one row per key per batch; max() takes the final)."""
+    from preql_spark import streaming as st
+    _eng(spark, sf_dir)
+    stream = st.read_event_stream(
+        spark, os.path.join(sf_dir, "events.parquet"))
+    counter = st.stateful_counter(stream)
+    out = st.run_to_memory(counter,
+                           f"q118_sink_{abs(hash(sf_dir)) % 10**6}",
+                           output_mode="update")
+    return (out.groupBy("key")
+            .agg(F.max("n_events").alias("n_events"),
+                 _pr4(F.max("last_epoch")).alias("last_epoch"))
+            .withColumnRenamed("key", "user_id"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1650,6 +1670,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q115_mixture_sample": q115_mixture_sample,
     "q116_audio_features": q116_audio_features,
     "q117_validation_report": q117_validation_report,
+    "q118_stream_stateful_counter": q118_stream_stateful_counter,
 }
 
 
@@ -3056,6 +3077,12 @@ ORACLES: dict[str, str] = {
                (SELECT count(*) FROM orders
                 WHERE o_custkey IS NOT NULL
                   AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+    """,
+    # final GroupState per key == the batch aggregate
+    "q118_stream_stateful_counter": """
+        SELECT user_id, count(*) AS n_events,
+               floor(epoch(max(ts)) * 10000 + 0.5) / 10000 AS last_epoch
+        FROM events GROUP BY user_id
     """,
 }
 
