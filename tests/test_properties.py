@@ -346,3 +346,57 @@ def test_scd2_ranges_partition_time(eng, mod):
         # consecutive versions really differ
         for a, b in zip(vs, vs[1:]):
             assert a.o_orderpriority != b.o_orderpriority
+
+
+@settings(**SETTINGS)
+@given(bits=st.integers(2, 12), seed=st.integers(0, 10**6))
+def test_zorder_key_bijective(spark, bits, seed):
+    """Morton interleave is a bijection on its masked domain: python
+    de-interleave recovers (x, y) exactly."""
+    from preql_spark.operators.layout import zorder_key
+    import random
+    rng = random.Random(seed)
+    m = (1 << bits) - 1
+    rows = [(i, rng.randint(0, m), rng.randint(0, m)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id: long, x: long, y: long")
+    got = {r.id: r.z for r in
+           df.select("id", zorder_key(["x", "y"], bits=bits).alias("z"))
+           .collect()}
+    for i, x, y in rows:
+        z = got[i]
+        rx = sum(((z >> (2 * b)) & 1) << b for b in range(bits))
+        ry = sum(((z >> (2 * b + 1)) & 1) << b for b in range(bits))
+        assert (rx, ry) == (x, y)
+
+
+@settings(**SETTINGS)
+@given(n_bits=st.sampled_from([128, 1024, 1 << 14]),
+       seed=st.integers(0, 10**6))
+def test_bloom_never_false_negative(spark, n_bits, seed):
+    """For any key set and any bit budget, every true key passes."""
+    import random
+    from preql_spark.operators.bloom import bloom_build, bloom_probe
+    rng = random.Random(seed)
+    keys = sorted({rng.randint(-10**9, 10**9) for _ in range(60)})
+    small = spark.createDataFrame([(k,) for k in keys], "k: long")
+    probe = spark.createDataFrame(
+        [(k,) for k in keys] + [(rng.randint(-10**9, 10**9),)
+                                for _ in range(200)], "k: long")
+    bloom = bloom_build(small, "k", n_bits=n_bits, n_hashes=3)
+    passed = {r.k for r in bloom_probe(probe, bloom, "k",
+                                       n_bits=n_bits, n_hashes=3).collect()}
+    assert set(keys) <= passed
+
+
+@settings(**SETTINGS)
+@given(r1=st.floats(0.1, 1.0), r2=st.floats(0.0, 0.9))
+def test_mixture_monotone_subset(eng, r1, r2):
+    """A smaller keep-ratio selects a SUBSET of a larger one (hash
+    buckets nest), and ratios bound the kept counts."""
+    lo, hi = sorted([r1, r2])
+    d = eng.t.documents
+    small = {(r.doc_id) for r in
+             d.sample_mixture("source", {"src0": lo}, key="doc_id").collect()}
+    big = {(r.doc_id) for r in
+           d.sample_mixture("source", {"src0": hi}, key="doc_id").collect()}
+    assert small <= big
