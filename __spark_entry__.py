@@ -1522,6 +1522,26 @@ def q118_stream_stateful_counter(spark, sf_dir) -> DataFrame:
             .withColumnRenamed("key", "user_id"))
 
 
+def q119_domain_blocklist(spark, sf_dir) -> DataFrame:
+    """URL/domain blocklist filtering with suffix-chain matching
+    (entry `spam.com` blocks `a.spam.com`): suffixes explode
+    scan-locally, matching is one equi-join against the list — never
+    a per-row regex scan.  URLs synthesized onto the corpus (like
+    q82's PII) so both exact and suffix rules fire."""
+    from preql_spark.operators.text import domain_block_filter
+    d = _eng(spark, sf_dir).t.documents.df
+    withurl = d.withColumn(
+        "url", F.concat(F.lit("https://h"), F.col("doc_id") % 7,
+                        F.lit(".site"), F.col("doc_id") % 3,
+                        F.lit(".example.com/p/"), F.col("doc_id")))
+    bl = spark.createDataFrame(
+        [("h3.site0.example.com",),      # exact host
+         ("site1.example.com",)],        # suffix: blocks every h*.site1.*
+        "host: string")
+    out = domain_block_filter(withurl, bl)
+    return out.select("doc_id", "source")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1671,6 +1691,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q116_audio_features": q116_audio_features,
     "q117_validation_report": q117_validation_report,
     "q118_stream_stateful_counter": q118_stream_stateful_counter,
+    "q119_domain_blocklist": q119_domain_blocklist,
 }
 
 
@@ -3083,6 +3104,30 @@ ORACLES: dict[str, str] = {
         SELECT user_id, count(*) AS n_events,
                floor(epoch(max(ts)) * 10000 + 0.5) / 10000 AS last_epoch
         FROM events GROUP BY user_id
+    """,
+    # suffix-chain blocklist: host h{d%7}.site{d%3}.example.com is
+    # blocked when any dot-suffix appears in the list
+    "q119_domain_blocklist": """
+        WITH withhost AS (
+          SELECT doc_id, source,
+                 'h' || (doc_id % 7) || '.site' || (doc_id % 3)
+                     || '.example.com' AS host
+          FROM documents
+        ),
+        sufs AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, len(string_split(host, '.'))),
+                     i -> array_to_string(list_slice(string_split(host, '.'),
+                              i + 1, len(string_split(host, '.'))), '.')))
+                 AS suf
+          FROM withhost
+        ),
+        bl AS (SELECT 'h3.site0.example.com' AS suf
+               UNION ALL SELECT 'site1.example.com'),
+        bad AS (SELECT DISTINCT doc_id FROM sufs
+                JOIN bl ON sufs.suf = bl.suf)
+        SELECT doc_id, source FROM withhost
+        WHERE doc_id NOT IN (SELECT doc_id FROM bad)
     """,
 }
 

@@ -544,3 +544,40 @@ def quantile_bucketize(df: DataFrame, value_col: str, n_buckets: int,
             .withColumn(out_col, F.when(v.isNull(), F.lit(None)
                                         .cast("int")).otherwise(bucket))
             .drop("__ts"))
+
+
+def host_of(url) -> Column:
+    """Hostname from a URL (scheme-insensitive, drops port/path)."""
+    c = url if isinstance(url, Column) else F.col(url)
+    return F.lower(F.regexp_extract(c, r"^(?:[a-zA-Z][\w+.-]*:)?(?://)?([^/:?#]+)", 1))
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a hostname: a.b.c.com ->
+    [a.b.c.com, b.c.com, c.com, com] — scan-local codegen."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(F.sequence(F.lit(0), n - 1),
+                       lambda i: F.array_join(F.slice(parts, i + 1, n), "."))
+
+
+def domain_block_filter(df: DataFrame, blocklist: DataFrame,
+                        id_col: str = "doc_id", url_col: str = "url",
+                        block_col: str = "host") -> DataFrame:
+    """Drop rows whose URL host matches a blocklist entry exactly OR
+    by domain suffix (an entry ``spam.com`` blocks ``a.spam.com``) —
+    the URL-filtering step of web-corpus curation.
+
+    Scale shape: the suffix chain explodes scan-locally (a handful of
+    rows per URL, 8-byte-ish strings), matching is ONE equi-join on
+    the suffix against the blocklist (broadcast when the list is
+    small, AQE decides otherwise — a million-domain blocklist is tens
+    of MBs), and the verdict returns by id semi/anti join.  No regex
+    scans over the whole list per row, which is the naive shape."""
+    sufs = df.select(F.col(id_col),
+                     F.explode(host_suffixes(host_of(url_col)))
+                     .alias("__suf"))
+    bl = blocklist.select(F.lower(F.col(block_col)).alias("__suf")) \
+        .distinct()
+    bad = sufs.join(bl, "__suf", "left_semi").select(id_col).distinct()
+    return df.join(bad, id_col, "left_anti")

@@ -979,3 +979,25 @@ def test_validation_report(spark):
     with pytest.raises(ValueError, match="not_null:name"):
         expect_clean(df, not_null=["name"])
     expect_clean(df, unique=["id"])        # clean rule passes silently
+
+
+def test_domain_block_filter(spark):
+    from preql_spark.operators.text import (domain_block_filter, host_of,
+                                            host_suffixes)
+    df = spark.createDataFrame(
+        [(1, "https://a.spam.com/x"), (2, "http://ok.example.org/"),
+         (3, "https://spam.com"), (4, "https://notspam.com/y"),
+         (5, "ftp://deep.a.spam.com:8080/z")],
+        "doc_id: long, url: string")
+    bl = spark.createDataFrame([("spam.com",)], "host: string")
+    kept = {r.doc_id for r in domain_block_filter(df, bl).collect()}
+    # suffix blocks 1/3/5; "notspam.com" is NOT a dot-suffix match
+    assert kept == {2, 4}
+    # helpers
+    h = df.select(host_of("url").alias("h")).collect()
+    assert {r.h for r in h} == {"a.spam.com", "ok.example.org",
+                                "spam.com", "notspam.com",
+                                "deep.a.spam.com"}
+    sufs = spark.createDataFrame([("a.b.com",)], "h: string") \
+        .select(host_suffixes(F.col("h")).alias("s")).collect()[0].s
+    assert sufs == ["a.b.com", "b.com", "com"]
