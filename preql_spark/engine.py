@@ -492,6 +492,19 @@ class Engine:
         """Reference import_json — pql_functions.py:875-898."""
         return self.from_df(self.spark.read.json(path))
 
+    def import_orc(self, path: str) -> "Table":
+        """ORC source (columnar like parquet, schema from the footer —
+        no inference pass)."""
+        return self.from_df(self.spark.read.orc(path))
+
+    def import_text(self, path: str, name_col: str = "text") -> "Table":
+        """Raw text-file source: one row per line (the rawest corpus
+        format — pair with ``chunk_dedup``/``quality_metrics`` for
+        line-level pipelines).  Whole-file rows via wholetext are a
+        driver-memory trap at scale; line rows parallelize."""
+        return self.from_df(
+            self.spark.read.text(path).withColumnRenamed("value", name_col))
+
     def import_jsonl(self, path: str, schema=None) -> "Table":
         """JSON-lines source (pairs with ``Table.write_jsonl``).  Pass
         a DDL string or StructType: schema inference is an extra full

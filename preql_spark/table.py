@@ -651,6 +651,17 @@ class Table:
     def cache(self) -> "Table":
         return self._with(self.df.cache())
 
+    def write_orc(self, path: str, mode: str = "overwrite") -> None:
+        """ORC sink (columnar; same pushdown/pruning properties as
+        parquet for engines that prefer ORC)."""
+        self.df.write.mode(mode).orc(path)
+
+    def write_csv(self, path: str, mode: str = "overwrite",
+                  header: bool = True) -> None:
+        """CSV sink — the interchange-with-spreadsheets format; flat
+        schemas only (arrays/structs don't fit CSV)."""
+        self.df.write.mode(mode).option("header", header).csv(path)
+
     def write_jsonl(self, path: str, mode: str = "overwrite",
                     n_shards: int | None = None) -> None:
         """Write as JSON-lines shards — the interchange format of

@@ -106,3 +106,25 @@ def test_compact_parquet(spark, tmp_path):
     n_out = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
     assert n_out == 1
     assert read_parquet(spark, dst).count() == 10000
+
+
+def test_orc_roundtrip(spark, eng, tmp_path):
+    p = str(tmp_path / "nation_orc")
+    eng.t.nation.write_orc(p)
+    back = eng.import_orc(p)
+    assert sorted(r.n_name for r in back.df.collect()) == \
+        sorted(r.n_name for r in eng.t.nation.df.collect())
+    assert back.df.schema == eng.t.nation.df.schema
+
+
+def test_csv_sink_and_text_source(spark, eng, tmp_path):
+    pc = str(tmp_path / "nation_csv")
+    eng.t.nation.project("n_name", "n_nationkey").write_csv(pc)
+    back = eng.import_csv(pc)
+    assert back.df.count() == eng.t.nation.df.count()
+    pt = str(tmp_path / "lines")
+    eng.t.nation.project("n_name").df.write.mode("overwrite").text(pt)
+    lines = eng.import_text(pt)
+    assert lines.df.columns == ["text"]
+    assert sorted(r.text for r in lines.df.collect()) == \
+        sorted(r.n_name for r in eng.t.nation.df.collect())
