@@ -1542,6 +1542,18 @@ def q119_domain_blocklist(spark, sf_dir) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q120_join_cardinality(spark, sf_dir) -> DataFrame:
+    """Pre-flight join diagnostics: exact inner-join output size and
+    hottest-key blow-up from count tables only (payloads never
+    shuffle) — know a join's cost before running it."""
+    from preql_spark.operators.layout import join_cardinality
+    eng = _eng(spark, sf_dir)
+    out = join_cardinality(eng.t.lineitem.df, "l_orderkey",
+                           eng.t.orders.df, "o_orderkey")
+    return out.select("n_left", "n_right", "n_out", "max_key_out",
+                      _pr4(F.col("amplification")).alias("amplification"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1692,6 +1704,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q117_validation_report": q117_validation_report,
     "q118_stream_stateful_counter": q118_stream_stateful_counter,
     "q119_domain_blocklist": q119_domain_blocklist,
+    "q120_join_cardinality": q120_join_cardinality,
 }
 
 
@@ -3128,6 +3141,24 @@ ORACLES: dict[str, str] = {
                 JOIN bl ON sufs.suf = bl.suf)
         SELECT doc_id, source FROM withhost
         WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    "q120_join_cardinality": """
+        WITH lc AS (SELECT l_orderkey AS key, count(*) AS nl
+                    FROM lineitem GROUP BY 1),
+        rc AS (SELECT o_orderkey AS key, count(*) AS nr
+               FROM orders GROUP BY 1),
+        pk AS (SELECT lc.key, nl * nr AS o FROM lc JOIN rc USING (key)),
+        t AS (SELECT coalesce(sum(o), 0) AS n_out,
+                     coalesce(max(o), 0) AS max_key_out FROM pk)
+        SELECT (SELECT count(*) FROM lineitem) AS n_left,
+               (SELECT count(*) FROM orders) AS n_right,
+               CAST(n_out AS BIGINT) AS n_out,
+               CAST(max_key_out AS BIGINT) AS max_key_out,
+               floor(n_out / CAST(greatest(
+                   (SELECT count(*) FROM lineitem),
+                   (SELECT count(*) FROM orders)) AS DOUBLE)
+                   * 10000 + 0.5) / 10000 AS amplification
+        FROM t
     """,
 }
 

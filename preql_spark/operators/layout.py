@@ -64,3 +64,39 @@ def skew_report(df: DataFrame, key, top: int = 20) -> DataFrame:
                     .alias("x_uniform"))
             .orderBy(F.col("n_rows").desc(), F.col("key"))
             .limit(top))
+
+
+def join_cardinality(left: DataFrame, left_key, right: DataFrame,
+                     right_key) -> DataFrame:
+    """Pre-flight equi-join cardinality report — EXACT output-row
+    count and worst-key blow-up, from the two key-count tables joined
+    (never the payloads): one partial-agg pass per side + a
+    count-table join, so you learn a join's cost at key-cardinality
+    price before shuffling terabytes of rows.
+
+    One row out: ``(n_left, n_right, n_out, max_key_out,
+    amplification)`` where ``n_out`` = exact inner-join output rows,
+    ``max_key_out`` = the single hottest key's contribution, and
+    ``amplification`` = n_out / max(n_left, n_right) (> 1 means the
+    join multiplies rows — the m:n fan-out smell).  Pair with
+    :func:`skew_report` to decide salting."""
+    lk = left_key if isinstance(left_key, Column) else F.col(left_key)
+    rk = right_key if isinstance(right_key, Column) else F.col(right_key)
+    lc = left.select(lk.alias("key")).groupBy("key") \
+        .agg(F.count(F.lit(1)).alias("__nl"))
+    rc = right.select(rk.alias("key")).groupBy("key") \
+        .agg(F.count(F.lit(1)).alias("__nr"))
+    per_key = lc.join(rc, "key").select(
+        "key", (F.col("__nl") * F.col("__nr")).alias("__out"))
+    totals_l = F.broadcast(left.agg(F.count(F.lit(1)).alias("__tl")))
+    totals_r = F.broadcast(right.agg(F.count(F.lit(1)).alias("__tr")))
+    return (per_key.agg(F.coalesce(F.sum("__out"), F.lit(0)).alias("n_out"),
+                        F.coalesce(F.max("__out"), F.lit(0))
+                        .alias("max_key_out"))
+            .crossJoin(totals_l).crossJoin(totals_r)
+            .select(F.col("__tl").alias("n_left"),
+                    F.col("__tr").alias("n_right"),
+                    "n_out", "max_key_out",
+                    (F.col("n_out")
+                     / F.greatest("__tl", "__tr").cast("double"))
+                    .alias("amplification")))

@@ -1001,3 +1001,23 @@ def test_domain_block_filter(spark):
     sufs = spark.createDataFrame([("a.b.com",)], "h: string") \
         .select(host_suffixes(F.col("h")).alias("s")).collect()[0].s
     assert sufs == ["a.b.com", "b.com", "com"]
+
+
+def test_join_cardinality(spark):
+    from preql_spark.operators.layout import join_cardinality
+    left = spark.createDataFrame(
+        [(1,)] * 3 + [(2,)] * 2 + [(9,)], "k: long")
+    right = spark.createDataFrame(
+        [(1,)] * 4 + [(2,)] + [(7,)], "k: long")
+    r = join_cardinality(left, "k", right, "k").collect()[0]
+    assert (r.n_left, r.n_right) == (6, 6)
+    assert r.n_out == 3 * 4 + 2 * 1          # 14 exact inner-join rows
+    assert r.max_key_out == 12               # key 1 dominates
+    assert r.amplification == pytest.approx(14 / 6)
+    # verify against the actual join
+    assert left.join(right, "k").count() == r.n_out
+    # disjoint keys -> zero, no null poisoning
+    r0 = join_cardinality(left, "k",
+                          spark.createDataFrame([(100,)], "k: long"),
+                          "k").collect()[0]
+    assert (r0.n_out, r0.max_key_out) == (0, 0)
