@@ -242,3 +242,24 @@ def test_kmeans_assignment_no_shuffle(spark):
     # (small-file-count guard, a no-op at scale)
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_lang_plan_equals_api_plan(spark, eng):
+    """The Preql-syntax front-end must emit the IDENTICAL physical
+    plan as the fluent API — the lang layer is a parser, not a second
+    compiler (the same claim the bench's hand-twin gate makes for the
+    API vs raw PySpark)."""
+    from bench_twins import normalized_plan
+    cases = [
+        ('customer[c_acctbal > 5000]{c_custkey, bal2: c_acctbal * 2}',
+         lambda: eng.t.customer.filter(F.col("c_acctbal") > 5000)
+         .project("c_custkey", bal2=F.col("c_acctbal") * 2)),
+        ('nation{n_regionkey => n: count()}',
+         lambda: eng.t.nation.group("n_regionkey", n=F.count(F.lit(1)))),
+        ('customer order {^c_acctbal, c_custkey} [0..5]',
+         lambda: eng.t.customer.order("^c_acctbal", "c_custkey")
+         .slice(0, 5)),
+    ]
+    for src, api in cases:
+        assert normalized_plan(eng.q(src).df) == \
+            normalized_plan(api().df), src
