@@ -1554,6 +1554,18 @@ def q120_join_cardinality(spark, sf_dir) -> DataFrame:
                       _pr4(F.col("amplification")).alias("amplification"))
 
 
+def q121_corpus_datacard(spark, sf_dir) -> DataFrame:
+    """Corpus data card: docs/tokens/bytes/exact-dup ratio for every
+    source×lang combination plus the marginals and the global row —
+    one CUBE aggregate over scan-local per-row metrics."""
+    from preql_spark.operators.text import corpus_datacard
+    d = _eng(spark, sf_dir).t.documents.df
+    out = corpus_datacard(d)
+    return out.select("source", "lang", "n_docs", "total_tokens",
+                      "total_bytes", "n_distinct",
+                      _pr4(F.col("dup_ratio")).alias("dup_ratio"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1705,6 +1717,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q118_stream_stateful_counter": q118_stream_stateful_counter,
     "q119_domain_blocklist": q119_domain_blocklist,
     "q120_join_cardinality": q120_join_cardinality,
+    "q121_corpus_datacard": q121_corpus_datacard,
 }
 
 
@@ -3159,6 +3172,20 @@ ORACLES: dict[str, str] = {
                    (SELECT count(*) FROM orders)) AS DOUBLE)
                    * 10000 + 0.5) / 10000 AS amplification
         FROM t
+    """,
+    "q121_corpus_datacard": r"""
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                    AS BIGINT) AS total_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+               count(DISTINCT fp) AS n_distinct,
+               floor((1 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS dup_ratio
+        FROM (SELECT source, lang, text,
+                     ('0x' || substr(md5(regexp_replace(lower(trim(text)),
+                          '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp
+              FROM documents)
+        GROUP BY CUBE (source, lang)
     """,
 }
 

@@ -483,6 +483,19 @@ class Engine:
         return self.from_df(self.spark.sql(code))
 
     # ---- sources (see preql_spark.sources for the full surface) ----
+    def import_parquet(self, path: str,
+                       merge_schema: bool = False) -> "Table":
+        """Parquet source; ``merge_schema=True`` unions the schemas of
+        every file (schema evolution — old files without a newly-added
+        column read it as NULL).  Merging reads every footer instead
+        of one, so it stays opt-in; at 100 TB prefer a table format
+        that tracks schema centrally, or run footer merges once and
+        persist the result."""
+        r = self.spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return self.from_df(r.parquet(path))
+
     def import_csv(self, path: str, header: bool = True) -> "Table":
         """Reference import_csv — pql_functions.py:902-956."""
         return self.from_df(

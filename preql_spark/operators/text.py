@@ -581,3 +581,31 @@ def domain_block_filter(df: DataFrame, blocklist: DataFrame,
         .distinct()
     bad = sufs.join(bl, "__suf", "left_semi").select(id_col).distinct()
     return df.join(bad, id_col, "left_anti")
+
+
+def corpus_datacard(df: DataFrame, group_cols: list[str] | None = None,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """The corpus "data card" in one pass: docs / tokens / bytes /
+    exact-dup ratio for every combination of the grouping dimensions
+    (CUBE — per source, per lang, per source×lang, and the global
+    row all share one shuffle).  ``dup_ratio`` is
+    1 - distinct-fingerprints / docs, the exact-dedup headroom.
+
+    Scale shape: the per-row metrics (token count, bytes,
+    fingerprint) are scan-local codegen; the cube is one grouped
+    aggregate with map-side partials — the report a pipeline publishes
+    next to every corpus snapshot, at aggregation cost."""
+    gc = group_cols or ["source", "lang"]
+    base = df.select(*gc,
+                     token_count(F.col(text_col)).alias("__tok"),
+                     F.length(text_col).alias("__bytes"),
+                     fingerprint64(F.col(text_col)).alias("__fp"))
+    return (base.cube(*gc)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("__tok").alias("total_tokens"),
+                 F.sum("__bytes").alias("total_bytes"),
+                 F.count_distinct("__fp").alias("n_distinct"))
+            .withColumn("dup_ratio",
+                        (1 - F.col("n_distinct")
+                         / F.col("n_docs").cast("double"))))

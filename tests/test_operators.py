@@ -1021,3 +1021,17 @@ def test_join_cardinality(spark):
                           spark.createDataFrame([(100,)], "k: long"),
                           "k").collect()[0]
     assert (r0.n_out, r0.max_key_out) == (0, 0)
+
+
+def test_corpus_datacard(eng):
+    from preql_spark.operators.text import corpus_datacard
+    rep = corpus_datacard(eng.t.documents.df).collect()
+    total = [r for r in rep if r.source is None and r.lang is None]
+    assert len(total) == 1
+    t = total[0]
+    n_docs = eng.t.documents.df.count()
+    assert t.n_docs == n_docs and t.total_tokens > 0
+    assert 0 <= t.dup_ratio < 1
+    # per-source rows sum to the global doc count
+    per_src = [r for r in rep if r.source is not None and r.lang is None]
+    assert sum(r.n_docs for r in per_src) == n_docs

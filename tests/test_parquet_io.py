@@ -128,3 +128,17 @@ def test_csv_sink_and_text_source(spark, eng, tmp_path):
     assert lines.df.columns == ["text"]
     assert sorted(r.text for r in lines.df.collect()) == \
         sorted(r.n_name for r in eng.t.nation.df.collect())
+
+
+def test_import_parquet_schema_evolution(spark, eng, tmp_path):
+    """mergeSchema unions per-file schemas; files lacking a column
+    read it as NULL."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id: long, old: string") \
+        .write.parquet(p)
+    spark.createDataFrame([(2, 7.5)], "id: long, new: double") \
+        .write.mode("append").parquet(p)
+    t = eng.import_parquet(p, merge_schema=True)
+    assert set(t.df.columns) == {"id", "old", "new"}
+    rows = {r.id: (r.old, r.new) for r in t.df.collect()}
+    assert rows == {1: ("a", None), 2: (None, 7.5)}
