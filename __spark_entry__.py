@@ -1566,6 +1566,17 @@ def q121_corpus_datacard(spark, sf_dir) -> DataFrame:
                       _pr4(F.col("dup_ratio")).alias("dup_ratio"))
 
 
+def q122_debounce(spark, sf_dir) -> DataFrame:
+    """Time-windowed event dedup (debounce): per user, bursts of
+    events within 120 s collapse to their first event — one shuffle
+    on the key, lag+cumsum burst windows."""
+    from preql_spark.operators.asof import debounce
+    e = _eng(spark, sf_dir).t.events.df
+    out = debounce(e, ["user_id"], "ts", window_s=120,
+                   tiebreak_cols=["event_id"])
+    return out.select("user_id", "event_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1718,6 +1729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q119_domain_blocklist": q119_domain_blocklist,
     "q120_join_cardinality": q120_join_cardinality,
     "q121_corpus_datacard": q121_corpus_datacard,
+    "q122_debounce": q122_debounce,
 }
 
 
@@ -3186,6 +3198,28 @@ ORACLES: dict[str, str] = {
                           '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp
               FROM documents)
         GROUP BY CUBE (source, lang)
+    """,
+    "q122_debounce": """
+        WITH seq AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 120
+                      THEN 1 ELSE 0 END AS nb
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        b AS (
+          SELECT *, sum(nb) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS burst
+          FROM seq
+        )
+        SELECT user_id, event_id FROM (
+          SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id, burst
+                     ORDER BY ts, event_id) AS rn
+          FROM b) WHERE rn = 1
     """,
 }
 

@@ -61,3 +61,31 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
                    *[F.col(c) for c in left.columns if c != key],
                    *[F.col(f"__f_{c}").alias(c) for c in right_cols]))
     return out
+
+
+def debounce(df: DataFrame, keys: list[str], ts_col: str,
+             window_s: float, tiebreak_cols: list[str] | None = None)\
+        -> DataFrame:
+    """Time-windowed dedup (telemetry debounce): per key, an event
+    survives only if it starts a new burst — i.e. it is the FIRST
+    event of each gap-delimited session, where consecutive events
+    closer than ``window_s`` seconds chain into one burst.  Retries,
+    double-clicks, and sensor chatter collapse to one row each.
+
+    One shuffle on the key; the burst boundary is a lag + running-sum
+    window pair sharing that partitioning (the q44 sessionize shape).
+    ``tiebreak_cols`` make same-timestamp ordering deterministic."""
+    order = [F.col(ts_col), *map(F.col, tiebreak_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    # NTZ can't cast straight to double; go through TIMESTAMP (wall-
+    # clock-preserving under the engine's pinned UTC session timezone)
+    tsd = F.col(ts_col).cast("timestamp").cast("double")
+    gap = tsd - F.lag(tsd).over(w)
+    new_burst = (gap.isNull() | (gap > window_s)).cast("long")
+    wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (df.withColumn("__nb", new_burst)
+            .withColumn("__burst", F.sum("__nb").over(wb))
+            .withColumn("__rn", F.row_number().over(
+                Window.partitionBy(*keys, "__burst").orderBy(*order)))
+            .filter(F.col("__rn") == 1)
+            .drop("__nb", "__burst", "__rn"))

@@ -1035,3 +1035,16 @@ def test_corpus_datacard(eng):
     # per-source rows sum to the global doc count
     per_src = [r for r in rep if r.source is not None and r.lang is None]
     assert sum(r.n_docs for r in per_src) == n_docs
+
+
+def test_debounce(spark):
+    """Chained near-in-time events collapse to the burst's first; a
+    gap beyond the window starts a new surviving event."""
+    rows = [(1, t, f"e{t}") for t in (0, 4, 8, 20, 23, 60)] \
+        + [(2, 100, "x")]
+    df = spark.createDataFrame(rows, "k: long, ts: long, tag: string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof.debounce(df, ["k"], "ts", window_s=5, tiebreak_cols=["tag"])
+    got = sorted((r.k, r.tag) for r in out.collect())
+    # k=1: 0 starts burst (4, 8 chain into it); 20 (23 chains); 60
+    assert got == [(1, "e0"), (1, "e20"), (1, "e60"), (2, "x")]
