@@ -1048,3 +1048,23 @@ def test_debounce(spark):
     got = sorted((r.k, r.tag) for r in out.collect())
     # k=1: 0 starts burst (4, 8 chain into it); 20 (23 chains); 60
     assert got == [(1, "e0"), (1, "e20"), (1, "e60"), (2, "x")]
+
+
+def test_hll_sketch_rollup(spark, eng):
+    """Merging fine sketches == sketching coarse directly (exact at
+    the sketch level), and estimates land within HLL error bounds."""
+    from preql_spark.operators.sketch import (hll_estimate, hll_merge,
+                                              hll_rollup)
+    e = eng.t.events.df.withColumn("day", F.to_date("ts"))
+    daily = hll_rollup(e, ["day", "event_type"], "user_id")
+    # roll daily sketches up to per-type, vs sketching per-type direct
+    merged = hll_estimate(hll_merge(daily, ["event_type"]))
+    direct = hll_estimate(hll_rollup(e, ["event_type"], "user_id"))
+    m = {r.event_type: r.n_distinct for r in merged.collect()}
+    d = {r.event_type: r.n_distinct for r in direct.collect()}
+    assert m == d                      # sketch union is exact
+    true = {r.event_type: r.n for r in
+            e.groupBy("event_type")
+            .agg(F.count_distinct("user_id").alias("n")).collect()}
+    for k, est in m.items():
+        assert abs(est - true[k]) <= max(2, 0.05 * true[k]), (k, est, true[k])
