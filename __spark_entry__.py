@@ -1195,15 +1195,25 @@ def q94_backref_agg(spark, sf_dir) -> DataFrame:
 def q95_repetition_metrics(spark, sf_dir) -> DataFrame:
     """Gopher-style repetition quality gates: duplicate-line fraction,
     duplicate-line character fraction, top-bigram share — per doc,
-    computed on narrow hashed rows (the text never shuffles)."""
+    computed on narrow hashed rows (the text never shuffles).
+
+    The fractions are emitted as integer-scaled longs
+    (``floor(frac * 10000 + 0.5)``, i.e. 4-dp fixed point) so the
+    correctness hash has no float-formatting surface at all; the
+    oracle mirrors the same fixed-point expression over explicit
+    DOUBLE division (DuckDB's bare ``* 1.0`` is DECIMAL arithmetic,
+    which can land the other side of the floor boundary)."""
     from preql_spark.operators import text
     d = _eng(spark, sf_dir).t.documents
     m = text.repetition_metrics(d.df)
+
+    def e4(c):
+        return F.floor(F.col(c) * 10000 + F.lit(0.5)).cast("long")
+
     return m.select("doc_id", "n_lines",
-                    _pr4(F.col("dup_line_frac")).alias("dup_line_frac"),
-                    _pr4(F.col("dup_line_char_frac"))
-                    .alias("dup_line_char_frac"),
-                    _pr4(F.col("top_bigram_frac")).alias("top_bigram_frac"))
+                    e4("dup_line_frac").alias("dup_line_frac_e4"),
+                    e4("dup_line_char_frac").alias("dup_line_char_frac_e4"),
+                    e4("top_bigram_frac").alias("top_bigram_frac_e4"))
 
 
 def q96_decontaminate(spark, sf_dir) -> DataFrame:
@@ -2593,16 +2603,19 @@ ORACLES: dict[str, str] = {
             FROM per_gram GROUP BY doc_id
         )
         SELECT d.doc_id,
-               coalesce(ls.n_lines, 0) AS n_lines,
-               floor(CASE WHEN coalesce(ls.n_lines, 0) > 0
-                          THEN ls.dup * 1.0 / ls.n_lines ELSE 0 END
-                     * 10000 + 0.5) / 10000 AS dup_line_frac,
-               floor(CASE WHEN coalesce(ls.chars, 0) > 0
-                          THEN ls.dup_chars * 1.0 / ls.chars ELSE 0 END
-                     * 10000 + 0.5) / 10000 AS dup_line_char_frac,
-               floor(CASE WHEN coalesce(gs.tot, 0) > 0
-                          THEN gs.mx * 1.0 / gs.tot ELSE 0 END
-                     * 10000 + 0.5) / 10000 AS top_bigram_frac
+               CAST(coalesce(ls.n_lines, 0) AS BIGINT) AS n_lines,
+               CAST(floor(CASE WHEN coalesce(ls.n_lines, 0) > 0
+                          THEN CAST(ls.dup AS DOUBLE) / ls.n_lines
+                          ELSE 0.0 END
+                     * 10000 + 0.5) AS BIGINT) AS dup_line_frac_e4,
+               CAST(floor(CASE WHEN coalesce(ls.chars, 0) > 0
+                          THEN CAST(ls.dup_chars AS DOUBLE) / ls.chars
+                          ELSE 0.0 END
+                     * 10000 + 0.5) AS BIGINT) AS dup_line_char_frac_e4,
+               CAST(floor(CASE WHEN coalesce(gs.tot, 0) > 0
+                          THEN CAST(gs.mx AS DOUBLE) / gs.tot
+                          ELSE 0.0 END
+                     * 10000 + 0.5) AS BIGINT) AS top_bigram_frac_e4
         FROM documents d
         LEFT JOIN line_stats ls ON d.doc_id = ls.doc_id
         LEFT JOIN gram_stats gs ON d.doc_id = gs.doc_id

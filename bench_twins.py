@@ -223,11 +223,14 @@ def q95_repetition_metrics(spark, sf_dir):
     from preql_spark.operators import text
     d = _read(spark, sf_dir, "documents")
     m = text.repetition_metrics(d)
+
+    def e4(c):
+        return F.floor(F.col(c) * 10000 + F.lit(0.5)).cast("long")
+
     return m.select("doc_id", "n_lines",
-                    _pr4(F.col("dup_line_frac")).alias("dup_line_frac"),
-                    _pr4(F.col("dup_line_char_frac"))
-                    .alias("dup_line_char_frac"),
-                    _pr4(F.col("top_bigram_frac")).alias("top_bigram_frac"))
+                    e4("dup_line_frac").alias("dup_line_frac_e4"),
+                    e4("dup_line_char_frac").alias("dup_line_char_frac_e4"),
+                    e4("top_bigram_frac").alias("top_bigram_frac_e4"))
 
 
 def q99_lm_perplexity(spark, sf_dir):

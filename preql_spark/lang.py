@@ -89,8 +89,10 @@ _TYPE_ANCESTORS = {
     "int": {"int", "number", "any"},
     "float": {"float", "number", "any"},
     "number": {"number", "any"},
-    "text": {"text", "string", "any"},
-    "string": {"string", "any"},
+    # reference pql_types.py: T.string is the SUBtype of T.text
+    # (string <= text), not the other way around
+    "string": {"string", "text", "any"},
+    "text": {"text", "any"},
     "bool": {"bool", "any"},
     "timestamp": {"timestamp", "any"},
     "table": {"table", "any"},
@@ -1006,6 +1008,15 @@ class Parser:
                         # Catalyst owns composite typing here
                         nv = getattr(v, "name", None)
                         nr = getattr(r, "name", None)
+                        if nv not in _TYPE_ANCESTORS \
+                                or nr not in _TYPE_ANCESTORS:
+                            # `int <= 3` is a type error in the
+                            # reference, not a silent False
+                            raise LangSignal(
+                                "TypeError",
+                                f"cannot order-compare type "
+                                f"{nv or type(v).__name__} with "
+                                f"{nr or type(r).__name__}")
                         le = nr in _TYPE_ANCESTORS.get(nv, {nv})
                         ge = nv in _TYPE_ANCESTORS.get(nr, {nr})
                         v = {"<=": le, ">=": ge,
@@ -2579,7 +2590,9 @@ def _type_name_of(parser: Parser, v) -> str:
 _SUPERS = {"int": {"int", "number", "any"},
            "float": {"float", "number", "any"},
            "bool": {"bool", "any"},
-           "string": {"string", "any"},
+           # reference pql_types.py: string <= text
+           "string": {"string", "text", "any"},
+           "text": {"text", "any"},
            "nulltype": {"nulltype", "any"},
            "list": {"list", "table", "any"},
            "table": {"table", "any"},
@@ -3149,7 +3162,8 @@ _FUNCTIONS = set(_AGG_MAP) | set(_SCALAR_MAP) | {
 # bare type names usable as values (isa/issubclass/type comparisons);
 # int/float/string/bool resolve to cast functions first and are
 # accepted by _as_type_name via their _FuncRef name
-_TYPE_NAMES = {"number", "table", "any", "nulltype", "timestamp"}
+_TYPE_NAMES = {"number", "table", "any", "nulltype", "timestamp",
+               "text"}
 _TABLE_FUNCS = {"join", "leftjoin", "outerjoin", "joinall", "distinct",
                 "enum", "describe", "limit", "temptable", "one",
                 "page", "is_empty", "sample_ratio_fast", "sample_fast",

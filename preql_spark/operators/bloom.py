@@ -42,7 +42,17 @@ def bloom_build(build: DataFrame, key: str, n_bits: int = 1 << 20,
     indexing.  Zero-fill for unset words comes from a right join
     against ``spark.range(n_words)`` — n_words rows, trivially
     broadcast by AQE.  Cost: one scan + one (word, bits) partial-agg
-    shuffle of at most n_words rows regardless of corpus size."""
+    shuffle of at most n_words rows regardless of corpus size.
+
+    ``n_bits`` must be a multiple of 64: a partial last word would be
+    dropped by the ``range(n_words)`` zero-fill (build) while the
+    probe still indexes into it — silent false NEGATIVES, breaking
+    the semi-join exactness contract."""
+    if n_bits % 64 != 0 or n_bits <= 0:
+        raise ValueError(
+            f"n_bits must be a positive multiple of 64, got {n_bits}; "
+            "a partial trailing word would drop bit positions on the "
+            "build side and yield false negatives")
     n_words = n_bits // 64
     pos = build.select(F.explode(F.array(*[
         F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
@@ -67,6 +77,10 @@ def bloom_probe(probe: DataFrame, bloom: DataFrame, key: str,
     the true matches).  The broadcast 1-row cross join keeps the test
     scan-local; each of the k bit probes is one O(1) array index +
     AND."""
+    if n_bits % 64 != 0 or n_bits <= 0:
+        raise ValueError(
+            f"n_bits must be a positive multiple of 64, got {n_bits} "
+            "(must match bloom_build's)")
     out = probe.crossJoin(F.broadcast(bloom))
     tests = [F.expr(
         f"(element_at(__bloom, CAST(shiftright("

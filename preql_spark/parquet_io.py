@@ -96,7 +96,19 @@ def compact_parquet(spark: SparkSession, src: str, dst: str,
     open + footer read (the measured file-count bottleneck in
     SCALE.md's 4x experiment).  Sizing comes from the filesystem
     listing (metadata-scale, no data read); the rewrite is one
-    round-robin shuffle.  Returns the target file count."""
+    round-robin shuffle.  Returns the target file count.
+
+    LOCAL-FILESYSTEM PATHS ONLY: sizing uses ``glob``/``os.path``,
+    which see nothing behind ``hdfs://``/``s3a://`` URIs.  On a real
+    cluster, swap the listing for the Hadoop FileSystem API
+    (``spark._jvm.org.apache.hadoop.fs.FileSystem``) or Spark's own
+    ``input_file_block_length`` scan; the rewrite half is
+    URI-agnostic."""
+    if "://" in src and not src.startswith("file://"):
+        raise ValueError(
+            f"compact_parquet sizes via the local filesystem; got a "
+            f"remote URI {src!r} — use the Hadoop FileSystem API for "
+            "remote stores (see docstring)")
     import glob
     import math
     files = glob.glob(os.path.join(src, "**", "*.parquet"),

@@ -241,7 +241,17 @@ def incremental_dedup_ingest(spark: SparkSession, src_path: str,
     Scale shape per batch: one batch scan + one fingerprint-keyed
     anti-join whose store side is column-pruned to the 8-byte
     fingerprint; the store's text is never re-read.  Returns the
-    store as a batch DataFrame after draining available input."""
+    store as a batch DataFrame after draining available input.
+
+    LOCAL-FILESYSTEM STORE ONLY: the "store already has files?"
+    probe uses ``os.path``/``os.listdir``, invisible behind
+    ``hdfs://``/``s3a://``.  On a cluster, replace the probe with the
+    Hadoop FileSystem API (or simply try/except the read — an empty
+    store is the only case the probe guards)."""
+    if "://" in store_path and not store_path.startswith("file://"):
+        raise ValueError(
+            f"incremental_dedup_ingest probes the store via the local "
+            f"filesystem; got remote URI {store_path!r} (see docstring)")
     from preql_spark.operators.text import fingerprint64
 
     schema = spark.read.parquet(src_path).schema  # footer-only peek

@@ -363,21 +363,29 @@ class Table:
         return self._with(self.df.filter(bucket < int(ratio * 1000000)))
 
     def sample_mixture(self, group_col: str, ratios: dict,
-                       key: str | None = None) -> "Table":
+                       key: str) -> "Table":
         """Data-mixture sampling: keep a per-group deterministic
         fraction of rows — the mixture-weighting step of training-data
         assembly (upsample/downsample each source toward target
         proportions; ratios > 1 are clamped to keep-all, this operator
         never duplicates rows).  Selection is the same content-hash
-        bucket rule as :meth:`sample_hash` (a pure function of
-        ``key``, default the group+row content via ``group_col`` —
-        pass the id column for stability under text edits), so the
+        bucket rule as :meth:`sample_hash` on the ROW-UNIQUE ``key``
+        column (the id column, not the group column — hashing the
+        group value would give every row in a group the same bucket,
+        collapsing any ratio to keep-all/keep-none per group), so the
         mixture is reproducible across runs, engines, and topology.
-        Scan-local: one filter, no shuffle."""
+        ``key`` is therefore required, like ``cap_per_domain``'s
+        ``order_by``.  Scan-local: one filter, no shuffle."""
         from pyspark.sql import functions as F
 
         from preql_spark.operators.text import portable_hash
-        k = F.col(key if key is not None else group_col)
+        if key is None:
+            raise ValueError(
+                "sample_mixture requires a row-unique `key` column; "
+                "hashing the group column would make the bucket "
+                "constant per group (keep-all/keep-none, not a "
+                "fraction)")
+        k = F.col(key)
         bucket = portable_hash(k.cast("string")) % 1000000
         cond = F.lit(False)
         for grp, ratio in ratios.items():

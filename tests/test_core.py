@@ -403,6 +403,17 @@ def test_sample_mixture(eng):
     assert again == {(r.doc_id, r.source) for r in rows}
 
 
+def test_sample_mixture_requires_row_key(eng):
+    """Hashing the group column itself would give every row in a
+    group the same bucket (keep-all/keep-none, not a fraction) — the
+    operator refuses a missing key rather than silently degrading."""
+    import pytest
+    with pytest.raises(ValueError, match="row-unique"):
+        eng.t.documents.sample_mixture("source", {"src0": 0.5}, key=None)
+    with pytest.raises(TypeError):
+        eng.t.documents.sample_mixture("source", {"src0": 0.5})
+
+
 def test_shuffle_deterministic(eng):
     """Same (key, seed) -> same permutation; different seed -> a
     different permutation of the same rows."""

@@ -1604,6 +1604,20 @@ def test_types_golden(leng):
     assert leng.q('int < number')
     assert leng.q('int >= int')
     assert not leng.q('string <= number')
+    # reference pql_types.py: string is the subtype of text
+    assert leng.q('string <= text')
+    assert not leng.q('text <= string')
+    assert leng.q('text >= string')
+
+
+def test_type_compare_non_type_raises(leng):
+    """`int <= 3` is a TypeError in the reference, not a silent
+    False — only names in the scalar lattice order-compare."""
+    from preql_spark.lang import LangSignal
+    with pytest.raises(LangSignal, match="TypeError"):
+        leng.q('int <= 3')
+    with pytest.raises(LangSignal, match="TypeError"):
+        leng.q('3 >= number')
 
 
 def test_names_golden(leng):

@@ -701,6 +701,20 @@ def test_bloom_probe_no_false_negatives(spark):
     assert true_keys <= passed  # superset: no false negatives
 
 
+def test_bloom_rejects_partial_word(spark):
+    """n_bits not a multiple of 64 would drop the trailing partial
+    word on the build side while the probe still indexes it — false
+    NEGATIVES — so both entry points refuse it up front."""
+    import pytest
+    from preql_spark.operators.bloom import bloom_build, bloom_probe
+    small = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(small, "k", n_bits=100)
+    bloom = bloom_build(small, "k", n_bits=128, n_hashes=2)
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_probe(small, bloom, "k", n_bits=100, n_hashes=2)
+
+
 def test_corpus_overlap(spark):
     from preql_spark.operators.dedup import corpus_overlap
     a = spark.createDataFrame(

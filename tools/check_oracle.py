@@ -39,6 +39,82 @@ def normalize(rows: list[dict]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
+def _spark_kind(dt) -> str:
+    from pyspark.sql import types as T
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.ArrayType):
+        return "list"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    if isinstance(dt, T.BinaryType):
+        return "bin"
+    return f"other:{dt.simpleString()}"
+
+
+def _duck_kind(t: str) -> str:
+    """Map a DuckDB type name to the same kind lattice — with the
+    exact-compare hazards (HUGEINT, DECIMAL) kept distinct, because
+    the driver's value hash sees them as different objects (int128 /
+    Decimal) even when the numbers are equal.  DuckDB sum(BIGINT)
+    returns HUGEINT; bare ``x * 1.0`` is DECIMAL — both must be CAST
+    in oracle SQL."""
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+        return "int"
+    if t in ("HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER",
+             "USMALLINT", "UTINYINT"):
+        return "hugeint"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "VARCHAR":
+        return "str"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    if t.endswith("[]") or t.startswith("LIST") or t.startswith("ARRAY"):
+        return "list"
+    if t.startswith("STRUCT"):
+        return "struct"
+    if t == "BLOB":
+        return "bin"
+    return f"other:{t}"
+
+
+def dtype_mismatches(sdf, rel) -> list[str]:
+    """Column-level kind divergences Spark vs DuckDB that survive
+    value rounding but break the driver's exact hash."""
+    skinds = {f.name: _spark_kind(f.dataType) for f in sdf.schema.fields}
+    bad = []
+    for col, t in zip(rel.columns, rel.types):
+        dk = _duck_kind(str(t))
+        sk = skinds.get(col)
+        if sk is None:
+            continue
+        if dk == sk:
+            continue
+        # int vs ts/date etc. are definite; int-vs-float also definite
+        bad.append(f"{col}: spark={sk} duckdb={dk}({t})")
+    return bad
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -71,9 +147,9 @@ def main():
             print(f"ROWS-ONLY {name}: {len(srows)} rows")
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols_raw = [d[0] for d in cur.description]
-            drows = [dict(zip(dcols_raw, row)) for row in cur.fetchall()]
+            rel = con.sql(oracles[name])
+            dcols_raw = list(rel.columns)
+            drows = [dict(zip(dcols_raw, row)) for row in rel.fetchall()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             failed.append(name)
@@ -82,6 +158,12 @@ def main():
         dcols = sorted(dcols_raw)
         if scols != dcols:
             print(f"FAIL {name}: schema mismatch spark={scols} duckdb={dcols}")
+            failed.append(name)
+            continue
+        kinds_bad = dtype_mismatches(sdf, rel)
+        if kinds_bad:
+            print(f"FAIL {name}: dtype kind mismatch (driver-hash hazard): "
+                  + "; ".join(kinds_bad))
             failed.append(name)
             continue
         if len(srows) != len(drows):
