@@ -504,11 +504,20 @@ def q40_cosine_topk(spark, sf_dir) -> DataFrame:
 
 
 def q41_embedding_neardup(spark, sf_dir) -> DataFrame:
-    """Embedding near-dup pairs at cosine >= 0.45 (brute baseline)."""
+    """Embedding near-dup pairs on the LSH SCALE path (graded):
+    exactly the pairs with 16-bit hyperplane-signature hamming <= 7
+    AND cosine >= 0.45.  Candidate generation is pigeonhole-banded
+    (8 bands of 2 bits: <= 7 differing bits leave one band intact),
+    so the bucketed plan is exactly equivalent to the brute-force
+    oracle, which mirrors the signature computation and hamming gate
+    in SQL.  Brute cosine_pairs stays as the tiny-corpus cross-check
+    (tests/test_operators.py::test_lsh_exact_vs_brute)."""
     from preql_spark.operators import similarity
     e = _eng(spark, sf_dir).t.embeddings
-    out = similarity.cosine_pairs(e.df, 0.45)
-    return out.select("id_a", "id_b", _pr4(F.col("sim")).alias("sim"))
+    out = similarity.lsh_cosine_pairs_exact(e.df, 0.45, dim=64,
+                                            max_hamming=7, n_planes=16)
+    return out.select("id_a", "id_b", "hamming",
+                      _pr4(F.col("sim")).alias("sim"))
 
 
 def q42_bfs(spark, sf_dir) -> DataFrame:
@@ -1441,14 +1450,21 @@ def q112_stream_ingest_dedup(spark, sf_dir) -> DataFrame:
 
 
 def q113_contrastive_pairs(spark, sf_dir) -> DataFrame:
-    """Contrastive pair mining: per anchor, near-dup positives
-    (cosine >= 0.45) plus the 3 hardest negatives below the
-    threshold — brute verification baseline (LSH/IVF are the
-    scale-path candidate generators, same labeling tail)."""
-    from preql_spark.operators.similarity import mine_contrastive_pairs
+    """Contrastive pair mining on the LSH SCALE path (graded):
+    directed candidates are the signature-hamming <= 7 pairs
+    (pigeonhole-banded generation, same exactness contract as q41);
+    per anchor, candidates at cosine >= 0.45 are positives and the 3
+    highest-cosine candidates below it are hard negatives.  The
+    hard-negative top-k is a grouped collect_list/array_sort/slice —
+    map-side PARTIAL aggregation before the anchor exchange, not a
+    full row_number window re-shuffle (plan-asserted in
+    tests/test_plans.py).  Brute mine_contrastive_pairs stays as the
+    tiny-corpus cross-check."""
+    from preql_spark.operators.similarity import mine_contrastive_pairs_lsh
     e = _eng(spark, sf_dir).t.embeddings
-    out = mine_contrastive_pairs(e.df, pos_tau=0.45, k_neg=3)
-    return out.select("anchor", "partner",
+    out = mine_contrastive_pairs_lsh(e.df, pos_tau=0.45, k_neg=3,
+                                     dim=64, max_hamming=7)
+    return out.select("anchor", "partner", "hamming",
                       _pr4(F.col("sim")).alias("sim"), "label")
 
 
@@ -1617,6 +1633,82 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       signatures; family attested end-to-end by q38 LSH),
     #       q114 (composed curation pipeline) ← q32 (exact dedup —
     #       a strict subset of q114's dedup stage; battery-green).
+    #   r4 (bulk rotation): the entire r3 window was driver-green
+    #       (CORRECTNESS_r03: 49/50, only q95's hash), so it rotates
+    #       to the tail wholesale and the window takes the 48
+    #       never-driver-tested queries + q95 (fixed this round — the
+    #       HUGEINT/fixed-point repair must be externally confirmed)
+    #       + q41 (re-spelled on the LSH scale path).  Family
+    #       representation in-window: scans/projections (q51, q62),
+    #       aggregation (q53, q57, q59, q72, q81), windows (q52),
+    #       joins (q66, q68, q78, q120), sampling (q58, q65, q84,
+    #       q115), text pipeline (q64, q82, q95, q98), dedup/ANN
+    #       (q41, q73, q86, q96, q113), streaming (q63, q67, q79,
+    #       q87, q112, q118), DML/history (q60, q108), lang (q61,
+    #       q68, q85, q90, q92), multimodal (q116).  Deferred to the
+    #       r5 window (family-redundant, battery-green): q54, q55,
+    #       q56, q69, q71, q74, q77, q83.
+    "q95_repetition_metrics": q95_repetition_metrics,
+    "q41_embedding_neardup": q41_embedding_neardup,
+    "q113_contrastive_pairs": q113_contrastive_pairs,
+    "q96_decontaminate": q96_decontaminate,
+    "q97_quantize_embeddings": q97_quantize_embeddings,
+    "q98_bm25_top_terms": q98_bm25_top_terms,
+    "q108_snapshot_diff": q108_snapshot_diff,
+    "q109_quantile_bucketize": q109_quantile_bucketize,
+    "q110_zorder_key": q110_zorder_key,
+    "q111_skew_report": q111_skew_report,
+    "q112_stream_ingest_dedup": q112_stream_ingest_dedup,
+    "q115_mixture_sample": q115_mixture_sample,
+    "q116_audio_features": q116_audio_features,
+    "q117_validation_report": q117_validation_report,
+    "q118_stream_stateful_counter": q118_stream_stateful_counter,
+    "q119_domain_blocklist": q119_domain_blocklist,
+    "q120_join_cardinality": q120_join_cardinality,
+    "q121_corpus_datacard": q121_corpus_datacard,
+    "q122_debounce": q122_debounce,
+    "q51_char_funcs": q51_char_funcs,
+    "q52_window_battery": q52_window_battery,
+    "q53_cube": q53_cube,
+    "q57_describe_stats": q57_describe_stats,
+    "q58_sample_hash": q58_sample_hash,
+    "q59_first_last_by": q59_first_last_by,
+    "q60_dml_lifecycle": q60_dml_lifecycle,
+    "q61_lang_user_func": q61_lang_user_func,
+    "q62_json_extract": q62_json_extract,
+    "q63_stream_sliding": q63_stream_sliding,
+    "q64_tfidf_top_terms": q64_tfidf_top_terms,
+    "q65_sample_stratified": q65_sample_stratified,
+    "q66_zipjoin_longest": q66_zipjoin_longest,
+    "q67_stream_session": q67_stream_session,
+    "q68_lang_theta_join": q68_lang_theta_join,
+    "q70_unpivot": q70_unpivot,
+    "q72_corr": q72_corr,
+    "q73_dedup_canonical": q73_dedup_canonical,
+    "q75_pack_sequences": q75_pack_sequences,
+    "q76_chunk_tokens": q76_chunk_tokens,
+    "q78_interval_join": q78_interval_join,
+    "q79_stream_stream_join": q79_stream_stream_join,
+    "q80_centroid_agg": q80_centroid_agg,
+    "q81_grouping_sets": q81_grouping_sets,
+    "q82_redact_pii": q82_redact_pii,
+    "q84_sample_weighted": q84_sample_weighted,
+    "q85_lang_fmt": q85_lang_fmt,
+    "q86_ivf_full_probe": q86_ivf_full_probe,
+    "q87_stream_dedup": q87_stream_dedup,
+    "q90_lazy_param": q90_lazy_param,
+    "q92_table_methods": q92_table_methods,
+    # ---- end of the 50-entry driver window -------------------------
+    # r5 queue (never driver-tested, battery-green):
+    "q54_fmt_interpolation": q54_fmt_interpolation,
+    "q55_lang_pipeline": q55_lang_pipeline,
+    "q56_lang_join": q56_lang_join,
+    "q69_collect_explode_roundtrip": q69_collect_explode_roundtrip,
+    "q71_histogram": q71_histogram,
+    "q74_split_by_hash": q74_split_by_hash,
+    "q77_quantile_filter": q77_quantile_filter,
+    "q83_strip_short_lines": q83_strip_short_lines,
+    # driver-green r3 window, rotated out this round:
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
     "q88_lang_dml_lifecycle": q88_lang_dml_lifecycle,
@@ -1649,7 +1741,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_rollup": q30_rollup,
     "q31_pivot": q31_pivot,
     "q114_curation_pipeline": q114_curation_pipeline,
-    "q95_repetition_metrics": q95_repetition_metrics,
     "q102_chunk_dedup": q102_chunk_dedup,
     "q105_llr_importance": q105_llr_importance,
     "q36_quality": q36_quality,
@@ -1657,7 +1748,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_neardup_minhash": q38_neardup_minhash,
     "q39_simhash_pairs": q39_simhash_pairs,
     "q40_cosine_topk": q40_cosine_topk,
-    "q41_embedding_neardup": q41_embedding_neardup,
     "q42_bfs": q42_bfs,
     "q94_backref_agg": q94_backref_agg,
     "q44_sessionize": q44_sessionize,
@@ -1667,53 +1757,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_stream_tumbling": q48_stream_tumbling,
     "q49_struct_join_access": q49_struct_join_access,
     "q50_in_list": q50_in_list,
-    "q51_char_funcs": q51_char_funcs,
-    "q52_window_battery": q52_window_battery,
-    "q53_cube": q53_cube,
-    "q54_fmt_interpolation": q54_fmt_interpolation,
-    "q55_lang_pipeline": q55_lang_pipeline,
-    "q56_lang_join": q56_lang_join,
-    "q57_describe_stats": q57_describe_stats,
-    "q58_sample_hash": q58_sample_hash,
-    "q59_first_last_by": q59_first_last_by,
-    "q60_dml_lifecycle": q60_dml_lifecycle,
-    "q61_lang_user_func": q61_lang_user_func,
-    "q62_json_extract": q62_json_extract,
-    "q63_stream_sliding": q63_stream_sliding,
-    "q64_tfidf_top_terms": q64_tfidf_top_terms,
-    "q65_sample_stratified": q65_sample_stratified,
-    "q66_zipjoin_longest": q66_zipjoin_longest,
-    "q67_stream_session": q67_stream_session,
-    "q68_lang_theta_join": q68_lang_theta_join,
-    "q69_collect_explode_roundtrip": q69_collect_explode_roundtrip,
-    "q70_unpivot": q70_unpivot,
-    "q71_histogram": q71_histogram,
-    "q72_corr": q72_corr,
-    "q73_dedup_canonical": q73_dedup_canonical,
-    "q74_split_by_hash": q74_split_by_hash,
-    "q75_pack_sequences": q75_pack_sequences,
-    "q76_chunk_tokens": q76_chunk_tokens,
-    "q77_quantile_filter": q77_quantile_filter,
-    "q78_interval_join": q78_interval_join,
-    "q79_stream_stream_join": q79_stream_stream_join,
-    "q80_centroid_agg": q80_centroid_agg,
-    "q81_grouping_sets": q81_grouping_sets,
-    "q82_redact_pii": q82_redact_pii,
-    "q83_strip_short_lines": q83_strip_short_lines,
-    "q84_sample_weighted": q84_sample_weighted,
-    "q85_lang_fmt": q85_lang_fmt,
-    "q86_ivf_full_probe": q86_ivf_full_probe,
-    "q87_stream_dedup": q87_stream_dedup,
+    # driver-green r1/r2, rotated out earlier rounds:
     "q03_global_agg": q03_global_agg,
     "q24_union_all": q24_union_all,
-    "q90_lazy_param": q90_lazy_param,
-    "q92_table_methods": q92_table_methods,
     "q21_zipjoin": q21_zipjoin,
     "q22_cross_join": q22_cross_join,
     "q43_walk_tree": q43_walk_tree,
-    "q96_decontaminate": q96_decontaminate,
-    "q97_quantize_embeddings": q97_quantize_embeddings,
-    "q98_bm25_top_terms": q98_bm25_top_terms,
     "q33_fingerprint": q33_fingerprint,
     "q29_map_range": q29_map_range,
     "q05_region_order_stats": q05_region_order_stats,
@@ -1724,22 +1773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_lang_id": q35_lang_id,
     "q09_product_agg": q09_product_agg,
     "q37_minhash_signature": q37_minhash_signature,
-    # battery-only (families attested in-window by q104 / q08)
-    "q108_snapshot_diff": q108_snapshot_diff,
-    "q109_quantile_bucketize": q109_quantile_bucketize,
-    "q110_zorder_key": q110_zorder_key,
-    "q111_skew_report": q111_skew_report,
-    "q112_stream_ingest_dedup": q112_stream_ingest_dedup,
-    "q113_contrastive_pairs": q113_contrastive_pairs,
     "q32_dedup_exact": q32_dedup_exact,
-    "q115_mixture_sample": q115_mixture_sample,
-    "q116_audio_features": q116_audio_features,
-    "q117_validation_report": q117_validation_report,
-    "q118_stream_stateful_counter": q118_stream_stateful_counter,
-    "q119_domain_blocklist": q119_domain_blocklist,
-    "q120_join_cardinality": q120_join_cardinality,
-    "q121_corpus_datacard": q121_corpus_datacard,
-    "q122_debounce": q122_debounce,
 }
 
 
@@ -2063,16 +2097,48 @@ ORACLES: dict[str, str] = {
                floor(sim * 10000 + 0.5) / 10000 AS sim
         FROM r WHERE rank <= 5
     """,
+    # brute mirror of the LSH contract: hyperplane signatures (same
+    # portable-hash plane components as similarity._plane_component),
+    # hamming gate <= 7, exact cosine >= 0.45 over ALL pairs — the
+    # banded Spark plan must return exactly this set (pigeonhole)
     "q41_embedding_neardup": """
-        WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                          a.embedding AS ae, b.embedding AS be
-                   FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
-        u AS (SELECT id_a, id_b, unnest(ae) AS x, unnest(be) AS y FROM p),
-        s AS (SELECT id_a, id_b,
-                     sum(x::DOUBLE * y::DOUBLE)
-                     / (sqrt(sum(x::DOUBLE * x::DOUBLE)) * sqrt(sum(y::DOUBLE * y::DOUBLE))) AS sim
-              FROM u GROUP BY 1, 2)
-        SELECT id_a, id_b, floor(sim * 10000 + 0.5) / 10000 AS sim
+        WITH emb AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        comp AS (
+          SELECT p, d,
+                 (('0x' || substr(md5('plane:' || p || ':' || d), 1, 15))::BIGINT
+                  % 2001 - 1000) / 1000.0 AS c
+          FROM range(0, 16) r1(p), range(0, 64) r2(d)
+        ),
+        planes AS (SELECT p, list(c ORDER BY d) AS plane FROM comp GROUP BY p),
+        proj AS (
+          SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.plane) AS pr
+          FROM emb e CROSS JOIN planes pl
+        ),
+        sigs AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN pr > 0 THEN (1::BIGINT << p)
+                               ELSE 0 END) AS BIGINT) AS sig
+          FROM proj GROUP BY vec_id
+        ),
+        cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+          FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+          WHERE bit_count(xor(a.sig, b.sig)) <= 7
+        ),
+        s AS (
+          SELECT c.id_a, c.id_b, c.hamming,
+                 list_dot_product(ea.v, eb.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v))
+                    * sqrt(list_dot_product(eb.v, eb.v))) AS sim
+          FROM cand c JOIN emb ea ON c.id_a = ea.vec_id
+                      JOIN emb eb ON c.id_b = eb.vec_id
+        )
+        SELECT id_a, id_b, hamming,
+               floor(sim * 10000 + 0.5) / 10000 AS sim
         FROM s WHERE sim >= 0.45
     """,
     "q42_bfs": """
@@ -3018,23 +3084,50 @@ ORACLES: dict[str, str] = {
         SELECT min(doc_id) AS doc_id FROM documents
         GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
     """,
+    # brute mirror of the LSH contract (see q41): directed
+    # hamming<=7 candidates, positives at cos>=0.45, per-anchor top-3
+    # hard negatives below it (sim desc, partner asc)
     "q113_contrastive_pairs": """
         WITH emb AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings
         ),
-        scored AS (
+        comp AS (
+          SELECT p, d,
+                 (('0x' || substr(md5('plane:' || p || ':' || d), 1, 15))::BIGINT
+                  % 2001 - 1000) / 1000.0 AS c
+          FROM range(0, 16) r1(p), range(0, 64) r2(d)
+        ),
+        planes AS (SELECT p, list(c ORDER BY d) AS plane FROM comp GROUP BY p),
+        proj AS (
+          SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.plane) AS pr
+          FROM emb e CROSS JOIN planes pl
+        ),
+        sigs AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN pr > 0 THEN (1::BIGINT << p)
+                               ELSE 0 END) AS BIGINT) AS sig
+          FROM proj GROUP BY vec_id
+        ),
+        cand AS (
           SELECT a.vec_id AS anchor, b.vec_id AS partner,
-                 list_dot_product(a.v, b.v)
-                 / (sqrt(list_dot_product(a.v, a.v))
-                    * sqrt(list_dot_product(b.v, b.v))) AS sim
-          FROM emb a JOIN emb b ON a.vec_id != b.vec_id
+                 CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+          FROM sigs a JOIN sigs b ON a.vec_id != b.vec_id
+          WHERE bit_count(xor(a.sig, b.sig)) <= 7
+        ),
+        scored AS (
+          SELECT c.anchor, c.partner, c.hamming,
+                 list_dot_product(ea.v, eb.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v))
+                    * sqrt(list_dot_product(eb.v, eb.v))) AS sim
+          FROM cand c JOIN emb ea ON c.anchor = ea.vec_id
+                      JOIN emb eb ON c.partner = eb.vec_id
         )
-        SELECT anchor, partner,
+        SELECT anchor, partner, hamming,
                floor(sim * 10000 + 0.5) / 10000 AS sim, 1 AS label
         FROM scored WHERE sim >= 0.45
         UNION ALL
-        SELECT anchor, partner,
+        SELECT anchor, partner, hamming,
                floor(sim * 10000 + 0.5) / 10000 AS sim, 0 AS label
         FROM (
           SELECT *, row_number() OVER (PARTITION BY anchor

@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "q102_chunk_dedup",      # unit dedup + doc reassembly (text shuffles)
     "q106_bloom_semi_join",  # bloom-pruned fact⋈dim semi join
     "q114_curation_pipeline",# composed gate→dedup→decontam→cap chain
+    "q100_kmeans",           # Lloyd k-means (driver centroids, scan-local argmin)
+    "q101_semdedup",         # cluster-local semantic dedup (SemDeDup)
+    "q73_dedup_canonical",   # MinHash-LSH -> connected components -> canonical
 ]
 
 

