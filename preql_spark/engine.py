@@ -534,6 +534,14 @@ class Engine:
         return {name: self.register(name, self.spark.createDataFrame(pdf))
                 for name, pdf in dfs.items()}
 
+    def import_git(self, repo: str, prefix: str = "") -> dict:
+        """Git-repository source (reference ``connect("git://...")``,
+        GitInterface sql_interface.py:877-949): registers ``commits``
+        / ``refs`` / ``commit_files`` tables extracted from the repo's
+        history — see :mod:`preql_spark.sources.gitdb`."""
+        from preql_spark.sources.gitdb import import_git
+        return import_git(self, repo, prefix=prefix)
+
 
 # single source of truth for testdata timestamp handling lives in
 # preql_spark.parquet_io; kept as an alias for older imports
@@ -584,8 +592,14 @@ class _TableNamespace:
 
 def connect(spark: SparkSession | None = None, data_dir: str | None = None) -> Engine:
     """Reference ``connect(uri)`` analogue (pql_functions.py:715-733):
-    Spark *is* the engine, so this just builds a session + catalog."""
+    Spark *is* the engine, so this just builds a session + catalog.
+    ``data_dir`` also accepts the reference's ``git://<path>`` scheme
+    (sql_interface.py:1014), exposing that repository's history as
+    ``commits`` / ``refs`` / ``commit_files`` tables."""
     eng = Engine(spark)
     if data_dir:
-        eng.load_dir(data_dir)
+        if data_dir.startswith("git://"):
+            eng.import_git(data_dir[len("git://"):])
+        else:
+            eng.load_dir(data_dir)
     return eng

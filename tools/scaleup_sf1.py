@@ -15,10 +15,13 @@ buckets, not 10x the rows per bucket.
 Timing: best-of-3 with the noop sink on local[32]; the clock starts
 BEFORE query construction so iterative operators (k-means, SemDeDup,
 connected components) pay their driver-coordinated rounds inside the
-measurement.  The reported exponent is log10(t_10x / t_1x) + 1 — the
-alpha in t ~ n^alpha assuming t = c * n^alpha between the two scales
-(alpha 1.0 = linear, < 1.0 = sub-linear; wall-clock ratio 10 would
-be alpha 2.0).
+measurement.  The reported exponent is alpha = log10(t_10x / t_1x),
+the alpha in t ~ c * n^alpha fit through the two scales (1.0 = linear,
+< 1.0 = sub-linear; a 10x wall-clock ratio on 10x rows is linear).
+Caveat of any two-point fit at these absolute sizes: fixed per-query
+overheads (~0.1 s planning/codegen) bias small queries DOWNWARD, so
+read alpha as an upper-bound check ("nothing super-linear"), not a
+precise asymptote.
 
 Usage: python tools/scaleup_sf1.py [build|run|all] (default all)
 Emits one JSON line per query plus a summary JSON line.
@@ -102,7 +105,7 @@ def run(spark):
         try:
             t1 = t(qs[name], SRC)
             t10 = t(qs[name], DST)
-            alpha = round(math.log10(max(t10, 1e-4) / max(t1, 1e-4)) + 1, 3)
+            alpha = round(math.log10(max(t10, 1e-4) / max(t1, 1e-4)), 3)
             rows[name] = {"t_sf01": t1, "t_sf1": t10,
                           "ratio": round(t10 / t1, 2) if t1 else -1,
                           "alpha": alpha}
