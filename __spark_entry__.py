@@ -1603,6 +1603,22 @@ def q122_debounce(spark, sf_dir) -> DataFrame:
     return out.select("user_id", "event_id")
 
 
+def q123_lang_pipeline_builtins(spark, sf_dir) -> DataFrame:
+    """The curation pipeline composed ENTIRELY in the query language —
+    the LLM-pipeline operators as first-class lang builtins
+    (`token_count`, `dedup_exact`, `decontaminate` are lang functions,
+    not Python calls).  Same stages as q114 minus the domain cap, so
+    the oracle is the same replay; proves the lang surface and the
+    Python API compile to the same values."""
+    eng = _eng(spark, sf_dir)
+    out = eng.q(
+        'decontaminate('
+        '  dedup_exact(documents[token_count(text) >= 30,'
+        '              lang == "en"], "doc_id")[doc_id % 5 != 0],'
+        '  documents[doc_id % 5 == 0], "doc_id")')
+    return out.df.select("doc_id", "source", "n_chars")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1700,6 +1716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_table_methods": q92_table_methods,
     # ---- end of the 50-entry driver window -------------------------
     # r5 queue (never driver-tested, battery-green):
+    "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
     "q54_fmt_interpolation": q54_fmt_interpolation,
     "q55_lang_pipeline": q55_lang_pipeline,
     "q56_lang_join": q56_lang_join,
@@ -3179,6 +3196,44 @@ ORACLES: dict[str, str] = {
                  row_number() OVER (PARTITION BY source
                      ORDER BY n_chars DESC, doc_id) AS rk
           FROM clean) WHERE rk <= 10
+    """,
+    # q114's replay minus the domain-cap stage (the lang-builtin
+    # spelling stops at decontamination)
+    "q123_lang_pipeline_builtins": r"""
+        WITH gated AS (
+          SELECT * FROM documents
+          WHERE len(string_split_regex(trim(text), '\s+')) >= 30
+            AND lang = 'en'
+        ),
+        dedup AS (
+          SELECT * FROM gated WHERE doc_id IN (
+            SELECT min(doc_id) FROM gated
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        ),
+        tok_tr AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM dedup WHERE doc_id % 5 <> 0
+        ),
+        tok_ev AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents WHERE doc_id % 5 = 0
+        ),
+        sh_tr AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(t, i, i + 7), ' ') AS s
+          FROM tok_tr, UNNEST(range(1, greatest(len(t) - 6, 2))) AS r(i)
+        ),
+        sh_ev AS (
+          SELECT DISTINCT array_to_string(list_slice(t, i, i + 7), ' ') AS s
+          FROM tok_ev, UNNEST(range(1, greatest(len(t) - 6, 2))) AS r(i)
+        ),
+        bad AS (
+          SELECT DISTINCT sh_tr.doc_id FROM sh_tr
+          JOIN sh_ev ON sh_tr.s = sh_ev.s
+        )
+        SELECT doc_id, source, n_chars FROM dedup
+        WHERE doc_id % 5 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM bad)
     """,
     "q115_mixture_sample": """
         SELECT doc_id, source FROM documents

@@ -2973,6 +2973,8 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
         return F.concat(*parts) if parts else F.lit("")
 
     if name in _TABLE_FUNCS:
+        if name in _PIPELINE_FUNC_NAMES:
+            return _call_pipeline_func(name, list(args), dict(kwargs))
         if name in ("join", "leftjoin", "outerjoin", "joinall"):
             tables = {k: (v.table if isinstance(v, _JoinColRef) else v)
                       for k, v in kwargs.items()
@@ -3141,6 +3143,18 @@ def _make_maps():
         "day_of_week": s.dt_day_of_week,
         "week_of_year": s.dt_week_of_year,
     }
+    # beyond-reference: per-row text-pipeline kernels as lang scalars
+    # (token counting, language id, fingerprinting, PII redaction)
+    from preql_spark.operators import text as _t
+    scalar_map.update({
+        "token_count": _t.token_count,
+        "bpe_token_count": _t.bpe_ish_token_count,
+        "lang_id": _t.lang_id,
+        "fingerprint": _t.fingerprint64,
+        "redact_pii": _t.redact_pii,
+        "strip_short_lines": _t.strip_short_lines,
+        "host_of": _t.host_of,
+    })
     return agg_map, scalar_map
 
 
@@ -3169,6 +3183,94 @@ _TABLE_FUNCS = {"join", "leftjoin", "outerjoin", "joinall", "distinct",
                 "page", "is_empty", "sample_ratio_fast", "sample_fast",
                 "limit_offset", "zipjoin", "zipjoin_left",
                 "zipjoin_longest", "map_range"}
+
+
+# ---- LLM-pipeline operators as first-class lang builtins -------------------
+# Beyond-reference surface: the training-data operators
+# (preql_spark.operators.*) exposed directly in the query language,
+# so a lang user composes curation pipelines without dropping to the
+# Python API — e.g.
+#   dedup_exact(documents, "doc_id")[lang == "en"]
+#   minhash_pairs(documents, "doc_id", threshold: 0.9)
+#   decontaminate(train, holdout, "doc_id")
+# Dispatch is generic: Table operands unwrap to DataFrames, scalar
+# literals pass through, a DataFrame result re-wraps on the first
+# table operand (keeping its engine binding).  Loaded lazily to keep
+# lang import-time free of the operator modules.
+
+def _load_pipeline_funcs() -> dict:
+    from preql_spark.operators import cluster, dedup, similarity, text
+
+    def _kmeans_assign(df, k=8, iters=2):
+        return cluster.kmeans(df, k=int(k), iters=int(iters))[0]
+
+    return {
+        # dedup family
+        "dedup_exact": dedup.dedup_exact,
+        "chunk_dedup": dedup.chunk_dedup,
+        "line_dedup": dedup.line_dedup,
+        "minhash_pairs": dedup.minhash_lsh_pairs,
+        "simhash_pairs": dedup.simhash_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "connected_components": dedup.connected_components,
+        "dedup_canonical": dedup.dedup_keep_canonical,
+        "decontaminate": dedup.decontaminate,
+        "contaminated_ids": dedup.contaminated_ids,
+        "corpus_overlap": dedup.corpus_overlap,
+        # text analysis / curation
+        "quality_metrics": text.quality_metrics,
+        "repetition_metrics": text.repetition_metrics,
+        "tfidf": text.tf_idf,
+        "bm25": text.bm25,
+        "lm_perplexity": text.lm_perplexity,
+        "quantile_filter": text.quantile_filter,
+        "quantile_bucketize": text.quantile_bucketize,
+        "corpus_datacard": text.corpus_datacard,
+        # similarity / embeddings
+        "cosine_topk": similarity.cosine_topk,
+        "cosine_pairs": similarity.cosine_pairs,
+        "lsh_cosine_pairs": similarity.lsh_cosine_pairs_exact,
+        "normalize_vectors": similarity.normalize_vectors,
+        "quantize_int8": similarity.quantize_int8,
+        "centroid_agg": similarity.centroid_agg,
+        "semdedup": cluster.semdedup,
+        "kmeans_assign": _kmeans_assign,
+    }
+
+
+_PIPELINE_FUNC_NAMES = {
+    "dedup_exact", "chunk_dedup", "line_dedup", "minhash_pairs",
+    "simhash_pairs", "ngram_jaccard_pairs", "connected_components",
+    "dedup_canonical", "decontaminate", "contaminated_ids",
+    "corpus_overlap", "quality_metrics", "repetition_metrics",
+    "tfidf", "bm25", "lm_perplexity", "quantile_filter",
+    "quantile_bucketize", "corpus_datacard", "cosine_topk",
+    "cosine_pairs", "lsh_cosine_pairs", "normalize_vectors",
+    "quantize_int8", "centroid_agg", "semdedup", "kmeans_assign"}
+_PIPELINE_FUNCS: dict | None = None
+
+
+def _call_pipeline_func(name: str, args: list, kwargs: dict):
+    global _PIPELINE_FUNCS
+    if _PIPELINE_FUNCS is None:
+        _PIPELINE_FUNCS = _load_pipeline_funcs()
+    fn = _PIPELINE_FUNCS[name]
+    host = next((a for a in list(args) + list(kwargs.values())
+                 if isinstance(a, Table)), None)
+    if host is None:
+        raise LangSignal(
+            "TypeError", f"{name}() takes at least one table")
+
+    def unwrap(v):
+        return v.df if isinstance(v, Table) else v
+
+    out = fn(*[unwrap(a) for a in args],
+             **{k: unwrap(v) for k, v in kwargs.items()})
+    from pyspark.sql import DataFrame as _DF
+    return host._with(out) if isinstance(out, _DF) else out
+
+
+_TABLE_FUNCS = _TABLE_FUNCS | _PIPELINE_FUNC_NAMES
 
 
 def q(engine, src: str, **env):

@@ -1660,3 +1660,63 @@ def test_pandas_golden(leng):
     back = leng.q('x{...}').df.toPandas().sort_values("x") \
         .reset_index(drop=True)
     assert (back == f).all().all()
+
+
+def test_pipeline_builtins_table_funcs(eng):
+    """LLM-pipeline operators as lang builtins: results must equal the
+    Python-API spellings they wrap, and compose (nested calls,
+    post-filters) like any table expression."""
+    from preql_spark.operators import dedup, text
+    d = eng.t.documents
+    got = eng.q('dedup_exact(documents, "doc_id")').count()
+    assert got == dedup.dedup_exact(d.df, "doc_id").count()
+    # kwargs pass through (threshold:), results match the operator
+    lang_pairs = {(r.id_a, r.id_b) for r in
+                  eng.q('minhash_pairs(documents, "doc_id",'
+                        ' threshold: 0.9)').collect()}
+    api_pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(
+        d.df, "doc_id", threshold=0.9).collect()}
+    assert lang_pairs == api_pairs
+    # nested composition + selection on the result
+    n = eng.q('dedup_canonical(documents,'
+              ' simhash_pairs(documents, "doc_id"), "doc_id")'
+              '[doc_id < 100]').count()
+    assert 0 < n <= 100
+    # two-table operator
+    dec = eng.q('decontaminate(documents[doc_id % 5 != 0],'
+                ' documents[doc_id % 5 == 0], "doc_id")').count()
+    assert dec == dedup.decontaminate(
+        d.df.filter(d.df.doc_id % 5 != 0),
+        d.df.filter(d.df.doc_id % 5 == 0), "doc_id").count()
+    # quality metrics flow into ordinary projections/filters
+    q30 = eng.q('quality_metrics(documents)[n_tokens >= 30]').count()
+    assert q30 == text.quality_metrics(d.df) \
+        .filter("n_tokens >= 30").count()
+
+
+def test_pipeline_builtins_scalars(eng):
+    """Per-row text kernels as lang scalar functions."""
+    rows = eng.q('documents{doc_id, n: token_count(text),'
+                 ' l: lang_id(text), f: fingerprint(text)}') \
+        .limit(5).collect()
+    assert all(r.n > 0 and isinstance(r.f, int) for r in rows)
+    assert all(r.l in ("en", "de", "es", "fr", "zh", "und")
+               for r in rows)
+    # scalar builtins compose into predicates
+    n = eng.q('documents[token_count(text) >= 30]').count()
+    from preql_spark.operators.text import token_count
+    from pyspark.sql import functions as SF
+    assert n == eng.t.documents.df.filter(
+        token_count(SF.col("text")) >= 30).count()
+
+
+def test_pipeline_builtins_errors_and_help(eng):
+    """A pipeline func with no table argument raises; names appear in
+    the builtin listing so autocomplete/help() see them."""
+    import pytest as _pt
+
+    from preql_spark.lang import _TABLE_FUNCS, LangSignal
+    assert {"dedup_exact", "minhash_pairs", "semdedup",
+            "lsh_cosine_pairs"} <= _TABLE_FUNCS
+    with _pt.raises(LangSignal, match="table"):
+        eng.q('dedup_exact(1, "doc_id")')
