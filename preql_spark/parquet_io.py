@@ -98,22 +98,39 @@ def compact_parquet(spark: SparkSession, src: str, dst: str,
     listing (metadata-scale, no data read); the rewrite is one
     round-robin shuffle.  Returns the target file count.
 
-    LOCAL-FILESYSTEM PATHS ONLY: sizing uses ``glob``/``os.path``,
-    which see nothing behind ``hdfs://``/``s3a://`` URIs.  On a real
-    cluster, swap the listing for the Hadoop FileSystem API
-    (``spark._jvm.org.apache.hadoop.fs.FileSystem``) or Spark's own
-    ``input_file_block_length`` scan; the rewrite half is
-    URI-agnostic."""
-    if "://" in src and not src.startswith("file://"):
-        raise ValueError(
-            f"compact_parquet sizes via the local filesystem; got a "
-            f"remote URI {src!r} — use the Hadoop FileSystem API for "
-            "remote stores (see docstring)")
-    import glob
+    Sizing goes through the Hadoop FileSystem API
+    (:func:`hadoop_dir_size`), so any URI Spark itself can read —
+    ``file://``, ``hdfs://``, ``s3a://`` — sizes correctly; the
+    rewrite half was always URI-agnostic."""
     import math
-    files = glob.glob(os.path.join(src, "**", "*.parquet"),
-                      recursive=True) or glob.glob(src)
-    total = sum(os.path.getsize(f) for f in files)
+    total = hadoop_dir_size(spark, src)
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     read_parquet(spark, src).repartition(n).write.mode(mode).parquet(dst)
     return n
+
+
+def _hadoop_fs_path(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any URI Spark's Hadoop conf resolves."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark._jsc.hadoopConfiguration()
+    return hpath.getFileSystem(conf), hpath
+
+
+def hadoop_dir_size(spark: SparkSession, path: str) -> int:
+    """Recursive byte size of ``path`` via the Hadoop FileSystem API —
+    metadata-scale (a listing, no data read), and URI-agnostic where
+    ``os.path`` only sees the local disk."""
+    fs, hpath = _hadoop_fs_path(spark, path)
+    return fs.getContentSummary(hpath).getLength()
+
+
+def hadoop_dir_has_files(spark: SparkSession, path: str,
+                         suffix: str = ".parquet") -> bool:
+    """True when ``path`` exists and directly contains a ``suffix``
+    file — the "is this store non-empty?" probe, URI-agnostic."""
+    fs, hpath = _hadoop_fs_path(spark, path)
+    if not fs.exists(hpath):
+        return False
+    it = fs.listStatus(hpath)
+    return any(st.getPath().getName().endswith(suffix) for st in it)

@@ -243,15 +243,10 @@ def incremental_dedup_ingest(spark: SparkSession, src_path: str,
     fingerprint; the store's text is never re-read.  Returns the
     store as a batch DataFrame after draining available input.
 
-    LOCAL-FILESYSTEM STORE ONLY: the "store already has files?"
-    probe uses ``os.path``/``os.listdir``, invisible behind
-    ``hdfs://``/``s3a://``.  On a cluster, replace the probe with the
-    Hadoop FileSystem API (or simply try/except the read — an empty
-    store is the only case the probe guards)."""
-    if "://" in store_path and not store_path.startswith("file://"):
-        raise ValueError(
-            f"incremental_dedup_ingest probes the store via the local "
-            f"filesystem; got remote URI {store_path!r} (see docstring)")
+    The "store already has files?" probe goes through the Hadoop
+    FileSystem API (:func:`preql_spark.parquet_io.hadoop_dir_has_files`),
+    so the store may live on any URI Spark can write —
+    ``hdfs://``/``s3a://`` included, not just the local disk."""
     from preql_spark.operators.text import fingerprint64
 
     schema = spark.read.parquet(src_path).schema  # footer-only peek
@@ -261,8 +256,8 @@ def incremental_dedup_ingest(spark: SparkSession, src_path: str,
         winners = (b.groupBy("__fp").agg(F.min(id_col).alias(id_col))
                    .select(id_col))
         b = b.join(winners, id_col, "left_semi")
-        if os.path.isdir(store_path) and any(
-                f.endswith(".parquet") for f in os.listdir(store_path)):
+        from preql_spark.parquet_io import hadoop_dir_has_files
+        if hadoop_dir_has_files(batch.sparkSession, store_path):
             seen = (batch.sparkSession.read.parquet(store_path)
                     .select("__fp").distinct())
             b = b.join(seen, "__fp", "left_anti")

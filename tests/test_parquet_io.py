@@ -108,6 +108,26 @@ def test_compact_parquet(spark, tmp_path):
     assert read_parquet(spark, dst).count() == 10000
 
 
+def test_hadoop_fs_helpers(spark, tmp_path):
+    """The URI-agnostic sizing/probe helpers agree with os.path on
+    local paths (the only scheme in this container) and accept
+    explicit file:// URIs."""
+    import os
+    from preql_spark.parquet_io import (hadoop_dir_has_files,
+                                        hadoop_dir_size)
+    d = str(tmp_path / "store")
+    assert not hadoop_dir_has_files(spark, d)
+    spark.range(100).repartition(2).write.parquet(d)
+    assert hadoop_dir_has_files(spark, d)
+    assert hadoop_dir_has_files(spark, f"file://{d}")
+    local = sum(os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d) if not f.startswith("."))
+    got = hadoop_dir_size(spark, d)
+    # hadoop counts the _SUCCESS marker and .crc files are hidden on
+    # RawLocalFileSystem — size must cover at least the parquet bytes
+    assert got >= local > 0
+
+
 def test_orc_roundtrip(spark, eng, tmp_path):
     p = str(tmp_path / "nation_orc")
     eng.t.nation.write_orc(p)
