@@ -3246,11 +3246,79 @@ _PIPELINE_FUNC_NAMES = {
     "tfidf", "bm25", "lm_perplexity", "quantile_filter",
     "quantile_bucketize", "corpus_datacard", "cosine_topk",
     "cosine_pairs", "lsh_cosine_pairs", "normalize_vectors",
-    "quantize_int8", "centroid_agg", "semdedup", "kmeans_assign"}
+    "quantize_int8", "centroid_agg", "semdedup", "kmeans_assign",
+    # Table-method family (dispatched on the host Table, not its df)
+    "sample_hash", "sample_mixture", "sample_stratified",
+    "sample_weighted", "split_by_hash", "shuffle_deterministic",
+    "cap_per_domain"}
 _PIPELINE_FUNCS: dict | None = None
 
 
+def _order_spec(spec):
+    """'^col' -> desc, 'col' -> asc — the lang's order-key spelling
+    reused for cap_per_domain's order_by argument."""
+    if isinstance(spec, str):
+        return (F.col(spec[1:]).desc() if spec.startswith("^")
+                else F.col(spec))
+    return spec
+
+
+def _load_table_method_funcs() -> dict:
+    """Sampling / splitting / balancing operators that live as Table
+    methods — each adapter receives the host TABLE (first argument)
+    plus evaluated scalars/dicts (lang ``dict(a: 1, ...)`` builds the
+    ratio mappings):
+
+      sample_hash(t, "doc_id", 0.1)
+      split_by_hash(t, "doc_id", dict(train: 0.9, valid: 0.05,
+                                      test: 0.05))
+      sample_mixture(t, "source", dict(src0: 1.0, src1: 0.5), "doc_id")
+      cap_per_domain(t, "source", 10, "^n_chars", "doc_id")
+    """
+    from preql_spark.operators.text import cap_per_domain
+
+    return {
+        "sample_hash":
+            lambda t, key, ratio: t.sample_hash(key, float(ratio)),
+        "sample_mixture":
+            lambda t, group, ratios, key:
+                t.sample_mixture(group, ratios, key=key),
+        "sample_stratified":
+            lambda t, key, strata, ratios, default=0.0:
+                t.sample_stratified(key, strata, ratios,
+                                    default=float(default)),
+        "sample_weighted":
+            lambda t, key, weight, n:
+                t.sample_weighted(key, weight, int(n)),
+        "split_by_hash":
+            lambda t, key, splits, label="split":
+                t.split_by_hash(key, splits, label=label),
+        "shuffle_deterministic":
+            lambda t, key, seed=0:
+                t.shuffle_deterministic(key, seed=int(seed)),
+        "cap_per_domain":
+            lambda t, group, n, *order:
+                t.pipe(cap_per_domain, group, int(n),
+                       [_order_spec(o) for o in order] or None),
+    }
+
+
+_TABLE_METHOD_FUNC_NAMES = {
+    "sample_hash", "sample_mixture", "sample_stratified",
+    "sample_weighted", "split_by_hash", "shuffle_deterministic",
+    "cap_per_domain"}
+_TABLE_METHOD_FUNCS: dict | None = None
+
+
 def _call_pipeline_func(name: str, args: list, kwargs: dict):
+    global _TABLE_METHOD_FUNCS
+    if name in _TABLE_METHOD_FUNC_NAMES:
+        if _TABLE_METHOD_FUNCS is None:
+            _TABLE_METHOD_FUNCS = _load_table_method_funcs()
+        if not args or not isinstance(args[0], Table):
+            raise LangSignal(
+                "TypeError", f"{name}() takes a table first")
+        return _TABLE_METHOD_FUNCS[name](*args, **kwargs)
     global _PIPELINE_FUNCS
     if _PIPELINE_FUNCS is None:
         _PIPELINE_FUNCS = _load_pipeline_funcs()

@@ -1720,3 +1720,32 @@ def test_pipeline_builtins_errors_and_help(eng):
             "lsh_cosine_pairs"} <= _TABLE_FUNCS
     with _pt.raises(LangSignal, match="table"):
         eng.q('dedup_exact(1, "doc_id")')
+
+
+def test_pipeline_builtins_sampling(eng):
+    """Sampling/splitting/balancing Table methods as lang builtins,
+    with lang dict(...) literals for the ratio mappings."""
+    d = eng.t.documents
+    assert eng.q('sample_hash(documents, "doc_id", 0.3)').count() == \
+        d.sample_hash("doc_id", 0.3).count()
+    sp = eng.q('split_by_hash(documents, "doc_id",'
+               ' dict(train: 0.9, valid: 0.05, test: 0.05))')
+    got = {r["split"] for r in sp.df.select("split").distinct().collect()}
+    assert got <= {"train", "valid", "test"} and "train" in got
+    assert sp.count() == d.count()
+    mix = eng.q('sample_mixture(documents, "source",'
+                ' dict(src0: 1.0, src1: 0.5), "doc_id")').count()
+    assert mix == d.sample_mixture(
+        "source", {"src0": 1.0, "src1": 0.5}, key="doc_id").count()
+    cap = eng.q('cap_per_domain(documents, "source", 10,'
+                ' "^n_chars", "doc_id")')
+    per = cap.df.groupBy("source").count().collect()
+    assert per and all(r["count"] <= 10 for r in per)
+    w = eng.q('sample_weighted(documents, "doc_id", "n_chars", 25)')
+    assert w.count() == 25
+    # host-table errors still raise cleanly
+    import pytest as _pt
+
+    from preql_spark.lang import LangSignal
+    with _pt.raises(LangSignal, match="table"):
+        eng.q('sample_hash(3, "doc_id", 0.3)')
