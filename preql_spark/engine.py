@@ -534,6 +534,22 @@ class Engine:
         return {name: self.register(name, self.spark.createDataFrame(pdf))
                 for name, pdf in dfs.items()}
 
+    def import_sqlite(self, path: str, tables: list | None = None,
+                      prefix: str = "") -> dict:
+        """SQLite-file source (the reference's DEFAULT storage target,
+        ``connect("sqlite://...")`` sql_interface.py:962): reflect and
+        register every table — see :mod:`preql_spark.sources.sqldb`
+        for the driver-local migration-path judgement."""
+        from preql_spark.sources.sqldb import import_sqlite
+        return import_sqlite(self, path, tables=tables, prefix=prefix)
+
+    def import_duckdb(self, path: str, tables: list | None = None,
+                      prefix: str = "") -> dict:
+        """DuckDB-file source (reference ``connect("duck://...")``,
+        sql_interface.py:1017) — Arrow-bridged."""
+        from preql_spark.sources.sqldb import import_duckdb
+        return import_duckdb(self, path, tables=tables, prefix=prefix)
+
     def import_git(self, repo: str, prefix: str = "") -> dict:
         """Git-repository source (reference ``connect("git://...")``,
         GitInterface sql_interface.py:877-949): registers ``commits``
@@ -593,13 +609,19 @@ class _TableNamespace:
 def connect(spark: SparkSession | None = None, data_dir: str | None = None) -> Engine:
     """Reference ``connect(uri)`` analogue (pql_functions.py:715-733):
     Spark *is* the engine, so this just builds a session + catalog.
-    ``data_dir`` also accepts the reference's ``git://<path>`` scheme
-    (sql_interface.py:1014), exposing that repository's history as
-    ``commits`` / ``refs`` / ``commit_files`` tables."""
+    ``data_dir`` also accepts the reference's URI schemes
+    (sql_interface.py:962-1023): ``git://<path>`` (repo history as
+    ``commits``/``refs``/``commit_files``), ``sqlite://<path>`` (the
+    reference's default storage target), and ``duck://<path>`` /
+    ``duckdb://<path>``."""
     eng = Engine(spark)
     if data_dir:
         if data_dir.startswith("git://"):
             eng.import_git(data_dir[len("git://"):])
+        elif data_dir.startswith("sqlite://"):
+            eng.import_sqlite(data_dir[len("sqlite://"):])
+        elif data_dir.startswith(("duck://", "duckdb://")):
+            eng.import_duckdb(data_dir.split("://", 1)[1])
         else:
             eng.load_dir(data_dir)
     return eng

@@ -1,0 +1,90 @@
+"""SQLite / DuckDB file sources (reference connect('sqlite://...') —
+its DEFAULT storage target — and connect('duck://...');
+sql_interface.py:962-1023)."""
+
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+
+from preql_spark.engine import Engine
+
+
+@pytest.fixture()
+def sqlite_db(tmp_path):
+    p = str(tmp_path / "ref.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE Country (id INTEGER PRIMARY KEY, "
+                "name TEXT, population INT, area REAL, seen DATETIME)")
+    con.executemany(
+        "INSERT INTO Country VALUES (?,?,?,?,?)",
+        [(1, "A", 100, 2.5, "2024-01-01 10:00:00"),
+         (2, "B", None, 7.5, None),
+         (3, "C", 300, 0.5, "2024-06-01 00:00:00")])
+    con.execute("CREATE TABLE misc (x TEXT)")
+    con.execute("INSERT INTO misc VALUES ('hi')")
+    con.commit()
+    con.close()
+    return p
+
+
+def test_sqlite_reflection_and_types(spark, sqlite_db):
+    eng = Engine(spark)
+    got = eng.import_sqlite(sqlite_db)
+    assert set(got) == {"Country", "misc"}
+    dt = dict(eng.t.Country.df.dtypes)
+    assert dt == {"id": "bigint", "name": "string",
+                  "population": "bigint", "area": "double",
+                  "seen": "timestamp"}
+    rows = {r.name: r for r in eng.t.Country.df.collect()}
+    assert rows["A"].population == 100 and rows["B"].population is None
+    assert rows["C"].seen.year == 2024
+
+
+def test_sqlite_flagship_query(spark, sqlite_db):
+    """The reference README's flagship density query runs unchanged
+    against the imported SQLite data."""
+    from preql_spark import connect
+    eng = connect(spark, data_dir=f"sqlite://{sqlite_db}")
+    out = eng.q('Country[population != null]'
+                '{name, density: population / area} order {^density}')
+    assert [r.name for r in out.collect()] == ["C", "A"]
+
+
+def test_sqlite_table_subset_and_missing(spark, sqlite_db):
+    eng = Engine(spark)
+    got = eng.import_sqlite(sqlite_db, tables=["misc"], prefix="s_")
+    assert set(got) == {"s_misc"}
+    from preql_spark.sources.sqldb import sqlite_table_df
+    with pytest.raises(ValueError, match="no such table"):
+        sqlite_table_df(spark, sqlite_db, "nope")
+
+
+def test_sqlite_dynamic_typing_junk(spark, tmp_path):
+    """SQLite's dynamic typing: text in a declared-INT column becomes
+    NULL through the explicit cast instead of crashing inference."""
+    p = str(tmp_path / "junk.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE j (n INT)")
+    con.execute("INSERT INTO j VALUES (1)")
+    con.execute("INSERT INTO j VALUES ('not-a-number')")
+    con.commit()
+    con.close()
+    eng = Engine(spark)
+    eng.import_sqlite(p)
+    vals = sorted((r.n is None, r.n) for r in eng.t.j.df.collect())
+    assert vals == [(False, 1), (True, None)]
+
+
+def test_duckdb_source(spark, tmp_path):
+    import duckdb
+    p = str(tmp_path / "ref.duckdb")
+    con = duckdb.connect(p)
+    con.execute("CREATE TABLE things AS "
+                "SELECT range AS i, 'v' || range AS s FROM range(5)")
+    con.close()
+    from preql_spark import connect
+    eng = connect(spark, data_dir=f"duckdb://{p}")
+    t = eng.t.things
+    assert t.df.count() == 5
+    assert t.df.filter(F.col("s") == "v3").collect()[0].i == 3
