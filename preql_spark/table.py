@@ -670,6 +670,61 @@ class Table:
         schemas only (arrays/structs don't fit CSV)."""
         self.df.write.mode(mode).option("header", header).csv(path)
 
+    def write_sqlite(self, path: str, table: str,
+                     mode: str = "overwrite",
+                     batch_rows: int = 10_000) -> int:
+        """SQLite sink — the write half of the migration round-trip
+        with the reference's default storage target (its persistent
+        databases are SQLite files; ``Engine.import_sqlite`` is the
+        read half).  Streams through ``toLocalIterator`` in
+        ``batch_rows`` chunks, so driver memory stays bounded at one
+        batch; still inherently a single-connection funnel — a
+        RESULT/dimension export, not a corpus sink (exactly the shape
+        the reference itself has).  Returns the row count written.
+        ``mode``: "overwrite" drops an existing table, "append" adds,
+        "error" raises when the table exists."""
+        import sqlite3
+        _SQLT = {"bigint": "INTEGER", "int": "INTEGER",
+                 "smallint": "INTEGER", "tinyint": "INTEGER",
+                 "double": "REAL", "float": "REAL",
+                 "boolean": "INTEGER", "string": "TEXT",
+                 "binary": "BLOB", "date": "DATE",
+                 "timestamp": "DATETIME", "timestamp_ntz": "DATETIME"}
+        cols = self.df.dtypes
+        qt = '"' + table.replace('"', '""') + '"'
+        con = sqlite3.connect(path)
+        try:
+            exists = con.execute(
+                "SELECT 1 FROM sqlite_master WHERE type='table' "
+                "AND name=?", (table,)).fetchone()
+            if exists and mode == "error":
+                raise ValueError(f"table {table!r} already exists")
+            if exists and mode == "overwrite":
+                con.execute(f"DROP TABLE {qt}")
+                exists = None
+            if not exists:
+                decl = ", ".join(
+                    f'"{n}" {_SQLT.get(t, "TEXT")}' for n, t in cols)
+                con.execute(f"CREATE TABLE {qt} ({decl})")
+            ph = ", ".join("?" for _ in cols)
+            ins = f"INSERT INTO {qt} VALUES ({ph})"
+            n, batch = 0, []
+            for row in self.df.toLocalIterator():
+                batch.append(tuple(
+                    str(v) if isinstance(v, (dict, list)) else v
+                    for v in row))
+                if len(batch) >= batch_rows:
+                    con.executemany(ins, batch)
+                    n += len(batch)
+                    batch = []
+            if batch:
+                con.executemany(ins, batch)
+                n += len(batch)
+            con.commit()
+            return n
+        finally:
+            con.close()
+
     def write_jsonl(self, path: str, mode: str = "overwrite",
                     n_shards: int | None = None) -> None:
         """Write as JSON-lines shards — the interchange format of

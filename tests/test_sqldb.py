@@ -88,3 +88,26 @@ def test_duckdb_source(spark, tmp_path):
     t = eng.t.things
     assert t.df.count() == 5
     assert t.df.filter(F.col("s") == "v3").collect()[0].i == 3
+
+
+def test_sqlite_round_trip(spark, eng, tmp_path):
+    """write_sqlite -> import_sqlite round-trips values and types (the
+    full migration loop with the reference's storage format)."""
+    p = str(tmp_path / "out.db")
+    src = eng.t.nation
+    n = src.write_sqlite(p, "nation")
+    assert n == src.count()
+    back = Engine(spark)
+    back.import_sqlite(p)
+    a = sorted(map(tuple, src.df.collect()))
+    b = sorted(map(tuple, back.t.nation.df.collect()))
+    assert a == b
+    # append doubles, overwrite resets, error raises
+    src.write_sqlite(p, "nation", mode="append")
+    back2 = Engine(spark); back2.import_sqlite(p, prefix="x_")
+    assert back2.t.x_nation.count() == 2 * n
+    src.write_sqlite(p, "nation", mode="overwrite")
+    back3 = Engine(spark); back3.import_sqlite(p, prefix="y_")
+    assert back3.t.y_nation.count() == n
+    with pytest.raises(ValueError, match="exists"):
+        src.write_sqlite(p, "nation", mode="error")
