@@ -280,45 +280,11 @@ def q114_curation_pipeline(spark, sf_dir):
 
 def q100_kmeans(spark, sf_dir):
     """Hand Lloyd k-means: driver-held centroids, scan-local argmin
-    assignment (zero corpus shuffle), (cluster, dim)-grouped update."""
-    e = _read(spark, sf_dir, "embeddings") \
-        .select(F.col("vec_id").alias("__id"),
-                F.col("embedding").alias("__v")).persist()
-    k, iters = 8, 2
-    cents = [list(map(float, r["__v"]))
-             for r in e.orderBy("__id").limit(k).collect()]
-
-    def assign(frame, cs):
-        scored = frame.select(
-            "*",
-            F.array(*[
-                F.aggregate(
-                    F.zip_with(F.col("__v"),
-                               F.array(*[F.lit(x) for x in c]),
-                               lambda a, b: ((a.cast("double") - b)
-                                             * (a.cast("double") - b))),
-                    F.lit(0.0), lambda acc, v: acc + v)
-                for c in cs]).alias("__d"))
-        return scored.select(
-            "*", F.array_position(F.col("__d"), F.array_min("__d"))
-            .cast("int").alias("__cid")).drop("__d")
-
-    for _ in range(iters):
-        upd = (assign(e, cents)
-               .select("__cid", F.posexplode("__v").alias("__p", "__x"))
-               .groupBy("__cid", "__p").agg(F.avg("__x").alias("__m"))
-               .groupBy("__cid")
-               .agg(F.array_sort(F.collect_list(F.struct("__p", "__m")))
-                    .alias("__ms"))
-               .select("__cid", F.transform("__ms", lambda s: s["__m"])
-                       .alias("__c")))
-        got = {r["__cid"]: list(map(float, r["__c"])) for r in upd.collect()}
-        cents = [got.get(i + 1, cents[i]) for i in range(k)]
-    out = (assign(e, cents)
-           .select(F.col("__id").alias("vec_id"),
-                   (F.col("__cid") - 1).cast("int").alias("cluster")))
-    e.unpersist()
-    return out
+    assignment (zero corpus shuffle), (cluster, dim)-grouped update.
+    One frozen hand spelling (_twin_kmeans_assigned) serves both this
+    twin and q101's; the embedding column prunes away."""
+    return _twin_kmeans_assigned(spark, sf_dir, k=8, iters=2) \
+        .select("vec_id", "cluster")
 
 
 def _twin_kmeans_assigned(spark, sf_dir, k=8, iters=2):

@@ -264,8 +264,11 @@ def lsh_cosine_pairs(df: DataFrame, threshold: float, dim: int,
                     .alias("__sig"))
     banded = sig.select(
         "__id", "__v",
+        # pmod for sign-safety at n_planes >= 64 (see
+        # lsh_cosine_pairs_exact)
         F.posexplode(F.array(*[
-            (F.shiftright("__sig", b * bits_per) % (2 ** bits_per))
+            F.pmod(F.shiftright("__sig", b * bits_per),
+                   F.lit(2 ** bits_per))
             for b in range(bands)])).alias("__band", "__bkey"))
     a, b = banded.alias("a"), banded.alias("b")
     cands = (a.join(b, (F.col("a.__band") == F.col("b.__band"))
@@ -341,8 +344,13 @@ def lsh_cosine_pairs_exact(df: DataFrame, threshold: float, dim: int,
         hyperplane_signature(F.col(vec_col), dim, n_planes).alias("__sig"))
     banded = sig.select(
         "__id", "__sig",
+        # pmod, NOT %: with n_planes = 64 the sign bit makes __sig
+        # negative and Java % keeps the dividend's sign — negative
+        # band keys would never equi-join their positive twins,
+        # silently dropping pairs and voiding the recall contract
         F.posexplode(F.array(*[
-            (F.shiftright("__sig", b * bits_per) % (2 ** bits_per))
+            F.pmod(F.shiftright("__sig", b * bits_per),
+                   F.lit(2 ** bits_per))
             for b in range(bands)])).alias("__band", "__bkey"))
     a, b = banded.alias("a"), banded.alias("b")
     cands = (a.join(b, (F.col("a.__band") == F.col("b.__band"))

@@ -120,8 +120,17 @@ def _hadoop_fs_path(spark: SparkSession, path: str):
 def hadoop_dir_size(spark: SparkSession, path: str) -> int:
     """Recursive byte size of ``path`` via the Hadoop FileSystem API —
     metadata-scale (a listing, no data read), and URI-agnostic where
-    ``os.path`` only sees the local disk."""
+    ``os.path`` only sees the local disk.  Glob patterns (``*?[``,
+    the same ones Spark's readers accept) expand via ``globStatus``
+    and each match is sized recursively."""
     fs, hpath = _hadoop_fs_path(spark, path)
+    if any(c in path for c in "*?["):
+        statuses = fs.globStatus(hpath)
+        if statuses is None:
+            return 0
+        return sum(
+            fs.getContentSummary(st.getPath()).getLength()
+            for st in statuses)
     return fs.getContentSummary(hpath).getLength()
 
 

@@ -38,7 +38,12 @@ from pyspark.sql import types as T
 _NUL = "\x00"
 
 
-def _git(repo: str, *args: str) -> str:
+def _git(repo: str, *args: str, empty_ok: bool = False) -> str:
+    """Run git; ``empty_ok`` maps the "repository has no commits /
+    no refs yet" outcomes to an empty listing instead of an error
+    (``git show-ref`` exits 1 with no output on a ref-less repo, and
+    ``git log`` exits 128 before the first commit) — a freshly
+    ``git init``-ed repository is a valid, empty database."""
     try:
         return subprocess.check_output(
             ["git", "-C", repo, *args],
@@ -48,9 +53,14 @@ def _git(repo: str, *args: str) -> str:
             "Could not find executable 'git'. Make sure it's installed, "
             "and try again.") from e  # message mirrors the reference's
     except subprocess.CalledProcessError as e:
+        err = e.stderr.decode("utf-8", "replace")
+        if empty_ok and (
+                (e.returncode == 1 and not e.output and not err.strip())
+                or "does not have any commits yet" in err):
+            return ""
         raise RuntimeError(
             f"git {' '.join(args)} failed in {repo!r}: "
-            f"{e.stderr.decode('utf-8', 'replace')[:300]}") from e
+            f"{err[:300]}") from e
 
 
 _COMMITS_SCHEMA = T.StructType([
@@ -72,7 +82,7 @@ def commits_df(spark: SparkSession, repo: str) -> DataFrame:
     # in an argv element (exec rejects embedded null bytes)
     fmt = "%x00".join(["%H", "%an", "%ae", "%aI", "%cn", "%ce", "%cI",
                        "%P", "%s"])
-    out = _git(repo, "log", "--all", f"--format={fmt}")
+    out = _git(repo, "log", "--all", f"--format={fmt}", empty_ok=True)
     rows = []
     for line in out.splitlines():
         if not line.strip():
@@ -99,7 +109,7 @@ _REFS_SCHEMA = T.StructType([
 
 def refs_df(spark: SparkSession, repo: str) -> DataFrame:
     """askgit ``refs`` analogue: branches, tags, remotes."""
-    out = _git(repo, "show-ref")
+    out = _git(repo, "show-ref", empty_ok=True)
     rows = []
     for line in out.splitlines():
         if not line.strip():
@@ -128,7 +138,8 @@ _FILES_SCHEMA = T.StructType([
 def commit_files_df(spark: SparkSession, repo: str) -> DataFrame:
     """askgit ``stats`` analogue: per-(commit, file) line deltas.
     Binary files report NULL additions/deletions (git prints ``-``)."""
-    out = _git(repo, "log", "--all", "--numstat", "--format=%x00%H")
+    out = _git(repo, "log", "--all", "--numstat", "--format=%x00%H",
+               empty_ok=True)
     rows = []
     cur = None
     for line in out.splitlines():

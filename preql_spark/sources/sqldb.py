@@ -50,7 +50,16 @@ def _spark_type(decl: str | None) -> str:
 
 def sqlite_table_df(spark: SparkSession, path: str, table: str,
                     batch_rows: int = 50_000) -> DataFrame:
-    """One SQLite table as a DataFrame (typed from declared columns)."""
+    """One SQLite table as a DataFrame (typed from declared columns).
+
+    Rows stream through ``fetchmany`` and each batch becomes its own
+    ``createDataFrame`` chunk (unioned lazily), so the driver's
+    Python-side working set is one batch, not the whole table.  BLOB
+    columns stay ``bytes`` end to end (a ``binary`` field in the raw
+    schema) — everything else goes through string + ``try_cast`` per
+    SQLite's declared-type affinity, because SQLite cells are
+    dynamically typed (a declared-INT column can hold text; try_cast
+    makes that an explicit NULL where ANSI cast would throw)."""
     import sqlite3
 
     from pyspark.sql import functions as F
@@ -62,24 +71,35 @@ def sqlite_table_df(spark: SparkSession, path: str, table: str,
             raise ValueError(f"no such table {table!r} in {path!r}")
         names = [c[1] for c in cols]
         types = [_spark_type(c[2]) for c in cols]
+        raw_schema = ", ".join(
+            f"`{n}` {'binary' if t == 'binary' else 'string'}"
+            for n, t in zip(names, types))
+
+        def conv(v, t):
+            if v is None:
+                return None
+            if t == "binary":
+                return v if isinstance(v, bytes) else str(v).encode()
+            if isinstance(v, bytes):  # bytes in a TEXT-affinity cell
+                return v.decode("utf-8", "replace")
+            return str(v)
+
         cur = con.execute(f"SELECT * FROM {_q(table)}")
-        rows = []
+        raw = None
         while True:
             batch = cur.fetchmany(batch_rows)
-            if not batch:
+            if not batch and raw is not None:
                 break
-            rows.extend(batch)
-        # build as strings-or-native, then try_cast per declared
-        # affinity: SQLite cells are dynamically typed, so a
-        # declared-INT column can hold text — try_cast makes that
-        # explicit (NULL on junk) where ANSI cast would throw and
-        # createDataFrame inference would crash
-        raw = spark.createDataFrame(
-            [tuple(str(v) if v is not None else None for v in r)
-             for r in rows],
-            schema=", ".join(f"`{n}` string" for n in names))
+            part = spark.createDataFrame(
+                [tuple(conv(v, t) for v, t in zip(r, types))
+                 for r in batch],
+                schema=raw_schema)
+            raw = part if raw is None else raw.unionByName(part)
+            if len(batch) < batch_rows:
+                break
         return raw.select(*[
-            F.col(n).try_cast(t).alias(n) for n, t in zip(names, types)])
+            (F.col(n) if t == "binary" else F.col(n).try_cast(t))
+            .alias(n) for n, t in zip(names, types)])
     finally:
         con.close()
 

@@ -682,8 +682,13 @@ class Table:
         RESULT/dimension export, not a corpus sink (exactly the shape
         the reference itself has).  Returns the row count written.
         ``mode``: "overwrite" drops an existing table, "append" adds,
-        "error" raises when the table exists."""
+        "error" raises when the table exists.  Struct/array/map
+        columns serialize as their JSON text (SQLite has no composite
+        types)."""
         import sqlite3
+        if mode not in ("overwrite", "append", "error"):
+            raise ValueError(
+                f"mode must be overwrite/append/error, got {mode!r}")
         _SQLT = {"bigint": "INTEGER", "int": "INTEGER",
                  "smallint": "INTEGER", "tinyint": "INTEGER",
                  "double": "REAL", "float": "REAL",
@@ -708,11 +713,19 @@ class Table:
                 con.execute(f"CREATE TABLE {qt} ({decl})")
             ph = ", ".join("?" for _ in cols)
             ins = f"INSERT INTO {qt} VALUES ({ph})"
+
+            def bindable(v):
+                from pyspark.sql import Row as _Row
+                if isinstance(v, _Row):
+                    v = v.asDict(recursive=True)
+                if isinstance(v, (dict, list, tuple)):
+                    import json
+                    return json.dumps(v, default=str)
+                return v
+
             n, batch = 0, []
             for row in self.df.toLocalIterator():
-                batch.append(tuple(
-                    str(v) if isinstance(v, (dict, list)) else v
-                    for v in row))
+                batch.append(tuple(bindable(v) for v in row))
                 if len(batch) >= batch_rows:
                     con.executemany(ins, batch)
                     n += len(batch)

@@ -125,3 +125,18 @@ def test_kernelspec_install(tmp_path):
     spec = json.load(open(p))
     assert spec["display_name"] == "preql_spark"
     assert "-m" in spec["argv"] and "preql_spark.jup_kernel" in spec["argv"]
+
+
+def test_git_empty_repo_is_empty_database(spark, tmp_path):
+    """A freshly git-init-ed repository imports as three EMPTY tables
+    (git show-ref exits 1 and git log exits 128 there — both mean
+    'no history yet', not failure)."""
+    import subprocess
+    repo = str(tmp_path / "fresh")
+    subprocess.run(["git", "init", "-q", repo], check=True)
+    eng = Engine(spark)
+    got = eng.import_git(repo)
+    assert set(got) == {"commits", "refs", "commit_files"}
+    assert eng.t.commits.df.count() == 0
+    assert eng.t.refs.df.count() == 0
+    assert eng.t.commit_files.df.count() == 0

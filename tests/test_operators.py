@@ -100,6 +100,31 @@ def test_lsh_exact_vs_brute(eng, emb):
     assert lsh == expect and len(expect) > 0
 
 
+def test_lsh_exact_64_planes_sign_safe(eng, emb):
+    """With n_planes=64 the signature's sign bit can be set; band keys
+    must be pmod-positive or negative-sig rows never equi-join their
+    positive twins (silently dropped pairs = broken recall contract).
+    Verified exactly like test_lsh_exact_vs_brute but at 64 planes."""
+    sub = emb.filter(F.col("vec_id") < 200)
+    sigs = {r["__id"]: r["__sig"] for r in sub.select(
+        F.col("vec_id").alias("__id"),
+        similarity.hyperplane_signature(F.col("embedding"), 64, 64)
+        .alias("__sig")).collect()}
+    assert any(s < 0 for s in sigs.values()), \
+        "fixture never sets the sign bit; test is vacuous"
+    brute = {(r.id_a, r.id_b)
+             for r in similarity.cosine_pairs(sub, 0.2).collect()}
+    h = 40  # 41 bands x 1 bit: every pair with hamming <= 40 recalled
+    expect = {p for p in brute
+              if bin((sigs[p[0]] ^ sigs[p[1]]) & ((1 << 64) - 1))
+              .count("1") <= h}
+    lsh = {(r.id_a, r.id_b)
+           for r in similarity.lsh_cosine_pairs_exact(
+               sub, 0.2, dim=64, max_hamming=h, n_planes=64,
+               bands=41).collect()}
+    assert lsh == expect and len(expect) > 0
+
+
 def test_contrastive_lsh_vs_brute_labeling(eng, emb):
     """mine_contrastive_pairs_lsh's labeling tail must agree with the
     brute miner on the candidate subset: every LSH positive is a

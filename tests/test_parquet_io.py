@@ -162,3 +162,15 @@ def test_import_parquet_schema_evolution(spark, eng, tmp_path):
     assert set(t.df.columns) == {"id", "old", "new"}
     rows = {r.id: (r.old, r.new) for r in t.df.collect()}
     assert rows == {1: ("a", None), 2: (None, 7.5)}
+
+
+def test_hadoop_dir_size_glob(spark, tmp_path):
+    """Glob-pattern sources size via globStatus (compact_parquet's
+    pre-Hadoop-API behavior, preserved)."""
+    from preql_spark.parquet_io import hadoop_dir_size
+    spark.range(100).write.parquet(str(tmp_path / "run-a"))
+    spark.range(100).write.parquet(str(tmp_path / "run-b"))
+    both = hadoop_dir_size(spark, str(tmp_path / "run-*"))
+    one = hadoop_dir_size(spark, str(tmp_path / "run-a"))
+    assert both > one > 0
+    assert hadoop_dir_size(spark, str(tmp_path / "nope-*")) == 0

@@ -111,3 +111,48 @@ def test_sqlite_round_trip(spark, eng, tmp_path):
     assert back3.t.y_nation.count() == n
     with pytest.raises(ValueError, match="exists"):
         src.write_sqlite(p, "nation", mode="error")
+
+
+def test_sqlite_blob_round_trip(spark, tmp_path):
+    """BLOB columns must survive as bytes, not the repr-string of the
+    Python bytes object."""
+    p = str(tmp_path / "blob.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE b (id INT, payload BLOB)")
+    con.execute("INSERT INTO b VALUES (1, ?)", (b"\x00\x01\xff",))
+    con.execute("INSERT INTO b VALUES (2, NULL)")
+    con.commit(); con.close()
+    eng = Engine(spark)
+    eng.import_sqlite(p)
+    rows = {r.id: r.payload for r in eng.t.b.df.collect()}
+    assert bytes(rows[1]) == b"\x00\x01\xff" and rows[2] is None
+    assert dict(eng.t.b.df.dtypes)["payload"] == "binary"
+
+
+def test_sqlite_batched_read(spark, tmp_path):
+    """Rows stream in bounded fetchmany batches (union of chunks) and
+    totals survive a batch size smaller than the table."""
+    p = str(tmp_path / "many.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE m (i INT)")
+    con.executemany("INSERT INTO m VALUES (?)", [(i,) for i in range(257)])
+    con.commit(); con.close()
+    from preql_spark.sources.sqldb import sqlite_table_df
+    df = sqlite_table_df(spark, p, "m", batch_rows=100)
+    assert df.count() == 257
+    assert sorted(r.i for r in df.collect()) == list(range(257))
+
+
+def test_write_sqlite_struct_and_bad_mode(spark, eng, tmp_path):
+    p = str(tmp_path / "s.db")
+    t = eng.t.nation.project(
+        "n_nationkey", s=F.struct("n_name", "n_regionkey"))
+    n = t.write_sqlite(p, "t")
+    assert n == 25
+    con = sqlite3.connect(p)
+    cell = con.execute("SELECT s FROM t LIMIT 1").fetchone()[0]
+    con.close()
+    import json as _json
+    assert set(_json.loads(cell)) == {"n_name", "n_regionkey"}
+    with pytest.raises(ValueError, match="mode"):
+        eng.t.nation.write_sqlite(p, "t", mode="Overwrite")
