@@ -78,18 +78,26 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col("__qm_tokens")
     n_tok = F.size(t)
     en_sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    # try_divide, not /: an EMPTY document has length 0 and ANSI mode
+    # turns the ratio into a DIVIDE_BY_ZERO crash — no-content docs
+    # score NULL instead (fixture corpora never contain them, so the
+    # oracle comparison is unaffected; tests/test_differential_edges
+    # pins the behavior)
     return df.withColumn("__qm_tokens", tokens(F.col(text_col))).withColumns({
         "n_chars": F.length(F.col(text_col)),
         "n_tokens": n_tok,
-        "avg_token_len": (F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
-                          / n_tok).cast("double"),
-        "punct_ratio": (F.length(F.regexp_replace(
-            F.col(text_col), r"[^.,;:!?'\"]", "")) /
+        "avg_token_len": F.try_divide(
+            F.length(F.regexp_replace(F.col(text_col), r"\s+", "")),
+            n_tok).cast("double"),
+        "punct_ratio": F.try_divide(
+            F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?'\"]", "")),
             F.length(F.col(text_col))).cast("double"),
-        "stopword_ratio": (F.size(F.filter(t, lambda x: F.array_contains(en_sw, x)))
-                           / n_tok).cast("double"),
-        "alpha_ratio": (F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
-                        / F.length(F.col(text_col))).cast("double"),
+        "stopword_ratio": F.try_divide(
+            F.size(F.filter(t, lambda x: F.array_contains(en_sw, x))),
+            n_tok).cast("double"),
+        "alpha_ratio": F.try_divide(
+            F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", "")),
+            F.length(F.col(text_col))).cast("double"),
     }).drop("__qm_tokens")
 
 
