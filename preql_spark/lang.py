@@ -1026,6 +1026,12 @@ class Parser:
                     raise LangSignal(
                         "TypeError", "types support only ==/!=/<=/>=")
                 a, b = self._col(v), r if isinstance(r, (int, float, str)) else self._col(r)
+                if t.text == "~" and not isinstance(b, (str, Column)):
+                    # reference: `~` is string LIKE; a numeric pattern
+                    # is a TypeError signal, not a JVM Py4J crash
+                    raise LangSignal(
+                        "TypeError", f"~ expects a string pattern, "
+                        f"got {type(b).__name__}")
                 v = {"==": lambda: exprs.eq(a, b),
                      "!=": lambda: exprs.ne(a, b),
                      "<": lambda: a < b, ">": lambda: a > b,
@@ -2975,6 +2981,20 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
     if name in _TABLE_FUNCS:
         if name in _PIPELINE_FUNC_NAMES:
             return _call_pipeline_func(name, list(args), dict(kwargs))
+        # arity gate: the branches below index positionally — a bare
+        # `limit()` must be a clean TypeError signal, not IndexError
+        # (found by the parser fuzzer, tests/test_lang.py)
+        _min_args = {"distinct": 1, "enum": 1, "describe": 1,
+                     "limit": 2, "temptable": 1, "one": 1, "page": 3,
+                     "is_empty": 1, "sample_ratio_fast": 2,
+                     "sample_fast": 2, "limit_offset": 3,
+                     "zipjoin": 2, "zipjoin_left": 2,
+                     "zipjoin_longest": 2, "map_range": 3}
+        need = _min_args.get(name, 0)
+        if len(args) < need:
+            raise LangSignal(
+                "TypeError", f"{name}() takes at least {need} "
+                f"argument(s), got {len(args)}")
         if name in ("join", "leftjoin", "outerjoin", "joinall"):
             tables = {k: (v.table if isinstance(v, _JoinColRef) else v)
                       for k, v in kwargs.items()

@@ -1749,3 +1749,39 @@ def test_pipeline_builtins_sampling(eng):
     from preql_spark.lang import LangSignal
     with _pt.raises(LangSignal, match="table"):
         eng.q('sample_hash(3, "doc_id", 0.3)')
+
+
+def test_parser_fuzz_no_internal_crashes(eng):
+    """Seeded fuzz over the token alphabet: every input must either
+    evaluate or raise a CLEAN error (LangSignal / NameError /
+    TypeError / ValueError / SyntaxError / AttributeError / Spark
+    AnalysisException) — never an internal IndexError/KeyError/
+    Py4JError.  Found-and-fixed by this fuzzer: bare `limit()`
+    arity IndexError, `x ~ 2.5` Py4J like() crash."""
+    import random
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from preql_spark.lang import LangSignal
+    allowed = (LangSignal, NameError, TypeError, ValueError,
+               SyntaxError, AttributeError, AnalysisException)
+    tokens = ["nation", "documents", "{", "}", "[", "]", "(", ")",
+              "=>", "=", "==", "!=", "<", ">", "+", "-", "*", "/",
+              "%", "..", ",", ":", "count()", "sum", "n_name",
+              "doc_id", "x", "1", "2.5", '"s"', "and", "or", "not",
+              "if", "else", "func", "table", "new", "order", "^",
+              "...", "!", "in", "~", "$", "one", "null", "true",
+              "distinct", "join", "limit", ";", "\n", "->", ".",
+              "page", "enum", "list", "<=", ">=", "**", "/~",
+              "map_range", "dict", "fmt"]
+    rng = random.Random(1234)
+    crashes = []
+    for _ in range(400):
+        src = " ".join(rng.choices(tokens, k=rng.randint(1, 10)))
+        try:
+            eng.q(src)
+        except allowed:
+            pass
+        except Exception as e:  # noqa: BLE001 - the assertion target
+            crashes.append((src, type(e).__name__))
+    assert not crashes, crashes[:5]
