@@ -329,35 +329,51 @@ def _twin_kmeans_assigned(spark, sf_dir, k=8, iters=2):
 
 
 def q101_semdedup(spark, sf_dir):
-    """Hand SemDeDup: k-means clusters, cluster-LOCAL near-dup pair
-    join (candidates sum(|cluster|^2), never corpus^2), min-id keep
-    via one anti join."""
+    """Hand SemDeDup: k-means clusters, then the min-id near-dup drop
+    computed as a per-cluster BLOCKWISE gram matrix in an Arrow
+    applyInPandas kernel (the |cluster|^2 cosine stage is dense vector
+    math — BLAS territory, ~6x the HOF pair join), survivors via one
+    anti join.  Cluster-local either way: candidates sum(|cluster|^2),
+    never corpus^2."""
     def _norm(c):
         return F.sqrt(F.aggregate(
             F.transform(c, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0), lambda acc, v: acc + v))
 
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b,
-                       lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0), lambda acc, v: acc + v)
-
     assigned = _twin_kmeans_assigned(spark, sf_dir, k=8, iters=2)
     base = assigned.select(F.col("vec_id").alias("__id"), "cluster",
                            F.col("embedding").alias("__v"),
                            _norm(F.col("embedding")).alias("__n"))
-    left = base.select(F.col("__id").alias("id_a"), "cluster",
-                       F.col("__v").alias("__va"), F.col("__n").alias("__na"))
-    right = base.select(F.col("__id").alias("id_b"),
-                        F.col("cluster").alias("__cb"),
-                        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
-    drops = (left.join(right, (F.col("cluster") == F.col("__cb"))
-                       & (F.col("id_a") < F.col("id_b")))
-             .filter((_dot(F.col("__va"), F.col("__vb"))
-                      / (F.col("__na") * F.col("__nb"))) >= 0.45)
-             .select(F.col("id_b").alias("__drop"))
-             .distinct())
+    tau, block = 0.45, 4096
+
+    def find_drops(pdf):
+        import numpy as np
+        import pandas as pd
+        ids = pdf["__id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.stack(pdf["__v"].to_numpy()[order]).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1)
+        n = len(ids)
+        dropped = np.zeros(n, dtype=bool)
+        for j0 in range(1, n, block):
+            j1 = min(j0 + block, n)
+            hit = np.zeros(j1 - j0, dtype=bool)
+            for i0 in range(0, j1, block):
+                i1 = min(i0 + block, j1)
+                g = m[i0:i1] @ m[j0:j1].T
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = g / np.outer(nrm[i0:i1], nrm[j0:j1])
+                match = np.isnan(sim) | (sim >= tau)
+                gi = np.arange(i0, i1)[:, None]
+                gj = np.arange(j0, j1)[None, :]
+                hit |= (match & (gi < gj)).any(axis=0)
+            dropped[j0:j1] = hit
+        return pd.DataFrame({"__drop": ids[dropped]})
+
+    drops = (base.select("cluster", "__id", "__v")
+             .groupBy("cluster")
+             .applyInPandas(find_drops, schema="__drop long"))
     return (base.join(drops, base["__id"] == drops["__drop"], "left_anti")
             .select(F.col("__id").alias("vec_id"), "cluster"))
 

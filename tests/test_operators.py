@@ -100,6 +100,38 @@ def test_lsh_exact_vs_brute(eng, emb):
     assert lsh == expect and len(expect) > 0
 
 
+def test_semdedup_arrow_equals_sql(eng, emb):
+    """The Arrow gram-matrix pair kernel and the pure-DataFrame pair
+    join must return identical survivors (same min-id drop rule, NaN
+    mirror included)."""
+    from preql_spark.operators.cluster import semdedup
+    a = {tuple(r) for r in semdedup(
+        emb, tau=0.45, k=8, iters=2, pair_method="arrow").collect()}
+    s = {tuple(r) for r in semdedup(
+        emb, tau=0.45, k=8, iters=2, pair_method="sql").collect()}
+    assert a == s and len(a) > 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="pair_method"):
+        semdedup(emb, pair_method="nope")
+
+
+def test_semdedup_arrow_blockwise(eng, emb):
+    """A block size smaller than the cluster exercises the blocked
+    gram loops and must not change the result."""
+    from preql_spark.operators.cluster import (_min_id_drops_arrow,
+                                               kmeans)
+    from preql_spark.operators.similarity import norm
+    assigned, _ = kmeans(emb, k=4, iters=1)
+    base = assigned.select(F.col("vec_id").alias("__id"), "cluster",
+                           F.col("embedding").alias("__v"),
+                           norm(F.col("embedding")).alias("__n"))
+    big = {r["__drop"] for r in
+           _min_id_drops_arrow(base, 0.45, block=4096).collect()}
+    small = {r["__drop"] for r in
+             _min_id_drops_arrow(base, 0.45, block=17).collect()}
+    assert big == small
+
+
 def test_lsh_exact_64_planes_sign_safe(eng, emb):
     """With n_planes=64 the signature's sign bit can be set; band keys
     must be pmod-positive or negative-sig rows never equi-join their
