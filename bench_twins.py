@@ -335,15 +335,9 @@ def q101_semdedup(spark, sf_dir):
     math — BLAS territory, ~6x the HOF pair join), survivors via one
     anti join.  Cluster-local either way: candidates sum(|cluster|^2),
     never corpus^2."""
-    def _norm(c):
-        return F.sqrt(F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0), lambda acc, v: acc + v))
-
     assigned = _twin_kmeans_assigned(spark, sf_dir, k=8, iters=2)
     base = assigned.select(F.col("vec_id").alias("__id"), "cluster",
-                           F.col("embedding").alias("__v"),
-                           _norm(F.col("embedding")).alias("__n"))
+                           F.col("embedding").alias("__v"))
     tau, block = 0.45, 4096
 
     def find_drops(pdf):
@@ -364,7 +358,7 @@ def q101_semdedup(spark, sf_dir):
                 g = m[i0:i1] @ m[j0:j1].T
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sim = g / np.outer(nrm[i0:i1], nrm[j0:j1])
-                match = np.isnan(sim) | (sim >= tau)
+                match = sim >= tau   # NaN (zero-norm) never matches
                 gi = np.arange(i0, i1)[:, None]
                 gj = np.arange(j0, j1)[None, :]
                 hit |= (match & (gi < gj)).any(axis=0)

@@ -2673,6 +2673,20 @@ def _help_text(parser: "Parser", obj=None) -> str:
 
 
 def _apply_function(parser: Parser, name: str, args, kwargs):
+    # generic arity backstop: every builtin branch below indexes args
+    # positionally; a call with too few arguments must surface as a
+    # clean TypeError signal, never an internal IndexError (the
+    # _min_args gate in the table-func chain gives the precise
+    # message for those; this catches every other builtin — fmt(),
+    # type(), repr(), PY(), ... — uniformly)
+    try:
+        return _apply_function_inner(parser, name, args, kwargs)
+    except IndexError as e:
+        raise LangSignal(
+            "TypeError", f"{name}(): wrong number of arguments") from e
+
+
+def _apply_function_inner(parser: Parser, name: str, args, kwargs):
     from preql_spark.functions import aggregate as agg
     from preql_spark import table as tbl
 

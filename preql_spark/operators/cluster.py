@@ -95,23 +95,32 @@ def semdedup(df: DataFrame, tau: float = 0.45, k: int = 8, iters: int = 2,
                              vec_col=vec_col)
     if keep == "far_from_centroid":
         return _semdedup_centroid(assigned, cents, tau, id_col, vec_col)
+    # the norm column only serves the sql pair join — computing it on
+    # the arrow path would add a dead projection level to the plan
     base = assigned.select(F.col(id_col).alias("__id"), "cluster",
-                           F.col(vec_col).alias("__v"),
-                           norm(F.col(vec_col)).alias("__n"))
+                           F.col(vec_col).alias("__v"))
     if pair_method == "arrow":
         drops = _min_id_drops_arrow(base, tau)
     elif pair_method == "sql":
-        left = base.select(F.col("__id").alias("id_a"), "cluster",
-                           F.col("__v").alias("__va"),
-                           F.col("__n").alias("__na"))
-        right = base.select(F.col("__id").alias("id_b"),
-                            F.col("cluster").alias("__cb"),
-                            F.col("__v").alias("__vb"),
-                            F.col("__n").alias("__nb"))
+        normed = base.withColumn("__n", norm(F.col("__v")))
+        left = normed.select(F.col("__id").alias("id_a"), "cluster",
+                             F.col("__v").alias("__va"),
+                             F.col("__n").alias("__na"))
+        right = normed.select(F.col("__id").alias("id_b"),
+                              F.col("cluster").alias("__cb"),
+                              F.col("__v").alias("__vb"),
+                              F.col("__n").alias("__nb"))
+        # try_divide: a zero-norm vector has UNDEFINED cosine — the
+        # policy (both pair_methods) is "never a match": NULL here,
+        # NaN->False in the arrow kernel.  Bare / would crash under
+        # ANSI mode, and Spark/DuckDB's NaN-compares-greater
+        # semantics would have called it a match — the principled
+        # option is taken explicitly instead.
         drops = (left.join(right, (F.col("cluster") == F.col("__cb"))
                            & (F.col("id_a") < F.col("id_b")))
-                 .filter((dot(F.col("__va"), F.col("__vb"))
-                          / (F.col("__na") * F.col("__nb"))) >= tau)
+                 .filter(F.try_divide(
+                     dot(F.col("__va"), F.col("__vb")),
+                     F.col("__na") * F.col("__nb")) >= tau)
                  .select(F.col("id_b").alias("__drop"))
                  .distinct())
     else:
@@ -124,10 +133,13 @@ def semdedup(df: DataFrame, tau: float = 0.45, k: int = 8, iters: int = 2,
 def _min_id_drops_arrow(base: DataFrame, tau: float,
                         block: int = 4096) -> DataFrame:
     """(__drop) ids having a lower-id cluster-mate at cosine >= tau,
-    via per-cluster blockwise gram matrices (see semdedup).  NaN sims
-    (zero-norm vectors) count as matches, mirroring Spark SQL's
-    "NaN compares greater than everything" semantics so the two
-    pair_methods agree exactly."""
+    via per-cluster blockwise gram matrices (see semdedup).  Zero-norm
+    vectors have undefined cosine and never match (numpy NaN >= tau is
+    False, matching the sql path's try_divide NULL).  Exactness note:
+    the sql fold sums products left-to-right while BLAS may sum
+    pairwise, so a cosine within one ulp of tau could in principle
+    differ between paths — real corpora (and the fixtures the
+    cross-check test uses) have finite margins at the threshold."""
 
     def find_drops(pdf):
         import numpy as np
@@ -147,7 +159,8 @@ def _min_id_drops_arrow(base: DataFrame, tau: float,
                 g = m[i0:i1] @ m[j0:j1].T
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sim = g / np.outer(nrm[i0:i1], nrm[j0:j1])
-                match = np.isnan(sim) | (sim >= tau)
+                # NaN >= tau is False in numpy: zero-norm never matches
+                match = sim >= tau
                 # strictly-lower GLOBAL index (ids sorted => lower id)
                 gi = np.arange(i0, i1)[:, None]
                 gj = np.arange(j0, j1)[None, :]

@@ -124,7 +124,7 @@ def hadoop_dir_size(spark: SparkSession, path: str) -> int:
     the same ones Spark's readers accept) expand via ``globStatus``
     and each match is sized recursively."""
     fs, hpath = _hadoop_fs_path(spark, path)
-    if any(c in path for c in "*?["):
+    if any(c in path for c in "*?[{"):
         statuses = fs.globStatus(hpath)
         if statuses is None:
             return 0

@@ -44,10 +44,14 @@ def _git(repo: str, *args: str, empty_ok: bool = False) -> str:
     (``git show-ref`` exits 1 with no output on a ref-less repo, and
     ``git log`` exits 128 before the first commit) — a freshly
     ``git init``-ed repository is a valid, empty database."""
+    import os
     try:
+        # LC_ALL=C pins git's messages to English so the empty-repo
+        # detection below is locale-stable
         return subprocess.check_output(
             ["git", "-C", repo, *args],
-            stderr=subprocess.PIPE).decode("utf-8", "replace")
+            stderr=subprocess.PIPE,
+            env={**os.environ, "LC_ALL": "C"}).decode("utf-8", "replace")
     except FileNotFoundError as e:  # pragma: no cover - git always in CI
         raise RuntimeError(
             "Could not find executable 'git'. Make sure it's installed, "

@@ -52,9 +52,10 @@ def sqlite_table_df(spark: SparkSession, path: str, table: str,
                     batch_rows: int = 50_000) -> DataFrame:
     """One SQLite table as a DataFrame (typed from declared columns).
 
-    Rows stream through ``fetchmany`` and each batch becomes its own
-    ``createDataFrame`` chunk (unioned lazily), so the driver's
-    Python-side working set is one batch, not the whole table.  BLOB
+    Rows stream through ``fetchmany``; a table bigger than one batch
+    SPILLS batch-by-batch to a temp parquet directory and comes back
+    as a file-backed distributed scan, so driver memory is bounded by
+    one batch (a small table stays a single in-memory frame).  BLOB
     columns stay ``bytes`` end to end (a ``binary`` field in the raw
     schema) — everything else goes through string + ``try_cast`` per
     SQLite's declared-type affinity, because SQLite cells are
@@ -85,18 +86,32 @@ def sqlite_table_df(spark: SparkSession, path: str, table: str,
             return str(v)
 
         cur = con.execute(f"SELECT * FROM {_q(table)}")
-        raw = None
-        while True:
-            batch = cur.fetchmany(batch_rows)
-            if not batch and raw is not None:
-                break
-            part = spark.createDataFrame(
+        first = cur.fetchmany(batch_rows)
+        second = cur.fetchmany(batch_rows) if len(first) == batch_rows \
+            else []
+
+        def to_df(batch):
+            return spark.createDataFrame(
                 [tuple(conv(v, t) for v, t in zip(r, types))
                  for r in batch],
                 schema=raw_schema)
-            raw = part if raw is None else raw.unionByName(part)
-            if len(batch) < batch_rows:
-                break
+
+        if not second:
+            # small table: one in-memory frame, no temp files
+            raw = to_df(first)
+        else:
+            # large table: SPILL batches to a temp parquet so driver
+            # memory is bounded by one batch (each batch is written
+            # and released), and the result is a real file-backed
+            # distributed scan instead of a giant LocalRelation
+            import tempfile
+            spill = tempfile.mkdtemp(prefix=f"sqlite_{table}_")
+            to_df(first).write.mode("append").parquet(spill)
+            batch = second
+            while batch:
+                to_df(batch).write.mode("append").parquet(spill)
+                batch = cur.fetchmany(batch_rows)
+            raw = spark.read.schema(raw_schema).parquet(spill)
         return raw.select(*[
             (F.col(n) if t == "binary" else F.col(n).try_cast(t))
             .alias(n) for n, t in zip(names, types)])

@@ -714,13 +714,23 @@ class Table:
             ph = ", ".join("?" for _ in cols)
             ins = f"INSERT INTO {qt} VALUES ({ph})"
 
-            def bindable(v):
+            def jsonable(v):
                 from pyspark.sql import Row as _Row
                 if isinstance(v, _Row):
-                    v = v.asDict(recursive=True)
-                if isinstance(v, (dict, list, tuple)):
+                    return {k: jsonable(x)
+                            for k, x in v.asDict().items()}
+                if isinstance(v, dict):
+                    # JSON keys must be strings (e.g. map<date, _>)
+                    return {str(k): jsonable(x) for k, x in v.items()}
+                if isinstance(v, (list, tuple)):
+                    return [jsonable(x) for x in v]
+                return v
+
+            def bindable(v):
+                from pyspark.sql import Row as _Row
+                if isinstance(v, (_Row, dict, list, tuple)):
                     import json
-                    return json.dumps(v, default=str)
+                    return json.dumps(jsonable(v), default=str)
                 return v
 
             n, batch = 0, []

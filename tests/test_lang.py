@@ -1785,3 +1785,14 @@ def test_parser_fuzz_no_internal_crashes(eng):
         except Exception as e:  # noqa: BLE001 - the assertion target
             crashes.append((src, type(e).__name__))
     assert not crashes, crashes[:5]
+
+
+def test_zero_arg_builtins_raise_cleanly(eng):
+    """The generic arity backstop: zero-arg calls of positional
+    builtins (fmt, type, repr, ...) are TypeError signals, never
+    internal IndexError (second fuzzer finding)."""
+    from preql_spark.lang import LangSignal
+    for src in ("fmt()", "type()", "repr()", "force_eval()",
+                "inspect_sql()", "columns()", "list()"):
+        with pytest.raises((LangSignal, TypeError, NameError)):
+            eng.q(src)

@@ -1179,3 +1179,18 @@ def test_hll_sketch_rollup(spark, eng):
             .agg(F.count_distinct("user_id").alias("n")).collect()}
     for k, est in m.items():
         assert abs(est - true[k]) <= max(2, 0.05 * true[k]), (k, est, true[k])
+
+
+def test_semdedup_zero_norm_policy(spark):
+    """A zero-norm vector has undefined cosine: it never matches and
+    never causes a crash — and BOTH pair methods agree on that."""
+    from preql_spark.operators.cluster import semdedup
+    rows = [(i, [float(i + 1)] * 4) for i in range(6)]
+    rows.append((6, [0.0, 0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {r.vec_id for r in semdedup(
+        df, tau=0.9, k=2, iters=1, pair_method="arrow").collect()}
+    s = {r.vec_id for r in semdedup(
+        df, tau=0.9, k=2, iters=1, pair_method="sql").collect()}
+    assert a == s
+    assert 6 in a  # the zero vector always survives

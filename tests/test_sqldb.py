@@ -156,3 +156,22 @@ def test_write_sqlite_struct_and_bad_mode(spark, eng, tmp_path):
     assert set(_json.loads(cell)) == {"n_name", "n_regionkey"}
     with pytest.raises(ValueError, match="mode"):
         eng.t.nation.write_sqlite(p, "t", mode="Overwrite")
+
+
+def test_write_sqlite_nested_and_map(spark, eng, tmp_path):
+    """Arrays of structs keep field names (JSON objects, not
+    positional arrays) and map keys coerce to strings."""
+    import datetime as dt
+    import json as _json
+    p = str(tmp_path / "nested.db")
+    df = spark.createDataFrame(
+        [(1, [{"a": 1, "b": "x"}], {dt.date(2024, 1, 1): "v"})],
+        "id long, arr array<struct<a:long,b:string>>, "
+        "m map<date,string>")
+    n = eng.from_df(df).write_sqlite(p, "t")
+    assert n == 1
+    con = sqlite3.connect(p)
+    arr, m = con.execute("SELECT arr, m FROM t").fetchone()
+    con.close()
+    assert _json.loads(arr) == [{"a": 1, "b": "x"}]
+    assert _json.loads(m) == {"2024-01-01": "v"}
