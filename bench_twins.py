@@ -330,44 +330,89 @@ def _twin_kmeans_assigned(spark, sf_dir, k=8, iters=2):
 
 def q101_semdedup(spark, sf_dir):
     """Hand SemDeDup: k-means clusters, then the min-id near-dup drop
-    computed as a per-cluster BLOCKWISE gram matrix in an Arrow
-    applyInPandas kernel (the |cluster|^2 cosine stage is dense vector
-    math — BLAS territory, ~6x the HOF pair join), survivors via one
-    anti join.  Cluster-local either way: candidates sum(|cluster|^2),
-    never corpus^2."""
+    computed as a BLOCKWISE gram matrix in an Arrow applyInPandas
+    kernel (the |cluster|^2 cosine stage is dense vector math — BLAS
+    territory, ~6x the HOF pair join), survivors via one anti join.
+    Oversized clusters are hash-salted into sub-block pair groups so
+    one task never holds more than 2*max_group rows (executor-memory
+    bound at scale); candidates stay sum(|cluster|^2), never
+    corpus^2."""
+    from pyspark.sql import types as T
     assigned = _twin_kmeans_assigned(spark, sf_dir, k=8, iters=2)
     base = assigned.select(F.col("vec_id").alias("__id"), "cluster",
                            F.col("embedding").alias("__v"))
-    tau, block = 0.45, 4096
+    tau, block, max_group = 0.45, 4096, 65_536
+    out_schema = T.StructType(
+        [T.StructField("__drop", base.schema["__id"].dataType)])
 
-    def find_drops(pdf):
+    def find_drops(key, pdf):
         import numpy as np
         import pandas as pd
-        ids = pdf["__id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        m = np.stack(pdf["__v"].to_numpy()[order]).astype(np.float64)
-        nrm = np.linalg.norm(m, axis=1)
-        n = len(ids)
-        dropped = np.zeros(n, dtype=bool)
-        for j0 in range(1, n, block):
-            j1 = min(j0 + block, n)
-            hit = np.zeros(j1 - j0, dtype=bool)
-            for i0 in range(0, j1, block):
-                i1 = min(i0 + block, j1)
-                g = m[i0:i1] @ m[j0:j1].T
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    sim = g / np.outer(nrm[i0:i1], nrm[j0:j1])
-                match = sim >= tau   # NaN (zero-norm) never matches
-                gi = np.arange(i0, i1)[:, None]
-                gj = np.arange(j0, j1)[None, :]
-                hit |= (match & (gi < gj)).any(axis=0)
-            dropped[j0:j1] = hit
-        return pd.DataFrame({"__drop": ids[dropped]})
+        _, ga, gb = key
 
-    drops = (base.select("cluster", "__id", "__v")
-             .groupBy("cluster")
-             .applyInPandas(find_drops, schema="__drop long"))
+        def mat(part):
+            return np.stack(part.to_numpy()).astype(np.float64)
+
+        if ga == gb:
+            pdf = pdf.sort_values("__id", kind="mergesort")
+            ids = pdf["__id"].to_numpy()
+            m = mat(pdf["__v"])
+            nrm = np.linalg.norm(m, axis=1)
+            n = len(ids)
+            dropped = np.zeros(n, dtype=bool)
+            for j0 in range(1, n, block):
+                j1 = min(j0 + block, n)
+                hit = np.zeros(j1 - j0, dtype=bool)
+                for i0 in range(0, j1, block):
+                    i1 = min(i0 + block, j1)
+                    g = m[i0:i1] @ m[j0:j1].T
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sim = g / np.outer(nrm[i0:i1], nrm[j0:j1])
+                    match = sim >= tau  # NaN (zero-norm) never matches
+                    gi = np.arange(i0, i1)[:, None]
+                    gj = np.arange(j0, j1)[None, :]
+                    hit |= (match & (gi < gj)).any(axis=0)
+                dropped[j0:j1] = hit
+            return pd.DataFrame({"__drop": ids[dropped]})
+        a, b = pdf[pdf["__b"] == ga], pdf[pdf["__b"] == gb]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"__drop": pdf["__id"][:0]})
+        ida, idb = a["__id"].to_numpy(), b["__id"].to_numpy()
+        ma, mb = mat(a["__v"]), mat(b["__v"])
+        na, nb = np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1)
+        drop_a = np.zeros(len(ida), dtype=bool)
+        drop_b = np.zeros(len(idb), dtype=bool)
+        for i0 in range(0, len(ida), block):
+            i1 = min(i0 + block, len(ida))
+            for j0 in range(0, len(idb), block):
+                j1 = min(j0 + block, len(idb))
+                g = ma[i0:i1] @ mb[j0:j1].T
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = g / np.outer(na[i0:i1], nb[j0:j1])
+                match = sim >= tau
+                lower = ida[i0:i1, None] < idb[None, j0:j1]
+                drop_b[j0:j1] |= (match & lower).any(axis=0)
+                drop_a[i0:i1] |= (match & ~lower).any(axis=1)
+        return pd.DataFrame(
+            {"__drop": np.concatenate([ida[drop_a], idb[drop_b]])})
+
+    sizes = base.groupBy("cluster").agg(F.count(F.lit(1)).alias("__cn"))
+    salted = (base.join(F.broadcast(sizes), "cluster")
+              .withColumn("__s", F.ceil(F.col("__cn") / F.lit(max_group))
+                          .cast("int"))
+              .withColumn("__b", F.pmod(F.hash("__id"), F.col("__s"))
+                          .cast("int")))
+    groups = F.transform(
+        F.sequence(F.lit(0), F.col("__s") - 1),
+        lambda t: F.struct(F.least(t, F.col("__b")).alias("ga"),
+                           F.greatest(t, F.col("__b")).alias("gb")))
+    drops = (salted.select("cluster", "__b", "__id", "__v",
+                           F.explode(groups).alias("__g"))
+             .select("cluster", F.col("__g.ga").alias("__ga"),
+                     F.col("__g.gb").alias("__gb"), "__b", "__id", "__v")
+             .groupBy("cluster", "__ga", "__gb")
+             .applyInPandas(find_drops, schema=out_schema)
+             .distinct())
     return (base.join(drops, base["__id"] == drops["__drop"], "left_anti")
             .select(F.col("__id").alias("vec_id"), "cluster"))
 

@@ -108,6 +108,57 @@ class Tok:
     text: str
 
 
+class _SemiPred:
+    """A vector `x in <table>` membership predicate, kept symbolic so a
+    SELECTION can lower it to an engine-side semi/anti join instead of
+    collecting the RHS to the driver (reference Contains compiles to
+    `IN (SELECT ...)` — sql.py:319-329; the Spark-native equivalent is
+    LeftSemi/LeftAnti).  Any non-selection context (projection value,
+    nested boolean arithmetic) falls back to a BOUNDED literal
+    membership via :meth:`as_column`."""
+
+    __slots__ = ("col", "rhs", "negate")
+
+    def __init__(self, col: Column, rhs, negate: bool):
+        self.col, self.rhs, self.negate = col, rhs, negate
+
+    def apply(self, tab):
+        """Lower onto a Table as a LeftSemi (or null-aware LeftAnti —
+        the `(l = r) OR isnull(l = r)` shape Spark's own NOT-IN
+        rewrite produces, keeping SQL NOT IN null semantics)."""
+        rdf = self.rhs.df.select(
+            F.col(self.rhs.df.columns[0]).alias("__inval"))
+        eq = self.col == rdf["__inval"]
+        if self.negate:
+            return tab._with(
+                tab.df.join(rdf, eq | eq.isNull(), "left_anti"))
+        return tab._with(tab.df.join(rdf, eq, "left_semi"))
+
+    def as_column(self) -> Column:
+        """Bounded driver-side fallback: literal membership (the RHS
+        materializes, so it is capped — table-scale membership belongs
+        in a selection, where `apply` joins engine-side)."""
+        vals = [row[0] for row in self.rhs.df.limit(100_001).collect()]
+        if len(vals) > 100_000:
+            raise ValueError(
+                "`in <table>` outside a selection exceeds 100k RHS "
+                "rows; use it directly in a selection `t[x in other]` "
+                "(lowered to a semi-join) for table-scale membership")
+        c = self.col.isin(vals)
+        return ~c if self.negate else c
+
+
+def _apply_conds(tab, conds):
+    """Apply a selection's conditions: plain Columns AND into one
+    filter; each symbolic membership lowers to its semi/anti join."""
+    cols = [c for c in conds if not isinstance(c, _SemiPred)]
+    out = tab.filter(*cols) if cols else tab
+    for s in conds:
+        if isinstance(s, _SemiPred):
+            out = s.apply(out)
+    return out
+
+
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\",
             '"': '"', "'": "'", "0": "\0"}
 
@@ -1048,15 +1099,21 @@ class Parser:
                         "TypeError", "a table cannot be a member; "
                         "use in_table (semi-join)")
                 if isinstance(r, Table):
-                    # literal-membership path: the RHS materializes to
-                    # the driver, so bound it — table-scale membership
-                    # belongs in a semi-join (Table.in_table), which
-                    # never collects
+                    if isinstance(v, (Column, _BackrefRef)):
+                        # vector LHS: keep the membership SYMBOLIC so
+                        # the enclosing selection lowers it to a
+                        # LeftSemi/LeftAnti join (no driver collect,
+                        # no size bound — reference Contains emits
+                        # `IN (SELECT ...)`, sql.py:319-329)
+                        v = _SemiPred(self._col(v), r, negate)
+                        continue
+                    # scalar LHS: literal membership — the RHS
+                    # materializes to the driver, so bound it
                     vals = [row[0] for row in r.df.limit(100_001).collect()]
                     if len(vals) > 100_000:
                         raise ValueError(
                             "`in <table>` RHS exceeds 100k rows; use "
-                            "Table.in_table (semi-join) for table-scale "
+                            "a selection (semi-join) for table-scale "
                             "membership")
                     r = vals
                 if isinstance(r, str):
@@ -1337,17 +1394,19 @@ class Parser:
                 self._skip_nl()
                 if self.accept("op", "]"):
                     break
-                conds.append(self._col(self.expr()))
+                e = self.expr()
+                conds.append(e if isinstance(e, _SemiPred)
+                             else self._col(e))
                 self.accept("op", ",")
             if self.table is not tab:
                 # FK traversal in a condition joined helper columns —
                 # filter on the augmented frame, keep the original
                 # schema (`_MutableRef` DML still binds via tab)
-                return self.table.filter(*conds).project(
+                return _apply_conds(self.table, conds).project(
                     *tab.df.columns)
         finally:
             self.table = prev_table
-        return tab.filter(*conds)
+        return _apply_conds(tab, conds)
 
     def _projection(self, tab: Table):
         prev_table, self.table = self.table, tab
@@ -2168,6 +2227,11 @@ class Parser:
     def _col(self, v) -> Column:
         if isinstance(v, Column):
             return v
+        if isinstance(v, _SemiPred):
+            # membership used as a VALUE (projection, nested boolean
+            # math): bounded literal fallback — only a selection can
+            # lower it to a semi-join
+            return v.as_column()
         if isinstance(v, _BackrefRef):
             return v.pk_col()
         if isinstance(v, Table):
@@ -2678,10 +2742,18 @@ def _apply_function(parser: Parser, name: str, args, kwargs):
     # clean TypeError signal, never an internal IndexError (the
     # _min_args gate in the table-func chain gives the precise
     # message for those; this catches every other builtin — fmt(),
-    # type(), repr(), PY(), ... — uniformly)
+    # type(), repr(), PY(), ... — uniformly).  Only an IndexError
+    # whose traceback never LEFT this module is an arity miss — one
+    # raised inside an eagerly-executed operator body (e.g. kmeans
+    # centroid indexing) is a real error and re-raises untouched.
     try:
         return _apply_function_inner(parser, name, args, kwargs)
     except IndexError as e:
+        tb = e.__traceback__
+        while tb is not None:
+            if tb.tb_frame.f_code.co_filename != __file__:
+                raise
+            tb = tb.tb_next
         raise LangSignal(
             "TypeError", f"{name}(): wrong number of arguments") from e
 
@@ -2898,8 +2970,36 @@ def _apply_function_inner(parser: Parser, name: str, args, kwargs):
         return parser.engine.register(qual.split(".")[-1], df)
 
     # ---- interactive surface (pql_functions.py:735-813) ------------
-    if name == "names":
+    if name in ("names", "dir"):
+        # `dir` is the reference's alias for names
+        # (pql_functions.py:1103 `'dir': pql_names`)
         return _names_table(parser, args[0] if args else None)
+    if name == "serve_rest":
+        # reference pql_serve_rest (pql_functions.py:985-1040) takes a
+        # `{name: func}` struct; the lang spelling here is keyword
+        # endpoints — `serve_rest(index: index, port: 0)` — since
+        # standalone struct literals are a projection-only form.
+        # `block: false` (an extension) returns the server handle
+        # instead of serving forever.
+        from preql_spark.engine import _Delegate
+        from preql_spark.rest import serve_rest as _serve
+        port, block, eps = 8080, True, {}
+        for k, v in dict(kwargs).items():
+            if k == "port":
+                port = int(parser._pyval(v))
+            elif k == "block":
+                block = bool(parser._pyval(v))
+            else:
+                if isinstance(v, _UserFunc):
+                    v = _Delegate(parser.engine, v)
+                elif isinstance(v, _FuncRef):
+                    v = _Delegate(parser.engine, v.name)
+                eps[k] = v
+        if not eps:
+            raise LangSignal(
+                "TypeError",
+                "serve_rest() needs at least one `name: endpoint`")
+        return _serve(parser.engine, eps, port=port, block=block)
     if name == "help":
         return _help_text(parser, args[0] if args else None)
     if name == "tables":
@@ -3195,7 +3295,7 @@ def _make_maps():
 _AGG_MAP, _SCALAR_MAP = _make_maps()
 _FUNCTIONS = set(_AGG_MAP) | set(_SCALAR_MAP) | {
     "count", "fmt", "list", "isa", "issubclass", "type", "repr", "SQL",
-    "names", "help", "tables",
+    "names", "dir", "help", "tables", "serve_rest",
     # session/DDL control + row constructor (__builtins__.pql)
     "dict", "commit", "rollback", "run_statement",
     "remove_table", "remove_table_if_exists",

@@ -56,20 +56,26 @@ def cluster_sizes(assignments: DataFrame) -> DataFrame:
 def semdedup(df: DataFrame, tau: float = 0.45, k: int = 8, iters: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
              keep: str = "min_id",
-             pair_method: str = "arrow") -> DataFrame:
+             pair_method: str = "arrow",
+             max_group: int = 65_536) -> DataFrame:
     """Semantic dedup: cluster, then drop near-duplicate cluster-mates
     at cosine >= tau, keeping one representative per neighborhood.
 
     ``pair_method`` picks the min-id pair kernel:
 
-    - ``"arrow"`` (default): per-cluster BLOCKWISE gram matrix in an
-      Arrow ``applyInPandas`` kernel — the |cluster|² cosine stage is
-      dense vector math, which belongs in BLAS, not in Spark's
+    - ``"arrow"`` (default): BLOCKWISE gram matrices in an Arrow
+      ``applyInPandas`` kernel — the |cluster|² cosine stage is dense
+      vector math, which belongs in BLAS, not in Spark's
       higher-order-function fold (``zip_with``/``aggregate`` are
       CodegenFallback: interpreted per pair; the gram kernel measured
       ~8× faster on q101 at sf0.1, matching DuckDB's vectorized
-      throughput).  Task memory is bounded by the 4096-row block
-      pair, not the cluster.
+      throughput).  A cluster larger than ``max_group`` rows is
+      SALTED into hash sub-blocks and every sub-block pair becomes
+      its own task group, so per-task memory is bounded by
+      ``2·max_group`` rows (plus the 4096² gram block) — a
+      mega-cluster cannot OOM one executor; candidate volume is
+      unchanged (every in-cluster pair is still examined exactly
+      once per group it lands in, drops are de-duplicated after).
     - ``"sql"``: the pure-DataFrame cluster-local pair join — keeps
       everything JVM-side; the cross-check path (pytest asserts both
       methods return identical survivors).
@@ -100,7 +106,7 @@ def semdedup(df: DataFrame, tau: float = 0.45, k: int = 8, iters: int = 2,
     base = assigned.select(F.col(id_col).alias("__id"), "cluster",
                            F.col(vec_col).alias("__v"))
     if pair_method == "arrow":
-        drops = _min_id_drops_arrow(base, tau)
+        drops = _min_id_drops_arrow(base, tau, max_group=max_group)
     elif pair_method == "sql":
         normed = base.withColumn("__n", norm(F.col("__v")))
         left = normed.select(F.col("__id").alias("id_a"), "cluster",
@@ -131,24 +137,40 @@ def semdedup(df: DataFrame, tau: float = 0.45, k: int = 8, iters: int = 2,
 
 
 def _min_id_drops_arrow(base: DataFrame, tau: float,
-                        block: int = 4096) -> DataFrame:
+                        block: int = 4096,
+                        max_group: int = 65_536) -> DataFrame:
     """(__drop) ids having a lower-id cluster-mate at cosine >= tau,
-    via per-cluster blockwise gram matrices (see semdedup).  Zero-norm
-    vectors have undefined cosine and never match (numpy NaN >= tau is
-    False, matching the sql path's try_divide NULL).  Exactness note:
-    the sql fold sums products left-to-right while BLAS may sum
-    pairwise, so a cosine within one ulp of tau could in principle
-    differ between paths — real corpora (and the fixtures the
-    cross-check test uses) have finite margins at the threshold."""
+    via blockwise gram matrices (see semdedup).
 
-    def find_drops(pdf):
+    Memory bound: a cluster of n rows is hash-salted into
+    ``s = ceil(n / max_group)`` sub-blocks; each task group is one
+    sub-block pair (ga <= gb), so a task holds at most ``2·max_group``
+    rows of the cluster (plus one ``block``² float64 gram tile) no
+    matter how large the cluster is.  Every in-cluster pair lands in
+    exactly one group, drops are ``distinct``-ed because one id can be
+    dropped by several groups.  The common case (cluster <= max_group)
+    degenerates to s = 1, a single (0, 0) group per cluster.
+
+    The output schema mirrors the id column's own type, so string or
+    integral ids both work.  Zero-norm vectors have undefined cosine
+    and never match (numpy NaN >= tau is False, matching the sql
+    path's try_divide NULL).  Exactness note: the sql fold sums
+    products left-to-right while BLAS may sum pairwise, so a cosine
+    within one ulp of tau could in principle differ between paths —
+    real corpora (and the fixtures the cross-check test uses) have
+    finite margins at the threshold."""
+    from pyspark.sql import types as T
+
+    id_type = base.schema["__id"].dataType
+    out_schema = T.StructType([T.StructField("__drop", id_type)])
+
+    def _mat(part):
         import numpy as np
-        import pandas as pd
-        ids = pdf["__id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        m = np.stack(pdf["__v"].to_numpy()[order]).astype(np.float64)
-        nrm = np.linalg.norm(m, axis=1)
+        return np.stack(part.to_numpy()).astype(np.float64)
+
+    def _pairs_lower(ids, m, nrm):
+        """dropped[j] = any i < j with cos(i, j) >= tau (ids sorted)."""
+        import numpy as np
         n = len(ids)
         dropped = np.zeros(n, dtype=bool)
         for j0 in range(1, n, block):
@@ -166,11 +188,64 @@ def _min_id_drops_arrow(base: DataFrame, tau: float,
                 gj = np.arange(j0, j1)[None, :]
                 hit |= (match & (gi < gj)).any(axis=0)
             dropped[j0:j1] = hit
-        return pd.DataFrame({"__drop": ids[dropped]})
+        return dropped
 
-    return (base.select("cluster", "__id", "__v")
-            .groupBy("cluster")
-            .applyInPandas(find_drops, schema="__drop long"))
+    def find_drops(key, pdf):
+        import numpy as np
+        import pandas as pd
+        _, ga, gb = key
+        if ga == gb:
+            pdf = pdf.sort_values("__id", kind="mergesort")
+            ids = pdf["__id"].to_numpy()
+            m = _mat(pdf["__v"])
+            dropped = _pairs_lower(ids, m, np.linalg.norm(m, axis=1))
+            return pd.DataFrame({"__drop": ids[dropped]})
+        # cross-sub-block group: compare block ga rows against block
+        # gb rows; whichever side of a matched pair has the HIGHER id
+        # drops (within-block pairs belong to the (b, b) groups)
+        a, b = pdf[pdf["__b"] == ga], pdf[pdf["__b"] == gb]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"__drop": pdf["__id"][:0]})
+        ida, idb = a["__id"].to_numpy(), b["__id"].to_numpy()
+        ma, mb = _mat(a["__v"]), _mat(b["__v"])
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        drop_a = np.zeros(len(ida), dtype=bool)
+        drop_b = np.zeros(len(idb), dtype=bool)
+        for i0 in range(0, len(ida), block):
+            i1 = min(i0 + block, len(ida))
+            for j0 in range(0, len(idb), block):
+                j1 = min(j0 + block, len(idb))
+                g = ma[i0:i1] @ mb[j0:j1].T
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = g / np.outer(na[i0:i1], nb[j0:j1])
+                match = sim >= tau
+                lower = ida[i0:i1, None] < idb[None, j0:j1]
+                drop_b[j0:j1] |= (match & lower).any(axis=0)
+                drop_a[i0:i1] |= (match & ~lower).any(axis=1)
+        return pd.DataFrame(
+            {"__drop": np.concatenate([ida[drop_a], idb[drop_b]])})
+
+    sizes = base.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("__cn"))
+    salted = (base.join(F.broadcast(sizes), "cluster")
+              .withColumn("__s", F.ceil(F.col("__cn") / F.lit(max_group))
+                          .cast("int"))
+              .withColumn("__b", F.pmod(F.hash("__id"), F.col("__s"))
+                          .cast("int")))
+    # one group struct per sub-block t: (min(t,b), max(t,b)) — exactly
+    # the s groups this row participates in, covering every block pair
+    groups = F.transform(
+        F.sequence(F.lit(0), F.col("__s") - 1),
+        lambda t: F.struct(F.least(t, F.col("__b")).alias("ga"),
+                           F.greatest(t, F.col("__b")).alias("gb")))
+    return (salted.select("cluster", "__b", "__id", "__v",
+                          F.explode(groups).alias("__g"))
+            .select("cluster", F.col("__g.ga").alias("__ga"),
+                    F.col("__g.gb").alias("__gb"), "__b", "__id", "__v")
+            .groupBy("cluster", "__ga", "__gb")
+            .applyInPandas(find_drops, schema=out_schema)
+            .distinct())
 
 
 def _semdedup_centroid(assigned: DataFrame, cents: list, tau: float,

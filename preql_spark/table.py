@@ -491,15 +491,35 @@ class Table:
         return self._with(self.df.sample(fraction=frac, seed=seed).limit(n))
 
     # ---- window helpers --------------------------------------------
-    def enum(self, order_by=None, distributed: bool = False) -> "Table":
+    #: auto-switch threshold for enum(): inputs estimated above this
+    #: take the distributed plan (a "driver page" of interactive
+    #: results stays on the simple global window).  Catalyst's
+    #: sizeInBytes OVERestimates post-filter, which errs toward the
+    #: safe (parallel) plan.
+    ENUM_AUTO_BYTES = 64 * 1024 * 1024
+
+    def enum(self, order_by=None,
+             distributed: bool | None = None) -> "Table":
         """Reference enum(tbl): prepend 0-based ``index``
         (__builtins__.pql:290-311).
 
-        Default path: one global window (fine for small/medium results,
-        single-partition for the final rank).  ``distributed=True``
-        uses the two-pass range-partition + per-partition offsets plan
-        that stays parallel at 100 TB (one tiny count job plus per-
-        partition windows instead of one global sort partition)."""
+        ``distributed=None`` (default) AUTO-SWITCHES: inputs whose
+        Catalyst size estimate exceeds ``ENUM_AUTO_BYTES`` take the
+        two-pass range-partition + per-partition-offsets plan (stays
+        parallel at 100 TB — one tiny count job plus per-partition
+        windows), anything interactive-sized keeps the one global
+        window.  Pass True/False to force a path; the two plans agree
+        whenever the order key is unique (ties may enumerate in a
+        different — equally valid — order)."""
+        if distributed is None:
+            try:
+                est = self.df._jdf.queryExecution().optimizedPlan() \
+                    .stats().sizeInBytes()
+                if not isinstance(est, int):  # py4j BigInteger
+                    est = int(est.toString())
+                distributed = est > self.ENUM_AUTO_BYTES
+            except Exception:
+                distributed = False
         if distributed:
             return self._enum_distributed(order_by)
         if order_by is not None:
@@ -708,6 +728,9 @@ class Table:
                 con.execute(f"DROP TABLE {qt}")
                 exists = None
             if not exists:
+                # decimals declare TEXT deliberately: NUMERIC affinity
+                # would coerce the bound string to a lossy REAL —
+                # TEXT keeps the full precision round-trippable
                 decl = ", ".join(
                     f'"{n}" {_SQLT.get(t, "TEXT")}' for n, t in cols)
                 con.execute(f"CREATE TABLE {qt} ({decl})")
@@ -727,10 +750,23 @@ class Table:
                 return v
 
             def bindable(v):
+                import datetime as _dt
+                import decimal as _dec
+
                 from pyspark.sql import Row as _Row
                 if isinstance(v, (_Row, dict, list, tuple)):
                     import json
                     return json.dumps(jsonable(v), default=str)
+                if isinstance(v, _dec.Decimal):
+                    # sqlite3 can't bind Decimal; str is lossless and
+                    # SQLite's NUMERIC affinity reads it back numeric
+                    return str(v)
+                if isinstance(v, _dt.datetime):
+                    # explicit ISO text — sqlite3's default datetime
+                    # adapters are deprecated since Python 3.12
+                    return v.isoformat(sep=" ")
+                if isinstance(v, _dt.date):
+                    return v.isoformat()
                 return v
 
             n, batch = 0, []

@@ -1796,3 +1796,103 @@ def test_zero_arg_builtins_raise_cleanly(eng):
                 "inspect_sql()", "columns()", "list()"):
         with pytest.raises((LangSignal, TypeError, NameError)):
             eng.q(src)
+
+
+def test_in_table_lowers_to_semi_join(eng):
+    """Selection `x in <table>` lowers to a LeftSemi join engine-side
+    (reference Contains compiles to IN (SELECT ...), sql.py:319-329)
+    — no driver collect, no 100k bound."""
+    out = eng.q('customer[c_nationkey in '
+                'nation[n_regionkey == 0]{n_nationkey}]')
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    exp = eng.spark.sql(
+        "SELECT count(*) FROM {c} WHERE c_nationkey IN "
+        "(SELECT n_nationkey FROM {n} WHERE n_regionkey = 0)",
+        c=eng.t.customer.df, n=eng.t.nation.df).collect()[0][0]
+    assert out.count() == exp > 0
+
+
+def test_not_in_table_null_aware_anti(eng):
+    """`!in <table>` keeps SQL NOT IN semantics via the null-aware
+    LeftAnti shape Spark's own NOT-IN rewrite produces."""
+    out = eng.q('customer[c_nationkey !in '
+                'nation[n_regionkey == 0]{n_nationkey}]')
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    exp = eng.spark.sql(
+        "SELECT count(*) FROM {c} WHERE c_nationkey NOT IN "
+        "(SELECT n_nationkey FROM {n} WHERE n_regionkey = 0)",
+        c=eng.t.customer.df, n=eng.t.nation.df).collect()[0][0]
+    assert out.count() == exp > 0
+    # NOT IN with a NULL on the RHS is SQL-empty — the null-aware
+    # join must reproduce that quirk, not anti-join semantics
+    eng2 = type(eng)(eng.spark)
+    eng2.register("lhs", eng.spark.createDataFrame(
+        [(1,), (2,)], "x long"))
+    eng2.register("rhs", eng.spark.sql(
+        "SELECT * FROM VALUES (1), (NULL) AS t(x)"))
+    assert eng2.q('lhs[x !in rhs{x}]').count() == 0
+
+
+def test_in_table_projection_context_falls_back(eng):
+    """Outside a selection the membership is a bounded literal
+    column (the semi-join is selection-only)."""
+    out = eng.q('customer{c_custkey, '
+                'is0: c_nationkey in nation[n_regionkey == 0]'
+                '{n_nationkey}}')
+    semi_rows = eng.q('customer[c_nationkey in '
+                      'nation[n_regionkey == 0]{n_nationkey}]').count()
+    assert out.df.where("is0").count() == semi_rows
+
+
+def test_dir_builtin_aliases_names(eng):
+    """`dir()` is the reference's alias for names()
+    (pql_functions.py:1103)."""
+    a = {tuple(r) for r in eng.q('dir()').collect()}
+    b = {tuple(r) for r in eng.q('names()').collect()}
+    assert a == b and len(a) > 0
+
+
+def test_serve_rest_lang_builtin(eng):
+    """serve_rest(name: endpoint, ...) from the language
+    (pql_functions.py:985-1040); block:false returns the handle."""
+    import json
+    import urllib.request
+    srv = eng.q('func hello() = "Hello World!";'
+                'serve_rest(hi: hello, tab: nation, '
+                'port: 0, block: false)')
+    try:
+        port = srv.server_port
+        idx = json.load(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/"))
+        hi = json.load(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/hi"))
+        tab = json.load(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/tab?limit=3"))
+    finally:
+        srv.shutdown()
+    assert idx == ["hi", "tab"]
+    assert hi == "Hello World!" and len(tab) == 3
+    from preql_spark.lang import LangSignal
+    with pytest.raises(LangSignal, match="endpoint"):
+        eng.q('serve_rest(port: 0)')
+
+
+def test_operator_index_error_not_mislabeled(eng):
+    """An IndexError raised INSIDE an eagerly-executed operator body
+    must surface as-is, not as the arity backstop's 'wrong number of
+    arguments' (ADVICE r4): only IndexErrors that never left lang.py
+    frames are arity misses."""
+    from preql_spark import lang as _lang
+
+    def boom(*a, **k):
+        raise IndexError("operator-internal")
+
+    orig = _lang._names_table
+    _lang._names_table = boom
+    try:
+        with pytest.raises(IndexError, match="operator-internal"):
+            eng.q('names()')
+    finally:
+        _lang._names_table = orig

@@ -115,6 +115,36 @@ def test_semdedup_arrow_equals_sql(eng, emb):
         semdedup(emb, pair_method="nope")
 
 
+def test_semdedup_mega_cluster_salted(eng, emb):
+    """A cluster >= 10x the max_group cap is salted into sub-block
+    pair groups (per-task memory bounded by 2*max_group rows) and
+    must return the same survivors as the unsalted sql pair join."""
+    from preql_spark.operators.cluster import semdedup
+    # k=1 puts the whole corpus (500 rows) in ONE cluster; cap 48
+    # makes that >10x the cap -> ceil(500/48) = 11 sub-blocks
+    salted = {tuple(r) for r in semdedup(
+        emb, tau=0.45, k=1, iters=1, pair_method="arrow",
+        max_group=48).collect()}
+    plain = {tuple(r) for r in semdedup(
+        emb, tau=0.45, k=1, iters=1, pair_method="sql").collect()}
+    assert salted == plain and len(salted) > 0
+
+
+def test_semdedup_string_ids(eng, emb):
+    """Non-integral id columns work on the arrow path (output schema
+    mirrors the id type) and agree with the sql path."""
+    from preql_spark.operators.cluster import semdedup
+    semb = emb.selectExpr(
+        "concat('doc_', lpad(cast(vec_id as string), 6, '0')) vec_id",
+        "embedding")
+    a = {tuple(r) for r in semdedup(
+        semb, tau=0.45, k=4, iters=1, pair_method="arrow").collect()}
+    s = {tuple(r) for r in semdedup(
+        semb, tau=0.45, k=4, iters=1, pair_method="sql").collect()}
+    assert a == s and len(a) > 0
+    assert all(isinstance(i, str) for i, _ in a)
+
+
 def test_semdedup_arrow_blockwise(eng, emb):
     """A block size smaller than the cluster exercises the blocked
     gram loops and must not change the result."""

@@ -90,6 +90,54 @@ def test_duckdb_source(spark, tmp_path):
     assert t.df.filter(F.col("s") == "v3").collect()[0].i == 3
 
 
+def test_duckdb_streamed_batches_and_types(spark, tmp_path):
+    """A table bigger than one Arrow batch spills to temp parquet
+    (bounded driver memory) and comes back value-identical; int64
+    columns WITH NULLs stay bigint (no pandas float64 detour), and
+    integers beyond 2^53 survive exactly."""
+    import duckdb
+    p = str(tmp_path / "big.duckdb")
+    con = duckdb.connect(p)
+    con.execute(
+        "CREATE TABLE t AS SELECT "
+        "CASE WHEN range % 7 = 0 THEN NULL ELSE range END AS id, "
+        "9007199254740993 + range AS big, "
+        "'r' || range AS s FROM range(5000)")
+    con.close()
+    from preql_spark.sources.sqldb import duckdb_table_df
+    df = duckdb_table_df(spark, p, "t", batch_rows=1000)  # forces spill
+    dt = dict(df.dtypes)
+    assert dt["id"] == "bigint" and dt["big"] == "bigint"
+    assert df.count() == 5000
+    assert df.where("id is null").count() == 5000 // 7 + 1
+    assert df.agg(F.max("big")).collect()[0][0] == 9007199254740993 + 4999
+    # small path: in-memory Arrow table, same types
+    small = duckdb_table_df(spark, p, "t", batch_rows=1_000_000)
+    assert dict(small.dtypes) == dt
+    assert small.count() == 5000
+
+
+def test_write_sqlite_decimal_date_datetime(spark, eng, tmp_path):
+    """Decimal binds as lossless text (NUMERIC affinity reads it back
+    numeric), date/datetime as explicit ISO strings — no reliance on
+    sqlite3's deprecated default adapters."""
+    p = str(tmp_path / "dec.db")
+    df = spark.createDataFrame(
+        [(1, "12345678901234.5678", "2024-03-31", "2024-03-31 12:34:56")],
+        "id long, d string, day string, ts string").selectExpr(
+        "id", "cast(d as decimal(20,4)) d", "cast(day as date) day",
+        "cast(ts as timestamp) ts")
+    n = eng.from_df(df).write_sqlite(p, "t")
+    assert n == 1
+    con = sqlite3.connect(p)
+    d, day, ts = con.execute("SELECT d, day, ts FROM t").fetchone()
+    decl = {r[1]: r[2] for r in con.execute("PRAGMA table_info(t)")}
+    con.close()
+    # TEXT, not NUMERIC: NUMERIC affinity would coerce to lossy REAL
+    assert str(d) == "12345678901234.5678" and decl["d"] == "TEXT"
+    assert day == "2024-03-31" and ts == "2024-03-31 12:34:56"
+
+
 def test_sqlite_round_trip(spark, eng, tmp_path):
     """write_sqlite -> import_sqlite round-trips values and types (the
     full migration loop with the reference's storage format)."""
