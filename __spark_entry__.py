@@ -1619,6 +1619,78 @@ def q123_lang_pipeline_builtins(spark, sf_dir) -> DataFrame:
     return out.df.select("doc_id", "source", "n_chars")
 
 
+def q124_lsh_selective_neardup(spark, sf_dir) -> DataFrame:
+    """Embedding near-dup on the SELECTIVE LSH regime (n_planes=64,
+    max_hamming=5 -> 6 bands x 10 bits, ~0.6% random band collision)
+    over a corpus with PLANTED near-duplicates: every 40th vector
+    gains a deterministically perturbed copy (id + 1_000_000,
+    elementwise x + 0.15*|x|*h with h a portable-hash value in
+    [-1, 1), cos ~0.99).  This grades the banded join where bands are
+    actually selective — the q41 instance (16 planes / 2-bit bands)
+    is permissive on the synthetic corpus (similarity.py docstring
+    admits it); here candidates are plan-measurably << n^2/2
+    (tests/test_plans.py::test_lsh_selective_candidate_count).
+    Oracle: brute all-pairs replay of the same signature + hamming +
+    cosine contract (pigeonhole recall makes the banded plan exactly
+    equivalent)."""
+    from preql_spark.operators import similarity
+    from preql_spark.operators.text import portable_hash
+    e = _eng(spark, sf_dir).t.embeddings.df
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", vd.alias("embedding"))
+
+    def h(i):
+        return (portable_hash(F.concat(
+            F.lit("perturb:"), F.col("vec_id").cast("string"),
+            F.lit(":"), i.cast("string"))) % 2001 - 1000) / 1000.0
+
+    pert = (base.filter(F.col("vec_id") % 40 == 0)
+            .select((F.col("vec_id") + 1000000).alias("__nid"),
+                    F.transform(F.col("embedding"),
+                                lambda x, i: x + 0.15 * F.abs(x) * h(i))
+                    .alias("embedding"), F.col("vec_id"))
+            .select(F.col("__nid").alias("vec_id"), "embedding"))
+    aug = base.unionByName(pert)
+    out = similarity.lsh_cosine_pairs_exact(aug, 0.9, dim=64,
+                                            max_hamming=5, n_planes=64)
+    return out.select("id_a", "id_b", "hamming",
+                      _pr4(F.col("sim")).alias("sim"))
+
+
+def q125_lang_in_table(spark, sf_dir) -> DataFrame:
+    """Lang `x in <table>` selection lowered to a LeftSemi join
+    engine-side (reference Contains -> IN (SELECT ...),
+    sql.py:319-329) — no driver collect, no size bound;
+    tests/test_lang.py asserts the LeftSemi plan shape."""
+    eng = _eng(spark, sf_dir)
+    out = eng.q('customer[c_nationkey in nation[n_regionkey == 0]'
+                '{n_nationkey}]{c_custkey, c_nationkey, c_acctbal}')
+    return out.df
+
+
+def q126_stream_neardup_ingest(spark, sf_dir) -> DataFrame:
+    """Two-wave incremental ingestion with NEAR-dup rejection against
+    the growing MinHash-band state store.  Waves arrive in id order,
+    so the surviving store provably equals the one-shot batch rule
+    "drop id_b of every verified near-dup pair" — the oracle replays
+    that rule brute-force (exact shingle Jaccard >= 0.9, the q38
+    contract) over the whole corpus."""
+    import tempfile
+
+    from preql_spark.streaming.stream import incremental_neardup_ingest
+    eng = _eng(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="q126_")
+    src, store, ck = (os.path.join(tmp, d)
+                      for d in ("src", "store", "ck"))
+    d = eng.t.documents.df.select("doc_id", "text")
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_neardup_ingest(spark, src, store, ck, threshold=0.9)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_neardup_ingest(spark, src, store, ck,
+                                     threshold=0.9)
+    return out.select("doc_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1717,6 +1789,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- end of the 50-entry driver window -------------------------
     # r5 queue (never driver-tested, battery-green):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
+    "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
+    "q125_lang_in_table": q125_lang_in_table,
+    "q126_stream_neardup_ingest": q126_stream_neardup_ingest,
     "q54_fmt_interpolation": q54_fmt_interpolation,
     "q55_lang_pipeline": q55_lang_pipeline,
     "q56_lang_join": q56_lang_join,
@@ -3234,6 +3309,94 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, source, n_chars FROM dedup
         WHERE doc_id % 5 <> 0
           AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    # brute mirror of the SELECTIVE LSH contract over the corpus with
+    # planted near-dups (see q124): perturbed copies built with the
+    # same portable hash + exact expression shape, then 64-plane
+    # signatures, hamming <= 5, cosine >= 0.9 over ALL pairs
+    "q124_lsh_selective_neardup": """
+        WITH emb0 AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        pcomp AS (
+          SELECT vec_id, d, x + 0.15 * abs(x) *
+                 ((('0x' || substr(md5('perturb:' || vec_id || ':' || d), 1, 15))::BIGINT
+                   % 2001 - 1000) / 1000.0) AS xd
+          FROM (SELECT vec_id, unnest(v) AS x, unnest(range(0, 64)) AS d
+                FROM emb0 WHERE vec_id % 40 = 0)
+        ),
+        pert AS (
+          SELECT vec_id + 1000000 AS vec_id, list(xd ORDER BY d) AS v
+          FROM pcomp GROUP BY vec_id
+        ),
+        emb AS (SELECT * FROM emb0 UNION ALL SELECT * FROM pert),
+        comp AS (
+          SELECT p, d,
+                 (('0x' || substr(md5('plane:' || p || ':' || d), 1, 15))::BIGINT
+                  % 2001 - 1000) / 1000.0 AS c
+          FROM range(0, 64) r1(p), range(0, 64) r2(d)
+        ),
+        planes AS (SELECT p, list(c ORDER BY d) AS plane FROM comp GROUP BY p),
+        proj AS (
+          SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.plane) AS pr
+          FROM emb e CROSS JOIN planes pl
+        ),
+        sigs AS (
+          -- p = 63 is the sign bit: DuckDB raises on 1 << 63, so it
+          -- is spelled as the min-BIGINT literal; the HUGEINT sum of
+          -- mixed-sign terms CASTs back to the same signed 64-bit
+          -- signature Spark's long addition produces
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN pr > 0 THEN
+                            CASE WHEN p = 63
+                                 THEN (-9223372036854775807 - 1)
+                                 ELSE (1::BIGINT << p) END
+                          ELSE 0 END) AS BIGINT) AS sig
+          FROM proj GROUP BY vec_id
+        ),
+        cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+          FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+          WHERE bit_count(xor(a.sig, b.sig)) <= 5
+        ),
+        s AS (
+          SELECT c.id_a, c.id_b, c.hamming,
+                 list_dot_product(ea.v, eb.v)
+                 / (sqrt(list_dot_product(ea.v, ea.v))
+                    * sqrt(list_dot_product(eb.v, eb.v))) AS sim
+          FROM cand c JOIN emb ea ON c.id_a = ea.vec_id
+                      JOIN emb eb ON c.id_b = eb.vec_id
+        )
+        SELECT id_a, id_b, hamming,
+               floor(sim * 10000 + 0.5) / 10000 AS sim
+        FROM s WHERE sim >= 0.9
+    """,
+    "q125_lang_in_table": """
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                              WHERE n_regionkey = 0)
+    """,
+    # one-shot replay of the incremental near-dup keep rule: a doc
+    # survives iff it is never the HIGHER id of a verified near-dup
+    # pair (exact shingle Jaccard >= 0.9 — the q38 brute contract)
+    "q126_stream_neardup_ingest": r"""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      array_to_string(list_slice(toks, i, i + 2), ' ') AS s
+               FROM t, UNNEST(range(1, greatest(len(toks) - 1, 2))) AS r(i)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        jac AS (SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS j
+                FROM inter
+                JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM jac WHERE j >= 0.9)
     """,
     "q115_mixture_sample": """
         SELECT doc_id, source FROM documents

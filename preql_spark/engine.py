@@ -550,6 +550,21 @@ class Engine:
         from preql_spark.sources.sqldb import import_duckdb
         return import_duckdb(self, path, tables=tables, prefix=prefix)
 
+    def import_jdbc(self, uri: str, tables: list | None = None,
+                    partition_cols: dict | None = None,
+                    num_partitions: int = 8, prefix: str = "",
+                    properties: dict | None = None) -> dict:
+        """Live-database source over ``spark.read.jdbc`` — the
+        migration path for the reference's server dialects
+        (postgres/mysql/... — sql.py:11-19, sql_interface.py:965).
+        ``partition_cols`` picks per-table partition columns for
+        parallel range scans; see :mod:`preql_spark.sources.jdbc`."""
+        from preql_spark.sources.jdbc import import_jdbc
+        return import_jdbc(self, uri, tables=tables,
+                           partition_cols=partition_cols,
+                           num_partitions=num_partitions, prefix=prefix,
+                           properties=properties)
+
     def import_git(self, repo: str, prefix: str = "") -> dict:
         """Git-repository source (reference ``connect("git://...")``,
         GitInterface sql_interface.py:877-949): registers ``commits``
@@ -622,6 +637,16 @@ def connect(spark: SparkSession | None = None, data_dir: str | None = None) -> E
             eng.import_sqlite(data_dir[len("sqlite://"):])
         elif data_dir.startswith(("duck://", "duckdb://")):
             eng.import_duckdb(data_dir.split("://", 1)[1])
+        elif "://" in data_dir:
+            from preql_spark.sources.jdbc import _DIALECTS
+            scheme = data_dir.split("://", 1)[0].lower()
+            if scheme in _DIALECTS or scheme == "bigquery":
+                # server dialects (postgres://, mysql://, ... —
+                # reference sql_interface.py:965-1025): reflect the
+                # current schema over partitioned spark.read.jdbc
+                eng.import_jdbc(data_dir)
+            else:
+                eng.load_dir(data_dir)
         else:
             eng.load_dir(data_dir)
     return eng

@@ -270,3 +270,119 @@ def incremental_dedup_ingest(spark: SparkSession, src_path: str,
          .start())
     q.awaitTermination()
     return spark.read.parquet(store_path)
+
+
+def incremental_neardup_ingest(spark: SparkSession, src_path: str,
+                               store_path: str, checkpoint: str,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               n_hashes: int = 16, bands: int = 8,
+                               shingle_k: int = 3,
+                               threshold: float = 0.9,
+                               max_bucket: int = 200,
+                               state_path: str | None = None) -> DataFrame:
+    """Incremental corpus ingestion that drops NEAR-duplicates (not
+    just exact ones) against everything already seen — the streaming
+    face of :func:`preql_spark.operators.dedup.minhash_lsh_pairs`.
+
+    Contract: a new document is rejected iff it has a verified
+    near-duplicate (exact shingle-Jaccard >= ``threshold``) with a
+    LOWER id among all documents seen so far (earlier waves or
+    earlier ids in its own batch).  When waves arrive in id order —
+    the append-only ingestion shape — the surviving store equals the
+    one-shot batch rule "drop id_b of every minhash near-dup pair",
+    which is what the q126 oracle replays.  Out-of-order waves
+    degrade gracefully to first-seen-wins (an accepted document is
+    never retroactively dropped).
+
+    State (``state_path``, default ``<store>_state``) holds one row
+    per SEEN document — kept or dropped — with its ``bands`` band
+    keys (8 bytes each) and distinct shingle set.  Scale shape per
+    batch: candidate generation joins the batch's NARROW (id, band,
+    key) rows against the state's equally narrow exploded band
+    columns; shingle arrays are only joined for the candidate ids
+    (the band join, not the corpus, bounds that fan-in).  Dropped
+    documents must stay in the state: they can still be the witness
+    that rejects a later near-copy of themselves.
+
+    Idempotence: a replayed batch (checkpoint recovery) is id-anti-
+    joined against the state first, so it appends nothing."""
+    from pyspark.sql import Window
+
+    from preql_spark.operators.dedup import (minhash_signature_df,
+                                             shingles_from_tokens)
+    from preql_spark.operators.text import tokens
+    from preql_spark.parquet_io import hadoop_dir_has_files
+
+    state_path = state_path or store_path.rstrip("/") + "_state"
+    rows_per_band = n_hashes // bands
+    schema = spark.read.parquet(src_path).schema  # footer-only peek
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        have_state = hadoop_dir_has_files(s, state_path)
+        if have_state:
+            seen_ids = s.read.parquet(state_path).select(
+                F.col(id_col).alias("__id"))
+            batch = batch.join(
+                seen_ids, batch[id_col] == seen_ids["__id"], "left_anti")
+        sh = (batch.select(F.col(id_col).alias("__id"),
+                           tokens(text_col).alias("__t"))
+              .select("__id", shingles_from_tokens(F.col("__t"), shingle_k)
+                      .alias("__sh")).persist())
+        sig = minhash_signature_df(sh, "__id", "__sh", n_hashes,
+                                   portable=False)
+        band_arr = F.array(*[
+            F.hash(F.slice("__sig", b * rows_per_band + 1, rows_per_band))
+            for b in range(bands)])
+        new_state = sig.select("__id", band_arr.alias("__bands")) \
+            .join(sh, "__id") \
+            .select(F.col("__id").alias(id_col),
+                    F.col("__bands").alias("bands"),
+                    F.col("__sh").alias("sh")).persist()
+        batch_banded = new_state.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode("bands").alias("__band", "__bkey"))
+        all_banded, all_sh = batch_banded, sh
+        if have_state:
+            st = s.read.parquet(state_path)
+            all_banded = all_banded.unionByName(st.select(
+                F.col(id_col).alias("__id"),
+                F.posexplode("bands").alias("__band", "__bkey")))
+            all_sh = all_sh.unionByName(st.select(
+                F.col(id_col).alias("__id"), F.col("sh").alias("__sh")))
+        wb = Window.partitionBy("__band", "__bkey")
+        all_banded = (all_banded
+                      .withColumn("__bn", F.count(F.lit(1)).over(wb))
+                      .filter(F.col("__bn") <= max_bucket).drop("__bn"))
+        a, b = all_banded.alias("a"), batch_banded.alias("b")
+        cands = (a.join(b, (F.col("a.__band") == F.col("b.__band"))
+                        & (F.col("a.__bkey") == F.col("b.__bkey"))
+                        & (F.col("a.__id") < F.col("b.__id")))
+                 .select(F.col("a.__id").alias("id_a"),
+                         F.col("b.__id").alias("id_b"))
+                 .dropDuplicates(["id_a", "id_b"]))
+        cands = (cands
+                 .join(all_sh.select(F.col("__id").alias("id_a"),
+                                     F.col("__sh").alias("sh_a")), "id_a")
+                 .join(all_sh.select(F.col("__id").alias("id_b"),
+                                     F.col("__sh").alias("sh_b")), "id_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        drops = (cands.filter((inter / union).cast("double") >= threshold)
+                 .select(F.col("id_b").alias("__drop")).distinct())
+        survivors = batch.join(
+            drops, batch[id_col] == drops["__drop"], "left_anti")
+        survivors.write.mode("append").parquet(store_path)
+        # every seen doc (kept or dropped) becomes state for later waves
+        new_state.write.mode("append").parquet(state_path)
+        new_state.unpersist()
+        sh.unpersist()
+
+    q = (spark.readStream.schema(schema).parquet(src_path)
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(store_path)

@@ -287,3 +287,48 @@ def test_lang_plan_equals_api_plan(spark, eng):
     for src, api in cases:
         assert normalized_plan(eng.q(src).df) == \
             normalized_plan(api().df), src
+
+
+def test_lsh_selective_candidate_count(spark):
+    """The q124 selective regime (64 planes, 10-bit bands) must
+    generate FAR fewer banded candidates than all-pairs — the scale
+    property the permissive q41 instance (2-bit bands) cannot show.
+    Measured, not asserted from theory: candidates < 5% of n^2/2."""
+    from preql_spark.operators.similarity import hyperplane_signature
+    from preql_spark.operators.text import portable_hash
+    # rebuild the augmented corpus exactly as q124 does
+    e = entry._eng(spark, SF_DIR).t.embeddings.df
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", vd.alias("embedding"))
+
+    def h(i):
+        return (portable_hash(F.concat(
+            F.lit("perturb:"), F.col("vec_id").cast("string"),
+            F.lit(":"), i.cast("string"))) % 2001 - 1000) / 1000.0
+
+    pert = (base.filter(F.col("vec_id") % 40 == 0)
+            .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                    F.transform(F.col("embedding"),
+                                lambda x, i: x + 0.15 * F.abs(x) * h(i))
+                    .alias("embedding")))
+    aug = base.unionByName(pert)
+    n = aug.count()
+    n_planes, max_hamming = 64, 5
+    bands = max_hamming + 1
+    bits_per = n_planes // bands
+    sig = aug.select(F.col("vec_id").alias("__id"),
+                     hyperplane_signature(F.col("embedding"), 64,
+                                          n_planes).alias("__sig"))
+    banded = sig.select("__id", F.posexplode(F.array(*[
+        F.pmod(F.shiftright("__sig", b * bits_per),
+               F.lit(2 ** bits_per)) for b in range(bands)]))
+        .alias("__band", "__bkey"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (a.join(b, (F.col("a.__band") == F.col("b.__band"))
+                    & (F.col("a.__bkey") == F.col("b.__bkey"))
+                    & (F.col("a.__id") < F.col("b.__id")))
+             .select("a.__id", "b.__id").distinct().count())
+    assert cands < 0.05 * (n * (n - 1) / 2), (cands, n)
+    # and the planted pairs still surface (recall at selectivity)
+    found = entry.q124_lsh_selective_neardup(spark, SF_DIR).count()
+    assert found > 0

@@ -331,3 +331,31 @@ def test_incremental_dedup_ingest(spark, eng, tmp_path):
     # re-run with nothing new: checkpoint sees no files, store unchanged
     out3 = incremental_dedup_ingest(spark, src, store, ck)
     assert out3.count() == 80
+
+
+def test_incremental_neardup_ingest_equals_batch(spark, eng, tmp_path):
+    """Two-wave NEAR-dup ingest (MinHash-band state store) must equal
+    the one-shot batch rule: drop id_b of every verified near-dup
+    pair (exact Jaccard >= threshold) over the full corpus."""
+    from preql_spark.operators.dedup import minhash_lsh_pairs
+    from preql_spark.streaming.stream import incremental_neardup_ingest
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+
+    docs = eng.t.documents.df.select("doc_id", "text")
+    docs.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_neardup_ingest(spark, src, store, ck, threshold=0.9)
+    docs.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_neardup_ingest(spark, src, store, ck, threshold=0.9)
+
+    pairs = minhash_lsh_pairs(docs, "doc_id", threshold=0.9)
+    dropped = {r.id_b for r in pairs.select("id_b").distinct().collect()}
+    batch_keep = {r.doc_id for r in docs.select("doc_id").collect()} - dropped
+    stream_keep = {r.doc_id for r in out.select("doc_id").collect()}
+    assert stream_keep == batch_keep
+    assert len(dropped) > 0          # the corpus must exercise the rule
+
+    # idempotence: replay with nothing new changes nothing
+    out2 = incremental_neardup_ingest(spark, src, store, ck, threshold=0.9)
+    assert out2.count() == out.count()
