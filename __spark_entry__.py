@@ -1736,15 +1736,37 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       q68, q85, q90, q92), multimodal (q116).  Deferred to the
     #       r5 window (family-redundant, battery-green): q54, q55,
     #       q56, q69, q71, q74, q77, q83.
+    #   r5: the 12 never-driver-confirmed queries enter — the 9
+    #       deferred above (q54-q56, q69, q71, q74, q77, q83, q123)
+    #       plus this round's new q124 (selective-regime LSH), q125
+    #       (lang in-table semi-join), q126 (streaming near-dup
+    #       ingest) — closing lifetime external confirmation at
+    #       126/126.  Displaced (all r4-green; family keeps an
+    #       in-window representative): q41 ← q124 (same operator,
+    #       stricter regime), q85 ← q54 (fmt), q68 ← q56 (lang
+    #       join), q90 (lang: q61/q92/q123/q125 remain), q58 ← q74
+    #       (hash sampling; q65/q84/q115 remain), q109 ← q77
+    #       (quantile gates), q72 (agg: q53/q57/q59/q69/q70/q71/q81
+    #       remain), q63/q67/q79 (streaming: q87/q112/q118/q122/q126
+    #       remain), q97 (similarity: q80/q86/q113/q124 remain),
+    #       q110 (layout/tooling: q111/q120/q121 remain).
+    "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
+    "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
+    "q125_lang_in_table": q125_lang_in_table,
+    "q126_stream_neardup_ingest": q126_stream_neardup_ingest,
+    "q54_fmt_interpolation": q54_fmt_interpolation,
+    "q55_lang_pipeline": q55_lang_pipeline,
+    "q56_lang_join": q56_lang_join,
+    "q69_collect_explode_roundtrip": q69_collect_explode_roundtrip,
+    "q71_histogram": q71_histogram,
+    "q74_split_by_hash": q74_split_by_hash,
+    "q77_quantile_filter": q77_quantile_filter,
+    "q83_strip_short_lines": q83_strip_short_lines,
     "q95_repetition_metrics": q95_repetition_metrics,
-    "q41_embedding_neardup": q41_embedding_neardup,
     "q113_contrastive_pairs": q113_contrastive_pairs,
     "q96_decontaminate": q96_decontaminate,
-    "q97_quantize_embeddings": q97_quantize_embeddings,
     "q98_bm25_top_terms": q98_bm25_top_terms,
     "q108_snapshot_diff": q108_snapshot_diff,
-    "q109_quantile_bucketize": q109_quantile_bucketize,
-    "q110_zorder_key": q110_zorder_key,
     "q111_skew_report": q111_skew_report,
     "q112_stream_ingest_dedup": q112_stream_ingest_dedup,
     "q115_mixture_sample": q115_mixture_sample,
@@ -1759,48 +1781,40 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_window_battery": q52_window_battery,
     "q53_cube": q53_cube,
     "q57_describe_stats": q57_describe_stats,
-    "q58_sample_hash": q58_sample_hash,
     "q59_first_last_by": q59_first_last_by,
     "q60_dml_lifecycle": q60_dml_lifecycle,
     "q61_lang_user_func": q61_lang_user_func,
     "q62_json_extract": q62_json_extract,
-    "q63_stream_sliding": q63_stream_sliding,
     "q64_tfidf_top_terms": q64_tfidf_top_terms,
     "q65_sample_stratified": q65_sample_stratified,
     "q66_zipjoin_longest": q66_zipjoin_longest,
-    "q67_stream_session": q67_stream_session,
-    "q68_lang_theta_join": q68_lang_theta_join,
     "q70_unpivot": q70_unpivot,
-    "q72_corr": q72_corr,
     "q73_dedup_canonical": q73_dedup_canonical,
     "q75_pack_sequences": q75_pack_sequences,
     "q76_chunk_tokens": q76_chunk_tokens,
     "q78_interval_join": q78_interval_join,
-    "q79_stream_stream_join": q79_stream_stream_join,
     "q80_centroid_agg": q80_centroid_agg,
     "q81_grouping_sets": q81_grouping_sets,
     "q82_redact_pii": q82_redact_pii,
     "q84_sample_weighted": q84_sample_weighted,
-    "q85_lang_fmt": q85_lang_fmt,
     "q86_ivf_full_probe": q86_ivf_full_probe,
     "q87_stream_dedup": q87_stream_dedup,
-    "q90_lazy_param": q90_lazy_param,
     "q92_table_methods": q92_table_methods,
     # ---- end of the 50-entry driver window -------------------------
-    # r5 queue (never driver-tested, battery-green):
-    "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
-    "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
-    "q125_lang_in_table": q125_lang_in_table,
-    "q126_stream_neardup_ingest": q126_stream_neardup_ingest,
-    "q54_fmt_interpolation": q54_fmt_interpolation,
-    "q55_lang_pipeline": q55_lang_pipeline,
-    "q56_lang_join": q56_lang_join,
-    "q69_collect_explode_roundtrip": q69_collect_explode_roundtrip,
-    "q71_histogram": q71_histogram,
-    "q74_split_by_hash": q74_split_by_hash,
-    "q77_quantile_filter": q77_quantile_filter,
-    "q83_strip_short_lines": q83_strip_short_lines,
-    # driver-green r3 window, rotated out this round:
+    # rotated out r5 (driver-green r4):
+    "q41_embedding_neardup": q41_embedding_neardup,
+    "q58_sample_hash": q58_sample_hash,
+    "q63_stream_sliding": q63_stream_sliding,
+    "q67_stream_session": q67_stream_session,
+    "q68_lang_theta_join": q68_lang_theta_join,
+    "q72_corr": q72_corr,
+    "q79_stream_stream_join": q79_stream_stream_join,
+    "q85_lang_fmt": q85_lang_fmt,
+    "q90_lazy_param": q90_lazy_param,
+    "q97_quantize_embeddings": q97_quantize_embeddings,
+    "q109_quantile_bucketize": q109_quantile_bucketize,
+    "q110_zorder_key": q110_zorder_key,
+    # driver-green r3 window, rotated out earlier:
     "q01_pricing_summary": q01_pricing_summary,
     "q02_agg_battery": q02_agg_battery,
     "q88_lang_dml_lifecycle": q88_lang_dml_lifecycle,
