@@ -141,9 +141,12 @@ class _SemiPred:
         vals = [row[0] for row in self.rhs.df.limit(100_001).collect()]
         if len(vals) > 100_000:
             raise ValueError(
-                "`in <table>` outside a selection exceeds 100k RHS "
-                "rows; use it directly in a selection `t[x in other]` "
-                "(lowered to a semi-join) for table-scale membership")
+                "`in <table>` must materialize its RHS in this "
+                "context (a projection value, nested boolean math, "
+                "or a DML-targeting selection) and it exceeds 100k "
+                "rows; shrink the RHS, or use a plain read-only "
+                "selection `t[x in other]`, which lowers to a "
+                "semi-join with no bound")
         c = self.col.isin(vals)
         return ~c if self.negate else c
 

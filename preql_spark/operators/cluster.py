@@ -97,6 +97,8 @@ def semdedup(df: DataFrame, tau: float = 0.45, k: int = 8, iters: int = 2,
     is cluster-local: both sides shuffle once on the cluster id and
     candidates are |cluster|-bounded, never corpus-bounded.
     """
+    if max_group < 1:
+        raise ValueError(f"max_group must be >= 1, got {max_group}")
     assigned, cents = kmeans(df, k=k, iters=iters, id_col=id_col,
                              vec_col=vec_col)
     if keep == "far_from_centroid":

@@ -52,9 +52,11 @@ _DIALECTS: dict[str, tuple[str, str, str]] = {
                   "SELECT table_name FROM information_schema.tables "
                   "WHERE table_schema = current_schema()"),
     "presto": ("jdbc:presto://", "com.facebook.presto.jdbc.PrestoDriver",
-               "SELECT table_name FROM information_schema.tables"),
+               "SELECT table_name FROM information_schema.tables "
+               "WHERE table_schema = current_schema"),
     "trino": ("jdbc:trino://", "io.trino.jdbc.TrinoDriver",
-              "SELECT table_name FROM information_schema.tables"),
+              "SELECT table_name FROM information_schema.tables "
+              "WHERE table_schema = current_schema"),
     "oracle": ("jdbc:oracle:thin:@//", "oracle.jdbc.OracleDriver",
                "SELECT table_name FROM user_tables"),
     "mssql": ("jdbc:sqlserver://",
@@ -85,12 +87,16 @@ def parse_jdbc_uri(uri: str) -> tuple[str, dict]:
     host = u.hostname or "localhost"
     netloc = f"{host}:{u.port}" if u.port else host
     path = u.path or ""
+    # the query string carries engine options (sslmode=require,
+    # currentSchema=..., serverTimezone=...) — forward it onto the
+    # JDBC URL verbatim rather than silently dropping it
+    query = f"?{u.query}" if u.query else ""
     props = {"driver": driver}
     if u.username:
         props["user"] = unquote(u.username)
     if u.password:
         props["password"] = unquote(u.password)
-    return f"{prefix}{netloc}{path}", props
+    return f"{prefix}{netloc}{path}{query}", props
 
 
 def jdbc_table_df(spark: SparkSession, uri: str, table: str,
@@ -127,8 +133,10 @@ def jdbc_table_df(spark: SparkSession, uri: str, table: str,
                          f"SELECT MIN({partition_col}) AS lo, "
                          f"MAX({partition_col}) AS hi FROM {table}")
                  .load().collect()[0])
-        lower = probe["lo"] if lower is None else lower
-        upper = probe["hi"] if upper is None else upper
+        # positional access: some engines (Oracle) fold unquoted
+        # aliases to upper case, so probe["lo"] would not resolve
+        lower = probe[0] if lower is None else lower
+        upper = probe[1] if upper is None else upper
         if lower is None or upper is None:       # empty table
             partition_col = None
     r = reader().option("dbtable", table)

@@ -72,6 +72,10 @@ def _spill_dir(spark: SparkSession, kind: str, name: str) -> str:
                                                     None)
         except Exception:
             base = None
+        if base:
+            # spark.local.dir is a comma-separated LIST of scratch
+            # dirs — spill under the first one
+            base = base.split(",")[0].strip() or None
     if base:
         import os
         os.makedirs(base, exist_ok=True)

@@ -287,13 +287,14 @@ def incremental_neardup_ingest(spark: SparkSession, src_path: str,
 
     Contract: a new document is rejected iff it has a verified
     near-duplicate (exact shingle-Jaccard >= ``threshold``) with a
-    LOWER id among all documents seen so far (earlier waves or
-    earlier ids in its own batch).  When waves arrive in id order —
-    the append-only ingestion shape — the surviving store equals the
-    one-shot batch rule "drop id_b of every minhash near-dup pair",
-    which is what the q126 oracle replays.  Out-of-order waves
-    degrade gracefully to first-seen-wins (an accepted document is
-    never retroactively dropped).
+    LOWER id among all documents seen so far, or ANY already-seen
+    document from an earlier wave (first-seen-wins — a new document
+    is rejected against state witnesses regardless of id order, and
+    an accepted document is never retroactively dropped).  When waves
+    arrive in id order — the append-only ingestion shape — the two
+    rules coincide and the surviving store equals the one-shot batch
+    rule "drop id_b of every minhash near-dup pair", which is what
+    the q126 oracle replays.
 
     State (``state_path``, default ``<store>_state``) holds one row
     per SEEN document — kept or dropped — with its ``bands`` band
@@ -327,7 +328,8 @@ def incremental_neardup_ingest(spark: SparkSession, src_path: str,
             batch = batch.join(
                 seen_ids, batch[id_col] == seen_ids["__id"], "left_anti")
         sh = (batch.select(F.col(id_col).alias("__id"),
-                           tokens(text_col).alias("__t"))
+                           tokens(F.coalesce(F.col(text_col), F.lit("")))
+                           .alias("__t"))
               .select("__id", shingles_from_tokens(F.col("__t"), shingle_k)
                       .alias("__sh")).persist())
         sig = minhash_signature_df(sh, "__id", "__sh", n_hashes,
@@ -335,19 +337,27 @@ def incremental_neardup_ingest(spark: SparkSession, src_path: str,
         band_arr = F.array(*[
             F.hash(F.slice("__sig", b * rows_per_band + 1, rows_per_band))
             for b in range(bands)])
+        # LEFT join + empty-array coalesce: a doc whose text yields no
+        # shingles (NULL/empty) has no signature rows, but it is still
+        # SEEN — it must land in the state (replay idempotence) even
+        # though it can never band-match anything
         new_state = sig.select("__id", band_arr.alias("__bands")) \
-            .join(sh, "__id") \
+            .join(sh, "__id", "right") \
             .select(F.col("__id").alias(id_col),
-                    F.col("__bands").alias("bands"),
-                    F.col("__sh").alias("sh")).persist()
+                    F.coalesce(F.col("__bands"),
+                               F.array().cast("array<int>"))
+                    .alias("bands"),
+                    F.coalesce(F.col("__sh"),
+                               F.array().cast("array<string>"))
+                    .alias("sh")).persist()
         batch_banded = new_state.select(
-            F.col(id_col).alias("__id"),
+            F.col(id_col).alias("__id"), F.lit(False).alias("__st"),
             F.posexplode("bands").alias("__band", "__bkey"))
         all_banded, all_sh = batch_banded, sh
         if have_state:
             st = s.read.parquet(state_path)
             all_banded = all_banded.unionByName(st.select(
-                F.col(id_col).alias("__id"),
+                F.col(id_col).alias("__id"), F.lit(True).alias("__st"),
                 F.posexplode("bands").alias("__band", "__bkey")))
             all_sh = all_sh.unionByName(st.select(
                 F.col(id_col).alias("__id"), F.col("sh").alias("__sh")))
@@ -355,10 +365,13 @@ def incremental_neardup_ingest(spark: SparkSession, src_path: str,
         all_banded = (all_banded
                       .withColumn("__bn", F.count(F.lit(1)).over(wb))
                       .filter(F.col("__bn") <= max_bucket).drop("__bn"))
+        # the witness side (a) is any STATE doc — first-seen-wins
+        # regardless of id order — or a lower-id doc of this batch
         a, b = all_banded.alias("a"), batch_banded.alias("b")
         cands = (a.join(b, (F.col("a.__band") == F.col("b.__band"))
                         & (F.col("a.__bkey") == F.col("b.__bkey"))
-                        & (F.col("a.__id") < F.col("b.__id")))
+                        & (F.col("a.__st") | (F.col("a.__id") < F.col("b.__id")))
+                        & (F.col("a.__id") != F.col("b.__id")))
                  .select(F.col("a.__id").alias("id_a"),
                          F.col("b.__id").alias("id_b"))
                  .dropDuplicates(["id_a", "id_b"]))
@@ -373,6 +386,14 @@ def incremental_neardup_ingest(spark: SparkSession, src_path: str,
                  .select(F.col("id_b").alias("__drop")).distinct())
         survivors = batch.join(
             drops, batch[id_col] == drops["__drop"], "left_anti")
+        # crash-window idempotence: a replay that died between the two
+        # appends re-derives the same survivors — anti-join against
+        # the store's ids so they are not appended twice
+        if hadoop_dir_has_files(s, store_path):
+            stored = s.read.parquet(store_path).select(
+                F.col(id_col).alias("__sid"))
+            survivors = survivors.join(
+                stored, survivors[id_col] == stored["__sid"], "left_anti")
         survivors.write.mode("append").parquet(store_path)
         # every seen doc (kept or dropped) becomes state for later waves
         new_state.write.mode("append").parquet(state_path)

@@ -509,8 +509,11 @@ class Table:
         parallel at 100 TB — one tiny count job plus per-partition
         windows), anything interactive-sized keeps the one global
         window.  Pass True/False to force a path; the two plans agree
-        whenever the order key is unique (ties may enumerate in a
-        different — equally valid — order)."""
+        whenever the order key is unique.  TIED keys may enumerate in
+        a different — equally valid — order between the two plans, so
+        the auto mode's assignment for ties follows the size
+        estimate; pass an explicit ``distributed=`` (or a tiebreaking
+        order key) where plan-stable tie numbering matters."""
         if distributed is None:
             try:
                 est = self.df._jdf.queryExecution().optimizedPlan() \

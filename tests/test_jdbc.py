@@ -100,3 +100,12 @@ def test_import_jdbc_reflects_catalog(spark, eng):
     assert any("information_schema.tables" in c.get("query", "")
                for c in calls)
     assert any(c.get("partitionColumn") == "y" for c in calls)
+
+
+def test_parse_jdbc_uri_forwards_query_string():
+    """Engine options on the URI (sslmode, serverTimezone, ...) ride
+    the JDBC URL instead of being silently dropped."""
+    url, props = parse_jdbc_uri(
+        "postgres://u@h/db?sslmode=require&currentSchema=s1")
+    assert url == "jdbc:postgresql://h/db?sslmode=require&currentSchema=s1"
+    assert props["user"] == "u"

@@ -359,3 +359,56 @@ def test_incremental_neardup_ingest_equals_batch(spark, eng, tmp_path):
     # idempotence: replay with nothing new changes nothing
     out2 = incremental_neardup_ingest(spark, src, store, ck, threshold=0.9)
     assert out2.count() == out.count()
+
+
+def test_incremental_neardup_out_of_order_first_seen_wins(spark, eng,
+                                                          tmp_path):
+    """A new doc with a LOWER id than a stored near-duplicate is still
+    rejected (state witnesses apply regardless of id order), and a
+    NULL-text doc is stored once and remembered in the state."""
+    from preql_spark.streaming.stream import incremental_neardup_ingest
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows1 = [(500, base), (600, "completely unrelated text about spark "
+                                "partitions and shuffles at scale"),
+             (700, None)]
+    rows2 = [(100, base),                       # lower id, near-dup of 500
+             (101, "another unrelated document entirely about parquet")]
+    spark.createDataFrame(rows1, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(src)
+    incremental_neardup_ingest(spark, src, store, ck, threshold=0.9)
+    spark.createDataFrame(rows2, "doc_id long, text string") \
+        .write.mode("append").parquet(src)
+    out = incremental_neardup_ingest(spark, src, store, ck, threshold=0.9)
+    kept = sorted(r.doc_id for r in out.select("doc_id").collect())
+    # 100 rejected by first-seen witness 500; NULL-text 700 kept once
+    assert kept == [101, 500, 600, 700]
+    state = spark.read.parquet(store.rstrip("/") + "_state")
+    assert state.filter(F.col("doc_id") == 700).count() == 1
+
+
+def test_incremental_neardup_store_guard_after_lost_state(spark, eng,
+                                                          tmp_path):
+    """Crash-window replay safety: if the batch replays when the store
+    write landed but the state write did not (state lost), survivors
+    are not appended twice."""
+    import shutil
+
+    from preql_spark.streaming.stream import incremental_neardup_ingest
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    docs = eng.t.documents.df.select("doc_id", "text") \
+        .filter(F.col("doc_id") < 100)
+    docs.write.mode("overwrite").parquet(src)
+    out1 = incremental_neardup_ingest(spark, src, store,
+                                      str(tmp_path / "ck1"))
+    n1 = out1.count()
+    # simulate the torn write: store persisted, state lost
+    shutil.rmtree(store.rstrip("/") + "_state")
+    out2 = incremental_neardup_ingest(spark, src, store,
+                                      str(tmp_path / "ck2"))
+    assert out2.count() == n1
+    assert out2.select("doc_id").distinct().count() == n1
