@@ -396,8 +396,9 @@ def q101_semdedup(spark, sf_dir):
         return pd.DataFrame(
             {"__drop": np.concatenate([ida[drop_a], idb[drop_b]])})
 
-    sizes = base.groupBy("cluster").agg(F.count(F.lit(1)).alias("__cn"))
-    salted = (base.join(F.broadcast(sizes), "cluster")
+    from pyspark.sql import Window
+    wc = Window.partitionBy("cluster")
+    salted = (base.withColumn("__cn", F.count(F.lit(1)).over(wc))
               .withColumn("__s", F.ceil(F.col("__cn") / F.lit(max_group))
                           .cast("int"))
               .withColumn("__b", F.pmod(F.hash("__id"), F.col("__s"))

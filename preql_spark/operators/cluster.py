@@ -228,9 +228,16 @@ def _min_id_drops_arrow(base: DataFrame, tau: float,
         return pd.DataFrame(
             {"__drop": np.concatenate([ida[drop_a], idb[drop_b]])})
 
-    sizes = base.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("__cn"))
-    salted = (base.join(F.broadcast(sizes), "cluster")
+    from pyspark.sql import Window
+
+    # cluster sizes via a WINDOW count, not a separate aggregate: a
+    # groupBy subtree would recompute the upstream assignment (the
+    # expensive argmin scan) a second time and broadcast-join it back
+    # — the window rides the same single pass, and its
+    # partition-by-cluster exchange is the co-partitioning the
+    # group-by-(cluster, sub-block pair) stage wants anyway
+    wc = Window.partitionBy("cluster")
+    salted = (base.withColumn("__cn", F.count(F.lit(1)).over(wc))
               .withColumn("__s", F.ceil(F.col("__cn") / F.lit(max_group))
                           .cast("int"))
               .withColumn("__b", F.pmod(F.hash("__id"), F.col("__s"))
