@@ -1691,6 +1691,54 @@ def q126_stream_neardup_ingest(spark, sf_dir) -> DataFrame:
     return out.select("doc_id")
 
 
+def q127_jsonl_roundtrip(spark, sf_dir) -> DataFrame:
+    """write_jsonl → import_jsonl round-trip (reference import_json,
+    pql_functions.py:875-898): shipping the corpus through the
+    JSON-lines interchange format must be value-lossless, including
+    text with embedded newlines/quotes (JSON escapes them).  Schema
+    passed explicitly — inference would be a second full read at
+    scale."""
+    import tempfile
+    eng = _eng(spark, sf_dir)
+    d = eng.t.documents
+    tmp = tempfile.mkdtemp(prefix="q127_") + "/docs"
+    d.write_jsonl(tmp)
+    back = eng.import_jsonl(tmp, schema=d.df.schema)
+    return back.df.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+def q128_csv_roundtrip(spark, sf_dir) -> DataFrame:
+    """write_csv → import_csv round-trip (reference import_csv,
+    pql_functions.py:902-956) with header + type inference.  The
+    text column stays out: embedded newlines need a multiLine reader
+    — the round-trip contract here is the flat-typed columns."""
+    import tempfile
+    eng = _eng(spark, sf_dir)
+    d = eng.t.documents.project("doc_id", "lang", "source", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="q128_") + "/docs"
+    d.write_csv(tmp)
+    back = eng.import_csv(tmp)
+    return back.df.select("doc_id", "lang", "source", "n_chars")
+
+
+def q129_four_way_chain(spark, sf_dir) -> DataFrame:
+    """4-table FK chain through the n-ary struct join (region ←
+    nation ← customer ← orders), pairwise auto-resolution — the
+    chinook-example shape, previously value-tested only locally."""
+    from preql_spark import table as tbl
+    eng = _eng(spark, sf_dir)
+    j = tbl.join(o=eng.t.orders, c=eng.t.customer, n=eng.t.nation,
+                 r=eng.t.region, broadcast=("n", "r"))
+    return (eng.from_df(j.df)
+            .project(region=F.col("r.r_name"), nation=F.col("n.n_name"),
+                     price=F.col("o.o_totalprice"))
+            .group(["region", "nation"],
+                   n_orders=F.count(F.lit(1)),
+                   total=_pr4(F.sum("price")))
+            .order("region", "nation")
+            .df)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1754,6 +1802,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
     "q125_lang_in_table": q125_lang_in_table,
     "q126_stream_neardup_ingest": q126_stream_neardup_ingest,
+    "q127_jsonl_roundtrip": q127_jsonl_roundtrip,
+    "q128_csv_roundtrip": q128_csv_roundtrip,
+    "q129_four_way_chain": q129_four_way_chain,
     "q54_fmt_interpolation": q54_fmt_interpolation,
     "q55_lang_pipeline": q55_lang_pipeline,
     "q56_lang_join": q56_lang_join,
@@ -1797,11 +1848,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_grouping_sets": q81_grouping_sets,
     "q82_redact_pii": q82_redact_pii,
     "q84_sample_weighted": q84_sample_weighted,
+    # ---- end of the 50-entry driver window -------------------------
+    # rotated out r5 (driver-green r4).  q86/q87/q92 displaced by the
+    # late additions q127-q129 (round-trip identities + 4-way chain):
+    # ANN keeps q124/q80 in-window, streaming keeps
+    # q112/q118/q122/q126, lang/UDF keeps q55/q56/q61/q123/q125.
     "q86_ivf_full_probe": q86_ivf_full_probe,
     "q87_stream_dedup": q87_stream_dedup,
     "q92_table_methods": q92_table_methods,
-    # ---- end of the 50-entry driver window -------------------------
-    # rotated out r5 (driver-green r4):
     "q41_embedding_neardup": q41_embedding_neardup,
     "q58_sample_hash": q58_sample_hash,
     "q63_stream_sliding": q63_stream_sliding,
@@ -3411,6 +3465,24 @@ ORACLES: dict[str, str] = {
                 JOIN sizes sb ON id_b = sb.doc_id)
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id_b FROM jac WHERE j >= 0.9)
+    """,
+    # round-trip identity contracts: the interchange write+read must
+    # reproduce the source table exactly
+    "q127_jsonl_roundtrip": """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    "q128_csv_roundtrip": """
+        SELECT doc_id, lang, source, n_chars FROM documents
+    """,
+    "q129_four_way_chain": """
+        SELECT r_name AS region, n_name AS nation,
+               count(*) AS n_orders,
+               floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS total
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
     """,
     "q115_mixture_sample": """
         SELECT doc_id, source FROM documents
