@@ -1773,7 +1773,12 @@ def test_parser_fuzz_no_internal_crashes(eng):
               "...", "!", "in", "~", "$", "one", "null", "true",
               "distinct", "join", "limit", ";", "\n", "->", ".",
               "page", "enum", "list", "<=", ">=", "**", "/~",
-              "map_range", "dict", "fmt"]
+              "map_range", "dict", "fmt",
+              # r5 additions: in-table membership (semi-join lowering
+              # + _SemiPred fallbacks), !in, dir.  serve_rest is
+              # deliberately NOT fuzzed: a lucky token draw would
+              # start a real blocking server
+              "!in", "n_nationkey", "dir"]
     rng = random.Random(1234)
     crashes = []
     for _ in range(400):
