@@ -1739,6 +1739,36 @@ def q129_four_way_chain(spark, sf_dir) -> DataFrame:
             .df)
 
 
+def q130_orc_roundtrip(spark, sf_dir) -> DataFrame:
+    """write_orc → import_orc round-trip (beyond-reference columnar
+    source): full-fidelity including the text column — ORC, like
+    parquet, needs no escaping compromises."""
+    import tempfile
+    eng = _eng(spark, sf_dir)
+    d = eng.t.documents
+    tmp = tempfile.mkdtemp(prefix="q130_") + "/docs"
+    d.write_orc(tmp)
+    back = eng.import_orc(tmp)
+    return back.df.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+def q131_sqlite_roundtrip(spark, sf_dir) -> DataFrame:
+    """write_sqlite → import_sqlite round-trip — the FULL migration
+    loop with the reference's default storage target (its persistent
+    databases are SQLite files, sql_interface.py:962).  Text survives
+    verbatim (SQLite TEXT is unescaped UTF-8); integer columns come
+    back through declared-type affinity as longs."""
+    import tempfile
+    eng = _eng(spark, sf_dir)
+    d = eng.t.documents.project("doc_id", "text", "lang", "source",
+                                "n_chars")
+    tmp = tempfile.mkdtemp(prefix="q131_") + "/docs.db"
+    d.write_sqlite(tmp, "documents")
+    got = eng.import_sqlite(tmp, tables=["documents"], prefix="rt_")
+    return got["rt_documents"].df.select("doc_id", "text", "lang",
+                                         "source", "n_chars")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1805,6 +1835,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q127_jsonl_roundtrip": q127_jsonl_roundtrip,
     "q128_csv_roundtrip": q128_csv_roundtrip,
     "q129_four_way_chain": q129_four_way_chain,
+    "q130_orc_roundtrip": q130_orc_roundtrip,
+    "q131_sqlite_roundtrip": q131_sqlite_roundtrip,
     "q54_fmt_interpolation": q54_fmt_interpolation,
     "q55_lang_pipeline": q55_lang_pipeline,
     "q56_lang_join": q56_lang_join,
@@ -3473,6 +3505,12 @@ ORACLES: dict[str, str] = {
     """,
     "q128_csv_roundtrip": """
         SELECT doc_id, lang, source, n_chars FROM documents
+    """,
+    "q130_orc_roundtrip": """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    "q131_sqlite_roundtrip": """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
     """,
     "q129_four_way_chain": """
         SELECT r_name AS region, n_name AS nation,
