@@ -1901,3 +1901,16 @@ def test_operator_index_error_not_mislabeled(eng):
             eng.q('names()')
     finally:
         _lang._names_table = orig
+
+
+def test_in_table_null_lhs_sql_semantics(eng):
+    """NULL on the LEFT of in/!in filters out under both spellings —
+    SQL's NULL IN (...) and NULL NOT IN (...) are both not-true."""
+    eng2 = type(eng)(eng.spark)
+    eng2.register("lhs", eng.spark.sql(
+        "SELECT * FROM VALUES (1), (3), (NULL) AS t(x)"))
+    eng2.register("rhs", eng.spark.createDataFrame([(1,), (2,)], "x long"))
+    hits = sorted(r.x for r in eng2.q('lhs[x in rhs{x}]').collect())
+    assert hits == [1]
+    miss = sorted(r.x for r in eng2.q('lhs[x !in rhs{x}]').collect())
+    assert miss == [3]          # NULL row excluded by both
