@@ -280,7 +280,8 @@ def incremental_neardup_ingest(spark: SparkSession, src_path: str,
                                shingle_k: int = 3,
                                threshold: float = 0.9,
                                max_bucket: int = 200,
-                               state_path: str | None = None) -> DataFrame:
+                               state_path: str | None = None,
+                               shingle_mode: str = "string") -> DataFrame:
     """Incremental corpus ingestion that drops NEAR-duplicates (not
     just exact ones) against everything already seen — the streaming
     face of :func:`preql_spark.operators.dedup.minhash_lsh_pairs`.
@@ -307,7 +308,15 @@ def incremental_neardup_ingest(spark: SparkSession, src_path: str,
     that rejects a later near-copy of themselves.
 
     Idempotence: a replayed batch (checkpoint recovery) is id-anti-
-    joined against the state first, so it appends nothing."""
+    joined against the state first, so it appends nothing.
+
+    ``shingle_mode`` sets what the state's per-document shingle set
+    stores for the exact-Jaccard verify: ``"string"`` (default) keeps
+    the shingle text — byte-exact equality with the batch operators;
+    ``"hash"`` keeps 8-byte xxhash64 values — the 100 TB path (state
+    size per doc drops to 8 B × distinct shingles, and set-Jaccard
+    over hashes equals string-Jaccard up to a ~2⁻⁶⁴-per-pair
+    collision; pytest asserts the two modes agree on the fixtures)."""
     from pyspark.sql import Window
 
     from preql_spark.operators.dedup import (minhash_signature_df,
@@ -315,6 +324,9 @@ def incremental_neardup_ingest(spark: SparkSession, src_path: str,
     from preql_spark.operators.text import tokens
     from preql_spark.parquet_io import hadoop_dir_has_files
 
+    if shingle_mode not in ("string", "hash"):
+        raise ValueError(
+            f"shingle_mode must be string/hash, got {shingle_mode!r}")
     state_path = state_path or store_path.rstrip("/") + "_state"
     rows_per_band = n_hashes // bands
     schema = spark.read.parquet(src_path).schema  # footer-only peek
@@ -327,11 +339,17 @@ def incremental_neardup_ingest(spark: SparkSession, src_path: str,
                 F.col(id_col).alias("__id"))
             batch = batch.join(
                 seen_ids, batch[id_col] == seen_ids["__id"], "left_anti")
+        # tokenize in its own projection: shingling slices the token
+        # array per shingle, and an inline tokens() expression would
+        # re-run the regex split for every slice
+        sh_text = shingles_from_tokens(F.col("__t"), shingle_k)
+        sh_col = sh_text if shingle_mode == "string" else \
+            F.array_distinct(F.transform(sh_text,
+                                         lambda x: F.xxhash64(x)))
         sh = (batch.select(F.col(id_col).alias("__id"),
                            tokens(F.coalesce(F.col(text_col), F.lit("")))
                            .alias("__t"))
-              .select("__id", shingles_from_tokens(F.col("__t"), shingle_k)
-                      .alias("__sh")).persist())
+              .select("__id", sh_col.alias("__sh")).persist())
         sig = minhash_signature_df(sh, "__id", "__sh", n_hashes,
                                    portable=False)
         band_arr = F.array(*[
@@ -347,8 +365,9 @@ def incremental_neardup_ingest(spark: SparkSession, src_path: str,
                     F.coalesce(F.col("__bands"),
                                F.array().cast("array<int>"))
                     .alias("bands"),
-                    F.coalesce(F.col("__sh"),
-                               F.array().cast("array<string>"))
+                    F.coalesce(F.col("__sh"), F.array().cast(
+                        "array<string>" if shingle_mode == "string"
+                        else "array<long>"))
                     .alias("sh")).persist()
         batch_banded = new_state.select(
             F.col(id_col).alias("__id"), F.lit(False).alias("__st"),

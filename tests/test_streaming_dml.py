@@ -412,3 +412,37 @@ def test_incremental_neardup_store_guard_after_lost_state(spark, eng,
                                       str(tmp_path / "ck2"))
     assert out2.count() == n1
     assert out2.select("doc_id").distinct().count() == n1
+
+
+def test_incremental_neardup_hash_state_mode(spark, eng, tmp_path):
+    """shingle_mode='hash' (8-byte state, the 100 TB path) must keep
+    the same survivors as the string mode on the fixtures."""
+    from preql_spark.streaming.stream import incremental_neardup_ingest
+    docs = eng.t.documents.df.select("doc_id", "text") \
+        .filter(F.col("doc_id") < 300)
+
+    def run(mode, sub):
+        src = str(tmp_path / sub / "src")
+        store = str(tmp_path / sub / "store")
+        docs.filter(F.col("doc_id") < 150).write.mode("overwrite") \
+            .parquet(src)
+        incremental_neardup_ingest(spark, src, store,
+                                   str(tmp_path / sub / "ck"),
+                                   threshold=0.9, shingle_mode=mode)
+        docs.filter(F.col("doc_id") >= 150).write.mode("append") \
+            .parquet(src)
+        out = incremental_neardup_ingest(spark, src, store,
+                                         str(tmp_path / sub / "ck"),
+                                         threshold=0.9,
+                                         shingle_mode=mode)
+        return {r.doc_id for r in out.select("doc_id").collect()}
+
+    a = run("string", "s")
+    b = run("hash", "h")
+    assert a == b and len(a) < 300      # some near-dups were dropped
+    import pytest as _pt
+    with _pt.raises(ValueError, match="shingle_mode"):
+        incremental_neardup_ingest(spark, str(tmp_path / "x"),
+                                   str(tmp_path / "y"),
+                                   str(tmp_path / "z"),
+                                   shingle_mode="nope")
