@@ -78,3 +78,36 @@ def test_dedup_exact_edges(edge_env):
     kept2 = {r.doc_id for r in
              dedup.dedup_exact(sdf, "doc_id").select("doc_id").collect()}
     assert kept == kept2
+
+
+def test_lang_in_table_differential_nulls(spark, eng):
+    """The lang in/!in semi-join lowering agrees with DuckDB's
+    IN / NOT IN subquery semantics on every crafted null/overlap
+    combination (including the NOT-IN-with-NULL-RHS empty result)."""
+    import itertools
+
+    lhs_sets = [[1, 2, None], [None], [3, 4], []]
+    rhs_sets = [[1, None], [1, 2], [None], [], [5]]
+    Eng = type(eng)
+    for li, (lv, rv) in enumerate(itertools.product(lhs_sets, rhs_sets)):
+        e2 = Eng(spark)
+        e2.register("l", spark.createDataFrame(
+            [(v,) for v in lv] or [(0,)], "x long").limit(len(lv)))
+        e2.register("r", spark.createDataFrame(
+            [(v,) for v in rv] or [(0,)], "x long").limit(len(rv)))
+        con = duckdb.connect()
+        con.register("l", pd.DataFrame({"x": pd.array(lv, dtype="Int64")}))
+        con.register("r", pd.DataFrame({"x": pd.array(rv, dtype="Int64")}))
+        for spelling, sql in (
+                ("l[x in r{x}]",
+                 "SELECT x FROM l WHERE x IN (SELECT x FROM r)"),
+                ("l[x !in r{x}]",
+                 "SELECT x FROM l WHERE x NOT IN (SELECT x FROM r)")):
+            got = sorted((r2.x is None, r2.x)
+                         for r2 in e2.q(spelling).collect())
+            exp = sorted((bool(pd.isna(v)),
+                          None if pd.isna(v) else int(v))
+                         for v in con.sql(sql).df()["x"]
+                         .astype("Int64").tolist())
+            assert got == exp, (lv, rv, spelling, got, exp)
+        con.close()
