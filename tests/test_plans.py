@@ -332,3 +332,14 @@ def test_lsh_selective_candidate_count(spark):
     # and the planted pairs still surface (recall at selectivity)
     found = entry.q124_lsh_selective_neardup(spark, SF_DIR).count()
     assert found > 0
+
+
+def test_lsh_selective_banding_not_cartesian(spark):
+    """q124's selective regime keeps the same structural guarantees
+    as q41: banded equi-join candidates, no cartesian/BNLJ, vectors
+    off the band explode."""
+    df = entry.q124_lsh_selective_neardup(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__band" in plan and "__bkey" in plan
