@@ -99,10 +99,15 @@ def semdedup(df: DataFrame, tau: float = 0.45, k: int = 8, iters: int = 2,
     """
     if max_group < 1:
         raise ValueError(f"max_group must be >= 1, got {max_group}")
+    if pair_method not in ("arrow", "sql"):
+        raise ValueError(f"pair_method must be arrow/sql, "
+                         f"got {pair_method!r}")
     assigned, cents = kmeans(df, k=k, iters=iters, id_col=id_col,
                              vec_col=vec_col)
     if keep == "far_from_centroid":
-        return _semdedup_centroid(assigned, cents, tau, id_col, vec_col)
+        return _semdedup_centroid(assigned, cents, tau, id_col, vec_col,
+                                  pair_method=pair_method,
+                                  max_group=max_group)
     # the norm column only serves the sql pair join — computing it on
     # the arrow path would add a dead projection level to the plan
     base = assigned.select(F.col(id_col).alias("__id"), "cluster",
@@ -257,12 +262,107 @@ def _min_id_drops_arrow(base: DataFrame, tau: float,
             .distinct())
 
 
+def _pairs_arrow(base: DataFrame, tau: float, block: int = 4096,
+                 max_group: int = 65_536) -> DataFrame:
+    """(id_a, id_b) in-cluster pairs at cosine >= tau, id_a < id_b —
+    the PAIR-emitting face of the salted gram kernel (same group
+    structure and memory bound as :func:`_min_id_drops_arrow`).  A
+    pair lands in exactly one group — same-block pairs in (b, b),
+    cross-block pairs in (min, max) — so no post-dedup is needed.
+    Output volume equals the SQL pair join's (near-dup density ×
+    corpus), but the |cluster|²-candidate COSINE work runs in BLAS
+    instead of a CodegenFallback HOF fold per pair."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    id_type = base.schema["__id"].dataType
+    out_schema = T.StructType([T.StructField("id_a", id_type),
+                               T.StructField("id_b", id_type)])
+
+    def _mat(part):
+        import numpy as np
+        return np.stack(part.to_numpy()).astype(np.float64)
+
+    def find_pairs(key, pdf):
+        import numpy as np
+        import pandas as pd
+        _, ga, gb = key
+        out_a, out_b = [], []
+        if ga == gb:
+            pdf = pdf.sort_values("__id", kind="mergesort")
+            ids = pdf["__id"].to_numpy()
+            m = _mat(pdf["__v"])
+            nrm = np.linalg.norm(m, axis=1)
+            n = len(ids)
+            for i0 in range(0, n, block):
+                i1 = min(i0 + block, n)
+                for j0 in range(i0, n, block):
+                    j1 = min(j0 + block, n)
+                    g = m[i0:i1] @ m[j0:j1].T
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sim = g / np.outer(nrm[i0:i1], nrm[j0:j1])
+                    match = sim >= tau
+                    gi = np.arange(i0, i1)[:, None]
+                    gj = np.arange(j0, j1)[None, :]
+                    ii, jj = np.nonzero(match & (gi < gj))
+                    out_a.append(ids[ii + i0])
+                    out_b.append(ids[jj + j0])
+        else:
+            a = pdf[pdf["__b"] == ga]
+            b = pdf[pdf["__b"] == gb]
+            if len(a) and len(b):
+                ida, idb = a["__id"].to_numpy(), b["__id"].to_numpy()
+                ma, mb = _mat(a["__v"]), _mat(b["__v"])
+                na = np.linalg.norm(ma, axis=1)
+                nb = np.linalg.norm(mb, axis=1)
+                for i0 in range(0, len(ida), block):
+                    i1 = min(i0 + block, len(ida))
+                    for j0 in range(0, len(idb), block):
+                        j1 = min(j0 + block, len(idb))
+                        g = ma[i0:i1] @ mb[j0:j1].T
+                        with np.errstate(divide="ignore",
+                                         invalid="ignore"):
+                            sim = g / np.outer(na[i0:i1], nb[j0:j1])
+                        ii, jj = np.nonzero(sim >= tau)
+                        la, lb = ida[ii + i0], idb[jj + j0]
+                        lower = la < lb
+                        out_a.append(np.where(lower, la, lb))
+                        out_b.append(np.where(lower, lb, la))
+        if not out_a:
+            return pd.DataFrame({"id_a": pdf["__id"][:0],
+                                 "id_b": pdf["__id"][:0]})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+
+    wc = Window.partitionBy("cluster")
+    salted = (base.withColumn("__cn", F.count(F.lit(1)).over(wc))
+              .withColumn("__s", F.ceil(F.col("__cn") / F.lit(max_group))
+                          .cast("int"))
+              .withColumn("__b", F.pmod(F.hash("__id"), F.col("__s"))
+                          .cast("int")))
+    groups = F.transform(
+        F.sequence(F.lit(0), F.col("__s") - 1),
+        lambda t: F.struct(F.least(t, F.col("__b")).alias("ga"),
+                           F.greatest(t, F.col("__b")).alias("gb")))
+    return (salted.select("cluster", "__b", "__id", "__v",
+                          F.explode(groups).alias("__g"))
+            .select("cluster", F.col("__g.ga").alias("__ga"),
+                    F.col("__g.gb").alias("__gb"), "__b", "__id", "__v")
+            .groupBy("cluster", "__ga", "__gb")
+            .applyInPandas(find_pairs, schema=out_schema))
+
+
 def _semdedup_centroid(assigned: DataFrame, cents: list, tau: float,
-                       id_col: str, vec_col: str) -> DataFrame:
+                       id_col: str, vec_col: str,
+                       pair_method: str = "arrow",
+                       max_group: int = 65_536) -> DataFrame:
     """Paper-rule SemDeDup keep: near-dup pairs -> connected
     components -> keep each component's member with the lowest cosine
     to its cluster centroid (i.e. farthest from the centroid; lowest
-    id breaks exact ties)."""
+    id breaks exact ties).  Pair generation shares the min-id path's
+    kernels: ``"arrow"`` (default) emits pairs from the salted
+    blockwise gram kernel; ``"sql"`` is the pure-DataFrame
+    cross-check join."""
     from pyspark.sql import Window
 
     from preql_spark.operators.dedup import connected_components
@@ -270,16 +370,23 @@ def _semdedup_centroid(assigned: DataFrame, cents: list, tau: float,
     base = assigned.select(F.col(id_col).alias("__id"), "cluster",
                            F.col(vec_col).alias("__v"),
                            norm(F.col(vec_col)).alias("__n"))
-    left = base.select(F.col("__id").alias("id_a"), "cluster",
-                       F.col("__v").alias("__va"), F.col("__n").alias("__na"))
-    right = base.select(F.col("__id").alias("id_b"),
-                        F.col("cluster").alias("__cb"),
-                        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
-    pairs = (left.join(right, (F.col("cluster") == F.col("__cb"))
-                       & (F.col("id_a") < F.col("id_b")))
-             .filter((dot(F.col("__va"), F.col("__vb"))
-                      / (F.col("__na") * F.col("__nb"))) >= tau)
-             .select("id_a", "id_b"))
+    if pair_method == "arrow":
+        pairs = _pairs_arrow(base.select("__id", "cluster", "__v"),
+                             tau, max_group=max_group)
+    else:
+        left = base.select(F.col("__id").alias("id_a"), "cluster",
+                           F.col("__v").alias("__va"),
+                           F.col("__n").alias("__na"))
+        right = base.select(F.col("__id").alias("id_b"),
+                            F.col("cluster").alias("__cb"),
+                            F.col("__v").alias("__vb"),
+                            F.col("__n").alias("__nb"))
+        pairs = (left.join(right, (F.col("cluster") == F.col("__cb"))
+                           & (F.col("id_a") < F.col("id_b")))
+                 .filter(F.try_divide(
+                     dot(F.col("__va"), F.col("__vb")),
+                     F.col("__na") * F.col("__nb")) >= tau)
+                 .select("id_a", "id_b"))
     comp = connected_components(pairs)  # (node, component)
 
     # cosine of every paired vector to its own cluster centroid —

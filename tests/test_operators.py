@@ -1224,3 +1224,24 @@ def test_semdedup_zero_norm_policy(spark):
         df, tau=0.9, k=2, iters=1, pair_method="sql").collect()}
     assert a == s
     assert 6 in a  # the zero vector always survives
+
+
+def test_semdedup_centroid_rule_arrow_equals_sql(eng, emb):
+    """The paper-rule (far_from_centroid) path shares the salted pair
+    kernel: arrow pairs == sql pairs == identical survivors, also
+    under a forced-salting cap."""
+    from preql_spark.operators.cluster import semdedup
+    a = {tuple(r) for r in semdedup(
+        emb, tau=0.45, k=4, iters=1, keep="far_from_centroid",
+        pair_method="arrow").collect()}
+    s = {tuple(r) for r in semdedup(
+        emb, tau=0.45, k=4, iters=1, keep="far_from_centroid",
+        pair_method="sql").collect()}
+    assert a == s and len(a) > 0
+    salted = {tuple(r) for r in semdedup(
+        emb, tau=0.45, k=1, iters=1, keep="far_from_centroid",
+        pair_method="arrow", max_group=48).collect()}
+    plain = {tuple(r) for r in semdedup(
+        emb, tau=0.45, k=1, iters=1, keep="far_from_centroid",
+        pair_method="sql").collect()}
+    assert salted == plain and len(salted) > 0
