@@ -148,6 +148,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     """
     from pyspark.sql import Window
 
+    if bands < 1 or n_hashes % bands:
+        # leftover hashes would be silently ignored, quietly changing
+        # the collision probability the caller computed
+        raise ValueError(
+            f"bands must divide n_hashes, got {n_hashes}/{bands}")
     rows_per_band = n_hashes // bands
     # shingle sets persisted once — reused for signatures and for the
     # exact-Jaccard verify of candidates.  Tokenize in a separate
@@ -202,7 +207,11 @@ def simhash_from_hashes(hashes: Column, bits: int = 60) -> Column:
     array functions — no shuffle, no Python.  Takes *hashes*, not
     tokens: the vote lambda references each hash ``bits`` times, and
     HOF lambdas re-evaluate their argument expression per reference —
-    hashing inside the lambda would md5 every token 60 times."""
+    hashing inside the lambda would md5 every token 60 times.
+    ``bits`` caps at 63: bit 63's power literal exceeds Long.MAX —
+    raise rather than silently emit a corrupt signature."""
+    if not 1 <= bits <= 63:
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), bits),

@@ -236,7 +236,16 @@ def _plane_component(p: int, d: int) -> Column:
 
 def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
     """Sign pattern of ``n_planes`` random hyperplane projections,
-    packed to a long — Charikar LSH for cosine similarity."""
+    packed to a long — Charikar LSH for cosine similarity.
+
+    Hard cap ``n_planes <= 64``: the signature is one long, and a
+    65th plane's ``shiftleft`` would wrap (JVM shift counts are
+    mod 64) onto bit 0 — SILENT signature corruption, so it raises
+    instead."""
+    if not 1 <= n_planes <= 64:
+        raise ValueError(
+            f"n_planes must be in [1, 64] (one packed long), "
+            f"got {n_planes}")
     bits = [
         F.when(
             F.aggregate(

@@ -327,6 +327,9 @@ def incremental_neardup_ingest(spark: SparkSession, src_path: str,
     if shingle_mode not in ("string", "hash"):
         raise ValueError(
             f"shingle_mode must be string/hash, got {shingle_mode!r}")
+    if bands < 1 or n_hashes % bands:
+        raise ValueError(
+            f"bands must divide n_hashes, got {n_hashes}/{bands}")
     state_path = state_path or store_path.rstrip("/") + "_state"
     rows_per_band = n_hashes // bands
     schema = spark.read.parquet(src_path).schema  # footer-only peek

@@ -1245,3 +1245,20 @@ def test_semdedup_centroid_rule_arrow_equals_sql(eng, emb):
         emb, tau=0.45, k=1, iters=1, keep="far_from_centroid",
         pair_method="sql").collect()}
     assert salted == plain and len(salted) > 0
+
+
+def test_lsh_family_parameter_guards(eng, emb, docs):
+    """Silent-corruption parameter edges raise: a 65th hyperplane
+    would wrap onto bit 0 (JVM shifts are mod 64), simhash bit 63's
+    power literal exceeds Long.MAX, and non-divisible minhash bands
+    would quietly change the collision probability."""
+    with pytest.raises(ValueError, match="n_planes"):
+        similarity.hyperplane_signature(F.col("embedding"), 64, 65)
+    with pytest.raises(ValueError, match="bits"):
+        dedup.simhash_from_hashes(F.col("h"), bits=64)
+    with pytest.raises(ValueError, match="bands"):
+        dedup.minhash_lsh_pairs(docs, "doc_id", n_hashes=16, bands=5)
+    from preql_spark.streaming.stream import incremental_neardup_ingest
+    with pytest.raises(ValueError, match="bands"):
+        incremental_neardup_ingest(None, "x", "y", "z",
+                                   n_hashes=16, bands=5)
