@@ -1769,6 +1769,20 @@ def q131_sqlite_roundtrip(spark, sf_dir) -> DataFrame:
                                          "source", "n_chars")
 
 
+def q132_cosine_topk_arrow(spark, sf_dir) -> DataFrame:
+    """Brute cosine top-5 on the Arrow/BLAS path (batchwise matmul in
+    mapInPandas, per-batch local top-k — the q101 lesson applied to
+    the ANN baseline).  Same contract and oracle as q40; the HOF
+    spelling is the cross-check (tests/test_operators.py::
+    test_cosine_topk_arrow_equals_hof)."""
+    from preql_spark.operators import similarity
+    e = _eng(spark, sf_dir).t.embeddings
+    q = e.df.filter(F.col("vec_id") < 5)
+    out = similarity.cosine_topk_arrow(e.df, q, k=5)
+    return out.select("query_id", "neighbor_id", "rank",
+                      _pr4(F.col("sim")).alias("sim"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1837,6 +1851,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q129_four_way_chain": q129_four_way_chain,
     "q130_orc_roundtrip": q130_orc_roundtrip,
     "q131_sqlite_roundtrip": q131_sqlite_roundtrip,
+    "q132_cosine_topk_arrow": q132_cosine_topk_arrow,
     "q54_fmt_interpolation": q54_fmt_interpolation,
     "q55_lang_pipeline": q55_lang_pipeline,
     "q56_lang_join": q56_lang_join,
@@ -3500,6 +3515,24 @@ ORACLES: dict[str, str] = {
     """,
     # round-trip identity contracts: the interchange write+read must
     # reproduce the source table exactly
+    "q132_cosine_topk_arrow": """
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     q.embedding AS qe, c.embedding AS ce
+              FROM q, embeddings c WHERE c.vec_id != q.vec_id),
+        u AS (SELECT query_id, neighbor_id, unnest(qe) AS x, unnest(ce) AS y FROM p),
+        s AS (SELECT query_id, neighbor_id,
+                     sum(x::DOUBLE * y::DOUBLE)
+                     / (sqrt(sum(x::DOUBLE * x::DOUBLE)) * sqrt(sum(y::DOUBLE * y::DOUBLE))) AS sim
+              FROM u GROUP BY 1, 2),
+        r AS (SELECT query_id, neighbor_id,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id) AS INT) AS rank, sim
+              FROM s)
+        SELECT query_id, neighbor_id, rank,
+               floor(sim * 10000 + 0.5) / 10000 AS sim
+        FROM r WHERE rank <= 5
+    """,
     "q127_jsonl_roundtrip": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
     """,

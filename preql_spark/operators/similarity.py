@@ -62,6 +62,82 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
+def cosine_topk_arrow(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k on the Arrow/BLAS path — same result
+    contract as :func:`cosine_topk` ((query_id, neighbor_id, sim,
+    rank), ties broken by neighbor id), but the Q×N score matrix is
+    computed as batchwise matmuls in ``mapInPandas`` instead of a
+    per-pair higher-order fold (CodegenFallback — the q101 lesson:
+    per-PAIR O(dim) work times a quadratic pair count belongs in
+    BLAS).  Each corpus batch emits only its LOCAL top-k per query,
+    so the final exact per-query TakeOrdered merges Q·k rows per
+    batch, never Q·N.
+
+    Task memory: one corpus batch × (dim + Q) float64 plus the Q×dim
+    broadcast query matrix — queries must be broadcast-sized, the
+    same contract the HOF path's ``broadcast(q)`` already imposes.
+
+    Zero-norm policy: undefined cosines NEVER rank here (NaN rows are
+    dropped), matching the repo-wide never-match policy; the HOF path
+    inherits Spark's NaN-sorts-greatest instead — on zero-norm-free
+    corpora (any real embedding corpus) the two are identical
+    (pytest-asserted)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    qrows = queries.select(F.col(id_col).alias("qid"),
+                           F.col(vec_col).alias("qv")).collect()
+    q_type = queries.schema[id_col].dataType
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    out_schema = T.StructType([
+        T.StructField("query_id", q_type),
+        T.StructField("neighbor_id", c.schema["neighbor_id"].dataType),
+        T.StructField("sim", T.DoubleType())])
+    if not qrows:
+        empty = c.sparkSession.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1).cast("int")).limit(0)
+    qids = [r.qid for r in qrows]
+    qm = np.array([[float(x) for x in r.qv] for r in qrows],
+                  dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+
+    def kern(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # id-sorted: a stable sim-argsort then breaks exact-sim
+            # ties by ascending neighbor id, the HOF path's order
+            pdf = pdf.sort_values("neighbor_id", kind="mergesort")
+            m = np.stack(pdf["__cv"].to_numpy()).astype(np.float64)
+            cn = np.linalg.norm(m, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (m @ qm.T) / np.outer(cn, qn)
+            nids = pdf["neighbor_id"].to_numpy()
+            frames = []
+            for j, qid in enumerate(qids):
+                s = sims[:, j]
+                keep = np.nonzero(~np.isnan(s) & (nids != qid))[0]
+                if not len(keep):
+                    continue
+                top = keep[np.argsort(-s[keep], kind="stable")[:k]]
+                frames.append(pd.DataFrame(
+                    {"query_id": [qid] * len(top),
+                     "neighbor_id": nids[top], "sim": s[top]}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = c.mapInPandas(kern, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def cosine_pairs(df: DataFrame, threshold: float,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dup).

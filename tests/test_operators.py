@@ -1262,3 +1262,23 @@ def test_lsh_family_parameter_guards(eng, emb, docs):
     with pytest.raises(ValueError, match="bands"):
         incremental_neardup_ingest(None, "x", "y", "z",
                                    n_hashes=16, bands=5)
+
+
+def test_cosine_topk_arrow_equals_hof(eng, emb):
+    """The Arrow/BLAS top-k path returns exactly the HOF path's
+    (query, neighbor, rank) sets with matching sims (to float64
+    noise), string ids included."""
+    q = emb.filter(F.col("vec_id") < 5)
+    a = similarity.cosine_topk_arrow(emb, q, k=7).collect()
+    h = similarity.cosine_topk(emb, q, k=7).collect()
+    ak = {(r.query_id, r.neighbor_id, r.rank): r.sim for r in a}
+    hk = {(r.query_id, r.neighbor_id, r.rank): r.sim for r in h}
+    assert set(ak) == set(hk) and len(ak) == 35
+    assert all(abs(ak[t] - hk[t]) < 1e-9 for t in ak)
+    # string ids: schema follows the id columns
+    s_emb = emb.selectExpr("concat('v', vec_id) vec_id", "embedding")
+    s_q = s_emb.limit(3)
+    rows = similarity.cosine_topk_arrow(s_emb, s_q, k=3).collect()
+    assert rows and all(isinstance(r.query_id, str) for r in rows)
+    # empty query side: empty result with the right columns
+    assert similarity.cosine_topk_arrow(emb, q.limit(0), k=3).count() == 0
