@@ -310,6 +310,75 @@ def _plane_component(p: int, d: int) -> Column:
     return (portable_hash(F.lit(f"plane:{p}:{d}")) % 2001 - 1000) / 1000.0
 
 
+def _plane_matrix(dim: int, n_planes: int):
+    """The (n_planes × dim) hyperplane matrix as a numpy array —
+    component values BIT-IDENTICAL to :func:`_plane_component`'s
+    Spark expression: first 15 md5 hex digits as an integer,
+    ``% 2001 - 1000``, ``/ 1000.0`` (pure integer ops + one exact
+    division, so Python and the JVM produce the same doubles)."""
+    import hashlib
+
+    import numpy as np
+    m = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = int(hashlib.md5(
+                f"plane:{p}:{d}".encode()).hexdigest()[:15], 16)
+            m[p, d] = (h % 2001 - 1000) / 1000.0
+    return m
+
+
+def signature_frame(df: DataFrame, dim: int, n_planes: int,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    method: str = "arrow") -> DataFrame:
+    """(__id, __sig) hyperplane signatures for a whole frame.
+
+    ``method="arrow"`` (default) computes projections as ONE batch
+    matmul per Arrow batch (``mapInPandas``): per-row cost is
+    n_planes·dim BLAS FLOPs instead of n_planes·dim interpreted
+    CodegenFallback ops — measured 25.5 s → sub-second for 64 planes
+    on a 20k-row corpus (SCALE.md).  ``method="hof"`` is the pure
+    expression spelling (:func:`hyperplane_signature`), kept as the
+    JVM-side cross-check; both produce identical signatures wherever
+    projections have any margin from zero (pytest-asserted — a
+    projection within one ulp of 0 could in principle flip between
+    sequential and pairwise summation)."""
+    from pyspark.sql import types as T
+
+    base = ensure_parallelism(df)
+    if method == "hof":
+        return base.select(
+            F.col(id_col).alias("__id"),
+            hyperplane_signature(F.col(vec_col), dim, n_planes)
+            .alias("__sig"))
+    if method != "arrow":
+        raise ValueError(f"method must be arrow/hof, got {method!r}")
+    if not 1 <= n_planes <= 64:
+        raise ValueError(
+            f"n_planes must be in [1, 64] (one packed long), "
+            f"got {n_planes}")
+    planes = _plane_matrix(dim, n_planes)
+    out_schema = T.StructType([
+        T.StructField("__id", base.schema[id_col].dataType),
+        T.StructField("__sig", T.LongType())])
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            proj = m @ planes.T
+            sig = np.zeros(len(pdf), dtype=np.uint64)
+            for p in range(n_planes):
+                sig |= (proj[:, p] > 0).astype(np.uint64) << np.uint64(p)
+            yield pd.DataFrame({"__id": pdf[id_col],
+                                "__sig": sig.view(np.int64)})
+
+    return base.select(id_col, vec_col).mapInPandas(kern, out_schema)
+
+
 def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
     """Sign pattern of ``n_planes`` random hyperplane projections,
     packed to a long — Charikar LSH for cosine similarity.
@@ -372,7 +441,8 @@ def lsh_cosine_pairs_exact(df: DataFrame, threshold: float, dim: int,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            n_planes: int = 16,
-                           bands: int | None = None) -> DataFrame:
+                           bands: int | None = None,
+                           sig_method: str = "arrow") -> DataFrame:
     """Deterministic-recall LSH near-dup pairs — the graded SCALE
     spelling of embedding near-dup (brute :func:`cosine_pairs` is the
     tiny-corpus cross-check, not the plan you'd run at 100 TB).
@@ -424,9 +494,8 @@ def lsh_cosine_pairs_exact(df: DataFrame, threshold: float, dim: int,
     bits_per = n_planes // bands
     if bits_per == 0:
         raise ValueError(f"n_planes={n_planes} < bands={bands}")
-    sig = ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"),
-        hyperplane_signature(F.col(vec_col), dim, n_planes).alias("__sig"))
+    sig = signature_frame(df, dim, n_planes, id_col=id_col,
+                          vec_col=vec_col, method=sig_method)
     banded = sig.select(
         "__id", "__sig",
         # pmod, NOT %: with n_planes = 64 the sign bit makes __sig

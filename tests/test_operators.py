@@ -1282,3 +1282,25 @@ def test_cosine_topk_arrow_equals_hof(eng, emb):
     assert rows and all(isinstance(r.query_id, str) for r in rows)
     # empty query side: empty result with the right columns
     assert similarity.cosine_topk_arrow(emb, q.limit(0), k=3).count() == 0
+
+
+def test_signature_frame_arrow_equals_hof(eng, emb):
+    """The BLAS signature kernel reproduces the HOF expression's
+    signatures bit-for-bit (16 and 64 planes — the 64-plane case
+    exercises the uint64 sign-bit pack), and the LSH pair search is
+    identical under either signature method."""
+    from preql_spark.operators.similarity import signature_frame
+    for planes in (16, 64):
+        a = {r["__id"]: r["__sig"] for r in signature_frame(
+            emb, 64, planes, method="arrow").collect()}
+        h = {r["__id"]: r["__sig"] for r in signature_frame(
+            emb, 64, planes, method="hof").collect()}
+        assert a == h and len(a) == emb.count()
+    pa_ = {(r.id_a, r.id_b) for r in similarity.lsh_cosine_pairs_exact(
+        emb, 0.45, dim=64, max_hamming=7, sig_method="arrow").collect()}
+    ph = {(r.id_a, r.id_b) for r in similarity.lsh_cosine_pairs_exact(
+        emb, 0.45, dim=64, max_hamming=7, sig_method="hof").collect()}
+    assert pa_ == ph and len(pa_) > 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="method"):
+        signature_frame(emb, 64, 16, method="nope")
