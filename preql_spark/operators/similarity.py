@@ -408,16 +408,22 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
 
 def lsh_cosine_pairs(df: DataFrame, threshold: float, dim: int,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     n_planes: int = 16, bands: int = 4) -> DataFrame:
+                     n_planes: int = 16, bands: int = 4,
+                     sig_method: str = "arrow") -> DataFrame:
     """Near-neighbor pairs via hyperplane-LSH banding + exact verify.
     Candidate generation is an equi-join on (band, band-bits) — the
-    100 TB path where brute-force pairing is impossible."""
+    100 TB path where brute-force pairing is impossible.  Signatures
+    come from :func:`signature_frame` (BLAS batch matmul by default);
+    only NARROW (id, band, key) rows enter the candidate shuffle —
+    vectors re-join by id for the verify, exactly like
+    :func:`lsh_cosine_pairs_exact`."""
     bits_per = n_planes // bands
-    sig = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
-                    hyperplane_signature(F.col(vec_col), dim, n_planes)
-                    .alias("__sig"))
+    if bits_per == 0:
+        raise ValueError(f"n_planes={n_planes} < bands={bands}")
+    sig = signature_frame(df, dim, n_planes, id_col=id_col,
+                          vec_col=vec_col, method=sig_method)
     banded = sig.select(
-        "__id", "__v",
+        "__id",
         # pmod for sign-safety at n_planes >= 64 (see
         # lsh_cosine_pairs_exact)
         F.posexplode(F.array(*[
@@ -428,11 +434,18 @@ def lsh_cosine_pairs(df: DataFrame, threshold: float, dim: int,
     cands = (a.join(b, (F.col("a.__band") == F.col("b.__band"))
                     & (F.col("a.__bkey") == F.col("b.__bkey"))
                     & (F.col("a.__id") < F.col("b.__id")))
-             .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
-                     F.col("a.__v").alias("__va"), F.col("b.__v").alias("__vb"))
+             .select(F.col("a.__id").alias("id_a"),
+                     F.col("b.__id").alias("id_b"))
              .dropDuplicates(["id_a", "id_b"]))
-    return (cands.select("id_a", "id_b",
-                         cosine(F.col("__va"), F.col("__vb")).alias("sim"))
+    vecs = df.select(F.col(id_col).alias("__vid"),
+                     F.col(vec_col).alias("__v"))
+    return (cands
+            .join(vecs.select(F.col("__vid").alias("id_a"),
+                              F.col("__v").alias("__va")), "id_a")
+            .join(vecs.select(F.col("__vid").alias("id_b"),
+                              F.col("__v").alias("__vb")), "id_b")
+            .select("id_a", "id_b",
+                    cosine(F.col("__va"), F.col("__vb")).alias("sim"))
             .filter(F.col("sim") >= threshold))
 
 
