@@ -29,11 +29,14 @@ from preql_spark.operators.similarity import dot, ivf_build, norm
 
 
 def kmeans(df: DataFrame, k: int = 8, iters: int = 2,
-           id_col: str = "vec_id", vec_col: str = "embedding"):
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           assign_method: str = "hof"):
     """Lloyd's k-means with deterministic init (the k lowest-id
     vectors).  Runs ``iters`` centroid updates, then assigns every
     row to its nearest final centroid (squared euclidean, ties to the
-    lowest cluster id).
+    lowest cluster id).  ``assign_method="arrow"`` is the large-k
+    batch-matmul assignment (see
+    :func:`preql_spark.operators.similarity.ivf_build`).
 
     Returns ``(assignments, centroids)`` where assignments is a
     DataFrame ``(id_col, cluster, vec_col)`` with ``cluster`` in
@@ -41,7 +44,8 @@ def kmeans(df: DataFrame, k: int = 8, iters: int = 2,
     driver-side metadata, safe to broadcast into further expressions).
     """
     assigned, cents = ivf_build(df, dim=0, n_centroids=k, iters=iters,
-                                id_col=id_col, vec_col=vec_col)
+                                id_col=id_col, vec_col=vec_col,
+                                assign_method=assign_method)
     out = assigned.select(F.col("__id").alias(id_col),
                           (F.col("__cid") - 1).cast("int").alias("cluster"),
                           F.col("__v").alias(vec_col))

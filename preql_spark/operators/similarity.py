@@ -161,7 +161,8 @@ def cosine_pairs(df: DataFrame, threshold: float,
 
 def ivf_build(df: DataFrame, dim: int, n_centroids: int = 16,
               iters: int = 3, id_col: str = "vec_id",
-              vec_col: str = "embedding"):
+              vec_col: str = "embedding",
+              assign_method: str = "hof"):
     """Coarse quantizer for IVF search: k-means-lite over DataFrames.
 
     Deterministic init (the ``n_centroids`` lowest-id vectors), then
@@ -171,8 +172,24 @@ def ivf_build(df: DataFrame, dim: int, n_centroids: int = 16,
     average.  Centroids are collected to the driver between rounds
     (n_centroids × dim floats — metadata-scale).
 
+    ``assign_method``:
+
+    - ``"hof"`` (default): argmin over k literal arrays — pure
+      expressions, the shape the DuckDB oracle mirrors bit-exactly;
+      right up to k·dim ≈ 10⁵ (literal-expression-sized).
+    - ``"arrow"``: the LARGE-k path — distances as one batch matmul
+      (``‖v‖² − 2 v·C + ‖C‖²``) in ``mapInPandas``, centroids a
+      k×dim closure array instead of k literal expressions.  Same
+      first-min tie rule; the matmul's rounding can in principle
+      flip an argmin whose two best distances agree to an ulp
+      (equality pytest-checked on the fixtures — real corpora have
+      margins).
+
     Returns (assignments DataFrame (id, __cid, vec), centroids list).
     """
+    if assign_method not in ("hof", "arrow"):
+        raise ValueError(f"assign_method must be hof/arrow, "
+                         f"got {assign_method!r}")
     # the Lloyd loop re-scans `base` once per iteration (plus the
     # init TakeOrdered) — persist it so every round after the first
     # is a cache hit instead of a source re-scan; released before
@@ -183,7 +200,7 @@ def ivf_build(df: DataFrame, dim: int, n_centroids: int = 16,
     centroids = [list(map(float, r["__v"])) for r in
                  base.orderBy("__id").limit(n_centroids).collect()]
 
-    def assign(frame, cents):
+    def assign_hof(frame, cents):
         scored = frame.select(
             "*",
             F.array(*[
@@ -201,6 +218,33 @@ def ivf_build(df: DataFrame, dim: int, n_centroids: int = 16,
         return scored.select(
             "*", F.array_position(F.col("__d"), F.array_min("__d"))
             .cast("int").alias("__cid")).drop("__d")
+
+    def assign_arrow(frame, cents):
+        import numpy as np
+
+        from pyspark.sql import types as T
+        cm = np.asarray(cents, dtype=np.float64)
+        cn2 = (cm * cm).sum(axis=1)
+        out_schema = T.StructType(
+            list(frame.schema.fields)
+            + [T.StructField("__cid", T.IntegerType())])
+
+        def kern(batches):
+            import pandas as pd
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+                # ‖v−c‖² up to the constant ‖v‖² (argmin-invariant)
+                d = cn2[None, :] - 2.0 * (m @ cm.T)
+                # np.argmin = FIRST min index — the array_position rule
+                pdf = pdf.copy()
+                pdf["__cid"] = (d.argmin(axis=1) + 1).astype("int32")
+                yield pdf
+
+        return frame.mapInPandas(kern, out_schema)
+
+    assign = assign_hof if assign_method == "hof" else assign_arrow
 
     for _ in range(iters):
         assigned = assign(base, centroids)

@@ -1304,3 +1304,19 @@ def test_signature_frame_arrow_equals_hof(eng, emb):
     import pytest as _pt
     with _pt.raises(ValueError, match="method"):
         signature_frame(emb, 64, 16, method="nope")
+
+
+def test_kmeans_arrow_assignment_equals_hof(eng, emb):
+    """The large-k batch-matmul assignment agrees with the literal-
+    array argmin on the fixtures (same first-min tie rule), at both a
+    small and a literal-expression-straining k."""
+    from preql_spark.operators.cluster import kmeans
+    for k in (8, 64):
+        a, _ = kmeans(emb, k=k, iters=2, assign_method="arrow")
+        h, _ = kmeans(emb, k=k, iters=2, assign_method="hof")
+        am = {r.vec_id: r.cluster for r in a.collect()}
+        hm = {r.vec_id: r.cluster for r in h.collect()}
+        assert am == hm and len(am) == emb.count()
+    import pytest as _pt
+    with _pt.raises(ValueError, match="assign_method"):
+        kmeans(emb, assign_method="nope")
