@@ -24,6 +24,17 @@ if _REPO_ROOT not in sys.path:
 _ENGINES: dict = {}
 
 
+def _scratch(prefix: str) -> str:
+    """A temp dir for round-trip/ingest queries, removed at exit so
+    repeated battery runs don't accumulate in /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _pr4(col):
     """Portable 4-dp rounding: floor(x*1e4+0.5)/1e4 is bit-identical
     IEEE arithmetic on Spark and DuckDB, unlike round() whose
@@ -731,9 +742,8 @@ def q59_first_last_by(spark, sf_dir) -> DataFrame:
 def q60_dml_lifecycle(spark, sf_dir) -> DataFrame:
     """Mutation surface end-to-end (§2.10): CTAS → update → delete →
     bulk insert on a copy-on-write MutableTable; returns final state."""
-    import tempfile
     from preql_spark.sources.mutable import MutableTable
-    root = tempfile.mkdtemp(prefix="preql_dml_q60_")
+    root = _scratch("preql_dml_q60_")
     nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
     t = MutableTable.from_expr(spark, "nation_dml", root, nation)
     t.update(F.col("n_regionkey") == 0,
@@ -1434,11 +1444,10 @@ def q112_stream_ingest_dedup(spark, sf_dir) -> DataFrame:
     earlier waves carry strictly smaller ids, so the incremental
     min-id keep rule composes to the global one (that equality IS the
     oracle)."""
-    import tempfile
 
     from preql_spark.streaming.stream import incremental_dedup_ingest
     eng = _eng(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="q112_")
+    tmp = _scratch("q112_")
     src, store, ck = (os.path.join(tmp, d)
                       for d in ("src", "store", "ck"))
     d = eng.t.documents.df.select("doc_id", "text")
@@ -1675,11 +1684,10 @@ def q126_stream_neardup_ingest(spark, sf_dir) -> DataFrame:
     "drop id_b of every verified near-dup pair" — the oracle replays
     that rule brute-force (exact shingle Jaccard >= 0.9, the q38
     contract) over the whole corpus."""
-    import tempfile
 
     from preql_spark.streaming.stream import incremental_neardup_ingest
     eng = _eng(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="q126_")
+    tmp = _scratch("q126_")
     src, store, ck = (os.path.join(tmp, d)
                       for d in ("src", "store", "ck"))
     d = eng.t.documents.df.select("doc_id", "text")
@@ -1698,10 +1706,9 @@ def q127_jsonl_roundtrip(spark, sf_dir) -> DataFrame:
     text with embedded newlines/quotes (JSON escapes them).  Schema
     passed explicitly — inference would be a second full read at
     scale."""
-    import tempfile
     eng = _eng(spark, sf_dir)
     d = eng.t.documents
-    tmp = tempfile.mkdtemp(prefix="q127_") + "/docs"
+    tmp = _scratch("q127_") + "/docs"
     d.write_jsonl(tmp)
     back = eng.import_jsonl(tmp, schema=d.df.schema)
     return back.df.select("doc_id", "text", "lang", "source", "n_chars")
@@ -1712,10 +1719,9 @@ def q128_csv_roundtrip(spark, sf_dir) -> DataFrame:
     pql_functions.py:902-956) with header + type inference.  The
     text column stays out: embedded newlines need a multiLine reader
     — the round-trip contract here is the flat-typed columns."""
-    import tempfile
     eng = _eng(spark, sf_dir)
     d = eng.t.documents.project("doc_id", "lang", "source", "n_chars")
-    tmp = tempfile.mkdtemp(prefix="q128_") + "/docs"
+    tmp = _scratch("q128_") + "/docs"
     d.write_csv(tmp)
     back = eng.import_csv(tmp)
     return back.df.select("doc_id", "lang", "source", "n_chars")
@@ -1743,10 +1749,9 @@ def q130_orc_roundtrip(spark, sf_dir) -> DataFrame:
     """write_orc → import_orc round-trip (beyond-reference columnar
     source): full-fidelity including the text column — ORC, like
     parquet, needs no escaping compromises."""
-    import tempfile
     eng = _eng(spark, sf_dir)
     d = eng.t.documents
-    tmp = tempfile.mkdtemp(prefix="q130_") + "/docs"
+    tmp = _scratch("q130_") + "/docs"
     d.write_orc(tmp)
     back = eng.import_orc(tmp)
     return back.df.select("doc_id", "text", "lang", "source", "n_chars")
@@ -1758,11 +1763,10 @@ def q131_sqlite_roundtrip(spark, sf_dir) -> DataFrame:
     databases are SQLite files, sql_interface.py:962).  Text survives
     verbatim (SQLite TEXT is unescaped UTF-8); integer columns come
     back through declared-type affinity as longs."""
-    import tempfile
     eng = _eng(spark, sf_dir)
     d = eng.t.documents.project("doc_id", "text", "lang", "source",
                                 "n_chars")
-    tmp = tempfile.mkdtemp(prefix="q131_") + "/docs.db"
+    tmp = _scratch("q131_") + "/docs.db"
     d.write_sqlite(tmp, "documents")
     got = eng.import_sqlite(tmp, tables=["documents"], prefix="rt_")
     return got["rt_documents"].df.select("doc_id", "text", "lang",
