@@ -343,3 +343,26 @@ def test_lsh_selective_banding_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "__band" in plan and "__bkey" in plan
+
+
+def test_enum_auto_switches_on_size_estimate(spark):
+    """enum() default: interactive-sized inputs keep the one global
+    window; inputs whose Catalyst size estimate exceeds the threshold
+    take the distributed range-partition + per-partition-offsets plan
+    (no single-partition window exchange)."""
+    from preql_spark.engine import Engine
+    from preql_spark.table import Table
+    eng = Engine(spark).load_dir(SF_DIR)
+    small = eng.t.nation.enum(order_by="n_name")
+    assert "__pid" not in plan_of(small.df)
+    old = Table.ENUM_AUTO_BYTES
+    try:
+        Table.ENUM_AUTO_BYTES = 1
+        big = eng.t.nation.enum(order_by="n_name")
+        p = plan_of(big.df)
+        assert "__pid" in p and "SinglePartition" not in p
+        a = sorted((r["index"], r.n_name) for r in small.df.collect())
+        b = sorted((r["index"], r.n_name) for r in big.df.collect())
+        assert a == b
+    finally:
+        Table.ENUM_AUTO_BYTES = old
