@@ -3365,6 +3365,7 @@ def _load_pipeline_funcs() -> dict:
         "corpus_datacard": text.corpus_datacard,
         # similarity / embeddings
         "cosine_topk": similarity.cosine_topk,
+        "cosine_topk_arrow": similarity.cosine_topk_arrow,
         "cosine_pairs": similarity.cosine_pairs,
         "lsh_cosine_pairs": similarity.lsh_cosine_pairs_exact,
         "normalize_vectors": similarity.normalize_vectors,
@@ -3382,6 +3383,7 @@ _PIPELINE_FUNC_NAMES = {
     "corpus_overlap", "quality_metrics", "repetition_metrics",
     "tfidf", "bm25", "lm_perplexity", "quantile_filter",
     "quantile_bucketize", "corpus_datacard", "cosine_topk",
+    "cosine_topk_arrow",
     "cosine_pairs", "lsh_cosine_pairs", "normalize_vectors",
     "quantize_int8", "centroid_agg", "semdedup", "kmeans_assign",
     # Table-method family (dispatched on the host Table, not its df)

@@ -1914,3 +1914,19 @@ def test_in_table_null_lhs_sql_semantics(eng):
     assert hits == [1]
     miss = sorted(r.x for r in eng2.q('lhs[x !in rhs{x}]').collect())
     assert miss == [3]          # NULL row excluded by both
+
+
+def test_lang_cosine_topk_arrow_builtin(eng):
+    """The BLAS top-k is reachable from the language and agrees with
+    the HOF builtin; operator kwargs (pair_method:) pass through."""
+    a = eng.q('cosine_topk_arrow(embeddings, embeddings[vec_id < 3],'
+              ' k: 4)')
+    h = eng.q('cosine_topk(embeddings, embeddings[vec_id < 3], k: 4)')
+    sa = sorted((r.query_id, r.neighbor_id, r.rank) for r in a.collect())
+    sh = sorted((r.query_id, r.neighbor_id, r.rank) for r in h.collect())
+    assert sa == sh and len(sa) == 12
+    s1 = eng.q('semdedup(embeddings, tau: 0.45, k: 4,'
+               ' pair_method: "sql")')
+    s2 = eng.q('semdedup(embeddings, tau: 0.45, k: 4)')
+    assert sorted(map(tuple, s1.collect())) == \
+        sorted(map(tuple, s2.collect()))
