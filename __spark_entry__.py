@@ -1787,6 +1787,19 @@ def q132_cosine_topk_arrow(spark, sf_dir) -> DataFrame:
                       _pr4(F.col("sim")).alias("sim"))
 
 
+def q133_semdedup_paper_rule(spark, sf_dir) -> DataFrame:
+    """SemDeDup with the PAPER's keep rule (Abbas et al. 2023 §2):
+    near-dup pairs become connected components and each component
+    keeps its centroid-FARTHEST member (lowest cosine to the cluster
+    centroid, id tiebreak).  Oracle: q101's chained-CTE k-means
+    replay + q73's recursive-CTE connected components + a
+    per-component argmin over centroid cosine."""
+    from preql_spark.operators.cluster import semdedup
+    e = _eng(spark, sf_dir).t.embeddings.df
+    return semdedup(e, tau=0.45, k=8, iters=2,
+                    keep="far_from_centroid")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1856,6 +1869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q130_orc_roundtrip": q130_orc_roundtrip,
     "q131_sqlite_roundtrip": q131_sqlite_roundtrip,
     "q132_cosine_topk_arrow": q132_cosine_topk_arrow,
+    "q133_semdedup_paper_rule": q133_semdedup_paper_rule,
     "q54_fmt_interpolation": q54_fmt_interpolation,
     "q55_lang_pipeline": q55_lang_pipeline,
     "q56_lang_join": q56_lang_join,
@@ -3536,6 +3550,91 @@ ORACLES: dict[str, str] = {
         SELECT query_id, neighbor_id, rank,
                floor(sim * 10000 + 0.5) / 10000 AS sim
         FROM r WHERE rank <= 5
+    """,
+    # paper-rule SemDeDup: q101's k-means replay + q73's recursive CC
+    # + keep the centroid-farthest member per component
+    "q133_semdedup_paper_rule": """
+        WITH RECURSIVE emb AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid, v AS c
+          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+        ),
+        a1 AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(e.v, c.c),
+                              x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
+            FROM emb e CROSS JOIN c0 c) WHERE rn = 1
+        ),
+        c1 AS (
+          SELECT c0.cid, COALESCE(u.c, c0.c) AS c FROM c0 LEFT JOIN (
+            SELECT cid, list(m ORDER BY p) AS c FROM (
+              SELECT a.cid AS cid, t.i AS p, avg(a.v[t.i]) AS m
+              FROM a1 a CROSS JOIN generate_series(1, 64) t(i)
+              GROUP BY a.cid, t.i) GROUP BY cid) u ON u.cid = c0.cid
+        ),
+        a2 AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(e.v, c.c),
+                              x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
+            FROM emb e CROSS JOIN c1 c) WHERE rn = 1
+        ),
+        c2 AS (
+          SELECT c1.cid, COALESCE(u.c, c1.c) AS c FROM c1 LEFT JOIN (
+            SELECT cid, list(m ORDER BY p) AS c FROM (
+              SELECT a.cid AS cid, t.i AS p, avg(a.v[t.i]) AS m
+              FROM a2 a CROSS JOIN generate_series(1, 64) t(i)
+              GROUP BY a.cid, t.i) GROUP BY cid) u ON u.cid = c1.cid
+        ),
+        final AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(e.v, c.c),
+                              x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
+            FROM emb e CROSS JOIN c2 c) WHERE rn = 1
+        ),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM final a JOIN final b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+        ),
+        sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, r) AS (SELECT a, b FROM sym
+                           UNION
+                           SELECT reach.node, sym.b
+                           FROM reach JOIN sym ON reach.r = sym.a),
+        comp AS (SELECT node, least(node, min(r)) AS component
+                 FROM reach GROUP BY node),
+        scored AS (
+          SELECT f.vec_id, f.cid, comp.component,
+                 list_dot_product(f.v, c2.c)
+                 / (sqrt(list_dot_product(f.v, f.v))
+                    * sqrt(list_dot_product(c2.c, c2.c))) AS cc
+          FROM comp JOIN final f ON comp.node = f.vec_id
+          JOIN c2 ON c2.cid = f.cid
+        ),
+        keepers AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY cc, vec_id) AS rn
+            FROM scored) WHERE rn = 1
+        )
+        SELECT f.vec_id, f.cid - 1 AS cluster FROM final f
+        WHERE f.vec_id NOT IN (SELECT node FROM comp)
+        UNION ALL
+        SELECT vec_id, cid - 1 AS cluster FROM keepers
     """,
     "q127_jsonl_roundtrip": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
