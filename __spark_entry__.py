@@ -1800,6 +1800,23 @@ def q133_semdedup_paper_rule(spark, sf_dir) -> DataFrame:
                     keep="far_from_centroid")
 
 
+def q134_temptable_agg(spark, sf_dir) -> DataFrame:
+    """temptable (reference pql_functions.py:327-348) mid-pipeline:
+    the cached materialization must be value-transparent — filtering
+    and aggregating THROUGH the temp table equals doing so directly
+    (and the registered name is SQL-visible)."""
+    eng = _eng(spark, sf_dir)
+    t = eng.t.documents.filter(F.col("n_chars") >= 100) \
+        .temptable("q134_docs")
+    out = (t.group("source",
+                   n=F.count(F.lit(1)),
+                   chars=F.sum("n_chars"))
+           .order("source"))
+    sql_n = spark.sql("SELECT count(*) FROM q134_docs").collect()[0][0]
+    assert sql_n == t.count()          # the temp view is live
+    return out.df
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1918,6 +1935,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # late additions q127-q129 (round-trip identities + 4-way chain):
     # ANN keeps q124/q80 in-window, streaming keeps
     # q112/q118/q122/q126, lang/UDF keeps q55/q56/q61/q123/q125.
+    "q134_temptable_agg": q134_temptable_agg,
     "q86_ivf_full_probe": q86_ivf_full_probe,
     "q87_stream_dedup": q87_stream_dedup,
     "q92_table_methods": q92_table_methods,
@@ -3635,6 +3653,12 @@ ORACLES: dict[str, str] = {
         WHERE f.vec_id NOT IN (SELECT node FROM comp)
         UNION ALL
         SELECT vec_id, cid - 1 AS cluster FROM keepers
+    """,
+    "q134_temptable_agg": """
+        SELECT source, count(*) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE n_chars >= 100
+        GROUP BY source
     """,
     "q127_jsonl_roundtrip": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
