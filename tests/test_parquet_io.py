@@ -174,3 +174,42 @@ def test_hadoop_dir_size_glob(spark, tmp_path):
     one = hadoop_dir_size(spark, str(tmp_path / "run-a"))
     assert both > one > 0
     assert hadoop_dir_size(spark, str(tmp_path / "nope-*")) == 0
+
+
+def test_interchange_roundtrip_crafted_edges(spark, eng, tmp_path):
+    """The q127/q130/q131 round-trip identities on inputs the fixture
+    corpus never contains: emoji/unicode, embedded quotes and
+    newlines (LF and CRLF), backslashes, NULLs, empty strings."""
+    rows = [
+        (1, 'plain text'),
+        (2, 'emoji 🙂 and ünïcodé — em-dash'),
+        (3, 'embedded "quotes" and \'singles\''),
+        (4, 'line1\nline2\nline3'),
+        (5, 'crlf\r\nline'),
+        (6, 'back\\slash and tab\there'),
+        (7, None),
+        (8, ''),
+        (9, 'json-ish {"k": [1, 2]}'),
+    ]
+    src = eng.from_df(spark.createDataFrame(
+        rows, "doc_id long, text string"))
+    want = sorted(rows)
+
+    jl = str(tmp_path / "jl")
+    src.write_jsonl(jl)
+    got = sorted(tuple(r) for r in
+                 eng.import_jsonl(jl, schema=src.df.schema).collect())
+    assert got == want
+
+    orc = str(tmp_path / "orc")
+    src.write_orc(orc)
+    got = sorted(tuple(r) for r in eng.import_orc(orc).collect())
+    assert got == want
+
+    db = str(tmp_path / "e.db")
+    src.write_sqlite(db, "t")
+    from preql_spark.engine import Engine
+    back = Engine(spark)
+    back.import_sqlite(db)
+    got = sorted(tuple(r) for r in back.t.t.df.collect())
+    assert got == want
