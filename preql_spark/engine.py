@@ -496,10 +496,17 @@ class Engine:
             r = r.option("mergeSchema", "true")
         return self.from_df(r.parquet(path))
 
-    def import_csv(self, path: str, header: bool = True) -> "Table":
-        """Reference import_csv — pql_functions.py:902-956."""
+    def import_csv(self, path: str, header: bool = True,
+                   multiline: bool = False) -> "Table":
+        """Reference import_csv — pql_functions.py:902-956.
+        ``multiline=True`` parses quoted fields with embedded
+        newlines (full round-trip fidelity with ``write_csv``) — off
+        by default because a multiLine CSV file cannot be SPLIT
+        across tasks (one file = one task), which is the wrong
+        default for large corpora."""
         return self.from_df(
-            self.spark.read.csv(path, header=header, inferSchema=True))
+            self.spark.read.csv(path, header=header, inferSchema=True,
+                                multiLine=multiline))
 
     def import_json(self, path: str) -> "Table":
         """Reference import_json — pql_functions.py:875-898."""

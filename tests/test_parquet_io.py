@@ -213,3 +213,18 @@ def test_interchange_roundtrip_crafted_edges(spark, eng, tmp_path):
     back.import_sqlite(db)
     got = sorted(tuple(r) for r in back.t.t.df.collect())
     assert got == want
+
+
+def test_csv_multiline_roundtrip(spark, eng, tmp_path):
+    """import_csv(multiline=True) restores quoted embedded newlines
+    and quotes — full write_csv fidelity (the default stays
+    splittable single-line parsing)."""
+    rows = [(1, 'a\nb'), (2, 'with "quotes"'), (3, 'plain'),
+            (4, None)]
+    src = eng.from_df(spark.createDataFrame(
+        rows, "doc_id long, text string"))
+    path = str(tmp_path / "csv")
+    src.write_csv(path)
+    got = sorted(tuple(r) for r in
+                 eng.import_csv(path, multiline=True).collect())
+    assert got == sorted(rows)
