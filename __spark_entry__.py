@@ -1817,6 +1817,26 @@ def q134_temptable_agg(spark, sf_dir) -> DataFrame:
     return out.df
 
 
+def q135_salted_join(spark, sf_dir) -> DataFrame:
+    """Skew-salted equi-join (operators/skew.py): the fact side's hot
+    keys scatter over 16 salt buckets, the dimension replicates 16× —
+    result must equal the plain join, which is exactly what the
+    oracle computes."""
+    from preql_spark.operators.skew import salted_join
+    eng = _eng(spark, sf_dir)
+    orders = eng.t.orders.df.select("o_orderkey", "o_custkey",
+                                    "o_totalprice")
+    cust = eng.t.customer.df.select("c_custkey", "c_nationkey")
+    out = salted_join(orders,
+                      cust.withColumnRenamed("c_custkey", "o_custkey"),
+                      on="o_custkey", salt=16)
+    return (eng.from_df(out)
+            .group("c_nationkey",
+                   n=F.count(F.lit(1)),
+                   total=_pr4(F.sum("o_totalprice")))
+            .df)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1936,6 +1956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ANN keeps q124/q80 in-window, streaming keeps
     # q112/q118/q122/q126, lang/UDF keeps q55/q56/q61/q123/q125.
     "q134_temptable_agg": q134_temptable_agg,
+    "q135_salted_join": q135_salted_join,
     "q86_ivf_full_probe": q86_ivf_full_probe,
     "q87_stream_dedup": q87_stream_dedup,
     "q92_table_methods": q92_table_methods,
@@ -3659,6 +3680,12 @@ ORACLES: dict[str, str] = {
                CAST(sum(n_chars) AS BIGINT) AS chars
         FROM documents WHERE n_chars >= 100
         GROUP BY source
+    """,
+    "q135_salted_join": """
+        SELECT c_nationkey, count(*) AS n,
+               floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
     """,
     "q127_jsonl_roundtrip": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
