@@ -1837,6 +1837,33 @@ def q135_salted_join(spark, sf_dir) -> DataFrame:
             .df)
 
 
+def q136_transactions(spark, sf_dir) -> DataFrame:
+    """Transaction semantics externally confirmed (§2.10,
+    reference api.py:221-229): a rolled-back block leaves no trace, a
+    committed block persists — the final state after
+    [commit update, rollback delete+insert, commit insert] is fully
+    determined, and the oracle replays it in SQL."""
+    from preql_spark.sources.mutable import MutableTable, transaction
+    root = _scratch("preql_txn_q136_")
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    t = MutableTable.from_expr(spark, "nation_txn", root, nation)
+    with transaction(t):
+        t.update(F.col("n_regionkey") == 1,
+                 n_name=F.concat(F.col("n_name"), F.lit("_TX")))
+    try:
+        with transaction(t):
+            t.delete(F.col("n_regionkey") >= 0)    # would wipe all
+            t.insert_rows([{"n_nationkey": 990, "n_name": "GHOST",
+                            "n_regionkey": 0}])
+            raise RuntimeError("abort")            # roll it back
+    except RuntimeError:
+        pass
+    with transaction(t):
+        t.insert_rows([{"n_nationkey": 991, "n_name": "DURABLE",
+                        "n_regionkey": 2}])
+    return t.df().select("n_nationkey", "n_name", "n_regionkey")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -1957,6 +1984,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # q112/q118/q122/q126, lang/UDF keeps q55/q56/q61/q123/q125.
     "q134_temptable_agg": q134_temptable_agg,
     "q135_salted_join": q135_salted_join,
+    "q136_transactions": q136_transactions,
     "q86_ivf_full_probe": q86_ivf_full_probe,
     "q87_stream_dedup": q87_stream_dedup,
     "q92_table_methods": q92_table_methods,
@@ -3686,6 +3714,17 @@ ORACLES: dict[str, str] = {
                floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS total
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_nationkey
+    """,
+    "q136_transactions": """
+        SELECT n_nationkey,
+               CASE WHEN n_regionkey = 1 THEN n_name || '_TX'
+                    ELSE n_name END AS n_name,
+               n_regionkey
+        FROM nation
+        UNION ALL
+        SELECT 990, 'GHOST', 0 WHERE 1 = 0
+        UNION ALL
+        SELECT 991, 'DURABLE', 2
     """,
     "q127_jsonl_roundtrip": """
         SELECT doc_id, text, lang, source, n_chars FROM documents
