@@ -26,6 +26,7 @@ here: its Spark path is the dedicated ``spark-bigquery-connector``
 
 from __future__ import annotations
 
+import re
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,6 +65,39 @@ _DIALECTS: dict[str, tuple[str, str, str]] = {
               "SELECT table_name FROM information_schema.tables "
               "WHERE table_schema = schema_name()"),
 }
+
+
+#: identifier quote characters per dialect (open, close); everything
+#: ANSI-quotes with double quotes except mysql (backticks) and mssql
+#: (brackets — safe regardless of QUOTED_IDENTIFIER)
+_QUOTES: dict[str, tuple[str, str]] = {
+    "mysql": ("`", "`"),
+    "mssql": ("[", "]"),
+}
+
+_SIMPLE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_$#]*$")
+
+
+def quote_ident(scheme: str, name: str) -> str:
+    """Dialect-quote ``name`` for interpolation into generated SQL
+    (the min/max partition probe and the dbtable option).
+
+    Simple identifiers pass through UNQUOTED so the engine's own case
+    folding keeps working (Oracle upper-folds unquoted names — a user
+    typing ``lineitem`` must still hit ``LINEITEM``).  Anything else —
+    mixed punctuation, spaces, reserved-word punctuation, or a name
+    reflected from a hostile catalog — is quoted with the dialect's
+    quote character, embedded quote characters doubled, so it can
+    never terminate the identifier and inject SQL into the probe.
+    Dotted ``schema.table`` names are quoted part-by-part."""
+    op, cl = _QUOTES.get(scheme, ('"', '"'))
+    parts = []
+    for part in name.split("."):
+        if _SIMPLE_IDENT.match(part):
+            parts.append(part)
+        else:
+            parts.append(op + part.replace(cl, cl + cl) + cl)
+    return ".".join(parts)
 
 
 def parse_jdbc_uri(uri: str) -> tuple[str, dict]:
@@ -118,6 +152,13 @@ def jdbc_table_df(spark: SparkSession, uri: str, table: str,
     in CI); production always uses ``spark.read``."""
     url, props = parse_jdbc_uri(uri)
     props = {**props, **(properties or {})}
+    scheme = urlparse(uri).scheme.lower()
+    # names reflected from a remote catalog (or typed by a user) go
+    # into generated SQL — dialect-quote anything non-simple so mixed
+    # case / spaces / reserved words work and nothing can inject
+    q_table = quote_ident(scheme, table)
+    q_part = (quote_ident(scheme, partition_col)
+              if partition_col is not None else None)
 
     def reader():
         r = (_reader() if _reader is not None else spark.read) \
@@ -130,8 +171,8 @@ def jdbc_table_df(spark: SparkSession, uri: str, table: str,
     if partition_col is not None and (lower is None or upper is None):
         probe = (reader()
                  .option("query",
-                         f"SELECT MIN({partition_col}) AS lo, "
-                         f"MAX({partition_col}) AS hi FROM {table}")
+                         f"SELECT MIN({q_part}) AS lo, "
+                         f"MAX({q_part}) AS hi FROM {q_table}")
                  .load().collect()[0])
         # positional access: some engines (Oracle) fold unquoted
         # aliases to upper case, so probe["lo"] would not resolve
@@ -139,9 +180,9 @@ def jdbc_table_df(spark: SparkSession, uri: str, table: str,
         upper = probe[1] if upper is None else upper
         if lower is None or upper is None:       # empty table
             partition_col = None
-    r = reader().option("dbtable", table)
+    r = reader().option("dbtable", q_table)
     if partition_col is not None:
-        r = (r.option("partitionColumn", partition_col)
+        r = (r.option("partitionColumn", q_part)
              .option("lowerBound", str(lower))
              .option("upperBound", str(upper))
              .option("numPartitions", str(num_partitions)))

@@ -332,6 +332,22 @@ def incremental_neardup_ingest(spark: SparkSession, src_path: str,
             f"bands must divide n_hashes, got {n_hashes}/{bands}")
     state_path = state_path or store_path.rstrip("/") + "_state"
     rows_per_band = n_hashes // bands
+    # a state built under the other shingle_mode must be rejected, not
+    # coerced: unionByName would silently cast the state's sh column
+    # (array<long> vs array<string>) to strings, making every
+    # cross-wave Jaccard 0 — near-dups of earlier waves get ACCEPTED
+    if hadoop_dir_has_files(spark, state_path):
+        from pyspark.sql.types import ArrayType, LongType, StringType
+        have = spark.read.parquet(state_path).schema["sh"].dataType
+        want = ArrayType(StringType() if shingle_mode == "string"
+                         else LongType(), True)
+        if not isinstance(have, ArrayType) or \
+                have.elementType != want.elementType:
+            raise ValueError(
+                f"state at {state_path} stores sh: {have.simpleString()}"
+                f" but shingle_mode={shingle_mode!r} needs "
+                f"{want.simpleString()} — re-invoke with the mode the "
+                "state was built with, or point at a fresh state_path")
     schema = spark.read.parquet(src_path).schema  # footer-only peek
 
     def _sink(batch: DataFrame, batch_id: int) -> None:

@@ -109,3 +109,41 @@ def test_parse_jdbc_uri_forwards_query_string():
         "postgres://u@h/db?sslmode=require&currentSchema=s1")
     assert url == "jdbc:postgresql://h/db?sslmode=require&currentSchema=s1"
     assert props["user"] == "u"
+
+
+def test_quote_ident_dialects():
+    from preql_spark.sources.jdbc import quote_ident
+    # simple identifiers pass through so engine case folding survives
+    assert quote_ident("oracle", "lineitem") == "lineitem"
+    assert quote_ident("postgres", "My_Table$2") == "My_Table$2"
+    # non-simple names get the dialect quote, parts quoted separately
+    assert quote_ident("postgres", "weird name") == '"weird name"'
+    assert quote_ident("mysql", "weird name") == "`weird name`"
+    assert quote_ident("mssql", "weird name") == "[weird name]"
+    assert quote_ident("postgres", "s1.my table") == 's1."my table"'
+    # an embedded quote char can never terminate the identifier
+    assert quote_ident("postgres", 'x";DROP TABLE t;--') == \
+        '"x"";DROP TABLE t;--"'
+    assert quote_ident("mssql", "a]b") == "[a]]b]"
+
+
+def test_jdbc_probe_quotes_hostile_names(spark):
+    """A table name with spaces/quotes reaches the probe query and
+    dbtable option quoted — it cannot inject into the generated SQL."""
+    calls = []
+
+    class _Rdr(_StubReader):
+        def load(self):
+            self.calls.append(dict(self.opts))
+            return self.tables['"my table"']
+
+    tables = {'"my table"': spark.range(9).select(
+        F.col("id").alias("k v"))}
+    df = jdbc_table_df(
+        spark, "postgres://h/db", "my table", partition_col="k v",
+        lower=0, upper=8, num_partitions=2,
+        _reader=lambda: _Rdr(spark, tables, calls))
+    assert df.count() == 9
+    (read,) = calls
+    assert read["dbtable"] == '"my table"'
+    assert read["partitionColumn"] == '"k v"'

@@ -446,3 +446,27 @@ def test_incremental_neardup_hash_state_mode(spark, eng, tmp_path):
                                    str(tmp_path / "y"),
                                    str(tmp_path / "z"),
                                    shingle_mode="nope")
+
+
+def test_incremental_neardup_rejects_mode_mismatch(spark, tmp_path):
+    """A state built under one shingle_mode must refuse the other:
+    unionByName would coerce array<long>/array<string> to strings and
+    silently accept near-dups of earlier waves (cross-wave Jaccard 0)."""
+    import pytest as _pt
+
+    from preql_spark.streaming.stream import incremental_neardup_ingest
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta")]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(src)
+    incremental_neardup_ingest(spark, src, store, ck,
+                               shingle_mode="string")
+    with _pt.raises(ValueError, match="shingle_mode"):
+        incremental_neardup_ingest(spark, src, store, ck,
+                                   shingle_mode="hash")
+    # and the matching mode still replays cleanly (idempotent no-op)
+    out = incremental_neardup_ingest(spark, src, store, ck,
+                                     shingle_mode="string")
+    assert out.count() == 1
