@@ -3341,6 +3341,20 @@ def _load_pipeline_funcs() -> dict:
     def _kmeans_assign(df, k=8, iters=2):
         return cluster.kmeans(df, k=int(k), iters=int(iters))[0]
 
+    def _pq_topk(corpus, queries, k=10, m=8, ksub=16,
+                 id_col="vec_id", vec_col="embedding"):
+        # dim from one bounded row — the codebook build collects
+        # ksub rows anyway, so this adds no new scale hazard
+        first = corpus.select(vec_col).first()
+        dim = len(first[0]) if first else 0
+        cb = similarity.pq_codebook(corpus, dim=dim, m=int(m),
+                                    ksub=int(ksub), id_col=id_col,
+                                    vec_col=vec_col)
+        enc = similarity.pq_encode(corpus, cb, id_col=id_col,
+                                   vec_col=vec_col, method="arrow")
+        return similarity.pq_adc_topk(enc, queries, cb, k=int(k),
+                                      id_col=id_col, vec_col=vec_col)
+
     return {
         # dedup family
         "dedup_exact": dedup.dedup_exact,
@@ -3354,6 +3368,7 @@ def _load_pipeline_funcs() -> dict:
         "decontaminate": dedup.decontaminate,
         "contaminated_ids": dedup.contaminated_ids,
         "corpus_overlap": dedup.corpus_overlap,
+        "duplicate_spans": dedup.duplicate_spans,
         # text analysis / curation
         "quality_metrics": text.quality_metrics,
         "repetition_metrics": text.repetition_metrics,
@@ -3373,6 +3388,7 @@ def _load_pipeline_funcs() -> dict:
         "centroid_agg": similarity.centroid_agg,
         "semdedup": cluster.semdedup,
         "kmeans_assign": _kmeans_assign,
+        "pq_topk": _pq_topk,
     }
 
 
@@ -3380,7 +3396,8 @@ _PIPELINE_FUNC_NAMES = {
     "dedup_exact", "chunk_dedup", "line_dedup", "minhash_pairs",
     "simhash_pairs", "ngram_jaccard_pairs", "connected_components",
     "dedup_canonical", "decontaminate", "contaminated_ids",
-    "corpus_overlap", "quality_metrics", "repetition_metrics",
+    "corpus_overlap", "duplicate_spans", "pq_topk",
+    "quality_metrics", "repetition_metrics",
     "tfidf", "bm25", "lm_perplexity", "quantile_filter",
     "quantile_bucketize", "corpus_datacard", "cosine_topk",
     "cosine_topk_arrow",

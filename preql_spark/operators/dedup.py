@@ -486,3 +486,76 @@ def corpus_overlap(a: DataFrame, b: DataFrame,
         F.sum(both.cast("long")).alias("n_common"),
         (F.sum(both.cast("long"))
          / F.count(F.lit(1)).cast("double")).alias("jaccard"))
+
+
+# ---- substring-level (span) duplication ------------------------------------
+
+def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 8,
+                    min_docs: int = 2) -> DataFrame:
+    """Cross-document duplicate-SPAN detection — the substring-level
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), which catches boilerplate shared
+    by otherwise-distinct pages that document-level MinHash misses.
+
+    A position ``p`` of a document is *flagged* when the ``k``-token
+    gram starting at ``p`` also occurs in at least ``min_docs``
+    distinct documents (itself included).  Flagged positions are
+    merged into maximal spans (intervals ``[p, p+k-1]`` merged when
+    overlapping or adjacent), so ``dup_tokens`` counts each covered
+    token exactly once.
+
+    Returns one row per input document:
+    ``(id, n_tokens, n_dup_grams, n_spans, dup_tokens, dup_ratio)``.
+
+    Scale shape: the text never crosses a shuffle — grams leave the
+    scan as 8-byte ``xxhash64`` fingerprints ``(gh, id, pos)``.
+    One hash-agg on ``gh`` (partial map-side distinct) finds grams in
+    >= ``min_docs`` docs; a semi-join (AQE-broadcastable — the dup
+    set is tiny relative to the corpus) flags positions; interval
+    merging is two windows partitioned by document id.  At 100 TB the
+    only wide exchange is gram-keyed, and it carries 24-byte rows."""
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.size(toks)
+    # guard: sequence(0, negative) generates a DESCENDING ramp, not
+    # an empty array — short docs must yield no gram starts at all
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
+        .otherwise(F.array().cast("array<int>"))
+    base = df.select(F.col(id_col), toks.alias("__toks"),
+                     starts.alias("__starts"))
+    grams = base.select(
+        id_col, F.explode("__starts").alias("__pos"),
+        F.xxhash64(F.array_join(
+            F.slice(F.col("__toks"), F.col("__pos") + 1, F.lit(k)),
+            " ")).alias("__gh"))
+    dup = (grams.groupBy("__gh")
+           .agg(F.countDistinct(id_col).alias("__nd"))
+           .filter(F.col("__nd") >= min_docs).select("__gh"))
+    flagged = grams.join(dup, "__gh", "left_semi")
+    wprev = (Window.partitionBy(id_col).orderBy("__pos")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wrun = (Window.partitionBy(id_col).orderBy("__pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    iv = (flagged
+          .withColumn("__e", F.col("__pos") + k - 1)
+          .withColumn("__pm", F.max("__e").over(wprev))
+          .withColumn("__new", (F.col("__pm").isNull()
+                                | (F.col("__pos") > F.col("__pm") + 1))
+                      .cast("int"))
+          .withColumn("__iid", F.sum("__new").over(wrun)))
+    spans = (iv.groupBy(id_col, "__iid")
+             .agg((F.max("__e") - F.min("__pos") + 1).alias("__cov"),
+                  F.count(F.lit(1)).alias("__ng")))
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_spans"),
+                    F.sum("__cov").alias("dup_tokens"),
+                    F.sum("__ng").alias("n_dup_grams")))
+    docs = df.select(id_col, n.alias("n_tokens"))
+    out = docs.join(per_doc, id_col, "left")
+    return out.select(
+        id_col, "n_tokens",
+        F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        (F.coalesce("dup_tokens", F.lit(0))
+         / F.col("n_tokens")).alias("dup_ratio"))

@@ -275,7 +275,12 @@ def _query_probes(queries: DataFrame, centroids: list, nprobe: int,
             F.aggregate(
                 F.zip_with(F.col("__qv"),
                            F.array(*[F.lit(x) for x in c]),
-                           lambda a, b: (a.cast("double") - b) ** 2),
+                           # (a-b)*(a-b), not **2 — the multiply is
+                           # correctly-rounded IEEE on every engine
+                           # (pow is 1-ulp), keeping probe choice
+                           # bit-identical to the SQL oracle replay
+                           lambda a, b: ((a.cast("double") - b)
+                                         * (a.cast("double") - b))),
                 F.lit(0.0), lambda acc, v: acc + v)
             for c in centroids])).alias("__cid0", "__qd"))
     wq = Window.partitionBy("query_id").orderBy("__qd", "__cid0")
@@ -739,3 +744,230 @@ def mine_contrastive_pairs(df: DataFrame, pos_tau: float = 0.45,
            .filter(F.col("__rk") <= k_neg).drop("__rk")
            .withColumn("label", F.lit(0)))
     return pos.unionByName(neg)
+
+
+# ---- product quantization (PQ) ---------------------------------------------
+# The memory-bound regime of ANN at 100 TB: a 64-dim float32 vector is
+# 256 B; its PQ code at m=8 subspaces is 8 B — a 32x compression that
+# turns per-pair distance work from O(dim) multiplies into O(m) table
+# lookups (ADC — asymmetric distance computation, Jegou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search").  No reference
+# equivalent (Preql has no vector ops); beyond-reference per the brief.
+
+def pq_codebook(df: DataFrame, dim: int, m: int = 8, ksub: int = 16,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> list:
+    """Deterministic SAMPLED codebook: subspace ``j``'s ``ksub``
+    centroids are the j-th subvectors of the ``ksub`` lowest-id
+    vectors (the same no-RNG init discipline as :func:`ivf_build`;
+    swap in per-subspace Lloyd refinement the same way ``ivf_build``
+    refines its coarse centroids when recall matters more than
+    replayability).  Returns ``m x ksub x (dim//m)`` Python floats —
+    bounded driver metadata, safe to close over in expressions."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    rows = (df.select(F.col(id_col).alias("__id"),
+                      F.col(vec_col).alias("__v"))
+            .orderBy("__id").limit(ksub).collect())
+    if len(rows) < ksub:
+        raise ValueError(f"need >= {ksub} vectors to sample the "
+                         f"codebook, corpus has {len(rows)}")
+    return [[[float(x) for x in r["__v"][j * sub:(j + 1) * sub]]
+             for r in rows] for j in range(m)]
+
+
+def _sq_sub(v: Column, start0: int, sub: int, cent: list) -> Column:
+    """Sequential-fold squared distance between an array slice and a
+    literal centroid — (a-b)*(a-b), the cross-engine-exact spelling
+    (see ivf_build's assign_hof)."""
+    return F.aggregate(
+        F.zip_with(F.slice(v, start0 + 1, sub),
+                   F.array(*[F.lit(x) for x in cent]),
+                   lambda a, b: ((a.cast("double") - b)
+                                 * (a.cast("double") - b))),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(df: DataFrame, codebook: list, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              method: str = "hof") -> DataFrame:
+    """Encode every vector as ``m`` one-byte-range codes (argmin
+    centroid per subspace, first-min tie rule).  Adds ``pq_code``
+    (array<int>, length m) next to the input columns.
+
+    ``method="hof"``: m x ksub literal argmin expressions — scan-local
+    whole-stage codegen, zero shuffle, and the spelling the DuckDB
+    oracle mirrors bit-exactly.  Right while m·ksub·sub = dim·ksub
+    stays literal-expression-sized (~10^5).
+
+    ``method="arrow"``: the large-ksub path — per-subspace batch
+    matmuls (one ksub x sub GEMM per Arrow batch per subspace),
+    following the proven per-row-O(k·dim)-belongs-in-BLAS rule from
+    ivf_build/signature_frame."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    if method == "hof":
+        code = F.array(*[
+            (F.array_position(
+                F.array(*[_sq_sub(F.col(vec_col), j * sub, sub, c)
+                          for c in codebook[j]]),
+                F.array_min(F.array(*[
+                    _sq_sub(F.col(vec_col), j * sub, sub, c)
+                    for c in codebook[j]]))) - 1).cast("int")
+            for j in range(m)])
+        return df.withColumn("pq_code", code)
+    if method != "arrow":
+        raise ValueError(f"method must be hof/arrow, got {method!r}")
+    import numpy as np
+
+    from pyspark.sql import types as T
+    cb = np.asarray(codebook, dtype=np.float64)        # m x ksub x sub
+    cn2 = (cb * cb).sum(axis=2)                        # m x ksub
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("pq_code", T.ArrayType(T.IntegerType()))])
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), cb.shape[0]), dtype=np.int32)
+            for j in range(cb.shape[0]):
+                s = v[:, j * sub:(j + 1) * sub]
+                d = cn2[j][None, :] - 2.0 * (s @ cb[j].T)
+                codes[:, j] = d.argmin(axis=1)         # first-min rule
+            pdf = pdf.copy()
+            pdf["pq_code"] = list(codes)
+            yield pdf
+
+    return df.mapInPandas(kern, out_schema)
+
+
+def pq_decode_col(code: Column, codebook: list) -> Column:
+    """Reconstruct the quantized vector from its code — flatten of
+    per-subspace centroid lookups against the literal codebook."""
+    lit_cb = F.array(*[
+        F.array(*[F.array(*[F.lit(x) for x in c]) for c in cj])
+        for cj in codebook])
+    return F.flatten(F.zip_with(
+        code, lit_cb, lambda c, cbj: F.element_at(cbj, c + 1)))
+
+
+def _pq_luts(spark, queries: DataFrame, codebook: list,
+             id_col: str, vec_col: str) -> DataFrame:
+    """Per-query ADC lookup tables, built driver-side (Q x m x ksub
+    doubles — bounded metadata; the sequential Python fold keeps each
+    entry bit-identical to the SQL oracle's list_sum)."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    qrows = queries.select(F.col(id_col).alias("__qid"),
+                           F.col(vec_col).alias("__qv")).collect()
+    luts = []
+    for r in qrows:
+        qv = [float(x) for x in r["__qv"]]
+        lut = []
+        for j in range(m):
+            row = []
+            for c in codebook[j]:
+                acc = 0.0                 # sequential fold, oracle-exact
+                for a, b in zip(qv[j * sub:(j + 1) * sub], c):
+                    acc += (a - b) * (a - b)
+                row.append(acc)
+            lut.append(row)
+        luts.append((r["__qid"], lut))
+    return spark.createDataFrame(
+        luts, "query_id long, __lut array<array<double>>")
+
+
+def pq_adc_topk(encoded: DataFrame, queries: DataFrame, codebook: list,
+                k: int = 10, id_col: str = "vec_id",
+                vec_col: str = "embedding", code_col: str = "pq_code",
+                tie_digits: int | None = None) -> DataFrame:
+    """ADC top-k over PQ codes: per-query distance tables (LUTs) are
+    built DRIVER-side (Q x m x ksub doubles — bounded metadata; the
+    query side is small by the same contract as cosine_topk's
+    broadcast), then every corpus row costs m array lookups + m adds
+    instead of a dim-wide dot product.  Returns
+    ``(query_id, vec_id, dist, rank)`` — dist is the ADC
+    approximation of squared euclidean.
+
+    Plan shape: the LUT frame broadcasts into a cross join; the only
+    wide exchange is the final per-query TakeOrdered — identical to
+    the brute path but with 8-byte codes instead of 256-byte vectors
+    flowing through the scan, which is the point at 100 TB.
+
+    ``tie_digits`` ranks on the distance ROUNDED to that many
+    decimals (ties then break on vec_id) — the cross-engine-stable
+    ordering used by oracle-graded entries; None ranks on the raw
+    double."""
+    lut_df = _pq_luts(encoded.sparkSession, queries, codebook,
+                      id_col, vec_col)
+    dist = F.aggregate(
+        F.zip_with(F.col(code_col), F.col("__lut"),
+                   lambda c, l: F.element_at(l, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (encoded.select(F.col(id_col).alias("vec_id_out"),
+                             F.col(code_col))
+              .crossJoin(F.broadcast(lut_df))
+              .select("query_id",
+                      F.col("vec_id_out").alias("vec_id"),
+                      dist.alias("dist")))
+    key = (F.col("dist") if tie_digits is None else
+           F.floor(F.col("dist") * (10 ** tie_digits) + F.lit(0.5))
+           / (10 ** tie_digits))
+    w = Window.partitionBy("query_id").orderBy(key, F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                dim: int = 64, n_centroids: int = 8, iters: int = 2,
+                nprobe: int = 2, m: int = 8, ksub: int = 16,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                encode_method: str = "hof",
+                tie_digits: int | None = None) -> DataFrame:
+    """IVF-PQ search (the IVFADC architecture of Jegou et al. 2011,
+    §IV, without the residual step so the whole pipeline stays
+    SQL-replayable): a coarse k-means quantizer routes each query to
+    its ``nprobe`` nearest cells, and only those cells' PQ codes are
+    ADC-scored.
+
+    This is the compound 100 TB ANN shape: scan cost drops by
+    ~``nprobe/n_centroids`` (cell pruning) AND the pruned scan flows
+    8-byte codes instead of 256-byte vectors (PQ), with per-candidate
+    distance work O(m) lookups.  Both index artifacts are driver-side
+    metadata (n_centroids x dim + m x ksub x sub doubles); nothing
+    corpus-sized ever sits on one node.  Plan: one corpus scan for
+    assignment+encode, broadcast probe and LUT joins, one per-query
+    TakeOrdered — no corpus-keyed wide shuffle at all.
+
+    Returns ``(query_id, vec_id, dist, rank)`` over candidates from
+    the probed cells only (self-matches included, like pq_adc_topk).
+    """
+    assigned, centroids = ivf_build(corpus, dim, n_centroids,
+                                    iters=iters, id_col=id_col,
+                                    vec_col=vec_col)
+    cb = pq_codebook(corpus, dim, m=m, ksub=ksub, id_col=id_col,
+                     vec_col=vec_col)
+    enc = pq_encode(assigned, cb, id_col="__id", vec_col="__v",
+                    method=encode_method)
+    probes = _query_probes(queries, centroids, nprobe, id_col, vec_col)
+    lut_df = _pq_luts(corpus.sparkSession, queries, cb, id_col, vec_col)
+    dist = F.aggregate(
+        F.zip_with(F.col("pq_code"), F.col("__lut"),
+                   lambda c, l: F.element_at(l, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cands = (enc.select("__id", "__cid", "pq_code")
+             .join(F.broadcast(probes.select("query_id", "__cid")),
+                   "__cid"))
+    scored = (cands.join(F.broadcast(lut_df), "query_id")
+              .select("query_id", F.col("__id").alias("vec_id"),
+                      dist.alias("dist")))
+    key = (F.col("dist") if tie_digits is None else
+           F.floor(F.col("dist") * (10 ** tie_digits) + F.lit(0.5))
+           / (10 ** tie_digits))
+    w = Window.partitionBy("query_id").orderBy(key, F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

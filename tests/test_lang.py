@@ -1930,3 +1930,26 @@ def test_lang_cosine_topk_arrow_builtin(eng):
     s2 = eng.q('semdedup(embeddings, tau: 0.45, k: 4)')
     assert sorted(map(tuple, s1.collect())) == \
         sorted(map(tuple, s2.collect()))
+
+
+def test_pipeline_builtins_spans_and_pq(eng):
+    """Round-6 builtins: duplicate_spans and pq_topk from the lang
+    equal their Python-API spellings."""
+    from preql_spark.operators import dedup, similarity
+    d = eng.t.documents
+    lang_rows = {(r.doc_id, r.n_spans, r.dup_tokens) for r in
+                 eng.q('duplicate_spans(documents, k: 5)').collect()}
+    api_rows = {(r.doc_id, r.n_spans, r.dup_tokens) for r in
+                dedup.duplicate_spans(d.df, k=5).collect()}
+    assert lang_rows == api_rows and len(lang_rows) > 0
+
+    e = eng.t.embeddings
+    lang_top = {(r.query_id, r.rank): r.vec_id for r in
+                eng.q('pq_topk(embeddings, embeddings[vec_id < 2],'
+                      ' k: 3)').collect()}
+    cb = similarity.pq_codebook(e.df, dim=64, m=8, ksub=16)
+    enc = similarity.pq_encode(e.df, cb, method="arrow")
+    api_top = {(r.query_id, r.rank): r.vec_id for r in
+               similarity.pq_adc_topk(
+                   enc, e.df.filter("vec_id < 2"), cb, k=3).collect()}
+    assert lang_top == api_top and len(lang_top) == 6

@@ -728,6 +728,46 @@ def test_dedup_units_within_doc(spark):
     assert (out.n_kept, out.text_dedup) == (1, "p q")
 
 
+def test_duplicate_spans_crafted(spark):
+    """Span flag/merge semantics on crafted docs: a shared 5-gram
+    flags both holders; overlapping flagged grams merge into ONE
+    maximal span with exact distinct-token coverage; short and
+    unique docs report zeros."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e X Y Z w1 w2"),       # shares "a b c d e" w/ 2
+         (2, "p q r s t a b c d e"),
+         (3, "u1 u2 u3 u4 u5 u6 u7"),        # unique
+         (4, "t1 t2 t3 t4 t5 t6 t7"),        # identical to 5: grams at
+         (5, "t1 t2 t3 t4 t5 t6 t7"),        # 0,1,2 merge to one span
+         (6, "x y")],                        # shorter than k
+        "doc_id: long, text: string")
+    out = {r.doc_id: (r.n_tokens, r.n_dup_grams, r.n_spans,
+                      r.dup_tokens, round(r.dup_ratio, 4))
+           for r in dedup.duplicate_spans(docs, k=5).collect()}
+    assert out[1] == (10, 1, 1, 5, 0.5)
+    assert out[2] == (10, 1, 1, 5, 0.5)
+    assert out[3] == (7, 0, 0, 0, 0.0)
+    assert out[4] == (7, 3, 1, 7, 1.0)
+    assert out[5] == (7, 3, 1, 7, 1.0)
+    assert out[6] == (2, 0, 0, 0, 0.0)
+
+
+def test_duplicate_spans_disjoint_islands(spark):
+    """Two flagged grams separated by an unflagged gap stay two
+    spans; coverage never double-counts overlapping intervals."""
+    # doc 7/8 share grams at positions 0 and 6 (k=5): spans
+    # [0,4] and [6,10] -> 2 spans, 10 covered tokens of 11
+    shared_a, shared_b = "a b c d e", "v w x y z"
+    docs = spark.createDataFrame(
+        [(7, f"{shared_a} G1 {shared_b} H1"),
+         (8, f"{shared_a} G2 {shared_b} H2")],
+        "doc_id: long, text: string")
+    out = {r.doc_id: (r.n_tokens, r.n_spans, r.dup_tokens)
+           for r in dedup.duplicate_spans(docs, k=5).collect()}
+    assert out[7] == (12, 2, 10)
+    assert out[8] == (12, 2, 10)
+
+
 def test_scd2_history(spark):
     """Change-log collapse: consecutive equal attrs merge, validity
     ranges chain, NULL->NULL is not a change."""
@@ -1320,3 +1360,65 @@ def test_kmeans_arrow_assignment_equals_hof(eng, emb):
     import pytest as _pt
     with _pt.raises(ValueError, match="assign_method"):
         kmeans(emb, assign_method="nope")
+
+
+def test_pq_encode_decode_and_adc(emb, spark):
+    """PQ contract on the fixture corpus: hof and arrow encodes are
+    identical; a sampled vector round-trips exactly (its own
+    subvectors are codebook entries, so quantization error is 0 and
+    its ADC self-distance is 0); ADC distance equals the sum of
+    per-subspace LUT entries computed independently."""
+    cb = similarity.pq_codebook(emb, dim=64, m=8, ksub=16)
+    assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
+    e_hof = similarity.pq_encode(emb, cb, method="hof")
+    e_arr = similarity.pq_encode(emb, cb, method="arrow")
+    h = {r.vec_id: tuple(r.pq_code)
+         for r in e_hof.select("vec_id", "pq_code").collect()}
+    a = {r.vec_id: tuple(r.pq_code)
+         for r in e_arr.select("vec_id", "pq_code").collect()}
+    assert h == a
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c)
+               for c in h.values())
+    # decode of a sampled (codebook-member) vector is exact
+    dec = (e_hof.filter(F.col("vec_id") == 0)
+           .select(similarity.pq_decode_col(F.col("pq_code"), cb)
+                   .alias("rec"),
+                   F.col("embedding")).collect()[0])
+    orig = [float(x) for x in dec["embedding"]]
+    assert [round(x, 6) for x in dec["rec"]] == \
+        [round(x, 6) for x in orig]
+    # ADC: self-distance of a sampled vector is 0 and ranks first
+    q = emb.filter(F.col("vec_id") < 2)
+    top = similarity.pq_adc_topk(e_hof, q, cb, k=3)
+    rows = {(r.query_id, r.rank): (r.vec_id, r.dist)
+            for r in top.collect()}
+    assert rows[(0, 1)] == (0, 0.0) and rows[(1, 1)] == (1, 0.0)
+
+
+def test_pq_dim_validation(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_codebook(emb, dim=64, m=7)
+    cb = similarity.pq_codebook(emb, dim=64, m=8, ksub=16)
+    with pytest.raises(ValueError, match="method"):
+        similarity.pq_encode(emb, cb, method="nope")
+
+
+def test_ivf_pq_topk_prunes_and_ranks(emb, spark):
+    """IVF-PQ: candidates come ONLY from the probed cells (per-query
+    candidate count < corpus), a sampled query still finds itself at
+    rank 1 with ADC distance 0 (its cell is its own nearest probe),
+    and full-probe IVF-PQ equals plain PQ ADC over the whole corpus."""
+    q = emb.filter(F.col("vec_id") < 2)
+    top = similarity.ivf_pq_topk(emb, q, k=3, dim=64, n_centroids=8,
+                                 iters=2, nprobe=2)
+    rows = {(r.query_id, r.rank): (r.vec_id, r.dist)
+            for r in top.collect()}
+    assert rows[(0, 1)] == (0, 0.0) and rows[(1, 1)] == (1, 0.0)
+    # full probe == plain ADC (same codebook, same corpus)
+    full = similarity.ivf_pq_topk(emb, q, k=3, dim=64, n_centroids=8,
+                                  iters=2, nprobe=8)
+    cb = similarity.pq_codebook(emb, dim=64, m=8, ksub=16)
+    enc = similarity.pq_encode(emb, cb)
+    plain = similarity.pq_adc_topk(enc, q, cb, k=3)
+    assert {(r.query_id, r.rank, r.vec_id) for r in full.collect()} == \
+        {(r.query_id, r.rank, r.vec_id) for r in plain.collect()}
