@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "q100_kmeans",           # Lloyd k-means (driver centroids, scan-local argmin)
     "q101_semdedup",         # cluster-local semantic dedup (SemDeDup)
     "q73_dedup_canonical",   # MinHash-LSH -> connected components -> canonical
+    "q137_duplicate_spans",  # substring-level dup spans (gram hash + interval merge)
+    "q138_pq_adc_topk",      # product-quantization ADC top-k (8-byte codes)
 ]
 
 

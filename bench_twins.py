@@ -504,6 +504,122 @@ def q73_dedup_canonical(spark, sf_dir):
     return d.join(losers, "doc_id", "left_anti").select("doc_id")
 
 
+
+def q137_duplicate_spans(spark, sf_dir):
+    """Hand duplicate-span detection: 8-byte gram fingerprints,
+    count-distinct dup filter, semi-join flagging, two-window
+    interval merge, per-doc rollup — the plan you'd write directly."""
+    k = 5
+    d = _read(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+    n = F.size(toks)
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
+        .otherwise(F.array().cast("array<int>"))
+    base = d.select("doc_id", toks.alias("__toks"),
+                    starts.alias("__starts"))
+    grams = base.select(
+        "doc_id", F.explode("__starts").alias("__pos"),
+        F.xxhash64(F.array_join(
+            F.slice(F.col("__toks"), F.col("__pos") + 1, F.lit(k)),
+            " ")).alias("__gh"))
+    dup = (grams.groupBy("__gh")
+           .agg(F.countDistinct("doc_id").alias("__nd"))
+           .filter(F.col("__nd") >= 2).select("__gh"))
+    flagged = grams.join(dup, "__gh", "left_semi")
+    wprev = (Window.partitionBy("doc_id").orderBy("__pos")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wrun = (Window.partitionBy("doc_id").orderBy("__pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    iv = (flagged
+          .withColumn("__e", F.col("__pos") + k - 1)
+          .withColumn("__pm", F.max("__e").over(wprev))
+          .withColumn("__new", (F.col("__pm").isNull()
+                                | (F.col("__pos") > F.col("__pm") + 1))
+                      .cast("int"))
+          .withColumn("__iid", F.sum("__new").over(wrun)))
+    spans = (iv.groupBy("doc_id", "__iid")
+             .agg((F.max("__e") - F.min("__pos") + 1).alias("__cov"),
+                  F.count(F.lit(1)).alias("__ng")))
+    per_doc = (spans.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_spans"),
+                    F.sum("__cov").alias("dup_tokens"),
+                    F.sum("__ng").alias("n_dup_grams")))
+    docs = d.select("doc_id", n.alias("n_tokens"))
+    out = docs.join(per_doc, "doc_id", "left")
+    ratio = (F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"))
+    return out.select(
+        "doc_id", "n_tokens",
+        F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        (F.floor(ratio * 10000 + F.lit(0.5)) / 10000).alias("dup_ratio"))
+
+
+def q138_pq_adc_topk(spark, sf_dir):
+    """Hand PQ + ADC: sampled 8x16 codebook (collect of the 16
+    lowest-id vectors), per-subspace literal argmin encode, driver
+    LUTs, O(m)-lookup distances, per-query TakeOrdered."""
+    m, ksub, sub, k = 8, 16, 8, 10
+    e = _read(spark, sf_dir, "embeddings")
+    rows = (e.select(F.col("vec_id").alias("__id"),
+                     F.col("embedding").alias("__v"))
+            .orderBy("__id").limit(ksub).collect())
+    cb = [[[float(x) for x in r["__v"][j * sub:(j + 1) * sub]]
+           for r in rows] for j in range(m)]
+
+    def sq(start0, cent):
+        return F.aggregate(
+            F.zip_with(F.slice(F.col("embedding"), start0 + 1, sub),
+                       F.array(*[F.lit(x) for x in cent]),
+                       lambda a, b: ((a.cast("double") - b)
+                                     * (a.cast("double") - b))),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    code = F.array(*[
+        (F.array_position(
+            F.array(*[sq(j * sub, c) for c in cb[j]]),
+            F.array_min(F.array(*[sq(j * sub, c) for c in cb[j]])))
+         - 1).cast("int")
+        for j in range(m)])
+    enc = e.withColumn("pq_code", code)
+    qrows = (e.filter(F.col("vec_id") < 4)
+             .select(F.col("vec_id").alias("__qid"),
+                     F.col("embedding").alias("__qv")).collect())
+    luts = []
+    for r in qrows:
+        qv = [float(x) for x in r["__qv"]]
+        lut = []
+        for j in range(m):
+            row = []
+            for c in cb[j]:
+                acc = 0.0
+                for a, b in zip(qv[j * sub:(j + 1) * sub], c):
+                    acc += (a - b) * (a - b)
+                row.append(acc)
+            lut.append(row)
+        luts.append((r["__qid"], lut))
+    lut_df = spark.createDataFrame(
+        luts, "query_id long, __lut array<array<double>>")
+    dist = F.aggregate(
+        F.zip_with(F.col("pq_code"), F.col("__lut"),
+                   lambda c, l: F.element_at(l, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (enc.select(F.col("vec_id").alias("vec_id_out"),
+                         F.col("pq_code"))
+              .crossJoin(F.broadcast(lut_df))
+              .select("query_id",
+                      F.col("vec_id_out").alias("vec_id"),
+                      dist.alias("dist")))
+    key = F.floor(F.col("dist") * 10000 + F.lit(0.5)) / 10000
+    w = Window.partitionBy("query_id").orderBy(key, F.col("vec_id"))
+    top = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k))
+    return top.select(
+        "query_id", "vec_id",
+        (F.floor(F.col("dist") * 10000 + F.lit(0.5)) / 10000)
+        .alias("dist"), "rank")
+
+
 TWINS = {
     "q01_pricing_summary": q01_pricing_summary,
     "q04_revenue_by_nation": q04_revenue_by_nation,
@@ -526,4 +642,6 @@ TWINS = {
     "q102_chunk_dedup": q102_chunk_dedup,
     "q106_bloom_semi_join": q106_bloom_semi_join,
     "q114_curation_pipeline": q114_curation_pipeline,
+    "q137_duplicate_spans": q137_duplicate_spans,
+    "q138_pq_adc_topk": q138_pq_adc_topk,
 }
