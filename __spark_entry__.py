@@ -1923,6 +1923,19 @@ def q139_ivf_pq_topk(spark, sf_dir) -> DataFrame:
                       _pr4(F.col("dist")).alias("dist"), "rank")
 
 
+def q140_phrase_search(spark, sf_dir) -> DataFrame:
+    """Positional inverted index + exact phrase search: postings are
+    one (term, doc)-keyed shuffle; the search joins ONLY the phrase's
+    posting lists (term-pushable filters) on the doc id and verifies
+    adjacency with array predicates — no explode of position lists.
+    The oracle computes the same phrase-occurrence counts directly
+    from token positions."""
+    from preql_spark.operators.text import phrase_search, postings
+    d = _eng(spark, sf_dir).t.documents
+    return (phrase_search(postings(d.df), "the table")
+            .select("doc_id", "n_hits"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2006,6 +2019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q137_duplicate_spans": q137_duplicate_spans,
     "q138_pq_adc_topk": q138_pq_adc_topk,
     "q139_ivf_pq_topk": q139_ivf_pq_topk,
+    "q140_phrase_search": q140_phrase_search,
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
     "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
     "q125_lang_in_table": q125_lang_in_table,
@@ -2023,7 +2037,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_histogram": q71_histogram,
     "q74_split_by_hash": q74_split_by_hash,
     "q77_quantile_filter": q77_quantile_filter,
-    "q83_strip_short_lines": q83_strip_short_lines,
     "q95_repetition_metrics": q95_repetition_metrics,
     "q113_contrastive_pairs": q113_contrastive_pairs,
     "q96_decontaminate": q96_decontaminate,
@@ -2053,6 +2066,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- end of the 50-entry driver window -------------------------
     "q76_chunk_tokens": q76_chunk_tokens,
     # rotated out r6 (all driver-green r4/r5):
+    "q83_strip_short_lines": q83_strip_short_lines,
     "q122_debounce": q122_debounce,
     "q70_unpivot": q70_unpivot,
     "q54_fmt_interpolation": q54_fmt_interpolation,
@@ -3789,6 +3803,18 @@ ORACLES: dict[str, str] = {
                CAST(sum(n_chars) AS BIGINT) AS chars
         FROM documents WHERE n_chars >= 100
         GROUP BY source
+    """,
+    "q140_phrase_search": """
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(trim(coalesce(text, '')),
+                                             '\\s+') AS toks
+                   FROM documents),
+        p AS (SELECT doc_id, unnest(range(len(toks) - 1)) AS pos, toks
+              FROM t WHERE len(toks) >= 2),
+        h AS (SELECT doc_id, count(*) AS n FROM p
+              WHERE toks[pos+1] = 'the' AND toks[pos+2] = 'table'
+              GROUP BY doc_id)
+        SELECT doc_id, CAST(n AS INT) AS n_hits FROM h
     """,
     "q139_ivf_pq_topk": """
         WITH emb AS (

@@ -3378,6 +3378,8 @@ def _load_pipeline_funcs() -> dict:
         "quantile_filter": text.quantile_filter,
         "quantile_bucketize": text.quantile_bucketize,
         "corpus_datacard": text.corpus_datacard,
+        "postings": text.postings,
+        "phrase_search": text.phrase_search,
         # similarity / embeddings
         "cosine_topk": similarity.cosine_topk,
         "cosine_topk_arrow": similarity.cosine_topk_arrow,
@@ -3399,7 +3401,8 @@ _PIPELINE_FUNC_NAMES = {
     "corpus_overlap", "duplicate_spans", "pq_topk",
     "quality_metrics", "repetition_metrics",
     "tfidf", "bm25", "lm_perplexity", "quantile_filter",
-    "quantile_bucketize", "corpus_datacard", "cosine_topk",
+    "quantile_bucketize", "corpus_datacard", "postings",
+    "phrase_search", "cosine_topk",
     "cosine_topk_arrow",
     "cosine_pairs", "lsh_cosine_pairs", "normalize_vectors",
     "quantize_int8", "centroid_agg", "semdedup", "kmeans_assign",

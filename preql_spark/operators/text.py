@@ -8,6 +8,8 @@ scan speed with full column pruning.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -617,3 +619,64 @@ def corpus_datacard(df: DataFrame, group_cols: list[str] | None = None,
             .withColumn("dup_ratio",
                         (1 - F.col("n_distinct")
                          / F.col("n_docs").cast("double"))))
+
+
+# ---- inverted index / positional search ------------------------------------
+
+def postings(df: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Positional inverted index: one row per (term, document) with
+    the sorted in-document position list and term frequency —
+    ``(term, id, positions array<int>, tf)``.
+
+    Scale shape: tokenize+posexplode is scan-local; ONE shuffle keyed
+    on (term, id) builds the posting lists with map-side partial
+    collect.  Persist the result partitioned (or bucketed) by term so
+    searches prune to the terms they touch — the classic
+    write-once/search-many index trade.  Empty-string terms (from
+    empty/NULL text) are dropped: they index nothing."""
+    t = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.coalesce(F.col(text_col), F.lit(""))))
+        .alias("pos", "term")).filter(F.col("term") != "")
+    return (t.groupBy("term", id_col)
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions"),
+                 F.count(F.lit(1)).alias("tf")))
+
+
+def phrase_search(post: DataFrame, phrase: str,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact phrase search over a positional index: documents where
+    the phrase's tokens occur CONSECUTIVELY, with the occurrence
+    count — ``(id, n_hits)``, matches only.
+
+    The n-way self-join touches ONLY the phrase's terms (a pushable
+    ``term = w`` filter per side — against a term-partitioned index
+    that is a partition-pruned read of |phrase| posting lists), joins
+    them on the document id, and verifies adjacency with array
+    predicates (exists p in positions₀ with p+i in positionsᵢ) —
+    whole-stage codegen, no explode of the position lists."""
+    words = phrase.split()
+    if not words:
+        raise ValueError("empty phrase")
+    j = (post.filter(F.col("term") == words[0])
+         .select(F.col(id_col), F.col("positions").alias("__p0")))
+    for i, w in enumerate(words[1:], start=1):
+        side = (post.filter(F.col("term") == w)
+                .select(F.col(id_col), F.col("positions").alias(f"__p{i}")))
+        j = j.join(side, id_col)
+    def _adjacent(i):
+        # single-arg closures: a two-parameter lambda would be read
+        # by the filter() HOF as (element, index) and shadow i
+        return lambda p: F.array_contains(F.col(f"__p{i}"), p + i)
+
+    checks = [_adjacent(i) for i in range(1, len(words))]
+    if checks:
+        hits = F.size(F.filter(
+            F.col("__p0"),
+            lambda p: reduce(lambda a, b: a & b,
+                             [c(p) for c in checks])))
+    else:
+        hits = F.size(F.col("__p0"))
+    return (j.select(F.col(id_col), hits.alias("n_hits"))
+            .filter(F.col("n_hits") > 0))

@@ -1953,3 +1953,16 @@ def test_pipeline_builtins_spans_and_pq(eng):
                similarity.pq_adc_topk(
                    enc, e.df.filter("vec_id < 2"), cb, k=3).collect()}
     assert lang_top == api_top and len(lang_top) == 6
+
+
+def test_pipeline_builtins_search(eng):
+    """postings + phrase_search from the lang equal the Python API."""
+    from preql_spark.operators import text
+    d = eng.t.documents
+    lang_rows = {(r.doc_id, r.n_hits) for r in
+                 eng.q('phrase_search(postings(documents),'
+                       ' "the table")').collect()}
+    api_rows = {(r.doc_id, r.n_hits) for r in
+                text.phrase_search(text.postings(d.df),
+                                   "the table").collect()}
+    assert lang_rows == api_rows and len(lang_rows) > 0

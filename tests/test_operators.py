@@ -1422,3 +1422,31 @@ def test_ivf_pq_topk_prunes_and_ranks(emb, spark):
     plain = similarity.pq_adc_topk(enc, q, cb, k=3)
     assert {(r.query_id, r.rank, r.vec_id) for r in full.collect()} == \
         {(r.query_id, r.rank, r.vec_id) for r in plain.collect()}
+
+
+def test_postings_phrase_search(spark):
+    """Positional index + phrase semantics on crafted docs: adjacency
+    (not just co-occurrence), overlapping self-matches ('a a' in
+    'a a a' hits twice), single-word counting, NULL text indexes
+    nothing, empty phrase raises."""
+    docs = spark.createDataFrame(
+        [(1, "x a b y a b"), (2, "a y b"), (3, "a a a"), (4, None)],
+        "doc_id: long, text: string")
+    p = text.postings(docs)
+    # tf + sorted positions in the index itself
+    ab = {(r.doc_id): (list(r.positions), r.tf)
+          for r in p.filter("term = 'a'").collect()}
+    assert ab[1] == ([1, 4], 2) and ab[3] == ([0, 1, 2], 3)
+    assert p.filter("doc_id = 4").count() == 0
+    got = {(r.doc_id, r.n_hits)
+           for r in text.phrase_search(p, "a b").collect()}
+    assert got == {(1, 2)}                       # doc2 has a..b, not "a b"
+    got = {(r.doc_id, r.n_hits)
+           for r in text.phrase_search(p, "a a").collect()}
+    assert got == {(3, 2)}                       # overlapping matches
+    got = {(r.doc_id, r.n_hits)
+           for r in text.phrase_search(p, "a").collect()}
+    assert got == {(1, 2), (2, 1), (3, 3)}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="empty phrase"):
+        text.phrase_search(p, "  ")
