@@ -1936,6 +1936,25 @@ def q140_phrase_search(spark, sf_dir) -> DataFrame:
             .select("doc_id", "n_hits"))
 
 
+def q141_stream_postings_ingest(spark, sf_dir) -> DataFrame:
+    """Two-wave streaming maintenance of the positional inverted
+    index: wave 1 indexes doc_id < 250, wave 2 the rest, a third
+    replay appends nothing (id-anti-join idempotence).  Documents are
+    immutable, so the incremental index must equal the one-shot
+    postings over the full corpus — the oracle replays that one-shot
+    build (terms, per-doc sorted position lists, tf) in SQL."""
+    from preql_spark.streaming.stream import incremental_postings_ingest
+    eng = _eng(spark, sf_dir)
+    tmp = _scratch("q141_")
+    src, idx, ck = (os.path.join(tmp, d) for d in ("src", "idx", "ck"))
+    d = eng.t.documents.df.select("doc_id", "text")
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_postings_ingest(spark, src, idx, ck)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_postings_ingest(spark, src, idx, ck)
+    return out.select("term", "doc_id", "positions", "tf")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2020,6 +2039,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q138_pq_adc_topk": q138_pq_adc_topk,
     "q139_ivf_pq_topk": q139_ivf_pq_topk,
     "q140_phrase_search": q140_phrase_search,
+    "q141_stream_postings_ingest": q141_stream_postings_ingest,
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
     "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
     "q125_lang_in_table": q125_lang_in_table,
@@ -2043,7 +2063,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_bm25_top_terms": q98_bm25_top_terms,
     "q108_snapshot_diff": q108_snapshot_diff,
     "q111_skew_report": q111_skew_report,
-    "q112_stream_ingest_dedup": q112_stream_ingest_dedup,
     "q115_mixture_sample": q115_mixture_sample,
     "q116_audio_features": q116_audio_features,
     "q117_validation_report": q117_validation_report,
@@ -2066,6 +2085,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- end of the 50-entry driver window -------------------------
     "q76_chunk_tokens": q76_chunk_tokens,
     # rotated out r6 (all driver-green r4/r5):
+    "q112_stream_ingest_dedup": q112_stream_ingest_dedup,
     "q83_strip_short_lines": q83_strip_short_lines,
     "q122_debounce": q122_debounce,
     "q70_unpivot": q70_unpivot,
@@ -3803,6 +3823,21 @@ ORACLES: dict[str, str] = {
                CAST(sum(n_chars) AS BIGINT) AS chars
         FROM documents WHERE n_chars >= 100
         GROUP BY source
+    """,
+    "q141_stream_postings_ingest": """
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(trim(coalesce(text, '')),
+                                             '\\s+') AS toks
+                   FROM documents),
+        p AS (SELECT doc_id, unnest(range(len(toks))) AS pos, toks
+              FROM t),
+        g AS (SELECT toks[pos+1] AS term, doc_id, pos FROM p
+              WHERE toks[pos+1] <> '')
+        SELECT term, doc_id,
+               list_transform(list(pos ORDER BY pos),
+                              x -> CAST(x AS INT)) AS positions,
+               CAST(count(*) AS BIGINT) AS tf
+        FROM g GROUP BY term, doc_id
     """,
     "q140_phrase_search": """
         WITH t AS (SELECT doc_id,

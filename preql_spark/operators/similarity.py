@@ -971,3 +971,47 @@ def ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     w = Window.partitionBy("query_id").orderBy(key, F.col("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def pq_train(df: DataFrame, dim: int, m: int = 8, ksub: int = 16,
+             iters: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             assign_method: str = "arrow") -> list:
+    """Lloyd-refined per-subspace PQ codebooks — the production
+    quality path (the sampled :func:`pq_codebook` is the
+    deterministic init and the oracle-replayable variant; k-means
+    per subspace is what Jegou et al. 2011 §III actually trains).
+
+    Each iteration is ONE corpus scan (assignment = :func:`pq_encode`
+    with the current codebook — BLAS batch matmuls by default) plus
+    one narrow shuffle of scalar rows ``(subspace, code, dim, x)``
+    for the centroid update (map-side partial averages); the codebook
+    itself stays driver-side metadata (m x ksub x sub doubles).
+    Empty cells keep their previous centroid, like ``ivf_build``.
+
+    Returns the refined codebook (same shape as ``pq_codebook``);
+    feed it to :func:`pq_encode` / :func:`pq_adc_topk`."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    cb = pq_codebook(df, dim, m=m, ksub=ksub, id_col=id_col,
+                     vec_col=vec_col)
+    base = df.select(F.col(id_col).alias("__id"),
+                     F.col(vec_col).alias("__v")).persist()
+    for _ in range(iters):
+        enc = pq_encode(base, cb, id_col="__id", vec_col="__v",
+                        method=assign_method)
+        upd = (enc.select(F.posexplode("pq_code").alias("__j", "__c"),
+                          F.col("__v"))
+               .select("__j", "__c",
+                       F.posexplode(F.slice(
+                           F.col("__v"), F.col("__j") * sub + 1,
+                           F.lit(sub))).alias("__p", "__x"))
+               .groupBy("__j", "__c", "__p")
+               .agg(F.avg(F.col("__x").cast("double")).alias("__m")))
+        got = {(r["__j"], r["__c"], r["__p"]): r["__m"]
+               for r in upd.collect()}
+        cb = [[[got.get((j, c, p), cb[j][c][p]) for p in range(sub)]
+               for c in range(ksub)] for j in range(m)]
+    base.unpersist()
+    return cb

@@ -445,3 +445,46 @@ def incremental_neardup_ingest(spark: SparkSession, src_path: str,
          .start())
     q.awaitTermination()
     return spark.read.parquet(store_path)
+
+
+def incremental_postings_ingest(spark: SparkSession, src_path: str,
+                                index_path: str, checkpoint: str,
+                                id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """Streaming maintenance of the positional inverted index
+    (:func:`preql_spark.operators.text.postings`): each availableNow
+    batch appends the postings of its NEW documents.  Documents are
+    immutable and append-only, so indexing a batch never touches
+    existing posting rows — the incremental index equals the one-shot
+    ``postings`` over the full corpus (that identity IS the q141
+    oracle).
+
+    Idempotence: the batch is anti-joined against the DISTINCT doc
+    ids already in the index (a column-pruned scan of the id column
+    only), so a checkpoint-replayed batch appends nothing.  Scale
+    shape per batch: the batch's own (term, doc) shuffle plus one
+    ids-only anti-join — the corpus-sized index is never re-shuffled.
+    Docs whose text yields no terms (NULL/empty) simply produce no
+    posting rows; re-examining them on replay is a no-op."""
+    from preql_spark.operators.text import postings
+    from preql_spark.parquet_io import hadoop_dir_has_files
+
+    schema = spark.read.parquet(src_path).schema  # footer-only peek
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        if hadoop_dir_has_files(s, index_path):
+            seen = (s.read.parquet(index_path)
+                    .select(F.col(id_col).alias("__seen")).distinct())
+            batch = batch.join(
+                seen, batch[id_col] == seen["__seen"], "left_anti")
+        (postings(batch, id_col=id_col, text_col=text_col)
+         .write.mode("append").parquet(index_path))
+
+    q = (spark.readStream.schema(schema).parquet(src_path)
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(index_path)

@@ -1450,3 +1450,23 @@ def test_postings_phrase_search(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="empty phrase"):
         text.phrase_search(p, "  ")
+
+
+def test_pq_train_reduces_error(emb, spark):
+    """Lloyd refinement must not increase total quantization error
+    over the sampled-codebook init (it minimizes it per subspace),
+    and on the fixture corpus it strictly improves."""
+    def total_err(cb):
+        enc = similarity.pq_encode(emb, cb, method="arrow")
+        rec = similarity.pq_decode_col(F.col("pq_code"), cb)
+        err = F.aggregate(
+            F.zip_with(F.col("embedding"), rec,
+                       lambda a, b: ((a.cast("double") - b)
+                                     * (a.cast("double") - b))),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return enc.agg(F.sum(err)).collect()[0][0]
+
+    cb0 = similarity.pq_codebook(emb, dim=64, m=8, ksub=16)
+    cb1 = similarity.pq_train(emb, dim=64, m=8, ksub=16, iters=2)
+    e0, e1 = total_err(cb0), total_err(cb1)
+    assert e1 < e0 * 0.95

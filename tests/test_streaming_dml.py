@@ -470,3 +470,25 @@ def test_incremental_neardup_rejects_mode_mismatch(spark, tmp_path):
     out = incremental_neardup_ingest(spark, src, store, ck,
                                      shingle_mode="string")
     assert out.count() == 1
+
+
+def test_incremental_postings_ingest_equals_batch(spark, eng, tmp_path):
+    """Two-wave incremental index == one-shot postings; a replay with
+    nothing new appends nothing (anti-join idempotence)."""
+    from preql_spark.operators.text import postings
+    from preql_spark.streaming.stream import incremental_postings_ingest
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    docs = eng.t.documents.df.select("doc_id", "text")
+    docs.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_postings_ingest(spark, src, idx, ck)
+    docs.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_postings_ingest(spark, src, idx, ck)
+    inc = {(r.term, r.doc_id, tuple(r.positions), r.tf)
+           for r in out.collect()}
+    one = {(r.term, r.doc_id, tuple(r.positions), r.tf)
+           for r in postings(docs).collect()}
+    assert inc == one and len(inc) > 0
+    out2 = incremental_postings_ingest(spark, src, idx, ck)
+    assert out2.count() == out.count()
