@@ -1955,6 +1955,18 @@ def q141_stream_postings_ingest(spark, sf_dir) -> DataFrame:
     return out.select("term", "doc_id", "positions", "tf")
 
 
+def q142_remove_duplicate_spans(spark, sf_dir) -> DataFrame:
+    """Substring-level dedup REMOVAL (Lee et al. 2022, acting half of
+    q137): tokens covered by cross-document duplicated 5-gram spans
+    are dropped everywhere except the gram's minimum-id holder; the
+    survivors re-join in order.  The oracle replays gram → min-holder
+    → condemned positions → interval merge → token filter in SQL."""
+    from preql_spark.operators.dedup import remove_duplicate_spans
+    d = _eng(spark, sf_dir).t.documents
+    return remove_duplicate_spans(d.df, k=5, min_docs=2) \
+        .select("doc_id", "n_tokens", "dropped_tokens", "text_dedup")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2040,6 +2052,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q139_ivf_pq_topk": q139_ivf_pq_topk,
     "q140_phrase_search": q140_phrase_search,
     "q141_stream_postings_ingest": q141_stream_postings_ingest,
+    "q142_remove_duplicate_spans": q142_remove_duplicate_spans,
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
     "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
     "q125_lang_in_table": q125_lang_in_table,
@@ -2067,7 +2080,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q116_audio_features": q116_audio_features,
     "q117_validation_report": q117_validation_report,
     "q118_stream_stateful_counter": q118_stream_stateful_counter,
-    "q119_domain_blocklist": q119_domain_blocklist,
     "q120_join_cardinality": q120_join_cardinality,
     "q121_corpus_datacard": q121_corpus_datacard,
     "q52_window_battery": q52_window_battery,
@@ -2085,6 +2097,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- end of the 50-entry driver window -------------------------
     "q76_chunk_tokens": q76_chunk_tokens,
     # rotated out r6 (all driver-green r4/r5):
+    "q119_domain_blocklist": q119_domain_blocklist,
     "q112_stream_ingest_dedup": q112_stream_ingest_dedup,
     "q83_strip_short_lines": q83_strip_short_lines,
     "q122_debounce": q122_debounce,
@@ -3823,6 +3836,54 @@ ORACLES: dict[str, str] = {
                CAST(sum(n_chars) AS BIGINT) AS chars
         FROM documents WHERE n_chars >= 100
         GROUP BY source
+    """,
+    "q142_remove_duplicate_spans": """
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(trim(coalesce(text, '')),
+                                             '\\s+') AS toks
+                   FROM documents),
+        g0 AS (SELECT doc_id, toks,
+                      unnest(range(len(toks) - 5 + 1)) AS pos
+               FROM t WHERE len(toks) >= 5),
+        g AS (SELECT doc_id, pos,
+                     array_to_string(toks[pos+1:pos+5], ' ') AS gram
+              FROM g0),
+        h AS (SELECT gram, min(doc_id) AS keeper FROM g GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 2),
+        c AS (SELECT g.doc_id, g.pos FROM g JOIN h USING (gram)
+              WHERE g.doc_id <> h.keeper),
+        m AS (SELECT doc_id, pos, pos + 4 AS e,
+                     max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS pm
+              FROM c),
+        isl AS (SELECT doc_id, pos, e,
+                       sum(CASE WHEN pm IS NULL OR pos > pm + 1
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS iid
+                FROM m),
+        sp AS (SELECT doc_id, iid, min(pos) AS lo, max(e) AS hi
+               FROM isl GROUP BY doc_id, iid),
+        dcount AS (SELECT doc_id, CAST(sum(hi - lo + 1) AS INT) AS dr
+                   FROM sp GROUP BY doc_id),
+        tok AS (SELECT doc_id, unnest(range(len(toks))) AS p, toks
+                FROM t),
+        dropped AS (SELECT tok.doc_id, tok.p FROM tok JOIN sp
+                    ON sp.doc_id = tok.doc_id
+                   AND tok.p BETWEEN sp.lo AND sp.hi),
+        kept AS (SELECT t2.doc_id, t2.p, t2.toks[t2.p+1] AS w
+                 FROM tok t2 ANTI JOIN dropped d
+                 ON d.doc_id = t2.doc_id AND d.p = t2.p),
+        reb AS (SELECT doc_id,
+                       array_to_string(list(w ORDER BY p), ' ') AS txt
+                FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+               coalesce(dcount.dr, 0) AS dropped_tokens,
+               coalesce(reb.txt, '') AS text_dedup
+        FROM t LEFT JOIN dcount USING (doc_id)
+               LEFT JOIN reb USING (doc_id)
     """,
     "q141_stream_postings_ingest": """
         WITH t AS (SELECT doc_id,

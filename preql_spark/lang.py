@@ -3369,6 +3369,7 @@ def _load_pipeline_funcs() -> dict:
         "contaminated_ids": dedup.contaminated_ids,
         "corpus_overlap": dedup.corpus_overlap,
         "duplicate_spans": dedup.duplicate_spans,
+        "remove_duplicate_spans": dedup.remove_duplicate_spans,
         # text analysis / curation
         "quality_metrics": text.quality_metrics,
         "repetition_metrics": text.repetition_metrics,
@@ -3398,7 +3399,8 @@ _PIPELINE_FUNC_NAMES = {
     "dedup_exact", "chunk_dedup", "line_dedup", "minhash_pairs",
     "simhash_pairs", "ngram_jaccard_pairs", "connected_components",
     "dedup_canonical", "decontaminate", "contaminated_ids",
-    "corpus_overlap", "duplicate_spans", "pq_topk",
+    "corpus_overlap", "duplicate_spans", "remove_duplicate_spans",
+    "pq_topk",
     "quality_metrics", "repetition_metrics",
     "tfidf", "bm25", "lm_perplexity", "quantile_filter",
     "quantile_bucketize", "corpus_datacard", "postings",

@@ -559,3 +559,91 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
         F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
         (F.coalesce("dup_tokens", F.lit(0))
          / F.col("n_tokens")).alias("dup_ratio"))
+
+
+def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 8,
+                           min_docs: int = 2) -> DataFrame:
+    """Substring-level dedup REMOVAL (the acting half of
+    :func:`duplicate_spans`, after Lee et al. 2022): every token
+    covered by a cross-document duplicated span is dropped, except in
+    the span's CANONICAL holder.
+
+    Rule, defined at gram granularity so it is deterministic under
+    partial overlaps: position ``p`` of doc ``d`` is *condemned* iff
+    the k-gram at ``p`` occurs in >= ``min_docs`` distinct docs AND
+    ``d`` is not the minimum doc id holding that gram.  Condemned
+    positions merge to maximal intervals (the q137 machinery) and the
+    covered tokens are dropped; the surviving tokens re-join in
+    order.  A boilerplate sentence shared by 1000 pages therefore
+    survives on exactly the lowest-id page.
+
+    Returns ``(id, n_tokens, dropped_tokens, text_dedup)`` — one row
+    per input doc (a fully-condemned doc keeps an empty string).
+
+    Scale shape: same as duplicate_spans — grams shuffle as 8-byte
+    fingerprints with their min-holder (one hash-agg), condemned
+    positions come back via an equi-join on the gram key, intervals
+    merge in doc-partitioned windows, and the final rebuild collects
+    drop-intervals per doc (bounded by the doc's own length) next to
+    the token array, filtering with codegen'd array predicates —
+    the text column itself never crosses a corpus-keyed shuffle."""
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.size(toks)
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
+        .otherwise(F.array().cast("array<int>"))
+    base = df.select(F.col(id_col), toks.alias("__toks"),
+                     starts.alias("__starts"))
+    grams = base.select(
+        id_col, F.explode("__starts").alias("__pos"),
+        F.xxhash64(F.array_join(
+            F.slice(F.col("__toks"), F.col("__pos") + 1, F.lit(k)),
+            " ")).alias("__gh"))
+    holders = (grams.groupBy("__gh")
+               .agg(F.countDistinct(id_col).alias("__nd"),
+                    F.min(id_col).alias("__keeper"))
+               .filter(F.col("__nd") >= min_docs)
+               .select("__gh", "__keeper"))
+    condemned = (grams.join(holders, "__gh")
+                 .filter(F.col(id_col) != F.col("__keeper"))
+                 .select(id_col, "__pos"))
+    wprev = (Window.partitionBy(id_col).orderBy("__pos")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wrun = (Window.partitionBy(id_col).orderBy("__pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    iv = (condemned
+          .withColumn("__e", F.col("__pos") + k - 1)
+          .withColumn("__pm", F.max("__e").over(wprev))
+          .withColumn("__new", (F.col("__pm").isNull()
+                                | (F.col("__pos") > F.col("__pm") + 1))
+                      .cast("int"))
+          .withColumn("__iid", F.sum("__new").over(wrun)))
+    spans = (iv.groupBy(id_col, "__iid")
+             .agg(F.min("__pos").alias("__lo"),
+                  F.max("__e").alias("__hi")))
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.collect_list(F.struct("__lo", "__hi"))
+                    .alias("__spans")))
+    joined = base.join(per_doc, id_col, "left") \
+        .withColumn("__spans", F.coalesce(
+            F.col("__spans"),
+            F.array().cast("array<struct<__lo:int,__hi:int>>")))
+
+    def _alive(p):
+        return ~F.exists("__spans",
+                         lambda s: (p >= s["__lo"]) & (p <= s["__hi"]))
+
+    kept = F.filter(
+        F.transform(F.sequence(F.lit(0), F.size("__toks") - 1),
+                    lambda i: i),
+        _alive)
+    return joined.select(
+        id_col,
+        F.size("__toks").alias("n_tokens"),
+        F.aggregate("__spans", F.lit(0),
+                    lambda acc, s: acc + (s["__hi"] - s["__lo"] + 1))
+        .alias("dropped_tokens"),
+        F.array_join(
+            F.transform(kept,
+                        lambda i: F.element_at(F.col("__toks"), i + 1)),
+            " ").alias("text_dedup"))

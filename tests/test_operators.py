@@ -1470,3 +1470,33 @@ def test_pq_train_reduces_error(emb, spark):
     cb1 = similarity.pq_train(emb, dim=64, m=8, ksub=16, iters=2)
     e0, e1 = total_err(cb0), total_err(cb1)
     assert e1 < e0 * 0.95
+
+
+def test_remove_duplicate_spans_canonical(spark):
+    """The minimum-id holder keeps its copy of a shared span; every
+    other holder loses exactly the covered tokens; untouched and
+    short docs survive verbatim (token-joined)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e tail1 x"),
+         (2, "head2 a b c d e z"),          # loses the shared 5 tokens
+         (3, "u1 u2 u3 u4 u5"),
+         (4, "x y")],
+        "doc_id: long, text: string")
+    out = {r.doc_id: (r.n_tokens, r.dropped_tokens, r.text_dedup)
+           for r in dedup.remove_duplicate_spans(docs, k=5).collect()}
+    assert out[1] == (7, 0, "a b c d e tail1 x")
+    assert out[2] == (7, 5, "head2 z")
+    assert out[3] == (5, 0, "u1 u2 u3 u4 u5")
+    assert out[4] == (2, 0, "x y")
+
+
+def test_remove_duplicate_spans_total_loss(spark):
+    """A doc whose every token is condemned rebuilds to the empty
+    string but stays in the output."""
+    docs = spark.createDataFrame(
+        [(10, "p q r s t"), (11, "p q r s t")],
+        "doc_id: long, text: string")
+    out = {r.doc_id: (r.dropped_tokens, r.text_dedup)
+           for r in dedup.remove_duplicate_spans(docs, k=5).collect()}
+    assert out[10] == (0, "p q r s t")
+    assert out[11] == (5, "")
