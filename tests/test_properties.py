@@ -400,3 +400,65 @@ def test_mixture_monotone_subset(eng, r1, r2):
     big = {(r.doc_id) for r in
            d.sample_mixture("source", {"src0": hi}, key="doc_id").collect()}
     assert small <= big
+
+
+# ---- substring-span dedup vs a pure-Python model ---------------------------
+
+def _py_span_model(doclists, k, min_docs):
+    """Reference model for duplicate_spans/remove_duplicate_spans on
+    token lists: dict doc -> (n_dup_grams, n_spans, dup_tokens,
+    kept_tokens)."""
+    grams = {}
+    for d, toks in doclists.items():
+        for p in range(max(0, len(toks) - k + 1)):
+            g = " ".join(toks[p:p + k])
+            grams.setdefault(g, set()).add(d)
+    out = {}
+    for d, toks in doclists.items():
+        flagged = [p for p in range(max(0, len(toks) - k + 1))
+                   if len(grams[" ".join(toks[p:p + k])]) >= min_docs]
+        covered = set()
+        spans = 0
+        prev_hi = None
+        for p in flagged:
+            if prev_hi is None or p > prev_hi + 1:
+                spans += 1
+            prev_hi = p + k - 1 if prev_hi is None else \
+                max(prev_hi, p + k - 1)
+            covered.update(range(p, p + k))
+        condemned = [p for p in flagged
+                     if min(grams[" ".join(toks[p:p + k])]) != d]
+        ccov = set()
+        for p in condemned:
+            ccov.update(range(p, p + k))
+        kept = [w for i, w in enumerate(toks) if i not in ccov]
+        out[d] = (len(flagged), spans, len(covered), kept)
+    return out
+
+
+@settings(**SETTINGS)
+@given(data=st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+    min_size=1, max_size=6))
+def test_duplicate_spans_matches_python_model(spark, data):
+    """duplicate_spans and remove_duplicate_spans agree with a direct
+    Python model on random tiny corpora over a 3-word alphabet (high
+    collision density stresses overlap merging and canonical keeps)."""
+    from preql_spark.operators import dedup as D
+    k = 3
+    doclists = {i: toks for i, toks in enumerate(data)}
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in doclists.items()],
+        "doc_id: long, text: string")
+    model = _py_span_model(doclists, k, 2)
+    got = {r.doc_id: (r.n_dup_grams, r.n_spans, r.dup_tokens)
+           for r in D.duplicate_spans(docs, k=k).collect()}
+    # empty text tokenizes to [""] on both engines -> model on [""]
+    norm = {i: ([""] if not t else t) for i, t in doclists.items()}
+    model = _py_span_model(norm, k, 2)
+    for d in norm:
+        assert got[d] == model[d][:3], (d, got[d], model[d])
+    rem = {r.doc_id: r.text_dedup
+           for r in D.remove_duplicate_spans(docs, k=k).collect()}
+    for d in norm:
+        assert rem[d] == " ".join(model[d][3]), (d, rem[d], model[d])
