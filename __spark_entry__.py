@@ -1967,6 +1967,20 @@ def q142_remove_duplicate_spans(spark, sf_dir) -> DataFrame:
         .select("doc_id", "n_tokens", "dropped_tokens", "text_dedup")
 
 
+def q143_ranked_search(spark, sf_dir) -> DataFrame:
+    """Ranked boolean retrieval: BM25 scores summed over the query
+    terms {hash, table}, AND semantics, top-20 by the 1e-4-rounded
+    score (two-term sums are order-independent in IEEE, so the
+    cross-engine hash is stable).  The oracle replays q98's BM25
+    formula over the full corpus, filters to the query terms, and
+    ranks identically."""
+    from preql_spark.operators.text import ranked_search
+    d = _eng(spark, sf_dir).t.documents
+    out = ranked_search(d.df, "hash table", k=20, tie_digits=4)
+    return out.select("doc_id", _pr4(F.col("score")).alias("score"),
+                      "rank")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2053,6 +2067,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q140_phrase_search": q140_phrase_search,
     "q141_stream_postings_ingest": q141_stream_postings_ingest,
     "q142_remove_duplicate_spans": q142_remove_duplicate_spans,
+    "q143_ranked_search": q143_ranked_search,
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
     "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
     "q125_lang_in_table": q125_lang_in_table,
@@ -2073,7 +2088,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_repetition_metrics": q95_repetition_metrics,
     "q113_contrastive_pairs": q113_contrastive_pairs,
     "q96_decontaminate": q96_decontaminate,
-    "q98_bm25_top_terms": q98_bm25_top_terms,
     "q108_snapshot_diff": q108_snapshot_diff,
     "q111_skew_report": q111_skew_report,
     "q115_mixture_sample": q115_mixture_sample,
@@ -2097,6 +2111,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- end of the 50-entry driver window -------------------------
     "q76_chunk_tokens": q76_chunk_tokens,
     # rotated out r6 (all driver-green r4/r5):
+    "q98_bm25_top_terms": q98_bm25_top_terms,
     "q119_domain_blocklist": q119_domain_blocklist,
     "q112_stream_ingest_dedup": q112_stream_ingest_dedup,
     "q83_strip_short_lines": q83_strip_short_lines,
@@ -3836,6 +3851,50 @@ ORACLES: dict[str, str] = {
                CAST(sum(n_chars) AS BIGINT) AS chars
         FROM documents WHERE n_chars >= 100
         GROUP BY source
+    """,
+    "q143_ranked_search": r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents
+        ),
+        dt AS (
+            SELECT doc_id, token, count(*) AS c
+            FROM tok WHERE token <> '' GROUP BY doc_id, token
+        ),
+        dl AS (SELECT doc_id, sum(c) AS dl FROM dt GROUP BY doc_id),
+        ndocs AS (SELECT count(*) * 1.0 AS n FROM documents),
+        stats AS (SELECT avg(dl) AS avgdl FROM dl),
+        dfq AS (SELECT token, count(*) AS df FROM dt GROUP BY token),
+        scored AS (
+            SELECT dt.doc_id, dt.token,
+                   ln((ndocs.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                   * (dt.c * (1.2 + 1))
+                   / (dt.c + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       AS s
+            FROM dt
+            JOIN dfq USING (token)
+            JOIN dl USING (doc_id)
+            CROSS JOIN ndocs CROSS JOIN stats
+            WHERE dt.token IN ('hash', 'table')
+        ),
+        ag AS (
+            SELECT doc_id, sum(s) AS score, count(*) AS nt
+            FROM scored GROUP BY doc_id
+        ),
+        fr AS (
+            SELECT doc_id,
+                   floor(score * 10000 + 0.5) / 10000 AS score_r
+            FROM ag WHERE nt = 2
+        ),
+        rk AS (
+            SELECT doc_id, score_r,
+                   row_number() OVER (ORDER BY score_r DESC, doc_id)
+                     AS rank
+            FROM fr
+        )
+        SELECT doc_id, score_r AS score, CAST(rank AS INT) AS rank
+        FROM rk WHERE rank <= 20
     """,
     "q142_remove_duplicate_spans": """
         WITH t AS (SELECT doc_id,

@@ -3381,6 +3381,7 @@ def _load_pipeline_funcs() -> dict:
         "corpus_datacard": text.corpus_datacard,
         "postings": text.postings,
         "phrase_search": text.phrase_search,
+        "ranked_search": text.ranked_search,
         # similarity / embeddings
         "cosine_topk": similarity.cosine_topk,
         "cosine_topk_arrow": similarity.cosine_topk_arrow,
@@ -3404,7 +3405,7 @@ _PIPELINE_FUNC_NAMES = {
     "quality_metrics", "repetition_metrics",
     "tfidf", "bm25", "lm_perplexity", "quantile_filter",
     "quantile_bucketize", "corpus_datacard", "postings",
-    "phrase_search", "cosine_topk",
+    "phrase_search", "ranked_search", "cosine_topk",
     "cosine_topk_arrow",
     "cosine_pairs", "lsh_cosine_pairs", "normalize_vectors",
     "quantize_int8", "centroid_agg", "semdedup", "kmeans_assign",

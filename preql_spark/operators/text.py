@@ -680,3 +680,42 @@ def phrase_search(post: DataFrame, phrase: str,
         hits = F.size(F.col("__p0"))
     return (j.select(F.col(id_col), hits.alias("n_hits"))
             .filter(F.col("n_hits") > 0))
+
+
+def ranked_search(df: DataFrame, query: str, k: int = 10,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  require_all: bool = True, k1: float = 1.2,
+                  b: float = 0.75,
+                  tie_digits: int | None = None) -> DataFrame:
+    """Ranked boolean retrieval: per-doc BM25 scores summed over the
+    query's distinct terms, AND-semantics by default (every term must
+    appear), top-``k`` as ``(id, score, rank)``.
+
+    Plan: :func:`bm25`'s two partial-agg shuffles build the scored
+    (doc, term) frame once; the query then FILTERS it to |terms| rows
+    per matching doc (an `isin` over a literal list — pushes through
+    the aggregation's output), so the ranking stage is query-bounded,
+    not corpus-bounded.  The final rank is a single-partition window
+    over the filtered candidates — top-k result shaping, sized by the
+    match set, not the corpus.
+
+    ``tie_digits`` ranks on the score rounded to that many decimals
+    (ties then break on ascending id) — the cross-engine-stable order
+    for oracle-graded entries; None ranks on the raw double."""
+    terms = sorted({t for t in query.split() if t})
+    if not terms:
+        raise ValueError("empty query")
+    sc = bm25(df, id_col=id_col, text_col=text_col, k1=k1, b=b) \
+        .filter(F.col("token").isin(terms))
+    agg = (sc.groupBy(id_col)
+           .agg(F.sum("bm25").alias("score"),
+                F.count(F.lit(1)).alias("__nt")))
+    if require_all:
+        agg = agg.filter(F.col("__nt") == len(terms))
+    agg = agg.drop("__nt")
+    key = (F.col("score") if tie_digits is None else
+           F.floor(F.col("score") * (10 ** tie_digits) + F.lit(0.5))
+           / (10 ** tie_digits))
+    w = Window.orderBy(key.desc(), F.col(id_col))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1500,3 +1500,26 @@ def test_remove_duplicate_spans_total_loss(spark):
            for r in dedup.remove_duplicate_spans(docs, k=5).collect()}
     assert out[10] == (0, "p q r s t")
     assert out[11] == (5, "")
+
+
+def test_ranked_search_and_semantics(spark):
+    """AND retrieval: only docs holding EVERY query term rank; the
+    score is the per-term BM25 sum; OR mode admits partial matches."""
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple cherry"),
+         (3, "banana banana"), (4, "durian")],
+        "doc_id: long, text: string")
+    both = {r.doc_id for r in
+            text.ranked_search(docs, "apple banana", k=10).collect()}
+    assert both == {1}
+    any_ = {r.doc_id for r in
+            text.ranked_search(docs, "apple banana", k=10,
+                               require_all=False).collect()}
+    assert any_ == {1, 2, 3}
+    row = text.ranked_search(docs, "apple banana", k=10).collect()[0]
+    per_term = {r.token: r.bm25 for r in
+                text.bm25(docs).filter("doc_id = 1").collect()}
+    assert abs(row.score - (per_term["apple"] + per_term["banana"])) < 1e-12
+    import pytest as _pt
+    with _pt.raises(ValueError, match="empty query"):
+        text.ranked_search(docs, "   ")
