@@ -1966,3 +1966,14 @@ def test_pipeline_builtins_search(eng):
                 text.phrase_search(text.postings(d.df),
                                    "the table").collect()}
     assert lang_rows == api_rows and len(lang_rows) > 0
+
+
+def test_pipeline_builtin_ranked_search(eng):
+    from preql_spark.operators import text
+    lang_rows = {(r.doc_id, r.rank) for r in
+                 eng.q('ranked_search(documents, "hash table", k: 5)')
+                 .collect()}
+    api_rows = {(r.doc_id, r.rank) for r in
+                text.ranked_search(eng.t.documents.df, "hash table",
+                                   k=5).collect()}
+    assert lang_rows == api_rows and len(lang_rows) == 5
