@@ -1981,6 +1981,24 @@ def q143_ranked_search(spark, sf_dir) -> DataFrame:
                       "rank")
 
 
+def q144_lang_returned_revenue(spark, sf_dir) -> DataFrame:
+    """TPC-H Q10 shape written entirely in the lang: 4-table FK
+    auto-join (lineitem->orders->customer->nation resolved pairwise),
+    a returnflag filter, grouped revenue, and a top-20 order/slice —
+    one lang statement, one broadcast-chained Spark plan.  Revenue
+    ranks have real margins, so the unordered-sum ulp caveat of the
+    FP-portability notes does not bite."""
+    eng = _eng(spark, sf_dir)
+    out = eng.q(
+        'join(l: lineitem, o: orders, c: customer, n: nation)'
+        '[l.l_returnflag == "R"]'
+        '{c.c_custkey, c.c_name, nation: n.n_name =>'
+        ' revenue: sum(l.l_extendedprice * (1 - l.l_discount))}'
+        ' order {^revenue, c_custkey} [..20]')
+    return out.df.select("c_custkey", "c_name", "nation",
+                         _pr4(F.col("revenue")).alias("revenue"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2068,6 +2086,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q141_stream_postings_ingest": q141_stream_postings_ingest,
     "q142_remove_duplicate_spans": q142_remove_duplicate_spans,
     "q143_ranked_search": q143_ranked_search,
+    "q144_lang_returned_revenue": q144_lang_returned_revenue,
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
     "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
     "q125_lang_in_table": q125_lang_in_table,
@@ -2080,7 +2099,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q132_cosine_topk_arrow": q132_cosine_topk_arrow,
     "q133_semdedup_paper_rule": q133_semdedup_paper_rule,
     "q55_lang_pipeline": q55_lang_pipeline,
-    "q56_lang_join": q56_lang_join,
     "q69_collect_explode_roundtrip": q69_collect_explode_roundtrip,
     "q71_histogram": q71_histogram,
     "q74_split_by_hash": q74_split_by_hash,
@@ -2111,6 +2129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- end of the 50-entry driver window -------------------------
     "q76_chunk_tokens": q76_chunk_tokens,
     # rotated out r6 (all driver-green r4/r5):
+    "q56_lang_join": q56_lang_join,
     "q98_bm25_top_terms": q98_bm25_top_terms,
     "q119_domain_blocklist": q119_domain_blocklist,
     "q112_stream_ingest_dedup": q112_stream_ingest_dedup,
@@ -3851,6 +3870,20 @@ ORACLES: dict[str, str] = {
                CAST(sum(n_chars) AS BIGINT) AS chars
         FROM documents WHERE n_chars >= 100
         GROUP BY source
+    """,
+    "q144_lang_returned_revenue": """
+        SELECT c_custkey, c_name, n_name AS nation,
+               floor(sum(l_extendedprice * (1 - l_discount))
+                     * 10000 + 0.5) / 10000 AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
+                 c_custkey
+        LIMIT 20
     """,
     "q143_ranked_search": r"""
         WITH tok AS (
