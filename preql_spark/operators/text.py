@@ -650,21 +650,31 @@ def phrase_search(post: DataFrame, phrase: str,
     the phrase's tokens occur CONSECUTIVELY, with the occurrence
     count — ``(id, n_hits)``, matches only.
 
-    The n-way self-join touches ONLY the phrase's terms (a pushable
-    ``term = w`` filter per side — against a term-partitioned index
-    that is a partition-pruned read of |phrase| posting lists), joins
-    them on the document id, and verifies adjacency with array
-    predicates (exists p in positions₀ with p+i in positionsᵢ) —
-    whole-stage codegen, no explode of the position lists."""
+    ONE ``term IN (phrase terms)`` filter prunes the index to the
+    |phrase| posting lists (a partition-pruned read against a
+    term-partitioned index), a single pivot groups each matching
+    doc's lists side by side (one doc-keyed shuffle of |terms| narrow
+    rows per candidate — no n-way self-join, and crucially no
+    re-execution of an un-persisted postings aggregation per term,
+    which a filter-per-side join shape would cause), and adjacency is
+    verified with array predicates (exists p in positions₀ with p+i
+    in positionsᵢ) — whole-stage codegen, no explode of the position
+    lists."""
     words = phrase.split()
     if not words:
         raise ValueError("empty phrase")
-    j = (post.filter(F.col("term") == words[0])
-         .select(F.col(id_col), F.col("positions").alias("__p0")))
-    for i, w in enumerate(words[1:], start=1):
-        side = (post.filter(F.col("term") == w)
-                .select(F.col(id_col), F.col("positions").alias(f"__p{i}")))
-        j = j.join(side, id_col)
+    uniq = list(dict.fromkeys(words))
+    # id under a reserved name so a term that happens to equal the id
+    # column can never collide with a pivot output column
+    wide = (post.filter(F.col("term").isin(uniq))
+            .select(F.col(id_col).alias("__ps_id"), "term", "positions")
+            .groupBy("__ps_id").pivot("term", uniq)
+            .agg(F.first("positions"))
+            .dropna())               # AND semantics: every term present
+    j = wide.select(F.col("__ps_id").alias(id_col),
+                    *[wide[w].alias(f"__p{i}")
+                      for i, w in enumerate(words)])
+
     def _adjacent(i):
         # single-arg closures: a two-parameter lambda would be read
         # by the filter() HOF as (element, index) and shadow i
