@@ -2064,18 +2064,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       All four are r4-green, so lifetime confirmation held.
     #   r6: q134 (temptable), q135 (salted join identity), q136
     #       (transactions) — the only never-driver-confirmed queries
-    #       — enter at the head, plus this round's new queries.
+    #       — enter at the head, plus this round's new q137-q144
+    #       (duplicate spans, PQ ADC, IVF-PQ, phrase search,
+    #       streaming postings ingest, span-dedup removal, ranked
+    #       retrieval, lang TPC-H-Q10 capstone).
     #       Displaced (all r5-green; family keeps an in-window
-    #       representative): q54 (fmt: lang keeps q55/q56/q61/q123/
-    #       q125), q66 (zipjoin: joins keep q56/q78/q120/q129),
+    #       representative): q54 (fmt: lang keeps q55/q61/q123/
+    #       q125), q66 (zipjoin: joins keep q78/q120/q129),
     #       q51 (char funcs: scalar family keeps q62), q70 (unpivot:
     #       reshape keeps q53 cube/q69 collect-explode), q76 (token
-    #       chunking: q75 pack_sequences remains), q122 (debounce:
-    #       streaming keeps q112/q118/q126), and the
+    #       chunking: q75 pack_sequences remains), q122 (debounce)
+    #       and q112 (exact-dedup ingest: streaming keeps q118/q126/
+    #       q141 — q141 is the same two-wave==one-shot machinery),
+    #       q83 (short-line strip: text keeps q64/q95/q137/q140),
+    #       q119 (domain blocklist: curation keeps q115/q117/q120/
+    #       q121), q98 (BM25 top terms: q143 replays the formula
+    #       plus retrieval), q56 (lang join: q144 replays the n-ary
+    #       FK join plus filter/agg/topk), and the
     #       mispositioned q80/q81/q82/q84 move below the marker
     #       (r4-green; agg keeps q53/q57/q59/q69/q71, similarity
-    #       keeps q113/q124, text keeps q64/q83/q95/q98, sampling
-    #       keeps q65/q74/q115).
+    #       keeps q113/q124, text keeps q64/q95/q137/q140, sampling
+    #       keeps q65/q74/q115).  Same displacement list in
+    #       COVERAGE.md's confirmation log (kept in lockstep).
     "q134_temptable_agg": q134_temptable_agg,
     "q135_salted_join": q135_salted_join,
     "q136_transactions": q136_transactions,
