@@ -1999,6 +1999,26 @@ def q144_lang_returned_revenue(spark, sf_dir) -> DataFrame:
                          _pr4(F.col("revenue")).alias("revenue"))
 
 
+def q145_hybrid_search(spark, sf_dir) -> DataFrame:
+    """Hybrid lexical+dense retrieval fused by reciprocal-rank fusion
+    (RRF, Cormack et al. 2009, k0=60): the lexical leg is exactly
+    q143's ranked BM25 query ("hash table", AND semantics, top-20 on
+    the 1e-4-rounded score); the dense leg is the q40-spelling cosine
+    top-20 for the stored query vector vec_id=7; every candidate
+    scores sum_s 1/(60+rank_s) over the legs that retrieved it and
+    the fused top-15 returns (doc_id, rrf_score, rank).  The fusion
+    arithmetic is exact IEEE ops on integer ranks, so the oracle
+    replays the two legs' CTEs and the fusion bit-for-bit; ties
+    (doc pairs whose ranks swap across legs) break on ascending id."""
+    from preql_spark.operators.text import hybrid_search
+    eng = _eng(spark, sf_dir)
+    out = hybrid_search(eng.t.documents.df, eng.t.embeddings.df,
+                        "hash table", 7, k=15, n_cand=20,
+                        tie_digits=4)
+    rs = F.floor(F.col("rrf_score") * 1000000 + F.lit(0.5)) / 1000000
+    return out.select("doc_id", rs.alias("rrf_score"), "rank")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2086,6 +2106,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       keeps q113/q124, text keeps q64/q95/q137/q140, sampling
     #       keeps q65/q74/q115).  Same displacement list in
     #       COVERAGE.md's confirmation log (kept in lockstep).
+    #       Mid-r6 late addition: q145 (hybrid RRF retrieval) enters
+    #       at the head; q64 (TF-IDF, r5-green) rotates to the tail —
+    #       text/retrieval keeps q95/q137/q140/q142/q143/q145.
     "q134_temptable_agg": q134_temptable_agg,
     "q135_salted_join": q135_salted_join,
     "q136_transactions": q136_transactions,
@@ -2097,6 +2120,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q142_remove_duplicate_spans": q142_remove_duplicate_spans,
     "q143_ranked_search": q143_ranked_search,
     "q144_lang_returned_revenue": q144_lang_returned_revenue,
+    "q145_hybrid_search": q145_hybrid_search,
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
     "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
     "q125_lang_in_table": q125_lang_in_table,
@@ -2131,12 +2155,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_dml_lifecycle": q60_dml_lifecycle,
     "q61_lang_user_func": q61_lang_user_func,
     "q62_json_extract": q62_json_extract,
-    "q64_tfidf_top_terms": q64_tfidf_top_terms,
     "q65_sample_stratified": q65_sample_stratified,
     "q73_dedup_canonical": q73_dedup_canonical,
     "q75_pack_sequences": q75_pack_sequences,
     "q78_interval_join": q78_interval_join,
     # ---- end of the 50-entry driver window -------------------------
+    # rotated out mid-r6 by the late addition q145 (hybrid RRF):
+    # q64 TF-IDF is r5-green and the text/retrieval family keeps
+    # q95/q137/q140/q142/q143/q145 in-window.
+    "q64_tfidf_top_terms": q64_tfidf_top_terms,
     "q76_chunk_tokens": q76_chunk_tokens,
     # rotated out r6 (all driver-green r4/r5):
     "q56_lang_join": q56_lang_join,
@@ -3938,6 +3965,81 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, score_r AS score, CAST(rank AS INT) AS rank
         FROM rk WHERE rank <= 20
+    """,
+    # q143's BM25 CTE chain + q40's cosine spelling (query vec_id=7),
+    # fused by RRF: score = sum_s 1/(60 + rank_s), absent leg -> 0.
+    "q145_hybrid_search": r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents
+        ),
+        dt AS (
+            SELECT doc_id, token, count(*) AS c
+            FROM tok WHERE token <> '' GROUP BY doc_id, token
+        ),
+        dl AS (SELECT doc_id, sum(c) AS dl FROM dt GROUP BY doc_id),
+        ndocs AS (SELECT count(*) * 1.0 AS n FROM documents),
+        stats AS (SELECT avg(dl) AS avgdl FROM dl),
+        dfq AS (SELECT token, count(*) AS df FROM dt GROUP BY token),
+        scored AS (
+            SELECT dt.doc_id, dt.token,
+                   ln((ndocs.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                   * (dt.c * (1.2 + 1))
+                   / (dt.c + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       AS s
+            FROM dt
+            JOIN dfq USING (token)
+            JOIN dl USING (doc_id)
+            CROSS JOIN ndocs CROSS JOIN stats
+            WHERE dt.token IN ('hash', 'table')
+        ),
+        ag AS (
+            SELECT doc_id, sum(s) AS score, count(*) AS nt
+            FROM scored GROUP BY doc_id
+        ),
+        fr AS (
+            SELECT doc_id,
+                   floor(score * 10000 + 0.5) / 10000 AS score_r
+            FROM ag WHERE nt = 2
+        ),
+        lex AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score_r DESC, doc_id)
+                     AS r
+            FROM fr
+        ),
+        lex20 AS (SELECT doc_id, r FROM lex WHERE r <= 20),
+        q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 7),
+        p AS (SELECT c.vec_id AS neighbor_id,
+                     q.embedding AS qe, c.embedding AS ce
+              FROM q, embeddings c WHERE c.vec_id != q.vec_id),
+        u AS (SELECT neighbor_id, unnest(qe) AS x, unnest(ce) AS y FROM p),
+        s AS (SELECT neighbor_id,
+                     sum(x::DOUBLE * y::DOUBLE)
+                     / (sqrt(sum(x::DOUBLE * x::DOUBLE))
+                        * sqrt(sum(y::DOUBLE * y::DOUBLE))) AS sim
+              FROM u GROUP BY 1),
+        den AS (SELECT neighbor_id AS doc_id,
+                       row_number() OVER (ORDER BY sim DESC, neighbor_id)
+                         AS r
+                FROM s),
+        den20 AS (SELECT doc_id, r FROM den WHERE r <= 20),
+        fused AS (
+            SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+                   coalesce(1.0 / (60.0 + l.r), 0.0)
+                   + coalesce(1.0 / (60.0 + d.r), 0.0) AS rrf
+            FROM lex20 l FULL OUTER JOIN den20 d ON l.doc_id = d.doc_id
+        ),
+        rk AS (
+            SELECT doc_id, rrf,
+                   row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+            FROM fused
+        )
+        SELECT doc_id,
+               floor(rrf * 1000000 + 0.5) / 1000000 AS rrf_score,
+               CAST(rank AS INT) AS rank
+        FROM rk WHERE rank <= 15
     """,
     "q142_remove_duplicate_spans": """
         WITH t AS (SELECT doc_id,

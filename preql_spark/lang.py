@@ -3382,6 +3382,7 @@ def _load_pipeline_funcs() -> dict:
         "postings": text.postings,
         "phrase_search": text.phrase_search,
         "ranked_search": text.ranked_search,
+        "hybrid_search": text.hybrid_search,
         # similarity / embeddings
         "cosine_topk": similarity.cosine_topk,
         "cosine_topk_arrow": similarity.cosine_topk_arrow,
@@ -3405,7 +3406,7 @@ _PIPELINE_FUNC_NAMES = {
     "quality_metrics", "repetition_metrics",
     "tfidf", "bm25", "lm_perplexity", "quantile_filter",
     "quantile_bucketize", "corpus_datacard", "postings",
-    "phrase_search", "ranked_search", "cosine_topk",
+    "phrase_search", "ranked_search", "hybrid_search", "cosine_topk",
     "cosine_topk_arrow",
     "cosine_pairs", "lsh_cosine_pairs", "normalize_vectors",
     "quantize_int8", "centroid_agg", "semdedup", "kmeans_assign",

@@ -729,3 +729,73 @@ def ranked_search(df: DataFrame, query: str, k: int = 10,
     w = Window.orderBy(key.desc(), F.col(id_col))
     return (agg.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def rrf_fuse(sources: list[DataFrame], k: int = 10, rrf_k: int = 60,
+             id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009):
+    given N ranked candidate frames each carrying ``(id_col, rank)``,
+    score every candidate as ``sum_s 1/(rrf_k + rank_s)`` — a source
+    that did not retrieve the id contributes 0 — and return the fused
+    top-``k`` as ``(id, rrf_score, rank)`` (score desc, id tiebreak).
+
+    Plan/scale: each source is already top-n (query-bounded, a few
+    dozen rows), so the outer-join chain and the single-partition
+    ranking window are RESULT SHAPING over <= sum(n_s) rows — the
+    corpus-scale work happened inside the retrieval legs.  At 100 TB
+    nothing here grows with the corpus.
+
+    Determinism: ``1/(rrf_k + rank)`` is one IEEE division of exact
+    integers and the per-id score sums the sources in list order, so
+    any engine replaying the same source ranks reproduces the score
+    bit-for-bit; ties (e.g. two docs swapping ranks across the two
+    sources) break on ascending id."""
+    if not sources:
+        raise ValueError("rrf_fuse needs at least one ranked source")
+    joined = None
+    contribs = []
+    for i, src in enumerate(sources):
+        s = src.select(F.col(id_col), F.col("rank").alias(f"__r{i}"))
+        joined = s if joined is None else joined.join(s, id_col, "outer")
+        contribs.append(F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(f"__r{i}")),
+            F.lit(0.0)))
+    score = reduce(lambda a, b: a + b, contribs)
+    scored = joined.select(F.col(id_col),
+                           score.cast("double").alias("rrf_score"))
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def hybrid_search(docs: DataFrame, embeddings: DataFrame,
+                  query_text: str, query_vec_id, k: int = 10,
+                  n_cand: int = 20, rrf_k: int = 60,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  vec_id_col: str = "vec_id", vec_col: str = "embedding",
+                  require_all: bool = True,
+                  tie_digits: int | None = None,
+                  dense_method: str = "hof") -> DataFrame:
+    """Hybrid lexical+dense retrieval: BM25 :func:`ranked_search` over
+    ``docs`` and cosine top-n over ``embeddings`` (query = the stored
+    vector ``query_vec_id``), fused by :func:`rrf_fuse`.  Returns the
+    fused top-``k`` ``(id, rrf_score, rank)``.
+
+    The two legs carry the corpus-scale cost and are the already
+    scale-analyzed operators (BM25's two partial-agg shuffles;
+    brute/BLAS cosine scan — swap in ``ivf_pq_topk`` upstream when
+    vectors outgrow the scan budget and feed its output straight to
+    :func:`rrf_fuse`).  ``dense_method="arrow"`` uses the BLAS
+    batch-matmul top-k; the default "hof" keeps the sequential-fold
+    scoring that is bit-identical to the SQL oracle."""
+    from .similarity import cosine_topk, cosine_topk_arrow
+    lex = ranked_search(docs, query_text, k=n_cand, id_col=id_col,
+                        text_col=text_col, require_all=require_all,
+                        tie_digits=tie_digits)
+    qv = embeddings.filter(F.col(vec_id_col) == query_vec_id)
+    dense_fn = cosine_topk_arrow if dense_method == "arrow" else cosine_topk
+    den = (dense_fn(embeddings, qv, k=n_cand, id_col=vec_id_col,
+                    vec_col=vec_col)
+           .select(F.col("neighbor_id").alias(id_col), "rank"))
+    return rrf_fuse([lex.select(id_col, "rank"), den],
+                    k=k, rrf_k=rrf_k, id_col=id_col)

@@ -1977,3 +1977,15 @@ def test_pipeline_builtin_ranked_search(eng):
                 text.ranked_search(eng.t.documents.df, "hash table",
                                    k=5).collect()}
     assert lang_rows == api_rows and len(lang_rows) == 5
+
+
+def test_pipeline_builtin_hybrid_search(eng):
+    from preql_spark.operators import text
+    lang_rows = {(r.doc_id, r.rank) for r in
+                 eng.q('hybrid_search(documents, embeddings,'
+                       ' "hash table", 7, k: 5)').collect()}
+    api_rows = {(r.doc_id, r.rank) for r in
+                text.hybrid_search(eng.t.documents.df,
+                                   eng.t.embeddings.df,
+                                   "hash table", 7, k=5).collect()}
+    assert lang_rows == api_rows and len(lang_rows) == 5

@@ -1523,3 +1523,56 @@ def test_ranked_search_and_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="empty query"):
         text.ranked_search(docs, "   ")
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: score = sum_s 1/(rrf_k + rank_s), a source that missed the
+    id contributes 0; ties break on ascending id; empty input raises."""
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                              "doc_id: long, rank: int")
+    b = spark.createDataFrame([(2, 1), (4, 2)],
+                              "doc_id: long, rank: int")
+    out = {r.doc_id: (r.rrf_score, r.rank) for r in
+           text.rrf_fuse([a, b], k=10, rrf_k=60).collect()}
+    assert abs(out[2][0] - (1 / 62 + 1 / 61)) < 1e-15
+    assert abs(out[1][0] - 1 / 61) < 1e-15
+    assert abs(out[4][0] - 1 / 62) < 1e-15
+    assert abs(out[3][0] - 1 / 63) < 1e-15
+    # doc 2 first (both legs), then the 1/61 vs 1/62 vs 1/63 ladder;
+    # doc 1 (1/61) beats doc 4 (1/62) beats doc 3 (1/63)
+    assert [d for d, (_, r) in sorted(out.items(), key=lambda kv: kv[1][1])] \
+        == [2, 1, 4, 3]
+    # tie: identical (rank-in-a, absent-in-b) contributions break on id
+    t1 = spark.createDataFrame([(7, 1), (5, 1)],
+                               "doc_id: long, rank: int")
+    tied = text.rrf_fuse([t1], k=5).collect()
+    assert [r.doc_id for r in sorted(tied, key=lambda r: r.rank)] == [5, 7]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="at least one"):
+        text.rrf_fuse([])
+
+
+def test_hybrid_search_fuses_legs(spark):
+    """hybrid_search == manual RRF of its two legs, and the arrow
+    dense path returns the identical fused frame."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta"), (2, "beta only"),
+         (3, "alpha beta beta"), (4, "unrelated words here")],
+        "doc_id: long, text: string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+         (3, [0.8, 0.3]), (4, [-1.0, 0.2])],
+        "vec_id: long, embedding: array<double>")
+    out = text.hybrid_search(docs, emb, "alpha beta", 0, k=5, n_cand=3)
+    lex = text.ranked_search(docs, "alpha beta", k=3)
+    from preql_spark.operators import similarity
+    den = similarity.cosine_topk(emb, emb.filter("vec_id = 0"), k=3) \
+        .selectExpr("neighbor_id as doc_id", "rank")
+    manual = text.rrf_fuse(
+        [lex.select("doc_id", "rank"), den], k=5)
+    assert sorted(map(tuple, out.collect())) \
+        == sorted(map(tuple, manual.collect()))
+    arrow = text.hybrid_search(docs, emb, "alpha beta", 0, k=5,
+                               n_cand=3, dense_method="arrow")
+    assert sorted(map(tuple, arrow.collect())) \
+        == sorted(map(tuple, out.collect()))
