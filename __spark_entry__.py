@@ -2019,6 +2019,21 @@ def q145_hybrid_search(spark, sf_dir) -> DataFrame:
     return out.select("doc_id", rs.alias("rrf_score"), "rank")
 
 
+def q146_random_projection(spark, sf_dir) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 8 dims over the
+    portable-hash plane matrix (the q41-proven component spelling),
+    scaled by 1/sqrt(8).  Graded on the hof path whose sequential
+    fold is bit-identical to the oracle's list_dot_product; the BLAS
+    path is the pytest-equal production spelling.  Values rounded to
+    4 dp with the portable floor rule inside the array."""
+    from preql_spark.operators.similarity import random_project
+    e = _eng(spark, sf_dir).t.embeddings
+    out = random_project(e.df, out_dim=8, dim=64, method="hof")
+    arr = F.transform(F.col("projected"),
+                      lambda x: F.floor(x * 10000 + F.lit(0.5)) / 10000)
+    return out.select("vec_id", arr.alias("projected"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2106,9 +2121,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       keeps q113/q124, text keeps q64/q95/q137/q140, sampling
     #       keeps q65/q74/q115).  Same displacement list in
     #       COVERAGE.md's confirmation log (kept in lockstep).
-    #       Mid-r6 late addition: q145 (hybrid RRF retrieval) enters
-    #       at the head; q64 (TF-IDF, r5-green) rotates to the tail —
-    #       text/retrieval keeps q95/q137/q140/q142/q143/q145.
+    #       Mid-r6 late additions: q145 (hybrid RRF retrieval) and
+    #       q146 (JL random projection) enter at the head; q64
+    #       (TF-IDF) and q57 (describe), both r5-green, rotate to the
+    #       tail — text/retrieval keeps q95/q137/q140/q142/q143/q145,
+    #       agg keeps q53/q59/q69/q71.
     "q134_temptable_agg": q134_temptable_agg,
     "q135_salted_join": q135_salted_join,
     "q136_transactions": q136_transactions,
@@ -2121,6 +2138,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q143_ranked_search": q143_ranked_search,
     "q144_lang_returned_revenue": q144_lang_returned_revenue,
     "q145_hybrid_search": q145_hybrid_search,
+    "q146_random_projection": q146_random_projection,
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
     "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
     "q125_lang_in_table": q125_lang_in_table,
@@ -2150,7 +2168,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q121_corpus_datacard": q121_corpus_datacard,
     "q52_window_battery": q52_window_battery,
     "q53_cube": q53_cube,
-    "q57_describe_stats": q57_describe_stats,
     "q59_first_last_by": q59_first_last_by,
     "q60_dml_lifecycle": q60_dml_lifecycle,
     "q61_lang_user_func": q61_lang_user_func,
@@ -2160,10 +2177,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_pack_sequences": q75_pack_sequences,
     "q78_interval_join": q78_interval_join,
     # ---- end of the 50-entry driver window -------------------------
-    # rotated out mid-r6 by the late addition q145 (hybrid RRF):
-    # q64 TF-IDF is r5-green and the text/retrieval family keeps
-    # q95/q137/q140/q142/q143/q145 in-window.
+    # rotated out mid-r6 by the late additions q145 (hybrid RRF) and
+    # q146 (JL projection): q64 TF-IDF and q57 describe are r5-green;
+    # text/retrieval keeps q95/q137/q140/q142/q143/q145 in-window and
+    # agg keeps q53/q59/q69/q71.
     "q64_tfidf_top_terms": q64_tfidf_top_terms,
+    "q57_describe_stats": q57_describe_stats,
     "q76_chunk_tokens": q76_chunk_tokens,
     # rotated out r6 (all driver-green r4/r5):
     "q56_lang_join": q56_lang_join,
@@ -3965,6 +3984,31 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, score_r AS score, CAST(rank AS INT) AS rank
         FROM rk WHERE rank <= 20
+    """,
+    # JL projection: q41's plane-component spelling, p in [0, 8),
+    # list_dot_product == the hof fold, * (1.0/sqrt(8)) == the
+    # driver-side inv double, portable 4-dp floor inside the list
+    "q146_random_projection": """
+        WITH emb AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        comp AS (
+          SELECT p, d,
+                 (('0x' || substr(md5('plane:' || p || ':' || d), 1, 15))::BIGINT
+                  % 2001 - 1000) / 1000.0 AS c
+          FROM range(0, 8) r1(p), range(0, 64) r2(d)
+        ),
+        planes AS (SELECT p, list(c ORDER BY d) AS plane FROM comp GROUP BY p),
+        proj AS (
+          SELECT e.vec_id, pl.p,
+                 list_dot_product(e.v, pl.plane) * (1.0 / sqrt(8.0)) AS y
+          FROM emb e CROSS JOIN planes pl
+        )
+        SELECT vec_id,
+               list(floor(y * 10000 + 0.5) / 10000 ORDER BY p) AS projected
+        FROM proj GROUP BY vec_id
     """,
     # q143's BM25 CTE chain + q40's cosine spelling (query vec_id=7),
     # fused by RRF: score = sum_s 1/(60 + rank_s), absent leg -> 0.

