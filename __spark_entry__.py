@@ -2034,6 +2034,23 @@ def q146_random_projection(spark, sf_dir) -> DataFrame:
     return out.select("vec_id", arr.alias("projected"))
 
 
+def q147_frequent_tokens(spark, sf_dir) -> DataFrame:
+    """EXACT phi-frequent tokens (count >= ceil(0.005 * n)) via the
+    mergeable Misra-Gries candidate sketch + exact verify recount.
+    The sketch only bounds the candidate set (per-partition summaries
+    of <= capacity rows instead of a full-vocabulary shuffle); the
+    counts that reach the answer come from an exact recount
+    semi-joined to the broadcast candidates, so the oracle is a plain
+    GROUP BY ... HAVING over the same whitespace tokens."""
+    from preql_spark.operators.sketch import frequent_items
+    from preql_spark.operators.text import tokens
+    d = _eng(spark, sf_dir).t.documents
+    items = (d.df.select(F.explode(tokens(F.col("text"))).alias("item"))
+             .filter(F.col("item") != ""))
+    out = frequent_items(items, "item", phi=0.005)
+    return out.select(F.col("item").alias("token"), "cnt")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2121,11 +2138,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       keeps q113/q124, text keeps q64/q95/q137/q140, sampling
     #       keeps q65/q74/q115).  Same displacement list in
     #       COVERAGE.md's confirmation log (kept in lockstep).
-    #       Mid-r6 late additions: q145 (hybrid RRF retrieval) and
-    #       q146 (JL random projection) enter at the head; q64
-    #       (TF-IDF) and q57 (describe), both r5-green, rotate to the
-    #       tail — text/retrieval keeps q95/q137/q140/q142/q143/q145,
-    #       agg keeps q53/q59/q69/q71.
+    #       Mid-r6 late additions: q145 (hybrid RRF retrieval),
+    #       q146 (JL random projection), q147 (exact frequent-items
+    #       sketch) enter at the head; q64 (TF-IDF), q57 (describe),
+    #       q111 (skew report), all r5-green, rotate to the tail —
+    #       text/retrieval keeps q95/q137/q140/q142/q143/q145, agg
+    #       keeps q53/q59/q69/q71, layout/tooling keeps q120/q121.
     "q134_temptable_agg": q134_temptable_agg,
     "q135_salted_join": q135_salted_join,
     "q136_transactions": q136_transactions,
@@ -2139,6 +2157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q144_lang_returned_revenue": q144_lang_returned_revenue,
     "q145_hybrid_search": q145_hybrid_search,
     "q146_random_projection": q146_random_projection,
+    "q147_frequent_tokens": q147_frequent_tokens,
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
     "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
     "q125_lang_in_table": q125_lang_in_table,
@@ -2159,7 +2178,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q113_contrastive_pairs": q113_contrastive_pairs,
     "q96_decontaminate": q96_decontaminate,
     "q108_snapshot_diff": q108_snapshot_diff,
-    "q111_skew_report": q111_skew_report,
     "q115_mixture_sample": q115_mixture_sample,
     "q116_audio_features": q116_audio_features,
     "q117_validation_report": q117_validation_report,
@@ -2177,12 +2195,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_pack_sequences": q75_pack_sequences,
     "q78_interval_join": q78_interval_join,
     # ---- end of the 50-entry driver window -------------------------
-    # rotated out mid-r6 by the late additions q145 (hybrid RRF) and
-    # q146 (JL projection): q64 TF-IDF and q57 describe are r5-green;
-    # text/retrieval keeps q95/q137/q140/q142/q143/q145 in-window and
-    # agg keeps q53/q59/q69/q71.
+    # rotated out mid-r6 by the late additions q145 (hybrid RRF),
+    # q146 (JL projection), q147 (frequent-items sketch): q64 TF-IDF,
+    # q57 describe, q111 skew report are r5-green; text/retrieval
+    # keeps q95/q137/q140/q142/q143/q145 in-window, agg keeps
+    # q53/q59/q69/q71, layout/tooling keeps q120/q121.
     "q64_tfidf_top_terms": q64_tfidf_top_terms,
     "q57_describe_stats": q57_describe_stats,
+    "q111_skew_report": q111_skew_report,
     "q76_chunk_tokens": q76_chunk_tokens,
     # rotated out r6 (all driver-green r4/r5):
     "q56_lang_join": q56_lang_join,
@@ -3984,6 +4004,20 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, score_r AS score, CAST(rank AS INT) AS rank
         FROM rk WHERE rank <= 20
+    """,
+    # exact phi-frequent tokens: the MG sketch bounds candidates only,
+    # so the oracle is the plain exact GROUP BY ... HAVING
+    "q147_frequent_tokens": r"""
+        WITH tok AS (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents
+        ),
+        tk AS (SELECT token FROM tok WHERE token <> ''),
+        nn AS (SELECT count(*) AS n FROM tk),
+        c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token)
+        SELECT c.token, c.cnt
+        FROM c, nn
+        WHERE c.cnt >= CAST(ceil(0.005 * nn.n) AS BIGINT)
     """,
     # JL projection: q41's plane-component spelling, p in [0, 8),
     # list_dot_product == the hof fold, * (1.0/sqrt(8)) == the

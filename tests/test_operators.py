@@ -1618,3 +1618,44 @@ def test_random_project_preserves_distances(spark):
         new = float(np.linalg.norm(proj[a] - proj[b]))
         ratios.append(new / orig)
     assert 0.25 < min(ratios) and max(ratios) < 1.75
+
+
+def test_frequent_items_exact_under_truncation(spark):
+    """frequent_items == the exact groupBy answer even when a tiny
+    capacity forces Misra-Gries truncation in every partition (the
+    sketch only bounds the candidate set; counts come from the exact
+    recount)."""
+    from preql_spark.operators import sketch
+    # 6 heavy values (>= 6% each) in a sea of 3000 singletons
+    rows = ([(f"h{i}",) for i in range(6) for _ in range(200 + i)]
+            + [(f"noise{j}",) for j in range(3000)])
+    df = spark.createDataFrame(rows, "item: string").repartition(8)
+    out = {(r.item, r.cnt) for r in
+           sketch.frequent_items(df, "item", phi=0.04).collect()}
+    exact = {(r.item, r.cnt) for r in
+             df.groupBy("item").count()
+               .withColumnRenamed("count", "cnt")
+               .filter(F.col("cnt") >= 169).collect()}  # ceil(.04*4215)
+    assert out == exact and len(out) == 6
+    # explicit tiny capacity still exact (guarantee needs cap>=2/phi;
+    # verify a LARGER-than-minimum cap and the minimum itself)
+    out_min = {(r.item, r.cnt) for r in
+               sketch.frequent_items(df, "item", phi=0.04,
+                                     capacity=50).collect()}
+    assert out_min == exact
+    import pytest as _pt
+    with _pt.raises(ValueError, match="phi"):
+        sketch.frequent_items(df, "item", phi=1.5)
+
+
+def test_frequent_items_nulls_and_empty(spark):
+    """NULL items never count toward n or the result; an all-null or
+    empty frame returns an empty (item, cnt) frame."""
+    from preql_spark.operators import sketch
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], "item: string")
+    out = {(r.item, r.cnt) for r in
+           sketch.frequent_items(df, "item", phi=0.5).collect()}
+    assert out == {("a", 2)}  # n=3, t=2: only 'a' reaches 2
+    empty = spark.createDataFrame([], "item: string")
+    assert sketch.frequent_items(empty, "item", phi=0.1).collect() == []
