@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "q73_dedup_canonical",   # MinHash-LSH -> connected components -> canonical
     "q137_duplicate_spans",  # substring-level dup spans (gram hash + interval merge)
     "q138_pq_adc_topk",      # product-quantization ADC top-k (8-byte codes)
+    "q145_hybrid_search",    # RRF fusion of BM25 + cosine retrieval legs
 ]
 
 

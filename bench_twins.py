@@ -620,6 +620,33 @@ def q138_pq_adc_topk(spark, sf_dir):
         .alias("dist"), "rank")
 
 
+def q145_hybrid_search(spark, sf_dir):
+    """Hand hybrid retrieval: the two retrieval legs are the operator
+    library's plain-PySpark spellings (the documented twin convention
+    for library ops); the RRF fusion — outer join, coalesced
+    reciprocal-rank sum, ranking window — is hand-written."""
+    from preql_spark.operators.similarity import cosine_topk
+    from preql_spark.operators.text import ranked_search
+    d = _read(spark, sf_dir, "documents")
+    e = _read(spark, sf_dir, "embeddings")
+    lex = ranked_search(d, "hash table", k=20, tie_digits=4) \
+        .select("doc_id", F.col("rank").alias("__r0"))
+    den = (cosine_topk(e, e.filter(F.col("vec_id") == 7), k=20)
+           .select(F.col("neighbor_id").alias("doc_id"),
+                   F.col("rank").alias("__r1")))
+    score = (F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("__r0")),
+                        F.lit(0.0))
+             + F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("__r1")),
+                          F.lit(0.0)))
+    scored = (lex.join(den, "doc_id", "outer")
+              .select("doc_id", score.cast("double").alias("rrf_score")))
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 15))
+    rs = F.floor(F.col("rrf_score") * 1000000 + F.lit(0.5)) / 1000000
+    return out.select("doc_id", rs.alias("rrf_score"), "rank")
+
+
 TWINS = {
     "q01_pricing_summary": q01_pricing_summary,
     "q04_revenue_by_nation": q04_revenue_by_nation,
@@ -644,4 +671,5 @@ TWINS = {
     "q114_curation_pipeline": q114_curation_pipeline,
     "q137_duplicate_spans": q137_duplicate_spans,
     "q138_pq_adc_topk": q138_pq_adc_topk,
+    "q145_hybrid_search": q145_hybrid_search,
 }
