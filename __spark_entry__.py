@@ -2051,6 +2051,24 @@ def q147_frequent_tokens(spark, sf_dir) -> DataFrame:
     return out.select(F.col("item").alias("token"), "cnt")
 
 
+def q148_scrub_contaminated_spans(spark, sf_dir) -> DataFrame:
+    """Span-level decontamination: docs with doc_id % 10 == 0 act as
+    the eval set; in the remaining training docs every token covered
+    by a 5-gram that also occurs in the eval set is dropped and the
+    survivors re-join in order (q96's broadcast-semi decontamination
+    contract at q142's span granularity).  The oracle replays eval
+    grams -> condemned positions -> interval merge -> token filter in
+    SQL on the gram STRINGS (the Spark side shuffles 8-byte xxhash64
+    fingerprints — collision-free at these cardinalities, same
+    equivalence q137/q142 rest on)."""
+    from preql_spark.operators.dedup import scrub_contaminated_spans
+    d = _eng(spark, sf_dir).t.documents.df
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    return scrub_contaminated_spans(train, ev, k=5) \
+        .select("doc_id", "n_tokens", "dropped_tokens", "text_clean")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2140,10 +2158,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       COVERAGE.md's confirmation log (kept in lockstep).
     #       Mid-r6 late additions: q145 (hybrid RRF retrieval),
     #       q146 (JL random projection), q147 (exact frequent-items
-    #       sketch) enter at the head; q64 (TF-IDF), q57 (describe),
-    #       q111 (skew report), all r5-green, rotate to the tail —
-    #       text/retrieval keeps q95/q137/q140/q142/q143/q145, agg
-    #       keeps q53/q59/q69/q71, layout/tooling keeps q120/q121.
+    #       sketch), q148 (span-level decontamination) enter at the
+    #       head; q64 (TF-IDF), q57 (describe), q111 (skew report),
+    #       q96 (doc-level decontaminate — q148 replays its broadcast
+    #       -semi contract at span granularity), all r5-green, rotate
+    #       to the tail — text/retrieval keeps
+    #       q95/q137/q140/q142/q143/q145, agg keeps q53/q59/q69/q71,
+    #       layout/tooling keeps q120/q121.
     "q134_temptable_agg": q134_temptable_agg,
     "q135_salted_join": q135_salted_join,
     "q136_transactions": q136_transactions,
@@ -2158,6 +2179,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q145_hybrid_search": q145_hybrid_search,
     "q146_random_projection": q146_random_projection,
     "q147_frequent_tokens": q147_frequent_tokens,
+    "q148_scrub_contaminated_spans": q148_scrub_contaminated_spans,
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
     "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
     "q125_lang_in_table": q125_lang_in_table,
@@ -2176,7 +2198,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_quantile_filter": q77_quantile_filter,
     "q95_repetition_metrics": q95_repetition_metrics,
     "q113_contrastive_pairs": q113_contrastive_pairs,
-    "q96_decontaminate": q96_decontaminate,
     "q108_snapshot_diff": q108_snapshot_diff,
     "q115_mixture_sample": q115_mixture_sample,
     "q116_audio_features": q116_audio_features,
@@ -2196,13 +2217,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_interval_join": q78_interval_join,
     # ---- end of the 50-entry driver window -------------------------
     # rotated out mid-r6 by the late additions q145 (hybrid RRF),
-    # q146 (JL projection), q147 (frequent-items sketch): q64 TF-IDF,
-    # q57 describe, q111 skew report are r5-green; text/retrieval
-    # keeps q95/q137/q140/q142/q143/q145 in-window, agg keeps
-    # q53/q59/q69/q71, layout/tooling keeps q120/q121.
+    # q146 (JL projection), q147 (frequent-items sketch), q148 (span
+    # decontamination): q64 TF-IDF, q57 describe, q111 skew report,
+    # q96 doc-level decontaminate are r5-green; text/retrieval keeps
+    # q95/q137/q140/q142/q143/q145 in-window, agg keeps
+    # q53/q59/q69/q71, layout/tooling keeps q120/q121, and q148
+    # replays q96's broadcast-semi decontamination contract at span
+    # granularity.
     "q64_tfidf_top_terms": q64_tfidf_top_terms,
     "q57_describe_stats": q57_describe_stats,
     "q111_skew_report": q111_skew_report,
+    "q96_decontaminate": q96_decontaminate,
     "q76_chunk_tokens": q76_chunk_tokens,
     # rotated out r6 (all driver-green r4/r5):
     "q56_lang_join": q56_lang_join,
@@ -4004,6 +4029,61 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, score_r AS score, CAST(rank AS INT) AS rank
         FROM rk WHERE rank <= 20
+    """,
+    # q142's span-removal replay with the condemned set redefined:
+    # gram IN eval-set grams (eval = doc_id % 10 == 0), no keeper rule
+    "q148_scrub_contaminated_spans": """
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(trim(coalesce(text, '')),
+                                             '\\s+') AS toks
+                   FROM documents WHERE doc_id % 10 <> 0),
+        ev AS (SELECT string_split_regex(trim(coalesce(text, '')),
+                                         '\\s+') AS toks
+               FROM documents WHERE doc_id % 10 = 0),
+        eg0 AS (SELECT toks, unnest(range(len(toks) - 5 + 1)) AS pos
+                FROM ev WHERE len(toks) >= 5),
+        eg AS (SELECT DISTINCT array_to_string(toks[pos+1:pos+5], ' ')
+                 AS gram FROM eg0),
+        g0 AS (SELECT doc_id, toks,
+                      unnest(range(len(toks) - 5 + 1)) AS pos
+               FROM t WHERE len(toks) >= 5),
+        g AS (SELECT doc_id, pos,
+                     array_to_string(toks[pos+1:pos+5], ' ') AS gram
+              FROM g0),
+        c AS (SELECT g.doc_id, g.pos FROM g
+              SEMI JOIN eg ON g.gram = eg.gram),
+        m AS (SELECT doc_id, pos, pos + 4 AS e,
+                     max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS pm
+              FROM c),
+        isl AS (SELECT doc_id, pos, e,
+                       sum(CASE WHEN pm IS NULL OR pos > pm + 1
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS iid
+                FROM m),
+        sp AS (SELECT doc_id, iid, min(pos) AS lo, max(e) AS hi
+               FROM isl GROUP BY doc_id, iid),
+        dcount AS (SELECT doc_id, CAST(sum(hi - lo + 1) AS INT) AS dr
+                   FROM sp GROUP BY doc_id),
+        tok AS (SELECT doc_id, unnest(range(len(toks))) AS p, toks
+                FROM t),
+        dropped AS (SELECT tok.doc_id, tok.p FROM tok JOIN sp
+                    ON sp.doc_id = tok.doc_id
+                   AND tok.p BETWEEN sp.lo AND sp.hi),
+        kept AS (SELECT t2.doc_id, t2.p, t2.toks[t2.p+1] AS w
+                 FROM tok t2 ANTI JOIN dropped d
+                 ON d.doc_id = t2.doc_id AND d.p = t2.p),
+        reb AS (SELECT doc_id,
+                       array_to_string(list(w ORDER BY p), ' ') AS txt
+                FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+               coalesce(dcount.dr, 0) AS dropped_tokens,
+               coalesce(reb.txt, '') AS text_clean
+        FROM t LEFT JOIN dcount USING (doc_id)
+               LEFT JOIN reb USING (doc_id)
     """,
     # exact phi-frequent tokens: the MG sketch bounds candidates only,
     # so the oracle is the plain exact GROUP BY ... HAVING

@@ -3371,6 +3371,7 @@ def _load_pipeline_funcs() -> dict:
         "corpus_overlap": dedup.corpus_overlap,
         "duplicate_spans": dedup.duplicate_spans,
         "remove_duplicate_spans": dedup.remove_duplicate_spans,
+        "scrub_contaminated_spans": dedup.scrub_contaminated_spans,
         # text analysis / curation
         "quality_metrics": text.quality_metrics,
         "repetition_metrics": text.repetition_metrics,
@@ -3405,6 +3406,7 @@ _PIPELINE_FUNC_NAMES = {
     "simhash_pairs", "ngram_jaccard_pairs", "connected_components",
     "dedup_canonical", "decontaminate", "contaminated_ids",
     "corpus_overlap", "duplicate_spans", "remove_duplicate_spans",
+    "scrub_contaminated_spans",
     "pq_topk",
     "quality_metrics", "repetition_metrics",
     "tfidf", "bm25", "lm_perplexity", "quantile_filter",

@@ -647,3 +647,97 @@ def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
             F.transform(kept,
                         lambda i: F.element_at(F.col("__toks"), i + 1)),
             " ").alias("text_dedup"))
+
+
+def scrub_contaminated_spans(train: DataFrame, eval_df: DataFrame,
+                             id_col: str = "doc_id",
+                             text_col: str = "text", k: int = 8,
+                             eval_text_col: str | None = None
+                             ) -> DataFrame:
+    """Span-level decontamination: every training token covered by a
+    ``k``-gram that ALSO occurs anywhere in the eval set is dropped;
+    the survivors re-join in order.  :func:`decontaminate` drops the
+    whole document on one shared shingle — this keeps the document
+    minus exactly the leaked spans, the right call when benchmarks
+    quote common boilerplate (licenses, headers) that would otherwise
+    delete half a crawl.
+
+    Returns ``(id, n_tokens, dropped_tokens, text_clean)`` — one row
+    per training doc (a fully-leaked doc keeps an empty string).
+
+    Scale shape (the decontaminate contract times the q142 span
+    machinery): the eval side reduces to a broadcast set of distinct
+    8-byte gram fingerprints (benchmarks are MBs against TBs of
+    train); the train side is ONE scan with scan-local gram hashing,
+    a broadcast LeftSemi marking condemned positions, doc-partitioned
+    interval-merge windows, and the array-predicate rebuild — train
+    text never crosses a corpus-keyed shuffle.  If the eval gram set
+    ever outgrows broadcast, drop the hint and AQE falls back to a
+    shuffled semi-join."""
+    ev_text = eval_text_col or text_col
+    ev_toks = tokens(F.coalesce(F.col(ev_text), F.lit("")))
+    ev_n = F.size(ev_toks)
+    ev_starts = F.when(ev_n >= k, F.sequence(F.lit(0), ev_n - k)) \
+        .otherwise(F.array().cast("array<int>"))
+    ev_grams = (eval_df
+                .select(ev_toks.alias("__toks"),
+                        ev_starts.alias("__starts"))
+                .select(F.explode("__starts").alias("__pos"),
+                        F.col("__toks"))
+                .select(F.xxhash64(F.array_join(
+                    F.slice(F.col("__toks"), F.col("__pos") + 1,
+                            F.lit(k)), " ")).alias("__gh"))
+                .distinct())
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.size(toks)
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)) \
+        .otherwise(F.array().cast("array<int>"))
+    base = train.select(F.col(id_col), toks.alias("__toks"),
+                        starts.alias("__starts"))
+    grams = base.select(
+        id_col, F.explode("__starts").alias("__pos"),
+        F.xxhash64(F.array_join(
+            F.slice(F.col("__toks"), F.col("__pos") + 1, F.lit(k)),
+            " ")).alias("__gh"))
+    condemned = (grams.join(F.broadcast(ev_grams), "__gh", "left_semi")
+                 .select(id_col, "__pos"))
+    wprev = (Window.partitionBy(id_col).orderBy("__pos")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wrun = (Window.partitionBy(id_col).orderBy("__pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    iv = (condemned
+          .withColumn("__e", F.col("__pos") + k - 1)
+          .withColumn("__pm", F.max("__e").over(wprev))
+          .withColumn("__new", (F.col("__pm").isNull()
+                                | (F.col("__pos") > F.col("__pm") + 1))
+                      .cast("int"))
+          .withColumn("__iid", F.sum("__new").over(wrun)))
+    spans = (iv.groupBy(id_col, "__iid")
+             .agg(F.min("__pos").alias("__lo"),
+                  F.max("__e").alias("__hi")))
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.collect_list(F.struct("__lo", "__hi"))
+                    .alias("__spans")))
+    joined = base.join(per_doc, id_col, "left") \
+        .withColumn("__spans", F.coalesce(
+            F.col("__spans"),
+            F.array().cast("array<struct<__lo:int,__hi:int>>")))
+
+    def _alive(p):
+        return ~F.exists("__spans",
+                         lambda s: (p >= s["__lo"]) & (p <= s["__hi"]))
+
+    kept = F.filter(
+        F.transform(F.sequence(F.lit(0), F.size("__toks") - 1),
+                    lambda i: i),
+        _alive)
+    return joined.select(
+        id_col,
+        F.size("__toks").alias("n_tokens"),
+        F.aggregate("__spans", F.lit(0),
+                    lambda acc, s: acc + (s["__hi"] - s["__lo"] + 1))
+        .alias("dropped_tokens"),
+        F.array_join(
+            F.transform(kept,
+                        lambda i: F.element_at(F.col("__toks"), i + 1)),
+            " ").alias("text_clean"))

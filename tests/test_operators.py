@@ -1659,3 +1659,45 @@ def test_frequent_items_nulls_and_empty(spark):
     assert out == {("a", 2)}  # n=3, t=2: only 'a' reaches 2
     empty = spark.createDataFrame([], "item: string")
     assert sketch.frequent_items(empty, "item", phi=0.1).collect() == []
+
+
+def test_scrub_contaminated_spans_crafted(spark):
+    """Leaked spans are dropped (and merged when overlapping), clean
+    docs pass untouched, and a fully-leaked doc keeps an empty
+    string."""
+    train = spark.createDataFrame(
+        [(1, "a b c d e x y z"),       # leading 5-gram leaked
+         (2, "p q r s t"),             # fully leaked
+         (3, "clean words only here")],
+        "doc_id: long, text: string")
+    ev = spark.createDataFrame(
+        [(100, "a b c d e"), (101, "p q r s t")],
+        "doc_id: long, text: string")
+    out = {r.doc_id: (r.n_tokens, r.dropped_tokens, r.text_clean)
+           for r in dedup.scrub_contaminated_spans(train, ev, k=5)
+           .collect()}
+    assert out[1] == (8, 5, "x y z")
+    assert out[2] == (5, 5, "")
+    assert out[3] == (4, 0, "clean words only here")
+    # overlapping leaked grams merge into ONE maximal span
+    train2 = spark.createDataFrame(
+        [(7, "a b c d e f tail")], "doc_id: long, text: string")
+    ev2 = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "b c d e f")],
+        "doc_id: long, text: string")
+    row = dedup.scrub_contaminated_spans(train2, ev2, k=5).collect()[0]
+    assert (row.n_tokens, row.dropped_tokens, row.text_clean) \
+        == (7, 6, "tail")
+
+
+def test_scrub_contaminated_spans_plan_broadcast(spark):
+    """The eval gram set reaches the train scan as a broadcast
+    LeftSemi — one train pass, no corpus-keyed shuffle of text."""
+    train = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} q{i}") for i in range(50)],
+        "doc_id: long, text: string")
+    ev = spark.createDataFrame(
+        [(0, "w1 x1 y1 z1 q1")], "doc_id: long, text: string")
+    out = dedup.scrub_contaminated_spans(train, ev, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "Broadcast" in plan
