@@ -2069,6 +2069,23 @@ def q148_scrub_contaminated_spans(spark, sf_dir) -> DataFrame:
         .select("doc_id", "n_tokens", "dropped_tokens", "text_clean")
 
 
+def q149_topk_per_group(spark, sf_dir) -> DataFrame:
+    """Grouped top-k WITHOUT a per-group sort window: top-5 orders by
+    totalprice per order priority via the partial-agg spelling
+    (slice(array_sort(collect_list))) whose map-side combine ships one
+    list row per (partition, group) instead of window-sorting every
+    row.  Ties break on ascending o_orderkey; the oracle is the plain
+    row_number window — same rows, cheaper plan."""
+    from preql_spark.operators.topk import topk_per_group
+    o = _eng(spark, sf_dir).t.orders.df \
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    out = topk_per_group(o, ["o_orderpriority"], "o_totalprice", 5,
+                         tie_col="o_orderkey")
+    return out.select("o_orderpriority", "o_orderkey",
+                      _pr4(F.col("o_totalprice")).alias("total"),
+                      "rank")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2161,10 +2178,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       sketch), q148 (span-level decontamination) enter at the
     #       head; q64 (TF-IDF), q57 (describe), q111 (skew report),
     #       q96 (doc-level decontaminate — q148 replays its broadcast
-    #       -semi contract at span granularity), all r5-green, rotate
-    #       to the tail — text/retrieval keeps
-    #       q95/q137/q140/q142/q143/q145, agg keeps q53/q59/q69/q71,
-    #       layout/tooling keeps q120/q121.
+    #       -semi contract at span granularity), q65 (stratified
+    #       sampling, displaced by q149 grouped top-k; sampling keeps
+    #       q74/q115), all r5-green, rotate to the tail —
+    #       text/retrieval keeps q95/q137/q140/q142/q143/q145, agg
+    #       keeps q53/q59/q69/q71, layout/tooling keeps q120/q121.
     "q134_temptable_agg": q134_temptable_agg,
     "q135_salted_join": q135_salted_join,
     "q136_transactions": q136_transactions,
@@ -2180,6 +2198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q146_random_projection": q146_random_projection,
     "q147_frequent_tokens": q147_frequent_tokens,
     "q148_scrub_contaminated_spans": q148_scrub_contaminated_spans,
+    "q149_topk_per_group": q149_topk_per_group,
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
     "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
     "q125_lang_in_table": q125_lang_in_table,
@@ -2211,7 +2230,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_dml_lifecycle": q60_dml_lifecycle,
     "q61_lang_user_func": q61_lang_user_func,
     "q62_json_extract": q62_json_extract,
-    "q65_sample_stratified": q65_sample_stratified,
     "q73_dedup_canonical": q73_dedup_canonical,
     "q75_pack_sequences": q75_pack_sequences,
     "q78_interval_join": q78_interval_join,
@@ -2219,15 +2237,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotated out mid-r6 by the late additions q145 (hybrid RRF),
     # q146 (JL projection), q147 (frequent-items sketch), q148 (span
     # decontamination): q64 TF-IDF, q57 describe, q111 skew report,
-    # q96 doc-level decontaminate are r5-green; text/retrieval keeps
-    # q95/q137/q140/q142/q143/q145 in-window, agg keeps
-    # q53/q59/q69/q71, layout/tooling keeps q120/q121, and q148
-    # replays q96's broadcast-semi decontamination contract at span
-    # granularity.
+    # q96 doc-level decontaminate, q65 stratified sampling (q149
+    # displaced it; sampling keeps q74/q115) are r5-green;
+    # text/retrieval keeps q95/q137/q140/q142/q143/q145 in-window,
+    # agg keeps q53/q59/q69/q71, layout/tooling keeps q120/q121, and
+    # q148 replays q96's broadcast-semi decontamination contract at
+    # span granularity.
     "q64_tfidf_top_terms": q64_tfidf_top_terms,
     "q57_describe_stats": q57_describe_stats,
     "q111_skew_report": q111_skew_report,
     "q96_decontaminate": q96_decontaminate,
+    "q65_sample_stratified": q65_sample_stratified,
     "q76_chunk_tokens": q76_chunk_tokens,
     # rotated out r6 (all driver-green r4/r5):
     "q56_lang_join": q56_lang_join,
@@ -4029,6 +4049,22 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, score_r AS score, CAST(rank AS INT) AS rank
         FROM rk WHERE rank <= 20
+    """,
+    # grouped top-k: oracle is the naive window spelling the operator
+    # is the cheap plan for — identical rows by the tie contract
+    "q149_topk_per_group": """
+        WITH r AS (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey)
+                     AS INT) AS rank
+            FROM orders
+        )
+        SELECT o_orderpriority, o_orderkey,
+               floor(o_totalprice * 10000 + 0.5) / 10000 AS total,
+               rank
+        FROM r WHERE rank <= 5
     """,
     # q142's span-removal replay with the condemned set redefined:
     # gram IN eval-set grams (eval = doc_id % 10 == 0), no keeper rule

@@ -3337,7 +3337,7 @@ _TABLE_FUNCS = {"join", "leftjoin", "outerjoin", "joinall", "distinct",
 
 def _load_pipeline_funcs() -> dict:
     from preql_spark.operators import (cluster, dedup, similarity,
-                                       sketch, text)
+                                       sketch, text, topk)
 
     def _kmeans_assign(df, k=8, iters=2):
         return cluster.kmeans(df, k=int(k), iters=int(iters))[0]
@@ -3393,6 +3393,7 @@ def _load_pipeline_funcs() -> dict:
         "normalize_vectors": similarity.normalize_vectors,
         "random_project": similarity.random_project,
         "frequent_items": sketch.frequent_items,
+        "topk_per_group": topk.topk_per_group,
         "quantize_int8": similarity.quantize_int8,
         "centroid_agg": similarity.centroid_agg,
         "semdedup": cluster.semdedup,
@@ -3414,7 +3415,7 @@ _PIPELINE_FUNC_NAMES = {
     "phrase_search", "ranked_search", "hybrid_search", "cosine_topk",
     "cosine_topk_arrow",
     "cosine_pairs", "lsh_cosine_pairs", "normalize_vectors",
-    "random_project", "frequent_items",
+    "random_project", "frequent_items", "topk_per_group",
     "quantize_int8", "centroid_agg", "semdedup", "kmeans_assign",
     # Table-method family (dispatched on the host Table, not its df)
     "sample_hash", "sample_mixture", "sample_stratified",

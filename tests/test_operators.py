@@ -1701,3 +1701,44 @@ def test_scrub_contaminated_spans_plan_broadcast(spark):
     out = dedup.scrub_contaminated_spans(train, ev, k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan and "Broadcast" in plan
+
+
+def test_topk_per_group_matches_window(spark):
+    """Both topk_per_group paths equal the row_number-window spelling
+    (deterministic tie contract), including groups smaller than k."""
+    from preql_spark.operators.topk import topk_per_group
+    rows = [(g, i, float((i * 7) % 5)) for g in ("a", "b", "c")
+            for i in range(g != "c" and 20 or 2)]
+    df = spark.createDataFrame(rows, "g: string, id: long, v: double") \
+        .repartition(6)
+    from pyspark.sql import Window
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id"))
+    want = {(r.g, r.id, r.v, r.rank) for r in
+            df.withColumn("rank", F.row_number().over(w))
+              .filter("rank <= 4").collect()}
+    got_agg = {(r.g, r.id, r.v, r.rank) for r in
+               topk_per_group(df, ["g"], "v", 4, tie_col="id").collect()}
+    got_arr = {(r.g, r.id, r.v, r.rank) for r in
+               topk_per_group(df, ["g"], "v", 4, tie_col="id",
+                              method="arrow").collect()}
+    assert got_agg == want and got_arr == want
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must be"):
+        topk_per_group(df, ["g"], "v", 0)
+    with _pt.raises(ValueError, match="agg/arrow"):
+        topk_per_group(df, ["g"], "v", 2, method="nope")
+
+
+def test_topk_per_group_arrow_bounds_shuffle(spark):
+    """The arrow path's pre-truncation emits at most k rows per
+    (partition, group) into the final aggregation."""
+    from preql_spark.operators.topk import topk_per_group
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(10_000)],
+        "g: string, id: long, v: double").repartition(4)
+    out = topk_per_group(df, ["g"], "v", 3, tie_col="id",
+                         method="arrow")
+    rows = out.collect()
+    assert [(r.id, r.rank) for r in
+            sorted(rows, key=lambda r: r.rank)] \
+        == [(9999, 1), (9998, 2), (9997, 3)]
