@@ -2086,6 +2086,25 @@ def q149_topk_per_group(spark, sf_dir) -> DataFrame:
                       "rank")
 
 
+def q150_dsir_resample(spark, sf_dir) -> DataFrame:
+    """DSIR end-to-end (Xie et al. 2023 shape): unigram LLR importance
+    scores against the src0-src3 target domain (q105's operator), then
+    deterministic importance-weighted sampling without replacement —
+    Efraimidis-Spirakis on weight exp(score) with the portable-hash
+    uniform (q84's operator) — keeping the top-100.  One composed lazy
+    plan: token explode + vocab-sized weight join + per-doc agg +
+    TakeOrdered; the oracle chains the two green CTE replays."""
+    from preql_spark.operators.text import llr_importance
+    eng = _eng(spark, sf_dir)
+    d = eng.t.documents
+    target = F.col("source").isin("src0", "src1", "src2", "src3")
+    scored = llr_importance(d.df, target)
+    out = d._with(scored).sample_weighted(
+        "doc_id", F.exp(F.col("score")), 100)
+    return out.df.select("doc_id", "n_tokens",
+                         _pr4(F.col("score")).alias("score"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2180,7 +2199,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       q96 (doc-level decontaminate — q148 replays its broadcast
     #       -semi contract at span granularity), q65 (stratified
     #       sampling, displaced by q149 grouped top-k; sampling keeps
-    #       q74/q115), all r5-green, rotate to the tail —
+    #       q74/q115), q55 (lang pipeline, displaced by q150 DSIR;
+    #       lang keeps q61/q123/q125/q144), all r5-green, rotate to
+    #       the tail —
     #       text/retrieval keeps q95/q137/q140/q142/q143/q145, agg
     #       keeps q53/q59/q69/q71, layout/tooling keeps q120/q121.
     "q134_temptable_agg": q134_temptable_agg,
@@ -2199,6 +2220,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q147_frequent_tokens": q147_frequent_tokens,
     "q148_scrub_contaminated_spans": q148_scrub_contaminated_spans,
     "q149_topk_per_group": q149_topk_per_group,
+    "q150_dsir_resample": q150_dsir_resample,
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
     "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
     "q125_lang_in_table": q125_lang_in_table,
@@ -2210,7 +2232,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q131_sqlite_roundtrip": q131_sqlite_roundtrip,
     "q132_cosine_topk_arrow": q132_cosine_topk_arrow,
     "q133_semdedup_paper_rule": q133_semdedup_paper_rule,
-    "q55_lang_pipeline": q55_lang_pipeline,
     "q69_collect_explode_roundtrip": q69_collect_explode_roundtrip,
     "q71_histogram": q71_histogram,
     "q74_split_by_hash": q74_split_by_hash,
@@ -2238,7 +2259,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # q146 (JL projection), q147 (frequent-items sketch), q148 (span
     # decontamination): q64 TF-IDF, q57 describe, q111 skew report,
     # q96 doc-level decontaminate, q65 stratified sampling (q149
-    # displaced it; sampling keeps q74/q115) are r5-green;
+    # displaced it; sampling keeps q74/q115), q55 lang pipeline (q150
+    # displaced it; lang keeps q61/q123/q125/q144) are r5-green;
     # text/retrieval keeps q95/q137/q140/q142/q143/q145 in-window,
     # agg keeps q53/q59/q69/q71, layout/tooling keeps q120/q121, and
     # q148 replays q96's broadcast-semi decontamination contract at
@@ -2248,6 +2270,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q111_skew_report": q111_skew_report,
     "q96_decontaminate": q96_decontaminate,
     "q65_sample_stratified": q65_sample_stratified,
+    "q55_lang_pipeline": q55_lang_pipeline,
     "q76_chunk_tokens": q76_chunk_tokens,
     # rotated out r6 (all driver-green r4/r5):
     "q56_lang_join": q56_lang_join,
@@ -4049,6 +4072,46 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, score_r AS score, CAST(rank AS INT) AS rank
         FROM rk WHERE rank <= 20
+    """,
+    # DSIR composition: q105's LLR CTEs feed q84's E-S ranking —
+    # weight exp(score), portable-hash uniform, top-100
+    "q150_dsir_resample": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN source IN ('src0','src1','src2','src3')
+                      THEN 1.0 ELSE 0.0 END AS t,
+                 unnest(string_split_regex(trim(text), '\s+')) AS w
+          FROM documents
+        ),
+        stats AS (
+          SELECT w, sum(t) AS ct, sum(1.0 - t) AS cb
+          FROM toks GROUP BY w
+        ),
+        tot AS (
+          SELECT sum(ct) AS tt, sum(cb) AS tb,
+                 CAST(count(*) AS DOUBLE) AS v
+          FROM stats
+        ),
+        wt AS (
+          SELECT w, ln(((ct + 0.5) / (tt + 0.5 * v))
+                       / ((cb + 0.5) / (tb + 0.5 * v))) AS lw
+          FROM stats, tot
+        ),
+        sc AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 sum(lw) / count(*) AS score
+          FROM toks JOIN wt USING (w) GROUP BY doc_id
+        ),
+        es AS (
+          SELECT doc_id, n_tokens, score,
+                 ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT % 1099511627776) + 1) / 1099511627777.0)
+                 / exp(score) AS s
+          FROM sc
+        )
+        SELECT doc_id, n_tokens,
+               floor(score * 10000 + 0.5) / 10000 AS score
+        FROM (SELECT * FROM es ORDER BY s DESC LIMIT 100)
     """,
     # grouped top-k: oracle is the naive window spelling the operator
     # is the cheap plan for — identical rows by the tie contract

@@ -1742,3 +1742,30 @@ def test_topk_per_group_arrow_bounds_shuffle(spark):
     assert [(r.id, r.rank) for r in
             sorted(rows, key=lambda r: r.rank)] \
         == [(9999, 1), (9998, 2), (9997, 3)]
+
+
+def test_dsir_composition_deterministic(spark):
+    """The LLR -> E-S resample composition is a pure function of the
+    data (two runs identical) and selection tilts toward the target
+    domain (mean score of kept docs > corpus mean score)."""
+    from preql_spark.operators.text import llr_importance
+    rows = [(i, "alpha beta target" if i % 2 else "gamma delta other",
+             "tgt" if i % 2 else "bg") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    scored = llr_importance(df, F.col("source") == "tgt")
+
+    def run():
+        from preql_spark.operators.text import portable_hash
+        m = 1 << 40
+        u = (portable_hash(F.col("doc_id").cast("string")) % m + 1) \
+            / float(m + 1)
+        s = F.log(u) / F.exp(F.col("score"))
+        return [r.doc_id for r in scored.withColumn("__s", s)
+                .orderBy(F.col("__s").desc()).limit(20).collect()]
+
+    a, b = run(), run()
+    assert a == b and len(a) == 20
+    kept_mean = (scored.filter(F.col("doc_id").isin(a))
+                 .agg(F.avg("score")).collect()[0][0])
+    all_mean = scored.agg(F.avg("score")).collect()[0][0]
+    assert kept_mean > all_mean
