@@ -1989,3 +1989,47 @@ def test_pipeline_builtin_hybrid_search(eng):
                                    eng.t.embeddings.df,
                                    "hash table", 7, k=5).collect()}
     assert lang_rows == api_rows and len(lang_rows) == 5
+
+
+def test_pipeline_builtin_r6_late_additions(eng):
+    """Lang spellings of the round-6 late additions equal their
+    Python-API results: random_project, frequent_items,
+    topk_per_group, scrub_contaminated_spans."""
+    from preql_spark.operators import dedup, similarity, sketch
+    from preql_spark.operators.topk import topk_per_group
+
+    lp = {(r.vec_id, tuple(round(x, 9) for x in r.projected)) for r in
+          eng.q('random_project(embeddings, out_dim: 4, dim: 64,'
+                ' method: "hof")').collect()}
+    ap = {(r.vec_id, tuple(round(x, 9) for x in r.projected)) for r in
+          similarity.random_project(eng.t.embeddings.df, 4, 64,
+                                    method="hof").collect()}
+    assert lp == ap and len(lp) > 0
+
+    lf = {(r.item, r.cnt) for r in
+          eng.q('frequent_items(documents{item: source}, "item",'
+                ' phi: 0.05)').collect()}
+    af = {(r.item, r.cnt) for r in
+          sketch.frequent_items(
+              eng.t.documents.df.selectExpr("source as item"),
+              "item", phi=0.05).collect()}
+    assert lf == af and len(lf) > 0
+
+    lt = {(r.o_orderpriority, r.o_orderkey, r.rank) for r in
+          eng.q('topk_per_group(orders, "o_orderpriority",'
+                ' "o_totalprice", 3, tie_col: "o_orderkey")').collect()}
+    at = {(r.o_orderpriority, r.o_orderkey, r.rank) for r in
+          topk_per_group(eng.t.orders.df, ["o_orderpriority"],
+                         "o_totalprice", 3,
+                         tie_col="o_orderkey").collect()}
+    assert lt == at and len(lt) > 0
+
+    ls = {(r.doc_id, r.dropped_tokens) for r in
+          eng.q('scrub_contaminated_spans(documents[doc_id % 10 != 0],'
+                ' documents[doc_id % 10 == 0], k: 5)').collect()}
+    as_ = {(r.doc_id, r.dropped_tokens) for r in
+           dedup.scrub_contaminated_spans(
+               eng.t.documents.df.filter("doc_id % 10 != 0"),
+               eng.t.documents.df.filter("doc_id % 10 = 0"),
+               k=5).collect()}
+    assert ls == as_ and len(ls) > 0
