@@ -462,3 +462,75 @@ def test_duplicate_spans_matches_python_model(spark, data):
            for r in D.remove_duplicate_spans(docs, k=k).collect()}
     for d in norm:
         assert rem[d] == " ".join(model[d][3]), (d, rem[d], model[d])
+
+
+# ---- round-6 late additions: fusion / sketch / grouped top-k --------------
+
+@settings(**SETTINGS)
+@given(k=st.integers(1, 8), rrf_k=st.integers(1, 120))
+def test_topk_and_rrf_match_python_model(eng, k, rrf_k):
+    """topk_per_group == the sorted-prefix model per group, and
+    rrf_fuse of two such rankings == the reciprocal-rank model."""
+    from preql_spark.operators.text import rrf_fuse
+    from preql_spark.operators.topk import topk_per_group
+    rows = [r.asDict() for r in eng.t.orders.collect()]
+    got = {(r.o_orderpriority, r.o_orderkey, r.rank) for r in
+           topk_per_group(eng.t.orders.df, ["o_orderpriority"],
+                          "o_totalprice", k,
+                          tie_col="o_orderkey").collect()}
+    want = set()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["o_orderpriority"], []).append(r)
+    rank_frames = []
+    for g, rs in by_g.items():
+        rs.sort(key=lambda r: (-r["o_totalprice"], r["o_orderkey"]))
+        for i, r in enumerate(rs[:k]):
+            want.add((g, r["o_orderkey"], i + 1))
+    assert got == want
+    # fuse the '1-URGENT' and '2-HIGH' rankings by order key
+    def leg(g):
+        rs = sorted(by_g.get(g, []),
+                    key=lambda r: (-r["o_totalprice"], r["o_orderkey"]))
+        return [(r["o_orderkey"], i + 1) for i, r in enumerate(rs[:k])]
+    l1, l2 = leg("1-URGENT"), leg("2-HIGH")
+    spark = eng.spark
+    f1 = spark.createDataFrame(l1 or [(-1, 1)], "doc_id: long, rank: int")
+    f2 = spark.createDataFrame(l2 or [(-1, 1)], "doc_id: long, rank: int")
+    fused = {r.doc_id: (r.rrf_score, r.rank) for r in
+             rrf_fuse([f1, f2], k=2 * k, rrf_k=rrf_k).collect()}
+    scores = {}
+    for d, r in (l1 or [(-1, 1)]):
+        scores[d] = scores.get(d, 0.0) + 1.0 / (rrf_k + r)
+    for d, r in (l2 or [(-1, 1)]):
+        scores[d] = scores.get(d, 0.0) + 1.0 / (rrf_k + r)
+    order = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    for i, (d, s) in enumerate(order[:2 * k]):
+        assert d in fused and fused[d][1] == i + 1
+        assert abs(fused[d][0] - s) < 1e-14
+
+
+@settings(**SETTINGS)
+@given(phi=st.floats(0.01, 0.2), cap=st.one_of(
+    st.none(), st.integers(3, 40)))
+def test_frequent_items_matches_counter_model(eng, phi, cap):
+    """frequent_items == the exact Counter threshold model for every
+    phi and capacity (including capacities far below the default)."""
+    import math
+    from collections import Counter
+
+    from preql_spark.operators import sketch
+    items = eng.t.documents.df.selectExpr("source as item")
+    got = {(r.item, r.cnt) for r in
+           sketch.frequent_items(items, "item", phi=phi,
+                                 capacity=cap).collect()}
+    counts = Counter(r.item for r in items.collect())
+    n = sum(counts.values())
+    t = math.ceil(phi * n)
+    want = {(w, c) for w, c in counts.items() if c >= t}
+    # the containment guarantee needs capacity >= 2/phi; smaller caps
+    # may legitimately miss items, but must never fabricate them
+    if cap is None or cap >= 2.0 / phi:
+        assert got == want
+    else:
+        assert got <= want
