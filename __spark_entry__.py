@@ -2105,6 +2105,85 @@ def q150_dsir_resample(spark, sf_dir) -> DataFrame:
                          _pr4(F.col("score")).alias("score"))
 
 
+def q151_stream_frequent_ingest(spark, sf_dir) -> DataFrame:
+    """Two-wave streaming maintenance of the exact phi-frequent-token
+    report: wave 1 ingests doc_id < 250, wave 2 the rest, folding each
+    wave's Misra-Gries partition summaries into a kilobyte state file
+    whose candidates the final report recounts EXACTLY over the
+    accumulated store.  The mergeable-summaries bound survives the
+    wave merges, so the incremental report equals q147's one-shot
+    operator equals a plain GROUP BY ... HAVING over the full corpus
+    — which is the oracle."""
+    from preql_spark.streaming.stream import (
+        incremental_frequent_items_ingest)
+    eng = _eng(spark, sf_dir)
+    tmp = _scratch("q151_")
+    src, store, ck = (os.path.join(tmp, d) for d in ("src", "store", "ck"))
+    d = eng.t.documents.df.select("doc_id", "text")
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_frequent_items_ingest(spark, src, store, ck, phi=0.005)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_frequent_items_ingest(spark, src, store, ck,
+                                            phi=0.005)
+    return out.select(F.col("item").alias("token"), "cnt")
+
+
+def q152_weighted_hybrid_search(spark, sf_dir) -> DataFrame:
+    """q145's hybrid retrieval with WEIGHTED reciprocal-rank fusion:
+    the lexical BM25 leg counts double (w=2.0) against the dense
+    cosine leg (w=1.0) — the standard tilt when one retriever is
+    known-stronger.  Each candidate scores
+    sum_s w_s/(60 + rank_s); the arithmetic is exact IEEE ops on
+    integer ranks scaled by exactly-representable weights, so the
+    oracle replays the two legs' CTEs and the weighted fusion
+    bit-for-bit; ties break on ascending id."""
+    from preql_spark.operators.text import hybrid_search
+    eng = _eng(spark, sf_dir)
+    out = hybrid_search(eng.t.documents.df, eng.t.embeddings.df,
+                        "hash table", 7, k=15, n_cand=20,
+                        tie_digits=4, weights=[2.0, 1.0])
+    rs = F.floor(F.col("rrf_score") * 1000000 + F.lit(0.5)) / 1000000
+    return out.select("doc_id", rs.alias("rrf_score"), "rank")
+
+
+def q153_quantile_rollup(spark, sf_dir) -> DataFrame:
+    """Multi-level exact quantile report in ONE shuffle pass: median
+    and p90 of o_totalprice per (status, priority), per status, and
+    grand total via ROLLUP — NULLs mark the aggregated-out levels.
+    Spark's exact ``percentile`` interpolation mirrors DuckDB's
+    ``quantile_cont`` (the q08 precedent); the approx=True twin
+    (mergeable percentile_approx state) is the 100 TB path,
+    pytest-bounded against this exact result."""
+    from preql_spark.operators.sketch import quantile_rollup
+    o = _eng(spark, sf_dir).t.orders.df
+    out = quantile_rollup(o, ["o_orderstatus", "o_orderpriority"],
+                          "o_totalprice", [0.5, 0.9])
+    return out.select("o_orderstatus", "o_orderpriority", "n",
+                      F.round(F.col("p50"), 4).alias("p50"),
+                      F.round(F.col("p90"), 4).alias("p90"))
+
+
+def q154_mmr_diversify(spark, sf_dir) -> DataFrame:
+    """MMR diversification (Carbonell & Goldstein 1998) of the q40
+    retrieval: the cosine top-20 for stored query vec_id=7 is greedily
+    re-ranked by lam*rel - (1-lam)*max-sim-to-picked (lam=0.7, k=5).
+    Relevance and the pairwise candidate cosines are rounded to 4 dp
+    BEFORE the greedy loop, so the chain is exact IEEE on rounded
+    doubles and the oracle replays it as 5 chained argmax CTEs; ties
+    break on ascending id."""
+    from preql_spark.operators.similarity import (cosine_topk,
+                                                  mmr_diversify)
+    e = _eng(spark, sf_dir).t.embeddings.df
+    qv = e.filter(F.col("vec_id") == 7)
+    top = cosine_topk(e, qv, k=20)
+    cand = (top.select(F.col("neighbor_id").alias("vec_id"),
+                       F.col("sim").alias("rel"))
+            .join(e.select("vec_id", "embedding"), "vec_id"))
+    out = mmr_diversify(cand, k=5, lam=0.7)
+    ms = F.floor(F.col("mmr_score") * 1000000 + F.lit(0.5)) / 1000000
+    return out.select("vec_id", "rel", ms.alias("mmr_score"), "pick")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2204,6 +2283,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       the tail —
     #       text/retrieval keeps q95/q137/q140/q142/q143/q145, agg
     #       keeps q53/q59/q69/q71, layout/tooling keeps q120/q121.
+    #       Second batch of mid-r6 late additions: q151 (streaming
+    #       frequent-items ingest) displaces q118 (stateful counter;
+    #       streaming keeps q126/q141/q151), q152 (weighted RRF)
+    #       displaces q132 (arrow cosine top-k; its BLAS kernel stays
+    #       pytest-equal to the hof path that q145/q152/q154 grade,
+    #       ANN keeps q124/q138/q139), q153 (quantile rollup)
+    #       displaces q77 (quantile filter; q153 replays the exact
+    #       percentile contract at rollup granularity), q154 (MMR
+    #       diversification) displaces q113 (contrastive pairs;
+    #       similarity keeps q124/q133/q138/q139/q146/q154).  All
+    #       four displaced are r5-green (CORRECTNESS_r05).
+    "q151_stream_frequent_ingest": q151_stream_frequent_ingest,
+    "q152_weighted_hybrid_search": q152_weighted_hybrid_search,
+    "q153_quantile_rollup": q153_quantile_rollup,
+    "q154_mmr_diversify": q154_mmr_diversify,
     "q134_temptable_agg": q134_temptable_agg,
     "q135_salted_join": q135_salted_join,
     "q136_transactions": q136_transactions,
@@ -2230,19 +2324,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q129_four_way_chain": q129_four_way_chain,
     "q130_orc_roundtrip": q130_orc_roundtrip,
     "q131_sqlite_roundtrip": q131_sqlite_roundtrip,
-    "q132_cosine_topk_arrow": q132_cosine_topk_arrow,
     "q133_semdedup_paper_rule": q133_semdedup_paper_rule,
     "q69_collect_explode_roundtrip": q69_collect_explode_roundtrip,
     "q71_histogram": q71_histogram,
     "q74_split_by_hash": q74_split_by_hash,
-    "q77_quantile_filter": q77_quantile_filter,
     "q95_repetition_metrics": q95_repetition_metrics,
-    "q113_contrastive_pairs": q113_contrastive_pairs,
     "q108_snapshot_diff": q108_snapshot_diff,
     "q115_mixture_sample": q115_mixture_sample,
     "q116_audio_features": q116_audio_features,
     "q117_validation_report": q117_validation_report,
-    "q118_stream_stateful_counter": q118_stream_stateful_counter,
     "q120_join_cardinality": q120_join_cardinality,
     "q121_corpus_datacard": q121_corpus_datacard,
     "q52_window_battery": q52_window_battery,
@@ -2255,6 +2345,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_pack_sequences": q75_pack_sequences,
     "q78_interval_join": q78_interval_join,
     # ---- end of the 50-entry driver window -------------------------
+    # rotated out mid-r6 by the second late batch q151-q154 (all
+    # r5-green; families kept in-window per the rotation log above):
+    "q132_cosine_topk_arrow": q132_cosine_topk_arrow,
+    "q77_quantile_filter": q77_quantile_filter,
+    "q113_contrastive_pairs": q113_contrastive_pairs,
+    "q118_stream_stateful_counter": q118_stream_stateful_counter,
     # rotated out mid-r6 by the late additions q145 (hybrid RRF),
     # q146 (JL projection), q147 (frequent-items sketch), q148 (span
     # decontamination): q64 TF-IDF, q57 describe, q111 skew report,
@@ -4075,6 +4171,182 @@ ORACLES: dict[str, str] = {
     """,
     # DSIR composition: q105's LLR CTEs feed q84's E-S ranking —
     # weight exp(score), portable-hash uniform, top-100
+    # two-wave streaming ingest == one-shot frequent_items == plain
+    # exact GROUP BY ... HAVING (q147's oracle verbatim — the MG
+    # state only bounds candidates, the recount decides every count)
+    "q151_stream_frequent_ingest": r"""
+        WITH tok AS (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents
+        ),
+        tk AS (SELECT token FROM tok WHERE token <> ''),
+        nn AS (SELECT count(*) AS n FROM tk),
+        c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token)
+        SELECT c.token, c.cnt
+        FROM c, nn
+        WHERE c.cnt >= CAST(ceil(0.005 * nn.n) AS BIGINT)
+    """,
+    # q145's leg CTEs with WEIGHTED fusion: lexical w=2.0, dense
+    # w=1.0 — score = sum_s w_s/(60 + rank_s), absent leg -> 0
+    "q152_weighted_hybrid_search": r"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents
+        ),
+        dt AS (
+            SELECT doc_id, token, count(*) AS c
+            FROM tok WHERE token <> '' GROUP BY doc_id, token
+        ),
+        dl AS (SELECT doc_id, sum(c) AS dl FROM dt GROUP BY doc_id),
+        ndocs AS (SELECT count(*) * 1.0 AS n FROM documents),
+        stats AS (SELECT avg(dl) AS avgdl FROM dl),
+        dfq AS (SELECT token, count(*) AS df FROM dt GROUP BY token),
+        scored AS (
+            SELECT dt.doc_id, dt.token,
+                   ln((ndocs.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                   * (dt.c * (1.2 + 1))
+                   / (dt.c + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                       AS s
+            FROM dt
+            JOIN dfq USING (token)
+            JOIN dl USING (doc_id)
+            CROSS JOIN ndocs CROSS JOIN stats
+            WHERE dt.token IN ('hash', 'table')
+        ),
+        ag AS (
+            SELECT doc_id, sum(s) AS score, count(*) AS nt
+            FROM scored GROUP BY doc_id
+        ),
+        fr AS (
+            SELECT doc_id,
+                   floor(score * 10000 + 0.5) / 10000 AS score_r
+            FROM ag WHERE nt = 2
+        ),
+        lex AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score_r DESC, doc_id)
+                     AS r
+            FROM fr
+        ),
+        lex20 AS (SELECT doc_id, r FROM lex WHERE r <= 20),
+        q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 7),
+        p AS (SELECT c.vec_id AS neighbor_id,
+                     q.embedding AS qe, c.embedding AS ce
+              FROM q, embeddings c WHERE c.vec_id != q.vec_id),
+        u AS (SELECT neighbor_id, unnest(qe) AS x, unnest(ce) AS y FROM p),
+        s AS (SELECT neighbor_id,
+                     sum(x::DOUBLE * y::DOUBLE)
+                     / (sqrt(sum(x::DOUBLE * x::DOUBLE))
+                        * sqrt(sum(y::DOUBLE * y::DOUBLE))) AS sim
+              FROM u GROUP BY 1),
+        den AS (SELECT neighbor_id AS doc_id,
+                       row_number() OVER (ORDER BY sim DESC, neighbor_id)
+                         AS r
+                FROM s),
+        den20 AS (SELECT doc_id, r FROM den WHERE r <= 20),
+        fused AS (
+            SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+                   coalesce(2.0 / (60.0 + l.r), 0.0)
+                   + coalesce(1.0 / (60.0 + d.r), 0.0) AS rrf
+            FROM lex20 l FULL OUTER JOIN den20 d ON l.doc_id = d.doc_id
+        ),
+        rk AS (
+            SELECT doc_id, rrf,
+                   row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+            FROM fused
+        )
+        SELECT doc_id,
+               floor(rrf * 1000000 + 0.5) / 1000000 AS rrf_score,
+               CAST(rank AS INT) AS rank
+        FROM rk WHERE rank <= 15
+    """,
+    # one ROLLUP pass == per-level GROUP BYs; quantile_cont mirrors
+    # Spark's exact percentile interpolation (q08 precedent)
+    "q153_quantile_rollup": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    # q40's cosine spelling -> top-20 candidates (rel rounded 4dp),
+    # pairwise candidate cosines rounded 4dp, then the greedy MMR
+    # chain lam*rel - (1-lam)*max-sim as 5 chained argmax CTEs;
+    # ties break on ascending id
+    "q154_mmr_diversify": """
+        WITH q AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id = 7),
+        p AS (SELECT c.vec_id AS id, q.embedding AS qe, c.embedding AS ce
+              FROM q, embeddings c WHERE c.vec_id != q.vec_id),
+        u AS (SELECT id, unnest(qe) AS x, unnest(ce) AS y FROM p),
+        s AS (SELECT id,
+                     sum(x::DOUBLE * y::DOUBLE)
+                     / (sqrt(sum(x::DOUBLE * x::DOUBLE))
+                        * sqrt(sum(y::DOUBLE * y::DOUBLE))) AS sim
+              FROM u GROUP BY 1),
+        r AS (SELECT id, sim,
+                     row_number() OVER (ORDER BY sim DESC, id) AS rk
+              FROM s),
+        cand AS (SELECT id, floor(sim * 10000 + 0.5) / 10000 AS rel
+                 FROM r WHERE rk <= 20),
+        ce AS (SELECT e.vec_id AS id, e.embedding AS v
+               FROM embeddings e SEMI JOIN cand ON e.vec_id = cand.id),
+        pp AS (SELECT x.id AS a, y.id AS b, x.v AS av, y.v AS bv
+               FROM ce x, ce y WHERE x.id <> y.id),
+        pu AS (SELECT a, b, unnest(av) AS x, unnest(bv) AS y FROM pp),
+        ps AS (SELECT a, b,
+                      floor((sum(x::DOUBLE * y::DOUBLE)
+                             / (sqrt(sum(x::DOUBLE * x::DOUBLE))
+                                * sqrt(sum(y::DOUBLE * y::DOUBLE))))
+                            * 10000 + 0.5) / 10000 AS s
+               FROM pu GROUP BY a, b),
+        p1 AS (SELECT id, rel, 0.7 * rel AS score, 1 AS pick FROM cand
+               ORDER BY rel DESC, id LIMIT 1),
+        sel1 AS (SELECT id FROM p1),
+        p2 AS (SELECT id, rel, score, 2 AS pick FROM (
+                 SELECT c.id, c.rel,
+                        0.7 * c.rel - 0.3 * max(ps.s) AS score
+                 FROM cand c JOIN ps ON ps.a = c.id
+                 JOIN sel1 ON ps.b = sel1.id
+                 WHERE c.id NOT IN (SELECT id FROM sel1)
+                 GROUP BY c.id, c.rel)
+               ORDER BY score DESC, id LIMIT 1),
+        sel2 AS (SELECT id FROM sel1 UNION ALL SELECT id FROM p2),
+        p3 AS (SELECT id, rel, score, 3 AS pick FROM (
+                 SELECT c.id, c.rel,
+                        0.7 * c.rel - 0.3 * max(ps.s) AS score
+                 FROM cand c JOIN ps ON ps.a = c.id
+                 JOIN sel2 ON ps.b = sel2.id
+                 WHERE c.id NOT IN (SELECT id FROM sel2)
+                 GROUP BY c.id, c.rel)
+               ORDER BY score DESC, id LIMIT 1),
+        sel3 AS (SELECT id FROM sel2 UNION ALL SELECT id FROM p3),
+        p4 AS (SELECT id, rel, score, 4 AS pick FROM (
+                 SELECT c.id, c.rel,
+                        0.7 * c.rel - 0.3 * max(ps.s) AS score
+                 FROM cand c JOIN ps ON ps.a = c.id
+                 JOIN sel3 ON ps.b = sel3.id
+                 WHERE c.id NOT IN (SELECT id FROM sel3)
+                 GROUP BY c.id, c.rel)
+               ORDER BY score DESC, id LIMIT 1),
+        sel4 AS (SELECT id FROM sel3 UNION ALL SELECT id FROM p4),
+        p5 AS (SELECT id, rel, score, 5 AS pick FROM (
+                 SELECT c.id, c.rel,
+                        0.7 * c.rel - 0.3 * max(ps.s) AS score
+                 FROM cand c JOIN ps ON ps.a = c.id
+                 JOIN sel4 ON ps.b = sel4.id
+                 WHERE c.id NOT IN (SELECT id FROM sel4)
+                 GROUP BY c.id, c.rel)
+               ORDER BY score DESC, id LIMIT 1),
+        allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                 UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+                 UNION ALL SELECT * FROM p5)
+        SELECT id AS vec_id, rel,
+               floor(score * 1000000 + 0.5) / 1000000 AS mmr_score,
+               CAST(pick AS INT) AS pick
+        FROM allp
+    """,
     "q150_dsir_resample": r"""
         WITH toks AS (
           SELECT doc_id,

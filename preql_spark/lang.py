@@ -3342,6 +3342,20 @@ def _load_pipeline_funcs() -> dict:
     def _kmeans_assign(df, k=8, iters=2):
         return cluster.kmeans(df, k=int(k), iters=int(iters))[0]
 
+    def _rrf_fuse(a, b, k=10, rrf_k=60, id_col="doc_id",
+                  w1=1.0, w2=1.0):
+        # lang has no list literals — the two-source weighted form
+        # covers the lexical+dense case; Python callers pass lists
+        return text.rrf_fuse([a, b], k=int(k), rrf_k=int(rrf_k),
+                             id_col=id_col,
+                             weights=[float(w1), float(w2)])
+
+    def _quantile_rollup(df, group_col, value_col, q1=0.5, q2=0.9,
+                         approx=False):
+        return sketch.quantile_rollup(df, group_col, value_col,
+                                      [float(q1), float(q2)],
+                                      approx=bool(approx))
+
     def _pq_topk(corpus, queries, k=10, m=8, ksub=16,
                  id_col="vec_id", vec_col="embedding"):
         # dim from one bounded row — the codebook build collects
@@ -3393,6 +3407,9 @@ def _load_pipeline_funcs() -> dict:
         "normalize_vectors": similarity.normalize_vectors,
         "random_project": similarity.random_project,
         "frequent_items": sketch.frequent_items,
+        "quantile_rollup": _quantile_rollup,
+        "rrf_fuse": _rrf_fuse,
+        "mmr_diversify": similarity.mmr_diversify,
         "topk_per_group": topk.topk_per_group,
         "quantize_int8": similarity.quantize_int8,
         "centroid_agg": similarity.centroid_agg,
@@ -3415,7 +3432,8 @@ _PIPELINE_FUNC_NAMES = {
     "phrase_search", "ranked_search", "hybrid_search", "cosine_topk",
     "cosine_topk_arrow",
     "cosine_pairs", "lsh_cosine_pairs", "normalize_vectors",
-    "random_project", "frequent_items", "topk_per_group",
+    "random_project", "frequent_items", "quantile_rollup",
+    "rrf_fuse", "mmr_diversify", "topk_per_group",
     "quantize_int8", "centroid_agg", "semdedup", "kmeans_assign",
     # Table-method family (dispatched on the host Table, not its df)
     "sample_hash", "sample_mixture", "sample_stratified",

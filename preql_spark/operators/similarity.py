@@ -1074,3 +1074,83 @@ def random_project(df: DataFrame, out_dim: int, dim: int,
                                 "projected": list(proj)})
 
     return base.select(id_col, vec_col).mapInPandas(kern, out_schema)
+
+
+def mmr_diversify(cand: DataFrame, k: int = 5, lam: float = 0.7,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  rel_col: str = "rel", digits: int = 4) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, SIGIR 1998): greedily re-rank an already-retrieved
+    candidate set so each pick maximizes
+    ``lam * rel - (1 - lam) * max_{s in picked} cos(cand, s)`` —
+    relevance tempered by redundancy against what is already picked.
+    Returns ``(id_col, rel, mmr_score, pick)`` for the first ``k``
+    picks (pick 1 is the pure-relevance argmax; its score is
+    ``lam * rel`` — the empty-set penalty is 0).
+
+    Plan/scale: ``cand`` is a RETRIEVED candidate frame (top-n from
+    :func:`cosine_topk` / IVF-PQ, a few dozen rows), so the n^2
+    pairwise-cosine frame and the k driver-coordinated argmax rounds
+    are RESULT SHAPING — nothing here grows with the corpus; the
+    corpus-scale work happened in the retrieval leg.  Each round is
+    one candidate-bounded max-aggregate + TakeOrdered(1), and only
+    the single winning row crosses to the driver.
+
+    Determinism: rel and the pairwise cosines are rounded to
+    ``digits`` (portable floor rule) BEFORE the greedy loop, and the
+    combining expression ``lam*rel - (1-lam)*maxsim`` is two
+    correctly-rounded IEEE ops on those rounded doubles, so any
+    engine replaying the same rounded inputs picks the same chain;
+    score ties break on ascending id."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    fac = float(10 ** digits)
+    rnd = lambda c: F.floor(c * fac + F.lit(0.5)) / fac  # noqa: E731
+    c = (cand.select(F.col(id_col).alias("__id"),
+                     F.col(vec_col).alias("__v"),
+                     rnd(F.col(rel_col).cast("double")).alias("__rel"))
+         .persist())
+    a = c.select(F.col("__id").alias("__a"), F.col("__v").alias("__av"))
+    b = c.select(F.col("__id").alias("__b"), F.col("__v").alias("__bv"))
+    pairs = (a.crossJoin(b).filter(F.col("__a") != F.col("__b"))
+             .select("__a", "__b",
+                     rnd(cosine(F.col("__av"), F.col("__bv")))
+                     .alias("__s"))
+             .persist())
+    picked: list = []
+    out_rows: list = []
+    first = (c.orderBy(F.col("__rel").desc(), F.col("__id"))
+             .limit(1).collect())
+    if first:
+        r = first[0]
+        picked.append(r["__id"])
+        out_rows.append((r["__id"], r["__rel"],
+                         float(lam) * r["__rel"], 1))
+    while first and len(picked) < k:
+        pen = (pairs.filter(F.col("__b").isin(picked))
+               .groupBy("__a").agg(F.max("__s").alias("__ms")))
+        score = (F.lit(float(lam)) * F.col("__rel")
+                 - F.lit(float(1.0 - lam)) * F.col("__ms"))
+        nxt = (c.filter(~F.col("__id").isin(picked))
+               .join(pen, c["__id"] == pen["__a"])
+               .select("__id", "__rel", score.alias("__score"))
+               .orderBy(F.col("__score").desc(), F.col("__id"))
+               .limit(1).collect())
+        if not nxt:
+            break
+        r = nxt[0]
+        picked.append(r["__id"])
+        out_rows.append((r["__id"], r["__rel"], r["__score"],
+                         len(picked)))
+    c.unpersist(blocking=False)
+    pairs.unpersist(blocking=False)
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField(id_col, cand.schema[id_col].dataType),
+        T.StructField("rel", T.DoubleType()),
+        T.StructField("mmr_score", T.DoubleType()),
+        T.StructField("pick", T.IntegerType())])
+    spark = cand.sparkSession
+    return spark.createDataFrame(out_rows, schema)

@@ -47,6 +47,98 @@ def hll_estimate(sketches: DataFrame,
         out_col, F.hll_sketch_estimate(sketch_col)).drop(sketch_col)
 
 
+def quantile_rollup(df: DataFrame, group_cols: list[str],
+                    value_col: str, qs: list[float],
+                    approx: bool = False,
+                    accuracy: int = 10000) -> DataFrame:
+    """Multi-level quantile report — per-(all group_cols) groups PLUS
+    every coarser prefix level up to the grand total — in ONE shuffle
+    pass via ROLLUP, as ``(group_cols..., n, p<q>...)`` with NULLs
+    marking the aggregated-out dimensions (the standard ROLLUP
+    shape).
+
+    Why ROLLUP instead of one query per level: each level re-scans
+    and re-shuffles the corpus; ROLLUP computes all of them from one
+    partial-agg pass.  ``approx=True`` switches the percentile
+    aggregate to Spark's mergeable ``percentile_approx`` (GK-style
+    summary state, bounded memory per group regardless of group
+    size) — the 100 TB path, where exact per-group percentile's
+    collected-values buffer is only safe for bounded groups.  The
+    exact path is the oracle-gradeable one (DuckDB ``quantile_cont``
+    mirrors Spark's exact ``percentile`` interpolation — the q08
+    precedent)."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    if isinstance(qs, float):
+        qs = [qs]
+    if not group_cols:
+        raise ValueError("quantile_rollup needs at least one group col")
+    if not qs:
+        raise ValueError("quantile_rollup needs at least one quantile")
+    exprs = [F.count(F.lit(1)).alias("n")]
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        name = f"p{int(round(q * 100)):02d}"
+        agg = (F.percentile_approx(value_col, F.lit(q), F.lit(accuracy))
+               if approx else F.percentile(value_col, F.lit(q)))
+        exprs.append(agg.alias(name))
+    return df.rollup(*group_cols).agg(*exprs)
+
+
+def mg_summaries(base: DataFrame, cap: int) -> DataFrame:
+    """Per-partition batched Misra-Gries summaries over
+    ``base('item')``: at most ``cap`` ``(item, est)`` rows per
+    partition plus one ``(NULL, n_p)`` row carrying the partition's
+    non-null item count.  Merging a batch's value_counts then
+    subtracting the (cap+1)-th largest residual destroys
+    >= cap+1 units of mass per unit subtracted, so the per-partition
+    undercount is <= n_p/(cap+1) — the mergeable-summaries bound
+    (Agarwal et al., PODS 2012) that :func:`frequent_items` and the
+    streaming ingest both build their candidate guarantee on."""
+    from pyspark.sql import types as T
+
+    item_t = base.schema["item"].dataType
+    schema = T.StructType([T.StructField("item", item_t),
+                           T.StructField("est", T.LongType())])
+
+    def kern(batches):
+        import numpy as np
+        import pandas as pd
+        counts: dict = {}
+        total = 0
+        for pdf in batches:
+            s = pdf["item"].dropna()
+            total += len(s)
+            for item, c in s.value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > cap:
+                vals = np.sort(np.fromiter(counts.values(),
+                                           dtype=np.int64))
+                cstar = int(vals[-(cap + 1)])
+                counts = {k: v - cstar for k, v in counts.items()
+                          if v > cstar}
+        yield pd.DataFrame({"item": list(counts) + [None],
+                            "est": list(counts.values()) + [total]})
+
+    return base.mapInPandas(kern, schema)
+
+
+def mg_merge(counts: dict, incoming, cap: int) -> dict:
+    """Merge ``(item, est)`` pairs into a Misra-Gries count dict and
+    re-prune to ``cap`` entries (subtract the (cap+1)-th largest) —
+    the driver-side merge step for kilobyte-scale summary state.
+    Returns the merged dict; total undercount stays <= n/(cap+1)
+    because every unit subtracted destroys >= cap+1 units of mass."""
+    for item, est in incoming:
+        counts[item] = counts.get(item, 0) + int(est)
+    if len(counts) > cap:
+        vals = sorted(counts.values())
+        cstar = vals[-(cap + 1)]
+        counts = {k: v - cstar for k, v in counts.items() if v > cstar}
+    return counts
+
+
 def frequent_items(df: DataFrame, col: str, phi: float,
                    capacity: int | None = None) -> DataFrame:
     """EXACT phi-frequent items — every value whose count is
@@ -74,8 +166,6 @@ def frequent_items(df: DataFrame, col: str, phi: float,
     through it."""
     import math
 
-    from pyspark.sql import types as T
-
     from preql_spark.operators.text import ensure_parallelism
     if not 0.0 < phi < 1.0:
         raise ValueError(f"phi must be in (0, 1), got {phi}")
@@ -83,34 +173,11 @@ def frequent_items(df: DataFrame, col: str, phi: float,
     if cap < 1:
         raise ValueError(f"capacity must be >= 1, got {cap}")
     base = ensure_parallelism(df.select(F.col(col).alias("item")))
-    item_t = base.schema["item"].dataType
-    schema = T.StructType([T.StructField("item", item_t),
-                           T.StructField("est", T.LongType())])
-
-    def kern(batches):
-        import numpy as np
-        import pandas as pd
-        counts: dict = {}
-        total = 0
-        for pdf in batches:
-            s = pdf["item"].dropna()
-            total += len(s)
-            for item, c in s.value_counts().items():
-                counts[item] = counts.get(item, 0) + int(c)
-            if len(counts) > cap:
-                vals = np.sort(np.fromiter(counts.values(),
-                                           dtype=np.int64))
-                cstar = int(vals[-(cap + 1)])
-                counts = {k: v - cstar for k, v in counts.items()
-                          if v > cstar}
-        yield pd.DataFrame({"item": list(counts) + [None],
-                            "est": list(counts.values()) + [total]})
-
     # summaries persist across the two consumers (the scalar n and
     # the candidate set in the returned plan) — cap*partitions rows,
     # kilobytes; scoped to this call, LRU-evicted like the other
     # operator-local persists (dedup shingles, IVF assignments)
-    summ = base.mapInPandas(kern, schema).persist()
+    summ = mg_summaries(base, cap).persist()
     n = summ.filter(F.col("item").isNull()) \
             .agg(F.sum("est")).collect()[0][0] or 0
     if n == 0:

@@ -732,12 +732,16 @@ def ranked_search(df: DataFrame, query: str, k: int = 10,
 
 
 def rrf_fuse(sources: list[DataFrame], k: int = 10, rrf_k: int = 60,
-             id_col: str = "doc_id") -> DataFrame:
+             id_col: str = "doc_id",
+             weights: list[float] | None = None) -> DataFrame:
     """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009):
     given N ranked candidate frames each carrying ``(id_col, rank)``,
-    score every candidate as ``sum_s 1/(rrf_k + rank_s)`` — a source
+    score every candidate as ``sum_s w_s/(rrf_k + rank_s)`` — a source
     that did not retrieve the id contributes 0 — and return the fused
     top-``k`` as ``(id, rrf_score, rank)`` (score desc, id tiebreak).
+    ``weights`` (default all 1.0) tilts the fusion toward trusted
+    sources — the standard "weighted RRF" used when one retriever is
+    known-stronger (e.g. 2.0 lexical vs 1.0 dense).
 
     Plan/scale: each source is already top-n (query-bounded, a few
     dozen rows), so the outer-join chain and the single-partition
@@ -745,20 +749,27 @@ def rrf_fuse(sources: list[DataFrame], k: int = 10, rrf_k: int = 60,
     corpus-scale work happened inside the retrieval legs.  At 100 TB
     nothing here grows with the corpus.
 
-    Determinism: ``1/(rrf_k + rank)`` is one IEEE division of exact
-    integers and the per-id score sums the sources in list order, so
-    any engine replaying the same source ranks reproduces the score
-    bit-for-bit; ties (e.g. two docs swapping ranks across the two
-    sources) break on ascending id."""
+    Determinism: ``w/(rrf_k + rank)`` is one IEEE division of a
+    double by an exact-integer-valued double and the per-id score
+    sums the sources in list order, so any engine replaying the same
+    source ranks reproduces the score bit-for-bit; ties (e.g. two
+    docs swapping ranks across the two sources) break on ascending
+    id."""
     if not sources:
         raise ValueError("rrf_fuse needs at least one ranked source")
+    if weights is None:
+        weights = [1.0] * len(sources)
+    if len(weights) != len(sources):
+        raise ValueError(
+            f"weights must match sources: {len(weights)} != {len(sources)}")
     joined = None
     contribs = []
     for i, src in enumerate(sources):
         s = src.select(F.col(id_col), F.col("rank").alias(f"__r{i}"))
         joined = s if joined is None else joined.join(s, id_col, "outer")
         contribs.append(F.coalesce(
-            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(f"__r{i}")),
+            F.lit(float(weights[i]))
+            / (F.lit(float(rrf_k)) + F.col(f"__r{i}")),
             F.lit(0.0)))
     score = reduce(lambda a, b: a + b, contribs)
     scored = joined.select(F.col(id_col),
@@ -775,7 +786,8 @@ def hybrid_search(docs: DataFrame, embeddings: DataFrame,
                   vec_id_col: str = "vec_id", vec_col: str = "embedding",
                   require_all: bool = True,
                   tie_digits: int | None = None,
-                  dense_method: str = "hof") -> DataFrame:
+                  dense_method: str = "hof",
+                  weights: list[float] | None = None) -> DataFrame:
     """Hybrid lexical+dense retrieval: BM25 :func:`ranked_search` over
     ``docs`` and cosine top-n over ``embeddings`` (query = the stored
     vector ``query_vec_id``), fused by :func:`rrf_fuse`.  Returns the
@@ -798,4 +810,4 @@ def hybrid_search(docs: DataFrame, embeddings: DataFrame,
                     vec_col=vec_col)
            .select(F.col("neighbor_id").alias(id_col), "rank"))
     return rrf_fuse([lex.select(id_col, "rank"), den],
-                    k=k, rrf_k=rrf_k, id_col=id_col)
+                    k=k, rrf_k=rrf_k, id_col=id_col, weights=weights)

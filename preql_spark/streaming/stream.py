@@ -488,3 +488,122 @@ def incremental_postings_ingest(spark: SparkSession, src_path: str,
          .start())
     q.awaitTermination()
     return spark.read.parquet(index_path)
+
+
+def incremental_frequent_items_ingest(
+        spark: SparkSession, src_path: str, store_path: str,
+        checkpoint: str, id_col: str = "doc_id",
+        text_col: str = "text", phi: float = 0.005,
+        capacity: int | None = None,
+        state_path: str | None = None) -> DataFrame:
+    """Streaming maintenance of the EXACT phi-frequent-token report
+    (:func:`preql_spark.operators.sketch.frequent_items`): each
+    availableNow batch appends its new documents to the store and
+    folds their per-partition Misra-Gries summaries into a kilobyte
+    summary-state file; the returned report recounts the summary's
+    candidates exactly over the store, so two-wave ingestion equals
+    the one-shot batch operator equals a plain GROUP BY ... HAVING
+    over the full corpus (that identity IS the q151 oracle).
+
+    Why the state earns its keep at 100 TB: the candidate set and the
+    corpus token count n are maintained incrementally — answering
+    "which tokens clear phi now?" after each wave costs one
+    candidate-bounded recount scan of the store, never a
+    full-vocabulary shuffle, and the state itself is <= capacity rows
+    (capacity = ceil(2/phi) by default) no matter how many waves
+    arrived.  The mergeable-summaries bound (Agarwal et al., PODS
+    2012) survives the wave merges: every unit subtracted in a prune
+    destroys >= capacity+1 units of mass, so the lifetime undercount
+    is <= n/(capacity+1) < ceil(phi*n)/2 — every phi-frequent token
+    is guaranteed alive in the state, and the exact recount then
+    decides every count.
+
+    Idempotence: the batch is id-anti-joined against the store before
+    anything is counted, so a checkpoint-replayed batch contributes
+    zero tokens and rewrites the state unchanged.  The state write
+    precedes the store append inside a batch (see the in-body comment
+    on anti-join re-planning); a crash landing exactly between the
+    two re-folds that batch's tokens on replay — the same
+    non-transactional-sink window the sibling ingest operators
+    document, closed by any atomic-commit store (Delta/Iceberg).
+    State rows are ``(item, est)`` plus one ``(NULL, n)`` row
+    carrying the corpus token count — the same carrier row the batch
+    kernel uses."""
+    import math
+
+    from preql_spark.operators.sketch import mg_merge, mg_summaries
+    from preql_spark.operators.text import ensure_parallelism, tokens
+    from preql_spark.parquet_io import hadoop_dir_has_files
+
+    if not 0.0 < phi < 1.0:
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    cap = (int(capacity) if capacity is not None
+           else int(math.ceil(2.0 / phi)))
+    if cap < 1:
+        raise ValueError(f"capacity must be >= 1, got {cap}")
+    state_path = state_path or store_path.rstrip("/") + "_state"
+    schema = spark.read.parquet(src_path).schema  # footer-only peek
+
+    def _items(df: DataFrame) -> DataFrame:
+        return (ensure_parallelism(df)
+                .select(F.explode(tokens(F.col(text_col))).alias("item"))
+                .filter(F.col("item") != ""))
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        if hadoop_dir_has_files(s, store_path):
+            seen = (s.read.parquet(store_path)
+                    .select(F.col(id_col).alias("__seen")).distinct())
+            batch = batch.join(
+                seen, batch[id_col] == seen["__seen"], "left_anti")
+        # two consumers (summary fold + store append) — one batch
+        # scan.  The summary fold MUST run before the append: the
+        # anti-join's store side re-resolves the parquet listing per
+        # action (the micro-batch plan is re-planned, the cache is
+        # not guaranteed to carry across actions), so a post-append
+        # action would see the batch's own ids in the store and
+        # anti-join the whole batch away — zero tokens folded.
+        batch = batch.persist()
+        rows = mg_summaries(_items(batch), cap).collect()
+        counts: dict = {}
+        n = 0
+        for r in rows:
+            if r["item"] is None:
+                n += int(r["est"])
+            else:
+                counts[r["item"]] = counts.get(r["item"], 0) + int(r["est"])
+        if hadoop_dir_has_files(s, state_path):
+            prior = s.read.parquet(state_path).collect()
+            counts = mg_merge(
+                counts,
+                ((r["item"], r["est"]) for r in prior
+                 if r["item"] is not None), cap)
+            n += sum(int(r["est"]) for r in prior if r["item"] is None)
+        elif len(counts) > cap:
+            counts = mg_merge(counts, (), cap)
+        state = s.createDataFrame(
+            [(k, int(v)) for k, v in counts.items()] + [(None, int(n))],
+            schema="item string, est bigint")
+        state.coalesce(1).write.mode("overwrite").parquet(state_path)
+        batch.write.mode("append").parquet(store_path)
+        batch.unpersist(blocking=False)
+
+    q = (spark.readStream.schema(schema).parquet(src_path)
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    state = spark.read.parquet(state_path)
+    n = (state.filter(F.col("item").isNull())
+         .agg(F.sum("est")).collect()[0][0] or 0)
+    store_items = _items(spark.read.parquet(store_path))
+    if n == 0:
+        return (store_items.groupBy("item")
+                .agg(F.count(F.lit(1)).alias("cnt")).limit(0))
+    t = int(math.ceil(phi * float(n)))
+    cand = state.filter(F.col("item").isNotNull()).select("item")
+    return (store_items.join(F.broadcast(cand), "item", "leftsemi")
+            .groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= F.lit(t)))

@@ -2033,3 +2033,55 @@ def test_pipeline_builtin_r6_late_additions(eng):
                eng.t.documents.df.filter("doc_id % 10 = 0"),
                k=5).collect()}
     assert ls == as_ and len(ls) > 0
+
+
+def test_pipeline_builtin_r6_second_batch(eng):
+    """Lang spellings of the second round-6 late batch equal their
+    Python-API results: quantile_rollup, rrf_fuse (weighted, two
+    sources), mmr_diversify."""
+    from preql_spark.operators import sketch, similarity, text
+
+    key = lambda t: tuple("" if x is None else x for x in t)  # noqa: E731
+    lq = sorted((tuple(r) for r in
+                 eng.q('quantile_rollup(orders, "o_orderstatus",'
+                       ' "o_totalprice", q1: 0.5, q2: 0.9)').collect()),
+                key=key)
+    aq = sorted((tuple(r) for r in
+                 sketch.quantile_rollup(eng.t.orders.df, "o_orderstatus",
+                                        "o_totalprice",
+                                        [0.5, 0.9]).collect()),
+                key=key)
+    assert lq == aq and len(lq) > 1
+
+    lr = {tuple(r) for r in
+          eng.q('rrf_fuse(ranked_search(documents, "hash table", k: 10),'
+                ' ranked_search(documents, "scan batch", k: 10),'
+                ' k: 8, w1: 2.0, w2: 1.0)').collect()}
+    a = text.ranked_search(eng.t.documents.df, "hash table", k=10)
+    b = text.ranked_search(eng.t.documents.df, "scan batch", k=10)
+    ar = {tuple(r) for r in
+          text.rrf_fuse([a.select("doc_id", "rank"),
+                         b.select("doc_id", "rank")],
+                        k=8, weights=[2.0, 1.0]).collect()}
+    assert lr == ar and len(lr) == 8
+
+    cand = (similarity.cosine_topk(
+                eng.t.embeddings.df,
+                eng.t.embeddings.df.filter("vec_id = 7"), k=15)
+            .select(F.col("neighbor_id").alias("vec_id"),
+                    F.col("sim").alias("rel"))
+            .join(eng.t.embeddings.df.select("vec_id", "embedding"),
+                  "vec_id"))
+    am = {tuple(r) for r in
+          similarity.mmr_diversify(cand, k=4, lam=0.7).collect()}
+    lm = {tuple(r) for r in
+          eng.q('mmr_diversify('
+                'join(t: cosine_topk(embeddings,'
+                ' embeddings[vec_id == 7], k: 15)'
+                '{vec_id: neighbor_id, rel: sim},'
+                ' e: embeddings{vec_id, embedding},'
+                ' on: t.vec_id == e.vec_id)'
+                '{vec_id: t.vec_id, rel: t.rel,'
+                ' embedding: e.embedding},'
+                ' k: 4, lam: 0.7)').collect()}
+    assert lm == am and len(lm) == 4

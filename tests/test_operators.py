@@ -1769,3 +1769,120 @@ def test_dsir_composition_deterministic(spark):
                  .agg(F.avg("score")).collect()[0][0])
     all_mean = scored.agg(F.avg("score")).collect()[0][0]
     assert kept_mean > all_mean
+
+
+def test_rrf_fuse_weighted(spark):
+    """Weighted RRF: score = sum_s w_s/(rrf_k + rank_s); a big enough
+    weight on one leg overrides the other leg's consensus; mismatched
+    weight lists raise."""
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id: long, rank: int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id: long, rank: int")
+    out = {r.doc_id: r.rrf_score for r in
+           text.rrf_fuse([a, b], k=10, rrf_k=60,
+                         weights=[3.0, 1.0]).collect()}
+    assert abs(out[1] - 3 / 61) < 1e-15
+    assert abs(out[2] - (3 / 62 + 1 / 61)) < 1e-15
+    assert abs(out[3] - 1 / 62) < 1e-15
+    # unweighted doc 2 (both legs) wins; with w=[3,1] doc 2 still wins
+    # (3/62+1/61 > 3/61) is FALSE: 3/62+1/61 ~ 0.0648 > 3/61 ~ 0.0492
+    ranks = {r.doc_id: r.rank for r in
+             text.rrf_fuse([a, b], weights=[3.0, 1.0]).collect()}
+    assert ranks[2] == 1 and ranks[1] == 2 and ranks[3] == 3
+    with pytest.raises(ValueError, match="weights must match"):
+        text.rrf_fuse([a, b], weights=[1.0])
+
+
+def test_quantile_rollup_levels(eng):
+    """ROLLUP quantiles equal per-level exact percentiles computed
+    separately; the approx twin lands within interpolation slack; a
+    string group spec coerces; bad inputs raise."""
+    from preql_spark.operators.sketch import quantile_rollup
+    o = eng.t.orders.df
+    out = quantile_rollup(o, ["o_orderstatus", "o_orderpriority"],
+                          "o_totalprice", [0.5, 0.9])
+    rows = {(r.o_orderstatus, r.o_orderpriority): (r.n, r.p50, r.p90)
+            for r in out.collect()}
+    # grand-total row (both NULL) matches a direct global percentile
+    g = o.agg(F.count(F.lit(1)).alias("n"),
+              F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+              F.percentile("o_totalprice", F.lit(0.9)).alias("p90")) \
+         .collect()[0]
+    assert rows[(None, None)] == (g.n, g.p50, g.p90)
+    # one mid-level row matches the per-status percentile
+    st = o.filter(F.col("o_orderstatus") == "F") \
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+               F.percentile("o_totalprice", F.lit(0.9)).alias("p90")) \
+          .collect()[0]
+    assert rows[("F", None)] == (st.n, st.p50, st.p90)
+    # level count: groups + statuses + 1 grand total
+    n_fine = o.select("o_orderstatus", "o_orderpriority").distinct().count()
+    n_stat = o.select("o_orderstatus").distinct().count()
+    assert len(rows) == n_fine + n_stat + 1
+    # the mergeable approx twin stays close at every level
+    ap = {(r.o_orderstatus, r.o_orderpriority): (r.p50, r.p90)
+          for r in quantile_rollup(o, ["o_orderstatus", "o_orderpriority"],
+                                   "o_totalprice", [0.5, 0.9],
+                                   approx=True).collect()}
+    for key, (n, p50, p90) in rows.items():
+        a50, a90 = ap[key]
+        assert abs(a50 - p50) / max(abs(p50), 1.0) < 0.05
+        assert abs(a90 - p90) / max(abs(p90), 1.0) < 0.05
+    # str coercion mirrors the single-col list
+    s1 = quantile_rollup(o, "o_orderstatus", "o_totalprice", 0.5)
+    s2 = quantile_rollup(o, ["o_orderstatus"], "o_totalprice", [0.5])
+    assert sorted(map(tuple, s1.collect()),
+                  key=lambda t: (t[0] or "",) + t[1:]) == \
+        sorted(map(tuple, s2.collect()),
+               key=lambda t: (t[0] or "",) + t[1:])
+    from preql_spark.operators.sketch import quantile_rollup as qr
+    with pytest.raises(ValueError, match="group col"):
+        qr(o, [], "o_totalprice", [0.5])
+    with pytest.raises(ValueError, match="quantile"):
+        qr(o, ["o_orderstatus"], "o_totalprice", [])
+    with pytest.raises(ValueError, match="outside"):
+        qr(o, ["o_orderstatus"], "o_totalprice", [1.5])
+
+
+def test_mmr_diversify_demotes_redundancy(spark):
+    """MMR semantics on crafted vectors: the #2-by-relevance candidate
+    is a near-clone of #1, so with lam=0.5 it falls behind a less
+    relevant but orthogonal candidate; pick 1 is the pure-relevance
+    argmax; early stop when k exceeds the candidate count."""
+    from preql_spark.operators.similarity import mmr_diversify
+    rows = [
+        # id, rel, vector: 10/11 nearly parallel, 12 orthogonal
+        (10, 0.99, [1.0, 0.0, 0.0]),
+        (11, 0.98, [0.999, 0.01, 0.0]),
+        (12, 0.60, [0.0, 1.0, 0.0]),
+    ]
+    cand = spark.createDataFrame(
+        rows, "vec_id: long, rel: double, embedding: array<double>")
+    out = mmr_diversify(cand, k=3, lam=0.5)
+    picks = [r.vec_id for r in sorted(out.collect(),
+                                      key=lambda r: r.pick)]
+    # 10 first (max rel); then 12: 0.5*0.60 - 0.5*0.0 = 0.30 beats
+    # 11's 0.5*0.98 - 0.5*~1.0 ~ -0.01; 11 last
+    assert picks == [10, 12, 11]
+    got = {r.pick: r for r in out.collect()}
+    assert abs(got[1].mmr_score - 0.5 * 0.99) < 1e-12
+    assert got[1].rel == 0.99
+    # k > candidates: stops at 3 picks
+    assert mmr_diversify(cand, k=10, lam=0.5).count() == 3
+    with pytest.raises(ValueError, match="k must"):
+        mmr_diversify(cand, k=0)
+    with pytest.raises(ValueError, match="lam must"):
+        mmr_diversify(cand, k=2, lam=1.5)
+
+
+def test_mmr_lam_one_is_pure_relevance(spark):
+    """lam=1.0 disables the diversity penalty: picks follow relevance
+    order exactly, ties on ascending id."""
+    from preql_spark.operators.similarity import mmr_diversify
+    rows = [(1, 0.9, [1.0, 0.0]), (2, 0.9, [0.0, 1.0]),
+            (3, 0.5, [0.7, 0.7])]
+    cand = spark.createDataFrame(
+        rows, "vec_id: long, rel: double, embedding: array<double>")
+    out = sorted(mmr_diversify(cand, k=3, lam=1.0).collect(),
+                 key=lambda r: r.pick)
+    assert [r.vec_id for r in out] == [1, 2, 3]

@@ -492,3 +492,49 @@ def test_incremental_postings_ingest_equals_batch(spark, eng, tmp_path):
     assert inc == one and len(inc) > 0
     out2 = incremental_postings_ingest(spark, src, idx, ck)
     assert out2.count() == out.count()
+
+
+def test_incremental_frequent_items_equals_batch(spark, eng, tmp_path):
+    """Two-wave incremental frequent-items == the one-shot batch
+    operator == a plain exact groupBy/HAVING over the full corpus; a
+    replay with nothing new leaves the report unchanged (anti-join +
+    state-rewrite idempotence); the summary state stays
+    capacity-bounded."""
+    import math
+    from preql_spark.operators.sketch import frequent_items
+    from preql_spark.operators.text import tokens
+    from preql_spark.streaming.stream import (
+        incremental_frequent_items_ingest)
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    docs = eng.t.documents.df.select("doc_id", "text")
+    docs.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_frequent_items_ingest(spark, src, store, ck, phi=0.01)
+    docs.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_frequent_items_ingest(spark, src, store, ck,
+                                            phi=0.01)
+    inc = {(r.item, r.cnt) for r in out.collect()}
+    one = {(r.item, r.cnt) for r in frequent_items(
+        docs.select(F.explode(tokens(F.col("text"))).alias("item"))
+            .filter(F.col("item") != ""), "item", phi=0.01).collect()}
+    assert inc == one and len(inc) > 0
+    # the exact-recount contract: equals plain GROUP BY ... HAVING
+    items = (docs.select(F.explode(tokens(F.col("text"))).alias("item"))
+             .filter(F.col("item") != ""))
+    n = items.count()
+    t = int(math.ceil(0.01 * n))
+    plain = {(r.item, r.cnt) for r in
+             items.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+                  .filter(F.col("cnt") >= t).collect()}
+    assert inc == plain
+    # replay: nothing new, report unchanged
+    out2 = incremental_frequent_items_ingest(spark, src, store, ck,
+                                             phi=0.01)
+    assert {(r.item, r.cnt) for r in out2.collect()} == inc
+    # state stays bounded: <= capacity item rows + the NULL n-carrier,
+    # and the carrier holds the exact corpus token count
+    st = spark.read.parquet(store + "_state").collect()
+    cap = int(math.ceil(2.0 / 0.01))
+    assert len([r for r in st if r.item is not None]) <= cap
+    assert sum(r.est for r in st if r.item is None) == n
