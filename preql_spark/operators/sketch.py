@@ -76,10 +76,16 @@ def quantile_rollup(df: DataFrame, group_cols: list[str],
     if not qs:
         raise ValueError("quantile_rollup needs at least one quantile")
     exprs = [F.count(F.lit(1)).alias("n")]
+    seen: dict[str, int] = {}
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile {q} outside [0, 1]")
         name = f"p{int(round(q * 100)):02d}"
+        # near-equal quantiles (0.5 and 0.501) collide on the rounded
+        # label — suffix repeats so the output schema stays unique
+        seen[name] = seen.get(name, 0) + 1
+        if seen[name] > 1:
+            name = f"{name}_{seen[name]}"
         agg = (F.percentile_approx(value_col, F.lit(q), F.lit(accuracy))
                if approx else F.percentile(value_col, F.lit(q)))
         exprs.append(agg.alias(name))

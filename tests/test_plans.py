@@ -366,3 +366,22 @@ def test_enum_auto_switches_on_size_estimate(spark):
         assert a == b
     finally:
         Table.ENUM_AUTO_BYTES = old
+
+
+def test_quantile_rollup_single_shuffle_both_paths(spark):
+    """ROLLUP computes every level from ONE exchange (Expand feeds a
+    single hash partitioning) — per-level rescans would multiply the
+    corpus cost by the level count.  Holds for the exact path and the
+    mergeable approx path, and the approx plan keeps a partial_
+    aggregation below the exchange (map-side combine of GK state)."""
+    import re
+    from preql_spark.operators.sketch import quantile_rollup
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    for approx in (False, True):
+        df = quantile_rollup(o, ["o_orderstatus", "o_orderpriority"],
+                             "o_totalprice", [0.5, 0.9], approx=approx)
+        plan = plan_of(df)
+        assert len(set(re.findall(r"\(\d+\) Exchange", plan))) == 1, plan
+        assert "Expand" in plan
+    assert "partial_percentile_approx" in plan.lower() \
+        or "partial" in plan.lower()

@@ -534,3 +534,127 @@ def test_frequent_items_matches_counter_model(eng, phi, cap):
         assert got == want
     else:
         assert got <= want
+
+
+# ---- round-6 second late batch: weighted fusion / MMR / rollup ------------
+
+@settings(**SETTINGS)
+@given(k=st.integers(1, 6), rrf_k=st.integers(1, 120),
+       w1=st.sampled_from([0.5, 1.0, 2.0, 3.0]),
+       w2=st.sampled_from([0.25, 1.0, 1.5]))
+def test_weighted_rrf_matches_python_model(eng, k, rrf_k, w1, w2):
+    """Weighted rrf_fuse == the sum w_s/(rrf_k+rank_s) model for every
+    weight pair — score bit-close, rank order and ties identical."""
+    from preql_spark.operators.text import rrf_fuse
+    rows = [r.asDict() for r in eng.t.orders.collect()]
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["o_orderpriority"], []).append(r)
+
+    def leg(g):
+        rs = sorted(by_g.get(g, []),
+                    key=lambda r: (-r["o_totalprice"], r["o_orderkey"]))
+        return [(r["o_orderkey"], i + 1) for i, r in enumerate(rs[:k])]
+
+    l1, l2 = leg("1-URGENT"), leg("2-HIGH")
+    spark = eng.spark
+    f1 = spark.createDataFrame(l1 or [(-1, 1)], "doc_id: long, rank: int")
+    f2 = spark.createDataFrame(l2 or [(-1, 1)], "doc_id: long, rank: int")
+    fused = {r.doc_id: (r.rrf_score, r.rank) for r in
+             rrf_fuse([f1, f2], k=2 * k, rrf_k=rrf_k,
+                      weights=[w1, w2]).collect()}
+    scores = {}
+    for d, r in (l1 or [(-1, 1)]):
+        scores[d] = scores.get(d, 0.0) + w1 / (rrf_k + r)
+    for d, r in (l2 or [(-1, 1)]):
+        scores[d] = scores.get(d, 0.0) + w2 / (rrf_k + r)
+    order = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    for i, (d, s) in enumerate(order[:2 * k]):
+        assert d in fused and fused[d][1] == i + 1
+        assert abs(fused[d][0] - s) < 1e-14
+
+
+@settings(**SETTINGS)
+@given(lam=st.sampled_from([0.0, 0.3, 0.5, 0.7, 1.0]),
+       k=st.integers(1, 6),
+       seed=st.integers(0, 10**6))
+def test_mmr_matches_python_greedy_model(eng, lam, k, seed):
+    """mmr_diversify == the pure-Python greedy MMR over the same
+    4dp-rounded relevances and pairwise cosines (picks, scores, and
+    tie order all identical)."""
+    import random
+    from preql_spark.operators.similarity import mmr_diversify
+    rng = random.Random(seed)
+    n = rng.randint(2, 9)
+    rows = [(i,
+             round(rng.uniform(0.1, 1.0), 3),
+             [rng.choice([-1, 1]) * rng.uniform(0.1, 1.0)
+              for _ in range(3)])
+            for i in range(n)]
+    spark = eng.spark
+    cand = spark.createDataFrame(
+        rows, "vec_id: long, rel: double, embedding: array<double>")
+    got = [(r.vec_id, r.pick, r.mmr_score) for r in
+           sorted(mmr_diversify(cand, k=k, lam=lam).collect(),
+                  key=lambda r: r.pick)]
+
+    def rnd(x):
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (math.sqrt(sum(x * x for x in a))
+               * math.sqrt(sum(y * y for y in b)))
+        return num / den
+
+    rel = {i: rnd(r) for i, r, _ in rows}
+    vec = {i: v for i, _, v in rows}
+    sim = {(a, b): rnd(cos(vec[a], vec[b]))
+           for a in vec for b in vec if a != b}
+    picked, model = [], []
+    first = min(rel, key=lambda i: (-rel[i], i))
+    picked.append(first)
+    model.append((first, 1, lam * rel[first]))
+    while len(picked) < min(k, len(rows)):
+        best = None
+        for i in rel:
+            if i in picked:
+                continue
+            score = (lam * rel[i]
+                     - (1.0 - lam) * max(sim[(i, s)] for s in picked))
+            cand_key = (-score, i)
+            if best is None or cand_key < best[0]:
+                best = (cand_key, i, score)
+        picked.append(best[1])
+        model.append((best[1], len(picked), best[2]))
+    assert [(i, p) for i, p, _ in got] == [(i, p) for i, p, _ in model]
+    for (_, _, gs), (_, _, ms) in zip(got, model):
+        assert abs(gs - ms) < 1e-12
+
+
+@settings(**SETTINGS)
+@given(q1=st.floats(0.05, 0.95), q2=st.floats(0.05, 0.95))
+def test_quantile_rollup_matches_numpy_model(eng, q1, q2):
+    """Exact quantile_rollup == numpy linear-interpolation percentiles
+    computed per level from the raw rows (ROLLUP adds no numeric
+    drift — one pass, same interpolation rule)."""
+    import numpy as np
+    from preql_spark.operators.sketch import quantile_rollup
+    rows = [r.asDict() for r in eng.t.orders.collect()]
+    res = quantile_rollup(
+        eng.t.orders.df, ["o_orderstatus", "o_orderpriority"],
+        "o_totalprice", [q1, q2])
+    # quantile column names derive from q (p07, p50, p50_2...) — read
+    # the two quantile outputs positionally after (groups..., n)
+    out = {(r[0], r[1]): (r[2], r[3], r[4]) for r in res.collect()}
+    levels = {}
+    for r in rows:
+        for key in [(r["o_orderstatus"], r["o_orderpriority"]),
+                    (r["o_orderstatus"], None), (None, None)]:
+            levels.setdefault(key, []).append(r["o_totalprice"])
+    assert set(out) == set(levels)
+    for key, vals in levels.items():
+        n, a, b = out[key]
+        assert n == len(vals)
+        assert abs(a - float(np.percentile(vals, q1 * 100))) < 1e-6
+        assert abs(b - float(np.percentile(vals, q2 * 100))) < 1e-6
