@@ -2184,6 +2184,40 @@ def q154_mmr_diversify(spark, sf_dir) -> DataFrame:
     return out.select("vec_id", "rel", ms.alias("mmr_score"), "pick")
 
 
+def q155_temperature_mixture(spark, sf_dir) -> DataFrame:
+    """Temperature-based source rebalancing (alpha=0.5, the XLM-R
+    sampling rule): groups are the source-name digit prefix (skewed —
+    one group holds 11 of the 20 sources), keep share proportional to
+    sqrt(count_g) scaled to 200 expected rows, applied via q115's
+    deterministic content-hash rule.  The ratio chain is a left fold
+    of correctly rounded IEEE ops over groups in ascending order, so
+    the oracle replays it with list_reduce + the same parenthesized
+    arithmetic."""
+    eng = _eng(spark, sf_dir)
+    d = eng.t.documents.df.withColumn("grp", F.substring("source", 4, 1))
+    out = eng.from_df(d).temperature_mixture("grp", "doc_id", 200,
+                                             alpha=0.5)
+    return out.df.select("doc_id", "grp")
+
+
+def q156_budget_select(spark, sf_dir) -> DataFrame:
+    """Token-budget selection: best documents first (quality =
+    char length as a stand-in score, ties on ascending id) until the
+    15000-token budget is exhausted — the greedy fill step of a
+    fixed-size training mix.  The engine splits quality space into
+    buckets so only the boundary bucket pays an ordered window; the
+    oracle is the naive global running-sum rule, which the bucket plan
+    must equal exactly (integer token sums, no FP hazard)."""
+    from preql_spark.operators.text import budget_select, token_count
+    d = _eng(spark, sf_dir).t.documents.df.select(
+        "doc_id",
+        F.length("text").cast("long").alias("quality"),
+        token_count(F.col("text")).cast("int").alias("n_tokens"))
+    out = budget_select(d, 15000, "quality", "n_tokens",
+                        id_col="doc_id", n_buckets=8)
+    return out.select("doc_id", "quality", "n_tokens")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2294,6 +2328,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       diversification) displaces q113 (contrastive pairs;
     #       similarity keeps q124/q133/q138/q139/q146/q154).  All
     #       four displaced are r5-green (CORRECTNESS_r05).
+    #       Third batch: q155 (temperature mixture) displaces q115
+    #       (mixture sample — q155 replays its hash rule plus the
+    #       sqrt-share arithmetic; sampling keeps q74/q150/q155) and
+    #       q156 (token-budget selection) displaces q121 (corpus
+    #       datacard; curation/tooling keeps q117/q120).  Both
+    #       displaced are r5-green.
+    "q155_temperature_mixture": q155_temperature_mixture,
+    "q156_budget_select": q156_budget_select,
     "q151_stream_frequent_ingest": q151_stream_frequent_ingest,
     "q152_weighted_hybrid_search": q152_weighted_hybrid_search,
     "q153_quantile_rollup": q153_quantile_rollup,
@@ -2330,11 +2372,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_split_by_hash": q74_split_by_hash,
     "q95_repetition_metrics": q95_repetition_metrics,
     "q108_snapshot_diff": q108_snapshot_diff,
-    "q115_mixture_sample": q115_mixture_sample,
     "q116_audio_features": q116_audio_features,
     "q117_validation_report": q117_validation_report,
     "q120_join_cardinality": q120_join_cardinality,
-    "q121_corpus_datacard": q121_corpus_datacard,
     "q52_window_battery": q52_window_battery,
     "q53_cube": q53_cube,
     "q59_first_last_by": q59_first_last_by,
@@ -2345,8 +2385,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_pack_sequences": q75_pack_sequences,
     "q78_interval_join": q78_interval_join,
     # ---- end of the 50-entry driver window -------------------------
-    # rotated out mid-r6 by the second late batch q151-q154 (all
+    # rotated out mid-r6 by the late batches q151-q156 (all
     # r5-green; families kept in-window per the rotation log above):
+    "q115_mixture_sample": q115_mixture_sample,
+    "q121_corpus_datacard": q121_corpus_datacard,
     "q132_cosine_topk_arrow": q132_cosine_topk_arrow,
     "q77_quantile_filter": q77_quantile_filter,
     "q113_contrastive_pairs": q113_contrastive_pairs,
@@ -4171,6 +4213,43 @@ ORACLES: dict[str, str] = {
     """,
     # DSIR composition: q105's LLR CTEs feed q84's E-S ranking —
     # weight exp(score), portable-hash uniform, top-100
+    # sqrt-share temperature sampling: the ratio chain replays the
+    # engine's left fold (list_reduce over ascending groups) and the
+    # same parenthesized IEEE arithmetic; selection is q115's
+    # content-hash rule with the computed thresholds
+    "q155_temperature_mixture": """
+        WITH d AS (SELECT doc_id, substr(source, 4, 1) AS grp
+                   FROM documents),
+        c AS (SELECT grp, count(*) AS c FROM d GROUP BY grp),
+        s AS (SELECT list_reduce(
+                  list(sqrt(CAST(c AS DOUBLE)) ORDER BY grp),
+                  (a, b) -> a + b) AS s FROM c),
+        r AS (SELECT grp,
+                     CAST(floor(least(
+                         ((sqrt(CAST(c AS DOUBLE)) / s.s) * 200.0)
+                         / CAST(c AS DOUBLE), 1.0) * 1000000)
+                       AS BIGINT) AS thr
+              FROM c, s)
+        SELECT d.doc_id, d.grp
+        FROM d JOIN r USING (grp)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000 < r.thr
+    """,
+    # the naive global running-sum prefix rule — the engine's bucketed
+    # plan must keep exactly the same maximal prefix (integer sums)
+    "q156_budget_select": r"""
+        WITH t AS (SELECT doc_id,
+                          CAST(length(text) AS BIGINT) AS quality,
+                          CAST(len(string_split_regex(trim(text),
+                                                      '\s+')) AS INT)
+                            AS n_tokens
+                   FROM documents),
+        w AS (SELECT doc_id, quality, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+        SELECT doc_id, quality, n_tokens FROM w WHERE cum <= 15000
+    """,
     # two-wave streaming ingest == one-shot frequent_items == plain
     # exact GROUP BY ... HAVING (q147's oracle verbatim — the MG
     # state only bounds candidates, the recount decides every count)

@@ -3396,6 +3396,7 @@ def _load_pipeline_funcs() -> dict:
         "quantile_bucketize": text.quantile_bucketize,
         "corpus_datacard": text.corpus_datacard,
         "postings": text.postings,
+        "budget_select": text.budget_select,
         "phrase_search": text.phrase_search,
         "ranked_search": text.ranked_search,
         "hybrid_search": text.hybrid_search,
@@ -3429,6 +3430,7 @@ _PIPELINE_FUNC_NAMES = {
     "quality_metrics", "repetition_metrics",
     "tfidf", "bm25", "lm_perplexity", "quantile_filter",
     "quantile_bucketize", "corpus_datacard", "postings",
+    "budget_select",
     "phrase_search", "ranked_search", "hybrid_search", "cosine_topk",
     "cosine_topk_arrow",
     "cosine_pairs", "lsh_cosine_pairs", "normalize_vectors",
@@ -3438,7 +3440,7 @@ _PIPELINE_FUNC_NAMES = {
     # Table-method family (dispatched on the host Table, not its df)
     "sample_hash", "sample_mixture", "sample_stratified",
     "sample_weighted", "split_by_hash", "shuffle_deterministic",
-    "cap_per_domain"}
+    "temperature_mixture", "cap_per_domain"}
 _PIPELINE_FUNCS: dict | None = None
 
 
@@ -3484,6 +3486,10 @@ def _load_table_method_funcs() -> dict:
         "shuffle_deterministic":
             lambda t, key, seed=0:
                 t.shuffle_deterministic(key, seed=int(seed)),
+        "temperature_mixture":
+            lambda t, group, key, target_rows, alpha=0.5:
+                t.temperature_mixture(group, key, int(target_rows),
+                                      alpha=float(alpha)),
         "cap_per_domain":
             lambda t, group, n, *order:
                 t.pipe(cap_per_domain, group, int(n),
@@ -3494,7 +3500,7 @@ def _load_table_method_funcs() -> dict:
 _TABLE_METHOD_FUNC_NAMES = {
     "sample_hash", "sample_mixture", "sample_stratified",
     "sample_weighted", "split_by_hash", "shuffle_deterministic",
-    "cap_per_domain"}
+    "temperature_mixture", "cap_per_domain"}
 _TABLE_METHOD_FUNCS: dict | None = None
 
 

@@ -811,3 +811,74 @@ def hybrid_search(docs: DataFrame, embeddings: DataFrame,
            .select(F.col("neighbor_id").alias(id_col), "rank"))
     return rrf_fuse([lex.select(id_col, "rank"), den],
                     k=k, rrf_k=rrf_k, id_col=id_col, weights=weights)
+
+
+def budget_select(df: DataFrame, budget: int, quality_col: str,
+                  token_col: str, id_col: str = "doc_id",
+                  n_buckets: int = 32) -> DataFrame:
+    """Token-budget selection: keep the best documents first — ordered
+    by ``(quality desc, id asc)`` — while the running token total stays
+    within ``budget`` (the maximal prefix with cumsum <= budget; the
+    greedy fill step of assembling a fixed-size training mix from a
+    larger scored corpus).  Returns ``(id_col, quality_col,
+    token_col)`` for the kept rows.
+
+    Why not one global ORDER BY + running-sum window: that is a
+    single-reducer pass over the corpus.  Here quality space is cut
+    into ``n_buckets`` ranges (approxQuantile boundaries — the SPLIT
+    only affects efficiency, never the answer): per-bucket token
+    totals (<= n_buckets rows) cross to the driver, whole buckets
+    above the boundary are kept with a scan-local filter, buckets
+    below are dropped, and only the ONE boundary bucket — ~1/n_buckets
+    of the corpus — pays an ordered cumsum window.  Bucket assignment
+    is a pure function of the quality VALUE (count of boundaries
+    strictly below), so equal-quality rows can never straddle a bucket
+    edge and the kept set equals the naive global-window rule exactly
+    (pytest-asserted); token counts are integers, so the budget
+    comparison is exact on any engine.  At 100 TB, size ``n_buckets``
+    so corpus/n_buckets fits one task (or recurse on the boundary
+    bucket)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    base = (df.select(F.col(id_col), F.col(quality_col),
+                      F.col(token_col))
+            .persist())
+    try:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bs = sorted(set(base.stat.approxQuantile(
+            quality_col, probs, 0.01))) if probs else []
+        if bs:
+            barr = F.array(*[F.lit(b) for b in bs])
+            bucket = F.size(F.filter(
+                barr, lambda b: F.col(quality_col) > b))
+        else:
+            bucket = F.lit(0)
+        bkt = base.withColumn("__bkt", bucket)
+        sums = {r["__bkt"]: r["tok"] for r in
+                bkt.groupBy("__bkt")
+                   .agg(F.sum(token_col).alias("tok")).collect()}
+        cum = 0
+        full, boundary, offset = [], None, 0
+        for b in sorted(sums, reverse=True):  # best quality first
+            if cum + sums[b] <= budget:
+                full.append(b)
+                cum += sums[b]
+            else:
+                boundary, offset = b, cum
+                break
+        keep_full = bkt.filter(F.col("__bkt").isin(full)) if full \
+            else bkt.limit(0)
+        if boundary is None:
+            return keep_full.drop("__bkt")
+        w = (Window.partitionBy("__bkt")
+             .orderBy(F.col(quality_col).desc(), F.col(id_col))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        part = (bkt.filter(F.col("__bkt") == boundary)
+                .withColumn("__cum", F.sum(token_col).over(w))
+                .filter(F.col("__cum") + F.lit(offset) <= F.lit(budget))
+                .drop("__cum"))
+        return keep_full.unionByName(part).drop("__bkt")
+    finally:
+        base.unpersist(blocking=False)

@@ -393,6 +393,48 @@ class Table:
                            & (bucket < int(min(ratio, 1.0) * 1000000)))
         return self._with(self.df.filter(cond))
 
+    def temperature_mixture(self, group_col: str, key: str,
+                            target_rows: int,
+                            alpha: float = 0.5) -> "Table":
+        """Temperature-based source rebalancing (the multilingual /
+        XLM-R sampling rule): group g's share of the kept corpus is
+        proportional to ``count_g ** alpha`` — alpha < 1 flattens the
+        natural distribution, upweighting small sources — scaled so
+        the expected kept total is ``target_rows``.  Per-group keep
+        ratios are computed from the group counts and applied through
+        :meth:`sample_mixture`'s deterministic content-hash rule on
+        the row-unique ``key``.
+
+        Scale shape: one count aggregate whose result is bounded by
+        the GROUP CARDINALITY (sources/languages — dozens, not
+        corpus-sized) crosses to the driver, then the keep filter is
+        scan-local.  Determinism: the ratio arithmetic is a fixed
+        left-fold over groups in ascending group order — with the
+        default ``alpha=0.5`` every step (sqrt, /, *) is a correctly
+        rounded IEEE op, so an engine replaying the same counts
+        reproduces the thresholds bit-for-bit (general ``alpha`` uses
+        pow, which libm only guarantees to 1 ulp — fine for
+        production, not for bit-exact replay)."""
+        import math
+
+        from pyspark.sql import functions as F
+        if not 0.0 < alpha <= 1.0:
+            raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+        if target_rows < 0:
+            raise ValueError(f"target_rows must be >= 0, got {target_rows}")
+        counts = {r[0]: r[1] for r in
+                  self.df.groupBy(group_col).count().collect()}
+        if not counts:
+            return self._with(self.df.limit(0))
+        wfun = (math.sqrt if alpha == 0.5
+                else (lambda c: math.pow(c, alpha)))
+        s = 0.0
+        for g in sorted(counts):
+            s += wfun(float(counts[g]))
+        ratios = {g: (wfun(float(c)) / s) * float(target_rows) / float(c)
+                  for g, c in counts.items()}
+        return self.sample_mixture(group_col, ratios, key)
+
     def shuffle_deterministic(self, key, seed: int = 0,
                               n_files: int | None = None) -> "Table":
         """Deterministic global permutation for training-order

@@ -2085,3 +2085,32 @@ def test_pipeline_builtin_r6_second_batch(eng):
                 ' embedding: e.embedding},'
                 ' k: 4, lam: 0.7)').collect()}
     assert lm == am and len(lm) == 4
+
+
+def test_pipeline_builtin_r6_third_batch(eng):
+    """Lang spellings of temperature_mixture (table method) and
+    budget_select (pipeline func) equal their Python-API results."""
+    from preql_spark.operators.text import budget_select, token_count
+
+    d_api = eng.from_df(eng.t.documents.df.withColumn(
+        "grp", F.substring("source", 4, 1)))
+    am = {r.doc_id for r in
+          d_api.temperature_mixture("grp", "doc_id", 150,
+                                    alpha=0.5).collect()}
+    lm = {r.doc_id for r in
+          eng.q('temperature_mixture('
+                'documents{..., grp: source[3..4]},'
+                ' "grp", "doc_id", 150, alpha: 0.5)').collect()}
+    assert lm == am and len(lm) > 0
+
+    scored = eng.t.documents.df.select(
+        "doc_id", F.length("text").cast("long").alias("q"),
+        token_count(F.col("text")).cast("int").alias("tok"))
+    ab = {r.doc_id for r in
+          budget_select(scored, 4000, "q", "tok").collect()}
+    lb = {r.doc_id for r in
+          eng.q('budget_select(documents{doc_id,'
+                ' q: int(length(text)),'
+                ' tok: token_count(text)},'
+                ' 4000, "q", "tok")').collect()}
+    assert lb == ab and len(lb) > 0

