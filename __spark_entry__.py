@@ -2218,6 +2218,18 @@ def q156_budget_select(spark, sf_dir) -> DataFrame:
     return out.select("doc_id", "quality", "n_tokens")
 
 
+def q157_interleave_sources(spark, sf_dir) -> DataFrame:
+    """Deterministic proportional interleave: every source progresses
+    uniformly through the epoch — row r of a c-row source sits at
+    position r/c, within-source order = the portable content-hash
+    permutation of doc_id.  One group-partitioned window pass + a
+    range sort; the position is one IEEE division of exact integers,
+    so the oracle replays the layout bit-for-bit."""
+    eng = _eng(spark, sf_dir)
+    out = eng.t.documents.interleave_sources("source", "doc_id")
+    return out.df.select("doc_id", "source", "pos")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2334,6 +2346,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       q156 (token-budget selection) displaces q121 (corpus
     #       datacard; curation/tooling keeps q117/q120).  Both
     #       displaced are r5-green.
+    #       q157 (proportional interleave) displaces q74 (hash
+    #       split; the deterministic-hash family keeps q150/q155/
+    #       q157 in-window; q74 is r5-green).
+    "q157_interleave_sources": q157_interleave_sources,
     "q155_temperature_mixture": q155_temperature_mixture,
     "q156_budget_select": q156_budget_select,
     "q151_stream_frequent_ingest": q151_stream_frequent_ingest,
@@ -2369,7 +2385,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q133_semdedup_paper_rule": q133_semdedup_paper_rule,
     "q69_collect_explode_roundtrip": q69_collect_explode_roundtrip,
     "q71_histogram": q71_histogram,
-    "q74_split_by_hash": q74_split_by_hash,
     "q95_repetition_metrics": q95_repetition_metrics,
     "q108_snapshot_diff": q108_snapshot_diff,
     "q116_audio_features": q116_audio_features,
@@ -2385,8 +2400,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_pack_sequences": q75_pack_sequences,
     "q78_interval_join": q78_interval_join,
     # ---- end of the 50-entry driver window -------------------------
-    # rotated out mid-r6 by the late batches q151-q156 (all
+    # rotated out mid-r6 by the late batches q151-q157 (all
     # r5-green; families kept in-window per the rotation log above):
+    "q74_split_by_hash": q74_split_by_hash,
     "q115_mixture_sample": q115_mixture_sample,
     "q121_corpus_datacard": q121_corpus_datacard,
     "q132_cosine_topk_arrow": q132_cosine_topk_arrow,
@@ -4213,6 +4229,22 @@ ORACLES: dict[str, str] = {
     """,
     # DSIR composition: q105's LLR CTEs feed q84's E-S ranking —
     # weight exp(score), portable-hash uniform, top-100
+    # proportional interleave: per-source hash-permutation rank r of a
+    # c-row source -> position r/c (one exact-integer IEEE division)
+    "q157_interleave_sources": """
+        WITH r AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                1, 15))::BIGINT,
+                                doc_id) AS rk,
+                   count(*) OVER (PARTITION BY source) AS c
+            FROM documents)
+        SELECT doc_id, source,
+               CAST(rk AS DOUBLE) / CAST(c AS DOUBLE) AS pos
+        FROM r
+    """,
     # sqrt-share temperature sampling: the ratio chain replays the
     # engine's left fold (list_reduce over ascending groups) and the
     # same parenthesized IEEE arithmetic; selection is q115's

@@ -3440,7 +3440,7 @@ _PIPELINE_FUNC_NAMES = {
     # Table-method family (dispatched on the host Table, not its df)
     "sample_hash", "sample_mixture", "sample_stratified",
     "sample_weighted", "split_by_hash", "shuffle_deterministic",
-    "temperature_mixture", "cap_per_domain"}
+    "temperature_mixture", "interleave_sources", "cap_per_domain"}
 _PIPELINE_FUNCS: dict | None = None
 
 
@@ -3490,6 +3490,9 @@ def _load_table_method_funcs() -> dict:
             lambda t, group, key, target_rows, alpha=0.5:
                 t.temperature_mixture(group, key, int(target_rows),
                                       alpha=float(alpha)),
+        "interleave_sources":
+            lambda t, group, key:
+                t.interleave_sources(group, key),
         "cap_per_domain":
             lambda t, group, n, *order:
                 t.pipe(cap_per_domain, group, int(n),
@@ -3500,7 +3503,7 @@ def _load_table_method_funcs() -> dict:
 _TABLE_METHOD_FUNC_NAMES = {
     "sample_hash", "sample_mixture", "sample_stratified",
     "sample_weighted", "split_by_hash", "shuffle_deterministic",
-    "temperature_mixture", "cap_per_domain"}
+    "temperature_mixture", "interleave_sources", "cap_per_domain"}
 _TABLE_METHOD_FUNCS: dict | None = None
 
 

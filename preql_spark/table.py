@@ -455,6 +455,38 @@ class Table:
             df = df.orderBy("__shuf")
         return self._with(df.drop("__shuf"))
 
+    def interleave_sources(self, group_col: str, key: str,
+                           pos_col: str = "pos") -> "Table":
+        """Deterministic proportional interleave for training-order
+        layout: every group (source/language) progresses uniformly
+        through the epoch — row r of a c-row group lands at position
+        ``r / c`` in (0, 1], with the within-group order a
+        reproducible content-hash permutation of ``key`` (the
+        :meth:`shuffle_deterministic` rule).  Reading the result in
+        ``pos_col`` order consumes each source at a constant rate — a
+        small source spreads across the whole epoch instead of
+        clustering, without any sampling.
+
+        Plan/scale: one group-partitioned window pass (row_number +
+        count over the same partitioning — a single shuffle on the
+        group key) followed by one range-partitioned global sort,
+        which is what ANY total ordering costs; no single-reducer
+        window anywhere.  Position arithmetic is one IEEE division of
+        exact integers, so the layout replays bit-identically on any
+        engine."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from preql_spark.operators.text import portable_hash
+        w = Window.partitionBy(group_col).orderBy(
+            portable_hash(F.col(key).cast("string")), F.col(key))
+        wc = Window.partitionBy(group_col)
+        pos = (F.row_number().over(w).cast("double")
+               / F.count(F.lit(1)).over(wc).cast("double"))
+        return self._with(
+            self.df.withColumn(pos_col, pos)
+                .orderBy(pos_col, group_col, key))
+
     def split_by_hash(self, key, splits: dict, label: str = "split") -> "Table":
         """Deterministic train/validation/test split: label every row
         by which cumulative hash-bucket range its ``key`` falls into,

@@ -2106,6 +2106,14 @@ def test_pipeline_builtin_r6_third_batch(eng):
     scored = eng.t.documents.df.select(
         "doc_id", F.length("text").cast("long").alias("q"),
         token_count(F.col("text")).cast("int").alias("tok"))
+    ai = {(r.doc_id, r.pos) for r in
+          eng.t.documents.interleave_sources("source",
+                                             "doc_id").collect()}
+    li = {(r.doc_id, r.pos) for r in
+          eng.q('interleave_sources(documents, "source",'
+                ' "doc_id")').collect()}
+    assert li == ai and len(li) > 0
+
     ab = {r.doc_id for r in
           budget_select(scored, 4000, "q", "tok").collect()}
     lb = {r.doc_id for r in

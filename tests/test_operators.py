@@ -1951,3 +1951,36 @@ def test_budget_select_equals_naive_prefix(eng):
         budget_select(d, -1, "q", "tok")
     with pytest.raises(ValueError, match="n_buckets"):
         budget_select(d, 10, "q", "tok", n_buckets=0)
+
+
+def test_interleave_sources_uniform_progress(eng):
+    """Proportional interleave: any prefix of the layout contains each
+    source in near-equal PROPORTION of itself (max lag < 1 row by
+    construction: positions r/c are equi-spaced per source); the
+    layout is a deterministic permutation (re-run identical), and the
+    within-source order is the content-hash rule, not id order."""
+    d = eng.t.documents
+    out = d.interleave_sources("source", "doc_id")
+    rows = out.df.select("doc_id", "source", "pos").collect()
+    n = {r.source: 0 for r in rows}
+    tot = {}
+    for r in rows:
+        tot[r.source] = tot.get(r.source, 0) + 1
+    # walk the layout in pos order; after each row, every source's
+    # consumed fraction stays within 1/c of the global fraction
+    seen_global = 0
+    for r in sorted(rows, key=lambda r: (r.pos, r.source, r.doc_id)):
+        n[r.source] += 1
+        seen_global += 1
+        f = seen_global / len(rows)
+        for s, c in tot.items():
+            assert n[s] / c <= f + 1.0 / c + 1e-9
+    # determinism
+    again = out.df.select("doc_id", "source", "pos").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # not id order: the hash permutation must reorder at least one
+    # source's rows relative to ascending doc_id
+    by_src = {}
+    for r in sorted(rows, key=lambda r: r.pos):
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    assert any(ids != sorted(ids) for ids in by_src.values())
