@@ -385,3 +385,28 @@ def test_quantile_rollup_single_shuffle_both_paths(spark):
         assert "Expand" in plan
     assert "partial_percentile_approx" in plan.lower() \
         or "partial" in plan.lower()
+
+
+def test_budget_select_window_is_bucket_partitioned(spark):
+    """budget_select's only window runs over the boundary BUCKET
+    (hashpartitioning on __bkt) — never a SinglePartition global
+    window over the corpus, which is exactly the scale hazard the
+    bucket split exists to avoid."""
+    df = entry.q156_budget_select(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "hashpartitioning(__bkt" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_interleave_single_group_shuffle_plus_range_sort(spark):
+    """interleave_sources: row_number and count share ONE group-keyed
+    exchange (the two windows reuse the same partitioning), and the
+    only other exchange is the final range sort — the cost of any
+    total ordering."""
+    import re
+    df = entry.q157_interleave_sources(spark, SF_DIR)
+    plan = plan_of(df)
+    assert len(set(re.findall(r"\(\d+\) Exchange", plan))) == 2, plan
+    assert plan.count("hashpartitioning(source") == 1
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
