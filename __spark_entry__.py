@@ -2342,7 +2342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       four displaced are r5-green (CORRECTNESS_r05).
     #       Third batch: q155 (temperature mixture) displaces q115
     #       (mixture sample — q155 replays its hash rule plus the
-    #       sqrt-share arithmetic; sampling keeps q74/q150/q155) and
+    #       sqrt-share arithmetic; sampling keeps q150/q155/q157) and
     #       q156 (token-budget selection) displaces q121 (corpus
     #       datacard; curation/tooling keeps q117/q120).  Both
     #       displaced are r5-green.
