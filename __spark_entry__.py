@@ -2230,6 +2230,33 @@ def q157_interleave_sources(spark, sf_dir) -> DataFrame:
     return out.df.select("doc_id", "source", "pos")
 
 
+def q158_stream_quantile_ingest(spark, sf_dir) -> DataFrame:
+    """Two-wave streaming maintenance of exact per-source token-length
+    quantiles: each wave folds its (source, n_tokens) histogram into a
+    summed state table (bounded by groups x distinct lengths, never
+    corpus size); the report computes p50/p90 from the state via
+    frequency-weighted exact percentile — identical to percentile over
+    the raw rows, so the oracle is plain per-source quantile_cont over
+    the full corpus."""
+    from preql_spark.streaming.stream import incremental_quantile_ingest
+    eng = _eng(spark, sf_dir)
+    tmp = _scratch("q158_")
+    src, st, ids, ck = (os.path.join(tmp, x)
+                        for x in ("src", "state", "ids", "ck"))
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_quantile_ingest(
+        spark, src, ck, st, ids,
+        value_expr=r"size(split(trim(text), '\\s+'))")
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_quantile_ingest(
+        spark, src, ck, st, ids,
+        value_expr=r"size(split(trim(text), '\\s+'))")
+    return out.select("source", "n",
+                      F.round(F.col("p50"), 4).alias("p50"),
+                      F.round(F.col("p90"), 4).alias("p90"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2349,6 +2376,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       q157 (proportional interleave) displaces q74 (hash
     #       split; the deterministic-hash family keeps q150/q155/
     #       q157 in-window; q74 is r5-green).
+    #       q158 (streaming exact-quantile ingest) displaces q71
+    #       (fixed-range histogram; distribution reporting keeps
+    #       q153 rollup + q158 quantiles, agg keeps q53/q59/q69;
+    #       q71 is r5-green).
+    "q158_stream_quantile_ingest": q158_stream_quantile_ingest,
     "q157_interleave_sources": q157_interleave_sources,
     "q155_temperature_mixture": q155_temperature_mixture,
     "q156_budget_select": q156_budget_select,
@@ -2384,7 +2416,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q131_sqlite_roundtrip": q131_sqlite_roundtrip,
     "q133_semdedup_paper_rule": q133_semdedup_paper_rule,
     "q69_collect_explode_roundtrip": q69_collect_explode_roundtrip,
-    "q71_histogram": q71_histogram,
     "q95_repetition_metrics": q95_repetition_metrics,
     "q108_snapshot_diff": q108_snapshot_diff,
     "q116_audio_features": q116_audio_features,
@@ -2400,8 +2431,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_pack_sequences": q75_pack_sequences,
     "q78_interval_join": q78_interval_join,
     # ---- end of the 50-entry driver window -------------------------
-    # rotated out mid-r6 by the late batches q151-q157 (all
+    # rotated out mid-r6 by the late batches q151-q158 (all
     # r5-green; families kept in-window per the rotation log above):
+    "q71_histogram": q71_histogram,
     "q74_split_by_hash": q74_split_by_hash,
     "q115_mixture_sample": q115_mixture_sample,
     "q121_corpus_datacard": q121_corpus_datacard,
@@ -4229,6 +4261,17 @@ ORACLES: dict[str, str] = {
     """,
     # DSIR composition: q105's LLR CTEs feed q84's E-S ranking —
     # weight exp(score), portable-hash uniform, top-100
+    # streaming histogram state == raw corpus: frequency-weighted
+    # exact percentile over (value, cnt) == quantile_cont over rows
+    "q158_stream_quantile_ingest": r"""
+        WITH t AS (SELECT source,
+                          len(string_split_regex(trim(text), '\s+')) AS v
+                   FROM documents)
+        SELECT source, count(*) AS n,
+               round(quantile_cont(v, 0.5), 4) AS p50,
+               round(quantile_cont(v, 0.9), 4) AS p90
+        FROM t GROUP BY source
+    """,
     # proportional interleave: per-source hash-permutation rank r of a
     # c-row source -> position r/c (one exact-integer IEEE division)
     "q157_interleave_sources": """

@@ -538,3 +538,41 @@ def test_incremental_frequent_items_equals_batch(spark, eng, tmp_path):
     cap = int(math.ceil(2.0 / 0.01))
     assert len([r for r in st if r.item is not None]) <= cap
     assert sum(r.est for r in st if r.item is None) == n
+
+
+def test_incremental_quantile_ingest_equals_batch(spark, eng, tmp_path):
+    """Two-wave histogram-state quantiles == exact percentile over the
+    raw corpus; a replay changes nothing; the state is bounded by
+    groups x distinct values and its counts sum to the corpus."""
+    from preql_spark.streaming.stream import incremental_quantile_ingest
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "state")
+    ids = str(tmp_path / "ids")
+    ck = str(tmp_path / "ck")
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    expr = r"size(split(trim(text), '\\s+'))"
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_quantile_ingest(spark, src, ck, st, ids,
+                                value_expr=expr)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_quantile_ingest(spark, src, ck, st, ids,
+                                      value_expr=expr)
+    inc = {(r.source, r.n, r.p50, r.p90) for r in out.collect()}
+    one = {(r.source, r.n, r.p50, r.p90) for r in
+           d.select("source", F.expr(expr).cast("long").alias("v"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.percentile("v", F.lit(0.5)).alias("p50"),
+                 F.percentile("v", F.lit(0.9)).alias("p90"))
+            .collect()}
+    assert inc == one and len(inc) > 0
+    out2 = incremental_quantile_ingest(spark, src, ck, st, ids,
+                                       value_expr=expr)
+    assert {(r.source, r.n, r.p50, r.p90)
+            for r in out2.collect()} == inc
+    state = spark.read.parquet(st)
+    n_rows = d.count()
+    assert state.agg(F.sum("cnt")).collect()[0][0] == n_rows
+    n_distinct = (d.select("source", F.expr(expr).alias("v"))
+                  .distinct().count())
+    assert state.count() == n_distinct
