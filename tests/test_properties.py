@@ -658,3 +658,56 @@ def test_quantile_rollup_matches_numpy_model(eng, q1, q2):
         assert n == len(vals)
         assert abs(a - float(np.percentile(vals, q1 * 100))) < 1e-6
         assert abs(b - float(np.percentile(vals, q2 * 100))) < 1e-6
+
+
+@settings(**SETTINGS)
+@given(budget=st.integers(0, 40000), nb=st.integers(1, 24))
+def test_budget_select_matches_prefix_model(eng, budget, nb):
+    """budget_select == the maximal-prefix model for ANY budget and
+    bucket count — the bucket split must never change the answer."""
+    from preql_spark.operators.text import budget_select, token_count
+    d = eng.t.documents.df.select(
+        "doc_id", F.length("text").cast("long").alias("q"),
+        token_count(F.col("text")).cast("int").alias("tok"))
+    rows = [(r.q, r.doc_id, r.tok) for r in d.collect()]
+    cum, want = 0, set()
+    for q, i, tok in sorted(rows, key=lambda t: (-t[0], t[1])):
+        cum += tok
+        if cum > budget:
+            break
+        want.add(i)
+    got = {r.doc_id for r in
+           budget_select(d, budget, "q", "tok", n_buckets=nb).collect()}
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(target=st.integers(0, 600),
+       alpha=st.sampled_from([0.5, 1.0]))
+def test_temperature_mixture_matches_hash_model(eng, target, alpha):
+    """temperature_mixture == the pure-Python golden model: sqrt/pow
+    share ratios folded in ascending group order, int-truncated
+    thresholds, md5-bucket keep rule (the portable_hash spelling)."""
+    import hashlib
+    import math
+    d = eng.from_df(eng.t.documents.df.withColumn(
+        "grp", F.substring("source", 4, 1)))
+    rows = [(r.doc_id, r.grp) for r in
+            d.df.select("doc_id", "grp").collect()]
+    counts = {}
+    for _, g in rows:
+        counts[g] = counts.get(g, 0) + 1
+    wfun = math.sqrt if alpha == 0.5 else (lambda c: math.pow(c, alpha))
+    s = 0.0
+    for g in sorted(counts):
+        s += wfun(float(counts[g]))
+    thr = {g: int(min((wfun(float(c)) / s) * float(target) / float(c),
+                      1.0) * 1000000)
+           for g, c in counts.items()}
+    want = {i for i, g in rows
+            if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+            % 1000000 < thr[g]}
+    got = {r.doc_id for r in
+           d.temperature_mixture("grp", "doc_id", target,
+                                 alpha=alpha).collect()}
+    assert got == want
