@@ -2257,6 +2257,32 @@ def q158_stream_quantile_ingest(spark, sf_dir) -> DataFrame:
                       F.round(F.col("p90"), 4).alias("p90"))
 
 
+def q159_retrieve_refine_diversify(spark, sf_dir) -> DataFrame:
+    """The production ANN serving pipeline as ONE composition:
+    IVF-PQ retrieval (q139's operator, query vec_id=0, top-10 by ADC)
+    -> exact-cosine REFINE of just those candidates (rel, rounded
+    4 dp) -> MMR diversification (q154's operator, lam=0.7, top-4).
+    The corpus-scale cost stays in the retrieval leg; refine and MMR
+    touch only the 10 candidates.  The oracle chains q139's full
+    replay (Lloyd rounds, probe ranking, PQ encode, ADC) into q154's
+    refine + greedy argmax CTEs."""
+    from preql_spark.operators import similarity as S
+    e = _eng(spark, sf_dir).t.embeddings.df
+    q0 = e.filter(F.col("vec_id") < 1)
+    top = S.ivf_pq_topk(e, q0, k=10, dim=64, n_centroids=8, iters=2,
+                        nprobe=2, m=8, ksub=16, tie_digits=4)
+    cand = (top.select("vec_id")
+            .join(e.select("vec_id", "embedding"), "vec_id")
+            .crossJoin(F.broadcast(
+                q0.select(F.col("embedding").alias("__qv"))))
+            .select("vec_id", "embedding",
+                    S.cosine(F.col("embedding"),
+                             F.col("__qv")).alias("rel")))
+    out = S.mmr_diversify(cand, k=4, lam=0.7)
+    ms = F.floor(F.col("mmr_score") * 1000000 + F.lit(0.5)) / 1000000
+    return out.select("vec_id", "rel", ms.alias("mmr_score"), "pick")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2431,6 +2457,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_pack_sequences": q75_pack_sequences,
     "q78_interval_join": q78_interval_join,
     # ---- end of the 50-entry driver window -------------------------
+    # battery-only addition (never driver-windowed yet; r7 rotation
+    # stock): the retrieve->refine->diversify ANN serving capstone
+    "q159_retrieve_refine_diversify": q159_retrieve_refine_diversify,
     # rotated out mid-r6 by the late batches q151-q158 (all
     # r5-green; families kept in-window per the rotation log above):
     "q71_histogram": q71_histogram,
@@ -4798,6 +4827,166 @@ ORACLES: dict[str, str] = {
               WHERE toks[pos+1] = 'the' AND toks[pos+2] = 'table'
               GROUP BY doc_id)
         SELECT doc_id, CAST(n AS INT) AS n_hits FROM h
+    """,
+    # q139's full IVF-PQ replay (one query, top-10 ADC candidates)
+    # -> exact-cosine refine (rel, 4dp) -> q154's greedy MMR CTEs
+    "q159_retrieve_refine_diversify": """
+        WITH emb AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ),
+        c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid,
+                 v AS c
+          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)
+        ),
+        a1 AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(e.v, c.c),
+                              x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
+            FROM emb e CROSS JOIN c0 c) WHERE rn = 1
+        ),
+        c1 AS (
+          SELECT c0.cid, COALESCE(u.c, c0.c) AS c FROM c0 LEFT JOIN (
+            SELECT cid, list(m ORDER BY p) AS c FROM (
+              SELECT a.cid AS cid, t.i AS p, avg(a.v[t.i]) AS m
+              FROM a1 a CROSS JOIN generate_series(1, 64) t(i)
+              GROUP BY a.cid, t.i) GROUP BY cid) u ON u.cid = c0.cid
+        ),
+        a2 AS (
+          SELECT vec_id, v, cid FROM (
+            SELECT e.vec_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(e.v, c.c),
+                              x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
+            FROM emb e CROSS JOIN c1 c) WHERE rn = 1
+        ),
+        c2 AS (
+          SELECT c1.cid, COALESCE(u.c, c1.c) AS c FROM c1 LEFT JOIN (
+            SELECT cid, list(m ORDER BY p) AS c FROM (
+              SELECT a.cid AS cid, t.i AS p, avg(a.v[t.i]) AS m
+              FROM a2 a CROSS JOIN generate_series(1, 64) t(i)
+              GROUP BY a.cid, t.i) GROUP BY cid) u ON u.cid = c1.cid
+        ),
+        asg AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(e.v, c.c),
+                              x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
+            FROM emb e CROSS JOIN c2 c) WHERE rn = 1
+        ),
+        pr AS (
+          SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_sum(list_transform(list_zip(q.v, c.c),
+                              x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid) AS rn
+            FROM emb q CROSS JOIN c2 c WHERE q.vec_id < 1)
+          WHERE rn <= 2
+        ),
+        smp AS (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 16),
+        cb AS (
+          SELECT j.j,
+                 CAST(row_number() OVER (PARTITION BY j.j
+                      ORDER BY smp.vec_id) AS INT) AS ccid,
+                 smp.v[j.j*8+1 : j.j*8+8] AS c
+          FROM smp CROSS JOIN (SELECT unnest(range(8)) AS j) j
+        ),
+        enc AS (
+          SELECT vec_id, j, ccid - 1 AS code FROM (
+            SELECT e.vec_id, cb.j, cb.ccid,
+                   row_number() OVER (PARTITION BY e.vec_id, cb.j
+                     ORDER BY list_sum(list_transform(
+                       list_zip(e.v[cb.j*8+1 : cb.j*8+8], cb.c),
+                       x -> (x[1]-x[2])*(x[1]-x[2]))), cb.ccid) AS rn
+            FROM emb e CROSS JOIN cb) WHERE rn = 1
+        ),
+        lut AS (
+          SELECT q.vec_id AS query_id, cb.j, cb.ccid - 1 AS code,
+                 list_sum(list_transform(
+                   list_zip(q.v[cb.j*8+1 : cb.j*8+8], cb.c),
+                   x -> (x[1]-x[2])*(x[1]-x[2]))) AS d
+          FROM emb q CROSS JOIN cb WHERE q.vec_id < 1
+        ),
+        adc AS (
+          SELECT l.query_id, e.vec_id,
+                 list_sum(list(l.d ORDER BY l.j)) AS dist
+          FROM enc e
+          JOIN asg a ON a.vec_id = e.vec_id
+          JOIN pr p ON p.cid = a.cid
+          JOIN lut l ON l.query_id = p.query_id
+                     AND l.j = e.j AND l.code = e.code
+          GROUP BY l.query_id, e.vec_id
+        ),
+        rd AS (
+          SELECT query_id, vec_id,
+                 floor(dist * 10000 + 0.5) / 10000 AS dist_r
+          FROM adc
+        ),
+        rk AS (
+          SELECT query_id, vec_id, dist_r,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY dist_r, vec_id) AS rank
+          FROM rd
+        ),
+        cand AS (SELECT vec_id FROM rk WHERE rank <= 10),
+        cv AS (SELECT e.vec_id AS id, e.v AS v FROM emb e
+               SEMI JOIN cand ON e.vec_id = cand.vec_id),
+        qv AS (SELECT v FROM emb WHERE vec_id = 0),
+        ru AS (SELECT cv.id, unnest(qv.v) AS x, unnest(cv.v) AS y
+               FROM cv, qv),
+        r0 AS (SELECT id, sum(x * y)
+                      / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim
+               FROM ru GROUP BY id),
+        candr AS (SELECT id, floor(sim * 10000 + 0.5) / 10000 AS rel
+                  FROM r0),
+        pp AS (SELECT a.id AS a, b.id AS b, a.v AS av, b.v AS bv
+               FROM cv a, cv b WHERE a.id <> b.id),
+        pu AS (SELECT a, b, unnest(av) AS x, unnest(bv) AS y FROM pp),
+        ps AS (SELECT a, b,
+                      floor((sum(x * y)
+                             / (sqrt(sum(x * x)) * sqrt(sum(y * y))))
+                            * 10000 + 0.5) / 10000 AS s
+               FROM pu GROUP BY a, b),
+        p1 AS (SELECT id, rel, 0.7 * rel AS score, 1 AS pick FROM candr
+               ORDER BY rel DESC, id LIMIT 1),
+        sel1 AS (SELECT id FROM p1),
+        p2 AS (SELECT id, rel, score, 2 AS pick FROM (
+                 SELECT c.id, c.rel,
+                        0.7 * c.rel - 0.3 * max(ps.s) AS score
+                 FROM candr c JOIN ps ON ps.a = c.id
+                 JOIN sel1 ON ps.b = sel1.id
+                 WHERE c.id NOT IN (SELECT id FROM sel1)
+                 GROUP BY c.id, c.rel)
+               ORDER BY score DESC, id LIMIT 1),
+        sel2 AS (SELECT id FROM sel1 UNION ALL SELECT id FROM p2),
+        p3 AS (SELECT id, rel, score, 3 AS pick FROM (
+                 SELECT c.id, c.rel,
+                        0.7 * c.rel - 0.3 * max(ps.s) AS score
+                 FROM candr c JOIN ps ON ps.a = c.id
+                 JOIN sel2 ON ps.b = sel2.id
+                 WHERE c.id NOT IN (SELECT id FROM sel2)
+                 GROUP BY c.id, c.rel)
+               ORDER BY score DESC, id LIMIT 1),
+        sel3 AS (SELECT id FROM sel2 UNION ALL SELECT id FROM p3),
+        p4 AS (SELECT id, rel, score, 4 AS pick FROM (
+                 SELECT c.id, c.rel,
+                        0.7 * c.rel - 0.3 * max(ps.s) AS score
+                 FROM candr c JOIN ps ON ps.a = c.id
+                 JOIN sel3 ON ps.b = sel3.id
+                 WHERE c.id NOT IN (SELECT id FROM sel3)
+                 GROUP BY c.id, c.rel)
+               ORDER BY score DESC, id LIMIT 1),
+        allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                 UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4)
+        SELECT id AS vec_id, rel,
+               floor(score * 1000000 + 0.5) / 1000000 AS mmr_score,
+               CAST(pick AS INT) AS pick
+        FROM allp
     """,
     "q139_ivf_pq_topk": """
         WITH emb AS (

@@ -1984,3 +1984,28 @@ def test_interleave_sources_uniform_progress(eng):
     for r in sorted(rows, key=lambda r: r.pos):
         by_src.setdefault(r.source, []).append(r.doc_id)
     assert any(ids != sorted(ids) for ids in by_src.values())
+
+
+def test_retrieve_refine_diversify_composition(eng, emb):
+    """q159's composition invariants: every MMR pick is one of the
+    IVF-PQ candidates; pick 1 is the exact-cosine argmax of the
+    candidate set; k bounds the output."""
+    from preql_spark.operators import similarity as S
+    q0 = emb.filter(F.col("vec_id") < 1)
+    top = S.ivf_pq_topk(emb, q0, k=10, dim=64, n_centroids=8, iters=2,
+                        nprobe=2, m=8, ksub=16, tie_digits=4)
+    cand_ids = {r.vec_id for r in top.select("vec_id").collect()}
+    cand = (top.select("vec_id")
+            .join(emb.select("vec_id", "embedding"), "vec_id")
+            .crossJoin(F.broadcast(
+                q0.select(F.col("embedding").alias("__qv"))))
+            .select("vec_id", "embedding",
+                    S.cosine(F.col("embedding"),
+                             F.col("__qv")).alias("rel")))
+    out = sorted(S.mmr_diversify(cand, k=4, lam=0.7).collect(),
+                 key=lambda r: r.pick)
+    assert len(out) == 4
+    assert {r.vec_id for r in out} <= cand_ids
+    rels = {r.vec_id: r.rel for r in cand.collect()}
+    best = max(sorted(rels), key=lambda i: (round(rels[i], 4), -i))
+    assert out[0].vec_id == best
