@@ -2283,6 +2283,31 @@ def q159_retrieve_refine_diversify(spark, sf_dir) -> DataFrame:
     return out.select("vec_id", "rel", ms.alias("mmr_score"), "pick")
 
 
+def q160_bpe_pair_counts(spark, sf_dir) -> DataFrame:
+    """Adjacent-token-pair frequencies, top-20 — the counting step of
+    a BPE merge round ('which pair merges next?').  Scan-local
+    zip/slice pairing + ONE pair-keyed partial-agg shuffle +
+    TakeOrdered (word-count shape); ties break on (left, right).  The
+    merge APPLICATION (`text.bpe_merge_pair`, a greedy scan-local
+    array fold) is pytest-pinned against a Python model."""
+    from preql_spark.operators.text import adjacent_pair_counts
+    d = _eng(spark, sf_dir).t.documents.df
+    return adjacent_pair_counts(d, k=20) \
+        .select("left", "right", "cnt", "rank")
+
+
+def q161_ngram_diversity(spark, sf_dir) -> DataFrame:
+    """Per-source bigram diversity (distinct/total) — the standard
+    repetitiveness report for a training mix; one explode + one
+    group-keyed partial-agg shuffle.  Counts are exact integers; the
+    ratio is one IEEE division rounded 4 dp on both engines."""
+    from preql_spark.operators.text import ngram_diversity
+    d = _eng(spark, sf_dir).t.documents.df
+    out = ngram_diversity(d, 2, "source")
+    return out.select("source", "total", "n_distinct",
+                      _pr4(F.col("diversity")).alias("diversity"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2457,9 +2482,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_pack_sequences": q75_pack_sequences,
     "q78_interval_join": q78_interval_join,
     # ---- end of the 50-entry driver window -------------------------
-    # battery-only addition (never driver-windowed yet; r7 rotation
-    # stock): the retrieve->refine->diversify ANN serving capstone
+    # battery-only additions (never driver-windowed yet; r7 rotation
+    # stock): the retrieve->refine->diversify ANN serving capstone,
+    # BPE pair statistics, and per-source n-gram diversity
     "q159_retrieve_refine_diversify": q159_retrieve_refine_diversify,
+    "q160_bpe_pair_counts": q160_bpe_pair_counts,
+    "q161_ngram_diversity": q161_ngram_diversity,
     # rotated out mid-r6 by the late batches q151-q158 (all
     # r5-green; families kept in-window per the rotation log above):
     "q71_histogram": q71_histogram,
@@ -4827,6 +4855,39 @@ ORACLES: dict[str, str] = {
               WHERE toks[pos+1] = 'the' AND toks[pos+2] = 'table'
               GROUP BY doc_id)
         SELECT doc_id, CAST(n AS INT) AS n_hits FROM h
+    """,
+    # adjacent pairs via 1-based positional zip; ties (cnt, left,
+    # right); left/right quoted (SQL keywords)
+    "q160_bpe_pair_counts": r"""
+        WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        p AS (SELECT toks[i] AS l, toks[i + 1] AS r
+              FROM t, unnest(range(1, len(toks))) AS u(i)
+              WHERE len(toks) >= 2),
+        pf AS (SELECT l, r FROM p WHERE l <> '' AND r <> ''),
+        c AS (SELECT l, r, count(*) AS cnt FROM pf GROUP BY l, r),
+        rk AS (SELECT l, r, cnt,
+                      row_number() OVER (ORDER BY cnt DESC, l, r)
+                        AS rank
+               FROM c)
+        SELECT l AS "left", r AS "right", cnt, CAST(rank AS INT) AS rank
+        FROM rk WHERE rank <= 20
+    """,
+    # bigrams as inclusive 2-element slices; exact integer counts,
+    # one rounded IEEE division for the ratio
+    "q161_ngram_diversity": r"""
+        WITH t AS (SELECT source,
+                          string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents),
+        g AS (SELECT source, array_to_string(toks[i:i+1], ' ') AS gram
+              FROM t, unnest(range(1, len(toks))) AS u(i)
+              WHERE len(toks) >= 2)
+        SELECT source, count(*) AS total,
+               count(DISTINCT gram) AS n_distinct,
+               floor((CAST(count(DISTINCT gram) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) * 10000 + 0.5)
+                 / 10000 AS diversity
+        FROM g GROUP BY source
     """,
     # q139's full IVF-PQ replay (one query, top-10 ADC candidates)
     # -> exact-cosine refine (rel, 4dp) -> q154's greedy MMR CTEs

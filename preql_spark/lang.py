@@ -3291,6 +3291,7 @@ def _make_maps():
         "redact_pii": _t.redact_pii,
         "strip_short_lines": _t.strip_short_lines,
         "host_of": _t.host_of,
+        "bpe_merge_pair": _t.bpe_merge_pair,
     })
     return agg_map, scalar_map
 
@@ -3397,6 +3398,12 @@ def _load_pipeline_funcs() -> dict:
         "corpus_datacard": text.corpus_datacard,
         "postings": text.postings,
         "budget_select": text.budget_select,
+        "adjacent_pair_counts":
+            lambda df, k=None: text.adjacent_pair_counts(
+                df, k=None if k is None else int(k)),
+        "ngram_diversity":
+            lambda df, n=2, group_col="source":
+                text.ngram_diversity(df, int(n), group_col),
         "phrase_search": text.phrase_search,
         "ranked_search": text.ranked_search,
         "hybrid_search": text.hybrid_search,
@@ -3430,7 +3437,7 @@ _PIPELINE_FUNC_NAMES = {
     "quality_metrics", "repetition_metrics",
     "tfidf", "bm25", "lm_perplexity", "quantile_filter",
     "quantile_bucketize", "corpus_datacard", "postings",
-    "budget_select",
+    "budget_select", "adjacent_pair_counts", "ngram_diversity",
     "phrase_search", "ranked_search", "hybrid_search", "cosine_topk",
     "cosine_topk_arrow",
     "cosine_pairs", "lsh_cosine_pairs", "normalize_vectors",

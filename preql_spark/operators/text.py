@@ -882,3 +882,106 @@ def budget_select(df: DataFrame, budget: int, quality_col: str,
         return keep_full.unionByName(part).drop("__bkt")
     finally:
         base.unpersist(blocking=False)
+
+
+def adjacent_pair_counts(df: DataFrame, text_col: str = "text",
+                         k: int | None = None) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies — the counting
+    step of a BPE-style merge round ("which pair should merge
+    next?").  Returns ``(left, right, cnt)``; with ``k`` the top-k by
+    ``(cnt desc, left, right)`` plus a ``rank``.
+
+    Scale shape: the zip/slice pairing is scan-local (whole-stage
+    codegen over the token array, no position explode of anything but
+    the pairs themselves), then ONE partial-agg shuffle keyed on the
+    pair — the same shape as a word-count; ``k`` lowers the final
+    pick to TakeOrdered.  At 100 TB this is the cheapest full-corpus
+    statistic there is."""
+    toks = tokens(F.col(text_col))
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.arrays_zip(F.slice(toks, 1, n_pairs),
+                         F.slice(toks, 2, n_pairs))
+    base = (ensure_parallelism(df)
+            .select(F.explode(pairs).alias("p"))
+            .select(F.col("p")["0"].alias("left"),
+                    F.col("p")["1"].alias("right"))
+            .filter((F.col("left") != "") & (F.col("right") != "")))
+    out = base.groupBy("left", "right").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    if k is None:
+        return out
+    # TakeOrderedAndProject (per-partition heaps) picks the k rows —
+    # the ranking window then runs over k rows, never the whole
+    # vocabulary-sized pair table
+    top = out.orderBy(F.col("cnt").desc(), F.col("left"),
+                      F.col("right")).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("left"),
+                       F.col("right"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def bpe_merge_pair(col, left: str, right: str,
+                   joiner: str = "▁") -> Column:
+    """One BPE merge application: greedily (left-to-right,
+    non-overlapping) replace every adjacent occurrence of
+    ``(left, right)`` in the whitespace-token stream with the merged
+    token ``left + joiner + right`` and return the rebuilt token
+    array.  Pure scan-local fold (F.aggregate over the token array) —
+    run :func:`adjacent_pair_counts` to pick the pair, this to apply
+    it, and iterate for as many merge rounds as the vocabulary needs;
+    each round is one scan, no shuffle.
+
+    The fold carries (output-so-far, pending-token) state so the
+    overlapping-run case matches reference BPE: ``a a a`` with pair
+    (a, a) merges the FIRST two only (pytest-pinned against a Python
+    model)."""
+    toks = tokens(col)
+    merged = F.lit(left + joiner + right)
+    # state: out array + pending element (array<string> of 0/1 elems)
+    init = F.struct(F.array().cast("array<string>").alias("out"),
+                    F.array().cast("array<string>").alias("pend"))
+
+    def step(acc, t):
+        pend = acc["pend"]
+        out = acc["out"]
+        has = F.size(pend) > 0
+        is_match = has & (pend[0] == F.lit(left)) & (t == F.lit(right))
+        return (F.when(is_match,
+                       F.struct(F.concat(out, F.array(merged)).alias("out"),
+                                F.array().cast("array<string>").alias("pend")))
+                .otherwise(F.struct(
+                    F.when(has, F.concat(out, pend)).otherwise(out)
+                     .alias("out"),
+                    F.array(t).alias("pend"))))
+
+    return F.aggregate(toks, init, step,
+                       lambda acc: F.concat(acc["out"], acc["pend"]))
+
+
+def ngram_diversity(df: DataFrame, n: int = 2,
+                    group_col: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """Per-group n-gram diversity: ``(group, total, distinct,
+    diversity)`` where diversity = distinct/total n-grams — the
+    standard repetitiveness report for a training mix (a collapsing
+    source shows up as a diversity cliff).  One explode + one
+    partial-agg shuffle on the group key; the n-grams cross the
+    shuffle only inside the count-distinct partials."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = tokens(F.col(text_col))
+    count = F.size(toks) - (n - 1)
+    # sequence(1, 0) DESCENDS ([1, 0]) — docs shorter than n tokens
+    # must yield an empty gram list, not a slice(start=0) crash
+    grams = F.when(count >= 1, F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))) \
+        .otherwise(F.array().cast("array<string>"))
+    base = (ensure_parallelism(df)
+            .select(F.col(group_col), F.explode(grams).alias("gram")))
+    return (base.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("total"),
+                 F.count_distinct(F.col("gram")).alias("n_distinct"))
+            .withColumn("diversity",
+                        F.col("n_distinct").cast("double")
+                        / F.col("total").cast("double")))

@@ -2122,3 +2122,33 @@ def test_pipeline_builtin_r6_third_batch(eng):
                 ' tok: token_count(text)},'
                 ' 4000, "q", "tok")').collect()}
     assert lb == ab and len(lb) > 0
+
+
+def test_pipeline_builtin_r6_fourth_batch(eng):
+    """Lang spellings of the BPE/diversity batch equal their
+    Python-API results: adjacent_pair_counts, ngram_diversity, and
+    the bpe_merge_pair scalar."""
+    from preql_spark.operators.text import (adjacent_pair_counts,
+                                            bpe_merge_pair,
+                                            ngram_diversity)
+    ap = {tuple(r) for r in
+          adjacent_pair_counts(eng.t.documents.df, k=10).collect()}
+    lp = {tuple(r) for r in
+          eng.q('adjacent_pair_counts(documents, k: 10)').collect()}
+    assert lp == ap and len(lp) == 10
+
+    ad = {tuple(r) for r in
+          ngram_diversity(eng.t.documents.df, 2, "source").collect()}
+    ld = {tuple(r) for r in
+          eng.q('ngram_diversity(documents, n: 2,'
+                ' group_col: "source")').collect()}
+    assert ld == ad and len(ld) > 0
+
+    am = {(r.doc_id, tuple(r.m)) for r in
+          eng.t.documents.df.select(
+              "doc_id", bpe_merge_pair(F.col("text"), "the", "table")
+              .alias("m")).collect()}
+    lm = {(r.doc_id, tuple(r.m)) for r in
+          eng.q('documents{doc_id,'
+                ' m: bpe_merge_pair(text, "the", "table")}').collect()}
+    assert lm == am and len(lm) > 0

@@ -2009,3 +2009,63 @@ def test_retrieve_refine_diversify_composition(eng, emb):
     rels = {r.vec_id: r.rel for r in cand.collect()}
     best = max(sorted(rels), key=lambda i: (round(rels[i], 4), -i))
     assert out[0].vec_id == best
+
+
+def test_bpe_merge_pair_matches_python_model(spark):
+    """The greedy merge fold == reference BPE left-to-right
+    non-overlapping semantics, pinned against a Python model on
+    crafted overlap/run/boundary cases."""
+    from preql_spark.operators.text import bpe_merge_pair
+    cases = ["a b a b c", "a a a", "a a a a", "", "solo",
+             "b a b a b", "a b b a b", "x a b", "a b"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)],
+                               "i: long, text: string")
+    got = {r.i: list(r.m) for r in
+           df.select("i", bpe_merge_pair(F.col("text"), "a", "b")
+                     .alias("m")).collect()}
+
+    def model(text, left, right, joiner="▁"):
+        toks = text.strip().split() if text.strip() else [""]
+        out, i = [], 0
+        while i < len(toks):
+            if (i + 1 < len(toks) and toks[i] == left
+                    and toks[i + 1] == right):
+                out.append(left + joiner + right)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    for i, t in enumerate(cases):
+        assert got[i] == model(t, "a", "b"), (t, got[i])
+    # the aa-run case: 'a a a' with (a, a) merges the FIRST two only
+    run = {r.i: list(r.m) for r in
+           df.select("i", bpe_merge_pair(F.col("text"), "a", "a")
+                     .alias("m")).collect()}
+    for i, t in enumerate(cases):
+        assert run[i] == model(t, "a", "a"), (t, run[i])
+
+
+def test_pair_counts_and_diversity_semantics(spark):
+    """adjacent_pair_counts == the zip model; ngram_diversity counts
+    exact distinct/total bigrams; short docs contribute nothing."""
+    from preql_spark.operators.text import (adjacent_pair_counts,
+                                            ngram_diversity)
+    df = spark.createDataFrame(
+        [(0, "a b a b c", "s"), (1, "", "s"), (2, "x", "s"),
+         (3, "a b", "t")],
+        "doc_id: long, text: string, source: string")
+    got = {(r.left, r.right): r.cnt for r in
+           adjacent_pair_counts(df).collect()}
+    assert got == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    top = adjacent_pair_counts(df, k=2).collect()
+    assert [(r.left, r.right, r.rank) for r in
+            sorted(top, key=lambda r: r.rank)] == \
+        [("a", "b", 1), ("b", "a", 2)]
+    div = {r.source: (r.total, r.n_distinct, r.diversity) for r in
+           ngram_diversity(df, 2, "source").collect()}
+    assert div == {"s": (4, 3, 0.75), "t": (1, 1, 1.0)}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n must"):
+        ngram_diversity(df, 0, "source")
