@@ -856,7 +856,11 @@ def budget_select(df: DataFrame, budget: int, quality_col: str,
         else:
             bucket = F.lit(0)
         bkt = base.withColumn("__bkt", bucket)
-        sums = {r["__bkt"]: r["tok"] for r in
+        # sum() skips NULL tokens on both the driver path and the
+        # boundary window (SQL semantics: a NULL-token row leaves the
+        # running total unchanged and is kept while cum <= budget);
+        # an all-NULL bucket sums to None -> 0
+        sums = {r["__bkt"]: int(r["tok"] or 0) for r in
                 bkt.groupBy("__bkt")
                    .agg(F.sum(token_col).alias("tok")).collect()}
         cum = 0

@@ -424,6 +424,13 @@ class Table:
             raise ValueError(f"target_rows must be >= 0, got {target_rows}")
         counts = {r[0]: r[1] for r in
                   self.df.groupBy(group_col).count().collect()}
+        if None in counts:
+            # a NULL group can never match sample_mixture's equality
+            # filter (rows would vanish silently) and breaks the
+            # sorted-group ratio fold — make the contract explicit
+            raise ValueError(
+                f"temperature_mixture: {group_col!r} contains NULLs; "
+                "fill or filter them upstream")
         if not counts:
             return self._with(self.df.limit(0))
         wfun = (math.sqrt if alpha == 0.5

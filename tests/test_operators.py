@@ -2069,3 +2069,24 @@ def test_pair_counts_and_diversity_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="n must"):
         ngram_diversity(df, 0, "source")
+
+
+def test_budget_select_and_temperature_null_handling(spark, eng):
+    """budget_select tolerates NULL token counts (SQL sum-over
+    semantics: a NULL-token row leaves the running total unchanged);
+    temperature_mixture raises a clear error on NULL groups instead
+    of silently dropping their rows."""
+    from preql_spark.operators.text import budget_select
+    d = spark.createDataFrame(
+        [(1, 10, 5), (2, 9, None), (3, 8, 5), (4, 7, None)],
+        "doc_id: long, q: long, tok: int")
+    got = {r.doc_id for r in
+           budget_select(d, 5, "q", "tok", n_buckets=2).collect()}
+    # order (10, 9, 8, 7): cum 5, 5, 10(>5 stop) — the NULL-token doc
+    # rides along while cum <= budget
+    assert got == {1, 2}
+    nulls = eng.from_df(eng.t.documents.df.withColumn(
+        "g", F.when(F.col("doc_id") % 2 == 0, F.lit(None))
+              .otherwise(F.col("source"))))
+    with pytest.raises(ValueError, match="contains NULLs"):
+        nulls.temperature_mixture("g", "doc_id", 10)
