@@ -1952,7 +1952,12 @@ def q141_stream_postings_ingest(spark, sf_dir) -> DataFrame:
     incremental_postings_ingest(spark, src, idx, ck)
     d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
     out = incremental_postings_ingest(spark, src, idx, ck)
-    return out.select("term", "doc_id", "positions", "tf")
+    # position lists ride as comma-joined strings: the driver's
+    # hash-compare canonicalizer cannot hash list-typed cells
+    pos_s = F.array_join(
+        F.transform(F.col("positions"), lambda x: x.cast("string")),
+        ",")
+    return out.select("term", "doc_id", pos_s.alias("positions"), "tf")
 
 
 def q142_remove_duplicate_spans(spark, sf_dir) -> DataFrame:
@@ -2029,9 +2034,13 @@ def q146_random_projection(spark, sf_dir) -> DataFrame:
     from preql_spark.operators.similarity import random_project
     e = _eng(spark, sf_dir).t.embeddings
     out = random_project(e.df, out_dim=8, dim=64, method="hof")
-    arr = F.transform(F.col("projected"),
-                      lambda x: F.floor(x * 10000 + F.lit(0.5)) / 10000)
-    return out.select("vec_id", arr.alias("projected"))
+    # quantize each element to an integer 1e-4 grid and join as a
+    # string: list cells are unhashable in the driver's canonicalizer
+    arr = F.transform(
+        F.col("projected"),
+        lambda x: F.floor(x * 10000 + F.lit(0.5))
+        .cast("long").cast("string"))
+    return out.select("vec_id", F.array_join(arr, ",").alias("projected"))
 
 
 def q147_frequent_tokens(spark, sf_dir) -> DataFrame:
@@ -4703,7 +4712,10 @@ ORACLES: dict[str, str] = {
           FROM emb e CROSS JOIN planes pl
         )
         SELECT vec_id,
-               list(floor(y * 10000 + 0.5) / 10000 ORDER BY p) AS projected
+               array_to_string(
+                 list(CAST(CAST(floor(y * 10000 + 0.5) AS BIGINT)
+                           AS VARCHAR) ORDER BY p),
+                 ',') AS projected
         FROM proj GROUP BY vec_id
     """,
     # q143's BM25 CTE chain + q40's cosine spelling (query vec_id=7),
@@ -4839,8 +4851,9 @@ ORACLES: dict[str, str] = {
         g AS (SELECT toks[pos+1] AS term, doc_id, pos FROM p
               WHERE toks[pos+1] <> '')
         SELECT term, doc_id,
-               list_transform(list(pos ORDER BY pos),
-                              x -> CAST(x AS INT)) AS positions,
+               array_to_string(
+                 list(CAST(pos AS VARCHAR) ORDER BY pos),
+                 ',') AS positions,
                CAST(count(*) AS BIGINT) AS tf
         FROM g GROUP BY term, doc_id
     """,

@@ -877,8 +877,15 @@ def _pq_luts(spark, queries: DataFrame, codebook: list,
                 row.append(acc)
             lut.append(row)
         luts.append((r["__qid"], lut))
-    return spark.createDataFrame(
-        luts, "query_id long, __lut array<array<double>>")
+    # query_id keeps the caller's id dtype (string vec ids work too —
+    # a hardcoded 'long' here would fail createDataFrame for them)
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("query_id", queries.schema[id_col].dataType),
+        T.StructField("__lut",
+                      T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ])
+    return spark.createDataFrame(luts, schema)
 
 
 def pq_adc_topk(encoded: DataFrame, queries: DataFrame, codebook: list,

@@ -179,20 +179,30 @@ def frequent_items(df: DataFrame, col: str, phi: float,
     if cap < 1:
         raise ValueError(f"capacity must be >= 1, got {cap}")
     base = ensure_parallelism(df.select(F.col(col).alias("item")))
-    # summaries persist across the two consumers (the scalar n and
-    # the candidate set in the returned plan) — cap*partitions rows,
-    # kilobytes; scoped to this call, LRU-evicted like the other
-    # operator-local persists (dedup shingles, IVF assignments)
+    # summaries persist only across the two collects below (the
+    # scalar n and the candidate set — <= cap*partitions rows,
+    # kilobytes); the candidate set is materialized into a LITERAL
+    # frame so the returned lazy plan holds no reference to the
+    # cached partitions, and summ is unpersisted before returning —
+    # repeated calls cannot accumulate cached partitions.
     summ = mg_summaries(base, cap).persist()
-    n = summ.filter(F.col("item").isNull()) \
-            .agg(F.sum("est")).collect()[0][0] or 0
-    if n == 0:
+    try:
+        n = summ.filter(F.col("item").isNull()) \
+                .agg(F.sum("est")).collect()[0][0] or 0
+        if n == 0:
+            return base.groupBy(F.col("item")) \
+                       .agg(F.count(F.lit(1)).alias("cnt")).limit(0)
+        cand_rows = [(r["item"],) for r in
+                     summ.filter(F.col("item").isNotNull())
+                         .select("item").distinct().collect()]
+    finally:
         summ.unpersist(blocking=False)
-        return base.groupBy(F.col("item")) \
-                   .agg(F.count(F.lit(1)).alias("cnt")).limit(0)
     t = int(math.ceil(phi * float(n)))
-    cand = summ.filter(F.col("item").isNotNull()) \
-               .select("item").distinct()
+    from pyspark.sql import types as T
+    cand = df.sparkSession.createDataFrame(
+        cand_rows,
+        T.StructType([T.StructField("item",
+                                    df.schema[col].dataType)]))
     return (base.join(F.broadcast(cand), "item", "leftsemi")
             .groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
             .filter(F.col("cnt") >= F.lit(t)))

@@ -664,15 +664,23 @@ def phrase_search(post: DataFrame, phrase: str,
     if not words:
         raise ValueError("empty phrase")
     uniq = list(dict.fromkeys(words))
-    # id under a reserved name so a term that happens to equal the id
-    # column can never collide with a pivot output column
+    # Pivot on SYNTHETIC labels (__t0, __t1, ...), never on the raw
+    # terms: a term containing '.' or '`' would otherwise be parsed as
+    # a nested attribute path at analysis time (and ordinary punctuated
+    # phrases keep punctuation attached under whitespace tokenization).
+    # The id also sits under a reserved name so a term can never
+    # collide with a pivot output column.
+    labels = {w: f"__t{i}" for i, w in enumerate(uniq)}
+    lab_map = F.create_map(
+        *[F.lit(x) for w in uniq for x in (w, labels[w])])
     wide = (post.filter(F.col("term").isin(uniq))
-            .select(F.col(id_col).alias("__ps_id"), "term", "positions")
-            .groupBy("__ps_id").pivot("term", uniq)
+            .select(F.col(id_col).alias("__ps_id"),
+                    lab_map[F.col("term")].alias("__lab"), "positions")
+            .groupBy("__ps_id").pivot("__lab", list(labels.values()))
             .agg(F.first("positions"))
             .dropna())               # AND semantics: every term present
     j = wide.select(F.col("__ps_id").alias(id_col),
-                    *[wide[w].alias(f"__p{i}")
+                    *[wide[labels[w]].alias(f"__p{i}")
                       for i, w in enumerate(words)])
 
     def _adjacent(i):

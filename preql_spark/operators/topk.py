@@ -46,9 +46,16 @@ def topk_per_group(df: DataFrame, group_cols: list[str],
     payload = [c for c in df.columns if c not in group_cols]
     if order_col not in payload and order_col not in group_cols:
         raise ValueError(f"unknown order column {order_col!r}")
+    # NULL order/tie values rank LAST (both directions) — matching the
+    # row_number-window oracle's desc_nulls_last/asc_nulls_last and the
+    # arrow path's pandas na_position='last'.  Without the flag, struct
+    # comparison treats a NULL field as smallest, which in descending
+    # mode would silently rank NULL rows FIRST and displace real rows.
     okey = (-F.col(order_col) if descending else F.col(order_col))
-    skey = [okey.alias("__ok")]
+    skey = [F.col(order_col).isNull().cast("int").alias("__on"),
+            okey.alias("__ok")]
     if tie_col is not None:
+        skey.append(F.col(tie_col).isNull().cast("int").alias("__tn"))
         skey.append(F.col(tie_col).alias("__tk"))
     struct_fields = skey + [F.col(c).alias(c) for c in payload]
 

@@ -662,9 +662,17 @@ def incremental_quantile_ingest(
             for r in s.read.parquet(state_path).collect():
                 counts[(r["g"], r["v"])] = \
                     counts.get((r["g"], r["v"]), 0) + int(r["cnt"])
+        # the state's g field keeps the batch's group dtype (an int
+        # partition key must not silently coerce to string here)
+        from pyspark.sql import types as T
+        st_schema = T.StructType([
+            T.StructField("g", batch.schema[group_col].dataType),
+            T.StructField("v", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+        ])
         state = s.createDataFrame(
             [(g, v, int(c)) for (g, v), c in counts.items()],
-            schema="g string, v bigint, cnt bigint")
+            schema=st_schema)
         state.coalesce(1).write.mode("overwrite").parquet(state_path)
         batch.select(id_col).write.mode("append").parquet(ids_path)
         batch.unpersist(blocking=False)

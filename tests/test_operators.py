@@ -2090,3 +2090,92 @@ def test_budget_select_and_temperature_null_handling(spark, eng):
               .otherwise(F.col("source"))))
     with pytest.raises(ValueError, match="contains NULLs"):
         nulls.temperature_mixture("g", "doc_id", 10)
+
+
+def test_topk_per_group_null_order_values(spark):
+    """NULL order values rank LAST in both directions on both paths
+    (r6 advice: struct comparison treated NULL as smallest, silently
+    ranking NULL rows FIRST in descending mode)."""
+    from pyspark.sql import Window
+    from preql_spark.operators.topk import topk_per_group
+    rows = [("a", 1, 7.0), ("a", 2, None), ("a", 3, 5.0),
+            ("a", 4, None), ("a", 5, 9.0),
+            ("b", 6, None), ("b", 7, 1.0)]
+    df = spark.createDataFrame(rows, "g: string, id: long, v: double") \
+        .repartition(4)
+    for desc in (True, False):
+        okey = (F.col("v").desc_nulls_last() if desc
+                else F.col("v").asc_nulls_last())
+        w = Window.partitionBy("g").orderBy(okey, F.col("id"))
+        want = {(r.g, r.id, r.rank) for r in
+                df.withColumn("rank", F.row_number().over(w))
+                  .filter("rank <= 2").collect()}
+        for method in ("agg", "arrow"):
+            got = {(r.g, r.id, r.rank) for r in
+                   topk_per_group(df, ["g"], "v", 2, tie_col="id",
+                                  descending=desc,
+                                  method=method).collect()}
+            assert got == want, (desc, method, got, want)
+    # NULL tie values must also agree across paths (nulls-last)
+    df2 = spark.createDataFrame(
+        [("a", i, 1.0, None if i % 2 else i) for i in range(6)],
+        "g: string, id: long, v: double, t: long").repartition(3)
+    a = {(r.g, r.id, r.rank) for r in
+         topk_per_group(df2, ["g"], "v", 3, tie_col="t").collect()}
+    b = {(r.g, r.id, r.rank) for r in
+         topk_per_group(df2, ["g"], "v", 3, tie_col="t",
+                        method="arrow").collect()}
+    assert a == b
+
+
+def test_phrase_search_punctuated_terms(spark):
+    """Phrase tokens containing dots/backticks work: pivot columns
+    are synthetic labels, never raw terms (r6 advice: 'wide[w]'
+    parsed 'end.' as a nested attribute path and crashed)."""
+    docs = spark.createDataFrame(
+        [(1, "the end. a new start"), (2, "end. the a start"),
+         (3, "a `b` c"), (4, "no match here")],
+        "doc_id: long, text: string")
+    p = text.postings(docs)
+    got = {(r.doc_id, r.n_hits)
+           for r in text.phrase_search(p, "end. a").collect()}
+    assert got == {(1, 1)}
+    got = {(r.doc_id, r.n_hits)
+           for r in text.phrase_search(p, "a `b` c").collect()}
+    assert got == {(3, 1)}
+
+
+def test_pq_adc_topk_string_ids(spark):
+    """pq_adc_topk accepts a non-long id column (r6 advice: the LUT
+    frame hardcoded 'query_id long'); results equal the long-id run
+    modulo the id rename."""
+    import random
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)])
+            for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    cb = similarity.pq_codebook(emb, dim=16, m=4, ksub=8)
+    enc = similarity.pq_encode(emb, cb)
+    q_long = emb.filter("vec_id < 2")
+    q_str = q_long.withColumn("vec_id", F.concat(F.lit("q"), "vec_id"))
+    want = {(f"q{r.query_id}", r.rank, r.vec_id) for r in
+            similarity.pq_adc_topk(enc, q_long, cb, k=3).collect()}
+    got = {(r.query_id, r.rank, r.vec_id) for r in
+           similarity.pq_adc_topk(enc, q_str, cb, k=3).collect()}
+    assert got == want and len(got) == 6
+
+
+def test_frequent_items_unpersists_summaries(spark):
+    """frequent_items leaves no cached RDDs behind (r6 advice: the
+    returned plan referenced the persisted summaries, so repeated
+    calls accumulated cached partitions)."""
+    from preql_spark.operators.sketch import frequent_items
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    items = spark.createDataFrame(
+        [(("hot" if i % 3 == 0 else f"cold{i}"),) for i in range(600)],
+        "item: string")
+    for _ in range(3):
+        out = frequent_items(items, "item", phi=0.2)
+        assert {r.item for r in out.collect()} == {"hot"}
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before

@@ -576,3 +576,33 @@ def test_incremental_quantile_ingest_equals_batch(spark, eng, tmp_path):
     n_distinct = (d.select("source", F.expr(expr).alias("v"))
                   .distinct().count())
     assert state.count() == n_distinct
+
+
+def test_incremental_quantile_ingest_int_group(spark, eng, tmp_path):
+    """A non-string group column keeps its dtype through the state
+    store (r6 advice: the state schema hardcoded 'g string')."""
+    from preql_spark.streaming.stream import incremental_quantile_ingest
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "state")
+    ids = str(tmp_path / "ids")
+    ck = str(tmp_path / "ck")
+    d = eng.t.documents.df.select(
+        "doc_id", (F.col("doc_id") % 4).alias("bucket"), "text")
+    expr = r"size(split(trim(text), '\\s+'))"
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_quantile_ingest(spark, src, ck, st, ids,
+                                group_col="bucket", value_expr=expr)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_quantile_ingest(spark, src, ck, st, ids,
+                                      group_col="bucket",
+                                      value_expr=expr)
+    assert dict(out.dtypes)["bucket"] == "bigint"
+    inc = {(r.bucket, r.n, r.p50, r.p90) for r in out.collect()}
+    one = {(r.bucket, r.n, r.p50, r.p90) for r in
+           d.select("bucket", F.expr(expr).cast("long").alias("v"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.percentile("v", F.lit(0.5)).alias("p50"),
+                 F.percentile("v", F.lit(0.9)).alias("p90"))
+            .collect()}
+    assert inc == one and len(inc) == 4

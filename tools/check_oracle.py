@@ -166,6 +166,17 @@ def main():
                   + "; ".join(kinds_bad))
             failed.append(name)
             continue
+        # the DRIVER's canonicalizer hashes cells through pandas
+        # factorize — list/struct cells raise `unhashable type` there
+        # (burned in r6: q141/q146).  Serialize arrays to strings.
+        nested = [f.name for f in sdf.schema.fields
+                  if _spark_kind(f.dataType) in ("list", "struct")]
+        if nested:
+            print(f"FAIL {name}: nested output column(s) "
+                  f"{nested} — driver hash cannot canonicalize "
+                  "list/struct cells; serialize to string")
+            failed.append(name)
+            continue
         if len(srows) != len(drows):
             print(f"FAIL {name}: rowcount spark={len(srows)} duckdb={len(drows)}")
             failed.append(name)
