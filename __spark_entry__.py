@@ -2317,6 +2317,105 @@ def q161_ngram_diversity(spark, sf_dir) -> DataFrame:
                       _pr4(F.col("diversity")).alias("diversity"))
 
 
+def q162_funnel(spark, sf_dir) -> DataFrame:
+    """Windowed ordered funnel view -> click -> purchase, whole
+    funnel within 8 h of the user's FIRST view (the anchored
+    contract): per-prefix user counts.  ONE user-keyed shuffle + a
+    JVM fold replaces the textbook n-way self-join; the fold's greedy
+    earliest-completion is provably the CTE chain the oracle runs
+    (each step takes its minimal admissible timestamp)."""
+    from preql_spark.operators.events import funnel
+    e = _eng(spark, sf_dir).t.events
+    return funnel(e.df, ["view", "click", "purchase"],
+                  within_seconds=8 * 3600) \
+        .select("step_idx", "step", "n_users")
+
+
+def q163_cohort_retention(spark, sf_dir) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first
+    activity; distinct actives per (cohort start, 7-day offset).
+    User-level partial agg + one user-keyed join-back + a tiny
+    (cohort, offset) count-distinct — all-integer arithmetic."""
+    from preql_spark.operators.events import cohort_retention
+    e = _eng(spark, sf_dir).t.events
+    return cohort_retention(e.df, period_days=7) \
+        .select("cohort_start", "period_offset", "n_users")
+
+
+def q164_transition_counts(spark, sf_dir) -> DataFrame:
+    """First-order event-type transition matrix from one lead window
+    per user (ordered ts, event_id) + one pair-keyed agg — exact
+    integer counts, no self-join."""
+    from preql_spark.operators.events import transition_counts
+    e = _eng(spark, sf_dir).t.events
+    return transition_counts(e.df).select("src", "dst", "cnt")
+
+
+def q165_winsorize(spark, sf_dir) -> DataFrame:
+    """Per-event-type winsorization of `value` into the exact
+    [p05, p95] interval.  Spark `percentile` == DuckDB
+    `quantile_cont` (the q158-proven identity), so the clipped
+    doubles agree bit-for-bit; rounded 4 dp for the hash.  The
+    bounds frame broadcasts — rows never shuffle."""
+    from preql_spark.operators.events import winsorize
+    e = _eng(spark, sf_dir).t.events
+    out = winsorize(e.df, ["event_type"], "value")
+    return out.select("event_id", "event_type",
+                      _pr4(F.col("value_w")).alias("value_w"))
+
+
+def q166_ewma(spark, sf_dir) -> DataFrame:
+    """Per-(user, event_type) exponential smoothing (alpha = 0.25 —
+    exactly representable, so 1-alpha is too) of the time-ordered
+    value sequence; the explicit-order sequential fold is
+    bit-identical to DuckDB's list_reduce replay (q155 contract).
+    One group-keyed shuffle with map-side partial collect."""
+    from preql_spark.operators.events import ewma
+    e = _eng(spark, sf_dir).t.events
+    out = ewma(e.df, ["user_id", "event_type"], "ts", "value", 0.25,
+               tie_col="event_id")
+    r6 = F.floor(F.col("ewma") * 1000000 + F.lit(0.5)) / 1000000
+    return out.select("user_id", "event_type", "n", r6.alias("ewma"))
+
+
+def q167_fuzzy_pairs(spark, sf_dir) -> DataFrame:
+    """All customer-name pairs within Levenshtein distance 2 (subset
+    c_custkey % 7 = 0) via ED-Join q-gram prefix filtering: rarest
+    (q*d+1)-gram signatures bound the candidate join (the shared
+    'Customer#0000' prefix grams are frequent and drop OUT of
+    signatures — that is what defeats the n² a naive gram join
+    suffers here), then thresholded built-in levenshtein verifies.
+    The oracle is the brute-force definition itself."""
+    from preql_spark.operators.fuzzy import fuzzy_pairs
+    c = _eng(spark, sf_dir).t.customer
+    sub = c.df.filter(F.col("c_custkey") % 7 == 0)
+    return fuzzy_pairs(sub, "c_custkey", "c_name", 2, q=2) \
+        .select("id1", "id2", "dist")
+
+
+def q168_distinct_ingest(spark, sf_dir) -> DataFrame:
+    """Two-wave streaming maintenance of the exact per-source
+    distinct token-count inventory: wave 1 ingests doc_id < 250,
+    wave 2 the rest; new (group, value) pairs append via a
+    distributed anti-join (state never crosses the driver), ids fold
+    before they append (the q151 ordering), and the report over the
+    state equals one-shot COUNT(DISTINCT) — the oracle."""
+    from preql_spark.streaming.stream import incremental_distinct_ingest
+    eng = _eng(spark, sf_dir)
+    tmp = _scratch("q168_")
+    src, st, ids, ck = (os.path.join(tmp, x)
+                        for x in ("src", "st", "ids", "ck"))
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    expr = r"cast(size(split(trim(text), '\\s+')) as string)"
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_distinct_ingest(spark, src, ck, st, ids,
+                                value_expr=expr)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_distinct_ingest(spark, src, ck, st, ids,
+                                      value_expr=expr)
+    return out.select("source", "n_distinct")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2440,6 +2539,35 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       (fixed-range histogram; distribution reporting keeps
     #       q153 rollup + q158 quantiles, agg keeps q53/q59/q69;
     #       q71 is r5-green).
+    #   r7: the 10 never-driver-confirmed queries enter at the head —
+    #       q159 (retrieve->refine->diversify ANN capstone), q160
+    #       (BPE pair counts), q161 (n-gram diversity), and this
+    #       round's event-analytics/fuzzy/streaming batch q162
+    #       (anchored-window funnel), q163 (cohort retention), q164
+    #       (transition matrix), q165 (winsorize), q166 (EWMA fold),
+    #       q167 (ED-Join fuzzy pairs), q168 (streaming distinct
+    #       inventory).  q141/q146 STAY in-window: both failed r6
+    #       only in the driver's list-cell canonicalizer and now
+    #       serialize arrays to strings — the fix must be externally
+    #       confirmed.  Displaced (all r6-green; family keeps an
+    #       in-window representative): q123 (lang: q61/q125/q144
+    #       remain), q127/q128/q130 (io roundtrips: q131 remains),
+    #       q52 (window battery: q164 lead + q153 rollup + q149's
+    #       window oracle remain), q59 (first/last_by: agg keeps
+    #       q53/q147), q69 (collect/explode: q53 + q160 slices
+    #       remain), q108 (snapshot diff: DML keeps q60/q136), q117
+    #       (expectations: tooling keeps q120), q133 (SemDeDup rule:
+    #       similarity keeps q138/q139/q146/q152/q154/q159).
+    "q162_funnel": q162_funnel,
+    "q163_cohort_retention": q163_cohort_retention,
+    "q164_transition_counts": q164_transition_counts,
+    "q165_winsorize": q165_winsorize,
+    "q166_ewma": q166_ewma,
+    "q167_fuzzy_pairs": q167_fuzzy_pairs,
+    "q168_distinct_ingest": q168_distinct_ingest,
+    "q159_retrieve_refine_diversify": q159_retrieve_refine_diversify,
+    "q160_bpe_pair_counts": q160_bpe_pair_counts,
+    "q161_ngram_diversity": q161_ngram_diversity,
     "q158_stream_quantile_ingest": q158_stream_quantile_ingest,
     "q157_interleave_sources": q157_interleave_sources,
     "q155_temperature_mixture": q155_temperature_mixture,
@@ -2465,25 +2593,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q148_scrub_contaminated_spans": q148_scrub_contaminated_spans,
     "q149_topk_per_group": q149_topk_per_group,
     "q150_dsir_resample": q150_dsir_resample,
-    "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
     "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
     "q125_lang_in_table": q125_lang_in_table,
     "q126_stream_neardup_ingest": q126_stream_neardup_ingest,
-    "q127_jsonl_roundtrip": q127_jsonl_roundtrip,
-    "q128_csv_roundtrip": q128_csv_roundtrip,
     "q129_four_way_chain": q129_four_way_chain,
-    "q130_orc_roundtrip": q130_orc_roundtrip,
     "q131_sqlite_roundtrip": q131_sqlite_roundtrip,
-    "q133_semdedup_paper_rule": q133_semdedup_paper_rule,
-    "q69_collect_explode_roundtrip": q69_collect_explode_roundtrip,
     "q95_repetition_metrics": q95_repetition_metrics,
-    "q108_snapshot_diff": q108_snapshot_diff,
     "q116_audio_features": q116_audio_features,
-    "q117_validation_report": q117_validation_report,
     "q120_join_cardinality": q120_join_cardinality,
-    "q52_window_battery": q52_window_battery,
     "q53_cube": q53_cube,
-    "q59_first_last_by": q59_first_last_by,
     "q60_dml_lifecycle": q60_dml_lifecycle,
     "q61_lang_user_func": q61_lang_user_func,
     "q62_json_extract": q62_json_extract,
@@ -2491,12 +2609,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_pack_sequences": q75_pack_sequences,
     "q78_interval_join": q78_interval_join,
     # ---- end of the 50-entry driver window -------------------------
-    # battery-only additions (never driver-windowed yet; r7 rotation
-    # stock): the retrieve->refine->diversify ANN serving capstone,
-    # BPE pair statistics, and per-source n-gram diversity
-    "q159_retrieve_refine_diversify": q159_retrieve_refine_diversify,
-    "q160_bpe_pair_counts": q160_bpe_pair_counts,
-    "q161_ngram_diversity": q161_ngram_diversity,
+    # rotated out for r7 (all r6-green; families kept in-window per
+    # the r7 rotation log above):
+    "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
+    "q127_jsonl_roundtrip": q127_jsonl_roundtrip,
+    "q128_csv_roundtrip": q128_csv_roundtrip,
+    "q130_orc_roundtrip": q130_orc_roundtrip,
+    "q133_semdedup_paper_rule": q133_semdedup_paper_rule,
+    "q69_collect_explode_roundtrip": q69_collect_explode_roundtrip,
+    "q108_snapshot_diff": q108_snapshot_diff,
+    "q117_validation_report": q117_validation_report,
+    "q52_window_battery": q52_window_battery,
+    "q59_first_last_by": q59_first_last_by,
     # rotated out mid-r6 by the late batches q151-q158 (all
     # r5-green; families kept in-window per the rotation log above):
     "q71_histogram": q71_histogram,
@@ -4901,6 +5025,92 @@ ORACLES: dict[str, str] = {
                       / CAST(count(*) AS DOUBLE)) * 10000 + 0.5)
                  / 10000 AS diversity
         FROM g GROUP BY source
+    """,
+    # anchored-window funnel: the greedy fold == this CTE chain
+    # (each step takes its minimal admissible ts; window anchored at
+    # the user's first step-1 event)
+    "q162_funnel": """
+        WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        t2 AS (SELECT e.user_id, min(e.ts) AS t, any_value(t1.t) AS t0
+               FROM events e JOIN t1 ON e.user_id = t1.user_id
+               WHERE e.event_type = 'click' AND e.ts > t1.t
+                 AND e.ts <= t1.t + INTERVAL 8 HOUR
+               GROUP BY e.user_id),
+        t3 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN t2 ON e.user_id = t2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > t2.t
+                 AND e.ts <= t2.t0 + INTERVAL 8 HOUR
+               GROUP BY e.user_id)
+        SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+               (SELECT count(*) FROM t1) AS n_users
+        UNION ALL SELECT CAST(2 AS INT), 'click',
+               (SELECT count(*) FROM t2)
+        UNION ALL SELECT CAST(3 AS INT), 'purchase',
+               (SELECT count(*) FROM t3)
+    """,
+    # first-activity cohorts x 7-day offsets, all-integer arithmetic
+    "q163_cohort_retention": """
+        WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS d0
+                   FROM events GROUP BY user_id)
+        SELECT d0 AS cohort_start,
+               CAST(floor(datediff('day', d0, CAST(ts AS DATE)) / 7.0)
+                    AS INT) AS period_offset,
+               count(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN f ON e.user_id = f.user_id
+        GROUP BY cohort_start, period_offset
+    """,
+    "q164_transition_counts": """
+        WITH o AS (SELECT event_type AS src,
+                          lead(event_type) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            AS dst
+                   FROM events)
+        SELECT src, dst, count(*) AS cnt FROM o
+        WHERE dst IS NOT NULL GROUP BY src, dst
+    """,
+    # exact-percentile clip: quantile_cont == Spark percentile
+    # bit-for-bit (q158 identity), so the clipped doubles agree
+    "q165_winsorize": """
+        WITH b AS (SELECT event_type,
+                          quantile_cont(value, 0.05) AS lo,
+                          quantile_cont(value, 0.95) AS hi
+                   FROM events GROUP BY event_type)
+        SELECT event_id, event_type,
+               floor(least(greatest(value, lo), hi) * 10000 + 0.5)
+                 / 10000 AS value_w
+        FROM events e JOIN b USING (event_type)
+    """,
+    # explicit-order sequential fold == Spark aggregate HOF replay;
+    # alpha = 0.25 and 0.75 are both exactly representable
+    "q166_ewma": """
+        WITH l AS (SELECT user_id, event_type,
+                          CAST(count(*) AS BIGINT) AS n,
+                          list(value ORDER BY ts, event_id) AS vs
+                   FROM events GROUP BY user_id, event_type)
+        SELECT user_id, event_type, n,
+               floor(list_reduce(vs, (a, b) -> 0.25 * b + 0.75 * a)
+                     * 1000000 + 0.5) / 1000000 AS ewma
+        FROM l
+    """,
+    # the brute-force definition the ED-Join blocking must equal
+    "q167_fuzzy_pairs": """
+        WITH c AS (SELECT c_custkey, c_name FROM customer
+                   WHERE c_custkey % 7 = 0)
+        SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+        WHERE abs(length(a.c_name) - length(b.c_name)) <= 2
+          AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    # one-shot COUNT(DISTINCT) the two-wave ingest must equal; NULL
+    # text yields a NULL value on both engines and is ignored
+    "q168_distinct_ingest": r"""
+        SELECT source,
+               count(DISTINCT len(string_split_regex(trim(text),
+                                                     '\s+')))
+                 AS n_distinct
+        FROM documents GROUP BY source
     """,
     # q139's full IVF-PQ replay (one query, top-10 ADC candidates)
     # -> exact-cosine refine (rel, 4dp) -> q154's greedy MMR CTEs

@@ -3337,8 +3337,26 @@ _TABLE_FUNCS = {"join", "leftjoin", "outerjoin", "joinall", "distinct",
 # lang import-time free of the operator modules.
 
 def _load_pipeline_funcs() -> dict:
-    from preql_spark.operators import (cluster, dedup, similarity,
-                                       sketch, text, topk)
+    from preql_spark.operators import (cluster, dedup, events, fuzzy,
+                                       similarity, sketch, text, topk)
+
+    def _funnel(df, steps, within=None, user_col="user_id",
+                ts_col="ts", type_col="event_type"):
+        # lang has no list literals — steps ride as one
+        # space-separated string ("view click purchase")
+        st = steps.split() if isinstance(steps, str) else list(steps)
+        return events.funnel(
+            df, st, user_col, ts_col, type_col,
+            within_seconds=None if within is None else float(within))
+
+    def _winsorize(df, group_col, value_col, p_lo=0.05, p_hi=0.95):
+        return events.winsorize(df, [group_col], value_col,
+                                float(p_lo), float(p_hi))
+
+    def _ewma(df, group_col, ts_col, value_col, alpha,
+              tie_col=None):
+        return events.ewma(df, [group_col], ts_col, value_col,
+                           float(alpha), tie_col)
 
     def _kmeans_assign(df, k=8, iters=2):
         return cluster.kmeans(df, k=int(k), iters=int(iters))[0]
@@ -3424,6 +3442,19 @@ def _load_pipeline_funcs() -> dict:
         "semdedup": cluster.semdedup,
         "kmeans_assign": _kmeans_assign,
         "pq_topk": _pq_topk,
+        # event analytics / fuzzy matching
+        "funnel": _funnel,
+        "cohort_retention":
+            lambda df, user_col="user_id", ts_col="ts", period_days=7:
+                events.cohort_retention(df, user_col, ts_col,
+                                        int(period_days)),
+        "transition_counts": events.transition_counts,
+        "winsorize": _winsorize,
+        "ewma": _ewma,
+        "fuzzy_pairs":
+            lambda df, id_col, str_col, max_dist, q=2:
+                fuzzy.fuzzy_pairs(df, id_col, str_col,
+                                  int(max_dist), q=int(q)),
     }
 
 
@@ -3444,6 +3475,8 @@ _PIPELINE_FUNC_NAMES = {
     "random_project", "frequent_items", "quantile_rollup",
     "rrf_fuse", "mmr_diversify", "topk_per_group",
     "quantize_int8", "centroid_agg", "semdedup", "kmeans_assign",
+    "funnel", "cohort_retention", "transition_counts", "winsorize",
+    "ewma", "fuzzy_pairs",
     # Table-method family (dispatched on the host Table, not its df)
     "sample_hash", "sample_mixture", "sample_stratified",
     "sample_weighted", "split_by_hash", "shuffle_deterministic",

@@ -1,0 +1,245 @@
+"""Event-stream analytics: funnels, cohort retention, transition
+counts, group-wise winsorization, and EWMA smoothing.
+
+The reference stops at generic group-by/window queries over event
+tables (e.g. its Chinook/forum examples); these operators package the
+standard event-analytics shapes a warehouse user writes by hand, each
+with a 100-TB-safe plan:
+
+- :func:`funnel` — ordered-step conversion without the textbook
+  n-way self-join: ONE user-keyed shuffle collects each user's
+  step-relevant events, a JVM higher-order fold walks them in time
+  order, and the per-step counts aggregate map-side.  The greedy
+  earliest-completion fold is provably equal to the SQL chain
+  ``t_i = min(ts) where type = s_i and ts > t_{i-1}`` (induction on
+  steps: processing events in ascending order sets each step to the
+  minimal admissible timestamp).
+- :func:`cohort_retention` — first-activity cohorts x period offsets:
+  a user-level partial agg (map-side combine), a user-keyed join back
+  (the only wide shuffle; both sides already hash-partitioned by
+  user), then a (cohort, offset) count-distinct.
+- :func:`transition_counts` — Markov-style (src -> dst) transition
+  counts from one lag/lead window per user plus one pair-keyed agg.
+- :func:`winsorize` — per-group exact-percentile clipping; the group
+  bounds frame is tiny (one row per group) and broadcast back, so
+  rows never shuffle.
+- :func:`ewma` — per-group exponential smoothing as a sequential
+  left fold over the time-sorted value list (one shuffle, map-side
+  partial collect).  The fold order is explicit, so the result is
+  bit-reproducible across engines — the q155 list_reduce contract.
+
+No reference counterpart (beyond-ref surface, like the curation
+operators); semantics follow the standard definitions used by event
+warehouses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel(df: DataFrame, steps: list[str],
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type",
+           within_seconds: float | None = None) -> DataFrame:
+    """Ordered-funnel conversion counts: for each prefix of ``steps``,
+    how many users completed it — ``(step_idx, step, n_users)``,
+    1-based, strictly-increasing timestamps between steps (same-ts
+    events do NOT advance the funnel; ties inside a timestamp are
+    irrelevant because the fold only compares ``ts``).
+
+    Semantics match the CTE chain ``t1 = min(ts | type=s1)``,
+    ``t_i = min(ts | type=s_i, ts > t_{i-1})``: the fold walks the
+    user's step events in ascending (ts, any) order and sets each
+    unset step whose predecessor is set and strictly older — the
+    first admissible event is the minimal one.
+
+    ``within_seconds`` bounds the whole funnel to a window ANCHORED
+    AT THE USER'S FIRST step-1 EVENT (``t_i <= t1 + within``): the
+    deterministic anchored contract, equal to adding that bound to
+    every CTE of the chain (the same induction applies — each step
+    still takes its minimal admissible event).  A later step-1 event
+    never re-anchors the window.
+
+    Scale shape: filter to step types (pushed to the scan), ONE
+    user-keyed shuffle with map-side partial ``collect_list``, the
+    fold and the per-step flags stay in whole-stage codegen (HOFs, no
+    Python), and the final count aggregates n rows per user down to
+    len(steps) rows.  Per-task memory is bounded by the largest
+    single user's step-event count — the same contract as any
+    sessionization."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct, got {steps}")
+    n = len(steps)
+    idx = F.create_map(*[F.lit(x) for i, s in enumerate(steps)
+                         for x in (s, i)])
+    ev = (df.filter(F.col(type_col).isin(list(steps)))
+          .select(F.col(user_col).alias("u"),
+                  F.unix_micros(F.col(ts_col).cast("timestamp"))
+                  .alias("t"),
+                  idx[F.col(type_col)].alias("i")))
+    per_user = (ev.groupBy("u")
+                .agg(F.sort_array(F.collect_list(F.struct(
+                    F.col("t"), F.col("i")))).alias("__evs")))
+    init = F.array_repeat(F.lit(None).cast("bigint"), n)
+    win = (None if within_seconds is None
+           else F.lit(int(round(within_seconds * 1_000_000))))
+
+    def _step(acc, e):
+        # set step e.i iff unset, and (first step | predecessor set
+        # and strictly older than this event)
+        ok = F.when(e["i"] == 0, F.lit(True)) \
+             .otherwise(F.element_at(acc, e["i"]).isNotNull()
+                        & (e["t"] > F.element_at(acc, e["i"])))
+        if win is not None:
+            # window anchored at the first step-1 event (acc[1])
+            ok = ok & F.when(e["i"] == 0, F.lit(True)).otherwise(
+                e["t"] <= F.element_at(acc, 1) + win)
+        # element_at(acc, i) is 1-based → acc[i] is the PREDECESSOR
+        # of 0-based step e.i; the step's own slot is acc[i+1]
+        cur_unset = F.element_at(acc, e["i"] + 1).isNull()
+        return F.transform(
+            acc, lambda v, j: F.when(
+                (j == e["i"]) & cur_unset & ok, e["t"]).otherwise(v))
+
+    reached = per_user.select(
+        "u", F.aggregate("__evs", init, _step).alias("__r"))
+    flags = reached.select(
+        "u", *[F.element_at("__r", i + 1).isNotNull().cast("int")
+               .alias(f"__s{i}") for i in range(n)])
+    agg = flags.agg(*[F.coalesce(F.sum(f"__s{i}"), F.lit(0))
+                      .alias(f"__n{i}") for i in range(n)])
+    pairs = F.array(*[
+        F.struct(F.lit(i + 1).alias("step_idx"),
+                 F.lit(steps[i]).alias("step"),
+                 F.col(f"__n{i}").cast("long").alias("n_users"))
+        for i in range(n)])
+    return (agg.select(F.explode(pairs).alias("__p"))
+            .select("__p.step_idx", "__p.step", "__p.n_users"))
+
+
+def cohort_retention(df: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     period_days: int = 7) -> DataFrame:
+    """Cohort retention triangle: users grouped by their first-ever
+    activity period; for each (cohort_start, period_offset) the
+    number of distinct cohort users active in that period —
+    ``(cohort_start date, period_offset int, n_users)``.
+
+    Periods are fixed ``period_days`` blocks anchored at each user's
+    cohort start date (offset = floor(days_since_first_day / p)),
+    so the triangle is exact regardless of calendar alignment.
+
+    Scale shape: the user-level first-activity agg combines map-side
+    (one narrow row per user per partition); joining it back is
+    user-keyed on both sides — with AQE this is one co-partitioned
+    exchange pair, and at 100 TB the user dimension is the natural
+    bucketing key.  The final count-distinct is (cohort, offset)
+    keyed: cardinality ≈ cohorts x horizon, tiny."""
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1, got {period_days}")
+    e = df.select(F.col(user_col).alias("u"),
+                  F.col(ts_col).cast("timestamp").alias("t"))
+    first = e.groupBy("u").agg(F.min("t").alias("t0"))
+    j = e.join(first, "u")
+    off = F.floor(F.datediff(F.to_date("t"), F.to_date("t0"))
+                  / period_days).cast("int")
+    return (j.select("u", F.to_date("t0").alias("cohort_start"),
+                     off.alias("period_offset"))
+            .groupBy("cohort_start", "period_offset")
+            .agg(F.count_distinct("u").alias("n_users")))
+
+
+def transition_counts(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      tie_col: str | None = "event_id") -> DataFrame:
+    """First-order transition matrix: counts of consecutive
+    (src_type -> dst_type) pairs within each user's timeline —
+    ``(src, dst, cnt)``.  Ordering is (ts, tie_col) so same-timestamp
+    events sequence deterministically; each user's last event has no
+    successor and contributes nothing.
+
+    Scale shape: ONE user-keyed window shuffle computes the lead; the
+    pair count then aggregates with map-side combine into at most
+    |types|² rows.  No self-join — the lead window reads each row
+    once."""
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    nxt = F.lead(type_col, 1).over(w)
+    return (df.select(F.col(type_col).alias("src"), nxt.alias("dst"))
+            .filter(F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def winsorize(df: DataFrame, group_cols: list[str], value_col: str,
+              p_lo: float = 0.05, p_hi: float = 0.95) -> DataFrame:
+    """Per-group winsorization: ``value_col`` clipped into the
+    group's exact [p_lo, p_hi] percentile interval (linear
+    interpolation — Spark ``percentile``, equal to DuckDB
+    ``quantile_cont``; the q158-proven cross-engine identity).
+    Returns the input columns plus ``<value_col>_w``.
+
+    Scale shape: the bounds frame is one row per group (map-side
+    partial percentile, then a tiny agg); it broadcasts back onto
+    the rows, so the data itself NEVER shuffles — the clip runs in
+    the scan stage.  Group cardinality is the only driver-side
+    assumption (same contract as every bounds-broadcast operator
+    here)."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    if not 0.0 <= p_lo <= p_hi <= 1.0:
+        raise ValueError(f"need 0 <= p_lo <= p_hi <= 1, "
+                         f"got {p_lo}, {p_hi}")
+    v = F.col(value_col).cast("double")
+    bounds = (df.groupBy(*group_cols)
+              .agg(F.percentile(v, F.lit(float(p_lo))).alias("__lo"),
+                   F.percentile(v, F.lit(float(p_hi))).alias("__hi")))
+    j = df.join(F.broadcast(bounds), group_cols, "left")
+    clipped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    return j.select(*df.columns, clipped.alias(f"{value_col}_w"))
+
+
+def ewma(df: DataFrame, group_cols: list[str], ts_col: str,
+         value_col: str, alpha: float,
+         tie_col: str | None = None) -> DataFrame:
+    """Per-group exponentially-weighted moving average of the
+    time-ordered value sequence, returning the FINAL smoothed level
+    per group — ``(group..., n, ewma)``.  s_0 = v_0;
+    s_k = alpha * v_k + (1 - alpha) * s_{k-1}.
+
+    The fold order is explicit (ts, then tie_col), so the double
+    arithmetic is a fixed-order sequential fold — bit-identical to
+    any engine replaying the same fold (DuckDB ``list_reduce``), per
+    the q155 portability contract.
+
+    Scale shape: one group-keyed shuffle with map-side partial
+    ``collect_list``; the fold is a JVM HOF over the sorted array.
+    Per-task memory is bounded by the largest group's history — for
+    unbounded histories, window the input first (this matches pandas
+    ``ewm(adjust=False)`` semantics, so downsampling preserves
+    meaning)."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    key = [F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t")]
+    if tie_col is not None:
+        key.append(F.col(tie_col).alias("__k"))
+    ev = df.select(*[F.col(c) for c in group_cols],
+                   F.struct(*key, F.col(value_col).cast("double")
+                            .alias("__v")).alias("__e"))
+    per = (ev.groupBy(*group_cols)
+           .agg(F.sort_array(F.collect_list("__e")).alias("__evs")))
+    a = F.lit(float(alpha))
+    fold = F.aggregate(
+        F.slice("__evs", 2, F.greatest(F.size("__evs") - 1, F.lit(0))),
+        F.element_at("__evs", 1)["__v"],
+        lambda acc, e: a * e["__v"] + (F.lit(1.0) - a) * acc)
+    return per.select(*group_cols,
+                      F.size("__evs").cast("long").alias("n"),
+                      fold.alias("ewma"))

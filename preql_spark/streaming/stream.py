@@ -690,3 +690,64 @@ def incremental_quantile_ingest(
         aggs.append(F.percentile("v", F.lit(float(p)), F.col("cnt"))
                     .alias(f"p{int(round(p * 100)):02d}"))
     return (state.groupBy(F.col("g").alias(group_col)).agg(*aggs))
+
+
+def incremental_distinct_ingest(
+        spark: SparkSession, src_path: str, checkpoint: str,
+        state_path: str, ids_path: str,
+        group_col: str = "source", value_expr: str = "text",
+        id_col: str = "doc_id") -> DataFrame:
+    """Streaming maintenance of an EXACT per-group distinct-value
+    inventory: each availableNow batch appends the (group, value)
+    pairs it is the first to contribute, and the report counts the
+    state — so two-wave ingestion == one-shot ==
+    ``count(DISTINCT expr)`` over the full corpus.  NULL expression
+    values are ignored (SQL COUNT(DISTINCT) semantics).
+
+    Unlike the histogram/Misra-Gries states, this state never crosses
+    the driver: the new-pair detection is a distributed left-anti
+    join against the pair store and the merge is a parquet APPEND of
+    the survivors — appending to the anti-join's own read path is
+    safe because the scan's file listing snapshots before the write
+    job commits new part files.  At 100 TB the state is bounded by
+    the true distinct cardinality (the thing being reported), and a
+    batch costs one batch-keyed distinct + one state anti-join —
+    both prunable by group if the store is written partitioned.
+
+    Idempotence: ids are anti-joined first and appended LAST (the
+    fold-before-append ordering every ingest here follows, because
+    foreachBatch actions re-resolve parquet listings per action);
+    replayed batches contribute no pairs and no ids."""
+    from preql_spark.parquet_io import hadoop_dir_has_files
+
+    schema = spark.read.parquet(src_path).schema  # footer-only peek
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        if hadoop_dir_has_files(s, ids_path):
+            seen = (s.read.parquet(ids_path)
+                    .select(F.col(id_col).alias("__seen")).distinct())
+            batch = batch.join(
+                seen, batch[id_col] == seen["__seen"], "left_anti")
+        batch = batch.persist()
+        pairs = (batch
+                 .select(F.col(group_col).alias("g"),
+                         F.expr(value_expr).cast("string").alias("v"))
+                 .filter(F.col("v").isNotNull()).distinct())
+        if hadoop_dir_has_files(s, state_path):
+            st = s.read.parquet(state_path)
+            pairs = pairs.join(st, ["g", "v"], "left_anti")
+        pairs.write.mode("append").parquet(state_path)
+        batch.select(id_col).write.mode("append").parquet(ids_path)
+        batch.unpersist(blocking=False)
+
+    q = (spark.readStream.schema(schema).parquet(src_path)
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    return (spark.read.parquet(state_path)
+            .groupBy(F.col("g").alias(group_col))
+            .agg(F.count(F.lit(1)).alias("n_distinct")))

@@ -2152,3 +2152,54 @@ def test_pipeline_builtin_r6_fourth_batch(eng):
           eng.q('documents{doc_id,'
                 ' m: bpe_merge_pair(text, "the", "table")}').collect()}
     assert lm == am and len(lm) > 0
+
+
+def test_pipeline_builtin_r7_event_batch(eng):
+    """Lang spellings of the event-analytics/fuzzy batch equal their
+    Python-API results: funnel (steps as one space-separated string),
+    cohort_retention, transition_counts, winsorize, ewma,
+    fuzzy_pairs."""
+    from preql_spark.operators import events as EV
+    from preql_spark.operators.fuzzy import fuzzy_pairs
+    e = eng.t.events.df
+
+    af = {tuple(r) for r in
+          EV.funnel(e, ["view", "click", "purchase"],
+                    within_seconds=28800).collect()}
+    lf = {tuple(r) for r in
+          eng.q('funnel(events, "view click purchase",'
+                ' within: 28800)').collect()}
+    assert lf == af and len(lf) == 3
+
+    ac = {tuple(r) for r in
+          EV.cohort_retention(e, period_days=7).collect()}
+    lc = {tuple(r) for r in
+          eng.q('cohort_retention(events, period_days: 7)').collect()}
+    assert lc == ac and len(lc) > 0
+
+    at = {tuple(r) for r in EV.transition_counts(e).collect()}
+    lt = {tuple(r) for r in
+          eng.q('transition_counts(events)').collect()}
+    assert lt == at and len(lt) > 0
+
+    aw = {(r.event_id, round(r.value_w, 6)) for r in
+          EV.winsorize(e, ["event_type"], "value").collect()}
+    lw = {(r.event_id, round(r.value_w, 6)) for r in
+          eng.q('winsorize(events, "event_type", "value")').collect()}
+    assert lw == aw and len(lw) > 0
+
+    am = {(r.user_id, r.n, round(r.ewma, 9)) for r in
+          EV.ewma(e, ["user_id"], "ts", "value", 0.25,
+                  tie_col="event_id").collect()}
+    lm = {(r.user_id, r.n, round(r.ewma, 9)) for r in
+          eng.q('ewma(events, "user_id", "ts", "value", 0.25,'
+                ' tie_col: "event_id")').collect()}
+    assert lm == am and len(lm) > 0
+
+    c = eng.t.customer.df.filter("c_custkey % 7 = 0")
+    az = {tuple(r) for r in
+          fuzzy_pairs(c, "c_custkey", "c_name", 2).collect()}
+    lz = {tuple(r) for r in
+          eng.q('fuzzy_pairs(customer[c_custkey % 7 == 0],'
+                ' "c_custkey", "c_name", 2)').collect()}
+    assert lz == az and len(lz) > 0

@@ -2179,3 +2179,200 @@ def test_frequent_items_unpersists_summaries(spark):
         assert {r.item for r in out.collect()} == {"hot"}
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after <= before
+
+
+# ---- event analytics (operators/events.py) --------------------------------
+
+def test_funnel_semantics(spark):
+    """Crafted funnel: step order enforced, same-ts never advances,
+    anchored window cuts late completions, validation errors."""
+    from preql_spark.operators.events import funnel
+    rows = [
+        # u1 completes a->b->c in order
+        (1, "2024-01-01 00:00:00", "a"), (1, "2024-01-01 01:00:00", "b"),
+        (1, "2024-01-01 02:00:00", "c"),
+        # u2 has b before a: only a counts (its b precedes its a)
+        (2, "2024-01-01 00:00:00", "b"), (2, "2024-01-01 01:00:00", "a"),
+        # u3: a and b at the SAME ts -> b does not advance
+        (3, "2024-01-01 00:00:00", "a"), (3, "2024-01-01 00:00:00", "b"),
+        # u4 completes but step c lands past the 3h anchored window
+        (4, "2024-01-01 00:00:00", "a"), (4, "2024-01-01 01:00:00", "b"),
+        (4, "2024-01-01 04:00:00", "c"),
+        # u5 never does step a
+        (5, "2024-01-01 00:00:00", "b"), (5, "2024-01-01 01:00:00", "c"),
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, t) for u, ts, t in rows],
+        "user_id: long, ts: string, event_type: string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.step_idx, r.step): r.n_users
+           for r in funnel(df, ["a", "b", "c"]).collect()}
+    assert out == {(1, "a"): 4, (2, "b"): 2, (3, "c"): 2}
+    win = {(r.step_idx, r.step): r.n_users
+           for r in funnel(df, ["a", "b", "c"],
+                           within_seconds=3 * 3600).collect()}
+    assert win == {(1, "a"): 4, (2, "b"): 2, (3, "c"): 1}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-empty"):
+        funnel(df, [])
+    with _pt.raises(ValueError, match="distinct"):
+        funnel(df, ["a", "a"])
+
+
+def test_funnel_later_anchor_never_reanchors(spark):
+    """A second step-1 event inside the data does NOT re-open the
+    window (the anchored contract): u1's second 'a' would allow the
+    'b' if windows re-anchored, but must not."""
+    from preql_spark.operators.events import funnel
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a"),
+         (1, "2024-01-01 10:00:00", "a"),
+         (1, "2024-01-01 10:30:00", "b")],
+        "user_id: long, ts: string, event_type: string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.step_idx): r.n_users
+           for r in funnel(df, ["a", "b"],
+                           within_seconds=3600).collect()}
+    assert out == {1: 1, 2: 0}
+
+
+def test_cohort_retention_semantics(spark):
+    """Two users, known offsets; period anchored per user, distinct
+    users counted once per cell."""
+    from preql_spark.operators.events import cohort_retention
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (1, "2024-01-05"), (1, "2024-01-09"),
+         (2, "2024-01-02"), (2, "2024-01-02"), (2, "2024-01-16")],
+        "user_id: long, ts: string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {(str(r.cohort_start), r.period_offset): r.n_users
+           for r in cohort_retention(df, period_days=7).collect()}
+    assert out == {("2024-01-01", 0): 1, ("2024-01-01", 1): 1,
+                   ("2024-01-02", 0): 1, ("2024-01-02", 2): 1}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="period_days"):
+        cohort_retention(df, period_days=0)
+
+
+def test_transition_counts_semantics(spark):
+    """Per-user consecutive pairs; last event contributes nothing;
+    same-ts events sequence by the tie column."""
+    from preql_spark.operators.events import transition_counts
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "x"),
+         (1, "2024-01-01 00:00:00", 2, "y"),   # tie -> x precedes y
+         (1, "2024-01-01 01:00:00", 3, "x"),
+         (2, "2024-01-01 00:00:00", 4, "y")],
+        "user_id: long, ts: string, event_id: long, event_type: string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.src, r.dst): r.cnt
+           for r in transition_counts(df).collect()}
+    assert out == {("x", "y"): 1, ("y", "x"): 1}
+
+
+def test_winsorize_matches_manual(spark):
+    """Clipped values equal numpy's interpolated-percentile clip per
+    group; output keeps all input columns; bad percentiles raise."""
+    import numpy as np
+    from preql_spark.operators.events import winsorize
+    vals = {"g1": [float(x) for x in range(1, 21)],
+            "g2": [5.0, 100.0, -3.0, 8.0, 9.0]}
+    rows = [(g, i, v) for g, vs in vals.items()
+            for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "g: string, i: long, v: double")
+    out = {(r.g, r.i): r.v_w
+           for r in winsorize(df, ["g"], "v", 0.1, 0.9).collect()}
+    for g, vs in vals.items():
+        lo, hi = np.percentile(vs, [10, 90])
+        for i, v in enumerate(vs):
+            assert abs(out[(g, i)] - min(max(v, lo), hi)) < 1e-9
+    import pytest as _pt
+    with _pt.raises(ValueError, match="p_lo"):
+        winsorize(df, ["g"], "v", 0.9, 0.1)
+
+
+def test_ewma_matches_pandas(spark):
+    """The fold equals pandas ewm(adjust=False) per group, ordering
+    by (ts, tie); alpha validation."""
+    import pandas as pd
+    from preql_spark.operators.events import ewma
+    rows = [("a", i, float((i * 13) % 7) + 0.25) for i in range(10)] \
+        + [("b", i, float(i)) for i in range(3)]
+    df = spark.createDataFrame(
+        [(g, f"2024-01-01 00:{i:02d}:00", i, v) for g, i, v in rows],
+        "g: string, ts: string, k: long, v: double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {r.g: (r.n, r.ewma)
+           for r in ewma(df, ["g"], "ts", "v", 0.3,
+                         tie_col="k").collect()}
+    for g in ("a", "b"):
+        vs = [v for gg, _, v in rows if gg == g]
+        want = pd.Series(vs).ewm(alpha=0.3, adjust=False).mean().iloc[-1]
+        assert out[g][0] == len(vs)
+        assert abs(out[g][1] - want) < 1e-12
+    import pytest as _pt
+    with _pt.raises(ValueError, match="alpha"):
+        ewma(df, ["g"], "ts", "v", 0.0)
+
+
+# ---- fuzzy matching (operators/fuzzy.py) ----------------------------------
+
+def _brute_lev(a, b):
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            cur = dp[j]
+            dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                        prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return dp[n]
+
+
+def test_fuzzy_pairs_matches_brute_force(spark):
+    """ED-Join blocking is exact and complete on a fixture mixing
+    dupes, near-dupes, shorts (including len < q and empty), and
+    NULLs — at d = 0, 1, 2."""
+    import itertools
+    from preql_spark.operators.fuzzy import fuzzy_pairs
+    rows = [(1, "hello world"), (2, "hello worlde"), (3, "hallo world"),
+            (4, "completely different"), (5, "hello world"),
+            (6, "ab"), (7, "abc"), (8, "b"), (9, ""), (10, None),
+            (11, "xy"), (12, "hello wrold")]
+    df = spark.createDataFrame(rows, "id: long, s: string")
+    for d in (0, 1, 2):
+        got = sorted((r.id1, r.id2, r.dist)
+                     for r in fuzzy_pairs(df, "id", "s", d).collect())
+        want = sorted(
+            (a, b, _brute_lev(sa, sb))
+            for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+            if sa is not None and sb is not None
+            and _brute_lev(sa, sb) <= d)
+        assert got == want, (d, got, want)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_dist"):
+        fuzzy_pairs(df, "id", "s", -1)
+    with _pt.raises(ValueError, match="q must be"):
+        fuzzy_pairs(df, "id", "s", 1, q=1)
+
+
+def test_fuzzy_pairs_random_small_alphabet(spark):
+    """Randomized differential check over a 3-letter alphabet (dense
+    near-dup space stresses both the gram and band paths)."""
+    import itertools
+    import random
+    from preql_spark.operators.fuzzy import fuzzy_pairs
+    rnd = random.Random(42)
+    strs = ["".join(rnd.choice("abc") for _ in range(rnd.randint(0, 8)))
+            for _ in range(60)]
+    rows = list(enumerate(strs))
+    df = spark.createDataFrame(rows, "id: long, s: string")
+    for d in (1, 2):
+        got = sorted((r.id1, r.id2, r.dist)
+                     for r in fuzzy_pairs(df, "id", "s", d).collect())
+        want = sorted(
+            (a, b, _brute_lev(sa, sb))
+            for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+            if _brute_lev(sa, sb) <= d)
+        assert got == want, f"d={d}"

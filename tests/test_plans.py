@@ -410,3 +410,51 @@ def test_interleave_single_group_shuffle_plus_range_sort(spark):
     assert plan.count("hashpartitioning(source") == 1
     assert "rangepartitioning" in plan
     assert "SinglePartition" not in plan
+
+
+def test_funnel_one_user_shuffle_no_window_no_join(spark):
+    """The funnel is ONE user-keyed exchange + a global count — never
+    the textbook n-way self-join, never a per-user sort window."""
+    df = entry.q162_funnel(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "partial" in plan.lower()  # map-side combine on the collect
+
+
+def test_winsorize_rows_never_shuffle(spark):
+    """The percentile bounds broadcast back onto the rows: the row
+    side must see no hash exchange and no sort-merge join."""
+    df = entry.q165_winsorize(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only hash exchange feeds the (tiny) bounds aggregation
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_transition_counts_one_window_one_agg(spark):
+    """Lead window (user-keyed) + pair-keyed agg — two exchanges
+    total, no self-join."""
+    df = entry.q164_transition_counts(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 2
+
+
+def test_fuzzy_pairs_no_cartesian(spark):
+    """ED-Join blocking keeps both legs as equi-joins: no cartesian
+    product, no broadcast nested loop anywhere in the plan."""
+    df = entry.q167_fuzzy_pairs(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_single_group_shuffle(spark):
+    """EWMA is one group-keyed exchange with a map-side partial
+    collect; the fold itself is a scan-local HOF."""
+    df = entry.q166_ewma(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1

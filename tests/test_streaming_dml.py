@@ -606,3 +606,34 @@ def test_incremental_quantile_ingest_int_group(spark, eng, tmp_path):
                  F.percentile("v", F.lit(0.9)).alias("p90"))
             .collect()}
     assert inc == one and len(inc) == 4
+
+
+def test_incremental_distinct_ingest_equals_batch(spark, eng, tmp_path):
+    """Two-wave distinct-inventory ingest == one-shot COUNT(DISTINCT);
+    replay is a no-op; the state holds exactly the distinct pairs."""
+    from preql_spark.streaming.stream import incremental_distinct_ingest
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "state")
+    ids = str(tmp_path / "ids")
+    ck = str(tmp_path / "ck")
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    expr = r"cast(size(split(trim(text), '\\s+')) as string)"
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_distinct_ingest(spark, src, ck, st, ids,
+                                value_expr=expr)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_distinct_ingest(spark, src, ck, st, ids,
+                                      value_expr=expr)
+    inc = {(r.source, r.n_distinct) for r in out.collect()}
+    one = {(r.source, r.n) for r in
+           d.select("source", F.expr(expr).alias("v"))
+            .filter("v is not null")
+            .groupBy("source")
+            .agg(F.count_distinct("v").alias("n")).collect()}
+    assert inc == one and len(inc) > 0
+    out2 = incremental_distinct_ingest(spark, src, ck, st, ids,
+                                       value_expr=expr)
+    assert {(r.source, r.n_distinct) for r in out2.collect()} == inc
+    state = spark.read.parquet(st)
+    assert state.count() == state.distinct().count() \
+        == sum(n for _, n in inc)
