@@ -2416,6 +2416,37 @@ def q168_distinct_ingest(spark, sf_dir) -> DataFrame:
     return out.select("source", "n_distinct")
 
 
+def q169_conversion_lag(spark, sf_dir) -> DataFrame:
+    """Per-user conversion lags from the funnel fold's completion
+    times (q162's per-user rows before counting): seconds from first
+    view to the chain's click / purchase, NULL once the chain breaks.
+    Lags are exact integer micros divided once — identical IEEE on
+    both engines.  Same single user-keyed shuffle as q162."""
+    from preql_spark.operators.events import funnel_times
+    e = _eng(spark, sf_dir).t.events
+    out = funnel_times(e.df, ["view", "click", "purchase"])
+    lag = lambda a, b: F.floor(
+        (F.unix_micros(b) - F.unix_micros(a)) / 1000000.0
+        * 1000000 + F.lit(0.5)) / 1000000
+    return out.select("user_id", lag(F.col("t1"), F.col("t2"))
+                      .alias("lag12_s"),
+                      lag(F.col("t1"), F.col("t3")).alias("lag13_s"))
+
+
+def q170_rfm_scores(spark, sf_dir) -> DataFrame:
+    """RFM segmentation over the event stream: recency days vs the
+    corpus max date, event counts, monetary summed in EXACT integer
+    cents (half-up per row before the sum — order-independent), each
+    ntile(5)-scored with ascending-user tie-break.  One user-keyed
+    partial agg; the three score windows sort the user-level table,
+    never the events."""
+    from preql_spark.operators.events import rfm_scores
+    e = _eng(spark, sf_dir).t.events
+    return rfm_scores(e.df, n_tiles=5) \
+        .select("user_id", "r_days", "freq", "monetary_cents",
+                "r_score", "f_score", "m_score")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2609,6 +2640,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_pack_sequences": q75_pack_sequences,
     "q78_interval_join": q78_interval_join,
     # ---- end of the 50-entry driver window -------------------------
+    # battery-only additions (never driver-windowed yet; r8 rotation
+    # stock): funnel conversion lags and RFM segmentation
+    "q169_conversion_lag": q169_conversion_lag,
+    "q170_rfm_scores": q170_rfm_scores,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -5111,6 +5146,52 @@ ORACLES: dict[str, str] = {
                                                      '\s+')))
                  AS n_distinct
         FROM documents GROUP BY source
+    """,
+    # q162's CTE chain extended to per-user completion times; lags
+    # are integer micros through one division
+    "q169_conversion_lag": """
+        WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        t2 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN t1 ON e.user_id = t1.user_id
+               WHERE e.event_type = 'click' AND e.ts > t1.t
+               GROUP BY e.user_id),
+        t3 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN t2 ON e.user_id = t2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > t2.t
+               GROUP BY e.user_id)
+        SELECT t1.user_id,
+               floor(date_diff('us', t1.t, t2.t) / 1000000.0
+                     * 1000000 + 0.5) / 1000000 AS lag12_s,
+               floor(date_diff('us', t1.t, t3.t) / 1000000.0
+                     * 1000000 + 0.5) / 1000000 AS lag13_s
+        FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+                LEFT JOIN t3 ON t1.user_id = t3.user_id
+    """,
+    # exact integer cents; ntile quantile tiles with ascending-user
+    # tie-break (identical ntile bucket arithmetic on both engines)
+    "q170_rfm_scores": """
+        WITH per AS (
+          SELECT user_id, max(ts) AS last,
+                 CAST(count(*) AS BIGINT) AS freq,
+                 CAST(coalesce(sum(CAST(floor(value * 100 + 0.5)
+                                        AS BIGINT)), 0) AS BIGINT)
+                   AS monetary_cents
+          FROM events GROUP BY user_id),
+        mx AS (SELECT max(last) AS m FROM per),
+        r AS (SELECT user_id, freq, monetary_cents,
+                     CAST(datediff('day', CAST(last AS DATE),
+                                   CAST((SELECT m FROM mx) AS DATE))
+                          AS INT) AS r_days
+              FROM per)
+        SELECT user_id, r_days, freq, monetary_cents,
+               CAST(ntile(5) OVER (ORDER BY r_days, user_id)
+                    AS INT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY freq DESC, user_id)
+                    AS INT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary_cents DESC,
+                                   user_id) AS INT) AS m_score
+        FROM r
     """,
     # q139's full IVF-PQ replay (one query, top-10 ADC candidates)
     # -> exact-cosine refine (rel, 4dp) -> q154's greedy MMR CTEs

@@ -3444,6 +3444,16 @@ def _load_pipeline_funcs() -> dict:
         "pq_topk": _pq_topk,
         # event analytics / fuzzy matching
         "funnel": _funnel,
+        "funnel_times":
+            lambda df, steps, within=None:
+                events.funnel_times(
+                    df, steps.split() if isinstance(steps, str)
+                    else list(steps),
+                    within_seconds=None if within is None
+                    else float(within)),
+        "rfm_scores":
+            lambda df, n_tiles=5:
+                events.rfm_scores(df, n_tiles=int(n_tiles)),
         "cohort_retention":
             lambda df, user_col="user_id", ts_col="ts", period_days=7:
                 events.cohort_retention(df, user_col, ts_col,
@@ -3475,8 +3485,8 @@ _PIPELINE_FUNC_NAMES = {
     "random_project", "frequent_items", "quantile_rollup",
     "rrf_fuse", "mmr_diversify", "topk_per_group",
     "quantize_int8", "centroid_agg", "semdedup", "kmeans_assign",
-    "funnel", "cohort_retention", "transition_counts", "winsorize",
-    "ewma", "fuzzy_pairs",
+    "funnel", "funnel_times", "rfm_scores", "cohort_retention",
+    "transition_counts", "winsorize", "ewma", "fuzzy_pairs",
     # Table-method family (dispatched on the host Table, not its df)
     "sample_hash", "sample_mixture", "sample_stratified",
     "sample_weighted", "split_by_hash", "shuffle_deterministic",

@@ -69,6 +69,29 @@ def funnel(df: DataFrame, steps: list[str],
     len(steps) rows.  Per-task memory is bounded by the largest
     single user's step-event count — the same contract as any
     sessionization."""
+    reached = _funnel_reached(df, steps, user_col, ts_col, type_col,
+                              within_seconds)
+    n = len(steps)
+    flags = reached.select(
+        "u", *[F.element_at("__r", i + 1).isNotNull().cast("int")
+               .alias(f"__s{i}") for i in range(n)])
+    agg = flags.agg(*[F.coalesce(F.sum(f"__s{i}"), F.lit(0))
+                      .alias(f"__n{i}") for i in range(n)])
+    pairs = F.array(*[
+        F.struct(F.lit(i + 1).alias("step_idx"),
+                 F.lit(steps[i]).alias("step"),
+                 F.col(f"__n{i}").cast("long").alias("n_users"))
+        for i in range(n)])
+    return (agg.select(F.explode(pairs).alias("__p"))
+            .select("__p.step_idx", "__p.step", "__p.n_users"))
+
+
+def _funnel_reached(df: DataFrame, steps: list[str], user_col: str,
+                    ts_col: str, type_col: str,
+                    within_seconds: float | None) -> DataFrame:
+    """Shared funnel fold: per user, the array of step-completion
+    timestamps (unix micros; 1-based slot i+1 holds step i, NULL if
+    never reached) — ``(u, __r array<bigint>)``."""
     if not steps:
         raise ValueError("steps must be non-empty")
     if len(set(steps)) != len(steps):
@@ -105,20 +128,75 @@ def funnel(df: DataFrame, steps: list[str],
             acc, lambda v, j: F.when(
                 (j == e["i"]) & cur_unset & ok, e["t"]).otherwise(v))
 
-    reached = per_user.select(
+    return per_user.select(
         "u", F.aggregate("__evs", init, _step).alias("__r"))
-    flags = reached.select(
-        "u", *[F.element_at("__r", i + 1).isNotNull().cast("int")
-               .alias(f"__s{i}") for i in range(n)])
-    agg = flags.agg(*[F.coalesce(F.sum(f"__s{i}"), F.lit(0))
-                      .alias(f"__n{i}") for i in range(n)])
-    pairs = F.array(*[
-        F.struct(F.lit(i + 1).alias("step_idx"),
-                 F.lit(steps[i]).alias("step"),
-                 F.col(f"__n{i}").cast("long").alias("n_users"))
-        for i in range(n)])
-    return (agg.select(F.explode(pairs).alias("__p"))
-            .select("__p.step_idx", "__p.step", "__p.n_users"))
+
+
+def funnel_times(df: DataFrame, steps: list[str],
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type",
+                 within_seconds: float | None = None) -> DataFrame:
+    """Per-user funnel completion TIMES: for every user who did
+    step 1, the timestamp each step completed (NULL once the chain
+    breaks) — ``(user, t1..tn timestamps)``.  Same fold, same
+    anchored-window contract, and exactly the per-user rows the
+    aggregate :func:`funnel` counts — use it for conversion-lag
+    distributions (``t_k - t_1``) and per-segment drill-downs.
+    Same single-shuffle scale shape as :func:`funnel`."""
+    reached = _funnel_reached(df, steps, user_col, ts_col, type_col,
+                              within_seconds)
+    return (reached
+            .filter(F.element_at("__r", 1).isNotNull())
+            .select(F.col("u").alias(user_col),
+                    *[F.timestamp_micros(F.element_at("__r", i + 1))
+                      .alias(f"t{i + 1}")
+                      for i in range(len(steps))]))
+
+
+def rfm_scores(df: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", value_col: str = "value",
+               n_tiles: int = 5,
+               value_filter=None) -> DataFrame:
+    """RFM segmentation: per user, recency (days since last activity,
+    against the corpus max date), frequency (event count), monetary
+    (value summed in exact integer cents — floats round HALF-UP to
+    cents BEFORE summing, so the sum is order-independent and
+    cross-engine exact), each scored into ``n_tiles`` quantile tiles
+    (1 = best: most recent / most frequent / highest spend), ties
+    broken by ascending user id — ``(user, r_days, freq,
+    monetary_cents, r_score, f_score, m_score)``.
+
+    Scale shape: one user-keyed partial agg builds the per-user
+    triple; the three ntile windows share ONE single-partition sort
+    of the USER-LEVEL table — sized by |users|, not events.  For
+    billion-user tables swap the ntile stage for
+    ``quantile_bucketize`` (percentile-threshold broadcast); the
+    windowed spelling is the exact-tie-contract one."""
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
+    e = df
+    if value_filter is not None:
+        e = e.filter(value_filter)
+    cents = F.floor(F.col(value_col).cast("double") * 100 + F.lit(0.5)) \
+        .cast("long")
+    per = (e.groupBy(F.col(user_col).alias("u"))
+           .agg(F.max(F.col(ts_col).cast("timestamp")).alias("__last"),
+                F.count(F.lit(1)).alias("freq"),
+                F.coalesce(F.sum(cents), F.lit(0))
+                .alias("monetary_cents")))
+    mx = per.agg(F.max("__last")).collect()[0][0]
+    per = per.withColumn(
+        "r_days", F.datediff(F.lit(mx).cast("timestamp").cast("date"),
+                             F.col("__last").cast("date")).cast("int"))
+    wr = Window.orderBy(F.col("r_days").asc(), F.col("u").asc())
+    wf = Window.orderBy(F.col("freq").desc(), F.col("u").asc())
+    wm = Window.orderBy(F.col("monetary_cents").desc(),
+                        F.col("u").asc())
+    return per.select(
+        F.col("u").alias(user_col), "r_days", "freq", "monetary_cents",
+        F.ntile(n_tiles).over(wr).alias("r_score"),
+        F.ntile(n_tiles).over(wf).alias("f_score"),
+        F.ntile(n_tiles).over(wm).alias("m_score"))
 
 
 def cohort_retention(df: DataFrame, user_col: str = "user_id",

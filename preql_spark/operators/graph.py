@@ -94,6 +94,77 @@ def walk_tree(edges: DataFrame, initial: DataFrame, max_rank: int,
     return out
 
 
+def pagerank(edges: DataFrame, iters: int = 10,
+             src: str = "src", dst: str = "dst",
+             units: int = 1_000_000,
+             damping_num: int = 17, damping_den: int = 20,
+             checkpoint_every: int = 3) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer arithmetic —
+    ``(node, rank_units bigint, rank double)``.
+
+    Ranks live in integer units (``units`` per node initially); the
+    damping factor is the rational ``damping_num/damping_den``
+    (default 17/20 = 0.85) so every step is pure int64:
+
+        contrib(v)  = rank(v) DIV outdeg(v)          (per out-edge)
+        rank'(u)    = base + (sum contribs * num) DIV den
+        base        = (units * (den - num)) DIV den
+
+    Integer sums are order-independent, so the result is identical on
+    any engine and any partitioning — the property float PageRank
+    lacks (FP addition order varies run-to-run).  ``rank`` is
+    ``rank_units / units`` through ONE correctly-rounded division.
+    Dangling mass (nodes with no out-edges) is dropped, not
+    redistributed — the "weak" PageRank variant; pass a
+    bidirectional edge list if every node should circulate mass.
+    Multi-edges contribute once per edge; pre-``distinct()`` the
+    edge list for simple-graph semantics.
+
+    Scale shape: the classic Pregel loop — per iteration ONE
+    rank-to-edge hash join (edge side pre-joined with outdegree and
+    repartitioned by src once, so the per-iteration shuffle is the
+    rank table, sized |nodes| not |edges|) plus one dst-keyed partial
+    agg; ``localCheckpoint`` every few rounds cuts lineage.  Overflow
+    bound: |nodes| * units * num must stay < 2^63 (10^12 nodes at
+    the default units).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not (0 < damping_num < damping_den):
+        raise ValueError("damping must satisfy 0 < num < den, got "
+                         f"{damping_num}/{damping_den}")
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    nodes = (e.select(F.col("__s").alias("node"))
+             .union(e.select(F.col("__d").alias("node")))
+             .distinct().localCheckpoint(eager=False))
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    # one edge-degree join up front, co-partitioned by src so every
+    # iteration's rank join reuses the layout
+    spark = edges.sparkSession
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e_deg = (e.join(deg, "__s").repartition(nshuf, "__s")
+             .localCheckpoint(eager=False))
+    base = (units * (damping_den - damping_num)) // damping_den
+    r = nodes.select("node", F.lit(int(units)).cast("long")
+                     .alias("rank_units"))
+    for i in range(iters):
+        inflow = (e_deg.join(r, e_deg["__s"] == r["node"])
+                  .select(F.col("__d").alias("node"),
+                          F.expr("rank_units DIV __deg").alias("__c"))
+                  .groupBy("node").agg(F.sum("__c").alias("__in")))
+        r = nodes.join(inflow, "node", "left").select(
+            "node",
+            (F.lit(int(base)) + F.expr(
+                f"(coalesce(__in, 0L) * {int(damping_num)})"
+                f" DIV {int(damping_den)}")).cast("long")
+            .alias("rank_units"))
+        if i % checkpoint_every == checkpoint_every - 1:
+            r = r.localCheckpoint(eager=False)
+    return r.select("node", "rank_units",
+                    (F.col("rank_units") / F.lit(int(units)))
+                    .alias("rank"))
+
+
 # connected components lives in operators.dedup (it is the dedup
 # clustering end-step) but is equally a graph operator — re-export
 from preql_spark.operators.dedup import connected_components  # noqa: F401,E402

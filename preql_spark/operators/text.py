@@ -932,22 +932,11 @@ def adjacent_pair_counts(df: DataFrame, text_col: str = "text",
     return top.withColumn("rank", F.row_number().over(w))
 
 
-def bpe_merge_pair(col, left: str, right: str,
-                   joiner: str = "▁") -> Column:
-    """One BPE merge application: greedily (left-to-right,
-    non-overlapping) replace every adjacent occurrence of
-    ``(left, right)`` in the whitespace-token stream with the merged
-    token ``left + joiner + right`` and return the rebuilt token
-    array.  Pure scan-local fold (F.aggregate over the token array) —
-    run :func:`adjacent_pair_counts` to pick the pair, this to apply
-    it, and iterate for as many merge rounds as the vocabulary needs;
-    each round is one scan, no shuffle.
-
-    The fold carries (output-so-far, pending-token) state so the
-    overlapping-run case matches reference BPE: ``a a a`` with pair
-    (a, a) merges the FIRST two only (pytest-pinned against a Python
-    model)."""
-    toks = tokens(col)
+def bpe_merge_tokens(toks, left: str, right: str,
+                     joiner: str = "▁") -> Column:
+    """:func:`bpe_merge_pair` over an already-tokenized array column
+    — the form the learn loop and :func:`bpe_apply` iterate, since
+    merged tokens (containing ``joiner``) must feed later rounds."""
     merged = F.lit(left + joiner + right)
     # state: out array + pending element (array<string> of 0/1 elems)
     init = F.struct(F.array().cast("array<string>").alias("out"),
@@ -968,6 +957,79 @@ def bpe_merge_pair(col, left: str, right: str,
 
     return F.aggregate(toks, init, step,
                        lambda acc: F.concat(acc["out"], acc["pend"]))
+
+
+def bpe_apply(col, merges: list, joiner: str = "▁") -> Column:
+    """Apply a learned merge list in order to the whitespace-token
+    stream: ``merges`` is the ordered ``[(left, right), ...]`` from
+    :func:`bpe_learn`; each merge is one greedy scan-local fold, so
+    the whole tokenizer is |merges| chained HOFs — zero shuffles,
+    zero Python.  Expression depth grows with |merges|; past a few
+    dozen merges, materialize intermediate columns (or loop with
+    localCheckpoint like the learn side) instead of one expression."""
+    arr = tokens(col)
+    for left, right in merges:
+        arr = bpe_merge_tokens(arr, left, right, joiner)
+    return arr
+
+
+def bpe_learn(df: DataFrame, n_merges: int, text_col: str = "text",
+              joiner: str = "▁") -> list:
+    """Learn ``n_merges`` BPE merges over the corpus: each round
+    counts adjacent pairs in the CURRENT token stream (one scan-local
+    pairing + one pair-keyed partial-agg shuffle — the q160 shape),
+    picks the max by (cnt desc, left, right), and applies it with the
+    greedy fold.  Returns the ordered merge list.
+
+    Scale notes: BPE training is inherently |merges| corpus passes;
+    the working token frame is localCheckpoint-ed each round so
+    lineage (and the fold-expression depth) stays one round deep —
+    at 100 TB you run this on a sampled subcorpus (statistics, not
+    membership, drive merges) and ship the merge list to
+    :func:`bpe_apply`.  The driver holds one (pair, count) row per
+    round — scalars, like the k-means centroids."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    cur = ensure_parallelism(df.select(
+        tokens(F.col(text_col)).alias("__toks")))
+    merges = []
+    for _ in range(int(n_merges)):
+        n_pairs = F.greatest(F.size("__toks") - 1, F.lit(0))
+        pairs = F.arrays_zip(F.slice("__toks", 1, n_pairs),
+                             F.slice("__toks", 2, n_pairs))
+        top = (cur.select(F.explode(pairs).alias("p"))
+               .select(F.col("p")["0"].alias("l"),
+                       F.col("p")["1"].alias("r"))
+               .filter((F.col("l") != "") & (F.col("r") != ""))
+               .groupBy("l", "r").agg(F.count(F.lit(1)).alias("c"))
+               .orderBy(F.col("c").desc(), "l", "r").limit(1)
+               .collect())
+        if not top or top[0]["c"] < 2:
+            break               # nothing left worth merging
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+        cur = cur.select(
+            bpe_merge_tokens(F.col("__toks"), left, right, joiner)
+            .alias("__toks")).localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_merge_pair(col, left: str, right: str,
+                   joiner: str = "▁") -> Column:
+    """One BPE merge application: greedily (left-to-right,
+    non-overlapping) replace every adjacent occurrence of
+    ``(left, right)`` in the whitespace-token stream with the merged
+    token ``left + joiner + right`` and return the rebuilt token
+    array.  Pure scan-local fold (F.aggregate over the token array) —
+    run :func:`adjacent_pair_counts` to pick the pair, this to apply
+    it, and iterate for as many merge rounds as the vocabulary needs;
+    each round is one scan, no shuffle.
+
+    The fold carries (output-so-far, pending-token) state so the
+    overlapping-run case matches reference BPE: ``a a a`` with pair
+    (a, a) merges the FIRST two only (pytest-pinned against a Python
+    model)."""
+    return bpe_merge_tokens(tokens(col), left, right, joiner)
 
 
 def ngram_diversity(df: DataFrame, n: int = 2,

@@ -2203,3 +2203,21 @@ def test_pipeline_builtin_r7_event_batch(eng):
           eng.q('fuzzy_pairs(customer[c_custkey % 7 == 0],'
                 ' "c_custkey", "c_name", 2)').collect()}
     assert lz == az and len(lz) > 0
+
+
+def test_pipeline_builtin_funnel_times_rfm(eng):
+    """Lang spellings of funnel_times / rfm_scores equal their
+    Python-API results."""
+    from preql_spark.operators import events as EV
+    e = eng.t.events.df
+
+    aft = {tuple(str(v) for v in r) for r in
+           EV.funnel_times(e, ["view", "click"]).collect()}
+    lft = {tuple(str(v) for v in r) for r in
+           eng.q('funnel_times(events, "view click")').collect()}
+    assert lft == aft and len(lft) > 0
+
+    ar = {tuple(r) for r in EV.rfm_scores(e, n_tiles=4).collect()}
+    lr = {tuple(r) for r in
+          eng.q('rfm_scores(events, n_tiles: 4)').collect()}
+    assert lr == ar and len(lr) > 0

@@ -2376,3 +2376,113 @@ def test_fuzzy_pairs_random_small_alphabet(spark):
             for (a, sa), (b, sb) in itertools.combinations(rows, 2)
             if _brute_lev(sa, sb) <= d)
         assert got == want, f"d={d}"
+
+
+def test_funnel_times_per_user(spark):
+    """funnel_times returns each user's chain completion timestamps,
+    NULL after the chain breaks; only step-1 users appear; rows agree
+    with the aggregate funnel counts."""
+    from preql_spark.operators.events import funnel, funnel_times
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "a"), (1, "2024-01-01 01:00:00", "b"),
+         (2, "2024-01-01 02:00:00", "a"),
+         (3, "2024-01-01 00:00:00", "b")],
+        "user_id: long, ts: string, event_type: string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    rows = {r.user_id: (str(r.t1), r.t2 and str(r.t2))
+            for r in funnel_times(df, ["a", "b"]).collect()}
+    assert rows == {1: ("2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+                    2: ("2024-01-01 02:00:00", None)}
+    counts = {r.step_idx: r.n_users
+              for r in funnel(df, ["a", "b"]).collect()}
+    assert counts == {1: 2, 2: 1}
+
+
+def test_rfm_scores_semantics(spark):
+    """Known tiles on a crafted user table: integer-cents monetary,
+    recency vs the corpus max date, ntile tie-break by user id."""
+    from preql_spark.operators.events import rfm_scores
+    # users 1..4: later users are older, less frequent, lower spend
+    rows = []
+    for u in range(1, 5):
+        for k in range(5 - u):
+            rows.append((u, f"2024-01-{10 - 2 * u:02d} 00:00:00",
+                         float(10 * u) + 0.005))
+    df = spark.createDataFrame(
+        rows, "user_id: long, ts: string, value: double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {r.user_id: r for r in rfm_scores(df, n_tiles=2).collect()}
+    assert [out[u].r_days for u in (1, 2, 3, 4)] == [0, 2, 4, 6]
+    assert [out[u].freq for u in (1, 2, 3, 4)] == [4, 3, 2, 1]
+    # 10.005 rounds HALF-UP to 1001 cents per row — exact integers
+    assert out[1].monetary_cents == 4 * 1001
+    assert [out[u].r_score for u in (1, 2, 3, 4)] == [1, 1, 2, 2]
+    assert [out[u].f_score for u in (1, 2, 3, 4)] == [1, 1, 2, 2]
+    # monetary totals: u1=4*1001=4004, u2=3*2001=6003, u3=2*3001=6002,
+    # u4=1*4001=4001 — descending order is u2, u3, u1, u4
+    assert [out[u].m_score for u in (1, 2, 3, 4)] == [2, 1, 1, 2]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_tiles"):
+        rfm_scores(df, n_tiles=0)
+
+
+def _py_bpe_tokens(s):
+    return [t for t in s.split() if t]
+
+
+def _py_bpe_merge(toks, left, right, joiner="▁"):
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+            out.append(left + joiner + right)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def test_bpe_learn_apply_matches_python_model(spark):
+    """bpe_learn reproduces a reference Python BPE loop (max pair by
+    (cnt desc, left, right), min count 2, merged tokens feed later
+    rounds) and bpe_apply replays the merge list identically."""
+    corpus = ["the cat sat on the mat", "the cat ate the rat",
+              "a cat the cat", "the the the", "x y z"] * 3
+    df = spark.createDataFrame([(s,) for s in corpus], "text: string")
+
+    def py_learn(corpus, n):
+        from collections import Counter
+        cur = [_py_bpe_tokens(s) for s in corpus]
+        merges = []
+        for _ in range(n):
+            c = Counter()
+            for t in cur:
+                for a, b in zip(t, t[1:]):
+                    if a and b:
+                        c[(a, b)] += 1
+            if not c:
+                break
+            (l, r), cnt = sorted(c.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))[0]
+            if cnt < 2:
+                break
+            merges.append((l, r))
+            cur = [_py_bpe_merge(t, l, r) for t in cur]
+        return merges
+
+    got = text.bpe_learn(df, 5)
+    want = py_learn(corpus, 5)
+    assert got == want and len(got) == 5
+    applied = [list(r.a) for r in
+               df.select(text.bpe_apply(F.col("text"), got)
+                         .alias("a")).collect()]
+    want_a = []
+    for s in corpus:
+        t = _py_bpe_tokens(s)
+        for l, r in want:
+            t = _py_bpe_merge(t, l, r)
+        want_a.append(t)
+    assert applied == want_a
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_merges"):
+        text.bpe_learn(df, 0)
