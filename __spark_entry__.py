@@ -2447,6 +2447,56 @@ def q170_rfm_scores(spark, sf_dir) -> DataFrame:
                 "r_score", "f_score", "m_score")
 
 
+def q171_pagerank(spark, sf_dir) -> DataFrame:
+    """Exact-integer PageRank (damping 17/20, rank units 10^6) over
+    the bidirectional supplier<->part graph from lineitem, 3
+    iterations.  Integer contributions (rank DIV outdeg) and the
+    rational damping step make every rank bit-identical across
+    engines and partitionings; the oracle unrolls the same three
+    rounds as CTEs.  Per iteration: one rank-to-edge hash join
+    (edge+degree side pre-partitioned by src once) + one dst-keyed
+    partial agg — the Pregel shape that scales to billions of
+    edges."""
+    from preql_spark.operators.graph import pagerank
+    li = _eng(spark, sf_dir).t.lineitem.df
+    e = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("dst")).distinct()
+    ed = e.unionAll(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+    return pagerank(ed, iters=3) \
+        .select("node", "rank_units", F.col("rank").alias("pr"))
+
+
+def q172_value_trend(spark, sf_dir) -> DataFrame:
+    """Per-event-type OLS trend of value against time: all five
+    moments are exact int64 sums (day index x integer cents), so the
+    slope/intercept are a fixed sequence of correctly-rounded double
+    ops — bit-identical cross-engine.  One group-keyed partial agg;
+    rows fold map-side to five numbers per group."""
+    from preql_spark.operators.events import trend
+    e = _eng(spark, sf_dir).t.events
+    return trend(e.df, "event_type", origin="2024-01-01")
+
+
+def q173_mad_outliers(spark, sf_dir) -> DataFrame:
+    """Robust MAD outlier gate per event type: exact integer cents,
+    exact median/MAD (Spark percentile == DuckDB quantile_cont), flag
+    |cents - med| > 3 * MAD, then count — two bounds-broadcast rounds
+    (the winsorize contract), the event rows never shuffle."""
+    from preql_spark.operators.events import mad_outliers
+    e = _eng(spark, sf_dir).t.events
+    return (mad_outliers(e.df, "event_type", k=3.0)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("is_outlier").cast("long"))
+                 .alias("n_outliers"),
+                 F.first("med_cents").alias("med_cents"),
+                 F.first("mad_cents").alias("mad_cents")))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2641,9 +2691,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_interval_join": q78_interval_join,
     # ---- end of the 50-entry driver window -------------------------
     # battery-only additions (never driver-windowed yet; r8 rotation
-    # stock): funnel conversion lags and RFM segmentation
+    # stock): funnel conversion lags, RFM segmentation, PageRank
     "q169_conversion_lag": q169_conversion_lag,
     "q170_rfm_scores": q170_rfm_scores,
+    "q171_pagerank": q171_pagerank,
+    "q172_value_trend": q172_value_trend,
+    "q173_mad_outliers": q173_mad_outliers,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -5192,6 +5245,97 @@ ORACLES: dict[str, str] = {
                CAST(ntile(5) OVER (ORDER BY monetary_cents DESC,
                                    user_id) AS INT) AS m_score
         FROM r
+    """,
+    # the same three integer PageRank rounds unrolled as CTEs:
+    # contrib = rank // outdeg, rank' = 150000 + (inflow * 17) // 20
+    # (base = (10^6 * 3) // 20; all int64, order-independent)
+    "q171_pagerank": """
+        WITH e AS (
+          SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                          'p' || CAST(l_partkey AS VARCHAR) AS dst
+          FROM lineitem),
+        ed AS (SELECT src, dst FROM e
+               UNION ALL SELECT dst AS src, src AS dst FROM e),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+                FROM ed GROUP BY src),
+        n AS (SELECT DISTINCT src AS node FROM ed
+              UNION SELECT DISTINCT dst AS node FROM ed),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+        i1 AS (SELECT ed.dst AS node, SUM(r0.r // deg.d) AS f
+               FROM ed JOIN r0 ON ed.src = r0.node
+                       JOIN deg ON ed.src = deg.src
+               GROUP BY ed.dst),
+        r1 AS (SELECT n.node,
+                      CAST(150000 + COALESCE((i1.f * 17) // 20, 0)
+                           AS BIGINT) AS r
+               FROM n LEFT JOIN i1 USING (node)),
+        i2 AS (SELECT ed.dst AS node, SUM(r1.r // deg.d) AS f
+               FROM ed JOIN r1 ON ed.src = r1.node
+                       JOIN deg ON ed.src = deg.src
+               GROUP BY ed.dst),
+        r2 AS (SELECT n.node,
+                      CAST(150000 + COALESCE((i2.f * 17) // 20, 0)
+                           AS BIGINT) AS r
+               FROM n LEFT JOIN i2 USING (node)),
+        i3 AS (SELECT ed.dst AS node, SUM(r2.r // deg.d) AS f
+               FROM ed JOIN r2 ON ed.src = r2.node
+                       JOIN deg ON ed.src = deg.src
+               GROUP BY ed.dst),
+        r3 AS (SELECT n.node,
+                      CAST(150000 + COALESCE((i3.f * 17) // 20, 0)
+                           AS BIGINT) AS r
+               FROM n LEFT JOIN i3 USING (node))
+        SELECT node, r AS rank_units, r / 1000000 AS pr FROM r3
+    """,
+    # exact int64 OLS moments (day index x half-up cents), then a
+    # fixed sequence of double ops — q172's cross-engine contract
+    "q172_value_trend": """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(datediff('day', DATE '2024-01-01',
+                               CAST(ts AS DATE)) AS BIGINT) AS x,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+          FROM events),
+        m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM b GROUP BY event_type)
+        SELECT event_type, n,
+               CASE WHEN n * sxx - sx * sx <> 0 THEN
+                 CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END
+                 AS slope_cents_per_day,
+               (CAST(sy AS DOUBLE)
+                - (CASE WHEN n * sxx - sx * sx <> 0 THEN
+                     CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END)
+                  * CAST(sx AS DOUBLE)) / n AS intercept_cents
+        FROM m
+    """,
+    # exact cents -> exact median / MAD (quantile_cont == Spark
+    # percentile), |c - med| > 3 * MAD counted per group
+    "q173_mad_outliers": """
+        WITH c AS (SELECT event_type,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT)
+                            AS c
+                   FROM events),
+        med AS (SELECT event_type, quantile_cont(c, 0.5) AS med
+                FROM c GROUP BY event_type),
+        dev AS (SELECT c.event_type, abs(c.c - med.med) AS d, med.med
+                FROM c JOIN med USING (event_type)),
+        mad AS (SELECT event_type, quantile_cont(d, 0.5) AS mad
+                FROM dev GROUP BY event_type)
+        SELECT dev.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN dev.d > 3.0 * mad.mad
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers,
+               first(dev.med) AS med_cents,
+               first(mad.mad) AS mad_cents
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY dev.event_type
     """,
     # q139's full IVF-PQ replay (one query, top-10 ADC candidates)
     # -> exact-cosine refine (rel, 4dp) -> q154's greedy MMR CTEs

@@ -3338,7 +3338,8 @@ _TABLE_FUNCS = {"join", "leftjoin", "outerjoin", "joinall", "distinct",
 
 def _load_pipeline_funcs() -> dict:
     from preql_spark.operators import (cluster, dedup, events, fuzzy,
-                                       similarity, sketch, text, topk)
+                                       graph, similarity, sketch, text,
+                                       topk)
 
     def _funnel(df, steps, within=None, user_col="user_id",
                 ts_col="ts", type_col="event_type"):
@@ -3465,6 +3466,18 @@ def _load_pipeline_funcs() -> dict:
             lambda df, id_col, str_col, max_dist, q=2:
                 fuzzy.fuzzy_pairs(df, id_col, str_col,
                                   int(max_dist), q=int(q)),
+        "pagerank":
+            lambda df, iters=10, src="src", dst="dst":
+                graph.pagerank(df, int(iters), src, dst),
+        "trend":
+            lambda df, group_col, ts_col="ts", value_col="value",
+            origin="1970-01-01":
+                events.trend(df, [group_col], ts_col, value_col,
+                             origin),
+        "mad_outliers":
+            lambda df, group_col, value_col="value", k=3.0:
+                events.mad_outliers(df, [group_col], value_col,
+                                    float(k)),
     }
 
 
@@ -3487,6 +3500,7 @@ _PIPELINE_FUNC_NAMES = {
     "quantize_int8", "centroid_agg", "semdedup", "kmeans_assign",
     "funnel", "funnel_times", "rfm_scores", "cohort_retention",
     "transition_counts", "winsorize", "ewma", "fuzzy_pairs",
+    "pagerank", "trend", "mad_outliers",
     # Table-method family (dispatched on the host Table, not its df)
     "sample_hash", "sample_mixture", "sample_stratified",
     "sample_weighted", "split_by_hash", "shuffle_deterministic",

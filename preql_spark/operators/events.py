@@ -321,3 +321,87 @@ def ewma(df: DataFrame, group_cols: list[str], ts_col: str,
     return per.select(*group_cols,
                       F.size("__evs").cast("long").alias("n"),
                       fold.alias("ewma"))
+
+
+def trend(df: DataFrame, group_cols: list[str] | str,
+          ts_col: str = "ts", value_col: str = "value",
+          origin: str = "1970-01-01") -> DataFrame:
+    """Per-group OLS trend of value-cents against day index —
+    ``(group..., n, slope_cents_per_day, intercept_cents)``.
+
+    Exactness contract: x = whole days since ``origin`` (int), y =
+    value rounded HALF-UP to integer cents (the order-independent
+    q170 trick), and all five OLS moments (n, Sx, Sy, Sxx, Sxy) are
+    exact int64 sums.  slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) and
+    intercept = (Sy - slope*Sx) / n are then a FIXED sequence of
+    correctly-rounded double ops — bit-identical on any engine and
+    any partitioning.  Groups with a single distinct x (vertical
+    line) get NULL slope/intercept.
+
+    Scale shape: one group-keyed partial agg — the map side folds
+    each partition to five numbers per group, so rows never shuffle.
+    Overflow bound: n * Sxx < 2^63 — pick ``origin`` near the data
+    (day indexes stay small) for very large groups.
+    """
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    x = F.datediff(F.col(ts_col).cast("date"),
+                   F.lit(origin).cast("date")).cast("long")
+    y = F.floor(F.col(value_col).cast("double") * 100 + F.lit(0.5)) \
+        .cast("long")
+    m = (df.groupBy(*group_cols)
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(x).alias("__sx"), F.sum(y).alias("__sy"),
+              F.sum(x * x).alias("__sxx"),
+              F.sum(x * y).alias("__sxy")))
+    num = (F.col("n") * F.col("__sxy")
+           - F.col("__sx") * F.col("__sy")).cast("double")
+    den = (F.col("n") * F.col("__sxx")
+           - F.col("__sx") * F.col("__sx")).cast("double")
+    slope = F.when(den != 0, num / den)
+    intercept = (F.col("__sy").cast("double")
+                 - slope * F.col("__sx").cast("double")) / F.col("n")
+    return m.select(*group_cols, "n",
+                    slope.alias("slope_cents_per_day"),
+                    intercept.alias("intercept_cents"))
+
+
+def mad_outliers(df: DataFrame, group_cols: list[str] | str,
+                 value_col: str = "value",
+                 k: float = 3.0) -> DataFrame:
+    """Median-absolute-deviation outlier flagging: each row gains
+    ``med_cents``, ``mad_cents`` (its group's exact median and MAD of
+    the half-up integer-cent values) and ``is_outlier`` =
+    |cents - med| > k * MAD.  The robust alternative to z-scores —
+    one wild row cannot drag the gate, and MAD = 0 degenerates to
+    "anything off the median is an outlier".
+
+    Exactness: cents are int64; Spark ``percentile`` over ints yields
+    exact .0/.5 doubles (== DuckDB ``quantile_cont``, the q158-proven
+    identity); |cents - med| is again an exact double, and its median
+    interpolates exact halves — every comparison is deterministic
+    cross-engine.
+
+    Scale shape: two bounds-broadcast rounds (the winsorize
+    contract): pass 1 computes per-group medians (map-side partial
+    percentile), pass 2 the MAD of deviations; both broadcast back,
+    so the event rows themselves NEVER shuffle.
+    """
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    cents = F.floor(F.col(value_col).cast("double") * 100
+                    + F.lit(0.5)).cast("long")
+    w = df.withColumn("__c", cents)
+    med = (w.groupBy(*group_cols)
+           .agg(F.percentile(F.col("__c"), F.lit(0.5))
+                .alias("med_cents")))
+    w = w.join(F.broadcast(med), group_cols, "left")
+    dev = F.abs(F.col("__c") - F.col("med_cents"))
+    mad = (w.groupBy(*group_cols)
+           .agg(F.percentile(dev, F.lit(0.5)).alias("mad_cents")))
+    w = w.join(F.broadcast(mad), group_cols, "left")
+    return w.select(*df.columns, "med_cents", "mad_cents",
+                    (dev > F.lit(float(k)) * F.col("mad_cents"))
+                    .alias("is_outlier"))

@@ -2221,3 +2221,35 @@ def test_pipeline_builtin_funnel_times_rfm(eng):
     lr = {tuple(r) for r in
           eng.q('rfm_scores(events, n_tiles: 4)').collect()}
     assert lr == ar and len(lr) > 0
+
+
+def test_pipeline_builtin_graph_trend_mad(eng):
+    """Lang spellings of pagerank / trend / mad_outliers equal their
+    Python-API results."""
+    from preql_spark.operators import events as EV
+    from preql_spark.operators.graph import pagerank
+    e = eng.t.events.df
+
+    ed = eng.t.nation.df.select(
+        F.col("n_nationkey").cast("string").alias("src"),
+        F.col("n_regionkey").cast("string").alias("dst"))
+    ap = {tuple(r) for r in pagerank(ed, iters=3).collect()}
+    eng.register("edges_nr", ed)
+    lp = {tuple(r) for r in
+          eng.q('pagerank(edges_nr, iters: 3)').collect()}
+    assert lp == ap and len(lp) > 0
+
+    at = {tuple(r) for r in
+          EV.trend(e, ["event_type"], origin="2024-01-01").collect()}
+    lt = {tuple(r) for r in
+          eng.q('trend(events, "event_type",'
+                ' origin: "2024-01-01")').collect()}
+    assert lt == at and len(lt) > 0
+
+    am = {(r.event_id, r.med_cents, r.mad_cents, r.is_outlier)
+          for r in EV.mad_outliers(e, ["event_type"], k=2.5)
+          .collect()}
+    lm = {(r.event_id, r.med_cents, r.mad_cents, r.is_outlier)
+          for r in eng.q('mad_outliers(events, "event_type", k: 2.5)')
+          .collect()}
+    assert lm == am and len(lm) > 0

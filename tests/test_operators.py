@@ -2486,3 +2486,97 @@ def test_bpe_learn_apply_matches_python_model(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="n_merges"):
         text.bpe_learn(df, 0)
+
+
+def test_pagerank_matches_integer_model(spark):
+    """pagerank reproduces a Python int64 PageRank loop exactly
+    (contrib = rank // outdeg, rank' = base + inflow * 17 // 20),
+    including a dangling node that keeps only the base mass."""
+    from collections import Counter, defaultdict
+    from preql_spark.operators.graph import pagerank
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+             ("d", "a")]
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    got = {r.node: (r.rank_units, r.rank)
+           for r in pagerank(df, iters=4).collect()}
+
+    def model(edges, iters, units=1_000_000, num=17, den=20):
+        nodes = sorted({x for e in edges for x in e})
+        deg = Counter(s for s, _ in edges)
+        base = (units * (den - num)) // den
+        r = {n: units for n in nodes}
+        for _ in range(iters):
+            inflow = defaultdict(int)
+            for s, d in edges:
+                inflow[d] += r[s] // deg[s]
+            r = {n: base + (inflow[n] * num) // den for n in nodes}
+        return r
+
+    want = model(edges, 4)
+    assert {k: v[0] for k, v in got.items()} == want
+    assert got["d"][0] == 150_000          # dangling: base only
+    assert all(abs(v[1] - v[0] / 1e6) < 1e-15 for v in got.values())
+    import pytest as _pt
+    with _pt.raises(ValueError, match="iters"):
+        pagerank(df, iters=0)
+    with _pt.raises(ValueError, match="damping"):
+        pagerank(df, damping_num=20, damping_den=20)
+
+
+def test_trend_exact_line_and_degenerate(spark):
+    """trend recovers an exact line (slope in cents/day, intercept in
+    cents), NULLs a single-x group, and matches the closed-form
+    integer OLS on a noisy group."""
+    from preql_spark.operators.events import trend
+    rows = []
+    # group 'lin': y = 2x + 5 dollars on days 0..4 -> 200 c/day, 500 c
+    for x in range(5):
+        rows.append(("lin", f"2024-01-{x + 1:02d} 12:00:00",
+                     2.0 * x + 5.0))
+    # group 'one': a single day (vertical) -> NULL slope/intercept
+    rows += [("one", "2024-01-03 00:00:00", 7.0),
+             ("one", "2024-01-03 09:00:00", 9.0)]
+    # group 'noisy': irregular values
+    noisy = [(0, 1.23), (1, 4.56), (1, 2.22), (3, 9.87), (6, 0.05)]
+    for x, v in noisy:
+        rows.append(("noisy", f"2024-01-{x + 1:02d} 01:00:00", v))
+    df = spark.createDataFrame(
+        rows, "g: string, ts: string, value: double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {r.g: r for r in
+           trend(df, "g", origin="2024-01-01").collect()}
+    assert out["lin"].slope_cents_per_day == 200.0
+    assert out["lin"].intercept_cents == 500.0
+    assert out["one"].slope_cents_per_day is None
+    assert out["one"].intercept_cents is None
+    # closed-form integer OLS for the noisy group
+    import math
+    xy = [(x, math.floor(v * 100 + 0.5)) for x, v in noisy]
+    n = len(xy)
+    sx = sum(x for x, _ in xy); sy = sum(y for _, y in xy)
+    sxx = sum(x * x for x, _ in xy); sxy = sum(x * y for x, y in xy)
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    intercept = (float(sy) - slope * float(sx)) / n
+    assert out["noisy"].slope_cents_per_day == slope
+    assert out["noisy"].intercept_cents == intercept
+
+
+def test_mad_outliers_semantics(spark):
+    """Crafted group: med/MAD on exact cents, the wild row flagged,
+    MAD robust to it; k=0 flags everything off the median."""
+    from preql_spark.operators.events import mad_outliers
+    vals = [1.0, 2.0, 3.0, 100.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g: string, value: double")
+    out = mad_outliers(df, "g", k=3.0).collect()
+    # cents 100,200,300,10000 -> med 250.0; devs 150,50,50,9750
+    # -> MAD = (50+150)/2 = 100.0; outlier iff dev > 300
+    assert all(r.med_cents == 250.0 and r.mad_cents == 100.0
+               for r in out)
+    flagged = sorted(r.value for r in out if r.is_outlier)
+    assert flagged == [100.0]
+    z = mad_outliers(df, "g", k=0.0).collect()
+    assert sorted(r.value for r in z if r.is_outlier) == vals
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must"):
+        mad_outliers(df, "g", k=-1.0)

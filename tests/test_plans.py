@@ -458,3 +458,31 @@ def test_ewma_single_group_shuffle(spark):
     plan = plan_of(df)
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_trend_single_partial_agg(spark):
+    """OLS trend folds to five moments map-side: one group-keyed
+    exchange, no join, no window."""
+    df = entry.q172_value_trend(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "partial" in plan.lower()
+
+
+def test_mad_outliers_rows_never_shuffle(spark):
+    """Both MAD rounds broadcast their bounds back: the event rows
+    see only BroadcastHashJoins, never a sort-merge join."""
+    df = entry.q173_mad_outliers(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_no_cartesian_no_bnl(spark):
+    """Every PageRank iteration is an equi-join + keyed agg — no
+    cartesian product, no broadcast nested loop."""
+    df = entry.q171_pagerank(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
