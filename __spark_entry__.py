@@ -2497,6 +2497,39 @@ def q173_mad_outliers(spark, sf_dir) -> DataFrame:
                  F.first("mad_cents").alias("mad_cents")))
 
 
+def q174_hll_ingest(spark, sf_dir) -> DataFrame:
+    """Two-wave streaming HLL distinct-count maintenance: per-group
+    DataSketches sketches union across waves (register-wise max —
+    exactly mergeable), state is ONE bounded sketch row per group,
+    report estimates from the state.  Two-wave == one-shot sketching
+    is pytest-pinned; no DuckDB oracle exists for DataSketches HLL,
+    so this entry is rows-only by design (the bounded-state sibling
+    of the exact q168 inventory)."""
+    from preql_spark.streaming.stream import incremental_hll_ingest
+    eng = _eng(spark, sf_dir)
+    tmp = _scratch("q174_")
+    src, st, ids, ck = (os.path.join(tmp, x)
+                        for x in ("src", "st", "ids", "ck"))
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_hll_ingest(spark, src, ck, st, ids)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_hll_ingest(spark, src, ck, st, ids)
+    return out.select("source", "n_distinct_approx")
+
+
+def q175_token_entropy(spark, sf_dir) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution: int64
+    counts, the c*ln(c) sum folded in lexicographic token order
+    (the q155 fixed-order contract, == DuckDB list_reduce with
+    ORDER BY token), so every double is bit-identical cross-engine.
+    One explode + one (group, token) partial agg; the fold runs over
+    each group's bounded vocabulary."""
+    from preql_spark.operators.text import token_entropy
+    d = _eng(spark, sf_dir).t.documents
+    return token_entropy(d.df, "source")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2697,6 +2730,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q171_pagerank": q171_pagerank,
     "q172_value_trend": q172_value_trend,
     "q173_mad_outliers": q173_mad_outliers,
+    # rows-only by design: DataSketches HLL has no DuckDB twin; the
+    # two-wave == one-shot identity is pytest-pinned instead
+    "q174_hll_ingest": q174_hll_ingest,
+    "q175_token_entropy": q175_token_entropy,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -5336,6 +5373,34 @@ ORACLES: dict[str, str] = {
                first(mad.mad) AS mad_cents
         FROM dev JOIN mad USING (event_type)
         GROUP BY dev.event_type
+    """,
+    # c*ln(c) folded in lexicographic token order (list_reduce ==
+    # F.aggregate over the sorted struct list — the q155 contract)
+    "q175_token_entropy": r"""
+        WITH toks AS (
+          SELECT source,
+                 unnest(string_split_regex(trim(text), '\s+'))
+                   AS token
+          FROM documents),
+        t2 AS (SELECT * FROM toks WHERE token <> ''),
+        tc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+               FROM t2 GROUP BY source, token),
+        g AS (SELECT source,
+                     CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     list_reduce(
+                       list(CAST(c AS DOUBLE)
+                            * ln(CAST(c AS DOUBLE)) ORDER BY token),
+                       (a, b) -> a + b) AS s
+              FROM tc GROUP BY source)
+        SELECT source, n_tokens, n_distinct,
+               ln(CAST(n_tokens AS DOUBLE)) - s / n_tokens
+                 AS entropy_nats,
+               CASE WHEN n_distinct > 1 THEN
+                 (ln(CAST(n_tokens AS DOUBLE)) - s / n_tokens)
+                 / ln(CAST(n_distinct AS DOUBLE)) END
+                 AS entropy_norm
+        FROM g
     """,
     # q139's full IVF-PQ replay (one query, top-10 ADC candidates)
     # -> exact-cosine refine (rel, 4dp) -> q154's greedy MMR CTEs

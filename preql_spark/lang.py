@@ -3423,6 +3423,9 @@ def _load_pipeline_funcs() -> dict:
         "ngram_diversity":
             lambda df, n=2, group_col="source":
                 text.ngram_diversity(df, int(n), group_col),
+        "token_entropy":
+            lambda df, group_col="source", text_col="text":
+                text.token_entropy(df, group_col, text_col),
         "phrase_search": text.phrase_search,
         "ranked_search": text.ranked_search,
         "hybrid_search": text.hybrid_search,
@@ -3492,6 +3495,7 @@ _PIPELINE_FUNC_NAMES = {
     "tfidf", "bm25", "lm_perplexity", "quantile_filter",
     "quantile_bucketize", "corpus_datacard", "postings",
     "budget_select", "adjacent_pair_counts", "ngram_diversity",
+    "token_entropy",
     "phrase_search", "ranked_search", "hybrid_search", "cosine_topk",
     "cosine_topk_arrow",
     "cosine_pairs", "lsh_cosine_pairs", "normalize_vectors",

@@ -1059,3 +1059,49 @@ def ngram_diversity(df: DataFrame, n: int = 2,
             .withColumn("diversity",
                         F.col("n_distinct").cast("double")
                         / F.col("total").cast("double")))
+
+
+def token_entropy(df: DataFrame, group_col: str = "source",
+                  text_col: str = "text") -> DataFrame:
+    """Per-group Shannon entropy of the token distribution —
+    ``(group, n_tokens, n_distinct, entropy_nats, entropy_norm)``.
+    H = ln(n) - (1/n) * sum c_i * ln(c_i); ``entropy_norm`` = H /
+    ln(n_distinct) (NULL for a single-token vocabulary).  The
+    standard mix-monitoring signal next to :func:`ngram_diversity`
+    — a source whose entropy collapses is repeating itself.
+
+    Exactness contract: the counts are int64; the sum folds in
+    lexicographic token order (sorted struct list + ``F.aggregate``
+    == DuckDB ``list_reduce(list(... ORDER BY token))``, the q155
+    fixed-order contract), so the doubles are bit-identical
+    cross-engine.
+
+    Scale shape: one explode + one (group, token)-keyed partial agg,
+    then one row per group token; per-task memory is bounded by the
+    group's DISTINCT vocabulary (fine for natural-language token
+    sets; for open-ended token domains cap the vocabulary first or
+    accept an unordered ``F.sum`` fold, which is faster but not
+    cross-engine reproducible)."""
+    toks = tokens(F.col(text_col))
+    base = (ensure_parallelism(df)
+            .select(F.col(group_col), F.explode(toks).alias("token"))
+            .filter(F.col("token") != ""))
+    tc = (base.groupBy(group_col, "token")
+          .agg(F.count(F.lit(1)).alias("c")))
+    g = (tc.groupBy(group_col)
+         .agg(F.sum("c").alias("n_tokens"),
+              F.count(F.lit(1)).alias("n_distinct"),
+              F.sort_array(F.collect_list(
+                  F.struct(F.col("token"), F.col("c")))).alias("__l")))
+    fold = F.aggregate(
+        "__l", F.lit(0.0),
+        lambda a, e: a + e["c"].cast("double")
+        * F.log(e["c"].cast("double")))
+    ent = F.log(F.col("n_tokens").cast("double")) \
+        - fold / F.col("n_tokens")
+    return g.select(
+        group_col, "n_tokens", "n_distinct",
+        ent.alias("entropy_nats"),
+        F.when(F.col("n_distinct") > 1,
+               ent / F.log(F.col("n_distinct").cast("double")))
+        .alias("entropy_norm"))

@@ -751,3 +751,76 @@ def incremental_distinct_ingest(
     return (spark.read.parquet(state_path)
             .groupBy(F.col("g").alias(group_col))
             .agg(F.count(F.lit(1)).alias("n_distinct")))
+
+
+def incremental_hll_ingest(
+        spark: SparkSession, src_path: str, checkpoint: str,
+        state_path: str, ids_path: str,
+        group_col: str = "source", value_expr: str = "text",
+        id_col: str = "doc_id", lg_k: int = 12) -> DataFrame:
+    """Streaming maintenance of an APPROXIMATE per-group distinct
+    count with BOUNDED state: each availableNow batch sketches its
+    values (DataSketches HLL, ``hll_sketch_agg``), the per-group
+    sketches union with the state (register-wise max — exactly
+    mergeable across any wave boundaries), and the report estimates
+    from the state — ``(group, n_distinct_approx)``.
+
+    Two-wave ingestion is IDENTICAL to one-shot sketching of the full
+    corpus (sketch union is associative/commutative, pytest-pinned),
+    so unlike :func:`incremental_distinct_ingest` — whose state grows
+    with the true cardinality — this state is a fixed 2^lg_k
+    registers per group: the 100 TB path when the inventory itself
+    no longer fits.  NULL values are ignored (COUNT DISTINCT
+    semantics).
+
+    The batch-to-state union runs distributed (``hll_union_agg``);
+    only the merged per-group sketch rows cross the driver for the
+    state overwrite — bounded by |groups| x 2^lg_k bytes, the same
+    contract as the histogram state.  Ids anti-join first and append
+    LAST (the fold-before-append ordering every ingest here follows).
+    """
+    from pyspark.sql import types as T
+    from preql_spark.parquet_io import hadoop_dir_has_files
+
+    schema = spark.read.parquet(src_path).schema  # footer-only peek
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        if hadoop_dir_has_files(s, ids_path):
+            seen = (s.read.parquet(ids_path)
+                    .select(F.col(id_col).alias("__seen")).distinct())
+            batch = batch.join(
+                seen, batch[id_col] == seen["__seen"], "left_anti")
+        batch = batch.persist()
+        sk = (batch.select(F.col(group_col).alias("g"),
+                           F.expr(value_expr).cast("string").alias("v"))
+              .filter(F.col("v").isNotNull())
+              .groupBy("g")
+              .agg(F.hll_sketch_agg("v", F.lit(int(lg_k)))
+                   .alias("sketch")))
+        if hadoop_dir_has_files(s, state_path):
+            sk = (s.read.parquet(state_path).unionByName(sk)
+                  .groupBy("g")
+                  .agg(F.hll_union_agg("sketch").alias("sketch")))
+        merged = sk.collect()   # |groups| rows of 2^lg_k-byte blobs
+        st_schema = T.StructType([
+            T.StructField("g", batch.schema[group_col].dataType),
+            T.StructField("sketch", T.BinaryType()),
+        ])
+        s.createDataFrame([(r["g"], r["sketch"]) for r in merged],
+                          schema=st_schema) \
+            .coalesce(1).write.mode("overwrite").parquet(state_path)
+        batch.select(id_col).write.mode("append").parquet(ids_path)
+        batch.unpersist(blocking=False)
+
+    q = (spark.readStream.schema(schema).parquet(src_path)
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    return (spark.read.parquet(state_path)
+            .select(F.col("g").alias(group_col),
+                    F.hll_sketch_estimate("sketch")
+                    .alias("n_distinct_approx")))

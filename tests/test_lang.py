@@ -2253,3 +2253,13 @@ def test_pipeline_builtin_graph_trend_mad(eng):
           for r in eng.q('mad_outliers(events, "event_type", k: 2.5)')
           .collect()}
     assert lm == am and len(lm) > 0
+
+
+def test_pipeline_builtin_token_entropy(eng):
+    """Lang token_entropy equals the Python API."""
+    from preql_spark.operators.text import token_entropy
+    a = {tuple(r) for r in
+         token_entropy(eng.t.documents.df, "source").collect()}
+    l = {tuple(r) for r in
+         eng.q('token_entropy(documents, "source")').collect()}
+    assert l == a and len(l) > 0

@@ -2580,3 +2580,26 @@ def test_mad_outliers_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="k must"):
         mad_outliers(df, "g", k=-1.0)
+
+
+def test_token_entropy_matches_python_model(spark):
+    """token_entropy equals the direct -sum(p ln p) computation and
+    handles the single-token-vocabulary NULL."""
+    import math
+    from collections import Counter
+    docs = [("a", "x x y z z z"), ("a", "y y w"),
+            ("b", "only only only")]
+    df = spark.createDataFrame(docs, "source: string, text: string")
+    out = {r.source: r for r in
+           text.token_entropy(df, "source").collect()}
+    for g in ("a", "b"):
+        c = Counter(t for s, tx in docs if s == g for t in tx.split())
+        n = sum(c.values())
+        h = math.log(n) - sum(v * math.log(v) for v in
+                              sorted(c.values())) / n
+        want = -sum((v / n) * math.log(v / n) for v in c.values())
+        assert abs(out[g].entropy_nats - want) < 1e-12
+        assert out[g].n_tokens == n and out[g].n_distinct == len(c)
+    assert out["b"].entropy_norm is None          # 1-token vocab
+    assert abs(out["a"].entropy_norm
+               - out["a"].entropy_nats / math.log(4)) < 1e-12

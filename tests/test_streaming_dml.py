@@ -637,3 +637,33 @@ def test_incremental_distinct_ingest_equals_batch(spark, eng, tmp_path):
     state = spark.read.parquet(st)
     assert state.count() == state.distinct().count() \
         == sum(n for _, n in inc)
+
+
+def test_incremental_hll_ingest_equals_batch(spark, eng, tmp_path):
+    """Two-wave HLL ingest == one-shot hll_sketch_agg over the full
+    corpus (sketch union is register-wise max, exactly mergeable);
+    replay is a no-op; state is one bounded sketch row per group."""
+    from preql_spark.streaming.stream import incremental_hll_ingest
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "state")
+    ids = str(tmp_path / "ids")
+    ck = str(tmp_path / "ck")
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_hll_ingest(spark, src, ck, st, ids)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_hll_ingest(spark, src, ck, st, ids)
+    inc = {(r.source, r.n_distinct_approx) for r in out.collect()}
+    one = {(r.source, r.n) for r in
+           d.select("source", F.col("text").cast("string").alias("v"))
+            .filter("v is not null")
+            .groupBy("source")
+            .agg(F.hll_sketch_estimate(
+                F.hll_sketch_agg("v", F.lit(12))).alias("n"))
+            .collect()}
+    assert inc == one and len(inc) > 0
+    out2 = incremental_hll_ingest(spark, src, ck, st, ids)
+    assert {(r.source, r.n_distinct_approx)
+            for r in out2.collect()} == inc
+    state = spark.read.parquet(st)
+    assert state.count() == len(inc)   # ONE sketch row per group
