@@ -2530,6 +2530,18 @@ def q175_token_entropy(spark, sf_dir) -> DataFrame:
     return token_entropy(d.df, "source")
 
 
+def q176_session_paths(spark, sf_dir) -> DataFrame:
+    """Top-20 session paths: 30-min-gap sessionization (exact
+    integer-micro gap compare), ordered '>'-joined event-type
+    strings, frequency-ranked with path tie-break.  One user-keyed
+    sort window whose hash layout the per-session aggregation
+    reuses; the top-k is a TakeOrdered over the tiny path-count
+    table."""
+    from preql_spark.operators.events import session_paths
+    e = _eng(spark, sf_dir).t.events
+    return session_paths(e.df, k=20)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2734,6 +2746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # two-wave == one-shot identity is pytest-pinned instead
     "q174_hll_ingest": q174_hll_ingest,
     "q175_token_entropy": q175_token_entropy,
+    "q176_session_paths": q176_session_paths,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -5401,6 +5414,31 @@ ORACLES: dict[str, str] = {
                  / ln(CAST(n_distinct AS DOUBLE)) END
                  AS entropy_norm
         FROM g
+    """,
+    # q44's session rule in exact integer micros, paths as ordered
+    # string_agg, frequency top-20 with path tie-break
+    "q176_session_paths": """
+        WITH o AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('us', lag(ts) OVER w, ts)
+                         > 1800000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                          AS sess
+              FROM o),
+        p AS (SELECT user_id, sess,
+                     string_agg(event_type, '>'
+                                ORDER BY ts, event_id) AS path
+              FROM s GROUP BY user_id, sess),
+        c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+              FROM p GROUP BY path)
+        SELECT path, n_sessions FROM c
+        ORDER BY n_sessions DESC, path LIMIT 20
     """,
     # q139's full IVF-PQ replay (one query, top-10 ADC candidates)
     # -> exact-cosine refine (rel, 4dp) -> q154's greedy MMR CTEs

@@ -3481,6 +3481,11 @@ def _load_pipeline_funcs() -> dict:
             lambda df, group_col, value_col="value", k=3.0:
                 events.mad_outliers(df, [group_col], value_col,
                                     float(k)),
+        "session_paths":
+            lambda df, gap_seconds=1800.0, k=20:
+                events.session_paths(
+                    df, gap_seconds=float(gap_seconds),
+                    k=None if k is None else int(k)),
     }
 
 
@@ -3504,7 +3509,7 @@ _PIPELINE_FUNC_NAMES = {
     "quantize_int8", "centroid_agg", "semdedup", "kmeans_assign",
     "funnel", "funnel_times", "rfm_scores", "cohort_retention",
     "transition_counts", "winsorize", "ewma", "fuzzy_pairs",
-    "pagerank", "trend", "mad_outliers",
+    "pagerank", "trend", "mad_outliers", "session_paths",
     # Table-method family (dispatched on the host Table, not its df)
     "sample_hash", "sample_mixture", "sample_stratified",
     "sample_weighted", "split_by_hash", "shuffle_deterministic",

@@ -405,3 +405,48 @@ def mad_outliers(df: DataFrame, group_cols: list[str] | str,
     return w.select(*df.columns, "med_cents", "mad_cents",
                     (dev > F.lit(float(k)) * F.col("mad_cents"))
                     .alias("is_outlier"))
+
+
+def session_paths(df: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  tie_col: str = "event_id",
+                  gap_seconds: float = 1800.0,
+                  k: int | None = 20) -> DataFrame:
+    """Top-k most common session paths: events sessionize on a
+    ``gap_seconds`` inactivity gap per user (the q44 rule, compared
+    in exact integer micros), each session becomes the ordered
+    ``'>'``-joined event-type string, and paths rank by frequency —
+    ``(path, n_sessions)``, ties broken by path ascending; ``k=None``
+    returns every path.
+
+    Scale shape: ONE user-keyed sort window assigns session indexes,
+    and the per-session path aggregation reuses that hash layout
+    (clustering on (user, session) is satisfied by the window's
+    user partitioning — no second exchange of the events); only the
+    tiny (path, count) table shuffles again, and the top-k is a
+    TakeOrdered, never a global sort.  Per-task memory is bounded by
+    the largest single session.
+    """
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be > 0, got {gap_seconds}")
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(t, 1).over(w)
+    gap_us = int(round(gap_seconds * 1_000_000))
+    newsess = F.when(prev.isNull() | (t - prev > gap_us), 1) \
+        .otherwise(0)
+    sess = (df.withColumn("__ns", newsess)
+            .withColumn("__sess", F.sum("__ns").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    paths = (sess.groupBy(user_col, "__sess")
+             .agg(F.concat_ws(">", F.transform(
+                 F.sort_array(F.collect_list(F.struct(
+                     t.alias("t"), F.col(tie_col).alias("i"),
+                     F.col(type_col).alias("y")))),
+                 lambda e: e["y"])).alias("path")))
+    counts = (paths.groupBy("path")
+              .agg(F.count(F.lit(1)).alias("n_sessions")))
+    if k is None:
+        return counts
+    return counts.orderBy(F.col("n_sessions").desc(),
+                          F.col("path").asc()).limit(int(k))

@@ -2263,3 +2263,13 @@ def test_pipeline_builtin_token_entropy(eng):
     l = {tuple(r) for r in
          eng.q('token_entropy(documents, "source")').collect()}
     assert l == a and len(l) > 0
+
+
+def test_pipeline_builtin_session_paths(eng):
+    """Lang session_paths equals the Python API."""
+    from preql_spark.operators.events import session_paths
+    a = [(r.path, r.n_sessions) for r in
+         session_paths(eng.t.events.df, k=10).collect()]
+    l = [(r.path, r.n_sessions) for r in
+         eng.q('session_paths(events, k: 10)').collect()]
+    assert l == a and len(l) == 10

@@ -2603,3 +2603,30 @@ def test_token_entropy_matches_python_model(spark):
     assert out["b"].entropy_norm is None          # 1-token vocab
     assert abs(out["a"].entropy_norm
                - out["a"].entropy_nats / math.log(4)) < 1e-12
+
+
+def test_session_paths_semantics(spark):
+    """Known sessions: gap splits, order inside a session by
+    (ts, tie), frequency ranking with path tie-break, k=None."""
+    from preql_spark.operators.events import session_paths
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a"),
+        (1, "2024-01-01 00:10:00", 2, "b"),     # same session
+        (1, "2024-01-01 01:10:00", 3, "a"),     # > 30 min -> new
+        (2, "2024-01-01 00:00:00", 4, "a"),
+        (2, "2024-01-01 00:05:00", 5, "b"),
+        (3, "2024-01-01 00:00:00", 6, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: long, ts: string, event_id: long,"
+              " event_type: string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.path, r.n_sessions)
+           for r in session_paths(df, k=None).collect()}
+    assert out == {("a>b", 2), ("a", 1), ("c", 1)}
+    top = session_paths(df, k=2).collect()
+    assert [(r.path, r.n_sessions) for r in top] == \
+        [("a>b", 2), ("a", 1)]                 # path tie-break a < c
+    import pytest as _pt
+    with _pt.raises(ValueError, match="gap_seconds"):
+        session_paths(df, gap_seconds=0)

@@ -486,3 +486,16 @@ def test_pagerank_no_cartesian_no_bnl(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_session_paths_one_event_shuffle_takeordered(spark):
+    """Events exchange ONCE (the window's user hash); the
+    per-session path aggregation reuses that layout, only the tiny
+    path-count table shuffles again, and the top-k is a
+    TakeOrdered, never a global sort."""
+    df = entry.q176_session_paths(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "Join" not in plan
