@@ -2542,6 +2542,28 @@ def q176_session_paths(spark, sf_dir) -> DataFrame:
     return session_paths(e.df, k=20)
 
 
+def q177_tdigest_ingest(spark, sf_dir) -> DataFrame:
+    """Two-wave streaming t-digest maintenance of per-source
+    quantiles over a CONTINUOUS metric (ln(1 + n_chars)): bounded
+    ~delta-centroid state per group, deterministic wave-by-wave
+    merge, report interpolates from the state.  Rows-only by design
+    (a t-digest estimate has no DuckDB twin); sub-percent rank
+    accuracy and replay idempotence are pytest-pinned."""
+    from preql_spark.streaming.stream import incremental_tdigest_ingest
+    eng = _eng(spark, sf_dir)
+    tmp = _scratch("q177_")
+    src, st, ids, ck = (os.path.join(tmp, x)
+                        for x in ("src", "st", "ids", "ck"))
+    d = eng.t.documents.df.select("doc_id", "source", "n_chars")
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_tdigest_ingest(spark, src, ck, st, ids,
+                               value_expr="ln(1 + n_chars)")
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_tdigest_ingest(spark, src, ck, st, ids,
+                                     value_expr="ln(1 + n_chars)")
+    return out.select("source", "n", "p50", "p90")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2747,6 +2769,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q174_hll_ingest": q174_hll_ingest,
     "q175_token_entropy": q175_token_entropy,
     "q176_session_paths": q176_session_paths,
+    # rows-only by design: t-digest estimates have no DuckDB twin
+    "q177_tdigest_ingest": q177_tdigest_ingest,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,

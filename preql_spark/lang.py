@@ -3438,6 +3438,13 @@ def _load_pipeline_funcs() -> dict:
         "random_project": similarity.random_project,
         "frequent_items": sketch.frequent_items,
         "quantile_rollup": _quantile_rollup,
+        "quantile_sketch":
+            lambda df, group_col, value_col, q1=0.5, q2=0.9,
+            delta=100.0:
+                sketch.tdigest_quantiles(
+                    sketch.tdigest(df, [group_col], value_col,
+                                   float(delta)),
+                    [group_col], (float(q1), float(q2))),
         "rrf_fuse": _rrf_fuse,
         "mmr_diversify": similarity.mmr_diversify,
         "topk_per_group": topk.topk_per_group,
@@ -3505,6 +3512,7 @@ _PIPELINE_FUNC_NAMES = {
     "cosine_topk_arrow",
     "cosine_pairs", "lsh_cosine_pairs", "normalize_vectors",
     "random_project", "frequent_items", "quantile_rollup",
+    "quantile_sketch",
     "rrf_fuse", "mmr_diversify", "topk_per_group",
     "quantize_int8", "centroid_agg", "semdedup", "kmeans_assign",
     "funnel", "funnel_times", "rfm_scores", "cohort_retention",

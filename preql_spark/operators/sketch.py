@@ -206,3 +206,196 @@ def frequent_items(df: DataFrame, col: str, phi: float,
     return (base.join(F.broadcast(cand), "item", "leftsemi")
             .groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
             .filter(F.col("cnt") >= F.lit(t)))
+
+
+# ---- t-digest: mergeable quantile sketch over CONTINUOUS domains ----------
+# The exact histogram state (quantile_rollup / the q158 streaming
+# ingest) needs a discrete value domain; the t-digest (Dunning's
+# merging digest, k1 scale function) bounds state at ~delta centroids
+# per group for ANY real-valued metric, merges associatively enough
+# for wave-by-wave ingestion, and keeps tail quantiles tight.  All
+# kernels are deterministic (stable sorts, fixed fold order), so the
+# same input always yields the same digest.
+
+def _td_k(q: float, delta: float) -> float:
+    import math
+    q = max(0.0, min(1.0, q))
+    return delta / (2.0 * math.pi) * math.asin(2.0 * q - 1.0)
+
+
+def _td_compress(means, weights, delta: float):
+    """Greedy left-to-right centroid merge under the k1 scale bound —
+    the core of the merging t-digest.  Deterministic: stable
+    mean-sort, fixed fold order, incremental weighted means."""
+    import numpy as np
+    means = np.asarray(means, dtype="float64")
+    weights = np.asarray(weights, dtype="float64")
+    if means.size == 0:
+        return means, weights
+    order = np.argsort(means, kind="stable")
+    m, w = means[order], weights[order]
+    total = float(w.sum())
+    out_m: list = []
+    out_w: list = []
+    cur_m, cur_w = float(m[0]), float(w[0])
+    w_before = 0.0
+    for i in range(1, m.size):
+        q0 = w_before / total
+        q2 = (w_before + cur_w + float(w[i])) / total
+        if _td_k(q2, delta) - _td_k(q0, delta) <= 1.0:
+            nw = cur_w + float(w[i])
+            cur_m += (float(m[i]) - cur_m) * (float(w[i]) / nw)
+            cur_w = nw
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_before += cur_w
+            cur_m, cur_w = float(m[i]), float(w[i])
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return (np.asarray(out_m, dtype="float64"),
+            np.asarray(out_w, dtype="float64"))
+
+
+def _td_schema(df: DataFrame, group_cols: list[str]):
+    from pyspark.sql import types as T
+    return T.StructType(
+        [df.schema[c] for c in group_cols]
+        + [T.StructField("means", T.ArrayType(T.DoubleType())),
+           T.StructField("weights", T.ArrayType(T.DoubleType())),
+           T.StructField("vmin", T.DoubleType()),
+           T.StructField("vmax", T.DoubleType()),
+           T.StructField("n", T.LongType())])
+
+
+def tdigest(df: DataFrame, group_cols: list[str] | str,
+            value_col: str, delta: float = 100.0) -> DataFrame:
+    """Per-group t-digest of ``value_col`` — ``(group..., means,
+    weights, vmin, vmax, n)`` with at most ~2*delta centroids.
+
+    Scale shape: the textbook two-level sketch build — an Arrow
+    ``mapInPandas`` pass compresses each batch's values into partial
+    digests (scan-local, memory bounded by the Arrow batch), then ONE
+    group-keyed shuffle of digest rows (never raw values) merges
+    them.  At 100 TB the shuffle carries |groups| x batches x ~delta
+    centroids — kilobytes per group — and the state is persistable
+    and re-mergeable (:func:`tdigest_merge`,
+    ``streaming.incremental_tdigest_ingest``).  NULL values are
+    ignored; empty groups vanish (SQL aggregate semantics)."""
+    import pandas as pd
+
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    if delta < 10:
+        raise ValueError(f"delta must be >= 10, got {delta}")
+    d = float(delta)
+    gcols = list(group_cols)
+    vcol = value_col
+    schema = _td_schema(df, gcols)
+
+    def _partials(it):
+        import numpy as np
+        for pdf in it:
+            if not len(pdf):
+                continue
+            pdf = pdf[pdf[vcol].notna()]
+            if not len(pdf):
+                continue
+            out = []
+            for key, grp in pdf.groupby(gcols, sort=True,
+                                        dropna=False):
+                v = np.sort(grp[vcol].to_numpy(dtype="float64"),
+                            kind="stable")
+                m, w = _td_compress(v, np.ones_like(v), d)
+                key = key if isinstance(key, tuple) else (key,)
+                out.append((*key, list(m), list(w),
+                            float(v[0]), float(v[-1]), int(v.size)))
+            yield pd.DataFrame(out, columns=[*gcols, "means",
+                                             "weights", "vmin",
+                                             "vmax", "n"])
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        m = np.concatenate([np.asarray(x, dtype="float64")
+                            for x in pdf["means"]])
+        w = np.concatenate([np.asarray(x, dtype="float64")
+                            for x in pdf["weights"]])
+        mm, ww = _td_compress(m, w, d)
+        return pd.DataFrame(
+            [(*[pdf[c].iloc[0] for c in gcols], list(mm), list(ww),
+              float(pdf["vmin"].min()), float(pdf["vmax"].max()),
+              int(pdf["n"].sum()))],
+            columns=[*gcols, "means", "weights", "vmin", "vmax", "n"])
+
+    partials = (df.select(*gcols, vcol)
+                .mapInPandas(_partials, schema=schema))
+    return partials.groupBy(*gcols).applyInPandas(_merge,
+                                                  schema=schema)
+
+
+def tdigest_merge(digests: DataFrame,
+                  group_cols: list[str] | str,
+                  delta: float = 100.0) -> DataFrame:
+    """Merge digest rows up to coarser groups (drop dimensions from
+    ``group_cols``) — the monthly-from-daily rollup, touching only
+    sketch rows; same output shape as :func:`tdigest`."""
+    import pandas as pd
+
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    gcols = list(group_cols)
+    d = float(delta)
+    schema = _td_schema(digests, gcols)
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        m = np.concatenate([np.asarray(x, dtype="float64")
+                            for x in pdf["means"]])
+        w = np.concatenate([np.asarray(x, dtype="float64")
+                            for x in pdf["weights"]])
+        mm, ww = _td_compress(m, w, d)
+        return pd.DataFrame(
+            [(*[pdf[c].iloc[0] for c in gcols], list(mm), list(ww),
+              float(pdf["vmin"].min()), float(pdf["vmax"].max()),
+              int(pdf["n"].sum()))],
+            columns=[*gcols, "means", "weights", "vmin", "vmax", "n"])
+
+    return digests.groupBy(*gcols).applyInPandas(_merge,
+                                                 schema=schema)
+
+
+def tdigest_quantiles(digests: DataFrame,
+                      group_cols: list[str] | str,
+                      qs: tuple = (0.5, 0.9)) -> DataFrame:
+    """Quantile estimates from digest rows — ``(group..., pXX...)``.
+    The standard interpolation: cumulative centroid midpoints anchor
+    a piecewise-linear CDF clamped to [vmin, vmax].  Runs as one
+    narrow Arrow pass over the (tiny) digest table."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    gcols = list(group_cols)
+    pnames = [f"p{int(round(q * 100)):02d}" for q in qs]
+    qvals = [float(q) for q in qs]
+    schema = T.StructType(
+        [digests.schema[c] for c in gcols]
+        + [T.StructField(p, T.DoubleType()) for p in pnames])
+
+    def _est(it):
+        import numpy as np
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                m = np.asarray(r.means, dtype="float64")
+                w = np.asarray(r.weights, dtype="float64")
+                cum = np.cumsum(w) - w / 2.0
+                xs = np.concatenate(([0.0], cum, [float(r.n)]))
+                ys = np.concatenate(([r.vmin], m, [r.vmax]))
+                ests = [float(np.interp(q * r.n, xs, ys))
+                        for q in qvals]
+                rows.append((*[getattr(r, c) for c in gcols], *ests))
+            yield pd.DataFrame(rows, columns=[*gcols, *pnames])
+
+    return digests.mapInPandas(_est, schema=schema)

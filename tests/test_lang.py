@@ -2273,3 +2273,15 @@ def test_pipeline_builtin_session_paths(eng):
     l = [(r.path, r.n_sessions) for r in
          eng.q('session_paths(events, k: 10)').collect()]
     assert l == a and len(l) == 10
+
+
+def test_pipeline_builtin_quantile_sketch(eng):
+    """Lang quantile_sketch equals the Python two-step t-digest."""
+    from preql_spark.operators.sketch import tdigest, tdigest_quantiles
+    a = {tuple(r) for r in tdigest_quantiles(
+        tdigest(eng.t.events.df, ["event_type"], "value"),
+        ["event_type"], (0.5, 0.9)).collect()}
+    l = {tuple(r) for r in
+         eng.q('quantile_sketch(events, "event_type", "value")')
+         .collect()}
+    assert l == a and len(l) > 0

@@ -2630,3 +2630,43 @@ def test_session_paths_semantics(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="gap_seconds"):
         session_paths(df, gap_seconds=0)
+
+
+def test_tdigest_accuracy_determinism_rollup(spark):
+    """t-digest: sub-percent rank error on lognormal data at
+    p50/p90/p99, deterministic digests, and fine->coarse merge
+    rollup staying accurate; delta guard raises."""
+    import numpy as np
+    from preql_spark.operators.sketch import (tdigest, tdigest_merge,
+                                              tdigest_quantiles)
+    rng = np.random.default_rng(7)
+    rows, data = [], {}
+    for g, sig in (("a", 1.0), ("b", 2.0)):
+        vals = rng.lognormal(0.0, sig, 20000)
+        data[g] = np.sort(vals)
+        rows += [(g, float(v)) for v in vals]
+    df = spark.createDataFrame(rows, "g: string, v: double") \
+        .repartition(8)
+    dig = tdigest(df, "g", "v")
+    qs = (0.5, 0.9, 0.99)
+    est = {r.g: (r.p50, r.p90, r.p99) for r in
+           tdigest_quantiles(dig, "g", qs).collect()}
+    for g in ("a", "b"):
+        for q, e in zip(qs, est[g]):
+            rank = np.searchsorted(data[g], e) / len(data[g])
+            assert abs(rank - q) < 0.01, (g, q, rank)
+    assert sorted(map(tuple, dig.collect())) == \
+        sorted(map(tuple, tdigest(df, "g", "v").collect()))
+    fine = tdigest(df.withColumn("h", (F.col("v") > 1.0).cast("int")),
+                   ["g", "h"], "v")
+    assert all(len(r.means) <= 200 for r in fine.collect())
+    up = {r.g: (r.p50, r.p90, r.p99) for r in
+          tdigest_quantiles(tdigest_merge(fine, "g"), "g", qs)
+          .collect()}
+    for g in ("a", "b"):
+        for q, e in zip(qs, up[g]):
+            rank = np.searchsorted(data[g], e) / len(data[g])
+            assert abs(rank - q) < 0.015, (g, q, rank)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="delta"):
+        tdigest(df, "g", "v", delta=1)

@@ -667,3 +667,49 @@ def test_incremental_hll_ingest_equals_batch(spark, eng, tmp_path):
             for r in out2.collect()} == inc
     state = spark.read.parquet(st)
     assert state.count() == len(inc)   # ONE sketch row per group
+
+
+def test_incremental_tdigest_ingest_accuracy_and_replay(
+        spark, eng, tmp_path):
+    """Two-wave t-digest ingest estimates per-group p50/p90 of a
+    continuous metric within sub-percent rank error of the exact
+    percentile; replay is a no-op; state is one digest row per
+    group."""
+    from preql_spark.streaming.stream import incremental_tdigest_ingest
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "state")
+    ids = str(tmp_path / "ids")
+    ck = str(tmp_path / "ck")
+    d = eng.t.events.df.select(
+        F.col("event_id").alias("doc_id"),
+        F.col("event_type").alias("source"),
+        F.col("value").alias("metric"))
+    d.filter(F.col("doc_id") < 500).write.mode("overwrite").parquet(src)
+    incremental_tdigest_ingest(spark, src, ck, st, ids,
+                               value_expr="metric")
+    d.filter(F.col("doc_id") >= 500).write.mode("append").parquet(src)
+    out = incremental_tdigest_ingest(spark, src, ck, st, ids,
+                                     value_expr="metric")
+    got = {r.source: r for r in out.collect()}
+    exact = {r.source: (r.n, r.p50, r.p90) for r in
+             d.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.percentile("metric", F.lit(0.5)).alias("p50"),
+                   F.percentile("metric", F.lit(0.9)).alias("p90"))
+              .collect()}
+    import numpy as np
+    vals = {r.source: [] for r in d.select("source").distinct().collect()}
+    for r in d.collect():
+        vals[r.source].append(r.metric)
+    assert set(got) == set(exact) and len(got) > 0
+    for g, r in got.items():
+        assert r.n == exact[g][0]
+        arr = np.sort(np.array(vals[g]))
+        for q, e in ((0.5, r.p50), (0.9, r.p90)):
+            rank = np.searchsorted(arr, e) / len(arr)
+            assert abs(rank - q) < 0.01, (g, q, rank)
+    out2 = incremental_tdigest_ingest(spark, src, ck, st, ids,
+                                      value_expr="metric")
+    assert {(r.source, r.n, r.p50, r.p90) for r in out2.collect()} \
+        == {(r.source, r.n, r.p50, r.p90) for r in out.collect()}
+    assert spark.read.parquet(st).count() == len(got)
