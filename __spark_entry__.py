@@ -2564,6 +2564,25 @@ def q177_tdigest_ingest(spark, sf_dir) -> DataFrame:
     return out.select("source", "n", "p50", "p90")
 
 
+def q178_entity_resolution(spark, sf_dir) -> DataFrame:
+    """Entity-resolution capstone: ED-Join fuzzy pairs (edit
+    distance <= 1 on customer names, q167's blocking) -> connected
+    components (q73's min-label propagation) -> every record mapped
+    to its cluster's min-id entity.  The oracle replays the brute
+    levenshtein pair definition through q73's recursive-CTE closure.
+    No cartesian product anywhere; CC rounds are bounded by cluster
+    diameter (early-exit on convergence)."""
+    from preql_spark.operators import dedup, fuzzy
+    c = _eng(spark, sf_dir).t.customer.df.filter("c_custkey % 7 = 0")
+    pairs = fuzzy.fuzzy_pairs(c, "c_custkey", "c_name", 1)
+    comp = dedup.connected_components(pairs, "id1", "id2",
+                                      max_iter=100)
+    return (c.join(comp, c["c_custkey"] == comp["node"], "left")
+            .select("c_custkey",
+                    F.coalesce("component", "c_custkey")
+                    .alias("entity_id")))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2771,6 +2790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q176_session_paths": q176_session_paths,
     # rows-only by design: t-digest estimates have no DuckDB twin
     "q177_tdigest_ingest": q177_tdigest_ingest,
+    "q178_entity_resolution": q178_entity_resolution,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -5463,6 +5483,29 @@ ORACLES: dict[str, str] = {
               FROM p GROUP BY path)
         SELECT path, n_sessions FROM c
         ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+    # q167's brute pair definition (dist <= 1) through q73's
+    # recursive-CTE transitive closure; singletons map to themselves
+    "q178_entity_resolution": """
+        WITH RECURSIVE
+        c AS (SELECT c_custkey, c_name FROM customer
+              WHERE c_custkey % 7 = 0),
+        pairs AS (
+          SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+          FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+          WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+            AND levenshtein(a.c_name, b.c_name) <= 1),
+        sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, r) AS (SELECT a, b FROM sym
+                           UNION
+                           SELECT reach.node, sym.b
+                           FROM reach JOIN sym ON reach.r = sym.a),
+        comp AS (SELECT node, least(node, min(r)) AS component
+                 FROM reach GROUP BY node)
+        SELECT c.c_custkey,
+               coalesce(comp.component, c.c_custkey) AS entity_id
+        FROM c LEFT JOIN comp ON c.c_custkey = comp.node
     """,
     # q139's full IVF-PQ replay (one query, top-10 ADC candidates)
     # -> exact-cosine refine (rel, 4dp) -> q154's greedy MMR CTEs
