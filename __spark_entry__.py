@@ -2583,6 +2583,21 @@ def q178_entity_resolution(spark, sf_dir) -> DataFrame:
                     .alias("entity_id")))
 
 
+def q179_ks_drift(spark, sf_dir) -> DataFrame:
+    """Two-sample KS drift between 'view' and 'purchase' event
+    values in exact integer cents: integer cumulative counts through
+    one division each, argmax with min-value tie-break — exact
+    cross-engine.  The cumulative window runs over the bounded
+    distinct-cents domain; the answer is a TakeOrdered."""
+    from preql_spark.operators.events import ks_statistic
+    e = _eng(spark, sf_dir).t.events.df
+    cents = e.withColumn(
+        "cents", F.floor(F.col("value").cast("double") * 100
+                         + F.lit(0.5)).cast("long"))
+    return ks_statistic(cents, "cents", "event_type",
+                        "view", "purchase")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2791,6 +2806,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only by design: t-digest estimates have no DuckDB twin
     "q177_tdigest_ingest": q177_tdigest_ingest,
     "q178_entity_resolution": q178_entity_resolution,
+    "q179_ks_drift": q179_ks_drift,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -5506,6 +5522,34 @@ ORACLES: dict[str, str] = {
         SELECT c.c_custkey,
                coalesce(comp.component, c.c_custkey) AS entity_id
         FROM c LEFT JOIN comp ON c.c_custkey = comp.node
+    """,
+    # exact-integer empirical CDFs, one division each, min-value
+    # argmax tie-break — deterministic cross-engine
+    "q179_ks_drift": """
+        WITH e AS (SELECT event_type,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT)
+                            AS cents
+                   FROM events),
+        a AS (SELECT cents AS v, CAST(count(*) AS BIGINT) AS ca
+              FROM e WHERE event_type = 'view' GROUP BY cents),
+        b AS (SELECT cents AS v, CAST(count(*) AS BIGINT) AS cb
+              FROM e WHERE event_type = 'purchase' GROUP BY cents),
+        u AS (SELECT coalesce(a.v, b.v) AS v,
+                     coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+              FROM a FULL OUTER JOIN b ON a.v = b.v),
+        c AS (SELECT v,
+                     sum(ca) OVER (ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS cum_a,
+                     sum(cb) OVER (ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS cum_b
+              FROM u),
+        n AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                     CAST(sum(cb) AS BIGINT) AS n_b FROM u)
+        SELECT n.n_a, n.n_b,
+               abs(cum_a / n.n_a - cum_b / n.n_b) AS d_stat,
+               c.v AS at_value
+        FROM c, n
+        ORDER BY d_stat DESC, at_value ASC LIMIT 1
     """,
     # q139's full IVF-PQ replay (one query, top-10 ADC candidates)
     # -> exact-cosine refine (rel, 4dp) -> q154's greedy MMR CTEs

@@ -3493,6 +3493,10 @@ def _load_pipeline_funcs() -> dict:
                 events.session_paths(
                     df, gap_seconds=float(gap_seconds),
                     k=None if k is None else int(k)),
+        "ks_drift":
+            lambda df, value_col, side_col, side_a, side_b:
+                events.ks_statistic(df, value_col, side_col,
+                                    side_a, side_b),
     }
 
 
@@ -3517,7 +3521,7 @@ _PIPELINE_FUNC_NAMES = {
     "quantize_int8", "centroid_agg", "semdedup", "kmeans_assign",
     "funnel", "funnel_times", "rfm_scores", "cohort_retention",
     "transition_counts", "winsorize", "ewma", "fuzzy_pairs",
-    "pagerank", "trend", "mad_outliers", "session_paths",
+    "pagerank", "trend", "mad_outliers", "session_paths", "ks_drift",
     # Table-method family (dispatched on the host Table, not its df)
     "sample_hash", "sample_mixture", "sample_stratified",
     "sample_weighted", "split_by_hash", "shuffle_deterministic",

@@ -1,5 +1,7 @@
-"""Event-stream analytics: funnels, cohort retention, transition
-counts, group-wise winsorization, and EWMA smoothing.
+"""Event-stream analytics: funnels (counts + per-user completion
+times), cohort retention, transition counts, session paths, RFM
+segmentation, per-group OLS trends, group-wise winsorization, MAD
+outlier gates, KS distribution drift, and EWMA smoothing.
 
 The reference stops at generic group-by/window queries over event
 tables (e.g. its Chinook/forum examples); these operators package the
@@ -450,3 +452,46 @@ def session_paths(df: DataFrame, user_col: str = "user_id",
         return counts
     return counts.orderBy(F.col("n_sessions").desc(),
                           F.col("path").asc()).limit(int(k))
+
+
+def ks_statistic(df: DataFrame, value_col: str, side_col: str,
+                 side_a, side_b) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distribution-drift statistic
+    between the rows where ``side_col == side_a`` and those where
+    ``side_col == side_b`` — one row ``(n_a, n_b, d_stat, at_value)``
+    with D = max over values of |F_a(v) - F_b(v)| and ``at_value``
+    the smallest value attaining it.  The standard drift monitor
+    between a baseline and a new wave (D near 0 = same distribution).
+
+    Exactness: the empirical CDFs are integer cumulative counts
+    through ONE division each (exact IEEE), so D and the argmax are
+    deterministic cross-engine.  Values are compared exactly — round
+    continuous metrics to ticks first if that is the contract.
+
+    Scale shape: per-side counts collapse to the DISTINCT value
+    domain before anything global happens; the cumulative window
+    runs over that bounded domain (quantize first if the domain is
+    truly unbounded — same contract as the exact quantile rollup),
+    and the answer is a TakeOrdered over it."""
+    v = F.col(value_col)
+    sa = (df.filter(F.col(side_col) == F.lit(side_a))
+          .groupBy(v.alias("v"))
+          .agg(F.count(F.lit(1)).alias("ca")))
+    sb = (df.filter(F.col(side_col) == F.lit(side_b))
+          .groupBy(v.alias("v"))
+          .agg(F.count(F.lit(1)).alias("cb")))
+    u = (sa.join(sb, "v", "full_outer")
+         .select("v", F.coalesce("ca", F.lit(0)).alias("ca"),
+                 F.coalesce("cb", F.lit(0)).alias("cb")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = u.select("v", F.sum("ca").over(w).alias("cum_a"),
+                 F.sum("cb").over(w).alias("cum_b"))
+    n = u.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    d = (c.crossJoin(F.broadcast(n))
+         .select("n_a", "n_b", F.col("v").alias("at_value"),
+                 F.abs(F.col("cum_a") / F.col("n_a")
+                       - F.col("cum_b") / F.col("n_b"))
+                 .alias("d_stat")))
+    return (d.orderBy(F.col("d_stat").desc(),
+                      F.col("at_value").asc()).limit(1)
+            .select("n_a", "n_b", "d_stat", "at_value"))

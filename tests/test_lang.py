@@ -2285,3 +2285,13 @@ def test_pipeline_builtin_quantile_sketch(eng):
          eng.q('quantile_sketch(events, "event_type", "value")')
          .collect()}
     assert l == a and len(l) > 0
+
+
+def test_pipeline_builtin_ks_drift(eng):
+    """Lang ks_drift equals the Python API."""
+    from preql_spark.operators.events import ks_statistic
+    a = tuple(ks_statistic(eng.t.events.df, "value", "event_type",
+                           "view", "click").collect()[0])
+    l = tuple(eng.q('ks_drift(events, "value", "event_type",'
+                    ' "view", "click")').collect()[0])
+    assert l == a

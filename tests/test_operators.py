@@ -2670,3 +2670,32 @@ def test_tdigest_accuracy_determinism_rollup(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="delta"):
         tdigest(df, "g", "v", delta=1)
+
+
+def test_ks_statistic_matches_python_model(spark):
+    """ks_statistic equals the direct two-sample KS computation,
+    including the smallest-value argmax tie-break and identical
+    distributions giving D = 0."""
+    from preql_spark.operators.events import ks_statistic
+    a = [1, 2, 2, 3, 9, 9, 12]
+    b = [1, 2, 5, 9, 9, 9, 9, 14]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "side: string, v: long")
+    r = ks_statistic(df, "v", "side", "a", "b").collect()[0]
+
+    def py_ks(a, b):
+        vals = sorted(set(a) | set(b))
+        best, at = -1.0, None
+        for v in vals:
+            d = abs(sum(x <= v for x in a) / len(a)
+                    - sum(x <= v for x in b) / len(b))
+            if d > best:
+                best, at = d, v
+        return len(a), len(b), best, at
+
+    assert tuple(r) == py_ks(a, b)
+    same = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in a],
+        "side: string, v: long")
+    r2 = ks_statistic(same, "v", "side", "a", "b").collect()[0]
+    assert r2.d_stat == 0.0 and r2.at_value == min(a)
