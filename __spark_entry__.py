@@ -2598,6 +2598,29 @@ def q179_ks_drift(spark, sf_dir) -> DataFrame:
                         "view", "purchase")
 
 
+def q180_ab_test(spark, sf_dir) -> DataFrame:
+    """Two-proportion A/B z-test (view vs click, conversion = value
+    > 50): four int64 counts from ONE map-side conditional agg, then
+    a fixed sequence of double ops (divisions + one sqrt) — the
+    statistic is bit-identical cross-engine."""
+    from preql_spark.operators.events import ab_test
+    e = _eng(spark, sf_dir).t.events.df
+    return ab_test(e, "event_type", "view", "click", "value > 50")
+
+
+def q181_triangles(spark, sf_dir) -> DataFrame:
+    """Exact triangle count over a deterministic pseudo-random graph
+    derived from customer keys (k%400 -> (k*17+3)%400): canonical
+    (lo, hi) edges, ordered wedge join closed on (a, c) — two
+    equi-joins + one count, pure int64."""
+    from preql_spark.operators.graph import triangle_count
+    c = _eng(spark, sf_dir).t.customer.df
+    edges = c.select((F.col("c_custkey") % 400).alias("src"),
+                     ((F.col("c_custkey") * 17 + 3) % 400)
+                     .alias("dst"))
+    return triangle_count(edges)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2807,6 +2830,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q177_tdigest_ingest": q177_tdigest_ingest,
     "q178_entity_resolution": q178_entity_resolution,
     "q179_ks_drift": q179_ks_drift,
+    "q180_ab_test": q180_ab_test,
+    "q181_triangles": q181_triangles,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -5550,6 +5575,45 @@ ORACLES: dict[str, str] = {
                c.v AS at_value
         FROM c, n
         ORDER BY d_stat DESC, at_value ASC LIMIT 1
+    """,
+    # four int64 counts, then the pooled-SE z in the same fixed
+    # double-op order as the Spark side
+    "q180_ab_test": """
+        WITH m AS (
+          SELECT CAST(sum(CASE WHEN event_type = 'view'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN event_type = 'view'
+                               AND value > 50
+                               THEN 1 ELSE 0 END) AS BIGINT) AS s_a,
+                 CAST(sum(CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN event_type = 'click'
+                               AND value > 50
+                               THEN 1 ELSE 0 END) AS BIGINT) AS s_b
+          FROM events),
+        s AS (SELECT n_a, s_a, n_b, s_b,
+                     s_a / n_a AS rate_a, s_b / n_b AS rate_b,
+                     (s_a + s_b) / (n_a + n_b) AS pooled
+              FROM m)
+        SELECT n_a, s_a, n_b, s_b, rate_a, rate_b,
+               CASE WHEN sqrt(pooled * (1.0 - pooled)
+                              * (1.0 / n_a + 1.0 / n_b)) > 0
+                    THEN (rate_a - rate_b)
+                         / sqrt(pooled * (1.0 - pooled)
+                                * (1.0 / n_a + 1.0 / n_b)) END AS z
+        FROM s
+    """,
+    # canonical (lo, hi) edges, ordered wedge join closed on (a, c)
+    "q181_triangles": """
+        WITH raw AS (SELECT c_custkey % 400 AS s,
+                            (c_custkey * 17 + 3) % 400 AS d
+                     FROM customer),
+        e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM raw WHERE s <> d),
+        w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1 JOIN e e2 ON e1.b = e2.a)
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM w JOIN e ON w.x = e.a AND w.z = e.b
     """,
     # q139's full IVF-PQ replay (one query, top-10 ADC candidates)
     # -> exact-cosine refine (rel, 4dp) -> q154's greedy MMR CTEs

@@ -3497,6 +3497,13 @@ def _load_pipeline_funcs() -> dict:
             lambda df, value_col, side_col, side_a, side_b:
                 events.ks_statistic(df, value_col, side_col,
                                     side_a, side_b),
+        "ab_test":
+            lambda df, side_col, side_a, side_b, success:
+                events.ab_test(df, side_col, side_a, side_b,
+                               success),
+        "triangle_count":
+            lambda df, src="src", dst="dst":
+                graph.triangle_count(df, src, dst),
     }
 
 
@@ -3522,6 +3529,7 @@ _PIPELINE_FUNC_NAMES = {
     "funnel", "funnel_times", "rfm_scores", "cohort_retention",
     "transition_counts", "winsorize", "ewma", "fuzzy_pairs",
     "pagerank", "trend", "mad_outliers", "session_paths", "ks_drift",
+    "ab_test", "triangle_count",
     # Table-method family (dispatched on the host Table, not its df)
     "sample_hash", "sample_mixture", "sample_stratified",
     "sample_weighted", "split_by_hash", "shuffle_deterministic",

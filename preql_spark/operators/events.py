@@ -495,3 +495,42 @@ def ks_statistic(df: DataFrame, value_col: str, side_col: str,
     return (d.orderBy(F.col("d_stat").desc(),
                       F.col("at_value").asc()).limit(1)
             .select("n_a", "n_b", "d_stat", "at_value"))
+
+
+def ab_test(df: DataFrame, side_col: str, side_a, side_b,
+            success_expr: str) -> DataFrame:
+    """Two-proportion A/B z-test: one row ``(n_a, s_a, n_b, s_b,
+    rate_a, rate_b, z)`` comparing the ``success_expr`` conversion
+    rate between the two sides.  z uses the pooled standard error —
+    the standard superiority test; |z| > 1.96 ~ p < 0.05 two-sided.
+
+    Exactness: the four counts are int64; rates, the pooled
+    proportion, and z are a FIXED sequence of correctly-rounded
+    double ops (divisions, one sqrt), so the statistic is
+    bit-identical cross-engine.  Degenerate pooled rates (0 or 1 —
+    zero variance) yield NULL z.
+
+    Scale shape: ONE map-side conditional-count aggregate over the
+    rows; everything after is arithmetic on a single row."""
+    s = F.expr(success_expr).cast("boolean")
+    side = F.col(side_col)
+    agg = df.agg(
+        F.sum(F.when(side == F.lit(side_a), 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when((side == F.lit(side_a)) & s, 1).otherwise(0))
+        .cast("long").alias("s_a"),
+        F.sum(F.when(side == F.lit(side_b), 1).otherwise(0))
+        .cast("long").alias("n_b"),
+        F.sum(F.when((side == F.lit(side_b)) & s, 1).otherwise(0))
+        .cast("long").alias("s_b"))
+    rate_a = F.col("s_a") / F.col("n_a")
+    rate_b = F.col("s_b") / F.col("n_b")
+    pooled = (F.col("s_a") + F.col("s_b")) \
+        / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pooled * (F.lit(1.0) - pooled)
+                * (F.lit(1.0) / F.col("n_a")
+                   + F.lit(1.0) / F.col("n_b")))
+    z = F.when(se > 0, (rate_a - rate_b) / se)
+    return agg.select("n_a", "s_a", "n_b", "s_b",
+                      rate_a.alias("rate_a"), rate_b.alias("rate_b"),
+                      z.alias("z"))

@@ -2295,3 +2295,21 @@ def test_pipeline_builtin_ks_drift(eng):
     l = tuple(eng.q('ks_drift(events, "value", "event_type",'
                     ' "view", "click")').collect()[0])
     assert l == a
+
+
+def test_pipeline_builtin_ab_test_triangles(eng):
+    """Lang ab_test / triangle_count equal their Python APIs."""
+    from preql_spark.operators.events import ab_test
+    from preql_spark.operators.graph import triangle_count
+    a = tuple(ab_test(eng.t.events.df, "event_type", "view",
+                      "click", "value > 50").collect()[0])
+    l = tuple(eng.q('ab_test(events, "event_type", "view",'
+                    ' "click", "value > 50")').collect()[0])
+    assert l == a
+    ed = eng.t.customer.df.selectExpr("c_custkey % 50 AS src",
+                                      "(c_custkey * 7 + 1) % 50"
+                                      " AS dst")
+    eng.register("tri_edges", ed)
+    at = triangle_count(ed).collect()[0].n_triangles
+    lt = eng.q('triangle_count(tri_edges)').collect()[0].n_triangles
+    assert lt == at

@@ -2699,3 +2699,35 @@ def test_ks_statistic_matches_python_model(spark):
         "side: string, v: long")
     r2 = ks_statistic(same, "v", "side", "a", "b").collect()[0]
     assert r2.d_stat == 0.0 and r2.at_value == min(a)
+
+
+def test_ab_test_matches_formula(spark):
+    """ab_test equals the pooled-SE z formula; zero-variance pooled
+    rates give NULL z."""
+    import math
+    rows = ([("a", 1.0)] * 30 + [("a", 0.0)] * 70
+            + [("b", 1.0)] * 45 + [("b", 0.0)] * 55)
+    df = spark.createDataFrame(rows, "side: string, v: double")
+    from preql_spark.operators.events import ab_test
+    r = ab_test(df, "side", "a", "b", "v > 0.5").collect()[0]
+    assert (r.n_a, r.s_a, r.n_b, r.s_b) == (100, 30, 100, 45)
+    p = (30 + 45) / 200
+    se = math.sqrt(p * (1.0 - p) * (1.0 / 100 + 1.0 / 100))
+    assert r.z == (30 / 100 - 45 / 100) / se
+    z0 = ab_test(df, "side", "a", "b", "v > 99").collect()[0]
+    assert z0.z is None                      # pooled rate 0
+    z1 = ab_test(df, "side", "a", "b", "v >= 0").collect()[0]
+    assert z1.z is None                      # pooled rate 1
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles; duplicates, reversed edges, and
+    self-loops canonicalize away; a triangle-free path has 0."""
+    from preql_spark.operators.graph import triangle_count
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 2), (0, 1), (3, 1)]
+    df = spark.createDataFrame(noisy, "src: long, dst: long")
+    assert triangle_count(df).collect()[0].n_triangles == 4
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
+                                 "src: long, dst: long")
+    assert triangle_count(path).collect()[0].n_triangles == 0
