@@ -2621,6 +2621,30 @@ def q181_triangles(spark, sf_dir) -> DataFrame:
     return triangle_count(edges)
 
 
+def q182_attribution(spark, sf_dir) -> DataFrame:
+    """Last-touch attribution: every purchase credits the user's
+    most recent view/click at-or-before it (touches deduped to one
+    per (user, ts) by max event_id, so the as-of match is
+    deterministic), then counts by touch type with 'none' for
+    cold-start purchases.  Composes the as-of operator — one
+    union + user-keyed window, NO join node; the oracle replays the
+    rule as a correlated min-lookup."""
+    from preql_spark.operators.asof import asof_join
+    e = _eng(spark, sf_dir).t.events.df
+    touches = (e.filter(F.col("event_type").isin("view", "click"))
+               .groupBy("user_id", "ts")
+               .agg(F.max_by("event_type", "event_id")
+                    .alias("touch_type")))
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts", "event_id"))
+    att = asof_join(purchases, touches, key="user_id",
+                    left_time="ts", right_time="ts",
+                    right_cols=["touch_type"])
+    return (att.groupBy(F.coalesce("touch_type", F.lit("none"))
+                        .alias("touch_type"))
+            .agg(F.count(F.lit(1)).alias("n_purchases")))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2832,6 +2856,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q179_ks_drift": q179_ks_drift,
     "q180_ab_test": q180_ab_test,
     "q181_triangles": q181_triangles,
+    "q182_attribution": q182_attribution,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -5614,6 +5639,25 @@ ORACLES: dict[str, str] = {
               FROM e e1 JOIN e e2 ON e1.b = e2.a)
         SELECT CAST(count(*) AS BIGINT) AS n_triangles
         FROM w JOIN e ON w.x = e.a AND w.z = e.b
+    """,
+    # deduped touches (max event_id per (user, ts)); each purchase
+    # takes the latest touch at-or-before it, 'none' otherwise
+    "q182_attribution": """
+        WITH t AS (SELECT user_id, ts,
+                          max_by(event_type, event_id) AS touch_type
+                   FROM events
+                   WHERE event_type IN ('view', 'click')
+                   GROUP BY user_id, ts),
+        p AS (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase'),
+        a AS (SELECT p.event_id,
+                     (SELECT t.touch_type FROM t
+                      WHERE t.user_id = p.user_id AND t.ts <= p.ts
+                      ORDER BY t.ts DESC LIMIT 1) AS touch_type
+              FROM p)
+        SELECT coalesce(touch_type, 'none') AS touch_type,
+               CAST(count(*) AS BIGINT) AS n_purchases
+        FROM a GROUP BY 1
     """,
     # q139's full IVF-PQ replay (one query, top-10 ADC candidates)
     # -> exact-cosine refine (rel, 4dp) -> q154's greedy MMR CTEs
