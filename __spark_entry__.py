@@ -2645,6 +2645,33 @@ def q182_attribution(spark, sf_dir) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_purchases")))
 
 
+def q183_psi_drift(spark, sf_dir) -> DataFrame:
+    """Population Stability Index between view and error event
+    values (exact integer cents): integer equal-width bucketing,
+    add-one-smoothed shares, and the (p-q)ln(p/q) sum folded in
+    bucket order — the q175 fixed-order contract, exact
+    cross-engine."""
+    from preql_spark.operators.events import psi
+    e = _eng(spark, sf_dir).t.events.df
+    cents = e.withColumn(
+        "cents", F.floor(F.col("value").cast("double") * 100
+                         + F.lit(0.5)).cast("long"))
+    return psi(cents, "cents", "event_type", "view", "error",
+               n_buckets=10)
+
+
+def q184_containment_pairs(spark, sf_dir) -> DataFrame:
+    """Asymmetric shingle containment pairs over a 150-doc slice:
+    |A∩B|/|A| >= 0.9 for ordered pairs — the quote-detection
+    complement to symmetric Jaccard; shingle equi-join, never
+    all-pairs, one exact int64 division per pair."""
+    from preql_spark.operators.dedup import ngram_containment_pairs
+    d = _eng(spark, sf_dir).t.documents
+    return ngram_containment_pairs(
+        d.df.filter(F.col("doc_id") < 150), "doc_id",
+        threshold=0.9)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2857,6 +2884,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q180_ab_test": q180_ab_test,
     "q181_triangles": q181_triangles,
     "q182_attribution": q182_attribution,
+    "q183_psi_drift": q183_psi_drift,
+    "q184_containment_pairs": q184_containment_pairs,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -5658,6 +5687,65 @@ ORACLES: dict[str, str] = {
         SELECT coalesce(touch_type, 'none') AS touch_type,
                CAST(count(*) AS BIGINT) AS n_purchases
         FROM a GROUP BY 1
+    """,
+    # integer bucketing ((v-lo)*B // (hi-lo+1)), add-one-smoothed
+    # shares, fixed bucket-order fold — matches the Spark HOF fold
+    "q183_psi_drift": """
+        WITH e AS (SELECT event_type,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT)
+                            AS v
+                   FROM events
+                   WHERE event_type IN ('view', 'error')),
+        bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM e),
+        b AS (SELECT (v - lo) * 10 // (hi - lo + 1) AS bucket,
+                     event_type FROM e, bounds),
+        cnt AS (SELECT bucket,
+                       CAST(sum(CASE WHEN event_type = 'view'
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                         AS ca,
+                       CAST(sum(CASE WHEN event_type = 'error'
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                         AS cb
+                FROM b GROUP BY bucket),
+        allb AS (SELECT r.bucket, coalesce(ca, 0) AS ca,
+                        coalesce(cb, 0) AS cb
+                 FROM (SELECT unnest(range(0, 10)) AS bucket) r
+                 LEFT JOIN cnt USING (bucket)),
+        n AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                     CAST(sum(cb) AS BIGINT) AS n_b FROM allb)
+        SELECT n.n_a, n.n_b,
+               list_reduce(
+                 list(((CAST(ca AS DOUBLE) + 1.0) / (n.n_a + 10)
+                       - (CAST(cb AS DOUBLE) + 1.0) / (n.n_b + 10))
+                      * ln(((CAST(ca AS DOUBLE) + 1.0)
+                            / (n.n_a + 10))
+                           / ((CAST(cb AS DOUBLE) + 1.0)
+                              / (n.n_b + 10)))
+                      ORDER BY bucket),
+                 (a, b) -> a + b) AS psi
+        FROM allb, n GROUP BY n.n_a, n.n_b
+    """,
+    # q73's DISTINCT shingle spelling; ordered pairs, |A∩B|/|A|
+    "q184_containment_pairs": r"""
+        WITH docs AS (SELECT * FROM documents WHERE doc_id < 150),
+        t AS (SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks
+              FROM docs),
+        sh AS (SELECT DISTINCT doc_id,
+                      array_to_string(list_slice(toks, i, i + 2), ' ')
+                        AS s
+               FROM t, UNNEST(range(1, greatest(len(toks) - 1, 2)))
+                       AS r(i)),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                  FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(count(*) AS BIGINT) AS i
+                  FROM sh a JOIN sh b
+                    ON a.s = b.s AND a.doc_id <> b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b, i / sizes.n AS containment
+        FROM inter JOIN sizes ON inter.id_a = sizes.doc_id
+        WHERE i / sizes.n >= 0.9
     """,
     # q139's full IVF-PQ replay (one query, top-10 ADC candidates)
     # -> exact-cosine refine (rel, 4dp) -> q154's greedy MMR CTEs

@@ -3398,6 +3398,7 @@ def _load_pipeline_funcs() -> dict:
         "minhash_pairs": dedup.minhash_lsh_pairs,
         "simhash_pairs": dedup.simhash_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "ngram_containment_pairs": dedup.ngram_containment_pairs,
         "connected_components": dedup.connected_components,
         "dedup_canonical": dedup.dedup_keep_canonical,
         "decontaminate": dedup.decontaminate,
@@ -3501,6 +3502,11 @@ def _load_pipeline_funcs() -> dict:
             lambda df, side_col, side_a, side_b, success:
                 events.ab_test(df, side_col, side_a, side_b,
                                success),
+        "psi_drift":
+            lambda df, value_col, side_col, side_a, side_b,
+            n_buckets=10:
+                events.psi(df, value_col, side_col, side_a, side_b,
+                           int(n_buckets)),
         "triangle_count":
             lambda df, src="src", dst="dst":
                 graph.triangle_count(df, src, dst),
@@ -3509,7 +3515,8 @@ def _load_pipeline_funcs() -> dict:
 
 _PIPELINE_FUNC_NAMES = {
     "dedup_exact", "chunk_dedup", "line_dedup", "minhash_pairs",
-    "simhash_pairs", "ngram_jaccard_pairs", "connected_components",
+    "simhash_pairs", "ngram_jaccard_pairs", "ngram_containment_pairs",
+    "connected_components",
     "dedup_canonical", "decontaminate", "contaminated_ids",
     "corpus_overlap", "duplicate_spans", "remove_duplicate_spans",
     "scrub_contaminated_spans",
@@ -3529,7 +3536,7 @@ _PIPELINE_FUNC_NAMES = {
     "funnel", "funnel_times", "rfm_scores", "cohort_retention",
     "transition_counts", "winsorize", "ewma", "fuzzy_pairs",
     "pagerank", "trend", "mad_outliers", "session_paths", "ks_drift",
-    "ab_test", "triangle_count",
+    "ab_test", "triangle_count", "psi_drift",
     # Table-method family (dispatched on the host Table, not its df)
     "sample_hash", "sample_mixture", "sample_stratified",
     "sample_weighted", "split_by_hash", "shuffle_deterministic",

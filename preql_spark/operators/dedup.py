@@ -741,3 +741,45 @@ def scrub_contaminated_spans(train: DataFrame, eval_df: DataFrame,
             F.transform(kept,
                         lambda i: F.element_at(F.col("__toks"), i + 1)),
             " ").alias("text_clean"))
+
+
+def ngram_containment_pairs(df: DataFrame, id_col: str,
+                            text_col: str = "text", k: int = 3,
+                            threshold: float = 0.8,
+                            max_doc_freq: int | None = None
+                            ) -> DataFrame:
+    """ORDERED containment pairs: ``containment(a -> b)`` =
+    |shingles(a) ∩ shingles(b)| / |shingles(a)| — the asymmetric
+    near-dup measure that catches a short document quoted inside a
+    long one, which symmetric Jaccard dilutes.  Returns
+    ``(id_a, id_b, containment)`` for every ordered pair (a != b)
+    at or above ``threshold``.
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: shingle explode
+    + equi-join (never all-pairs), with ``max_doc_freq`` dropping
+    stopword shingles that would explode the join; the containment
+    is one exact int64/int64 division."""
+    sh = (ensure_parallelism(df)
+          .select(F.col(id_col).alias("__id"),
+                  tokens(text_col).alias("__t"))
+          .select("__id",
+                  F.explode(shingles_from_tokens(F.col("__t"), k))
+                  .alias("__s")).distinct())
+    if max_doc_freq is not None:
+        keep = sh.groupBy("__s").count() \
+            .filter(F.col("count") <= max_doc_freq).drop("count")
+        sh = sh.join(keep, "__s", "left_semi")
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.__s") == F.col("b.__s"))
+                    & (F.col("a.__id") != F.col("b.__id")))
+             .groupBy(F.col("a.__id").alias("id_a"),
+                      F.col("b.__id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("__i")))
+    sa = sizes.select(F.col("__id").alias("id_a"),
+                      F.col("__n").alias("__na"))
+    return (inter.join(sa, "id_a")
+            .select("id_a", "id_b",
+                    (F.col("__i") / F.col("__na")).cast("double")
+                    .alias("containment"))
+            .filter(F.col("containment") >= threshold))

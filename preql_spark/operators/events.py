@@ -534,3 +534,63 @@ def ab_test(df: DataFrame, side_col: str, side_a, side_b,
     return agg.select("n_a", "s_a", "n_b", "s_b",
                       rate_a.alias("rate_a"), rate_b.alias("rate_b"),
                       z.alias("z"))
+
+
+def psi(df: DataFrame, value_col: str, side_col: str,
+        side_a, side_b, n_buckets: int = 10) -> DataFrame:
+    """Population Stability Index between two sides — one row
+    ``(n_a, n_b, psi)``.  Values bucket into ``n_buckets`` equal-width
+    bins over the combined [min, max] (pure integer arithmetic:
+    ``(v - lo) * B DIV (hi - lo + 1)`` on integer inputs), per-side
+    bucket shares use add-one smoothing (p = (c+1)/(n+B), so empty
+    buckets stay defined), and PSI = sum (p-q) * ln(p/q) folds in
+    bucket order — the q155/q175 fixed-order contract, bit-identical
+    cross-engine.  Rule of thumb: PSI < 0.1 stable, > 0.25 shifted.
+
+    Scale shape: one conditional-count agg over the rows (map-side),
+    then arithmetic over B bucket rows.  ``value_col`` must be
+    integral (cents/ticks) — quantize first; that is also what makes
+    the bucketing exact."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from pyspark.sql import types as T
+    dt = df.schema[value_col].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+        raise TypeError(
+            f"psi needs an integral value column (got {value_col}:"
+            f" {dt.simpleString()}) — quantize to cents/ticks first,"
+            " which is also what makes the bucketing exact")
+    B = int(n_buckets)
+    v = F.col(value_col)
+    side = F.col(side_col)
+    two = df.filter(side.isin([side_a, side_b])) \
+        .select(v.alias("v"), side.alias("s"))
+    bounds = two.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    b = (two.crossJoin(F.broadcast(bounds))
+         .select(F.expr(f"(v - lo) * {B} DIV (hi - lo + 1)")
+                 .alias("bucket"), "s"))
+    cnt = (b.groupBy("bucket")
+           .agg(F.sum(F.when(F.col("s") == F.lit(side_a), 1)
+                      .otherwise(0)).cast("long").alias("ca"),
+                F.sum(F.when(F.col("s") == F.lit(side_b), 1)
+                      .otherwise(0)).cast("long").alias("cb")))
+    allb = (df.sparkSession.range(B).select(
+        F.col("id").alias("bucket"))
+        .join(cnt, "bucket", "left")
+        .select("bucket", F.coalesce("ca", F.lit(0)).alias("ca"),
+                F.coalesce("cb", F.lit(0)).alias("cb")))
+    g = allb.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"),
+                 F.sort_array(F.collect_list(F.struct(
+                     F.col("bucket"), F.col("ca"), F.col("cb"))))
+                 .alias("__l"))
+
+    def _term(e):
+        p = (e["ca"].cast("double") + F.lit(1.0)) \
+            / (F.col("n_a") + F.lit(B))
+        q = (e["cb"].cast("double") + F.lit(1.0)) \
+            / (F.col("n_b") + F.lit(B))
+        return (p - q) * F.log(p / q)
+
+    fold = F.aggregate("__l", F.lit(0.0), lambda a, e: a + _term(e))
+    return g.select("n_a", "n_b", fold.alias("psi"))

@@ -2313,3 +2313,27 @@ def test_pipeline_builtin_ab_test_triangles(eng):
     at = triangle_count(ed).collect()[0].n_triangles
     lt = eng.q('triangle_count(tri_edges)').collect()[0].n_triangles
     assert lt == at
+
+
+def test_pipeline_builtin_psi_containment(eng):
+    """Lang psi_drift / ngram_containment_pairs equal their Python
+    APIs."""
+    from preql_spark.operators.dedup import ngram_containment_pairs
+    from preql_spark.operators.events import psi
+    cents = eng.t.events.df.selectExpr(
+        "event_type", "cast(floor(value * 100 + 0.5) as long)"
+        " AS cents")
+    eng.register("events_cents", cents)
+    a = tuple(psi(cents, "cents", "event_type",
+                  "view", "error", 8).collect()[0])
+    l = tuple(eng.q('psi_drift(events_cents, "cents", "event_type",'
+                    ' "view", "error", n_buckets: 8)').collect()[0])
+    assert l == a
+    d = eng.t.documents.df.filter("doc_id < 100")
+    ac = {tuple(r) for r in
+          ngram_containment_pairs(d, "doc_id",
+                                  threshold=0.8).collect()}
+    lc = {tuple(r) for r in
+          eng.q('ngram_containment_pairs(documents[doc_id < 100],'
+                ' "doc_id", threshold: 0.8)').collect()}
+    assert lc == ac and len(lc) > 0

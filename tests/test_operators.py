@@ -2731,3 +2731,64 @@ def test_triangle_count_known_graphs(spark):
     path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
                                  "src: long, dst: long")
     assert triangle_count(path).collect()[0].n_triangles == 0
+
+
+def test_psi_matches_python_model(spark):
+    """psi equals the add-one-smoothed Python PSI; identical sides
+    give exactly 0.0; bucket guard raises."""
+    import math
+    rows = ([("a", v) for v in (1, 1, 2, 5, 9, 9, 9, 20)]
+            + [("b", v) for v in (1, 2, 2, 2, 18, 19, 20, 20, 20)])
+    df = spark.createDataFrame(rows, "s: string, v: long")
+    from preql_spark.operators.events import psi
+    r = psi(df, "v", "s", "a", "b", n_buckets=4).collect()[0]
+
+    lo, hi = 1, 20
+    ca = [0] * 4
+    cb = [0] * 4
+    for s, v in rows:
+        (ca if s == "a" else cb)[(v - lo) * 4 // (hi - lo + 1)] += 1
+    na, nb = sum(ca), sum(cb)
+    want = 0.0
+    for i in range(4):
+        p = (ca[i] + 1.0) / (na + 4)
+        q = (cb[i] + 1.0) / (nb + 4)
+        want += (p - q) * math.log(p / q)
+    assert (r.n_a, r.n_b) == (na, nb) and r.psi == want
+    same = spark.createDataFrame(
+        [("a", v) for v in (1, 5, 9)] + [("b", v) for v in (1, 5, 9)],
+        "s: string, v: long")
+    assert psi(same, "v", "s", "a", "b").collect()[0].psi == 0.0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_buckets"):
+        psi(df, "v", "s", "a", "b", n_buckets=1)
+
+
+def test_containment_pairs_asymmetric(spark):
+    """A short doc quoted inside a long one: containment
+    short->long = 1.0 while long->short stays below threshold."""
+    from preql_spark.operators.dedup import ngram_containment_pairs
+    short = "alpha beta gamma delta"
+    long_ = short + " epsilon zeta eta theta iota kappa"
+    other = "one two three four five six"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)],
+        "doc_id: long, text: string")
+    out = {(r.id_a, r.id_b): r.containment for r in
+           ngram_containment_pairs(df, "doc_id",
+                                   threshold=0.9).collect()}
+    assert out == {(1, 2): 1.0}
+    low = {(r.id_a, r.id_b) for r in
+           ngram_containment_pairs(df, "doc_id",
+                                   threshold=0.2).collect()}
+    assert (2, 1) in low                       # asymmetric direction
+
+
+def test_psi_rejects_non_integral_values(spark):
+    """psi raises a clear TypeError for double value columns
+    instead of a Catalyst DIV analysis error."""
+    import pytest as _pt
+    from preql_spark.operators.events import psi
+    df = spark.createDataFrame([("a", 1.5)], "s: string, v: double")
+    with _pt.raises(TypeError, match="integral value column"):
+        psi(df, "v", "s", "a", "a")
