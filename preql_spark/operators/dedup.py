@@ -764,7 +764,10 @@ def ngram_containment_pairs(df: DataFrame, id_col: str,
                   tokens(text_col).alias("__t"))
           .select("__id",
                   F.explode(shingles_from_tokens(F.col("__t"), k))
-                  .alias("__s")).distinct())
+                  .alias("__s")))
+    # no .distinct(): shingles_from_tokens is already per-doc
+    # distinct, so that would only add a full shuffle of the
+    # largest intermediate
     if max_doc_freq is not None:
         keep = sh.groupBy("__s").count() \
             .filter(F.col("count") <= max_doc_freq).drop("count")

@@ -351,7 +351,11 @@ def trend(df: DataFrame, group_cols: list[str] | str,
                    F.lit(origin).cast("date")).cast("long")
     y = F.floor(F.col(value_col).cast("double") * 100 + F.lit(0.5)) \
         .cast("long")
-    m = (df.groupBy(*group_cols)
+    # rows with NULL x or y drop BEFORE the agg so n stays
+    # consistent with the four moment sums (a count(*) n against
+    # NULL-skipping sums would silently skew the slope)
+    m = (df.filter(x.isNotNull() & y.isNotNull())
+         .groupBy(*group_cols)
          .agg(F.count(F.lit(1)).alias("n"),
               F.sum(x).alias("__sx"), F.sum(y).alias("__sy"),
               F.sum(x * x).alias("__sxx"),
@@ -396,14 +400,29 @@ def mad_outliers(df: DataFrame, group_cols: list[str] | str,
     cents = F.floor(F.col(value_col).cast("double") * 100
                     + F.lit(0.5)).cast("long")
     w = df.withColumn("__c", cents)
-    med = (w.groupBy(*group_cols)
+
+    def _nullsafe(left, right):
+        # NULL group keys must still meet their own group's bounds
+        # (plain join-on-names is null-unsafe and would NULL the
+        # gate for the NULL group)
+        cond = None
+        for g in group_cols:
+            c = left[g].eqNullSafe(right[f"__g_{g}"])
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    med = (w.groupBy(*[F.col(g).alias(f"__g_{g}")
+                       for g in group_cols])
            .agg(F.percentile(F.col("__c"), F.lit(0.5))
                 .alias("med_cents")))
-    w = w.join(F.broadcast(med), group_cols, "left")
+    w = w.join(F.broadcast(med), _nullsafe(w, med), "left") \
+        .drop(*[f"__g_{g}" for g in group_cols])
     dev = F.abs(F.col("__c") - F.col("med_cents"))
-    mad = (w.groupBy(*group_cols)
+    mad = (w.groupBy(*[F.col(g).alias(f"__g_{g}")
+                       for g in group_cols])
            .agg(F.percentile(dev, F.lit(0.5)).alias("mad_cents")))
-    w = w.join(F.broadcast(mad), group_cols, "left")
+    w = w.join(F.broadcast(mad), _nullsafe(w, mad), "left") \
+        .drop(*[f"__g_{g}" for g in group_cols])
     return w.select(*df.columns, "med_cents", "mad_cents",
                     (dev > F.lit(float(k)) * F.col("mad_cents"))
                     .alias("is_outlier"))
@@ -474,10 +493,11 @@ def ks_statistic(df: DataFrame, value_col: str, side_col: str,
     truly unbounded — same contract as the exact quantile rollup),
     and the answer is a TakeOrdered over it."""
     v = F.col(value_col)
-    sa = (df.filter(F.col(side_col) == F.lit(side_a))
+    base = df.filter(v.isNotNull())   # standard KS ignores NULLs
+    sa = (base.filter(F.col(side_col) == F.lit(side_a))
           .groupBy(v.alias("v"))
           .agg(F.count(F.lit(1)).alias("ca")))
-    sb = (df.filter(F.col(side_col) == F.lit(side_b))
+    sb = (base.filter(F.col(side_col) == F.lit(side_b))
           .groupBy(v.alias("v"))
           .agg(F.count(F.lit(1)).alias("cb")))
     u = (sa.join(sb, "v", "full_outer")

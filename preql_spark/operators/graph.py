@@ -130,6 +130,9 @@ def pagerank(edges: DataFrame, iters: int = 10,
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, "
+                         f"got {checkpoint_every}")
     if not (0 < damping_num < damping_den):
         raise ValueError("damping must satisfy 0 < num < den, got "
                          f"{damping_num}/{damping_den}")

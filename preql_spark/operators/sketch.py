@@ -314,23 +314,10 @@ def tdigest(df: DataFrame, group_cols: list[str] | str,
                                              "weights", "vmin",
                                              "vmax", "n"])
 
-    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-        m = np.concatenate([np.asarray(x, dtype="float64")
-                            for x in pdf["means"]])
-        w = np.concatenate([np.asarray(x, dtype="float64")
-                            for x in pdf["weights"]])
-        mm, ww = _td_compress(m, w, d)
-        return pd.DataFrame(
-            [(*[pdf[c].iloc[0] for c in gcols], list(mm), list(ww),
-              float(pdf["vmin"].min()), float(pdf["vmax"].max()),
-              int(pdf["n"].sum()))],
-            columns=[*gcols, "means", "weights", "vmin", "vmax", "n"])
-
     partials = (df.select(*gcols, vcol)
                 .mapInPandas(_partials, schema=schema))
-    return partials.groupBy(*gcols).applyInPandas(_merge,
-                                                  schema=schema)
+    # the final stage IS the rollup merge — one kernel, two callers
+    return tdigest_merge(partials, gcols, delta=d)
 
 
 def tdigest_merge(digests: DataFrame,
@@ -377,7 +364,17 @@ def tdigest_quantiles(digests: DataFrame,
     if isinstance(group_cols, str):
         group_cols = [group_cols]
     gcols = list(group_cols)
-    pnames = [f"p{int(round(q * 100)):02d}" for q in qs]
+    # near-equal quantiles collide on the rounded p-label -> _N
+    # suffix (the quantile_rollup naming contract), so the output
+    # schema never carries duplicate field names
+    pnames: list = []
+    for q in qs:
+        base = f"p{int(round(q * 100)):02d}"
+        name, i = base, 1
+        while name in pnames:
+            i += 1
+            name = f"{base}_{i}"
+        pnames.append(name)
     qvals = [float(q) for q in qs]
     schema = T.StructType(
         [digests.schema[c] for c in gcols]

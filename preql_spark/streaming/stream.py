@@ -842,20 +842,25 @@ def incremental_tdigest_ingest(
     This is the continuous-domain sibling of
     :func:`incremental_quantile_ingest` (whose exact histogram state
     requires discrete values): state is ~delta centroids per group
-    regardless of the value domain or corpus size.  Merging digests
-    wave-by-wave is deterministic (stable sorts, fixed fold order),
-    so a re-run over the same waves reproduces the state
-    bit-for-bit; accuracy vs the exact percentile is pinned by
-    pytest at sub-percent rank error.
+    PER WAVE regardless of the value domain or corpus size.  Digest
+    builds are deterministic (stable sorts, fixed fold order), so a
+    re-run over the same waves reproduces the state bit-for-bit;
+    accuracy vs the exact percentile is pinned by pytest at
+    sub-percent rank error.
 
-    The batch-to-state merge runs distributed (the
-    :func:`~preql_spark.operators.sketch.tdigest` two-level build +
-    a grouped merge); only merged digest rows cross the driver for
-    the overwrite — |groups| x ~delta centroids.  Ids anti-join
-    first and append LAST (the fold-before-append ordering)."""
-    from pyspark.sql import types as T
-    from preql_spark.operators.sketch import (_td_schema, tdigest,
-                                              tdigest_merge,
+    Idempotence — including the crash windows: the state is
+    APPEND-ONLY per-batch digest rows keyed by the micro-batch epoch
+    id (stable across checkpoint replays), and every append is
+    guarded by a distributed anti-join on that key.  A batch
+    re-delivered after a crash between the state append and the ids
+    append re-builds the same rows, the batch_id anti-join drops
+    them, and only the ids append completes — t-digest merge is NOT
+    a union-idempotent fold (unlike HLL), so a plain
+    merge-and-overwrite state would double-count exactly that
+    window.  The report merges all wave rows per group
+    (:func:`~preql_spark.operators.sketch.tdigest_merge`); compact
+    long histories offline by rewriting the merged rows."""
+    from preql_spark.operators.sketch import (tdigest, tdigest_merge,
                                               tdigest_quantiles)
     from preql_spark.parquet_io import hadoop_dir_has_files
 
@@ -872,17 +877,13 @@ def incremental_tdigest_ingest(
         vals = batch.select(F.col(group_col).alias("g"),
                             F.expr(value_expr).cast("double")
                             .alias("v"))
-        dig = tdigest(vals, "g", "v", delta=delta)
+        dig = tdigest(vals, "g", "v", delta=delta) \
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
         if hadoop_dir_has_files(s, state_path):
-            dig = tdigest_merge(
-                s.read.parquet(state_path).unionByName(dig),
-                "g", delta=delta)
-        merged = dig.collect()    # |groups| x ~delta centroids
-        st_schema = _td_schema(vals.select(F.col("g"), F.col("v")),
-                               ["g"])
-        s.createDataFrame([tuple(r) for r in merged],
-                          schema=st_schema) \
-            .coalesce(1).write.mode("overwrite").parquet(state_path)
+            st = s.read.parquet(state_path)
+            dig = dig.join(st.select("batch_id").distinct(),
+                           "batch_id", "left_anti")
+        dig.write.mode("append").parquet(state_path)
         batch.select(id_col).write.mode("append").parquet(ids_path)
         batch.unpersist(blocking=False)
 
@@ -893,8 +894,10 @@ def incremental_tdigest_ingest(
          .start())
     q.awaitTermination()
 
-    state = spark.read.parquet(state_path)
-    est = tdigest_quantiles(state, "g", qs)
-    return (est.join(state.select("g", "n"), "g")
+    merged = tdigest_merge(
+        spark.read.parquet(state_path).drop("batch_id"),
+        "g", delta=delta)
+    est = tdigest_quantiles(merged, "g", qs)
+    return (est.join(merged.select("g", "n"), "g")
             .select(F.col("g").alias(group_col), "n",
                     *[c for c in est.columns if c.startswith("p")]))

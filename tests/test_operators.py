@@ -2792,3 +2792,51 @@ def test_psi_rejects_non_integral_values(spark):
     df = spark.createDataFrame([("a", 1.5)], "s: string, v: double")
     with _pt.raises(TypeError, match="integral value column"):
         psi(df, "v", "s", "a", "a")
+
+
+def test_review_fixes_null_handling(spark):
+    """Round-7 review fixes: KS ignores NULL values; trend's n stays
+    consistent with its moment sums under NULL rows; mad_outliers
+    gates the NULL group against its own median; tdigest_quantiles
+    suffixes colliding p-labels; pagerank validates
+    checkpoint_every."""
+    import pytest as _pt
+    from preql_spark.operators.events import (ks_statistic,
+                                              mad_outliers, trend)
+    from preql_spark.operators.graph import pagerank
+    from preql_spark.operators.sketch import (tdigest,
+                                              tdigest_quantiles)
+
+    a = [1, 2, 3]
+    rows = ([("a", v) for v in a] + [("a", None)] * 2
+            + [("b", v) for v in a])
+    df = spark.createDataFrame(rows, "side: string, v: long")
+    r = ks_statistic(df, "v", "side", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b, r.d_stat) == (3, 3, 0.0)
+
+    t = spark.createDataFrame(
+        [("g", "2024-01-01", 1.0), ("g", "2024-01-02", 2.0),
+         ("g", "2024-01-03", None)],
+        "g: string, ts: string, value: double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    rt = trend(t, "g", origin="2024-01-01").collect()[0]
+    assert rt.n == 2 and rt.slope_cents_per_day == 100.0
+
+    m = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (None, 100.0), ("g", 5.0)],
+        "g: string, value: double")
+    out = {(r.g, r.value): r for r in
+           mad_outliers(m, "g", k=0.5).collect()}
+    assert out[(None, 100.0)].med_cents == 200.0
+    assert out[(None, 100.0)].is_outlier is True
+    assert out[("g", 5.0)].mad_cents == 0.0
+
+    dig = tdigest(spark.createDataFrame(
+        [("g", float(i)) for i in range(100)],
+        "g: string, v: double"), "g", "v")
+    q = tdigest_quantiles(dig, "g", (0.995, 0.999, 0.5))
+    assert q.columns == ["g", "p100", "p100_2", "p50"]
+
+    e = spark.createDataFrame([("a", "b")], "src: string, dst: string")
+    with _pt.raises(ValueError, match="checkpoint_every"):
+        pagerank(e, checkpoint_every=0)

@@ -708,8 +708,16 @@ def test_incremental_tdigest_ingest_accuracy_and_replay(
         for q, e in ((0.5, r.p50), (0.9, r.p90)):
             rank = np.searchsorted(arr, e) / len(arr)
             assert abs(rank - q) < 0.01, (g, q, rank)
+    n_state = spark.read.parquet(st).count()
     out2 = incremental_tdigest_ingest(spark, src, ck, st, ids,
                                       value_expr="metric")
     assert {(r.source, r.n, r.p50, r.p90) for r in out2.collect()} \
         == {(r.source, r.n, r.p50, r.p90) for r in out.collect()}
-    assert spark.read.parquet(st).count() == len(got)
+    # replay appends nothing; state is one digest row per (group,
+    # wave) with distinct batch ids guarding re-delivery
+    state = spark.read.parquet(st)
+    assert state.count() == n_state
+    per = {(r.g, r.batch_id) for r in
+           state.select("g", "batch_id").collect()}
+    assert len(per) == n_state and \
+        len({b for _, b in per}) >= 2
