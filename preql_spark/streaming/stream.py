@@ -509,26 +509,24 @@ def incremental_frequent_items_ingest(
     corpus token count n are maintained incrementally — answering
     "which tokens clear phi now?" after each wave costs one
     candidate-bounded recount scan of the store, never a
-    full-vocabulary shuffle, and the state itself is <= capacity rows
-    (capacity = ceil(2/phi) by default) no matter how many waves
-    arrived.  The mergeable-summaries bound (Agarwal et al., PODS
-    2012) survives the wave merges: every unit subtracted in a prune
-    destroys >= capacity+1 units of mass, so the lifetime undercount
-    is <= n/(capacity+1) < ceil(phi*n)/2 — every phi-frequent token
-    is guaranteed alive in the state, and the exact recount then
-    decides every count.
+    full-vocabulary shuffle, and the state holds <= capacity rows PER
+    WAVE (capacity = ceil(2/phi) by default).  Completeness of the
+    wave-summary union is a pigeonhole corollary of the per-wave
+    Misra-Gries bound: a token with total count > ceil(phi*n) must
+    clear the summary threshold n_i/(capacity+1) in at least ONE
+    wave (if it cleared none, its total would be <= n/(capacity+1)
+    < ceil(phi*n)/2), so every phi-frequent token appears in some
+    wave's summary and the exact recount decides every count.
 
-    Idempotence: the batch is id-anti-joined against the store before
-    anything is counted, so a checkpoint-replayed batch contributes
-    zero tokens and rewrites the state unchanged.  The state write
-    precedes the store append inside a batch (see the in-body comment
-    on anti-join re-planning); a crash landing exactly between the
-    two re-folds that batch's tokens on replay — the same
-    non-transactional-sink window the sibling ingest operators
-    document, closed by any atomic-commit store (Delta/Iceberg).
-    State rows are ``(item, est)`` plus one ``(NULL, n)`` row
-    carrying the corpus token count — the same carrier row the batch
-    kernel uses."""
+    Idempotence — including the crash windows: wave summaries are
+    APPEND-ONLY rows keyed by the micro-batch epoch id (stable
+    across checkpoint replays) and guarded by a batch_id check, the
+    same contract as the t-digest and histogram ingests — a batch
+    re-delivered after a crash between the state and store appends
+    rebuilds the same summary, the guard drops it, and only the
+    store append completes.  State rows are ``(item, est,
+    batch_id)`` plus one ``(NULL, n, batch_id)`` carrier row per
+    wave."""
     import math
 
     from preql_spark.operators.sketch import mg_merge, mg_summaries
@@ -564,6 +562,14 @@ def incremental_frequent_items_ingest(
         # action would see the batch's own ids in the store and
         # anti-join the whole batch away — zero tokens folded.
         batch = batch.persist()
+        if hadoop_dir_has_files(s, state_path):
+            done = {r["batch_id"] for r in
+                    s.read.parquet(state_path)
+                    .select("batch_id").distinct().collect()}
+            if int(batch_id) in done:       # replayed wave: summary
+                batch.write.mode("append").parquet(store_path)
+                batch.unpersist(blocking=False)
+                return                      # already folded
         rows = mg_summaries(_items(batch), cap).collect()
         counts: dict = {}
         n = 0
@@ -572,19 +578,13 @@ def incremental_frequent_items_ingest(
                 n += int(r["est"])
             else:
                 counts[r["item"]] = counts.get(r["item"], 0) + int(r["est"])
-        if hadoop_dir_has_files(s, state_path):
-            prior = s.read.parquet(state_path).collect()
-            counts = mg_merge(
-                counts,
-                ((r["item"], r["est"]) for r in prior
-                 if r["item"] is not None), cap)
-            n += sum(int(r["est"]) for r in prior if r["item"] is None)
-        elif len(counts) > cap:
+        if len(counts) > cap:
             counts = mg_merge(counts, (), cap)
         state = s.createDataFrame(
-            [(k, int(v)) for k, v in counts.items()] + [(None, int(n))],
-            schema="item string, est bigint")
-        state.coalesce(1).write.mode("overwrite").parquet(state_path)
+            [(k, int(v), int(batch_id)) for k, v in counts.items()]
+            + [(None, int(n), int(batch_id))],
+            schema="item string, est bigint, batch_id bigint")
+        state.coalesce(1).write.mode("append").parquet(state_path)
         batch.write.mode("append").parquet(store_path)
         batch.unpersist(blocking=False)
 
@@ -603,7 +603,8 @@ def incremental_frequent_items_ingest(
         return (store_items.groupBy("item")
                 .agg(F.count(F.lit(1)).alias("cnt")).limit(0))
     t = int(math.ceil(phi * float(n)))
-    cand = state.filter(F.col("item").isNotNull()).select("item")
+    cand = (state.filter(F.col("item").isNotNull())
+            .select("item").distinct())
     return (store_items.join(F.broadcast(cand), "item", "leftsemi")
             .groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
             .filter(F.col("cnt") >= F.lit(t)))
@@ -617,12 +618,12 @@ def incremental_quantile_ingest(
         qs: tuple = (0.5, 0.9)) -> DataFrame:
     """Streaming maintenance of EXACT per-group quantiles of an
     integer metric (lengths, token counts, scores-in-ticks): each
-    availableNow batch folds its ``(group, value) -> count`` histogram
-    into a summed state table, and the report computes exact
-    percentiles FROM THE STATE via Spark's frequency-weighted
-    ``percentile`` — identical to percentile over the raw rows, so
-    two-wave ingestion == one-shot == plain ``quantile_cont`` over the
-    full corpus (the q158 oracle).
+    availableNow batch appends its ``(group, value) -> count``
+    histogram rows to the state, and the report sums the counters and
+    computes exact percentiles FROM THE STATE via Spark's
+    frequency-weighted ``percentile`` — identical to percentile over
+    the raw rows, so two-wave ingestion == one-shot == plain
+    ``quantile_cont`` over the full corpus (the q158 oracle).
 
     Why this state earns its keep at 100 TB: "what is p50/p90 document
     length per source right now?" costs a scan of the STATE — bounded
@@ -630,14 +631,21 @@ def incremental_quantile_ingest(
     metrics), never the corpus — and histogram merge is a plain
     counter sum, exactly mergeable across any wave boundaries.
 
-    Idempotence: the batch is id-anti-joined against an ids-only store
-    before anything is counted (the state fold runs BEFORE the ids
-    append — the same action-re-resolution ordering
-    :func:`incremental_frequent_items_ingest` documents); a replayed
-    batch contributes zero counts and rewrites the state unchanged.
-    The state crosses the driver at merge time (a bounded histogram,
-    like the Misra-Gries summary state), so the value domain must be
-    discrete — quantize continuous metrics to ticks first."""
+    Idempotence — including the crash windows: the state is
+    APPEND-ONLY per-batch histogram rows ``(g, v, cnt, batch_id)``
+    keyed by the micro-batch epoch id (stable across checkpoint
+    replays) and guarded by a distributed anti-join on that key, the
+    same contract as :func:`incremental_tdigest_ingest` — a batch
+    re-delivered after a crash between the state and ids appends
+    rebuilds identical rows that the guard drops (counter sums,
+    like digest merges, are NOT re-apply-idempotent, so an
+    overwrite-merged state would double-count that window).  The
+    histogram never crosses the driver: the per-batch partial agg,
+    the guard, and the append all run distributed; the report sums
+    counters per (g, v) across waves and takes the exact
+    frequency-weighted percentile.  The value domain must be
+    discrete — quantize continuous metrics to ticks first (or use
+    the t-digest ingest)."""
     from preql_spark.parquet_io import hadoop_dir_has_files
 
     schema = spark.read.parquet(src_path).schema  # footer-only peek
@@ -653,27 +661,14 @@ def incremental_quantile_ingest(
         rows = (batch.select(F.col(group_col).alias("g"),
                              F.expr(value_expr).cast("long").alias("v"))
                 .groupBy("g", "v")
-                .agg(F.count(F.lit(1)).alias("cnt")).collect())
-        counts: dict = {}
-        for r in rows:
-            counts[(r["g"], r["v"])] = \
-                counts.get((r["g"], r["v"]), 0) + int(r["cnt"])
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .withColumn("batch_id",
+                            F.lit(int(batch_id)).cast("long")))
         if hadoop_dir_has_files(s, state_path):
-            for r in s.read.parquet(state_path).collect():
-                counts[(r["g"], r["v"])] = \
-                    counts.get((r["g"], r["v"]), 0) + int(r["cnt"])
-        # the state's g field keeps the batch's group dtype (an int
-        # partition key must not silently coerce to string here)
-        from pyspark.sql import types as T
-        st_schema = T.StructType([
-            T.StructField("g", batch.schema[group_col].dataType),
-            T.StructField("v", T.LongType()),
-            T.StructField("cnt", T.LongType()),
-        ])
-        state = s.createDataFrame(
-            [(g, v, int(c)) for (g, v), c in counts.items()],
-            schema=st_schema)
-        state.coalesce(1).write.mode("overwrite").parquet(state_path)
+            st = s.read.parquet(state_path)
+            rows = rows.join(st.select("batch_id").distinct(),
+                             "batch_id", "left_anti")
+        rows.write.mode("append").parquet(state_path)
         batch.select(id_col).write.mode("append").parquet(ids_path)
         batch.unpersist(blocking=False)
 
@@ -684,12 +679,13 @@ def incremental_quantile_ingest(
          .start())
     q.awaitTermination()
 
-    state = spark.read.parquet(state_path)
+    merged = (spark.read.parquet(state_path)
+              .groupBy("g", "v").agg(F.sum("cnt").alias("cnt")))
     aggs = [F.sum("cnt").alias("n")]
     for p in qs:
         aggs.append(F.percentile("v", F.lit(float(p)), F.col("cnt"))
                     .alias(f"p{int(round(p * 100)):02d}"))
-    return (state.groupBy(F.col("g").alias(group_col)).agg(*aggs))
+    return (merged.groupBy(F.col("g").alias(group_col)).agg(*aggs))
 
 
 def incremental_distinct_ingest(

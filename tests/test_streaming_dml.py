@@ -532,11 +532,14 @@ def test_incremental_frequent_items_equals_batch(spark, eng, tmp_path):
     out2 = incremental_frequent_items_ingest(spark, src, store, ck,
                                              phi=0.01)
     assert {(r.item, r.cnt) for r in out2.collect()} == inc
-    # state stays bounded: <= capacity item rows + the NULL n-carrier,
-    # and the carrier holds the exact corpus token count
+    # state stays bounded: <= capacity item rows PER WAVE plus one
+    # NULL n-carrier per wave; the carriers sum to the exact corpus
+    # token count and the two waves carry distinct batch ids
     st = spark.read.parquet(store + "_state").collect()
     cap = int(math.ceil(2.0 / 0.01))
-    assert len([r for r in st if r.item is not None]) <= cap
+    waves = {r.batch_id for r in st}
+    assert len(waves) == 2
+    assert len([r for r in st if r.item is not None]) <= cap * 2
     assert sum(r.est for r in st if r.item is None) == n
 
 
@@ -575,7 +578,10 @@ def test_incremental_quantile_ingest_equals_batch(spark, eng, tmp_path):
     assert state.agg(F.sum("cnt")).collect()[0][0] == n_rows
     n_distinct = (d.select("source", F.expr(expr).alias("v"))
                   .distinct().count())
-    assert state.count() == n_distinct
+    # append-only per-wave rows with distinct batch ids; the merged
+    # (g, v) domain equals the corpus's distinct pairs
+    assert state.select("g", "v").distinct().count() == n_distinct
+    assert state.select("batch_id").distinct().count() == 2
 
 
 def test_incremental_quantile_ingest_int_group(spark, eng, tmp_path):
