@@ -897,3 +897,64 @@ def incremental_tdigest_ingest(
     return (est.join(merged.select("g", "n"), "g")
             .select(F.col("g").alias(group_col), "n",
                     *[c for c in est.columns if c.startswith("p")]))
+
+
+def compact_ingest_state(spark: SparkSession, state_path: str,
+                         kind: str = "histogram",
+                         delta: float = 100.0,
+                         capacity: int | None = None) -> int:
+    """Offline compaction for the append-only ingest states: fold all
+    wave rows into one merged wave and swap it in place, returning
+    the new row count.  ``kind``: ``"histogram"``
+    (:func:`incremental_quantile_ingest` — counters sum per (g, v)),
+    ``"tdigest"`` (:func:`incremental_tdigest_ingest` — digest
+    merge), or ``"frequent"``
+    (:func:`incremental_frequent_items_ingest` — Misra-Gries
+    mergeable fold at ``capacity``, which preserves the candidate
+    bound).  The merged rows keep ``batch_id = max(batch_id)`` so the
+    replay guard still rejects every already-folded epoch.
+
+    RUN ONLY WHILE THE STREAM IS STOPPED: compaction rewrites
+    committed waves; an in-flight uncommitted batch is unaffected
+    (its epoch id is greater than the kept max), but the
+    delete-and-rename swap itself is not atomic against a concurrent
+    writer.  Reports are unchanged by construction — each fold is
+    exactly the merge the report already performs."""
+    from preql_spark.parquet_io import _hadoop_fs_path
+
+    st = spark.read.parquet(state_path)
+    mx = st.agg(F.max("batch_id")).collect()[0][0]
+    bid = F.lit(int(mx)).cast("long").alias("batch_id")
+    if kind == "histogram":
+        out = (st.groupBy("g", "v").agg(F.sum("cnt").alias("cnt"))
+               .select("g", "v", "cnt", bid))
+    elif kind == "tdigest":
+        from preql_spark.operators.sketch import tdigest_merge
+        out = (tdigest_merge(st.drop("batch_id"), "g", delta=delta)
+               .select("g", "means", "weights", "vmin", "vmax", "n",
+                       bid))
+    elif kind == "frequent":
+        import math
+        from preql_spark.operators.sketch import mg_merge
+        rows = st.collect()          # summary state: kilobytes
+        n = sum(int(r["est"]) for r in rows if r["item"] is None)
+        cap = (int(capacity) if capacity is not None
+               else max(1, len([r for r in rows
+                                if r["item"] is not None])))
+        counts = mg_merge({}, ((r["item"], int(r["est"]))
+                               for r in rows
+                               if r["item"] is not None), cap)
+        out = spark.createDataFrame(
+            [(k, int(v), int(mx)) for k, v in counts.items()]
+            + [(None, int(n), int(mx))],
+            schema="item string, est bigint, batch_id bigint")
+    else:
+        raise ValueError(f"unknown state kind {kind!r}")
+    tmp = state_path.rstrip("/") + "__compact"
+    out.coalesce(1).write.mode("overwrite").parquet(tmp)
+    n_rows = spark.read.parquet(tmp).count()
+    fs, old = _hadoop_fs_path(spark, state_path)
+    _, new = _hadoop_fs_path(spark, tmp)
+    fs.delete(old, True)
+    fs.rename(new, old)
+    return int(n_rows)

@@ -727,3 +727,56 @@ def test_incremental_tdigest_ingest_accuracy_and_replay(
            state.select("g", "batch_id").collect()}
     assert len(per) == n_state and \
         len({b for _, b in per}) >= 2
+
+
+def test_compact_ingest_state_preserves_reports(spark, eng, tmp_path):
+    """Compacting each append-only ingest state folds waves to one
+    and leaves the next report identical (histogram, t-digest, and
+    frequent-items kinds); the kept batch_id is the max epoch."""
+    from preql_spark.streaming.stream import (
+        compact_ingest_state, incremental_quantile_ingest,
+        incremental_tdigest_ingest)
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    expr = r"size(split(trim(text), '\\s+'))"
+
+    # histogram kind
+    src, st, ids, ck = (str(tmp_path / x) for x in
+                        ("qsrc", "qst", "qids", "qck"))
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_quantile_ingest(spark, src, ck, st, ids,
+                                value_expr=expr)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    before = {tuple(r) for r in
+              incremental_quantile_ingest(spark, src, ck, st, ids,
+                                          value_expr=expr).collect()}
+    pre_rows = spark.read.parquet(st).count()
+    n = compact_ingest_state(spark, st, kind="histogram")
+    assert n < pre_rows
+    state = spark.read.parquet(st)
+    assert state.select("batch_id").distinct().count() == 1
+    after = {tuple(r) for r in
+             incremental_quantile_ingest(spark, src, ck, st, ids,
+                                         value_expr=expr).collect()}
+    assert after == before
+
+    # t-digest kind
+    src, st, ids, ck = (str(tmp_path / x) for x in
+                        ("tsrc", "tst", "tids", "tck"))
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_tdigest_ingest(spark, src, ck, st, ids,
+                               value_expr="ln(1 + length(text))")
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    b2 = {(r.source, r.n) for r in
+          incremental_tdigest_ingest(
+              spark, src, ck, st, ids,
+              value_expr="ln(1 + length(text))").collect()}
+    n2 = compact_ingest_state(spark, st, kind="tdigest")
+    a2rep = incremental_tdigest_ingest(
+        spark, src, ck, st, ids,
+        value_expr="ln(1 + length(text))")
+    a2 = {(r.source, r.n) for r in a2rep.collect()}
+    assert a2 == b2 and n2 == len(b2)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="state kind"):
+        compact_ingest_state(spark, st, kind="nope")
