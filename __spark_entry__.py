@@ -2672,6 +2672,38 @@ def q184_containment_pairs(spark, sf_dir) -> DataFrame:
         threshold=0.9)
 
 
+def q185_weighted_pagerank(spark, sf_dir) -> DataFrame:
+    """Weighted PageRank over the supplier<->part graph with edge
+    weight = lineitem pair multiplicity: contrib = (rank * w) DIV
+    wsum — still pure int64, still bit-identical cross-engine; same
+    Pregel shape as q171."""
+    from preql_spark.operators.graph import pagerank
+    li = _eng(spark, sf_dir).t.lineitem.df
+    e = (li.groupBy(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w")))
+    ed = e.unionAll(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"), "w"))
+    return pagerank(ed, iters=3, weight_col="w") \
+        .select("node", "rank_units", F.col("rank").alias("pr"))
+
+
+def q186_assortativity(spark, sf_dir) -> DataFrame:
+    """Degree assortativity of the q181 pseudo-random customer
+    graph: endpoint-degree Pearson r from six exact int64 moments
+    through a fixed double-op sequence (two sqrts, one division) —
+    exact cross-engine."""
+    from preql_spark.operators.graph import degree_assortativity
+    c = _eng(spark, sf_dir).t.customer.df
+    edges = c.select((F.col("c_custkey") % 400).alias("src"),
+                     ((F.col("c_custkey") * 17 + 3) % 400)
+                     .alias("dst"))
+    return degree_assortativity(edges)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2886,6 +2918,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q182_attribution": q182_attribution,
     "q183_psi_drift": q183_psi_drift,
     "q184_containment_pairs": q184_containment_pairs,
+    "q185_weighted_pagerank": q185_weighted_pagerank,
+    "q186_assortativity": q186_assortativity,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -5746,6 +5780,83 @@ ORACLES: dict[str, str] = {
         SELECT id_a, id_b, i / sizes.n AS containment
         FROM inter JOIN sizes ON inter.id_a = sizes.doc_id
         WHERE i / sizes.n >= 0.9
+    """,
+    # q171's integer rounds with per-edge weights:
+    # contrib = (rank * w) // wsum
+    "q185_weighted_pagerank": """
+        WITH e AS (
+          SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                 'p' || CAST(l_partkey AS VARCHAR) AS dst,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM lineitem GROUP BY 1, 2),
+        ed AS (SELECT src, dst, w FROM e
+               UNION ALL SELECT dst AS src, src AS dst, w FROM e),
+        deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS d
+                FROM ed GROUP BY src),
+        n AS (SELECT DISTINCT src AS node FROM ed
+              UNION SELECT DISTINCT dst AS node FROM ed),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+        i1 AS (SELECT ed.dst AS node,
+                      SUM((r0.r * ed.w) // deg.d) AS f
+               FROM ed JOIN r0 ON ed.src = r0.node
+                       JOIN deg ON ed.src = deg.src
+               GROUP BY ed.dst),
+        r1 AS (SELECT n.node,
+                      CAST(150000 + COALESCE((i1.f * 17) // 20, 0)
+                           AS BIGINT) AS r
+               FROM n LEFT JOIN i1 USING (node)),
+        i2 AS (SELECT ed.dst AS node,
+                      SUM((r1.r * ed.w) // deg.d) AS f
+               FROM ed JOIN r1 ON ed.src = r1.node
+                       JOIN deg ON ed.src = deg.src
+               GROUP BY ed.dst),
+        r2 AS (SELECT n.node,
+                      CAST(150000 + COALESCE((i2.f * 17) // 20, 0)
+                           AS BIGINT) AS r
+               FROM n LEFT JOIN i2 USING (node)),
+        i3 AS (SELECT ed.dst AS node,
+                      SUM((r2.r * ed.w) // deg.d) AS f
+               FROM ed JOIN r2 ON ed.src = r2.node
+                       JOIN deg ON ed.src = deg.src
+               GROUP BY ed.dst),
+        r3 AS (SELECT n.node,
+                      CAST(150000 + COALESCE((i3.f * 17) // 20, 0)
+                           AS BIGINT) AS r
+               FROM n LEFT JOIN i3 USING (node))
+        SELECT node, r AS rank_units, r / 1000000 AS pr FROM r3
+    """,
+    # endpoint-degree Pearson r from exact int64 moments; den =
+    # sqrt(vx) * sqrt(vy) in the same op order as the Spark side
+    "q186_assortativity": """
+        WITH raw AS (SELECT c_custkey % 400 AS s,
+                            (c_custkey * 17 + 3) % 400 AS d
+                     FROM customer),
+        e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM raw WHERE s <> d),
+        bo AS (SELECT a, b FROM e
+                 UNION ALL SELECT b AS a, a AS b FROM e),
+        deg AS (SELECT a, CAST(count(*) AS BIGINT) AS dg
+                FROM bo GROUP BY a),
+        p AS (SELECT da.dg AS x, db.dg AS y
+              FROM bo JOIN deg da ON bo.a = da.a
+                        JOIN deg db ON bo.b = db.a),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM p)
+        SELECT n AS n_edge_ends,
+               CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+                         > 0
+                    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy
+                                        AS DOUBLE))) END
+                 AS assortativity
+        FROM m
     """,
     # q139's full IVF-PQ replay (one query, top-10 ADC candidates)
     # -> exact-cosine refine (rel, 4dp) -> q154's greedy MMR CTEs

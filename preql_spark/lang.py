@@ -3478,8 +3478,13 @@ def _load_pipeline_funcs() -> dict:
                 fuzzy.fuzzy_pairs(df, id_col, str_col,
                                   int(max_dist), q=int(q)),
         "pagerank":
-            lambda df, iters=10, src="src", dst="dst":
-                graph.pagerank(df, int(iters), src, dst),
+            lambda df, iters=10, src="src", dst="dst",
+            weight_col=None:
+                graph.pagerank(df, int(iters), src, dst,
+                               weight_col=weight_col),
+        "degree_assortativity":
+            lambda df, src="src", dst="dst":
+                graph.degree_assortativity(df, src, dst),
         "trend":
             lambda df, group_col, ts_col="ts", value_col="value",
             origin="1970-01-01":
@@ -3537,6 +3542,7 @@ _PIPELINE_FUNC_NAMES = {
     "transition_counts", "winsorize", "ewma", "fuzzy_pairs",
     "pagerank", "trend", "mad_outliers", "session_paths", "ks_drift",
     "ab_test", "triangle_count", "psi_drift",
+    "degree_assortativity",
     # Table-method family (dispatched on the host Table, not its df)
     "sample_hash", "sample_mixture", "sample_stratified",
     "sample_weighted", "split_by_hash", "shuffle_deterministic",

@@ -98,7 +98,8 @@ def pagerank(edges: DataFrame, iters: int = 10,
              src: str = "src", dst: str = "dst",
              units: int = 1_000_000,
              damping_num: int = 17, damping_den: int = 20,
-             checkpoint_every: int = 3) -> DataFrame:
+             checkpoint_every: int = 3,
+             weight_col: str | None = None) -> DataFrame:
     """Fixed-iteration PageRank in EXACT integer arithmetic —
     ``(node, rank_units bigint, rank double)``.
 
@@ -109,6 +110,11 @@ def pagerank(edges: DataFrame, iters: int = 10,
         contrib(v)  = rank(v) DIV outdeg(v)          (per out-edge)
         rank'(u)    = base + (sum contribs * num) DIV den
         base        = (units * (den - num)) DIV den
+
+    ``weight_col`` (positive int64) switches to weighted PageRank:
+    contrib along an edge becomes ``(rank * w) DIV wsum(v)`` with
+    ``wsum`` the source's total out-weight — still pure int64
+    (overflow bound: max rank * max weight < 2^63).
 
     Integer sums are order-independent, so the result is identical on
     any engine and any partitioning — the property float PageRank
@@ -136,11 +142,14 @@ def pagerank(edges: DataFrame, iters: int = 10,
     if not (0 < damping_num < damping_den):
         raise ValueError("damping must satisfy 0 < num < den, got "
                          f"{damping_num}/{damping_den}")
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    w = (F.lit(1).cast("long") if weight_col is None
+         else F.col(weight_col).cast("long"))
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"),
+                     w.alias("__w"))
     nodes = (e.select(F.col("__s").alias("node"))
              .union(e.select(F.col("__d").alias("node")))
              .distinct().localCheckpoint(eager=False))
-    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    deg = e.groupBy("__s").agg(F.sum("__w").alias("__deg"))
     # one edge-degree join up front, co-partitioned by src so every
     # iteration's rank join reuses the layout
     spark = edges.sparkSession
@@ -153,7 +162,8 @@ def pagerank(edges: DataFrame, iters: int = 10,
     for i in range(iters):
         inflow = (e_deg.join(r, e_deg["__s"] == r["node"])
                   .select(F.col("__d").alias("node"),
-                          F.expr("rank_units DIV __deg").alias("__c"))
+                          F.expr("(rank_units * __w) DIV __deg")
+                          .alias("__c"))
                   .groupBy("node").agg(F.sum("__c").alias("__in")))
         r = nodes.join(inflow, "node", "left").select(
             "node",
@@ -197,3 +207,49 @@ def triangle_count(edges: DataFrame, src: str = "src",
     tri = wedges.join(ac, ["x", "z"])
     return tri.agg(F.count(F.lit(1)).cast("long")
                    .alias("n_triangles"))
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Degree assortativity of the undirected simple graph — one row
+    ``(n_edge_ends, assortativity)``: the Pearson correlation of
+    endpoint degrees over every directed edge end (both directions,
+    the standard symmetric definition).  Positive = hubs link hubs;
+    negative = hub-and-spoke.
+
+    Exactness: degrees are int64, the six correlation moments are
+    exact int64 sums, and r = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2)
+    * sqrt(n*Syy - Sy^2)) is a FIXED sequence of correctly-rounded
+    double ops — bit-identical cross-engine.  Zero-variance degree
+    distributions (regular graphs) yield NULL.
+
+    Scale shape: canonical edges -> one degree agg -> two
+    broadcast-sized joins back onto the edge list -> one map-side
+    moment fold.  Nothing holds a neighborhood in memory."""
+    e = (edges.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct())
+    both = e.union(e.select(F.col("b").alias("a"),
+                            F.col("a").alias("b")))
+    deg = both.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("a").alias("__x"), F.col("d").alias("dx"))
+    db = deg.select(F.col("a").alias("__y"), F.col("d").alias("dy"))
+    pairs = (both.join(da, both["a"] == da["__x"])
+             .join(db, both["b"] == db["__y"])
+             .select(F.col("dx").cast("long").alias("x"),
+                     F.col("dy").cast("long").alias("y")))
+    m = pairs.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                  F.sum(F.col("y") * F.col("y")).alias("syy"),
+                  F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    num = (F.col("n") * F.col("sxy")
+           - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx")
+          - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy")
+          - F.col("sy") * F.col("sy")).cast("double")
+    den = F.sqrt(vx) * F.sqrt(vy)
+    return m.select(F.col("n").alias("n_edge_ends"),
+                    F.when(den > 0, num / den)
+                    .alias("assortativity"))

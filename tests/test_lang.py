@@ -2337,3 +2337,24 @@ def test_pipeline_builtin_psi_containment(eng):
           eng.q('ngram_containment_pairs(documents[doc_id < 100],'
                 ' "doc_id", threshold: 0.8)').collect()}
     assert lc == ac and len(lc) > 0
+
+
+def test_pipeline_builtin_weighted_pr_assortativity(eng):
+    """Lang weighted pagerank / degree_assortativity equal their
+    Python APIs."""
+    from preql_spark.operators.graph import (degree_assortativity,
+                                             pagerank)
+    ed = eng.t.nation.df.select(
+        F.col("n_nationkey").cast("string").alias("src"),
+        F.col("n_regionkey").cast("string").alias("dst"),
+        (F.col("n_nationkey") % 3 + 1).alias("w"))
+    eng.register("edges_w", ed)
+    ap = {tuple(r) for r in
+          pagerank(ed, iters=3, weight_col="w").collect()}
+    lp = {tuple(r) for r in
+          eng.q('pagerank(edges_w, iters: 3, weight_col: "w")')
+          .collect()}
+    assert lp == ap and len(lp) > 0
+    aa = tuple(degree_assortativity(ed).collect()[0])
+    la = tuple(eng.q('degree_assortativity(edges_w)').collect()[0])
+    assert la == aa

@@ -2840,3 +2840,47 @@ def test_review_fixes_null_handling(spark):
     e = spark.createDataFrame([("a", "b")], "src: string, dst: string")
     with _pt.raises(ValueError, match="checkpoint_every"):
         pagerank(e, checkpoint_every=0)
+
+
+def test_weighted_pagerank_matches_model(spark):
+    """pagerank(weight_col=...) reproduces the int64 weighted model
+    (contrib = rank * w // wsum)."""
+    from collections import defaultdict
+    from preql_spark.operators.graph import pagerank
+    edges = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2),
+             ("c", "a", 5)]
+    df = spark.createDataFrame(edges,
+                               "src: string, dst: string, w: long")
+    got = {r.node: r.rank_units
+           for r in pagerank(df, iters=4, weight_col="w").collect()}
+
+    def model(edges, iters, units=1_000_000, num=17, den=20):
+        nodes = sorted({x for s, d, _ in edges for x in (s, d)})
+        wsum = defaultdict(int)
+        for s, _, w in edges:
+            wsum[s] += w
+        base = (units * (den - num)) // den
+        r = {n: units for n in nodes}
+        for _ in range(iters):
+            inflow = defaultdict(int)
+            for s, d, w in edges:
+                inflow[d] += (r[s] * w) // wsum[s]
+            r = {n: base + (inflow[n] * num) // den for n in nodes}
+        return r
+
+    assert got == model(edges, 4)
+
+
+def test_degree_assortativity_known_graphs(spark):
+    """Star graph: perfect disassortativity (-1.0 exactly on the
+    2-point degree distribution); regular ring: NULL (zero
+    variance)."""
+    from preql_spark.operators.graph import degree_assortativity
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)],
+                                 "src: long, dst: long")
+    r = degree_assortativity(star).collect()[0]
+    assert r.n_edge_ends == 10 and r.assortativity == -1.0
+    ring = spark.createDataFrame([(i, (i + 1) % 6) for i in range(6)],
+                                 "src: long, dst: long")
+    r2 = degree_assortativity(ring).collect()[0]
+    assert r2.n_edge_ends == 12 and r2.assortativity is None
