@@ -2704,6 +2704,27 @@ def q186_assortativity(spark, sf_dir) -> DataFrame:
     return degree_assortativity(edges)
 
 
+def q187_lang_shipping_priority(spark, sf_dir) -> DataFrame:
+    """TPC-H Q3 shape written entirely in the lang (the q144
+    discipline, second capstone): 3-table FK auto-join, a segment
+    filter plus two date cuts, grouped revenue, top-10 with orderkey
+    tie-break.  Revenue sums have real margins; values hash at the
+    portable 4-dp rounding."""
+    eng = _eng(spark, sf_dir)
+    out = eng.q(
+        'join(l: lineitem, o: orders, c: customer)'
+        '[c.c_mktsegment == "BUILDING"'
+        ' and o.o_orderdate < timestamp("1998-06-01")'
+        ' and l.l_shipdate > timestamp("1998-06-01")]'
+        '{o.o_orderkey, o_orderdate: o.o_orderdate,'
+        ' o_orderpriority: o.o_orderpriority =>'
+        ' revenue: sum(l.l_extendedprice * (1 - l.l_discount))}'
+        ' order {^revenue, o_orderkey} [..10]')
+    return out.df.select("o_orderkey", "o_orderdate",
+                         "o_orderpriority",
+                         _pr4(F.col("revenue")).alias("revenue"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2920,6 +2941,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q184_containment_pairs": q184_containment_pairs,
     "q185_weighted_pagerank": q185_weighted_pagerank,
     "q186_assortativity": q186_assortativity,
+    "q187_lang_shipping_priority": q187_lang_shipping_priority,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -5857,6 +5879,22 @@ ORACLES: dict[str, str] = {
                                         AS DOUBLE))) END
                  AS assortativity
         FROM m
+    """,
+    # TPC-H Q3 shape (q144's rounding + tie-break discipline)
+    "q187_lang_shipping_priority": """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               floor(sum(l_extendedprice * (1 - l_discount))
+                     * 10000 + 0.5) / 10000 AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
+                 o_orderkey
+        LIMIT 10
     """,
     # q139's full IVF-PQ replay (one query, top-10 ADC candidates)
     # -> exact-cosine refine (rel, 4dp) -> q154's greedy MMR CTEs
