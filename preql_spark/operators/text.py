@@ -1105,3 +1105,58 @@ def token_entropy(df: DataFrame, group_col: str = "source",
         F.when(F.col("n_distinct") > 1,
                ent / F.log(F.col("n_distinct").cast("double")))
         .alias("entropy_norm"))
+
+
+def bpe_apply_arrow(df: DataFrame, merges: list, text_col: str = "text",
+                    out_col: str = "bpe_tokens",
+                    joiner: str = "▁") -> DataFrame:
+    """Arrow fast path for :func:`bpe_apply`: applies the ordered
+    merge list with a Python loop inside ``mapInPandas`` instead of
+    |merges| chained JVM HOFs.  Output is IDENTICAL to the HOF
+    spelling (same greedy left-to-right non-overlapping rule,
+    differential-tested); use this once the merge list outgrows a
+    few dozen entries — expression depth is O(1) here, and the
+    per-batch dict-driven scan beats deeply nested HOF evaluation.
+    Adds ``out_col`` (array<string>) to the input columns.
+
+    Scale shape: scan-local (zero shuffle); the merge list rides the
+    closure to every worker (kilobytes — the same contract as a
+    broadcast vocabulary)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ms = [(str(a), str(b)) for a, b in merges]
+    schema = T.StructType(list(df.schema)
+                          + [T.StructField(out_col, T.ArrayType(
+                              T.StringType()))])
+
+    def _apply_all(toks):
+        for left, right in ms:
+            out, i, n = [], 0, len(toks)
+            merged = left + joiner + right
+            while i < n:
+                if (i + 1 < n and toks[i] == left
+                        and toks[i + 1] == right):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return toks
+
+    import re
+
+    def _run(it):
+        for pdf in it:
+            texts = pdf[text_col]
+            pdf = pdf.copy()
+            # exact twin of tokens(): split(trim(t), '\s+') — an
+            # empty text yields [''] like the JVM split, not []
+            pdf[out_col] = [
+                None if t is None
+                else _apply_all(re.split(r"\s+", str(t).strip()))
+                for t in texts]
+            yield pdf
+
+    return df.mapInPandas(_run, schema=schema)

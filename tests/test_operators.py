@@ -2884,3 +2884,23 @@ def test_degree_assortativity_known_graphs(spark):
                                  "src: long, dst: long")
     r2 = degree_assortativity(ring).collect()[0]
     assert r2.n_edge_ends == 12 and r2.assortativity is None
+
+
+def test_bpe_apply_arrow_equals_hof(spark):
+    """The Arrow merge-application path is token-identical to the
+    chained-HOF bpe_apply on a learned merge list, including NULL
+    text and the overlapping-run rule."""
+    corpus = ["the cat sat on the mat", "the cat ate the rat",
+              "a cat the cat", "the the the", None, "a a a",
+              "", "  the   cat  "]
+    df = spark.createDataFrame([(s,) for s in corpus],
+                               "text: string")
+    merges = text.bpe_learn(df.filter("text is not null"), 4)
+    assert len(merges) >= 3
+    hof = [r.a and list(r.a) for r in
+           df.select(text.bpe_apply(F.col("text"), merges)
+                     .alias("a")).collect()]
+    arrow = [r.bpe_tokens and list(r.bpe_tokens) for r in
+             text.bpe_apply_arrow(df, merges).select("bpe_tokens")
+             .collect()]
+    assert arrow == hof
