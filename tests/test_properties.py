@@ -711,3 +711,145 @@ def test_temperature_mixture_matches_hash_model(eng, target, alpha):
            d.temperature_mixture("grp", "doc_id", target,
                                  alpha=alpha).collect()}
     assert got == want
+
+
+# ---- round-7 operator differential models ---------------------------------
+
+@settings(**SETTINGS)
+@given(data=st.data(),
+       weighted=st.booleans(),
+       iters=st.integers(1, 4))
+def test_pagerank_matches_python_model(spark, data, weighted, iters):
+    """pagerank == the int64 model on random multigraphs, weighted
+    and unweighted, for any iteration count."""
+    from collections import defaultdict
+    from preql_spark.operators.graph import pagerank
+    n = data.draw(st.integers(2, 7))
+    edges = data.draw(st.lists(
+        st.tuples(st.integers(0, n - 1), st.integers(0, n - 1),
+                  st.integers(1, 5)),
+        min_size=1, max_size=15))
+    df = spark.createDataFrame(edges, "src: long, dst: long, w: long")
+    got = {r.node: r.rank_units for r in
+           pagerank(df, iters=iters,
+                    weight_col="w" if weighted else None).collect()}
+
+    wsum = defaultdict(int)
+    for s, _, w in edges:
+        wsum[s] += (w if weighted else 1)
+    nodes = sorted({x for s, d, _ in edges for x in (s, d)})
+    r = {x: 1_000_000 for x in nodes}
+    base = (1_000_000 * 3) // 20
+    for _ in range(iters):
+        inflow = defaultdict(int)
+        for s, d, w in edges:
+            inflow[d] += (r[s] * (w if weighted else 1)) // wsum[s]
+        r = {x: base + (inflow[x] * 17) // 20 for x in nodes}
+    assert got == r
+
+
+@settings(**SETTINGS)
+@given(a=st.lists(st.integers(0, 20), min_size=1, max_size=30),
+       b=st.lists(st.integers(0, 20), min_size=1, max_size=30))
+def test_ks_statistic_matches_python(spark, a, b):
+    """ks_statistic == the direct max |F_a - F_b| with the smallest
+    attaining value."""
+    from preql_spark.operators.events import ks_statistic
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "s: string, v: long")
+    r = ks_statistic(df, "v", "s", "a", "b").collect()[0]
+    best, at = -1.0, None
+    for v in sorted(set(a) | set(b)):
+        d = abs(sum(x <= v for x in a) / len(a)
+                - sum(x <= v for x in b) / len(b))
+        if d > best:
+            best, at = d, v
+    assert tuple(r) == (len(a), len(b), best, at)
+
+
+@settings(**SETTINGS)
+@given(a=st.lists(st.integers(0, 50), min_size=1, max_size=30),
+       b=st.lists(st.integers(0, 50), min_size=1, max_size=30),
+       nb=st.integers(2, 8))
+def test_psi_matches_python(spark, a, b, nb):
+    """psi == the add-one-smoothed bucket-order fold."""
+    import math
+    from preql_spark.operators.events import psi
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "s: string, v: long")
+    r = psi(df, "v", "s", "a", "b", n_buckets=nb).collect()[0]
+    lo, hi = min(a + b), max(a + b)
+    ca, cb = [0] * nb, [0] * nb
+    for v in a:
+        ca[(v - lo) * nb // (hi - lo + 1)] += 1
+    for v in b:
+        cb[(v - lo) * nb // (hi - lo + 1)] += 1
+    want = 0.0
+    for i in range(nb):
+        p = (ca[i] + 1.0) / (len(a) + nb)
+        q = (cb[i] + 1.0) / (len(b) + nb)
+        want += (p - q) * math.log(p / q)
+    assert (r.n_a, r.n_b, r.psi) == (len(a), len(b), want)
+
+
+@settings(**SETTINGS)
+@given(data=st.data())
+def test_triangle_count_matches_brute(spark, data):
+    """triangle_count == brute-force enumeration on random graphs
+    with self-loops, duplicates, and reversed edges."""
+    import itertools
+    from preql_spark.operators.graph import triangle_count
+    n = data.draw(st.integers(3, 8))
+    edges = data.draw(st.lists(
+        st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+        min_size=0, max_size=20))
+    df = spark.createDataFrame(edges or [(0, 0)],
+                               "src: long, dst: long")
+    got = triangle_count(df).collect()[0].n_triangles
+    es = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    want = sum(1 for x, y, z in itertools.combinations(
+        sorted({v for e in es for v in e}), 3)
+        if (x, y) in es and (y, z) in es and (x, z) in es)
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(data=st.data(), gap=st.integers(60, 3600))
+def test_session_paths_matches_python(spark, data, gap):
+    """session_paths == a Python sessionizer on random event
+    streams (same gap rule, order, and tie-break)."""
+    from collections import Counter, defaultdict
+    from preql_spark.operators.events import session_paths
+    evs = data.draw(st.lists(
+        st.tuples(st.integers(1, 3),           # user
+                  st.integers(0, 10_000),      # offset seconds
+                  st.sampled_from("abc")),
+        min_size=1, max_size=25))
+    rows = [(u, 1_700_000_000 + off, i, t)
+            for i, (u, off, t) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "user_id: long, epoch: long, event_id: long,"
+              " event_type: string") \
+        .withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch")
+    got = {(r.path, r.n_sessions) for r in
+           session_paths(df, gap_seconds=float(gap),
+                         k=None).collect()}
+
+    per = defaultdict(list)
+    for u, e, i, t in rows:
+        per[u].append((e, i, t))
+    paths = Counter()
+    for u, seq in per.items():
+        seq.sort()
+        cur, prev = [], None
+        for e, i, t in seq:
+            if prev is not None and e - prev <= gap:
+                cur.append(t)
+            else:
+                if cur:
+                    paths[">".join(cur)] += 1
+                cur = [t]
+            prev = e
+        if cur:
+            paths[">".join(cur)] += 1
+    assert got == set(paths.items())
