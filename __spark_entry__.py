@@ -2725,6 +2725,33 @@ def q187_lang_shipping_priority(spark, sf_dir) -> DataFrame:
                          _pr4(F.col("revenue")).alias("revenue"))
 
 
+def q188_mann_whitney(spark, sf_dir) -> DataFrame:
+    """Mann-Whitney U between view and purchase values (exact
+    integer cents): doubled-rank int64 arithmetic over the distinct
+    value domain, then a fixed double-op chain for U and the
+    tie-corrected z — bit-identical cross-engine."""
+    from preql_spark.operators.events import mann_whitney
+    e = _eng(spark, sf_dir).t.events.df
+    cents = e.withColumn(
+        "cents", F.floor(F.col("value").cast("double") * 100
+                         + F.lit(0.5)).cast("long"))
+    return mann_whitney(cents, "cents", "event_type",
+                        "view", "purchase")
+
+
+def q189_chi_square(spark, sf_dir) -> DataFrame:
+    """Chi-square independence of event type vs value bucket
+    (cents DIV 2000): int64 contingency cells, window-sum marginals,
+    (o-e)^2/e folded in cell order (the q175 contract), Cramér's V
+    through one more fixed op chain — exact cross-engine."""
+    from preql_spark.operators.events import chi_square
+    e = _eng(spark, sf_dir).t.events.df
+    b = e.withColumn(
+        "bucket", F.expr("cast(floor(value * 100 + 0.5) as bigint)"
+                         " DIV 2000"))
+    return chi_square(b, "event_type", "bucket")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2942,6 +2969,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q185_weighted_pagerank": q185_weighted_pagerank,
     "q186_assortativity": q186_assortativity,
     "q187_lang_shipping_priority": q187_lang_shipping_priority,
+    "q188_mann_whitney": q188_mann_whitney,
+    "q189_chi_square": q189_chi_square,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -5895,6 +5924,85 @@ ORACLES: dict[str, str] = {
         ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
                  o_orderkey
         LIMIT 10
+    """,
+    # doubled average ranks (2*below + t + 1, pure int64), then U
+    # and the tie-corrected z in the same fixed double-op order
+    "q188_mann_whitney": """
+        WITH e AS (SELECT event_type,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT)
+                            AS v
+                   FROM events
+                   WHERE value IS NOT NULL
+                     AND event_type IN ('view', 'purchase')),
+        cnt AS (SELECT v,
+                       CAST(sum(CASE WHEN event_type = 'view'
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                         AS ca,
+                       CAST(sum(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                         AS cb
+                FROM e GROUP BY v),
+        c AS (SELECT v, ca, cb,
+                     COALESCE(CAST(sum(ca + cb) OVER (
+                       ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS BIGINT), 0) AS below
+              FROM cnt),
+        m AS (SELECT CAST(sum(ca) AS BIGINT) AS n1,
+                     CAST(sum(cb) AS BIGINT) AS n2,
+                     CAST(sum((2 * below + (ca + cb) + 1) * ca)
+                          AS BIGINT) AS r2a,
+                     CAST(sum((ca + cb) * (ca + cb) * (ca + cb)
+                              - (ca + cb)) AS BIGINT) AS tie
+              FROM c)
+        SELECT n1 AS n_a, n2 AS n_b,
+               n1 * n2 + (n1 * (n1 + 1)) / 2.0 - r2a / 2.0 AS u,
+               CASE WHEN sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+                              * (CAST(n1 + n2 + 1 AS DOUBLE)
+                                 - CAST(tie AS DOUBLE)
+                                 / CAST((n1 + n2) * (n1 + n2 - 1)
+                                        AS DOUBLE))) > 0
+                    THEN ((n1 * n2 + (n1 * (n1 + 1)) / 2.0
+                           - r2a / 2.0)
+                          - (n1 * n2) / 2.0)
+                         / sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
+                                * (CAST(n1 + n2 + 1 AS DOUBLE)
+                                   - CAST(tie AS DOUBLE)
+                                   / CAST((n1 + n2) * (n1 + n2 - 1)
+                                          AS DOUBLE))) END AS z
+        FROM m
+    """,
+    # window-sum marginals, (o-e)^2/e folded in (a, b) cell order
+    "q189_chi_square": """
+        WITH e AS (SELECT event_type AS a,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT)
+                            // 2000 AS b
+                   FROM events),
+        cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+                  FROM e GROUP BY a, b),
+        j AS (SELECT a, b, o,
+                     CAST(sum(o) OVER (PARTITION BY a) AS BIGINT)
+                       AS ra,
+                     CAST(sum(o) OVER (PARTITION BY b) AS BIGINT)
+                       AS cb,
+                     CAST(sum(o) OVER () AS BIGINT) AS nn
+              FROM cells),
+        g AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                     CAST(count(DISTINCT a) AS BIGINT) AS r,
+                     CAST(count(DISTINCT b) AS BIGINT) AS c,
+                     list_reduce(
+                       list((CAST(o AS DOUBLE)
+                             - CAST(ra * cb AS DOUBLE) / nn)
+                            * (CAST(o AS DOUBLE)
+                               - CAST(ra * cb AS DOUBLE) / nn)
+                            / (CAST(ra * cb AS DOUBLE) / nn)
+                            ORDER BY a NULLS FIRST, b NULLS FIRST),
+                       (x, y) -> x + y) AS chi2
+              FROM j)
+        SELECT n, CAST((r - 1) * (c - 1) AS BIGINT) AS dof, chi2,
+               CASE WHEN least(r - 1, c - 1) > 0 THEN
+                 sqrt(chi2 / CAST(n * least(r - 1, c - 1)
+                                  AS DOUBLE)) END AS cramers_v
+        FROM g
     """,
     # q139's full IVF-PQ replay (one query, top-10 ADC candidates)
     # -> exact-cosine refine (rel, 4dp) -> q154's greedy MMR CTEs

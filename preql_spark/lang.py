@@ -3512,6 +3512,13 @@ def _load_pipeline_funcs() -> dict:
             n_buckets=10:
                 events.psi(df, value_col, side_col, side_a, side_b,
                            int(n_buckets)),
+        "mann_whitney":
+            lambda df, value_col, side_col, side_a, side_b:
+                events.mann_whitney(df, value_col, side_col,
+                                    side_a, side_b),
+        "chi_square":
+            lambda df, col_a, col_b:
+                events.chi_square(df, col_a, col_b),
         "triangle_count":
             lambda df, src="src", dst="dst":
                 graph.triangle_count(df, src, dst),
@@ -3541,8 +3548,8 @@ _PIPELINE_FUNC_NAMES = {
     "funnel", "funnel_times", "rfm_scores", "cohort_retention",
     "transition_counts", "winsorize", "ewma", "fuzzy_pairs",
     "pagerank", "trend", "mad_outliers", "session_paths", "ks_drift",
-    "ab_test", "triangle_count", "psi_drift",
-    "degree_assortativity",
+    "ab_test", "triangle_count", "psi_drift", "mann_whitney",
+    "chi_square", "degree_assortativity",
     # Table-method family (dispatched on the host Table, not its df)
     "sample_hash", "sample_mixture", "sample_stratified",
     "sample_weighted", "split_by_hash", "shuffle_deterministic",

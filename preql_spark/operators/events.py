@@ -614,3 +614,100 @@ def psi(df: DataFrame, value_col: str, side_col: str,
 
     fold = F.aggregate("__l", F.lit(0.0), lambda a, e: a + _term(e))
     return g.select("n_a", "n_b", fold.alias("psi"))
+
+
+def mann_whitney(df: DataFrame, value_col: str, side_col: str,
+                 side_a, side_b) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test between two sides — one row
+    ``(n_a, n_b, u, z)``: U for side a with average ranks over ties,
+    z with the tie-corrected normal approximation.  The
+    nonparametric complement to :func:`ab_test` (shift in location
+    without normality assumptions).
+
+    Exactness: ranks are handled in DOUBLED integer units
+    (avg_rank*2 = 2*c_below + c + 1 — pure int64, no halves), so the
+    rank sum is an exact integer; U, mu, and the tie-corrected sigma
+    are then a FIXED sequence of double ops — bit-identical
+    cross-engine.  Zero-variance degenerate cases (all values tied)
+    yield NULL z.  NULL values are ignored.
+
+    Scale shape: per-side counts collapse to the DISTINCT value
+    domain; one cumulative window over that bounded domain (the
+    :func:`ks_statistic` contract) and a map-side moment fold."""
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull())
+    cnt = (base.filter(F.col(side_col).isin([side_a, side_b]))
+           .groupBy(v.alias("v"))
+           .agg(F.sum(F.when(F.col(side_col) == F.lit(side_a), 1)
+                      .otherwise(0)).cast("long").alias("ca"),
+                F.sum(F.when(F.col(side_col) == F.lit(side_b), 1)
+                      .otherwise(0)).cast("long").alias("cb")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c = cnt.withColumn(
+        "__below", F.coalesce(F.sum(F.col("ca") + F.col("cb"))
+                              .over(w), F.lit(0)))
+    t = F.col("ca") + F.col("cb")
+    # doubled average rank: 2 * c_below + t + 1 (int64)
+    r2 = 2 * F.col("__below") + t + 1
+    m = c.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"),
+              F.sum(r2 * F.col("ca")).alias("__r2a"),
+              F.sum(t * t * t - t).alias("__tie"))
+    n1, n2 = F.col("n_a"), F.col("n_b")
+    n = n1 + n2
+    u = (n1 * n2 + (n1 * (n1 + 1)) / F.lit(2.0)
+         - F.col("__r2a") / F.lit(2.0))
+    mu = (n1 * n2) / F.lit(2.0)
+    sigma = F.sqrt((n1 * n2).cast("double") / F.lit(12.0)
+                   * ((n + 1).cast("double")
+                      - F.col("__tie").cast("double")
+                      / (n * (n - 1)).cast("double")))
+    z = F.when(sigma > 0, (u - mu) / sigma)
+    return m.select("n_a", "n_b", u.alias("u"), z.alias("z"))
+
+
+def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Chi-square independence test between two categorical columns
+    — one row ``(n, dof, chi2, cramers_v)``.  The categorical drift
+    companion to :func:`psi` (numeric) and :func:`ks_statistic`
+    (ordinal).
+
+    Exactness: observed counts and marginals are int64; each cell's
+    expected value is ONE exact division, the (o-e)^2/e terms fold in
+    (a, b) cell order (the q175 fixed-order contract), and Cramér's
+    V is one more fixed op chain — bit-identical cross-engine.  NULL
+    categories count as their own level via null-safe grouping.
+
+    Scale shape: one (a, b)-keyed partial agg to the contingency
+    table (bounded by the category-pair domain), marginals from the
+    cell table, one fold."""
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (df.groupBy(a.alias("__a"), b.alias("__b"))
+             .agg(F.count(F.lit(1)).alias("o")))
+    # marginals as window sums over the (tiny) cell table: window
+    # partitions treat a NULL category as its own level, where an
+    # equi-join back would silently drop it
+    j = cells.select(
+        "__a", "__b", "o",
+        F.sum("o").over(Window.partitionBy("__a")).alias("__ra"),
+        F.sum("o").over(Window.partitionBy("__b")).alias("__cb"))
+    g = j.agg(
+        F.sum("o").alias("n"),
+        # struct-wrap so a NULL category still counts as a level
+        F.count_distinct(F.struct("__a")).alias("__r"),
+        F.count_distinct(F.struct("__b")).alias("__c"),
+        F.sort_array(F.collect_list(F.struct(
+            F.col("__a"), F.col("__b"), F.col("o"),
+            F.col("__ra"), F.col("__cb")))).alias("__l"))
+
+    def _term(e):
+        exp = (e["__ra"] * e["__cb"]).cast("double") / F.col("n")
+        d = e["o"].cast("double") - exp
+        return d * d / exp
+
+    chi2 = F.aggregate("__l", F.lit(0.0), lambda acc, e: acc + _term(e))
+    dof = (F.col("__r") - 1) * (F.col("__c") - 1)
+    mind = F.least(F.col("__r") - 1, F.col("__c") - 1)
+    v = F.when(mind > 0,
+               F.sqrt(chi2 / (F.col("n") * mind).cast("double")))
+    return g.select("n", dof.cast("long").alias("dof"),
+                    chi2.alias("chi2"), v.alias("cramers_v"))

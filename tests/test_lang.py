@@ -2358,3 +2358,21 @@ def test_pipeline_builtin_weighted_pr_assortativity(eng):
     aa = tuple(degree_assortativity(ed).collect()[0])
     la = tuple(eng.q('degree_assortativity(edges_w)').collect()[0])
     assert la == aa
+
+
+def test_pipeline_builtin_mw_chi2(eng):
+    """Lang mann_whitney / chi_square equal their Python APIs."""
+    from preql_spark.operators.events import chi_square, mann_whitney
+    cents = eng.t.events.df.selectExpr(
+        "event_type", "cast(floor(value * 100 + 0.5) as long)"
+        " AS cents")
+    eng.register("events_cents2", cents)
+    a = tuple(mann_whitney(cents, "cents", "event_type",
+                           "view", "click").collect()[0])
+    l = tuple(eng.q('mann_whitney(events_cents2, "cents",'
+                    ' "event_type", "view", "click")').collect()[0])
+    assert l == a
+    ac = tuple(chi_square(cents, "event_type", "cents").collect()[0])
+    lc = tuple(eng.q('chi_square(events_cents2, "event_type",'
+                     ' "cents")').collect()[0])
+    assert lc == ac

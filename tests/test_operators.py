@@ -2904,3 +2904,73 @@ def test_bpe_apply_arrow_equals_hof(spark):
              text.bpe_apply_arrow(df, merges).select("bpe_tokens")
              .collect()]
     assert arrow == hof
+
+
+def test_mann_whitney_matches_python_model(spark):
+    """mann_whitney equals the textbook tie-corrected computation
+    (doubled-rank integer arithmetic), and all-tied data gives NULL
+    z; NULL values are ignored."""
+    import math
+    a = [1, 2, 2, 5, 9]
+    b = [2, 3, 3, 9, 9, 12]
+    rows = ([("a", v) for v in a] + [("b", v) for v in b]
+            + [("a", None)])
+    df = spark.createDataFrame(rows, "s: string, v: long")
+    from preql_spark.operators.events import mann_whitney
+    r = mann_whitney(df, "v", "s", "a", "b").collect()[0]
+
+    allv = sorted(a + b)
+    n1, n2 = len(a), len(b)
+    n = n1 + n2
+    ranks = {}
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j] == allv[i]:
+            j += 1
+        ranks[allv[i]] = (i + 1 + j) / 2.0
+        i = j
+    r1 = sum(ranks[v] for v in a)
+    u = n1 * n2 + n1 * (n1 + 1) / 2.0 - r1
+    ties = {}
+    for v in allv:
+        ties[v] = ties.get(v, 0) + 1
+    tsum = sum(t ** 3 - t for t in ties.values())
+    sigma = math.sqrt(n1 * n2 / 12.0
+                      * ((n + 1) - tsum / (n * (n - 1))))
+    z = (u - n1 * n2 / 2.0) / sigma
+    assert (r.n_a, r.n_b) == (n1, n2)
+    assert r.u == u and abs(r.z - z) < 1e-12
+    tied = spark.createDataFrame(
+        [("a", 7), ("a", 7), ("b", 7)], "s: string, v: long")
+    assert mann_whitney(tied, "v", "s", "a", "b").collect()[0].z \
+        is None
+
+
+def test_chi_square_matches_python_model(spark):
+    """chi_square equals the direct (o-e)^2/e computation, counts a
+    NULL category as its own level, and NULLs cramers_v for a
+    single-level column."""
+    rows = [("x", "p"), ("x", "p"), ("x", "q"), ("y", "p"),
+            ("y", "q"), ("y", "q"), ("y", "q"), (None, "p")]
+    df = spark.createDataFrame(rows, "a: string, b: string")
+    from preql_spark.operators.events import chi_square
+    r = chi_square(df, "a", "b").collect()[0]
+    from collections import Counter
+    o = Counter(rows)
+    ra = Counter(x for x, _ in rows)
+    cb = Counter(y for _, y in rows)
+    n = len(rows)
+    chi2 = 0.0
+    for (x, y), cnt in sorted(
+            o.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])):
+        e = ra[x] * cb[y] / n
+        chi2 += (cnt - e) ** 2 / e
+    import math
+    levels_a = len(ra)        # includes the None level
+    v = math.sqrt(chi2 / (n * min(levels_a - 1, len(cb) - 1)))
+    assert r.n == n and r.dof == (levels_a - 1) * (len(cb) - 1)
+    assert abs(r.chi2 - chi2) < 1e-12 and abs(r.cramers_v - v) < 1e-12
+    one = spark.createDataFrame([("x", "p"), ("x", "q")],
+                                "a: string, b: string")
+    assert chi_square(one, "a", "b").collect()[0].cramers_v is None
