@@ -5955,14 +5955,13 @@ ORACLES: dict[str, str] = {
                               - (ca + cb)) AS BIGINT) AS tie
               FROM c)
         SELECT n1 AS n_a, n2 AS n_b,
-               n1 * n2 + (n1 * (n1 + 1)) / 2.0 - r2a / 2.0 AS u,
+               r2a / 2.0 - (n1 * (n1 + 1)) / 2.0 AS u,
                CASE WHEN sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
                               * (CAST(n1 + n2 + 1 AS DOUBLE)
                                  - CAST(tie AS DOUBLE)
                                  / CAST((n1 + n2) * (n1 + n2 - 1)
                                         AS DOUBLE))) > 0
-                    THEN ((n1 * n2 + (n1 * (n1 + 1)) / 2.0
-                           - r2a / 2.0)
+                    THEN ((r2a / 2.0 - (n1 * (n1 + 1)) / 2.0)
                           - (n1 * n2) / 2.0)
                          / sqrt(CAST(n1 * n2 AS DOUBLE) / 12.0
                                 * (CAST(n1 + n2 + 1 AS DOUBLE)
@@ -5987,8 +5986,14 @@ ORACLES: dict[str, str] = {
                      CAST(sum(o) OVER () AS BIGINT) AS nn
               FROM cells),
         g AS (SELECT CAST(sum(o) AS BIGINT) AS n,
-                     CAST(count(DISTINCT a) AS BIGINT) AS r,
-                     CAST(count(DISTINCT b) AS BIGINT) AS c,
+                     -- a NULL category is its own level (the Spark
+                     -- side struct-wraps count_distinct)
+                     CAST(count(DISTINCT a)
+                          + max(CASE WHEN a IS NULL THEN 1 ELSE 0
+                                END) AS BIGINT) AS r,
+                     CAST(count(DISTINCT b)
+                          + max(CASE WHEN b IS NULL THEN 1 ELSE 0
+                                END) AS BIGINT) AS c,
                      list_reduce(
                        list((CAST(o AS DOUBLE)
                              - CAST(ra * cb AS DOUBLE) / nn)

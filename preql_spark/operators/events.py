@@ -619,10 +619,11 @@ def psi(df: DataFrame, value_col: str, side_col: str,
 def mann_whitney(df: DataFrame, value_col: str, side_col: str,
                  side_a, side_b) -> DataFrame:
     """Mann-Whitney U (rank-sum) test between two sides — one row
-    ``(n_a, n_b, u, z)``: U for side a with average ranks over ties,
-    z with the tie-corrected normal approximation.  The
-    nonparametric complement to :func:`ab_test` (shift in location
-    without normality assumptions).
+    ``(n_a, n_b, u, z)``: U for side a (U1 = R1 − n1(n1+1)/2, the
+    scipy convention — positive z means side a ranks HIGHER) with
+    average ranks over ties and the tie-corrected normal
+    approximation.  The nonparametric complement to :func:`ab_test`
+    (shift in location without normality assumptions).
 
     Exactness: ranks are handled in DOUBLED integer units
     (avg_rank*2 = 2*c_below + c + 1 — pure int64, no halves), so the
@@ -654,8 +655,10 @@ def mann_whitney(df: DataFrame, value_col: str, side_col: str,
               F.sum(t * t * t - t).alias("__tie"))
     n1, n2 = F.col("n_a"), F.col("n_b")
     n = n1 + n2
-    u = (n1 * n2 + (n1 * (n1 + 1)) / F.lit(2.0)
-         - F.col("__r2a") / F.lit(2.0))
+    # U for SIDE A (the scipy/Wikipedia U1 convention):
+    # U1 = R1 - n1(n1+1)/2 — positive z means side a ranks higher
+    u = (F.col("__r2a") / F.lit(2.0)
+         - (n1 * (n1 + 1)) / F.lit(2.0))
     mu = (n1 * n2) / F.lit(2.0)
     sigma = F.sqrt((n1 * n2).cast("double") / F.lit(12.0)
                    * ((n + 1).cast("double")

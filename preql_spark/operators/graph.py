@@ -142,8 +142,17 @@ def pagerank(edges: DataFrame, iters: int = 10,
     if not (0 < damping_num < damping_den):
         raise ValueError("damping must satisfy 0 < num < den, got "
                          f"{damping_num}/{damping_den}")
-    w = (F.lit(1).cast("long") if weight_col is None
-         else F.col(weight_col).cast("long"))
+    if weight_col is None:
+        w = F.lit(1).cast("long")
+    else:
+        # in-plan contract check (zero extra passes): NULL weights
+        # would silently vanish from F.sum and non-positive ones
+        # break the mass interpretation and the 2^63 bound
+        wc = F.col(weight_col).cast("long")
+        w = F.when(wc.isNull() | (wc <= 0), F.raise_error(F.concat(
+            F.lit("pagerank: weight must be a positive int64, got "),
+            F.coalesce(F.col(weight_col).cast("string"),
+                       F.lit("NULL"))))).otherwise(wc)
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"),
                      w.alias("__w"))
     nodes = (e.select(F.col("__s").alias("node"))

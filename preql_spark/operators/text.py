@@ -1147,15 +1147,20 @@ def bpe_apply_arrow(df: DataFrame, merges: list, text_col: str = "text",
 
     import re
 
+    # exact twin of tokens() == split(trim(t), '\s+') on the JVM:
+    # Spark trim strips 0x20 ONLY, and Java's \s is ASCII
+    # [ \t\n\x0b\f\r] — Python's default-Unicode strip()/\s would
+    # diverge on tabs at the edges and on NBSP-class whitespace
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
     def _run(it):
         for pdf in it:
             texts = pdf[text_col]
             pdf = pdf.copy()
-            # exact twin of tokens(): split(trim(t), '\s+') — an
-            # empty text yields [''] like the JVM split, not []
+            # an empty text yields [''] like the JVM split, not []
             pdf[out_col] = [
                 None if t is None
-                else _apply_all(re.split(r"\s+", str(t).strip()))
+                else _apply_all(_ws.split(str(t).strip(" ")))
                 for t in texts]
             yield pdf
 

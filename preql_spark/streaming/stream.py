@@ -490,6 +490,42 @@ def incremental_postings_ingest(spark: SparkSession, src_path: str,
     return spark.read.parquet(index_path)
 
 
+def _ingest_run_id(spark: SparkSession, checkpoint: str) -> str:
+    """Stable id for THIS checkpoint lineage: a uuid minted once and
+    stored inside the checkpoint dir, so the append-only ingest
+    states can key their replay guards on (run_id, batch_id).  Epoch
+    ids alone are not enough — a recreated/relocated checkpoint
+    restarts epochs at 0, and a bare batch_id guard would then drop
+    NEW data as "already folded" while still marking it ingested.
+    A fresh checkpoint mints a fresh run_id, so its epochs can never
+    collide with state written under the old lineage."""
+    import uuid
+
+    from preql_spark.parquet_io import _hadoop_fs_path
+    fs, cp = _hadoop_fs_path(spark, checkpoint)
+    marker = spark._jvm.org.apache.hadoop.fs.Path(
+        checkpoint.rstrip("/") + "/__ingest_run_id")
+    if fs.exists(marker):
+        ins = fs.open(marker)
+        try:
+            data = []
+            b = ins.read()
+            while b != -1 and len(data) < 64:
+                data.append(chr(b))
+                b = ins.read()
+            return "".join(data).strip()
+        finally:
+            ins.close()
+    rid = uuid.uuid4().hex
+    fs.mkdirs(cp)
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(rid.encode()))
+    finally:
+        out.close()
+    return rid
+
+
 def incremental_frequent_items_ingest(
         spark: SparkSession, src_path: str, store_path: str,
         checkpoint: str, id_col: str = "doc_id",
@@ -541,6 +577,7 @@ def incremental_frequent_items_ingest(
         raise ValueError(f"capacity must be >= 1, got {cap}")
     state_path = state_path or store_path.rstrip("/") + "_state"
     schema = spark.read.parquet(src_path).schema  # footer-only peek
+    run_id = _ingest_run_id(spark, checkpoint)
 
     def _items(df: DataFrame) -> DataFrame:
         return (ensure_parallelism(df)
@@ -563,13 +600,15 @@ def incremental_frequent_items_ingest(
         # anti-join the whole batch away — zero tokens folded.
         batch = batch.persist()
         if hadoop_dir_has_files(s, state_path):
-            done = {r["batch_id"] for r in
+            done = {(r["run_id"], r["batch_id"]) for r in
                     s.read.parquet(state_path)
-                    .select("batch_id").distinct().collect()}
-            if int(batch_id) in done:       # replayed wave: summary
+                    .select("run_id", "batch_id").distinct()
+                    .collect()}
+            if (run_id, int(batch_id)) in done:
+                # replayed wave: summary already folded
                 batch.write.mode("append").parquet(store_path)
                 batch.unpersist(blocking=False)
-                return                      # already folded
+                return
         rows = mg_summaries(_items(batch), cap).collect()
         counts: dict = {}
         n = 0
@@ -581,9 +620,11 @@ def incremental_frequent_items_ingest(
         if len(counts) > cap:
             counts = mg_merge(counts, (), cap)
         state = s.createDataFrame(
-            [(k, int(v), int(batch_id)) for k, v in counts.items()]
-            + [(None, int(n), int(batch_id))],
-            schema="item string, est bigint, batch_id bigint")
+            [(k, int(v), int(batch_id), run_id)
+             for k, v in counts.items()]
+            + [(None, int(n), int(batch_id), run_id)],
+            schema="item string, est bigint, batch_id bigint,"
+                   " run_id string")
         state.coalesce(1).write.mode("append").parquet(state_path)
         batch.write.mode("append").parquet(store_path)
         batch.unpersist(blocking=False)
@@ -649,6 +690,7 @@ def incremental_quantile_ingest(
     from preql_spark.parquet_io import hadoop_dir_has_files
 
     schema = spark.read.parquet(src_path).schema  # footer-only peek
+    run_id = _ingest_run_id(spark, checkpoint)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
@@ -663,12 +705,17 @@ def incremental_quantile_ingest(
                 .groupBy("g", "v")
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .withColumn("batch_id",
-                            F.lit(int(batch_id)).cast("long")))
+                            F.lit(int(batch_id)).cast("long"))
+                .withColumn("run_id", F.lit(run_id)))
         if hadoop_dir_has_files(s, state_path):
             st = s.read.parquet(state_path)
-            rows = rows.join(st.select("batch_id").distinct(),
-                             "batch_id", "left_anti")
-        rows.write.mode("append").parquet(state_path)
+            rows = rows.join(
+                st.select("run_id", "batch_id").distinct(),
+                ["run_id", "batch_id"], "left_anti")
+        # single-file append: the epoch's state commit is one part
+        # file, so a mid-append crash cannot freeze a PARTIAL wave
+        # behind the epoch guard
+        rows.coalesce(1).write.mode("append").parquet(state_path)
         batch.select(id_col).write.mode("append").parquet(ids_path)
         batch.unpersist(blocking=False)
 
@@ -680,6 +727,7 @@ def incremental_quantile_ingest(
     q.awaitTermination()
 
     merged = (spark.read.parquet(state_path)
+              .drop("run_id", "batch_id")
               .groupBy("g", "v").agg(F.sum("cnt").alias("cnt")))
     aggs = [F.sum("cnt").alias("n")]
     for p in qs:
@@ -861,6 +909,7 @@ def incremental_tdigest_ingest(
     from preql_spark.parquet_io import hadoop_dir_has_files
 
     schema = spark.read.parquet(src_path).schema  # footer-only peek
+    run_id = _ingest_run_id(spark, checkpoint)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
@@ -874,12 +923,14 @@ def incremental_tdigest_ingest(
                             F.expr(value_expr).cast("double")
                             .alias("v"))
         dig = tdigest(vals, "g", "v", delta=delta) \
-            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("long")) \
+            .withColumn("run_id", F.lit(run_id))
         if hadoop_dir_has_files(s, state_path):
             st = s.read.parquet(state_path)
-            dig = dig.join(st.select("batch_id").distinct(),
-                           "batch_id", "left_anti")
-        dig.write.mode("append").parquet(state_path)
+            dig = dig.join(st.select("run_id", "batch_id").distinct(),
+                           ["run_id", "batch_id"], "left_anti")
+        # single-file epoch commit (see the histogram sibling)
+        dig.coalesce(1).write.mode("append").parquet(state_path)
         batch.select(id_col).write.mode("append").parquet(ids_path)
         batch.unpersist(blocking=False)
 
@@ -891,7 +942,7 @@ def incremental_tdigest_ingest(
     q.awaitTermination()
 
     merged = tdigest_merge(
-        spark.read.parquet(state_path).drop("batch_id"),
+        spark.read.parquet(state_path).drop("run_id", "batch_id"),
         "g", delta=delta)
     est = tdigest_quantiles(merged, "g", qs)
     return (est.join(merged.select("g", "n"), "g")
@@ -911,50 +962,69 @@ def compact_ingest_state(spark: SparkSession, state_path: str,
     merge), or ``"frequent"``
     (:func:`incremental_frequent_items_ingest` — Misra-Gries
     mergeable fold at ``capacity``, which preserves the candidate
-    bound).  The merged rows keep ``batch_id = max(batch_id)`` so the
-    replay guard still rejects every already-folded epoch.
+    bound).  The merged rows keep the max committed (run_id,
+    batch_id) so the replay guard still rejects every already-folded
+    epoch of the current lineage.
 
     RUN ONLY WHILE THE STREAM IS STOPPED: compaction rewrites
     committed waves; an in-flight uncommitted batch is unaffected
-    (its epoch id is greater than the kept max), but the
-    delete-and-rename swap itself is not atomic against a concurrent
-    writer.  Reports are unchanged by construction — each fold is
-    exactly the merge the report already performs."""
+    (its epoch id is greater than the kept max), but the swap is not
+    atomic against a concurrent writer.  The swap itself is a
+    CHECKED backup-rename dance: the old state renames to
+    ``<state>__pre_compact``, the compacted tmp renames in, and only
+    then does the backup delete — a failed rename restores the
+    backup and raises (never a silent half-state); a crash between
+    the two renames leaves the backup on disk for manual rename-back.
+    Reports are unchanged by construction — each fold is exactly the
+    merge the report already performs."""
     from preql_spark.parquet_io import _hadoop_fs_path
 
     st = spark.read.parquet(state_path)
-    mx = st.agg(F.max("batch_id")).collect()[0][0]
-    bid = F.lit(int(mx)).cast("long").alias("batch_id")
+    top = (st.orderBy(F.col("batch_id").desc(),
+                      F.col("run_id").desc())
+           .select("run_id", "batch_id").first())
+    bid = F.lit(int(top["batch_id"])).cast("long").alias("batch_id")
+    rid = F.lit(top["run_id"]).alias("run_id")
     if kind == "histogram":
         out = (st.groupBy("g", "v").agg(F.sum("cnt").alias("cnt"))
-               .select("g", "v", "cnt", bid))
+               .select("g", "v", "cnt", bid, rid))
     elif kind == "tdigest":
         from preql_spark.operators.sketch import tdigest_merge
-        out = (tdigest_merge(st.drop("batch_id"), "g", delta=delta)
+        out = (tdigest_merge(st.drop("run_id", "batch_id"), "g",
+                             delta=delta)
                .select("g", "means", "weights", "vmin", "vmax", "n",
-                       bid))
+                       bid, rid))
     elif kind == "frequent":
-        import math
         from preql_spark.operators.sketch import mg_merge
         rows = st.collect()          # summary state: kilobytes
         n = sum(int(r["est"]) for r in rows if r["item"] is None)
         cap = (int(capacity) if capacity is not None
-               else max(1, len([r for r in rows
-                                if r["item"] is not None])))
+               else max(1, len({r["item"] for r in rows
+                                if r["item"] is not None})))
         counts = mg_merge({}, ((r["item"], int(r["est"]))
                                for r in rows
                                if r["item"] is not None), cap)
         out = spark.createDataFrame(
-            [(k, int(v), int(mx)) for k, v in counts.items()]
-            + [(None, int(n), int(mx))],
-            schema="item string, est bigint, batch_id bigint")
+            [(k, int(v), int(top["batch_id"]), top["run_id"])
+             for k, v in counts.items()]
+            + [(None, int(n), int(top["batch_id"]), top["run_id"])],
+            schema="item string, est bigint, batch_id bigint,"
+                   " run_id string")
     else:
         raise ValueError(f"unknown state kind {kind!r}")
     tmp = state_path.rstrip("/") + "__compact"
+    bak = state_path.rstrip("/") + "__pre_compact"
     out.coalesce(1).write.mode("overwrite").parquet(tmp)
     n_rows = spark.read.parquet(tmp).count()
     fs, old = _hadoop_fs_path(spark, state_path)
     _, new = _hadoop_fs_path(spark, tmp)
-    fs.delete(old, True)
-    fs.rename(new, old)
+    _, bkp = _hadoop_fs_path(spark, bak)
+    fs.delete(bkp, True)                     # stale backup, if any
+    if not fs.rename(old, bkp):
+        raise IOError(f"compact: cannot move {state_path} aside")
+    if not fs.rename(new, old):
+        fs.rename(bkp, old)                  # restore, then fail
+        raise IOError(f"compact: cannot swap in {tmp}; "
+                      f"state restored from backup")
+    fs.delete(bkp, True)
     return int(n_rows)

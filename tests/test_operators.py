@@ -2892,7 +2892,8 @@ def test_bpe_apply_arrow_equals_hof(spark):
     text and the overlapping-run rule."""
     corpus = ["the cat sat on the mat", "the cat ate the rat",
               "a cat the cat", "the the the", None, "a a a",
-              "", "  the   cat  "]
+              "", "  the   cat  ",
+              "\tthe cat", "a b", "the\ncat\tsat"]
     df = spark.createDataFrame([(s,) for s in corpus],
                                "text: string")
     merges = text.bpe_learn(df.filter("text is not null"), 4)
@@ -2931,7 +2932,7 @@ def test_mann_whitney_matches_python_model(spark):
         ranks[allv[i]] = (i + 1 + j) / 2.0
         i = j
     r1 = sum(ranks[v] for v in a)
-    u = n1 * n2 + n1 * (n1 + 1) / 2.0 - r1
+    u = r1 - n1 * (n1 + 1) / 2.0          # U1, the scipy convention
     ties = {}
     for v in allv:
         ties[v] = ties.get(v, 0) + 1
@@ -2974,3 +2975,17 @@ def test_chi_square_matches_python_model(spark):
     one = spark.createDataFrame([("x", "p"), ("x", "q")],
                                 "a: string, b: string")
     assert chi_square(one, "a", "b").collect()[0].cramers_v is None
+
+
+def test_pagerank_rejects_bad_weights(spark):
+    """NULL/zero/negative weights raise in-plan instead of silently
+    corrupting ranks."""
+    import pytest as _pt
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+    from preql_spark.operators.graph import pagerank
+    for wval in (None, 0, -3):
+        df = spark.createDataFrame([("a", "b", wval)],
+                                   "src: string, dst: string, w: long")
+        with _pt.raises((PySparkRuntimeError, SparkRuntimeException,
+                         Exception), match="positive int64"):
+            pagerank(df, iters=1, weight_col="w").collect()

@@ -780,3 +780,65 @@ def test_compact_ingest_state_preserves_reports(spark, eng, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="state kind"):
         compact_ingest_state(spark, st, kind="nope")
+
+
+def test_compact_frequent_state_preserves_report(spark, eng, tmp_path):
+    """Compacting the frequent-items summary state (Misra-Gries
+    mergeable fold) leaves the next report identical and keeps the
+    exact n carrier."""
+    import math
+    from preql_spark.streaming.stream import (
+        compact_ingest_state, incremental_frequent_items_ingest)
+    src = str(tmp_path / "fsrc")
+    store = str(tmp_path / "fstore")
+    ck = str(tmp_path / "fck")
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_frequent_items_ingest(spark, src, store, ck, phi=0.01)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    before = {(r.item, r.cnt) for r in
+              incremental_frequent_items_ingest(
+                  spark, src, store, ck, phi=0.01).collect()}
+    st_path = store + "_state"
+    cap = int(math.ceil(2.0 / 0.01))
+    n_rows = compact_ingest_state(spark, st_path, kind="frequent",
+                                  capacity=cap)
+    st = spark.read.parquet(st_path).collect()
+    assert len(st) == n_rows
+    assert len({(r.run_id, r.batch_id) for r in st}) == 1
+    after = {(r.item, r.cnt) for r in
+             incremental_frequent_items_ingest(
+                 spark, src, store, ck, phi=0.01).collect()}
+    assert after == before
+
+
+def test_quantile_ingest_survives_fresh_checkpoint(spark, eng,
+                                                   tmp_path):
+    """A recreated checkpoint restarts epochs at 0; the (run_id,
+    batch_id) guard must still fold the NEW wave instead of
+    mistaking it for a replay of old epoch 0 (the review-found
+    failure of a bare batch_id guard)."""
+    from preql_spark.streaming.stream import incremental_quantile_ingest
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "state")
+    ids = str(tmp_path / "ids")
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    expr = r"size(split(trim(text), '\\s+'))"
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_quantile_ingest(spark, src, str(tmp_path / "ck1"),
+                                st, ids, value_expr=expr)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_quantile_ingest(
+        spark, src, str(tmp_path / "ck2"),   # FRESH checkpoint
+        st, ids, value_expr=expr)
+    one = {(r.source, r.n, r.p50, r.p90) for r in
+           d.select("source", F.expr(expr).cast("long").alias("v"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.percentile("v", F.lit(0.5)).alias("p50"),
+                 F.percentile("v", F.lit(0.9)).alias("p90"))
+            .collect()}
+    assert {(r.source, r.n, r.p50, r.p90)
+            for r in out.collect()} == one
+    assert (spark.read.parquet(st)
+            .select("run_id").distinct().count() == 2)
