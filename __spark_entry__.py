@@ -2752,6 +2752,35 @@ def q189_chi_square(spark, sf_dir) -> DataFrame:
     return chi_square(b, "event_type", "bucket")
 
 
+def q190_hits(spark, sf_dir) -> DataFrame:
+    """HITS hubs/authorities over the q181 pseudo-random customer
+    digraph, 2 rounds: int64 sums with max-rescaling via integer DIV
+    — order-independent and cross-engine exact; the oracle unrolls
+    both rounds with scalar-max CTEs."""
+    from preql_spark.operators.graph import hits
+    c = _eng(spark, sf_dir).t.customer.df
+    edges = c.select((F.col("c_custkey") % 400).alias("src"),
+                     ((F.col("c_custkey") * 17 + 3) % 400)
+                     .alias("dst"))
+    return hits(edges, iters=2)
+
+
+def q191_shortest_paths(spark, sf_dir) -> DataFrame:
+    """Weighted single-source shortest paths (Bellman-Ford rounds to
+    the fixpoint) over a 60-node pseudo-random digraph with parallel
+    weighted edges: integer relaxation mins are order-independent,
+    so the fixpoint equals the oracle's bounded recursive-CTE
+    enumeration exactly."""
+    from preql_spark.operators.graph import shortest_paths
+    c = _eng(spark, sf_dir).t.customer.df
+    edges = c.select((F.col("c_custkey") % 60).alias("src"),
+                     ((F.col("c_custkey") * 13 + 7) % 60)
+                     .alias("dst"),
+                     (1 + F.col("c_custkey") % 4).alias("w"))
+    srcs = spark.range(1).select(F.lit(0).cast("long").alias("n"))
+    return shortest_paths(edges, srcs, max_rounds=80, weight_col="w")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2971,6 +3000,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q187_lang_shipping_priority": q187_lang_shipping_priority,
     "q188_mann_whitney": q188_mann_whitney,
     "q189_chi_square": q189_chi_square,
+    "q190_hits": q190_hits,
+    "q191_shortest_paths": q191_shortest_paths,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -6008,6 +6039,75 @@ ORACLES: dict[str, str] = {
                  sqrt(chi2 / CAST(n * least(r - 1, c - 1)
                                   AS DOUBLE)) END AS cramers_v
         FROM g
+    """,
+    # two HITS rounds unrolled: in/out int64 sums + integer
+    # max-rescaling via scalar CTEs
+    "q190_hits": """
+        WITH raw AS (SELECT c_custkey % 400 AS s,
+                            (c_custkey * 17 + 3) % 400 AS d
+                     FROM customer),
+        e AS (SELECT DISTINCT s AS src, d AS dst FROM raw),
+        n AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst AS node FROM e),
+        h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM n),
+        a1r AS (SELECT e.dst AS node, CAST(sum(h0.h) AS BIGINT) AS a
+                FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst),
+        a1f AS (SELECT n.node, COALESCE(a1r.a, 0) AS a
+                FROM n LEFT JOIN a1r USING (node)),
+        m1 AS (SELECT max(a) AS m FROM a1f),
+        a1 AS (SELECT node, CASE WHEN (SELECT m FROM m1) <= 0 THEN 0
+                            ELSE (a * 1000000)
+                                 // (SELECT m FROM m1) END AS a
+               FROM a1f),
+        h1r AS (SELECT e.src AS node, CAST(sum(a1.a) AS BIGINT) AS h
+                FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+        h1f AS (SELECT n.node, COALESCE(h1r.h, 0) AS h
+                FROM n LEFT JOIN h1r USING (node)),
+        mh1 AS (SELECT max(h) AS m FROM h1f),
+        h1 AS (SELECT node, CASE WHEN (SELECT m FROM mh1) <= 0
+                            THEN 0
+                            ELSE (h * 1000000)
+                                 // (SELECT m FROM mh1) END AS h
+               FROM h1f),
+        a2r AS (SELECT e.dst AS node, CAST(sum(h1.h) AS BIGINT) AS a
+                FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+        a2f AS (SELECT n.node, COALESCE(a2r.a, 0) AS a
+                FROM n LEFT JOIN a2r USING (node)),
+        m2 AS (SELECT max(a) AS m FROM a2f),
+        a2 AS (SELECT node, CASE WHEN (SELECT m FROM m2) <= 0 THEN 0
+                            ELSE (a * 1000000)
+                                 // (SELECT m FROM m2) END AS a
+               FROM a2f),
+        h2r AS (SELECT e.src AS node, CAST(sum(a2.a) AS BIGINT) AS h
+                FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+        h2f AS (SELECT n.node, COALESCE(h2r.h, 0) AS h
+                FROM n LEFT JOIN h2r USING (node)),
+        mh2 AS (SELECT max(h) AS m FROM h2f),
+        h2 AS (SELECT node, CASE WHEN (SELECT m FROM mh2) <= 0
+                            THEN 0
+                            ELSE (h * 1000000)
+                                 // (SELECT m FROM mh2) END AS h
+               FROM h2f)
+        SELECT h2.node, h2.h AS hub_units, a2.a AS auth_units
+        FROM h2 JOIN a2 USING (node)
+    """,
+    # bounded recursive enumeration of path lengths, then min per
+    # node — equals the Bellman-Ford fixpoint for positive weights
+    # (bound 300 > (nodes-1) * max_weight = 236)
+    "q191_shortest_paths": """
+        WITH RECURSIVE
+        e AS (SELECT DISTINCT c_custkey % 60 AS src,
+                     (c_custkey * 13 + 7) % 60 AS dst,
+                     1 + c_custkey % 4 AS w
+              FROM customer),
+        reach(node, dist) AS (
+            SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            UNION
+            SELECT e.dst, r.dist + e.w
+            FROM reach r JOIN e ON r.node = e.src
+            WHERE r.dist + e.w <= 300)
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        FROM reach GROUP BY node
     """,
     # q139's full IVF-PQ replay (one query, top-10 ADC candidates)
     # -> exact-cosine refine (rel, 4dp) -> q154's greedy MMR CTEs

@@ -3485,6 +3485,13 @@ def _load_pipeline_funcs() -> dict:
         "degree_assortativity":
             lambda df, src="src", dst="dst":
                 graph.degree_assortativity(df, src, dst),
+        "hits":
+            lambda df, iters=5, src="src", dst="dst":
+                graph.hits(df, int(iters), src, dst),
+        "shortest_paths":
+            lambda df, sources, max_rounds=20, weight_col=None:
+                graph.shortest_paths(df, sources, int(max_rounds),
+                                     weight_col=weight_col),
         "trend":
             lambda df, group_col, ts_col="ts", value_col="value",
             origin="1970-01-01":
@@ -3549,7 +3556,7 @@ _PIPELINE_FUNC_NAMES = {
     "transition_counts", "winsorize", "ewma", "fuzzy_pairs",
     "pagerank", "trend", "mad_outliers", "session_paths", "ks_drift",
     "ab_test", "triangle_count", "psi_drift", "mann_whitney",
-    "chi_square", "degree_assortativity",
+    "chi_square", "degree_assortativity", "hits", "shortest_paths",
     # Table-method family (dispatched on the host Table, not its df)
     "sample_hash", "sample_mixture", "sample_stratified",
     "sample_weighted", "split_by_hash", "shuffle_deterministic",

@@ -262,3 +262,120 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
     return m.select(F.col("n").alias("n_edge_ends"),
                     F.when(den > 0, num / den)
                     .alias("assortativity"))
+
+
+def hits(edges: DataFrame, iters: int = 5,
+         src: str = "src", dst: str = "dst",
+         units: int = 1_000_000,
+         checkpoint_every: int = 3) -> DataFrame:
+    """Fixed-iteration HITS in EXACT integer arithmetic —
+    ``(node, hub_units bigint, auth_units bigint)``.
+
+    Per round: auth'(u) = sum of in-neighbor hubs, hub'(u) = sum of
+    out-neighbor NEW auths, then each vector rescales so its max is
+    ``units`` (``x * units DIV max`` — the integer twin of the usual
+    max-normalization).  Pure int64 throughout, so the result is
+    order-independent and bit-identical cross-engine; nodes with no
+    in-edges (auth 0) / no out-edges (hub 0) behave per the
+    definition.  Overflow bound: max_degree * |nodes| * units < 2^63.
+
+    Scale shape: two edge joins + two keyed partial aggs per round
+    (the Pregel shape, like :func:`pagerank`), plus two scalar max
+    reductions; ``localCheckpoint`` bounds lineage."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, "
+                         f"got {checkpoint_every}")
+    e = edges.select(F.col(src).alias("__s"),
+                     F.col(dst).alias("__d")).distinct()
+    spark = edges.sparkSession
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = e.repartition(nshuf, "__s").localCheckpoint(eager=False)
+    nodes = (e.select(F.col("__s").alias("node"))
+             .union(e.select(F.col("__d").alias("node")))
+             .distinct().localCheckpoint(eager=False))
+    u = int(units)
+    hv = nodes.select("node", F.lit(u).cast("long").alias("h"))
+
+    def _rescale(df, col):
+        mx = df.agg(F.max(col)).collect()[0][0] or 0
+        if mx <= 0:
+            return df.withColumn(col, F.lit(0).cast("long"))
+        return df.withColumn(
+            col, F.expr(f"({col} * {u}) DIV {int(mx)}"))
+
+    for i in range(iters):
+        av = (e.join(hv, e["__s"] == hv["node"])
+              .groupBy(F.col("__d").alias("node"))
+              .agg(F.sum("h").alias("a")))
+        av = nodes.join(av, "node", "left").select(
+            "node", F.coalesce("a", F.lit(0)).cast("long").alias("a"))
+        av = _rescale(av, "a").localCheckpoint(eager=False)
+        hv = (e.join(av, e["__d"] == av["node"])
+              .groupBy(F.col("__s").alias("node"))
+              .agg(F.sum("a").alias("h")))
+        hv = nodes.join(hv, "node", "left").select(
+            "node", F.coalesce("h", F.lit(0)).cast("long").alias("h"))
+        hv = _rescale(hv, "h")
+        if i % checkpoint_every == checkpoint_every - 1:
+            hv = hv.localCheckpoint(eager=False)
+    return (hv.join(av, "node")
+            .select("node", F.col("h").alias("hub_units"),
+                    F.col("a").alias("auth_units")))
+
+
+def shortest_paths(edges: DataFrame, sources: DataFrame,
+                   max_rounds: int = 20,
+                   src: str = "src", dst: str = "dst",
+                   weight_col: str | None = None) -> DataFrame:
+    """Single/multi-source shortest paths by Bellman-Ford rounds —
+    ``(node, dist bigint)`` for every reachable node.  ``sources``:
+    a single-column frame of start nodes (dist 0); edge weights are
+    positive int64 (default 1 = hop count).  Iterates until no
+    distance improves or ``max_rounds`` — with non-negative weights
+    the fixpoint IS Dijkstra's answer, and integer mins are
+    order-independent, so the result is deterministic and
+    cross-engine exact.
+
+    Scale shape: per round one dist-to-edge hash join (edge side
+    pre-partitioned by src once) + one dst-keyed min agg + a min
+    merge with the current frontier — the Pregel relaxation;
+    ``localCheckpoint`` per round bounds lineage; early-exit on
+    convergence."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    if weight_col is None:
+        w = F.lit(1).cast("long")
+    else:
+        wc = F.col(weight_col).cast("long")
+        w = F.when(wc.isNull() | (wc <= 0), F.raise_error(F.concat(
+            F.lit("shortest_paths: weight must be a positive int64,"
+                  " got "),
+            F.coalesce(F.col(weight_col).cast("string"),
+                       F.lit("NULL"))))).otherwise(wc)
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"),
+                     w.alias("__w"))
+    spark = edges.sparkSession
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e = e.repartition(nshuf, "__s").localCheckpoint(eager=False)
+    dist = (sources.select(F.col(sources.columns[0]).alias("node"))
+            .distinct().withColumn("dist", F.lit(0).cast("long"))
+            .localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        relaxed = (e.join(dist, e["__s"] == dist["node"])
+                   .select(F.col("__d").alias("node"),
+                           (F.col("dist") + F.col("__w"))
+                           .alias("dist")))
+        new = (dist.unionByName(relaxed)
+               .groupBy("node").agg(F.min("dist").alias("dist"))
+               .localCheckpoint(eager=True))
+        changed = (new.join(dist.withColumnRenamed("dist", "__old"),
+                            "node", "left")
+                   .filter(F.col("__old").isNull()
+                           | (F.col("dist") < F.col("__old")))
+                   .isEmpty())
+        dist = new
+        if changed:
+            break
+    return dist

@@ -2376,3 +2376,22 @@ def test_pipeline_builtin_mw_chi2(eng):
     lc = tuple(eng.q('chi_square(events_cents2, "event_type",'
                      ' "cents")').collect()[0])
     assert lc == ac
+
+
+def test_pipeline_builtin_hits_sssp(eng):
+    """Lang hits / shortest_paths equal their Python APIs."""
+    from preql_spark.operators.graph import hits, shortest_paths
+    ed = eng.t.customer.df.selectExpr(
+        "c_custkey % 40 AS src", "(c_custkey * 11 + 3) % 40 AS dst")
+    eng.register("hedges", ed)
+    ah = {tuple(r) for r in hits(ed, iters=2).collect()}
+    lh = {tuple(r) for r in
+          eng.q('hits(hedges, iters: 2)').collect()}
+    assert lh == ah and len(lh) > 0
+    srcs = eng.t.nation.df.selectExpr(
+        "cast(n_nationkey % 2 as bigint) AS n").limit(1)
+    eng.register("sss", srcs)
+    asp = {tuple(r) for r in shortest_paths(ed, srcs).collect()}
+    lsp = {tuple(r) for r in
+           eng.q('shortest_paths(hedges, sss)').collect()}
+    assert lsp == asp and len(lsp) > 0

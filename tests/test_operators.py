@@ -2989,3 +2989,72 @@ def test_pagerank_rejects_bad_weights(spark):
         with _pt.raises((PySparkRuntimeError, SparkRuntimeException,
                          Exception), match="positive int64"):
             pagerank(df, iters=1, weight_col="w").collect()
+
+
+def test_hits_matches_integer_model(spark):
+    """hits reproduces the int64 max-rescaled model on a small
+    digraph, including a pure-hub (auth 0) and pure-authority
+    (hub 0) node."""
+    from collections import defaultdict
+    from preql_spark.operators.graph import hits
+    edges = [("h", "m1"), ("h", "m2"), ("m1", "t"), ("m2", "t"),
+             ("m1", "m2")]
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    got = {r.node: (r.hub_units, r.auth_units)
+           for r in hits(df, iters=3).collect()}
+
+    U = 1_000_000
+    es = sorted(set(edges))
+    nodes = sorted({x for e in es for x in e})
+    h = {n: U for n in nodes}
+
+    def rescale(d):
+        mx = max(d.values())
+        if mx <= 0:
+            return {k: 0 for k in d}
+        return {k: (v * U) // mx for k, v in d.items()}
+
+    for _ in range(3):
+        a = defaultdict(int)
+        for s, d in es:
+            a[d] += h[s]
+        a = rescale({n: a.get(n, 0) for n in nodes})
+        h = defaultdict(int)
+        for s, d in es:
+            h[s] += a[d]
+        h = rescale({n: h.get(n, 0) for n in nodes})
+    assert got == {n: (h[n], a[n]) for n in nodes}
+    assert got["h"][1] == 0 and got["t"][0] == 0   # pure hub/auth
+    import pytest as _pt
+    with _pt.raises(ValueError, match="iters"):
+        hits(df, iters=0)
+
+
+def test_shortest_paths_matches_model(spark):
+    """shortest_paths equals Bellman-Ford on a weighted digraph
+    (multi-source, unreachable nodes absent, hop-count default),
+    and rejects bad weights."""
+    import pytest as _pt
+    from preql_spark.operators.graph import shortest_paths
+    edges = [("a", "b", 4), ("a", "c", 1), ("c", "b", 1),
+             ("b", "d", 1), ("x", "y", 7)]
+    df = spark.createDataFrame(edges,
+                               "src: string, dst: string, w: long")
+    srcs = spark.createDataFrame([("a",)], "n: string")
+    got = {r.node: r.dist for r in
+           shortest_paths(df, srcs, weight_col="w").collect()}
+    assert got == {"a": 0, "c": 1, "b": 2, "d": 3}   # not 4 via a->b
+    hop = {r.node: r.dist for r in
+           shortest_paths(df, srcs).collect()}
+    assert hop == {"a": 0, "b": 1, "c": 1, "d": 2}
+    multi = {r.node: r.dist for r in
+             shortest_paths(df, spark.createDataFrame(
+                 [("a",), ("x",)], "n: string"),
+                 weight_col="w").collect()}
+    assert multi["y"] == 7 and multi["b"] == 2
+    bad = spark.createDataFrame([("a", "b", 0)],
+                                "src: string, dst: string, w: long")
+    with _pt.raises(Exception, match="positive int64"):
+        shortest_paths(bad, srcs, weight_col="w").collect()
+    with _pt.raises(ValueError, match="max_rounds"):
+        shortest_paths(df, srcs, max_rounds=0)
