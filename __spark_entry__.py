@@ -2975,7 +2975,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_interval_join": q78_interval_join,
     # ---- end of the 50-entry driver window -------------------------
     # battery-only additions (never driver-windowed yet; r8 rotation
-    # stock): funnel conversion lags, RFM segmentation, PageRank
+    # stock — promote these 23 into the r8 window head): event
+    # analytics (lags/RFM/paths/attribution), the graph family
+    # (PageRank/weighted/HITS/SSSP/triangles/assortativity), the
+    # stats-drift suite (KS/PSI/A-B/MW/chi2), trend/MAD, entity
+    # resolution, containment, token entropy, lang TPC-H Q3, and the
+    # two rows-only sketch ingests (q174/q177)
     "q169_conversion_lag": q169_conversion_lag,
     "q170_rfm_scores": q170_rfm_scores,
     "q171_pagerank": q171_pagerank,

@@ -789,7 +789,14 @@ def test_psi_matches_python(spark, a, b, nb):
         p = (ca[i] + 1.0) / (len(a) + nb)
         q = (cb[i] + 1.0) / (len(b) + nb)
         want += (p - q) * math.log(p / q)
-    assert (r.n_a, r.n_b, r.psi) == (len(a), len(b), want)
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    # JVM Math.log and glibc log can differ in the LAST ULP for some
+    # arguments (hypothesis-found: log(20/9)), so Spark-vs-Python
+    # comparisons of ln-bearing folds need a 1-ulp-per-term
+    # tolerance.  Spark-vs-DuckDB oracle grading is a separate
+    # question settled empirically per fixed fixture (tri-scale
+    # green); see the FP-portability notes.
+    assert math.isclose(r.psi, want, rel_tol=1e-13, abs_tol=1e-15)
 
 
 @settings(**SETTINGS)
