@@ -2781,6 +2781,32 @@ def q191_shortest_paths(spark, sf_dir) -> DataFrame:
     return shortest_paths(edges, srcs, max_rounds=80, weight_col="w")
 
 
+def q192_conversion_drift(spark, sf_dir) -> DataFrame:
+    """Event-family integration capstone: the funnel fold labels
+    each user converter/non-converter (completed view->click — the
+    3-step chain has zero completions at sf0.001), RFM's exact
+    integer-cent monetary aggregates per user, and the two-sample
+    KS statistic measures how differently the two groups spend —
+    one row (n_a, n_b, d_stat, at_value), exact cross-engine
+    (integer CDFs, min-value argmax).  The oracle splices the q169
+    funnel chain, the q170 cents aggregation, and the q179 KS
+    pattern."""
+    from preql_spark.operators.events import funnel_times, ks_statistic
+    e = _eng(spark, sf_dir).t.events.df
+    conv = (funnel_times(e, ["view", "click"])
+            .filter(F.col("t2").isNotNull())
+            .select("user_id", F.lit(1).alias("__c")))
+    per = (e.groupBy("user_id")
+           .agg(F.coalesce(F.sum(
+               F.floor(F.col("value").cast("double") * 100
+                       + F.lit(0.5)).cast("long")), F.lit(0))
+               .alias("monetary_cents")))
+    lab = (per.join(conv, "user_id", "left")
+           .withColumn("side", F.when(F.col("__c").isNotNull(),
+                                      "conv").otherwise("non")))
+    return ks_statistic(lab, "monetary_cents", "side", "conv", "non")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -3007,6 +3033,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q189_chi_square": q189_chi_square,
     "q190_hits": q190_hits,
     "q191_shortest_paths": q191_shortest_paths,
+    "q192_conversion_drift": q192_conversion_drift,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -6113,6 +6140,46 @@ ORACLES: dict[str, str] = {
             WHERE r.dist + e.w <= 300)
         SELECT node, CAST(min(dist) AS BIGINT) AS dist
         FROM reach GROUP BY node
+    """,
+    # q169's funnel chain labels converters; q170's exact cents per
+    # user; q179's KS pattern between the two labels
+    "q192_conversion_drift": """
+        WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        t2 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN t1 ON e.user_id = t1.user_id
+               WHERE e.event_type = 'click' AND e.ts > t1.t
+               GROUP BY e.user_id),
+        per AS (SELECT user_id,
+                       CAST(coalesce(sum(CAST(floor(value * 100
+                                                    + 0.5)
+                                              AS BIGINT)), 0)
+                            AS BIGINT) AS m
+                FROM events GROUP BY user_id),
+        lab AS (SELECT per.user_id, per.m,
+                       CASE WHEN t2.user_id IS NOT NULL
+                            THEN 'conv' ELSE 'non' END AS side
+                FROM per LEFT JOIN t2 ON per.user_id = t2.user_id),
+        a AS (SELECT m AS v, CAST(count(*) AS BIGINT) AS ca
+              FROM lab WHERE side = 'conv' GROUP BY m),
+        b AS (SELECT m AS v, CAST(count(*) AS BIGINT) AS cb
+              FROM lab WHERE side = 'non' GROUP BY m),
+        u AS (SELECT coalesce(a.v, b.v) AS v,
+                     coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+              FROM a FULL OUTER JOIN b ON a.v = b.v),
+        c AS (SELECT v,
+                     sum(ca) OVER (ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS cum_a,
+                     sum(cb) OVER (ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS cum_b
+              FROM u),
+        n AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                     CAST(sum(cb) AS BIGINT) AS n_b FROM u)
+        SELECT n.n_a, n.n_b,
+               abs(cum_a / n.n_a - cum_b / n.n_b) AS d_stat,
+               c.v AS at_value
+        FROM c, n
+        ORDER BY d_stat DESC, at_value ASC LIMIT 1
     """,
     # q139's full IVF-PQ replay (one query, top-10 ADC candidates)
     # -> exact-cosine refine (rel, 4dp) -> q154's greedy MMR CTEs

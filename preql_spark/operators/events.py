@@ -509,8 +509,11 @@ def ks_statistic(df: DataFrame, value_col: str, side_col: str,
     n = u.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
     d = (c.crossJoin(F.broadcast(n))
          .select("n_a", "n_b", F.col("v").alias("at_value"),
-                 F.abs(F.col("cum_a") / F.col("n_a")
-                       - F.col("cum_b") / F.col("n_b"))
+                 # an EMPTY side makes D undefined: NULL d_stat
+                 # instead of an ANSI divide-by-zero
+                 F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                        F.abs(F.col("cum_a") / F.col("n_a")
+                              - F.col("cum_b") / F.col("n_b")))
                  .alias("d_stat")))
     return (d.orderBy(F.col("d_stat").desc(),
                       F.col("at_value").asc()).limit(1)

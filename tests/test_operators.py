@@ -3058,3 +3058,13 @@ def test_shortest_paths_matches_model(spark):
         shortest_paths(bad, srcs, weight_col="w").collect()
     with _pt.raises(ValueError, match="max_rounds"):
         shortest_paths(df, srcs, max_rounds=0)
+
+
+def test_ks_statistic_empty_side_null(spark):
+    """An empty side makes D undefined: NULL d_stat instead of an
+    ANSI divide-by-zero (review-found via the q192 capstone)."""
+    from preql_spark.operators.events import ks_statistic
+    df = spark.createDataFrame([("a", 1), ("a", 2)],
+                               "s: string, v: long")
+    r = ks_statistic(df, "v", "s", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b, r.d_stat) == (2, 0, None)
