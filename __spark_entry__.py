@@ -2949,64 +2949,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       remain), q108 (snapshot diff: DML keeps q60/q136), q117
     #       (expectations: tooling keeps q120), q133 (SemDeDup rule:
     #       similarity keeps q138/q139/q146/q152/q154/q159).
-    "q162_funnel": q162_funnel,
-    "q163_cohort_retention": q163_cohort_retention,
-    "q164_transition_counts": q164_transition_counts,
-    "q165_winsorize": q165_winsorize,
-    "q166_ewma": q166_ewma,
-    "q167_fuzzy_pairs": q167_fuzzy_pairs,
-    "q168_distinct_ingest": q168_distinct_ingest,
-    "q159_retrieve_refine_diversify": q159_retrieve_refine_diversify,
-    "q160_bpe_pair_counts": q160_bpe_pair_counts,
-    "q161_ngram_diversity": q161_ngram_diversity,
-    "q158_stream_quantile_ingest": q158_stream_quantile_ingest,
-    "q157_interleave_sources": q157_interleave_sources,
-    "q155_temperature_mixture": q155_temperature_mixture,
-    "q156_budget_select": q156_budget_select,
-    "q151_stream_frequent_ingest": q151_stream_frequent_ingest,
-    "q152_weighted_hybrid_search": q152_weighted_hybrid_search,
-    "q153_quantile_rollup": q153_quantile_rollup,
-    "q154_mmr_diversify": q154_mmr_diversify,
-    "q134_temptable_agg": q134_temptable_agg,
-    "q135_salted_join": q135_salted_join,
-    "q136_transactions": q136_transactions,
-    "q137_duplicate_spans": q137_duplicate_spans,
-    "q138_pq_adc_topk": q138_pq_adc_topk,
-    "q139_ivf_pq_topk": q139_ivf_pq_topk,
-    "q140_phrase_search": q140_phrase_search,
-    "q141_stream_postings_ingest": q141_stream_postings_ingest,
-    "q142_remove_duplicate_spans": q142_remove_duplicate_spans,
-    "q143_ranked_search": q143_ranked_search,
-    "q144_lang_returned_revenue": q144_lang_returned_revenue,
-    "q145_hybrid_search": q145_hybrid_search,
-    "q146_random_projection": q146_random_projection,
-    "q147_frequent_tokens": q147_frequent_tokens,
-    "q148_scrub_contaminated_spans": q148_scrub_contaminated_spans,
-    "q149_topk_per_group": q149_topk_per_group,
-    "q150_dsir_resample": q150_dsir_resample,
-    "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
-    "q125_lang_in_table": q125_lang_in_table,
-    "q126_stream_neardup_ingest": q126_stream_neardup_ingest,
-    "q129_four_way_chain": q129_four_way_chain,
-    "q131_sqlite_roundtrip": q131_sqlite_roundtrip,
-    "q95_repetition_metrics": q95_repetition_metrics,
-    "q116_audio_features": q116_audio_features,
-    "q120_join_cardinality": q120_join_cardinality,
-    "q53_cube": q53_cube,
-    "q60_dml_lifecycle": q60_dml_lifecycle,
-    "q61_lang_user_func": q61_lang_user_func,
-    "q62_json_extract": q62_json_extract,
-    "q73_dedup_canonical": q73_dedup_canonical,
-    "q75_pack_sequences": q75_pack_sequences,
-    "q78_interval_join": q78_interval_join,
-    # ---- end of the 50-entry driver window -------------------------
-    # battery-only additions (never driver-windowed yet; r8 rotation
-    # stock — promote these 23 into the r8 window head): event
-    # analytics (lags/RFM/paths/attribution), the graph family
-    # (PageRank/weighted/HITS/SSSP/triangles/assortativity), the
-    # stats-drift suite (KS/PSI/A-B/MW/chi2), trend/MAD, entity
-    # resolution, containment, token entropy, lang TPC-H Q3, and the
-    # two rows-only sketch ingests (q174/q177)
+    #   r8: the 24 never-driver-confirmed round-7 queries q169-q192
+    #       enter at the head (incl. the rows-only sketch ingests
+    #       q174/q177 — the driver records their weaker rows-only
+    #       check), restoring lifetime external confirmation to
+    #       192/192.  Displaced (all r7-green, CORRECTNESS_r07 50/50;
+    #       family keeps an in-window representative): the r7 batch
+    #       q162-q168 (events family keeps q169/q170/q176/q182;
+    #       fuzzy keeps q178 — the ER capstone replays the ED-Join;
+    #       winsorize/EWMA robust-stats family keeps q173 MAD;
+    #       streaming keeps q126/q158/q174/q177), q155/q157
+    #       (mixture/interleave: sampling keeps q150 DSIR + q156
+    #       budget select), q151/q153 (sketch/distribution reporting
+    #       keeps q158 quantile ingest + q174/q177), q154 (MMR:
+    #       q159's diversify stage replays it; ANN keeps
+    #       q124/q152/q159), q137/q142 (span family keeps q148),
+    #       q138/q139 (PQ: ANN keeps q159's IVF refine + q152),
+    #       q140/q143/q145 (search keeps q152 weighted hybrid),
+    #       q141 (postings ingest: streaming keeps q126/q158 and the
+    #       two sketch ingests), q144 (lang capstone: q187 TPC-H Q3
+    #       replays n-ary join+filter+agg+topk; lang keeps
+    #       q61/q125/q187), q146 (projection: similarity keeps
+    #       q152/q159), q147 (frequent tokens: sketch keeps
+    #       q174/q177), q73 (CC canonical: q178 replays
+    #       fuzzy->CC->canonical end-to-end).
     "q169_conversion_lag": q169_conversion_lag,
     "q170_rfm_scores": q170_rfm_scores,
     "q171_pagerank": q171_pagerank,
@@ -3034,6 +3000,59 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q190_hits": q190_hits,
     "q191_shortest_paths": q191_shortest_paths,
     "q192_conversion_drift": q192_conversion_drift,
+    "q158_stream_quantile_ingest": q158_stream_quantile_ingest,
+    "q156_budget_select": q156_budget_select,
+    "q152_weighted_hybrid_search": q152_weighted_hybrid_search,
+    "q159_retrieve_refine_diversify": q159_retrieve_refine_diversify,
+    "q160_bpe_pair_counts": q160_bpe_pair_counts,
+    "q161_ngram_diversity": q161_ngram_diversity,
+    "q148_scrub_contaminated_spans": q148_scrub_contaminated_spans,
+    "q149_topk_per_group": q149_topk_per_group,
+    "q150_dsir_resample": q150_dsir_resample,
+    "q134_temptable_agg": q134_temptable_agg,
+    "q135_salted_join": q135_salted_join,
+    "q136_transactions": q136_transactions,
+    "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
+    "q125_lang_in_table": q125_lang_in_table,
+    "q126_stream_neardup_ingest": q126_stream_neardup_ingest,
+    "q129_four_way_chain": q129_four_way_chain,
+    "q131_sqlite_roundtrip": q131_sqlite_roundtrip,
+    "q95_repetition_metrics": q95_repetition_metrics,
+    "q116_audio_features": q116_audio_features,
+    "q120_join_cardinality": q120_join_cardinality,
+    "q53_cube": q53_cube,
+    "q60_dml_lifecycle": q60_dml_lifecycle,
+    "q61_lang_user_func": q61_lang_user_func,
+    "q62_json_extract": q62_json_extract,
+    "q75_pack_sequences": q75_pack_sequences,
+    "q78_interval_join": q78_interval_join,
+    # ---- end of the 50-entry driver window -------------------------
+    # rotated out for r8 (all r7-green per CORRECTNESS_r07; families
+    # kept in-window per the r8 rotation log above):
+    "q162_funnel": q162_funnel,
+    "q163_cohort_retention": q163_cohort_retention,
+    "q164_transition_counts": q164_transition_counts,
+    "q165_winsorize": q165_winsorize,
+    "q166_ewma": q166_ewma,
+    "q167_fuzzy_pairs": q167_fuzzy_pairs,
+    "q168_distinct_ingest": q168_distinct_ingest,
+    "q157_interleave_sources": q157_interleave_sources,
+    "q155_temperature_mixture": q155_temperature_mixture,
+    "q151_stream_frequent_ingest": q151_stream_frequent_ingest,
+    "q153_quantile_rollup": q153_quantile_rollup,
+    "q154_mmr_diversify": q154_mmr_diversify,
+    "q137_duplicate_spans": q137_duplicate_spans,
+    "q138_pq_adc_topk": q138_pq_adc_topk,
+    "q139_ivf_pq_topk": q139_ivf_pq_topk,
+    "q140_phrase_search": q140_phrase_search,
+    "q141_stream_postings_ingest": q141_stream_postings_ingest,
+    "q142_remove_duplicate_spans": q142_remove_duplicate_spans,
+    "q143_ranked_search": q143_ranked_search,
+    "q144_lang_returned_revenue": q144_lang_returned_revenue,
+    "q145_hybrid_search": q145_hybrid_search,
+    "q146_random_projection": q146_random_projection,
+    "q147_frequent_tokens": q147_frequent_tokens,
+    "q73_dedup_canonical": q73_dedup_canonical,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
