@@ -155,10 +155,53 @@ def funnel_times(df: DataFrame, steps: list[str],
                       for i in range(len(steps))]))
 
 
+def _exact_global_ntile(df: DataFrame, n_tiles: int, total: int,
+                        sort_cols: list, out_col: str) -> DataFrame:
+    """Exact SQL-``ntile`` assignment over a global ordering, with no
+    single-partition sort.  Range-repartition on the FULL composite
+    sort key (the trailing unique tie-break column rides along, so a
+    dominant value cannot pile into one straggler partition), freeze
+    the partitioning with an eager ``localCheckpoint``, collect the
+    tiny per-partition row counts (one row per shuffle partition) and
+    fold them into a literal pid -> offset map; the global 1-based
+    rank is then ``offset + partition-local row_number``, and the
+    tile is the exact ntile arithmetic — with ``total = q*n + rem``,
+    tiles ``1..rem`` take ``q+1`` rows, the rest take ``q``.  Every
+    exchange is distributed (range, then hash on the frozen pid);
+    driver traffic is one (pid, count) row per partition."""
+    tmp = df.repartitionByRange(*sort_cols).localCheckpoint()
+    tmp = tmp.withColumn("__pid", F.spark_partition_id())
+    counts = sorted(
+        (r["__pid"], r["__cnt"])
+        for r in tmp.groupBy("__pid")
+                    .agg(F.count(F.lit(1)).alias("__cnt")).collect())
+    pairs, off = [], 0
+    for p, c in counts:
+        pairs += [F.lit(p), F.lit(off)]
+        off += c
+    off_expr = (F.element_at(F.create_map(*pairs), F.col("__pid"))
+                if pairs else F.lit(0))
+    w = Window.partitionBy("__pid").orderBy(*sort_cols)
+    q_, rem = divmod(total, n_tiles)
+    qs = max(q_, 1)          # else-branch unreachable when q_ == 0
+    cutoff = rem * (q_ + 1)
+    ranked = tmp.withColumn(
+        "__r", F.row_number().over(w).cast("long") + off_expr)
+    # exact integer arithmetic end-to-end (DIV, not /: double division
+    # would drift past 2^53 ranks); ceil(a/b) spelled (a + b - 1) div b
+    tile = F.expr(
+        f"CASE WHEN __r <= {cutoff} THEN (__r + {q_}) DIV {q_ + 1} "
+        f"ELSE {rem} + ((__r - {cutoff} + {qs - 1}) DIV {qs}) END")
+    return (ranked.withColumn(out_col, tile.cast("int"))
+            .drop("__pid", "__r"))
+
+
 def rfm_scores(df: DataFrame, user_col: str = "user_id",
                ts_col: str = "ts", value_col: str = "value",
                n_tiles: int = 5,
-               value_filter=None) -> DataFrame:
+               value_filter=None,
+               windowed: bool | None = None,
+               windowed_max_users: int = 4_000_000) -> DataFrame:
     """RFM segmentation: per user, recency (days since last activity,
     against the corpus max date), frequency (event count), monetary
     (value summed in exact integer cents — floats round HALF-UP to
@@ -169,11 +212,18 @@ def rfm_scores(df: DataFrame, user_col: str = "user_id",
     monetary_cents, r_score, f_score, m_score)``.
 
     Scale shape: one user-keyed partial agg builds the per-user
-    triple; the three ntile windows share ONE single-partition sort
-    of the USER-LEVEL table — sized by |users|, not events.  For
-    billion-user tables swap the ntile stage for
-    ``quantile_bucketize`` (percentile-threshold broadcast); the
-    windowed spelling is the exact-tie-contract one."""
+    triple.  The tile stage has two plans that produce IDENTICAL
+    output (both are exact SQL ntile with the same (key, user)
+    tie-break): below ``windowed_max_users`` users (or with
+    ``windowed=True``) the three ntile windows share one
+    single-partition sort of the USER-LEVEL table — cheapest when
+    |users| is modest; above it (or with ``windowed=False``) each
+    score runs :func:`_exact_global_ntile` — a range repartition on
+    the composite sort key plus a partition-offset rank, so no stage
+    is ever a single-partition sort and a billion-user table tiles in
+    parallel.  ``windowed=None`` picks automatically from the exact
+    user count (measured by the same action that finds the corpus max
+    date — no extra scan)."""
     if n_tiles < 1:
         raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
     e = df
@@ -186,19 +236,42 @@ def rfm_scores(df: DataFrame, user_col: str = "user_id",
                 F.count(F.lit(1)).alias("freq"),
                 F.coalesce(F.sum(cents), F.lit(0))
                 .alias("monetary_cents")))
-    mx = per.agg(F.max("__last")).collect()[0][0]
+    if windowed is True:
+        mx = per.agg(F.max("__last")).collect()[0][0]
+        n_users = None
+    else:
+        per = per.localCheckpoint()   # events scan happens ONCE
+        stats = per.agg(F.max("__last").alias("mx"),
+                        F.count(F.lit(1)).alias("n")).collect()[0]
+        mx, n_users = stats["mx"], stats["n"]
     per = per.withColumn(
         "r_days", F.datediff(F.lit(mx).cast("timestamp").cast("date"),
                              F.col("__last").cast("date")).cast("int"))
-    wr = Window.orderBy(F.col("r_days").asc(), F.col("u").asc())
-    wf = Window.orderBy(F.col("freq").desc(), F.col("u").asc())
-    wm = Window.orderBy(F.col("monetary_cents").desc(),
-                        F.col("u").asc())
-    return per.select(
+    use_window = (windowed if windowed is not None
+                  else n_users <= windowed_max_users)
+    if use_window:
+        wr = Window.orderBy(F.col("r_days").asc(), F.col("u").asc())
+        wf = Window.orderBy(F.col("freq").desc(), F.col("u").asc())
+        wm = Window.orderBy(F.col("monetary_cents").desc(),
+                            F.col("u").asc())
+        return per.select(
+            F.col("u").alias(user_col), "r_days", "freq",
+            "monetary_cents",
+            F.ntile(n_tiles).over(wr).alias("r_score"),
+            F.ntile(n_tiles).over(wf).alias("f_score"),
+            F.ntile(n_tiles).over(wm).alias("m_score"))
+    out = _exact_global_ntile(
+        per, n_tiles, n_users,
+        [F.col("r_days").asc(), F.col("u").asc()], "r_score")
+    out = _exact_global_ntile(
+        out, n_tiles, n_users,
+        [F.col("freq").desc(), F.col("u").asc()], "f_score")
+    out = _exact_global_ntile(
+        out, n_tiles, n_users,
+        [F.col("monetary_cents").desc(), F.col("u").asc()], "m_score")
+    return out.select(
         F.col("u").alias(user_col), "r_days", "freq", "monetary_cents",
-        F.ntile(n_tiles).over(wr).alias("r_score"),
-        F.ntile(n_tiles).over(wf).alias("f_score"),
-        F.ntile(n_tiles).over(wm).alias("m_score"))
+        "r_score", "f_score", "m_score")
 
 
 def cohort_retention(df: DataFrame, user_col: str = "user_id",
