@@ -2438,8 +2438,11 @@ def q170_rfm_scores(spark, sf_dir) -> DataFrame:
     corpus max date, event counts, monetary summed in EXACT integer
     cents (half-up per row before the sum — order-independent), each
     ntile(5)-scored with ascending-user tie-break.  One user-keyed
-    partial agg; the three score windows sort the user-level table,
-    never the events."""
+    partial agg; the tile stage auto-picks its plan from the user
+    count — here (users << windowed_max_users) the three score
+    windows share one sort of the tiny user-level table, never the
+    events; above the threshold it switches to the range-repartition
+    + partition-offset rank plan that q193 forces and grades."""
     from preql_spark.operators.events import rfm_scores
     e = _eng(spark, sf_dir).t.events
     return rfm_scores(e.df, n_tiles=5) \
@@ -2807,6 +2810,24 @@ def q192_conversion_drift(spark, sf_dir) -> DataFrame:
     return ks_statistic(lab, "monetary_cents", "side", "conv", "non")
 
 
+def q193_rfm_scale_safe(spark, sf_dir) -> DataFrame:
+    """q170's RFM segmentation FORCING the billion-user tile plan
+    (``windowed=False``): each score runs the exact-global-ntile
+    stage — range repartition on the composite (key, user) sort key,
+    eager localCheckpoint to freeze the partitioning, one (pid,
+    count) row per partition to the driver, then a pid-partitioned
+    rank window — so no stage is ever a single-partition sort
+    (plan-asserted in tests/test_plans.py).  Output is bit-identical
+    to q170 (same exact ntile arithmetic, same tie-break); the oracle
+    is the same SQL, so the driver value-checks the scale path
+    itself."""
+    from preql_spark.operators.events import rfm_scores
+    e = _eng(spark, sf_dir).t.events
+    return rfm_scores(e.df, n_tiles=5, windowed=False) \
+        .select("user_id", "r_days", "freq", "monetary_cents",
+                "r_score", "f_score", "m_score")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # NOTE on ordering: the driver's correctness gate checks the FIRST
     # 50 entries; every §2 family and every LLM-pipeline operator keeps
@@ -2975,6 +2996,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       fuzzy->CC->canonical end-to-end).
     "q169_conversion_lag": q169_conversion_lag,
     "q170_rfm_scores": q170_rfm_scores,
+    "q193_rfm_scale_safe": q193_rfm_scale_safe,
     "q171_pagerank": q171_pagerank,
     "q172_value_trend": q172_value_trend,
     "q173_mad_outliers": q173_mad_outliers,
@@ -6771,6 +6793,8 @@ def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     # full-probe IVF is exact, so it shares the brute-force oracle
     out["q86_ivf_full_probe"] = ORACLES["q40_cosine_topk"]
+    # the forced scale-safe tile plan is exact ntile — same oracle
+    out["q193_rfm_scale_safe"] = ORACLES["q170_rfm_scores"]
     out["q87_stream_dedup"] = \
         "SELECT DISTINCT user_id, event_type FROM events"
     return out

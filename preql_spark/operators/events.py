@@ -155,6 +155,14 @@ def funnel_times(df: DataFrame, steps: list[str],
                       for i in range(len(steps))]))
 
 
+# above this many shuffle partitions the (pid, offset) table is
+# broadcast-joined instead of inlined as a create_map literal — a
+# many-thousand-entry literal map (plus the per-score CASE) bloats the
+# expression tree past codegen limits; a broadcast hash join of a
+# numPartitions-row frame is O(1) plan size at any partition count
+OFFSETS_BROADCAST_MIN_PARTS = 64
+
+
 def _exact_global_ntile(df: DataFrame, n_tiles: int, total: int,
                         sort_cols: list, out_col: str) -> DataFrame:
     """Exact SQL-``ntile`` assignment over a global ordering, with no
@@ -163,24 +171,40 @@ def _exact_global_ntile(df: DataFrame, n_tiles: int, total: int,
     dominant value cannot pile into one straggler partition), freeze
     the partitioning with an eager ``localCheckpoint``, collect the
     tiny per-partition row counts (one row per shuffle partition) and
-    fold them into a literal pid -> offset map; the global 1-based
-    rank is then ``offset + partition-local row_number``, and the
-    tile is the exact ntile arithmetic — with ``total = q*n + rem``,
-    tiles ``1..rem`` take ``q+1`` rows, the rest take ``q``.  Every
-    exchange is distributed (range, then hash on the frozen pid);
-    driver traffic is one (pid, count) row per partition."""
+    fold them into a pid -> offset mapping — a literal map below
+    :data:`OFFSETS_BROADCAST_MIN_PARTS` partitions, a broadcast-joined
+    (pid, offset) frame above it (keeps the expression tree O(1) on
+    many-thousand-partition clusters); the global 1-based rank is then
+    ``offset + partition-local row_number``, and the tile is the exact
+    ntile arithmetic — with ``total = q*n + rem``, tiles ``1..rem``
+    take ``q+1`` rows, the rest take ``q``.  Every exchange is
+    distributed (range, then hash on the frozen pid); driver traffic
+    is one (pid, count) row per partition.
+
+    Failure mode to know: ``localCheckpoint`` storage is
+    NON-RELIABLE — losing an executor that holds checkpoint blocks
+    aborts the job (rerun from the source).  On long-lived production
+    clusters set a reliable checkpoint dir and swap in
+    ``.checkpoint()`` if executor churn is expected."""
     tmp = df.repartitionByRange(*sort_cols).localCheckpoint()
     tmp = tmp.withColumn("__pid", F.spark_partition_id())
     counts = sorted(
         (r["__pid"], r["__cnt"])
         for r in tmp.groupBy("__pid")
                     .agg(F.count(F.lit(1)).alias("__cnt")).collect())
-    pairs, off = [], 0
+    offsets, off = [], 0
     for p, c in counts:
-        pairs += [F.lit(p), F.lit(off)]
+        offsets.append((p, off))
         off += c
-    off_expr = (F.element_at(F.create_map(*pairs), F.col("__pid"))
-                if pairs else F.lit(0))
+    if len(offsets) >= OFFSETS_BROADCAST_MIN_PARTS:
+        offs = df.sparkSession.createDataFrame(
+            offsets, "__pid: int, __off: long")
+        tmp = tmp.join(F.broadcast(offs), "__pid", "left")
+        off_expr = F.coalesce(F.col("__off"), F.lit(0))
+    else:
+        pairs = [lit for p, o in offsets for lit in (F.lit(p), F.lit(o))]
+        off_expr = (F.element_at(F.create_map(*pairs), F.col("__pid"))
+                    if pairs else F.lit(0))
     w = Window.partitionBy("__pid").orderBy(*sort_cols)
     q_, rem = divmod(total, n_tiles)
     qs = max(q_, 1)          # else-branch unreachable when q_ == 0
@@ -193,7 +217,7 @@ def _exact_global_ntile(df: DataFrame, n_tiles: int, total: int,
         f"CASE WHEN __r <= {cutoff} THEN (__r + {q_}) DIV {q_ + 1} "
         f"ELSE {rem} + ((__r - {cutoff} + {qs - 1}) DIV {qs}) END")
     return (ranked.withColumn(out_col, tile.cast("int"))
-            .drop("__pid", "__r"))
+            .drop("__pid", "__r", "__off"))
 
 
 def rfm_scores(df: DataFrame, user_col: str = "user_id",

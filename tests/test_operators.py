@@ -2426,6 +2426,48 @@ def test_rfm_scores_semantics(spark):
         rfm_scores(df, n_tiles=0)
 
 
+def test_rfm_scores_scale_safe_path_differential(spark):
+    """The windowed (shared single-sort ntile) and scale-safe
+    (range-repartition + partition-offset rank) tile stages are the
+    SAME function: bit-identical output on tie-heavy multi-partition
+    data across every ntile remainder regime — rem == 0 (n_tiles=2:
+    40 = 20*2), 0 < rem < n (n_tiles=7: 40 = 5*7 + 5), and
+    total < n_tiles (n_tiles=1000 over 40 users) — and with the
+    broadcast-join offsets branch forced on."""
+    from preql_spark.operators import events as EV
+    # 40 users, heavy ties on every score axis: r_days cycles over 3
+    # values, freq over 4, monetary over 5 — the ascending-user
+    # tie-break does all the ordering work
+    rows = []
+    for u in range(1, 41):
+        for _ in range(u % 4 + 1):
+            rows.append((u, f"2024-01-{10 + u % 3:02d} 00:00:00",
+                         float((u % 5) * 10) + 0.005))
+    df = spark.createDataFrame(
+        rows, "user_id: long, ts: string, value: double") \
+        .withColumn("ts", F.to_timestamp("ts")).repartition(7)
+    for n_tiles in (2, 7, 1000):
+        a = sorted(map(tuple, EV.rfm_scores(
+            df, n_tiles=n_tiles, windowed=True).collect()))
+        b = sorted(map(tuple, EV.rfm_scores(
+            df, n_tiles=n_tiles, windowed=False).collect()))
+        assert a == b, f"n_tiles={n_tiles}"
+    # force the broadcast-offsets branch (normally >=64 partitions)
+    old = EV.OFFSETS_BROADCAST_MIN_PARTS
+    try:
+        EV.OFFSETS_BROADCAST_MIN_PARTS = 1
+        c = sorted(map(tuple, EV.rfm_scores(
+            df, n_tiles=7, windowed=False).collect()))
+    finally:
+        EV.OFFSETS_BROADCAST_MIN_PARTS = old
+    assert c == sorted(map(tuple, EV.rfm_scores(
+        df, n_tiles=7, windowed=True).collect()))
+    # the auto threshold picks the scale-safe branch when forced low
+    d = sorted(map(tuple, EV.rfm_scores(
+        df, n_tiles=7, windowed_max_users=0).collect()))
+    assert d == c
+
+
 def _py_bpe_tokens(s):
     return [t for t in s.split() if t]
 

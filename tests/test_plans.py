@@ -412,6 +412,24 @@ def test_interleave_single_group_shuffle_plus_range_sort(spark):
     assert "SinglePartition" not in plan
 
 
+def test_rfm_scale_safe_tile_stage_never_single_partition(spark):
+    """rfm_scores above the user threshold (forced with
+    windowed_max_users=0) tiles via range repartition + a
+    pid-partitioned window — the executed plan must contain NO
+    SinglePartition exchange anywhere; the small-input auto path
+    keeps the cheaper shared single-sort windows."""
+    from preql_spark.operators.events import rfm_scores
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    big = rfm_scores(e, n_tiles=5, windowed_max_users=0)
+    plan = plan_of(big)
+    # the range exchange lives inside the eager localCheckpoint; the
+    # final plan ranks over pid-hashed windows off the frozen RDD
+    assert "SinglePartition" not in plan
+    assert "__pid" in plan and "hashpartitioning(__pid" in plan
+    small = rfm_scores(e, n_tiles=5)
+    assert "__pid" not in plan_of(small)
+
+
 def test_funnel_one_user_shuffle_no_window_no_join(spark):
     """The funnel is ONE user-keyed exchange + a global count — never
     the textbook n-way self-join, never a per-user sort window."""
