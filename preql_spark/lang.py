@@ -2807,16 +2807,20 @@ def _apply_function_inner(parser: Parser, name: str, args, kwargs):
                 obj if isinstance(obj, Column) else parser._col(obj))
         raise LangSignal("TypeError", f"cannot cast to {tyname!r}")
     if name in ("table_concat", "table_union", "table_intersect",
-                "table_substract"):
-        # function spellings of + | & - (pql_functions.py:385-417,
-        # incl. the reference's "substract" spelling)
+                "table_substract", "table_subtract"):
+        # function spellings of + | & - (pql_functions.py:385-417).
+        # The reference REGISTERS the correct "table_subtract"
+        # (pql_functions.py:1111) pointing at an internally
+        # misspelled pql_table_substract (:393); accept both — the
+        # registered name is the one reference users actually call
         t1, t2 = args
         if not isinstance(t1, Table) or not isinstance(t2, Table):
             raise LangSignal("TypeError", f"{name}() arguments must be tables")
         return {"table_concat": lambda: t1 + t2,
                 "table_union": lambda: t1 | t2,
                 "table_intersect": lambda: t1 & t2,
-                "table_substract": lambda: t1 - t2}[name]()
+                "table_substract": lambda: t1 - t2,
+                "table_subtract": lambda: t1 - t2}[name]()
     if name == "env_vars":
         # pql_env_vars (pql_functions.py:820-828): (name, value) table
         import os as _os
@@ -3307,7 +3311,8 @@ _FUNCTIONS = set(_AGG_MAP) | set(_SCALAR_MAP) | {
     # escape hatches / set-op function spellings / environment
     # introspection (pql_functions.py:43-73,125-130,351-417,820-828)
     "cast", "table_concat", "table_union", "table_intersect",
-    "table_substract", "env_vars", "get_db_type", "force_eval",
+    "table_substract", "table_subtract", "env_vars", "get_db_type",
+    "force_eval",
     "inspect_sql", "PY", "debug", "breakpoint",
     "exit", "connect", "get_qualified_name", "set_setting",
     "set_active_dataset"}

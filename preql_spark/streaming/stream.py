@@ -526,6 +526,43 @@ def _ingest_run_id(spark: SparkSession, checkpoint: str) -> str:
     return rid
 
 
+def _bridge_legacy_state(st: DataFrame) -> DataFrame:
+    """Migration shim for ingest states written by the pre-guard
+    release (no ``run_id``/``batch_id`` columns): stamp them as a
+    closed legacy lineage — ``run_id='__legacy__'``, ``batch_id=-1``
+    — so resume neither throws AnalysisException on the guard's
+    column select nor collides with any real lineage (real run_ids
+    are uuid4 hexes, real epochs are >= 0).  Handles both an
+    all-legacy directory (columns absent entirely) and a MIXED one
+    (legacy files merged-schema'd in as nulls after new-schema waves
+    appended — read states via :func:`_read_state` so the merge
+    happens).  New-schema rows pass through untouched: every real
+    row is stamped with literal guard values at write time, so a
+    null there can only mean a legacy file."""
+    if "batch_id" not in st.columns:
+        st = st.withColumn("batch_id", F.lit(-1).cast("long"))
+    else:
+        st = st.withColumn(
+            "batch_id", F.coalesce(F.col("batch_id").cast("long"),
+                                   F.lit(-1).cast("long")))
+    if "run_id" not in st.columns:
+        st = st.withColumn("run_id", F.lit("__legacy__"))
+    else:
+        st = st.withColumn(
+            "run_id", F.coalesce(F.col("run_id"), F.lit("__legacy__")))
+    return st
+
+
+def _read_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Read an append-only ingest state with ``mergeSchema`` (a dir
+    can mix pre-guard legacy files with new-schema waves — without
+    the merge, Spark may pick the legacy file's schema and silently
+    drop the guard columns from every NEW file) and bridge legacy
+    rows to the closed ``('__legacy__', -1)`` lineage."""
+    return _bridge_legacy_state(
+        spark.read.option("mergeSchema", "true").parquet(state_path))
+
+
 def incremental_frequent_items_ingest(
         spark: SparkSession, src_path: str, store_path: str,
         checkpoint: str, id_col: str = "doc_id",
@@ -601,7 +638,7 @@ def incremental_frequent_items_ingest(
         batch = batch.persist()
         if hadoop_dir_has_files(s, state_path):
             done = {(r["run_id"], r["batch_id"]) for r in
-                    s.read.parquet(state_path)
+                    _read_state(s, state_path)
                     .select("run_id", "batch_id").distinct()
                     .collect()}
             if (run_id, int(batch_id)) in done:
@@ -636,7 +673,7 @@ def incremental_frequent_items_ingest(
          .start())
     q.awaitTermination()
 
-    state = spark.read.parquet(state_path)
+    state = _read_state(spark, state_path)
     n = (state.filter(F.col("item").isNull())
          .agg(F.sum("est")).collect()[0][0] or 0)
     store_items = _items(spark.read.parquet(store_path))
@@ -708,7 +745,7 @@ def incremental_quantile_ingest(
                             F.lit(int(batch_id)).cast("long"))
                 .withColumn("run_id", F.lit(run_id)))
         if hadoop_dir_has_files(s, state_path):
-            st = s.read.parquet(state_path)
+            st = _read_state(s, state_path)
             rows = rows.join(
                 st.select("run_id", "batch_id").distinct(),
                 ["run_id", "batch_id"], "left_anti")
@@ -726,9 +763,10 @@ def incremental_quantile_ingest(
          .start())
     q.awaitTermination()
 
-    merged = (spark.read.parquet(state_path)
+    merged = (_read_state(spark, state_path)
               .drop("run_id", "batch_id")
-              .groupBy("g", "v").agg(F.sum("cnt").alias("cnt")))
+              .groupBy("g", "v").agg(F.sum("cnt").alias("cnt"))
+              .filter(F.col("cnt") > 0))   # drop per-run carrier rows
     aggs = [F.sum("cnt").alias("n")]
     for p in qs:
         aggs.append(F.percentile("v", F.lit(float(p)), F.col("cnt"))
@@ -812,21 +850,31 @@ def incremental_hll_ingest(
     Two-wave ingestion is IDENTICAL to one-shot sketching of the full
     corpus (sketch union is associative/commutative, pytest-pinned),
     so unlike :func:`incremental_distinct_ingest` — whose state grows
-    with the true cardinality — this state is a fixed 2^lg_k
-    registers per group: the 100 TB path when the inventory itself
-    no longer fits.  NULL values are ignored (COUNT DISTINCT
-    semantics).
+    with the true cardinality — this state is bounded by 2^lg_k
+    registers per group per wave (compact long histories with
+    :func:`compact_ingest_state`, kind ``"hll"``): the 100 TB path
+    when the inventory itself no longer fits.  NULL values are
+    ignored (COUNT DISTINCT semantics).
 
-    The batch-to-state union runs distributed (``hll_union_agg``);
-    only the merged per-group sketch rows cross the driver for the
-    state overwrite — bounded by |groups| x 2^lg_k bytes, the same
-    contract as the histogram state.  Ids anti-join first and append
-    LAST (the fold-before-append ordering every ingest here follows).
-    """
-    from pyspark.sql import types as T
+    Idempotence — including the crash windows: the state is
+    APPEND-ONLY per-batch sketch rows keyed by the micro-batch epoch
+    id (stable across checkpoint replays) plus the checkpoint
+    lineage's run_id, guarded by a distributed anti-join on that key
+    — the same contract as the histogram / t-digest / frequent-items
+    siblings.  The previous overwrite-merged state had a crash
+    window: ``mode("overwrite")`` deletes the ONLY state copy before
+    the new file commits, so a crash inside the write silently lost
+    every prior wave's sketch while the ids append made the replay
+    look complete.  Append-only closes it: a batch re-delivered
+    after a crash between the state and ids appends rebuilds the
+    same rows, the (run_id, batch_id) guard drops them, and only the
+    ids append completes.  Nothing ever crosses the driver — batch
+    sketching, the guard, and the append all run distributed; the
+    report unions all wave rows per group (``hll_union_agg``)."""
     from preql_spark.parquet_io import hadoop_dir_has_files
 
     schema = spark.read.parquet(src_path).schema  # footer-only peek
+    run_id = _ingest_run_id(spark, checkpoint)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
@@ -841,19 +889,16 @@ def incremental_hll_ingest(
               .filter(F.col("v").isNotNull())
               .groupBy("g")
               .agg(F.hll_sketch_agg("v", F.lit(int(lg_k)))
-                   .alias("sketch")))
+                   .alias("sketch"))
+              .withColumn("batch_id",
+                          F.lit(int(batch_id)).cast("long"))
+              .withColumn("run_id", F.lit(run_id)))
         if hadoop_dir_has_files(s, state_path):
-            sk = (s.read.parquet(state_path).unionByName(sk)
-                  .groupBy("g")
-                  .agg(F.hll_union_agg("sketch").alias("sketch")))
-        merged = sk.collect()   # |groups| rows of 2^lg_k-byte blobs
-        st_schema = T.StructType([
-            T.StructField("g", batch.schema[group_col].dataType),
-            T.StructField("sketch", T.BinaryType()),
-        ])
-        s.createDataFrame([(r["g"], r["sketch"]) for r in merged],
-                          schema=st_schema) \
-            .coalesce(1).write.mode("overwrite").parquet(state_path)
+            st = _read_state(s, state_path)
+            sk = sk.join(st.select("run_id", "batch_id").distinct(),
+                         ["run_id", "batch_id"], "left_anti")
+        # single-file epoch commit (see the histogram sibling)
+        sk.coalesce(1).write.mode("append").parquet(state_path)
         batch.select(id_col).write.mode("append").parquet(ids_path)
         batch.unpersist(blocking=False)
 
@@ -864,10 +909,11 @@ def incremental_hll_ingest(
          .start())
     q.awaitTermination()
 
-    return (spark.read.parquet(state_path)
-            .select(F.col("g").alias(group_col),
-                    F.hll_sketch_estimate("sketch")
-                    .alias("n_distinct_approx")))
+    return (_read_state(spark, state_path)
+            .filter(F.col("sketch").isNotNull())
+            .groupBy(F.col("g").alias(group_col))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+                 .alias("n_distinct_approx")))
 
 
 def incremental_tdigest_ingest(
@@ -926,7 +972,7 @@ def incremental_tdigest_ingest(
             .withColumn("batch_id", F.lit(int(batch_id)).cast("long")) \
             .withColumn("run_id", F.lit(run_id))
         if hadoop_dir_has_files(s, state_path):
-            st = s.read.parquet(state_path)
+            st = _read_state(s, state_path)
             dig = dig.join(st.select("run_id", "batch_id").distinct(),
                            ["run_id", "batch_id"], "left_anti")
         # single-file epoch commit (see the histogram sibling)
@@ -942,7 +988,8 @@ def incremental_tdigest_ingest(
     q.awaitTermination()
 
     merged = tdigest_merge(
-        spark.read.parquet(state_path).drop("run_id", "batch_id"),
+        _read_state(spark, state_path).filter(F.col("n") > 0)
+        .drop("run_id", "batch_id"),     # n == 0: per-run carriers
         "g", delta=delta)
     est = tdigest_quantiles(merged, "g", qs)
     return (est.join(merged.select("g", "n"), "g")
@@ -959,12 +1006,25 @@ def compact_ingest_state(spark: SparkSession, state_path: str,
     the new row count.  ``kind``: ``"histogram"``
     (:func:`incremental_quantile_ingest` — counters sum per (g, v)),
     ``"tdigest"`` (:func:`incremental_tdigest_ingest` — digest
-    merge), or ``"frequent"``
+    merge), ``"frequent"``
     (:func:`incremental_frequent_items_ingest` — Misra-Gries
     mergeable fold at ``capacity``, which preserves the candidate
-    bound).  The merged rows keep the max committed (run_id,
-    batch_id) so the replay guard still rejects every already-folded
-    epoch of the current lineage.
+    bound), or ``"hll"`` (:func:`incremental_hll_ingest` — sketch
+    union per group).
+
+    Replay-guard preservation: the merged data rows are stamped with
+    the GLOBALLY max committed (run_id, batch_id); every OTHER
+    run_id present in the state keeps one zero-weight CARRIER row
+    holding its own max batch_id.  Per-run carriers matter because
+    the guard is an exact (run_id, batch_id) membership test and the
+    crash-window epoch that can replay belongs to whichever lineage
+    resumes: with a single global carrier, an older lineage holding
+    the higher epoch number would erase the CURRENT lineage's max
+    epoch and let its replayed crash-window batch double-fold.
+    Carrier rows are inert by construction (cnt = 0 / n = 0 / est 0
+    on the NULL item / NULL sketch) and filtered by every report.
+    Pre-guard legacy states bridge to the closed ``('__legacy__',
+    -1)`` lineage before folding.
 
     RUN ONLY WHILE THE STREAM IS STOPPED: compaction rewrites
     committed waves; an in-flight uncommitted batch is unaffected
@@ -979,21 +1039,41 @@ def compact_ingest_state(spark: SparkSession, state_path: str,
     merge the report already performs."""
     from preql_spark.parquet_io import _hadoop_fs_path
 
-    st = spark.read.parquet(state_path)
-    top = (st.orderBy(F.col("batch_id").desc(),
-                      F.col("run_id").desc())
-           .select("run_id", "batch_id").first())
-    bid = F.lit(int(top["batch_id"])).cast("long").alias("batch_id")
-    rid = F.lit(top["run_id"]).alias("run_id")
+    st = _read_state(spark, state_path)
+    tops = {r["run_id"]: int(r["mb"]) for r in
+            st.groupBy("run_id")
+              .agg(F.max("batch_id").alias("mb")).collect()}
+    top_run = max(tops, key=lambda k: (tops[k], k))
+    top_bid = tops[top_run]
+    bid = F.lit(top_bid).cast("long").alias("batch_id")
+    rid = F.lit(top_run).alias("run_id")
+    others = [(r, tops[r]) for r in sorted(tops) if r != top_run]
+    g_type = (st.schema["g"].dataType.simpleString()
+              if "g" in st.columns else None)
     if kind == "histogram":
         out = (st.groupBy("g", "v").agg(F.sum("cnt").alias("cnt"))
+               .filter(F.col("cnt") > 0)     # old carriers, if any
                .select("g", "v", "cnt", bid, rid))
+        if others:
+            out = out.unionByName(spark.createDataFrame(
+                [(None, None, 0, b, r) for r, b in others],
+                schema=f"g {g_type}, v bigint, cnt bigint,"
+                       " batch_id bigint, run_id string"))
     elif kind == "tdigest":
         from preql_spark.operators.sketch import tdigest_merge
-        out = (tdigest_merge(st.drop("run_id", "batch_id"), "g",
+        out = (tdigest_merge(st.filter(F.col("n") > 0)
+                             .drop("run_id", "batch_id"), "g",
                              delta=delta)
                .select("g", "means", "weights", "vmin", "vmax", "n",
                        bid, rid))
+        if others:
+            out = out.unionByName(spark.createDataFrame(
+                [(None, [], [], None, None, 0, b, r)
+                 for r, b in others],
+                schema=f"g {g_type}, means array<double>,"
+                       " weights array<double>, vmin double,"
+                       " vmax double, n bigint, batch_id bigint,"
+                       " run_id string"))
     elif kind == "frequent":
         from preql_spark.operators.sketch import mg_merge
         rows = st.collect()          # summary state: kilobytes
@@ -1005,11 +1085,23 @@ def compact_ingest_state(spark: SparkSession, state_path: str,
                                for r in rows
                                if r["item"] is not None), cap)
         out = spark.createDataFrame(
-            [(k, int(v), int(top["batch_id"]), top["run_id"])
+            [(k, int(v), top_bid, top_run)
              for k, v in counts.items()]
-            + [(None, int(n), int(top["batch_id"]), top["run_id"])],
+            + [(None, int(n), top_bid, top_run)]
+            # per-run carriers: item NULL / est 0 adds nothing to n
+            + [(None, 0, b, r) for r, b in others],
             schema="item string, est bigint, batch_id bigint,"
                    " run_id string")
+    elif kind == "hll":
+        out = (st.filter(F.col("sketch").isNotNull())
+               .groupBy("g")
+               .agg(F.hll_union_agg("sketch").alias("sketch"))
+               .select("g", "sketch", bid, rid))
+        if others:
+            out = out.unionByName(spark.createDataFrame(
+                [(None, None, b, r) for r, b in others],
+                schema=f"g {g_type}, sketch binary,"
+                       " batch_id bigint, run_id string"))
     else:
         raise ValueError(f"unknown state kind {kind!r}")
     tmp = state_path.rstrip("/") + "__compact"

@@ -1439,6 +1439,13 @@ def test_builtin_escape_hatches_golden(leng):
     assert leng.q('count(table_union([1,2],[2,3]))') == 3
     assert leng.q('list(table_intersect([1,2],[2,3]))') == [2]
     assert leng.q('list(table_substract([1,2],[2]))') == [1]
+    # the name the reference actually REGISTERS is the correctly
+    # spelled one (pql_functions.py:1111 'table_subtract':
+    # pql_table_substract) — a reference user calls table_subtract;
+    # both spellings must resolve
+    assert leng.q('list(table_subtract([1,2],[2]))') == [1]
+    assert leng.q('list(table_subtract(["a","b","c"],["b"]))') \
+        == ["a", "c"]
     assert leng.q('count(env_vars()) > 0')
     assert leng.q('env_vars()').df.columns == ["name", "value"]
     assert leng.q('get_db_type()') == "spark"

@@ -648,7 +648,8 @@ def test_incremental_distinct_ingest_equals_batch(spark, eng, tmp_path):
 def test_incremental_hll_ingest_equals_batch(spark, eng, tmp_path):
     """Two-wave HLL ingest == one-shot hll_sketch_agg over the full
     corpus (sketch union is register-wise max, exactly mergeable);
-    replay is a no-op; state is one bounded sketch row per group."""
+    replay is a no-op; state is append-only per-(group, wave) sketch
+    rows guarded by (run_id, batch_id)."""
     from preql_spark.streaming.stream import incremental_hll_ingest
     src = str(tmp_path / "src")
     st = str(tmp_path / "state")
@@ -671,8 +672,95 @@ def test_incremental_hll_ingest_equals_batch(spark, eng, tmp_path):
     out2 = incremental_hll_ingest(spark, src, ck, st, ids)
     assert {(r.source, r.n_distinct_approx)
             for r in out2.collect()} == inc
+    # append-only: one sketch row per (group, wave), two waves, and
+    # a replay appends nothing
     state = spark.read.parquet(st)
-    assert state.count() == len(inc)   # ONE sketch row per group
+    assert state.count() == 2 * len(inc)
+    assert state.select("batch_id").distinct().count() == 2
+
+
+def test_hll_ingest_crash_window_no_state_loss(spark, eng, tmp_path):
+    """The r8-review crash window: the writer dies AFTER the epoch's
+    state append but BEFORE the ids append.  The restart re-delivers
+    the whole epoch (no ids were written), the (run_id, batch_id)
+    anti-join drops the rebuilt sketch rows, only the ids append
+    completes — and, crucially, no prior wave's sketch is lost (the
+    old overwrite-merged state deleted its only copy mid-write).
+    Report must equal the one-shot sketch of the full corpus."""
+    from preql_spark.streaming.stream import (_ingest_run_id,
+                                              incremental_hll_ingest)
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "state")
+    ids = str(tmp_path / "ids")
+    ck = str(tmp_path / "ck")
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_hll_ingest(spark, src, ck, st, ids)
+    # wave 2 lands in src; simulate the crash: epoch 1's sketch rows
+    # reach the state, the ids append never happens, the checkpoint
+    # never commits
+    wave2 = d.filter(F.col("doc_id") >= 250)
+    wave2.write.mode("append").parquet(src)
+    run_id = _ingest_run_id(spark, ck)
+    (wave2.select(F.col("source").alias("g"),
+                  F.col("text").cast("string").alias("v"))
+     .filter(F.col("v").isNotNull())
+     .groupBy("g").agg(F.hll_sketch_agg("v", F.lit(12)).alias("sketch"))
+     .withColumn("batch_id", F.lit(1).cast("long"))
+     .withColumn("run_id", F.lit(run_id))
+     .coalesce(1).write.mode("append").parquet(st))
+    # restart: epoch 1 re-delivers in full (ids absent for wave 2)
+    out = incremental_hll_ingest(spark, src, ck, st, ids)
+    inc = {(r.source, r.n_distinct_approx) for r in out.collect()}
+    one = {(r.source, r.n) for r in
+           d.select("source", F.col("text").cast("string").alias("v"))
+            .filter("v is not null")
+            .groupBy("source")
+            .agg(F.hll_sketch_estimate(
+                F.hll_sketch_agg("v", F.lit(12))).alias("n"))
+            .collect()}
+    assert inc == one and len(inc) > 0
+    # the guard dropped the replayed fold: still one row per
+    # (group, wave), and wave 2's ids are now committed
+    state = spark.read.parquet(st)
+    assert state.count() == 2 * len(inc)
+    assert (spark.read.parquet(ids).count()
+            == d.select("doc_id").distinct().count())
+
+
+def test_hll_ingest_resumes_legacy_state(spark, eng, tmp_path):
+    """A state written by the pre-guard release (bare (g, sketch)
+    rows, no run_id/batch_id) must resume: the mergeSchema read plus
+    the legacy bridge stamp it as the closed ('__legacy__', -1)
+    lineage, the new wave folds alongside it, and the report equals
+    the one-shot sketch.  HLL union idempotence makes the legacy
+    rows safe to keep as-is."""
+    from preql_spark.streaming.stream import incremental_hll_ingest
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "state")
+    ids = str(tmp_path / "ids")
+    ck = str(tmp_path / "ck")
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    wave1 = d.filter(F.col("doc_id") < 250)
+    # hand-write the LEGACY state + ids exactly as the old release
+    # left them: merged (g, sketch) rows, ids appended
+    (wave1.select(F.col("source").alias("g"),
+                  F.col("text").cast("string").alias("v"))
+     .filter(F.col("v").isNotNull())
+     .groupBy("g").agg(F.hll_sketch_agg("v", F.lit(12)).alias("sketch"))
+     .coalesce(1).write.mode("overwrite").parquet(st))
+    wave1.select("doc_id").write.mode("overwrite").parquet(ids)
+    d.write.mode("overwrite").parquet(src)   # wave 2 = the rest
+    out = incremental_hll_ingest(spark, src, ck, st, ids)
+    inc = {(r.source, r.n_distinct_approx) for r in out.collect()}
+    one = {(r.source, r.n) for r in
+           d.select("source", F.col("text").cast("string").alias("v"))
+            .filter("v is not null")
+            .groupBy("source")
+            .agg(F.hll_sketch_estimate(
+                F.hll_sketch_agg("v", F.lit(12))).alias("n"))
+            .collect()}
+    assert inc == one and len(inc) > 0
 
 
 def test_incremental_tdigest_ingest_accuracy_and_replay(
@@ -809,6 +897,128 @@ def test_compact_frequent_state_preserves_report(spark, eng, tmp_path):
     after = {(r.item, r.cnt) for r in
              incremental_frequent_items_ingest(
                  spark, src, store, ck, phi=0.01).collect()}
+    assert after == before
+
+
+def test_compact_multi_lineage_keeps_per_run_carriers(spark, eng,
+                                                      tmp_path):
+    """The r8-review two-lineage double-fold: lineage A commits
+    epochs 0 and 1, a FRESH checkpoint (lineage B) commits epoch 0,
+    then B's epoch 1 crashes in the state-written/ids-missing
+    window.  Compaction must keep a carrier for EVERY run's max
+    epoch — a single global carrier would keep only (A, 1), erase
+    (B, 1), and let the replayed crash-window batch double-fold.
+    After compaction + restart the report equals the one-shot
+    percentile over all four waves."""
+    from preql_spark.streaming.stream import (_ingest_run_id,
+                                              compact_ingest_state,
+                                              incremental_quantile_ingest)
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "state")
+    ids = str(tmp_path / "ids")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    expr = r"size(split(trim(text), '\\s+'))"
+    # lineage A: epochs 0 and 1
+    d.filter(F.col("doc_id") < 150).write.mode("overwrite").parquet(src)
+    incremental_quantile_ingest(spark, src, ck1, st, ids,
+                                value_expr=expr)
+    d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)) \
+        .write.mode("append").parquet(src)
+    incremental_quantile_ingest(spark, src, ck1, st, ids,
+                                value_expr=expr)
+    # lineage B (fresh checkpoint): epoch 0
+    d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)) \
+        .write.mode("append").parquet(src)
+    incremental_quantile_ingest(spark, src, ck2, st, ids,
+                                value_expr=expr)
+    rid_a = _ingest_run_id(spark, ck1)
+    rid_b = _ingest_run_id(spark, ck2)
+    # B's epoch 1 crash window: state rows written, ids NOT
+    wave4 = d.filter(F.col("doc_id") >= 400)
+    wave4.write.mode("append").parquet(src)
+    (wave4.select(F.col("source").alias("g"),
+                  F.expr(expr).cast("long").alias("v"))
+     .groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+     .withColumn("batch_id", F.lit(1).cast("long"))
+     .withColumn("run_id", F.lit(rid_b))
+     .coalesce(1).write.mode("append").parquet(st))
+    compact_ingest_state(spark, st, kind="histogram")
+    pairs = {(r.run_id, r.batch_id) for r in
+             spark.read.parquet(st)
+             .select("run_id", "batch_id").distinct().collect()}
+    # data rows carry A's max epoch; B keeps its own max as a carrier
+    assert pairs == {(rid_a, 1), (rid_b, 1)}
+    # restart lineage B: epoch 1 re-delivers in full (no ids), the
+    # guard must drop the rebuilt histogram — not double-fold it
+    out = incremental_quantile_ingest(spark, src, ck2, st, ids,
+                                      value_expr=expr)
+    one = {(r.source, r.n, r.p50, r.p90) for r in
+           d.select("source", F.expr(expr).cast("long").alias("v"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.percentile("v", F.lit(0.5)).alias("p50"),
+                 F.percentile("v", F.lit(0.9)).alias("p90"))
+            .collect()}
+    assert {(r.source, r.n, r.p50, r.p90) for r in out.collect()} == one
+
+
+def test_quantile_ingest_resumes_legacy_state(spark, eng, tmp_path):
+    """A histogram state written by the pre-guard release (no
+    run_id/batch_id columns) must resume instead of throwing
+    AnalysisException: the mergeSchema read + legacy bridge stamp
+    the old rows as the closed ('__legacy__', -1) lineage and the
+    new wave folds alongside them."""
+    from preql_spark.streaming.stream import incremental_quantile_ingest
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "state")
+    ids = str(tmp_path / "ids")
+    ck = str(tmp_path / "ck")
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    expr = r"size(split(trim(text), '\\s+'))"
+    wave1 = d.filter(F.col("doc_id") < 250)
+    # hand-write the legacy state/ids: bare (g, v, cnt) rows
+    (wave1.select(F.col("source").alias("g"),
+                  F.expr(expr).cast("long").alias("v"))
+     .groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+     .coalesce(1).write.mode("overwrite").parquet(st))
+    wave1.select("doc_id").write.mode("overwrite").parquet(ids)
+    d.write.mode("overwrite").parquet(src)
+    out = incremental_quantile_ingest(spark, src, ck, st, ids,
+                                      value_expr=expr)
+    one = {(r.source, r.n, r.p50, r.p90) for r in
+           d.select("source", F.expr(expr).cast("long").alias("v"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.percentile("v", F.lit(0.5)).alias("p50"),
+                 F.percentile("v", F.lit(0.9)).alias("p90"))
+            .collect()}
+    assert {(r.source, r.n, r.p50, r.p90) for r in out.collect()} == one
+    # the legacy rows were stamped, not rewritten
+    assert (spark.read.option("mergeSchema", "true").parquet(st)
+            .filter(F.col("run_id").isNull()).count() > 0)
+
+
+def test_compact_hll_state_preserves_report(spark, eng, tmp_path):
+    """Compacting the HLL sketch state (union per group) leaves the
+    next report identical — sketch union is idempotent, so this is
+    the safest compaction of the family."""
+    from preql_spark.streaming.stream import (compact_ingest_state,
+                                              incremental_hll_ingest)
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "state")
+    ids = str(tmp_path / "ids")
+    ck = str(tmp_path / "ck")
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_hll_ingest(spark, src, ck, st, ids)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    before = {(r.source, r.n_distinct_approx) for r in
+              incremental_hll_ingest(spark, src, ck, st, ids).collect()}
+    n = compact_ingest_state(spark, st, kind="hll")
+    assert n == len(before)
+    after = {(r.source, r.n_distinct_approx) for r in
+             incremental_hll_ingest(spark, src, ck, st, ids).collect()}
     assert after == before
 
 
