@@ -2503,8 +2503,11 @@ def q173_mad_outliers(spark, sf_dir) -> DataFrame:
 def q174_hll_ingest(spark, sf_dir) -> DataFrame:
     """Two-wave streaming HLL distinct-count maintenance: per-group
     DataSketches sketches union across waves (register-wise max —
-    exactly mergeable), state is ONE bounded sketch row per group,
-    report estimates from the state.  Two-wave == one-shot sketching
+    exactly mergeable), state is APPEND-ONLY per-(group, wave)
+    sketch rows guarded by (run_id, batch_id) — the crash-safe
+    contract of the histogram/t-digest siblings, closing the old
+    overwrite-merge's state-loss window — and the report unions the
+    wave rows per group distributed.  Two-wave == one-shot sketching
     is pytest-pinned; no DuckDB oracle exists for DataSketches HLL,
     so this entry is rows-only by design (the bounded-state sibling
     of the exact q168 inventory)."""
@@ -2810,6 +2813,46 @@ def q192_conversion_drift(spark, sf_dir) -> DataFrame:
     return ks_statistic(lab, "monetary_cents", "side", "conv", "non")
 
 
+def q195_psi_ingest(spark, sf_dir) -> DataFrame:
+    """Streaming drift capstone: two-wave maintenance of the exact
+    per-(side, value) histogram state — the (run_id, batch_id)
+    append-only contract of the quantile ingest — then PSI between
+    src1 and src2 document lengths computed FROM THE STATE.  The
+    state is lossless, so two-wave == one-shot == batch PSI over the
+    raw corpus, and the oracle computes that PSI directly in SQL —
+    a full value-level check of an incremental drift monitor."""
+    from preql_spark.streaming.stream import incremental_psi_ingest
+    eng = _eng(spark, sf_dir)
+    tmp = _scratch("q195_")
+    src, st, ids, ck = (os.path.join(tmp, x)
+                        for x in ("src", "st", "ids", "ck"))
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    kw = dict(side_a="src1", side_b="src2", side_col="source",
+              value_expr="length(text)")
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_psi_ingest(spark, src, ck, st, ids, **kw)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    return incremental_psi_ingest(spark, src, ck, st, ids, **kw) \
+        .select("n_a", "n_b", "psi")
+
+
+def q194_containment_capped(spark, sf_dir) -> DataFrame:
+    """q184's asymmetric containment WITH the hot-shingle n²-defense
+    graded: ``max_doc_freq=2`` drops every shingle shared by more
+    than 2 of the 150 docs BEFORE the equi-join (stopword shingles
+    are the quadratic blowup at corpus scale — a shingle in f docs
+    contributes f² join rows); |A| is recomputed over the PRUNED
+    shingle set so the measure stays a true containment of the kept
+    shingles.  The pruning is plan-real (left_semi against the
+    doc-freq filter) and pytest-asserted to shrink the join input on
+    this very slice."""
+    from preql_spark.operators.dedup import ngram_containment_pairs
+    d = _eng(spark, sf_dir).t.documents
+    return ngram_containment_pairs(
+        d.df.filter(F.col("doc_id") < 150), "doc_id",
+        threshold=0.6, max_doc_freq=2)
+
+
 def q193_rfm_scale_safe(spark, sf_dir) -> DataFrame:
     """q170's RFM segmentation FORCING the billion-user tile plan
     (``windowed=False``): each score runs the exact-global-ntile
@@ -3014,6 +3057,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q182_attribution": q182_attribution,
     "q183_psi_drift": q183_psi_drift,
     "q184_containment_pairs": q184_containment_pairs,
+    "q194_containment_capped": q194_containment_capped,
+    "q195_psi_ingest": q195_psi_ingest,
     "q185_weighted_pagerank": q185_weighted_pagerank,
     "q186_assortativity": q186_assortativity,
     "q187_lang_shipping_priority": q187_lang_shipping_priority,
@@ -3027,9 +3072,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q152_weighted_hybrid_search": q152_weighted_hybrid_search,
     "q159_retrieve_refine_diversify": q159_retrieve_refine_diversify,
     "q160_bpe_pair_counts": q160_bpe_pair_counts,
-    "q161_ngram_diversity": q161_ngram_diversity,
     "q148_scrub_contaminated_spans": q148_scrub_contaminated_spans,
-    "q149_topk_per_group": q149_topk_per_group,
     "q150_dsir_resample": q150_dsir_resample,
     "q134_temptable_agg": q134_temptable_agg,
     "q135_salted_join": q135_salted_join,
@@ -3037,7 +3080,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
     "q125_lang_in_table": q125_lang_in_table,
     "q126_stream_neardup_ingest": q126_stream_neardup_ingest,
-    "q129_four_way_chain": q129_four_way_chain,
     "q131_sqlite_roundtrip": q131_sqlite_roundtrip,
     "q95_repetition_metrics": q95_repetition_metrics,
     "q116_audio_features": q116_audio_features,
@@ -3049,6 +3091,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_pack_sequences": q75_pack_sequences,
     "q78_interval_join": q78_interval_join,
     # ---- end of the 50-entry driver window -------------------------
+    # rotated out for r9 (all r8-green per CORRECTNESS_r08; family
+    # keeps an in-window representative): q161 (text diversity:
+    # q95/q160/q175 remain), q149 (grouped top-k: q187's
+    # TakeOrdered + q152's ranked lists remain), q129 (join chain:
+    # q187 n-ary join + q135 salted + q78 interval remain) — making
+    # room for this round's NEW graded queries q193 (forced
+    # scale-safe RFM ntile plan), q194 (containment with the
+    # hot-shingle max_doc_freq cap), q195 (streaming PSI ingest).
+    # Every r9-TOUCHED code path stays in-window for external
+    # re-confirmation: q170/q193 (rfm), q174 (HLL append-only
+    # rewrite), q183/q195 (psi refactor), q179/q188/q192 (KS/MW
+    # domain guard), q190 (HITS in-plan rescale), q184/q194
+    # (containment).
+    "q161_ngram_diversity": q161_ngram_diversity,
+    "q149_topk_per_group": q149_topk_per_group,
+    "q129_four_way_chain": q129_four_way_chain,
     # rotated out for r8 (all r7-green per CORRECTNESS_r07; families
     # kept in-window per the r8 rotation log above):
     "q162_funnel": q162_funnel,
@@ -5935,6 +5993,68 @@ ORACLES: dict[str, str] = {
         SELECT id_a, id_b, i / sizes.n AS containment
         FROM inter JOIN sizes ON inter.id_a = sizes.doc_id
         WHERE i / sizes.n >= 0.9
+    """,
+    # the streaming PSI state is a lossless per-(side, value)
+    # histogram, so the oracle is simply batch PSI over the raw rows
+    # (q183's SQL shape on documents: sides src1/src2, v = length)
+    "q195_psi_ingest": """
+        WITH e AS (SELECT source,
+                          CAST(length(text) AS BIGINT) AS v
+                   FROM documents
+                   WHERE source IN ('src1', 'src2')),
+        bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM e),
+        b AS (SELECT (v - lo) * 10 // (hi - lo + 1) AS bucket,
+                     source FROM e, bounds),
+        cnt AS (SELECT bucket,
+                       CAST(sum(CASE WHEN source = 'src1'
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                         AS ca,
+                       CAST(sum(CASE WHEN source = 'src2'
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                         AS cb
+                FROM b GROUP BY bucket),
+        allb AS (SELECT r.bucket, coalesce(ca, 0) AS ca,
+                        coalesce(cb, 0) AS cb
+                 FROM (SELECT unnest(range(0, 10)) AS bucket) r
+                 LEFT JOIN cnt USING (bucket)),
+        n AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                     CAST(sum(cb) AS BIGINT) AS n_b FROM allb)
+        SELECT n.n_a, n.n_b,
+               list_reduce(
+                 list(((CAST(ca AS DOUBLE) + 1.0) / (n.n_a + 10)
+                       - (CAST(cb AS DOUBLE) + 1.0) / (n.n_b + 10))
+                      * ln(((CAST(ca AS DOUBLE) + 1.0)
+                            / (n.n_a + 10))
+                           / ((CAST(cb AS DOUBLE) + 1.0)
+                              / (n.n_b + 10)))
+                      ORDER BY bucket),
+                 (a, b) -> a + b) AS psi
+        FROM allb, n GROUP BY n.n_a, n.n_b
+    """,
+    # q184 with the hot-shingle cap: shingles in more than 2 docs are
+    # pruned BEFORE the equi-join; |A| recomputed over the kept set
+    "q194_containment_capped": r"""
+        WITH docs AS (SELECT * FROM documents WHERE doc_id < 150),
+        t AS (SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks
+              FROM docs),
+        sh0 AS (SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(toks, i, i + 2), ' ')
+                         AS s
+                FROM t, UNNEST(range(1, greatest(len(toks) - 1, 2)))
+                        AS r(i)),
+        keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 2),
+        sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                  FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(count(*) AS BIGINT) AS i
+                  FROM sh a JOIN sh b
+                    ON a.s = b.s AND a.doc_id <> b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b, i / sizes.n AS containment
+        FROM inter JOIN sizes ON inter.id_a = sizes.doc_id
+        WHERE i / sizes.n >= 0.6
     """,
     # q171's integer rounds with per-edge weights:
     # contrib = (rank * w) // wsum

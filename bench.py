@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "q137_duplicate_spans",  # substring-level dup spans (gram hash + interval merge)
     "q138_pq_adc_topk",      # product-quantization ADC top-k (8-byte codes)
     "q145_hybrid_search",    # RRF fusion of BM25 + cosine retrieval legs
+    "q185_weighted_pagerank",# iterative Pregel loop (graph family)
 ]
 
 

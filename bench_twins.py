@@ -647,6 +647,58 @@ def q145_hybrid_search(spark, sf_dir):
     return out.select("doc_id", rs.alias("rrf_score"), "rank")
 
 
+def q185_weighted_pagerank(spark, sf_dir):
+    """Hand weighted PageRank: three exact-int rounds over the
+    bidirectional supplier<->part multiplicity graph — contrib =
+    (rank * w) DIV wsum, rank' = base + (inflow * 17) DIV 20 — with
+    the up-front edge+out-weight join co-partitioned by src ONCE (so
+    each round shuffles only the |nodes| rank table), non-eager
+    localCheckpoints cutting lineage, and the in-plan positive-int64
+    weight check the 2^63 overflow contract demands."""
+    li = _read(spark, sf_dir, "lineitem")
+    e = (li.groupBy(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w")))
+    ed = e.unionAll(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"), "w"))
+    wc = F.col("w").cast("long")
+    wv = F.when(wc.isNull() | (wc <= 0), F.raise_error(F.concat(
+        F.lit("pagerank: weight must be a positive int64, got "),
+        F.coalesce(F.col("w").cast("string"), F.lit("NULL"))))) \
+        .otherwise(wc)
+    ew = ed.select(F.col("src").alias("__s"),
+                   F.col("dst").alias("__d"), wv.alias("__w"))
+    nodes = (ew.select(F.col("__s").alias("node"))
+             .union(ew.select(F.col("__d").alias("node")))
+             .distinct().localCheckpoint(eager=False))
+    deg = ew.groupBy("__s").agg(F.sum("__w").alias("__deg"))
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e_deg = (ew.join(deg, "__s").repartition(nshuf, "__s")
+             .localCheckpoint(eager=False))
+    units, num, den = 1_000_000, 17, 20
+    base = (units * (den - num)) // den
+    r = nodes.select("node",
+                     F.lit(units).cast("long").alias("rank_units"))
+    for i in range(3):
+        inflow = (e_deg.join(r, e_deg["__s"] == r["node"])
+                  .select(F.col("__d").alias("node"),
+                          F.expr("(rank_units * __w) DIV __deg")
+                          .alias("__c"))
+                  .groupBy("node").agg(F.sum("__c").alias("__in")))
+        r = nodes.join(inflow, "node", "left").select(
+            "node",
+            (F.lit(base) + F.expr(
+                f"(coalesce(__in, 0L) * {num}) DIV {den}"))
+            .cast("long").alias("rank_units"))
+        if i % 3 == 2:
+            r = r.localCheckpoint(eager=False)
+    return r.select("node", "rank_units",
+                    (F.col("rank_units") / F.lit(units)).alias("pr"))
+
+
 TWINS = {
     "q01_pricing_summary": q01_pricing_summary,
     "q04_revenue_by_nation": q04_revenue_by_nation,
@@ -672,4 +724,5 @@ TWINS = {
     "q137_duplicate_spans": q137_duplicate_spans,
     "q138_pq_adc_topk": q138_pq_adc_topk,
     "q145_hybrid_search": q145_hybrid_search,
+    "q185_weighted_pagerank": q185_weighted_pagerank,
 }

@@ -570,8 +570,40 @@ def session_paths(df: DataFrame, user_col: str = "user_id",
                           F.col("path").asc()).limit(int(k))
 
 
+#: default cumulative-window domain bound for ks_statistic /
+#: mann_whitney — the exact CDFs sort the DISTINCT value domain in
+#: one task, so the domain must stay interactive-sized; a raw
+#: continuous metric (every value unique) would otherwise funnel the
+#: full row count through that task
+MAX_CDF_DOMAIN = 1_000_000
+
+
+def _domain_guard(dom: DataFrame, max_domain: int | None,
+                  fn: str) -> DataFrame | None:
+    """One-row broadcast frame whose evaluation ASSERTS the distinct
+    value domain is within ``max_domain`` — crossJoined below the
+    cumulative window so the broadcast stage materializes (and
+    fails, clearly) before the window's single task ever reads its
+    exchange.  In-plan enforcement: no extra driver action, no
+    second scan (the domain agg reuses the grouped exchange).  The
+    caller must FOLD ``__g`` into a consumed column (it is NULL when
+    the assert passes, so ``+ coalesce(cast(__g as long), 0)`` is an
+    exact no-op) — an unused guard column gets column-pruned and the
+    assert silently vanishes."""
+    if max_domain is None:
+        return None
+    return dom.agg(F.assert_true(
+        F.count(F.lit(1)) <= F.lit(int(max_domain)),
+        F.lit(f"{fn}: distinct value domain exceeds max_domain="
+              f"{int(max_domain)} — the exact-CDF window sorts the "
+              "domain in one task; quantize/round the values to "
+              "ticks first (the bounded-domain contract), or raise "
+              "max_domain explicitly")).alias("__g"))
+
+
 def ks_statistic(df: DataFrame, value_col: str, side_col: str,
-                 side_a, side_b) -> DataFrame:
+                 side_a, side_b,
+                 max_domain: int | None = MAX_CDF_DOMAIN) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov distribution-drift statistic
     between the rows where ``side_col == side_a`` and those where
     ``side_col == side_b`` — one row ``(n_a, n_b, d_stat, at_value)``
@@ -586,9 +618,13 @@ def ks_statistic(df: DataFrame, value_col: str, side_col: str,
 
     Scale shape: per-side counts collapse to the DISTINCT value
     domain before anything global happens; the cumulative window
-    runs over that bounded domain (quantize first if the domain is
-    truly unbounded — same contract as the exact quantile rollup),
-    and the answer is a TakeOrdered over it."""
+    runs over that bounded domain, and the answer is a TakeOrdered
+    over it.  The bounded-domain contract is ENFORCED: if the
+    distinct domain exceeds ``max_domain`` (default 10^6) the job
+    fails with an explicit quantize-first message BEFORE the window's
+    single task runs — raw continuous metrics (every value unique)
+    cannot silently funnel a billion rows through one task.  Pass
+    ``max_domain=None`` to opt out."""
     v = F.col(value_col)
     base = df.filter(v.isNotNull())   # standard KS ignores NULLs
     sa = (base.filter(F.col(side_col) == F.lit(side_a))
@@ -600,6 +636,13 @@ def ks_statistic(df: DataFrame, value_col: str, side_col: str,
     u = (sa.join(sb, "v", "full_outer")
          .select("v", F.coalesce("ca", F.lit(0)).alias("ca"),
                  F.coalesce("cb", F.lit(0)).alias("cb")))
+    g = _domain_guard(u, max_domain, "ks_statistic")
+    if g is not None:
+        u = (u.crossJoin(F.broadcast(g))
+             .withColumn("ca", F.col("ca")
+                         + F.coalesce(F.col("__g").cast("long"),
+                                      F.lit(0)))
+             .drop("__g"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     c = u.select("v", F.sum("ca").over(w).alias("cum_a"),
                  F.sum("cb").over(w).alias("cum_b"))
@@ -686,16 +729,37 @@ def psi(df: DataFrame, value_col: str, side_col: str,
     side = F.col(side_col)
     two = df.filter(side.isin([side_a, side_b])) \
         .select(v.alias("v"), side.alias("s"))
-    bounds = two.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
-    b = (two.crossJoin(F.broadcast(bounds))
+    vc = (two.groupBy("v")
+          .agg(F.sum(F.when(F.col("s") == F.lit(side_a), 1)
+                     .otherwise(0)).cast("long").alias("ca"),
+               F.sum(F.when(F.col("s") == F.lit(side_b), 1)
+                     .otherwise(0)).cast("long").alias("cb")))
+    return psi_from_value_counts(vc, n_buckets=B)
+
+
+def psi_from_value_counts(vc: DataFrame,
+                          n_buckets: int = 10) -> DataFrame:
+    """PSI from an EXACT per-value histogram ``(v long, ca long,
+    cb long)`` — the lossless state the streaming ingest maintains
+    (:func:`preql_spark.streaming.stream.incremental_psi_ingest`).
+    Bounds come from the histogram's own value domain, the integer
+    equal-width bucketing runs over VALUES (count-weighted bucket
+    sums — identical integers to bucketing the raw rows), and the
+    add-one-smoothed (p-q)ln(p/q) terms fold in bucket order, so
+    PSI-from-state is bit-identical to :func:`psi` over the raw
+    rows.  Scale shape: everything after the (already bounded) value
+    histogram is arithmetic over B bucket rows."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    B = int(n_buckets)
+    bounds = vc.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    b = (vc.crossJoin(F.broadcast(bounds))
          .select(F.expr(f"(v - lo) * {B} DIV (hi - lo + 1)")
-                 .alias("bucket"), "s"))
+                 .alias("bucket"), "ca", "cb"))
     cnt = (b.groupBy("bucket")
-           .agg(F.sum(F.when(F.col("s") == F.lit(side_a), 1)
-                      .otherwise(0)).cast("long").alias("ca"),
-                F.sum(F.when(F.col("s") == F.lit(side_b), 1)
-                      .otherwise(0)).cast("long").alias("cb")))
-    allb = (df.sparkSession.range(B).select(
+           .agg(F.sum("ca").cast("long").alias("ca"),
+                F.sum("cb").cast("long").alias("cb")))
+    allb = (vc.sparkSession.range(B).select(
         F.col("id").alias("bucket"))
         .join(cnt, "bucket", "left")
         .select("bucket", F.coalesce("ca", F.lit(0)).alias("ca"),
@@ -717,7 +781,8 @@ def psi(df: DataFrame, value_col: str, side_col: str,
 
 
 def mann_whitney(df: DataFrame, value_col: str, side_col: str,
-                 side_a, side_b) -> DataFrame:
+                 side_a, side_b,
+                 max_domain: int | None = MAX_CDF_DOMAIN) -> DataFrame:
     """Mann-Whitney U (rank-sum) test between two sides — one row
     ``(n_a, n_b, u, z)``: U for side a (U1 = R1 − n1(n1+1)/2, the
     scipy convention — positive z means side a ranks HIGHER) with
@@ -734,7 +799,10 @@ def mann_whitney(df: DataFrame, value_col: str, side_col: str,
 
     Scale shape: per-side counts collapse to the DISTINCT value
     domain; one cumulative window over that bounded domain (the
-    :func:`ks_statistic` contract) and a map-side moment fold."""
+    :func:`ks_statistic` contract — and the same ENFORCED
+    ``max_domain`` guard: an over-limit domain fails with a
+    quantize-first message before the window's single task runs;
+    ``max_domain=None`` opts out) and a map-side moment fold."""
     v = F.col(value_col)
     base = df.filter(v.isNotNull())
     cnt = (base.filter(F.col(side_col).isin([side_a, side_b]))
@@ -743,6 +811,13 @@ def mann_whitney(df: DataFrame, value_col: str, side_col: str,
                       .otherwise(0)).cast("long").alias("ca"),
                 F.sum(F.when(F.col(side_col) == F.lit(side_b), 1)
                       .otherwise(0)).cast("long").alias("cb")))
+    g = _domain_guard(cnt, max_domain, "mann_whitney")
+    if g is not None:
+        cnt = (cnt.crossJoin(F.broadcast(g))
+               .withColumn("ca", F.col("ca")
+                           + F.coalesce(F.col("__g").cast("long"),
+                                        F.lit(0)))
+               .drop("__g"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     c = cnt.withColumn(
         "__below", F.coalesce(F.sum(F.col("ca") + F.col("cb"))

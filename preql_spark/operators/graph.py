@@ -280,8 +280,13 @@ def hits(edges: DataFrame, iters: int = 5,
     definition.  Overflow bound: max_degree * |nodes| * units < 2^63.
 
     Scale shape: two edge joins + two keyed partial aggs per round
-    (the Pregel shape, like :func:`pagerank`), plus two scalar max
-    reductions; ``localCheckpoint`` bounds lineage."""
+    (the Pregel shape, like :func:`pagerank`); each max-rescale folds
+    its L-inf max back in AS A PLAN COLUMN — a single-row broadcast
+    crossJoin — so the whole fixed-iteration computation is ONE job
+    with zero driver actions inside the loop (a per-iteration
+    ``collect`` of the max would run a full |nodes| job twice per
+    round and, with non-eager checkpoints, recompute the lineage for
+    the following action); ``localCheckpoint`` bounds lineage."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if checkpoint_every < 1:
@@ -299,11 +304,15 @@ def hits(edges: DataFrame, iters: int = 5,
     hv = nodes.select("node", F.lit(u).cast("long").alias("h"))
 
     def _rescale(df, col):
-        mx = df.agg(F.max(col)).collect()[0][0] or 0
-        if mx <= 0:
-            return df.withColumn(col, F.lit(0).cast("long"))
-        return df.withColumn(
-            col, F.expr(f"({col} * {u}) DIV {int(mx)}"))
+        # integer L-inf normalization, all in-plan: broadcast the
+        # one-row max and divide — (x * units) DIV max, 0 when the
+        # vector is all-zero (sums are non-negative int64)
+        mx = df.agg(F.max(col).alias("__mx"))
+        return (df.crossJoin(F.broadcast(mx))
+                .withColumn(col, F.when(
+                    F.col("__mx") <= 0, F.lit(0).cast("long"))
+                    .otherwise(F.expr(f"({col} * {u}) DIV __mx")))
+                .drop("__mx"))
 
     for i in range(iters):
         av = (e.join(hv, e["__s"] == hv["node"])

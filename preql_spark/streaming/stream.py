@@ -774,6 +774,85 @@ def incremental_quantile_ingest(
     return (merged.groupBy(F.col("g").alias(group_col)).agg(*aggs))
 
 
+def incremental_psi_ingest(
+        spark: SparkSession, src_path: str, checkpoint: str,
+        state_path: str, ids_path: str,
+        side_a, side_b, side_col: str = "source",
+        value_expr: str = "length(text)", id_col: str = "doc_id",
+        n_buckets: int = 10) -> DataFrame:
+    """Streaming drift monitor: maintain the exact per-(side, value)
+    integer histogram incrementally and report the Population
+    Stability Index between the two sides FROM THE STATE — one row
+    ``(n_a, n_b, psi)``, bit-identical to
+    :func:`preql_spark.operators.events.psi` over the raw corpus.
+
+    The state is LOSSLESS (exact value counts, not bucket counts),
+    so the report can re-derive the combined min/max bounds and the
+    equal-width buckets from the state alone — two-wave ingestion ==
+    one-shot == batch PSI over all rows, with no fixed-bounds
+    registration step; that identity IS the oracle.  The value
+    domain must be discrete (the batch operator's quantize-first
+    contract), which also bounds the state by |sides| x |distinct
+    values|, never the corpus.
+
+    Idempotence — including the crash windows: APPEND-ONLY per-batch
+    histogram rows ``(g, v, cnt, batch_id, run_id)`` guarded by the
+    (run_id, batch_id) anti-join — the exact schema and contract of
+    :func:`incremental_quantile_ingest`, so
+    :func:`compact_ingest_state` (kind ``"histogram"``) applies
+    unchanged.  Ids anti-join first and append LAST."""
+    from preql_spark.parquet_io import hadoop_dir_has_files
+
+    schema = spark.read.parquet(src_path).schema  # footer-only peek
+    run_id = _ingest_run_id(spark, checkpoint)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        if hadoop_dir_has_files(s, ids_path):
+            seen = (s.read.parquet(ids_path)
+                    .select(F.col(id_col).alias("__seen")).distinct())
+            batch = batch.join(
+                seen, batch[id_col] == seen["__seen"], "left_anti")
+        batch = batch.persist()
+        rows = (batch.filter(F.col(side_col).isin([side_a, side_b]))
+                .select(F.col(side_col).alias("g"),
+                        F.expr(value_expr).cast("long").alias("v"))
+                .groupBy("g", "v")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .withColumn("batch_id",
+                            F.lit(int(batch_id)).cast("long"))
+                .withColumn("run_id", F.lit(run_id)))
+        if hadoop_dir_has_files(s, state_path):
+            st = _read_state(s, state_path)
+            rows = rows.join(
+                st.select("run_id", "batch_id").distinct(),
+                ["run_id", "batch_id"], "left_anti")
+        # single-file epoch commit (see the histogram sibling)
+        rows.coalesce(1).write.mode("append").parquet(state_path)
+        batch.select(id_col).write.mode("append").parquet(ids_path)
+        batch.unpersist(blocking=False)
+
+    q = (spark.readStream.schema(schema).parquet(src_path)
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    from preql_spark.operators.events import psi_from_value_counts
+    merged = (_read_state(spark, state_path)
+              .groupBy("g", "v").agg(F.sum("cnt").alias("cnt"))
+              .filter(F.col("cnt") > 0))   # per-run carrier rows
+    vc = (merged.groupBy("v")
+          .agg(F.sum(F.when(F.col("g") == F.lit(side_a),
+                            F.col("cnt")).otherwise(0))
+               .cast("long").alias("ca"),
+               F.sum(F.when(F.col("g") == F.lit(side_b),
+                            F.col("cnt")).otherwise(0))
+               .cast("long").alias("cb")))
+    return psi_from_value_counts(vc, n_buckets=n_buckets)
+
+
 def incremental_distinct_ingest(
         spark: SparkSession, src_path: str, checkpoint: str,
         state_path: str, ids_path: str,

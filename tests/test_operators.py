@@ -3072,6 +3072,51 @@ def test_hits_matches_integer_model(spark):
         hits(df, iters=0)
 
 
+def test_ks_mw_bounded_domain_guard(spark):
+    """ks_statistic / mann_whitney sort the DISTINCT value domain in
+    one window task — that contract is now ENFORCED in-plan: a
+    domain above max_domain fails with an explicit quantize-first
+    message (raw continuous metrics can't silently single-task a
+    billion rows), the default bound leaves results bit-identical,
+    and max_domain=None opts out."""
+    from preql_spark.operators.events import ks_statistic, mann_whitney
+    rows = [(float(i) + 0.123456, "a" if i % 2 else "b")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "v: double, side: string")
+    base_ks = ks_statistic(df, "v", "side", "a", "b").collect()
+    base_mw = mann_whitney(df, "v", "side", "a", "b").collect()
+    import pytest as _pt
+    for fn in (ks_statistic, mann_whitney):
+        with _pt.raises(Exception, match="max_domain"):
+            fn(df, "v", "side", "a", "b", max_domain=10).collect()
+    # opt-out and a generous bound both reproduce the default exactly
+    assert ks_statistic(df, "v", "side", "a", "b",
+                        max_domain=None).collect() == base_ks
+    assert mann_whitney(df, "v", "side", "a", "b",
+                        max_domain=100).collect() == base_mw
+
+
+def test_hits_rescale_is_in_plan_not_collected(spark):
+    """The per-round max-rescale folds its L-inf max back in AS A
+    PLAN COLUMN (single-row broadcast crossJoin + integer DIV) — the
+    old shape collect()ed the max twice per iteration, a full
+    |nodes| driver action each, recomputing the non-eager checkpoint
+    lineage for the following action.  The final plan must show the
+    broadcast fold and a DIV by the __mx COLUMN (a collected max
+    would appear as a literal divisor)."""
+    from preql_spark.operators.graph import hits
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src: string, dst: string")
+    out = hits(df, iters=4)   # 4th round is past the checkpoint cut
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    import re
+    assert re.search(r"(?i)div __mx#\d+", plan), plan
+    assert "BroadcastNestedLoopJoin" in plan \
+        or "BroadcastExchange" in plan
+    assert out.count() == 3
+
+
 def test_shortest_paths_matches_model(spark):
     """shortest_paths equals Bellman-Ford on a weighted digraph
     (multi-source, unreachable nodes absent, hop-count default),

@@ -412,7 +412,30 @@ def test_interleave_single_group_shuffle_plus_range_sort(spark):
     assert "SinglePartition" not in plan
 
 
-def test_rfm_scale_safe_tile_stage_never_single_partition(spark):
+def test_containment_max_doc_freq_prunes_join_input(spark):
+    """The hot-shingle cap (q194's max_doc_freq=2) must measurably
+    shrink the shingle rows entering the self-equi-join on the very
+    slice the driver grades — a shingle in f docs contributes f²
+    join rows, so stopword shingles are the quadratic blowup the cap
+    exists to stop.  Also assert the pruning is a LeftSemi in the
+    plan, not a post-join filter."""
+    from preql_spark.operators.dedup import shingles_from_tokens
+    from preql_spark.operators.text import tokens
+    import __spark_entry__ as E
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("doc_id") < 150))
+    sh = (docs.select(F.col("doc_id").alias("__id"),
+                      tokens("text").alias("__t"))
+          .select("__id",
+                  F.explode(shingles_from_tokens(F.col("__t"), 3))
+                  .alias("__s")))
+    total = sh.count()
+    keep = sh.groupBy("__s").count() \
+        .filter(F.col("count") <= 2).drop("count")
+    kept = sh.join(keep, "__s", "left_semi").count()
+    assert kept < total, (kept, total)   # hot shingles exist here
+    plan = plan_of(E.q194_containment_capped(spark, SF_DIR))
+    assert "LeftSemi" in plan
     """rfm_scores above the user threshold (forced with
     windowed_max_users=0) tiles via range repartition + a
     pid-partitioned window — the executed plan must contain NO

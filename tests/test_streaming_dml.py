@@ -999,6 +999,43 @@ def test_quantile_ingest_resumes_legacy_state(spark, eng, tmp_path):
             .filter(F.col("run_id").isNull()).count() > 0)
 
 
+def test_incremental_psi_ingest_equals_batch(spark, eng, tmp_path):
+    """Two-wave streaming PSI == one-shot == the batch psi operator
+    over the full corpus, bit-identical (the state is the exact
+    per-(side, value) histogram, so the report re-derives bounds and
+    buckets losslessly); replay is a no-op; the state is the
+    histogram-kind append-only schema, so histogram compaction
+    applies unchanged and preserves the report."""
+    from preql_spark.operators.events import psi
+    from preql_spark.streaming.stream import (compact_ingest_state,
+                                              incremental_psi_ingest)
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "state")
+    ids = str(tmp_path / "ids")
+    ck = str(tmp_path / "ck")
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    expr = "length(text)"
+    kw = dict(side_a="src1", side_b="src2", side_col="source",
+              value_expr=expr)
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_psi_ingest(spark, src, ck, st, ids, **kw)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_psi_ingest(spark, src, ck, st, ids, **kw).collect()
+    one = psi(d.withColumn("v", F.expr(expr).cast("long")),
+              "v", "source", "src1", "src2").collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in one]
+    assert out[0]["n_a"] > 0 and out[0]["n_b"] > 0
+    # replay: nothing new, report unchanged
+    out2 = incremental_psi_ingest(spark, src, ck, st, ids,
+                                  **kw).collect()
+    assert [tuple(r) for r in out2] == [tuple(r) for r in out]
+    # histogram compaction preserves the report
+    compact_ingest_state(spark, st, kind="histogram")
+    out3 = incremental_psi_ingest(spark, src, ck, st, ids,
+                                  **kw).collect()
+    assert [tuple(r) for r in out3] == [tuple(r) for r in out]
+
+
 def test_compact_hll_state_preserves_report(spark, eng, tmp_path):
     """Compacting the HLL sketch state (union per group) leaves the
     next report identical — sketch union is idempotent, so this is
