@@ -162,6 +162,14 @@ def funnel_times(df: DataFrame, steps: list[str],
 # numPartitions-row frame is O(1) plan size at any partition count
 OFFSETS_BROADCAST_MIN_PARTS = 64
 
+#: conservative bytes-per-event-row floor for rfm_scores' auto mode:
+#: a (user, ts, value) row never estimates below this, so an input
+#: whose Catalyst sizeInBytes is under windowed_max_users * this
+#: bound cannot hold that many distinct users — the windowed tile
+#: plan is then chosen statically, skipping the decision
+#: checkpoint+count entirely on interactive-sized inputs
+RFM_AUTO_BYTES_PER_ROW = 16
+
 
 def _exact_global_ntile(df: DataFrame, n_tiles: int, total: int,
                         sort_cols: list, out_col: str) -> DataFrame:
@@ -235,6 +243,15 @@ def rfm_scores(df: DataFrame, user_col: str = "user_id",
     broken by ascending user id — ``(user, r_days, freq,
     monetary_cents, r_score, f_score, m_score)``.
 
+    Auto-mode cost note: deciding the tile plan needs the user
+    count, which needs a scan — so auto mode freezes the per-user
+    table with an eager ``localCheckpoint`` first (one scan total).
+    For inputs whose Catalyst size estimate proves they CANNOT reach
+    ``windowed_max_users`` (events bytes < users x
+    ``RFM_AUTO_BYTES_PER_ROW``), the windowed branch is chosen
+    statically and no checkpoint or count ever runs — interactive
+    calls stay checkpoint-free.
+
     Scale shape: one user-keyed partial agg builds the per-user
     triple.  The tile stage has two plans that produce IDENTICAL
     output (both are exact SQL ntile with the same (key, user)
@@ -253,6 +270,21 @@ def rfm_scores(df: DataFrame, user_col: str = "user_id",
     e = df
     if value_filter is not None:
         e = e.filter(value_filter)
+    if windowed is None:
+        # static lower bound: every user has >= 1 event row and every
+        # event row is >= RFM_AUTO_BYTES_PER_ROW in the (conservative,
+        # decompressed) Catalyst estimate, so est below the product
+        # PROVES users < windowed_max_users — pick the windowed plan
+        # without materializing anything
+        try:
+            est = e._jdf.queryExecution().optimizedPlan() \
+                .stats().sizeInBytes()
+            if not isinstance(est, int):   # py4j BigInteger
+                est = int(est.toString())
+            if est <= windowed_max_users * RFM_AUTO_BYTES_PER_ROW:
+                windowed = True
+        except Exception:
+            pass
     cents = F.floor(F.col(value_col).cast("double") * 100 + F.lit(0.5)) \
         .cast("long")
     per = (e.groupBy(F.col(user_col).alias("u"))

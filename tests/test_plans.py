@@ -436,6 +436,9 @@ def test_containment_max_doc_freq_prunes_join_input(spark):
     assert kept < total, (kept, total)   # hot shingles exist here
     plan = plan_of(E.q194_containment_capped(spark, SF_DIR))
     assert "LeftSemi" in plan
+
+
+def test_rfm_scale_safe_tile_stage_never_single_partition(spark):
     """rfm_scores above the user threshold (forced with
     windowed_max_users=0) tiles via range repartition + a
     pid-partitioned window — the executed plan must contain NO
@@ -450,7 +453,12 @@ def test_containment_max_doc_freq_prunes_join_input(spark):
     assert "SinglePartition" not in plan
     assert "__pid" in plan and "hashpartitioning(__pid" in plan
     small = rfm_scores(e, n_tiles=5)
-    assert "__pid" not in plan_of(small)
+    p = plan_of(small)
+    assert "__pid" not in p
+    # the size-estimate gate proves small inputs can't reach the user
+    # threshold, so auto mode never materializes a decision
+    # checkpoint for them (no frozen-RDD scan in the plan)
+    assert "ExistingRDD" not in p
 
 
 def test_funnel_one_user_shuffle_no_window_no_join(spark):
