@@ -2813,6 +2813,26 @@ def q192_conversion_drift(spark, sf_dir) -> DataFrame:
     return ks_statistic(lab, "monetary_cents", "side", "conv", "non")
 
 
+def q196_pagerank_dangling(spark, sf_dir) -> DataFrame:
+    """PageRank with CLASSIC dangling-mass redistribution over the
+    DIRECTED supplier->part graph (every part node is a sink, so a
+    large share of the mass dangles each round): rank' = base +
+    ((inflow + D DIV |nodes|) * 17) DIV 20, all int64, the uniform
+    share riding a single-row broadcast — zero driver actions in
+    the loop.  The oracle unrolls the same three rounds with a
+    dangling-sum CTE per round.  Battery/tail query (the driver
+    window keeps q171/q185 for the family)."""
+    from preql_spark.operators.graph import pagerank
+    li = _eng(spark, sf_dir).t.lineitem.df
+    e = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("dst")).distinct()
+    return pagerank(e, iters=3, dangling="redistribute") \
+        .select("node", "rank_units", F.col("rank").alias("pr"))
+
+
 def q195_psi_ingest(spark, sf_dir) -> DataFrame:
     """Streaming drift capstone: two-wave maintenance of the exact
     per-(side, value) histogram state — the (run_id, batch_id)
@@ -3133,6 +3153,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q146_random_projection": q146_random_projection,
     "q147_frequent_tokens": q147_frequent_tokens,
     "q73_dedup_canonical": q73_dedup_canonical,
+    # r9 tail addition (battery tri-scale; graph family's q171/q185
+    # stay in-window): classic dangling-mass PageRank
+    "q196_pagerank_dangling": q196_pagerank_dangling,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -5719,6 +5742,58 @@ ORACLES: dict[str, str] = {
                GROUP BY ed.dst),
         r3 AS (SELECT n.node,
                       CAST(150000 + COALESCE((i3.f * 17) // 20, 0)
+                           AS BIGINT) AS r
+               FROM n LEFT JOIN i3 USING (node))
+        SELECT node, r AS rank_units, r / 1000000 AS pr FROM r3
+    """,
+    # q171's integer rounds, DIRECTED graph (parts are sinks), with
+    # the classic dangling-mass share: rank' = base + ((inflow +
+    # D // |nodes|) * 17) // 20, one dangling-sum CTE per round
+    "q196_pagerank_dangling": """
+        WITH ed AS (
+          SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                          'p' || CAST(l_partkey AS VARCHAR) AS dst
+          FROM lineitem),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+                FROM ed GROUP BY src),
+        n AS (SELECT DISTINCT src AS node FROM ed
+              UNION SELECT DISTINCT dst AS node FROM ed),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM n),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+        d1 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm
+               FROM r0 WHERE node NOT IN (SELECT src FROM deg)),
+        i1 AS (SELECT ed.dst AS node, SUM(r0.r // deg.d) AS f
+               FROM ed JOIN r0 ON ed.src = r0.node
+                       JOIN deg ON ed.src = deg.src
+               GROUP BY ed.dst),
+        r1 AS (SELECT n.node,
+                      CAST(150000 + ((COALESCE(i1.f, 0)
+                           + (SELECT dm FROM d1)
+                             // (SELECT c FROM nn)) * 17) // 20
+                           AS BIGINT) AS r
+               FROM n LEFT JOIN i1 USING (node)),
+        d2 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm
+               FROM r1 WHERE node NOT IN (SELECT src FROM deg)),
+        i2 AS (SELECT ed.dst AS node, SUM(r1.r // deg.d) AS f
+               FROM ed JOIN r1 ON ed.src = r1.node
+                       JOIN deg ON ed.src = deg.src
+               GROUP BY ed.dst),
+        r2 AS (SELECT n.node,
+                      CAST(150000 + ((COALESCE(i2.f, 0)
+                           + (SELECT dm FROM d2)
+                             // (SELECT c FROM nn)) * 17) // 20
+                           AS BIGINT) AS r
+               FROM n LEFT JOIN i2 USING (node)),
+        d3 AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dm
+               FROM r2 WHERE node NOT IN (SELECT src FROM deg)),
+        i3 AS (SELECT ed.dst AS node, SUM(r2.r // deg.d) AS f
+               FROM ed JOIN r2 ON ed.src = r2.node
+                       JOIN deg ON ed.src = deg.src
+               GROUP BY ed.dst),
+        r3 AS (SELECT n.node,
+                      CAST(150000 + ((COALESCE(i3.f, 0)
+                           + (SELECT dm FROM d3)
+                             // (SELECT c FROM nn)) * 17) // 20
                            AS BIGINT) AS r
                FROM n LEFT JOIN i3 USING (node))
         SELECT node, r AS rank_units, r / 1000000 AS pr FROM r3

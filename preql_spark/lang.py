@@ -3484,9 +3484,10 @@ def _load_pipeline_funcs() -> dict:
                                   int(max_dist), q=int(q)),
         "pagerank":
             lambda df, iters=10, src="src", dst="dst",
-            weight_col=None:
+            weight_col=None, dangling="drop":
                 graph.pagerank(df, int(iters), src, dst,
-                               weight_col=weight_col),
+                               weight_col=weight_col,
+                               dangling=dangling),
         "degree_assortativity":
             lambda df, src="src", dst="dst":
                 graph.degree_assortativity(df, src, dst),

@@ -99,7 +99,8 @@ def pagerank(edges: DataFrame, iters: int = 10,
              units: int = 1_000_000,
              damping_num: int = 17, damping_den: int = 20,
              checkpoint_every: int = 3,
-             weight_col: str | None = None) -> DataFrame:
+             weight_col: str | None = None,
+             dangling: str = "drop") -> DataFrame:
     """Fixed-iteration PageRank in EXACT integer arithmetic —
     ``(node, rank_units bigint, rank double)``.
 
@@ -120,9 +121,15 @@ def pagerank(edges: DataFrame, iters: int = 10,
     any engine and any partitioning — the property float PageRank
     lacks (FP addition order varies run-to-run).  ``rank`` is
     ``rank_units / units`` through ONE correctly-rounded division.
-    Dangling mass (nodes with no out-edges) is dropped, not
-    redistributed — the "weak" PageRank variant; pass a
-    bidirectional edge list if every node should circulate mass.
+    Dangling mass (nodes with no out-edges): ``dangling="drop"``
+    (default) discards it — the "weak" variant; pass a bidirectional
+    edge list if every node should circulate mass —
+    ``dangling="redistribute"`` adds the classic uniform share
+    ``D DIV |nodes|`` to every node's inflow before damping (pure
+    int64; the ``D mod |nodes|`` remainder — under one rank unit per
+    node — is dropped, documented mass leak).  The per-iteration
+    dangling sum rides the plan as a single-row broadcast (the HITS
+    rescale pattern): zero driver actions in the loop either way.
     Multi-edges contribute once per edge; pre-``distinct()`` the
     edge list for simple-graph semantics.
 
@@ -142,6 +149,9 @@ def pagerank(edges: DataFrame, iters: int = 10,
     if not (0 < damping_num < damping_den):
         raise ValueError("damping must satisfy 0 < num < den, got "
                          f"{damping_num}/{damping_den}")
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(f"dangling must be 'drop' or 'redistribute',"
+                         f" got {dangling!r}")
     if weight_col is None:
         w = F.lit(1).cast("long")
     else:
@@ -168,16 +178,34 @@ def pagerank(edges: DataFrame, iters: int = 10,
     base = (units * (damping_den - damping_num)) // damping_den
     r = nodes.select("node", F.lit(int(units)).cast("long")
                      .alias("rank_units"))
+    no_out = None
+    if dangling == "redistribute":
+        # the dangling node set is fixed across iterations
+        no_out = nodes.join(deg.select(F.col("__s").alias("node")),
+                            "node", "left_anti")
     for i in range(iters):
         inflow = (e_deg.join(r, e_deg["__s"] == r["node"])
                   .select(F.col("__d").alias("node"),
                           F.expr("(rank_units * __w) DIV __deg")
                           .alias("__c"))
                   .groupBy("node").agg(F.sum("__c").alias("__in")))
-        r = nodes.join(inflow, "node", "left").select(
+        stepped = nodes.join(inflow, "node", "left")
+        if no_out is not None:
+            # single-row broadcast: (dangling rank sum) DIV |nodes|
+            share = (r.join(no_out, "node", "leftsemi")
+                     .agg(F.coalesce(F.sum("rank_units"), F.lit(0))
+                          .alias("__dm"))
+                     .crossJoin(nodes.agg(
+                         F.count(F.lit(1)).alias("__nn")))
+                     .select(F.expr("__dm DIV __nn").alias("__share")))
+            stepped = stepped.crossJoin(F.broadcast(share))
+            in_expr = "(coalesce(__in, 0L) + __share)"
+        else:
+            in_expr = "coalesce(__in, 0L)"
+        r = stepped.select(
             "node",
             (F.lit(int(base)) + F.expr(
-                f"(coalesce(__in, 0L) * {int(damping_num)})"
+                f"({in_expr} * {int(damping_num)})"
                 f" DIV {int(damping_den)}")).cast("long")
             .alias("rank_units"))
         if i % checkpoint_every == checkpoint_every - 1:

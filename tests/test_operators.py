@@ -2565,6 +2565,45 @@ def test_pagerank_matches_integer_model(spark):
         pagerank(df, damping_num=20, damping_den=20)
 
 
+def test_pagerank_dangling_redistribute_matches_model(spark):
+    """dangling='redistribute' adds the classic uniform share
+    D DIV |nodes| to every node's inflow before damping — pinned
+    against a Python int64 model on a graph with a real sink (node
+    'z' has no out-edges, so its whole rank is dangling mass each
+    round); total mass strictly exceeds the drop variant's."""
+    from collections import Counter, defaultdict
+    from preql_spark.operators.graph import pagerank
+    edges = [("a", "b"), ("b", "z"), ("a", "z"), ("c", "a"),
+             ("z2", "a")]   # z and nothing-from-z2's targets dangle
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    got = {r.node: r.rank_units
+           for r in pagerank(df, iters=4,
+                             dangling="redistribute").collect()}
+
+    def model(edges, iters, units=1_000_000, num=17, den=20):
+        nodes = sorted({x for e in edges for x in e})
+        deg = Counter(s for s, _ in edges)
+        base = (units * (den - num)) // den
+        r = {n: units for n in nodes}
+        for _ in range(iters):
+            dang = sum(r[n] for n in nodes if deg[n] == 0)
+            share = dang // len(nodes)
+            inflow = defaultdict(int)
+            for s, d in edges:
+                inflow[d] += r[s] // deg[s]
+            r = {n: base + ((inflow[n] + share) * num) // den
+                 for n in nodes}
+        return r
+
+    assert got == model(edges, 4)
+    dropped = {r.node: r.rank_units
+               for r in pagerank(df, iters=4).collect()}
+    assert sum(got.values()) > sum(dropped.values())
+    import pytest as _pt
+    with _pt.raises(ValueError, match="dangling"):
+        pagerank(df, dangling="nope")
+
+
 def test_trend_exact_line_and_degenerate(spark):
     """trend recovers an exact line (slope in cents/day, intercept in
     cents), NULLs a single-x group, and matches the closed-form
