@@ -49,6 +49,12 @@ BENCH_QUERIES = [
     "q185_weighted_pagerank",# iterative Pregel loop (graph family)
 ]
 
+# iterative queries whose localCheckpoints materialize at construction
+# — timed construct+execute per run so the loop cost is measured (and
+# an in-loop driver-action regression is visible), not just the final
+# post-checkpoint stage
+CONSTRUCT_EACH_RUN = {"q185_weighted_pagerank"}
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,6 +81,20 @@ def main():
         for _ in range(5):
             t0 = time.perf_counter()
             run_once(df)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def time_fn(fn, sf_dir) -> float:
+        # CONSTRUCT-per-run timing for iterative/checkpointed queries:
+        # their localCheckpoints materialize at construction, so
+        # re-running a prebuilt frame only times the final stage and
+        # would hide an in-loop regression (e.g. a reintroduced
+        # driver collect).  Both engine and twin time the same way,
+        # so the ratio stays apples-to-apples.
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_once(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -113,13 +133,17 @@ def main():
                             f" twin: {type(e).__name__}: {e}"[:500]).strip()
         if eng_df is not None:
             try:
-                timings[name] = round(time_df(eng_df), 4)
+                timings[name] = round(
+                    time_fn(qs[name], sf_dir)
+                    if name in CONSTRUCT_EACH_RUN else time_df(eng_df), 4)
             except Exception as e:  # noqa: BLE001
                 errors[name] = (errors.get(name, "") +
                                 f" engine: {type(e).__name__}: {e}"[:500]).strip()
         if twin_df is not None:
             try:
-                hand[name] = round(time_df(twin_df), 4)
+                hand[name] = round(
+                    time_fn(TWINS[name], sf_dir)
+                    if name in CONSTRUCT_EACH_RUN else time_df(twin_df), 4)
             except Exception as e:  # noqa: BLE001
                 errors[name] = (errors.get(name, "") +
                                 f" twin: {type(e).__name__}: {e}"[:500]).strip()
