@@ -57,7 +57,7 @@ def fuzzy_pairs(df: DataFrame, id_col: str, str_col: str,
 
     # ---- gram path: pairs with max(l1, l2) >= q*(d+1) ------------------
     grams = (base.filter(F.col("l") >= q)
-             .select("id", F.posexplode(F.transform(
+             .select("id", "l", F.posexplode(F.transform(
                  F.sequence(F.lit(1), F.col("l") - q + 1),
                  lambda i: F.col("s").substr(i, F.lit(q))))
                  .alias("pos", "g")))
@@ -65,15 +65,20 @@ def fuzzy_pairs(df: DataFrame, id_col: str, str_col: str,
     grams = grams.withColumn("occ", F.row_number().over(occ_w))
     freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__f"))
     sig_w = Window.partitionBy("id").orderBy("__f", "g", "occ")
+    # length rides the signature rows so the band filter |l1-l2| <= d
+    # (any pair within ED d satisfies it) prunes candidates INSIDE the
+    # gram join — before the distinct shuffle and the string
+    # join-backs, which is where candidate volume hurts at scale
     sig = (grams.join(freq, "g")
            .withColumn("__r", F.row_number().over(sig_w))
            .filter(F.col("__r") <= q * d + 1)
-           .select("id", "g", "occ"))
+           .select("id", "g", "occ", "l"))
     cand = (sig.alias("a").join(
         sig.alias("b"),
         (F.col("a.g") == F.col("b.g"))
         & (F.col("a.occ") == F.col("b.occ"))
-        & (F.col("a.id") < F.col("b.id")))
+        & (F.col("a.id") < F.col("b.id"))
+        & (F.abs(F.col("a.l") - F.col("b.l")) <= d))
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct())
     s1 = base.select(F.col("id").alias("id1"), F.col("s").alias("s1"),
