@@ -2813,6 +2813,29 @@ def q192_conversion_drift(spark, sf_dir) -> DataFrame:
     return ks_statistic(lab, "monetary_cents", "side", "conv", "non")
 
 
+def q197_ks_ingest(spark, sf_dir) -> DataFrame:
+    """q195's streaming drift state, ordinal flavor: the SAME
+    lossless per-(side, value) histogram ingest, reported as the
+    two-sample KS statistic between src1 and src2 document lengths
+    — exact integer CDFs from the summed counters, bit-identical to
+    batch ks_statistic over the raw corpus, which is the SQL the
+    oracle runs directly.  Battery/tail query (drift family keeps
+    q179/q183/q195 in-window)."""
+    from preql_spark.streaming.stream import incremental_ks_ingest
+    eng = _eng(spark, sf_dir)
+    tmp = _scratch("q197_")
+    src, st, ids, ck = (os.path.join(tmp, x)
+                        for x in ("src", "st", "ids", "ck"))
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    kw = dict(side_a="src1", side_b="src2", side_col="source",
+              value_expr="length(text)")
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_ks_ingest(spark, src, ck, st, ids, **kw)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    return incremental_ks_ingest(spark, src, ck, st, ids, **kw) \
+        .select("n_a", "n_b", "d_stat", "at_value")
+
+
 def q196_pagerank_dangling(spark, sf_dir) -> DataFrame:
     """PageRank with CLASSIC dangling-mass redistribution over the
     DIRECTED supplier->part graph (every part node is a sink, so a
@@ -3153,9 +3176,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q146_random_projection": q146_random_projection,
     "q147_frequent_tokens": q147_frequent_tokens,
     "q73_dedup_canonical": q73_dedup_canonical,
-    # r9 tail addition (battery tri-scale; graph family's q171/q185
-    # stay in-window): classic dangling-mass PageRank
+    # r9 tail additions (battery tri-scale; graph family's q171/q185
+    # and drift family's q179/q183/q195 stay in-window): classic
+    # dangling-mass PageRank + KS-from-state streaming drift
     "q196_pagerank_dangling": q196_pagerank_dangling,
+    "q197_ks_ingest": q197_ks_ingest,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -6068,6 +6093,34 @@ ORACLES: dict[str, str] = {
         SELECT id_a, id_b, i / sizes.n AS containment
         FROM inter JOIN sizes ON inter.id_a = sizes.doc_id
         WHERE i / sizes.n >= 0.9
+    """,
+    # the shared drift state is lossless, so the KS oracle is simply
+    # batch KS over the raw rows (q179's SQL shape on documents)
+    "q197_ks_ingest": """
+        WITH e AS (SELECT source,
+                          CAST(length(text) AS BIGINT) AS v
+                   FROM documents
+                   WHERE source IN ('src1', 'src2')),
+        a AS (SELECT v, CAST(count(*) AS BIGINT) AS ca
+              FROM e WHERE source = 'src1' GROUP BY v),
+        b AS (SELECT v, CAST(count(*) AS BIGINT) AS cb
+              FROM e WHERE source = 'src2' GROUP BY v),
+        u AS (SELECT coalesce(a.v, b.v) AS v,
+                     coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+              FROM a FULL OUTER JOIN b ON a.v = b.v),
+        c AS (SELECT v,
+                     sum(ca) OVER (ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS cum_a,
+                     sum(cb) OVER (ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS cum_b
+              FROM u),
+        n AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                     CAST(sum(cb) AS BIGINT) AS n_b FROM u)
+        SELECT n.n_a, n.n_b,
+               abs(cum_a / n.n_a - cum_b / n.n_b) AS d_stat,
+               c.v AS at_value
+        FROM c, n
+        ORDER BY d_stat DESC, at_value ASC LIMIT 1
     """,
     # the streaming PSI state is a lossless per-(side, value)
     # histogram, so the oracle is simply batch PSI over the raw rows

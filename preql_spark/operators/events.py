@@ -668,7 +668,17 @@ def ks_statistic(df: DataFrame, value_col: str, side_col: str,
     u = (sa.join(sb, "v", "full_outer")
          .select("v", F.coalesce("ca", F.lit(0)).alias("ca"),
                  F.coalesce("cb", F.lit(0)).alias("cb")))
-    g = _domain_guard(u, max_domain, "ks_statistic")
+    return _ks_from_u(u, max_domain, "ks_statistic")
+
+
+def _ks_from_u(u: DataFrame, max_domain: int | None,
+               fn: str) -> DataFrame:
+    """KS tail shared by :func:`ks_statistic` (raw rows collapsed to
+    the distinct domain) and :func:`ks_from_value_counts` (the
+    streaming ingest's lossless histogram): domain guard, one
+    cumulative window over the ``(v, ca, cb)`` frame, exact integer
+    CDC divisions, TakeOrdered argmax."""
+    g = _domain_guard(u, max_domain, fn)
     if g is not None:
         u = (u.crossJoin(F.broadcast(g))
              .withColumn("ca", F.col("ca")
@@ -690,6 +700,20 @@ def ks_statistic(df: DataFrame, value_col: str, side_col: str,
     return (d.orderBy(F.col("d_stat").desc(),
                       F.col("at_value").asc()).limit(1)
             .select("n_a", "n_b", "d_stat", "at_value"))
+
+
+def ks_from_value_counts(vc: DataFrame,
+                         max_domain: int | None = MAX_CDF_DOMAIN
+                         ) -> DataFrame:
+    """Two-sample KS from an EXACT per-value histogram ``(v, ca,
+    cb)`` — the lossless state the streaming drift ingest maintains:
+    identical integer cumulative counts, identical divisions,
+    identical argmax as :func:`ks_statistic` over the raw rows, so
+    KS-from-state is bit-identical to batch KS.  NULL values must
+    already be excluded (the ingest never stores them)."""
+    u = vc.select("v", F.col("ca").cast("long").alias("ca"),
+                  F.col("cb").cast("long").alias("cb"))
+    return _ks_from_u(u, max_domain, "ks_from_value_counts")
 
 
 def ab_test(df: DataFrame, side_col: str, side_a, side_b,

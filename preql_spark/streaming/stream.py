@@ -774,33 +774,23 @@ def incremental_quantile_ingest(
     return (merged.groupBy(F.col("g").alias(group_col)).agg(*aggs))
 
 
-def incremental_psi_ingest(
+def _side_value_histogram_ingest(
         spark: SparkSession, src_path: str, checkpoint: str,
         state_path: str, ids_path: str,
-        side_a, side_b, side_col: str = "source",
-        value_expr: str = "length(text)", id_col: str = "doc_id",
-        n_buckets: int = 10) -> DataFrame:
-    """Streaming drift monitor: maintain the exact per-(side, value)
-    integer histogram incrementally and report the Population
-    Stability Index between the two sides FROM THE STATE — one row
-    ``(n_a, n_b, psi)``, bit-identical to
-    :func:`preql_spark.operators.events.psi` over the raw corpus.
-
-    The state is LOSSLESS (exact value counts, not bucket counts),
-    so the report can re-derive the combined min/max bounds and the
-    equal-width buckets from the state alone — two-wave ingestion ==
-    one-shot == batch PSI over all rows, with no fixed-bounds
-    registration step; that identity IS the oracle.  The value
-    domain must be discrete (the batch operator's quantize-first
-    contract), which also bounds the state by |sides| x |distinct
-    values|, never the corpus.
-
-    Idempotence — including the crash windows: APPEND-ONLY per-batch
-    histogram rows ``(g, v, cnt, batch_id, run_id)`` guarded by the
-    (run_id, batch_id) anti-join — the exact schema and contract of
+        side_a, side_b, side_col: str,
+        value_expr: str, id_col: str) -> DataFrame:
+    """Shared state machinery for the streaming two-sample drift
+    monitors (:func:`incremental_psi_ingest`,
+    :func:`incremental_ks_ingest`): maintain the EXACT per-(side,
+    value) integer histogram — APPEND-ONLY per-batch rows ``(g, v,
+    cnt, batch_id, run_id)`` guarded by the (run_id, batch_id)
+    anti-join, the exact schema and contract of
     :func:`incremental_quantile_ingest`, so
     :func:`compact_ingest_state` (kind ``"histogram"``) applies
-    unchanged.  Ids anti-join first and append LAST."""
+    unchanged; ids anti-join first and append LAST — and return the
+    merged per-value ``(v, ca, cb)`` frame the report statistics
+    read.  The state is lossless, which is what makes every report
+    bit-identical to its batch operator over the raw corpus."""
     from preql_spark.parquet_io import hadoop_dir_has_files
 
     schema = spark.read.parquet(src_path).schema  # footer-only peek
@@ -839,18 +829,68 @@ def incremental_psi_ingest(
          .start())
     q.awaitTermination()
 
-    from preql_spark.operators.events import psi_from_value_counts
     merged = (_read_state(spark, state_path)
               .groupBy("g", "v").agg(F.sum("cnt").alias("cnt"))
               .filter(F.col("cnt") > 0))   # per-run carrier rows
-    vc = (merged.groupBy("v")
-          .agg(F.sum(F.when(F.col("g") == F.lit(side_a),
-                            F.col("cnt")).otherwise(0))
-               .cast("long").alias("ca"),
-               F.sum(F.when(F.col("g") == F.lit(side_b),
-                            F.col("cnt")).otherwise(0))
-               .cast("long").alias("cb")))
+    return (merged.groupBy("v")
+            .agg(F.sum(F.when(F.col("g") == F.lit(side_a),
+                              F.col("cnt")).otherwise(0))
+                 .cast("long").alias("ca"),
+                 F.sum(F.when(F.col("g") == F.lit(side_b),
+                              F.col("cnt")).otherwise(0))
+                 .cast("long").alias("cb")))
+
+
+def incremental_psi_ingest(
+        spark: SparkSession, src_path: str, checkpoint: str,
+        state_path: str, ids_path: str,
+        side_a, side_b, side_col: str = "source",
+        value_expr: str = "length(text)", id_col: str = "doc_id",
+        n_buckets: int = 10) -> DataFrame:
+    """Streaming drift monitor: maintain the exact per-(side, value)
+    integer histogram incrementally and report the Population
+    Stability Index between the two sides FROM THE STATE — one row
+    ``(n_a, n_b, psi)``, bit-identical to
+    :func:`preql_spark.operators.events.psi` over the raw corpus.
+
+    The state is LOSSLESS (exact value counts, not bucket counts),
+    so the report can re-derive the combined min/max bounds and the
+    equal-width buckets from the state alone — two-wave ingestion ==
+    one-shot == batch PSI over all rows, with no fixed-bounds
+    registration step; that identity IS the oracle.  The value
+    domain must be discrete (the batch operator's quantize-first
+    contract), which also bounds the state by |sides| x |distinct
+    values|, never the corpus.  State contract and crash-window
+    idempotence: see :func:`_side_value_histogram_ingest`."""
+    from preql_spark.operators.events import psi_from_value_counts
+    vc = _side_value_histogram_ingest(
+        spark, src_path, checkpoint, state_path, ids_path,
+        side_a, side_b, side_col, value_expr, id_col)
     return psi_from_value_counts(vc, n_buckets=n_buckets)
+
+
+def incremental_ks_ingest(
+        spark: SparkSession, src_path: str, checkpoint: str,
+        state_path: str, ids_path: str,
+        side_a, side_b, side_col: str = "source",
+        value_expr: str = "length(text)",
+        id_col: str = "doc_id") -> DataFrame:
+    """Streaming drift monitor, ordinal flavor: the same lossless
+    per-(side, value) histogram state as
+    :func:`incremental_psi_ingest` (the two can even SHARE a state —
+    identical sink, identical guard), reported as the two-sample
+    Kolmogorov-Smirnov statistic — one row ``(n_a, n_b, d_stat,
+    at_value)``, bit-identical to
+    :func:`preql_spark.operators.events.ks_statistic` over the raw
+    corpus (exact integer CDFs from the summed counters).  NULL
+    values are excluded at report time (batch KS ignores them).
+    State contract and crash-window idempotence: see
+    :func:`_side_value_histogram_ingest`."""
+    from preql_spark.operators.events import ks_from_value_counts
+    vc = _side_value_histogram_ingest(
+        spark, src_path, checkpoint, state_path, ids_path,
+        side_a, side_b, side_col, value_expr, id_col)
+    return ks_from_value_counts(vc.filter(F.col("v").isNotNull()))
 
 
 def incremental_distinct_ingest(

@@ -1036,6 +1036,37 @@ def test_incremental_psi_ingest_equals_batch(spark, eng, tmp_path):
     assert [tuple(r) for r in out3] == [tuple(r) for r in out]
 
 
+def test_incremental_ks_ingest_equals_batch_and_shares_state(
+        spark, eng, tmp_path):
+    """Two-wave streaming KS == the batch ks_statistic over the full
+    corpus, bit-identical (lossless histogram state); the KS and PSI
+    ingests literally SHARE one state — the PSI report over the same
+    paths still equals batch psi afterwards."""
+    from preql_spark.operators.events import ks_statistic, psi
+    from preql_spark.streaming.stream import (incremental_ks_ingest,
+                                              incremental_psi_ingest)
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "state")
+    ids = str(tmp_path / "ids")
+    ck = str(tmp_path / "ck")
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    kw = dict(side_a="src1", side_b="src2", side_col="source",
+              value_expr="length(text)")
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_ks_ingest(spark, src, ck, st, ids, **kw)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_ks_ingest(spark, src, ck, st, ids,
+                                **kw).collect()
+    dv = d.withColumn("v", F.length("text").cast("long"))
+    one = ks_statistic(dv, "v", "source", "src1", "src2").collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in one]
+    assert out[0]["n_a"] > 0 and out[0]["d_stat"] is not None
+    # the PSI report reads the SAME state (no new data to ingest)
+    p = incremental_psi_ingest(spark, src, ck, st, ids, **kw).collect()
+    pb = psi(dv, "v", "source", "src1", "src2").collect()
+    assert [tuple(r) for r in p] == [tuple(r) for r in pb]
+
+
 def test_compact_hll_state_preserves_report(spark, eng, tmp_path):
     """Compacting the HLL sketch state (union per group) leaves the
     next report identical — sketch union is idempotent, so this is
