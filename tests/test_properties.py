@@ -860,3 +860,91 @@ def test_session_paths_matches_python(spark, data, gap):
         if cur:
             paths[">".join(cur)] += 1
     assert got == set(paths.items())
+
+
+# ---- scale-safe ntile & drift-from-state algebra (r9) ----------------------
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_exact_global_ntile_matches_python_model(spark, data):
+    """_exact_global_ntile (range repartition + partition-offset
+    rank) == SQL ntile spelled in Python, for random sizes, tile
+    counts, and tie structures — including total < n_tiles and the
+    rem == 0 edge — on multi-partition input."""
+    from preql_spark.operators.events import _exact_global_ntile
+    n = data.draw(st.integers(1, 40))
+    n_tiles = data.draw(st.integers(1, 12))
+    keys = data.draw(st.lists(st.integers(0, 4),
+                              min_size=n, max_size=n))
+    rows = [(k, i) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "k: long, u: long").repartition(5)
+    out = {r.u: r.t for r in _exact_global_ntile(
+        df, n_tiles, n, [F.col("k").asc(), F.col("u").asc()],
+        "t").collect()}
+    q, rem = divmod(n, n_tiles)
+    cutoff = rem * (q + 1)
+
+    def tile(r):
+        if q == 0:
+            return r               # fewer rows than tiles: 1 each
+        if r <= cutoff:
+            return (r + q) // (q + 1)
+        return rem + ((r - cutoff + q - 1) // q)
+
+    want = {u: tile(i + 1)
+            for i, (k, u) in enumerate(sorted(rows))}
+    assert out == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_ks_psi_from_value_counts_match_python_models(spark, data):
+    """ks_from_value_counts == the KS definition (exact integer CDF
+    divisions, smallest-value argmax) and psi_from_value_counts ==
+    the PSI definition (integer bucketing, add-one smoothing,
+    bucket-order fold) over random per-value histograms — the same
+    frames the streaming drift state hands the reports."""
+    import math
+    from preql_spark.operators.events import (ks_from_value_counts,
+                                              psi_from_value_counts)
+    m = data.draw(st.integers(1, 12))
+    vs = data.draw(st.lists(st.integers(-20, 20), min_size=m,
+                            max_size=m, unique=True))
+    cas = data.draw(st.lists(st.integers(0, 9), min_size=m, max_size=m))
+    cbs = data.draw(st.lists(st.integers(0, 9), min_size=m, max_size=m))
+    rows = list(zip(vs, cas, cbs))
+    vc = spark.createDataFrame(rows, "v: long, ca: long, cb: long")
+
+    na, nb = sum(cas), sum(cbs)
+    ks = ks_from_value_counts(vc).collect()[0]
+    assert (ks.n_a, ks.n_b) == (na, nb)
+    if na and nb:
+        cum_a = cum_b = 0
+        best = None
+        for v, ca, cb in sorted(rows):
+            cum_a += ca
+            cum_b += cb
+            d = abs(cum_a / na - cum_b / nb)
+            if best is None or d > best[0]:
+                best = (d, v)
+        assert (ks.d_stat, ks.at_value) == best
+    else:
+        assert ks.d_stat is None
+
+    B = data.draw(st.integers(2, 10))
+    psi_row = psi_from_value_counts(vc, n_buckets=B).collect()[0]
+    lo, hi = min(vs), max(vs)
+    bca, bcb = [0] * B, [0] * B
+    for v, ca, cb in rows:
+        b = (v - lo) * B // (hi - lo + 1)
+        bca[b] += ca
+        bcb[b] += cb
+    tot = 0.0
+    for b in range(B):
+        p = (bca[b] + 1.0) / (na + B)
+        q = (bcb[b] + 1.0) / (nb + B)
+        tot += (p - q) * math.log(p / q)
+    assert (psi_row.n_a, psi_row.n_b) == (na, nb)
+    assert psi_row.psi == pytest.approx(tot, rel=1e-12, abs=1e-15)
