@@ -162,13 +162,18 @@ def funnel_times(df: DataFrame, steps: list[str],
 # numPartitions-row frame is O(1) plan size at any partition count
 OFFSETS_BROADCAST_MIN_PARTS = 64
 
-#: conservative bytes-per-event-row floor for rfm_scores' auto mode:
-#: a (user, ts, value) row never estimates below this, so an input
-#: whose Catalyst sizeInBytes is under windowed_max_users * this
-#: bound cannot hold that many distinct users — the windowed tile
-#: plan is then chosen statically, skipping the decision
-#: checkpoint+count entirely on interactive-sized inputs
-RFM_AUTO_BYTES_PER_ROW = 16
+#: conservative COMPRESSED bytes-per-event-row floor for rfm_scores'
+#: auto mode: Catalyst's sizeInBytes for parquet sources is the
+#: on-disk (compressed) size, and a (user, ts, value) row with a
+#: high-cardinality user column realistically never encodes below ~2
+#: bytes, so an input whose estimate is under windowed_max_users *
+#: this bound is taken as safely below the user threshold and the
+#: windowed tile plan is chosen statically — skipping the decision
+#: checkpoint+count on interactive-sized inputs.  This is a
+#: heuristic, not a proof (pathological encodings exist); a
+#: misclassification costs only plan choice, never correctness —
+#: both tile plans are exact ntile.
+RFM_AUTO_BYTES_PER_ROW = 2
 
 
 def _exact_global_ntile(df: DataFrame, n_tiles: int, total: int,
@@ -271,11 +276,13 @@ def rfm_scores(df: DataFrame, user_col: str = "user_id",
     if value_filter is not None:
         e = e.filter(value_filter)
     if windowed is None:
-        # static lower bound: every user has >= 1 event row and every
-        # event row is >= RFM_AUTO_BYTES_PER_ROW in the (conservative,
-        # decompressed) Catalyst estimate, so est below the product
-        # PROVES users < windowed_max_users — pick the windowed plan
-        # without materializing anything
+        # static lower bound: every user has >= 1 event row and an
+        # event row compresses to >= RFM_AUTO_BYTES_PER_ROW bytes in
+        # the (on-disk for parquet) Catalyst estimate, so est below
+        # the product means users almost surely sit far under
+        # windowed_max_users — pick the windowed plan without
+        # materializing anything (heuristic: see the constant's note;
+        # wrong only costs plan choice, both plans are exact)
         try:
             est = e._jdf.queryExecution().optimizedPlan() \
                 .stats().sizeInBytes()
@@ -633,6 +640,22 @@ def _domain_guard(dom: DataFrame, max_domain: int | None,
               "max_domain explicitly")).alias("__g"))
 
 
+def _apply_domain_guard(df: DataFrame, max_domain: int | None,
+                        fn: str) -> DataFrame:
+    """Fold :func:`_domain_guard` into ``df``'s ``ca`` column as an
+    exact ``+ 0`` — the ONE place the subtle invariant lives: the
+    guard must ride a CONSUMED column, because an unused assert
+    column gets column-pruned and the check silently vanishes."""
+    g = _domain_guard(df, max_domain, fn)
+    if g is None:
+        return df
+    return (df.crossJoin(F.broadcast(g))
+            .withColumn("ca", F.col("ca")
+                        + F.coalesce(F.col("__g").cast("long"),
+                                     F.lit(0)))
+            .drop("__g"))
+
+
 def ks_statistic(df: DataFrame, value_col: str, side_col: str,
                  side_a, side_b,
                  max_domain: int | None = MAX_CDF_DOMAIN) -> DataFrame:
@@ -677,14 +700,8 @@ def _ks_from_u(u: DataFrame, max_domain: int | None,
     the distinct domain) and :func:`ks_from_value_counts` (the
     streaming ingest's lossless histogram): domain guard, one
     cumulative window over the ``(v, ca, cb)`` frame, exact integer
-    CDC divisions, TakeOrdered argmax."""
-    g = _domain_guard(u, max_domain, fn)
-    if g is not None:
-        u = (u.crossJoin(F.broadcast(g))
-             .withColumn("ca", F.col("ca")
-                         + F.coalesce(F.col("__g").cast("long"),
-                                      F.lit(0)))
-             .drop("__g"))
+    CDF divisions, TakeOrdered argmax."""
+    u = _apply_domain_guard(u, max_domain, fn)
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     c = u.select("v", F.sum("ca").over(w).alias("cum_a"),
                  F.sum("cb").over(w).alias("cum_b"))
@@ -709,10 +726,15 @@ def ks_from_value_counts(vc: DataFrame,
     cb)`` — the lossless state the streaming drift ingest maintains:
     identical integer cumulative counts, identical divisions,
     identical argmax as :func:`ks_statistic` over the raw rows, so
-    KS-from-state is bit-identical to batch KS.  NULL values must
-    already be excluded (the ingest never stores them)."""
-    u = vc.select("v", F.col("ca").cast("long").alias("ca"),
-                  F.col("cb").cast("long").alias("cb"))
+    KS-from-state is bit-identical to batch KS.  NULL values are
+    excluded HERE (batch KS ignores them; the shared drift state DOES
+    store null-v rows when ``value_expr`` evaluates to NULL, and a
+    null sorting first would offset every cumulative count) — note
+    the asymmetry with :func:`psi_from_value_counts`, which keeps
+    them for batch-psi parity."""
+    u = (vc.filter(F.col("v").isNotNull())
+         .select("v", F.col("ca").cast("long").alias("ca"),
+                 F.col("cb").cast("long").alias("cb")))
     return _ks_from_u(u, max_domain, "ks_from_value_counts")
 
 
@@ -867,13 +889,7 @@ def mann_whitney(df: DataFrame, value_col: str, side_col: str,
                       .otherwise(0)).cast("long").alias("ca"),
                 F.sum(F.when(F.col(side_col) == F.lit(side_b), 1)
                       .otherwise(0)).cast("long").alias("cb")))
-    g = _domain_guard(cnt, max_domain, "mann_whitney")
-    if g is not None:
-        cnt = (cnt.crossJoin(F.broadcast(g))
-               .withColumn("ca", F.col("ca")
-                           + F.coalesce(F.col("__g").cast("long"),
-                                        F.lit(0)))
-               .drop("__g"))
+    cnt = _apply_domain_guard(cnt, max_domain, "mann_whitney")
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     c = cnt.withColumn(
         "__below", F.coalesce(F.sum(F.col("ca") + F.col("cb"))

@@ -553,14 +553,23 @@ def _bridge_legacy_state(st: DataFrame) -> DataFrame:
     return st
 
 
-def _read_state(spark: SparkSession, state_path: str) -> DataFrame:
-    """Read an append-only ingest state with ``mergeSchema`` (a dir
-    can mix pre-guard legacy files with new-schema waves — without
-    the merge, Spark may pick the legacy file's schema and silently
-    drop the guard columns from every NEW file) and bridge legacy
-    rows to the closed ``('__legacy__', -1)`` lineage."""
-    return _bridge_legacy_state(
-        spark.read.option("mergeSchema", "true").parquet(state_path))
+def _read_state(spark: SparkSession, state_path: str,
+                schema=None) -> DataFrame:
+    """Read an append-only ingest state and bridge legacy rows to the
+    closed ``('__legacy__', -1)`` lineage.  A state dir can mix
+    pre-guard legacy files with new-schema waves, and without help
+    Spark may pick the legacy file's schema and silently drop the
+    guard columns from every NEW file — so either pass the writer's
+    ``schema`` explicitly (parquet fills the legacy files' missing
+    guard columns with nulls; ONE footer read — use this on the hot
+    per-micro-batch guard path, where ``mergeSchema`` would re-read
+    every state file's footer per batch) or fall back to a
+    ``mergeSchema`` read (fine once per report)."""
+    if schema is not None:
+        st = spark.read.schema(schema).parquet(state_path)
+    else:
+        st = spark.read.option("mergeSchema", "true").parquet(state_path)
+    return _bridge_legacy_state(st)
 
 
 def incremental_frequent_items_ingest(
@@ -638,7 +647,10 @@ def incremental_frequent_items_ingest(
         batch = batch.persist()
         if hadoop_dir_has_files(s, state_path):
             done = {(r["run_id"], r["batch_id"]) for r in
-                    _read_state(s, state_path)
+                    _read_state(s, state_path,
+                                schema="item string, est bigint,"
+                                       " batch_id bigint,"
+                                       " run_id string")
                     .select("run_id", "batch_id").distinct()
                     .collect()}
             if (run_id, int(batch_id)) in done:
@@ -745,7 +757,7 @@ def incremental_quantile_ingest(
                             F.lit(int(batch_id)).cast("long"))
                 .withColumn("run_id", F.lit(run_id)))
         if hadoop_dir_has_files(s, state_path):
-            st = _read_state(s, state_path)
+            st = _read_state(s, state_path, schema=rows.schema)
             rows = rows.join(
                 st.select("run_id", "batch_id").distinct(),
                 ["run_id", "batch_id"], "left_anti")
@@ -813,7 +825,7 @@ def _side_value_histogram_ingest(
                             F.lit(int(batch_id)).cast("long"))
                 .withColumn("run_id", F.lit(run_id)))
         if hadoop_dir_has_files(s, state_path):
-            st = _read_state(s, state_path)
+            st = _read_state(s, state_path, schema=rows.schema)
             rows = rows.join(
                 st.select("run_id", "batch_id").distinct(),
                 ["run_id", "batch_id"], "left_anti")
@@ -883,14 +895,15 @@ def incremental_ks_ingest(
     at_value)``, bit-identical to
     :func:`preql_spark.operators.events.ks_statistic` over the raw
     corpus (exact integer CDFs from the summed counters).  NULL
-    values are excluded at report time (batch KS ignores them).
+    values are excluded by the report (batch KS ignores them; the
+    state may hold null-v rows when ``value_expr`` is NULL).
     State contract and crash-window idempotence: see
     :func:`_side_value_histogram_ingest`."""
     from preql_spark.operators.events import ks_from_value_counts
     vc = _side_value_histogram_ingest(
         spark, src_path, checkpoint, state_path, ids_path,
         side_a, side_b, side_col, value_expr, id_col)
-    return ks_from_value_counts(vc.filter(F.col("v").isNotNull()))
+    return ks_from_value_counts(vc)
 
 
 def incremental_distinct_ingest(
@@ -1013,7 +1026,7 @@ def incremental_hll_ingest(
                           F.lit(int(batch_id)).cast("long"))
               .withColumn("run_id", F.lit(run_id)))
         if hadoop_dir_has_files(s, state_path):
-            st = _read_state(s, state_path)
+            st = _read_state(s, state_path, schema=sk.schema)
             sk = sk.join(st.select("run_id", "batch_id").distinct(),
                          ["run_id", "batch_id"], "left_anti")
         # single-file epoch commit (see the histogram sibling)
@@ -1091,7 +1104,7 @@ def incremental_tdigest_ingest(
             .withColumn("batch_id", F.lit(int(batch_id)).cast("long")) \
             .withColumn("run_id", F.lit(run_id))
         if hadoop_dir_has_files(s, state_path):
-            st = _read_state(s, state_path)
+            st = _read_state(s, state_path, schema=dig.schema)
             dig = dig.join(st.select("run_id", "batch_id").distinct(),
                            ["run_id", "batch_id"], "left_anti")
         # single-file epoch commit (see the histogram sibling)
