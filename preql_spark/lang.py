@@ -1923,7 +1923,17 @@ class Parser:
             joined = self.table.df.join(
                 renamed, self.table.df[pk] == renamed[prefix + fk_col],
                 "left")
-            self.table = self.table._with(joined)
+            aug = self.table._with(joined)
+            # the source's own FKs ride along under the prefix so the
+            # traversal CHAINS THROUGH the junction table — the m2m
+            # pattern the reference declares but disables
+            # (test_basic.py test_m2m "Not ready yet"):
+            # `A {a: item, b: ab.b.item}` backrefs into A_B then
+            # follows its b FK into B, left joins end-to-end
+            aug.meta.fks = {**aug.meta.fks,
+                            **{prefix + c: rel
+                               for c, rel in (src.meta.fks or {}).items()}}
+            self.table = aug
         return _BackrefRef(name, prefix, src, self.table)
 
     def _name(self, name: str):

@@ -1036,6 +1036,58 @@ table Person {
     assert out3.columns == ["name"]
 
 
+def test_m2m_junction_traversal_golden(leng):
+    """The reference's test_m2m (test_basic.py) — which IT disables
+    with `assert False, "Not ready yet"` — passes here: a junction
+    table with two named backrefs (`a: A -> ab`, `b: B -> ab`),
+    dotted traversal THROUGH the junction from either side
+    (`ab.b.item`), left-join semantics (unmatched rows keep NULL),
+    backref-FK chains inside selections, and re-projected dotted
+    reads.  Expected values are the reference test's own literals."""
+    leng.q('table A { item: int }')
+    leng.q('table B { item: int }')
+    leng.q('''
+table A_B {
+    a: A -> ab
+    b: B -> ab
+}
+''')
+    for x in range(10):
+        leng.q(f'new A(item: {x})')
+        leng.q(f'new B(item: {x})')
+    # ids are 1-based; link item pairs (i, 2i) for i in 0..4
+    for i in range(5):
+        leng.q(f'new A_B(a: {i + 1}, b: {2 * i + 1})')
+
+    got = sorted((r.a, r.b) for r in
+                 leng.q('A_B {a: a.item, b: b.item}').collect())
+    assert got == [(0, 0), (1, 2), (2, 4), (3, 6), (4, 8)]
+
+    got = sorted(((r.a, r.b) for r in
+                  leng.q('A {a: item, b: ab.b.item}').collect()),
+                 key=lambda t: t[0])
+    assert got == [(0, 0), (1, 2), (2, 4), (3, 6), (4, 8),
+                   (5, None), (6, None), (7, None), (8, None),
+                   (9, None)]
+
+    got = sorted(((r.a, r.b) for r in
+                  leng.q('B {a: ab.a.item, b: item}').collect()),
+                 key=lambda t: t[1])
+    assert got == [(0, 0), (None, 1), (1, 2), (None, 3), (2, 4),
+                   (None, 5), (3, 6), (None, 7), (4, 8), (None, 9)]
+
+    assert [r.item for r in
+            leng.q('B [ab.a.item == 2] {item}').collect()] == [4]
+    assert [r.v for r in
+            leng.q('A_B [a.item == 2] {v: b.item}').collect()] == [4]
+
+    res = [(0, 0), (1, 2), (2, 4), (3, 6), (4, 8)]
+    out5 = leng.q('A_B {a.item, b.item}')
+    assert sorted(tuple(r) for r in out5.collect()) == res
+    out6 = leng.q('A_B {a, b} {a.item, b.item}')
+    assert sorted(tuple(r) for r in out6.collect()) == res
+
+
 def test_foreign_key_golden(leng):
     """Ported reference test_foreign_key (test_basic.py): FK to a
     specific column (`x_axis: Point.x`) + auto-join through it."""
