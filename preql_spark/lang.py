@@ -2001,6 +2001,8 @@ class Parser:
                 return _JoinColRef(v, name)
             return v[name]
         if isinstance(v, _BackrefRef):
+            if name in (getattr(v.src.meta, "backrefs", None) or {}):
+                return v.backref(self, name)
             return v.field(name)
         if isinstance(v, Column):
             # FK attribute traversal: `parent.name` follows the
@@ -2329,6 +2331,36 @@ class _BackrefRef:
             raise AttributeError(
                 f"backref {self.name!r} has no field {field!r}")
         return self.context.df[self.prefix + field]
+
+    def backref(self, parser, bname: str) -> "_BackrefRef":
+        """Nested backref: a reverse relation OF the backref's source
+        table, resolved on the already-joined rows — the
+        `children.ab.b.name` chain of the reference's (disabled)
+        test_m2m_with_self_reference.  Joins src2 onto the context by
+        the composed prefix; src2's FKs ride along so the chain can
+        continue forward (`.b.name`).  All joins are left, so
+        unmatched rows carry NULL through the whole chain."""
+        src2_name, fk_col = self.src.meta.backrefs[bname]
+        src2 = parser.engine.table(src2_name)
+        prefix2 = f"{self.prefix}__br_{bname}__"
+        pk = self.src.meta.pk or "id"
+        if not any(c.startswith(prefix2)
+                   for c in parser.table.df.columns):
+            renamed = src2.df.select(
+                [src2.df[c].alias(prefix2 + c)
+                 for c in src2.df.columns])
+            joined = parser.table.df.join(
+                renamed,
+                parser.table.df[self.prefix + pk]
+                == renamed[prefix2 + fk_col], "left")
+            aug = parser.table._with(joined)
+            aug.meta.fks = {**aug.meta.fks,
+                            **{prefix2 + c: rel
+                               for c, rel in (src2.meta.fks
+                                              or {}).items()}}
+            parser.table = aug
+        return _BackrefRef(f"{self.name}.{bname}", prefix2, src2,
+                           parser.table)
 
 
 class _NativeFunc:

@@ -1088,6 +1088,32 @@ table A_B {
     assert sorted(tuple(r) for r in out6.collect()) == res
 
 
+def test_m2m_self_reference_golden(leng):
+    """The reference's test_m2m_with_self_reference (test_basic.py) —
+    also disabled upstream ('Not ready yet') — passes here: a
+    backref OF a backref (`children.ab.b.name` = self-backref into
+    the child rows, backref into the junction, FK into B), left
+    joins end-to-end.  Expected rows are the reference test's own
+    literals (its uncommented `res`)."""
+    leng.q('table A { name: string\n parent: A? -> children }')
+    leng.q('table B { name: string\n parent: B? -> children }')
+    leng.q('table A_B { a: A -> ab\n b: B -> ab }')
+    leng.q('new A("a1", null)')            # id 1
+    leng.q('new A("a2", 1)')               # id 2, child of a1
+    leng.q('new A("a3", 1)')               # id 3, child of a1
+    leng.q('new B("b1", null)')            # id 1
+    leng.q('new B("b2", null)')            # id 2
+    leng.q('new A_B(1, 1)')                # a1 <-> b1
+    leng.q('new A_B(2, 2)')                # a2 <-> b2
+    out = leng.q('A {own: ab.b.name, child: children.ab.b.name}')
+    assert out.columns == ["own", "child"]
+    got = sorted(((r.own, r.child) for r in out.collect()),
+                 key=lambda t: (t[0] is None, t[0] or "",
+                                t[1] is None, t[1] or ""))
+    assert got == [("b1", "b2"), ("b1", None), ("b2", None),
+                   (None, None)]
+
+
 def test_foreign_key_golden(leng):
     """Ported reference test_foreign_key (test_basic.py): FK to a
     specific column (`x_axis: Point.x`) + auto-join through it."""
