@@ -2242,6 +2242,14 @@ class Parser:
     def _col(self, v) -> Column:
         if isinstance(v, Column):
             return v
+        if isinstance(v, _FuncRef):
+            # a bare function name used as a value would otherwise
+            # leak into py4j as an opaque object ("no attribute
+            # '_get_object_id'") — say what actually went wrong
+            raise LangSignal(
+                "TypeError",
+                f"{v.name!r} is a function — call it (e.g. "
+                f"{v.name}(...)), it cannot be used as a value")
         if isinstance(v, _SemiPred):
             # membership used as a VALUE (projection, nested boolean
             # math): bounded literal fallback — only a selection can

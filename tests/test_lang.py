@@ -1036,6 +1036,40 @@ table Person {
     assert out3.columns == ["name"]
 
 
+def test_bare_function_as_value_errors_cleanly(leng):
+    """A bare builtin function name used as a value must raise the
+    lang's own TypeError telling the user to call it — not leak the
+    _FuncRef into py4j ('no attribute _get_object_id')."""
+    from preql_spark.lang import LangSignal
+    import pytest as _pt
+    with _pt.raises(LangSignal, match="is a function"):
+        leng.q('not count')
+    with _pt.raises(LangSignal, match="is a function"):
+        leng.q('1 + count')
+
+
+def test_parser_fuzz_no_internal_leakage(leng):
+    """Seeded random token soups never escape as py4j/JVM errors —
+    every failure is a Python-side exception with a message (the
+    REPL surfaces and survives them all).  Guards the parser's error
+    paths against leaking raw lang objects into Column operators."""
+    import random
+    random.seed(42)
+    leng.q('fz = [1, 2, 3]')
+    toks = ["fz", "{", "}", "[", "]", "(", ")", "=>", "+", "-",
+            "count", "item", "order", "^", "null", "1", '"s"', ",",
+            ":", "==", "and", "or", "not", "if", "else", "func",
+            "..", "new", "."]
+    for _ in range(150):
+        q = " ".join(random.choice(toks)
+                     for _ in range(random.randint(1, 8)))
+        try:
+            leng.q(q)
+        except Exception as e:
+            assert "py4j" not in type(e).__module__, (q, e)
+            assert "_get_object_id" not in str(e), (q, e)
+
+
 def test_m2m_junction_traversal_golden(leng):
     """The reference's test_m2m (test_basic.py) — which IT disables
     with `assert False, "Not ready yet"` — passes here: a junction
