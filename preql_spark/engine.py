@@ -228,6 +228,34 @@ class Engine:
         """Reference ``tables()`` — pql_functions.py:806-817."""
         return sorted(self._dfs)
 
+    def attach(self, uri: str) -> "Engine":
+        """Attach a data source by the reference's URI schemes
+        (sql_interface.py:962-1023): ``git://<path>`` (repo history
+        as ``commits``/``refs``/``commit_files``),
+        ``sqlite://<path>`` (the reference's default storage
+        target), ``duck://``/``duckdb://<path>``, the JDBC server
+        dialects (``postgres://`` etc. → partitioned
+        ``spark.read.jdbc`` reflection), or a plain directory of
+        parquet tables.  Shared by the module-level :func:`connect`
+        AND the lang ``connect(...)`` builtin, so both spellings
+        accept exactly the same URIs (pql_connect,
+        pql_functions.py:715-733)."""
+        if uri.startswith("git://"):
+            return self.import_git(uri[len("git://"):])
+        if uri.startswith("sqlite://"):
+            return self.import_sqlite(uri[len("sqlite://"):])
+        if uri.startswith(("duck://", "duckdb://")):
+            return self.import_duckdb(uri.split("://", 1)[1])
+        if "://" in uri:
+            from preql_spark.sources.jdbc import _DIALECTS
+            scheme = uri.split("://", 1)[0].lower()
+            if scheme in _DIALECTS or scheme == "bigquery":
+                # server dialects (postgres://, mysql://, ... —
+                # reference sql_interface.py:965-1025): reflect the
+                # current schema over partitioned spark.read.jdbc
+                return self.import_jdbc(uri)
+        return self.load_dir(uri)
+
     def load_dir(self, path: str, names: list[str] | None = None) -> "Engine":
         """Bind every parquet table under ``path`` into the namespace
         (reference ``load_all_tables`` — interpreter.py:158-189),
@@ -638,22 +666,5 @@ def connect(spark: SparkSession | None = None, data_dir: str | None = None) -> E
     ``duckdb://<path>``."""
     eng = Engine(spark)
     if data_dir:
-        if data_dir.startswith("git://"):
-            eng.import_git(data_dir[len("git://"):])
-        elif data_dir.startswith("sqlite://"):
-            eng.import_sqlite(data_dir[len("sqlite://"):])
-        elif data_dir.startswith(("duck://", "duckdb://")):
-            eng.import_duckdb(data_dir.split("://", 1)[1])
-        elif "://" in data_dir:
-            from preql_spark.sources.jdbc import _DIALECTS
-            scheme = data_dir.split("://", 1)[0].lower()
-            if scheme in _DIALECTS or scheme == "bigquery":
-                # server dialects (postgres://, mysql://, ... —
-                # reference sql_interface.py:965-1025): reflect the
-                # current schema over partitioned spark.read.jdbc
-                eng.import_jdbc(data_dir)
-            else:
-                eng.load_dir(data_dir)
-        else:
-            eng.load_dir(data_dir)
+        eng.attach(data_dir)
     return eng

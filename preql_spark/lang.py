@@ -2917,9 +2917,9 @@ def _apply_function_inner(parser: Parser, name: str, args, kwargs):
         raise SystemExit(0)
     if name == "connect":
         # pql_connect (pql_functions.py:715-733): attach a data
-        # source.  Spark IS the engine, so the URI is a directory of
-        # parquet tables to load into the catalog.
-        parser.engine.load_dir(parser._pyval(args[0]))
+        # source — the SAME URI schemes as the Python-level connect
+        # (git:// sqlite:// duck:// JDBC dialects, or a parquet dir)
+        parser.engine.attach(parser._pyval(args[0]))
         return None
     if name == "get_qualified_name":
         # pql_get_qualified_name (:224-228) — no schema qualification

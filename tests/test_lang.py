@@ -1036,6 +1036,52 @@ table Person {
     assert out3.columns == ["name"]
 
 
+def test_comparison_sql_doc_conformance(leng):
+    """docs/comparison_sql.md — every 'advantage over SQL' the
+    reference advertises, value-asserted: null compared as a VALUE,
+    on-the-fly list membership, ranges, {key => bare column} array
+    aggregation, and the repetitive-code-into-a-function example
+    (per-weekday counts via a user function over the git commits
+    table, spelled with the engine's day_of_week instead of the
+    doc's sqlite strftime)."""
+    # null as a value
+    leng.q('table Person { name: string?, country: string }')
+    leng.q('new Person(null, "il")')
+    leng.q('new Person("ada", "uk")')
+    leng.q('new Person("alan", "uk")')
+    assert leng.q('count(Person[name == null])') == 1
+    # lists on the fly (membership in a projection)
+    leng.q('lucky_numbers = [12, 13, 42]')
+    got = [tuple(r) for r in
+           leng.q('lucky_numbers {item, hit: item in [13, 27, 42]}')
+           .collect()]
+    assert got == [(12, False), (13, True), (42, True)]
+    # range
+    assert leng.q('count([1..10])') == 9     # exclusive, per reference
+    # {key => bare column} == array_agg
+    out = {r.country: sorted(x for x in r.name if x is not None)
+           for r in leng.q('Person {country => name}').collect()}
+    assert out == {"il": [], "uk": ["ada", "alan"]}
+    # functions factoring repetitive aggregation, over the git source
+    leng.q('connect("git:///root/repo")')
+    leng.q('func count_day(date, day) = '
+           'count_true(day_of_week(date) == day)')
+    week = leng.q('''
+commits {
+    =>
+    sunday: count_day(author_when, 1)
+    monday: count_day(author_when, 2)
+    tuesday: count_day(author_when, 3)
+    wednesday: count_day(author_when, 4)
+    thursday: count_day(author_when, 5)
+    friday: count_day(author_when, 6)
+    saturday: count_day(author_when, 7)
+}
+''').collect()[0]
+    n = leng.q('count(commits)')
+    assert sum(week[d] for d in week.asDict()) == n and n > 0
+
+
 def test_bare_function_as_value_errors_cleanly(leng):
     """A bare builtin function name used as a value must raise the
     lang's own TypeError telling the user to call it — not leak the
