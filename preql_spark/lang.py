@@ -46,7 +46,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<sname>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<string>\"\"\"[\s\S]*?\"\"\"|'''[\s\S]*?'''
         |"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
-  | (?P<op>==|!=|<=|>=|=>|!in|/~|\*\*|\+=|[-+*/%<>=~^(){}\[\],:.!|&;?])
+  | (?P<op><>|==|!=|<=|>=|=>|!in|/~|\*\*|\+=|[-+*/%<>=~^(){}\[\],:.!|&;?])
 """, re.VERBOSE)
 
 _KEYWORDS = {"and", "or", "not", "in", "order", "new", "one", "null",
@@ -188,6 +188,8 @@ def tokenize(src: str) -> list[Tok]:
                 out.append(Tok("nl", "\n"))
             continue
         text = m.group()
+        if kind == "op" and text == "<>":
+            text = "!="          # grammar alias (preql.lark:90)
         if kind == "name" and text in _KEYWORDS:
             kind = text
         out.append(Tok(kind, text))

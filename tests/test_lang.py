@@ -1036,6 +1036,76 @@ table Person {
     assert out3.columns == ["name"]
 
 
+def test_language_md_operator_keyword_matrix(leng):
+    """docs/language.md 'Keywords' and 'Operators' tables, row by
+    row, value-asserted.  One deliberate note: the docs list `^` as
+    element-wise xor on lists/tables, but the reference's own
+    grammar (preql.lark:120) only defines `^` as the order{} DESC
+    prefix — we match the grammar (and the docs' `<>` spelling IS in
+    the grammar, preql.lark:90, so it works here)."""
+    from preql_spark.lang import LangSignal
+    import pytest as _pt
+    q = leng.q
+    # arithmetic
+    assert q('1 + 2') == 3 and q('5 - 2') == 3
+    assert q('3 * 4') == 12 and q('7 / 2') == 3.5
+    assert q('7 /~ 2') == 3 and q('7 % 2') == 1
+    assert q('"a" + "b"') == "ab"
+    assert q('count([1] + [2, 3])') == 3            # list concat
+    # set ops on tables: | & - (+ covered above)
+    assert sorted(q('list([1, 2] | [2, 3])')) == [1, 2, 3]
+    assert q('list([1, 2] & [2, 3])') == [2]
+    assert q('list([1, 2] - [2])') == [1]
+    # comparison
+    assert q('1 in [1, 2]') is True and q('3 !in [1, 2]') is True
+    assert q('"hello" ~ "he%"') is True
+    assert q('"hello" like "he%"') is True
+    assert q('1 == 1') is True and q('1 != 2') is True
+    assert q('1 <> 2') is True and q('1 <> 1') is False
+    assert q('count([1, 2, 3][item <> 2])') == 2
+    assert (q('1 < 2'), q('1 <= 1'), q('2 > 1'), q('2 >= 2')) \
+        == (True, True, True, True)
+    # and/or return OPERANDS (the reference's value semantics — its
+    # doc calls this laziness; truth-tables are property-tested)
+    assert q('7 and 2') == 2 and q('0 and 2') == 0
+    assert q('0 or 5') == 5 and q('7 or 2') == 7
+    assert q('not false') is True
+    # table operations
+    assert q('count([1, 2, 3][item > 1])') == 2     # [] filter
+    assert [r.v for r in q('[1, 2] {v: item * 2}').collect()] \
+        == [2, 4]                                   # {} project
+    assert q('list([10, 20, 30, 40][1..3])') == [20, 30]  # slice
+    assert q('list([3, 1, 2] order {item})') == [1, 2, 3]
+    assert q('list([3, 1, 2] order {^item})') == [3, 2, 1]
+    # strings slice
+    assert q('"hello"[1..3]') == "el"
+    # definitions / control flow / other keywords
+    assert q('func sq(x) = x * x; sq(7)') == 49
+    assert q('acc = 0 for (i in [1, 2, 3]) { acc = acc + i } acc') == 6
+    assert q('n = 0 while (n < 4) { n = n + 1 } n') == 4
+    got = q('try { throw new ValueError("boom") } '
+            'catch (ValueError) { caught = 1 } caught')
+    assert got == 1
+    with _pt.raises(LangSignal, match="AssertError"):
+        q('assert 1 == 2')
+    q('assert 1 == 1')                              # no throw
+    q('print "side-effect only"')                   # must not error
+    # new / new[] / one / += (collections)
+    leng.q('table K { v: int }')
+    q('new K(7)')
+    q('new[] K([8, 9] {v: item})')                  # bulk insert
+    assert q('count(K)') == 3
+    assert q('one K[v == 7] {v}').v == 7
+    with _pt.raises((LangSignal, ValueError), match="one"):
+        q('one K {v}')                              # >1 row throws
+    assert q('ys = [1] ys += [2] count(ys)') == 2
+    # const table = expr: CTAS WITHOUT the auto id (evaluate.py:1086)
+    q('table C1 = [1, 2] {v: item}')
+    q('const table C2 = [1, 2] {v: item}')
+    assert q('C1').columns == ["id", "v"]
+    assert q('C2').columns == ["v"]
+
+
 def test_comparison_sql_doc_conformance(leng):
     """docs/comparison_sql.md — every 'advantage over SQL' the
     reference advertises, value-asserted: null compared as a VALUE,
