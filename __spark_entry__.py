@@ -3083,7 +3083,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q169_conversion_lag": q169_conversion_lag,
     "q170_rfm_scores": q170_rfm_scores,
     "q193_rfm_scale_safe": q193_rfm_scale_safe,
-    "q171_pagerank": q171_pagerank,
+    "q196_pagerank_dangling": q196_pagerank_dangling,
+    "q197_ks_ingest": q197_ks_ingest,
     "q172_value_trend": q172_value_trend,
     "q173_mad_outliers": q173_mad_outliers,
     # rows-only by design: DataSketches HLL has no DuckDB twin; the
@@ -3099,7 +3100,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q181_triangles": q181_triangles,
     "q182_attribution": q182_attribution,
     "q183_psi_drift": q183_psi_drift,
-    "q184_containment_pairs": q184_containment_pairs,
     "q194_containment_capped": q194_containment_capped,
     "q195_psi_ingest": q195_psi_ingest,
     "q185_weighted_pagerank": q185_weighted_pagerank,
@@ -3147,6 +3147,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rewrite), q183/q195 (psi refactor), q179/q188/q192 (KS/MW
     # domain guard), q190 (HITS in-plan rescale), q184/q194
     # (containment).
+    #   r10: q196 (dangling-mass PageRank) and q197 (KS-from-state)
+    #       — the only 2 of 197 queries never externally
+    #       driver-confirmed (added after the r9 window head was
+    #       fixed) — enter the head, displacing q171 (graph keeps
+    #       q185/q190/q191/q196) and q184 (q194 replays it capped);
+    #       displacement details at the r10 tail marker below.
     "q161_ngram_diversity": q161_ngram_diversity,
     "q149_topk_per_group": q149_topk_per_group,
     "q129_four_way_chain": q129_four_way_chain,
@@ -3176,11 +3182,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q146_random_projection": q146_random_projection,
     "q147_frequent_tokens": q147_frequent_tokens,
     "q73_dedup_canonical": q73_dedup_canonical,
-    # r9 tail additions (battery tri-scale; graph family's q171/q185
-    # and drift family's q179/q183/q195 stay in-window): classic
-    # dangling-mass PageRank + KS-from-state streaming drift
-    "q196_pagerank_dangling": q196_pagerank_dangling,
-    "q197_ks_ingest": q197_ks_ingest,
+    # rotated out for r10 (all r9-green per CORRECTNESS_r09; family
+    # keeps an in-window representative — the displaced slots went to
+    # q196/q197, the only two queries with no lifetime driver
+    # confirmation, per the r9 verdict's top item): q171 exact-int
+    # PageRank (graph keeps q185 weighted + q190 HITS + q191 SSSP +
+    # q196 dangling-redistribute, which replays q171's per-iteration
+    # join+agg loop PLUS the dangling-mass stage), q184 containment
+    # pairs (q194 replays the same operator under the hot-shingle
+    # cap; its uncapped branch stays battery tri-scale green):
+    "q171_pagerank": q171_pagerank,
+    "q184_containment_pairs": q184_containment_pairs,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
