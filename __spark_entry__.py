@@ -2856,6 +2856,32 @@ def q196_pagerank_dangling(spark, sf_dir) -> DataFrame:
         .select("node", "rank_units", F.col("rank").alias("pr"))
 
 
+def q198_chi_square_ingest(spark, sf_dir) -> DataFrame:
+    """Completing the drift-from-state family (PSI q195, KS q197):
+    the SAME lossless per-(side, value) histogram ingest, two waves,
+    reported as the chi-square independence test between side
+    membership (src1/src2) and a 7-level categorical
+    (``length(text) % 7``) computed FROM THE STATE — the contingency
+    cells rebuild from the histogram and run batch chi_square's
+    shared tail, so the report is bit-identical to the batch
+    operator over the raw corpus, which is the SQL the oracle runs
+    directly (the q189 formula over the filtered sides)."""
+    from preql_spark.streaming.stream import incremental_chi_square_ingest
+    eng = _eng(spark, sf_dir)
+    tmp = _scratch("q198_")
+    src, st, ids, ck = (os.path.join(tmp, x)
+                        for x in ("src", "st", "ids", "ck"))
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    kw = dict(side_a="src1", side_b="src2", side_col="source",
+              value_expr="length(text) % 7")
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_chi_square_ingest(spark, src, ck, st, ids, **kw)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    return incremental_chi_square_ingest(spark, src, ck, st, ids,
+                                         **kw) \
+        .select("n", "dof", "chi2", "cramers_v")
+
+
 def q195_psi_ingest(spark, sf_dir) -> DataFrame:
     """Streaming drift capstone: two-wave maintenance of the exact
     per-(side, value) histogram state — the (run_id, batch_id)
@@ -3096,7 +3122,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q177_tdigest_ingest": q177_tdigest_ingest,
     "q178_entity_resolution": q178_entity_resolution,
     "q179_ks_drift": q179_ks_drift,
-    "q180_ab_test": q180_ab_test,
+    "q198_chi_square_ingest": q198_chi_square_ingest,
     "q181_triangles": q181_triangles,
     "q182_attribution": q182_attribution,
     "q183_psi_drift": q183_psi_drift,
@@ -3193,6 +3219,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cap; its uncapped branch stays battery tri-scale green):
     "q171_pagerank": q171_pagerank,
     "q184_containment_pairs": q184_containment_pairs,
+    # displaced mid-r10 by the NEW graded q198 chi-square-from-state
+    # (drift/stats family keeps q179 KS, q183 PSI, q188 MW, q189
+    # chi-square batch, q192 capstone, q195/q197/q198 ingests):
+    "q180_ab_test": q180_ab_test,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -6137,6 +6167,41 @@ ORACLES: dict[str, str] = {
     # the streaming PSI state is a lossless per-(side, value)
     # histogram, so the oracle is simply batch PSI over the raw rows
     # (q183's SQL shape on documents: sides src1/src2, v = length)
+    # the q189 chi-square formula over the two sides the streaming
+    # ingest maintains — the from-state report is bit-identical to
+    # batch chi_square, which this SQL computes directly
+    "q198_chi_square_ingest": """
+        WITH e AS (SELECT source AS a,
+                          CAST(length(text) % 7 AS BIGINT) AS b
+                   FROM documents
+                   WHERE source IN ('src1', 'src2')),
+        cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+                  FROM e GROUP BY a, b),
+        j AS (SELECT a, b, o,
+                     CAST(sum(o) OVER (PARTITION BY a) AS BIGINT)
+                       AS ra,
+                     CAST(sum(o) OVER (PARTITION BY b) AS BIGINT)
+                       AS cb,
+                     CAST(sum(o) OVER () AS BIGINT) AS nn
+              FROM cells),
+        g AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                     CAST(count(DISTINCT a) AS BIGINT) AS r,
+                     CAST(count(DISTINCT b) AS BIGINT) AS c,
+                     list_reduce(
+                       list((CAST(o AS DOUBLE)
+                             - CAST(ra * cb AS DOUBLE) / nn)
+                            * (CAST(o AS DOUBLE)
+                               - CAST(ra * cb AS DOUBLE) / nn)
+                            / (CAST(ra * cb AS DOUBLE) / nn)
+                            ORDER BY a NULLS FIRST, b NULLS FIRST),
+                       (x, y) -> x + y) AS chi2
+              FROM j)
+        SELECT n, CAST((r - 1) * (c - 1) AS BIGINT) AS dof, chi2,
+               CASE WHEN least(r - 1, c - 1) > 0 THEN
+                 sqrt(chi2 / CAST(n * least(r - 1, c - 1)
+                                  AS DOUBLE)) END AS cramers_v
+        FROM g
+    """,
     "q195_psi_ingest": """
         WITH e AS (SELECT source,
                           CAST(length(text) AS BIGINT) AS v

@@ -933,6 +933,49 @@ def chi_square(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     a, b = F.col(col_a), F.col(col_b)
     cells = (df.groupBy(a.alias("__a"), b.alias("__b"))
              .agg(F.count(F.lit(1)).alias("o")))
+    return _chi_square_from_cells(cells)
+
+
+def chi_square_from_value_counts(vc: DataFrame, side_a, side_b
+                                 ) -> DataFrame:
+    """Chi-square independence test from an EXACT per-value histogram
+    ``(v, ca, cb)`` — the lossless state the streaming drift ingest
+    maintains (:func:`preql_spark.streaming.stream.
+    incremental_chi_square_ingest`): side membership is one
+    categorical axis, the value the other.  The contingency cells
+    rebuild as ``(side_a, v, ca)`` / ``(side_b, v, cb)`` rows (only
+    observed cells, ``o > 0`` — exactly the cells a raw-row groupBy
+    would produce) and flow through the SAME
+    :func:`_chi_square_from_cells` tail as :func:`chi_square`, so
+    chi-square-from-state is bit-identical to batch
+    ``chi_square(df.filter(side.isin(a, b)), side_col, value_col)``
+    over the raw rows.  NULL values are KEPT as their own category
+    level (batch chi-square groups null-safe; note the asymmetry
+    with :func:`ks_from_value_counts`, which must drop them).
+
+    Scale shape: everything after the (already bounded) value
+    histogram is arithmetic over the cell table — bounded by
+    ``2 x |distinct values|``, never the corpus."""
+    cells = (vc.select(F.explode(F.array(
+        F.struct(F.lit(side_a).alias("__a"),
+                 F.col("v").alias("__b"),
+                 F.col("ca").cast("long").alias("o")),
+        F.struct(F.lit(side_b).alias("__a"),
+                 F.col("v").alias("__b"),
+                 F.col("cb").cast("long").alias("o"))))
+        .alias("__c"))
+        .select("__c.*")
+        .filter(F.col("o") > 0))
+    return _chi_square_from_cells(cells)
+
+
+def _chi_square_from_cells(cells: DataFrame) -> DataFrame:
+    """Chi-square tail shared by :func:`chi_square` (cells from a
+    raw-row groupBy) and :func:`chi_square_from_value_counts` (cells
+    rebuilt from the streaming ingest's lossless histogram): window
+    marginals over the cell table, null-safe level counts, one fixed
+    (a, b)-ordered fold — the shared tail IS the bit-identity
+    argument between the batch and from-state reports."""
     # marginals as window sums over the (tiny) cell table: window
     # partitions treat a NULL category as its own level, where an
     # equi-join back would silently drop it

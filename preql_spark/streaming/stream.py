@@ -906,6 +906,36 @@ def incremental_ks_ingest(
     return ks_from_value_counts(vc)
 
 
+def incremental_chi_square_ingest(
+        spark: SparkSession, src_path: str, checkpoint: str,
+        state_path: str, ids_path: str,
+        side_a, side_b, side_col: str = "source",
+        value_expr: str = "length(text)",
+        id_col: str = "doc_id") -> DataFrame:
+    """Streaming drift monitor, categorical flavor — completing the
+    drift-from-state family (PSI :func:`incremental_psi_ingest` for
+    numeric shares, KS :func:`incremental_ks_ingest` for ordinal
+    shift, chi-square for categorical independence): the SAME
+    lossless per-(side, value) histogram state (identical sink,
+    identical (run_id, batch_id) guard — the three monitors can
+    SHARE one state), reported as the chi-square independence test
+    between side membership and the value — one row ``(n, dof, chi2,
+    cramers_v)``, bit-identical to batch
+    ``chi_square(df.filter(side.isin(a, b)), side_col, value_col)``
+    (:func:`preql_spark.operators.events.chi_square`) over the raw
+    corpus.  NULL ``value_expr`` categories are their own level,
+    matching batch null-safe grouping (the state stores null-v
+    rows).  ``value_expr`` must be discrete/categorical — the
+    bounded-state contract of the family.  State contract and
+    crash-window idempotence: see
+    :func:`_side_value_histogram_ingest`."""
+    from preql_spark.operators.events import chi_square_from_value_counts
+    vc = _side_value_histogram_ingest(
+        spark, src_path, checkpoint, state_path, ids_path,
+        side_a, side_b, side_col, value_expr, id_col)
+    return chi_square_from_value_counts(vc, side_a, side_b)
+
+
 def incremental_distinct_ingest(
         spark: SparkSession, src_path: str, checkpoint: str,
         state_path: str, ids_path: str,

@@ -3058,6 +3058,31 @@ def test_chi_square_matches_python_model(spark):
     assert chi_square(one, "a", "b").collect()[0].cramers_v is None
 
 
+def test_chi_square_from_value_counts_matches_batch(spark):
+    """chi_square_from_value_counts over the exact per-(side, value)
+    histogram is bit-identical to batch chi_square over the raw rows
+    — including a NULL value level (its own category, the state
+    stores null-v rows) and a value observed on only one side (the
+    other side's zero cell must NOT materialize, exactly like a
+    raw-row groupBy)."""
+    from preql_spark.operators.events import (
+        chi_square, chi_square_from_value_counts)
+    rows = [("a", 1), ("a", 1), ("a", None), ("a", 2),
+            ("b", 1), ("b", 2), ("b", 2), ("b", None), ("b", 3)]
+    df = spark.createDataFrame(rows, "s: string, v: long")
+    vc = (df.groupBy("v")
+          .agg(F.sum(F.when(F.col("s") == "a", 1).otherwise(0))
+               .cast("long").alias("ca"),
+               F.sum(F.when(F.col("s") == "b", 1).otherwise(0))
+               .cast("long").alias("cb")))
+    got = chi_square_from_value_counts(vc, "a", "b").collect()
+    want = chi_square(df, "s", "v").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # v=3 exists only on side b: 4 v-levels x 2 sides minus the one
+    # unobserved (a, 3) cell — dof still (2-1)*(4-1)
+    assert got[0]["dof"] == 3
+
+
 def test_pagerank_rejects_bad_weights(spark):
     """NULL/zero/negative weights raise in-plan instead of silently
     corrupting ranks."""

@@ -1067,6 +1067,48 @@ def test_incremental_ks_ingest_equals_batch_and_shares_state(
     assert [tuple(r) for r in p] == [tuple(r) for r in pb]
 
 
+def test_incremental_chi_square_ingest_equals_batch_and_shares_state(
+        spark, eng, tmp_path):
+    """Two-wave streaming chi-square == the batch chi_square operator
+    over the full corpus (sides filtered, value cast long),
+    bit-identical — the from-state report rebuilds the contingency
+    cells from the lossless histogram and runs the SAME shared tail;
+    the state is literally q195/q197's (the three drift monitors
+    share one state — the KS report over the same paths still equals
+    batch KS afterwards); replay is a no-op."""
+    from preql_spark.operators.events import chi_square, ks_statistic
+    from preql_spark.streaming.stream import (
+        incremental_chi_square_ingest, incremental_ks_ingest)
+    src = str(tmp_path / "src")
+    st = str(tmp_path / "state")
+    ids = str(tmp_path / "ids")
+    ck = str(tmp_path / "ck")
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    expr = "length(text) % 7"        # 7-level categorical
+    kw = dict(side_a="src1", side_b="src2", side_col="source",
+              value_expr=expr)
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_chi_square_ingest(spark, src, ck, st, ids, **kw)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_chi_square_ingest(spark, src, ck, st, ids,
+                                        **kw).collect()
+    two = (d.filter(F.col("source").isin(["src1", "src2"]))
+           .withColumn("v", F.expr(expr).cast("long")))
+    one = chi_square(two, "source", "v").collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in one]
+    assert out[0]["n"] > 0 and out[0]["dof"] == 6
+    assert out[0]["chi2"] is not None and out[0]["cramers_v"] is not None
+    # replay: nothing new, report unchanged
+    out2 = incremental_chi_square_ingest(spark, src, ck, st, ids,
+                                         **kw).collect()
+    assert [tuple(r) for r in out2] == [tuple(r) for r in out]
+    # the KS report reads the SAME state (no new data to ingest)
+    k = incremental_ks_ingest(spark, src, ck, st, ids, **kw).collect()
+    kb = ks_statistic(d.withColumn("v", F.expr(expr).cast("long")),
+                      "v", "source", "src1", "src2").collect()
+    assert [tuple(r) for r in k] == [tuple(r) for r in kb]
+
+
 def test_compact_hll_state_preserves_report(spark, eng, tmp_path):
     """Compacting the HLL sketch state (union per group) leaves the
     next report identical — sketch union is idempotent, so this is
