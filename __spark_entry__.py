@@ -2604,6 +2604,22 @@ def q179_ks_drift(spark, sf_dir) -> DataFrame:
                         "view", "purchase")
 
 
+def q199_ks_quantized(spark, sf_dir) -> DataFrame:
+    """q179's KS drift on the RAW double event values with the
+    ``quantize_to`` degradation knob: values tick-round via
+    ``floor(v / 7.5) * 7.5`` (two correctly-rounded double ops,
+    spelled identically in the oracle) BEFORE the distinct-domain
+    collapse — the opt-in alternative to the ``max_domain`` failure
+    for continuous metrics.  ``max_domain=200`` would REJECT the raw
+    domain (thousands of distinct doubles) but accepts the ~130
+    ticks, so this grades the knob doing its actual job, not just
+    the arithmetic."""
+    from preql_spark.operators.events import ks_statistic
+    e = _eng(spark, sf_dir).t.events.df
+    return ks_statistic(e, "value", "event_type", "view", "purchase",
+                        max_domain=200, quantize_to=7.5)
+
+
 def q180_ab_test(spark, sf_dir) -> DataFrame:
     """Two-proportion A/B z-test (view vs click, conversion = value
     > 50): four int64 counts from ONE map-side conditional agg, then
@@ -3129,7 +3145,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q194_containment_capped": q194_containment_capped,
     "q195_psi_ingest": q195_psi_ingest,
     "q185_weighted_pagerank": q185_weighted_pagerank,
-    "q186_assortativity": q186_assortativity,
+    "q199_ks_quantized": q199_ks_quantized,
     "q187_lang_shipping_priority": q187_lang_shipping_priority,
     "q188_mann_whitney": q188_mann_whitney,
     "q189_chi_square": q189_chi_square,
@@ -3223,6 +3239,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (drift/stats family keeps q179 KS, q183 PSI, q188 MW, q189
     # chi-square batch, q192 capstone, q195/q197/q198 ingests):
     "q180_ab_test": q180_ab_test,
+    # displaced mid-r10 by the NEW graded q199 quantize_to KS knob
+    # (graph family keeps q185/q190/q191/q196 in-window):
+    "q186_assortativity": q186_assortativity,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -5993,6 +6012,33 @@ ORACLES: dict[str, str] = {
     """,
     # exact-integer empirical CDFs, one division each, min-value
     # argmax tie-break — deterministic cross-engine
+    # the q179 KS pattern on the RAW double values, tick-rounded by
+    # the same floor(v/7.5)*7.5 double ops the quantize_to knob runs
+    "q199_ks_quantized": """
+        WITH e AS (SELECT event_type,
+                          floor(value / 7.5) * 7.5 AS v
+                   FROM events WHERE value IS NOT NULL),
+        a AS (SELECT v, CAST(count(*) AS BIGINT) AS ca
+              FROM e WHERE event_type = 'view' GROUP BY v),
+        b AS (SELECT v, CAST(count(*) AS BIGINT) AS cb
+              FROM e WHERE event_type = 'purchase' GROUP BY v),
+        u AS (SELECT coalesce(a.v, b.v) AS v,
+                     coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+              FROM a FULL OUTER JOIN b ON a.v = b.v),
+        c AS (SELECT v,
+                     sum(ca) OVER (ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS cum_a,
+                     sum(cb) OVER (ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS cum_b
+              FROM u),
+        n AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                     CAST(sum(cb) AS BIGINT) AS n_b FROM u)
+        SELECT n.n_a, n.n_b,
+               abs(cum_a / n.n_a - cum_b / n.n_b) AS d_stat,
+               c.v AS at_value
+        FROM c, n
+        ORDER BY d_stat DESC, at_value ASC LIMIT 1
+    """,
     "q179_ks_drift": """
         WITH e AS (SELECT event_type,
                           CAST(floor(value * 100 + 0.5) AS BIGINT)

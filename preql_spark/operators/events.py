@@ -37,7 +37,7 @@ warehouses.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -623,8 +623,14 @@ def _domain_guard(dom: DataFrame, max_domain: int | None,
     value domain is within ``max_domain`` — crossJoined below the
     cumulative window so the broadcast stage materializes (and
     fails, clearly) before the window's single task ever reads its
-    exchange.  In-plan enforcement: no extra driver action, no
-    second scan (the domain agg reuses the grouped exchange).  The
+    exchange.  In-plan enforcement: no extra driver action; the
+    domain agg is planned over the same grouped frame it guards, so
+    avoiding a second upstream scan depends on Spark's ReuseExchange
+    rule (on by default; AQE also reuses identical exchanges) — with
+    exchange reuse disabled the guard still enforces correctly but
+    pays one extra scan of the (already collapsed) grouped frame.
+    Callers that hold a persisted/checkpointed frame can guard off
+    that instead to make the single-scan property unconditional.  The
     caller must FOLD ``__g`` into a consumed column (it is NULL when
     the assert passes, so ``+ coalesce(cast(__g as long), 0)`` is an
     exact no-op) — an unused guard column gets column-pruned and the
@@ -656,9 +662,25 @@ def _apply_domain_guard(df: DataFrame, max_domain: int | None,
             .drop("__g"))
 
 
+def _quantize_col(v: Column, quantize_to) -> Column:
+    """Tick-round a value column BEFORE the distinct-domain collapse:
+    ``floor(v / tick) * tick`` — two correctly-rounded double ops, so
+    the quantized values are deterministic cross-engine (the oracle
+    spells the identical arithmetic).  This is the opt-in degradation
+    alternative to the ``max_domain`` guard: raw continuous metrics
+    (every value unique) bucket to at most ``range/tick`` distinct
+    ticks instead of failing with the quantize-first message."""
+    t = float(quantize_to)
+    if not t > 0:
+        raise ValueError(
+            f"quantize_to must be a positive tick size, got {quantize_to!r}")
+    return F.floor(v.cast("double") / F.lit(t)) * F.lit(t)
+
+
 def ks_statistic(df: DataFrame, value_col: str, side_col: str,
                  side_a, side_b,
-                 max_domain: int | None = MAX_CDF_DOMAIN) -> DataFrame:
+                 max_domain: int | None = MAX_CDF_DOMAIN,
+                 quantize_to=None) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov distribution-drift statistic
     between the rows where ``side_col == side_a`` and those where
     ``side_col == side_b`` — one row ``(n_a, n_b, d_stat, at_value)``
@@ -679,8 +701,14 @@ def ks_statistic(df: DataFrame, value_col: str, side_col: str,
     fails with an explicit quantize-first message BEFORE the window's
     single task runs — raw continuous metrics (every value unique)
     cannot silently funnel a billion rows through one task.  Pass
-    ``max_domain=None`` to opt out."""
+    ``max_domain=None`` to opt out — or ``quantize_to=<tick>`` to opt
+    into DEGRADATION instead of failure: values tick-round via
+    ``floor(v / tick) * tick`` BEFORE the domain collapse (identical
+    to pre-quantizing the column yourself), bounding the domain by
+    ``range/tick``."""
     v = F.col(value_col)
+    if quantize_to is not None:
+        v = _quantize_col(v, quantize_to)
     base = df.filter(v.isNotNull())   # standard KS ignores NULLs
     sa = (base.filter(F.col(side_col) == F.lit(side_a))
           .groupBy(v.alias("v"))
@@ -860,7 +888,8 @@ def psi_from_value_counts(vc: DataFrame,
 
 def mann_whitney(df: DataFrame, value_col: str, side_col: str,
                  side_a, side_b,
-                 max_domain: int | None = MAX_CDF_DOMAIN) -> DataFrame:
+                 max_domain: int | None = MAX_CDF_DOMAIN,
+                 quantize_to=None) -> DataFrame:
     """Mann-Whitney U (rank-sum) test between two sides — one row
     ``(n_a, n_b, u, z)``: U for side a (U1 = R1 − n1(n1+1)/2, the
     scipy convention — positive z means side a ranks HIGHER) with
@@ -880,8 +909,13 @@ def mann_whitney(df: DataFrame, value_col: str, side_col: str,
     :func:`ks_statistic` contract — and the same ENFORCED
     ``max_domain`` guard: an over-limit domain fails with a
     quantize-first message before the window's single task runs;
-    ``max_domain=None`` opts out) and a map-side moment fold."""
+    ``max_domain=None`` opts out, ``quantize_to=<tick>`` opts into
+    degradation instead — values tick-round via ``floor(v / tick) *
+    tick`` before the collapse, identical to pre-quantizing the
+    column yourself) and a map-side moment fold."""
     v = F.col(value_col)
+    if quantize_to is not None:
+        v = _quantize_col(v, quantize_to)
     base = df.filter(v.isNotNull())
     cnt = (base.filter(F.col(side_col).isin([side_a, side_b]))
            .groupBy(v.alias("v"))

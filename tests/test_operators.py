@@ -3160,6 +3160,34 @@ def test_ks_mw_bounded_domain_guard(spark):
                         max_domain=100).collect() == base_mw
 
 
+def test_ks_mw_quantize_to_degrades_instead_of_failing(spark):
+    """quantize_to=<tick> is the opt-in degradation alternative to
+    the max_domain failure: raw continuous doubles tick-round via
+    floor(v/tick)*tick BEFORE the domain collapse, so (1) a domain
+    that would fail the guard now fits, and (2) the result is
+    bit-identical to pre-quantizing the column yourself and running
+    the plain operator — for both KS and Mann-Whitney."""
+    from preql_spark.operators.events import ks_statistic, mann_whitney
+    import pytest as _pt
+    rows = [(float(i) * 0.37 + 0.123456, "a" if i % 2 else "b")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "v: double, side: string")
+    tick = 5.0
+    pre = df.withColumn(
+        "q", F.floor(F.col("v") / F.lit(tick)) * F.lit(tick))
+    for fn in (ks_statistic, mann_whitney):
+        # 100 distinct raw values > max_domain=10 -> guard fires...
+        with _pt.raises(Exception, match="max_domain"):
+            fn(df, "v", "side", "a", "b", max_domain=10).collect()
+        # ...but 8 ticks fit, and match the pre-quantized batch run
+        got = fn(df, "v", "side", "a", "b", max_domain=10,
+                 quantize_to=tick).collect()
+        want = fn(pre, "q", "side", "a", "b", max_domain=10).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        with _pt.raises(ValueError, match="quantize_to"):
+            fn(df, "v", "side", "a", "b", quantize_to=0)
+
+
 def test_hits_rescale_is_in_plan_not_collected(spark):
     """The per-round max-rescale folds its L-inf max back in AS A
     PLAN COLUMN (single-row broadcast crossJoin + integer DIV) — the
