@@ -3565,9 +3565,11 @@ def _load_pipeline_funcs() -> dict:
                     df, gap_seconds=float(gap_seconds),
                     k=None if k is None else int(k)),
         "ks_drift":
-            lambda df, value_col, side_col, side_a, side_b:
+            lambda df, value_col, side_col, side_a, side_b,
+            quantize_to=None:
                 events.ks_statistic(df, value_col, side_col,
-                                    side_a, side_b),
+                                    side_a, side_b,
+                                    quantize_to=quantize_to),
         "ab_test":
             lambda df, side_col, side_a, side_b, success:
                 events.ab_test(df, side_col, side_a, side_b,
@@ -3578,9 +3580,11 @@ def _load_pipeline_funcs() -> dict:
                 events.psi(df, value_col, side_col, side_a, side_b,
                            int(n_buckets)),
         "mann_whitney":
-            lambda df, value_col, side_col, side_a, side_b:
+            lambda df, value_col, side_col, side_a, side_b,
+            quantize_to=None:
                 events.mann_whitney(df, value_col, side_col,
-                                    side_a, side_b),
+                                    side_a, side_b,
+                                    quantize_to=quantize_to),
         "chi_square":
             lambda df, col_a, col_b:
                 events.chi_square(df, col_a, col_b),

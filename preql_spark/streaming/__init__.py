@@ -6,7 +6,8 @@ from preql_spark.streaming.stream import (
     incremental_frequent_items_ingest, incremental_quantile_ingest,
     incremental_distinct_ingest, incremental_hll_ingest,
     incremental_tdigest_ingest, incremental_psi_ingest,
-    incremental_ks_ingest, compact_ingest_state,
+    incremental_ks_ingest, incremental_chi_square_ingest,
+    compact_ingest_state, compact_ingest_ids,
 )
 
 __all__ = ["read_event_stream", "tumbling_agg", "sliding_agg",
@@ -18,4 +19,5 @@ __all__ = ["read_event_stream", "tumbling_agg", "sliding_agg",
            "incremental_quantile_ingest", "incremental_distinct_ingest",
            "incremental_hll_ingest", "incremental_tdigest_ingest",
            "incremental_psi_ingest", "incremental_ks_ingest",
-           "compact_ingest_state"]
+           "incremental_chi_square_ingest",
+           "compact_ingest_state", "compact_ingest_ids"]

@@ -572,6 +572,65 @@ def _read_state(spark: SparkSession, state_path: str,
     return _bridge_legacy_state(st)
 
 
+def _guard_stranded(spark: SparkSession, *paths) -> None:
+    """Fail LOUDLY if any of ``paths`` has a stranded
+    ``<path>__pre_compact`` sibling — the backup a compaction
+    (:func:`compact_ingest_state` / :func:`compact_ingest_ids`)
+    renames aside before swapping the compacted rewrite in.  A crash
+    between the two renames leaves the live path ABSENT and the
+    backup holding the only copy; a crash after the swap but before
+    the backup delete leaves both.  Either way, an ingest that
+    proceeded would silently diverge (worst case: no state + a full
+    ids store = every prior wave vanishes from reports while dedup
+    still drops its rows), so every ingest checks this FIRST and
+    raises with the recovery recipe instead.  Recovery: if the live
+    dir is missing, rename ``<path>__pre_compact`` back to
+    ``<path>`` (the backup IS the pre-compaction state, complete and
+    committed); if the live dir exists and reads fine, the
+    compaction finished and only the backup delete was lost — delete
+    ``<path>__pre_compact``."""
+    from preql_spark.parquet_io import _hadoop_fs_path
+    for p in paths:
+        if p is None:
+            continue
+        bak = p.rstrip("/") + "__pre_compact"
+        fs, bkp = _hadoop_fs_path(spark, bak)
+        if fs.exists(bkp):
+            _, live = _hadoop_fs_path(spark, p)
+            what = ("the live dir is MISSING — rename the backup "
+                    f"back:  mv {bak} {p}"
+                    if not fs.exists(live) else
+                    "the live dir exists — if it reads fine the "
+                    f"compaction completed; delete the backup: "
+                    f"rm -r {bak}")
+            raise IOError(
+                f"stranded compaction backup {bak}: a previous "
+                f"compact crashed mid-swap; refusing to ingest "
+                f"against an ambiguous state.  Recovery: {what}")
+
+
+def _require_no_active_streams(spark: SparkSession, what: str) -> None:
+    """Mechanical enforcement of the RUN-ONLY-WHILE-STOPPED
+    compaction contract: refuse to run while ANY streaming query is
+    active in this session.  Conservative on purpose — the
+    session-local ``StreamingQueryManager`` cannot attribute a query
+    to a checkpoint path, and every ingest in this module is a
+    synchronous ``availableNow`` run, so an active query during
+    compaction is always a contract violation in-session.
+    Cross-session writers remain docstring-guarded (no distributed
+    lock here; a foreign writer's uncommitted epoch is still safe —
+    see the swap notes — but its in-flight guard row can be lost)."""
+    active = list(spark.streams.active)
+    if active:
+        names = ", ".join((q.name or q.id and str(q.id) or "?")
+                          for q in active)
+        raise RuntimeError(
+            f"{what} must run while the stream is STOPPED, but this "
+            f"session has {len(active)} active streaming "
+            f"quer{'y' if len(active) == 1 else 'ies'} ({names}); "
+            "stop them first")
+
+
 def incremental_frequent_items_ingest(
         spark: SparkSession, src_path: str, store_path: str,
         checkpoint: str, id_col: str = "doc_id",
@@ -622,6 +681,7 @@ def incremental_frequent_items_ingest(
     if cap < 1:
         raise ValueError(f"capacity must be >= 1, got {cap}")
     state_path = state_path or store_path.rstrip("/") + "_state"
+    _guard_stranded(spark, state_path)
     schema = spark.read.parquet(src_path).schema  # footer-only peek
     run_id = _ingest_run_id(spark, checkpoint)
 
@@ -738,6 +798,7 @@ def incremental_quantile_ingest(
     the t-digest ingest)."""
     from preql_spark.parquet_io import hadoop_dir_has_files
 
+    _guard_stranded(spark, state_path, ids_path)
     schema = spark.read.parquet(src_path).schema  # footer-only peek
     run_id = _ingest_run_id(spark, checkpoint)
 
@@ -805,6 +866,7 @@ def _side_value_histogram_ingest(
     bit-identical to its batch operator over the raw corpus."""
     from preql_spark.parquet_io import hadoop_dir_has_files
 
+    _guard_stranded(spark, state_path, ids_path)
     schema = spark.read.parquet(src_path).schema  # footer-only peek
     run_id = _ingest_run_id(spark, checkpoint)
 
@@ -964,6 +1026,7 @@ def incremental_distinct_ingest(
     replayed batches contribute no pairs and no ids."""
     from preql_spark.parquet_io import hadoop_dir_has_files
 
+    _guard_stranded(spark, state_path, ids_path)
     schema = spark.read.parquet(src_path).schema  # footer-only peek
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -1035,6 +1098,7 @@ def incremental_hll_ingest(
     report unions all wave rows per group (``hll_union_agg``)."""
     from preql_spark.parquet_io import hadoop_dir_has_files
 
+    _guard_stranded(spark, state_path, ids_path)
     schema = spark.read.parquet(src_path).schema  # footer-only peek
     run_id = _ingest_run_id(spark, checkpoint)
 
@@ -1116,6 +1180,7 @@ def incremental_tdigest_ingest(
                                               tdigest_quantiles)
     from preql_spark.parquet_io import hadoop_dir_has_files
 
+    _guard_stranded(spark, state_path, ids_path)
     schema = spark.read.parquet(src_path).schema  # footer-only peek
     run_id = _ingest_run_id(spark, checkpoint)
 
@@ -1188,19 +1253,22 @@ def compact_ingest_state(spark: SparkSession, state_path: str,
     Pre-guard legacy states bridge to the closed ``('__legacy__',
     -1)`` lineage before folding.
 
-    RUN ONLY WHILE THE STREAM IS STOPPED: compaction rewrites
-    committed waves; an in-flight uncommitted batch is unaffected
-    (its epoch id is greater than the kept max), but the swap is not
-    atomic against a concurrent writer.  The swap itself is a
-    CHECKED backup-rename dance: the old state renames to
-    ``<state>__pre_compact``, the compacted tmp renames in, and only
-    then does the backup delete — a failed rename restores the
-    backup and raises (never a silent half-state); a crash between
-    the two renames leaves the backup on disk for manual rename-back.
+    RUN ONLY WHILE THE STREAM IS STOPPED — enforced mechanically
+    in-session: any active streaming query in this session raises
+    before anything is read (:func:`_require_no_active_streams`).
+    Compaction rewrites committed waves; an in-flight uncommitted
+    batch is unaffected (its epoch id is greater than the kept max),
+    but the swap is not atomic against a concurrent writer, so
+    cross-session writers remain contract-guarded.  The swap itself
+    is the CHECKED backup-rename dance of :func:`_checked_swap`; a
+    crash between its two renames leaves the ``__pre_compact``
+    backup on disk, which every subsequent ingest detects LOUDLY
+    with the rename-back recovery recipe
+    (:func:`_guard_stranded`) instead of silently starting fresh.
     Reports are unchanged by construction — each fold is exactly the
     merge the report already performs."""
-    from preql_spark.parquet_io import _hadoop_fs_path
-
+    _require_no_active_streams(spark, "compact_ingest_state")
+    _guard_stranded(spark, state_path)
     st = _read_state(spark, state_path)
     tops = {r["run_id"]: int(r["mb"]) for r in
             st.groupBy("run_id")
@@ -1266,19 +1334,67 @@ def compact_ingest_state(spark: SparkSession, state_path: str,
                        " batch_id bigint, run_id string"))
     else:
         raise ValueError(f"unknown state kind {kind!r}")
-    tmp = state_path.rstrip("/") + "__compact"
-    bak = state_path.rstrip("/") + "__pre_compact"
+    return _checked_swap(spark, state_path, out)
+
+
+def _checked_swap(spark: SparkSession, path: str,
+                  out: DataFrame) -> int:
+    """Write ``out`` as the compacted single-file rewrite of ``path``
+    and swap it in via the CHECKED backup-rename dance shared by
+    :func:`compact_ingest_state` and :func:`compact_ingest_ids`: the
+    old dir renames to ``<path>__pre_compact``, the rewrite renames
+    in, and only then does the backup delete — a failed rename
+    restores the backup and raises (never a silent half-state); a
+    crash between the two renames leaves the backup on disk, which
+    every ingest detects LOUDLY (:func:`_guard_stranded`) with the
+    rename-back recovery recipe.  Returns the rewrite's row count."""
+    from preql_spark.parquet_io import _hadoop_fs_path
+    tmp = path.rstrip("/") + "__compact"
+    bak = path.rstrip("/") + "__pre_compact"
     out.coalesce(1).write.mode("overwrite").parquet(tmp)
     n_rows = spark.read.parquet(tmp).count()
-    fs, old = _hadoop_fs_path(spark, state_path)
+    fs, old = _hadoop_fs_path(spark, path)
     _, new = _hadoop_fs_path(spark, tmp)
     _, bkp = _hadoop_fs_path(spark, bak)
     fs.delete(bkp, True)                     # stale backup, if any
     if not fs.rename(old, bkp):
-        raise IOError(f"compact: cannot move {state_path} aside")
+        raise IOError(f"compact: cannot move {path} aside")
     if not fs.rename(new, old):
         fs.rename(bkp, old)                  # restore, then fail
         raise IOError(f"compact: cannot swap in {tmp}; "
                       f"state restored from backup")
     fs.delete(bkp, True)
     return int(n_rows)
+
+
+def compact_ingest_ids(spark: SparkSession, ids_path: str) -> int:
+    """Offline compaction for an ingest ids store: rewrite the
+    append-only per-batch id files as ONE distinct file and swap it
+    in with the same checked backup-rename dance as
+    :func:`compact_ingest_state`, returning the new row count.
+
+    Why it matters at scale: every ingest micro-batch anti-joins
+    against the FULL ids store, which otherwise accumulates one
+    small file per batch forever — the per-batch read pays the file
+    listing + footer cost of the whole history, and in-batch
+    duplicate ids (several rows per id in one wave) append
+    duplicate rows the anti-join then re-reads every batch.
+    Compaction collapses both; the anti-join is semantically a set
+    probe, so a distinct rewrite changes NO ingest decision (pytest:
+    replay after compaction ingests nothing, reports unchanged).
+
+    Retention contract: the ids store answers "was this id EVER
+    ingested", so it grows with the true id cardinality of the
+    corpus — that is the floor, and compaction reaches it.  If the
+    pipeline can bound re-delivery (e.g. sources replay at most N
+    days), the store can additionally be pruned to that horizon by
+    rewriting it filtered — do that with the same swap, NOT by
+    deleting part files in place.
+
+    RUN ONLY WHILE THE STREAM IS STOPPED — enforced mechanically
+    in-session (:func:`_require_no_active_streams`), like
+    :func:`compact_ingest_state`."""
+    _require_no_active_streams(spark, "compact_ingest_ids")
+    _guard_stranded(spark, ids_path)
+    ids = spark.read.parquet(ids_path).distinct()
+    return _checked_swap(spark, ids_path, ids)

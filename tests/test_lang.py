@@ -2530,6 +2530,14 @@ def test_pipeline_builtin_ks_drift(eng):
     l = tuple(eng.q('ks_drift(events, "value", "event_type",'
                     ' "view", "click")').collect()[0])
     assert l == a
+    # quantize_to kwarg threads through to the tick-rounding knob
+    aq = tuple(ks_statistic(eng.t.events.df, "value", "event_type",
+                            "view", "click",
+                            quantize_to=7.5).collect()[0])
+    lq = tuple(eng.q('ks_drift(events, "value", "event_type",'
+                     ' "view", "click", quantize_to: 7.5)')
+               .collect()[0])
+    assert lq == aq and lq != l
 
 
 def test_pipeline_builtin_ab_test_triangles(eng):

@@ -870,6 +870,120 @@ def test_compact_ingest_state_preserves_reports(spark, eng, tmp_path):
         compact_ingest_state(spark, st, kind="nope")
 
 
+def test_compact_ingest_ids_drops_read_cost_keeps_idempotence(
+        spark, eng, tmp_path):
+    """compact_ingest_ids rewrites the append-only per-batch ids
+    files as ONE distinct file: the per-batch read cost (file count;
+    here also duplicate in-batch id rows) drops, the next report is
+    unchanged, and replay-idempotence still holds — a replayed wave
+    ingests nothing after compaction."""
+    from preql_spark.streaming.stream import (
+        compact_ingest_ids, incremental_quantile_ingest)
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    # two rows per doc in wave 1: in-batch duplicate ids append twice
+    dup = d.filter(F.col("doc_id") < 250)
+    src, st, ids, ck = (str(tmp_path / x) for x in
+                        ("src", "st", "ids", "ck"))
+    dup.unionAll(dup).write.mode("overwrite").parquet(src)
+    incremental_quantile_ingest(spark, src, ck, st, ids)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    before = {tuple(r) for r in
+              incremental_quantile_ingest(spark, src, ck, st,
+                                          ids).collect()}
+    n_docs = d.count()
+    pre_rows = spark.read.parquet(ids).count()
+    pre_files = len([f for f in os.listdir(ids)
+                     if f.endswith(".parquet")])
+    assert pre_rows == n_docs + 250     # wave-1's 250 ids, twice
+    n = compact_ingest_ids(spark, ids)
+    assert n == n_docs                  # the true id cardinality
+    assert spark.read.parquet(ids).count() == n
+    post_files = len([f for f in os.listdir(ids)
+                      if f.endswith(".parquet")])
+    assert post_files == 1 and post_files < pre_files
+    # replay: the compacted store still dedups every prior id
+    after = {tuple(r) for r in
+             incremental_quantile_ingest(spark, src, ck, st,
+                                         ids).collect()}
+    assert after == before
+    assert spark.read.parquet(ids).count() == n   # nothing re-added
+
+
+def test_compaction_refuses_during_active_stream(spark, eng, tmp_path):
+    """The RUN-ONLY-WHILE-STOPPED compaction contract is mechanical:
+    with ANY active streaming query in the session, both
+    compact_ingest_state and compact_ingest_ids raise before touching
+    the state."""
+    from preql_spark.streaming.stream import (
+        compact_ingest_ids, compact_ingest_state,
+        incremental_quantile_ingest)
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    src, st, ids, ck = (str(tmp_path / x) for x in
+                        ("src", "st", "ids", "ck"))
+    d.write.mode("overwrite").parquet(src)
+    incremental_quantile_ingest(spark, src, ck, st, ids)
+    q = (spark.readStream.format("rate").option("rowsPerSecond", 1)
+         .load().writeStream.format("memory")
+         .queryName("t_compact_guard").start())
+    try:
+        with pytest.raises(RuntimeError, match="STOPPED"):
+            compact_ingest_state(spark, st, kind="histogram")
+        with pytest.raises(RuntimeError, match="STOPPED"):
+            compact_ingest_ids(spark, ids)
+    finally:
+        q.stop()
+    # stream stopped -> both run fine
+    assert compact_ingest_state(spark, st, kind="histogram") > 0
+    assert compact_ingest_ids(spark, ids) > 0
+
+
+def test_stranded_compaction_backup_fails_loudly(spark, eng, tmp_path):
+    """A crash between the compaction swap's two renames leaves the
+    live state ABSENT and only the __pre_compact backup on disk; the
+    next ingest must fail LOUDLY with the rename-back recipe (the
+    silent alternative: fresh state + full ids store = all prior
+    waves vanish from reports while dedup still drops their rows).
+    Renaming the backup back recovers exactly.  The crash-after-swap
+    flavor (live dir present AND backup present) also refuses, with
+    the delete recipe."""
+    from preql_spark.streaming.stream import incremental_quantile_ingest
+    import shutil
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    src, st, ids, ck = (str(tmp_path / x) for x in
+                        ("src", "st", "ids", "ck"))
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_quantile_ingest(spark, src, ck, st, ids)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    # simulate the mid-swap crash: state renamed aside, never swapped
+    os.rename(st, st + "__pre_compact")
+    with pytest.raises(IOError, match="stranded"):
+        incremental_quantile_ingest(spark, src, ck, st, ids)
+    # recovery recipe: rename back -> wave 2 ingests normally
+    os.rename(st + "__pre_compact", st)
+    out = {tuple(r) for r in
+           incremental_quantile_ingest(spark, src, ck, st,
+                                       ids).collect()}
+    one = {tuple(r) for r in
+           d.select("source",
+                    F.expr("length(text)").cast("long").alias("v"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.percentile("v", F.lit(0.5)).alias("p50"),
+                 F.percentile("v", F.lit(0.9)).alias("p90"))
+            .collect()}
+    assert out == one
+    # crash-after-swap flavor: live dir present, stale backup present
+    shutil.copytree(st, st + "__pre_compact")
+    with pytest.raises(IOError, match="stranded"):
+        incremental_quantile_ingest(spark, src, ck, st, ids)
+    shutil.rmtree(st + "__pre_compact")
+    # ids-store backups guard identically
+    os.rename(ids, ids + "__pre_compact")
+    with pytest.raises(IOError, match="stranded"):
+        incremental_quantile_ingest(spark, src, ck, st, ids)
+    os.rename(ids + "__pre_compact", ids)
+
+
 def test_compact_frequent_state_preserves_report(spark, eng, tmp_path):
     """Compacting the frequent-items summary state (Misra-Gries
     mergeable fold) leaves the next report identical and keeps the
