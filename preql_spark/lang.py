@@ -2003,7 +2003,14 @@ class Parser:
                 return _JoinColRef(v, name)
             return v[name]
         if isinstance(v, _BackrefRef):
-            if name in (getattr(v.src.meta, "backrefs", None) or {}):
+            brs = getattr(v.src.meta, "backrefs", None) or {}
+            # attribute-resolution precedence: a PHYSICAL column of
+            # the backref's source wins over a backref of the same
+            # name (matching field-before-relation precedence in the
+            # table context) — otherwise a junction/source column
+            # that happens to share a backref's name would be
+            # unreachable via dotted access
+            if name in brs and name not in v.src.df.columns:
                 return v.backref(self, name)
             return v.field(name)
         if isinstance(v, Column):

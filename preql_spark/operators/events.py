@@ -175,6 +175,14 @@ OFFSETS_BROADCAST_MIN_PARTS = 64
 #: both tile plans are exact ntile.
 RFM_AUTO_BYTES_PER_ROW = 2
 
+#: safety margin on the static shortcut above: the 2-byte floor is a
+#: heuristic (a sorted low-entropy layout can RLE/dictionary-compress
+#: below it), so the shortcut only fires when the size estimate sits
+#: at least this factor BELOW the bound — an estimate within one
+#: order of magnitude of the boundary falls through to the exact
+#: counted decision instead of trusting the floor at the edge.
+RFM_AUTO_STATIC_MARGIN = 10
+
 
 def _exact_global_ntile(df: DataFrame, n_tiles: int, total: int,
                         sort_cols: list, out_col: str) -> DataFrame:
@@ -238,7 +246,9 @@ def rfm_scores(df: DataFrame, user_col: str = "user_id",
                n_tiles: int = 5,
                value_filter=None,
                windowed: bool | None = None,
-               windowed_max_users: int = 4_000_000) -> DataFrame:
+               windowed_max_users: int = 4_000_000,
+               auto_bytes_per_row: float | None = RFM_AUTO_BYTES_PER_ROW
+               ) -> DataFrame:
     """RFM segmentation: per user, recency (days since last activity,
     against the corpus max date), frequency (event count), monetary
     (value summed in exact integer cents — floats round HALF-UP to
@@ -251,11 +261,20 @@ def rfm_scores(df: DataFrame, user_col: str = "user_id",
     Auto-mode cost note: deciding the tile plan needs the user
     count, which needs a scan — so auto mode freezes the per-user
     table with an eager ``localCheckpoint`` first (one scan total).
-    For inputs whose Catalyst size estimate proves they CANNOT reach
-    ``windowed_max_users`` (events bytes < users x
-    ``RFM_AUTO_BYTES_PER_ROW``), the windowed branch is chosen
-    statically and no checkpoint or count ever runs — interactive
-    calls stay checkpoint-free.
+    Two static shortcuts skip that for interactive-sized inputs:
+    when CBO stats carry an exact ``rowCount`` at or under
+    ``windowed_max_users`` (rows bound users from above — exact, no
+    heuristic), or when the Catalyst size estimate sits at least
+    ``RFM_AUTO_STATIC_MARGIN`` x below ``windowed_max_users *
+    auto_bytes_per_row`` (the compressed bytes-per-row floor — a
+    heuristic, so estimates within an order of magnitude of the
+    boundary deliberately FALL THROUGH to the counted decision
+    rather than trust the floor at the edge; a pathological
+    all-constant layout can compress below it).  Pass
+    ``auto_bytes_per_row=None`` to disable the size shortcut
+    entirely (the rowCount one is exact and stays).  A
+    misclassification costs only plan choice — both tile plans are
+    exact ntile.
 
     Scale shape: one user-keyed partial agg builds the per-user
     triple.  The tile stage has two plans that produce IDENTICAL
@@ -276,20 +295,30 @@ def rfm_scores(df: DataFrame, user_col: str = "user_id",
     if value_filter is not None:
         e = e.filter(value_filter)
     if windowed is None:
-        # static lower bound: every user has >= 1 event row and an
-        # event row compresses to >= RFM_AUTO_BYTES_PER_ROW bytes in
-        # the (on-disk for parquet) Catalyst estimate, so est below
-        # the product means users almost surely sit far under
-        # windowed_max_users — pick the windowed plan without
-        # materializing anything (heuristic: see the constant's note;
-        # wrong only costs plan choice, both plans are exact)
         try:
-            est = e._jdf.queryExecution().optimizedPlan() \
-                .stats().sizeInBytes()
-            if not isinstance(est, int):   # py4j BigInteger
-                est = int(est.toString())
-            if est <= windowed_max_users * RFM_AUTO_BYTES_PER_ROW:
-                windowed = True
+            stats = e._jdf.queryExecution().optimizedPlan().stats()
+            # exact shortcut first: CBO row counts (when ANALYZE'd)
+            # bound users from above — rows <= max_users proves
+            # users <= max_users, no heuristic involved
+            rc = stats.rowCount()
+            if rc.isDefined():
+                if int(rc.get().toString()) <= windowed_max_users:
+                    windowed = True
+            if windowed is None and auto_bytes_per_row is not None:
+                # static lower bound: every user has >= 1 event row
+                # and an event row compresses to >= auto_bytes_per_row
+                # bytes in the (on-disk for parquet) Catalyst
+                # estimate — but only trust it with
+                # RFM_AUTO_STATIC_MARGIN x headroom; boundary-close
+                # estimates fall through to the counted decision
+                # (heuristic: see the constants' notes; wrong only
+                # costs plan choice, both plans are exact)
+                est = stats.sizeInBytes()
+                if not isinstance(est, int):   # py4j BigInteger
+                    est = int(est.toString())
+                if est * RFM_AUTO_STATIC_MARGIN \
+                        <= windowed_max_users * auto_bytes_per_row:
+                    windowed = True
         except Exception:
             pass
     cents = F.floor(F.col(value_col).cast("double") * 100 + F.lit(0.5)) \

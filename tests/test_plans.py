@@ -461,6 +461,39 @@ def test_rfm_scale_safe_tile_stage_never_single_partition(spark):
     assert "ExistingRDD" not in p
 
 
+def test_rfm_auto_static_gate_boundary(spark):
+    """The auto-mode static size shortcut only fires with
+    RFM_AUTO_STATIC_MARGIN x headroom below the bound: an estimate
+    comfortably under it picks the windowed plan with NO decision
+    checkpoint; an estimate within one order of magnitude of the
+    bound falls through to the exact counted decision (ExistingRDD =
+    the eager decision checkpoint materialized) — here counting 150
+    users > windowed_max_users=10, so the tiled plan; and
+    auto_bytes_per_row=None disables the shortcut entirely (counted
+    decision even for a tiny input)."""
+    from preql_spark.operators.events import rfm_scores
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    est = e._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    if not isinstance(est, int):
+        est = int(est.toString())
+    # comfortably under: bound = 10 * (est * 2) >= est * 20 > est * 10
+    # -> static windowed (no checkpoint), even though 150 users > 10
+    # (the documented heuristic-wins case: plan choice, not results)
+    p = plan_of(rfm_scores(e, n_tiles=5, windowed_max_users=10,
+                           auto_bytes_per_row=est * 2))
+    assert "__pid" not in p and "ExistingRDD" not in p
+    # within 10x of the bound: est <= 10 * (est / 2) = est * 5 (the
+    # pre-margin gate WOULD fire) but est * 10 > est * 5 -> fall
+    # through to the counted decision; 150 users > 10 -> tiled plan
+    p = plan_of(rfm_scores(e, n_tiles=5, windowed_max_users=10,
+                           auto_bytes_per_row=est / 2))
+    assert "__pid" in p
+    # shortcut disabled: counted decision runs (checkpoint in-plan)
+    # and the count picks windowed for this small input
+    p = plan_of(rfm_scores(e, n_tiles=5, auto_bytes_per_row=None))
+    assert "__pid" not in p and "ExistingRDD" in p
+
+
 def test_funnel_one_user_shuffle_no_window_no_join(spark):
     """The funnel is ONE user-keyed exchange + a global count — never
     the textbook n-way self-join, never a per-user sort window."""
