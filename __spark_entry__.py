@@ -921,6 +921,23 @@ def q73_dedup_canonical(spark, sf_dir) -> DataFrame:
             .select("doc_id"))
 
 
+def q200_leakage_safe_split(spark, sf_dir) -> DataFrame:
+    """Near-dup-aware train/valid/test split capstone: MinHash-LSH
+    pairs → connected components → every row keyed by
+    coalesce(component canonical, own id) → the portable hash-split
+    rule — whole duplicate clusters land on one side (no train/eval
+    leakage), singletons split independently, assignment
+    reproducible cross-engine.  The oracle recomputes the clusters
+    with q73's recursive CTE over brute-force exact-Jaccard pairs
+    and the split with q74's md5-bucket spelling."""
+    from preql_spark.operators import dedup
+    d = _eng(spark, sf_dir).t.documents
+    pairs = dedup.minhash_lsh_pairs(d.df, "doc_id", threshold=0.9)
+    return (dedup.leakage_safe_split(
+        d.df, pairs, {"train": 0.8, "valid": 0.1, "test": 0.1})
+        .select("doc_id", "split"))
+
+
 def q74_split_by_hash(spark, sf_dir) -> DataFrame:
     """Deterministic group-aware train/valid/test split counts by
     source: the label is a pure function of the key hash, so the
@@ -3133,7 +3150,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # two-wave == one-shot identity is pytest-pinned instead
     "q174_hll_ingest": q174_hll_ingest,
     "q175_token_entropy": q175_token_entropy,
-    "q176_session_paths": q176_session_paths,
+    "q200_leakage_safe_split": q200_leakage_safe_split,
     # rows-only by design: t-digest estimates have no DuckDB twin
     "q177_tdigest_ingest": q177_tdigest_ingest,
     "q178_entity_resolution": q178_entity_resolution,
@@ -3242,6 +3259,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced mid-r10 by the NEW graded q199 quantize_to KS knob
     # (graph family keeps q185/q190/q191/q196 in-window):
     "q186_assortativity": q186_assortativity,
+    # displaced mid-r10 by the NEW graded q200 leakage-safe split
+    # capstone (events family keeps q169/q170/q182/q192/q193):
+    "q176_session_paths": q176_session_paths,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -4047,6 +4067,47 @@ ORACLES: dict[str, str] = {
                  FROM reach GROUP BY node)
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT node FROM comp WHERE component != node)
+    """,
+    # q73's recursive-CTE clusters + q74's md5 hash-split spelling:
+    # the split key is the cluster canonical (min member id) when the
+    # doc is in one, else its own id
+    "q200_leakage_safe_split": r"""
+        WITH RECURSIVE
+        t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      array_to_string(list_slice(toks, i, i + 2), ' ') AS s
+               FROM t, UNNEST(range(1, greatest(len(toks) - 1, 2))) AS r(i)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b FROM inter
+                  JOIN sizes sa ON id_a = sa.doc_id
+                  JOIN sizes sb ON id_b = sb.doc_id
+                  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.9),
+        sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, r) AS (SELECT a, b FROM sym
+                           UNION
+                           SELECT reach.node, sym.b
+                           FROM reach JOIN sym ON reach.r = sym.a),
+        comp AS (SELECT node, least(node, min(r)) AS component
+                 FROM reach GROUP BY node),
+        keyed AS (SELECT d.doc_id,
+                         CAST(coalesce(c.component, d.doc_id)
+                              AS VARCHAR) AS k
+                  FROM documents d
+                  LEFT JOIN comp c ON d.doc_id = c.node),
+        b AS (SELECT doc_id,
+                     ('0x' || substr(md5(k), 1, 15))::BIGINT
+                       % 1000000 AS bucket
+              FROM keyed)
+        SELECT doc_id,
+               CASE WHEN bucket < 800000 THEN 'train'
+                    WHEN bucket < 900000 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM b
     """,
     "q74_split_by_hash": """
         WITH b AS (

@@ -3465,6 +3465,7 @@ def _load_pipeline_funcs() -> dict:
         "ngram_containment_pairs": dedup.ngram_containment_pairs,
         "connected_components": dedup.connected_components,
         "dedup_canonical": dedup.dedup_keep_canonical,
+        "leakage_safe_split": dedup.leakage_safe_split,
         "decontaminate": dedup.decontaminate,
         "contaminated_ids": dedup.contaminated_ids,
         "corpus_overlap": dedup.corpus_overlap,
@@ -3604,7 +3605,7 @@ def _load_pipeline_funcs() -> dict:
 _PIPELINE_FUNC_NAMES = {
     "dedup_exact", "chunk_dedup", "line_dedup", "minhash_pairs",
     "simhash_pairs", "ngram_jaccard_pairs", "ngram_containment_pairs",
-    "connected_components",
+    "connected_components", "leakage_safe_split",
     "dedup_canonical", "decontaminate", "contaminated_ids",
     "corpus_overlap", "duplicate_spans", "remove_duplicate_spans",
     "scrub_contaminated_spans",

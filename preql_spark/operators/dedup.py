@@ -317,6 +317,42 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
     return df.join(losers, id_col, "left_anti")
 
 
+def leakage_safe_split(df: DataFrame, pairs: DataFrame, splits: dict,
+                       id_col: str = "doc_id", label: str = "split",
+                       id_a: str = "id_a",
+                       id_b: str = "id_b") -> DataFrame:
+    """Near-duplicate-aware train/validation/test split — the
+    composition every pretraining pipeline needs but usually
+    hand-rolls: a plain per-document hash split leaks whenever two
+    near-duplicates land on opposite sides (the eval copy "grades"
+    a memorized train copy), so the split key must be the DUPLICATE
+    CLUSTER, not the document.  Given the near-dup ``pairs`` (from
+    :func:`minhash_lsh_pairs` / :func:`ngram_jaccard_pairs` /
+    :func:`simhash_pairs` — any pair source), this runs
+    :func:`connected_components` (component = min member id), keys
+    every row by ``coalesce(component, own id)`` (singletons split
+    independently), and labels through the SAME
+    :func:`preql_spark.operators.text.hash_split_label` rule as
+    ``Table.split_by_hash`` — deterministic, reproducible
+    cross-engine, and whole clusters land on one side by
+    construction.
+
+    Scale shape: components over near-dup pairs (pair-volume-bound,
+    the already-audited CC loop), ONE node-keyed left join back onto
+    the corpus, and a scan-local hash label — no new shuffle class
+    beyond the audited pieces.  Returns ``df`` plus the ``label``
+    column."""
+    comp = connected_components(pairs, id_a, id_b)
+    k = df.join(
+        comp.select(F.col("node").alias(id_col),
+                    F.col("component").alias("__comp")),
+        id_col, "left")
+    from preql_spark.operators.text import hash_split_label
+    key = F.coalesce(F.col("__comp"), F.col(id_col))
+    return (k.withColumn(label, hash_split_label(key, splits))
+            .drop("__comp"))
+
+
 # ---- benchmark decontamination (train/eval n-gram overlap) -----------------
 
 def contaminated_ids(train: DataFrame, eval_df: DataFrame, id_col: str,

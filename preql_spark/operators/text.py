@@ -54,6 +54,30 @@ def portable_hash(col) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def hash_split_label(key, splits: dict) -> Column:
+    """Deterministic split label from a key column: the key hashes
+    through :func:`portable_hash` into one of 10^6 buckets and the
+    label is the cumulative-fraction range the bucket falls into —
+    the ONE implementation behind ``Table.split_by_hash`` and
+    :func:`preql_spark.operators.dedup.leakage_safe_split`, so every
+    split in the engine is reproducible cross-engine (the DuckDB
+    spelling is in :func:`portable_hash`'s note) and two operators
+    can never disagree on an assignment.  Fractions must sum to 1."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    k = F.col(key) if isinstance(key, str) else key
+    bucket = portable_hash(k.cast("string")) % 1000000
+    expr, cum = None, 0.0
+    items = list(splits.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        cond = bucket < int(cum * 1000000)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    return F.lit(last) if expr is None else expr.otherwise(last)
+
+
 def tokens(col) -> Column:
     """Whitespace tokenization."""
     c = col if isinstance(col, Column) else F.col(col)

@@ -502,23 +502,12 @@ class Table:
         split is reproducible across runs/engines AND group-aware: use
         the dedup cluster id or source domain as ``key`` and all
         near-duplicate rows land on the same side — the leakage-safe
-        way to hold out evaluation data.  Fractions must sum to 1."""
-        from pyspark.sql import functions as F
-        from preql_spark.operators.text import portable_hash
-        total = sum(splits.values())
-        if abs(total - 1.0) > 1e-9:
-            raise ValueError(f"split fractions must sum to 1, got {total}")
-        k = F.col(key) if isinstance(key, str) else key
-        bucket = portable_hash(k.cast("string")) % 1000000
-        expr, cum = None, 0.0
-        items = list(splits.items())
-        for name, frac in items[:-1]:
-            cum += frac
-            cond = bucket < int(cum * 1000000)
-            expr = F.when(cond, name) if expr is None else expr.when(cond, name)
-        last = items[-1][0]
-        expr = F.lit(last) if expr is None else expr.otherwise(last)
-        return self._with(self.df.withColumn(label, expr))
+        way to hold out evaluation data (packaged end-to-end as
+        :func:`preql_spark.operators.dedup.leakage_safe_split`).
+        Fractions must sum to 1."""
+        from preql_spark.operators.text import hash_split_label
+        return self._with(
+            self.df.withColumn(label, hash_split_label(key, splits)))
 
     # ---- order / slice / limit -------------------------------------
     def order(self, *keys) -> "Table":

@@ -1954,6 +1954,19 @@ def test_pipeline_builtins_table_funcs(eng):
     q30 = eng.q('quality_metrics(documents)[n_tokens >= 30]').count()
     assert q30 == text.quality_metrics(d.df) \
         .filter("n_tokens >= 30").count()
+    # leakage-safe split: nested pair source + dict splits, equal to
+    # the Python operator row-for-row
+    lang_split = {(r.doc_id, r.split) for r in
+                  eng.q('leakage_safe_split(documents,'
+                        ' minhash_pairs(documents, "doc_id",'
+                        ' threshold: 0.9),'
+                        ' dict(train: 0.8, valid: 0.1, test: 0.1))'
+                        ' {doc_id, split}').collect()}
+    api_split = {(r.doc_id, r.split) for r in dedup.leakage_safe_split(
+        d.df, dedup.minhash_lsh_pairs(d.df, "doc_id", threshold=0.9),
+        {"train": 0.8, "valid": 0.1, "test": 0.1})
+        .select("doc_id", "split").collect()}
+    assert lang_split == api_split
 
 
 def test_pipeline_builtins_scalars(eng):

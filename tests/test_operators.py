@@ -414,6 +414,44 @@ def test_connected_components_and_canonical(eng):
     assert kept == [1, 10, 20, 99]
 
 
+def test_leakage_safe_split(eng):
+    """Every member of a near-dup cluster lands on the SAME side
+    (keyed by the component canonical), singletons split exactly
+    like Table.split_by_hash on their own id (shared
+    hash_split_label rule), every row is labeled once, and bad
+    fractions raise."""
+    import pytest as _pt
+    from preql_spark.operators.dedup import leakage_safe_split
+    spark = eng.spark
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "id_a: long, id_b: long")
+    ids = [1, 2, 3, 4, 10, 11, 20, 21] + list(range(100, 160))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id: long")
+    splits = {"train": 0.6, "valid": 0.2, "test": 0.2}
+    out = {r.doc_id: r.split for r in
+           leakage_safe_split(docs, pairs, splits).collect()}
+    assert len(out) == len(ids)            # one label per row
+    # whole clusters on one side
+    for cluster in ([1, 2, 3, 4], [10, 11], [20, 21]):
+        assert len({out[i] for i in cluster}) == 1
+    # cluster side == hash of the canonical id
+    from preql_spark.table import Table
+    by_own = {r.doc_id: r.split for r in
+              Table(eng, docs).split_by_hash("doc_id", splits)
+              .df.collect()}
+    assert out[3] == by_own[1] and out[11] == by_own[10]
+    # singletons identical to plain split_by_hash
+    for i in range(100, 160):
+        assert out[i] == by_own[i]
+    # the 60 singletons spread over all three sides (sanity that the
+    # labeling isn't degenerate)
+    assert {out[i] for i in range(100, 160)} == {"train", "valid",
+                                                 "test"}
+    with _pt.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(docs, pairs, {"train": 0.5, "test": 0.4})
+
+
 def test_pack_sequences(eng):
     from preql_spark.operators.text import pack_sequences
     d = eng.t.documents.df
