@@ -1051,6 +1051,23 @@ def q82_redact_pii(spark, sf_dir) -> DataFrame:
                        text.redact_pii(dirty).alias("clean"))
 
 
+def q201_normalize_text(spark, sf_dir) -> DataFrame:
+    """Deterministic text normalization (lowercase → fixed Latin
+    accent fold → punctuation strip → whitespace collapse), the
+    preprocessing contract in front of fingerprint/dedup — pure
+    built-in string chain, scan-local, codegen, no UDF.  Case,
+    accents, punctuation, and ragged spacing are synthesized onto
+    the corpus so every stage actually fires; the oracle spells the
+    identical lower/translate/regexp_replace chain in DuckDB."""
+    from preql_spark.operators import text
+    d = _eng(spark, sf_dir).t.documents
+    dirty = F.concat(F.upper(F.substring(F.col("text"), 1, 24)),
+                     F.lit("  Héllo, Wörld!—ÇA  va…  "),
+                     F.col("text"))
+    return d.df.select("doc_id",
+                       text.normalize_text(dirty).alias("norm"))
+
+
 def q83_strip_short_lines(spark, sf_dir) -> DataFrame:
     """Rule-based boilerplate removal: drop lines under 4 tokens via
     a JVM-side array filter (documents given synthetic line breaks)."""
@@ -3149,7 +3166,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only by design: DataSketches HLL has no DuckDB twin; the
     # two-wave == one-shot identity is pytest-pinned instead
     "q174_hll_ingest": q174_hll_ingest,
-    "q175_token_entropy": q175_token_entropy,
+    "q201_normalize_text": q201_normalize_text,
     "q200_leakage_safe_split": q200_leakage_safe_split,
     # rows-only by design: t-digest estimates have no DuckDB twin
     "q177_tdigest_ingest": q177_tdigest_ingest,
@@ -3262,6 +3279,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced mid-r10 by the NEW graded q200 leakage-safe split
     # capstone (events family keeps q169/q170/q182/q192/q193):
     "q176_session_paths": q176_session_paths,
+    # displaced mid-r10 by the NEW graded q201 normalize_text (text
+    # family keeps q95 repetition metrics + q160 BPE + q200/q201):
+    "q175_token_entropy": q175_token_entropy,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -4202,6 +4222,22 @@ ORACLES: dict[str, str] = {
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), ())
+    """,
+    # the identical lower -> translate(accent fold) -> \p{P} strip ->
+    # \s+ collapse chain, spelled in DuckDB
+    "q201_normalize_text": r"""
+        WITH dirty AS (
+            SELECT doc_id,
+                   upper(substr(text, 1, 24))
+                     || '  Héllo, Wörld!—ÇA  va…  ' || text AS s
+            FROM documents)
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(
+                    translate(lower(s),
+                              'àáâãäåçèéêëìíîïñòóôõöùúûüýÿ',
+                              'aaaaaaceeeeiiiinooooouuuuyy'),
+                    '[\p{P}]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        FROM dirty
     """,
     "q82_redact_pii": r"""
         WITH dirty AS (

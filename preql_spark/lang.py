@@ -3352,6 +3352,7 @@ def _make_maps():
         "lang_id": _t.lang_id,
         "fingerprint": _t.fingerprint64,
         "redact_pii": _t.redact_pii,
+        "normalize_text": _t.normalize_text,
         "strip_short_lines": _t.strip_short_lines,
         "host_of": _t.host_of,
         "bpe_merge_pair": _t.bpe_merge_pair,

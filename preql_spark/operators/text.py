@@ -481,6 +481,49 @@ PII_PATTERNS = {
 }
 
 
+#: fixed Latin accent-fold table for :func:`normalize_text` — kept a
+#: FROM/TO translate pair (not a Unicode Normalizer call) so the fold
+#: stays inside whole-stage codegen and is spelled identically in any
+#: oracle engine (``translate(lower(s), FROM, TO)``)
+ACCENT_FOLD_FROM = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+ACCENT_FOLD_TO = "aaaaaaceeeeiiiinooooouuuuyy"
+
+
+def normalize_text(col, lowercase: bool = True,
+                   fold_accents: bool = True,
+                   strip_punct: bool = True,
+                   collapse_whitespace: bool = True) -> Column:
+    """Deterministic text normalization — the preprocessing step in
+    front of every fingerprint/dedup/containment pass (two documents
+    that differ only in case, accents, punctuation, or spacing should
+    dedup as ONE): lowercase → Latin accent fold (the fixed
+    :data:`ACCENT_FOLD_FROM`/:data:`ACCENT_FOLD_TO` translate table)
+    → punctuation strip (``\\p{P}`` → a SPACE, not the empty string,
+    so an em-dash/slash between words never glues them into one
+    token; the collapse stage then folds the extra spaces) →
+    whitespace collapse + trim, each stage independently switchable.
+
+    Scale shape: a pure built-in string chain (lower / translate /
+    regexp_replace) — scan-local, whole-stage codegen, no shuffle, no
+    UDF.  The accent fold is deliberately the documented Latin table,
+    NOT full Unicode NFKD: a ``java.text.Normalizer`` call would need
+    a row-at-a-time UDF (leaves codegen — the forbidden hot path at
+    100 TB), and the fixed translate covers the Latin web-corpus
+    case while staying bit-reproducible cross-engine (DuckDB:
+    ``trim(regexp_replace(regexp_replace(translate(lower(s), FROM,
+    TO), '[\\p{P}]', ' ', 'g'), '\\s+', ' ', 'g'))``)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    if lowercase:
+        c = F.lower(c)
+    if fold_accents:
+        c = F.translate(c, ACCENT_FOLD_FROM, ACCENT_FOLD_TO)
+    if strip_punct:
+        c = F.regexp_replace(c, r"[\p{P}]", " ")
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
 def redact_pii(col, kinds: list[str] | None = None) -> Column:
     """Replace email/phone/IPv4 literals with ``<KIND>`` placeholders —
     the standard scrub step before a corpus ships to training.  Pure

@@ -414,6 +414,48 @@ def test_connected_components_and_canonical(eng):
     assert kept == [1, 10, 20, 99]
 
 
+def test_normalize_text(eng):
+    """Each normalization stage fires and is independently
+    switchable; the composed chain matches the documented value;
+    normalized near-identical docs fingerprint equal (the dedup
+    preprocessing contract)."""
+    from preql_spark.operators.text import fingerprint64, normalize_text
+    spark = eng.spark
+    df = spark.createDataFrame(
+        [("  Héllo, Wörld!—ÇA  va…  ",),
+         ("hello world ca va",),
+         ("HELLO   world, ça va!",)], "t: string")
+    got = [r.n for r in df.select(normalize_text("t").alias("n"))
+           .collect()]
+    assert got == ["hello world ca va"] * 3
+    # all three normalize to ONE fingerprint
+    fps = {r.f for r in df.select(
+        fingerprint64(normalize_text("t")).alias("f")).collect()}
+    assert len(fps) == 1
+    # stages off: keep case / keep accents / keep punct / keep spacing
+    one = df.limit(1)
+    assert one.select(normalize_text("t", lowercase=False).alias("n")) \
+        .collect()[0].n.startswith("H")
+    assert "é" in one.select(
+        normalize_text("t", fold_accents=False).alias("n")) \
+        .collect()[0].n
+    assert "," in one.select(
+        normalize_text("t", strip_punct=False).alias("n")) \
+        .collect()[0].n
+    assert "  " in one.select(
+        normalize_text("t", collapse_whitespace=False).alias("n")) \
+        .collect()[0].n
+    # lang scalar spelling matches the Python API
+    d = eng.t.documents
+    a = [r.n for r in d.df.limit(5).select(
+        normalize_text(F.concat(F.upper("text"), F.lit("  x!")))
+        .alias("n")).collect()]
+    l = [r.n for r in eng.q(
+        'documents[doc_id < 5] {doc_id, n: normalize_text('
+        'upper(text) + "  x!")} order {doc_id}').collect()]
+    assert sorted(a) == sorted(l)
+
+
 def test_leakage_safe_split(eng):
     """Every member of a near-dup cluster lands on the SAME side
     (keyed by the component canonical), singletons split exactly
