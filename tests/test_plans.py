@@ -504,6 +504,44 @@ def test_funnel_one_user_shuffle_no_window_no_join(spark):
     assert "partial" in plan.lower()  # map-side combine on the collect
 
 
+def test_normalize_text_scan_local(spark):
+    """normalize_text is a pure built-in string chain: the q201 plan
+    must contain NO exchange, NO join, and NO Python node — one
+    codegen'd projection over the parquet scan (the 100 TB contract
+    for a per-row preprocessing step)."""
+    df = entry.q201_normalize_text(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "codegen id" in plan     # the chain stays in codegen
+    # exactly one Project over the scan — the whole operator is one
+    # per-row expression
+    assert plan.count("Project") >= 1 and "Scan parquet" in plan
+
+
+def test_leakage_safe_split_label_is_scan_local(spark):
+    """leakage_safe_split adds exactly one corpus-side shuffle class
+    beyond the already-audited CC loop: the node-keyed join back onto
+    the docs.  The split LABEL itself must be a scan-local hash
+    expression — no window, no extra exchange after the join."""
+    from preql_spark.operators.dedup import leakage_safe_split
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = spark.createDataFrame([(1, 2), (3, 4)],
+                                  "id_a: long, id_b: long")
+    out = leakage_safe_split(docs, pairs,
+                             {"train": 0.9, "test": 0.1})
+    plan = plan_of(out)
+    assert "Window" not in plan     # never a sort/rank stage
+    assert "md5" in plan            # the portable hash rule, in-plan
+    # one left join back onto the corpus and nothing downstream of
+    # it but the label projection (no post-join exchange/agg).  The
+    # component side is checkpoint-backed (unknown stats), so the
+    # join strategy is AQE's call — the contract is the SHAPE, not
+    # the strategy: no aggregation anywhere in the label path
+    assert "HashAggregate" not in plan.split("Join")[-1]
+
+
 def test_winsorize_rows_never_shuffle(spark):
     """The percentile bounds broadcast back onto the rows: the row
     side must see no hash exchange and no sort-merge join."""
