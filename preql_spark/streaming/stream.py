@@ -521,6 +521,7 @@ def incremental_ivf_ingest(spark: SparkSession, src_path: str,
     from preql_spark.parquet_io import hadoop_dir_has_files
     from preql_spark.operators.similarity import assign_cells_hof
 
+    _guard_stranded(spark, index_path)
     schema = spark.read.parquet(src_path).schema  # footer-only peek
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -1395,21 +1396,31 @@ def compact_ingest_state(spark: SparkSession, state_path: str,
     return _checked_swap(spark, state_path, out)
 
 
-def _checked_swap(spark: SparkSession, path: str,
-                  out: DataFrame) -> int:
-    """Write ``out`` as the compacted single-file rewrite of ``path``
-    and swap it in via the CHECKED backup-rename dance shared by
-    :func:`compact_ingest_state` and :func:`compact_ingest_ids`: the
-    old dir renames to ``<path>__pre_compact``, the rewrite renames
-    in, and only then does the backup delete — a failed rename
-    restores the backup and raises (never a silent half-state); a
-    crash between the two renames leaves the backup on disk, which
-    every ingest detects LOUDLY (:func:`_guard_stranded`) with the
-    rename-back recovery recipe.  Returns the rewrite's row count."""
+def _checked_swap(spark: SparkSession, path: str, out: DataFrame,
+                  partition_col: str | None = None) -> int:
+    """Write ``out`` as the compacted rewrite of ``path`` (one file —
+    or, with ``partition_col``, one file per partition directory) and
+    swap it in via the CHECKED backup-rename dance shared by
+    :func:`compact_ingest_state` / :func:`compact_ingest_ids` /
+    :func:`compact_partitioned_store`: the old dir renames to
+    ``<path>__pre_compact``, the rewrite renames in, and only then
+    does the backup delete — a failed rename restores the backup and
+    raises (never a silent half-state); a crash between the two
+    renames leaves the backup on disk, which every ingest detects
+    LOUDLY (:func:`_guard_stranded`) with the rename-back recovery
+    recipe.  Returns the rewrite's row count."""
     from preql_spark.parquet_io import _hadoop_fs_path
     tmp = path.rstrip("/") + "__compact"
     bak = path.rstrip("/") + "__pre_compact"
-    out.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if partition_col is not None:
+        # repartition BY the partition column: every partition value
+        # lands in exactly one task, so each directory rewrites as
+        # one file
+        (out.repartition(F.col(partition_col))
+            .write.mode("overwrite").partitionBy(partition_col)
+            .parquet(tmp))
+    else:
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
     n_rows = spark.read.parquet(tmp).count()
     fs, old = _hadoop_fs_path(spark, path)
     _, new = _hadoop_fs_path(spark, tmp)
@@ -1456,3 +1467,27 @@ def compact_ingest_ids(spark: SparkSession, ids_path: str) -> int:
     _guard_stranded(spark, ids_path)
     ids = spark.read.parquet(ids_path).distinct()
     return _checked_swap(spark, ids_path, ids)
+
+
+def compact_partitioned_store(spark: SparkSession, path: str,
+                              partition_col: str = "__cid") -> int:
+    """Offline small-file compaction for a partitioned append store
+    (the :func:`incremental_ivf_ingest` layout — every micro-batch
+    appends one file per touched cell directory, so a long-lived
+    stream accumulates O(batches) files per cell and probe reads pay
+    the listing + footer cost of all of them): rewrite each
+    partition directory as ONE file (repartition by the partition
+    column, so every partition value lands in exactly one write
+    task) and swap via the checked backup-rename dance.  Contents
+    are row-identical; only the file layout changes — searches and
+    the ingest's ids anti-join read the same rows from fewer files.
+    Returns the rewrite's row count.
+
+    RUN ONLY WHILE THE STREAM IS STOPPED — enforced mechanically
+    in-session (:func:`_require_no_active_streams`); a crash
+    mid-swap strands the ``__pre_compact`` backup, which the next
+    ingest detects loudly (:func:`_guard_stranded`)."""
+    _require_no_active_streams(spark, "compact_partitioned_store")
+    _guard_stranded(spark, path)
+    df = spark.read.parquet(path)
+    return _checked_swap(spark, path, df, partition_col=partition_col)

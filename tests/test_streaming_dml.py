@@ -1263,6 +1263,54 @@ def test_incremental_ivf_ingest_completeness_and_pruning(
         "PartitionFilters", 1)[1][:200]
 
 
+def test_compact_partitioned_store_one_file_per_cell(
+        spark, eng, tmp_path):
+    """The IVF store accumulates one file per (batch, touched cell);
+    compact_partitioned_store rewrites each cell directory as ONE
+    file with contents row-identical — per-cell counts and an
+    exhaustive search are unchanged — and the stop-lock applies."""
+    import glob
+    from preql_spark.operators.similarity import (
+        ivf_build, ivf_topk_from_store)
+    from preql_spark.streaming.stream import (
+        compact_partitioned_store, incremental_ivf_ingest)
+    e = eng.t.embeddings.df.select("vec_id", "embedding")
+    src, idx, ck = (str(tmp_path / x) for x in ("src", "idx", "ck"))
+    _, cents = ivf_build(e.filter(F.col("vec_id") < 250), dim=64,
+                         n_centroids=4)
+    e.filter(F.col("vec_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_ivf_ingest(spark, src, ck, idx, cents)
+    e.filter(F.col("vec_id") >= 250).write.mode("append").parquet(src)
+    rep = incremental_ivf_ingest(spark, src, ck, idx, cents)
+    counts = {r.cell: r.n_vectors for r in rep.collect()}
+    q = e.filter(F.col("vec_id") < 3)
+    before = sorted(tuple(r) for r in ivf_topk_from_store(
+        spark, idx, cents, q, k=5, nprobe=len(cents)).collect())
+    cells = [d for d in glob.glob(f"{idx}/__cid=*")]
+    assert cells and any(
+        len(glob.glob(f"{d}/*.parquet")) >= 2 for d in cells), \
+        "two waves should leave >= 2 files in some cell"
+    n = compact_partitioned_store(spark, idx)
+    assert n == sum(counts.values())
+    for d in glob.glob(f"{idx}/__cid=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+    after = sorted(tuple(r) for r in ivf_topk_from_store(
+        spark, idx, cents, q, k=5, nprobe=len(cents)).collect())
+    assert after == before
+    # counts via another ingest run (replay: no new data) unchanged
+    rep2 = incremental_ivf_ingest(spark, src, ck, idx, cents)
+    assert {r.cell: r.n_vectors for r in rep2.collect()} == counts
+    # the stop-lock is shared with the other compactors
+    qy = (spark.readStream.format("rate").option("rowsPerSecond", 1)
+          .load().writeStream.format("memory")
+          .queryName("t_pstore_guard").start())
+    try:
+        with pytest.raises(RuntimeError, match="STOPPED"):
+            compact_partitioned_store(spark, idx)
+    finally:
+        qy.stop()
+
+
 def test_compact_hll_state_preserves_report(spark, eng, tmp_path):
     """Compacting the HLL sketch state (union per group) leaves the
     next report identical — sketch union is idempotent, so this is
