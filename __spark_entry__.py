@@ -969,6 +969,21 @@ def q200_leakage_safe_split(spark, sf_dir) -> DataFrame:
         .select("doc_id", "split"))
 
 
+def q203_dedup_keep_best(spark, sf_dir) -> DataFrame:
+    """Quality-aware canonical selection: keep the LONGEST copy per
+    near-dup cluster (desc length, doc_id tie-break) instead of the
+    min id — the production dedup rule when crawls repeat.  The
+    oracle recomputes q73's recursive-CTE clusters and replays the
+    same cluster-partitioned row_number."""
+    from preql_spark.operators import dedup
+    d = _eng(spark, sf_dir).t.documents
+    pairs = dedup.minhash_lsh_pairs(d.df, "doc_id", threshold=0.9)
+    return (dedup.dedup_keep_best(
+        d.df, pairs, "doc_id",
+        [F.length("text").desc(), F.col("doc_id")])
+        .select("doc_id"))
+
+
 def q74_split_by_hash(spark, sf_dir) -> DataFrame:
     """Deterministic group-aware train/valid/test split counts by
     source: the label is a pure function of the key hash, so the
@@ -3229,7 +3244,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q136_transactions": q136_transactions,
     "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
     "q125_lang_in_table": q125_lang_in_table,
-    "q126_stream_neardup_ingest": q126_stream_neardup_ingest,
+    "q203_dedup_keep_best": q203_dedup_keep_best,
     "q131_sqlite_roundtrip": q131_sqlite_roundtrip,
     "q95_repetition_metrics": q95_repetition_metrics,
     "q116_audio_features": q116_audio_features,
@@ -3317,6 +3332,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (ANN/search family keeps q124/q159/q202 — q159 replays the IVF
     # refine stage plus MMR; RRF fusion stays battery tri-scale):
     "q152_weighted_hybrid_search": q152_weighted_hybrid_search,
+    # displaced mid-r10 by the NEW graded q203 quality-aware dedup
+    # canonical (streaming keeps q158/q174/q177/q195/q197/q198/q202;
+    # the near-dup ingest machinery stays battery tri-scale):
+    "q126_stream_neardup_ingest": q126_stream_neardup_ingest,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -4122,6 +4141,43 @@ ORACLES: dict[str, str] = {
                  FROM reach GROUP BY node)
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT node FROM comp WHERE component != node)
+    """,
+    # q73's recursive-CTE clusters + the cluster-partitioned
+    # keep-longest window (desc length, doc_id tie-break)
+    "q203_dedup_keep_best": r"""
+        WITH RECURSIVE
+        t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      array_to_string(list_slice(toks, i, i + 2), ' ') AS s
+               FROM t, UNNEST(range(1, greatest(len(toks) - 1, 2))) AS r(i)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (SELECT id_a, id_b FROM inter
+                  JOIN sizes sa ON id_a = sa.doc_id
+                  JOIN sizes sb ON id_b = sb.doc_id
+                  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.9),
+        sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, r) AS (SELECT a, b FROM sym
+                           UNION
+                           SELECT reach.node, sym.b
+                           FROM reach JOIN sym ON reach.r = sym.a),
+        comp AS (SELECT node, least(node, min(r)) AS component
+                 FROM reach GROUP BY node),
+        keyed AS (SELECT d.doc_id,
+                         coalesce(c.component, d.doc_id) AS comp,
+                         length(d.text) AS ln
+                  FROM documents d
+                  LEFT JOIN comp c ON d.doc_id = c.node),
+        rr AS (SELECT doc_id,
+                      row_number() OVER (PARTITION BY comp
+                                         ORDER BY ln DESC, doc_id)
+                        AS rn
+               FROM keyed)
+        SELECT doc_id FROM rr WHERE rn = 1
     """,
     # q73's recursive-CTE clusters + q74's md5 hash-split spelling:
     # the split key is the cluster canonical (min member id) when the

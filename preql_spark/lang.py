@@ -3466,6 +3466,10 @@ def _load_pipeline_funcs() -> dict:
         "ngram_containment_pairs": dedup.ngram_containment_pairs,
         "connected_components": dedup.connected_components,
         "dedup_canonical": dedup.dedup_keep_canonical,
+        "dedup_keep_best":
+            lambda df, pairs, id_col, *order:
+                dedup.dedup_keep_best(df, pairs, id_col,
+                                      [_order_spec(o) for o in order]),
         "leakage_safe_split": dedup.leakage_safe_split,
         "decontaminate": dedup.decontaminate,
         "contaminated_ids": dedup.contaminated_ids,
@@ -3606,7 +3610,7 @@ def _load_pipeline_funcs() -> dict:
 _PIPELINE_FUNC_NAMES = {
     "dedup_exact", "chunk_dedup", "line_dedup", "minhash_pairs",
     "simhash_pairs", "ngram_jaccard_pairs", "ngram_containment_pairs",
-    "connected_components", "leakage_safe_split",
+    "connected_components", "leakage_safe_split", "dedup_keep_best",
     "dedup_canonical", "decontaminate", "contaminated_ids",
     "corpus_overlap", "duplicate_spans", "remove_duplicate_spans",
     "scrub_contaminated_spans",

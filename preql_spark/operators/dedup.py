@@ -317,6 +317,38 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
     return df.join(losers, id_col, "left_anti")
 
 
+def dedup_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
+                    order_by: list) -> DataFrame:
+    """Quality-aware canonical selection: keep ONE row per duplicate
+    cluster, chosen by an explicit ordering instead of
+    :func:`dedup_keep_canonical`'s min-id rule — the production
+    variant (when a page was crawled five times, keep the longest /
+    highest-quality / newest copy, not the numerically smallest id).
+    ``order_by`` is a list of Columns (e.g. ``[F.col("quality")
+    .desc(), F.col("doc_id")]``); ALWAYS end it with a unique
+    tie-break column so the winner is deterministic.  Rows in no
+    cluster survive untouched.
+
+    Scale shape: components over the pairs (the audited CC loop),
+    one node-keyed join to attach component ids, and one
+    component-partitioned row_number window — the window partitions
+    by cluster, so no global sort; cluster sizes bound the per-key
+    work (near-dup clusters are small by construction; a degenerate
+    mega-cluster is a data smell the hot-bucket caps upstream
+    already surface)."""
+    comp = connected_components(pairs)
+    tagged = df.join(
+        comp.select(F.col("node").alias(id_col),
+                    F.col("component").alias("__comp")),
+        id_col, "left")
+    # singletons are their own cluster: key by coalesce(comp, id)
+    key = F.coalesce(F.col("__comp"), F.col(id_col))
+    w = Window.partitionBy(key).orderBy(*order_by)
+    return (tagged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__comp", "__rn"))
+
+
 def leakage_safe_split(df: DataFrame, pairs: DataFrame, splits: dict,
                        id_col: str = "doc_id", label: str = "split",
                        id_a: str = "id_a",

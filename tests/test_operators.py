@@ -414,6 +414,37 @@ def test_connected_components_and_canonical(eng):
     assert kept == [1, 10, 20, 99]
 
 
+def test_dedup_keep_best(eng):
+    """Keep-best keeps exactly one row per cluster chosen by the
+    explicit ordering (here: highest score, id tie-break), singletons
+    survive untouched, and with the min-id ordering it reproduces
+    dedup_keep_canonical exactly."""
+    from preql_spark.operators.dedup import (dedup_keep_best,
+                                             dedup_keep_canonical)
+    spark = eng.spark
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a: long, id_b: long")
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (10, 1.0), (11, 2.0),
+         (99, 0.0)], "doc_id: long, score: double")
+    kept = sorted(r.doc_id for r in dedup_keep_best(
+        docs, pairs, "doc_id",
+        [F.col("score").desc(), F.col("doc_id")]).collect())
+    # cluster {1,2,3}: score 9 tie between 2 and 3 -> id 2;
+    # cluster {10,11}: 11 wins on score; 99 is a singleton
+    assert kept == [2, 11, 99]
+    # min-id ordering == the canonical rule
+    a = sorted(r.doc_id for r in dedup_keep_best(
+        docs, pairs, "doc_id", [F.col("doc_id")]).collect())
+    b = sorted(r.doc_id for r in dedup_keep_canonical(
+        docs, pairs, "doc_id").collect())
+    assert a == b
+    # the winner keeps its full row (no column loss)
+    cols = dedup_keep_best(docs, pairs, "doc_id",
+                           [F.col("doc_id")]).columns
+    assert cols == ["doc_id", "score"]
+
+
 def test_normalize_text(eng):
     """Each normalization stage fires and is independently
     switchable; the composed chain matches the documented value;
