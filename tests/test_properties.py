@@ -230,6 +230,58 @@ def test_split_by_hash_partitions(eng, f1):
     assert set(counts) <= {"a", "b"}
 
 
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(
+    st.text(alphabet=st.characters(min_codepoint=32,
+                                   max_codepoint=0x2060),
+            max_size=60),
+    min_size=1, max_size=6))
+def test_normalize_text_idempotent_and_clean(spark, texts):
+    """normalize_text is IDEMPOTENT (a normalized string is its own
+    normal form — the property that makes it safe to apply at any
+    pipeline stage) and its output never contains uppercase ASCII,
+    runs of whitespace, or leading/trailing space."""
+    import re
+    from preql_spark.operators.text import normalize_text
+    df = spark.createDataFrame([(t,) for t in texts], "t: string")
+    one = [r.n for r in df.select(normalize_text("t").alias("n"))
+           .collect()]
+    two = [r.n for r in
+           df.select(normalize_text(normalize_text("t")).alias("n"))
+           .collect()]
+    assert one == two
+    for n in one:
+        assert n == n.strip()
+        assert not re.search(r"[A-Z]", n)
+        assert not re.search(r"\s\s", n) and "\t" not in n
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    max_size=12), f1=st.integers(10, 90))
+def test_leakage_safe_split_cluster_invariant(eng, edges, f1):
+    """On ANY pair graph: every row is labeled exactly once, and any
+    two ids connected by an edge get the SAME label (the no-leakage
+    invariant, via connected components)."""
+    from preql_spark.operators.dedup import leakage_safe_split
+    spark = eng.spark
+    f = f1 / 100.0
+    docs = spark.createDataFrame([(i,) for i in range(31)],
+                                 "doc_id: long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [(0, 0)][:0],
+        "id_a: long, id_b: long")
+    out = {r.doc_id: r.split for r in leakage_safe_split(
+        docs, pairs, {"a": f, "b": round(1 - f, 10)}).collect()}
+    assert len(out) == 31
+    for a, b in edges:
+        if a != b:
+            assert out[a] == out[b], (a, b)
+
+
 # ---- vector quantization round-trip ----------------------------------------
 
 @settings(max_examples=8, deadline=None,
