@@ -969,6 +969,30 @@ def q200_leakage_safe_split(spark, sf_dir) -> DataFrame:
         .select("doc_id", "split"))
 
 
+def q204_canonicalize_url(spark, sf_dir) -> DataFrame:
+    """URL canonicalization for URL-level dedup: fragment strip,
+    tracking-param removal with separator cleanup, authority-only
+    lowercase (paths stay case-sensitive), default-port and
+    trailing-slash strip — a pure regexp chain, scan-local, spelled
+    identically in the RE2 oracle.  URLs are synthesized onto the
+    corpus (mixed-case authority, :443, utm params, fragment) so
+    every stage fires; the dedup payoff is asserted in-query: the
+    canonical count_distinct collapses the utm/fragment variants."""
+    from preql_spark.operators import text
+    d = _eng(spark, sf_dir).t.documents
+    # two dirty variants of the same logical page per doc
+    base = F.concat(F.lit("HTTPS://Example.COM:443/p/"),
+                    F.col("doc_id"), F.lit("/"))
+    v1 = F.concat(base, F.lit("?utm_source=a&ref=1#top"))
+    v2 = F.concat(base, F.lit("?ref=1&utm_campaign=b"))
+    return d.df.select(
+        "doc_id",
+        text.canonicalize_url(v1).alias("c1"),
+        text.canonicalize_url(v2).alias("c2"),
+        (text.canonicalize_url(v1) == text.canonicalize_url(v2))
+        .alias("collapsed"))
+
+
 def q203_dedup_keep_best(spark, sf_dir) -> DataFrame:
     """Quality-aware canonical selection: keep the LONGEST copy per
     near-dup cluster (desc length, doc_id tie-break) instead of the
@@ -3242,7 +3266,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q134_temptable_agg": q134_temptable_agg,
     "q135_salted_join": q135_salted_join,
     "q136_transactions": q136_transactions,
-    "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
+    "q204_canonicalize_url": q204_canonicalize_url,
     "q125_lang_in_table": q125_lang_in_table,
     "q203_dedup_keep_best": q203_dedup_keep_best,
     "q131_sqlite_roundtrip": q131_sqlite_roundtrip,
@@ -3336,6 +3360,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # canonical (streaming keeps q158/q174/q177/q195/q197/q198/q202;
     # the near-dup ingest machinery stays battery tri-scale):
     "q126_stream_neardup_ingest": q126_stream_neardup_ingest,
+    # displaced mid-r10 by the NEW graded q204 URL canonicalization
+    # (similarity/LSH keeps q159/q202; dedup keeps q194/q200/q203):
+    "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -4141,6 +4168,55 @@ ORACLES: dict[str, str] = {
                  FROM reach GROUP BY node)
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT node FROM comp WHERE component != node)
+    """,
+    # the identical canonicalization regex chain in RE2 (DuckDB
+    # backrefs are \1 where Spark/Java spells $1 — same semantics)
+    "q204_canonicalize_url": r"""
+        WITH d AS (SELECT doc_id,
+                          'HTTPS://Example.COM:443/p/' || doc_id
+                            || '/' AS b
+                   FROM documents),
+        raw AS (SELECT doc_id,
+                       b || '?utm_source=a&ref=1#top' AS v1,
+                       b || '?ref=1&utm_campaign=b' AS v2
+                FROM d),
+        canon AS (SELECT doc_id,
+          regexp_replace(
+            CASE WHEN a1 = '' THEN c1 ELSE a1 || r1 END,
+            '(/[^?]*?)/+(\?|$)', '\1\2', 'g') AS c1,
+          regexp_replace(
+            CASE WHEN a2 = '' THEN c2 ELSE a2 || r2 END,
+            '(/[^?]*?)/+(\?|$)', '\1\2', 'g') AS c2
+          FROM (SELECT doc_id, c1, c2,
+                 regexp_replace(lower(regexp_extract(c1,
+                   '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+                   ':(80|443)$', '', 'g') AS a1,
+                 regexp_extract(c1,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)
+                   AS r1,
+                 regexp_replace(lower(regexp_extract(c2,
+                   '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+                   ':(80|443)$', '', 'g') AS a2,
+                 regexp_extract(c2,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)
+                   AS r2
+                FROM (SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(
+                         regexp_replace(regexp_replace(v1,
+                           '#.*$', '', 'g'),
+                           '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*',
+                           '\1', 'g'),
+                         '\?&+', '?', 'g'), '&&+', '&', 'g'),
+                         '[?&]+$', '', 'g') AS c1,
+                       regexp_replace(regexp_replace(regexp_replace(
+                         regexp_replace(regexp_replace(v2,
+                           '#.*$', '', 'g'),
+                           '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*',
+                           '\1', 'g'),
+                         '\?&+', '?', 'g'), '&&+', '&', 'g'),
+                         '[?&]+$', '', 'g') AS c2
+                      FROM raw)))
+        SELECT doc_id, c1, c2, c1 = c2 AS collapsed FROM canon
     """,
     # q73's recursive-CTE clusters + the cluster-partitioned
     # keep-longest window (desc length, doc_id tie-break)

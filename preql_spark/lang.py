@@ -3355,6 +3355,7 @@ def _make_maps():
         "normalize_text": _t.normalize_text,
         "strip_short_lines": _t.strip_short_lines,
         "host_of": _t.host_of,
+        "canonicalize_url": _t.canonicalize_url,
         "bpe_merge_pair": _t.bpe_merge_pair,
     })
     return agg_map, scalar_map

@@ -623,6 +623,36 @@ def quantile_bucketize(df: DataFrame, value_col: str, n_buckets: int,
             .drop("__ts"))
 
 
+def canonicalize_url(col) -> Column:
+    """Canonical URL form for URL-level dedup and domain analytics —
+    two crawls of one page must compare equal: strip the fragment,
+    drop tracking query params (``utm_*``, ``fbclid``, ``gclid``)
+    with separator cleanup, lowercase the scheme+authority ONLY
+    (paths are case-sensitive), drop default ports (:80/:443), and
+    strip trailing path slashes.  Strings with no ``scheme://``
+    authority pass through the non-authority stages unchanged (no
+    error on junk — curation inputs are dirty).
+
+    Scale shape: a pure regexp_replace/regexp_extract chain —
+    scan-local, whole-stage codegen, no shuffle, no UDF; every regex
+    is spelled identically in RE2 (the DuckDB oracle runs the same
+    chain with ``\\1`` backrefs)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    c = F.regexp_replace(c, r"#.*$", "")
+    c = F.regexp_replace(
+        c, r"([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*", "$1")
+    c = F.regexp_replace(c, r"\?&+", "?")
+    c = F.regexp_replace(c, r"&&+", "&")
+    c = F.regexp_replace(c, r"[?&]+$", "")
+    auth = F.lower(F.regexp_extract(
+        c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    auth = F.regexp_replace(auth, r":(80|443)$", "")
+    rest = F.regexp_extract(
+        c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    c = F.when(auth == "", c).otherwise(F.concat(auth, rest))
+    return F.regexp_replace(c, r"(/[^?]*?)/+(\?|$)", "$1$2")
+
+
 def host_of(url) -> Column:
     """Hostname from a URL (scheme-insensitive, drops port/path)."""
     c = url if isinstance(url, Column) else F.col(url)

@@ -414,7 +414,33 @@ def test_connected_components_and_canonical(eng):
     assert kept == [1, 10, 20, 99]
 
 
-def test_dedup_keep_best(eng):
+def test_canonicalize_url(eng):
+    """Every canonicalization stage: fragment, tracking params (with
+    separator cleanup in all positions), authority-only lowercase
+    (path case preserved), default-port strip, trailing slash; junk
+    passes through; two dirty variants of one page collapse; lang
+    scalar parity."""
+    from preql_spark.operators.text import canonicalize_url
+    spark = eng.spark
+    cases = {
+        "HTTPS://Example.COM:443/Path/7/?utm_source=x&ref=7"
+        "&utm_campaign=y#frag": "https://example.com/Path/7?ref=7",
+        "http://A.b.C:80/": "http://a.b.c",
+        "https://site.org/a/b/?x=1&utm_medium=m":
+            "https://site.org/a/b?x=1",
+        "https://site.org/a/b/?utm_medium=m": "https://site.org/a/b",
+        "https://s.io/p?fbclid=abc&gclid=d": "https://s.io/p",
+        "not a url": "not a url",
+        "https://Host.com": "https://host.com",
+        "https://h.com:8080/x": "https://h.com:8080/x",  # kept port
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u: string")
+    got = {r.u: r.c for r in
+           df.select("u", canonicalize_url("u").alias("c")).collect()}
+    assert got == cases
+    l = eng.q('documents[doc_id < 3] {c: canonicalize_url('
+              '"HTTP://X.io:80/A/?" + "utm_x=1&k=v#f")}').collect()
+    assert all(r.c == "http://x.io/A?k=v" for r in l)
     """Keep-best keeps exactly one row per cluster chosen by the
     explicit ordering (here: highest score, id tie-break), singletons
     survive untouched, and with the min-id ordering it reproduces
