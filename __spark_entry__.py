@@ -3297,8 +3297,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       — the only 2 of 197 queries never externally
     #       driver-confirmed (added after the r9 window head was
     #       fixed) — enter the head, displacing q171 (graph keeps
-    #       q185/q190/q191/q196) and q184 (q194 replays it capped);
-    #       displacement details at the r10 tail marker below.
+    #       q185/q190/q191/q196) and q184 (q194 replays it capped).
+    #       The round's SEVEN new graded queries also enter: q198
+    #       (chi-square from the shared drift state), q199
+    #       (quantize_to KS), q200 (leakage-safe split), q201
+    #       (normalize_text), q202 (streaming IVF index), q203
+    #       (dedup keep-best), q204 (URL canonicalization) —
+    #       displacing q180, q186, q176, q175, q152, q126, q124
+    #       (all r9-green; per-displacement family notes at the r10
+    #       tail markers below, mirrored in COVERAGE.md).
     "q161_ngram_diversity": q161_ngram_diversity,
     "q149_topk_per_group": q149_topk_per_group,
     "q129_four_way_chain": q129_four_way_chain,
