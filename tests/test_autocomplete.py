@@ -230,6 +230,18 @@ def test_ranks(ac_eng):
 def test_completer_word_filter(eng):
     from preql_spark.autocomplete import make_completer
     comp = make_completer(eng, [])
-    first = comp("nat", 0)
-    assert first == "nation"
-    assert comp("nat", 1) is None
+    # drain the completion stream; other tests sharing the
+    # session-scoped engine may have registered bindings with the
+    # same prefix (e.g. test_core's nations_lo temptable), so assert
+    # set membership and prefix discipline, not an exact singleton
+    got = []
+    i = 0
+    while True:
+        c = comp("nat", i)
+        if c is None:
+            break
+        got.append(c)
+        i += 1
+    assert "nation" in got
+    assert all(c.startswith("nat") for c in got)
+    assert comp("nat", len(got)) is None
