@@ -969,6 +969,19 @@ def q200_leakage_safe_split(spark, sf_dir) -> DataFrame:
         .select("doc_id", "split"))
 
 
+def q205_k_anonymity(spark, sf_dir) -> DataFrame:
+    """k-anonymity suppression over (event_type, value bucket) quasi
+    identifiers: drop every row whose combination appears fewer than
+    10 times — one count window on the quasi key (no sort, no join),
+    filter scan-local.  The oracle replays the identical window."""
+    from preql_spark.operators.text import k_anonymity_filter
+    e = _eng(spark, sf_dir).t.events.df
+    q = e.select("event_id", "event_type",
+                 F.expr("CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5)"
+                        " AS BIGINT) DIV 2000").alias("vb"))
+    return k_anonymity_filter(q, ["event_type", "vb"], k=10)
+
+
 def q204_canonicalize_url(spark, sf_dir) -> DataFrame:
     """URL canonicalization for URL-level dedup: fragment strip,
     tracking-param removal with separator cleanup, authority-only
@@ -3263,7 +3276,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q160_bpe_pair_counts": q160_bpe_pair_counts,
     "q148_scrub_contaminated_spans": q148_scrub_contaminated_spans,
     "q150_dsir_resample": q150_dsir_resample,
-    "q134_temptable_agg": q134_temptable_agg,
+    "q205_k_anonymity": q205_k_anonymity,
     "q135_salted_join": q135_salted_join,
     "q136_transactions": q136_transactions,
     "q204_canonicalize_url": q204_canonicalize_url,
@@ -3298,12 +3311,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       driver-confirmed (added after the r9 window head was
     #       fixed) — enter the head, displacing q171 (graph keeps
     #       q185/q190/q191/q196) and q184 (q194 replays it capped).
-    #       The round's SEVEN new graded queries also enter: q198
+    #       The round's EIGHT new graded queries also enter: q198
     #       (chi-square from the shared drift state), q199
     #       (quantize_to KS), q200 (leakage-safe split), q201
     #       (normalize_text), q202 (streaming IVF index), q203
-    #       (dedup keep-best), q204 (URL canonicalization) —
-    #       displacing q180, q186, q176, q175, q152, q126, q124
+    #       (dedup keep-best), q204 (URL canonicalization), q205
+    #       (k-anonymity gate) — displacing q180, q186, q176,
+    #       q175, q152, q126, q124, q134
     #       (all r9-green; per-displacement family notes at the r10
     #       tail markers below, mirrored in COVERAGE.md).
     "q161_ngram_diversity": q161_ngram_diversity,
@@ -3370,6 +3384,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced mid-r10 by the NEW graded q204 URL canonicalization
     # (similarity/LSH keeps q159/q202; dedup keeps q194/q200/q203):
     "q124_lsh_selective_neardup": q124_lsh_selective_neardup,
+    # displaced mid-r10 by the NEW graded q205 k-anonymity gate
+    # (DML keeps q60/q136; agg keeps q53 cube):
+    "q134_temptable_agg": q134_temptable_agg,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -4175,6 +4192,18 @@ ORACLES: dict[str, str] = {
                  FROM reach GROUP BY node)
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT node FROM comp WHERE component != node)
+    """,
+    # the identical quasi-key count window, replayed in SQL
+    "q205_k_anonymity": """
+        WITH e AS (SELECT event_id, event_type,
+                          CAST(floor(CAST(value AS DOUBLE) * 100
+                                     + 0.5) AS BIGINT) // 2000 AS vb
+                   FROM events),
+        c AS (SELECT event_id, event_type, vb,
+                     count(*) OVER (PARTITION BY event_type, vb)
+                       AS kn
+              FROM e)
+        SELECT event_id, event_type, vb FROM c WHERE kn >= 10
     """,
     # the identical canonicalization regex chain in RE2 (DuckDB
     # backrefs are \1 where Spark/Java spells $1 — same semantics)

@@ -3480,6 +3480,12 @@ def _load_pipeline_funcs() -> dict:
         "scrub_contaminated_spans": dedup.scrub_contaminated_spans,
         # text analysis / curation
         "quality_metrics": text.quality_metrics,
+        # quasi columns as varargs strings (a lang [..] literal is a
+        # one-column TABLE, reference semantics — not a Python list)
+        "k_anonymity_filter":
+            lambda df, *quasi, k=5, count_col=None:
+                text.k_anonymity_filter(df, list(quasi), int(k),
+                                        count_col),
         "repetition_metrics": text.repetition_metrics,
         "tfidf": text.tf_idf,
         "bm25": text.bm25,
@@ -3616,7 +3622,7 @@ _PIPELINE_FUNC_NAMES = {
     "corpus_overlap", "duplicate_spans", "remove_duplicate_spans",
     "scrub_contaminated_spans",
     "pq_topk",
-    "quality_metrics", "repetition_metrics",
+    "quality_metrics", "repetition_metrics", "k_anonymity_filter",
     "tfidf", "bm25", "lm_perplexity", "quantile_filter",
     "quantile_bucketize", "corpus_datacard", "postings",
     "budget_select", "adjacent_pair_counts", "ngram_diversity",

@@ -546,6 +546,34 @@ def strip_short_lines(col, min_tokens: int = 3) -> Column:
     return F.array_join(kept, "\n")
 
 
+def k_anonymity_filter(df: DataFrame, quasi_cols: list, k: int = 5,
+                       count_col: str | None = None) -> DataFrame:
+    """k-anonymity suppression — the privacy gate before a corpus
+    with user-derived rows ships: drop every row whose
+    quasi-identifier combination (``quasi_cols``) appears fewer than
+    ``k`` times, so no surviving row is identifiable within a group
+    smaller than k.  NULL quasi values form their own group (null-safe
+    grouping, the chi-square convention).  Pass ``count_col`` to KEEP
+    all rows and just annotate the group size instead of filtering
+    (audit mode).
+
+    Scale shape: one count window partitioned by the quasi columns —
+    a single hash shuffle on the quasi key, no sort (count over an
+    unbounded unordered partition is a streaming-safe frame), no
+    join; the filter is scan-local after the window.  Skewed quasi
+    combinations are the SAFE case here (big groups pass), so no
+    salting is needed."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cols = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+    w = Window.partitionBy(*cols)
+    n = F.count(F.lit(1)).over(w)
+    if count_col is not None:
+        return df.withColumn(count_col, n)
+    return (df.withColumn("__kn", n)
+            .filter(F.col("__kn") >= int(k)).drop("__kn"))
+
+
 def cap_per_domain(df: DataFrame, group_col: str = "source", n: int = 5,
                    order_by: list | None = None) -> DataFrame:
     """Domain balancing: keep at most ``n`` rows per ``group_col``,

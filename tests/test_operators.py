@@ -414,6 +414,35 @@ def test_connected_components_and_canonical(eng):
     assert kept == [1, 10, 20, 99]
 
 
+def test_k_anonymity_filter(eng):
+    """Groups under k are suppressed entirely, groups at/over k
+    survive whole, NULL quasi values form their own group, audit
+    mode annotates instead of filtering, and k < 1 raises."""
+    import pytest as _pt
+    from preql_spark.operators.text import k_anonymity_filter
+    spark = eng.spark
+    rows = ([("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)] * 3
+            + [(None, 1)] * 3)
+    df = spark.createDataFrame(rows, "g: string, v: long")
+    kept = [(r.g, r.v) for r in
+            k_anonymity_filter(df, ["g", "v"], k=3).collect()]
+    assert sorted(kept, key=str) == sorted(
+        [("a", 1)] * 5 + [("b", 1)] * 3 + [(None, 1)] * 3, key=str)
+    # audit mode: all rows kept, group size annotated
+    audited = {((r.g, r.v), r.kn) for r in k_anonymity_filter(
+        df, ["g", "v"], k=3, count_col="kn").collect()}
+    assert (("a", 2), 2) in audited and ((None, 1), 3) in audited
+    assert sum(1 for _ in k_anonymity_filter(
+        df, ["g", "v"], k=3, count_col="kn").collect()) == len(rows)
+    with _pt.raises(ValueError, match="k must"):
+        k_anonymity_filter(df, ["g"], k=0)
+    # lang builtin parity (quasi columns as varargs strings)
+    l = eng.q('k_anonymity_filter(documents, "source", k: 9999)')
+    assert l.count() == 0   # no source bucket reaches 9999 docs
+    l2 = eng.q('k_anonymity_filter(documents, "source", "lang", k: 1)')
+    assert l2.count() == eng.t.documents.count()
+
+
 def test_canonicalize_url(eng):
     """Every canonicalization stage: fragment, tracking params (with
     separator cleanup in all positions), authority-only lowercase
