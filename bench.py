@@ -98,6 +98,38 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
+    def time_pair(eng_df, twin_df) -> tuple[float, float]:
+        # INTERLEAVED engine/twin timing (E,T,E,T,... best-of-5 each):
+        # the two sides share a physical plan, so any wall-clock gap
+        # is machine noise — sequential best-of-5s sample DIFFERENT
+        # noise windows and can fabricate a ±0.3 "ratio" on a 0.4 s
+        # query (the r9 q99 incident: 1.396 sequential, 1.005
+        # interleaved — see PLANS.md).  Interleaving makes both
+        # best-ofs draw from the same window, so the ratio measures
+        # the plans, not the scheduler.
+        be = bt = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            run_once(eng_df)
+            be = min(be, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            run_once(twin_df)
+            bt = min(bt, time.perf_counter() - t0)
+        return be, bt
+
+    def time_fn_pair(efn, tfn, sf_dir) -> tuple[float, float]:
+        # the interleaved flavor of time_fn (construct+execute per
+        # run, for the CONSTRUCT_EACH_RUN iterative queries)
+        be = bt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_once(efn(spark, sf_dir))
+            be = min(be, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            run_once(tfn(spark, sf_dir))
+            bt = min(bt, time.perf_counter() - t0)
+        return be, bt
+
     qs = entry.queries()
     timings: dict[str, float] = {}
     hand: dict[str, float] = {}
@@ -131,7 +163,21 @@ def main():
         except Exception as e:  # noqa: BLE001
             errors[name] = (errors.get(name, "") +
                             f" twin: {type(e).__name__}: {e}"[:500]).strip()
-        if eng_df is not None:
+        if eng_df is not None and twin_df is not None:
+            # both sides alive: interleave so the ratio samples one
+            # noise window (see time_pair); falls through to the
+            # independent paths below only on a timing exception
+            try:
+                be, bt = (time_fn_pair(qs[name], TWINS[name], sf_dir)
+                          if name in CONSTRUCT_EACH_RUN
+                          else time_pair(eng_df, twin_df))
+                timings[name] = round(be, 4)
+                hand[name] = round(bt, 4)
+            except Exception as e:  # noqa: BLE001
+                errors[name] = (errors.get(name, "") +
+                                f" timing: {type(e).__name__}:"
+                                f" {e}"[:500]).strip()
+        if name not in timings and eng_df is not None:
             try:
                 timings[name] = round(
                     time_fn(qs[name], sf_dir)
@@ -139,7 +185,7 @@ def main():
             except Exception as e:  # noqa: BLE001
                 errors[name] = (errors.get(name, "") +
                                 f" engine: {type(e).__name__}: {e}"[:500]).strip()
-        if twin_df is not None:
+        if name not in hand and twin_df is not None:
             try:
                 hand[name] = round(
                     time_fn(TWINS[name], sf_dir)
