@@ -969,6 +969,20 @@ def q200_leakage_safe_split(spark, sf_dir) -> DataFrame:
         .select("doc_id", "split"))
 
 
+def q206_quantile_normalize(spark, sf_dir) -> DataFrame:
+    """Within-group empirical-quantile scaling: every event value
+    maps to its percent_rank inside its event_type — (rank-1)/(n-1),
+    integers through one exact division, bit-identical cross-engine.
+    One group-key shuffle + per-group sort window, never global."""
+    from preql_spark.operators.events import quantile_normalize
+    e = _eng(spark, sf_dir).t.events.df
+    cents = e.select("event_id", "event_type",
+                     F.floor(F.col("value").cast("double") * 100
+                             + F.lit(0.5)).cast("long").alias("cents"))
+    return quantile_normalize(cents, ["event_type"], "cents") \
+        .select("event_id", "event_type", "qn")
+
+
 def q205_k_anonymity(spark, sf_dir) -> DataFrame:
     """k-anonymity suppression over (event_type, value bucket) quasi
     identifiers: drop every row whose combination appears fewer than
@@ -3277,7 +3291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q148_scrub_contaminated_spans": q148_scrub_contaminated_spans,
     "q150_dsir_resample": q150_dsir_resample,
     "q205_k_anonymity": q205_k_anonymity,
-    "q135_salted_join": q135_salted_join,
+    "q206_quantile_normalize": q206_quantile_normalize,
     "q136_transactions": q136_transactions,
     "q204_canonicalize_url": q204_canonicalize_url,
     "q125_lang_in_table": q125_lang_in_table,
@@ -3311,13 +3325,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       driver-confirmed (added after the r9 window head was
     #       fixed) — enter the head, displacing q171 (graph keeps
     #       q185/q190/q191/q196) and q184 (q194 replays it capped).
-    #       The round's EIGHT new graded queries also enter: q198
+    #       The round's NINE new graded queries also enter: q198
     #       (chi-square from the shared drift state), q199
     #       (quantize_to KS), q200 (leakage-safe split), q201
     #       (normalize_text), q202 (streaming IVF index), q203
     #       (dedup keep-best), q204 (URL canonicalization), q205
-    #       (k-anonymity gate) — displacing q180, q186, q176,
-    #       q175, q152, q126, q124, q134
+    #       (k-anonymity gate), q206 (quantile normalize) —
+    #       displacing q180, q186, q176,
+    #       q175, q152, q126, q124, q134, q135
     #       (all r9-green; per-displacement family notes at the r10
     #       tail markers below, mirrored in COVERAGE.md).
     "q161_ngram_diversity": q161_ngram_diversity,
@@ -3387,6 +3402,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # displaced mid-r10 by the NEW graded q205 k-anonymity gate
     # (DML keeps q60/q136; agg keeps q53 cube):
     "q134_temptable_agg": q134_temptable_agg,
+    # displaced mid-r10 by the NEW graded q206 quantile-normalize
+    # (joins keep q78 interval + q187 lang n-ary; the salted-join
+    # identity stays battery tri-scale):
+    "q135_salted_join": q135_salted_join,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -4192,6 +4211,18 @@ ORACLES: dict[str, str] = {
                  FROM reach GROUP BY node)
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT node FROM comp WHERE component != node)
+    """,
+    # the identical per-group percent_rank window (integers through
+    # one exact division)
+    "q206_quantile_normalize": """
+        WITH e AS (SELECT event_id, event_type,
+                          CAST(floor(CAST(value AS DOUBLE) * 100
+                                     + 0.5) AS BIGINT) AS cents
+                   FROM events)
+        SELECT event_id, event_type,
+               percent_rank() OVER (PARTITION BY event_type
+                                    ORDER BY cents) AS qn
+        FROM e
     """,
     # the identical quasi-key count window, replayed in SQL
     "q205_k_anonymity": """

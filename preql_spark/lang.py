@@ -3579,6 +3579,10 @@ def _load_pipeline_funcs() -> dict:
             lambda df, group_col, value_col="value", k=3.0:
                 events.mad_outliers(df, [group_col], value_col,
                                     float(k)),
+        "quantile_normalize":
+            lambda df, group_col, value_col="value", out_col="qn":
+                events.quantile_normalize(df, [group_col], value_col,
+                                          out_col),
         "session_paths":
             lambda df, gap_seconds=1800.0, k=20:
                 events.session_paths(
@@ -3636,7 +3640,8 @@ _PIPELINE_FUNC_NAMES = {
     "quantize_int8", "centroid_agg", "semdedup", "kmeans_assign",
     "funnel", "funnel_times", "rfm_scores", "cohort_retention",
     "transition_counts", "winsorize", "ewma", "fuzzy_pairs",
-    "pagerank", "trend", "mad_outliers", "session_paths", "ks_drift",
+    "pagerank", "trend", "mad_outliers", "quantile_normalize",
+    "session_paths", "ks_drift",
     "ab_test", "triangle_count", "psi_drift", "mann_whitney",
     "chi_square", "degree_assortativity", "hits", "shortest_paths",
     # Table-method family (dispatched on the host Table, not its df)

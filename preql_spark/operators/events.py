@@ -449,6 +449,32 @@ def winsorize(df: DataFrame, group_cols: list[str], value_col: str,
     return j.select(*df.columns, clipped.alias(f"{value_col}_w"))
 
 
+def quantile_normalize(df: DataFrame, group_cols: list[str] | str,
+                       value_col: str,
+                       out_col: str = "qn") -> DataFrame:
+    """Within-group empirical-quantile feature scaling: each value
+    maps to its ``percent_rank`` inside its group — ``(rank - 1) /
+    (n - 1)`` in [0, 1] — the rank-based normalization that is
+    robust to outliers and arbitrary scale differences between
+    groups (the standard preprocessing for mixing quality signals
+    from different sources before a single threshold).  Ties share a
+    rank (equal inputs stay equal); a single-row group scores 0.0.
+
+    Exactness: rank and n are integers, the division is one exact
+    IEEE op — bit-identical cross-engine (the oracle is the same
+    window function; note Spark orders NULLS FIRST ascending, so a
+    cross-engine oracle must spell NULLS FIRST).
+
+    Scale shape: ONE hash shuffle on the group key and a per-group
+    sort window — never a global sort; per-key work bounded by group
+    size (skewed groups are the quantile's own population, not a
+    defect)."""
+    gc = [group_cols] if isinstance(group_cols, str) else group_cols
+    w = Window.partitionBy(*[F.col(c) for c in gc]) \
+        .orderBy(F.col(value_col))
+    return df.withColumn(out_col, F.percent_rank().over(w))
+
+
 def ewma(df: DataFrame, group_cols: list[str], ts_col: str,
          value_col: str, alpha: float,
          tie_col: str | None = None) -> DataFrame:

@@ -414,6 +414,30 @@ def test_connected_components_and_canonical(eng):
     assert kept == [1, 10, 20, 99]
 
 
+def test_quantile_normalize(eng):
+    """percent_rank semantics against a Python model: ties share a
+    rank, single-row groups score 0.0, results live in [0, 1], and
+    the lang builtin matches the API."""
+    from preql_spark.operators.events import quantile_normalize
+    spark = eng.spark
+    rows = [("a", 10), ("a", 20), ("a", 20), ("a", 40),
+            ("b", 7)]
+    df = spark.createDataFrame(rows, "g: string, v: long")
+    got = {(r.g, r.v, i): r.qn for i, r in enumerate(
+        quantile_normalize(df, ["g"], "v").collect())}
+    vals = {(g, v): qn for (g, v, _), qn in got.items()}
+    # group a (n=4): ranks 1,2,2,4 -> (r-1)/3
+    assert vals[("a", 10)] == 0.0
+    assert abs(vals[("a", 20)] - 1 / 3) < 1e-15
+    assert vals[("a", 40)] == 1.0
+    assert vals[("b", 7)] == 0.0          # single-row group
+    assert all(0.0 <= qn <= 1.0 for qn in vals.values())
+    l = {(r.g, r.v): r.qn for r in eng.q(
+        'quantile_normalize(ev_qn, "g", "v")',
+        ev_qn=df).collect()}
+    assert l == vals
+
+
 def test_k_anonymity_filter(eng):
     """Groups under k are suppressed entirely, groups at/over k
     survive whole, NULL quasi values form their own group, audit
