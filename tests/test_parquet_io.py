@@ -215,6 +215,44 @@ def test_interchange_roundtrip_crafted_edges(spark, eng, tmp_path):
     assert got == want
 
 
+def test_bench_failure_isolation(spark, monkeypatch):
+    """bench.main() under the interleaved timing loop: a dead twin
+    still yields the ENGINE timing (and records the error), a dead
+    engine is isolated without aborting the run, and exactly one
+    parseable JSON line is always emitted — the round-2 lesson,
+    re-pinned after the r10 interleaving rewrite."""
+    import io
+    import json
+    import sys
+
+    import bench
+    import bench_twins
+    import __spark_entry__ as entry
+
+    def boom(spark, sf_dir):
+        raise RuntimeError("synthetic failure")
+
+    qs = entry.queries()
+    qs["q16_casts"] = boom
+    monkeypatch.setitem(bench_twins.TWINS, "q40_cosine_topk", boom)
+    monkeypatch.setattr(entry, "queries", lambda: qs)
+    monkeypatch.setattr(bench, "BENCH_QUERIES",
+                        ["q01_pricing_summary", "q16_casts",
+                         "q40_cosine_topk"])
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR",
+                       "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    monkeypatch.setattr(sys, "stdout", buf)
+    bench.main()
+    d = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert "q01_pricing_summary" in d["queries"] \
+        and "q01_pricing_summary" in d["hand_twin_secs"]
+    assert "q40_cosine_topk" in d["queries"]      # engine survives
+    assert "q40_cosine_topk" not in d["hand_twin_secs"]
+    assert "q16_casts" not in d["queries"]        # dead engine
+    assert set(d["errors"]) == {"q16_casts", "q40_cosine_topk"}
+
+
 def test_csv_multiline_roundtrip(spark, eng, tmp_path):
     """import_csv(multiline=True) restores quoted embedded newlines
     and quotes — full write_csv fidelity (the default stays
