@@ -1962,6 +1962,16 @@ def test_pipeline_builtins_table_funcs(eng):
                         ' threshold: 0.9),'
                         ' dict(train: 0.8, valid: 0.1, test: 0.1))'
                         ' {doc_id, split}').collect()}
+    # quality-aware canonical with ^desc order specs
+    lang_best = sorted(r.doc_id for r in eng.q(
+        'dedup_keep_best(documents,'
+        ' minhash_pairs(documents, "doc_id", threshold: 0.9),'
+        ' "doc_id", "^n_chars", "doc_id") {doc_id}').collect())
+    api_best = sorted(r.doc_id for r in dedup.dedup_keep_best(
+        d.df, dedup.minhash_lsh_pairs(d.df, "doc_id", threshold=0.9),
+        "doc_id", [F.col("n_chars").desc(), F.col("doc_id")])
+        .select("doc_id").collect())
+    assert lang_best == api_best
     api_split = {(r.doc_id, r.split) for r in dedup.leakage_safe_split(
         d.df, dedup.minhash_lsh_pairs(d.df, "doc_id", threshold=0.9),
         {"train": 0.8, "valid": 0.1, "test": 0.1})
