@@ -969,6 +969,22 @@ def q200_leakage_safe_split(spark, sf_dir) -> DataFrame:
         .select("doc_id", "split"))
 
 
+def q207_rolling_anomalies(spark, sf_dir) -> DataFrame:
+    """Rolling z-score anomaly gate: each event scores against the
+    mean/sample-stddev of its 50 strictly-preceding same-type events
+    (event_id tie-break for deterministic same-timestamp order);
+    |z| > 2.5 flags.  z rounds to 4dp on both engines (stddev
+    implementations agree to ~1 ulp; rounding absorbs it — the q02
+    convention).  Output keeps every row so warm-up NULLs are graded
+    too."""
+    from preql_spark.operators.events import rolling_anomalies
+    e = _eng(spark, sf_dir).t.events.df
+    out = rolling_anomalies(e, ["event_type"], "ts", "value",
+                            window=50, k=2.5, tie_col="event_id")
+    return out.select("event_id", "event_type",
+                      _pr4(F.col("z")).alias("z"), "is_anomaly")
+
+
 def q206_quantile_normalize(spark, sf_dir) -> DataFrame:
     """Within-group empirical-quantile scaling: every event value
     maps to its percent_rank inside its event_type — (rank-1)/(n-1),
@@ -3302,7 +3318,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q120_join_cardinality": q120_join_cardinality,
     "q53_cube": q53_cube,
     "q60_dml_lifecycle": q60_dml_lifecycle,
-    "q61_lang_user_func": q61_lang_user_func,
+    "q207_rolling_anomalies": q207_rolling_anomalies,
     "q62_json_extract": q62_json_extract,
     "q75_pack_sequences": q75_pack_sequences,
     "q78_interval_join": q78_interval_join,
@@ -3325,14 +3341,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       driver-confirmed (added after the r9 window head was
     #       fixed) — enter the head, displacing q171 (graph keeps
     #       q185/q190/q191/q196) and q184 (q194 replays it capped).
-    #       The round's NINE new graded queries also enter: q198
+    #       The round's TEN new graded queries also enter: q198
     #       (chi-square from the shared drift state), q199
     #       (quantize_to KS), q200 (leakage-safe split), q201
     #       (normalize_text), q202 (streaming IVF index), q203
     #       (dedup keep-best), q204 (URL canonicalization), q205
-    #       (k-anonymity gate), q206 (quantile normalize) —
+    #       (k-anonymity gate), q206 (quantile normalize), q207
+    #       (rolling z anomalies) —
     #       displacing q180, q186, q176,
-    #       q175, q152, q126, q124, q134, q135
+    #       q175, q152, q126, q124, q134, q135, q61
     #       (all r9-green; per-displacement family notes at the r10
     #       tail markers below, mirrored in COVERAGE.md).
     "q161_ngram_diversity": q161_ngram_diversity,
@@ -3406,6 +3423,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (joins keep q78 interval + q187 lang n-ary; the salted-join
     # identity stays battery tri-scale):
     "q135_salted_join": q135_salted_join,
+    # displaced mid-r10 by the NEW graded q207 rolling z anomalies
+    # (lang keeps q125 in-table semi-join + q187 full-query capstone;
+    # user functions stay pytest-covered end to end):
+    "q61_lang_user_func": q61_lang_user_func,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -4211,6 +4232,30 @@ ORACLES: dict[str, str] = {
                  FROM reach GROUP BY node)
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT node FROM comp WHERE component != node)
+    """,
+    # the identical bounded-frame rolling window; z rounded 4dp on
+    # both engines (stddev impls agree to ~1 ulp), the anomaly flag
+    # computed on the UNROUNDED z under the same n/sigma gate
+    "q207_rolling_anomalies": """
+        WITH w AS (SELECT event_id, event_type,
+                          CAST(value AS DOUBLE) AS v,
+                          avg(CAST(value AS DOUBLE)) OVER win AS mu,
+                          stddev_samp(CAST(value AS DOUBLE))
+                            OVER win AS sigma,
+                          count(value) OVER win AS n
+                   FROM events
+                   WINDOW win AS (PARTITION BY event_type
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 50 PRECEDING
+                                           AND 1 PRECEDING))
+        SELECT event_id, event_type,
+               CASE WHEN n >= 5 AND sigma > 0 THEN
+                 floor((v - mu) / sigma * 10000 + 0.5) / 10000
+               END AS z,
+               CASE WHEN n >= 5 AND sigma > 0 THEN
+                 abs((v - mu) / sigma) > 2.5
+               ELSE FALSE END AS is_anomaly
+        FROM w
     """,
     # the identical per-group percent_rank window (integers through
     # one exact division)

@@ -3583,6 +3583,12 @@ def _load_pipeline_funcs() -> dict:
             lambda df, group_col, value_col="value", out_col="qn":
                 events.quantile_normalize(df, [group_col], value_col,
                                           out_col),
+        "rolling_anomalies":
+            lambda df, group_col, ts_col="ts", value_col="value",
+            window=50, k=3.0, min_periods=5, tie_col=None:
+                events.rolling_anomalies(
+                    df, [group_col], ts_col, value_col, int(window),
+                    float(k), int(min_periods), tie_col),
         "session_paths":
             lambda df, gap_seconds=1800.0, k=20:
                 events.session_paths(
@@ -3641,7 +3647,7 @@ _PIPELINE_FUNC_NAMES = {
     "funnel", "funnel_times", "rfm_scores", "cohort_retention",
     "transition_counts", "winsorize", "ewma", "fuzzy_pairs",
     "pagerank", "trend", "mad_outliers", "quantile_normalize",
-    "session_paths", "ks_drift",
+    "rolling_anomalies", "session_paths", "ks_drift",
     "ab_test", "triangle_count", "psi_drift", "mann_whitney",
     "chi_square", "degree_assortativity", "hits", "shortest_paths",
     # Table-method family (dispatched on the host Table, not its df)

@@ -449,6 +449,52 @@ def winsorize(df: DataFrame, group_cols: list[str], value_col: str,
     return j.select(*df.columns, clipped.alias(f"{value_col}_w"))
 
 
+def rolling_anomalies(df: DataFrame, group_cols: list[str] | str,
+                      ts_col: str = "ts", value_col: str = "value",
+                      window: int = 50, k: float = 3.0,
+                      min_periods: int = 5,
+                      tie_col: str | None = None) -> DataFrame:
+    """Rolling z-score anomaly gate — the standard streaming-metrics
+    monitor in batch form: each event scores against the mean and
+    sample stddev of the PRECEDING ``window`` events in its group
+    (strictly preceding, so the point never judges itself), and rows
+    with ``|z| > k`` flag as anomalies — ``(group..., ts, value,
+    mu, sigma, z, is_anomaly)``.  The first ``min_periods`` events
+    per group (and zero-variance windows) score NULL z / false flag
+    rather than dividing by nothing.  Pass ``tie_col`` (a unique
+    column) to make same-timestamp ordering deterministic — REQUIRED
+    for cross-engine reproducibility when timestamps collide.
+
+    Scale shape: ONE group-keyed shuffle + a per-group sort window
+    with a bounded ROWS frame — never a global sort, per-row state is
+    the fixed window, so a group's history length never accumulates
+    in memory.  (For a robust flavor, winsorize/mad_outliers are the
+    distribution-free siblings; this one is the cheap two-moment
+    gate.)"""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_periods < 2:
+        raise ValueError(
+            f"min_periods must be >= 2 (sample stddev), got {min_periods}")
+    gc = [group_cols] if isinstance(group_cols, str) else group_cols
+    order = [F.col(ts_col).asc()]
+    if tie_col is not None:
+        order.append(F.col(tie_col).asc())
+    w = (Window.partitionBy(*[F.col(c) for c in gc]).orderBy(*order)
+         .rowsBetween(-int(window), -1))
+    v = F.col(value_col).cast("double")
+    mu = F.avg(v).over(w)
+    sigma = F.stddev_samp(v).over(w)
+    n = F.count(v).over(w)
+    z = F.when((n >= int(min_periods)) & (sigma > 0),
+               (v - mu) / sigma)
+    return (df.withColumn("mu", mu).withColumn("sigma", sigma)
+            .withColumn("z", z)
+            .withColumn("is_anomaly",
+                        F.coalesce(F.abs(F.col("z")) > F.lit(float(k)),
+                                   F.lit(False))))
+
+
 def quantile_normalize(df: DataFrame, group_cols: list[str] | str,
                        value_col: str,
                        out_col: str = "qn") -> DataFrame:

@@ -414,6 +414,49 @@ def test_connected_components_and_canonical(eng):
     assert kept == [1, 10, 20, 99]
 
 
+def test_rolling_anomalies(eng):
+    """Rolling z against a Python model over the strictly-preceding
+    frame: warm-up rows (n < min_periods) and zero-variance windows
+    score NULL z / False flag, an obvious spike flags, and parameter
+    validation raises."""
+    import statistics
+    import pytest as _pt
+    from preql_spark.operators.events import rolling_anomalies
+    spark = eng.spark
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 100.0, 10.1]
+    rows = [("g", f"2024-01-01 00:00:{i:02d}", i, v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "g: string, ts: string, eid: long, value: double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {r.eid: (r.z, r.is_anomaly) for r in rolling_anomalies(
+        df, ["g"], "ts", "value", window=50, k=3.0, min_periods=5,
+        tie_col="eid").collect()}
+    for i in range(5):               # warm-up: fewer than 5 preceding
+        assert out[i] == (None, False)
+    for i in range(5, len(vals)):    # python model on the prefix
+        prev = vals[:i]
+        mu = statistics.mean(prev)
+        sd = statistics.stdev(prev)
+        z = (vals[i] - mu) / sd
+        assert abs(out[i][0] - z) < 1e-9
+        assert out[i][1] == (abs(z) > 3.0)
+    assert out[7][1] is True         # the 100.0 spike flags
+    # zero-variance window -> NULL z, no flag
+    flat = spark.createDataFrame(
+        [("g", f"2024-01-01 00:00:{i:02d}", i, 5.0)
+         for i in range(8)],
+        "g: string, ts: string, eid: long, value: double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    fo = rolling_anomalies(flat, ["g"], "ts", "value",
+                           min_periods=5, tie_col="eid").collect()
+    assert all(r.z is None and r.is_anomaly is False for r in fo)
+    with _pt.raises(ValueError, match="window"):
+        rolling_anomalies(df, ["g"], window=0)
+    with _pt.raises(ValueError, match="min_periods"):
+        rolling_anomalies(df, ["g"], min_periods=1)
+
+
 def test_quantile_normalize(eng):
     """percent_rank semantics against a Python model: ties share a
     rank, single-row groups score 0.0, results live in [0, 1], and
