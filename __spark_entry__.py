@@ -969,6 +969,20 @@ def q200_leakage_safe_split(spark, sf_dir) -> DataFrame:
         .select("doc_id", "split"))
 
 
+def q208_source_concentration(spark, sf_dir) -> DataFrame:
+    """Mixture-health datacard metric: per language, how concentrated
+    the character mass is across sources — n_keys, total chars, HHI
+    (squared shares folded in sorted key order, exact divisions over
+    int64 sums), and the dominant source's share.  One (lang, source)
+    partial agg then a per-group fold bounded by source cardinality."""
+    from preql_spark.operators.text import concentration
+    d = _eng(spark, sf_dir).t.documents.df
+    return concentration(d, ["lang"], "source", "n_chars") \
+        .select("lang", "n_keys", "total",
+                _pr4(F.col("hhi")).alias("hhi"),
+                _pr4(F.col("top_share")).alias("top_share"))
+
+
 def q207_rolling_anomalies(spark, sf_dir) -> DataFrame:
     """Rolling z-score anomaly gate: each event scores against the
     mean/sample-stddev of its 50 strictly-preceding same-type events
@@ -3299,7 +3313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q190_hits": q190_hits,
     "q191_shortest_paths": q191_shortest_paths,
     "q192_conversion_drift": q192_conversion_drift,
-    "q158_stream_quantile_ingest": q158_stream_quantile_ingest,
+    "q208_source_concentration": q208_source_concentration,
     "q156_budget_select": q156_budget_select,
     "q202_ivf_stream_index": q202_ivf_stream_index,
     "q159_retrieve_refine_diversify": q159_retrieve_refine_diversify,
@@ -3341,15 +3355,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       driver-confirmed (added after the r9 window head was
     #       fixed) — enter the head, displacing q171 (graph keeps
     #       q185/q190/q191/q196) and q184 (q194 replays it capped).
-    #       The round's TEN new graded queries also enter: q198
+    #       The round's ELEVEN new graded queries also enter: q198
     #       (chi-square from the shared drift state), q199
     #       (quantize_to KS), q200 (leakage-safe split), q201
     #       (normalize_text), q202 (streaming IVF index), q203
     #       (dedup keep-best), q204 (URL canonicalization), q205
     #       (k-anonymity gate), q206 (quantile normalize), q207
-    #       (rolling z anomalies) —
+    #       (rolling z anomalies), q208 (source concentration) —
     #       displacing q180, q186, q176,
-    #       q175, q152, q126, q124, q134, q135, q61
+    #       q175, q152, q126, q124, q134, q135, q61, q158
     #       (all r9-green; per-displacement family notes at the r10
     #       tail markers below, mirrored in COVERAGE.md).
     "q161_ngram_diversity": q161_ngram_diversity,
@@ -3427,6 +3441,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (lang keeps q125 in-table semi-join + q187 full-query capstone;
     # user functions stay pytest-covered end to end):
     "q61_lang_user_func": q61_lang_user_func,
+    # displaced mid-r10 by the NEW graded q208 source concentration
+    # (streaming keeps q174/q177/q195/q197/q198/q202 — q195/q197/q198
+    # share q158's exact histogram-state machinery):
+    "q158_stream_quantile_ingest": q158_stream_quantile_ingest,
     # rotated out for r7 (all r6-green; families kept in-window per
     # the r7 rotation log above):
     "q123_lang_pipeline_builtins": q123_lang_pipeline_builtins,
@@ -4232,6 +4250,30 @@ ORACLES: dict[str, str] = {
                  FROM reach GROUP BY node)
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT node FROM comp WHERE component != node)
+    """,
+    # the identical (group, key) weight agg + sorted-key HHI fold
+    "q208_source_concentration": """
+        WITH per AS (SELECT lang, source,
+                            CAST(sum(n_chars) AS BIGINT) AS w
+                     FROM documents GROUP BY lang, source),
+        tot AS (SELECT lang, CAST(sum(w) AS BIGINT) AS total
+                FROM per GROUP BY lang),
+        g AS (SELECT p.lang,
+                     CAST(count(*) AS BIGINT) AS n_keys,
+                     t.total,
+                     CAST(max(w) AS BIGINT) AS top,
+                     list_reduce(
+                       list((CAST(w AS DOUBLE) / t.total)
+                            * (CAST(w AS DOUBLE) / t.total)
+                            ORDER BY p.source),
+                       (a, b) -> a + b) AS hhi
+              FROM per p JOIN tot t ON p.lang = t.lang
+              GROUP BY p.lang, t.total)
+        SELECT lang, n_keys, total,
+               floor(hhi * 10000 + 0.5) / 10000 AS hhi,
+               floor(CAST(top AS DOUBLE) / total * 10000 + 0.5)
+                 / 10000 AS top_share
+        FROM g
     """,
     # the identical bounded-frame rolling window; z rounded 4dp on
     # both engines (stddev impls agree to ~1 ulp), the anomaly flag

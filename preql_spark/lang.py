@@ -3482,6 +3482,9 @@ def _load_pipeline_funcs() -> dict:
         "quality_metrics": text.quality_metrics,
         # quasi columns as varargs strings (a lang [..] literal is a
         # one-column TABLE, reference semantics — not a Python list)
+        "concentration":
+            lambda df, group_col, key_col, weight="1":
+                text.concentration(df, [group_col], key_col, weight),
         "k_anonymity_filter":
             lambda df, *quasi, k=5, count_col=None:
                 text.k_anonymity_filter(df, list(quasi), int(k),
@@ -3633,6 +3636,7 @@ _PIPELINE_FUNC_NAMES = {
     "scrub_contaminated_spans",
     "pq_topk",
     "quality_metrics", "repetition_metrics", "k_anonymity_filter",
+    "concentration",
     "tfidf", "bm25", "lm_perplexity", "quantile_filter",
     "quantile_bucketize", "corpus_datacard", "postings",
     "budget_select", "adjacent_pair_counts", "ngram_diversity",

@@ -718,6 +718,46 @@ def domain_block_filter(df: DataFrame, blocklist: DataFrame,
     return df.join(bad, id_col, "left_anti")
 
 
+def concentration(df: DataFrame, group_cols: list[str] | str,
+                  key_col: str, weight_expr: str = "1"
+                  ) -> DataFrame:
+    """Per-group concentration report — how dominated each group is
+    by its biggest members: ``(group..., n_keys, total, hhi,
+    top_share)`` where the members are the distinct ``key_col``
+    values, weighted by ``sum(weight_expr)``; HHI is the
+    Herfindahl–Hirschman index (sum of squared member shares — 1/n
+    for a uniform group, →1 as one member dominates).  The datacard
+    metric behind "is this language's data all from one source?" /
+    mixture-health checks before training.
+
+    Exactness: member weights are exact int64 sums (pass an integer
+    ``weight_expr`` — counts, chars, cents); each share is ONE
+    division and the HHI squares fold in sorted key order (the q175
+    fixed-order contract) — bit-identical cross-engine.
+
+    Scale shape: one (group, key) partial agg (map-side combine),
+    then a per-group fold over member rows — bounded by the key
+    cardinality within each group, never the corpus.  The member
+    list rides one ``collect_list`` per group; for genuinely
+    unbounded key domains, cap or hash-bucket keys first."""
+    gc = [group_cols] if isinstance(group_cols, str) else group_cols
+    per = (df.groupBy(*[F.col(c) for c in gc],
+                      F.col(key_col).alias("__k"))
+           .agg(F.sum(F.expr(weight_expr)).cast("long").alias("__w")))
+    g = (per.groupBy(*[F.col(c) for c in gc])
+         .agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
+              F.sum("__w").cast("long").alias("total"),
+              F.max("__w").cast("long").alias("__top"),
+              F.sort_array(F.collect_list(F.struct(
+                  F.col("__k"), F.col("__w")))).alias("__l")))
+    share = lambda w: w.cast("double") / F.col("total")  # noqa: E731
+    hhi = F.aggregate(
+        "__l", F.lit(0.0),
+        lambda acc, e: acc + share(e["__w"]) * share(e["__w"]))
+    return g.select(*gc, "n_keys", "total", hhi.alias("hhi"),
+                    share(F.col("__top")).alias("top_share"))
+
+
 def corpus_datacard(df: DataFrame, group_cols: list[str] | None = None,
                     id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:

@@ -414,6 +414,34 @@ def test_connected_components_and_canonical(eng):
     assert kept == [1, 10, 20, 99]
 
 
+def test_concentration(eng):
+    """HHI/top-share against a Python model: uniform group -> 1/n,
+    single-member group -> 1.0, weighted shares exact; lang builtin
+    matches."""
+    from preql_spark.operators.text import concentration
+    spark = eng.spark
+    rows = [("en", "s1", 10), ("en", "s2", 10), ("en", "s3", 10),
+            ("fr", "s1", 30), ("fr", "s2", 10),
+            ("de", "s9", 7)]
+    df = spark.createDataFrame(rows, "lang: string, src: string,"
+                                     " chars: long")
+    out = {r.lang: r for r in concentration(
+        df, ["lang"], "src", "chars").collect()}
+    assert out["en"].n_keys == 3 and abs(out["en"].hhi - 1 / 3) < 1e-15
+    assert abs(out["en"].top_share - 1 / 3) < 1e-15
+    assert out["fr"].hhi == 0.75 ** 2 + 0.25 ** 2
+    assert out["fr"].top_share == 0.75
+    assert out["de"].n_keys == 1 and out["de"].hhi == 1.0 \
+        and out["de"].top_share == 1.0
+    # lang spelling (count weights by default)
+    l = {r.lang: r.hhi for r in eng.q(
+        'concentration(docs_conc, "lang", "src")',
+        docs_conc=df).collect()}
+    m = {r.lang: r.hhi for r in
+         concentration(df, ["lang"], "src").collect()}
+    assert l == m
+
+
 def test_rolling_anomalies(eng):
     """Rolling z against a Python model over the strictly-preceding
     frame: warm-up rows (n < min_periods) and zero-variance windows
