@@ -524,20 +524,26 @@ def q202_ivf_stream_index(spark, sf_dir) -> DataFrame:
     must equal brute-force cosine top-k over the FULL corpus — the
     index-completeness identity (no vector lost, duplicated, or
     mis-kept across waves/replays), graded against q40's brute-force
-    DuckDB oracle."""
+    DuckDB oracle.  r11: the ingest dedups through the dedicated ids
+    SIDECAR (one small compacted file per steady-state batch read,
+    never a full-index listing), compacted between the waves so wave
+    2's anti-join reads the single-file store."""
     from preql_spark.operators.similarity import (ivf_build,
                                                   ivf_topk_from_store)
-    from preql_spark.streaming.stream import incremental_ivf_ingest
+    from preql_spark.streaming.stream import (compact_ingest_ids,
+                                              incremental_ivf_ingest)
     eng = _eng(spark, sf_dir)
     e = eng.t.embeddings.df.select("vec_id", "embedding")
     tmp = _scratch("q202_")
-    src, idx, ck = (os.path.join(tmp, x) for x in ("src", "idx", "ck"))
+    src, idx, ck, ids = (os.path.join(tmp, x)
+                         for x in ("src", "idx", "ck", "ids"))
     _, cents = ivf_build(e.filter(F.col("vec_id") < 250), dim=64,
                          n_centroids=8)
     e.filter(F.col("vec_id") < 250).write.mode("overwrite").parquet(src)
-    incremental_ivf_ingest(spark, src, ck, idx, cents)
+    incremental_ivf_ingest(spark, src, ck, idx, cents, ids_path=ids)
+    compact_ingest_ids(spark, ids)
     e.filter(F.col("vec_id") >= 250).write.mode("append").parquet(src)
-    incremental_ivf_ingest(spark, src, ck, idx, cents)
+    incremental_ivf_ingest(spark, src, ck, idx, cents, ids_path=ids)
     q = e.filter(F.col("vec_id") < 5)
     out = ivf_topk_from_store(spark, idx, cents, q, k=5,
                               nprobe=len(cents))
@@ -1001,14 +1007,19 @@ def q207_rolling_anomalies(spark, sf_dir) -> DataFrame:
 
 def q206_quantile_normalize(spark, sf_dir) -> DataFrame:
     """Within-group empirical-quantile scaling: every event value
-    maps to its percent_rank inside its event_type — (rank-1)/(n-1),
-    integers through one exact division, bit-identical cross-engine.
-    One group-key shuffle + per-group sort window, never global."""
+    maps to its rank among its event_type's NON-NULL values —
+    (rank - n_null - 1)/(n_nonnull - 1), integers through one exact
+    division, bit-identical cross-engine.  Every ~97th value is
+    NULLed deterministically so the NULL contract is graded: NULLs
+    score NULL and neither take a rank nor inflate n.  One group-key
+    shuffle + per-group sort window, never global."""
     from preql_spark.operators.events import quantile_normalize
     e = _eng(spark, sf_dir).t.events.df
-    cents = e.select("event_id", "event_type",
-                     F.floor(F.col("value").cast("double") * 100
-                             + F.lit(0.5)).cast("long").alias("cents"))
+    cents = e.select(
+        "event_id", "event_type",
+        F.when(F.col("event_id") % 97 != 0,
+               F.floor(F.col("value").cast("double") * 100
+                       + F.lit(0.5)).cast("long")).alias("cents"))
     return quantile_normalize(cents, ["event_type"], "cents") \
         .select("event_id", "event_type", "qn")
 
@@ -4299,17 +4310,29 @@ ORACLES: dict[str, str] = {
                ELSE FALSE END AS is_anomaly
         FROM w
     """,
-    # the identical per-group percent_rank window (integers through
-    # one exact division)
+    # the identical non-null-only quantile window: NULLS FIRST rank
+    # minus the null count, integers through one exact division
     "q206_quantile_normalize": """
         WITH e AS (SELECT event_id, event_type,
-                          CAST(floor(CAST(value AS DOUBLE) * 100
-                                     + 0.5) AS BIGINT) AS cents
-                   FROM events)
+                          CASE WHEN event_id % 97 <> 0 THEN
+                            CAST(floor(CAST(value AS DOUBLE) * 100
+                                       + 0.5) AS BIGINT)
+                          END AS cents
+                   FROM events),
+        w AS (SELECT event_id, event_type, cents,
+                     rank() OVER (PARTITION BY event_type
+                                  ORDER BY cents ASC NULLS FIRST) AS r,
+                     count(*) OVER (PARTITION BY event_type) AS n,
+                     count(CASE WHEN cents IS NULL THEN 1 END)
+                       OVER (PARTITION BY event_type) AS nnull
+              FROM e)
         SELECT event_id, event_type,
-               percent_rank() OVER (PARTITION BY event_type
-                                    ORDER BY cents) AS qn
-        FROM e
+               CASE WHEN cents IS NOT NULL THEN
+                 CASE WHEN n - nnull > 1 THEN
+                   CAST(r - nnull - 1 AS DOUBLE) / (n - nnull - 1)
+                 ELSE 0.0 END
+               END AS qn
+        FROM w
     """,
     # the identical quasi-key count window, replayed in SQL
     "q205_k_anonymity": """
@@ -4342,15 +4365,19 @@ ORACLES: dict[str, str] = {
             CASE WHEN a2 = '' THEN c2 ELSE a2 || r2 END,
             '(/[^?]*?)/+(\?|$)', '\1\2', 'g') AS c2
           FROM (SELECT doc_id, c1, c2,
-                 regexp_replace(lower(regexp_extract(c1,
-                   '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
-                   ':(80|443)$', '', 'g') AS a1,
+                 regexp_replace(regexp_replace(
+                   lower(regexp_extract(c1,
+                     '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+                   '^(http://[^:]*):80$', '\1', 'g'),
+                   '^(https://[^:]*):443$', '\1', 'g') AS a1,
                  regexp_extract(c1,
                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)
                    AS r1,
-                 regexp_replace(lower(regexp_extract(c2,
-                   '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
-                   ':(80|443)$', '', 'g') AS a2,
+                 regexp_replace(regexp_replace(
+                   lower(regexp_extract(c2,
+                     '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+                   '^(http://[^:]*):80$', '\1', 'g'),
+                   '^(https://[^:]*):443$', '\1', 'g') AS a2,
                  regexp_extract(c2,
                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)
                    AS r2

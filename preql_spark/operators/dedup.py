@@ -307,18 +307,21 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
 
 def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
-                         id_col: str) -> DataFrame:
+                         id_col: str, id_a: str = "id_a",
+                         id_b: str = "id_b") -> DataFrame:
     """Keep one canonical row (min id) per duplicate cluster; rows in
     no cluster survive untouched.  The full near-dup pipeline is
-    pairs = minhash_lsh_pairs(...) → dedup_keep_canonical(df, pairs)."""
-    comp = connected_components(pairs)
+    pairs = minhash_lsh_pairs(...) → dedup_keep_canonical(df, pairs).
+    ``id_a``/``id_b`` name the pair columns."""
+    comp = connected_components(pairs, id_a, id_b)
     losers = comp.filter(F.col("node") != F.col("component")) \
         .select(F.col("node").alias(id_col))
     return df.join(losers, id_col, "left_anti")
 
 
 def dedup_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
-                    order_by: list) -> DataFrame:
+                    order_by: list, id_a: str = "id_a",
+                    id_b: str = "id_b") -> DataFrame:
     """Quality-aware canonical selection: keep ONE row per duplicate
     cluster, chosen by an explicit ordering instead of
     :func:`dedup_keep_canonical`'s min-id rule — the production
@@ -335,8 +338,10 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
     by cluster, so no global sort; cluster sizes bound the per-key
     work (near-dup clusters are small by construction; a degenerate
     mega-cluster is a data smell the hot-bucket caps upstream
-    already surface)."""
-    comp = connected_components(pairs)
+    already surface).  ``id_a``/``id_b`` name the pair columns
+    (forwarded to :func:`connected_components`, matching
+    :func:`leakage_safe_split`)."""
+    comp = connected_components(pairs, id_a, id_b)
     tagged = df.join(
         comp.select(F.col("node").alias(id_col),
                     F.col("component").alias("__comp")),

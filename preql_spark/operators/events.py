@@ -504,21 +504,37 @@ def quantile_normalize(df: DataFrame, group_cols: list[str] | str,
     robust to outliers and arbitrary scale differences between
     groups (the standard preprocessing for mixing quality signals
     from different sources before a single threshold).  Ties share a
-    rank (equal inputs stay equal); a single-row group scores 0.0.
+    rank (equal inputs stay equal); a single-non-null-row group
+    scores 0.0.  NULL inputs score NULL and do NOT participate in
+    the ranking (they neither take a rank nor inflate ``n`` — a
+    bare ``percent_rank`` with Spark's NULLS FIRST would do both and
+    shift every real value's quantile).
 
-    Exactness: rank and n are integers, the division is one exact
-    IEEE op — bit-identical cross-engine (the oracle is the same
-    window function; note Spark orders NULLS FIRST ascending, so a
-    cross-engine oracle must spell NULLS FIRST).
+    Exactness: rank and n are exact integers, the division is one
+    IEEE op — bit-identical cross-engine (the oracle replays
+    ``(rank - n_null - 1) / (n - n_null - 1)`` over the same
+    NULLS-FIRST window).
 
     Scale shape: ONE hash shuffle on the group key and a per-group
     sort window — never a global sort; per-key work bounded by group
     size (skewed groups are the quantile's own population, not a
     defect)."""
     gc = [group_cols] if isinstance(group_cols, str) else group_cols
+    v = F.col(value_col)
     w = Window.partitionBy(*[F.col(c) for c in gc]) \
-        .orderBy(F.col(value_col))
-    return df.withColumn(out_col, F.percent_rank().over(w))
+        .orderBy(v.asc_nulls_first())
+    wp = Window.partitionBy(*[F.col(c) for c in gc])
+    # with NULLS FIRST every null precedes every value, so a non-null
+    # row's rank among non-nulls is its full rank minus the null count
+    n_null = F.count(F.when(v.isNull(), F.lit(1))).over(wp)
+    n = F.count(F.lit(1)).over(wp)
+    r = F.rank().over(w)
+    nn = n - n_null
+    qn = F.when(
+        v.isNotNull(),
+        F.when(nn > 1, (r - n_null - 1).cast("double") / (nn - 1))
+        .otherwise(F.lit(0.0)))
+    return df.withColumn(out_col, qn)
 
 
 def ewma(df: DataFrame, group_cols: list[str], ts_col: str,

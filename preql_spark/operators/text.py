@@ -656,8 +656,10 @@ def canonicalize_url(col) -> Column:
     two crawls of one page must compare equal: strip the fragment,
     drop tracking query params (``utm_*``, ``fbclid``, ``gclid``)
     with separator cleanup, lowercase the scheme+authority ONLY
-    (paths are case-sensitive), drop default ports (:80/:443), and
-    strip trailing path slashes.  Strings with no ``scheme://``
+    (paths are case-sensitive), drop the scheme's OWN default port
+    (:80 only for http, :443 only for https — ``http://h:443/x`` is a
+    different resource and keeps its port), and strip trailing path
+    slashes.  Strings with no ``scheme://``
     authority pass through the non-authority stages unchanged (no
     error on junk — curation inputs are dirty).
 
@@ -674,7 +676,8 @@ def canonicalize_url(col) -> Column:
     c = F.regexp_replace(c, r"[?&]+$", "")
     auth = F.lower(F.regexp_extract(
         c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
-    auth = F.regexp_replace(auth, r":(80|443)$", "")
+    auth = F.regexp_replace(auth, r"^(http://[^:]*):80$", "$1")
+    auth = F.regexp_replace(auth, r"^(https://[^:]*):443$", "$1")
     rest = F.regexp_extract(
         c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
     c = F.when(auth == "", c).otherwise(F.concat(auth, rest))

@@ -494,49 +494,115 @@ def incremental_ivf_ingest(spark: SparkSession, src_path: str,
                            checkpoint: str, index_path: str,
                            centroids: list,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           ids_path: str | None = None) -> DataFrame:
     """Streaming maintenance of an IVF vector index against FROZEN
     centroids — the production ANN split: the coarse quantizer
     retrains OFFLINE (:func:`preql_spark.operators.similarity.
     ivf_build`, one batch job), while new vectors assign ONLINE.
-    Each availableNow batch anti-joins the ids already in the index
-    (a column-pruned ``__id`` scan — the :func:`incremental_postings_
-    ingest` idempotence contract: vectors are immutable and
-    append-only, so a replayed batch appends nothing and the crash
-    window closes itself), assigns the survivors to their nearest
-    centroid with the build's EXACT hof argmin
+    Each availableNow batch drops in-batch duplicate ids (the
+    immutable-id contract enforced mechanically, first writer wins),
+    anti-joins the ids already ingested, assigns the survivors to
+    their nearest centroid with the build's EXACT hof argmin
     (:func:`preql_spark.operators.similarity.assign_cells_hof` —
     online assignment bit-identical to offline), and appends
     ``(__cid, __id, __v)`` rows PARTITIONED BY ``__cid`` so probe
     reads prune to the probed cell directories
     (:func:`preql_spark.operators.similarity.ivf_topk_from_store`).
 
+    **The ids sidecar (pass ``ids_path``)**: without it, the per-batch
+    anti-join scans the whole index for ``__id`` — column-pruned, but
+    it pays the full store's file listing (O(cells × batches) files
+    until :func:`compact_partitioned_store` runs) and couples dedup
+    cost to the index layout.  With ``ids_path`` the ids live in a
+    dedicated sidecar (rows ``(__id, run_id, batch_id)``, one file
+    per epoch, compactable to ONE file via
+    :func:`compact_ingest_ids`), so the steady-state per-batch cost
+    is one small-file read — the sibling-ingest pattern.  Crash
+    windows stay closed via a tiny intent store
+    (``<ids_path>__intent``, one row per epoch, written BEFORE the
+    index append; the ids row is written AFTER):
+
+    - epoch already in the SIDECAR → the whole batch committed;
+      replay is a no-op.
+    - epoch in the INTENT store only → the previous attempt crashed
+      somewhere around the index append; this one recovery batch
+      falls back to the self-guarding anti-join against the index's
+      own ``__id`` (which holds exactly the rows that must not
+      double-append), then completes the ids row.
+    - epoch in neither → fast path: anti-join the sidecar only.
+
     The incremental index therefore equals the one-shot assignment
     over the full corpus, and with ``nprobe = len(centroids)`` a
     search against it equals brute-force cosine top-k exactly —
     the end-to-end completeness identity q202 grades against a
     DuckDB brute-force oracle.  Scale shape per batch: one
-    scan-local assignment + one ids-only anti-join; the corpus-sized
-    index is never re-shuffled."""
+    scan-local assignment + one ids-only anti-join against one
+    compacted sidecar file; the corpus-sized index is never
+    re-shuffled and (on the fast path) never re-listed."""
     from preql_spark.parquet_io import hadoop_dir_has_files
     from preql_spark.operators.similarity import assign_cells_hof
 
-    _guard_stranded(spark, index_path)
+    intent_path = (ids_path.rstrip("/") + "__intent"
+                   if ids_path else None)
+    _guard_stranded(spark, index_path, ids_path, intent_path)
     schema = spark.read.parquet(src_path).schema  # footer-only peek
+    run_id = _ingest_run_id(spark, checkpoint) if ids_path else None
+
+    def _index_seen(s: SparkSession) -> DataFrame | None:
+        if not hadoop_dir_has_files(s, index_path):
+            return None
+        return (s.read.parquet(index_path)
+                .select(F.col("__id").alias("__seen")).distinct())
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        rows = batch.select(F.col(id_col).alias("__id"),
-                            F.col(vec_col).alias("__v"))
-        if hadoop_dir_has_files(s, index_path):
-            seen = (s.read.parquet(index_path)
-                    .select(F.col("__id").alias("__seen")).distinct())
+        rows = (batch.select(F.col(id_col).alias("__id"),
+                             F.col(vec_col).alias("__v"))
+                .dropDuplicates(["__id"]))
+        if ids_path is None:
+            # legacy self-guarding path: anti-join the index itself
+            seen = _index_seen(s)
+            if seen is not None:
+                rows = rows.join(seen, rows["__id"] == seen["__seen"],
+                                 "left_anti").drop("__seen")
+            (assign_cells_hof(rows, centroids)
+             .select("__cid", "__id", "__v")
+             .write.mode("append").partitionBy("__cid")
+             .parquet(index_path))
+            return
+        this_epoch = ((F.col("run_id") == run_id)
+                      & (F.col("batch_id") == int(batch_id)))
+        ids = (s.read.parquet(ids_path)
+               if hadoop_dir_has_files(s, ids_path) else None)
+        if ids is not None and not ids.filter(this_epoch).isEmpty():
+            return   # epoch fully committed; checkpoint replay no-op
+        crashed = (hadoop_dir_has_files(s, intent_path)
+                   and not s.read.parquet(intent_path)
+                   .filter(this_epoch).isEmpty())
+        if not crashed:
+            # intent FIRST, so a crash around the index append is
+            # detectable and recovery can self-guard on the index
+            (s.createDataFrame([(run_id, int(batch_id))],
+                               "run_id: string, batch_id: long")
+             .coalesce(1).write.mode("append").parquet(intent_path))
+            seen = (ids.select(F.col("__id").alias("__seen")).distinct()
+                    if ids is not None else None)
+        else:
+            seen = _index_seen(s)   # recovery: index is ground truth
+        if seen is not None:
             rows = rows.join(seen, rows["__id"] == seen["__seen"],
                              "left_anti").drop("__seen")
+        rows = rows.persist()
         (assign_cells_hof(rows, centroids)
          .select("__cid", "__id", "__v")
          .write.mode("append").partitionBy("__cid")
          .parquet(index_path))
+        (rows.select("__id")
+         .withColumn("run_id", F.lit(run_id))
+         .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+         .coalesce(1).write.mode("append").parquet(ids_path))
+        rows.unpersist(blocking=False)
 
     q = (spark.readStream.schema(schema).parquet(src_path)
          .writeStream.foreachBatch(_sink)

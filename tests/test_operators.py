@@ -487,13 +487,25 @@ def test_rolling_anomalies(eng):
 
 def test_quantile_normalize(eng):
     """percent_rank semantics against a Python model: ties share a
-    rank, single-row groups score 0.0, results live in [0, 1], and
-    the lang builtin matches the API."""
+    rank, single-row groups score 0.0, results live in [0, 1], NULL
+    inputs score NULL without taking a rank or inflating n, and the
+    lang builtin matches the API."""
     from preql_spark.operators.events import quantile_normalize
     spark = eng.spark
     rows = [("a", 10), ("a", 20), ("a", 20), ("a", 40),
             ("b", 7)]
     df = spark.createDataFrame(rows, "g: string, v: long")
+    # nulls neither rank nor count: group a's quantiles are identical
+    # with two nulls mixed in, the nulls score NULL, and an all-null
+    # group scores NULL throughout
+    withn = df.union(spark.createDataFrame(
+        [("a", None), ("a", None), ("c", None)], "g: string, v: long"))
+    nres = quantile_normalize(withn, ["g"], "v").collect()
+    nvals = {(r.g, r.v): r.qn for r in nres if r.v is not None}
+    assert nvals[("a", 10)] == 0.0
+    assert abs(nvals[("a", 20)] - 1 / 3) < 1e-15
+    assert nvals[("a", 40)] == 1.0
+    assert all(r.qn is None for r in nres if r.v is None)
     got = {(r.g, r.v, i): r.qn for i, r in enumerate(
         quantile_normalize(df, ["g"], "v").collect())}
     vals = {(g, v): qn for (g, v, _), qn in got.items()}
@@ -557,6 +569,9 @@ def test_canonicalize_url(eng):
         "not a url": "not a url",
         "https://Host.com": "https://host.com",
         "https://h.com:8080/x": "https://h.com:8080/x",  # kept port
+        # non-default port for the SCHEME is a different resource
+        "http://h.com:443/x": "http://h.com:443/x",
+        "https://h.com:80/x": "https://h.com:80/x",
     }
     df = spark.createDataFrame([(u,) for u in cases], "u: string")
     got = {r.u: r.c for r in
@@ -565,6 +580,9 @@ def test_canonicalize_url(eng):
     l = eng.q('documents[doc_id < 3] {c: canonicalize_url('
               '"HTTP://X.io:80/A/?" + "utm_x=1&k=v#f")}').collect()
     assert all(r.c == "http://x.io/A?k=v" for r in l)
+
+
+def test_dedup_keep_best(eng):
     """Keep-best keeps exactly one row per cluster chosen by the
     explicit ordering (here: highest score, id tie-break), singletons
     survive untouched, and with the min-id ordering it reproduces
@@ -593,6 +611,14 @@ def test_canonicalize_url(eng):
     cols = dedup_keep_best(docs, pairs, "doc_id",
                            [F.col("doc_id")]).columns
     assert cols == ["doc_id", "score"]
+    # renamed pair columns route through the id_a/id_b params
+    # (API parity with leakage_safe_split)
+    p2 = pairs.withColumnRenamed("id_a", "l") \
+        .withColumnRenamed("id_b", "r")
+    c = sorted(r.doc_id for r in dedup_keep_best(
+        docs, p2, "doc_id", [F.col("score").desc(), F.col("doc_id")],
+        id_a="l", id_b="r").collect())
+    assert c == [2, 11, 99]
 
 
 def test_normalize_text(eng):

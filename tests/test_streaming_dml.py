@@ -1235,18 +1235,24 @@ def test_incremental_ivf_ingest_completeness_and_pruning(
         cosine_topk, ivf_build, ivf_topk_from_store)
     from preql_spark.streaming.stream import incremental_ivf_ingest
     e = eng.t.embeddings.df.select("vec_id", "embedding")
-    src, idx, ck = (str(tmp_path / x) for x in ("src", "idx", "ck"))
+    src, idx, ck, ids = (str(tmp_path / x)
+                         for x in ("src", "idx", "ck", "ids"))
     _, cents = ivf_build(e.filter(F.col("vec_id") < 250), dim=64,
                          n_centroids=4)
     e.filter(F.col("vec_id") < 250).write.mode("overwrite").parquet(src)
-    incremental_ivf_ingest(spark, src, ck, idx, cents)
+    incremental_ivf_ingest(spark, src, ck, idx, cents, ids_path=ids)
     e.filter(F.col("vec_id") >= 250).write.mode("append").parquet(src)
-    rep = incremental_ivf_ingest(spark, src, ck, idx, cents)
+    rep = incremental_ivf_ingest(spark, src, ck, idx, cents,
+                                 ids_path=ids)
     counts = {r.cell: r.n_vectors for r in rep.collect()}
     assert sum(counts.values()) == e.count()   # every vector, once
     # replay: nothing new, per-cell counts unchanged
-    rep2 = incremental_ivf_ingest(spark, src, ck, idx, cents)
+    rep2 = incremental_ivf_ingest(spark, src, ck, idx, cents,
+                                  ids_path=ids)
     assert {r.cell: r.n_vectors for r in rep2.collect()} == counts
+    # the sidecar holds exactly the corpus ids, once each
+    sc = spark.read.parquet(ids)
+    assert sc.select("__id").distinct().count() == e.count()
     # exhaustive probes == brute force, row for row
     q = e.filter(F.col("vec_id") < 3)
     got = sorted(tuple(r) for r in ivf_topk_from_store(
@@ -1261,6 +1267,51 @@ def test_incremental_ivf_ingest_completeness_and_pruning(
         pruned._jdf.queryExecution(), "formatted")
     assert "PartitionFilters" in plan and "__cid" in plan.split(
         "PartitionFilters", 1)[1][:200]
+
+
+def test_ivf_ids_sidecar_semantics(spark, eng, tmp_path):
+    """The ids SIDECAR is the anti-join source on the fast path: an
+    id seeded into the sidecar (absent from the index) is skipped —
+    the behavioral proof the per-batch dedup reads the sidecar, not
+    a full-index listing; in-batch duplicate ids index exactly once
+    (the mechanical immutable-id contract); compact_ingest_ids
+    collapses the sidecar to ONE file without changing any ingest
+    decision; a post-compaction wave ingests only its new ids."""
+    import glob
+    from preql_spark.operators.similarity import ivf_build
+    from preql_spark.streaming.stream import (compact_ingest_ids,
+                                              incremental_ivf_ingest)
+    e = eng.t.embeddings.df.select("vec_id", "embedding")
+    src, idx, ck, ids = (str(tmp_path / x)
+                         for x in ("src", "idx", "ck", "ids"))
+    base = e.filter(F.col("vec_id") < 100)
+    _, cents = ivf_build(base, dim=64, n_centroids=4)
+    # seed the sidecar with id 7 BEFORE any ingest: the fast path
+    # must treat it as already ingested even though the index has
+    # nothing — if the anti-join read the index, 7 would slip in
+    spark.createDataFrame(
+        [(7, "seed", int(-1))],
+        "__id: bigint, run_id: string, batch_id: bigint") \
+        .write.mode("overwrite").parquet(ids)
+    dirty = base.union(base.filter(F.col("vec_id") < 10))
+    dirty.write.mode("overwrite").parquet(src)
+    rep = incremental_ivf_ingest(spark, src, ck, idx, cents,
+                                 ids_path=ids)
+    assert sum(r.n_vectors for r in rep.collect()) == 99
+    got = spark.read.parquet(idx).select("__id")
+    assert got.count() == got.distinct().count() == 99
+    assert got.filter(F.col("__id") == 7).isEmpty()
+    # compaction: ONE file; ingest decisions unchanged afterwards
+    compact_ingest_ids(spark, ids)
+    assert len(glob.glob(f"{ids}/*.parquet")) == 1
+    wave2 = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    base.filter(F.col("vec_id") < 20).union(wave2) \
+        .write.mode("append").parquet(src)
+    rep2 = incremental_ivf_ingest(spark, src, ck, idx, cents,
+                                  ids_path=ids)
+    assert sum(r.n_vectors for r in rep2.collect()) == 149
+    got2 = spark.read.parquet(idx).select("__id")
+    assert got2.count() == got2.distinct().count() == 149
 
 
 def test_compact_partitioned_store_one_file_per_cell(
