@@ -1194,13 +1194,15 @@ def q201_normalize_text(spark, sf_dir) -> DataFrame:
     accent fold → punctuation strip → whitespace collapse), the
     preprocessing contract in front of fingerprint/dedup — pure
     built-in string chain, scan-local, codegen, no UDF.  Case,
-    accents, punctuation, and ragged spacing are synthesized onto
+    accents (incl. the multi-char æ/œ/ß/ĳ/þ folds and Latin
+    Extended-A), punctuation, and ragged spacing are synthesized onto
     the corpus so every stage actually fires; the oracle spells the
-    identical lower/translate/regexp_replace chain in DuckDB."""
+    identical lower/replace/translate/regexp_replace chain in DuckDB,
+    composed from the engine's own fold tables."""
     from preql_spark.operators import text
     d = _eng(spark, sf_dir).t.documents
     dirty = F.concat(F.upper(F.substring(F.col("text"), 1, 24)),
-                     F.lit("  Héllo, Wörld!—ÇA  va…  "),
+                     F.lit(_Q201_DIRT),
                      F.col("text"))
     return d.df.select("doc_id",
                        text.normalize_text(dirty).alias("norm"))
@@ -3602,6 +3604,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
 
+def _accent_fold_sql(expr: str) -> str:
+    """The q201 oracle's accent-fold chain composed from the SAME
+    tables the engine uses (preql_spark.operators.text
+    ACCENT_FOLD_*), so the two spellings cannot drift."""
+    from preql_spark.operators.text import (ACCENT_FOLD_FROM,
+                                            ACCENT_FOLD_MULTI,
+                                            ACCENT_FOLD_TO)
+    s = expr
+    for a, b in ACCENT_FOLD_MULTI:
+        s = f"replace({s}, '{a}', '{b}')"
+    return (f"translate({s}, '{ACCENT_FOLD_FROM}', "
+            f"'{ACCENT_FOLD_TO}')")
+
+
+#: synthesized dirt for q201 — exercises the multi-char folds
+#: (Æ/œ/ß/ĳ/Þ), the Latin Extended-A translate entries (Ł ó ź), the
+#: Latin-1 table, punctuation incl. non-ASCII (— … ’), and ragged
+#: spacing, identically on both engines
+_Q201_DIRT = "  Héllo, Wörld!—ÆSOP’s Œuvre: straße, Łódź, ĳs & Þorn…  "
+
+
 ORACLES: dict[str, str] = {
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -4571,20 +4594,20 @@ ORACLES: dict[str, str] = {
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), ())
     """,
-    # the identical lower -> translate(accent fold) -> \p{P} strip ->
-    # \s+ collapse chain, spelled in DuckDB
-    "q201_normalize_text": r"""
+    # the identical lower -> replace(multi folds) -> translate(accent
+    # fold) -> \p{P} strip -> \s+ collapse chain, spelled in DuckDB;
+    # the fold chain is COMPOSED from the engine's own tables so the
+    # two spellings cannot drift
+    "q201_normalize_text": rf"""
         WITH dirty AS (
             SELECT doc_id,
                    upper(substr(text, 1, 24))
-                     || '  Héllo, Wörld!—ÇA  va…  ' || text AS s
+                     || '{_Q201_DIRT}' || text AS s
             FROM documents)
         SELECT doc_id,
                trim(regexp_replace(regexp_replace(
-                    translate(lower(s),
-                              'àáâãäåçèéêëìíîïñòóôõöùúûüýÿ',
-                              'aaaaaaceeeeiiiinooooouuuuyy'),
-                    '[\p{P}]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+                    {_accent_fold_sql('lower(s)')},
+                    '[\p{{P}}]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
         FROM dirty
     """,
     "q82_redact_pii": r"""

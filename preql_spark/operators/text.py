@@ -481,12 +481,29 @@ PII_PATTERNS = {
 }
 
 
-#: fixed Latin accent-fold table for :func:`normalize_text` — kept a
-#: FROM/TO translate pair (not a Unicode Normalizer call) so the fold
-#: stays inside whole-stage codegen and is spelled identically in any
-#: oracle engine (``translate(lower(s), FROM, TO)``)
-ACCENT_FOLD_FROM = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
-ACCENT_FOLD_TO = "aaaaaaceeeeiiiinooooouuuuyy"
+#: fixed Latin accent-fold tables for :func:`normalize_text` — kept a
+#: FROM/TO translate pair plus a short literal-replace list (NOT a
+#: Unicode Normalizer call) so the fold stays inside whole-stage
+#: codegen and is spelled identically in any oracle engine
+#: (``translate(replace(replace(... lower(s) ...), FROM, TO)``).
+#: Covers the full Latin-1 Supplement letter block plus the common
+#: Latin Extended-A set, both cases (uppercase entries matter only
+#: with ``lowercase=False`` — the default lowers first).
+ACCENT_FOLD_FROM = (
+    "àáâãäåçèéêëìíîïðñòóôõöøùúûüýÿ"             # Latin-1 lower
+    "ÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÐÑÒÓÔÕÖØÙÚÛÜÝ"             # Latin-1 upper
+    "āăąćĉċčďđēĕėęěĝğġģĥħĩīĭįıĵķĺļľŀłńņňŋōŏőŕŗřśŝşšţťŧũūŭůűųŵŷźżž"
+    "ĀĂĄĆĈĊČĎĐĒĔĖĘĚĜĞĠĢĤĦĨĪĬĮİĴĶĹĻĽĿŁŃŅŇŊŌŎŐŔŖŘŚŜŞŠŢŤŦŨŪŬŮŰŲŴŶŹŻŽ")
+ACCENT_FOLD_TO = (
+    "aaaaaaceeeeiiiidnoooooouuuuyy"
+    "AAAAAACEEEEIIIIDNOOOOOOUUUUY"
+    "aaaccccddeeeeegggghhiiiiijklllllnnnnooorrrssssttt" "uuuuuu" "wyzzz"
+    "AAACCCCDDEEEEEGGGGHHIIIIIJKLLLLLNNNNOOORRRSSSSTTT" "UUUUUU" "WYZZZ")
+#: one-to-many folds translate() cannot express — literal replaces
+#: (``replace(s, a, b)`` on every engine, no regex)
+ACCENT_FOLD_MULTI = (("æ", "ae"), ("Æ", "AE"), ("œ", "oe"),
+                     ("Œ", "OE"), ("ß", "ss"), ("ĳ", "ij"),
+                     ("Ĳ", "IJ"), ("þ", "th"), ("Þ", "TH"))
 
 
 def normalize_text(col, lowercase: bool = True,
@@ -503,19 +520,25 @@ def normalize_text(col, lowercase: bool = True,
     token; the collapse stage then folds the extra spaces) →
     whitespace collapse + trim, each stage independently switchable.
 
-    Scale shape: a pure built-in string chain (lower / translate /
-    regexp_replace) — scan-local, whole-stage codegen, no shuffle, no
-    UDF.  The accent fold is deliberately the documented Latin table,
-    NOT full Unicode NFKD: a ``java.text.Normalizer`` call would need
-    a row-at-a-time UDF (leaves codegen — the forbidden hot path at
-    100 TB), and the fixed translate covers the Latin web-corpus
-    case while staying bit-reproducible cross-engine (DuckDB:
-    ``trim(regexp_replace(regexp_replace(translate(lower(s), FROM,
+    Scale shape: a pure built-in string chain (lower / replace /
+    translate / regexp_replace) — scan-local, whole-stage codegen, no
+    shuffle, no UDF.  The accent fold is deliberately the documented
+    Latin tables (:data:`ACCENT_FOLD_FROM`/`TO` for one-to-one,
+    :data:`ACCENT_FOLD_MULTI` literal replaces for æ→ae / œ→oe /
+    ß→ss / ĳ→ij / þ→th), NOT full Unicode NFKD: a
+    ``java.text.Normalizer`` call would need a row-at-a-time UDF
+    (leaves codegen — the forbidden hot path at 100 TB), and the
+    fixed tables cover the Latin-1 Supplement + common Latin
+    Extended-A web-corpus case while staying bit-reproducible
+    cross-engine (DuckDB: ``trim(regexp_replace(regexp_replace(
+    translate(replace(...replace(lower(s), 'æ', 'ae')...), FROM,
     TO), '[\\p{P}]', ' ', 'g'), '\\s+', ' ', 'g'))``)."""
     c = col if isinstance(col, Column) else F.col(col)
     if lowercase:
         c = F.lower(c)
     if fold_accents:
+        for frm, to in ACCENT_FOLD_MULTI:
+            c = F.replace(c, F.lit(frm), F.lit(to))
         c = F.translate(c, ACCENT_FOLD_FROM, ACCENT_FOLD_TO)
     if strip_punct:
         c = F.regexp_replace(c, r"[\p{P}]", " ")

@@ -639,6 +639,23 @@ def test_normalize_text(eng):
     fps = {r.f for r in df.select(
         fingerprint64(normalize_text("t")).alias("f")).collect()}
     assert len(fps) == 1
+    # table invariants: translate() silently DELETES unmatched FROM
+    # chars, so the pair lengths must stay equal (and FROM unique)
+    from preql_spark.operators.text import (ACCENT_FOLD_FROM,
+                                            ACCENT_FOLD_TO)
+    assert len(ACCENT_FOLD_FROM) == len(ACCENT_FOLD_TO)
+    assert len(set(ACCENT_FOLD_FROM)) == len(ACCENT_FOLD_FROM)
+    # wide fold coverage: multi-char ligatures/eszett/thorn (æ→ae,
+    # œ→oe, ß→ss, ĳ→ij, þ→th) and Latin Extended-A (Ł ó ź)
+    wide = spark.createDataFrame(
+        [("ÆSOP’s Œuvre: straße, Łódź, ĳs & Þorn",)], "t: string")
+    assert wide.select(normalize_text("t").alias("n")) \
+        .collect()[0].n == "aesop s oeuvre strasse lodz ijs thorn"
+    # with lowercase off, the UPPERCASE table entries fold directly
+    up = spark.createDataFrame([("ÆŁÓÞ",)], "t: string")
+    assert up.select(
+        normalize_text("t", lowercase=False).alias("n")) \
+        .collect()[0].n == "AELOTH"
     # stages off: keep case / keep accents / keep punct / keep spacing
     one = df.limit(1)
     assert one.select(normalize_text("t", lowercase=False).alias("n")) \
