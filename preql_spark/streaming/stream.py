@@ -713,11 +713,26 @@ def _guard_stranded(spark: SparkSession, *paths) -> None:
     ``<path>`` (the backup IS the pre-compaction state, complete and
     committed); if the live dir exists and reads fine, the
     compaction finished and only the backup delete was lost — delete
-    ``<path>__pre_compact``."""
+    ``<path>__pre_compact``.
+
+    Also refuses while a FRESH cross-session compaction lock
+    (:class:`_compaction_lock`) is held on any of the paths — the
+    mechanical other half of the RUN-ONLY-WHILE-STOPPED contract:
+    in-session the compactor checks for active streams; cross-session
+    the ingest checks for an active compactor.  Stale locks (crashed
+    holder) are ignored here — the crash's real damage, if any, is
+    the backup this guard already catches."""
     from preql_spark.parquet_io import _hadoop_fs_path
     for p in paths:
         if p is None:
             continue
+        if _lock_is_live(spark, p):
+            raise RuntimeError(
+                f"compaction lock {_lock_file(p)} is held: a "
+                "compaction of this store is in progress (possibly "
+                "in another session); refusing to ingest against a "
+                "store that may be mid-swap.  Wait for it, or if its "
+                "process is known dead, delete the lock file")
         bak = p.rstrip("/") + "__pre_compact"
         fs, bkp = _hadoop_fs_path(spark, bak)
         if fs.exists(bkp):
@@ -754,6 +769,100 @@ def _require_no_active_streams(spark: SparkSession, what: str) -> None:
             f"session has {len(active)} active streaming "
             f"quer{'y' if len(active) == 1 else 'ies'} ({names}); "
             "stop them first")
+
+
+#: a compaction lock older than this is STALE (its holder crashed —
+#: a live compaction of these stores is seconds-to-minutes of work)
+COMPACTION_LOCK_STALE_S = 3600
+
+
+def _lock_file(path: str) -> str:
+    return path.rstrip("/") + "__compact_lock"
+
+
+def _read_lock_ts(fs, p) -> int | None:
+    """Epoch-millis the lock holder stamped, or None if unreadable
+    (a zero-byte lock from a crash mid-create counts as stale)."""
+    try:
+        ins = fs.open(p)
+        try:
+            data = []
+            b = ins.read()
+            while b != -1 and len(data) < 32:
+                data.append(chr(b))
+                b = ins.read()
+            return int("".join(data).strip())
+        finally:
+            ins.close()
+    except Exception:
+        return None
+
+
+def _lock_is_live(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` has a FRESH compaction lock (some session —
+    this one or another — is compacting right now)."""
+    import time
+
+    from preql_spark.parquet_io import _hadoop_fs_path
+    fs, p = _hadoop_fs_path(spark, _lock_file(path))
+    if not fs.exists(p):
+        return False
+    ts = _read_lock_ts(fs, p)
+    return (ts is not None
+            and time.time() * 1000 - ts < COMPACTION_LOCK_STALE_S * 1000)
+
+
+class _compaction_lock:
+    """Cross-session sentinel lock for a store compaction: an
+    atomic create-fail-if-exists file ``<path>__compact_lock``
+    holding the holder's epoch-millis, deleted on completion.  A
+    second session's compaction (or ingest — via
+    :func:`_guard_stranded`) refuses while the lock is FRESH; a lock
+    older than :data:`COMPACTION_LOCK_STALE_S` is a crashed holder
+    (live compactions take seconds-to-minutes) and is broken and
+    retaken — the crashed holder's actual damage, if any, is the
+    stranded ``__pre_compact`` backup, which stays loudly guarded
+    independently of the lock.  This makes the RUN-ONLY-WHILE-
+    STOPPED contract mechanical ACROSS sessions, not just within
+    one (:func:`_require_no_active_streams` covers in-session)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark, self.path = spark, path
+
+    def __enter__(self):
+        import time
+
+        from preql_spark.parquet_io import _hadoop_fs_path
+        fs, p = _hadoop_fs_path(self.spark, _lock_file(self.path))
+        now = int(time.time() * 1000)
+        if fs.exists(p):
+            ts = _read_lock_ts(fs, p)
+            if (ts is not None
+                    and now - ts < COMPACTION_LOCK_STALE_S * 1000):
+                age = (now - ts) // 1000
+                raise RuntimeError(
+                    f"compaction lock {_lock_file(self.path)} is held "
+                    f"(age {age}s): another session is compacting "
+                    "this store; wait for it (or, if its process is "
+                    "known dead, delete the lock file)")
+            fs.delete(p, False)          # stale: holder crashed
+        try:
+            out = fs.create(p, False)    # atomic fail-if-exists
+        except Exception as e:
+            raise RuntimeError(
+                f"compaction lock {_lock_file(self.path)}: lost the "
+                f"creation race to another session ({e}); retry after "
+                "it finishes") from None
+        try:
+            out.write(bytearray(str(now).encode()))
+        finally:
+            out.close()
+        self._fs, self._p = fs, p
+        return self
+
+    def __exit__(self, *exc):
+        self._fs.delete(self._p, False)
+        return False
 
 
 def incremental_frequent_items_ingest(
@@ -1394,6 +1503,14 @@ def compact_ingest_state(spark: SparkSession, state_path: str,
     merge the report already performs."""
     _require_no_active_streams(spark, "compact_ingest_state")
     _guard_stranded(spark, state_path)
+    with _compaction_lock(spark, state_path):
+        return _compact_ingest_state_locked(spark, state_path, kind,
+                                            delta, capacity)
+
+
+def _compact_ingest_state_locked(spark: SparkSession, state_path: str,
+                                 kind: str, delta: float,
+                                 capacity: int | None) -> int:
     st = _read_state(spark, state_path)
     tops = {r["run_id"]: int(r["mb"]) for r in
             st.groupBy("run_id")
@@ -1463,7 +1580,8 @@ def compact_ingest_state(spark: SparkSession, state_path: str,
 
 
 def _checked_swap(spark: SparkSession, path: str, out: DataFrame,
-                  partition_col: str | None = None) -> int:
+                  partition_col: str | None = None,
+                  max_file_rows: int | None = None) -> int:
     """Write ``out`` as the compacted rewrite of ``path`` (one file —
     or, with ``partition_col``, one file per partition directory) and
     swap it in via the CHECKED backup-rename dance shared by
@@ -1478,7 +1596,32 @@ def _checked_swap(spark: SparkSession, path: str, out: DataFrame,
     from preql_spark.parquet_io import _hadoop_fs_path
     tmp = path.rstrip("/") + "__compact"
     bak = path.rstrip("/") + "__pre_compact"
-    if partition_col is not None:
+    if partition_col is not None and max_file_rows is not None:
+        # mega-cell split: a skewed partition value larger than
+        # max_file_rows rewrites as ~ceil(n/max) files instead of ONE
+        # task/file — salt rows into per-cell file groups and spread
+        # the groups across tasks.  Hash collisions can merge a few
+        # groups (a file up to ~2x target occasionally); the knob
+        # bounds the one-giant-file/one-stuck-task failure mode, not
+        # exact file sizes
+        cnts = (out.groupBy(partition_col)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .withColumn("__nf", F.greatest(
+                    F.lit(1),
+                    F.ceil(F.col("__n") / F.lit(int(max_file_rows))))
+                    .cast("int"))
+                .drop("__n"))
+        total = cnts.agg(F.sum("__nf")).collect()[0][0] or 1
+        salted = (out.join(F.broadcast(cnts), partition_col)
+                  .withColumn("__salt", F.pmod(
+                      F.xxhash64(*[F.col(c) for c in out.columns]),
+                      F.col("__nf"))))
+        (salted.repartition(int(total) * 2, F.col(partition_col),
+                            F.col("__salt"))
+         .drop("__nf", "__salt")
+         .write.mode("overwrite").partitionBy(partition_col)
+         .parquet(tmp))
+    elif partition_col is not None:
         # repartition BY the partition column: every partition value
         # lands in exactly one task, so each directory rewrites as
         # one file
@@ -1531,12 +1674,14 @@ def compact_ingest_ids(spark: SparkSession, ids_path: str) -> int:
     :func:`compact_ingest_state`."""
     _require_no_active_streams(spark, "compact_ingest_ids")
     _guard_stranded(spark, ids_path)
-    ids = spark.read.parquet(ids_path).distinct()
-    return _checked_swap(spark, ids_path, ids)
+    with _compaction_lock(spark, ids_path):
+        ids = spark.read.parquet(ids_path).distinct()
+        return _checked_swap(spark, ids_path, ids)
 
 
 def compact_partitioned_store(spark: SparkSession, path: str,
-                              partition_col: str = "__cid") -> int:
+                              partition_col: str = "__cid",
+                              max_file_rows: int | None = None) -> int:
     """Offline small-file compaction for a partitioned append store
     (the :func:`incremental_ivf_ingest` layout — every micro-batch
     appends one file per touched cell directory, so a long-lived
@@ -1549,11 +1694,24 @@ def compact_partitioned_store(spark: SparkSession, path: str,
     the ingest's ids anti-join read the same rows from fewer files.
     Returns the rewrite's row count.
 
+    Mega-cell guard: the default one-task-per-cell rewrite means a
+    skewed partition value (a hot IVF centroid that swallowed a few
+    GB) rewrites as ONE task and ONE file — a straggler at compaction
+    and an unsplittable read afterwards.  Pass ``max_file_rows`` to
+    split any cell larger than that into ~ceil(n/max) files
+    (hash-salted groups — approximate sizes, bounded worst case;
+    the knob trades "exactly one file per cell" for "no file beyond
+    ~2x the cap").  Cells under the cap still compact to one file.
+
     RUN ONLY WHILE THE STREAM IS STOPPED — enforced mechanically
-    in-session (:func:`_require_no_active_streams`); a crash
+    in-session (:func:`_require_no_active_streams`) and cross-session
+    via the sentinel lock (:class:`_compaction_lock`); a crash
     mid-swap strands the ``__pre_compact`` backup, which the next
     ingest detects loudly (:func:`_guard_stranded`)."""
     _require_no_active_streams(spark, "compact_partitioned_store")
     _guard_stranded(spark, path)
-    df = spark.read.parquet(path)
-    return _checked_swap(spark, path, df, partition_col=partition_col)
+    with _compaction_lock(spark, path):
+        df = spark.read.parquet(path)
+        return _checked_swap(spark, path, df,
+                             partition_col=partition_col,
+                             max_file_rows=max_file_rows)

@@ -1314,6 +1314,82 @@ def test_ivf_ids_sidecar_semantics(spark, eng, tmp_path):
     assert got2.count() == got2.distinct().count() == 149
 
 
+def test_compact_partitioned_store_max_file_rows(spark, tmp_path):
+    """The mega-cell knob: a partition value over max_file_rows
+    splits into ~ceil(n/max) files (bounded: 2..nf with hash-group
+    collisions), cells under the cap still compact to ONE file, and
+    contents stay row-identical per cell."""
+    import glob
+    from preql_spark.streaming.stream import compact_partitioned_store
+    store = str(tmp_path / "store")
+    df = spark.range(0, 400).select(
+        F.lit(0).alias("__cid"), F.col("id").alias("__id")) \
+        .union(spark.range(1000, 1050).select(
+            F.lit(1).alias("__cid"), F.col("id").alias("__id")))
+    # write raggedly (several files per cell) to give compaction work
+    df.repartition(8).write.mode("overwrite") \
+        .partitionBy("__cid").parquet(store)
+    n = compact_partitioned_store(spark, store, max_file_rows=100)
+    assert n == 450
+    big = glob.glob(f"{store}/__cid=0/*.parquet")
+    small = glob.glob(f"{store}/__cid=1/*.parquet")
+    assert 2 <= len(big) <= 4          # ceil(400/100)=4 groups
+    assert len(small) == 1
+    got = (spark.read.parquet(store).groupBy("__cid")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("__id").alias("s")).collect())
+    m = {r["__cid"]: (r.n, r.s) for r in got}
+    assert m[0] == (400, sum(range(400)))
+    assert m[1] == (50, sum(range(1000, 1050)))
+
+
+def test_cross_session_compaction_lock(spark, eng, tmp_path):
+    """The stopped-stream compaction contract is mechanical ACROSS
+    sessions: a fresh ``__compact_lock`` sentinel (what another
+    session's live compactor holds) makes a second session's
+    compaction AND any ingest against the store refuse loudly; a
+    STALE lock (crashed holder) is broken and the compaction
+    proceeds, deleting the lock on completion."""
+    import time
+
+    from preql_spark.operators.similarity import ivf_build
+    from preql_spark.streaming.stream import (
+        COMPACTION_LOCK_STALE_S, _lock_file, compact_ingest_ids,
+        incremental_ivf_ingest)
+    ids = str(tmp_path / "ids")
+    spark.createDataFrame(
+        [(9001, "r", 0), (9002, "r", 0), (9002, "r", 1)],
+        "__id: bigint, run_id: string, batch_id: bigint") \
+        .write.mode("overwrite").parquet(ids)
+    # a FOREIGN session's live compactor: fresh lock on disk
+    lock = _lock_file(ids)
+    with open(lock, "w") as f:
+        f.write(str(int(time.time() * 1000)))
+    other = spark.newSession()          # a second SparkSession
+    with pytest.raises(RuntimeError, match="lock.*held"):
+        compact_ingest_ids(other, ids)
+    # ingests against the locked store refuse too (the guard runs
+    # before the stream starts, so this raises immediately)
+    e = eng.t.embeddings.df.select("vec_id", "embedding").limit(20)
+    src, idx, ck = (str(tmp_path / x) for x in ("src", "idx", "ck"))
+    e.write.mode("overwrite").parquet(src)
+    _, cents = ivf_build(e, dim=64, n_centroids=2)
+    with pytest.raises(RuntimeError, match="lock.*held"):
+        incremental_ivf_ingest(other, src, ck, idx, cents,
+                               ids_path=ids)
+    # STALE lock (holder crashed long ago): broken, compaction runs,
+    # lock removed on completion
+    with open(lock, "w") as f:
+        f.write(str(int(
+            (time.time() - COMPACTION_LOCK_STALE_S - 10) * 1000)))
+    n = compact_ingest_ids(other, ids)
+    assert n == 3 and not os.path.exists(lock)
+    # and the unlocked store ingests fine afterwards
+    rep = incremental_ivf_ingest(spark, src, ck, idx, cents,
+                                 ids_path=ids)
+    assert sum(r.n_vectors for r in rep.collect()) == 20
+
+
 def test_compact_partitioned_store_one_file_per_cell(
         spark, eng, tmp_path):
     """The IVF store accumulates one file per (batch, touched cell);
