@@ -3354,6 +3354,7 @@ def _make_maps():
         "redact_pii": _t.redact_pii,
         "normalize_text": _t.normalize_text,
         "strip_short_lines": _t.strip_short_lines,
+        "strip_repeated_units": _t.strip_repeated_units,
         "host_of": _t.host_of,
         "canonicalize_url": _t.canonicalize_url,
         "bpe_merge_pair": _t.bpe_merge_pair,
@@ -3466,6 +3467,7 @@ def _load_pipeline_funcs() -> dict:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "ngram_containment_pairs": dedup.ngram_containment_pairs,
         "connected_components": dedup.connected_components,
+        "cluster_size_histogram": dedup.cluster_size_histogram,
         "dedup_canonical": dedup.dedup_keep_canonical,
         "dedup_keep_best":
             lambda df, pairs, id_col, *order:
@@ -3621,6 +3623,10 @@ def _load_pipeline_funcs() -> dict:
         "chi_square":
             lambda df, col_a, col_b:
                 events.chi_square(df, col_a, col_b),
+        "z_outliers":
+            lambda df, group_col, value_col="value", k=3.0:
+                events.z_outliers(df, group_col, value_col,
+                                  float(k)),
         "triangle_count":
             lambda df, src="src", dst="dst":
                 graph.triangle_count(df, src, dst),
@@ -3630,7 +3636,8 @@ def _load_pipeline_funcs() -> dict:
 _PIPELINE_FUNC_NAMES = {
     "dedup_exact", "chunk_dedup", "line_dedup", "minhash_pairs",
     "simhash_pairs", "ngram_jaccard_pairs", "ngram_containment_pairs",
-    "connected_components", "leakage_safe_split", "dedup_keep_best",
+    "connected_components", "cluster_size_histogram",
+    "leakage_safe_split", "dedup_keep_best",
     "dedup_canonical", "decontaminate", "contaminated_ids",
     "corpus_overlap", "duplicate_spans", "remove_duplicate_spans",
     "scrub_contaminated_spans",
@@ -3653,7 +3660,8 @@ _PIPELINE_FUNC_NAMES = {
     "pagerank", "trend", "mad_outliers", "quantile_normalize",
     "rolling_anomalies", "session_paths", "ks_drift",
     "ab_test", "triangle_count", "psi_drift", "mann_whitney",
-    "chi_square", "degree_assortativity", "hits", "shortest_paths",
+    "chi_square", "z_outliers",
+    "degree_assortativity", "hits", "shortest_paths",
     # Table-method family (dispatched on the host Table, not its df)
     "sample_hash", "sample_mixture", "sample_stratified",
     "sample_weighted", "split_by_hash", "shuffle_deterministic",

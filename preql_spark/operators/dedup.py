@@ -390,6 +390,27 @@ def leakage_safe_split(df: DataFrame, pairs: DataFrame, splits: dict,
             .drop("__comp"))
 
 
+def cluster_size_histogram(pairs: DataFrame, id_a: str = "id_a",
+                           id_b: str = "id_b") -> DataFrame:
+    """Dedup observability datacard: the distribution of near-dup
+    CLUSTER sizes — ``(cluster_size, n_clusters)``, sizes >= 2
+    (singletons never enter the pair graph).  The report a pipeline
+    publishes next to every dedup run: total duplicate volume is
+    ``sum((size - 1) · n_clusters)``, and a boilerplate mega-cluster
+    shows up as a fat tail long before it wrecks a window stage
+    downstream.
+
+    Scale shape: components over the pairs (the audited,
+    pair-volume-bound CC loop), ONE component-keyed count and ONE
+    size-keyed count — both over frames bounded by the number of
+    duplicate nodes, never the corpus."""
+    comp = connected_components(pairs, id_a, id_b)
+    sizes = (comp.groupBy("component")
+             .agg(F.count(F.lit(1)).alias("cluster_size")))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters")))
+
+
 # ---- benchmark decontamination (train/eval n-gram overlap) -----------------
 
 def contaminated_ids(train: DataFrame, eval_df: DataFrame, id_col: str,

@@ -468,9 +468,12 @@ def rolling_anomalies(df: DataFrame, group_cols: list[str] | str,
     Scale shape: ONE group-keyed shuffle + a per-group sort window
     with a bounded ROWS frame — never a global sort, per-row state is
     the fixed window, so a group's history length never accumulates
-    in memory.  (For a robust flavor, winsorize/mad_outliers are the
-    distribution-free siblings; this one is the cheap two-moment
-    gate.)"""
+    in memory; at real group cardinality the per-group sorts spread
+    across tasks (measured flat at 10× rows AND 10× groups —
+    SCALE.md q207b row).  (For a robust flavor,
+    winsorize/mad_outliers are the distribution-free siblings; this
+    one is the cheap two-moment gate; :func:`z_outliers` is the
+    per-value population gate.)"""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     if min_periods < 2:
@@ -1155,3 +1158,82 @@ def _chi_square_from_cells(cells: DataFrame) -> DataFrame:
                F.sqrt(chi2 / (F.col("n") * mind).cast("double")))
     return g.select("n", dof.cast("long").alias("dof"),
                     chi2.alias("chi2"), v.alias("cramers_v"))
+
+
+def z_outliers_from_value_counts(vc: DataFrame,
+                                 k: float = 3.0) -> DataFrame:
+    """Per-value z-scores from an EXACT per-(group, value) integer
+    histogram ``(g, v, cnt)`` — the lossless state the streaming
+    metric monitor maintains (:func:`preql_spark.streaming.stream.
+    incremental_z_monitor_ingest`, the same state as the quantile
+    ingest): each group's moments are exact int64 sums (n, Σv·cnt,
+    Σv²·cnt) pushed through a FIXED sequence of double ops —
+    ``mean = s/n``, ``var = max((ss - s·s/n)/(n-1), 0)`` — and every
+    observed value scores ``z = (v - mean)/stddev``, flagged at
+    ``|z| > k`` — output ``(g, v, cnt, z, is_anomaly)``.  NULL
+    values are excluded from the moments and carry NULL z;
+    zero-variance and single-count groups score NULL z / false flag
+    (nothing to judge against).
+
+    This function is ALSO the batch operator's tail
+    (:func:`z_outliers` builds the same histogram from raw rows), so
+    from-state == batch bit-identically — the shared-tail identity
+    argument of :func:`_chi_square_from_cells`.
+
+    Scale shape: the moments ride UNORDERED window sums over the
+    histogram (no sort frame, no self-join — the vc frame is read
+    ONCE, so the batch operator scans the corpus once), then pure
+    per-row arithmetic; everything after the histogram is bounded by
+    groups × distinct values, never the corpus."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    v, cnt = F.col("v"), F.col("cnt")
+    wg = Window.partitionBy("g")
+    n = F.sum(F.when(v.isNotNull(), cnt)).over(wg)
+    s = F.sum(F.when(v.isNotNull(), v * cnt)).over(wg)
+    ss = F.sum(F.when(v.isNotNull(), v * v * cnt)).over(wg)
+    mean = s.cast("double") / n
+    var = F.when(
+        n > 1,
+        F.greatest(
+            (ss.cast("double") - s.cast("double") * s / n) / (n - 1),
+            F.lit(0.0)))
+    sd = F.sqrt(var)
+    z = F.when(v.isNotNull() & (sd > 0),
+               (v.cast("double") - mean) / sd)
+    return vc.select("g", "v", cnt.cast("long").alias("cnt"),
+                     z.alias("z"),
+                     F.coalesce(F.abs(z) > F.lit(float(k)),
+                                F.lit(False)).alias("is_anomaly"))
+
+
+def z_outliers(df: DataFrame, group_col: str, value_col: str,
+               k: float = 3.0) -> DataFrame:
+    """Batch twin of the streaming metric monitor: which observed
+    integer values are outliers against their group's mean and
+    sample stddev — ``(g, v, cnt, z, is_anomaly)``, one row per
+    distinct (group, value), flagged at ``|z| > k``.  Builds the
+    exact ``(g, v, cnt)`` histogram a raw-row groupBy produces and
+    flows through the SAME :func:`z_outliers_from_value_counts`
+    tail as the streaming report, so batch and from-state are
+    bit-identical by construction.  ``value_col`` must be integral
+    (the exact-moments contract) — quantize to cents/ticks first;
+    :func:`rolling_anomalies` is the per-event windowed sibling,
+    this is the per-value population gate.
+
+    Scale shape: ONE (group, value) partial agg (map-side combine)
+    over the corpus; everything after is arithmetic on the bounded
+    histogram."""
+    from pyspark.sql import types as T
+    dt = df.schema[value_col].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+        raise TypeError(
+            f"z_outliers needs an integral value column (got "
+            f"{value_col}: {dt.simpleString()}) — quantize to "
+            "cents/ticks first, which is what makes the moments "
+            "exact")
+    vc = (df.groupBy(F.col(group_col).alias("g"),
+                     F.col(value_col).cast("long").alias("v"))
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    return z_outliers_from_value_counts(vc, k=k)

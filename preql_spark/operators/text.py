@@ -557,6 +557,27 @@ def redact_pii(col, kinds: list[str] | None = None) -> Column:
     return c
 
 
+def strip_repeated_units(col, sep: str = "\n") -> Column:
+    """Intra-document self-repetition removal (the Gopher/
+    MassiveText repetition rule at unit granularity): keep only the
+    FIRST occurrence of each distinct ``sep``-separated unit within
+    ONE document, preserving original order — boilerplate that
+    repeats inside a page (nav blocks, pagination footers, scraped
+    retry artifacts) collapses to a single copy.
+    :func:`preql_spark.operators.dedup.line_dedup` is the
+    CORPUS-WIDE sibling (first occurrence across documents — needs a
+    unit-keyed shuffle); this is the per-row rule.
+
+    Scale shape: ``array_distinct(split(...))`` — Spark's
+    array_distinct preserves first-occurrence order, so the whole
+    operator is one scan-local codegen expression: zero shuffles,
+    zero joins, the cheapest possible cleaning pass (the oracle
+    replays it as min-ordinal-per-unit, the order-explicit
+    spelling)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.array_join(F.array_distinct(F.split(c, sep)), sep)
+
+
 def strip_short_lines(col, min_tokens: int = 3) -> Column:
     """Drop boilerplate-ish lines (fewer than ``min_tokens`` tokens)
     from a document — the cheap rule-based cleaning pass (nav menus,

@@ -1030,6 +1030,30 @@ def incremental_quantile_ingest(
     frequency-weighted percentile.  The value domain must be
     discrete — quantize continuous metrics to ticks first (or use
     the t-digest ingest)."""
+    merged = _group_value_histogram_ingest(
+        spark, src_path, checkpoint, state_path, ids_path,
+        group_col, value_expr, id_col)
+    aggs = [F.sum("cnt").alias("n")]
+    for p in qs:
+        aggs.append(F.percentile("v", F.lit(float(p)), F.col("cnt"))
+                    .alias(f"p{int(round(p * 100)):02d}"))
+    return (merged.groupBy(F.col("g").alias(group_col)).agg(*aggs))
+
+
+def _group_value_histogram_ingest(
+        spark: SparkSession, src_path: str, checkpoint: str,
+        state_path: str, ids_path: str,
+        group_col: str, value_expr: str, id_col: str) -> DataFrame:
+    """Shared state machinery for the per-GROUP streaming monitors
+    (:func:`incremental_quantile_ingest`,
+    :func:`incremental_z_monitor_ingest` — the two can SHARE a
+    state): maintain the EXACT per-(group, value) integer histogram
+    — APPEND-ONLY per-batch rows ``(g, v, cnt, batch_id, run_id)``
+    guarded by the (run_id, batch_id) anti-join (the
+    :func:`_side_value_histogram_ingest` contract;
+    :func:`compact_ingest_state` kind ``"histogram"`` applies
+    unchanged); ids anti-join first and append LAST — and return
+    the merged ``(g, v, cnt)`` frame the reports read."""
     from preql_spark.parquet_io import hadoop_dir_has_files
 
     _guard_stranded(spark, state_path, ids_path)
@@ -1070,15 +1094,46 @@ def incremental_quantile_ingest(
          .start())
     q.awaitTermination()
 
-    merged = (_read_state(spark, state_path)
-              .drop("run_id", "batch_id")
-              .groupBy("g", "v").agg(F.sum("cnt").alias("cnt"))
-              .filter(F.col("cnt") > 0))   # drop per-run carrier rows
-    aggs = [F.sum("cnt").alias("n")]
-    for p in qs:
-        aggs.append(F.percentile("v", F.lit(float(p)), F.col("cnt"))
-                    .alias(f"p{int(round(p * 100)):02d}"))
-    return (merged.groupBy(F.col("g").alias(group_col)).agg(*aggs))
+    return (_read_state(spark, state_path)
+            .drop("run_id", "batch_id")
+            .groupBy("g", "v").agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") > 0))   # drop per-run carrier rows
+
+
+def incremental_z_monitor_ingest(
+        spark: SparkSession, src_path: str, checkpoint: str,
+        state_path: str, ids_path: str,
+        group_col: str = "source", value_expr: str = "length(text)",
+        id_col: str = "doc_id", k: float = 3.0) -> DataFrame:
+    """Streaming metric monitor from state — the two-moment sibling
+    of the drift-from-state family (PSI/KS/chi² watch distribution
+    SHAPE; this watches which observed VALUES are outliers): maintain
+    the exact per-(group, value) integer histogram
+    (:func:`_group_value_histogram_ingest` — the SAME state, sink,
+    guard, and compaction as :func:`incremental_quantile_ingest`;
+    the two monitors can share one state) and report each distinct
+    observed value's z-score against its group's mean/stddev computed
+    FROM THE STATE — ``(g, v, cnt, z, is_anomaly)``, flagging
+    ``|z| > k``.
+
+    Exactness: the state is lossless, and the report's moments are
+    exact int64 sums (n, Σv·cnt, Σv²·cnt) pushed through a FIXED
+    sequence of double ops (:func:`preql_spark.operators.events.
+    z_outliers_from_value_counts`) — so two-wave ingestion ==
+    one-shot == the batch :func:`preql_spark.operators.events.
+    z_outliers` over the raw corpus, bit-identically (both spell the
+    identical arithmetic; that identity is the oracle).  Contract:
+    discrete integer values (quantize first), and Σv² must fit int64
+    — |v| ≤ ~3e6 at a billion rows per group.
+
+    Scale shape per batch: one partial agg + the guard anti-join;
+    the report is arithmetic over state rows (groups × distinct
+    values), never the corpus."""
+    from preql_spark.operators.events import z_outliers_from_value_counts
+    merged = _group_value_histogram_ingest(
+        spark, src_path, checkpoint, state_path, ids_path,
+        group_col, value_expr, id_col)
+    return z_outliers_from_value_counts(merged, k=k)
 
 
 def _side_value_histogram_ingest(
@@ -1676,6 +1731,29 @@ def compact_ingest_ids(spark: SparkSession, ids_path: str) -> int:
     _guard_stranded(spark, ids_path)
     with _compaction_lock(spark, ids_path):
         ids = spark.read.parquet(ids_path).distinct()
+        return _checked_swap(spark, ids_path, ids)
+
+
+def prune_ingest_ids(spark: SparkSession, ids_path: str,
+                     keep_expr: str) -> int:
+    """Retention pruning for an ingest ids store — the mechanical
+    form of the documented retention contract (see
+    :func:`compact_ingest_ids`): rewrite the store keeping only rows
+    matching ``keep_expr`` (a SQL predicate over the store's own
+    columns, e.g. ``"doc_id >= 1000000"`` or a date horizon), via
+    the same checked backup-rename swap and cross-session lock as
+    the compactors.  Returns the kept (distinct) row count.
+
+    THE CONTRACT: pruning an id RE-OPENS its dedup window — a source
+    that later re-delivers a pruned id will be re-ingested as new
+    (pytest-pinned).  Only prune to a horizon the sources can no
+    longer replay.  RUN ONLY WHILE THE STREAM IS STOPPED — enforced
+    in-session and cross-session like the compactors."""
+    _require_no_active_streams(spark, "prune_ingest_ids")
+    _guard_stranded(spark, ids_path)
+    with _compaction_lock(spark, ids_path):
+        ids = (spark.read.parquet(ids_path)
+               .filter(F.expr(keep_expr)).distinct())
         return _checked_swap(spark, ids_path, ids)
 
 

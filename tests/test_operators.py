@@ -621,6 +621,50 @@ def test_dedup_keep_best(eng):
     assert c == [2, 11, 99]
 
 
+def test_strip_repeated_units(eng):
+    """Intra-doc self-repetition: repeated units collapse to the
+    FIRST occurrence with order preserved, distinct units all
+    survive, a custom separator works, and the lang scalar matches.
+    Corpus-wide line_dedup is the cross-doc sibling — here a unit
+    repeated across two docs survives in BOTH (per-row rule)."""
+    from preql_spark.operators.text import strip_repeated_units
+    spark = eng.spark
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb"), (2, "a\na")], "i: long, t: string")
+    got = {r.i: r.n for r in df.select(
+        "i", strip_repeated_units("t").alias("n")).collect()}
+    assert got == {1: "a\nb\nc", 2: "a"}   # 'a' kept in BOTH docs
+    # custom separator
+    one = spark.createDataFrame([("x y x z",)], "t: string")
+    assert one.select(strip_repeated_units("t", " ").alias("n")) \
+        .collect()[0].n == "x y z"
+    # lang scalar parity: doc text repeated twice collapses to one
+    l = eng.q('documents[doc_id < 3] {doc_id, n: '
+              'strip_repeated_units(text + "\\n" + text)} '
+              'order {doc_id}').collect()
+    a = eng.t.documents.df.filter(F.col("doc_id") < 3) \
+        .orderBy("doc_id").select("text").collect()
+    assert [r.n for r in l] == [r.text for r in a]
+
+
+def test_cluster_size_histogram(eng):
+    """Cluster sizes from a crafted pair graph: {1,2,3} and {10,11}
+    give one 3-cluster and one 2-cluster; an empty pair frame gives
+    an empty histogram; lang parity."""
+    from preql_spark.operators.dedup import cluster_size_histogram
+    spark = eng.spark
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a: long, id_b: long")
+    got = {r.cluster_size: r.n_clusters
+           for r in cluster_size_histogram(pairs).collect()}
+    assert got == {3: 1, 2: 1}
+    empty = pairs.filter(F.col("id_a") < 0)
+    assert cluster_size_histogram(empty).count() == 0
+    l = {r.cluster_size: r.n_clusters for r in eng.q(
+        'cluster_size_histogram(prs)', prs=pairs).collect()}
+    assert l == got
+
+
 def test_normalize_text(eng):
     """Each normalization stage fires and is independently
     switchable; the composed chain matches the documented value;

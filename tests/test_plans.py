@@ -542,6 +542,25 @@ def test_leakage_safe_split_label_is_scan_local(spark):
     assert "HashAggregate" not in plan.split("Join")[-1]
 
 
+def test_z_outliers_one_scan_histogram_bound(spark):
+    """z_outliers is one (group, value) partial agg over the corpus;
+    the moments ride unordered window sums over the bounded
+    histogram — the plan must read the corpus ONCE (no self-join,
+    no second scan), carry map-side partials, and hold no Python
+    node.  The only sort is the window's partition-clustering sort
+    of the tiny histogram, never the corpus."""
+    from preql_spark.operators.events import z_outliers
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .withColumn("vv", F.length("text"))
+    plan = plan_of(z_outliers(docs, "source", "vv", k=2.0))
+    # ONE scan node = two "Scan parquet" strings in formatted
+    # explain (tree line + detail header)
+    assert plan.count("Scan parquet") == 2   # corpus read once
+    assert "Join" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "partial" in plan.lower()   # map-side combine on the agg
+
+
 def test_winsorize_rows_never_shuffle(spark):
     """The percentile bounds broadcast back onto the rows: the row
     side must see no hash exchange and no sort-merge join."""

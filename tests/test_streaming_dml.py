@@ -1223,6 +1223,71 @@ def test_incremental_chi_square_ingest_equals_batch_and_shares_state(
     assert [tuple(r) for r in k] == [tuple(r) for r in kb]
 
 
+def test_incremental_z_monitor_state_identity(spark, eng, tmp_path):
+    """Two-wave z-monitor ingest == batch z_outliers over the full
+    corpus BIT-FOR-BIT (shared-tail identity, exact int64 moments);
+    the state is literally the quantile ingest's (same sink/guard) —
+    the quantile report over the same paths still equals batch
+    percentile afterwards; replay is a no-op; the lang builtin
+    matches the batch API."""
+    from preql_spark.operators.events import z_outliers
+    from preql_spark.streaming.stream import (
+        incremental_quantile_ingest, incremental_z_monitor_ingest)
+    src, st, ids, ck = (str(tmp_path / x)
+                        for x in ("src", "state", "ids", "ck"))
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    kw = dict(group_col="source", value_expr="length(text)", k=1.5)
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_z_monitor_ingest(spark, src, ck, st, ids, **kw)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_z_monitor_ingest(spark, src, ck, st, ids,
+                                       **kw).collect()
+    batch = z_outliers(d.withColumn("vv", F.length("text")),
+                       "source", "vv", k=1.5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, batch))
+    assert any(r.is_anomaly for r in out)      # k=1.5 actually fires
+    assert all(r.z is None for r in out if r.v is None)
+    # replay: nothing new, report unchanged
+    out2 = incremental_z_monitor_ingest(spark, src, ck, st, ids,
+                                        **kw).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+    # the quantile report reads the SAME state (no new data) and
+    # still equals batch percentile — the states really are shared
+    q = incremental_quantile_ingest(
+        spark, src, ck, st, ids, group_col="source",
+        value_expr="length(text)").collect()
+    qb = (d.groupBy("source")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.percentile(F.length("text").cast("long"),
+                            F.lit(0.5)).alias("p50"),
+               F.percentile(F.length("text").cast("long"),
+                            F.lit(0.9)).alias("p90")).collect())
+    assert sorted(map(tuple, q)) == sorted(map(tuple, qb))
+    # lang parity for the batch operator
+    lng = eng.q('z_outliers(zsrc, "source", "vv", k: 1.5)',
+                zsrc=d.withColumn("vv", F.length("text"))).collect()
+    assert sorted(map(tuple, lng)) == sorted(map(tuple, batch))
+
+
+def test_z_outliers_guards(spark, eng):
+    """The batch operator's contract edges: non-integral value
+    column raises, k <= 0 raises, zero-variance and singleton
+    groups score NULL z / false flag."""
+    from preql_spark.operators.events import z_outliers
+    with pytest.raises(TypeError, match="integral"):
+        z_outliers(eng.t.events.df, "event_type", "value")
+    with pytest.raises(ValueError, match="k must be"):
+        z_outliers(eng.t.events.df.select(
+            "event_type", F.lit(1).alias("v")), "event_type", "v",
+            k=0)
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("a", 5), ("b", 9)], "g: string, v: int")
+    got = {(r.g, r.v): (r.cnt, r.z, r.is_anomaly)
+           for r in z_outliers(df, "g", "v").collect()}
+    assert got[("a", 5)] == (3, None, False)   # zero variance
+    assert got[("b", 9)] == (1, None, False)   # singleton
+
+
 def test_incremental_ivf_ingest_completeness_and_pruning(
         spark, eng, tmp_path):
     """Streaming IVF index maintenance: two waves index every vector
@@ -1341,6 +1406,38 @@ def test_compact_partitioned_store_max_file_rows(spark, tmp_path):
     m = {r["__cid"]: (r.n, r.s) for r in got}
     assert m[0] == (400, sum(range(400)))
     assert m[1] == (50, sum(range(1000, 1050)))
+
+
+def test_prune_ingest_ids_reopens_window(spark, eng, tmp_path):
+    """Retention pruning contract, pinned: after pruning ids from
+    the store, a source that re-delivers those ids RE-INGESTS them
+    (their dedup window re-opened), while kept ids stay deduped; the
+    prune rewrites via the checked swap (distinct rows, count
+    returned)."""
+    from preql_spark.streaming.stream import (
+        incremental_z_monitor_ingest, prune_ingest_ids)
+    src, st, ids, ck = (str(tmp_path / x)
+                        for x in ("src", "state", "ids", "ck"))
+    d = eng.t.documents.df.select("doc_id", "source", "text") \
+        .filter(F.col("doc_id") < 100)
+    kw = dict(group_col="source", value_expr="length(text)", k=3.0)
+    d.write.mode("overwrite").parquet(src)
+    out = incremental_z_monitor_ingest(spark, src, ck, st, ids, **kw)
+    assert out.agg(F.sum("cnt")).collect()[0][0] == 100
+    # same docs re-delivered as new files: the ids store dedups all
+    d.write.mode("append").parquet(src)
+    out2 = incremental_z_monitor_ingest(spark, src, ck, st, ids, **kw)
+    assert out2.agg(F.sum("cnt")).collect()[0][0] == 100
+    # prune half the ids -> their window re-opens
+    assert prune_ingest_ids(spark, ids, "doc_id >= 50") == 50
+    d.write.mode("append").parquet(src)
+    out3 = incremental_z_monitor_ingest(spark, src, ck, st, ids, **kw)
+    assert out3.agg(F.sum("cnt")).collect()[0][0] == 150
+    # the re-ingested ids are back in the store: another replay of
+    # the SAME rows now dedups everything again
+    d.write.mode("append").parquet(src)
+    out4 = incremental_z_monitor_ingest(spark, src, ck, st, ids, **kw)
+    assert out4.agg(F.sum("cnt")).collect()[0][0] == 150
 
 
 def test_cross_session_compaction_lock(spark, eng, tmp_path):
