@@ -1076,6 +1076,73 @@ def q203_dedup_keep_best(spark, sf_dir) -> DataFrame:
         .select("doc_id"))
 
 
+def q209_curation_pipeline(spark, sf_dir) -> DataFrame:
+    """End-to-end curation capstone — the realistic "raw crawl →
+    training-ready shards + datacard" path, composing the r10/r11
+    operators in their production order and oracled END TO END:
+
+    1. raw crawl: TWO dirty URL variants per logical page (mixed-case
+       authority, :80, utm params, fragment vs an already-canonical
+       spelling) and per-doc text dirt (case flips / punctuation
+       noise keyed by doc_id % 3);
+    2. ``canonicalize_url`` + exact URL-dedup (min crawl-seq per
+       canonical URL) — 2N crawl rows collapse to N pages;
+    3. ``normalize_text`` — the dedup preprocessing contract: the
+       case/punct dirt must NOT perturb near-dup structure;
+    4. ``minhash_lsh_pairs`` (threshold 0.9) over the NORMALIZED
+       text → ``dedup_keep_best`` keeps the longest raw copy per
+       near-dup cluster;
+    5. ``leakage_safe_split`` 80/10/10 keyed by duplicate cluster —
+       whole clusters land on one side;
+    6. ``concentration`` datacard: per split, how concentrated the
+       kept char mass is across canonical HOSTS (n_keys, total,
+       HHI, top_share).
+
+    Any pair/cluster/keep/split/dedup error shifts the per-split
+    char masses, so the 3-row value hash grades the WHOLE pipeline.
+    The oracle replays every stage: the q204 RE2 canonicalization
+    chain, the q201 fold chain (composed from the engine's own
+    tables), q73's recursive-CTE clusters over brute-force exact
+    Jaccard, the q203 keep-best window, q200's md5-bucket split,
+    and the q208 sorted-fold HHI."""
+    from preql_spark.operators import dedup, text
+    d = _eng(spark, sf_dir).t.documents.df
+    doc = F.col("doc_id")
+    dirty = (F.when(doc % 3 == 0, F.upper("text"))
+             .when(doc % 3 == 1, F.concat(F.col("text"), F.lit(" !!")))
+             .otherwise(F.col("text")))
+    v1 = F.concat(F.lit("HTTP://H"), doc % 7,
+                  F.lit(".Example.COM:80/p/"), doc,
+                  F.lit("/?utm_source=x&ref="), doc, F.lit("#f"))
+    v2 = F.concat(F.lit("http://h"), doc % 7,
+                  F.lit(".example.com/p/"), doc,
+                  F.lit("?ref="), doc)
+    crawl = (d.select(doc, F.lit(1).alias("seq"), v1.alias("url"),
+                      dirty.alias("dirty"))
+             .unionByName(
+                 d.select(doc, F.lit(2).alias("seq"), v2.alias("url"),
+                          dirty.alias("dirty"))))
+    canon = crawl.withColumn("curl", text.canonicalize_url("url"))
+    w = Window.partitionBy("curl").orderBy("seq")
+    page = (canon.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("doc_id", "dirty",
+                    text.host_of("curl").alias("host"),
+                    text.normalize_text("dirty").alias("ntext")))
+    pairs = dedup.minhash_lsh_pairs(page, "doc_id", text_col="ntext",
+                                    threshold=0.9)
+    kept = dedup.dedup_keep_best(
+        page, pairs, "doc_id",
+        [F.length("dirty").desc(), F.col("doc_id")])
+    split = dedup.leakage_safe_split(
+        kept, pairs, {"train": 0.8, "valid": 0.1, "test": 0.1})
+    out = text.concentration(split, ["split"], "host",
+                             "length(dirty)")
+    return out.select("split", "n_keys", "total",
+                      _pr4(F.col("hhi")).alias("hhi"),
+                      _pr4(F.col("top_share")).alias("top_share"))
+
+
 def q74_split_by_hash(spark, sf_dir) -> DataFrame:
     """Deterministic group-aware train/valid/test split counts by
     source: the label is a pure function of the key hash, so the
@@ -1206,6 +1273,37 @@ def q201_normalize_text(spark, sf_dir) -> DataFrame:
                      F.col("text"))
     return d.df.select("doc_id",
                        text.normalize_text(dirty).alias("norm"))
+
+
+def q211_strip_repeated_units(spark, sf_dir) -> DataFrame:
+    """Intra-document self-repetition removal (the Gopher repetition
+    rule at line granularity): repeated units synthesized onto every
+    doc (text + its 30-char head twice + the full text again) must
+    collapse to the first occurrences in order — one scan-local
+    array_distinct expression, zero shuffles.  The oracle replays it
+    as min-ordinal-per-unit, the order-explicit spelling."""
+    from preql_spark.operators import text
+    d = _eng(spark, sf_dir).t.documents.df
+    head = F.substring(F.col("text"), 1, 30)
+    dirty = F.concat_ws("\n", F.col("text"), head, head, F.col("text"))
+    clean = text.strip_repeated_units(dirty)
+    return d.select("doc_id",
+                    F.size(F.split(dirty, "\n")).alias("n_units"),
+                    F.size(F.split(clean, "\n")).alias("n_kept"),
+                    clean.alias("clean"))
+
+
+def q212_cluster_size_histogram(spark, sf_dir) -> DataFrame:
+    """Dedup observability datacard: near-dup cluster-size
+    distribution over the MinHash pair graph at 0.9 — CC over the
+    pairs, one component-keyed count, one size-keyed count.  The
+    oracle recomputes q73's recursive-CTE clusters over brute exact
+    Jaccard and counts the same way."""
+    from preql_spark.operators import dedup
+    d = _eng(spark, sf_dir).t.documents
+    pairs = dedup.minhash_lsh_pairs(d.df, "doc_id", threshold=0.9)
+    return dedup.cluster_size_histogram(pairs) \
+        .select("cluster_size", "n_clusters")
 
 
 def q83_strip_short_lines(spark, sf_dir) -> DataFrame:
@@ -3072,6 +3170,33 @@ def q198_chi_square_ingest(spark, sf_dir) -> DataFrame:
         .select("n", "dof", "chi2", "cramers_v")
 
 
+def q210_z_monitor_ingest(spark, sf_dir) -> DataFrame:
+    """Streaming metric monitor from state — the two-moment sibling
+    of the drift-from-state family: two-wave maintenance of the
+    exact per-(group, value) histogram (the SAME sink/guard/state as
+    the quantile ingest), reported as each observed document
+    length's z-score against its source's mean/stddev computed FROM
+    THE STATE, |z| > 1.5 flagging.  Moments are exact int64 sums
+    pushed through a fixed double sequence and the report shares
+    the batch operator's tail, so two-wave == one-shot == batch
+    z_outliers over the raw corpus — the SQL the oracle runs
+    directly.  z rounds 4dp on both sides (the q02 convention; the
+    flag computes on the unrounded z)."""
+    from preql_spark.streaming.stream import incremental_z_monitor_ingest
+    eng = _eng(spark, sf_dir)
+    tmp = _scratch("q210_")
+    src, st, ids, ck = (os.path.join(tmp, x)
+                        for x in ("src", "st", "ids", "ck"))
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    kw = dict(group_col="source", value_expr="length(text)", k=1.5)
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_z_monitor_ingest(spark, src, ck, st, ids, **kw)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_z_monitor_ingest(spark, src, ck, st, ids, **kw)
+    return out.select("g", "v", "cnt", _pr4(F.col("z")).alias("z"),
+                      "is_anomaly")
+
+
 def q195_psi_ingest(spark, sf_dir) -> DataFrame:
     """Streaming drift capstone: two-wave maintenance of the exact
     per-(side, value) histogram state — the (run_id, batch_id)
@@ -3327,12 +3452,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q191_shortest_paths": q191_shortest_paths,
     "q192_conversion_drift": q192_conversion_drift,
     "q208_source_concentration": q208_source_concentration,
+    "q209_curation_pipeline": q209_curation_pipeline,
+    "q210_z_monitor_ingest": q210_z_monitor_ingest,
     "q156_budget_select": q156_budget_select,
     "q202_ivf_stream_index": q202_ivf_stream_index,
-    "q159_retrieve_refine_diversify": q159_retrieve_refine_diversify,
-    "q160_bpe_pair_counts": q160_bpe_pair_counts,
-    "q148_scrub_contaminated_spans": q148_scrub_contaminated_spans,
-    "q150_dsir_resample": q150_dsir_resample,
+    "q211_strip_repeated_units": q211_strip_repeated_units,
+    "q212_cluster_size_histogram": q212_cluster_size_histogram,
     "q205_k_anonymity": q205_k_anonymity,
     "q206_quantile_normalize": q206_quantile_normalize,
     "q136_transactions": q136_transactions,
@@ -3379,6 +3504,38 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       q175, q152, q126, q124, q134, q135, q61, q158
     #       (all r9-green; per-displacement family notes at the r10
     #       tail markers below, mirrored in COVERAGE.md).
+    #   r11: q209 (end-to-end curation capstone — canonicalize_url →
+    #       URL-exact dedup → normalize_text → MinHash pairs →
+    #       dedup_keep_best → leakage_safe_split → concentration
+    #       datacard, oracled end-to-end) and q210 (streaming
+    #       z-monitor from the shared per-group histogram state —
+    #       the two-moment sibling of the drift-from-state family)
+    #       enter the head, displacing q159 (ANN/search keeps q202's
+    #       streaming IVF search; the retrieve→refine→diversify
+    #       stages stay battery tri-scale + pytest) and q160 (text
+    #       keeps q95/q201 plus q209's normalize/concentration path;
+    #       the BPE loop stays battery tri-scale + pytest).  Every
+    #       r11-TOUCHED graded code path stays in-window for
+    #       external re-confirmation: q201 (widened accent fold),
+    #       q202 (ids sidecar + compaction lock), q204 (scheme-aware
+    #       port strip), q206 (non-null-only ranking).  Mid-round,
+    #       q211 (intra-doc self-repetition removal, scan-local
+    #       array_distinct) and q212 (near-dup cluster-size
+    #       histogram datacard) also enter, displacing q148 (span
+    #       decontamination — r10-green; dedup/span family keeps
+    #       q194 containment + q200/q203/q209, and the broadcast
+    #       LeftSemi scrub machinery stays battery tri-scale +
+    #       pytest) and q150 (DSIR resample — r10-green; sampling
+    #       keeps q156 budget-select plus q209's md5-split replay;
+    #       the hash-bucket resample rule stays battery tri-scale).
+    # displaced mid-r11 by the NEW graded q209 (see the r11 note):
+    "q159_retrieve_refine_diversify": q159_retrieve_refine_diversify,
+    # displaced mid-r11 by the NEW graded q210 (see the r11 note):
+    "q160_bpe_pair_counts": q160_bpe_pair_counts,
+    # displaced mid-r11 by the NEW graded q211 (see the r11 note):
+    "q148_scrub_contaminated_spans": q148_scrub_contaminated_spans,
+    # displaced mid-r11 by the NEW graded q212 (see the r11 note):
+    "q150_dsir_resample": q150_dsir_resample,
     "q161_ngram_diversity": q161_ngram_diversity,
     "q149_topk_per_group": q149_topk_per_group,
     "q129_four_way_chain": q129_four_way_chain,
@@ -4458,6 +4615,189 @@ ORACLES: dict[str, str] = {
                         AS rn
                FROM keyed)
         SELECT doc_id FROM rr WHERE rn = 1
+    """,
+    # min-ordinal-per-unit: the order-explicit spelling of Spark's
+    # (first-occurrence-preserving) array_distinct
+    "q211_strip_repeated_units": """
+        WITH d AS (SELECT doc_id,
+                          text || chr(10) || substr(text, 1, 30)
+                            || chr(10) || substr(text, 1, 30)
+                            || chr(10) || text AS s
+                   FROM documents),
+        u AS (SELECT doc_id,
+                     unnest(string_split(s, chr(10))) AS u,
+                     generate_subscripts(
+                       string_split(s, chr(10)), 1) AS i,
+                     len(string_split(s, chr(10))) AS n_units
+              FROM d),
+        f AS (SELECT doc_id, u, min(i) AS mi, min(n_units) AS n_units
+              FROM u GROUP BY doc_id, u)
+        SELECT doc_id,
+               CAST(min(n_units) AS INT) AS n_units,
+               CAST(count(*) AS INT) AS n_kept,
+               string_agg(u, chr(10) ORDER BY mi) AS clean
+        FROM f GROUP BY doc_id
+    """,
+    # q73's recursive-CTE clusters over brute exact Jaccard, counted
+    # per component then per size
+    "q212_cluster_size_histogram": r"""
+        WITH RECURSIVE
+        t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      array_to_string(list_slice(toks, i, i + 2), ' ') AS s
+               FROM t, UNNEST(range(1, greatest(len(toks) - 1, 2))) AS r(i)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        prs AS (SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id
+                WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.9),
+        sym AS (SELECT id_a AS a, id_b AS b FROM prs
+                UNION ALL SELECT id_b, id_a FROM prs),
+        reach(node, r) AS (SELECT a, b FROM sym
+                           UNION
+                           SELECT reach.node, sym.b
+                           FROM reach JOIN sym ON reach.r = sym.a),
+        comp AS (SELECT node, least(node, min(r)) AS component
+                 FROM reach GROUP BY node),
+        cs AS (SELECT component, count(*) AS cluster_size
+               FROM comp GROUP BY component)
+        SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        FROM cs GROUP BY cluster_size
+    """,
+    # the end-to-end curation replay: q204's RE2 canonicalization
+    # chain, min-seq URL dedup, the q201 fold chain (composed from
+    # the engine's fold tables), q73's recursive-CTE clusters over
+    # brute-force exact Jaccard on the NORMALIZED text, the q203
+    # keep-best window, q200's md5-bucket split, q208's sorted fold
+    "q209_curation_pipeline": rf"""
+        WITH RECURSIVE
+        raw AS (SELECT doc_id,
+                       CASE doc_id % 3
+                         WHEN 0 THEN upper(text)
+                         WHEN 1 THEN text || ' !!'
+                         ELSE text END AS dirty
+                FROM documents),
+        crawl AS (SELECT doc_id, 1 AS seq,
+                         'HTTP://H' || (doc_id % 7)
+                           || '.Example.COM:80/p/' || doc_id
+                           || '/?utm_source=x&ref=' || doc_id
+                           || '#f' AS url, dirty
+                  FROM raw
+                  UNION ALL
+                  SELECT doc_id, 2,
+                         'http://h' || (doc_id % 7)
+                           || '.example.com/p/' || doc_id
+                           || '?ref=' || doc_id, dirty
+                  FROM raw),
+        s1 AS (SELECT doc_id, seq, dirty,
+                      regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(regexp_replace(url,
+                          '#.*$', '', 'g'),
+                          '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid)=[^&#]*',
+                          '\1', 'g'),
+                        '\?&+', '?', 'g'), '&&+', '&', 'g'),
+                        '[?&]+$', '', 'g') AS c
+               FROM crawl),
+        s2 AS (SELECT doc_id, seq, dirty, c,
+                      regexp_replace(regexp_replace(
+                        lower(regexp_extract(c,
+                          '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+                        '^(http://[^:]*):80$', '\1', 'g'),
+                        '^(https://[^:]*):443$', '\1', 'g') AS a,
+                      regexp_extract(c,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)
+                        AS r
+               FROM s1),
+        canon AS (SELECT doc_id, seq, dirty,
+                         regexp_replace(
+                           CASE WHEN a = '' THEN c ELSE a || r END,
+                           '(/[^?]*?)/+(\?|$)', '\1\2', 'g') AS curl
+                  FROM s2),
+        page AS (SELECT doc_id, dirty, curl FROM (
+                   SELECT *, row_number() OVER (PARTITION BY curl
+                                                ORDER BY seq) AS rn
+                   FROM canon) WHERE rn = 1),
+        hosted AS (SELECT doc_id, dirty,
+                          lower(regexp_extract(curl,
+                            '^(?:[a-zA-Z][\w+.-]*:)?(?://)?([^/:?#]+)',
+                            1)) AS host,
+                          trim(regexp_replace(regexpreplace_FOLD,
+                               '\s+', ' ', 'g')) AS ntext
+                   FROM (SELECT doc_id, dirty, curl,
+                           regexp_replace(
+                             {_accent_fold_sql('lower(dirty)')},
+                             '[\p{{P}}]', ' ', 'g')
+                             AS regexpreplace_FOLD
+                         FROM page)),
+        t AS (SELECT doc_id,
+                     string_split_regex(trim(ntext), '\s+') AS toks
+              FROM hosted),
+        sh AS (SELECT DISTINCT doc_id,
+                      array_to_string(list_slice(toks, i, i + 2), ' ')
+                        AS s
+               FROM t, UNNEST(range(1, greatest(len(toks) - 1, 2)))
+                       AS r(i)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh
+                  GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         count(*) AS i
+                  FROM sh a JOIN sh b
+                    ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        prs AS (SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id
+                WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.9),
+        sym AS (SELECT id_a AS a, id_b AS b FROM prs
+                UNION ALL SELECT id_b, id_a FROM prs),
+        reach(node, r) AS (SELECT a, b FROM sym
+                           UNION
+                           SELECT reach.node, sym.b
+                           FROM reach JOIN sym ON reach.r = sym.a),
+        comp AS (SELECT node, least(node, min(r)) AS component
+                 FROM reach GROUP BY node),
+        keyed AS (SELECT h.doc_id, h.dirty, h.host,
+                         coalesce(c.component, h.doc_id) AS comp
+                  FROM hosted h
+                  LEFT JOIN comp c ON h.doc_id = c.node),
+        rr AS (SELECT *, row_number() OVER (
+                 PARTITION BY comp
+                 ORDER BY length(dirty) DESC, doc_id) AS rn
+               FROM keyed),
+        kept AS (SELECT doc_id, dirty, host, comp FROM rr
+                 WHERE rn = 1),
+        lbl AS (SELECT *,
+                       ('0x' || substr(md5(CAST(comp AS VARCHAR)),
+                                       1, 15))::BIGINT
+                         % 1000000 AS bucket
+                FROM kept),
+        sp AS (SELECT host, length(dirty) AS w0,
+                      CASE WHEN bucket < 800000 THEN 'train'
+                           WHEN bucket < 900000 THEN 'valid'
+                           ELSE 'test' END AS split
+               FROM lbl),
+        per AS (SELECT split, host, CAST(sum(w0) AS BIGINT) AS w
+                FROM sp GROUP BY split, host),
+        tot AS (SELECT split, CAST(sum(w) AS BIGINT) AS total
+                FROM per GROUP BY split),
+        g AS (SELECT p.split, CAST(count(*) AS BIGINT) AS n_keys,
+                     t2.total, CAST(max(w) AS BIGINT) AS top,
+                     list_reduce(
+                       list((CAST(w AS DOUBLE) / t2.total)
+                            * (CAST(w AS DOUBLE) / t2.total)
+                            ORDER BY p.host),
+                       (x, y) -> x + y) AS hhi
+              FROM per p JOIN tot t2 ON p.split = t2.split
+              GROUP BY p.split, t2.total)
+        SELECT split, n_keys, total,
+               floor(hhi * 10000 + 0.5) / 10000 AS hhi,
+               floor(CAST(top AS DOUBLE) / total * 10000 + 0.5)
+                 / 10000 AS top_share
+        FROM g
     """,
     # q73's recursive-CTE clusters + q74's md5 hash-split spelling:
     # the split key is the cluster canonical (min member id) when the
@@ -6704,6 +7044,37 @@ ORACLES: dict[str, str] = {
     # the q189 chi-square formula over the two sides the streaming
     # ingest maintains — the from-state report is bit-identical to
     # batch chi_square, which this SQL computes directly
+    # the z-monitor's batch identity run directly over the raw
+    # corpus: exact int64 moment sums through the identical fixed
+    # double sequence, z rounded 4dp, flag on the unrounded z
+    "q210_z_monitor_ingest": """
+        WITH e AS (SELECT source AS g,
+                          CAST(length(text) AS BIGINT) AS v
+                   FROM documents),
+        vc AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt
+               FROM e GROUP BY g, v),
+        m AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+                     CAST(sum(v * cnt) AS BIGINT) AS s,
+                     CAST(sum(v * v * cnt) AS BIGINT) AS ss
+              FROM vc GROUP BY g),
+        mm AS (SELECT g, CAST(s AS DOUBLE) / n AS mu,
+                      CASE WHEN n > 1 THEN
+                        sqrt(greatest(
+                          (CAST(ss AS DOUBLE)
+                           - CAST(s AS DOUBLE) * s / n) / (n - 1),
+                          0.0))
+                      END AS sd
+               FROM m)
+        SELECT vc.g, vc.v, vc.cnt,
+               CASE WHEN sd > 0 THEN
+                 floor((CAST(v AS DOUBLE) - mu) / sd * 10000 + 0.5)
+                   / 10000
+               END AS z,
+               coalesce(CASE WHEN sd > 0 THEN
+                          abs((CAST(v AS DOUBLE) - mu) / sd) > 1.5
+                        END, FALSE) AS is_anomaly
+        FROM vc JOIN mm ON vc.g = mm.g
+    """,
     "q198_chi_square_ingest": """
         WITH e AS (SELECT source AS a,
                           CAST(length(text) % 7 AS BIGINT) AS b

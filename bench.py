@@ -47,13 +47,14 @@ BENCH_QUERIES = [
     "q138_pq_adc_topk",      # product-quantization ADC top-k (8-byte codes)
     "q145_hybrid_search",    # RRF fusion of BM25 + cosine retrieval legs
     "q185_weighted_pagerank",# iterative Pregel loop (graph family)
+    "q209_curation_pipeline",# end-to-end curation capstone (6 stages)
 ]
 
 # iterative queries whose localCheckpoints materialize at construction
 # — timed construct+execute per run so the loop cost is measured (and
 # an in-loop driver-action regression is visible), not just the final
 # post-checkpoint stage
-CONSTRUCT_EACH_RUN = {"q185_weighted_pagerank"}
+CONSTRUCT_EACH_RUN = {"q185_weighted_pagerank", "q209_curation_pipeline"}
 
 
 def main():

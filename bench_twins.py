@@ -699,6 +699,51 @@ def q185_weighted_pagerank(spark, sf_dir):
                     (F.col("rank_units") / F.lit(units)).alias("pr"))
 
 
+def q209_curation_pipeline(spark, sf_dir):
+    """Wrapper-overhead twin of the end-to-end curation capstone:
+    the same operator chain (canonicalize → URL dedup → normalize →
+    MinHash pairs → keep-best → leakage split → concentration) on
+    raw-read frames — the operators ARE plain PySpark, so the twin
+    measures exactly the Engine/Table layer's overhead."""
+    from preql_spark.operators import dedup, text
+    d = _read(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    dirty = (F.when(doc % 3 == 0, F.upper("text"))
+             .when(doc % 3 == 1, F.concat(F.col("text"), F.lit(" !!")))
+             .otherwise(F.col("text")))
+    v1 = F.concat(F.lit("HTTP://H"), doc % 7,
+                  F.lit(".Example.COM:80/p/"), doc,
+                  F.lit("/?utm_source=x&ref="), doc, F.lit("#f"))
+    v2 = F.concat(F.lit("http://h"), doc % 7,
+                  F.lit(".example.com/p/"), doc,
+                  F.lit("?ref="), doc)
+    crawl = (d.select(doc, F.lit(1).alias("seq"), v1.alias("url"),
+                      dirty.alias("dirty"))
+             .unionByName(
+                 d.select(doc, F.lit(2).alias("seq"), v2.alias("url"),
+                          dirty.alias("dirty"))))
+    canon = crawl.withColumn("curl", text.canonicalize_url("url"))
+    w = Window.partitionBy("curl").orderBy("seq")
+    page = (canon.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("doc_id", "dirty",
+                    text.host_of("curl").alias("host"),
+                    text.normalize_text("dirty").alias("ntext")))
+    pairs = dedup.minhash_lsh_pairs(page, "doc_id", text_col="ntext",
+                                    threshold=0.9)
+    kept = dedup.dedup_keep_best(
+        page, pairs, "doc_id",
+        [F.length("dirty").desc(), F.col("doc_id")])
+    split = dedup.leakage_safe_split(
+        kept, pairs, {"train": 0.8, "valid": 0.1, "test": 0.1})
+    out = text.concentration(split, ["split"], "host",
+                             "length(dirty)")
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return out.select("split", "n_keys", "total",
+                      r4(F.col("hhi")).alias("hhi"),
+                      r4(F.col("top_share")).alias("top_share"))
+
+
 TWINS = {
     "q01_pricing_summary": q01_pricing_summary,
     "q04_revenue_by_nation": q04_revenue_by_nation,
@@ -725,4 +770,5 @@ TWINS = {
     "q138_pq_adc_topk": q138_pq_adc_topk,
     "q145_hybrid_search": q145_hybrid_search,
     "q185_weighted_pagerank": q185_weighted_pagerank,
+    "q209_curation_pipeline": q209_curation_pipeline,
 }
