@@ -665,6 +665,37 @@ def test_cluster_size_histogram(eng):
     assert l == got
 
 
+def test_scalar_cleaners_idempotent(eng):
+    """The per-row cleaning scalars are IDEMPOTENT — f(f(x)) == f(x)
+    over the whole corpus with synthesized dirt: canonical URLs
+    re-canonicalize to themselves, normalized text re-normalizes to
+    itself (the widened fold maps into fold-fixed characters), and a
+    repetition-stripped doc has nothing left to strip.  Idempotence
+    is what lets a pipeline re-run a cleaning stage on partially
+    clean data without changing results."""
+    from preql_spark.operators.text import (canonicalize_url,
+                                            normalize_text,
+                                            strip_repeated_units)
+    d = eng.t.documents.df
+    url = F.concat(F.lit("HTTPS://Ex.COM:443/p/"), F.col("doc_id"),
+                   F.lit("/?utm_a=1&ref="), F.col("doc_id"),
+                   F.lit("#f"))
+    txt = F.concat(F.lit(" Héllo—ÆØŁ straße "), F.col("text"))
+    rep = F.concat_ws("\n", F.col("text"),
+                      F.substring("text", 1, 20),
+                      F.substring("text", 1, 20))
+    checks = d.select(
+        (canonicalize_url(canonicalize_url(url))
+         == canonicalize_url(url)).alias("u"),
+        (normalize_text(normalize_text(txt))
+         == normalize_text(txt)).alias("t"),
+        (strip_repeated_units(strip_repeated_units(rep))
+         == strip_repeated_units(rep)).alias("r"))
+    agg = checks.agg(*[F.count(F.when(~F.col(c), 1)).alias(c)
+                       for c in ("u", "t", "r")]).collect()[0]
+    assert tuple(agg) == (0, 0, 0)
+
+
 def test_normalize_text(eng):
     """Each normalization stage fires and is independently
     switchable; the composed chain matches the documented value;
