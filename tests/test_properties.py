@@ -1000,3 +1000,142 @@ def test_ks_psi_from_value_counts_match_python_models(spark, data):
         tot += (p - q) * math.log(p / q)
     assert (psi_row.n_a, psi_row.n_b) == (na, nb)
     assert psi_row.psi == pytest.approx(tot, rel=1e-12, abs=1e-15)
+
+
+@settings(**SETTINGS)
+@given(data=st.data())
+def test_z_outliers_from_value_counts_matches_python(spark, data):
+    """z_outliers_from_value_counts == the documented fixed double
+    sequence over exact int sums, on random (g, v, cnt) histograms
+    with NULL values mixed in: NULLs score NULL and don't count,
+    zero-variance/singleton groups score NULL z / false flag, and
+    the flag fires exactly on |z| > k."""
+    from preql_spark.operators.events import z_outliers_from_value_counts
+    m = data.draw(st.integers(1, 10))
+    rows = []
+    for i in range(m):
+        g = data.draw(st.sampled_from(["a", "b"]))
+        v = data.draw(st.one_of(st.none(), st.integers(-50, 50)))
+        cnt = data.draw(st.integers(1, 9))
+        rows.append((g, v, cnt))
+    # unique (g, v) like a real histogram
+    seen, uniq = set(), []
+    for g, v, cnt in rows:
+        if (g, v) not in seen:
+            seen.add((g, v))
+            uniq.append((g, v, cnt))
+    k = data.draw(st.sampled_from([0.5, 1.0, 2.0]))
+    vc = spark.createDataFrame(uniq, "g: string, v: long, cnt: long")
+    got = {(r.g, r.v): (r.cnt, r.z, r.is_anomaly)
+           for r in z_outliers_from_value_counts(vc, k=k).collect()}
+
+    import math
+    moments = {}
+    for g, v, cnt in uniq:
+        if v is None:
+            continue
+        n, s, ss = moments.get(g, (0, 0, 0))
+        moments[g] = (n + cnt, s + v * cnt, ss + v * v * cnt)
+    for g, v, cnt in uniq:
+        n, s, ss = moments.get(g, (0, 0, 0))
+        sd = None
+        if n > 1:
+            var = max((float(ss) - float(s) * float(s) / float(n))
+                      / float(n - 1), 0.0)
+            sd = math.sqrt(var)
+        if v is None or not sd:
+            assert got[(g, v)] == (cnt, None, False)
+        else:
+            z = (float(v) - float(s) / float(n)) / sd
+            gz = got[(g, v)]
+            assert gz[0] == cnt
+            assert gz[1] == pytest.approx(z, rel=1e-12, abs=1e-15)
+            assert gz[2] == (abs(z) > k)
+
+
+@settings(**SETTINGS)
+@given(data=st.data())
+def test_strip_repeated_units_matches_python(eng, data):
+    """strip_repeated_units == dict.fromkeys order-preserving dedup
+    on random unit sequences (including all-same and all-distinct)."""
+    from preql_spark.operators.text import strip_repeated_units
+    units = data.draw(st.lists(
+        st.text(alphabet="abcx ", min_size=0, max_size=4),
+        min_size=1, max_size=10))
+    s = "\n".join(units)
+    got = eng.spark.createDataFrame([(s,)], "t: string").select(
+        strip_repeated_units("t").alias("n")).collect()[0].n
+    assert got == "\n".join(dict.fromkeys(units))
+
+
+@settings(**SETTINGS)
+@given(data=st.data())
+def test_concentration_matches_python_and_invariants(spark, data):
+    """concentration == the sorted-key HHI fold model on random
+    (g, key, w) rows, and the algebraic invariants hold: 1/n_keys <=
+    hhi <= top_share <= 1, total = sum of member weights."""
+    m = data.draw(st.integers(1, 12))
+    rows = [(data.draw(st.sampled_from(["g1", "g2"])),
+             data.draw(st.sampled_from(["k1", "k2", "k3", "k4"])),
+             data.draw(st.integers(1, 50))) for _ in range(m)]
+    from preql_spark.operators.text import concentration
+    df = spark.createDataFrame(rows, "g: string, k: string, w: long")
+    got = {r.g: r for r in
+           concentration(df, ["g"], "k", "w").collect()}
+    agg: dict = {}
+    for g, k, w in rows:
+        agg.setdefault(g, {}).setdefault(k, 0)
+        agg[g][k] += w
+    for g, members in agg.items():
+        total = sum(members.values())
+        hhi = 0.0
+        for k in sorted(members):          # the fixed fold order
+            sh = members[k] / total
+            hhi += sh * sh
+        r = got[g]
+        assert (r.n_keys, r.total) == (len(members), total)
+        assert r.hhi == pytest.approx(hhi, rel=1e-12)
+        assert r.top_share == pytest.approx(
+            max(members.values()) / total, rel=1e-12)
+        assert 1 / len(members) - 1e-12 <= r.hhi \
+            <= r.top_share + 1e-12 <= 1 + 1e-12
+
+
+@settings(**SETTINGS)
+@given(data=st.data())
+def test_cluster_size_histogram_matches_union_find(spark, data):
+    """cluster_size_histogram == a union-find model on random pair
+    graphs (duplicates and self-pairs included), and
+    sum(size * n_clusters) == the number of distinct nodes."""
+    from preql_spark.operators.dedup import cluster_size_histogram
+    n = data.draw(st.integers(2, 10))
+    pairs = data.draw(st.lists(
+        st.tuples(st.integers(0, n), st.integers(0, n)),
+        min_size=1, max_size=12))
+    df = spark.createDataFrame(pairs, "id_a: long, id_b: long")
+    got = {r.cluster_size: r.n_clusters
+           for r in cluster_size_histogram(df).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes: dict = {}
+    for x in parent:
+        r = find(x)
+        sizes[r] = sizes.get(r, 0) + 1
+    want: dict = {}
+    for sz in sizes.values():
+        want[sz] = want.get(sz, 0) + 1
+    assert got == want
+    nodes = {x for p in pairs for x in p}
+    assert sum(sz * cnt for sz, cnt in got.items()) == len(nodes)
