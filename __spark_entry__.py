@@ -3197,6 +3197,33 @@ def q210_z_monitor_ingest(spark, sf_dir) -> DataFrame:
                       "is_anomaly")
 
 
+def q213_datacard_ingest(spark, sf_dir) -> DataFrame:
+    """Streaming corpus data card: two availableNow waves maintain a
+    per-(epoch, group) counters state plus an exact (group,
+    fingerprint) inventory, and the report rebuilds EVERY CUBE cell
+    (per source, per lang, source×lang, global) from the states —
+    docs / tokens / bytes / distinct fingerprints / dup_ratio.  The
+    additive metrics cube over counter sums; n_distinct cubes over
+    the inventory (a fingerprint spanning two sources counts once at
+    rolled-up cells — only an inventory can express that).  Two-wave
+    == one-shot == batch corpus_datacard over the full corpus, cell
+    for cell, which is the SQL the oracle runs (q121's spelling).
+    dup_ratio rounds 4dp on both sides."""
+    from preql_spark.streaming.stream import incremental_datacard_ingest
+    eng = _eng(spark, sf_dir)
+    tmp = _scratch("q213_")
+    src, st, prs, ids, ck = (os.path.join(tmp, x)
+                             for x in ("src", "st", "prs", "ids", "ck"))
+    d = eng.t.documents.df.select("doc_id", "source", "lang", "text")
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_datacard_ingest(spark, src, ck, st, prs, ids)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_datacard_ingest(spark, src, ck, st, prs, ids)
+    return out.select("source", "lang", "n_docs", "total_tokens",
+                      "total_bytes", "n_distinct",
+                      _pr4(F.col("dup_ratio")).alias("dup_ratio"))
+
+
 def q195_psi_ingest(spark, sf_dir) -> DataFrame:
     """Streaming drift capstone: two-wave maintenance of the exact
     per-(side, value) histogram state — the (run_id, batch_id)
@@ -3460,7 +3487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q212_cluster_size_histogram": q212_cluster_size_histogram,
     "q205_k_anonymity": q205_k_anonymity,
     "q206_quantile_normalize": q206_quantile_normalize,
-    "q136_transactions": q136_transactions,
+    "q213_datacard_ingest": q213_datacard_ingest,
     "q204_canonicalize_url": q204_canonicalize_url,
     "q125_lang_in_table": q125_lang_in_table,
     "q203_dedup_keep_best": q203_dedup_keep_best,
@@ -3528,6 +3555,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       pytest) and q150 (DSIR resample — r10-green; sampling
     #       keeps q156 budget-select plus q209's md5-split replay;
     #       the hash-bucket resample rule stays battery tri-scale).
+    #       Late addition: q213 (streaming corpus data
+    #       card: counters state + fingerprint inventory, report
+    #       rebuilds every CUBE cell from state == batch
+    #       corpus_datacard) enters, displacing q136 (transactions —
+    #       r10-green; DML keeps q60's full lifecycle in-window, the
+    #       transaction machinery stays battery tri-scale + pytest).
     # displaced mid-r11 by the NEW graded q209 (see the r11 note):
     "q159_retrieve_refine_diversify": q159_retrieve_refine_diversify,
     # displaced mid-r11 by the NEW graded q210 (see the r11 note):
@@ -3536,6 +3569,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q148_scrub_contaminated_spans": q148_scrub_contaminated_spans,
     # displaced mid-r11 by the NEW graded q212 (see the r11 note):
     "q150_dsir_resample": q150_dsir_resample,
+    # displaced mid-r11 by the NEW graded q213 (see the r11 note):
+    "q136_transactions": q136_transactions,
     "q161_ngram_diversity": q161_ngram_diversity,
     "q149_topk_per_group": q149_topk_per_group,
     "q129_four_way_chain": q129_four_way_chain,
@@ -7044,6 +7079,22 @@ ORACLES: dict[str, str] = {
     # the q189 chi-square formula over the two sides the streaming
     # ingest maintains — the from-state report is bit-identical to
     # batch chi_square, which this SQL computes directly
+    # the streaming data card's batch identity: q121's cube spelling
+    # run directly over the raw corpus
+    "q213_datacard_ingest": r"""
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                    AS BIGINT) AS total_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+               count(DISTINCT fp) AS n_distinct,
+               floor((1 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS dup_ratio
+        FROM (SELECT source, lang, text,
+                     ('0x' || substr(md5(regexp_replace(lower(trim(text)),
+                          '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp
+              FROM documents)
+        GROUP BY CUBE (source, lang)
+    """,
     # the z-monitor's batch identity run directly over the raw
     # corpus: exact int64 moment sums through the identical fixed
     # double sequence, z rounded 4dp, flag on the unrounded z

@@ -1287,6 +1287,113 @@ def incremental_chi_square_ingest(
     return chi_square_from_value_counts(vc, side_a, side_b)
 
 
+def incremental_datacard_ingest(
+        spark: SparkSession, src_path: str, checkpoint: str,
+        state_path: str, pairs_path: str, ids_path: str,
+        group_cols: tuple = ("source", "lang"),
+        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Streaming maintenance of the corpus DATA CARD — the report a
+    pipeline publishes next to every corpus snapshot (docs / tokens /
+    bytes / exact-dup ratio for every CUBE cell of the grouping
+    dims), kept current incrementally so "what does the corpus look
+    like right now?" never costs a corpus scan.  Two states, ONE
+    batch scan per epoch:
+
+    - counters state (``state_path``): per-(epoch, group) rows
+      ``(*group_cols, n_docs, total_tokens, total_bytes, batch_id,
+      run_id)`` — APPEND-ONLY with the (run_id, batch_id) epoch
+      guard (counter sums are not re-apply-idempotent; the quantile
+      ingest's contract).  Bounded by waves × groups.
+    - fingerprint inventory (``pairs_path``): ``(*group_cols, fp)``
+      rows, one per distinct (group, fingerprint) — the
+      :func:`incremental_distinct_ingest` contract (anti-join
+      against itself, inherently replay-idempotent).  Bounded by the
+      true distinct cardinality — exactly what ``n_distinct``
+      reports.
+
+    The report rebuilds every CUBE cell FROM THE STATES: additive
+    metrics cube over the counter sums; ``n_distinct`` cubes over
+    the inventory (a fingerprint spanning two sources counts ONCE at
+    the rolled-up cell, which a sum of finer cells cannot express —
+    the inventory can).  Two-wave ingestion == one-shot == batch
+    :func:`preql_spark.operators.text.corpus_datacard` over the full
+    corpus, cell for cell — that identity is the oracle.
+
+    Crash windows: ids anti-join first, appends ordered counters →
+    inventory → ids; a replay re-delivers the batch, the epoch guard
+    drops the counter rows, the inventory anti-join drops its rows,
+    and only the ids append completes.  Scale shape per batch: ONE
+    scan of the batch (persisted across the three consumers), one
+    tiny grouped agg, one inventory anti-join keyed on (group, fp)
+    — the corpus is never re-read."""
+    from preql_spark.operators.text import fingerprint64, token_count
+    from preql_spark.parquet_io import hadoop_dir_has_files
+
+    gc = list(group_cols)
+    _guard_stranded(spark, state_path, pairs_path, ids_path)
+    schema = spark.read.parquet(src_path).schema  # footer-only peek
+    run_id = _ingest_run_id(spark, checkpoint)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        if hadoop_dir_has_files(s, ids_path):
+            seen = (s.read.parquet(ids_path)
+                    .select(F.col(id_col).alias("__seen")).distinct())
+            batch = batch.join(
+                seen, batch[id_col] == seen["__seen"], "left_anti")
+        batch = batch.persist()
+        rows = (batch.groupBy(*[F.col(c) for c in gc])
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(token_count(F.col(text_col)))
+                     .alias("total_tokens"),
+                     F.sum(F.length(text_col)).alias("total_bytes"))
+                .withColumn("batch_id",
+                            F.lit(int(batch_id)).cast("long"))
+                .withColumn("run_id", F.lit(run_id)))
+        if hadoop_dir_has_files(s, state_path):
+            st = _read_state(s, state_path, schema=rows.schema)
+            rows = rows.join(
+                st.select("run_id", "batch_id").distinct(),
+                ["run_id", "batch_id"], "left_anti")
+        rows.coalesce(1).write.mode("append").parquet(state_path)
+        prs = (batch.select(*gc, fingerprint64(F.col(text_col))
+                            .alias("fp"))
+               .filter(F.col("fp").isNotNull()).distinct())
+        if hadoop_dir_has_files(s, pairs_path):
+            prs = prs.join(s.read.parquet(pairs_path),
+                           gc + ["fp"], "left_anti")
+        prs.write.mode("append").parquet(pairs_path)
+        batch.select(id_col).write.mode("append").parquet(ids_path)
+        batch.unpersist(blocking=False)
+
+    q = (spark.readStream.schema(schema).parquet(src_path)
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    st = _read_state(spark, state_path).drop("run_id", "batch_id")
+    c1 = (st.cube(*[F.col(c) for c in gc])
+          .agg(F.sum("n_docs").alias("n_docs"),
+               F.sum("total_tokens").alias("total_tokens"),
+               F.sum("total_bytes").alias("total_bytes")))
+    c2 = (spark.read.parquet(pairs_path)
+          .cube(*[F.col(c) for c in gc])
+          .agg(F.count_distinct("fp").alias("n_distinct")))
+    cond = None
+    for g in gc:
+        e = c1[g].eqNullSafe(c2[g])
+        cond = e if cond is None else cond & e
+    nd = F.coalesce(F.col("n_distinct"), F.lit(0).cast("long"))
+    return (c1.join(c2, cond, "left")
+            .select(*[c1[g] for g in gc], "n_docs", "total_tokens",
+                    "total_bytes", nd.alias("n_distinct"))
+            .withColumn("dup_ratio",
+                        (1 - F.col("n_distinct")
+                         / F.col("n_docs").cast("double"))))
+
+
 def incremental_distinct_ingest(
         spark: SparkSession, src_path: str, checkpoint: str,
         state_path: str, ids_path: str,

@@ -1223,6 +1223,42 @@ def test_incremental_chi_square_ingest_equals_batch_and_shares_state(
     assert [tuple(r) for r in k] == [tuple(r) for r in kb]
 
 
+def test_incremental_datacard_state_identity(spark, eng, tmp_path):
+    """Two-wave streaming data card == batch corpus_datacard over
+    the full corpus, CUBE cell for cell (additive metrics from the
+    counters state, n_distinct from the fingerprint inventory —
+    incl. rolled-up cells where a fingerprint spanning two sources
+    must count ONCE); replay is a no-op; the inventory is bounded by
+    the true distinct cardinality."""
+    from preql_spark.operators.text import corpus_datacard
+    from preql_spark.streaming.stream import incremental_datacard_ingest
+    src, st, prs, ids, ck = (str(tmp_path / x)
+                             for x in ("src", "st", "prs", "ids", "ck"))
+    d = eng.t.documents.df.select("doc_id", "source", "lang", "text")
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_datacard_ingest(spark, src, ck, st, prs, ids)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_datacard_ingest(spark, src, ck, st, prs, ids)
+    key = lambda r: (r["source"] or "", r["lang"] or "")  # noqa: E731
+    got = {key(r): (r["n_docs"], r["total_tokens"], r["total_bytes"],
+                    r["n_distinct"], round(r["dup_ratio"], 9))
+           for r in out.collect()}
+    want = {key(r): (r["n_docs"], r["total_tokens"], r["total_bytes"],
+                     r["n_distinct"], round(r["dup_ratio"], 9))
+            for r in corpus_datacard(d).collect()}
+    assert got == want
+    assert ("", "") in got          # the global rollup cell exists
+    # replay: nothing new, report unchanged
+    out2 = incremental_datacard_ingest(spark, src, ck, st, prs, ids)
+    got2 = {key(r): (r["n_docs"], r["total_tokens"], r["total_bytes"],
+                     r["n_distinct"], round(r["dup_ratio"], 9))
+            for r in out2.collect()}
+    assert got2 == got
+    # inventory bound: one row per distinct (source, lang, fp)
+    inv = spark.read.parquet(prs)
+    assert inv.count() == inv.distinct().count()
+
+
 def test_incremental_z_monitor_state_identity(spark, eng, tmp_path):
     """Two-wave z-monitor ingest == batch z_outliers over the full
     corpus BIT-FOR-BIT (shared-tail identity, exact int64 moments);
