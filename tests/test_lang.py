@@ -1979,6 +1979,52 @@ def test_pipeline_builtins_table_funcs(eng):
     assert lang_split == api_split
 
 
+def test_lang_curation_capstone_parity(eng):
+    """The whole r11 curation capstone composes in ONE lang
+    expression — per-row scalars (canonicalize_url → host_of,
+    normalize_text) inside a projection feeding the pipeline
+    builtins (minhash_pairs → dedup_keep_best → leakage_safe_split
+    → concentration) — and equals the Python API composition
+    value-for-value.  This is the proof the r11 pieces compose in
+    the query LANGUAGE, not just the Python API."""
+    from preql_spark.operators import dedup
+    from preql_spark.operators import text as t
+    page_l = ('documents{doc_id, '
+              'host: host_of(canonicalize_url('
+              '"HTTPS://" + source + ".Ex.COM:443/p/")), '
+              'ntext: normalize_text(text), ln: n_chars}')
+    pairs_l = ('minhash_pairs(' + page_l +
+               ', "doc_id", text_col: "ntext", threshold: 0.9)')
+    q = ('concentration(leakage_safe_split(dedup_keep_best('
+         + page_l + ', ' + pairs_l + ', "doc_id", "^ln", "doc_id"), '
+         + pairs_l + ', dict(train: 0.8, valid: 0.1, test: 0.1)), '
+         '"split", "host", weight: "ln")')
+    lang = {r.split: (r.n_keys, r.total, round(r.hhi, 9),
+                      round(r.top_share, 9))
+            for r in eng.q(q).collect()}
+
+    d = eng.t.documents.df
+    url = F.concat(F.lit("HTTPS://"), F.col("source"),
+                   F.lit(".Ex.COM:443/p/"))
+    page = d.select("doc_id",
+                    t.host_of(t.canonicalize_url(url)).alias("host"),
+                    t.normalize_text("text").alias("ntext"),
+                    F.col("n_chars").alias("ln"))
+    prs = dedup.minhash_lsh_pairs(page, "doc_id", text_col="ntext",
+                                  threshold=0.9)
+    api_df = t.concentration(
+        dedup.leakage_safe_split(
+            dedup.dedup_keep_best(
+                page, prs, "doc_id",
+                [F.col("ln").desc(), F.col("doc_id")]),
+            prs, {"train": 0.8, "valid": 0.1, "test": 0.1}),
+        ["split"], "host", "ln")
+    api = {r.split: (r.n_keys, r.total, round(r.hhi, 9),
+                     round(r.top_share, 9))
+           for r in api_df.collect()}
+    assert lang == api and set(lang) <= {"train", "valid", "test"}
+
+
 def test_pipeline_builtins_scalars(eng):
     """Per-row text kernels as lang scalar functions."""
     rows = eng.q('documents{doc_id, n: token_count(text),'
