@@ -1373,7 +1373,11 @@ def incremental_datacard_ingest(
          .start())
     q.awaitTermination()
 
-    st = _read_state(spark, state_path).drop("run_id", "batch_id")
+    st = (_read_state(spark, state_path).drop("run_id", "batch_id")
+          # drop per-run lineage carrier rows (NULL metrics) that
+          # compaction leaves for the epoch guard — they must not
+          # become NULL-group cube cells
+          .filter(F.col("n_docs").isNotNull()))
     c1 = (st.cube(*[F.col(c) for c in gc])
           .agg(F.sum("n_docs").alias("n_docs"),
                F.sum("total_tokens").alias("total_tokens"),
@@ -1839,6 +1843,53 @@ def compact_ingest_ids(spark: SparkSession, ids_path: str) -> int:
     with _compaction_lock(spark, ids_path):
         ids = spark.read.parquet(ids_path).distinct()
         return _checked_swap(spark, ids_path, ids)
+
+
+def compact_datacard_state(spark: SparkSession, state_path: str,
+                           group_cols: tuple = ("source", "lang")
+                           ) -> int:
+    """Offline compaction for the data-card COUNTERS state
+    (:func:`incremental_datacard_ingest`): fold all wave rows into
+    one summed wave per group, keeping the max committed (run_id,
+    batch_id) plus a zero-metric carrier row per other run (the
+    :func:`compact_ingest_state` lineage rule — the epoch guard must
+    still see every run's high-water mark), and swap via the checked
+    backup-rename dance.  Counter sums are exactly mergeable, so the
+    report is unchanged by construction (pytest-pinned).  The
+    fingerprint INVENTORY side needs no dedicated compactor —
+    :func:`compact_ingest_ids` already rewrites any append-only
+    store as one distinct file, and the inventory is distinct by
+    contract.  RUN ONLY WHILE THE STREAM IS STOPPED — enforced
+    in-session and cross-session like the other compactors."""
+    gc = list(group_cols)
+    _require_no_active_streams(spark, "compact_datacard_state")
+    _guard_stranded(spark, state_path)
+    with _compaction_lock(spark, state_path):
+        st = _read_state(spark, state_path)
+        tops = {r["run_id"]: int(r["mb"]) for r in
+                st.groupBy("run_id")
+                  .agg(F.max("batch_id").alias("mb")).collect()}
+        top_run = max(tops, key=lambda k: (tops[k], k))
+        out = (st.filter(F.col("n_docs").isNotNull())
+               .groupBy(*[F.col(c) for c in gc])
+               .agg(F.sum("n_docs").alias("n_docs"),
+                    F.sum("total_tokens").alias("total_tokens"),
+                    F.sum("total_bytes").alias("total_bytes"))
+               .withColumn("batch_id",
+                           F.lit(tops[top_run]).cast("long"))
+               .withColumn("run_id", F.lit(top_run)))
+        others = [(r, tops[r]) for r in sorted(tops) if r != top_run]
+        if others:
+            gt = {f.name: f.dataType.simpleString()
+                  for f in st.schema.fields}
+            schema = (", ".join(f"{c} {gt[c]}" for c in gc)
+                      + ", n_docs bigint, total_tokens bigint,"
+                        " total_bytes bigint, batch_id bigint,"
+                        " run_id string")
+            out = out.unionByName(spark.createDataFrame(
+                [tuple([None] * len(gc)) + (None, None, None, b, r)
+                 for r, b in others], schema=schema))
+        return _checked_swap(spark, state_path, out)
 
 
 def prune_ingest_ids(spark: SparkSession, ids_path: str,

@@ -1259,6 +1259,44 @@ def test_incremental_datacard_state_identity(spark, eng, tmp_path):
     assert inv.count() == inv.distinct().count()
 
 
+def test_compact_datacard_state_preserves_report(spark, eng, tmp_path):
+    """Compacting the data-card counters state (summed fold + the
+    lineage carrier rule) and distinct-collapsing the inventory and
+    ids stores leaves the next report identical to batch
+    corpus_datacard; the post-compaction replay ingests nothing; the
+    state shrinks to one row per group."""
+    from preql_spark.operators.text import corpus_datacard
+    from preql_spark.streaming.stream import (
+        compact_datacard_state, compact_ingest_ids,
+        incremental_datacard_ingest)
+    src, st, prs, ids, ck = (str(tmp_path / x)
+                             for x in ("src", "st", "prs", "ids", "ck"))
+    d = eng.t.documents.df.select("doc_id", "source", "lang", "text")
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_datacard_ingest(spark, src, ck, st, prs, ids)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    incremental_datacard_ingest(spark, src, ck, st, prs, ids)
+    rows_before = spark.read.parquet(st).count()
+    n = compact_datacard_state(spark, st)
+    compact_ingest_ids(spark, prs)
+    compact_ingest_ids(spark, ids)
+    assert n < rows_before          # two waves folded into one
+    # report after compaction (replay wave: nothing new) == batch
+    out = incremental_datacard_ingest(spark, src, ck, st, prs, ids)
+    key = lambda r: (r["source"] or "", r["lang"] or "")  # noqa: E731
+    got = {key(r): (r["n_docs"], r["total_tokens"], r["total_bytes"],
+                    r["n_distinct"], round(r["dup_ratio"], 9))
+           for r in out.collect()}
+    want = {key(r): (r["n_docs"], r["total_tokens"], r["total_bytes"],
+                     r["n_distinct"], round(r["dup_ratio"], 9))
+            for r in corpus_datacard(d).collect()}
+    assert got == want
+    # one summed row per (source, lang), single lineage, no carriers
+    stt = spark.read.parquet(st)
+    assert stt.count() == d.select("source", "lang").distinct().count()
+    assert stt.select("run_id").distinct().count() == 1
+
+
 def test_incremental_z_monitor_state_identity(spark, eng, tmp_path):
     """Two-wave z-monitor ingest == batch z_outliers over the full
     corpus BIT-FOR-BIT (shared-tail identity, exact int64 moments);
