@@ -731,11 +731,14 @@ def q209_curation_pipeline(spark, sf_dir):
                     text.normalize_text("dirty").alias("ntext")))
     pairs = dedup.minhash_lsh_pairs(page, "doc_id", text_col="ntext",
                                     threshold=0.9)
+    comp = dedup.connected_components(pairs)
     kept = dedup.dedup_keep_best(
         page, pairs, "doc_id",
-        [F.length("dirty").desc(), F.col("doc_id")])
+        [F.length("dirty").desc(), F.col("doc_id")],
+        components=comp)
     split = dedup.leakage_safe_split(
-        kept, pairs, {"train": 0.8, "valid": 0.1, "test": 0.1})
+        kept, pairs, {"train": 0.8, "valid": 0.1, "test": 0.1},
+        components=comp)
     out = text.concentration(split, ["split"], "host",
                              "length(dirty)")
     r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731

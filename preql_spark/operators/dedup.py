@@ -321,7 +321,8 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
 
 def dedup_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
                     order_by: list, id_a: str = "id_a",
-                    id_b: str = "id_b") -> DataFrame:
+                    id_b: str = "id_b",
+                    components: DataFrame | None = None) -> DataFrame:
     """Quality-aware canonical selection: keep ONE row per duplicate
     cluster, chosen by an explicit ordering instead of
     :func:`dedup_keep_canonical`'s min-id rule — the production
@@ -340,8 +341,13 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
     mega-cluster is a data smell the hot-bucket caps upstream
     already surface).  ``id_a``/``id_b`` name the pair columns
     (forwarded to :func:`connected_components`, matching
-    :func:`leakage_safe_split`)."""
-    comp = connected_components(pairs, id_a, id_b)
+    :func:`leakage_safe_split`).  Pass ``components`` (a
+    pre-computed :func:`connected_components` frame, which is
+    checkpoint-materialized) when several stages share one pair
+    graph — e.g. keep-best THEN a leakage-safe split — so the CC
+    loop runs ONCE per pipeline instead of once per stage."""
+    comp = (components if components is not None
+            else connected_components(pairs, id_a, id_b))
     tagged = df.join(
         comp.select(F.col("node").alias(id_col),
                     F.col("component").alias("__comp")),
@@ -356,8 +362,8 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
 
 def leakage_safe_split(df: DataFrame, pairs: DataFrame, splits: dict,
                        id_col: str = "doc_id", label: str = "split",
-                       id_a: str = "id_a",
-                       id_b: str = "id_b") -> DataFrame:
+                       id_a: str = "id_a", id_b: str = "id_b",
+                       components: DataFrame | None = None) -> DataFrame:
     """Near-duplicate-aware train/validation/test split — the
     composition every pretraining pipeline needs but usually
     hand-rolls: a plain per-document hash split leaks whenever two
@@ -378,8 +384,10 @@ def leakage_safe_split(df: DataFrame, pairs: DataFrame, splits: dict,
     the already-audited CC loop), ONE node-keyed left join back onto
     the corpus, and a scan-local hash label — no new shuffle class
     beyond the audited pieces.  Returns ``df`` plus the ``label``
-    column."""
-    comp = connected_components(pairs, id_a, id_b)
+    column.  Pass ``components`` to reuse one pre-computed CC frame
+    across pipeline stages (see :func:`dedup_keep_best`)."""
+    comp = (components if components is not None
+            else connected_components(pairs, id_a, id_b))
     k = df.join(
         comp.select(F.col("node").alias(id_col),
                     F.col("component").alias("__comp")),

@@ -619,6 +619,22 @@ def test_dedup_keep_best(eng):
         docs, p2, "doc_id", [F.col("score").desc(), F.col("doc_id")],
         id_a="l", id_b="r").collect())
     assert c == [2, 11, 99]
+    # a pre-computed components frame (shared across pipeline
+    # stages) routes through identically
+    from preql_spark.operators.dedup import (connected_components,
+                                             leakage_safe_split)
+    comp = connected_components(pairs)
+    c3 = sorted(r.doc_id for r in dedup_keep_best(
+        docs, pairs, "doc_id", [F.col("score").desc(),
+                                F.col("doc_id")],
+        components=comp).collect())
+    assert c3 == [2, 11, 99]
+    s1 = {(r.doc_id, r.split) for r in leakage_safe_split(
+        docs, pairs, {"train": 0.5, "test": 0.5},
+        components=comp).collect()}
+    s2 = {(r.doc_id, r.split) for r in leakage_safe_split(
+        docs, pairs, {"train": 0.5, "test": 0.5}).collect()}
+    assert s1 == s2
 
 
 def test_strip_repeated_units(eng):
