@@ -756,10 +756,12 @@ def _require_no_active_streams(spark: SparkSession, what: str) -> None:
     session-local ``StreamingQueryManager`` cannot attribute a query
     to a checkpoint path, and every ingest in this module is a
     synchronous ``availableNow`` run, so an active query during
-    compaction is always a contract violation in-session.
-    Cross-session writers remain docstring-guarded (no distributed
-    lock here; a foreign writer's uncommitted epoch is still safe —
-    see the swap notes — but its in-flight guard row can be lost)."""
+    compaction is always a contract violation in-session.  The
+    cross-session half is the sentinel lock
+    (:class:`_compaction_lock`, held by every compactor) plus the
+    ingest-side lock check in :func:`_guard_stranded` — a foreign
+    session's ingest refuses while a compaction holds the lock, and
+    a foreign compaction refuses while another holds it."""
     active = list(spark.streams.active)
     if active:
         names = ", ".join((q.name or q.id and str(q.id) or "?")
@@ -1659,7 +1661,10 @@ def compact_ingest_state(spark: SparkSession, state_path: str,
     Compaction rewrites committed waves; an in-flight uncommitted
     batch is unaffected (its epoch id is greater than the kept max),
     but the swap is not atomic against a concurrent writer, so
-    cross-session writers remain contract-guarded.  The swap itself
+    cross-session writers are fenced mechanically: this compactor
+    holds the sentinel lock (:class:`_compaction_lock`) and every
+    ingest's :func:`_guard_stranded` refuses while it is held.
+    The swap itself
     is the CHECKED backup-rename dance of :func:`_checked_swap`; a
     crash between its two renames leaves the ``__pre_compact``
     backup on disk, which every subsequent ingest detects LOUDLY
