@@ -135,11 +135,33 @@ def hadoop_dir_size(spark: SparkSession, path: str) -> int:
 
 
 def hadoop_dir_has_files(spark: SparkSession, path: str,
-                         suffix: str = ".parquet") -> bool:
-    """True when ``path`` exists and directly contains a ``suffix``
-    file — the "is this store non-empty?" probe, URI-agnostic."""
+                         suffix: str = ".parquet",
+                         depth: int = 0) -> bool:
+    """True when ``path`` exists and contains a ``suffix`` file —
+    the "is this store non-empty?" probe, URI-agnostic.  Flat stores
+    keep the default ``depth=0`` (direct children only); pass
+    ``depth=1`` for a PARTITIONED store whose files live inside
+    ``col=value/`` subdirectories — a direct-children-only probe
+    reads a partitioned store as empty, which silently disables any
+    guard keyed on it (the r11 IVF recovery bug)."""
     fs, hpath = _hadoop_fs_path(spark, path)
     if not fs.exists(hpath):
         return False
-    it = fs.listStatus(hpath)
-    return any(st.getPath().getName().endswith(suffix) for st in it)
+
+    def scan(p, d: int) -> bool:
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                # skip work/metadata dirs (_temporary, ...) but NOT
+                # partition directories — those may legitimately
+                # start with "_" (e.g. __cid=0) and are identified
+                # by the "=" in the name, Spark's own rule
+                hidden = (name.startswith("_") or name.startswith(".")
+                          ) and "=" not in name
+                if d > 0 and not hidden and scan(st.getPath(), d - 1):
+                    return True
+            elif name.endswith(suffix):
+                return True
+        return False
+
+    return scan(hpath, depth)

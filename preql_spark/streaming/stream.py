@@ -550,8 +550,18 @@ def incremental_ivf_ingest(spark: SparkSession, src_path: str,
     run_id = _ingest_run_id(spark, checkpoint) if ids_path else None
 
     def _index_seen(s: SparkSession) -> DataFrame | None:
-        if not hadoop_dir_has_files(s, index_path):
+        # depth=1: the index is cell-partitioned (__cid=*/...), so a
+        # direct-children probe would read it as EMPTY and silently
+        # skip the self-guarding anti-join (latent until the r11
+        # crash-injection test caught it)
+        if not hadoop_dir_has_files(s, index_path, depth=1):
             return None
+        # drop any cached file listing first: the self-guarding read
+        # must see files appended by a CRASHED previous attempt —
+        # possibly another process entirely, or an earlier in-session
+        # try whose write didn't route through this session's cache
+        # invalidation — or the anti-join silently misses them
+        s.catalog.refreshByPath(index_path)
         return (s.read.parquet(index_path)
                 .select(F.col("__id").alias("__seen")).distinct())
 
@@ -593,7 +603,15 @@ def incremental_ivf_ingest(spark: SparkSession, src_path: str,
         if seen is not None:
             rows = rows.join(seen, rows["__id"] == seen["__seen"],
                              "left_anti").drop("__seen")
-        rows = rows.persist()
+        # eager localCheckpoint, NOT persist: the survivors feed TWO
+        # actions (index append, then ids append), and the anti-join
+        # reads the very store the first action appends to —
+        # foreachBatch re-resolves parquet listings per action, so a
+        # recomputed second action would see the batch's own rows in
+        # the index and anti-join ITSELF away (no ids row written —
+        # caught by the crash-injection pytest).  The checkpoint cuts
+        # the lineage so both actions read the materialized survivors
+        rows = rows.localCheckpoint(eager=True)
         (assign_cells_hof(rows, centroids)
          .select("__cid", "__id", "__v")
          .write.mode("append").partitionBy("__cid")
@@ -602,7 +620,6 @@ def incremental_ivf_ingest(spark: SparkSession, src_path: str,
          .withColumn("run_id", F.lit(run_id))
          .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
          .coalesce(1).write.mode("append").parquet(ids_path))
-        rows.unpersist(blocking=False)
 
     q = (spark.readStream.schema(schema).parquet(src_path)
          .writeStream.foreachBatch(_sink)

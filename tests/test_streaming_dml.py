@@ -1453,6 +1453,59 @@ def test_ivf_ids_sidecar_semantics(spark, eng, tmp_path):
     assert got2.count() == got2.distinct().count() == 149
 
 
+def test_ivf_sidecar_crash_recovery(spark, eng, tmp_path):
+    """The intent-store recovery branch, exercised by injecting the
+    exact crash state: intent row written and PART of the epoch's
+    index rows appended, but no ids row (a crash between the index
+    append and the ids append).  The replayed batch must detect the
+    intent, fall back to the self-guarding anti-join against the
+    index, append ONLY the missing vectors, and complete the ids row
+    — no duplicates, no losses, search still equals brute force."""
+    from preql_spark.operators.similarity import (
+        assign_cells_hof, cosine_topk, ivf_build, ivf_topk_from_store)
+    from preql_spark.streaming.stream import incremental_ivf_ingest
+    e = eng.t.embeddings.df.select("vec_id", "embedding")
+    src, idx, ck, ids = (str(tmp_path / x)
+                         for x in ("src", "idx", "ck", "ids"))
+    w1 = e.filter(F.col("vec_id") < 100)
+    w2 = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200))
+    _, cents = ivf_build(w1, dim=64, n_centroids=4)
+    w1.write.mode("overwrite").parquet(src)
+    incremental_ivf_ingest(spark, src, ck, idx, cents, ids_path=ids)
+    # inject the crash state for the NEXT epoch (batch_id 1): intent
+    # row + half of wave 2 already in the index, no ids row
+    rid = open(os.path.join(ck, "__ingest_run_id")).read().strip()
+    spark.createDataFrame([(rid, 1)], "run_id: string, batch_id: long") \
+        .coalesce(1).write.mode("append").parquet(ids + "__intent")
+    half = w2.filter(F.col("vec_id") < 150) \
+        .select(F.col("vec_id").alias("__id"),
+                F.col("embedding").alias("__v"))
+    (assign_cells_hof(half, cents).select("__cid", "__id", "__v")
+     .write.mode("append").partitionBy("__cid").parquet(idx))
+    # deliver wave 2: the sink replays epoch 1 through the recovery
+    # branch (intent present, epoch absent from the sidecar)
+    w2.write.mode("append").parquet(src)
+    rep = incremental_ivf_ingest(spark, src, ck, idx, cents,
+                                 ids_path=ids)
+    assert sum(r.n_vectors for r in rep.collect()) == 200
+    got = spark.read.parquet(idx).select("__id")
+    assert got.count() == got.distinct().count() == 200
+    # the epoch's ids row completed: a further replay is a pure no-op
+    rep2 = incremental_ivf_ingest(spark, src, ck, idx, cents,
+                                  ids_path=ids)
+    assert sum(r.n_vectors for r in rep2.collect()) == 200
+    sc = spark.read.parquet(ids)
+    assert sc.filter((F.col("run_id") == rid)
+                     & (F.col("batch_id") == 1)).count() > 0
+    # completeness end-to-end: exhaustive probes == brute force
+    q = e.filter(F.col("vec_id") < 3)
+    a = sorted(tuple(r) for r in ivf_topk_from_store(
+        spark, idx, cents, q, k=5, nprobe=len(cents)).collect())
+    b = sorted(tuple(r) for r in cosine_topk(
+        e.filter(F.col("vec_id") < 200), q, k=5).collect())
+    assert a == b
+
+
 def test_compact_partitioned_store_max_file_rows(spark, tmp_path):
     """The mega-cell knob: a partition value over max_file_rows
     splits into ~ceil(n/max) files (bounded: 2..nf with hash-group
