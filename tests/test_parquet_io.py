@@ -128,6 +128,30 @@ def test_hadoop_fs_helpers(spark, tmp_path):
     assert got >= local > 0
 
 
+def test_hadoop_dir_has_files_partitioned_depth(spark, tmp_path):
+    """The non-empty probe on PARTITIONED stores: depth=0 reads a
+    col=value layout as empty (files live one level down), depth=1
+    finds them — including partition dirs whose names start with
+    underscores (e.g. __cid=0: "_"-prefixed but NOT hidden, per
+    Spark's own "=" rule) — while _temporary-style work dirs stay
+    skipped.  This probe gates the IVF ingest's self-guarding
+    anti-join; a false EMPTY silently disables dedup (the r11
+    crash-injection bug)."""
+    import os
+    from preql_spark.parquet_io import hadoop_dir_has_files
+    d = str(tmp_path / "store")
+    spark.range(10).withColumn("__cid", F.col("id") % 2) \
+        .write.partitionBy("__cid").parquet(d)
+    assert not hadoop_dir_has_files(spark, d)          # flat probe
+    assert hadoop_dir_has_files(spark, d, depth=1)     # sees cells
+    # a work dir full of files must NOT count as store content
+    w = str(tmp_path / "work")
+    os.makedirs(os.path.join(w, "_temporary"))
+    with open(os.path.join(w, "_temporary", "x.parquet"), "w") as f:
+        f.write("junk")
+    assert not hadoop_dir_has_files(spark, w, depth=1)
+
+
 def test_orc_roundtrip(spark, eng, tmp_path):
     p = str(tmp_path / "nation_orc")
     eng.t.nation.write_orc(p)
