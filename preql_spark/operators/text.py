@@ -568,14 +568,21 @@ def strip_repeated_units(col, sep: str = "\n") -> Column:
     CORPUS-WIDE sibling (first occurrence across documents — needs a
     unit-keyed shuffle); this is the per-row rule.
 
+    ``sep`` is a LITERAL separator (it is regex-escaped before
+    hitting Spark's regex-based ``split``, because the rejoin is
+    literal — an unescaped ``"."`` would otherwise split on every
+    character and rejoin with dots).
+
     Scale shape: ``array_distinct(split(...))`` — Spark's
     array_distinct preserves first-occurrence order, so the whole
     operator is one scan-local codegen expression: zero shuffles,
     zero joins, the cheapest possible cleaning pass (the oracle
     replays it as min-ordinal-per-unit, the order-explicit
     spelling)."""
+    import re as _re
     c = col if isinstance(col, Column) else F.col(col)
-    return F.array_join(F.array_distinct(F.split(c, sep)), sep)
+    return F.array_join(
+        F.array_distinct(F.split(c, _re.escape(sep))), sep)
 
 
 def strip_short_lines(col, min_tokens: int = 3) -> Column:

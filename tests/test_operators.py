@@ -654,6 +654,10 @@ def test_strip_repeated_units(eng):
     one = spark.createDataFrame([("x y x z",)], "t: string")
     assert one.select(strip_repeated_units("t", " ").alias("n")) \
         .collect()[0].n == "x y z"
+    # regex-special separators are LITERAL (escaped before split)
+    dot = spark.createDataFrame([("a.b.a.c",)], "t: string")
+    assert dot.select(strip_repeated_units("t", ".").alias("n")) \
+        .collect()[0].n == "a.b.c"
     # lang scalar parity: doc text repeated twice collapses to one
     l = eng.q('documents[doc_id < 3] {doc_id, n: '
               'strip_repeated_units(text + "\\n" + text)} '
