@@ -1223,6 +1223,56 @@ def test_incremental_chi_square_ingest_equals_batch_and_shares_state(
     assert [tuple(r) for r in k] == [tuple(r) for r in kb]
 
 
+def test_histogram_ingest_crash_replay_injection(spark, eng, tmp_path):
+    """The histogram-state crash window, exercised by injecting the
+    exact crash state (shared by the quantile / z-monitor / PSI / KS
+    / chi² ingests): the epoch's state rows committed but the ids
+    row lost (a crash between the two appends).  The replayed batch
+    must rebuild identical rows, have them DROPPED by the (run_id,
+    batch_id) guard — counter sums are not re-apply-idempotent, a
+    double-fold would corrupt every report — and complete the ids
+    append.  Report == batch operator afterwards."""
+    from preql_spark.operators.events import z_outliers
+    from preql_spark.streaming.stream import incremental_z_monitor_ingest
+    src, st, ids, ck = (str(tmp_path / x)
+                        for x in ("src", "state", "ids", "ck"))
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    w1 = d.filter(F.col("doc_id") < 250)
+    w2 = d.filter(F.col("doc_id") >= 250)
+    kw = dict(group_col="source", value_expr="length(text)", k=1.5)
+    w1.write.mode("overwrite").parquet(src)
+    incremental_z_monitor_ingest(spark, src, ck, st, ids, **kw)
+    # inject: the EXACT state rows the sink would write for epoch 1
+    # (the committed half of the crash) — no ids row
+    rid = open(os.path.join(ck, "__ingest_run_id")).read().strip()
+    (w2.select(F.col("source").alias("g"),
+               F.expr("length(text)").cast("long").alias("v"))
+     .groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+     .withColumn("batch_id", F.lit(1).cast("long"))
+     .withColumn("run_id", F.lit(rid))
+     .coalesce(1).write.mode("append").parquet(st))
+    # deliver wave 2: the guard must drop the rebuilt rows (no
+    # double-fold) and the ids append must complete
+    w2.write.mode("append").parquet(src)
+    out = incremental_z_monitor_ingest(spark, src, ck, st, ids,
+                                       **kw).collect()
+    batch = z_outliers(d.withColumn("vv", F.length("text")),
+                       "source", "vv", k=1.5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, batch))
+    # exactly one state copy of epoch 1 (the injected one)
+    stt = spark.read.parquet(st)
+    one = stt.filter((F.col("run_id") == rid)
+                     & (F.col("batch_id") == 1))
+    assert one.groupBy("g", "v").count() \
+        .filter(F.col("count") > 1).isEmpty()
+    # the ids row completed: a further replay changes nothing
+    out2 = incremental_z_monitor_ingest(spark, src, ck, st, ids,
+                                        **kw).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+    sc = spark.read.parquet(ids)
+    assert sc.select("doc_id").distinct().count() == d.count()
+
+
 def test_incremental_datacard_state_identity(spark, eng, tmp_path):
     """Two-wave streaming data card == batch corpus_datacard over
     the full corpus, CUBE cell for cell (additive metrics from the
