@@ -1261,6 +1261,26 @@ def q82_redact_pii(spark, sf_dir) -> DataFrame:
                        text.redact_pii(dirty).alias("clean"))
 
 
+def q214_pii_counts(spark, sf_dir) -> DataFrame:
+    """PII exposure datacard (the audit sibling of q82's redaction):
+    per (source, kind), docs-with-a-match and total matches, over
+    the q82 synthesized dirt (every doc gains one email, one phone,
+    one IPv4) ON TOP of whatever the raw text already matches — the
+    oracle runs the IDENTICAL RE2-compatible patterns, composed from
+    the engine's own PII_PATTERNS table so the spellings cannot
+    drift.  Scan-local match counts, one grouped agg."""
+    from preql_spark.operators import text
+    d = _eng(spark, sf_dir).t.documents
+    dirty = F.concat(F.col("text"),
+                     F.lit(" contact u"), F.col("doc_id"),
+                     F.lit("@example.com or +1 (555) 010-"),
+                     F.col("doc_id"), F.lit(" at 10.0.0."),
+                     (F.col("doc_id") % 255))
+    return (text.pii_counts(
+        d.df.select("source", dirty.alias("s")), ["source"], "s")
+        .select("source", "kind", "n_matches", "n_docs"))
+
+
 def q201_normalize_text(spark, sf_dir) -> DataFrame:
     """Deterministic text normalization (lowercase → fixed Latin
     accent fold → punctuation strip → whitespace collapse), the
@@ -3500,7 +3520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_repetition_metrics": q95_repetition_metrics,
     "q116_audio_features": q116_audio_features,
     "q120_join_cardinality": q120_join_cardinality,
-    "q53_cube": q53_cube,
+    "q214_pii_counts": q214_pii_counts,
     "q60_dml_lifecycle": q60_dml_lifecycle,
     "q207_rolling_anomalies": q207_rolling_anomalies,
     "q62_json_extract": q62_json_extract,
@@ -3565,7 +3585,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       rebuilds every CUBE cell from state == batch
     #       corpus_datacard) enters, displacing q136 (transactions —
     #       r10-green; DML keeps q60's full lifecycle in-window, the
-    #       transaction machinery stays battery tri-scale + pytest).
+    #       transaction machinery stays battery tri-scale + pytest);
+    #       and q214 (PII exposure datacard — per (source, kind)
+    #       match counts from the engine's own RE2-portable
+    #       PII_PATTERNS, the audit sibling of q82's redaction)
+    #       enters, displacing q53 (cube — r10-green; the CUBE
+    #       semantics keep an in-window representative through
+    #       q213's cube-from-state report graded cell-for-cell, and
+    #       q81 grouping-sets holds lifetime confirmation; the cube
+    #       operator stays battery tri-scale).
     # displaced mid-r11 by the NEW graded q209 (see the r11 note):
     "q159_retrieve_refine_diversify": q159_retrieve_refine_diversify,
     # displaced mid-r11 by the NEW graded q210 (see the r11 note):
@@ -3576,6 +3604,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q150_dsir_resample": q150_dsir_resample,
     # displaced mid-r11 by the NEW graded q213 (see the r11 note):
     "q136_transactions": q136_transactions,
+    # displaced mid-r11 by the NEW graded q214 (see the r11 note):
+    "q53_cube": q53_cube,
     "q161_ngram_diversity": q161_ngram_diversity,
     "q149_topk_per_group": q149_topk_per_group,
     "q129_four_way_chain": q129_four_way_chain,
@@ -3813,6 +3843,31 @@ def _accent_fold_sql(expr: str) -> str:
         s = f"replace({s}, '{a}', '{b}')"
     return (f"translate({s}, '{ACCENT_FOLD_FROM}', "
             f"'{ACCENT_FOLD_TO}')")
+
+
+def _pii_counts_sql() -> str:
+    """The q214 oracle composed from the engine's own PII_PATTERNS
+    (RE2-compatible by design), so the two spellings cannot drift."""
+    from preql_spark.operators.text import PII_PATTERNS
+    legs = " UNION ALL ".join(
+        f"SELECT source, '{k}' AS kind, "
+        f"coalesce(len(regexp_extract_all(s, '{pat}')), 0) AS n "
+        "FROM dirty"
+        for k, pat in PII_PATTERNS.items())
+    return rf"""
+        WITH dirty AS (
+            SELECT source,
+                   text || ' contact u' || doc_id
+                        || '@example.com or +1 (555) 010-' || doc_id
+                        || ' at 10.0.0.' || (doc_id % 255) AS s
+            FROM documents),
+        m AS ({legs})
+        SELECT source, kind,
+               CAST(sum(n) AS BIGINT) AS n_matches,
+               CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs
+        FROM m GROUP BY source, kind
+    """
 
 
 #: synthesized dirt for q201 — exercises the multi-char folds
@@ -7084,6 +7139,8 @@ ORACLES: dict[str, str] = {
     # the q189 chi-square formula over the two sides the streaming
     # ingest maintains — the from-state report is bit-identical to
     # batch chi_square, which this SQL computes directly
+    # the q214 oracle is COMPOSED from the engine's own PII_PATTERNS
+    "q214_pii_counts": _pii_counts_sql(),
     # the streaming data card's batch identity: q121's cube spelling
     # run directly over the raw corpus
     "q213_datacard_ingest": r"""

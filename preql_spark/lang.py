@@ -3487,6 +3487,9 @@ def _load_pipeline_funcs() -> dict:
         "concentration":
             lambda df, group_col, key_col, weight="1":
                 text.concentration(df, [group_col], key_col, weight),
+        "pii_counts":
+            lambda df, group_col, text_col="text":
+                text.pii_counts(df, [group_col], text_col),
         "k_anonymity_filter":
             lambda df, *quasi, k=5, count_col=None:
                 text.k_anonymity_filter(df, list(quasi), int(k),
@@ -3643,7 +3646,7 @@ _PIPELINE_FUNC_NAMES = {
     "scrub_contaminated_spans",
     "pq_topk",
     "quality_metrics", "repetition_metrics", "k_anonymity_filter",
-    "concentration",
+    "concentration", "pii_counts",
     "tfidf", "bm25", "lm_perplexity", "quantile_filter",
     "quantile_bucketize", "corpus_datacard", "postings",
     "budget_select", "adjacent_pair_counts", "ngram_diversity",

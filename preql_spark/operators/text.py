@@ -557,6 +557,44 @@ def redact_pii(col, kinds: list[str] | None = None) -> Column:
     return c
 
 
+def pii_counts(df: DataFrame, group_cols: list[str] | str,
+               text_col: str = "text",
+               kinds: list[str] | None = None) -> DataFrame:
+    """PII exposure datacard — the AUDIT sibling of
+    :func:`redact_pii`: per (group, kind), how many documents contain
+    at least one match and how many matches there are in total —
+    ``(group..., kind, n_matches, n_docs)``.  The report a pipeline
+    publishes before AND after the scrub (after, every row should be
+    zero) and the per-source triage view ("which crawl source leaks
+    emails?").  Patterns are the shared :data:`PII_PATTERNS`
+    (RE2-compatible by design, so the oracle runs the identical
+    regexes); NULL documents count zero matches.
+
+    Scale shape: per-row match counts are scan-local codegen
+    (``size(regexp_extract_all(...))`` per kind, exploded to narrow
+    (group, kind, n) rows), then ONE grouped agg with map-side
+    partials — bounded output (groups × kinds), the corpus is read
+    once."""
+    gc = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    ks = list(kinds or PII_PATTERNS)
+    c = F.col(text_col)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(k).alias("kind"),
+            F.when(c.isNull(), F.lit(0)).otherwise(
+                F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[k]),
+                                            F.lit(0))))
+            .alias("__n"))
+        for k in ks])
+    ex = (df.select(*gc, F.explode(pairs).alias("__p"))
+          .select(*gc, F.col("__p.kind").alias("kind"),
+                  F.col("__p.__n").alias("__n")))
+    return (ex.groupBy(*gc, "kind")
+            .agg(F.sum("__n").cast("long").alias("n_matches"),
+                 F.sum((F.col("__n") > 0).cast("long"))
+                 .cast("long").alias("n_docs")))
+
+
 def strip_repeated_units(col, sep: str = "\n") -> Column:
     """Intra-document self-repetition removal (the Gopher/
     MassiveText repetition rule at unit granularity): keep only the

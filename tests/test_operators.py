@@ -637,6 +637,36 @@ def test_dedup_keep_best(eng):
     assert s1 == s2
 
 
+def test_pii_counts(eng):
+    """Exact per-(group, kind) match counts on crafted rows: multiple
+    matches in one doc count individually, NULL text counts zero,
+    docs-with-a-match vs total matches differ correctly, redaction
+    zeroes the report (the audit contract), lang parity."""
+    from preql_spark.operators.text import pii_counts, redact_pii
+    spark = eng.spark
+    df = spark.createDataFrame(
+        [("a", "mail x@y.com and z@w.org, ip 10.0.0.1"),
+         ("a", "call +1 (555) 010-7788 now"),
+         ("a", None),
+         ("b", "no pii here")], "g: string, t: string")
+    got = {(r.g, r.kind): (r.n_matches, r.n_docs)
+           for r in pii_counts(df, ["g"], "t").collect()}
+    assert got[("a", "email")] == (2, 1)
+    assert got[("a", "phone")] == (1, 1)
+    assert got[("a", "ipv4")] == (1, 1)
+    assert got[("b", "email")] == (0, 0)
+    assert got[("b", "phone")] == (0, 0)
+    # after redaction the audit is all zeros
+    clean = df.select("g", redact_pii("t").alias("t"))
+    post = pii_counts(clean, ["g"], "t").collect()
+    assert all(r.n_matches == 0 and r.n_docs == 0 for r in post)
+    # lang parity
+    l = {(r.g, r.kind): (r.n_matches, r.n_docs)
+         for r in eng.q('pii_counts(pdocs, "g", "t")',
+                        pdocs=df).collect()}
+    assert l == got
+
+
 def test_strip_repeated_units(eng):
     """Intra-doc self-repetition: repeated units collapse to the
     FIRST occurrence with order preserved, distinct units all
