@@ -1318,6 +1318,152 @@ def q211_strip_repeated_units(spark, sf_dir) -> DataFrame:
                     clean.alias("clean"))
 
 
+def q215_gopher_quality_gate(spark, sf_dir) -> DataFrame:
+    """The Gopher/MassiveText composite rule-based quality gate
+    (Rae et al. 2021 A1.1): raw per-doc metrics + one boolean per
+    rule + the composite keep flag, ONE scan-local Project — zero
+    shuffles, zero UDFs.  Deterministic dirt makes every rule fire
+    somewhere: every 5th doc gains bullet + ellipsis lines, every
+    7th a run of '#' symbols, every 11th a numeral flood (alpha-word
+    fraction sinks), every 13th the full stop-word list.  The oracle
+    replays the identical word/line-array arithmetic in DuckDB
+    (list_filter/list_transform), unrounded booleans on both sides,
+    4dp on the exposed fractions."""
+    from preql_spark.operators import text
+    d = _eng(spark, sf_dir).t.documents.df
+    i = F.col("doc_id")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(i % 5 == 0, F.lit(
+            "\n- bullet one\n- bullet two\n• bullet three"
+            "\nplain tail...")).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit(" # # # # # # # # # #"))
+        .otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit(
+            " 111 222 333 444 555 666 777 888 999 000"
+            " 111 222 333 444 555 666 777 888 999 000"))
+        .otherwise(F.lit("")),
+        F.when(i % 13 == 0, F.lit(
+            " the be to of and that have with"))
+        .otherwise(F.lit("")))
+    out = text.gopher_quality_gate(
+        d.select("doc_id", dirty.alias("text")),
+        min_words=40, max_symbol_word_ratio=0.1,
+        max_bullet_line_frac=0.5, max_ellipsis_line_frac=0.15,
+        min_alpha_word_frac=0.8, min_stop_words=1)
+    return out.select(
+        "doc_id", "n_words",
+        _pr4(F.col("mean_word_len")).alias("mean_word_len"),
+        _pr4(F.col("symbol_word_ratio")).alias("symbol_word_ratio"),
+        _pr4(F.col("bullet_line_frac")).alias("bullet_line_frac"),
+        _pr4(F.col("ellipsis_line_frac")).alias("ellipsis_line_frac"),
+        _pr4(F.col("alpha_word_frac")).alias("alpha_word_frac"),
+        "stop_word_hits", "pass_word_count", "pass_mean_word_len",
+        "pass_symbol_ratio", "pass_bullet_lines",
+        "pass_ellipsis_lines", "pass_alpha_words", "pass_stop_words",
+        "keep")
+
+
+def q218_curation_ingest(spark, sf_dir) -> DataFrame:
+    """Streaming curated-corpus materialization: two availableNow
+    waves append C4-gate survivors' CLEANED text to the curated
+    store (content-addressed exactly-once — the store's own id
+    column is the dedup source, no separate ids state, no crash
+    window), over q216's deterministic multi-line dirt with
+    min_sentences=2 so survival varies by doc.  The report counts
+    the store per source; two-wave == one-shot == batch c4_clean +
+    keep-filter + GROUP BY over the full corpus, which is the SQL
+    the oracle runs (q216's spelling folded per source)."""
+    from preql_spark.streaming.stream import incremental_curation_ingest
+    eng = _eng(spark, sf_dir)
+    tmp = _scratch("q218_")
+    src, store, ck = (os.path.join(tmp, x)
+                      for x in ("src", "store", "ck"))
+    i, t = F.col("doc_id"), F.col("text")
+    dirty = F.concat_ws(
+        "\n",
+        F.concat(F.substring(t, 1, 40), F.lit(".")),
+        F.substring(t, 41, 30),
+        F.lit("Too short."),
+        F.when(i % 3 == 0,
+               F.lit("Please enable javascript to continue here."))
+        .otherwise(F.concat(F.substring(t, 71, 40), F.lit("!"))),
+        F.when(i % 5 == 0,
+               F.concat(F.substring(t, 111, 40), F.lit("?")))
+        .otherwise(F.substring(t, 111, 40)),
+        F.when(i % 7 == 0, F.lit("a curly { brace"))
+        .otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit("this page is Lorem Ipsum filler"))
+        .otherwise(F.lit("")))
+    d = eng.t.documents.df.select("doc_id", "source",
+                                  dirty.alias("text"))
+    kw = dict(gate="c4", min_sentences=2)
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_curation_ingest(spark, src, ck, store, **kw)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_curation_ingest(spark, src, ck, store, **kw)
+    return out.select("source", "n_docs", "total_chars")
+
+
+def q217_gate_rate_ingest(spark, sf_dir) -> DataFrame:
+    """Streaming keep-rate monitor for the Gopher gate (q215's
+    operator, min_words=40 / min_stop_words=1, other rules at
+    defaults): two availableNow waves maintain per-source
+    (n_docs, n_keep) counters — the data-card counters contract,
+    epoch-guarded — and the report sums the state.  Two-wave ==
+    one-shot == the batch gate + GROUP BY source over the full
+    corpus, which is the SQL the oracle runs (q215's word/line
+    arithmetic with the same thresholds, folded per source).
+    keep_rate rounds 4dp both sides."""
+    from preql_spark.streaming.stream import incremental_gate_rate_ingest
+    eng = _eng(spark, sf_dir)
+    tmp = _scratch("q217_")
+    src, st, ids, ck = (os.path.join(tmp, x)
+                        for x in ("src", "st", "ids", "ck"))
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    kw = dict(gate="gopher", min_words=40, min_stop_words=1)
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_gate_rate_ingest(spark, src, ck, st, ids, **kw)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_gate_rate_ingest(spark, src, ck, st, ids, **kw)
+    return out.select("source", "n_docs", "n_keep",
+                      _pr4(F.col("keep_rate")).alias("keep_rate"))
+
+
+def q216_c4_clean(spark, sf_dir) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2): terminal-
+    punctuation + min-words + javascript line filters, brace /
+    lorem-ipsum / min-sentences page gates — ONE scan-local Project,
+    audit columns + cleaned text.  Deterministic multi-line pages
+    synthesized so every rule fires: line 2 lacks terminal punct,
+    line 3 is under 5 words, every 3rd doc gets a javascript line in
+    place of its '!' line, every 5th doc's '?' line keeps its
+    terminal mark (others lose it), every 7th doc gains a curly
+    brace, every 11th a lorem-ipsum line.  Oracle replays the
+    identical list arithmetic in DuckDB."""
+    from preql_spark.operators import text
+    d = _eng(spark, sf_dir).t.documents.df
+    i, t = F.col("doc_id"), F.col("text")
+    dirty = F.concat_ws(
+        "\n",
+        F.concat(F.substring(t, 1, 40), F.lit(".")),
+        F.substring(t, 41, 30),
+        F.lit("Too short."),
+        F.when(i % 3 == 0,
+               F.lit("Please enable javascript to continue here."))
+        .otherwise(F.concat(F.substring(t, 71, 40), F.lit("!"))),
+        F.when(i % 5 == 0,
+               F.concat(F.substring(t, 111, 40), F.lit("?")))
+        .otherwise(F.substring(t, 111, 40)),
+        F.when(i % 7 == 0, F.lit("a curly { brace"))
+        .otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit("this page is Lorem Ipsum filler"))
+        .otherwise(F.lit("")))
+    return text.c4_clean(d.select("doc_id", dirty.alias("text"))) \
+        .select("doc_id", "n_lines", "n_kept", "n_sentences",
+                "has_brace", "has_lorem", "keep", "clean")
+
+
 def q212_cluster_size_histogram(spark, sf_dir) -> DataFrame:
     """Dedup observability datacard: near-dup cluster-size
     distribution over the MinHash pair graph at 0.9 — CC over the
@@ -1895,12 +2041,20 @@ def q120_join_cardinality(spark, sf_dir) -> DataFrame:
 def q121_corpus_datacard(spark, sf_dir) -> DataFrame:
     """Corpus data card: docs/tokens/bytes/exact-dup ratio for every
     source×lang combination plus the marginals and the global row —
-    one CUBE aggregate over scan-local per-row metrics."""
+    one CUBE aggregate over scan-local per-row metrics.  Every 17th
+    doc's lang is deterministically NULLed (real crawl metadata has
+    undetected langs), so the report contains GENUINE-NULL lang
+    cells; the ``gid`` column (grouping_id, = GROUPING(source, lang))
+    is what keeps them distinct from the rollup cells — graded here
+    with the NULL-group rows present."""
     from preql_spark.operators.text import corpus_datacard
-    d = _eng(spark, sf_dir).t.documents.df
+    d = _eng(spark, sf_dir).t.documents.df.withColumn(
+        "lang", F.when(F.col("doc_id") % 17 == 0,
+                       F.lit(None).cast("string"))
+                 .otherwise(F.col("lang")))
     out = corpus_datacard(d)
-    return out.select("source", "lang", "n_docs", "total_tokens",
-                      "total_bytes", "n_distinct",
+    return out.select("source", "lang", "gid", "n_docs",
+                      "total_tokens", "total_bytes", "n_distinct",
                       _pr4(F.col("dup_ratio")).alias("dup_ratio"))
 
 
@@ -3230,22 +3384,30 @@ def q213_datacard_ingest(spark, sf_dir) -> DataFrame:
     docs / tokens / bytes / distinct fingerprints / dup_ratio.  The
     additive metrics cube over counter sums; n_distinct cubes over
     the inventory (a fingerprint spanning two sources counts once at
-    rolled-up cells — only an inventory can express that).  Two-wave
-    == one-shot == batch corpus_datacard over the full corpus, cell
-    for cell, which is the SQL the oracle runs (q121's spelling).
+    rolled-up cells — only an inventory can express that).  Every
+    17th doc's lang is deterministically NULLed, so the state holds
+    GENUINE-NULL group values; both cubes carry grouping_id() in the
+    cube-join key (output ``gid``), which is what keeps the NULL-lang
+    cells distinct from the rollup cells — graded here with the
+    NULL-group rows present.  Two-wave == one-shot == batch
+    corpus_datacard over the full corpus, cell for cell, which is
+    the SQL the oracle runs (q121's spelling).
     dup_ratio rounds 4dp on both sides."""
     from preql_spark.streaming.stream import incremental_datacard_ingest
     eng = _eng(spark, sf_dir)
     tmp = _scratch("q213_")
     src, st, prs, ids, ck = (os.path.join(tmp, x)
                              for x in ("src", "st", "prs", "ids", "ck"))
-    d = eng.t.documents.df.select("doc_id", "source", "lang", "text")
+    d = (eng.t.documents.df.select("doc_id", "source", "lang", "text")
+         .withColumn("lang", F.when(F.col("doc_id") % 17 == 0,
+                                    F.lit(None).cast("string"))
+                     .otherwise(F.col("lang"))))
     d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
     incremental_datacard_ingest(spark, src, ck, st, prs, ids)
     d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
     out = incremental_datacard_ingest(spark, src, ck, st, prs, ids)
-    return out.select("source", "lang", "n_docs", "total_tokens",
-                      "total_bytes", "n_distinct",
+    return out.select("source", "lang", "gid", "n_docs",
+                      "total_tokens", "total_bytes", "n_distinct",
                       _pr4(F.col("dup_ratio")).alias("dup_ratio"))
 
 
@@ -3473,13 +3635,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       q152/q159), q147 (frequent tokens: sketch keeps
     #       q174/q177), q73 (CC canonical: q178 replays
     #       fuzzy->CC->canonical end-to-end).
-    "q169_conversion_lag": q169_conversion_lag,
-    "q170_rfm_scores": q170_rfm_scores,
+    "q216_c4_clean": q216_c4_clean,
+    "q217_gate_rate_ingest": q217_gate_rate_ingest,
     "q193_rfm_scale_safe": q193_rfm_scale_safe,
     "q196_pagerank_dangling": q196_pagerank_dangling,
     "q197_ks_ingest": q197_ks_ingest,
-    "q172_value_trend": q172_value_trend,
-    "q173_mad_outliers": q173_mad_outliers,
+    "q215_gopher_quality_gate": q215_gopher_quality_gate,
+    "q121_corpus_datacard": q121_corpus_datacard,
     # rows-only by design: DataSketches HLL has no DuckDB twin; the
     # two-wave == one-shot identity is pytest-pinned instead
     "q174_hll_ingest": q174_hll_ingest,
@@ -3490,7 +3652,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q178_entity_resolution": q178_entity_resolution,
     "q179_ks_drift": q179_ks_drift,
     "q198_chi_square_ingest": q198_chi_square_ingest,
-    "q181_triangles": q181_triangles,
+    "q218_curation_ingest": q218_curation_ingest,
     "q182_attribution": q182_attribution,
     "q183_psi_drift": q183_psi_drift,
     "q194_containment_capped": q194_containment_capped,
@@ -3594,6 +3756,39 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       q213's cube-from-state report graded cell-for-cell, and
     #       q81 grouping-sets holds lifetime confirmation; the cube
     #       operator stays battery tri-scale).
+    #   r12: q215 (Gopher/MassiveText composite quality gate — the
+    #       remaining cheap-boolean rules of the paper whose
+    #       repetition half q95/q211 already grade, ONE scan-local
+    #       Project) enters, displacing q172 (value trend —
+    #       r11-green; events keeps q169/q170/q182/q192/q193/q206/
+    #       q207 in-window, and the regression-slope arithmetic
+    #       stays battery tri-scale + pytest).  q121 (batch corpus
+    #       datacard) RE-ENTERS the head — this round changes its
+    #       output contract (grouping_id column + deterministic
+    #       NULL-lang injection, the r11 watch-item fix), and every
+    #       touched graded path must be externally re-confirmed —
+    #       displacing q173 (MAD outliers — r11-green; the robust
+    #       outlier family keeps q207 rolling z + q210 z-monitor
+    #       in-window).  q213's identical gid re-grade stays
+    #       in-window as before.  Mid-round, q216 (C4 cleaning rules
+    #       — Raffel et al. 2020 §2.2 line/page heuristics, the
+    #       line-structure sibling of q215's document-statistics
+    #       gate, ONE scan-local Project) also enters, displacing
+    #       q169 (conversion lag — r11-green; events keeps
+    #       q182/q192/q193/q206/q207 in-window, the
+    #       first-match-per-user machinery stays battery tri-scale
+    #       + pytest); and q217 (streaming gate keep-rate monitor —
+    #       the observability half of curation: per-source
+    #       (n_docs, n_keep) counters under the data-card epoch
+    #       guard, report = state sums == batch gate + GROUP BY,
+    #       oracled end-to-end) enters, displacing q170 (RFM scores
+    #       — r11-green; q193 is the same operator's forced
+    #       scale-safe plan, in-window); and q218 (streaming
+    #       curated-corpus materialization — C4 survivors' CLEANED
+    #       text appended exactly-once, content-addressed on the
+    #       store's own ids, report == batch gate+filter+GROUP BY)
+    #       enters, displacing q181 (triangles — r11-green; graph
+    #       keeps q185/q190/q191/q196 in-window).
     # displaced mid-r11 by the NEW graded q209 (see the r11 note):
     "q159_retrieve_refine_diversify": q159_retrieve_refine_diversify,
     # displaced mid-r11 by the NEW graded q210 (see the r11 note):
@@ -3602,6 +3797,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q148_scrub_contaminated_spans": q148_scrub_contaminated_spans,
     # displaced mid-r11 by the NEW graded q212 (see the r11 note):
     "q150_dsir_resample": q150_dsir_resample,
+    # displaced in r12 by the NEW graded q215 (see the r12 note):
+    "q172_value_trend": q172_value_trend,
+    # displaced mid-r12 by the NEW graded q216 (see the r12 note):
+    "q169_conversion_lag": q169_conversion_lag,
+    # displaced mid-r12 by the NEW graded q217 (see the r12 note):
+    "q170_rfm_scores": q170_rfm_scores,
+    # displaced mid-r12 by the NEW graded q218 (see the r12 note):
+    "q181_triangles": q181_triangles,
+    # displaced in r12 by q121's re-entry (gid contract change):
+    "q173_mad_outliers": q173_mad_outliers,
     # displaced mid-r11 by the NEW graded q213 (see the r11 note):
     "q136_transactions": q136_transactions,
     # displaced mid-r11 by the NEW graded q214 (see the r11 note):
@@ -3702,7 +3907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_histogram": q71_histogram,
     "q74_split_by_hash": q74_split_by_hash,
     "q115_mixture_sample": q115_mixture_sample,
-    "q121_corpus_datacard": q121_corpus_datacard,
+    # (q121 re-entered the 50-entry head in r12 — gid contract change)
     "q132_cosine_topk_arrow": q132_cosine_topk_arrow,
     "q77_quantile_filter": q77_quantile_filter,
     "q113_contrastive_pairs": q113_contrastive_pairs,
@@ -7142,20 +7347,308 @@ ORACLES: dict[str, str] = {
     # the q214 oracle is COMPOSED from the engine's own PII_PATTERNS
     "q214_pii_counts": _pii_counts_sql(),
     # the streaming data card's batch identity: q121's cube spelling
-    # run directly over the raw corpus
+    # run directly over the raw corpus (same deterministic NULL-lang
+    # injection; GROUPING() = Spark's grouping_id(), so data-NULL
+    # cells and rollup cells stay distinct rows on both sides)
     "q213_datacard_ingest": r"""
-        SELECT source, lang, count(*) AS n_docs,
+        SELECT source, lang,
+               CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+               count(*) AS n_docs,
                CAST(sum(len(string_split_regex(trim(text), '\s+')))
                     AS BIGINT) AS total_tokens,
                CAST(sum(length(text)) AS BIGINT) AS total_bytes,
                count(DISTINCT fp) AS n_distinct,
                floor((1 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE))
                      * 10000 + 0.5) / 10000 AS dup_ratio
-        FROM (SELECT source, lang, text,
+        FROM (SELECT source,
+                     CASE WHEN doc_id % 17 = 0 THEN NULL
+                          ELSE lang END AS lang, text,
                      ('0x' || substr(md5(regexp_replace(lower(trim(text)),
                           '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp
               FROM documents)
         GROUP BY CUBE (source, lang)
+    """,
+    # the curation ingest's batch identity: q216's C4 spelling
+    # (min_sentences=2) keep-filtered and folded per source — total
+    # curated chars over the CLEANED text
+    "q218_curation_ingest": r"""
+        WITH dirty AS (
+          SELECT doc_id, source,
+                 concat_ws(chr(10),
+                   substr(text, 1, 40) || '.',
+                   substr(text, 41, 30),
+                   'Too short.',
+                   CASE WHEN doc_id % 3 = 0 THEN
+                     'Please enable javascript to continue here.'
+                   ELSE substr(text, 71, 40) || '!' END,
+                   CASE WHEN doc_id % 5 = 0 THEN
+                     substr(text, 111, 40) || '?'
+                   ELSE substr(text, 111, 40) END,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'a curly { brace' ELSE '' END,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN 'this page is Lorem Ipsum filler'
+                        ELSE '' END) AS t
+          FROM documents),
+        arr AS (
+          SELECT doc_id, source, t,
+                 list_filter(string_split(t, chr(10)),
+                             x -> trim(x) <> '') AS lines
+          FROM dirty),
+        k AS (
+          SELECT doc_id, source, t,
+                 array_to_string(list_filter(lines, x ->
+                   regexp_matches(x, '[.!?"”]\s*$')
+                   AND len(list_filter(
+                         string_split_regex(x, '\s+'),
+                         w -> w <> '')) >= 5
+                   AND NOT contains(lower(x), 'javascript')),
+                   chr(10)) AS clean
+          FROM arr),
+        kept AS (
+          SELECT source, clean
+          FROM k
+          WHERE len(regexp_extract_all(clean, '[.!?]')) >= 2
+            AND NOT contains(t, '{')
+            AND NOT contains(lower(t), 'lorem ipsum'))
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(clean)) AS BIGINT) AS total_chars
+        FROM kept GROUP BY source
+    """,
+    # the gate-rate monitor's batch identity: q215's Gopher word/line
+    # arithmetic (min_words=40, min_stop_words=1, other thresholds at
+    # the engine defaults) folded per source over the raw corpus
+    "q217_gate_rate_ingest": r"""
+        WITH arr AS (
+          SELECT source,
+                 list_filter(string_split_regex(coalesce(text, ''),
+                             '\s+'), w -> w <> '') AS words,
+                 list_filter(string_split(coalesce(text, ''),
+                             chr(10)), x -> trim(x) <> '') AS lines,
+                 len(regexp_extract_all(coalesce(text, ''),
+                     '#|\.\.\.')) AS n_sym
+          FROM documents),
+        m AS (
+          SELECT source,
+                 len(words) AS n_words,
+                 CASE WHEN len(words) > 0 THEN
+                   CAST(list_sum(list_transform(words,
+                        w -> length(w))) AS DOUBLE) / len(words)
+                 END AS mean_wl,
+                 CASE WHEN len(words) > 0 THEN
+                   CAST(n_sym AS DOUBLE) / len(words)
+                 END AS sym_r,
+                 CASE WHEN len(lines) > 0 THEN
+                   CAST(len(list_filter(lines, x ->
+                        regexp_matches(ltrim(x), '^[-*•‣▪]')))
+                        AS DOUBLE) / len(lines)
+                 END AS bullet_f,
+                 CASE WHEN len(lines) > 0 THEN
+                   CAST(len(list_filter(lines, x ->
+                        regexp_matches(rtrim(x), '(\.\.\.|…)$')))
+                        AS DOUBLE) / len(lines)
+                 END AS ell_f,
+                 CASE WHEN len(words) > 0 THEN
+                   CAST(len(list_filter(words, w ->
+                        regexp_matches(w, '[A-Za-z]')))
+                        AS DOUBLE) / len(words)
+                 END AS alpha_f,
+                 ((CASE WHEN list_contains(words, 'the')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'be')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'to')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'of')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'and')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'that')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'have')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'with')
+                        THEN 1 ELSE 0 END)) AS stop_hits
+          FROM arr),
+        k AS (
+          SELECT source,
+                 ((n_words >= 40 AND n_words <= 100000)
+                  AND coalesce(mean_wl >= 3.0 AND mean_wl <= 10.0,
+                               FALSE)
+                  AND coalesce(sym_r <= 0.1, FALSE)
+                  AND coalesce(bullet_f <= 0.9, TRUE)
+                  AND coalesce(ell_f <= 0.3, TRUE)
+                  AND coalesce(alpha_f >= 0.8, FALSE)
+                  AND stop_hits >= 1) AS keep
+          FROM m)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_keep,
+               floor(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE) * 10000 + 0.5)
+                 / 10000 AS keep_rate
+        FROM k GROUP BY source
+    """,
+    # the C4 rules' line/list arithmetic replayed verbatim (same
+    # deterministic dirt; sentence count = terminal marks in the
+    # KEPT text; booleans on both sides from the same predicates)
+    "q216_c4_clean": r"""
+        WITH dirty AS (
+          SELECT doc_id,
+                 concat_ws(chr(10),
+                   substr(text, 1, 40) || '.',
+                   substr(text, 41, 30),
+                   'Too short.',
+                   CASE WHEN doc_id % 3 = 0 THEN
+                     'Please enable javascript to continue here.'
+                   ELSE substr(text, 71, 40) || '!' END,
+                   CASE WHEN doc_id % 5 = 0 THEN
+                     substr(text, 111, 40) || '?'
+                   ELSE substr(text, 111, 40) END,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'a curly { brace' ELSE '' END,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN 'this page is Lorem Ipsum filler'
+                        ELSE '' END) AS t
+          FROM documents),
+        arr AS (
+          SELECT doc_id, t,
+                 list_filter(string_split(t, chr(10)),
+                             x -> trim(x) <> '') AS lines
+          FROM dirty),
+        k AS (
+          SELECT doc_id, t, lines,
+                 list_filter(lines, x ->
+                   regexp_matches(x, '[.!?"”]\s*$')
+                   AND len(list_filter(
+                         string_split_regex(x, '\s+'),
+                         w -> w <> '')) >= 5
+                   AND NOT contains(lower(x), 'javascript'))
+                 AS kept
+          FROM arr),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(lines) AS INT) AS n_lines,
+                 CAST(len(kept) AS INT) AS n_kept,
+                 array_to_string(kept, chr(10)) AS clean,
+                 contains(t, '{') AS has_brace,
+                 contains(lower(t), 'lorem ipsum') AS has_lorem
+          FROM k)
+        SELECT doc_id, n_lines, n_kept,
+               CAST(len(regexp_extract_all(clean, '[.!?]')) AS INT)
+                 AS n_sentences,
+               has_brace, has_lorem,
+               (len(regexp_extract_all(clean, '[.!?]')) >= 3
+                AND NOT has_brace AND NOT has_lorem) AS keep,
+               clean
+        FROM m
+    """,
+    # the Gopher gate's word/line-array arithmetic replayed verbatim
+    # (same deterministic dirt, same thresholds, booleans computed on
+    # the unrounded doubles both sides, 4dp on exposed fractions)
+    "q215_gopher_quality_gate": r"""
+        WITH dirty AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 5 = 0 THEN
+                      chr(10) || '- bullet one'
+                      || chr(10) || '- bullet two'
+                      || chr(10) || '• bullet three'
+                      || chr(10) || 'plain tail...'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                    THEN ' # # # # # # # # # #' ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0 THEN
+                      ' 111 222 333 444 555 666 777 888 999 000'
+                      || ' 111 222 333 444 555 666 777 888 999 000'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0
+                    THEN ' the be to of and that have with'
+                    ELSE '' END AS t
+          FROM documents),
+        arr AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(t, '\s+'),
+                             w -> w <> '') AS words,
+                 list_filter(string_split(t, chr(10)),
+                             x -> trim(x) <> '') AS lines,
+                 len(regexp_extract_all(t, '#|\.\.\.')) AS n_sym
+          FROM dirty),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(words) AS INT) AS n_words,
+                 CASE WHEN len(words) > 0 THEN
+                   CAST(list_sum(list_transform(words,
+                        w -> length(w))) AS DOUBLE) / len(words)
+                 END AS mean_wl,
+                 CASE WHEN len(words) > 0 THEN
+                   CAST(n_sym AS DOUBLE) / len(words)
+                 END AS sym_r,
+                 CASE WHEN len(lines) > 0 THEN
+                   CAST(len(list_filter(lines, x ->
+                        regexp_matches(ltrim(x), '^[-*•‣▪]')))
+                        AS DOUBLE) / len(lines)
+                 END AS bullet_f,
+                 CASE WHEN len(lines) > 0 THEN
+                   CAST(len(list_filter(lines, x ->
+                        regexp_matches(rtrim(x), '(\.\.\.|…)$')))
+                        AS DOUBLE) / len(lines)
+                 END AS ell_f,
+                 CASE WHEN len(words) > 0 THEN
+                   CAST(len(list_filter(words, w ->
+                        regexp_matches(w, '[A-Za-z]')))
+                        AS DOUBLE) / len(words)
+                 END AS alpha_f,
+                 CAST(
+                   (CASE WHEN list_contains(words, 'the')
+                         THEN 1 ELSE 0 END)
+                 + (CASE WHEN list_contains(words, 'be')
+                         THEN 1 ELSE 0 END)
+                 + (CASE WHEN list_contains(words, 'to')
+                         THEN 1 ELSE 0 END)
+                 + (CASE WHEN list_contains(words, 'of')
+                         THEN 1 ELSE 0 END)
+                 + (CASE WHEN list_contains(words, 'and')
+                         THEN 1 ELSE 0 END)
+                 + (CASE WHEN list_contains(words, 'that')
+                         THEN 1 ELSE 0 END)
+                 + (CASE WHEN list_contains(words, 'have')
+                         THEN 1 ELSE 0 END)
+                 + (CASE WHEN list_contains(words, 'with')
+                         THEN 1 ELSE 0 END) AS INT) AS stop_hits
+          FROM arr)
+        SELECT doc_id, n_words,
+               floor(mean_wl * 10000 + 0.5) / 10000
+                 AS mean_word_len,
+               floor(sym_r * 10000 + 0.5) / 10000
+                 AS symbol_word_ratio,
+               floor(bullet_f * 10000 + 0.5) / 10000
+                 AS bullet_line_frac,
+               floor(ell_f * 10000 + 0.5) / 10000
+                 AS ellipsis_line_frac,
+               floor(alpha_f * 10000 + 0.5) / 10000
+                 AS alpha_word_frac,
+               stop_hits AS stop_word_hits,
+               (n_words >= 40 AND n_words <= 100000)
+                 AS pass_word_count,
+               coalesce(mean_wl >= 3.0 AND mean_wl <= 10.0, FALSE)
+                 AS pass_mean_word_len,
+               coalesce(sym_r <= 0.1, FALSE) AS pass_symbol_ratio,
+               coalesce(bullet_f <= 0.5, TRUE) AS pass_bullet_lines,
+               coalesce(ell_f <= 0.15, TRUE) AS pass_ellipsis_lines,
+               coalesce(alpha_f >= 0.8, FALSE) AS pass_alpha_words,
+               (stop_hits >= 1) AS pass_stop_words,
+               ((n_words >= 40 AND n_words <= 100000)
+                AND coalesce(mean_wl >= 3.0 AND mean_wl <= 10.0,
+                             FALSE)
+                AND coalesce(sym_r <= 0.1, FALSE)
+                AND coalesce(bullet_f <= 0.5, TRUE)
+                AND coalesce(ell_f <= 0.15, TRUE)
+                AND coalesce(alpha_f >= 0.8, FALSE)
+                AND stop_hits >= 1) AS keep
+        FROM m
     """,
     # the z-monitor's batch identity run directly over the raw
     # corpus: exact int64 moment sums through the identical fixed
@@ -8075,15 +8568,23 @@ ORACLES: dict[str, str] = {
                    * 10000 + 0.5) / 10000 AS amplification
         FROM t
     """,
+    # same deterministic NULL-lang injection as the Spark side;
+    # GROUPING(source, lang) = Spark's grouping_id() bit-for-bit, so
+    # the genuine-NULL lang cells and the rollup cells grade as
+    # DISTINCT rows
     "q121_corpus_datacard": r"""
-        SELECT source, lang, count(*) AS n_docs,
+        SELECT source, lang,
+               CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+               count(*) AS n_docs,
                CAST(sum(len(string_split_regex(trim(text), '\s+')))
                     AS BIGINT) AS total_tokens,
                CAST(sum(length(text)) AS BIGINT) AS total_bytes,
                count(DISTINCT fp) AS n_distinct,
                floor((1 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE))
                      * 10000 + 0.5) / 10000 AS dup_ratio
-        FROM (SELECT source, lang, text,
+        FROM (SELECT source,
+                     CASE WHEN doc_id % 17 = 0 THEN NULL
+                          ELSE lang END AS lang, text,
                      ('0x' || substr(md5(regexp_replace(lower(trim(text)),
                           '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp
               FROM documents)

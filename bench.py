@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "q145_hybrid_search",    # RRF fusion of BM25 + cosine retrieval legs
     "q185_weighted_pagerank",# iterative Pregel loop (graph family)
     "q209_curation_pipeline",# end-to-end curation capstone (6 stages)
+    "q215_gopher_quality_gate",  # Gopher gate (one scan-local Project)
 ]
 
 # iterative queries whose localCheckpoints materialize at construction
@@ -211,7 +212,7 @@ def main():
     both = [n for n in timings if n in hand]
     hand_total = round(sum(hand[n] for n in both), 4)
     eng_both_total = round(sum(timings[n] for n in both), 4)
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_queries_total_wall_seconds",
         "value": total,
         "unit": "sec",
@@ -225,7 +226,21 @@ def main():
         "n_queries": len(BENCH_QUERIES),
         "n_timed": len(timings),
         "sf": sf,
-    }))
+    })
+    print(line)
+    # full per-query history, committed: the driver's recorded stdout
+    # tail truncates, so round-over-round wall comparisons would
+    # otherwise rest on a shrinking shared key set (r11 verdict note)
+    try:
+        import datetime
+        stamped = json.dumps({"ts": datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds"),
+            **json.loads(line)})
+        with open(os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "BENCHLOG.jsonl"), "a") as f:
+            f.write(stamped + "\n")
+    except OSError:
+        pass                      # read-only checkout: stdout suffices
 
 
 if __name__ == "__main__":

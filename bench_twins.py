@@ -271,6 +271,95 @@ def q114_curation_pipeline(spark, sf_dir):
         .select("doc_id", "source", "n_chars")
 
 
+def q215_gopher_quality_gate(spark, sf_dir):
+    """INDEPENDENT hand transcription of the Gopher composite gate
+    (q215's dirt + thresholds spelled from scratch) — a frozen plan
+    tripwire for the gate family: any later regression inside
+    text.gopher_quality_gate shows as plan_match=false here."""
+    d = _read(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    c = F.concat(
+        F.col("text"),
+        F.when(i % 5 == 0, F.lit(
+            "\n- bullet one\n- bullet two\n• bullet three"
+            "\nplain tail...")).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit(" # # # # # # # # # #"))
+        .otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit(
+            " 111 222 333 444 555 666 777 888 999 000"
+            " 111 222 333 444 555 666 777 888 999 000"))
+        .otherwise(F.lit("")),
+        F.when(i % 13 == 0, F.lit(
+            " the be to of and that have with"))
+        .otherwise(F.lit("")))
+    d = d.select("doc_id", c.alias("text"))
+    c = F.coalesce(F.col("text"), F.lit(""))
+    base = d.withColumns({
+        "__w": F.filter(F.split(c, r"\s+"),
+                        lambda w: w != F.lit("")),
+        "__l": F.filter(F.split(c, r"\n"),
+                        lambda ln: F.trim(ln) != F.lit("")),
+        "__nsym": F.size(F.regexp_extract_all(
+            c, F.lit(r"#|\.\.\."), F.lit(0)))})
+    w, ln = F.col("__w"), F.col("__l")
+    nw, nl = F.size(w), F.size(ln)
+    mean_wl = F.try_divide(
+        F.aggregate(w, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x)), nw) \
+        .cast("double")
+    sym = F.try_divide(F.col("__nsym"), nw).cast("double")
+    bul = F.try_divide(
+        F.size(F.filter(ln, lambda x: F.ltrim(x)
+                        .rlike(r"^[-*•‣▪]"))), nl).cast("double")
+    ell = F.try_divide(
+        F.size(F.filter(ln, lambda x: F.rtrim(x)
+                        .rlike(r"(\.\.\.|…)$"))), nl).cast("double")
+    alp = F.try_divide(
+        F.size(F.filter(w, lambda x: x.rlike(r"[A-Za-z]"))),
+        nw).cast("double")
+    hits = F.lit(0)
+    for s in ("the", "be", "to", "of", "and", "that", "have", "with"):
+        hits = hits + F.array_contains(w, F.lit(s)).cast("int")
+    p4 = lambda x: F.floor(x * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    m = base.withColumns({
+        "n_words": nw, "mean_word_len": mean_wl,
+        "symbol_word_ratio": sym, "bullet_line_frac": bul,
+        "ellipsis_line_frac": ell, "alpha_word_frac": alp,
+        "stop_word_hits": hits})
+    rules = {
+        "pass_word_count": (F.col("n_words") >= 40)
+        & (F.col("n_words") <= 100000),
+        "pass_mean_word_len": F.coalesce(
+            (F.col("mean_word_len") >= 3.0)
+            & (F.col("mean_word_len") <= 10.0), F.lit(False)),
+        "pass_symbol_ratio": F.coalesce(
+            F.col("symbol_word_ratio") <= 0.1, F.lit(False)),
+        "pass_bullet_lines": F.coalesce(
+            F.col("bullet_line_frac") <= 0.5, F.lit(True)),
+        "pass_ellipsis_lines": F.coalesce(
+            F.col("ellipsis_line_frac") <= 0.15, F.lit(True)),
+        "pass_alpha_words": F.coalesce(
+            F.col("alpha_word_frac") >= 0.8, F.lit(False)),
+        "pass_stop_words": F.col("stop_word_hits") >= 1,
+    }
+    m = m.withColumns(rules)
+    keep = None
+    for r in rules:
+        keep = F.col(r) if keep is None else keep & F.col(r)
+    return m.withColumn("keep", keep) \
+        .drop("__w", "__l", "__nsym").select(
+        "doc_id", "n_words",
+        p4(F.col("mean_word_len")).alias("mean_word_len"),
+        p4(F.col("symbol_word_ratio")).alias("symbol_word_ratio"),
+        p4(F.col("bullet_line_frac")).alias("bullet_line_frac"),
+        p4(F.col("ellipsis_line_frac")).alias("ellipsis_line_frac"),
+        p4(F.col("alpha_word_frac")).alias("alpha_word_frac"),
+        "stop_word_hits", "pass_word_count", "pass_mean_word_len",
+        "pass_symbol_ratio", "pass_bullet_lines",
+        "pass_ellipsis_lines", "pass_alpha_words", "pass_stop_words",
+        "keep")
+
+
 # ---- heavy pipeline ops: INDEPENDENT hand spellings ------------------------
 # Unlike the operator-library twins above (which call the same plain-
 # PySpark operator body and measure wrapper overhead), these three are
@@ -774,4 +863,5 @@ TWINS = {
     "q145_hybrid_search": q145_hybrid_search,
     "q185_weighted_pagerank": q185_weighted_pagerank,
     "q209_curation_pipeline": q209_curation_pipeline,
+    "q215_gopher_quality_gate": q215_gopher_quality_gate,
 }

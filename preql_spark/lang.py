@@ -2941,6 +2941,28 @@ def _apply_function_inner(parser: Parser, name: str, args, kwargs):
             "NotImplementedError",
             "set_active_dataset is BigQuery-specific; the Spark "
             "session catalog has a single namespace")
+    if name == "table_add_index":
+        # pql_table_add_index (pql_functions.py:1043-1082): the
+        # reference no-ops on columnar targets (snowflake/redshift/
+        # bigquery) and so does Spark — the analogue is write-time
+        # layout (partition/bucket/Z-order), see engine.add_index.
+        # Validated like the reference: first arg must be a table,
+        # column(s) must exist on it
+        t = args[0]
+        if not isinstance(t, Table):
+            raise LangSignal(
+                "TypeError", "table_add_index() first argument "
+                "must be a table")
+        cols = parser._pyval(args[1])
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        missing = [c for c in cols if c not in t.df.columns]
+        if missing:
+            raise LangSignal(
+                "TypeError",
+                f"table_add_index(): no such column {missing[0]!r}")
+        unique = bool(parser._pyval(args[2])) if len(args) > 2 else False
+        parser.engine.add_index(t.meta.name, cols, unique=unique)
+        return None
     if name == "set_setting":
         # pql_set_setting (:210-216): display settings
         from preql_spark import display as _display
@@ -3373,7 +3395,8 @@ _FUNCTIONS = set(_AGG_MAP) | set(_SCALAR_MAP) | {
     # escape hatches / set-op function spellings / environment
     # introspection (pql_functions.py:43-73,125-130,351-417,820-828)
     "cast", "table_concat", "table_union", "table_intersect",
-    "table_substract", "table_subtract", "env_vars", "get_db_type",
+    "table_substract", "table_subtract", "table_add_index",
+    "env_vars", "get_db_type",
     "force_eval",
     "inspect_sql", "PY", "debug", "breakpoint",
     "exit", "connect", "get_qualified_name", "set_setting",
@@ -3495,6 +3518,18 @@ def _load_pipeline_funcs() -> dict:
                 text.k_anonymity_filter(df, list(quasi), int(k),
                                         count_col),
         "repetition_metrics": text.repetition_metrics,
+        "gopher_quality_gate":
+            lambda df, id_col="doc_id", min_words=50, min_stop_words=2:
+                text.gopher_quality_gate(
+                    df, id_col=id_col, min_words=int(min_words),
+                    min_stop_words=int(min_stop_words)),
+        "c4_clean":
+            lambda df, id_col="doc_id", min_words_per_line=5,
+            min_sentences=3:
+                text.c4_clean(
+                    df, id_col=id_col,
+                    min_words_per_line=int(min_words_per_line),
+                    min_sentences=int(min_sentences)),
         "tfidf": text.tf_idf,
         "bm25": text.bm25,
         "lm_perplexity": text.lm_perplexity,
@@ -3646,7 +3681,7 @@ _PIPELINE_FUNC_NAMES = {
     "scrub_contaminated_spans",
     "pq_topk",
     "quality_metrics", "repetition_metrics", "k_anonymity_filter",
-    "concentration", "pii_counts",
+    "concentration", "pii_counts", "gopher_quality_gate", "c4_clean",
     "tfidf", "bm25", "lm_perplexity", "quantile_filter",
     "quantile_bucketize", "corpus_datacard", "postings",
     "budget_select", "adjacent_pair_counts", "ngram_diversity",

@@ -472,12 +472,24 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
                 .otherwise(F.lit(0.0)).alias("top_bigram_frac")))
 
 
+#: one IPv4 octet, range-exact (0-255) — RE2-portable alternation,
+#: no backrefs/lookarounds; non-capturing so group 0 stays the whole
+#: match in every engine's regexp_extract_all
+_IPV4_OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+
 PII_PATTERNS = {
     # deliberately simple, RE2-compatible patterns (portable between
-    # Spark's Java regex and DuckDB/RE2 for differential testing)
+    # Spark's Java regex and DuckDB/RE2 for differential testing).
+    # The hand-labelled golden corpus in
+    # tests/test_operators.py::test_pii_golden_corpus pins each
+    # pattern against literal expected counts (incl. near-misses:
+    # a@b, 6-digit numbers, 999.999.999.999) — the spelling-share
+    # between q214's engine and oracle sides cannot hide a wrong
+    # pattern from it
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
-    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ipv4": (r"\b" + _IPV4_OCTET + r"\." + _IPV4_OCTET + r"\."
+             + _IPV4_OCTET + r"\." + _IPV4_OCTET + r"\b"),
 }
 
 
@@ -593,6 +605,187 @@ def pii_counts(df: DataFrame, group_cols: list[str] | str,
             .agg(F.sum("__n").cast("long").alias("n_matches"),
                  F.sum((F.col("__n") > 0).cast("long"))
                  .cast("long").alias("n_docs")))
+
+
+#: the Gopher rule-7 stop-word list (Rae et al. 2021, "Scaling
+#: Language Models: ... Gopher", table A1 — MassiveText filtering):
+#: a document must contain at least 2 of these to pass
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and",
+                    "that", "have", "with")
+
+
+def gopher_quality_gate(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        min_words: int = 50,
+                        max_words: int = 100_000,
+                        min_mean_word_len: float = 3.0,
+                        max_mean_word_len: float = 10.0,
+                        max_symbol_word_ratio: float = 0.1,
+                        max_bullet_line_frac: float = 0.9,
+                        max_ellipsis_line_frac: float = 0.3,
+                        min_alpha_word_frac: float = 0.8,
+                        min_stop_words: int = 2) -> DataFrame:
+    """The Gopher/MassiveText composite rule-based quality gate
+    (Rae et al. 2021, appendix A1.1 — the public heuristic battery
+    every large-corpus curation pipeline starts from), as ONE
+    scan-local pass returning ALL input columns (the pipeline
+    filters on ``keep`` without losing the document; ``id_col`` is
+    accepted for API symmetry with the other per-document
+    operators) plus the raw metrics, one boolean per rule, and the
+    composite ``keep`` flag:
+
+    - ``pass_word_count``: ``min_words <= n_words <= max_words``
+    - ``pass_mean_word_len``: mean word length in
+      ``[min_mean_word_len, max_mean_word_len]``
+    - ``pass_symbol_ratio``: (# of ``#`` or ``...`` symbols) / words
+      ``<= max_symbol_word_ratio``
+    - ``pass_bullet_lines``: fraction of non-blank lines starting
+      with a bullet mark ``<= max_bullet_line_frac``
+    - ``pass_ellipsis_lines``: fraction of non-blank lines ending
+      with an ellipsis ``<= max_ellipsis_line_frac``
+    - ``pass_alpha_words``: fraction of words containing at least
+      one alphabetic character ``>= min_alpha_word_frac``
+    - ``pass_stop_words``: at least ``min_stop_words`` distinct hits
+      from :data:`GOPHER_STOPWORDS`
+
+    A document with ZERO words fails every word-based rule (no
+    vacuous passes on empty docs); a document with zero non-blank
+    lines passes the line rules vacuously (nothing to object to).
+    The sibling per-rule metrics live in :func:`quality_metrics`
+    (scores) and :func:`repetition_metrics` / q211 (the repetition
+    rules of the same paper) — this gate is the remaining
+    cheap-boolean battery composed into one verdict.
+
+    Scale shape: the word and line arrays materialize ONCE as
+    columns (the array HOFs are CodegenFallback and would re-split
+    per reference), every metric is a JVM array/string expression
+    over them, and the whole operator is a single Project over the
+    scan — zero shuffles, zero joins, zero UDFs; spelled
+    RE2/DuckDB-portably so the oracle replays the identical
+    arithmetic."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    out = df.withColumns({
+        "__w": F.filter(F.split(c, r"\s+"),
+                        lambda w: w != F.lit("")),
+        "__l": F.filter(F.split(c, r"\n"),
+                        lambda ln: F.trim(ln) != F.lit("")),
+        "__nsym": F.size(F.regexp_extract_all(
+            c, F.lit(r"#|\.\.\."), F.lit(0)))})
+    w, ln = F.col("__w"), F.col("__l")
+    n_words = F.size(w)
+    n_lines = F.size(ln)
+    mean_wl = F.try_divide(
+        F.aggregate(w, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x)),
+        n_words).cast("double")
+    sym_ratio = F.try_divide(F.col("__nsym"), n_words).cast("double")
+    bullet_frac = F.try_divide(
+        F.size(F.filter(ln, lambda x:
+                        F.ltrim(x).rlike(r"^[-*•‣▪]"))),
+        n_lines).cast("double")
+    ellipsis_frac = F.try_divide(
+        F.size(F.filter(ln, lambda x:
+                        F.rtrim(x).rlike(r"(\.\.\.|…)$"))),
+        n_lines).cast("double")
+    alpha_frac = F.try_divide(
+        F.size(F.filter(w, lambda x: x.rlike(r"[A-Za-z]"))),
+        n_words).cast("double")
+    stop_hits = sum(
+        (F.array_contains(w, F.lit(s)).cast("int")
+         for s in GOPHER_STOPWORDS), F.lit(0)).alias("stop_hits")
+    out = out.withColumns({
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_word_ratio": sym_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "stop_word_hits": stop_hits,
+    })
+    false = F.lit(False)
+    rules = {
+        "pass_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "pass_mean_word_len": F.coalesce(
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len), false),
+        "pass_symbol_ratio": F.coalesce(
+            F.col("symbol_word_ratio") <= max_symbol_word_ratio, false),
+        # line rules pass vacuously on a doc with no non-blank lines
+        "pass_bullet_lines": F.coalesce(
+            F.col("bullet_line_frac") <= max_bullet_line_frac,
+            F.lit(True)),
+        "pass_ellipsis_lines": F.coalesce(
+            F.col("ellipsis_line_frac") <= max_ellipsis_line_frac,
+            F.lit(True)),
+        "pass_alpha_words": F.coalesce(
+            F.col("alpha_word_frac") >= min_alpha_word_frac, false),
+        "pass_stop_words": F.col("stop_word_hits") >= min_stop_words,
+    }
+    out = out.withColumns(rules)
+    keep = None
+    for r in rules:
+        keep = F.col(r) if keep is None else keep & F.col(r)
+    return out.withColumn("keep", keep).drop("__w", "__l", "__nsym")
+
+
+def c4_clean(df: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text",
+             min_words_per_line: int = 5,
+             min_sentences: int = 3) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning...", §2.2 — the public line/page
+    heuristics behind the C4 corpus), as ONE scan-local pass:
+
+    - line retained iff it ends in a terminal punctuation mark
+      (``. ! ?`` or a closing quote), has at least
+      ``min_words_per_line`` words, and does not mention
+      ``javascript`` (case-insensitive);
+    - page dropped (``keep = false``) when the CLEANED text has
+      fewer than ``min_sentences`` sentence terminators, or the RAW
+      page contains a curly brace (code) or the phrase
+      ``lorem ipsum`` (case-insensitive).
+
+    Returns ALL input columns (``id_col`` accepted for API
+    symmetry) plus ``(n_lines, n_kept, n_sentences, has_brace,
+    has_lorem, keep, clean)`` — the cleaned text plus the audit
+    columns a curation pipeline logs per page.  The word-count rule
+    counts whitespace tokens per line; sentence count approximates
+    the paper's "sentences" as terminal-punctuation marks in the
+    kept text (deterministic and cross-engine exact, unlike a
+    sentence segmenter).  :func:`gopher_quality_gate` is the
+    document-statistics sibling (Rae et al. rules); this is the
+    line-structure half of a standard two-gate web-corpus front end.
+
+    Scale shape: the line array materializes once, the keep filter
+    is a nested array HOF (word split per line), and everything else
+    is string/array expressions over it — a single Project over the
+    scan, zero shuffles, zero UDFs, RE2/DuckDB-portable spelling."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    mw = int(min_words_per_line)
+    out = df.withColumns({
+        "__l": F.filter(F.split(c, r"\n"),
+                        lambda ln: F.trim(ln) != F.lit("")),
+        "has_brace": c.contains("{"),
+        "has_lorem": F.lower(c).contains("lorem ipsum")})
+    kept = F.filter(
+        F.col("__l"),
+        lambda ln: ln.rlike(r'[.!?"”]\s*$')
+        & (F.size(F.filter(F.split(ln, r"\s+"),
+                           lambda w: w != F.lit(""))) >= mw)
+        & ~F.lower(ln).contains("javascript"))
+    out = out.withColumn("__k", kept)
+    clean = F.array_join(F.col("__k"), "\n")
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"),
+                                         F.lit(0)))
+    return (out.withColumns({
+        "n_lines": F.size("__l"),
+        "n_kept": F.size("__k"),
+        "n_sentences": n_sent,
+        "keep": (n_sent >= int(min_sentences))
+        & ~F.col("has_brace") & ~F.col("has_lorem"),
+        "clean": clean,
+    }).drop("__l", "__k"))
 
 
 def strip_repeated_units(col, sep: str = "\n") -> Column:
@@ -859,6 +1052,14 @@ def corpus_datacard(df: DataFrame, group_cols: list[str] | None = None,
     row all share one shuffle).  ``dup_ratio`` is
     1 - distinct-fingerprints / docs, the exact-dedup headroom.
 
+    The output carries ``gid`` (Spark's ``grouping_id()`` over
+    ``group_cols``, bit ``i`` set when column ``i`` is ROLLED UP in
+    that cell — identical to ANSI/DuckDB ``GROUPING(cols...)``): a
+    real crawl corpus has NULL metadata values (a document with no
+    detected ``lang``), and without the grouping id the
+    genuine-NULL-group cell is textually indistinguishable from the
+    rollup cell that aggregates over the column.
+
     Scale shape: the per-row metrics (token count, bytes,
     fingerprint) are scan-local codegen; the cube is one grouped
     aggregate with map-side partials — the report a pipeline publishes
@@ -872,7 +1073,8 @@ def corpus_datacard(df: DataFrame, group_cols: list[str] | None = None,
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("__tok").alias("total_tokens"),
                  F.sum("__bytes").alias("total_bytes"),
-                 F.count_distinct("__fp").alias("n_distinct"))
+                 F.count_distinct("__fp").alias("n_distinct"),
+                 F.grouping_id().cast("long").alias("gid"))
             .withColumn("dup_ratio",
                         (1 - F.col("n_distinct")
                          / F.col("n_docs").cast("double"))))

@@ -518,8 +518,12 @@ def incremental_ivf_ingest(spark: SparkSession, src_path: str,
     dedicated sidecar (rows ``(__id, run_id, batch_id)``, one file
     per epoch, compactable to ONE file via
     :func:`compact_ingest_ids`), so the steady-state per-batch cost
-    is one small-file read — the sibling-ingest pattern.  Crash
-    windows stay closed via a tiny intent store
+    is one small-file read — the sibling-ingest pattern.  Each
+    epoch's ids append also carries one NULL-``__id`` epoch-marker
+    row (invisible to the equi-join dedup probe), so even an
+    all-duplicates epoch is sidecar-decidable as committed — which
+    lets :func:`compact_ingest_ids` prune the intent store to empty.
+    Crash windows stay closed via that tiny intent store
     (``<ids_path>__intent``, one row per epoch, written BEFORE the
     index append; the ids row is written AFTER):
 
@@ -600,6 +604,7 @@ def incremental_ivf_ingest(spark: SparkSession, src_path: str,
                     if ids is not None else None)
         else:
             seen = _index_seen(s)   # recovery: index is ground truth
+        all_ids = rows.select("__id")   # full deduped batch id set
         if seen is not None:
             rows = rows.join(seen, rows["__id"] == seen["__seen"],
                              "left_anti").drop("__seen")
@@ -616,7 +621,29 @@ def incremental_ivf_ingest(spark: SparkSession, src_path: str,
          .select("__cid", "__id", "__v")
          .write.mode("append").partitionBy("__cid")
          .parquet(index_path))
-        (rows.select("__id")
+        # the sidecar row set: on the fast path the survivors suffice
+        # (non-survivors were dropped BY the sidecar, so they are in
+        # it already) — but in RECOVERY the anti-join ran against the
+        # INDEX, and ids the crashed attempt already appended are in
+        # the index yet NOT in the sidecar; writing only survivors
+        # would leave them sidecar-invisible forever, so a LATER
+        # epoch re-delivering them would fast-path anti-join the
+        # sidecar alone and re-append duplicates.  Recovery therefore
+        # writes the FULL deduped batch id set (survivors ∪ batch ids
+        # found in the index); the sidecar probe distincts, so the
+        # overlap with other completed epochs' rows is harmless.
+        # Every epoch ALSO writes one NULL-__id epoch-marker row: an
+        # all-duplicates batch (at-least-once re-delivery as new
+        # files) would otherwise commit ZERO sidecar rows, leaving
+        # replay detection hanging on its intent row forever — the
+        # marker makes "epoch committed" sidecar-decidable, so the
+        # intent store prunes to EMPTY in steady state
+        # (:func:`compact_ingest_ids`).  NULL never equi-joins, so
+        # the dedup probe is blind to markers by construction
+        id_t = rows.schema["__id"].dataType
+        mark = (all_ids if crashed else rows.select("__id")).unionByName(
+            s.range(1).select(F.lit(None).cast(id_t).alias("__id")))
+        (mark
          .withColumn("run_id", F.lit(run_id))
          .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
          .coalesce(1).write.mode("append").parquet(ids_path))
@@ -800,19 +827,17 @@ def _lock_file(path: str) -> str:
 
 
 def _read_lock_ts(fs, p) -> int | None:
-    """Epoch-millis the lock holder stamped, or None if unreadable
-    (a zero-byte lock from a crash mid-create counts as stale)."""
+    """Epoch-millis of the lock file per the FILESYSTEM's own clock
+    (``getFileStatus().getModificationTime()``), or None if the file
+    vanished mid-check.  The holder also stamps its local epoch-millis
+    INSIDE the file (diagnostics: ``cat`` the lock to see when/who),
+    but staleness decisions deliberately use the fs mtime — the one
+    clock every contending session observes identically — so
+    cross-machine clock skew can neither break a live lock early nor
+    honor a crashed holder's forever (a zero-byte lock from a crash
+    mid-create still carries a valid mtime and ages out normally)."""
     try:
-        ins = fs.open(p)
-        try:
-            data = []
-            b = ins.read()
-            while b != -1 and len(data) < 32:
-                data.append(chr(b))
-                b = ins.read()
-            return int("".join(data).strip())
-        finally:
-            ins.close()
+        return int(fs.getFileStatus(p).getModificationTime())
     except Exception:
         return None
 
@@ -843,7 +868,19 @@ class _compaction_lock:
     stranded ``__pre_compact`` backup, which stays loudly guarded
     independently of the lock.  This makes the RUN-ONLY-WHILE-
     STOPPED contract mechanical ACROSS sessions, not just within
-    one (:func:`_require_no_active_streams` covers in-session)."""
+    one (:func:`_require_no_active_streams` covers in-session).
+
+    Staleness is judged by the lock file's MODIFICATION TIME per the
+    store's own filesystem (:func:`_read_lock_ts`) — the one clock
+    every contending session observes identically — never by the
+    holder's self-stamped content, which cross-machine clock skew
+    could make look arbitrarily old (breaking a LIVE lock mid-swap)
+    or arbitrarily fresh (honoring a crashed one forever).  Mutual
+    exclusion itself rests on the filesystem's atomic
+    create-fail-if-exists: HDFS and local filesystems provide it;
+    on object stores without atomic create (plain S3 without a
+    consistency layer) the lock degrades to advisory and the
+    ``__pre_compact`` guard remains the hard backstop."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark, self.path = spark, path
@@ -1334,7 +1371,12 @@ def incremental_datacard_ingest(
     metrics cube over the counter sums; ``n_distinct`` cubes over
     the inventory (a fingerprint spanning two sources counts ONCE at
     the rolled-up cell, which a sum of finer cells cannot express —
-    the inventory can).  Two-wave ingestion == one-shot == batch
+    the inventory can).  Both cubes carry ``grouping_id()`` (output
+    column ``gid``, ANSI ``GROUPING(cols...)`` bit semantics) in the
+    cube-join key, so a genuine NULL group value — a document whose
+    ``lang`` was never detected, routine in crawl metadata — stays a
+    distinct cell from the rollup over that column.  Two-wave
+    ingestion == one-shot == batch
     :func:`preql_spark.operators.text.corpus_datacard` over the full
     corpus, cell for cell — that identity is the oracle.
 
@@ -1344,7 +1386,23 @@ def incremental_datacard_ingest(
     and only the ids append completes.  Scale shape per batch: ONE
     scan of the batch (persisted across the three consumers), one
     tiny grouped agg, one inventory anti-join keyed on (group, fp)
-    — the corpus is never re-read."""
+    — the corpus is never re-read.
+
+    State lifecycle at corpus scale: the counters state folds with
+    :func:`compact_datacard_state` (waves × groups → one row per
+    group plus lineage carriers).  The fingerprint INVENTORY and the
+    ids store are plain append-only stores — one file per epoch —
+    and compact with :func:`compact_ingest_ids` (distinct rewrite to
+    ONE file via the checked swap; the inventory is distinct by
+    contract, so the rewrite is purely a file-layout change —
+    report-identity pytest-pinned).  The inventory's ROW count is
+    the corpus's true distinct-fingerprint cardinality — that is the
+    floor exact ``n_distinct`` requires; if approximate counts are
+    acceptable at 100 TB, switch the distinct side to the
+    kilobyte-state :func:`incremental_hll_ingest` instead.  Pruning
+    (:func:`prune_ingest_ids` on the ids store) re-opens the dedup
+    window for pruned ids — same retention contract as every ingest
+    here."""
     from preql_spark.operators.text import fingerprint64, token_count
     from preql_spark.parquet_io import hadoop_dir_has_files
 
@@ -1397,24 +1455,194 @@ def incremental_datacard_ingest(
           # compaction leaves for the epoch guard — they must not
           # become NULL-group cube cells
           .filter(F.col("n_docs").isNotNull()))
+    # both cubes carry grouping_id(): a genuine NULL group value (a
+    # doc with no detected lang — routine in crawl metadata) is
+    # otherwise indistinguishable from the rollup cell over that
+    # column, and a gc-only null-safe join would cross-match the two
+    # (duplicated, mispaired cells).  gid in the join key keeps
+    # data-NULL and rollup cells distinct; it also rides along in the
+    # output, matching batch corpus_datacard's schema
     c1 = (st.cube(*[F.col(c) for c in gc])
           .agg(F.sum("n_docs").alias("n_docs"),
                F.sum("total_tokens").alias("total_tokens"),
-               F.sum("total_bytes").alias("total_bytes")))
+               F.sum("total_bytes").alias("total_bytes"),
+               F.grouping_id().cast("long").alias("gid")))
     c2 = (spark.read.parquet(pairs_path)
           .cube(*[F.col(c) for c in gc])
-          .agg(F.count_distinct("fp").alias("n_distinct")))
-    cond = None
+          .agg(F.count_distinct("fp").alias("n_distinct"),
+               F.grouping_id().cast("long").alias("__gid2")))
+    cond = c1["gid"] == c2["__gid2"]
     for g in gc:
-        e = c1[g].eqNullSafe(c2[g])
-        cond = e if cond is None else cond & e
+        cond = cond & c1[g].eqNullSafe(c2[g])
     nd = F.coalesce(F.col("n_distinct"), F.lit(0).cast("long"))
     return (c1.join(c2, cond, "left")
             .select(*[c1[g] for g in gc], "n_docs", "total_tokens",
-                    "total_bytes", nd.alias("n_distinct"))
+                    "total_bytes", nd.alias("n_distinct"), c1["gid"])
             .withColumn("dup_ratio",
                         (1 - F.col("n_distinct")
                          / F.col("n_docs").cast("double"))))
+
+
+def incremental_gate_rate_ingest(
+        spark: SparkSession, src_path: str, checkpoint: str,
+        state_path: str, ids_path: str,
+        group_col: str = "source", id_col: str = "doc_id",
+        text_col: str = "text", gate: str = "gopher",
+        **gate_kwargs) -> DataFrame:
+    """Streaming KEEP-RATE monitor for a rule-based quality gate —
+    the observability half of corpus curation: as batches of crawl
+    land, maintain per-``group_col`` counters of documents seen and
+    documents the gate would keep, so "what fraction of each source
+    survives the gate, and is it drifting?" never costs a corpus
+    re-scan.  ``gate``: ``"gopher"``
+    (:func:`preql_spark.operators.text.gopher_quality_gate`) or
+    ``"c4"`` (:func:`preql_spark.operators.text.c4_clean`), with
+    ``gate_kwargs`` forwarded — both are single scan-local Projects,
+    so the per-batch cost is ONE batch scan + a groups-bounded agg.
+
+    State shape: the data-card counters contract exactly — one
+    ``(group, n_docs, n_keep, batch_id, run_id)`` row per (epoch,
+    group), append-only with the (run_id, batch_id) epoch guard
+    (counter sums are not re-apply-idempotent); compacts with
+    :func:`compact_datacard_state` (``metric_cols=("n_docs",
+    "n_keep")``), ids store with :func:`compact_ingest_ids`.  The
+    report sums the state per group: two-wave ingestion == one-shot
+    == the batch gate + GROUP BY over the full corpus — that
+    identity is the oracle (q217)."""
+    from preql_spark.operators import text as _text
+    from preql_spark.parquet_io import hadoop_dir_has_files
+
+    gates = {"gopher": _text.gopher_quality_gate,
+             "c4": _text.c4_clean}
+    if gate not in gates:
+        raise ValueError(f"unknown gate {gate!r}: "
+                         f"expected one of {sorted(gates)}")
+    gate_fn = gates[gate]
+    _guard_stranded(spark, state_path, ids_path)
+    schema = spark.read.parquet(src_path).schema  # footer-only peek
+    run_id = _ingest_run_id(spark, checkpoint)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        if hadoop_dir_has_files(s, ids_path):
+            seen = (s.read.parquet(ids_path)
+                    .select(F.col(id_col).alias("__seen")).distinct())
+            batch = batch.join(
+                seen, batch[id_col] == seen["__seen"], "left_anti")
+        batch = batch.persist()
+        gated = gate_fn(batch.select(id_col, group_col, text_col),
+                        id_col=id_col, text_col=text_col,
+                        **gate_kwargs)
+        rows = (gated.groupBy(F.col(group_col))
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(F.col("keep").cast("long"))
+                     .alias("n_keep"))
+                .withColumn("batch_id",
+                            F.lit(int(batch_id)).cast("long"))
+                .withColumn("run_id", F.lit(run_id)))
+        if hadoop_dir_has_files(s, state_path):
+            st = _read_state(s, state_path, schema=rows.schema)
+            rows = rows.join(
+                st.select("run_id", "batch_id").distinct(),
+                ["run_id", "batch_id"], "left_anti")
+        rows.coalesce(1).write.mode("append").parquet(state_path)
+        batch.select(id_col).write.mode("append").parquet(ids_path)
+        batch.unpersist(blocking=False)
+
+    q = (spark.readStream.schema(schema).parquet(src_path)
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    st = (_read_state(spark, state_path).drop("run_id", "batch_id")
+          .filter(F.col("n_docs").isNotNull()))
+    return (st.groupBy(F.col(group_col))
+            .agg(F.sum("n_docs").alias("n_docs"),
+                 F.sum("n_keep").alias("n_keep"))
+            .withColumn("keep_rate",
+                        F.col("n_keep")
+                        / F.col("n_docs").cast("double")))
+
+
+def incremental_curation_ingest(
+        spark: SparkSession, src_path: str, checkpoint: str,
+        store_path: str,
+        group_col: str = "source", id_col: str = "doc_id",
+        text_col: str = "text", gate: str = "c4",
+        **gate_kwargs) -> DataFrame:
+    """Streaming MATERIALIZATION of a curated corpus — the
+    production shape of rule-based curation: as crawl batches land,
+    documents that pass the gate are appended (id, group, text) to
+    the curated store, exactly once, with the C4 gate contributing
+    its CLEANED text (the kept lines) and the Gopher gate the raw
+    text of keepers.  The downstream trainer reads the store; the
+    raw crawl is never re-scanned.
+
+    Idempotence is CONTENT-ADDRESSED on the store itself (the
+    :func:`incremental_distinct_ingest` contract): each batch drops
+    in-batch duplicate ids, anti-joins the store's own id column
+    (column-pruned read), and appends survivors — one store, one
+    append, so there is NO crash window between a data append and a
+    separate ids append; a replayed batch's ids are already present
+    and the anti-join drops them.  At 100 TB the anti-join cost is
+    the store's id column scan per batch — write the store
+    partitioned/bucketed by ``group_col`` (or add an ids sidecar as
+    in :func:`incremental_ivf_ingest`) when that becomes the
+    bottleneck.
+
+    Returns the curated-store report: per-group kept-doc count and
+    total curated characters — two-wave ingestion == one-shot ==
+    the batch gate + filter + GROUP BY over the full corpus (the
+    q218 oracle)."""
+    from preql_spark.operators import text as _text
+    from preql_spark.parquet_io import hadoop_dir_has_files
+
+    gates = {"gopher": _text.gopher_quality_gate,
+             "c4": _text.c4_clean}
+    if gate not in gates:
+        raise ValueError(f"unknown gate {gate!r}: "
+                         f"expected one of {sorted(gates)}")
+    gate_fn = gates[gate]
+    out_text = "clean" if gate == "c4" else text_col
+    _guard_stranded(spark, store_path)
+    schema = spark.read.parquet(src_path).schema  # footer-only peek
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        rows = (batch.select(id_col, group_col, text_col)
+                .dropDuplicates([id_col]))
+        if hadoop_dir_has_files(s, store_path):
+            seen = (s.read.parquet(store_path)
+                    .select(F.col(id_col).alias("__seen")).distinct())
+            rows = rows.join(
+                seen, rows[id_col] == seen["__seen"], "left_anti") \
+                .drop("__seen")
+        gated = gate_fn(rows, id_col=id_col, text_col=text_col,
+                        **gate_kwargs)
+        (gated.filter(F.col("keep"))
+         .select(id_col, group_col,
+                 F.col(out_text).alias(text_col))
+         .write.mode("append").parquet(store_path))
+
+    q = (spark.readStream.schema(schema).parquet(src_path)
+         .writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    if not hadoop_dir_has_files(spark, store_path):
+        # no batch ever ran (empty source): an empty report, not a
+        # missing-store read error
+        return spark.createDataFrame(
+            [], f"{group_col} string, n_docs bigint, "
+                "total_chars bigint")
+    return (spark.read.parquet(store_path)
+            .groupBy(F.col(group_col))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length(text_col)).alias("total_chars")))
 
 
 def incremental_distinct_ingest(
@@ -1792,15 +2020,24 @@ def _checked_swap(spark: SparkSession, path: str, out: DataFrame,
         # groups (a file up to ~2x target occasionally); the knob
         # bounds the one-giant-file/one-stuck-task failure mode, not
         # exact file sizes
+        # NULL-safe join key: rows with a NULL partition value live in
+        # the __HIVE_DEFAULT_PARTITION__ directory and must survive the
+        # rewrite like any other cell — a plain inner join on the
+        # column name would silently drop them (data loss at
+        # compaction time)
         cnts = (out.groupBy(partition_col)
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .withColumn("__nf", F.greatest(
                     F.lit(1),
                     F.ceil(F.col("__n") / F.lit(int(max_file_rows))))
                     .cast("int"))
-                .drop("__n"))
+                .drop("__n")
+                .withColumnRenamed(partition_col, "__pc"))
         total = cnts.agg(F.sum("__nf")).collect()[0][0] or 1
-        salted = (out.join(F.broadcast(cnts), partition_col)
+        salted = (out.join(
+                      F.broadcast(cnts),
+                      F.col(partition_col).eqNullSafe(F.col("__pc")))
+                  .drop("__pc")
                   .withColumn("__salt", F.pmod(
                       F.xxhash64(*[F.col(c) for c in out.columns]),
                       F.col("__nf"))))
@@ -1857,21 +2094,46 @@ def compact_ingest_ids(spark: SparkSession, ids_path: str) -> int:
     rewriting it filtered — do that with the same swap, NOT by
     deleting part files in place.
 
+    If the store has a ``<ids_path>__intent`` sibling (the
+    :func:`incremental_ivf_ingest` crash-marker store — one tiny row
+    per epoch, written BEFORE the index append), it is compacted in
+    the same pass: an intent row whose (run_id, batch_id) has a
+    matching SIDECAR row is redundant (the sink's committed-epoch
+    check returns before ever consulting intent), so only rows for
+    epochs with NO sidecar row — still-pending crash markers — are
+    kept.  In steady state that is zero rows, so the per-batch
+    crashed-epoch probe stops paying the one-file-per-epoch history.
+
     RUN ONLY WHILE THE STREAM IS STOPPED — enforced mechanically
     in-session (:func:`_require_no_active_streams`), like
     :func:`compact_ingest_state`."""
+    from preql_spark.parquet_io import hadoop_dir_has_files
+    intent_path = ids_path.rstrip("/") + "__intent"
     _require_no_active_streams(spark, "compact_ingest_ids")
-    _guard_stranded(spark, ids_path)
+    _guard_stranded(spark, ids_path, intent_path)
     with _compaction_lock(spark, ids_path):
         ids = spark.read.parquet(ids_path).distinct()
-        return _checked_swap(spark, ids_path, ids)
+        n = _checked_swap(spark, ids_path, ids)
+        if hadoop_dir_has_files(spark, intent_path):
+            committed = (spark.read.parquet(ids_path)
+                         .select("run_id", "batch_id").distinct())
+            pending = (spark.read.parquet(intent_path).distinct()
+                       .join(committed, ["run_id", "batch_id"],
+                             "left_anti"))
+            _checked_swap(spark, intent_path, pending)
+        return n
 
 
 def compact_datacard_state(spark: SparkSession, state_path: str,
-                           group_cols: tuple = ("source", "lang")
-                           ) -> int:
-    """Offline compaction for the data-card COUNTERS state
-    (:func:`incremental_datacard_ingest`): fold all wave rows into
+                           group_cols: tuple = ("source", "lang"),
+                           metric_cols: tuple = ("n_docs",
+                                                 "total_tokens",
+                                                 "total_bytes")) -> int:
+    """Offline compaction for a per-(epoch, group) COUNTERS state
+    (:func:`incremental_datacard_ingest`'s, and any sibling with the
+    same shape — pass ``metric_cols`` for the summed columns, e.g.
+    ``("n_docs", "n_keep")`` for
+    :func:`incremental_gate_rate_ingest`): fold all wave rows into
     one summed wave per group, keeping the max committed (run_id,
     batch_id) plus a zero-metric carrier row per other run (the
     :func:`compact_ingest_state` lineage rule — the epoch guard must
@@ -1883,7 +2145,7 @@ def compact_datacard_state(spark: SparkSession, state_path: str,
     store as one distinct file, and the inventory is distinct by
     contract.  RUN ONLY WHILE THE STREAM IS STOPPED — enforced
     in-session and cross-session like the other compactors."""
-    gc = list(group_cols)
+    gc, mc = list(group_cols), list(metric_cols)
     _require_no_active_streams(spark, "compact_datacard_state")
     _guard_stranded(spark, state_path)
     with _compaction_lock(spark, state_path):
@@ -1892,11 +2154,9 @@ def compact_datacard_state(spark: SparkSession, state_path: str,
                 st.groupBy("run_id")
                   .agg(F.max("batch_id").alias("mb")).collect()}
         top_run = max(tops, key=lambda k: (tops[k], k))
-        out = (st.filter(F.col("n_docs").isNotNull())
+        out = (st.filter(F.col(mc[0]).isNotNull())
                .groupBy(*[F.col(c) for c in gc])
-               .agg(F.sum("n_docs").alias("n_docs"),
-                    F.sum("total_tokens").alias("total_tokens"),
-                    F.sum("total_bytes").alias("total_bytes"))
+               .agg(*[F.sum(m).alias(m) for m in mc])
                .withColumn("batch_id",
                            F.lit(tops[top_run]).cast("long"))
                .withColumn("run_id", F.lit(top_run)))
@@ -1905,12 +2165,11 @@ def compact_datacard_state(spark: SparkSession, state_path: str,
             gt = {f.name: f.dataType.simpleString()
                   for f in st.schema.fields}
             schema = (", ".join(f"{c} {gt[c]}" for c in gc)
-                      + ", n_docs bigint, total_tokens bigint,"
-                        " total_bytes bigint, batch_id bigint,"
-                        " run_id string")
+                      + "".join(f", {m} bigint" for m in mc)
+                      + ", batch_id bigint, run_id string")
             out = out.unionByName(spark.createDataFrame(
-                [tuple([None] * len(gc)) + (None, None, None, b, r)
-                 for r, b in others], schema=schema))
+                [tuple([None] * len(gc)) + tuple([None] * len(mc))
+                 + (b, r) for r, b in others], schema=schema))
         return _checked_swap(spark, state_path, out)
 
 

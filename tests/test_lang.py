@@ -1713,6 +1713,19 @@ def test_builtin_escape_hatches_golden(leng):
     # debug()/breakpoint() are no-ops outside a tty
     assert leng.q('debug()') is None
     assert leng.q('breakpoint()') is None
+    # table_add_index (pql_functions.py:1043-1082): the reference
+    # no-ops on columnar targets and so does Spark (write-time layout
+    # is the analogue) — but the SPELLING must resolve, validate its
+    # arguments like the reference, and return null
+    from preql_spark.lang import LangSignal
+    leng.q('table Ix {name: string}')
+    leng.q('new Ix("a")')
+    assert leng.q('table_add_index(Ix, "name")') is None
+    assert leng.q('table_add_index(Ix, "name", true)') is None
+    with pytest.raises(LangSignal, match="no such column"):
+        leng.q('table_add_index(Ix, "nope")')
+    with pytest.raises(LangSignal, match="must be a table"):
+        leng.q('table_add_index(1, "x")')
 
 
 def test_stdlib_function_spellings_golden(leng):

@@ -667,6 +667,154 @@ def test_pii_counts(eng):
     assert l == got
 
 
+def test_pii_golden_corpus(eng):
+    """HAND-LABELLED golden corpus against literal expected counts —
+    the oracle-independence check for the PII patterns (q214's
+    DuckDB oracle is composed from the engine's own PII_PATTERNS, so
+    a wrong pattern would grade green there; these counts were
+    tallied by hand, not by either engine).  Near-misses pinned to
+    ZERO: a@b (no TLD), bare @domain (no user), trailing user@ (no
+    domain), a 6-digit number (phone needs >= 9 chars), octets > 255
+    (999.999.999.999, 256.1.1.1), truncated dotted runs (1.2.3).
+    Redaction zeroes the whole golden."""
+    from preql_spark.operators.text import pii_counts, redact_pii
+    spark = eng.spark
+    df = spark.createDataFrame(
+        [("a", "Reach john.doe+spam@mail.example.co.uk or "
+               "jane@example.com; dial +1 (555) 010-7788; "
+               "host 10.0.0.1."),
+         ("a", "No PII here: a@b, @example.com, user@, call 123456,"
+               " IP 999.999.999.999 and 1.2.3 done"),
+         ("b", "Mail ops@svc.io twice: ops@svc.io. Phones: "
+               "555-123-4567 and (020) 7946 0958."),
+         ("b", None),
+         ("b", "Endpoint 192.168.1.255:8080 vs 256.1.1.1 "
+               "and 10.10.10.10")], "g: string, t: string")
+    got = {(r.g, r.kind): (r.n_matches, r.n_docs)
+           for r in pii_counts(df, ["g"], "t").collect()}
+    # hand counts — row 1: 2 emails, 1 phone, 1 ipv4; row 2: nothing
+    # (every token is a near-miss); row 3: 2 emails, 2 phones;
+    # row 4: NULL; row 5: 2 ipv4 (192.168.1.255 and 10.10.10.10 —
+    # NOT 256.1.1.1, and no sub-match inside it: 56.1.1.1 starts
+    # mid-number, \b fails)
+    assert got == {
+        ("a", "email"): (2, 1), ("a", "phone"): (1, 1),
+        ("a", "ipv4"): (1, 1),
+        ("b", "email"): (2, 1), ("b", "phone"): (2, 1),
+        ("b", "ipv4"): (2, 1),
+    }
+    clean = df.select("g", redact_pii("t").alias("t"))
+    post = pii_counts(clean, ["g"], "t").collect()
+    assert all(r.n_matches == 0 and r.n_docs == 0 for r in post)
+
+
+def test_gopher_quality_gate(eng):
+    """Each Gopher rule fires on a doc crafted to break exactly it
+    (the others at defaults pass or fail predictably): word count,
+    symbol ratio, bullet lines, ellipsis lines, alpha-word fraction,
+    stop-word presence; the empty doc fails every word rule but
+    passes the line rules vacuously; composite keep only on the
+    clean doc; lang parity."""
+    from preql_spark.operators.text import gopher_quality_gate
+    spark = eng.spark
+    good = ("the cat and the dog have fun with that red ball near "
+            "to the old tree of joy in may ") * 3          # 60 words
+    rows = [
+        ("good", good),
+        ("short", "the cat and the dog have fun"),          # 7 words
+        ("bullets", "\n".join(f"- {good}" for _ in range(10))),
+        ("symbols", good + " #" * 20),                # 20/80 = 0.25
+        ("numeric", good + " 123" * 60),          # 60/120 non-alpha
+        ("nostop", "zebra quagga okapi lion tiger puma " * 10),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "id: string, text: string")
+    out = {r["id"]: r for r in gopher_quality_gate(
+        df, id_col="id").collect()}
+    assert out["good"]["keep"] and out["good"]["n_words"] == 60
+    assert out["good"]["stop_word_hits"] == 7    # all but 'be'
+    assert not out["short"]["pass_word_count"]
+    assert out["short"]["pass_mean_word_len"]    # 3.1.. in range
+    assert not out["bullets"]["pass_bullet_lines"]
+    assert out["bullets"]["bullet_line_frac"] == 1.0
+    assert not out["symbols"]["pass_symbol_ratio"]
+    assert out["symbols"]["symbol_word_ratio"] == 0.25
+    assert not out["numeric"]["pass_alpha_words"]
+    assert out["numeric"]["alpha_word_frac"] == 0.5
+    assert not out["nostop"]["pass_stop_words"]
+    assert out["nostop"]["stop_word_hits"] == 0
+    e = out["empty"]
+    assert e["n_words"] == 0 and not e["pass_word_count"]
+    assert not e["pass_mean_word_len"] and not e["pass_alpha_words"]
+    assert e["pass_bullet_lines"] and e["pass_ellipsis_lines"]
+    assert not e["keep"]
+    assert [k for k, r in out.items() if r["keep"]] == ["good"]
+    # ellipsis rule: 2 of 4 lines end with ... / … -> frac 0.5 > 0.3
+    ell = spark.createDataFrame(
+        [("e", f"{good}\nwait for it...\nplain line\nmore…")],
+        "id: string, text: string")
+    r = gopher_quality_gate(ell, id_col="id").collect()[0]
+    assert r["ellipsis_line_frac"] == 0.5
+    assert not r["pass_ellipsis_lines"]
+    # lang parity
+    l = {r["id"]: r for r in eng.q(
+        'gopher_quality_gate(pdocs, "id")', pdocs=df).collect()}
+    assert {k: v["keep"] for k, v in l.items()} == \
+        {k: v["keep"] for k, v in out.items()}
+
+
+def test_c4_clean(eng):
+    """Each C4 rule pinned: terminal-punct line filter (incl. the
+    closing-quote mark and trailing whitespace), the min-words-per-
+    line rule, the javascript line rule (case-insensitive), the
+    brace / lorem-ipsum / min-sentences page gates, NULL text, and
+    lang parity."""
+    from preql_spark.operators.text import c4_clean
+    spark = eng.spark
+    s = ("this sentence has enough words to pass easily.\n"    # kept
+         "no terminal punctuation on this long line here\n"    # drop
+         "Too short.\n"                                        # drop
+         "another long sentence that certainly qualifies!\n"   # kept
+         "does this question also have enough words here?")    # kept
+    rows = [
+        ("good", s),
+        ("js", s + "\nYou must enable JavaScript to view this page."),
+        ("brace", s + "\nfunction f() { return 1; }"),
+        ("lorem", s + "\nclassic Lorem Ipsum dolor sit amet filler."),
+        ("quote", 'he said the famous words "quote me on this."\n'
+                  "a trailing space after the mark still counts. "),
+        ("short", "one good sentence is simply not enough here."),
+        ("none", None),
+    ]
+    df = spark.createDataFrame(rows, "id: string, text: string")
+    out = {r["id"]: r for r in c4_clean(df, id_col="id").collect()}
+    g = out["good"]
+    assert (g["n_lines"], g["n_kept"], g["n_sentences"]) == (5, 3, 3)
+    assert g["keep"] and not g["has_brace"] and not g["has_lorem"]
+    assert "no terminal" not in g["clean"]
+    assert "Too short." not in g["clean"]
+    # javascript line dropped case-insensitively; page itself keeps
+    j = out["js"]
+    assert j["n_kept"] == 3 and "JavaScript" not in j["clean"]
+    assert j["keep"]
+    b = out["brace"]
+    assert b["has_brace"] and not b["keep"]
+    lo = out["lorem"]
+    assert lo["has_lorem"] and not lo["keep"]
+    q = out["quote"]
+    assert q["n_kept"] == 2          # closing quote + trailing space
+    assert not q["keep"]             # only 2 sentence marks
+    sh = out["short"]
+    assert sh["n_kept"] == 1 and sh["n_sentences"] == 1
+    assert not sh["keep"]
+    n = out["none"]
+    assert n["n_lines"] == 0 and n["n_kept"] == 0 and not n["keep"]
+    # lang parity
+    l = {r["id"]: r["keep"] for r in eng.q(
+        'c4_clean(pdocs, "id")', pdocs=df).collect()}
+    assert l == {k: v["keep"] for k, v in out.items()}
+
+
 def test_strip_repeated_units(eng):
     """Intra-doc self-repetition: repeated units collapse to the
     FIRST occurrence with order preserved, distinct units all
@@ -1636,15 +1784,39 @@ def test_join_cardinality(spark):
 def test_corpus_datacard(eng):
     from preql_spark.operators.text import corpus_datacard
     rep = corpus_datacard(eng.t.documents.df).collect()
-    total = [r for r in rep if r.source is None and r.lang is None]
+    total = [r for r in rep if r.gid == 3]       # global rollup cell
     assert len(total) == 1
     t = total[0]
+    assert t.source is None and t.lang is None
     n_docs = eng.t.documents.df.count()
     assert t.n_docs == n_docs and t.total_tokens > 0
     assert 0 <= t.dup_ratio < 1
-    # per-source rows sum to the global doc count
-    per_src = [r for r in rep if r.source is not None and r.lang is None]
+    # per-source rows (lang rolled up) sum to the global doc count
+    per_src = [r for r in rep if r.gid == 1]
+    assert all(r.source is not None for r in per_src)
     assert sum(r.n_docs for r in per_src) == n_docs
+
+
+def test_corpus_datacard_null_group_vs_rollup(eng):
+    """A GENUINE NULL group value gets its own gid=0 cell, distinct
+    from the rollup cell over that column (gid bit set) — the
+    grouping_id disambiguation a crawl corpus with undetected langs
+    needs."""
+    from preql_spark.operators.text import corpus_datacard
+    d = eng.t.documents.df.withColumn(
+        "lang", F.when(F.col("doc_id") % 17 == 0,
+                       F.lit(None).cast("string"))
+        .otherwise(F.col("lang")))
+    rep = corpus_datacard(d).collect()
+    by_key = {(r.source, r.lang, r.gid): r for r in rep}
+    src = next(r.source for r in rep if r.gid == 0 and r.lang is None)
+    null_cell = by_key[(src, None, 0)]     # genuine NULL-lang docs
+    rollup = by_key[(src, None, 1)]        # all langs of this source
+    assert null_cell.n_docs < rollup.n_docs
+    # the NULL-lang cells across sources sum to the global NULL count
+    n_null = d.filter(F.col("lang").isNull()).count()
+    assert sum(r.n_docs for r in rep
+               if r.gid == 0 and r.lang is None) == n_null
 
 
 def test_debounce(spark):

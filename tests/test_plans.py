@@ -221,6 +221,19 @@ def test_quantize_normalize_zero_exchange(spark):
     assert "Exchange" not in plan
 
 
+def test_gopher_gate_zero_exchange(spark):
+    """The Gopher composite gate and the C4 cleaner are each ONE
+    scan-local Project — metrics, per-rule booleans, composite keep,
+    and the cleaned text all compute over the materialized word/line
+    arrays with no Exchange anywhere."""
+    from preql_spark.operators import text
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = plan_of(text.gopher_quality_gate(d))
+    assert "Exchange" not in plan
+    plan = plan_of(text.c4_clean(d))
+    assert "Exchange" not in plan
+
+
 def test_repetition_metrics_narrow_shuffle(spark):
     """The document text column must never reach an Exchange — lines
     and bigrams are hashed to narrow rows before any shuffle."""

@@ -1278,31 +1278,42 @@ def test_incremental_datacard_state_identity(spark, eng, tmp_path):
     the full corpus, CUBE cell for cell (additive metrics from the
     counters state, n_distinct from the fingerprint inventory —
     incl. rolled-up cells where a fingerprint spanning two sources
-    must count ONCE); replay is a no-op; the inventory is bounded by
-    the true distinct cardinality."""
+    must count ONCE); GENUINE-NULL group values (every 17th doc's
+    lang NULLed) stay distinct cells from the rollup cells via the
+    grouping_id join key; replay is a no-op; the inventory is
+    bounded by the true distinct cardinality."""
     from preql_spark.operators.text import corpus_datacard
     from preql_spark.streaming.stream import incremental_datacard_ingest
     src, st, prs, ids, ck = (str(tmp_path / x)
                              for x in ("src", "st", "prs", "ids", "ck"))
-    d = eng.t.documents.df.select("doc_id", "source", "lang", "text")
+    d = (eng.t.documents.df.select("doc_id", "source", "lang", "text")
+         .withColumn("lang", F.when(F.col("doc_id") % 17 == 0,
+                                    F.lit(None).cast("string"))
+                     .otherwise(F.col("lang"))))
     d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
     incremental_datacard_ingest(spark, src, ck, st, prs, ids)
     d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
     out = incremental_datacard_ingest(spark, src, ck, st, prs, ids)
-    key = lambda r: (r["source"] or "", r["lang"] or "")  # noqa: E731
-    got = {key(r): (r["n_docs"], r["total_tokens"], r["total_bytes"],
-                    r["n_distinct"], round(r["dup_ratio"], 9))
-           for r in out.collect()}
-    want = {key(r): (r["n_docs"], r["total_tokens"], r["total_bytes"],
-                     r["n_distinct"], round(r["dup_ratio"], 9))
-            for r in corpus_datacard(d).collect()}
+    key = lambda r: (r["source"] or "", r["lang"] or "",  # noqa: E731
+                     r["gid"])
+    val = lambda r: (r["n_docs"], r["total_tokens"],  # noqa: E731
+                     r["total_bytes"], r["n_distinct"],
+                     round(r["dup_ratio"], 9))
+    got = {key(r): val(r) for r in out.collect()}
+    want = {key(r): val(r) for r in corpus_datacard(d).collect()}
     assert got == want
-    assert ("", "") in got          # the global rollup cell exists
+    assert ("", "", 3) in got       # the global rollup cell exists
+    # a data-NULL lang cell (gid=0: lang is GROUPED, its value is
+    # NULL) and the lang-rollup cell for the same source (gid=1) are
+    # DISTINCT cells with different counts — the grouping_id contract
+    some_src = next(s for (s, lg, g) in got if g == 0 and lg == "")
+    null_cell = got[(some_src, "", 0)]
+    rollup_cell = got[(some_src, "", 1)]
+    assert null_cell != rollup_cell
+    assert null_cell[0] < rollup_cell[0]   # rollup spans all langs
     # replay: nothing new, report unchanged
     out2 = incremental_datacard_ingest(spark, src, ck, st, prs, ids)
-    got2 = {key(r): (r["n_docs"], r["total_tokens"], r["total_bytes"],
-                     r["n_distinct"], round(r["dup_ratio"], 9))
-            for r in out2.collect()}
+    got2 = {key(r): val(r) for r in out2.collect()}
     assert got2 == got
     # inventory bound: one row per distinct (source, lang, fp)
     inv = spark.read.parquet(prs)
@@ -1333,7 +1344,8 @@ def test_compact_datacard_state_preserves_report(spark, eng, tmp_path):
     assert n < rows_before          # two waves folded into one
     # report after compaction (replay wave: nothing new) == batch
     out = incremental_datacard_ingest(spark, src, ck, st, prs, ids)
-    key = lambda r: (r["source"] or "", r["lang"] or "")  # noqa: E731
+    key = lambda r: (r["source"] or "", r["lang"] or "",  # noqa: E731
+                     r["gid"])
     got = {key(r): (r["n_docs"], r["total_tokens"], r["total_bytes"],
                     r["n_distinct"], round(r["dup_ratio"], 9))
            for r in out.collect()}
@@ -1345,6 +1357,112 @@ def test_compact_datacard_state_preserves_report(spark, eng, tmp_path):
     stt = spark.read.parquet(st)
     assert stt.count() == d.select("source", "lang").distinct().count()
     assert stt.select("run_id").distinct().count() == 1
+
+
+def test_incremental_gate_rate_state_identity(spark, eng, tmp_path):
+    """Two-wave streaming gate keep-rate == batch gate + GROUP BY
+    over the full corpus for BOTH gates (gopher and c4); replay is a
+    no-op; the counters state compacts with compact_datacard_state's
+    generalized metric_cols and the report is unchanged; an unknown
+    gate name raises."""
+    from preql_spark.operators.text import c4_clean, gopher_quality_gate
+    from preql_spark.streaming.stream import (
+        compact_datacard_state, incremental_gate_rate_ingest)
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    for gate, fn, kw in [
+            ("gopher", gopher_quality_gate,
+             dict(min_words=40, min_stop_words=1)),
+            ("c4", c4_clean, dict(min_sentences=1))]:
+        base = tmp_path / gate
+        src, st, ids, ck = (str(base / x)
+                            for x in ("src", "st", "ids", "ck"))
+        ing = lambda: incremental_gate_rate_ingest(  # noqa: E731
+            spark, src, ck, st, ids, gate=gate, **kw)
+        d.filter(F.col("doc_id") < 250).write.mode(
+            "overwrite").parquet(src)
+        ing()
+        d.filter(F.col("doc_id") >= 250).write.mode(
+            "append").parquet(src)
+        out = ing()
+        got = {r["source"]: (r["n_docs"], r["n_keep"],
+                             round(r["keep_rate"], 9))
+               for r in out.collect()}
+        want = {r["source"]: (r["n"], r["k"],
+                              round(r["k"] / r["n"], 9))
+                for r in fn(d, **kw).groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("keep").cast("long")).alias("k"))
+                .collect()}
+        assert got == want and len(got) == 20
+        # replay: nothing new, report unchanged
+        assert {r["source"]: (r["n_docs"], r["n_keep"],
+                              round(r["keep_rate"], 9))
+                for r in ing().collect()} == got
+        # compaction (generalized metric_cols) preserves the report
+        n = compact_datacard_state(spark, st, group_cols=("source",),
+                                   metric_cols=("n_docs", "n_keep"))
+        assert n == 20                  # one summed row per source
+        assert {r["source"]: (r["n_docs"], r["n_keep"],
+                              round(r["keep_rate"], 9))
+                for r in ing().collect()} == got
+    with pytest.raises(ValueError, match="unknown gate"):
+        incremental_gate_rate_ingest(
+            spark, src, str(tmp_path / "ck2"), st, ids,
+            gate="nope")
+
+
+def test_incremental_curation_ingest(spark, eng, tmp_path):
+    """Streaming curated-corpus materialization: two-wave == batch
+    c4_clean + keep-filter over the full corpus, row-for-row
+    including the CLEANED text; replay and re-delivery (same ids as
+    new files) are no-ops — the store is the dedup source, so no
+    separate ids state and no crash window; gopher mode keeps raw
+    text; unknown gate raises."""
+    from preql_spark.operators.text import c4_clean
+    from preql_spark.streaming.stream import incremental_curation_ingest
+    src, store, ck = (str(tmp_path / x) for x in ("src", "store", "ck"))
+    # multi-line docs so the C4 line filter has work: sentence + junk
+    d = eng.t.documents.df.select(
+        "doc_id", "source",
+        F.concat(F.substring("text", 1, 50), F.lit(". keep me fine!"),
+                 F.lit("\nno terminal punctuation junk line"),
+                 F.when(F.col("doc_id") % 4 == 0,
+                        F.lit("\nanother proper sentence right here."))
+                 .otherwise(F.lit(""))).alias("text"))
+    kw = dict(gate="c4", min_sentences=2)
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_curation_ingest(spark, src, ck, store, **kw)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_curation_ingest(spark, src, ck, store, **kw)
+    got = {r["source"]: (r["n_docs"], r["total_chars"])
+           for r in out.collect()}
+    batch = (c4_clean(d, min_sentences=2).filter(F.col("keep"))
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.length("clean")).alias("ch")))
+    want = {r["source"]: (r["n"], r["ch"]) for r in batch.collect()}
+    assert got == want
+    # the stored text IS the cleaned text, row for row
+    stored = {r["doc_id"]: r["text"]
+              for r in spark.read.parquet(store).collect()}
+    expect = {r["doc_id"]: r["clean"]
+              for r in c4_clean(d, min_sentences=2)
+              .filter(F.col("keep")).select("doc_id", "clean")
+              .collect()}
+    assert stored == expect
+    # replay + re-delivery of wave-1 ids as NEW files: no-ops
+    assert {r["source"]: (r["n_docs"], r["total_chars"])
+            for r in incremental_curation_ingest(
+                spark, src, ck, store, **kw).collect()} == got
+    d.filter(F.col("doc_id") < 100).write.mode("append").parquet(src)
+    out3 = incremental_curation_ingest(spark, src, ck, store, **kw)
+    assert {r["source"]: (r["n_docs"], r["total_chars"])
+            for r in out3.collect()} == got
+    ids = spark.read.parquet(store).select("doc_id")
+    assert ids.count() == ids.distinct().count()
+    with pytest.raises(ValueError, match="unknown gate"):
+        incremental_curation_ingest(
+            spark, src, str(tmp_path / "ck2"), store, gate="nope")
 
 
 def test_incremental_z_monitor_state_identity(spark, eng, tmp_path):
@@ -1439,8 +1557,9 @@ def test_incremental_ivf_ingest_completeness_and_pruning(
     rep2 = incremental_ivf_ingest(spark, src, ck, idx, cents,
                                   ids_path=ids)
     assert {r.cell: r.n_vectors for r in rep2.collect()} == counts
-    # the sidecar holds exactly the corpus ids, once each
-    sc = spark.read.parquet(ids)
+    # the sidecar holds exactly the corpus ids, once each (plus the
+    # per-epoch NULL markers, invisible to the dedup equi-join)
+    sc = spark.read.parquet(ids).filter(F.col("__id").isNotNull())
     assert sc.select("__id").distinct().count() == e.count()
     # exhaustive probes == brute force, row for row
     q = e.filter(F.col("vec_id") < 3)
@@ -1547,6 +1666,35 @@ def test_ivf_sidecar_crash_recovery(spark, eng, tmp_path):
     sc = spark.read.parquet(ids)
     assert sc.filter((F.col("run_id") == rid)
                      & (F.col("batch_id") == 1)).count() > 0
+    # recovery must mark the FULL batch id set in the sidecar — the
+    # crashed attempt's pre-appended ids (100-149) included, not just
+    # the survivors the index anti-join let through — or a LATER
+    # epoch re-delivering them would fast-path past the sidecar and
+    # re-append duplicates
+    marked = {r["__id"] for r in sc.select("__id").collect()}
+    assert set(range(100, 150)) <= marked
+    w2.filter(F.col("vec_id") < 150).write.mode("append").parquet(src)
+    rep3 = incremental_ivf_ingest(spark, src, ck, idx, cents,
+                                  ids_path=ids)
+    assert sum(r.n_vectors for r in rep3.collect()) == 200
+    got3 = spark.read.parquet(idx).select("__id")
+    assert got3.count() == got3.distinct().count() == 200
+    # intent-store lifecycle: every epoch leaves one intent row;
+    # compact_ingest_ids prunes the ones whose epoch committed to
+    # the sidecar (ALL of them — the per-epoch NULL marker makes
+    # even the all-duplicates epoch 2 sidecar-decidable, so steady
+    # state is ZERO intent rows) and the ingest stays healthy
+    from preql_spark.streaming.stream import compact_ingest_ids
+    assert spark.read.parquet(ids + "__intent").count() > 0
+    n = compact_ingest_ids(spark, ids)
+    assert n >= 200                     # 200 ids + epoch markers
+    sc2 = spark.read.parquet(ids)
+    assert sc2.filter(F.col("__id").isNotNull()) \
+        .select("__id").distinct().count() == 200
+    assert spark.read.parquet(ids + "__intent").count() == 0
+    rep4 = incremental_ivf_ingest(spark, src, ck, idx, cents,
+                                  ids_path=ids)
+    assert sum(r.n_vectors for r in rep4.collect()) == 200
     # completeness end-to-end: exhaustive probes == brute force
     q = e.filter(F.col("vec_id") < 3)
     a = sorted(tuple(r) for r in ivf_topk_from_store(
@@ -1559,20 +1707,25 @@ def test_ivf_sidecar_crash_recovery(spark, eng, tmp_path):
 def test_compact_partitioned_store_max_file_rows(spark, tmp_path):
     """The mega-cell knob: a partition value over max_file_rows
     splits into ~ceil(n/max) files (bounded: 2..nf with hash-group
-    collisions), cells under the cap still compact to ONE file, and
-    contents stay row-identical per cell."""
+    collisions), cells under the cap still compact to ONE file,
+    contents stay row-identical per cell — and rows whose partition
+    value is NULL (the __HIVE_DEFAULT_PARTITION__ directory) survive
+    the salted rewrite (null-safe per-cell count join)."""
     import glob
     from preql_spark.streaming.stream import compact_partitioned_store
     store = str(tmp_path / "store")
     df = spark.range(0, 400).select(
         F.lit(0).alias("__cid"), F.col("id").alias("__id")) \
         .union(spark.range(1000, 1050).select(
-            F.lit(1).alias("__cid"), F.col("id").alias("__id")))
+            F.lit(1).alias("__cid"), F.col("id").alias("__id"))) \
+        .union(spark.range(2000, 2020).select(
+            F.lit(None).cast("int").alias("__cid"),
+            F.col("id").alias("__id")))
     # write raggedly (several files per cell) to give compaction work
     df.repartition(8).write.mode("overwrite") \
         .partitionBy("__cid").parquet(store)
     n = compact_partitioned_store(spark, store, max_file_rows=100)
-    assert n == 450
+    assert n == 470
     big = glob.glob(f"{store}/__cid=0/*.parquet")
     small = glob.glob(f"{store}/__cid=1/*.parquet")
     assert 2 <= len(big) <= 4          # ceil(400/100)=4 groups
@@ -1583,6 +1736,7 @@ def test_compact_partitioned_store_max_file_rows(spark, tmp_path):
     m = {r["__cid"]: (r.n, r.s) for r in got}
     assert m[0] == (400, sum(range(400)))
     assert m[1] == (50, sum(range(1000, 1050)))
+    assert m[None] == (20, sum(range(2000, 2020)))
 
 
 def test_prune_ingest_ids_reopens_window(spark, eng, tmp_path):
@@ -1652,10 +1806,14 @@ def test_cross_session_compaction_lock(spark, eng, tmp_path):
         incremental_ivf_ingest(other, src, ck, idx, cents,
                                ids_path=ids)
     # STALE lock (holder crashed long ago): broken, compaction runs,
-    # lock removed on completion
+    # lock removed on completion.  Staleness keys on the FILESYSTEM's
+    # mtime (the one clock all sessions share), not the stamped
+    # content — backdate the mtime the way a crashed holder's lock
+    # actually ages
+    old_ts = time.time() - COMPACTION_LOCK_STALE_S - 10
     with open(lock, "w") as f:
-        f.write(str(int(
-            (time.time() - COMPACTION_LOCK_STALE_S - 10) * 1000)))
+        f.write(str(int(old_ts * 1000)))
+    os.utime(lock, (old_ts, old_ts))
     n = compact_ingest_ids(other, ids)
     assert n == 3 and not os.path.exists(lock)
     # and the unlocked store ingests fine afterwards
