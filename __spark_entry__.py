@@ -1364,6 +1364,21 @@ def q215_gopher_quality_gate(spark, sf_dir) -> DataFrame:
         "keep")
 
 
+def q219_lang_gopher_pipeline(spark, sf_dir) -> DataFrame:
+    """The Gopher gate composed ENTIRELY in the query language —
+    `gopher_quality_gate` as a first-class lang builtin, filtered on
+    its keep flag and folded per source with lang aggregates: proves
+    the lang surface and the Python API compile to the same values
+    (q123's contract for the r12 gate family).  Oracle = the q217
+    keep arithmetic + GROUP BY, plus the kept docs' word total."""
+    eng = _eng(spark, sf_dir)
+    out = eng.q(
+        'gopher_quality_gate(documents, "doc_id", 40, 1)[keep]'
+        ' {source => n_keep: count(),'
+        '  total_words: sum(n_words)}')
+    return out.df.select("source", "n_keep", "total_words")
+
+
 def q218_curation_ingest(spark, sf_dir) -> DataFrame:
     """Streaming curated-corpus materialization: two availableNow
     waves append C4-gate survivors' CLEANED text to the curated
@@ -3660,7 +3675,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q185_weighted_pagerank": q185_weighted_pagerank,
     "q199_ks_quantized": q199_ks_quantized,
     "q187_lang_shipping_priority": q187_lang_shipping_priority,
-    "q188_mann_whitney": q188_mann_whitney,
+    "q219_lang_gopher_pipeline": q219_lang_gopher_pipeline,
     "q189_chi_square": q189_chi_square,
     "q190_hits": q190_hits,
     "q191_shortest_paths": q191_shortest_paths,
@@ -3788,7 +3803,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       text appended exactly-once, content-addressed on the
     #       store's own ids, report == batch gate+filter+GROUP BY)
     #       enters, displacing q181 (triangles — r11-green; graph
-    #       keeps q185/q190/q191/q196 in-window).
+    #       keeps q185/q190/q191/q196 in-window); and q219 (the
+    #       Gopher gate composed entirely IN THE LANG — filter on
+    #       its keep flag + lang aggregates; the q123 lang-parity
+    #       contract for the r12 gate family) enters, displacing
+    #       q188 (Mann-Whitney — r11-green; the stats family keeps
+    #       q179/q183/q189/q192/q195/q197/q198/q199 in-window).
     # displaced mid-r11 by the NEW graded q209 (see the r11 note):
     "q159_retrieve_refine_diversify": q159_retrieve_refine_diversify,
     # displaced mid-r11 by the NEW graded q210 (see the r11 note):
@@ -3805,6 +3825,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q170_rfm_scores": q170_rfm_scores,
     # displaced mid-r12 by the NEW graded q218 (see the r12 note):
     "q181_triangles": q181_triangles,
+    # displaced mid-r12 by the NEW graded q219 (see the r12 note):
+    "q188_mann_whitney": q188_mann_whitney,
     # displaced in r12 by q121's re-entry (gid contract change):
     "q173_mad_outliers": q173_mad_outliers,
     # displaced mid-r11 by the NEW graded q213 (see the r11 note):
@@ -7367,6 +7389,73 @@ ORACLES: dict[str, str] = {
                           '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp
               FROM documents)
         GROUP BY CUBE (source, lang)
+    """,
+    # the lang-composed Gopher pipeline: q217's keep arithmetic
+    # folded per source over KEPT docs only, plus their word total
+    "q219_lang_gopher_pipeline": r"""
+        WITH arr AS (
+          SELECT source,
+                 list_filter(string_split_regex(coalesce(text, ''),
+                             '\s+'), w -> w <> '') AS words,
+                 list_filter(string_split(coalesce(text, ''),
+                             chr(10)), x -> trim(x) <> '') AS lines,
+                 len(regexp_extract_all(coalesce(text, ''),
+                     '#|\.\.\.')) AS n_sym
+          FROM documents),
+        m AS (
+          SELECT source,
+                 len(words) AS n_words,
+                 CASE WHEN len(words) > 0 THEN
+                   CAST(list_sum(list_transform(words,
+                        w -> length(w))) AS DOUBLE) / len(words)
+                 END AS mean_wl,
+                 CASE WHEN len(words) > 0 THEN
+                   CAST(n_sym AS DOUBLE) / len(words)
+                 END AS sym_r,
+                 CASE WHEN len(lines) > 0 THEN
+                   CAST(len(list_filter(lines, x ->
+                        regexp_matches(ltrim(x), '^[-*•‣▪]')))
+                        AS DOUBLE) / len(lines)
+                 END AS bullet_f,
+                 CASE WHEN len(lines) > 0 THEN
+                   CAST(len(list_filter(lines, x ->
+                        regexp_matches(rtrim(x), '(\.\.\.|…)$')))
+                        AS DOUBLE) / len(lines)
+                 END AS ell_f,
+                 CASE WHEN len(words) > 0 THEN
+                   CAST(len(list_filter(words, w ->
+                        regexp_matches(w, '[A-Za-z]')))
+                        AS DOUBLE) / len(words)
+                 END AS alpha_f,
+                 ((CASE WHEN list_contains(words, 'the')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'be')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'to')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'of')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'and')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'that')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'have')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'with')
+                        THEN 1 ELSE 0 END)) AS stop_hits
+          FROM arr)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_keep,
+               CAST(sum(n_words) AS BIGINT) AS total_words
+        FROM m
+        WHERE (n_words >= 40 AND n_words <= 100000)
+          AND coalesce(mean_wl >= 3.0 AND mean_wl <= 10.0, FALSE)
+          AND coalesce(sym_r <= 0.1, FALSE)
+          AND coalesce(bullet_f <= 0.9, TRUE)
+          AND coalesce(ell_f <= 0.3, TRUE)
+          AND coalesce(alpha_f >= 0.8, FALSE)
+          AND stop_hits >= 1
+        GROUP BY source
     """,
     # the curation ingest's batch identity: q216's C4 spelling
     # (min_sentences=2) keep-filtered and folded per source — total
