@@ -2972,11 +2972,15 @@ def _apply_function_inner(parser: Parser, name: str, args, kwargs):
     if name in ("debug", "breakpoint"):
         # pql_debug / pql_breakpoint (pql_functions.py:202-242):
         # interactive only — enter a nested REPL bound to the current
-        # engine when stdin is a tty, else no-op (documented)
+        # engine when stdin is a tty, else no-op (documented).  The
+        # reference's breakpoint scope registers `c`/`continue`
+        # (pql_functions.py:831-833) to resume the outer program —
+        # same spellings here (bare or with parens)
         import sys as _sys
         if _sys.stdin.isatty():  # pragma: no cover - interactive
             from preql_spark.repl import Repl
-            Repl(parser.engine).interact()
+            Repl(parser.engine).interact(
+                prompt="debug> ", exit_commands=("c", "continue"))
         return None
 
     # ---- session / DDL control (__builtins__.pql:176-189,559-573) --

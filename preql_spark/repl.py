@@ -106,7 +106,12 @@ class Repl:
         except (Exception,) as e:          # surface, don't die
             print(f"{type(e).__name__}: {e}", file=sys.stderr)
 
-    def interact(self) -> None:
+    def interact(self, prompt: str = "preql> ",
+                 exit_commands: tuple = ()) -> None:
+        """Run the REPL loop.  ``exit_commands`` names commands that
+        END this loop — the reference's breakpoint sub-REPL registers
+        ``c`` / ``continue`` (pql_functions.py:831-833, the
+        ``breakpoint_funcs`` scope), accepted bare or with ``()``."""
         buf: list[str] = []
         try:
             import readline  # noqa: F401  (history + line editing)
@@ -120,9 +125,9 @@ class Repl:
             pass
         print(_BANNER)
         while True:
-            prompt = "   ... " if buf else "preql> "
+            p = "   ... " if buf else prompt
             try:
-                line = input(prompt)
+                line = input(p)
             except EOFError:
                 print()
                 return
@@ -130,6 +135,9 @@ class Repl:
                 print("^C")
                 buf.clear()
                 continue
+            if not buf and exit_commands \
+                    and line.strip().rstrip("()") in exit_commands:
+                return                   # continue the outer program
             buf.append(line)
             src = "\n".join(buf)
             if not src.strip():

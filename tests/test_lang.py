@@ -676,6 +676,29 @@ def test_repl_mechanics(eng, capsys):
     assert "NameError" in capsys.readouterr().err
 
 
+def test_breakpoint_repl_continue(eng, capsys, monkeypatch):
+    """The breakpoint sub-REPL's `c`/`continue` exit (reference
+    breakpoint_funcs, pql_functions.py:831-833): the nested loop
+    runs statements until the continue spelling — bare or with
+    parens — returns control; Ctrl-D (EOF) still exits too."""
+    from preql_spark.repl import Repl
+    for stop in ("c", "c()", "continue", "continue()"):
+        feed = iter(["1 + 2", stop, "SHOULD NOT RUN"])
+        monkeypatch.setattr("builtins.input", lambda _p: next(feed))
+        Repl(eng).interact(prompt="debug> ",
+                           exit_commands=("c", "continue"))
+        out = capsys.readouterr().out
+        assert "3" in out and "SHOULD NOT RUN" not in out
+    # without exit_commands, `c` is an ordinary (unknown) name
+    feed = iter(["c"])
+    monkeypatch.setattr("builtins.input", lambda _p: next(feed))
+    try:
+        Repl(eng).interact()
+    except StopIteration:
+        pass                      # fed lines exhausted — loop alive
+    assert "NameError" in capsys.readouterr().err
+
+
 def test_partial_table_golden(leng):
     """Ported reference test_partial_table (test_basic.py:1246-1276):
     nullable marker, text type, `A = null` unbind, reconnect via

@@ -1411,6 +1411,52 @@ def test_incremental_gate_rate_state_identity(spark, eng, tmp_path):
             gate="nope")
 
 
+def test_gate_rate_crash_replay_injection(spark, eng, tmp_path):
+    """The gate-rate counters crash window, exercised by injecting
+    the exact crash state: the epoch's counter rows written, ids row
+    NOT (a crash between the two appends).  The replayed batch must
+    hit the (run_id, batch_id) epoch guard — counters NOT re-folded
+    (sums are not re-apply-idempotent) — and complete only the ids
+    append; the report equals the batch gate exactly."""
+    from preql_spark.operators.text import gopher_quality_gate
+    from preql_spark.streaming.stream import (
+        _ingest_run_id, incremental_gate_rate_ingest)
+    src, st, ids, ck = (str(tmp_path / x)
+                        for x in ("src", "st", "ids", "ck"))
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    kw = dict(gate="gopher", min_words=40, min_stop_words=1)
+    w1 = d.filter(F.col("doc_id") < 250)
+    w2 = d.filter(F.col("doc_id") >= 250)
+    w1.write.mode("overwrite").parquet(src)
+    incremental_gate_rate_ingest(spark, src, ck, st, ids, **kw)
+    # inject epoch 1's crash: its counter rows exist, no ids row
+    rid = _ingest_run_id(spark, ck)
+    (gopher_quality_gate(w2, min_words=40, min_stop_words=1)
+     .groupBy("source")
+     .agg(F.count(F.lit(1)).alias("n_docs"),
+          F.sum(F.col("keep").cast("long")).alias("n_keep"))
+     .withColumn("batch_id", F.lit(1).cast("long"))
+     .withColumn("run_id", F.lit(rid))
+     .coalesce(1).write.mode("append").parquet(st))
+    w2.write.mode("append").parquet(src)
+    out = incremental_gate_rate_ingest(spark, src, ck, st, ids, **kw)
+    got = {r["source"]: (r["n_docs"], r["n_keep"])
+           for r in out.collect()}
+    want = {r["source"]: (r["n"], r["k"])
+            for r in gopher_quality_gate(d, min_words=40,
+                                         min_stop_words=1)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("keep").cast("long")).alias("k"))
+            .collect()}
+    assert got == want                 # no double-fold
+    # the recovery epoch completed its ids row: replay is a no-op
+    assert spark.read.parquet(ids).distinct().count() == d.count()
+    out2 = incremental_gate_rate_ingest(spark, src, ck, st, ids, **kw)
+    assert {r["source"]: (r["n_docs"], r["n_keep"])
+            for r in out2.collect()} == got
+
+
 def test_incremental_curation_ingest(spark, eng, tmp_path):
     """Streaming curated-corpus materialization: two-wave == batch
     c4_clean + keep-filter over the full corpus, row-for-row
