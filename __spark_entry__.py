@@ -1364,6 +1364,45 @@ def q215_gopher_quality_gate(spark, sf_dir) -> DataFrame:
         "keep")
 
 
+def q220_clean_then_datacard(spark, sf_dir) -> DataFrame:
+    """Composition capstone for the r12 cleaning family: C4-clean
+    the corpus (q216's deterministic multi-line dirt), keep the
+    survivors' CLEANED text, then publish the corpus data card over
+    it — the "curate, then card the curated corpus" sequence a real
+    pipeline runs before training.  The oracle replays BOTH stages
+    (q216's line arithmetic keep-filtered, then q121's
+    GROUPING()-aware cube over the cleaned text), so the cell hashes
+    grade the whole composition: cleaning changes every
+    token/byte/fingerprint the card reports."""
+    from preql_spark.operators import text
+    d = _eng(spark, sf_dir).t.documents.df
+    i, t = F.col("doc_id"), F.col("text")
+    dirty = F.concat_ws(
+        "\n",
+        F.concat(F.substring(t, 1, 40), F.lit(".")),
+        F.substring(t, 41, 30),
+        F.lit("Too short."),
+        F.when(i % 3 == 0,
+               F.lit("Please enable javascript to continue here."))
+        .otherwise(F.concat(F.substring(t, 71, 40), F.lit("!"))),
+        F.when(i % 5 == 0,
+               F.concat(F.substring(t, 111, 40), F.lit("?")))
+        .otherwise(F.substring(t, 111, 40)),
+        F.when(i % 7 == 0, F.lit("a curly { brace"))
+        .otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit("this page is Lorem Ipsum filler"))
+        .otherwise(F.lit("")))
+    cleaned = (text.c4_clean(
+        d.select("doc_id", "source", "lang", dirty.alias("text")),
+        min_sentences=2)
+        .filter(F.col("keep"))
+        .select("source", "lang", F.col("clean").alias("text")))
+    out = text.corpus_datacard(cleaned)
+    return out.select("source", "lang", "gid", "n_docs",
+                      "total_tokens", "total_bytes", "n_distinct",
+                      _pr4(F.col("dup_ratio")).alias("dup_ratio"))
+
+
 def q219_lang_gopher_pipeline(spark, sf_dir) -> DataFrame:
     """The Gopher gate composed ENTIRELY in the query language —
     `gopher_quality_gate` as a first-class lang builtin, filtered on
@@ -3677,7 +3716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q187_lang_shipping_priority": q187_lang_shipping_priority,
     "q219_lang_gopher_pipeline": q219_lang_gopher_pipeline,
     "q189_chi_square": q189_chi_square,
-    "q190_hits": q190_hits,
+    "q220_clean_then_datacard": q220_clean_then_datacard,
     "q191_shortest_paths": q191_shortest_paths,
     "q192_conversion_drift": q192_conversion_drift,
     "q208_source_concentration": q208_source_concentration,
@@ -3809,6 +3848,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       contract for the r12 gate family) enters, displacing
     #       q188 (Mann-Whitney — r11-green; the stats family keeps
     #       q179/q183/q189/q192/q195/q197/q198/q199 in-window).
+    #       Late addition: q220 (clean-then-card composition — C4
+    #       clean → keep → GROUPING()-aware corpus datacard over the
+    #       CLEANED text, both stages replayed in the oracle so the
+    #       cell hashes grade the composition) enters, displacing
+    #       q190 (HITS — r11-green; graph keeps q185/q191/q196
+    #       in-window).
     # displaced mid-r11 by the NEW graded q209 (see the r11 note):
     "q159_retrieve_refine_diversify": q159_retrieve_refine_diversify,
     # displaced mid-r11 by the NEW graded q210 (see the r11 note):
@@ -3827,6 +3872,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q181_triangles": q181_triangles,
     # displaced mid-r12 by the NEW graded q219 (see the r12 note):
     "q188_mann_whitney": q188_mann_whitney,
+    # displaced mid-r12 by the NEW graded q220 (see the r12 note):
+    "q190_hits": q190_hits,
     # displaced in r12 by q121's re-entry (gid contract change):
     "q173_mad_outliers": q173_mad_outliers,
     # displaced mid-r11 by the NEW graded q213 (see the r11 note):
@@ -7388,6 +7435,64 @@ ORACLES: dict[str, str] = {
                      ('0x' || substr(md5(regexp_replace(lower(trim(text)),
                           '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp
               FROM documents)
+        GROUP BY CUBE (source, lang)
+    """,
+    # the clean-then-card composition: q216's C4 spelling
+    # keep-filtered, then q121's GROUPING()-aware cube over the
+    # CLEANED text — both stages replayed, cell hashes grade the
+    # whole composition
+    "q220_clean_then_datacard": r"""
+        WITH dirty AS (
+          SELECT doc_id, source, lang,
+                 concat_ws(chr(10),
+                   substr(text, 1, 40) || '.',
+                   substr(text, 41, 30),
+                   'Too short.',
+                   CASE WHEN doc_id % 3 = 0 THEN
+                     'Please enable javascript to continue here.'
+                   ELSE substr(text, 71, 40) || '!' END,
+                   CASE WHEN doc_id % 5 = 0 THEN
+                     substr(text, 111, 40) || '?'
+                   ELSE substr(text, 111, 40) END,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'a curly { brace' ELSE '' END,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN 'this page is Lorem Ipsum filler'
+                        ELSE '' END) AS t
+          FROM documents),
+        arr AS (
+          SELECT doc_id, source, lang, t,
+                 list_filter(string_split(t, chr(10)),
+                             x -> trim(x) <> '') AS lines
+          FROM dirty),
+        k AS (
+          SELECT doc_id, source, lang, t,
+                 array_to_string(list_filter(lines, x ->
+                   regexp_matches(x, '[.!?"”]\s*$')
+                   AND len(list_filter(
+                         string_split_regex(x, '\s+'),
+                         w -> w <> '')) >= 5
+                   AND NOT contains(lower(x), 'javascript')),
+                   chr(10)) AS clean
+          FROM arr),
+        kept AS (
+          SELECT source, lang, clean AS text,
+                 ('0x' || substr(md5(regexp_replace(lower(trim(clean)),
+                      '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp
+          FROM k
+          WHERE len(regexp_extract_all(clean, '[.!?]')) >= 2
+            AND NOT contains(t, '{')
+            AND NOT contains(lower(t), 'lorem ipsum'))
+        SELECT source, lang,
+               CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                    AS BIGINT) AS total_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+               count(DISTINCT fp) AS n_distinct,
+               floor((1 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE))
+                     * 10000 + 0.5) / 10000 AS dup_ratio
+        FROM kept
         GROUP BY CUBE (source, lang)
     """,
     # the lang-composed Gopher pipeline: q217's keep arithmetic
