@@ -1590,7 +1590,11 @@ def incremental_curation_ingest(
     the store's id column scan per batch — write the store
     partitioned/bucketed by ``group_col`` (or add an ids sidecar as
     in :func:`incremental_ivf_ingest`) when that becomes the
-    bottleneck.
+    bottleneck.  The store accumulates one file per epoch;
+    :func:`compact_ingest_ids` collapses it (rows are unique by id,
+    so the distinct rewrite is a pure file-layout change —
+    pytest-pinned), and :func:`compact_partitioned_store` applies
+    if the store is written partitioned.
 
     Returns the curated-store report: per-group kept-doc count and
     total curated characters — two-wave ingestion == one-shot ==

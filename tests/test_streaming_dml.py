@@ -1506,6 +1506,15 @@ def test_incremental_curation_ingest(spark, eng, tmp_path):
             for r in out3.collect()} == got
     ids = spark.read.parquet(store).select("doc_id")
     assert ids.count() == ids.distinct().count()
+    # curated-store compaction: a pure file-layout change — report
+    # unchanged, and the next ingest still dedups against it
+    from preql_spark.streaming.stream import compact_ingest_ids
+    n = compact_ingest_ids(spark, store)
+    assert n == sum(v[0] for v in got.values())
+    d.filter(F.col("doc_id") < 50).write.mode("append").parquet(src)
+    out4 = incremental_curation_ingest(spark, src, ck, store, **kw)
+    assert {r["source"]: (r["n_docs"], r["total_chars"])
+            for r in out4.collect()} == got
     with pytest.raises(ValueError, match="unknown gate"):
         incremental_curation_ingest(
             spark, src, str(tmp_path / "ck2"), store, gate="nope")
