@@ -10,6 +10,19 @@ import os
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def test_streaming_exports_complete():
+    """Every public ingest/compaction/prune entry point in
+    streaming.stream is re-exported by the streaming package — the
+    r12 sweep found four r11 ingests missing from __all__; this
+    keeps the package surface in lockstep with the module."""
+    import preql_spark.streaming as s
+    import preql_spark.streaming.stream as st
+    public = {n for n in dir(st)
+              if n.startswith(("incremental_", "compact_", "prune_"))}
+    assert public <= set(s.__all__)
+    assert all(hasattr(s, n) for n in s.__all__)
+
+
 def test_doc_counts_match_registry():
     spec = importlib.util.spec_from_file_location(
         "check_doc_counts",
