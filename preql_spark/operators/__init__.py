@@ -6,8 +6,9 @@
 - cluster: Lloyd k-means + SemDeDup semantic dedup
 - bloom: bloom-filter build/probe and bloom-pruned exact semi join
 - text: language-ID, quality scoring, token counting, fingerprinting,
-  TF-IDF/BM25, repetition gates, LM perplexity, LLR importance,
-  domain caps, quantile gates/buckets
+  TF-IDF/BM25, repetition gates, the Gopher composite rule gate and
+  the C4 cleaning rules, LM perplexity, LLR importance,
+  domain caps, quantile gates/buckets, PII audit/redaction
 - history: SCD2 validity ranges, point-in-time views, snapshot CDC diff
 - layout: Z-order keys and join-key skew diagnostics
 - graph: iterative BFS / tree walk (reference graph.pql parity)
