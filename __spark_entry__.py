@@ -4148,7 +4148,16 @@ def _pii_counts_sql() -> str:
 #: (Æ/œ/ß/ĳ/Þ), the Latin Extended-A translate entries (Ł ó ź), the
 #: Latin-1 table, punctuation incl. non-ASCII (— … ’), and ragged
 #: spacing, identically on both engines
-_Q201_DIRT = "  Héllo, Wörld!—ÆSOP’s Œuvre: straße, Łódź, ĳs & Þorn…  "
+_Q201_DIRT = ("  Héllo,\u00a0Wörld!—ÆSOP’s\u0085Œuvre: "
+              "straße, Łódź,\u2009ĳs & Þorn…  ")
+
+
+def _ws_sql() -> str:
+    """The normalize_text collapse class, composed from the SAME
+    constant the engine uses (text.WHITESPACE_CLASS — ASCII \\s plus
+    the Unicode separators), so the two spellings cannot drift."""
+    from preql_spark.operators.text import WHITESPACE_CLASS
+    return WHITESPACE_CLASS
 
 
 ORACLES: dict[str, str] = {
@@ -5095,7 +5104,7 @@ ORACLES: dict[str, str] = {
                             '^(?:[a-zA-Z][\w+.-]*:)?(?://)?([^/:?#]+)',
                             1)) AS host,
                           trim(regexp_replace(regexpreplace_FOLD,
-                               '\s+', ' ', 'g')) AS ntext
+                               '{_ws_sql()}+', ' ', 'g')) AS ntext
                    FROM (SELECT doc_id, dirty, curl,
                            regexp_replace(
                              {_accent_fold_sql('lower(dirty)')},
@@ -5316,7 +5325,8 @@ ORACLES: dict[str, str] = {
         SELECT doc_id,
                trim(regexp_replace(regexp_replace(
                     {_accent_fold_sql('lower(s)')},
-                    '[\p{{P}}]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+                    '[\p{{P}}]', ' ', 'g'),
+                    '{_ws_sql()}+', ' ', 'g')) AS norm
         FROM dirty
     """,
     "q82_redact_pii": r"""

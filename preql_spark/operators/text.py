@@ -517,6 +517,20 @@ ACCENT_FOLD_MULTI = (("æ", "ae"), ("Æ", "AE"), ("œ", "oe"),
                      ("Œ", "OE"), ("ß", "ss"), ("ĳ", "ij"),
                      ("Ĳ", "IJ"), ("þ", "th"), ("Þ", "TH"))
 
+#: the whitespace :func:`normalize_text`'s collapse stage folds —
+#: ASCII ``\s`` plus the Unicode space/line separators real crawl
+#: text carries (NEL, NBSP, ogham mark, en/em/thin spaces, line and
+#: paragraph separators, narrow NBSP, math space, ideographic
+#: space).  ``\s`` alone is ASCII-only in BOTH Java regex and RE2,
+#: so a NEL or NBSP would otherwise survive "whitespace collapse"
+#: (a hypothesis property run caught exactly that); the extra
+#: characters are spelled LITERALLY inside one bracket class so the
+#: two engines read the identical pattern.  Covers Python's
+#: ``str.isspace()`` set over printable codepoints, so idempotence
+#: properties can assert with Python semantics.
+WHITESPACE_CLASS = ("[\\s\u0085\u00a0\u1680\u2000-\u200a"
+                    "\u2028\u2029\u202f\u205f\u3000]")
+
 
 def normalize_text(col, lowercase: bool = True,
                    fold_accents: bool = True,
@@ -544,7 +558,10 @@ def normalize_text(col, lowercase: bool = True,
     Extended-A web-corpus case while staying bit-reproducible
     cross-engine (DuckDB: ``trim(regexp_replace(regexp_replace(
     translate(replace(...replace(lower(s), 'æ', 'ae')...), FROM,
-    TO), '[\\p{P}]', ' ', 'g'), '\\s+', ' ', 'g'))``)."""
+    TO), '[\\p{P}]', ' ', 'g'), WHITESPACE_CLASS+'+', ' ', 'g'))``).
+    The collapse stage folds :data:`WHITESPACE_CLASS` — ASCII ``\\s``
+    plus the common Unicode separators (NEL/NBSP/…), since bare
+    ``\\s`` is ASCII-only in both Java regex and RE2."""
     c = col if isinstance(col, Column) else F.col(col)
     if lowercase:
         c = F.lower(c)
@@ -555,7 +572,9 @@ def normalize_text(col, lowercase: bool = True,
     if strip_punct:
         c = F.regexp_replace(c, r"[\p{P}]", " ")
     if collapse_whitespace:
-        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+        # the documented class, not bare \s: Java/RE2 \s is ASCII,
+        # and crawl text is full of NBSP/NEL (see WHITESPACE_CLASS)
+        c = F.trim(F.regexp_replace(c, WHITESPACE_CLASS + "+", " "))
     return c
 
 

@@ -929,6 +929,16 @@ def test_normalize_text(eng):
     assert up.select(
         normalize_text("t", lowercase=False).alias("n")) \
         .collect()[0].n == "AELOTH"
+    # Unicode whitespace collapses too (NEL/NBSP/thin space/
+    # ideographic space — Java/RE2 \s is ASCII-only; the collapse
+    # uses the documented WHITESPACE_CLASS, property-found in r12):
+    # leading/trailing forms trim away, interior runs fold to ONE
+    # ASCII space
+    uws = spark.createDataFrame(
+        [("\u0085hello\u00a0\u2009world\u3000ca\u0085va\u2028",)],
+        "t: string")
+    assert uws.select(normalize_text("t").alias("n")) \
+        .collect()[0].n == "hello world ca va"
     # stages off: keep case / keep accents / keep punct / keep spacing
     one = df.limit(1)
     assert one.select(normalize_text("t", lowercase=False).alias("n")) \
