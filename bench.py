@@ -230,7 +230,11 @@ def main():
     print(line)
     # full per-query history, committed: the driver's recorded stdout
     # tail truncates, so round-over-round wall comparisons would
-    # otherwise rest on a shrinking shared key set (r11 verdict note)
+    # otherwise rest on a shrinking shared key set (r11 verdict note).
+    # Suite-invoked runs (tiny fixtures) stay out of the log — only
+    # real bench invocations are history
+    if "PYTEST_CURRENT_TEST" in os.environ:
+        return
     try:
         import datetime
         stamped = json.dumps({"ts": datetime.datetime.now(
