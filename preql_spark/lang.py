@@ -1989,6 +1989,13 @@ class Parser:
             mm = getattr(v.meta, "methods", None) or {}
             if name in mm and isinstance(mm[name], _LangMethod):
                 return _BoundMethod(mm[name], v)
+            # builtin table methods (reference T.table.proto_attrs,
+            # pql_functions.py:1081 registers add_index) — a user
+            # method of the same name shadows (checked above)
+            if name == "add_index":
+                return _NativeFunc(
+                    "add_index",
+                    lambda p, a, k, _t=v: _table_add_index(p, [_t, *a]))
             # terminal `table.col` inside a join kwarg names a join key
             # (reference join-by-column spelling) — keep the table
             j = 0
@@ -2798,6 +2805,37 @@ def _help_text(parser: "Parser", obj=None) -> str:
     return f"No help available for {obj!r}"
 
 
+def _table_add_index(parser: Parser, args):
+    """pql_table_add_index (pql_functions.py:1043-1082): the
+    reference no-ops on columnar targets (snowflake/redshift/
+    bigquery) and so does Spark — the analogue is write-time layout
+    (partition/bucket/Z-order), see engine.add_index.  Reachable as
+    the table METHOD ``t.add_index(cols)`` (the reference registers
+    add_index on T.table.proto_attrs, pql_functions.py:1081) and via
+    the free-function alias ``table_add_index(t, cols)``.  We check
+    the first arg is a table and the columns exist; the reference
+    only checks persistence and defers column errors to the DB, so
+    the column check here is deliberately STRICTER (fail at the call
+    site, not at write time)."""
+    if len(args) < 2:
+        raise LangSignal(
+            "TypeError", "add_index(): missing required arguments "
+            "(table, column_or_columns[, unique])")
+    t = args[0]
+    if not isinstance(t, Table):
+        raise LangSignal(
+            "TypeError", "add_index() first argument must be a table")
+    cols = parser._pyval(args[1])
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    missing = [c for c in cols if c not in t.df.columns]
+    if missing:
+        raise LangSignal(
+            "TypeError", f"add_index(): no such column {missing[0]!r}")
+    unique = bool(parser._pyval(args[2])) if len(args) > 2 else False
+    parser.engine.add_index(t.meta.name, cols, unique=unique)
+    return None
+
+
 def _apply_function(parser: Parser, name: str, args, kwargs):
     # generic arity backstop: every builtin branch below indexes args
     # positionally; a call with too few arguments must surface as a
@@ -2942,27 +2980,10 @@ def _apply_function_inner(parser: Parser, name: str, args, kwargs):
             "set_active_dataset is BigQuery-specific; the Spark "
             "session catalog has a single namespace")
     if name == "table_add_index":
-        # pql_table_add_index (pql_functions.py:1043-1082): the
-        # reference no-ops on columnar targets (snowflake/redshift/
-        # bigquery) and so does Spark — the analogue is write-time
-        # layout (partition/bucket/Z-order), see engine.add_index.
-        # Validated like the reference: first arg must be a table,
-        # column(s) must exist on it
-        t = args[0]
-        if not isinstance(t, Table):
-            raise LangSignal(
-                "TypeError", "table_add_index() first argument "
-                "must be a table")
-        cols = parser._pyval(args[1])
-        cols = [cols] if isinstance(cols, str) else list(cols)
-        missing = [c for c in cols if c not in t.df.columns]
-        if missing:
-            raise LangSignal(
-                "TypeError",
-                f"table_add_index(): no such column {missing[0]!r}")
-        unique = bool(parser._pyval(args[2])) if len(args) > 2 else False
-        parser.engine.add_index(t.meta.name, cols, unique=unique)
-        return None
+        # free-function alias for the add_index table METHOD (the
+        # reference spelling is `t.add_index(...)` — see _attr's
+        # builtin-method dispatch); kept callable both ways
+        return _table_add_index(parser, args)
     if name == "set_setting":
         # pql_set_setting (:210-216): display settings
         from preql_spark import display as _display

@@ -987,14 +987,17 @@ def incremental_frequent_items_ingest(
                     .select(F.col(id_col).alias("__seen")).distinct())
             batch = batch.join(
                 seen, batch[id_col] == seen["__seen"], "left_anti")
-        # two consumers (summary fold + store append) — one batch
+        # in-batch duplicate ids would double-fold their tokens AND
+        # double-append the doc to the store — dedup first (the
+        # curation-ingest contract).
+        # Two consumers (summary fold + store append) — one batch
         # scan.  The summary fold MUST run before the append: the
         # anti-join's store side re-resolves the parquet listing per
         # action (the micro-batch plan is re-planned, the cache is
         # not guaranteed to carry across actions), so a post-append
         # action would see the batch's own ids in the store and
         # anti-join the whole batch away — zero tokens folded.
-        batch = batch.persist()
+        batch = batch.dropDuplicates([id_col]).persist()
         if hadoop_dir_has_files(s, state_path):
             done = {(r["run_id"], r["batch_id"]) for r in
                     _read_state(s, state_path,
@@ -1123,7 +1126,9 @@ def _group_value_histogram_ingest(
                     .select(F.col(id_col).alias("__seen")).distinct())
             batch = batch.join(
                 seen, batch[id_col] == seen["__seen"], "left_anti")
-        batch = batch.persist()
+        # in-batch duplicate ids would double-count the histogram —
+        # dedup before folding (the curation-ingest contract)
+        batch = batch.dropDuplicates([id_col]).persist()
         rows = (batch.select(F.col(group_col).alias("g"),
                              F.expr(value_expr).cast("long").alias("v"))
                 .groupBy("g", "v")
@@ -1222,7 +1227,9 @@ def _side_value_histogram_ingest(
                     .select(F.col(id_col).alias("__seen")).distinct())
             batch = batch.join(
                 seen, batch[id_col] == seen["__seen"], "left_anti")
-        batch = batch.persist()
+        # in-batch duplicate ids would double-count the histogram —
+        # dedup before folding (the curation-ingest contract)
+        batch = batch.dropDuplicates([id_col]).persist()
         rows = (batch.filter(F.col(side_col).isin([side_a, side_b]))
                 .select(F.col(side_col).alias("g"),
                         F.expr(value_expr).cast("long").alias("v"))
@@ -1418,7 +1425,10 @@ def incremental_datacard_ingest(
                     .select(F.col(id_col).alias("__seen")).distinct())
             batch = batch.join(
                 seen, batch[id_col] == seen["__seen"], "left_anti")
-        batch = batch.persist()
+        # in-batch duplicate ids would double-count every counter AND
+        # the ids store would still mark them ingested — dedup before
+        # folding, first writer wins (the curation-ingest contract)
+        batch = batch.dropDuplicates([id_col]).persist()
         rows = (batch.groupBy(*[F.col(c) for c in gc])
                 .agg(F.count(F.lit(1)).alias("n_docs"),
                      F.sum(token_count(F.col(text_col)))
@@ -1529,7 +1539,10 @@ def incremental_gate_rate_ingest(
                     .select(F.col(id_col).alias("__seen")).distinct())
             batch = batch.join(
                 seen, batch[id_col] == seen["__seen"], "left_anti")
-        batch = batch.persist()
+        # in-batch duplicate ids (at-least-once delivery inside ONE
+        # wave) would double-count n_docs/n_keep — dedup before
+        # gating, first writer wins (the curation-ingest contract)
+        batch = batch.dropDuplicates([id_col]).persist()
         gated = gate_fn(batch.select(id_col, group_col, text_col),
                         id_col=id_col, text_col=text_col,
                         **gate_kwargs)
@@ -1842,7 +1855,9 @@ def incremental_tdigest_ingest(
                     .select(F.col(id_col).alias("__seen")).distinct())
             batch = batch.join(
                 seen, batch[id_col] == seen["__seen"], "left_anti")
-        batch = batch.persist()
+        # in-batch duplicate ids would double-fold into the digest —
+        # dedup before sketching (the curation-ingest contract)
+        batch = batch.dropDuplicates([id_col]).persist()
         vals = batch.select(F.col(group_col).alias("g"),
                             F.expr(value_expr).cast("double")
                             .alias("v"))
@@ -2190,13 +2205,23 @@ def prune_ingest_ids(spark: SparkSession, ids_path: str,
     THE CONTRACT: pruning an id RE-OPENS its dedup window — a source
     that later re-delivers a pruned id will be re-ingested as new
     (pytest-pinned).  Only prune to a horizon the sources can no
-    longer replay.  RUN ONLY WHILE THE STREAM IS STOPPED — enforced
-    in-session and cross-session like the compactors."""
+    longer replay.  NULL-``__id`` epoch-marker rows (the
+    :func:`incremental_ivf_ingest` sidecar writes one per committed
+    epoch) are KEPT unconditionally: a user predicate over ``__id``
+    evaluates to NULL on them, and silently pruning a marker would
+    demote its committed epoch back to "pending" in the intent store
+    forever (clutter, not data loss — but :func:`compact_ingest_ids`
+    could then never prune that intent row).  RUN ONLY WHILE THE
+    STREAM IS STOPPED — enforced in-session and cross-session like
+    the compactors."""
     _require_no_active_streams(spark, "prune_ingest_ids")
     _guard_stranded(spark, ids_path)
     with _compaction_lock(spark, ids_path):
-        ids = (spark.read.parquet(ids_path)
-               .filter(F.expr(keep_expr)).distinct())
+        src = spark.read.parquet(ids_path)
+        keep = F.expr(keep_expr)
+        if "__id" in src.columns:
+            keep = keep | F.col("__id").isNull()
+        ids = src.filter(keep).distinct()
         return _checked_swap(spark, ids_path, ids)
 
 

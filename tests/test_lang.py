@@ -1749,6 +1749,17 @@ def test_builtin_escape_hatches_golden(leng):
         leng.q('table_add_index(Ix, "nope")')
     with pytest.raises(LangSignal, match="must be a table"):
         leng.q('table_add_index(1, "x")')
+    # the reference spelling is the table METHOD (proto_attrs,
+    # pql_functions.py:1081): x.add_index("col")
+    assert leng.q('Ix.add_index("name")') is None
+    assert leng.q('Ix.add_index("name", true)') is None
+    with pytest.raises(LangSignal, match="no such column"):
+        leng.q('Ix.add_index("nope")')
+    # arity miss is a clean TypeError signal, not a raw IndexError
+    with pytest.raises(LangSignal, match="missing required"):
+        leng.q('table_add_index(Ix)')
+    with pytest.raises(LangSignal, match="missing required"):
+        leng.q('Ix.add_index()')
 
 
 def test_stdlib_function_spellings_golden(leng):

@@ -1457,6 +1457,81 @@ def test_gate_rate_crash_replay_injection(spark, eng, tmp_path):
             for r in out2.collect()} == got
 
 
+def test_in_batch_duplicate_ids_fold_once(spark, eng, tmp_path):
+    """At-least-once delivery INSIDE one wave (the same doc id twice
+    in a single batch) must fold once into every counter state —
+    n_docs/n_keep (gate rate), the datacard counters, and the shared
+    value histogram all dedup the batch on id before folding (the
+    curation-ingest contract: first writer wins)."""
+    from preql_spark.operators.text import gopher_quality_gate
+    from preql_spark.streaming.stream import (
+        incremental_datacard_ingest, incremental_gate_rate_ingest,
+        incremental_quantile_ingest)
+    d = eng.t.documents.df.select("doc_id", "source", "text", "lang") \
+        .filter(F.col("doc_id") < 120)
+    dirty = d.union(d.filter(F.col("doc_id") < 40))   # in-wave dups
+    kw = dict(gate="gopher", min_words=40, min_stop_words=1)
+    base = tmp_path / "gate"
+    src, st, ids, ck = (str(base / x) for x in ("src", "st", "ids", "ck"))
+    dirty.select("doc_id", "source", "text") \
+        .write.mode("overwrite").parquet(src)
+    out = incremental_gate_rate_ingest(spark, src, ck, st, ids, **kw)
+    want = {r["source"]: (r["n"], r["k"])
+            for r in gopher_quality_gate(d, min_words=40,
+                                         min_stop_words=1)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("keep").cast("long")).alias("k"))
+            .collect()}
+    assert {r["source"]: (r["n_docs"], r["n_keep"])
+            for r in out.collect()} == want
+    base = tmp_path / "card"
+    src, st, prs, ids, ck = (str(base / x)
+                             for x in ("src", "st", "prs", "ids", "ck"))
+    dirty.write.mode("overwrite").parquet(src)
+    out = incremental_datacard_ingest(spark, src, ck, st, prs, ids,
+                                      group_cols=("source",))
+    got = {r["source"]: r["n_docs"] for r in
+           out.filter(F.col("gid") == 0).collect()}
+    assert got == {r["source"]: r["n"] for r in
+                   d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                   .collect()}
+    base = tmp_path / "hist"
+    src, st, ids, ck = (str(base / x) for x in ("src", "st", "ids", "ck"))
+    dirty.write.mode("overwrite").parquet(src)
+    out = incremental_quantile_ingest(spark, src, ck, st, ids,
+                                      group_col="source")
+    assert out.agg(F.sum("n")).collect()[0][0] == 120
+
+
+def test_prune_ingest_ids_keeps_epoch_markers(spark, tmp_path):
+    """NULL-``__id`` epoch-marker rows survive retention pruning: a
+    user predicate over __id evaluates NULL on them, and dropping a
+    marker would demote its committed epoch to pending-forever in
+    the intent store.  After a prune, compact_ingest_ids can still
+    prune the marker's intent row to empty."""
+    from preql_spark.streaming.stream import (compact_ingest_ids,
+                                              prune_ingest_ids)
+    ids = str(tmp_path / "ids")
+    intent = ids + "__intent"
+    rows = [(i, "r1", 0) for i in range(100)] + [(None, "r1", 0)]
+    spark.createDataFrame(
+        rows, "__id: bigint, run_id: string, batch_id: bigint") \
+        .write.mode("overwrite").parquet(ids)
+    spark.createDataFrame([("r1", 0)],
+                          "run_id: string, batch_id: bigint") \
+        .write.mode("overwrite").parquet(intent)
+    # 50 data ids kept + the marker row
+    assert prune_ingest_ids(spark, ids, "__id >= 50") == 51
+    kept = spark.read.parquet(ids)
+    assert kept.filter(F.col("__id").isNull()).count() == 1
+    assert kept.filter(F.col("__id").isNotNull()).count() == 50
+    # the epoch is still sidecar-decidable as committed: its intent
+    # row prunes away
+    compact_ingest_ids(spark, ids)
+    assert spark.read.parquet(intent).isEmpty()
+
+
 def test_incremental_curation_ingest(spark, eng, tmp_path):
     """Streaming curated-corpus materialization: two-wave == batch
     c4_clean + keep-filter over the full corpus, row-for-row
