@@ -7473,16 +7473,23 @@ ORACLES: dict[str, str] = {
         arr AS (
           SELECT doc_id, source, lang, t,
                  list_filter(string_split(t, chr(10)),
-                             x -> trim(x) <> '') AS lines
+                             x -> NOT regexp_matches(x, '^\s*$')) AS lines
           FROM dirty),
         k AS (
           SELECT doc_id, source, lang, t,
                  array_to_string(list_filter(lines, x ->
                    regexp_matches(x, '[.!?"”]\s*$')
+                   AND NOT regexp_matches(x, '(\.\.\.|…)\s*$')
                    AND len(list_filter(
                          string_split_regex(x, '\s+'),
                          w -> w <> '')) >= 5
-                   AND NOT contains(lower(x), 'javascript')),
+                   AND NOT contains(lower(x), 'javascript')
+                   AND NOT contains(lower(x), 'terms of use')
+                   AND NOT contains(lower(x), 'privacy policy')
+                   AND NOT contains(lower(x), 'cookie policy')
+                   AND NOT contains(lower(x), 'uses cookies')
+                   AND NOT contains(lower(x), 'use of cookies')
+                   AND NOT contains(lower(x), 'use cookies')),
                    chr(10)) AS clean
           FROM arr),
         kept AS (
@@ -7513,7 +7520,7 @@ ORACLES: dict[str, str] = {
                  list_filter(string_split_regex(coalesce(text, ''),
                              '\s+'), w -> w <> '') AS words,
                  list_filter(string_split(coalesce(text, ''),
-                             chr(10)), x -> trim(x) <> '') AS lines,
+                             chr(10)), x -> NOT regexp_matches(x, '^\s*$')) AS lines,
                  len(regexp_extract_all(coalesce(text, ''),
                      '#|\.\.\.')) AS n_sym
           FROM documents),
@@ -7529,12 +7536,12 @@ ORACLES: dict[str, str] = {
                  END AS sym_r,
                  CASE WHEN len(lines) > 0 THEN
                    CAST(len(list_filter(lines, x ->
-                        regexp_matches(ltrim(x), '^[-*•‣▪]')))
+                        regexp_matches(x, '^\s*[-*•‣▪]')))
                         AS DOUBLE) / len(lines)
                  END AS bullet_f,
                  CASE WHEN len(lines) > 0 THEN
                    CAST(len(list_filter(lines, x ->
-                        regexp_matches(rtrim(x), '(\.\.\.|…)$')))
+                        regexp_matches(x, '(\.\.\.|…)\s*$')))
                         AS DOUBLE) / len(lines)
                  END AS ell_f,
                  CASE WHEN len(words) > 0 THEN
@@ -7597,16 +7604,23 @@ ORACLES: dict[str, str] = {
         arr AS (
           SELECT doc_id, source, t,
                  list_filter(string_split(t, chr(10)),
-                             x -> trim(x) <> '') AS lines
+                             x -> NOT regexp_matches(x, '^\s*$')) AS lines
           FROM dirty),
         k AS (
           SELECT doc_id, source, t,
                  array_to_string(list_filter(lines, x ->
                    regexp_matches(x, '[.!?"”]\s*$')
+                   AND NOT regexp_matches(x, '(\.\.\.|…)\s*$')
                    AND len(list_filter(
                          string_split_regex(x, '\s+'),
                          w -> w <> '')) >= 5
-                   AND NOT contains(lower(x), 'javascript')),
+                   AND NOT contains(lower(x), 'javascript')
+                   AND NOT contains(lower(x), 'terms of use')
+                   AND NOT contains(lower(x), 'privacy policy')
+                   AND NOT contains(lower(x), 'cookie policy')
+                   AND NOT contains(lower(x), 'uses cookies')
+                   AND NOT contains(lower(x), 'use of cookies')
+                   AND NOT contains(lower(x), 'use cookies')),
                    chr(10)) AS clean
           FROM arr),
         kept AS (
@@ -7629,7 +7643,7 @@ ORACLES: dict[str, str] = {
                  list_filter(string_split_regex(coalesce(text, ''),
                              '\s+'), w -> w <> '') AS words,
                  list_filter(string_split(coalesce(text, ''),
-                             chr(10)), x -> trim(x) <> '') AS lines,
+                             chr(10)), x -> NOT regexp_matches(x, '^\s*$')) AS lines,
                  len(regexp_extract_all(coalesce(text, ''),
                      '#|\.\.\.')) AS n_sym
           FROM documents),
@@ -7645,12 +7659,12 @@ ORACLES: dict[str, str] = {
                  END AS sym_r,
                  CASE WHEN len(lines) > 0 THEN
                    CAST(len(list_filter(lines, x ->
-                        regexp_matches(ltrim(x), '^[-*•‣▪]')))
+                        regexp_matches(x, '^\s*[-*•‣▪]')))
                         AS DOUBLE) / len(lines)
                  END AS bullet_f,
                  CASE WHEN len(lines) > 0 THEN
                    CAST(len(list_filter(lines, x ->
-                        regexp_matches(rtrim(x), '(\.\.\.|…)$')))
+                        regexp_matches(x, '(\.\.\.|…)\s*$')))
                         AS DOUBLE) / len(lines)
                  END AS ell_f,
                  CASE WHEN len(words) > 0 THEN
@@ -7720,16 +7734,23 @@ ORACLES: dict[str, str] = {
         arr AS (
           SELECT doc_id, t,
                  list_filter(string_split(t, chr(10)),
-                             x -> trim(x) <> '') AS lines
+                             x -> NOT regexp_matches(x, '^\s*$')) AS lines
           FROM dirty),
         k AS (
           SELECT doc_id, t, lines,
                  list_filter(lines, x ->
                    regexp_matches(x, '[.!?"”]\s*$')
+                   AND NOT regexp_matches(x, '(\.\.\.|…)\s*$')
                    AND len(list_filter(
                          string_split_regex(x, '\s+'),
                          w -> w <> '')) >= 5
-                   AND NOT contains(lower(x), 'javascript'))
+                   AND NOT contains(lower(x), 'javascript')
+                   AND NOT contains(lower(x), 'terms of use')
+                   AND NOT contains(lower(x), 'privacy policy')
+                   AND NOT contains(lower(x), 'cookie policy')
+                   AND NOT contains(lower(x), 'uses cookies')
+                   AND NOT contains(lower(x), 'use of cookies')
+                   AND NOT contains(lower(x), 'use cookies'))
                  AS kept
           FROM arr),
         m AS (
@@ -7777,8 +7798,8 @@ ORACLES: dict[str, str] = {
                  list_filter(string_split_regex(t, '\s+'),
                              w -> w <> '') AS words,
                  list_filter(string_split(t, chr(10)),
-                             x -> trim(x) <> '') AS lines,
-                 len(regexp_extract_all(t, '#|\.\.\.')) AS n_sym
+                             x -> NOT regexp_matches(x, '^\s*$')) AS lines,
+                 len(regexp_extract_all(t, '#|\.\.\.|…')) AS n_sym
           FROM dirty),
         m AS (
           SELECT doc_id,
@@ -7792,12 +7813,12 @@ ORACLES: dict[str, str] = {
                  END AS sym_r,
                  CASE WHEN len(lines) > 0 THEN
                    CAST(len(list_filter(lines, x ->
-                        regexp_matches(ltrim(x), '^[-*•‣▪]')))
+                        regexp_matches(x, '^\s*[-*•‣▪]')))
                         AS DOUBLE) / len(lines)
                  END AS bullet_f,
                  CASE WHEN len(lines) > 0 THEN
                    CAST(len(list_filter(lines, x ->
-                        regexp_matches(rtrim(x), '(\.\.\.|…)$')))
+                        regexp_matches(x, '(\.\.\.|…)\s*$')))
                         AS DOUBLE) / len(lines)
                  END AS ell_f,
                  CASE WHEN len(words) > 0 THEN

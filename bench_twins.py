@@ -298,9 +298,9 @@ def q215_gopher_quality_gate(spark, sf_dir):
         "__w": F.filter(F.split(c, r"\s+"),
                         lambda w: w != F.lit("")),
         "__l": F.filter(F.split(c, r"\n"),
-                        lambda ln: F.trim(ln) != F.lit("")),
+                        lambda ln: ~ln.rlike(r"^\s*$")),
         "__nsym": F.size(F.regexp_extract_all(
-            c, F.lit(r"#|\.\.\."), F.lit(0)))})
+            c, F.lit(r"#|\.\.\.|…"), F.lit(0)))})
     w, ln = F.col("__w"), F.col("__l")
     nw, nl = F.size(w), F.size(ln)
     mean_wl = F.try_divide(
@@ -309,11 +309,11 @@ def q215_gopher_quality_gate(spark, sf_dir):
         .cast("double")
     sym = F.try_divide(F.col("__nsym"), nw).cast("double")
     bul = F.try_divide(
-        F.size(F.filter(ln, lambda x: F.ltrim(x)
-                        .rlike(r"^[-*•‣▪]"))), nl).cast("double")
+        F.size(F.filter(ln, lambda x:
+                        x.rlike(r"^\s*[-*•‣▪]"))), nl).cast("double")
     ell = F.try_divide(
-        F.size(F.filter(ln, lambda x: F.rtrim(x)
-                        .rlike(r"(\.\.\.|…)$"))), nl).cast("double")
+        F.size(F.filter(ln, lambda x:
+                        x.rlike(r"(\.\.\.|…)\s*$"))), nl).cast("double")
     alp = F.try_divide(
         F.size(F.filter(w, lambda x: x.rlike(r"[A-Za-z]"))),
         nw).cast("double")

@@ -656,8 +656,10 @@ def gopher_quality_gate(df: DataFrame, id_col: str = "doc_id",
     - ``pass_word_count``: ``min_words <= n_words <= max_words``
     - ``pass_mean_word_len``: mean word length in
       ``[min_mean_word_len, max_mean_word_len]``
-    - ``pass_symbol_ratio``: (# of ``#`` or ``...`` symbols) / words
-      ``<= max_symbol_word_ratio``
+    - ``pass_symbol_ratio``: (# of ``#``, ``...`` or ``…`` symbols)
+      / words ``<= max_symbol_word_ratio`` (the Unicode ellipsis
+      counts like the ASCII spelling — golden-corpus-pinned; the
+      line rule below already treated the two alike)
     - ``pass_bullet_lines``: fraction of non-blank lines starting
       with a bullet mark ``<= max_bullet_line_frac``
     - ``pass_ellipsis_lines``: fraction of non-blank lines ending
@@ -686,10 +688,12 @@ def gopher_quality_gate(df: DataFrame, id_col: str = "doc_id",
     out = df.withColumns({
         "__w": F.filter(F.split(c, r"\s+"),
                         lambda w: w != F.lit("")),
+        # blank = only \s characters (trim() strips SPACES only — a
+        # tab-only line is not content; golden-corpus-pinned)
         "__l": F.filter(F.split(c, r"\n"),
-                        lambda ln: F.trim(ln) != F.lit("")),
+                        lambda ln: ~ln.rlike(r"^\s*$")),
         "__nsym": F.size(F.regexp_extract_all(
-            c, F.lit(r"#|\.\.\."), F.lit(0)))})
+            c, F.lit(r"#|\.\.\.|…"), F.lit(0)))})
     w, ln = F.col("__w"), F.col("__l")
     n_words = F.size(w)
     n_lines = F.size(ln)
@@ -698,13 +702,15 @@ def gopher_quality_gate(df: DataFrame, id_col: str = "doc_id",
                     lambda acc, x: acc + F.length(x)),
         n_words).cast("double")
     sym_ratio = F.try_divide(F.col("__nsym"), n_words).cast("double")
+    # \s-aware edges (ltrim/rtrim strip SPACES only; a tab-indented
+    # bullet or a tab-trailed ellipsis must still count)
     bullet_frac = F.try_divide(
         F.size(F.filter(ln, lambda x:
-                        F.ltrim(x).rlike(r"^[-*•‣▪]"))),
+                        x.rlike(r"^\s*[-*•‣▪]"))),
         n_lines).cast("double")
     ellipsis_frac = F.try_divide(
         F.size(F.filter(ln, lambda x:
-                        F.rtrim(x).rlike(r"(\.\.\.|…)$"))),
+                        x.rlike(r"(\.\.\.|…)\s*$"))),
         n_lines).cast("double")
     alpha_frac = F.try_divide(
         F.size(F.filter(w, lambda x: x.rlike(r"[A-Za-z]"))),
@@ -748,18 +754,33 @@ def gopher_quality_gate(df: DataFrame, id_col: str = "doc_id",
     return out.withColumn("keep", keep).drop("__w", "__l", "__nsym")
 
 
+#: the C4 line-level policy boilerplate filter (the published
+#: tensorflow_datasets ``c4_utils`` _POLICY_SUBSTRINGS list — lines
+#: carrying cookie/ToS boilerplate are removed, case-insensitively)
+C4_POLICY_SUBSTRINGS = ("terms of use", "privacy policy",
+                        "cookie policy", "uses cookies",
+                        "use of cookies", "use cookies")
+
+
 def c4_clean(df: DataFrame, id_col: str = "doc_id",
              text_col: str = "text",
              min_words_per_line: int = 5,
              min_sentences: int = 3) -> DataFrame:
     """The C4 cleaning rules (Raffel et al. 2020, "Exploring the
-    Limits of Transfer Learning...", §2.2 — the public line/page
-    heuristics behind the C4 corpus), as ONE scan-local pass:
+    Limits of Transfer Learning...", §2.2, with the line predicates
+    of the published ``tensorflow_datasets`` ``c4_utils``
+    implementation — the public line/page heuristics behind the C4
+    corpus), as ONE scan-local pass:
 
     - line retained iff it ends in a terminal punctuation mark
-      (``. ! ?`` or a closing quote), has at least
-      ``min_words_per_line`` words, and does not mention
-      ``javascript`` (case-insensitive);
+      (``. ! ?`` or a closing quote) and does NOT end in an ellipsis
+      (``...`` or ``…`` — the c4_utils ``_ELLIPSIS`` exclusion: a
+      trailing ``...`` ends in ``.`` but is a truncation marker, not
+      a sentence; golden-corpus-pinned), has at least
+      ``min_words_per_line`` words, does not mention ``javascript``
+      (case-insensitive), and carries none of the
+      :data:`C4_POLICY_SUBSTRINGS` boilerplate phrases
+      (case-insensitive — the c4_utils policy filter);
     - page dropped (``keep = false``) when the CLEANED text has
       fewer than ``min_sentences`` sentence terminators, or the RAW
       page contains a curly brace (code) or the phrase
@@ -783,16 +804,23 @@ def c4_clean(df: DataFrame, id_col: str = "doc_id",
     c = F.coalesce(F.col(text_col), F.lit(""))
     mw = int(min_words_per_line)
     out = df.withColumns({
+        # blank = only \s characters (see gopher_quality_gate)
         "__l": F.filter(F.split(c, r"\n"),
-                        lambda ln: F.trim(ln) != F.lit("")),
+                        lambda ln: ~ln.rlike(r"^\s*$")),
         "has_brace": c.contains("{"),
         "has_lorem": F.lower(c).contains("lorem ipsum")})
-    kept = F.filter(
-        F.col("__l"),
-        lambda ln: ln.rlike(r'[.!?"”]\s*$')
-        & (F.size(F.filter(F.split(ln, r"\s+"),
-                           lambda w: w != F.lit(""))) >= mw)
-        & ~F.lower(ln).contains("javascript"))
+    def _line_ok(ln):
+        low = F.lower(ln)
+        ok = (ln.rlike(r'[.!?"”]\s*$')
+              & ~ln.rlike(r"(\.\.\.|…)\s*$")
+              & (F.size(F.filter(F.split(ln, r"\s+"),
+                                 lambda w: w != F.lit(""))) >= mw)
+              & ~low.contains("javascript"))
+        for p in C4_POLICY_SUBSTRINGS:
+            ok = ok & ~low.contains(p)
+        return ok
+
+    kept = F.filter(F.col("__l"), _line_ok)
     out = out.withColumn("__k", kept)
     clean = F.array_join(F.col("__k"), "\n")
     n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"),
@@ -805,6 +833,21 @@ def c4_clean(df: DataFrame, id_col: str = "doc_id",
         & ~F.col("has_brace") & ~F.col("has_lorem"),
         "clean": clean,
     }).drop("__l", "__k"))
+
+
+#: the document-gate registry — ONE place a gate registers for every
+#: consumer (the streaming keep-rate monitor and the streaming
+#: curation materialization both dispatch through it, so a new gate
+#: is one entry here, zero ingest edits).  Each value is
+#: ``(gate_fn, out_text_col)``: the gate takes ``(df, id_col=...,
+#: text_col=..., **kwargs)`` and returns ALL input columns plus a
+#: boolean ``keep``; ``out_text_col`` names the column holding the
+#: text a curation store should materialize for keepers (None = the
+#: raw ``text_col`` — only C4 rewrites the text).
+GATES: dict = {
+    "gopher": (gopher_quality_gate, None),
+    "c4": (c4_clean, "clean"),
+}
 
 
 def strip_repeated_units(col, sep: str = "\n") -> Column:

@@ -1504,11 +1504,12 @@ def incremental_gate_rate_ingest(
     land, maintain per-``group_col`` counters of documents seen and
     documents the gate would keep, so "what fraction of each source
     survives the gate, and is it drifting?" never costs a corpus
-    re-scan.  ``gate``: ``"gopher"``
-    (:func:`preql_spark.operators.text.gopher_quality_gate`) or
-    ``"c4"`` (:func:`preql_spark.operators.text.c4_clean`), with
-    ``gate_kwargs`` forwarded — both are single scan-local Projects,
-    so the per-batch cost is ONE batch scan + a groups-bounded agg.
+    re-scan.  ``gate``: any key of
+    :data:`preql_spark.operators.text.GATES` (the shared gate
+    registry — ``"gopher"``, ``"c4"``, ``"classifier"``, ...), with
+    ``gate_kwargs`` forwarded; the rule gates are single scan-local
+    Projects, so the per-batch cost is ONE batch scan + a
+    groups-bounded agg.
 
     State shape: the data-card counters contract exactly — one
     ``(group, n_docs, n_keep, batch_id, run_id)`` row per (epoch,
@@ -1519,15 +1520,13 @@ def incremental_gate_rate_ingest(
     report sums the state per group: two-wave ingestion == one-shot
     == the batch gate + GROUP BY over the full corpus — that
     identity is the oracle (q217)."""
-    from preql_spark.operators import text as _text
+    from preql_spark.operators.text import GATES
     from preql_spark.parquet_io import hadoop_dir_has_files
 
-    gates = {"gopher": _text.gopher_quality_gate,
-             "c4": _text.c4_clean}
-    if gate not in gates:
+    if gate not in GATES:
         raise ValueError(f"unknown gate {gate!r}: "
-                         f"expected one of {sorted(gates)}")
-    gate_fn = gates[gate]
+                         f"expected one of {sorted(GATES)}")
+    gate_fn, _ = GATES[gate]
     _guard_stranded(spark, state_path, ids_path)
     schema = spark.read.parquet(src_path).schema  # footer-only peek
     run_id = _ingest_run_id(spark, checkpoint)
@@ -1589,9 +1588,12 @@ def incremental_curation_ingest(
     production shape of rule-based curation: as crawl batches land,
     documents that pass the gate are appended (id, group, text) to
     the curated store, exactly once, with the C4 gate contributing
-    its CLEANED text (the kept lines) and the Gopher gate the raw
-    text of keepers.  The downstream trainer reads the store; the
-    raw crawl is never re-scanned.
+    its CLEANED text (the kept lines) and every other gate the raw
+    text of keepers (``gate``: any key of
+    :data:`preql_spark.operators.text.GATES`, the shared registry —
+    each entry declares its materialized-text column there).  The
+    downstream trainer reads the store; the raw crawl is never
+    re-scanned.
 
     Idempotence is CONTENT-ADDRESSED on the store itself (the
     :func:`incremental_distinct_ingest` contract): each batch drops
@@ -1613,16 +1615,14 @@ def incremental_curation_ingest(
     total curated characters — two-wave ingestion == one-shot ==
     the batch gate + filter + GROUP BY over the full corpus (the
     q218 oracle)."""
-    from preql_spark.operators import text as _text
+    from preql_spark.operators.text import GATES
     from preql_spark.parquet_io import hadoop_dir_has_files
 
-    gates = {"gopher": _text.gopher_quality_gate,
-             "c4": _text.c4_clean}
-    if gate not in gates:
+    if gate not in GATES:
         raise ValueError(f"unknown gate {gate!r}: "
-                         f"expected one of {sorted(gates)}")
-    gate_fn = gates[gate]
-    out_text = "clean" if gate == "c4" else text_col
+                         f"expected one of {sorted(GATES)}")
+    gate_fn, out_col = GATES[gate]
+    out_text = out_col or text_col
     _guard_stranded(spark, store_path)
     schema = spark.read.parquet(src_path).schema  # footer-only peek
 

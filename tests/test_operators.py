@@ -815,6 +815,347 @@ def test_c4_clean(eng):
     assert l == {k: v["keep"] for k, v in out.items()}
 
 
+def test_gopher_golden_corpus(eng):
+    """HAND-LABELLED golden corpus for the Gopher gate — the
+    oracle-independence check (the q215/q217/q219 DuckDB oracles
+    replay the engine's own arithmetic, so a wrong rule would grade
+    green there; every expected value below was counted by hand,
+    not by either engine).  Thresholds are scaled down (10–30
+    words, mean in [3, 7], bullet <= 0.5, ellipsis <= 0.25) so each
+    document stays short enough to hand-count.  Boundaries pinned
+    from BOTH sides for every rule, plus the near-misses: a doc at
+    exactly min/max words, mean word length exactly at either
+    bound, the symbol ratio exactly at the cap, ``…`` counted as a
+    symbol like ``...`` (the Unicode-ellipsis tightening this
+    golden forced), ``….`` NOT an ellipsis-ended line while
+    ``....`` IS, indented bullets (ltrim) and trailing spaces
+    (rtrim), capitalized / punctuation-glued stopwords NOT
+    matching, NBSP not splitting words (ASCII ``\\s`` contract),
+    and the empty/NULL/whitespace-only docs."""
+    from preql_spark.operators.text import gopher_quality_gate
+    docs = [
+        ("g01_clean", "the cat and dog have walked down this long "
+                      "road to see friends there today"),
+        ("g02_min_words_edge", "the dog and cat have run fast to "
+                               "them now"),
+        ("g03_min_words_minus1", "the dog and cat have run fast to "
+                                 "them"),
+        ("g04_max_words_edge",
+         "the big cat and the small dog have gone out to see that "
+         "very tall tree by the old mill road and they sat down "
+         "there to rest now again"),
+        ("g05_max_words_plus1",
+         "the big cat and the small dog have gone out to see that "
+         "very tall tree by the old mill road and they sat down "
+         "there to rest now again please"),
+        ("g06_mean_min_edge", "the and cat dog fox owl pig hen cow "
+                              "bee"),
+        ("g07_mean_below", "the and cat dog fox owl pig hen cow be"),
+        ("g08_mean_max_edge", "the that absolute gorgeous splendid "
+                              "historic imperial profound majestic "
+                              "supreme"),
+        ("g09_mean_above", "the that absolute gorgeous splendid "
+                           "historic imperial profound majestic "
+                           "supremely"),
+        ("g10_symbol_edge", "the dog and cat have run fast to them "
+                            "now#"),
+        ("g11_symbol_above", "the dog and cat have run fast to them "
+                             "now##"),
+        ("g12_ascii_ellipsis_symbol", "the dog... and cat have run "
+                                      "fast to them now"),
+        ("g13_unicode_ellipsis_symbol", "the dog… and cat… have run "
+                                        "fast to them now"),
+        ("g14_bullet_edge", "the cat and dog have gone\n"
+                            "- first point here\n"
+                            "• second point here\n"
+                            "plain closing line now to rest"),
+        ("g15_bullet_above", "the cat and dog have gone\n"
+                             "- first point here\n"
+                             "• second point here\n"
+                             "▪ third point here"),
+        ("g16_bullet_indented", "   - maybe the cat and dog have "
+                                "gone to rest"),
+        ("g17_ellipsis_edge", "the cat and dog have gone out...\n"
+                              "second line is here now\n"
+                              "third line is here too\n"
+                              "fourth line ends plainly here"),
+        ("g18_ellipsis_above", "the cat and dog have gone out…  \n"
+                               "second line is here now...\n"
+                               "third line is here too\n"
+                               "fourth line ends plainly here"),
+        ("g19_alpha_edge", "the cat and dog have gone 123 456 to "
+                           "rest"),
+        ("g20_alpha_below", "the cat and dog have gone 123 456 789 "
+                            "now"),
+        ("g21_two_distinct_stops", "the cat sat near the mat with "
+                                   "dogs running everywhere quickly "
+                                   "today"),
+        ("g22_one_stop_repeated", "the cat sat near the mat while "
+                                  "the dogs ran quickly around "
+                                  "today"),
+        ("g23_capitalized_stops", "The cat The dog The fox jumped "
+                                  "around someone quickly today"),
+        ("g24_glued_stops", "the, cat and, dog have, gone to rest "
+                            "here today"),
+        ("g25_empty", ""),
+        ("g26_null", None),
+        ("g27_whitespace_only", "   \n\t "),
+        ("g28_tabs_split", "the\tcat  and\ndog have\t\tgone to rest "
+                           "here today"),
+        ("g29_blank_lines", "the cat and dog\n\n\nhave gone to rest "
+                            "here today now again soon"),
+        ("g30_bullet_glyphs_only", "-\n-"),
+        ("g31_ellipsis_then_period", "the cat and dog have gone "
+                                     "out….\nsecond line is here "
+                                     "now"),
+        ("g32_four_dots", "the cat and dog have gone out....\n"
+                          "second line is here now\n"
+                          "third line sits here too\n"
+                          "fourth line ends plainly here"),
+        ("g33_nbsp_not_split", "the\u00a0cat and dog have gone to "
+                               "rest here today now"),
+        ("g34_everything_fails", "123 456 789 #…"),
+        ("g35_one_stop_fills_doc", "the the the the the the the the "
+                                   "the the"),
+    ]
+    df = eng.spark.createDataFrame(docs, "id: string, text: string")
+    out = {r["id"]: r for r in gopher_quality_gate(
+        df, id_col="id", min_words=10, max_words=30,
+        min_mean_word_len=3.0, max_mean_word_len=7.0,
+        max_symbol_word_ratio=0.1, max_bullet_line_frac=0.5,
+        max_ellipsis_line_frac=0.25, min_alpha_word_frac=0.8,
+        min_stop_words=2).collect()}
+    # hand-derived: id -> (n_words, mean_word_len, symbol_ratio,
+    # bullet_frac, ellipsis_frac, alpha_frac, stop_hits,
+    # {rules expected to FAIL}); keep == no failed rule
+    exp = {
+        "g01_clean": (15, 60 / 15, 0.0, 0.0, 0.0, 1.0, 4, set()),
+        "g02_min_words_edge": (10, 32 / 10, 0.0, 0.0, 0.0, 1.0, 4,
+                               set()),
+        "g03_min_words_minus1": (9, 29 / 9, 0.0, 0.0, 0.0, 1.0, 4,
+                                 {"pass_word_count"}),
+        "g04_max_words_edge": (30, 104 / 30, 0.0, 0.0, 0.0, 1.0, 5,
+                               set()),
+        "g05_max_words_plus1": (31, 110 / 31, 0.0, 0.0, 0.0, 1.0, 5,
+                                {"pass_word_count"}),
+        "g06_mean_min_edge": (10, 3.0, 0.0, 0.0, 0.0, 1.0, 2, set()),
+        "g07_mean_below": (10, 29 / 10, 0.0, 0.0, 0.0, 1.0, 3,
+                           {"pass_mean_word_len"}),
+        "g08_mean_max_edge": (10, 7.0, 0.0, 0.0, 0.0, 1.0, 2, set()),
+        "g09_mean_above": (10, 72 / 10, 0.0, 0.0, 0.0, 1.0, 2,
+                           {"pass_mean_word_len"}),
+        "g10_symbol_edge": (10, 33 / 10, 1 / 10, 0.0, 0.0, 1.0, 4,
+                            set()),
+        "g11_symbol_above": (10, 34 / 10, 2 / 10, 0.0, 0.0, 1.0, 4,
+                             {"pass_symbol_ratio"}),
+        "g12_ascii_ellipsis_symbol": (10, 35 / 10, 1 / 10, 0.0, 0.0,
+                                      1.0, 4, set()),
+        "g13_unicode_ellipsis_symbol": (10, 34 / 10, 2 / 10, 0.0,
+                                        0.0, 1.0, 4,
+                                        {"pass_symbol_ratio"}),
+        "g14_bullet_edge": (20, 76 / 20, 0.0, 2 / 4, 0.0, 18 / 20,
+                            4, set()),
+        "g15_bullet_above": (18, 66 / 18, 0.0, 3 / 4, 0.0, 15 / 18,
+                             3, {"pass_bullet_lines"}),
+        "g16_bullet_indented": (10, 32 / 10, 0.0, 1.0, 0.0, 9 / 10,
+                                4, {"pass_bullet_lines"}),
+        "g17_ellipsis_edge": (22, 88 / 22, 1 / 22, 0.0, 1 / 4, 1.0,
+                              3, set()),
+        "g18_ellipsis_above": (22, 89 / 22, 2 / 22, 0.0, 2 / 4, 1.0,
+                               3, {"pass_ellipsis_lines"}),
+        "g19_alpha_edge": (10, 32 / 10, 0.0, 0.0, 0.0, 8 / 10, 4,
+                           set()),
+        "g20_alpha_below": (10, 32 / 10, 0.0, 0.0, 0.0, 7 / 10, 3,
+                            {"pass_alpha_words"}),
+        "g21_two_distinct_stops": (12, 56 / 12, 0.0, 0.0, 0.0, 1.0,
+                                   2, set()),
+        "g22_one_stop_repeated": (13, 52 / 13, 0.0, 0.0, 0.0, 1.0,
+                                  1, {"pass_stop_words"}),
+        "g23_capitalized_stops": (11, 49 / 11, 0.0, 0.0, 0.0, 1.0,
+                                  0, {"pass_stop_words"}),
+        "g24_glued_stops": (10, 38 / 10, 0.0, 0.0, 0.0, 1.0, 1,
+                            {"pass_stop_words"}),
+        "g25_empty": (0, None, None, None, None, None, 0,
+                      {"pass_word_count", "pass_mean_word_len",
+                       "pass_symbol_ratio", "pass_alpha_words",
+                       "pass_stop_words"}),
+        "g26_null": (0, None, None, None, None, None, 0,
+                     {"pass_word_count", "pass_mean_word_len",
+                      "pass_symbol_ratio", "pass_alpha_words",
+                      "pass_stop_words"}),
+        "g27_whitespace_only": (0, None, None, None, None, None, 0,
+                                {"pass_word_count",
+                                 "pass_mean_word_len",
+                                 "pass_symbol_ratio",
+                                 "pass_alpha_words",
+                                 "pass_stop_words"}),
+        "g28_tabs_split": (10, 35 / 10, 0.0, 0.0, 0.0, 1.0, 4,
+                           set()),
+        "g29_blank_lines": (13, 47 / 13, 0.0, 0.0, 0.0, 1.0, 4,
+                            set()),
+        "g30_bullet_glyphs_only": (2, 1.0, 0.0, 1.0, 0.0, 0.0, 0,
+                                   {"pass_word_count",
+                                    "pass_mean_word_len",
+                                    "pass_bullet_lines",
+                                    "pass_alpha_words",
+                                    "pass_stop_words"}),
+        "g31_ellipsis_then_period": (12, 44 / 12, 1 / 12, 0.0, 0.0,
+                                     1.0, 3, set()),
+        "g32_four_dots": (22, 91 / 22, 1 / 22, 0.0, 1 / 4, 1.0, 3,
+                          set()),
+        "g33_nbsp_not_split": (10, 39 / 10, 0.0, 0.0, 0.0, 1.0, 3,
+                               set()),
+        "g34_everything_fails": (4, 11 / 4, 2 / 4, 0.0, 1.0, 0.0, 0,
+                                 {"pass_word_count",
+                                  "pass_mean_word_len",
+                                  "pass_symbol_ratio",
+                                  "pass_ellipsis_lines",
+                                  "pass_alpha_words",
+                                  "pass_stop_words"}),
+        "g35_one_stop_fills_doc": (10, 3.0, 0.0, 0.0, 0.0, 1.0, 1,
+                                   {"pass_stop_words"}),
+    }
+    rule_names = ("pass_word_count", "pass_mean_word_len",
+                  "pass_symbol_ratio", "pass_bullet_lines",
+                  "pass_ellipsis_lines", "pass_alpha_words",
+                  "pass_stop_words")
+    assert set(out) == set(exp)
+    for k, (nw, mw, sy, bu, el, al, st, fails) in exp.items():
+        r = out[k]
+        assert r["n_words"] == nw, k
+        for col, want in (("mean_word_len", mw),
+                          ("symbol_word_ratio", sy),
+                          ("bullet_line_frac", bu),
+                          ("ellipsis_line_frac", el),
+                          ("alpha_word_frac", al)):
+            if want is None:
+                assert r[col] is None, (k, col)
+            else:
+                assert r[col] == pytest.approx(want), (k, col)
+        assert r["stop_word_hits"] == st, k
+        for rule in rule_names:
+            assert r[rule] == (rule not in fails), (k, rule)
+        assert r["keep"] == (not fails), k
+
+
+def test_c4_golden_corpus(eng):
+    """HAND-LABELLED golden corpus for the C4 cleaner — the
+    oracle-independence check (the q216/q218/q220 oracles replay the
+    engine's own line arithmetic; these rows were labelled by hand).
+    Pins, from both sides: the 5-word line boundary, every terminal
+    mark (``. ! ?`` straight and curly closing quotes — which
+    contribute ZERO sentence marks to the page count), trailing
+    whitespace after the mark, the ellipsis-ending exclusion the
+    golden forced (``...`` and ``…`` enders dropped per the
+    published c4_utils ``_ELLIPSIS`` rule; ``….`` — ellipsis then
+    period — survives), the javascript rule as a case-insensitive
+    SUBSTRING (``javascripting`` trips it), the
+    :data:`C4_POLICY_SUBSTRINGS` boilerplate line filter, the
+    ``{``-only page gate (a lone ``}`` does not fire; the brace
+    LINE itself stays in ``clean`` — only the page flag drops it),
+    ``lorem ipsum`` as a literal single-space substring
+    (``lorem  ipsum`` does not match), mid-line sentence marks
+    counting toward min_sentences (``Dr.``), and empty/NULL pages."""
+    from preql_spark.operators.text import c4_clean
+    k1 = "This is a good first sentence."
+    k2 = "Here is another quite fine line!"
+    k3 = "Does this third line work well?"
+    docs = [
+        ("c01_clean", f"{k1}\n{k2}\n{k3}"),
+        ("c02_four_word_line", f"Only four words here.\n{k1}\n{k2}"
+                               f"\n{k3}"),
+        ("c03_five_word_edge", f"Five words are right here.\n{k1}"
+                               f"\n{k2}"),
+        ("c04_no_terminal_punct",
+         f"this long line has no terminal punctuation at all\n{k1}"
+         f"\n{k2}\n{k3}"),
+        ("c05_straight_quote_end",
+         f'He said "this is quite nice"\n{k1}\n{k2}'),
+        ("c06_curly_quote_end",
+         f"She replied “we will see tomorrow”\n{k1}\n{k2}\n{k3}"),
+        ("c07_trailing_spaces",
+         f"This line ends after the mark.   \n{k2}\n{k3}"),
+        ("c08_javascript_ci",
+         f"Please enable JavaScript to view this site now.\n{k1}"
+         f"\n{k2}\n{k3}"),
+        ("c09_javascript_midword",
+         f"The word javascripting appears right in this sentence."
+         f"\n{k1}\n{k2}\n{k3}"),
+        ("c10_brace_page", f"code with {{ braces }} here.\n{k1}"
+                           f"\n{k2}\n{k3}"),
+        ("c11_closing_brace_only",
+         f"code with only closing }} here.\n{k1}\n{k2}"),
+        ("c12_lorem_ci",
+         f"Classic LOREM IPSUM filler text appears here.\n{k1}"
+         f"\n{k2}\n{k3}"),
+        ("c13_lorem_two_spaces",
+         f"Classic lorem  ipsum spaced filler text here.\n{k1}"
+         f"\n{k2}"),
+        ("c14_two_sentences", f"{k1}\n{k2}"),
+        ("c15_midline_marks",
+         f"Dr. Smith arrived at the main gate today.\n{k3}"),
+        ("c16_empty", ""),
+        ("c17_null", None),
+        ("c18_all_lines_dropped",
+         "too short line.\nno terminal punctuation here at all\n"
+         "JavaScript required to proceed further now."),
+        ("c19_ascii_ellipsis_end", "This line trails off like "
+                                   "this..."),
+        ("c20_ellipsis_composite",
+         f"This line trails off like this...\n{k1}\n{k2}\n{k3}"),
+        ("c21_unicode_ellipsis_end", "This line ends with a unicode "
+                                     "ellipsis…"),
+        ("c22_ellipsis_then_period",
+         f"This line ends with ellipsis then period….\n{k1}\n{k2}"),
+        ("c23_policy_lines",
+         f"We updated our Privacy Policy this week.\n"
+         f"Please review the terms of use today.\n"
+         f"This site uses cookies for better analytics.\n{k1}"
+         f"\n{k2}\n{k3}"),
+    ]
+    df = eng.spark.createDataFrame(docs, "id: string, text: string")
+    out = {r["id"]: r for r in c4_clean(df, id_col="id").collect()}
+    # hand-derived: id -> (n_lines, n_kept, n_sentences, has_brace,
+    # has_lorem, keep)
+    exp = {
+        "c01_clean": (3, 3, 3, False, False, True),
+        "c02_four_word_line": (4, 3, 3, False, False, True),
+        "c03_five_word_edge": (3, 3, 3, False, False, True),
+        "c04_no_terminal_punct": (4, 3, 3, False, False, True),
+        "c05_straight_quote_end": (3, 3, 2, False, False, False),
+        "c06_curly_quote_end": (4, 4, 3, False, False, True),
+        "c07_trailing_spaces": (3, 3, 3, False, False, True),
+        "c08_javascript_ci": (4, 3, 3, False, False, True),
+        "c09_javascript_midword": (4, 3, 3, False, False, True),
+        "c10_brace_page": (4, 4, 4, True, False, False),
+        "c11_closing_brace_only": (3, 3, 3, False, False, True),
+        "c12_lorem_ci": (4, 4, 4, False, True, False),
+        "c13_lorem_two_spaces": (3, 3, 3, False, False, True),
+        "c14_two_sentences": (2, 2, 2, False, False, False),
+        "c15_midline_marks": (2, 2, 3, False, False, True),
+        "c16_empty": (0, 0, 0, False, False, False),
+        "c17_null": (0, 0, 0, False, False, False),
+        "c18_all_lines_dropped": (3, 0, 0, False, False, False),
+        "c19_ascii_ellipsis_end": (1, 0, 0, False, False, False),
+        "c20_ellipsis_composite": (4, 3, 3, False, False, True),
+        "c21_unicode_ellipsis_end": (1, 0, 0, False, False, False),
+        "c22_ellipsis_then_period": (3, 3, 3, False, False, True),
+        "c23_policy_lines": (6, 3, 3, False, False, True),
+    }
+    assert set(out) == set(exp)
+    for k, (nl, nk, ns, hb, hl, keep) in exp.items():
+        r = out[k]
+        assert (r["n_lines"], r["n_kept"], r["n_sentences"],
+                r["has_brace"], r["has_lorem"], r["keep"]) \
+            == (nl, nk, ns, hb, hl, keep), k
+    # the cleaned text itself, spot-pinned
+    assert out["c01_clean"]["clean"] == f"{k1}\n{k2}\n{k3}"
+    assert out["c02_four_word_line"]["clean"] == f"{k1}\n{k2}\n{k3}"
+    assert out["c10_brace_page"]["clean"].startswith("code with {")
+    assert out["c19_ascii_ellipsis_end"]["clean"] == ""
+    assert out["c23_policy_lines"]["clean"] == f"{k1}\n{k2}\n{k3}"
+
+
 def test_strip_repeated_units(eng):
     """Intra-doc self-repetition: repeated units collapse to the
     FIRST occurrence with order preserved, distinct units all
