@@ -1318,6 +1318,51 @@ def q211_strip_repeated_units(spark, sf_dir) -> DataFrame:
                     clean.alias("clean"))
 
 
+def q221_classifier_gate(spark, sf_dir) -> DataFrame:
+    """Model-scored quality gate (the CCNet/DCLM curation stage) on
+    its graded FAKE-scorer path: one Arrow ``mapInPandas`` pass
+    computes a deterministic md5-derived score per document and the
+    threshold keep flag — the identical plumbing a real classifier
+    rides (``preql_spark.operators.text.classifier_gate``).  The
+    exposed ``score_u32`` is the scorer's exact 32-bit integer
+    (recovered losslessly from the double: u32/2^32 is
+    float64-exact), so the oracle comparison is integer-exact, no
+    rounding anywhere."""
+    from preql_spark.operators import text
+    d = _eng(spark, sf_dir).t.documents.df
+    out = text.classifier_gate(d.select("doc_id", "source", "text"),
+                               threshold=0.5)
+    return out.select(
+        "doc_id", "source",
+        F.floor(F.col("score") * F.lit(4294967296.0)).cast("long")
+        .alias("score_u32"),
+        "keep")
+
+
+def q222_classifier_rate_ingest(spark, sf_dir) -> DataFrame:
+    """Streaming keep-rate monitor under the CLASSIFIER gate — the
+    proof the shared GATES registry routes the streaming surface
+    through the model-scored path: two availableNow waves maintain
+    per-source (n_docs, n_keep) counters with the fake scorer at
+    threshold 0.5, the report sums the state; two-wave == one-shot
+    == the batch classifier_gate + GROUP BY source, which is the
+    md5 arithmetic the oracle replays.  keep_rate rounds 4dp both
+    sides."""
+    from preql_spark.streaming.stream import incremental_gate_rate_ingest
+    eng = _eng(spark, sf_dir)
+    tmp = _scratch("q222_")
+    src, st, ids, ck = (os.path.join(tmp, x)
+                        for x in ("src", "st", "ids", "ck"))
+    d = eng.t.documents.df.select("doc_id", "source", "text")
+    kw = dict(gate="classifier", threshold=0.5)
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    incremental_gate_rate_ingest(spark, src, ck, st, ids, **kw)
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    out = incremental_gate_rate_ingest(spark, src, ck, st, ids, **kw)
+    return out.select("source", "n_docs", "n_keep",
+                      _pr4(F.col("keep_rate")).alias("keep_rate"))
+
+
 def q215_gopher_quality_gate(spark, sf_dir) -> DataFrame:
     """The Gopher/MassiveText composite rule-based quality gate
     (Rae et al. 2021 A1.1): raw per-doc metrics + one boolean per
@@ -3712,10 +3757,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q194_containment_capped": q194_containment_capped,
     "q195_psi_ingest": q195_psi_ingest,
     "q185_weighted_pagerank": q185_weighted_pagerank,
-    "q199_ks_quantized": q199_ks_quantized,
+    "q221_classifier_gate": q221_classifier_gate,
     "q187_lang_shipping_priority": q187_lang_shipping_priority,
     "q219_lang_gopher_pipeline": q219_lang_gopher_pipeline,
-    "q189_chi_square": q189_chi_square,
+    "q222_classifier_rate_ingest": q222_classifier_rate_ingest,
     "q220_clean_then_datacard": q220_clean_then_datacard,
     "q191_shortest_paths": q191_shortest_paths,
     "q192_conversion_drift": q192_conversion_drift,
@@ -3854,6 +3899,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       cell hashes grade the composition) enters, displacing
     #       q190 (HITS — r11-green; graph keeps q185/q191/q196
     #       in-window).
+    #   r13: q221 (model-scored classifier gate on its graded FAKE
+    #       path — deterministic md5 scores through the real Arrow
+    #       mapInPandas boundary, integer-exact oracle) enters,
+    #       displacing q199 (quantize_to KS knob — r12-green; the
+    #       KS family keeps q179 drift + q197 ks-from-state
+    #       in-window, and the quantize arithmetic stays battery
+    #       tri-scale + pytest).  q222 (streaming keep-rate monitor
+    #       under the classifier gate — the proof the unified GATES
+    #       registry routes the streaming surface through the
+    #       model-scored path; same counters state as q217) also
+    #       enters, displacing q189 (chi-square batch — r12-green;
+    #       the stats family keeps q179/q183/q192/q195/q197/q198
+    #       in-window, and q198 replays the identical chi-square
+    #       formula FROM STATE).  Every r13-TOUCHED graded path
+    #       stays in-window for external re-confirmation: q215-q220
+    #       (golden-corpus gate tightenings: Unicode-ellipsis
+    #       symbol, c4_utils ellipsis-line exclusion + policy
+    #       substrings, \s-aware blank/bullet/ellipsis line edges),
+    #       q213 (datacard in-batch id dedup), q202 (marker-safe
+    #       prune), q218 (ids sidecar + gate fingerprint).
     # displaced mid-r11 by the NEW graded q209 (see the r11 note):
     "q159_retrieve_refine_diversify": q159_retrieve_refine_diversify,
     # displaced mid-r11 by the NEW graded q210 (see the r11 note):
@@ -3862,6 +3927,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q148_scrub_contaminated_spans": q148_scrub_contaminated_spans,
     # displaced mid-r11 by the NEW graded q212 (see the r11 note):
     "q150_dsir_resample": q150_dsir_resample,
+    # displaced in r13 by the NEW graded q221 (see the r13 note):
+    "q199_ks_quantized": q199_ks_quantized,
+    # displaced in r13 by the NEW graded q222 (see the r13 note):
+    "q189_chi_square": q189_chi_square,
     # displaced in r12 by the NEW graded q215 (see the r12 note):
     "q172_value_trend": q172_value_trend,
     # displaced mid-r12 by the NEW graded q216 (see the r12 note):
@@ -7446,6 +7515,36 @@ ORACLES: dict[str, str] = {
                           '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp
               FROM documents)
         GROUP BY CUBE (source, lang)
+    """,
+    # the model-scored gate's FAKE path is content-addressed md5
+    # arithmetic, replayed exactly: the engine's Arrow kernel hashes
+    # utf8(text) with hashlib, DuckDB with its md5 — same bytes,
+    # same top-32-bit integer, no rounding anywhere (keep NULL-safe:
+    # a NULL text never keeps)
+    "q221_classifier_gate": r"""
+        SELECT doc_id, source,
+               ('0x' || substr(md5(text), 1, 8))::BIGINT
+                 AS score_u32,
+               coalesce(('0x' || substr(md5(text), 1, 8))::BIGINT
+                        >= 2147483648, FALSE) AS keep
+        FROM documents
+    """,
+    # the classifier-gated streaming monitor's batch identity: q221's
+    # md5 keep arithmetic folded per source over the raw corpus
+    "q222_classifier_rate_ingest": r"""
+        WITH k AS (
+          SELECT source,
+                 coalesce(('0x' || substr(md5(text), 1, 8))::BIGINT
+                          >= 2147483648, FALSE) AS keep
+          FROM documents)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_keep,
+               floor(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE) * 10000 + 0.5)
+                 / 10000 AS keep_rate
+        FROM k GROUP BY source
     """,
     # the clean-then-card composition: q216's C4 spelling
     # keep-filtered, then q121's GROUPING()-aware cube over the

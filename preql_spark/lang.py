@@ -3555,6 +3555,12 @@ def _load_pipeline_funcs() -> dict:
                     df, id_col=id_col,
                     min_words_per_line=int(min_words_per_line),
                     min_sentences=int(min_sentences)),
+        # model-scored gate: the lang surface exposes the graded FAKE
+        # scorer path (a real model is a Python-side callable)
+        "classifier_gate":
+            lambda df, id_col="doc_id", threshold=0.5:
+                text.classifier_gate(df, id_col=id_col,
+                                     threshold=float(threshold)),
         "tfidf": text.tf_idf,
         "bm25": text.bm25,
         "lm_perplexity": text.lm_perplexity,
@@ -3707,6 +3713,7 @@ _PIPELINE_FUNC_NAMES = {
     "pq_topk",
     "quality_metrics", "repetition_metrics", "k_anonymity_filter",
     "concentration", "pii_counts", "gopher_quality_gate", "c4_clean",
+    "classifier_gate",
     "tfidf", "bm25", "lm_perplexity", "quantile_filter",
     "quantile_bucketize", "corpus_datacard", "postings",
     "budget_select", "adjacent_pair_counts", "ngram_diversity",

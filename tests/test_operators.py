@@ -1156,6 +1156,101 @@ def test_c4_golden_corpus(eng):
     assert out["c23_policy_lines"]["clean"] == f"{k1}\n{k2}\n{k3}"
 
 
+def test_classifier_gate(eng):
+    """Model-scored gate plumbing: the deterministic fake scorer is
+    content-addressed (score == md5-top-32-bits / 2^32 — literal
+    expected values below), NULL text scores NULL and never keeps,
+    the threshold is inclusive (>=), a user CALLABLE rides the same
+    Arrow boundary (real-model path), a bad scorer raises, the
+    shared GATES registry routes both streaming ingests through it,
+    and the lang spelling compiles to the same values."""
+    from pyspark.sql import functions as F
+    from preql_spark.operators.text import classifier_gate
+    spark = eng.spark
+    df = spark.createDataFrame(
+        [(1, "a", "the quick brown fox"),
+         (2, "a", "lazy dog sleeps"),
+         (3, "b", "pangram content here"),
+         (4, "b", None)],
+        "doc_id: long, source: string, text: string")
+    # literal md5-derived expectations (hand-derived once, pinned)
+    exp = {1: 821283134, 2: 333198694, 3: 845776494, 4: None}
+    out = classifier_gate(df, threshold=0.1)
+    got = {r["doc_id"]: r for r in out.collect()}
+    for k, u in exp.items():
+        if u is None:
+            assert got[k]["score"] is None and not got[k]["keep"]
+        else:
+            assert got[k]["score"] == pytest.approx(u / 2 ** 32)
+            assert got[k]["keep"] == (u / 2 ** 32 >= 0.1)
+    assert [k for k, r in got.items() if r["keep"]] == [1, 3]
+    # threshold inclusivity: exactly the score keeps
+    thr = exp[2] / 2 ** 32
+    r2 = {r["doc_id"]: r["keep"]
+          for r in classifier_gate(df, threshold=thr).collect()}
+    assert r2 == {1: True, 2: True, 3: True, 4: False}
+    # schema: all input columns + (score, keep)
+    assert out.columns == ["doc_id", "source", "text", "score",
+                           "keep"]
+    # callable (real-model seat): same Arrow boundary
+    def length_model(texts):
+        return texts.str.len().astype("float64") / 19.0
+    r3 = {r["doc_id"]: (r["score"], r["keep"]) for r in
+          classifier_gate(df, scorer=length_model,
+                          threshold=1.0).collect()}
+    assert r3[1] == (pytest.approx(1.0), True)
+    assert r3[2] == (pytest.approx(15 / 19), False)
+    assert r3[4] == (None, False)
+    with pytest.raises(ValueError, match="scorer"):
+        classifier_gate(df, scorer=42)
+    # lang parity
+    l = {r["doc_id"]: (r["score"], r["keep"]) for r in eng.q(
+        'classifier_gate(pdocs, "doc_id", 0.1)', pdocs=df).collect()}
+    assert l == {k: (r["score"], r["keep"]) for k, r in got.items()}
+
+
+def test_classifier_gate_streaming_registry(eng, tmp_path):
+    """The classifier gate registers ONCE (GATES) and both streaming
+    ingests see it: the keep-rate monitor counts per-source keeps
+    under the fake scorer, and the curation ingest materializes
+    exactly the keepers' raw text — both equal to the batch gate."""
+    from preql_spark.operators.text import classifier_gate
+    from preql_spark.streaming.stream import (
+        incremental_curation_ingest, incremental_gate_rate_ingest)
+    spark = eng.spark
+    d = eng.t.documents.df.select("doc_id", "source", "text") \
+        .filter(F.col("doc_id") < 200)
+    batch = classifier_gate(d, threshold=0.5)
+    want = {r["source"]: (r["n"], r["k"])
+            for r in batch.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("keep").cast("long")).alias("k"))
+            .collect()}
+    base = tmp_path / "rate"
+    src, st, ids, ck = (str(base / x) for x in ("src", "st", "ids", "ck"))
+    d.filter(F.col("doc_id") < 100).write.mode("overwrite").parquet(src)
+    incremental_gate_rate_ingest(spark, src, ck, st, ids,
+                                 gate="classifier", threshold=0.5)
+    d.filter(F.col("doc_id") >= 100).write.mode("append").parquet(src)
+    out = incremental_gate_rate_ingest(spark, src, ck, st, ids,
+                                       gate="classifier", threshold=0.5)
+    assert {r["source"]: (r["n_docs"], r["n_keep"])
+            for r in out.collect()} == want
+    base = tmp_path / "cur"
+    src, store, ck = (str(base / x) for x in ("src", "store", "ck"))
+    d.write.mode("overwrite").parquet(src)
+    rep = incremental_curation_ingest(spark, src, ck, store,
+                                      gate="classifier", threshold=0.5)
+    assert {r["source"]: r["n_docs"] for r in rep.collect()} == \
+        {s: k for s, (n, k) in want.items() if k}
+    # raw text materialized (classifier declares no rewrite column)
+    stored = spark.read.parquet(store)
+    kept = batch.filter("keep").select("doc_id", "text")
+    assert stored.join(kept, "doc_id") \
+        .filter(stored["text"] != kept["text"]).isEmpty()
+    assert stored.count() == kept.count()
+
+
 def test_strip_repeated_units(eng):
     """Intra-doc self-repetition: repeated units collapse to the
     FIRST occurrence with order preserved, distinct units all
