@@ -1466,18 +1466,21 @@ def q219_lang_gopher_pipeline(spark, sf_dir) -> DataFrame:
 def q218_curation_ingest(spark, sf_dir) -> DataFrame:
     """Streaming curated-corpus materialization: two availableNow
     waves append C4-gate survivors' CLEANED text to the curated
-    store (content-addressed exactly-once — the store's own id
-    column is the dedup source, no separate ids state, no crash
-    window), over q216's deterministic multi-line dirt with
-    min_sentences=2 so survival varies by doc.  The report counts
-    the store per source; two-wave == one-shot == batch c4_clean +
-    keep-filter + GROUP BY over the full corpus, which is the SQL
-    the oracle runs (q216's spelling folded per source)."""
+    store, deduped through the dedicated IDS SIDECAR (the r13
+    re-grade: the IVF sidecar machinery verbatim — epoch markers,
+    intent-store crash recovery, compactable to one file — so the
+    corpus-sized store is never re-scanned for dedup and
+    gate-REJECTED ids are remembered too), over q216's deterministic
+    multi-line dirt with min_sentences=2 so survival varies by doc.
+    The report counts the store per source; two-wave == one-shot ==
+    batch c4_clean + keep-filter + GROUP BY over the full corpus,
+    which is the SQL the oracle runs (q216's spelling folded per
+    source)."""
     from preql_spark.streaming.stream import incremental_curation_ingest
     eng = _eng(spark, sf_dir)
     tmp = _scratch("q218_")
-    src, store, ck = (os.path.join(tmp, x)
-                      for x in ("src", "store", "ck"))
+    src, store, ids, ck = (os.path.join(tmp, x)
+                           for x in ("src", "store", "ids", "ck"))
     i, t = F.col("doc_id"), F.col("text")
     dirty = F.concat_ws(
         "\n",
@@ -1496,7 +1499,7 @@ def q218_curation_ingest(spark, sf_dir) -> DataFrame:
         .otherwise(F.lit("")))
     d = eng.t.documents.df.select("doc_id", "source",
                                   dirty.alias("text"))
-    kw = dict(gate="c4", min_sentences=2)
+    kw = dict(gate="c4", ids_path=ids, min_sentences=2)
     d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
     incremental_curation_ingest(spark, src, ck, store, **kw)
     d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)

@@ -1493,6 +1493,45 @@ def incremental_datacard_ingest(
                          / F.col("n_docs").cast("double"))))
 
 
+def _gate_fingerprint_guard(spark: SparkSession, path: str,
+                            gate: str, gate_kwargs: dict) -> None:
+    """Gate-config drift guard for a gate-derived state/store: the
+    first ingest stamps ``<path>__gate_fp`` with a canonical
+    fingerprint of (gate, **gate_kwargs); every later ingest
+    compares and RAISES on mismatch — counters folded under one
+    threshold must never silently mix with waves gated under
+    another (a changed ``min_words`` between runs would corrupt the
+    keep-rate report with no visible symptom).  Callable kwargs
+    (e.g. a classifier ``scorer``) fingerprint by ``__qualname__``
+    (stable across runs, unlike an object repr's address).  To
+    re-monitor under NEW parameters, delete the state AND the
+    ``__gate_fp`` marker — the fingerprint protects the state, it
+    is not a config store."""
+    import json
+
+    from preql_spark.parquet_io import hadoop_dir_has_files
+
+    def _enc(o):
+        return getattr(o, "__qualname__", None) or str(o)
+
+    fp = json.dumps({"gate": gate, **gate_kwargs},
+                    sort_keys=True, default=_enc)
+    fp_path = path.rstrip("/") + "__gate_fp"
+    if hadoop_dir_has_files(spark, fp_path):
+        old = spark.read.parquet(fp_path).collect()[0]["fp"]
+        if old != fp:
+            raise ValueError(
+                f"gate-config drift: the state at {path} was built "
+                f"with {old} but this run passes {fp}.  Mixing two "
+                f"gate definitions in one monitor corrupts the "
+                f"report; keep the original parameters, or delete "
+                f"the state and {fp_path} to restart under the new "
+                f"ones.")
+        return
+    (spark.createDataFrame([(fp,)], "fp: string")
+     .coalesce(1).write.mode("overwrite").parquet(fp_path))
+
+
 def incremental_gate_rate_ingest(
         spark: SparkSession, src_path: str, checkpoint: str,
         state_path: str, ids_path: str,
@@ -1519,7 +1558,10 @@ def incremental_gate_rate_ingest(
     "n_keep")``), ids store with :func:`compact_ingest_ids`.  The
     report sums the state per group: two-wave ingestion == one-shot
     == the batch gate + GROUP BY over the full corpus — that
-    identity is the oracle (q217)."""
+    identity is the oracle (q217).  The state carries a
+    params-fingerprint marker (:func:`_gate_fingerprint_guard`):
+    re-ingesting with changed gate parameters RAISES instead of
+    silently folding two gate definitions into one monitor."""
     from preql_spark.operators.text import GATES
     from preql_spark.parquet_io import hadoop_dir_has_files
 
@@ -1528,6 +1570,7 @@ def incremental_gate_rate_ingest(
                          f"expected one of {sorted(GATES)}")
     gate_fn, _ = GATES[gate]
     _guard_stranded(spark, state_path, ids_path)
+    _gate_fingerprint_guard(spark, state_path, gate, gate_kwargs)
     schema = spark.read.parquet(src_path).schema  # footer-only peek
     run_id = _ingest_run_id(spark, checkpoint)
 
@@ -1583,6 +1626,7 @@ def incremental_curation_ingest(
         store_path: str,
         group_col: str = "source", id_col: str = "doc_id",
         text_col: str = "text", gate: str = "c4",
+        ids_path: str | None = None,
         **gate_kwargs) -> DataFrame:
     """Streaming MATERIALIZATION of a curated corpus — the
     production shape of rule-based curation: as crawl batches land,
@@ -1593,28 +1637,45 @@ def incremental_curation_ingest(
     :data:`preql_spark.operators.text.GATES`, the shared registry —
     each entry declares its materialized-text column there).  The
     downstream trainer reads the store; the raw crawl is never
-    re-scanned.
+    re-scanned.  The store carries a params-fingerprint marker
+    (:func:`_gate_fingerprint_guard`): re-ingesting with changed
+    gate parameters RAISES instead of silently mixing two gate
+    definitions in one corpus.
 
-    Idempotence is CONTENT-ADDRESSED on the store itself (the
-    :func:`incremental_distinct_ingest` contract): each batch drops
-    in-batch duplicate ids, anti-joins the store's own id column
-    (column-pruned read), and appends survivors — one store, one
-    append, so there is NO crash window between a data append and a
-    separate ids append; a replayed batch's ids are already present
-    and the anti-join drops them.  At 100 TB the anti-join cost is
-    the store's id column scan per batch — write the store
-    partitioned/bucketed by ``group_col`` (or add an ids sidecar as
-    in :func:`incremental_ivf_ingest`) when that becomes the
-    bottleneck.  The store accumulates one file per epoch;
-    :func:`compact_ingest_ids` collapses it (rows are unique by id,
-    so the distinct rewrite is a pure file-layout change —
-    pytest-pinned), and :func:`compact_partitioned_store` applies
-    if the store is written partitioned.
+    WITHOUT ``ids_path``, idempotence is CONTENT-ADDRESSED on the
+    store itself (the :func:`incremental_distinct_ingest` contract):
+    each batch drops in-batch duplicate ids, anti-joins the store's
+    own id column (column-pruned read), and appends survivors — one
+    store, one append, so there is NO crash window between a data
+    append and a separate ids append; a replayed batch's ids are
+    already present and the anti-join drops them.  The catch at
+    100 TB: the gate KEEPS only a fraction of documents, so the
+    store's id column cannot remember the documents the gate
+    DROPPED — those are re-gated on every re-delivery — and the
+    per-batch anti-join scans the whole (growing) curated store.
+
+    WITH ``ids_path``, dedup moves to a dedicated sidecar — the
+    :func:`incremental_ivf_ingest` machinery VERBATIM (same schema
+    ``(__id, run_id, batch_id)``, same NULL-``__id`` epoch-marker
+    row per epoch, same ``<ids_path>__intent`` crash-marker store,
+    same :func:`compact_ingest_ids` compaction and
+    :func:`prune_ingest_ids` retention contract): the sidecar
+    remembers EVERY delivered id — keepers and gate-rejects alike —
+    so re-deliveries are dropped by one small-file anti-join and
+    never re-gated, and the corpus-sized store is never re-read for
+    dedup.  Crash recovery follows the IVF contract exactly: epoch
+    in the sidecar → committed, replay no-op; epoch in the intent
+    store only → the previous attempt crashed around the store
+    append, recovery self-guards by anti-joining the STORE's id
+    column (ground truth for appended keepers; rejects re-gate
+    deterministically to rejection), then completes the ids row
+    with the FULL deduped batch id set; epoch in neither → fast
+    path.
 
     Returns the curated-store report: per-group kept-doc count and
     total curated characters — two-wave ingestion == one-shot ==
     the batch gate + filter + GROUP BY over the full corpus (the
-    q218 oracle)."""
+    q218 oracle, graded on the sidecar path)."""
     from preql_spark.operators.text import GATES
     from preql_spark.parquet_io import hadoop_dir_has_files
 
@@ -1623,25 +1684,97 @@ def incremental_curation_ingest(
                          f"expected one of {sorted(GATES)}")
     gate_fn, out_col = GATES[gate]
     out_text = out_col or text_col
-    _guard_stranded(spark, store_path)
+    intent_path = (ids_path.rstrip("/") + "__intent"
+                   if ids_path else None)
+    _guard_stranded(spark, store_path, ids_path, intent_path)
+    _gate_fingerprint_guard(spark, store_path, gate, gate_kwargs)
     schema = spark.read.parquet(src_path).schema  # footer-only peek
+    run_id = _ingest_run_id(spark, checkpoint) if ids_path else None
+
+    def _store_seen(s: SparkSession) -> DataFrame | None:
+        if not hadoop_dir_has_files(s, store_path):
+            return None
+        # recovery must see files appended by a CRASHED previous
+        # attempt (possibly another process) — drop cached listings
+        s.catalog.refreshByPath(store_path)
+        return (s.read.parquet(store_path)
+                .select(F.col(id_col).alias("__seen")).distinct())
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
         rows = (batch.select(id_col, group_col, text_col)
                 .dropDuplicates([id_col]))
-        if hadoop_dir_has_files(s, store_path):
-            seen = (s.read.parquet(store_path)
-                    .select(F.col(id_col).alias("__seen")).distinct())
-            rows = rows.join(
-                seen, rows[id_col] == seen["__seen"], "left_anti") \
-                .drop("__seen")
+        if ids_path is None:
+            # legacy content-addressed path: the store is the memory
+            seen = _store_seen(s)
+            if seen is not None:
+                rows = rows.join(
+                    seen, rows[id_col] == seen["__seen"],
+                    "left_anti").drop("__seen")
+            gated = gate_fn(rows, id_col=id_col, text_col=text_col,
+                            **gate_kwargs)
+            (gated.filter(F.col("keep"))
+             .select(id_col, group_col,
+                     F.col(out_text).alias(text_col))
+             .write.mode("append").parquet(store_path))
+            return
+        this_epoch = ((F.col("run_id") == run_id)
+                      & (F.col("batch_id") == int(batch_id)))
+        ids = (s.read.parquet(ids_path)
+               if hadoop_dir_has_files(s, ids_path) else None)
+        if ids is not None and not ids.filter(this_epoch).isEmpty():
+            return   # epoch fully committed; checkpoint replay no-op
+        crashed = (hadoop_dir_has_files(s, intent_path)
+                   and not s.read.parquet(intent_path)
+                   .filter(this_epoch).isEmpty())
+        if not crashed:
+            # intent FIRST (see incremental_ivf_ingest)
+            (s.createDataFrame([(run_id, int(batch_id))],
+                               "run_id: string, batch_id: long")
+             .coalesce(1).write.mode("append").parquet(intent_path))
+            seen = (ids.select(F.col("__id").alias("__seen"))
+                    .distinct() if ids is not None else None)
+            if seen is not None:
+                rows = rows.join(
+                    seen, rows[id_col] == seen["__seen"],
+                    "left_anti").drop("__seen")
+        else:
+            seen = _store_seen(s)   # recovery: store is ground truth
+            if seen is not None:
+                rows = rows.join(
+                    seen, rows[id_col] == seen["__seen"],
+                    "left_anti").drop("__seen")
+        all_ids = (batch.select(id_col).dropDuplicates([id_col])
+                   .select(F.col(id_col).alias("__id")))
+        # eager localCheckpoint, NOT persist: two actions follow
+        # (store append, then ids append) and in RECOVERY the
+        # anti-join reads the very store the first action appends to
+        # — a recomputed second action would anti-join the batch's
+        # own keepers away (the IVF lesson, crash-injection-pinned)
+        rows = rows.localCheckpoint(eager=True)
         gated = gate_fn(rows, id_col=id_col, text_col=text_col,
                         **gate_kwargs)
         (gated.filter(F.col("keep"))
          .select(id_col, group_col,
                  F.col(out_text).alias(text_col))
          .write.mode("append").parquet(store_path))
+        # sidecar rows: fast path writes the anti-join survivors
+        # (non-survivors are already sidecar rows); recovery writes
+        # the FULL deduped batch id set — keepers the crashed attempt
+        # appended are in the store but NOT in the sidecar, and
+        # gate-rejects were never anywhere.  Every epoch also writes
+        # one NULL-__id marker row so all-duplicate epochs stay
+        # sidecar-decidable (intent prunes to empty; NULL never
+        # equi-joins, so the dedup probe is blind to markers)
+        id_t = rows.schema[id_col].dataType
+        src_ids = (all_ids if crashed
+                   else rows.select(F.col(id_col).alias("__id")))
+        mark = src_ids.unionByName(
+            s.range(1).select(F.lit(None).cast(id_t).alias("__id")))
+        (mark
+         .withColumn("run_id", F.lit(run_id))
+         .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+         .coalesce(1).write.mode("append").parquet(ids_path))
 
     q = (spark.readStream.schema(schema).parquet(src_path)
          .writeStream.foreachBatch(_sink)

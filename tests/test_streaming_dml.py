@@ -1595,6 +1595,182 @@ def test_incremental_curation_ingest(spark, eng, tmp_path):
             spark, src, str(tmp_path / "ck2"), store, gate="nope")
 
 
+def test_curation_ids_sidecar_semantics(spark, eng, tmp_path):
+    """The curation ids SIDECAR is the anti-join source on the fast
+    path: an id seeded into the sidecar (absent from the store) is
+    skipped — proof the dedup reads the sidecar, not the store; the
+    sidecar remembers gate-REJECTED ids too (the thing the
+    content-addressed store cannot do); in-batch duplicates ingest
+    once; compact_ingest_ids collapses sidecar to ONE file and
+    prunes the intent store to empty (epoch markers make committed
+    epochs decidable); post-compaction waves ingest only new ids;
+    the report still equals the batch gate."""
+    import glob
+    from preql_spark.operators.text import c4_clean
+    from preql_spark.streaming.stream import (
+        compact_ingest_ids, incremental_curation_ingest)
+    src, store, ids, ck = (str(tmp_path / x)
+                           for x in ("src", "store", "ids", "ck"))
+    d = eng.t.documents.df.select(
+        "doc_id", "source",
+        F.concat(F.substring("text", 1, 50), F.lit(". keep me fine!"),
+                 F.when(F.col("doc_id") % 4 == 0,
+                        F.lit("\nanother proper sentence right here."))
+                 .otherwise(F.lit(""))).alias("text")) \
+        .filter(F.col("doc_id") < 200)
+    kw = dict(gate="c4", ids_path=ids, min_sentences=2)
+    # doc 8 passes the gate in batch mode (8 % 4 == 0) — seed its id
+    # into the sidecar so the fast path must drop it pre-gate
+    spark.createDataFrame(
+        [(8, "seed", -1)],
+        "__id: bigint, run_id: string, batch_id: bigint") \
+        .write.mode("overwrite").parquet(ids)
+    dirty = d.union(d.filter(F.col("doc_id") < 30))   # in-batch dups
+    dirty.write.mode("overwrite").parquet(src)
+    out = incremental_curation_ingest(spark, src, ck, store, **kw)
+    batch = (c4_clean(d.filter(F.col("doc_id") != 8), min_sentences=2)
+             .filter(F.col("keep")))
+    assert {r["source"]: r["n_docs"] for r in out.collect()} == \
+        {r["source"]: r["n"] for r in batch.groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n")).collect()}
+    stored = spark.read.parquet(store).select("doc_id")
+    assert stored.filter(F.col("doc_id") == 8).isEmpty()
+    assert stored.count() == stored.distinct().count()
+    # the sidecar remembers REJECTED ids too: every delivered id is
+    # a row (199 written survivors + the pre-seeded 8 = 200 distinct,
+    # plus one NULL marker for the epoch)
+    side = spark.read.parquet(ids)
+    assert side.filter(F.col("__id").isNotNull()) \
+        .select("__id").distinct().count() == 200
+    assert side.filter(F.col("__id").isNull()).count() == 1
+    # compaction: ONE file, intent pruned empty, decisions unchanged
+    compact_ingest_ids(spark, ids)
+    assert len(glob.glob(f"{ids}/*.parquet")) == 1
+    assert spark.read.parquet(ids + "__intent").isEmpty()
+    # re-delivery of old ids + genuinely new ones
+    d2 = eng.t.documents.df.select(
+        "doc_id", "source",
+        F.concat(F.substring("text", 1, 50), F.lit(". keep me fine!"))
+        .alias("text")).filter((F.col("doc_id") >= 200)
+                               & (F.col("doc_id") < 220))
+    d.filter(F.col("doc_id") < 40).unionByName(d2) \
+        .write.mode("append").parquet(src)
+    incremental_curation_ingest(spark, src, ck, store, **kw)
+    side2 = spark.read.parquet(ids).filter(F.col("__id").isNotNull())
+    assert side2.select("__id").distinct().count() == 220
+    st2 = spark.read.parquet(store).select("doc_id")
+    assert st2.count() == st2.distinct().count()
+
+
+def test_curation_sidecar_crash_recovery(spark, eng, tmp_path):
+    """The curation intent-store recovery branch, exercised by
+    injecting the exact crash state: intent row written and PART of
+    the epoch's keepers appended to the store, but no sidecar ids
+    row (a crash between the store append and the ids append).  The
+    replayed batch must detect the intent, fall back to the
+    self-guarding anti-join against the STORE's id column, append
+    only the missing keepers, and complete the ids row with the
+    FULL deduped batch id set (gate-rejects included) — no
+    duplicates, no losses, report == batch gate."""
+    from preql_spark.operators.text import c4_clean
+    from preql_spark.streaming.stream import (
+        _ingest_run_id, incremental_curation_ingest)
+    src, store, ids, ck = (str(tmp_path / x)
+                           for x in ("src", "store", "ids", "ck"))
+    d = eng.t.documents.df.select(
+        "doc_id", "source",
+        F.concat(F.substring("text", 1, 50), F.lit(". keep me fine!"),
+                 F.when(F.col("doc_id") % 4 == 0,
+                        F.lit("\nanother proper sentence right here."))
+                 .otherwise(F.lit(""))).alias("text")) \
+        .filter(F.col("doc_id") < 200)
+    kw = dict(gate="c4", ids_path=ids, min_sentences=2)
+    w1 = d.filter(F.col("doc_id") < 100)
+    w2 = d.filter(F.col("doc_id") >= 100)
+    w1.write.mode("overwrite").parquet(src)
+    incremental_curation_ingest(spark, src, ck, store, **kw)
+    # inject epoch 1's crash: intent row present, HALF of wave 2's
+    # keepers already in the store, no sidecar row
+    rid = _ingest_run_id(spark, ck)
+    spark.createDataFrame([(rid, 1)],
+                          "run_id: string, batch_id: long") \
+        .coalesce(1).write.mode("append").parquet(ids + "__intent")
+    (c4_clean(w2, min_sentences=2).filter(F.col("keep"))
+     .filter(F.col("doc_id") < 150)
+     .select("doc_id", "source", F.col("clean").alias("text"))
+     .write.mode("append").parquet(store))
+    w2.write.mode("append").parquet(src)
+    out = incremental_curation_ingest(spark, src, ck, store, **kw)
+    batch = c4_clean(d, min_sentences=2).filter(F.col("keep"))
+    assert {r["source"]: (r["n_docs"], r["total_chars"])
+            for r in out.collect()} == \
+        {r["source"]: (r["n"], r["ch"]) for r in batch
+         .groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.length("clean")).alias("ch")).collect()}
+    st = spark.read.parquet(store).select("doc_id")
+    assert st.count() == st.distinct().count() == batch.count()
+    # recovery completed the ids row with the FULL batch id set:
+    # every wave-2 id (keeper or reject) is sidecar-visible, so a
+    # later re-delivery fast-paths to a no-op
+    side = spark.read.parquet(ids).filter(F.col("__id").isNotNull())
+    assert side.select("__id").distinct().count() == 200
+    d.write.mode("append").parquet(src)        # full re-delivery
+    out2 = incremental_curation_ingest(spark, src, ck, store, **kw)
+    assert {r["source"]: (r["n_docs"], r["total_chars"])
+            for r in out2.collect()} == \
+        {r["source"]: (r["n_docs"], r["total_chars"])
+         for r in out.collect()}
+
+
+def test_gate_fingerprint_guard(spark, eng, tmp_path):
+    """Gate-config drift guard: re-ingesting a keep-rate state or a
+    curated store with CHANGED gate parameters raises (counters
+    folded under one threshold must not mix with waves gated under
+    another); identical parameters — including a callable classifier
+    scorer, fingerprinted by qualname — keep working across runs."""
+    from preql_spark.streaming.stream import (
+        incremental_curation_ingest, incremental_gate_rate_ingest)
+    d = eng.t.documents.df.select("doc_id", "source", "text") \
+        .filter(F.col("doc_id") < 60)
+    base = tmp_path / "rate"
+    src, st, ids, ck = (str(base / x) for x in ("src", "st", "ids", "ck"))
+    d.write.mode("overwrite").parquet(src)
+    kw = dict(gate="gopher", min_words=40, min_stop_words=1)
+    incremental_gate_rate_ingest(spark, src, ck, st, ids, **kw)
+    # same params: fine (replay no-op)
+    incremental_gate_rate_ingest(spark, src, ck, st, ids, **kw)
+    with pytest.raises(ValueError, match="gate-config drift"):
+        incremental_gate_rate_ingest(
+            spark, src, str(base / "ck2"), st, ids,
+            gate="gopher", min_words=30, min_stop_words=1)
+    with pytest.raises(ValueError, match="gate-config drift"):
+        incremental_gate_rate_ingest(
+            spark, src, str(base / "ck3"), st, ids, gate="c4")
+    base = tmp_path / "cur"
+    src, store, ck = (str(base / x) for x in ("src", "store", "ck"))
+    d.write.mode("overwrite").parquet(src)
+    incremental_curation_ingest(spark, src, ck, store,
+                                gate="c4", min_sentences=2)
+    with pytest.raises(ValueError, match="gate-config drift"):
+        incremental_curation_ingest(spark, src, str(base / "ck2"),
+                                    store, gate="c4", min_sentences=1)
+    # callable scorer: qualname-stable across runs
+    def my_scorer(texts):
+        return texts.str.len().astype("float64") / 100.0
+    base = tmp_path / "clf"
+    src, st, ids, ck = (str(base / x) for x in ("src", "st", "ids", "ck"))
+    d.write.mode("overwrite").parquet(src)
+    incremental_gate_rate_ingest(spark, src, ck, st, ids,
+                                 gate="classifier", scorer=my_scorer)
+    incremental_gate_rate_ingest(spark, src, ck, st, ids,
+                                 gate="classifier", scorer=my_scorer)
+    with pytest.raises(ValueError, match="gate-config drift"):
+        incremental_gate_rate_ingest(
+            spark, src, str(base / "ck2"), st, ids,
+            gate="classifier", scorer=my_scorer, threshold=0.9)
+
+
 def test_incremental_z_monitor_state_identity(spark, eng, tmp_path):
     """Two-wave z-monitor ingest == batch z_outliers over the full
     corpus BIT-FOR-BIT (shared-tail identity, exact int64 moments);
