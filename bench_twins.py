@@ -52,6 +52,11 @@ def normalized_plan(df: DataFrame) -> str:
     text = re.sub(r"(DataFilters|PushedFilters|PartitionFilters):"
                   r" \[[^\]]*\.\.\.", r"\1: [<elided>", text)
     text = re.sub(r"InMemoryTableScan.*", "InMemoryTableScan", text)
+    # scan locations: engine and twin read IDENTICAL fixture paths for
+    # the batch queries, but the streaming pair (q217) reads each
+    # side's own scratch state dir — elide the path, keep the shape
+    text = re.sub(r"InMemoryFileIndex(\(\d+ paths\))?\[[^\]]*",
+                  "InMemoryFileIndex[<elided>", text)
     return text
 
 
@@ -836,6 +841,135 @@ def q209_curation_pipeline(spark, sf_dir):
                       r4(F.col("top_share")).alias("top_share"))
 
 
+def _hand_gopher_keeped(df):
+    """Hand-spelled Gopher composite keep over ``text`` at q217's
+    thresholds (min_words=40, min_stop_words=1, engine defaults
+    elsewhere), shared by the q217 twin's per-batch sink and
+    tests/test_plans.py's per-batch plan-equality check.  The word
+    and line arrays materialize ONCE as columns — the hand spelling
+    a competent author writes, because a one-expression keep
+    re-splits the text for every sub-rule (the HOF-recompute trap
+    the engine gate also dodges)."""
+    c = F.coalesce(F.col("text"), F.lit(""))
+    base = df.withColumns({
+        "__w": F.filter(F.split(c, r"\s+"),
+                        lambda x: x != F.lit("")),
+        "__l": F.filter(F.split(c, r"\n"),
+                        lambda x: ~x.rlike(r"^\s*$")),
+        "__nsym": F.size(F.regexp_extract_all(
+            c, F.lit(r"#|\.\.\.|…"), F.lit(0)))})
+    w, ln = F.col("__w"), F.col("__l")
+    nw, nl = F.size(w), F.size(ln)
+    hits = F.lit(0)
+    for s in ("the", "be", "to", "of", "and", "that", "have", "with"):
+        hits = hits + F.array_contains(w, F.lit(s)).cast("int")
+    m = base.withColumns({
+        "n_words": nw,
+        "mean_word_len": F.try_divide(
+            F.aggregate(w, F.lit(0).cast("long"),
+                        lambda a, x: a + F.length(x)),
+            nw).cast("double"),
+        "symbol_word_ratio": F.try_divide(F.col("__nsym"), nw)
+        .cast("double"),
+        "bullet_line_frac": F.try_divide(
+            F.size(F.filter(ln, lambda x: x.rlike(r"^\s*[-*•‣▪]"))),
+            nl).cast("double"),
+        "ellipsis_line_frac": F.try_divide(
+            F.size(F.filter(ln,
+                            lambda x: x.rlike(r"(\.\.\.|…)\s*$"))),
+            nl).cast("double"),
+        "alpha_word_frac": F.try_divide(
+            F.size(F.filter(w, lambda x: x.rlike(r"[A-Za-z]"))),
+            nw).cast("double"),
+        "stop_word_hits": hits})
+    false, true = F.lit(False), F.lit(True)
+    keep = ((F.col("n_words") >= 40) & (F.col("n_words") <= 100000)
+            & F.coalesce((F.col("mean_word_len") >= 3.0)
+                         & (F.col("mean_word_len") <= 10.0), false)
+            & F.coalesce(F.col("symbol_word_ratio") <= 0.1, false)
+            & F.coalesce(F.col("bullet_line_frac") <= 0.9, true)
+            & F.coalesce(F.col("ellipsis_line_frac") <= 0.3, true)
+            & F.coalesce(F.col("alpha_word_frac") >= 0.8, false)
+            & (F.col("stop_word_hits") >= 1))
+    return m.withColumn("keep", keep)
+
+
+def q217_gate_rate_ingest(spark, sf_dir):
+    """Hand streaming keep-rate monitor — the foreachBatch loop a
+    user would write from scratch for q217's contract: two
+    availableNow waves over fresh scratch dirs, per batch one ids
+    anti-join + in-batch id dedup + a hand-spelled Gopher keep
+    expression (q217's thresholds: min_words=40, min_stop_words=1,
+    engine defaults elsewhere) + a groups-bounded (n_docs, n_keep)
+    agg appended under a batch-id replay guard; the report sums the
+    state.  Construct-per-run timed (CONSTRUCT_EACH_RUN), so the
+    measured wall includes both stream executions on BOTH sides —
+    the ratio is the engine layer's overhead over this loop (gate
+    registry dispatch, state-schema bridging, stranded/fingerprint
+    guards)."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="twin_q217_")
+    src, st, ids = (os.path.join(tmp, x) for x in ("src", "st", "ids"))
+    ck = os.path.join(tmp, "ck")
+    d = _read(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "text")
+
+    def _has_files(path: str) -> bool:
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path))
+
+    def _sink(batch, batch_id):
+        s = batch.sparkSession
+        if _has_files(ids):
+            seen = (s.read.parquet(ids)
+                    .select(F.col("doc_id").alias("__seen"))
+                    .distinct())
+            batch = batch.join(
+                seen, batch["doc_id"] == seen["__seen"], "left_anti")
+        batch = batch.dropDuplicates(["doc_id"]).persist()
+        rows = (_hand_gopher_keeped(batch)
+                .select("source", "keep")
+                .groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(F.col("keep").cast("long")).alias("n_keep"))
+                .withColumn("batch_id",
+                            F.lit(int(batch_id)).cast("long"))
+                .withColumn("run_id", F.lit("hand")))
+        if _has_files(st):
+            done = s.read.parquet(st) \
+                .select("run_id", "batch_id").distinct()
+            rows = rows.join(done, ["run_id", "batch_id"],
+                             "left_anti")
+        rows.coalesce(1).write.mode("append").parquet(st)
+        batch.select("doc_id").write.mode("append").parquet(ids)
+        batch.unpersist(blocking=False)
+
+    def _wave():
+        q = (spark.readStream.schema(d.schema).parquet(src)
+             .writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    _wave()
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    _wave()
+    p4 = lambda x: F.floor(x * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    rep = (spark.read.option("mergeSchema", "true").parquet(st)
+           .drop("run_id", "batch_id")
+           .filter(F.col("n_docs").isNotNull())
+           .groupBy(F.col("source"))
+           .agg(F.sum("n_docs").alias("n_docs"),
+                F.sum("n_keep").alias("n_keep"))
+           .withColumn("keep_rate",
+                       F.col("n_keep") / F.col("n_docs").cast("double")))
+    return rep.select("source", "n_docs", "n_keep",
+                      p4(F.col("keep_rate")).alias("keep_rate"))
+
+
 TWINS = {
     "q01_pricing_summary": q01_pricing_summary,
     "q04_revenue_by_nation": q04_revenue_by_nation,
@@ -864,4 +998,5 @@ TWINS = {
     "q185_weighted_pagerank": q185_weighted_pagerank,
     "q209_curation_pipeline": q209_curation_pipeline,
     "q215_gopher_quality_gate": q215_gopher_quality_gate,
+    "q217_gate_rate_ingest": q217_gate_rate_ingest,
 }

@@ -597,9 +597,14 @@ def incremental_ivf_ingest(spark: SparkSession, src_path: str,
         if not crashed:
             # intent FIRST, so a crash around the index append is
             # detectable and recovery can self-guard on the index
-            (s.createDataFrame([(run_id, int(batch_id))],
-                               "run_id: string, batch_id: long")
-             .coalesce(1).write.mode("append").parquet(intent_path))
+            # JVM-side one-row frame: createDataFrame(...).coalesce(1)
+            # costs seconds (one task evaluating every parent
+            # Python-RDD partition); range(1) writes one file in ms
+            (s.range(1)
+             .select(F.lit(run_id).alias("run_id"),
+                     F.lit(int(batch_id)).cast("long")
+                     .alias("batch_id"))
+             .write.mode("append").parquet(intent_path))
             seen = (ids.select(F.col("__id").alias("__seen")).distinct()
                     if ids is not None else None)
         else:
@@ -1021,13 +1026,18 @@ def incremental_frequent_items_ingest(
                 counts[r["item"]] = counts.get(r["item"], 0) + int(r["est"])
         if len(counts) > cap:
             counts = mg_merge(counts, (), cap)
+        # single-slice parallelize: the summary is one driver-held
+        # dict, and coalesce(1) over a default-sliced parallelize
+        # would evaluate 32 empty Python-RDD partitions in ONE task
+        # (a Python-worker round-trip each, seconds per epoch)
         state = s.createDataFrame(
-            [(k, int(v), int(batch_id), run_id)
-             for k, v in counts.items()]
-            + [(None, int(n), int(batch_id), run_id)],
+            s.sparkContext.parallelize(
+                [(k, int(v), int(batch_id), run_id)
+                 for k, v in counts.items()]
+                + [(None, int(n), int(batch_id), run_id)], 1),
             schema="item string, est bigint, batch_id bigint,"
                    " run_id string")
-        state.coalesce(1).write.mode("append").parquet(state_path)
+        state.write.mode("append").parquet(state_path)
         batch.write.mode("append").parquet(store_path)
         batch.unpersist(blocking=False)
 
@@ -1506,30 +1516,51 @@ def _gate_fingerprint_guard(spark: SparkSession, path: str,
     (stable across runs, unlike an object repr's address).  To
     re-monitor under NEW parameters, delete the state AND the
     ``__gate_fp`` marker — the fingerprint protects the state, it
-    is not a config store."""
+    is not a config store.
+
+    The marker is a plain filesystem FILE written through the Hadoop
+    FS API (the :func:`_ingest_run_id` shape), NOT a parquet write:
+    a one-row ``createDataFrame(...).coalesce(1)`` parquet write
+    costs SECONDS on local[32] — the single coalesced task evaluates
+    every parent Python-RDD partition, one Python-worker round-trip
+    each (bench-measured ~5 s) — while the FS call is milliseconds
+    on the per-ingest hot path."""
     import json
 
-    from preql_spark.parquet_io import hadoop_dir_has_files
+    from preql_spark.parquet_io import _hadoop_fs_path
 
     def _enc(o):
         return getattr(o, "__qualname__", None) or str(o)
 
     fp = json.dumps({"gate": gate, **gate_kwargs},
                     sort_keys=True, default=_enc)
-    fp_path = path.rstrip("/") + "__gate_fp"
-    if hadoop_dir_has_files(spark, fp_path):
-        old = spark.read.parquet(fp_path).collect()[0]["fp"]
+    fp_file = path.rstrip("/") + "__gate_fp"
+    fs, marker = _hadoop_fs_path(spark, fp_file)
+    if fs.exists(marker):
+        ins = fs.open(marker)
+        try:
+            data = []
+            b = ins.read()
+            while b != -1 and len(data) < 65536:
+                data.append(chr(b))
+                b = ins.read()
+            old = "".join(data).strip()
+        finally:
+            ins.close()
         if old != fp:
             raise ValueError(
                 f"gate-config drift: the state at {path} was built "
                 f"with {old} but this run passes {fp}.  Mixing two "
                 f"gate definitions in one monitor corrupts the "
                 f"report; keep the original parameters, or delete "
-                f"the state and {fp_path} to restart under the new "
+                f"the state and {fp_file} to restart under the new "
                 f"ones.")
         return
-    (spark.createDataFrame([(fp,)], "fp: string")
-     .coalesce(1).write.mode("overwrite").parquet(fp_path))
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(fp.encode()))
+    finally:
+        out.close()
 
 
 def incremental_gate_rate_ingest(
@@ -1729,9 +1760,14 @@ def incremental_curation_ingest(
                    .filter(this_epoch).isEmpty())
         if not crashed:
             # intent FIRST (see incremental_ivf_ingest)
-            (s.createDataFrame([(run_id, int(batch_id))],
-                               "run_id: string, batch_id: long")
-             .coalesce(1).write.mode("append").parquet(intent_path))
+            # JVM-side one-row frame: createDataFrame(...).coalesce(1)
+            # costs seconds (one task evaluating every parent
+            # Python-RDD partition); range(1) writes one file in ms
+            (s.range(1)
+             .select(F.lit(run_id).alias("run_id"),
+                     F.lit(int(batch_id)).cast("long")
+                     .alias("batch_id"))
+             .write.mode("append").parquet(intent_path))
             seen = (ids.select(F.col("__id").alias("__seen"))
                     .distinct() if ids is not None else None)
             if seen is not None:

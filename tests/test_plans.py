@@ -234,6 +234,33 @@ def test_gopher_gate_zero_exchange(spark):
     assert "Exchange" not in plan
 
 
+def test_gate_rate_per_batch_plan_equals_hand(spark):
+    """The q217 streaming pair's PER-BATCH plan (what each
+    foreachBatch epoch actually executes: in-batch id dedup → gate →
+    groups-bounded (n_docs, n_keep) agg) equals the hand spelling —
+    the bench's plan_match covers the REPORT side; this pins the
+    hot per-epoch side.  Both frames are built exactly as the sinks
+    build them, on a static batch."""
+    from bench_twins import normalized_plan
+    from preql_spark.operators.text import GATES
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")) \
+        .select("doc_id", "source", "text")
+    gate_fn, _ = GATES["gopher"]
+    batch = d.dropDuplicates(["doc_id"])
+    eng = (gate_fn(batch.select("doc_id", "source", "text"),
+                   id_col="doc_id", text_col="text",
+                   min_words=40, min_stop_words=1)
+           .groupBy(F.col("source"))
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("keep").cast("long")).alias("n_keep")))
+    from bench_twins import _hand_gopher_keeped
+    hand = (_hand_gopher_keeped(batch).select("source", "keep")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("keep").cast("long")).alias("n_keep")))
+    assert normalized_plan(eng) == normalized_plan(hand)
+
+
 def test_repetition_metrics_narrow_shuffle(spark):
     """The document text column must never reach an Exchange — lines
     and bigrams are hashed to narrow rows before any shuffle."""
