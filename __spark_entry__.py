@@ -1318,6 +1318,35 @@ def q211_strip_repeated_units(spark, sf_dir) -> DataFrame:
                     clean.alias("clean"))
 
 
+def q223_quality_funnel(spark, sf_dir) -> DataFrame:
+    """The two-stage quality funnel every public curation pipeline
+    runs (rules, THEN model): the Gopher rule battery (q217's
+    thresholds) composed with the classifier gate (q221's fake
+    scorer at 0.5) in ONE pass — the rule gate is a scan-local
+    Project, the classifier one Arrow mapInPandas, and the funnel
+    report one groups-bounded agg: per source (n_raw, n_rule_keep,
+    n_final, final_rate) where final = rule AND classifier.  The
+    oracle replays both stages' arithmetic (q217's word/line rules +
+    q221's md5 threshold) and folds the same funnel."""
+    from preql_spark.operators import text
+    d = _eng(spark, sf_dir).t.documents.df \
+        .select("doc_id", "source", "text")
+    gated = text.gopher_quality_gate(
+        d, min_words=40, min_stop_words=1) \
+        .select("doc_id", "source", "text",
+                F.col("keep").alias("rule_keep"))
+    scored = text.classifier_gate(gated, threshold=0.5)
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_raw"),
+                 F.sum(F.col("rule_keep").cast("long"))
+                 .alias("n_rule_keep"),
+                 F.sum((F.col("rule_keep") & F.col("keep"))
+                       .cast("long")).alias("n_final"))
+            .withColumn("final_rate",
+                        _pr4(F.col("n_final")
+                             / F.col("n_raw").cast("double"))))
+
+
 def q221_classifier_gate(spark, sf_dir) -> DataFrame:
     """Model-scored quality gate (the CCNet/DCLM curation stage) on
     its graded FAKE-scorer path: one Arrow ``mapInPandas`` pass
@@ -3756,7 +3785,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q198_chi_square_ingest": q198_chi_square_ingest,
     "q218_curation_ingest": q218_curation_ingest,
     "q182_attribution": q182_attribution,
-    "q183_psi_drift": q183_psi_drift,
+    "q223_quality_funnel": q223_quality_funnel,
     "q194_containment_capped": q194_containment_capped,
     "q195_psi_ingest": q195_psi_ingest,
     "q185_weighted_pagerank": q185_weighted_pagerank,
@@ -3915,7 +3944,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       enters, displacing q189 (chi-square batch — r12-green;
     #       the stats family keeps q179/q183/q192/q195/q197/q198
     #       in-window, and q198 replays the identical chi-square
-    #       formula FROM STATE).  Every r13-TOUCHED graded path
+    #       formula FROM STATE).  Late addition: q223 (the
+    #       rule→classifier quality funnel — Gopher battery composed
+    #       with the classifier gate in one pass, per-source
+    #       (n_raw, n_rule_keep, n_final) funnel; both stages
+    #       replayed in the oracle) enters, displacing q183 (PSI
+    #       drift — r12-green; the drift family keeps
+    #       q179/q192/q195/q197/q198 in-window, and q195 replays
+    #       the identical PSI formula FROM STATE).  Every
+    #       r13-TOUCHED graded path
     #       stays in-window for external re-confirmation: q215-q220
     #       (golden-corpus gate tightenings: Unicode-ellipsis
     #       symbol, c4_utils ellipsis-line exclusion + policy
@@ -3932,6 +3969,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q150_dsir_resample": q150_dsir_resample,
     # displaced in r13 by the NEW graded q221 (see the r13 note):
     "q199_ks_quantized": q199_ks_quantized,
+    # displaced mid-r13 by the NEW graded q223 (see the r13 note):
+    "q183_psi_drift": q183_psi_drift,
     # displaced in r13 by the NEW graded q222 (see the r13 note):
     "q189_chi_square": q189_chi_square,
     # displaced in r12 by the NEW graded q215 (see the r12 note):
@@ -7519,6 +7558,87 @@ ORACLES: dict[str, str] = {
               FROM documents)
         GROUP BY CUBE (source, lang)
     """,
+    # the rule→classifier funnel: q217's Gopher arithmetic AND
+    # q221's md5 threshold, composed per document then folded per
+    # source — both stages replayed so the funnel counts grade the
+    # composition
+    "q223_quality_funnel": r"""
+        WITH arr AS (
+          SELECT source, text,
+                 list_filter(string_split_regex(coalesce(text, ''),
+                             '\s+'), w -> w <> '') AS words,
+                 list_filter(string_split(coalesce(text, ''),
+                             chr(10)), x -> NOT regexp_matches(x, '^\s*$')) AS lines,
+                 len(regexp_extract_all(coalesce(text, ''),
+                     '#|\.\.\.|…')) AS n_sym
+          FROM documents),
+        m AS (
+          SELECT source, text,
+                 len(words) AS n_words,
+                 CASE WHEN len(words) > 0 THEN
+                   CAST(list_sum(list_transform(words,
+                        w -> length(w))) AS DOUBLE) / len(words)
+                 END AS mean_wl,
+                 CASE WHEN len(words) > 0 THEN
+                   CAST(n_sym AS DOUBLE) / len(words)
+                 END AS sym_r,
+                 CASE WHEN len(lines) > 0 THEN
+                   CAST(len(list_filter(lines, x ->
+                        regexp_matches(x, '^\s*[-*•‣▪]')))
+                        AS DOUBLE) / len(lines)
+                 END AS bullet_f,
+                 CASE WHEN len(lines) > 0 THEN
+                   CAST(len(list_filter(lines, x ->
+                        regexp_matches(x, '(\.\.\.|…)\s*$')))
+                        AS DOUBLE) / len(lines)
+                 END AS ell_f,
+                 CASE WHEN len(words) > 0 THEN
+                   CAST(len(list_filter(words, w ->
+                        regexp_matches(w, '[A-Za-z]')))
+                        AS DOUBLE) / len(words)
+                 END AS alpha_f,
+                 ((CASE WHEN list_contains(words, 'the')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'be')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'to')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'of')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'and')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'that')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'have')
+                        THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(words, 'with')
+                        THEN 1 ELSE 0 END)) AS stop_hits
+          FROM arr),
+        k AS (
+          SELECT source,
+                 ((n_words >= 40 AND n_words <= 100000)
+                  AND coalesce(mean_wl >= 3.0 AND mean_wl <= 10.0,
+                               FALSE)
+                  AND coalesce(sym_r <= 0.1, FALSE)
+                  AND coalesce(bullet_f <= 0.9, TRUE)
+                  AND coalesce(ell_f <= 0.3, TRUE)
+                  AND coalesce(alpha_f >= 0.8, FALSE)
+                  AND stop_hits >= 1) AS rule_keep,
+                 coalesce(('0x' || substr(md5(text), 1, 8))::BIGINT
+                          >= 2147483648, FALSE) AS clf_keep
+          FROM m)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_raw,
+               CAST(sum(CASE WHEN rule_keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rule_keep,
+               CAST(sum(CASE WHEN rule_keep AND clf_keep
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+               floor(sum(CASE WHEN rule_keep AND clf_keep
+                         THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE) * 10000 + 0.5)
+                 / 10000 AS final_rate
+        FROM k GROUP BY source
+    """,
     # the model-scored gate's FAKE path is content-addressed md5
     # arithmetic, replayed exactly: the engine's Arrow kernel hashes
     # utf8(text) with hashlib, DuckDB with its md5 — same bytes,
@@ -7624,7 +7744,7 @@ ORACLES: dict[str, str] = {
                  list_filter(string_split(coalesce(text, ''),
                              chr(10)), x -> NOT regexp_matches(x, '^\s*$')) AS lines,
                  len(regexp_extract_all(coalesce(text, ''),
-                     '#|\.\.\.')) AS n_sym
+                     '#|\.\.\.|…')) AS n_sym
           FROM documents),
         m AS (
           SELECT source,
@@ -7747,7 +7867,7 @@ ORACLES: dict[str, str] = {
                  list_filter(string_split(coalesce(text, ''),
                              chr(10)), x -> NOT regexp_matches(x, '^\s*$')) AS lines,
                  len(regexp_extract_all(coalesce(text, ''),
-                     '#|\.\.\.')) AS n_sym
+                     '#|\.\.\.|…')) AS n_sym
           FROM documents),
         m AS (
           SELECT source,
