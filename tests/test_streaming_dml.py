@@ -873,14 +873,15 @@ def test_compact_ingest_state_preserves_reports(spark, eng, tmp_path):
 def test_compact_ingest_ids_drops_read_cost_keeps_idempotence(
         spark, eng, tmp_path):
     """compact_ingest_ids rewrites the append-only per-batch ids
-    files as ONE distinct file: the per-batch read cost (file count;
-    here also duplicate in-batch id rows) drops, the next report is
-    unchanged, and replay-idempotence still holds — a replayed wave
-    ingests nothing after compaction."""
+    files as ONE distinct file: the per-batch read cost (file count)
+    drops, the next report is unchanged, and replay-idempotence
+    still holds — a replayed wave ingests nothing after compaction.
+    In-wave duplicate ids write ONCE even before compaction (the r13
+    in-batch dedup fix — they used to append twice)."""
     from preql_spark.streaming.stream import (
         compact_ingest_ids, incremental_quantile_ingest)
     d = eng.t.documents.df.select("doc_id", "source", "text")
-    # two rows per doc in wave 1: in-batch duplicate ids append twice
+    # two rows per doc in wave 1: in-batch dups must fold/append once
     dup = d.filter(F.col("doc_id") < 250)
     src, st, ids, ck = (str(tmp_path / x) for x in
                         ("src", "st", "ids", "ck"))
@@ -894,7 +895,7 @@ def test_compact_ingest_ids_drops_read_cost_keeps_idempotence(
     pre_rows = spark.read.parquet(ids).count()
     pre_files = len([f for f in os.listdir(ids)
                      if f.endswith(".parquet")])
-    assert pre_rows == n_docs + 250     # wave-1's 250 ids, twice
+    assert pre_rows == n_docs          # in-batch dups folded once
     n = compact_ingest_ids(spark, ids)
     assert n == n_docs                  # the true id cardinality
     assert spark.read.parquet(ids).count() == n
