@@ -1156,6 +1156,117 @@ def test_c4_golden_corpus(eng):
     assert out["c23_policy_lines"]["clean"] == f"{k1}\n{k2}\n{k3}"
 
 
+def test_canonicalize_url_golden_corpus(eng):
+    """HAND-LABELLED golden corpus for URL canonicalization — the
+    oracle-independence check (q204/q209's oracle replays the
+    engine's own regex chain, so a wrong regex would grade green
+    there; every expected string below was derived by hand from the
+    documented contract).  Pins, with near-misses: authority-only
+    lowercasing (paths stay case-sensitive), scheme-OWN default
+    ports only (http:443 and ftp:80 KEEP their ports), fragment
+    strip, tracking params at every position with separator cleanup,
+    `myutm_source`/`fbclid2` NOT matching (prefix/word boundaries),
+    trailing-slash-only stripping (internal doubles survive), bare
+    `?`/`&` tails, junk non-URLs passing through, NULL."""
+    from preql_spark.operators.text import canonicalize_url
+    cases = [
+        ("u01", "https://Example.COM/Path/Page",
+         "https://example.com/Path/Page"),
+        ("u02", "http://example.com:80/a", "http://example.com/a"),
+        ("u03", "https://example.com:443/a", "https://example.com/a"),
+        ("u04", "http://example.com:443/a",
+         "http://example.com:443/a"),
+        ("u05", "https://example.com:8080/a",
+         "https://example.com:8080/a"),
+        ("u06", "https://example.com/a#frag", "https://example.com/a"),
+        ("u07", "https://example.com/a?utm_source=x",
+         "https://example.com/a"),
+        ("u08", "https://example.com/a?utm_source=x&id=2",
+         "https://example.com/a?id=2"),
+        ("u09", "https://example.com/a?id=2&utm_campaign=y",
+         "https://example.com/a?id=2"),
+        ("u10", "https://example.com/a?id=2&fbclid=abc&b=3",
+         "https://example.com/a?id=2&b=3"),
+        ("u11", "https://example.com/a/", "https://example.com/a"),
+        ("u12", "https://example.com/a///", "https://example.com/a"),
+        ("u13", "https://example.com/", "https://example.com"),
+        ("u14", "not a url", "not a url"),
+        ("u15", "HTTP://EXAMPLE.COM/A", "http://example.com/A"),
+        ("u16", "HTTPS://Ex.COM:443/p/?utm_x=1#f",
+         "https://ex.com/p"),
+        ("u17", "https://example.com/a?x=1&utm_source=a&utm_medium=b",
+         "https://example.com/a?x=1"),
+        ("u18", "https://example.com/a?gclid=z&x=1",
+         "https://example.com/a?x=1"),
+        ("u19", "https://example.com/a?myutm_source=1",
+         "https://example.com/a?myutm_source=1"),
+        ("u20", "https://example.com/a?fbclid2=1",
+         "https://example.com/a?fbclid2=1"),
+        ("u21", None, None),
+        ("u22", "ftp://Example.com:80/X", "ftp://example.com:80/X"),
+        ("u23", "https://example.com//a//b//",
+         "https://example.com//a//b"),
+        ("u24", "https://example.com/a?", "https://example.com/a"),
+    ]
+    df = eng.spark.createDataFrame([(i, u) for i, u, _ in cases],
+                                   "id: string, url: string")
+    got = {r["id"]: r["c"] for r in
+           df.select("id", canonicalize_url("url").alias("c"))
+           .collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_normalize_text_golden_corpus(eng):
+    """HAND-LABELLED golden corpus for normalize_text — the
+    oracle-independence check (q201/q209's oracle is COMPOSED from
+    the engine's own fold tables, so a wrong table entry would grade
+    green there).  Pins: punctuation becomes a SPACE (em-dash/slash/
+    apostrophe never glue words), math SYMBOLS (+ ≤) are NOT
+    punctuation and survive, the multi-char folds (ß→ss, œ→oe,
+    æ→ae, þ→th, ĳ→ij), the one-to-one Latin folds, Unicode
+    whitespace collapse (NBSP, thin space, NEL), digits preserved,
+    each stage independently switchable, NULL."""
+    from preql_spark.operators.text import normalize_text
+    cases = [
+        ("n01", "Hello,   World!", "hello world"),
+        ("n02", "Café CRÈME", "cafe creme"),
+        ("n03", "Grüße aus Straße", "grusse aus strasse"),
+        ("n04", "Œuvre — æther", "oeuvre aether"),
+        ("n05", "foo bar baz", "foo bar baz"),
+        ("n06", "a-b/c", "a b c"),
+        ("n07", "don't stop", "don t stop"),
+        ("n08", "naïve élève", "naive eleve"),
+        ("n09", "¿Qué? ¡Sí!", "que si"),
+        ("n10", "xy", "x y"),
+        ("n11", "þorn ĳs", "thorn ijs"),
+        ("n12", None, None),
+        ("n13", "+5 ≤ 7", "+5 ≤ 7"),
+        ("n14", "3.14", "3 14"),
+    ]
+    df = eng.spark.createDataFrame([(i, t) for i, t, _ in cases],
+                                   "id: string, t: string")
+    got = {r["id"]: r["n"] for r in
+           df.select("id", normalize_text("t").alias("n")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+    # stage switches, one pin each
+    one = eng.spark.createDataFrame(
+        [("AB cd", "café", "a,b", "a  b")],
+        "a: string, b: string, c: string, d: string")
+    from pyspark.sql import functions as F  # noqa: F401 - parity
+    r = one.select(
+        normalize_text("a", lowercase=False).alias("a"),
+        normalize_text("b", fold_accents=False).alias("b"),
+        normalize_text("c", strip_punct=False).alias("c"),
+        normalize_text("d", collapse_whitespace=False).alias("d")) \
+        .collect()[0]
+    assert r["a"] == "AB cd"
+    assert r["b"] == "café"
+    assert r["c"] == "a,b"
+    assert r["d"] == "a  b"
+
+
 def test_classifier_gate(eng):
     """Model-scored gate plumbing: the deterministic fake scorer is
     content-addressed (score == md5-top-32-bits / 2^32 — literal
