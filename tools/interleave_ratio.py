@@ -37,19 +37,13 @@ def main() -> None:
     eng_fn = m.queries()[name]
     twin_fn = getattr(bench_twins, name)
 
-    def plan(df):
-        return df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted")
-
-    def norm(p):
-        import re
-        p = re.sub(r"#\d+L?", "#x", p)
-        p = re.sub(r"plan_id=\d+", "plan_id=x", p)
-        p = re.sub(r"Location: \S+", "Location: x", p)
-        return p
-
     e0, t0 = eng_fn(spark, sf_dir), twin_fn(spark, sf_dir)
-    same = norm(plan(e0)) == norm(plan(t0))
+    # the bench's canonical normalizer (expr ids, helper aliases,
+    # lambda vars, truncation points, scratch-dir scan locations) —
+    # a weaker local copy mis-reported q217's per-run scratch state
+    # dirs as a plan mismatch
+    same = (bench_twins.normalized_plan(e0)
+            == bench_twins.normalized_plan(t0))
     print(f"plan_match in-run: {same}")
     # warm both sides (JIT, code cache, file listing, page cache)
     for _ in range(2):
