@@ -1318,6 +1318,25 @@ def q211_strip_repeated_units(spark, sf_dir) -> DataFrame:
                     clean.alias("clean"))
 
 
+def q224_ccnet_buckets(spark, sf_dir) -> DataFrame:
+    """The CCNet bucketing step (Wenzek et al. 2020): per-document
+    bigram-LM perplexity (q99's self-trained model, add-0.4
+    smoothing) cut into head/middle/tail by EXACT terciles —
+    `quantile_bucketize`'s one-pass percentile + scan-local strict->
+    assignment, never a global ntile sort.  Documents too short for
+    a bigram score (NULL ppl) get a NULL bucket on both sides.  The
+    oracle replays the q99 model arithmetic unrounded and buckets
+    with quantile_cont + the same strict comparisons."""
+    from preql_spark.operators.text import (lm_perplexity,
+                                            quantile_bucketize)
+    d = _eng(spark, sf_dir).t.documents.df \
+        .filter(F.col("doc_id") < 200)
+    ppl = lm_perplexity(d)
+    out = quantile_bucketize(ppl, "ppl", 3, out_col="bucket")
+    return out.select("doc_id",
+                      _pr4(F.col("ppl")).alias("ppl"), "bucket")
+
+
 def q223_quality_funnel(spark, sf_dir) -> DataFrame:
     """The two-stage quality funnel every public curation pipeline
     runs (rules, THEN model): the Gopher rule battery (q217's
@@ -3796,7 +3815,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q220_clean_then_datacard": q220_clean_then_datacard,
     "q191_shortest_paths": q191_shortest_paths,
     "q192_conversion_drift": q192_conversion_drift,
-    "q208_source_concentration": q208_source_concentration,
+    "q224_ccnet_buckets": q224_ccnet_buckets,
     "q209_curation_pipeline": q209_curation_pipeline,
     "q210_z_monitor_ingest": q210_z_monitor_ingest,
     "q156_budget_select": q156_budget_select,
@@ -3951,7 +3970,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       replayed in the oracle) enters, displacing q183 (PSI
     #       drift — r12-green; the drift family keeps
     #       q179/q192/q195/q197/q198 in-window, and q195 replays
-    #       the identical PSI formula FROM STATE).  Every
+    #       the identical PSI formula FROM STATE); and q224 (the
+    #       CCNet bucketing — q99's bigram-LM perplexity cut into
+    #       head/middle/tail by exact terciles via
+    #       quantile_bucketize's one-pass percentile + scan-local
+    #       strict-> assignment; NULL ppl -> NULL bucket both
+    #       sides) enters, displacing q208 (source concentration —
+    #       r12-green; q209's split-datacard stage replays the
+    #       identical sorted-HHI concentration fold in-window, and
+    #       the operator stays battery tri-scale + pytest).  Every
     #       r13-TOUCHED graded path
     #       stays in-window for external re-confirmation: q215-q220
     #       (golden-corpus gate tightenings: Unicode-ellipsis
@@ -3971,6 +3998,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q199_ks_quantized": q199_ks_quantized,
     # displaced mid-r13 by the NEW graded q223 (see the r13 note):
     "q183_psi_drift": q183_psi_drift,
+    # displaced mid-r13 by the NEW graded q224 (see the r13 note):
+    "q208_source_concentration": q208_source_concentration,
     # displaced in r13 by the NEW graded q222 (see the r13 note):
     "q189_chi_square": q189_chi_square,
     # displaced in r12 by the NEW graded q215 (see the r12 note):
@@ -7557,6 +7586,46 @@ ORACLES: dict[str, str] = {
                           '\s+', ' ', 'g')), 1, 15))::BIGINT AS fp
               FROM documents)
         GROUP BY CUBE (source, lang)
+    """,
+    # the CCNet bucketing: q99's bigram-LM chain UNROUNDED, terciles
+    # via quantile_cont (linear interpolation — Spark percentile's
+    # rule), strict-> assignment, NULL ppl -> NULL bucket
+    "q224_ccnet_buckets": r"""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents WHERE doc_id < 200
+        ),
+        bg AS (
+            SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+            FROM tok, UNNEST(range(1, len(t))) AS r(i)
+        ),
+        cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+        v AS (SELECT count(DISTINCT w) * 1.0 AS v
+              FROM (SELECT w1 AS w FROM bg
+                    UNION ALL SELECT w2 FROM bg)),
+        lp AS (
+            SELECT bg.doc_id,
+                   ln((cb.cb + 0.4) / (cu.cu + 0.4 * v.v)) AS lp
+            FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
+            CROSS JOIN v
+        ),
+        pd AS (SELECT doc_id, avg(lp) AS avg_logp
+               FROM lp GROUP BY doc_id),
+        sc AS (
+            SELECT d.doc_id, exp(-pd.avg_logp) AS ppl
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+            LEFT JOIN pd USING (doc_id)
+        ),
+        ts AS (SELECT quantile_cont(ppl,
+                      [1.0/3, 2.0/3]) AS t FROM sc)
+        SELECT doc_id,
+               floor(ppl * 10000 + 0.5) / 10000 AS ppl,
+               CASE WHEN ppl IS NULL THEN NULL ELSE
+                 CAST((CASE WHEN ppl > t[1] THEN 1 ELSE 0 END)
+                    + (CASE WHEN ppl > t[2] THEN 1 ELSE 0 END)
+                    AS INT) END AS bucket
+        FROM sc CROSS JOIN ts
     """,
     # the rule→classifier funnel: q217's Gopher arithmetic AND
     # q221's md5 threshold, composed per document then folded per
