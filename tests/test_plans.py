@@ -234,6 +234,38 @@ def test_gopher_gate_zero_exchange(spark):
     assert "Exchange" not in plan
 
 
+def test_classifier_gate_plan_contract(spark):
+    """The classifier gate is ONE Arrow MapInPandas over the scan —
+    no shuffle, no row-at-a-time Python (BatchEvalPython), schema =
+    input + (score, keep); the q223 funnel composition adds only the
+    scan-local rule Projects and ONE aggregation exchange on top."""
+    from preql_spark.operators.text import (classifier_gate,
+                                            gopher_quality_gate)
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")) \
+        .select("doc_id", "source", "text")
+    import re
+
+    def n_nodes(plan, kind):
+        return len(re.findall(rf"\b{kind} \(\d+\)", plan))
+
+    plan = plan_of(classifier_gate(d))
+    assert n_nodes(plan, "MapInPandas") == 1
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    gated = gopher_quality_gate(d, min_words=40, min_stop_words=1) \
+        .select("doc_id", "source", "text",
+                F.col("keep").alias("rule_keep"))
+    funnel = (classifier_gate(gated, threshold=0.5)
+              .groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_raw"),
+                   F.sum(F.col("rule_keep").cast("long"))
+                   .alias("n_rule_keep")))
+    fplan = plan_of(funnel)
+    assert n_nodes(fplan, "MapInPandas") == 1
+    assert n_nodes(fplan, "Exchange") == 1       # the final agg only
+    assert "BatchEvalPython" not in fplan
+
+
 def test_gate_rate_per_batch_plan_equals_hand(spark):
     """The q217 streaming pair's PER-BATCH plan (what each
     foreachBatch epoch actually executes: in-batch id dedup → gate →
