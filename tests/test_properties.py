@@ -259,6 +259,80 @@ def test_normalize_text_idempotent_and_clean(spark, texts):
 
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(urls=st.lists(st.one_of(
+    st.builds(
+        lambda sch, host, port, segs, tr, params, frag:
+        (sch + "://" + host + port + "/" + "/".join(segs) + tr
+         + ("?" + "&".join(params) if params else "") + frag),
+        st.sampled_from(["http", "https", "HTTP", "ftp"]),
+        st.from_regex(r"[A-Za-z0-9.-]{1,12}", fullmatch=True),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.lists(st.from_regex(r"[A-Za-z0-9._~%-]{0,6}",
+                               fullmatch=True), max_size=3),
+        st.sampled_from(["", "/", "//"]),
+        st.lists(st.sampled_from(
+            ["utm_source=x", "utm_x=1", "fbclid=z", "gclid=q",
+             "id=2", "a=b", "fbclid2=1", "myutm_source=3"]),
+            max_size=4),
+        st.sampled_from(["", "#f", "#a/b?c"])),
+    st.text(alphabet=st.characters(min_codepoint=32,
+                                   max_codepoint=126), max_size=40)),
+    min_size=1, max_size=8))
+def test_canonicalize_url_idempotent(spark, urls):
+    """canonicalize_url is IDEMPOTENT on arbitrary composed URLs and
+    ASCII junk — a canonical form is its own canonicalization (the
+    property that makes URL-level dedup keys stable no matter how
+    many pipeline stages re-canonicalize), and the output never
+    carries a fragment, a tracking param, or a dangling ?/& tail."""
+    from preql_spark.operators.text import canonicalize_url
+    df = spark.createDataFrame([(u,) for u in urls], "u: string")
+    one = [r.c for r in df.select(canonicalize_url("u").alias("c"))
+           .collect()]
+    two = [r.c for r in
+           df.select(canonicalize_url(canonicalize_url("u"))
+                     .alias("c")).collect()]
+    assert one == two
+    import re
+    for c in one:
+        assert "#" not in c
+        assert not re.search(r"[?&](utm_[A-Za-z0-9_]+|fbclid|gclid)=",
+                             c)
+        assert not re.search(r"[?&]$", c)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(
+    st.one_of(st.none(),
+              st.text(alphabet=st.characters(min_codepoint=32,
+                                             max_codepoint=0x2FFF),
+                      max_size=50)),
+    min_size=1, max_size=8),
+    thr=st.floats(0.0, 1.0))
+def test_classifier_fake_scores_match_hashlib(spark, texts, thr):
+    """The fake scorer through the REAL Arrow boundary equals the
+    definition computed directly with hashlib on the driver — md5 of
+    utf8 bytes, top 32 bits / 2^32 — for arbitrary Unicode, with
+    NULL scoring NULL and never keeping, at any threshold."""
+    import hashlib
+    from preql_spark.operators.text import classifier_gate
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i: long, t: string")
+    got = {r["i"]: (r["score"], r["keep"]) for r in
+           classifier_gate(df, id_col="i", text_col="t",
+                           threshold=thr).collect()}
+    for i, t in enumerate(texts):
+        if t is None:
+            assert got[i] == (None, False)
+        else:
+            want = int(hashlib.md5(t.encode("utf-8"))
+                       .hexdigest()[:8], 16) / 2 ** 32
+            assert got[i][0] == pytest.approx(want, abs=0)
+            assert got[i][1] == (want >= thr)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(edges=st.lists(
     st.tuples(st.integers(0, 30), st.integers(0, 30)),
     max_size=12), f1=st.integers(10, 90))
