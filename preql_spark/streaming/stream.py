@@ -1703,6 +1703,12 @@ def incremental_curation_ingest(
     with the FULL deduped batch id set; epoch in neither → fast
     path.
 
+    Store lifecycle: the curated store accumulates one file per
+    epoch either way; :func:`compact_ingest_ids` collapses it (rows
+    are unique by id, so the distinct rewrite is a pure file-layout
+    change — pytest-pinned), and the sidecar/intent stores compact
+    and prune under the IVF contracts.
+
     Returns the curated-store report: per-group kept-doc count and
     total curated characters — two-wave ingestion == one-shot ==
     the batch gate + filter + GROUP BY over the full corpus (the
