@@ -1995,7 +1995,8 @@ class Parser:
             if name == "add_index":
                 return _NativeFunc(
                     "add_index",
-                    lambda p, a, k, _t=v: _table_add_index(p, [_t, *a]))
+                    lambda p, a, k, _t=v: _table_add_index(
+                        p, [_t, *a], k))
             # terminal `table.col` inside a join kwarg names a join key
             # (reference join-by-column spelling) — keep the table
             j = 0
@@ -2805,7 +2806,7 @@ def _help_text(parser: "Parser", obj=None) -> str:
     return f"No help available for {obj!r}"
 
 
-def _table_add_index(parser: Parser, args):
+def _table_add_index(parser: Parser, args, kwargs=None):
     """pql_table_add_index (pql_functions.py:1043-1082): the
     reference no-ops on columnar targets (snowflake/redshift/
     bigquery) and so does Spark — the analogue is write-time layout
@@ -2831,7 +2832,26 @@ def _table_add_index(parser: Parser, args):
     if missing:
         raise LangSignal(
             "TypeError", f"add_index(): no such column {missing[0]!r}")
-    unique = bool(parser._pyval(args[2])) if len(args) > 2 else False
+    # the reference binds `unique` BY NAME (pql_functions.py:1043
+    # signature `unique: bool = false`), so the keyword spelling
+    # `t.add_index("col", unique: true)` must reach the engine —
+    # silently dropping kwargs would diverge from reference call
+    # semantics the moment a backend makes add_index non-no-op
+    kwargs = kwargs or {}
+    unexpected = [k for k in kwargs if k != "unique"]
+    if unexpected:
+        raise LangSignal(
+            "TypeError",
+            f"add_index(): unexpected keyword argument "
+            f"{unexpected[0]!r}")
+    if "unique" in kwargs and len(args) > 2:
+        raise LangSignal(
+            "TypeError",
+            "add_index(): got multiple values for argument 'unique'")
+    unique = (bool(parser._pyval(kwargs["unique"]))
+              if "unique" in kwargs
+              else bool(parser._pyval(args[2])) if len(args) > 2
+              else False)
     parser.engine.add_index(t.meta.name, cols, unique=unique)
     return None
 
@@ -2983,7 +3003,7 @@ def _apply_function_inner(parser: Parser, name: str, args, kwargs):
         # free-function alias for the add_index table METHOD (the
         # reference spelling is `t.add_index(...)` — see _attr's
         # builtin-method dispatch); kept callable both ways
-        return _table_add_index(parser, args)
+        return _table_add_index(parser, args, kwargs)
     if name == "set_setting":
         # pql_set_setting (:210-216): display settings
         from preql_spark import display as _display

@@ -907,6 +907,19 @@ def classifier_gate(df: DataFrame, id_col: str = "doc_id",
     else:
         raise ValueError(
             f"scorer must be 'fake' or a callable, got {scorer!r}")
+    # an input that already carries score/keep (e.g. composing
+    # directly after a rule gate without renaming) would otherwise
+    # die inside Arrow with an opaque schema-mismatch — the declared
+    # out schema gains duplicate field names while the pandas
+    # assignment overwrites the existing column.  Fail upfront with
+    # the fix: rename (the q223 `rule_keep` pattern) or drop first.
+    clash = [c for c in ("score", "keep") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"classifier_gate input already has column(s) {clash}: "
+            f"rename them first (e.g. keep -> rule_keep, the funnel "
+            f"pattern) or drop them — the gate appends its own "
+            f"score/keep")
     from pyspark.sql import types as T
     thr = float(threshold)
     # fresh StructType — StructType.add mutates in place, and

@@ -1513,7 +1513,11 @@ def _gate_fingerprint_guard(spark: SparkSession, path: str,
     another (a changed ``min_words`` between runs would corrupt the
     keep-rate report with no visible symptom).  Callable kwargs
     (e.g. a classifier ``scorer``) fingerprint by ``__qualname__``
-    (stable across runs, unlike an object repr's address).  To
+    (stable across runs, unlike an object repr's address);
+    ``functools.partial`` scorers by wrapped-function qualname plus
+    their bound arguments; other qualname-less callables by type
+    identity.  The callers fold their column bindings (group/id/text
+    cols) into the kwargs too — a changed grouping is drift.  To
     re-monitor under NEW parameters, delete the state AND the
     ``__gate_fp`` marker — the fingerprint protects the state, it
     is not a config store.
@@ -1529,8 +1533,27 @@ def _gate_fingerprint_guard(spark: SparkSession, path: str,
 
     from preql_spark.parquet_io import _hadoop_fs_path
 
+    import functools
+
     def _enc(o):
-        return getattr(o, "__qualname__", None) or str(o)
+        # functools.partial / callable instances carry no
+        # __qualname__ and their str() embeds a memory address — a
+        # fingerprint built from that would raise a spurious drift
+        # error on every later run.  Partials encode the wrapped
+        # function AND the bound arguments (re-binding a different
+        # threshold IS a different gate; json recurses into the
+        # returned dict, re-applying this encoder to any
+        # non-serializable leaf); other callables encode by stable
+        # type identity.
+        if isinstance(o, functools.partial):
+            return {"partial": _enc(o.func), "args": list(o.args),
+                    "keywords": o.keywords or {}}
+        qn = getattr(o, "__qualname__", None)
+        if qn:
+            return qn
+        if callable(o):
+            return type(o).__qualname__
+        return str(o)
 
     fp = json.dumps({"gate": gate, **gate_kwargs},
                     sort_keys=True, default=_enc)
@@ -1601,7 +1624,13 @@ def incremental_gate_rate_ingest(
                          f"expected one of {sorted(GATES)}")
     gate_fn, _ = GATES[gate]
     _guard_stranded(spark, state_path, ids_path)
-    _gate_fingerprint_guard(spark, state_path, gate, gate_kwargs)
+    # the column bindings are part of the monitor's identity too: a
+    # changed group_col (or id/text col) between runs would fold a
+    # DIFFERENT grouping into the same counters — the exact silent
+    # mix the guard exists to prevent
+    _gate_fingerprint_guard(spark, state_path, gate, {
+        **gate_kwargs, "group_col": group_col, "id_col": id_col,
+        "text_col": text_col})
     schema = spark.read.parquet(src_path).schema  # footer-only peek
     run_id = _ingest_run_id(spark, checkpoint)
 
@@ -1694,7 +1723,14 @@ def incremental_curation_ingest(
     remembers EVERY delivered id — keepers and gate-rejects alike —
     so re-deliveries are dropped by one small-file anti-join and
     never re-gated, and the corpus-sized store is never re-read for
-    dedup.  Crash recovery follows the IVF contract exactly: epoch
+    dedup.  Enabling ``ids_path`` on a GROWN legacy store is the
+    supported migration: on first use (sidecar empty, store
+    non-empty) the sidecar is seeded with the store's distinct id
+    column under a reserved ``batch_id = -1`` migration epoch, so
+    already-curated keepers are never re-appended; legacy
+    gate-rejects re-gate deterministically to rejection and are
+    remembered from their next delivery on.  Crash recovery follows
+    the IVF contract exactly: epoch
     in the sidecar → committed, replay no-op; epoch in the intent
     store only → the previous attempt crashed around the store
     append, recovery self-guards by anti-joining the STORE's id
@@ -1707,7 +1743,11 @@ def incremental_curation_ingest(
     epoch either way; :func:`compact_ingest_ids` collapses it (rows
     are unique by id, so the distinct rewrite is a pure file-layout
     change — pytest-pinned), and the sidecar/intent stores compact
-    and prune under the IVF contracts.
+    and prune under the IVF contracts — EXCEPT that pruning a
+    curation sidecar must pass the linked ``store_path`` to
+    :func:`prune_ingest_ids`, which then keeps stored keepers' ids
+    unconditionally: a pruned-then-redelivered keeper would
+    otherwise be appended again (see the prune docstring).
 
     Returns the curated-store report: per-group kept-doc count and
     total curated characters — two-wave ingestion == one-shot ==
@@ -1724,9 +1764,40 @@ def incremental_curation_ingest(
     intent_path = (ids_path.rstrip("/") + "__intent"
                    if ids_path else None)
     _guard_stranded(spark, store_path, ids_path, intent_path)
-    _gate_fingerprint_guard(spark, store_path, gate, gate_kwargs)
+    # column bindings join the fingerprint (see
+    # incremental_gate_rate_ingest); sidecar-mode deliberately does
+    # NOT — enabling ids_path on a grown legacy store is the
+    # documented migration, made safe by the first-epoch store
+    # seeding below
+    _gate_fingerprint_guard(spark, store_path, gate, {
+        **gate_kwargs, "group_col": group_col, "id_col": id_col,
+        "text_col": text_col})
     schema = spark.read.parquet(src_path).schema  # footer-only peek
     run_id = _ingest_run_id(spark, checkpoint) if ids_path else None
+
+    if (ids_path is not None
+            and not hadoop_dir_has_files(spark, ids_path)
+            and hadoop_dir_has_files(spark, store_path)):
+        # legacy -> sidecar MIGRATION (the docstring's "grown legacy
+        # store" upgrade): an empty sidecar next to a non-empty store
+        # means the store's keepers predate the sidecar — without
+        # seeding, a re-delivered legacy keeper would sail through
+        # the sidecar anti-join and be appended AGAIN (a duplicate
+        # training document).  Seed the sidecar once, driver-side
+        # before the stream starts, with the store's distinct id
+        # column under a reserved migration epoch (batch_id -1 —
+        # real epochs are >= 0, so the commit probe never matches
+        # it).  Legacy gate-REJECTS are unknowable (the legacy path
+        # never recorded them); they re-gate deterministically to
+        # rejection, so they cannot duplicate, and are remembered
+        # from their next delivery on.  The seed is one parquet
+        # append job (visible only on job commit): a crash before
+        # commit leaves the sidecar empty and the next run re-seeds.
+        (spark.read.parquet(store_path)
+         .select(F.col(id_col).alias("__id")).distinct()
+         .withColumn("run_id", F.lit(run_id))
+         .withColumn("batch_id", F.lit(-1).cast("long"))
+         .coalesce(1).write.mode("append").parquet(ids_path))
 
     def _store_seen(s: SparkSession) -> DataFrame | None:
         if not hadoop_dir_has_files(s, store_path):
@@ -2368,7 +2439,8 @@ def compact_datacard_state(spark: SparkSession, state_path: str,
 
 
 def prune_ingest_ids(spark: SparkSession, ids_path: str,
-                     keep_expr: str) -> int:
+                     keep_expr: str, store_path: str | None = None,
+                     store_id_col: str = "doc_id") -> int:
     """Retention pruning for an ingest ids store — the mechanical
     form of the documented retention contract (see
     :func:`compact_ingest_ids`): rewrite the store keeping only rows
@@ -2386,7 +2458,21 @@ def prune_ingest_ids(spark: SparkSession, ids_path: str,
     evaluates to NULL on them, and silently pruning a marker would
     demote its committed epoch back to "pending" in the intent store
     forever (clutter, not data loss — but :func:`compact_ingest_ids`
-    could then never prune that intent row).  RUN ONLY WHILE THE
+    could then never prune that intent row).
+
+    CURATION SIDECARS (:func:`incremental_curation_ingest` with
+    ``ids_path``) MUST pass ``store_path`` (and ``store_id_col``,
+    the curated store's id column): ids still present in the linked
+    curated store are then kept UNCONDITIONALLY, whatever
+    ``keep_expr`` says.  Re-opening the dedup window is harmless for
+    an IVF index (a re-ingested vector is just re-indexed) but
+    catastrophic for a curated corpus — a pruned-then-redelivered
+    KEEPER would sail through the sidecar anti-join and be appended
+    AGAIN, a duplicate training document (the exact failure the
+    pipeline exists to prevent; pytest-pinned both ways).  With
+    ``store_path``, only ids the store does not hold (gate-rejects —
+    the bulk of sidecar growth) actually prune, which is the
+    retention win the knob exists for.  RUN ONLY WHILE THE
     STREAM IS STOPPED — enforced in-session and cross-session like
     the compactors."""
     _require_no_active_streams(spark, "prune_ingest_ids")
@@ -2394,9 +2480,18 @@ def prune_ingest_ids(spark: SparkSession, ids_path: str,
     with _compaction_lock(spark, ids_path):
         src = spark.read.parquet(ids_path)
         keep = F.expr(keep_expr)
-        if "__id" in src.columns:
-            keep = keep | F.col("__id").isNull()
-        ids = src.filter(keep).distinct()
+        idc = "__id" if "__id" in src.columns else None
+        if idc:
+            keep = keep | F.col(idc).isNull()
+        kept = src.filter(keep)
+        if store_path is not None:
+            sid = idc or store_id_col
+            stored = (spark.read.parquet(store_path)
+                      .select(F.col(store_id_col).alias(sid))
+                      .distinct())
+            kept = kept.unionByName(
+                src.join(stored, [sid], "left_semi"))
+        ids = kept.distinct()
         return _checked_swap(spark, ids_path, ids)
 
 

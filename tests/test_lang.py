@@ -1760,6 +1760,28 @@ def test_builtin_escape_hatches_golden(leng):
         leng.q('table_add_index(Ix)')
     with pytest.raises(LangSignal, match="missing required"):
         leng.q('Ix.add_index()')
+    # the reference binds `unique` BY NAME (pql_functions.py:1043
+    # signature) — the keyword spelling must reach the engine (r13
+    # ADVICE: the method dispatch silently dropped kwargs)
+    calls = []
+    # class-level patch: Engine.__setattr__ diverts instance sets
+    # into the lang namespace (the `p.x = value` embedding API)
+    orig = type(leng).add_index
+    type(leng).add_index = \
+        lambda self, name, cols, unique=False: calls.append(
+            (name, tuple(cols), unique))
+    try:
+        assert leng.q('Ix.add_index("name", unique: true)') is None
+        assert leng.q(
+            'table_add_index(Ix, "name", unique: true)') is None
+        assert calls == [("Ix", ("name",), True),
+                         ("Ix", ("name",), True)]
+    finally:
+        type(leng).add_index = orig
+    with pytest.raises(LangSignal, match="unexpected keyword"):
+        leng.q('Ix.add_index("name", uniq: true)')
+    with pytest.raises(LangSignal, match="multiple values"):
+        leng.q('Ix.add_index("name", true, unique: true)')
 
 
 def test_stdlib_function_spellings_golden(leng):

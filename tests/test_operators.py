@@ -1314,6 +1314,13 @@ def test_classifier_gate(eng):
     assert r3[4] == (None, False)
     with pytest.raises(ValueError, match="scorer"):
         classifier_gate(df, scorer=42)
+    # composing directly after a rule gate without renaming used to
+    # die inside Arrow with an opaque schema mismatch — now a clear
+    # upfront error naming the funnel rename fix (r13 ADVICE)
+    with pytest.raises(ValueError, match="rule_keep"):
+        classifier_gate(df.withColumn("keep", F.lit(True)))
+    with pytest.raises(ValueError, match="score"):
+        classifier_gate(df.withColumn("score", F.lit(0.5)))
     # lang parity
     l = {r["doc_id"]: (r["score"], r["keep"]) for r in eng.q(
         'classifier_gate(pdocs, "doc_id", 0.1)', pdocs=df).collect()}

@@ -1772,6 +1772,158 @@ def test_gate_fingerprint_guard(spark, eng, tmp_path):
             gate="classifier", scorer=my_scorer, threshold=0.9)
 
 
+def test_gate_fingerprint_guard_columns_and_partial(spark, eng,
+                                                    tmp_path):
+    """The fingerprint covers the COLUMN BINDINGS too: re-ingesting
+    the same state with a changed group_col raises (a different
+    grouping folded into the same counters is the silent-mix
+    corruption the guard exists for).  And a functools.partial
+    scorer fingerprints stably (wrapped qualname + bound args, not a
+    memory address): identical partials keep working across runs,
+    while a partial re-binding a different scale raises."""
+    import functools
+
+    from preql_spark.streaming.stream import (
+        incremental_gate_rate_ingest)
+    d = eng.t.documents.df.select("doc_id", "source", "lang", "text") \
+        .filter(F.col("doc_id") < 60)
+    base = tmp_path / "cols"
+    src, st, ids, ck = (str(base / x) for x in ("src", "st", "ids", "ck"))
+    d.write.mode("overwrite").parquet(src)
+    kw = dict(gate="gopher", min_words=40)
+    incremental_gate_rate_ingest(spark, src, ck, st, ids,
+                                 group_col="source", **kw)
+    with pytest.raises(ValueError, match="gate-config drift"):
+        incremental_gate_rate_ingest(spark, src, str(base / "ck2"),
+                                     st, ids, group_col="lang", **kw)
+
+    def scaled_scorer(texts, scale=100.0):
+        return (texts.str.len().astype("float64") / scale).clip(0, 1)
+
+    base = tmp_path / "part"
+    src, st, ids, ck = (str(base / x) for x in ("src", "st", "ids", "ck"))
+    d.write.mode("overwrite").parquet(src)
+    p1 = functools.partial(scaled_scorer, scale=200.0)
+    incremental_gate_rate_ingest(spark, src, ck, st, ids,
+                                 gate="classifier", scorer=p1)
+    # a FRESH but identical partial (new object, same binding): no
+    # spurious drift — the r13 str(o) encoding embedded an address
+    # and would have raised here on every later run
+    incremental_gate_rate_ingest(
+        spark, src, ck, st, ids, gate="classifier",
+        scorer=functools.partial(scaled_scorer, scale=200.0))
+    with pytest.raises(ValueError, match="gate-config drift"):
+        incremental_gate_rate_ingest(
+            spark, src, str(base / "ck2"), st, ids, gate="classifier",
+            scorer=functools.partial(scaled_scorer, scale=500.0))
+
+
+def test_curation_sidecar_migration_seed(spark, eng, tmp_path):
+    """Enabling ids_path on a GROWN legacy curated store (the
+    documented migration) must not duplicate documents: the first
+    sidecar run seeds the sidecar with the store's distinct id
+    column (reserved batch_id -1 epoch), so re-delivered legacy
+    keepers are dropped by the sidecar anti-join — in the FIRST
+    sidecar epoch and in every later one — and the store stays
+    exactly-once; legacy gate-rejects re-gate to rejection and are
+    remembered from their next delivery on."""
+    from preql_spark.operators.text import c4_clean
+    from preql_spark.streaming.stream import incremental_curation_ingest
+    src, store, ids, ck = (str(tmp_path / x)
+                           for x in ("src", "store", "ids", "ck"))
+    d = eng.t.documents.df.select(
+        "doc_id", "source",
+        F.concat(F.substring("text", 1, 50), F.lit(". keep me fine!"),
+                 F.when(F.col("doc_id") % 4 == 0,
+                        F.lit("\nanother proper sentence right here."))
+                 .otherwise(F.lit(""))).alias("text")) \
+        .filter(F.col("doc_id") < 200)
+    kw = dict(gate="c4", min_sentences=2)
+    # legacy era: content-addressed store, no sidecar
+    d.filter(F.col("doc_id") < 100).write.mode("overwrite").parquet(src)
+    incremental_curation_ingest(spark, src, ck, store, **kw)
+    n_legacy = spark.read.parquet(store).count()
+    assert n_legacy > 0
+    # migration epoch: sidecar on, wave RE-DELIVERS all legacy ids
+    # plus new ones — without seeding, every legacy keeper would be
+    # re-gated and appended again
+    d.write.mode("append").parquet(src)
+    out = incremental_curation_ingest(spark, src, ck, store,
+                                      ids_path=ids, **kw)
+    batch = c4_clean(d, min_sentences=2).filter(F.col("keep"))
+    assert {r["source"]: (r["n_docs"], r["total_chars"])
+            for r in out.collect()} == \
+        {r["source"]: (r["n"], r["ch"]) for r in batch
+         .groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.length("clean")).alias("ch")).collect()}
+    st = spark.read.parquet(store).select("doc_id")
+    assert st.count() == st.distinct().count() == batch.count()
+    # the seed epoch is visible under the reserved batch_id
+    side = spark.read.parquet(ids)
+    assert side.filter((F.col("batch_id") == -1)
+                       & F.col("__id").isNotNull()).count() == n_legacy
+    # a LATER epoch re-delivering a legacy keeper alone: still
+    # dropped by the sidecar (the seed is permanent, not first-epoch
+    # only)
+    d.filter(F.col("doc_id") < 20).write.mode("append").parquet(src)
+    out2 = incremental_curation_ingest(spark, src, ck, store,
+                                       ids_path=ids, **kw)
+    assert {r["source"]: (r["n_docs"], r["total_chars"])
+            for r in out2.collect()} == \
+        {r["source"]: (r["n_docs"], r["total_chars"])
+         for r in out.collect()}
+    st2 = spark.read.parquet(store).select("doc_id")
+    assert st2.count() == st2.distinct().count()
+
+
+def test_prune_curation_sidecar_store_protected(spark, eng, tmp_path):
+    """Pruning a CURATION sidecar with the linked store_path keeps
+    stored keepers' ids unconditionally: after a prune that would
+    have dropped them, a full re-delivery leaves the curated store
+    exactly-once (the r13 watch-item: without protection a
+    pruned-then-redelivered keeper was appended AGAIN — a duplicate
+    training document).  Gate-reject ids matching the predicate DO
+    prune (the retention win), and re-gate deterministically to
+    rejection on re-delivery."""
+    from preql_spark.operators.text import c4_clean
+    from preql_spark.streaming.stream import (
+        incremental_curation_ingest, prune_ingest_ids)
+    src, store, ids, ck = (str(tmp_path / x)
+                           for x in ("src", "store", "ids", "ck"))
+    d = eng.t.documents.df.select(
+        "doc_id", "source",
+        F.concat(F.substring("text", 1, 50), F.lit(". keep me fine!"),
+                 F.when(F.col("doc_id") % 4 == 0,
+                        F.lit("\nanother proper sentence right here."))
+                 .otherwise(F.lit(""))).alias("text")) \
+        .filter(F.col("doc_id") < 200)
+    kw = dict(gate="c4", ids_path=ids, min_sentences=2)
+    d.write.mode("overwrite").parquet(src)
+    out = incremental_curation_ingest(spark, src, ck, store, **kw)
+    batch = c4_clean(d, min_sentences=2).filter(F.col("keep"))
+    keepers = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    # prune "everything below 150" — but the store still holds those
+    # keepers, so only sub-150 REJECTS may actually go
+    kept = prune_ingest_ids(spark, ids, "__id >= 150",
+                            store_path=store)
+    side = {r["__id"] for r in spark.read.parquet(ids)
+            .filter(F.col("__id").isNotNull()).collect()}
+    assert {i for i in keepers if i < 150} <= side
+    assert not {i for i in side if i < 150} - keepers
+    assert kept == len(side) + 1          # + the NULL epoch marker
+    # full re-delivery: keepers fast-path to no-ops via the sidecar,
+    # pruned rejects re-gate to rejection — store stays exactly-once
+    d.write.mode("append").parquet(src)
+    out2 = incremental_curation_ingest(spark, src, ck, store, **kw)
+    assert {r["source"]: (r["n_docs"], r["total_chars"])
+            for r in out2.collect()} == \
+        {r["source"]: (r["n_docs"], r["total_chars"])
+         for r in out.collect()}
+    st = spark.read.parquet(store).select("doc_id")
+    assert st.count() == st.distinct().count() == batch.count()
+
+
 def test_incremental_z_monitor_state_identity(spark, eng, tmp_path):
     """Two-wave z-monitor ingest == batch z_outliers over the full
     corpus BIT-FOR-BIT (shared-tail identity, exact int64 moments);
