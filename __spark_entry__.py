@@ -1326,11 +1326,14 @@ def q224_ccnet_buckets(spark, sf_dir) -> DataFrame:
     assignment, never a global ntile sort.  Documents too short for
     a bigram score (NULL ppl) get a NULL bucket on both sides.  The
     oracle replays the q99 model arithmetic unrounded and buckets
-    with quantile_cont + the same strict comparisons."""
+    with quantile_cont + the same strict comparisons.  Runs over the
+    FULL documents table (r13 verdict watch-item: a fixed doc_id
+    slice graded a constant workload at every sf — the tri-scale
+    battery and the SCALE row must exercise the percentile pass at
+    growing n)."""
     from preql_spark.operators.text import (lm_perplexity,
                                             quantile_bucketize)
-    d = _eng(spark, sf_dir).t.documents.df \
-        .filter(F.col("doc_id") < 200)
+    d = _eng(spark, sf_dir).t.documents.df
     ppl = lm_perplexity(d)
     out = quantile_bucketize(ppl, "ppl", 3, out_col="bucket")
     return out.select("doc_id",
@@ -1364,6 +1367,54 @@ def q223_quality_funnel(spark, sf_dir) -> DataFrame:
             .withColumn("final_rate",
                         _pr4(F.col("n_final")
                              / F.col("n_raw").cast("double"))))
+
+
+def q225_embed_text(spark, sf_dir) -> DataFrame:
+    """Text→embedding hook (the SemDeDup/dense-retrieval model
+    stage) on its graded FAKE-embedder path: one Arrow
+    ``mapInPandas`` pass derives an 8-dim md5-hash vector per
+    document — the identical plumbing a real encoder rides
+    (``preql_spark.operators.text.embed_text``).  Graded per
+    COMPONENT via posexplode: ``comp_u32`` recovers the embedder's
+    exact 32-bit integer from the double (component = u32/2^31 - 1
+    is float64-exact, so (comp+1)*2^31 is lossless), making the
+    oracle comparison integer-exact; the component itself rounds
+    4dp.  NULL-text docs embed NULL and explode to no rows, both
+    sides."""
+    from preql_spark.operators.text import embed_text
+    d = _eng(spark, sf_dir).t.documents.df.select("doc_id", "text")
+    out = embed_text(d, dim=8)
+    ex = out.select("doc_id",
+                    F.posexplode("embedding").alias("j", "comp"))
+    return ex.select(
+        "doc_id", F.col("j").cast("long").alias("j"),
+        F.floor((F.col("comp") + 1) * F.lit(2147483648.0))
+        .cast("long").alias("comp_u32"),
+        _pr4(F.col("comp")).alias("comp"))
+
+
+def q226_embed_semdedup(spark, sf_dir) -> DataFrame:
+    """The end-to-end semantic-dedup pipeline FROM RAW TEXT — the
+    composition the fixtures used to short-circuit (pre-embedded
+    vectors): documents → ``embed_text`` (16-dim fake embedder, one
+    Arrow pass) → ``semdedup`` (k-means k=8 two Lloyd iterations,
+    then drop lower-id cluster-mates at cosine >= 0.9).  Synthesized
+    EXACT-copy docs (first 30 texts re-ingested under new ids) are
+    the near-duplicates: content-addressed hash embeddings make
+    copies cosine-1.0 cluster-mates of their originals, while
+    distinct texts land near-orthogonal — so the survivors are
+    exactly the originals.  The oracle replays the whole chain:
+    md5-derived components (bit-exact doubles), both centroid
+    updates, final assignment, and the min-id cosine drop."""
+    from preql_spark.operators.cluster import semdedup
+    from preql_spark.operators.text import embed_text
+    d = _eng(spark, sf_dir).t.documents.df.select("doc_id", "text") \
+        .filter(F.col("text").isNotNull())
+    dup = d.filter(F.col("doc_id") < 30) \
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    emb = embed_text(d.unionByName(dup), dim=16) \
+        .select("doc_id", "embedding")
+    return semdedup(emb, tau=0.9, k=8, iters=2, id_col="doc_id")
 
 
 def q221_classifier_gate(spark, sf_dir) -> DataFrame:
@@ -3809,6 +3860,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q195_psi_ingest": q195_psi_ingest,
     "q185_weighted_pagerank": q185_weighted_pagerank,
     "q221_classifier_gate": q221_classifier_gate,
+    "q225_embed_text": q225_embed_text,
+    "q226_embed_semdedup": q226_embed_semdedup,
     "q187_lang_shipping_priority": q187_lang_shipping_priority,
     "q219_lang_gopher_pipeline": q219_lang_gopher_pipeline,
     "q222_classifier_rate_ingest": q222_classifier_rate_ingest,
@@ -3836,8 +3889,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_dml_lifecycle": q60_dml_lifecycle,
     "q207_rolling_anomalies": q207_rolling_anomalies,
     "q62_json_extract": q62_json_extract,
-    "q75_pack_sequences": q75_pack_sequences,
-    "q78_interval_join": q78_interval_join,
     # ---- end of the 50-entry driver window -------------------------
     # rotated out for r9 (all r8-green per CORRECTNESS_r08; family
     # keeps an in-window representative): q161 (text diversity:
@@ -3986,6 +4037,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #       substrings, \s-aware blank/bullet/ellipsis line edges),
     #       q213 (datacard in-batch id dedup), q202 (marker-safe
     #       prune), q218 (ids sidecar + gate fingerprint).
+    #   r14: q225 (text→embedding hook on its graded FAKE path —
+    #       md5-derived vectors through the real Arrow mapInPandas
+    #       boundary, integer-exact per-component oracle via the
+    #       lossless u32 recovery) enters, displacing q75 (sequence
+    #       packing — r13-green; the token/text family keeps
+    #       q95/q201/q204/q211/q224 in-window, and the packing
+    #       window stays battery tri-scale + in the bench).  q226
+    #       (the end-to-end semantic dedup FROM RAW TEXT: embed_text
+    #       → semdedup, the composition the fixtures used to
+    #       short-circuit; the oracle replays embeddings, both
+    #       Lloyd iterations, and the min-id cosine drop) enters,
+    #       displacing q78 (interval join — r13-green; joins keep
+    #       q120 cardinality + q187 n-ary in-window, and the
+    #       bucketized range join stays battery tri-scale + in the
+    #       bench).  q224 STAYS in-window: this round removes its
+    #       fixed doc_id slice (the r13 watch-item), so the changed
+    #       full-corpus grading must be externally confirmed; the
+    #       sidecar-safety fixes keep q218 in-window likewise.
     # displaced mid-r11 by the NEW graded q209 (see the r11 note):
     "q159_retrieve_refine_diversify": q159_retrieve_refine_diversify,
     # displaced mid-r11 by the NEW graded q210 (see the r11 note):
@@ -3994,6 +4063,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q148_scrub_contaminated_spans": q148_scrub_contaminated_spans,
     # displaced mid-r11 by the NEW graded q212 (see the r11 note):
     "q150_dsir_resample": q150_dsir_resample,
+    # displaced in r14 by the NEW graded q225 (see the r14 note):
+    "q75_pack_sequences": q75_pack_sequences,
+    # displaced in r14 by the NEW graded q226 (see the r14 note):
+    "q78_interval_join": q78_interval_join,
     # displaced in r13 by the NEW graded q221 (see the r13 note):
     "q199_ks_quantized": q199_ks_quantized,
     # displaced mid-r13 by the NEW graded q223 (see the r13 note):
@@ -7593,7 +7666,7 @@ ORACLES: dict[str, str] = {
     "q224_ccnet_buckets": r"""
         WITH tok AS (
             SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-            FROM documents WHERE doc_id < 200
+            FROM documents
         ),
         bg AS (
             SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
@@ -7614,7 +7687,7 @@ ORACLES: dict[str, str] = {
                FROM lp GROUP BY doc_id),
         sc AS (
             SELECT d.doc_id, exp(-pd.avg_logp) AS ppl
-            FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+            FROM (SELECT doc_id FROM documents) d
             LEFT JOIN pd USING (doc_id)
         ),
         ts AS (SELECT quantile_cont(ppl,
@@ -7720,6 +7793,95 @@ ORACLES: dict[str, str] = {
                coalesce(('0x' || substr(md5(text), 1, 8))::BIGINT
                         >= 2147483648, FALSE) AS keep
         FROM documents
+    """,
+    # the fake embedder is content-addressed md5 arithmetic per
+    # (text, component) pair, replayed exactly: comp_u32 is the
+    # lossless integer recovery of each double component (u32/2^31-1
+    # is float64-exact), so the comparison is integer-exact; NULL
+    # text embeds NULL and contributes no exploded rows either side
+    "q225_embed_text": r"""
+        SELECT doc_id, j,
+               ('0x' || substr(md5(text || ':' ||
+                    CAST(j AS VARCHAR)), 1, 8))::BIGINT AS comp_u32,
+               floor((('0x' || substr(md5(text || ':' ||
+                        CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                      / 2147483648.0 - 1) * 10000 + 0.5) / 10000
+                 AS comp
+        FROM documents
+        CROSS JOIN (SELECT UNNEST(range(0, 8)) AS j) r
+        WHERE text IS NOT NULL
+    """,
+    # raw text -> fake md5 embeddings (bit-exact doubles, see
+    # q225) -> the q101 k-means + min-id cosine-drop replay at
+    # dim 16 / tau 0.9 over documents plus 30 exact-copy rows
+    "q226_embed_semdedup": r"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE text IS NOT NULL AND doc_id < 30
+        ),
+        emb AS (
+          SELECT doc_id, list_transform(range(0, 16), j ->
+            ('0x' || substr(md5(text || ':' ||
+                 CAST(j AS VARCHAR)), 1, 8))::BIGINT
+              / 2147483648.0 - 1) AS v
+          FROM corpus
+        ),
+        c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INT)
+                   AS cid, v AS c
+          FROM (SELECT doc_id, v FROM emb ORDER BY doc_id LIMIT 8)
+        ),
+        a1 AS (
+          SELECT doc_id, v, cid FROM (
+            SELECT e.doc_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.doc_id ORDER BY
+                     list_sum(list_transform(list_zip(e.v, c.c),
+                              x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid)
+                     AS rn
+            FROM emb e CROSS JOIN c0 c) WHERE rn = 1
+        ),
+        c1 AS (
+          SELECT c0.cid, COALESCE(u.c, c0.c) AS c FROM c0 LEFT JOIN (
+            SELECT cid, list(m ORDER BY p) AS c FROM (
+              SELECT a.cid AS cid, t.i AS p, avg(a.v[t.i]) AS m
+              FROM a1 a CROSS JOIN generate_series(1, 16) t(i)
+              GROUP BY a.cid, t.i) GROUP BY cid) u ON u.cid = c0.cid
+        ),
+        a2 AS (
+          SELECT doc_id, v, cid FROM (
+            SELECT e.doc_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.doc_id ORDER BY
+                     list_sum(list_transform(list_zip(e.v, c.c),
+                              x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid)
+                     AS rn
+            FROM emb e CROSS JOIN c1 c) WHERE rn = 1
+        ),
+        c2 AS (
+          SELECT c1.cid, COALESCE(u.c, c1.c) AS c FROM c1 LEFT JOIN (
+            SELECT cid, list(m ORDER BY p) AS c FROM (
+              SELECT a.cid AS cid, t.i AS p, avg(a.v[t.i]) AS m
+              FROM a2 a CROSS JOIN generate_series(1, 16) t(i)
+              GROUP BY a.cid, t.i) GROUP BY cid) u ON u.cid = c1.cid
+        ),
+        final AS (
+          SELECT doc_id, v, cid FROM (
+            SELECT e.doc_id, e.v, c.cid,
+                   row_number() OVER (PARTITION BY e.doc_id ORDER BY
+                     list_sum(list_transform(list_zip(e.v, c.c),
+                              x -> (x[1]-x[2])*(x[1]-x[2]))), c.cid)
+                     AS rn
+            FROM emb e CROSS JOIN c2 c) WHERE rn = 1
+        )
+        SELECT f.doc_id, f.cid - 1 AS cluster FROM final f
+        WHERE NOT EXISTS (
+          SELECT 1 FROM final g
+          WHERE g.cid = f.cid AND g.doc_id < f.doc_id
+            AND list_dot_product(g.v, f.v)
+                / (sqrt(list_dot_product(g.v, g.v))
+                   * sqrt(list_dot_product(f.v, f.v))) >= 0.9
+        )
     """,
     # the classifier-gated streaming monitor's batch identity: q221's
     # md5 keep arithmetic folded per source over the raw corpus

@@ -3581,6 +3581,12 @@ def _load_pipeline_funcs() -> dict:
             lambda df, id_col="doc_id", threshold=0.5:
                 text.classifier_gate(df, id_col=id_col,
                                      threshold=float(threshold)),
+        # text→embedding hook: the lang surface exposes the graded
+        # FAKE embedder path (a real model is a Python-side callable)
+        "embed_text":
+            lambda df, id_col="doc_id", text_col="text", dim=16:
+                text.embed_text(df, id_col=id_col, text_col=text_col,
+                                dim=int(dim)),
         "tfidf": text.tf_idf,
         "bm25": text.bm25,
         "lm_perplexity": text.lm_perplexity,
@@ -3733,7 +3739,7 @@ _PIPELINE_FUNC_NAMES = {
     "pq_topk",
     "quality_metrics", "repetition_metrics", "k_anonymity_filter",
     "concentration", "pii_counts", "gopher_quality_gate", "c4_clean",
-    "classifier_gate",
+    "classifier_gate", "embed_text",
     "tfidf", "bm25", "lm_perplexity", "quantile_filter",
     "quantile_bucketize", "corpus_datacard", "postings",
     "budget_select", "adjacent_pair_counts", "ngram_diversity",

