@@ -949,6 +949,82 @@ GATES: dict = {
 }
 
 
+def composed_gate(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  stages=(("gopher", {}), ("classifier", {}))
+                  ) -> DataFrame:
+    """Multi-stage quality funnel as ONE registry gate — the
+    rules→model two-stage shape every public curation pipeline runs
+    (Gopher/C4 rule battery, then the CCNet/DCLM classifier), made a
+    first-class :data:`GATES` citizen so BOTH streaming ingests run
+    the funnel with zero ingest edits (registry key ``"composed"``).
+
+    ``stages`` is a sequence of ``(gate_name, kwargs)`` pairs over
+    the registry (any gate except ``"composed"`` itself).  Stages
+    run in order over the CURRENT text: a text-rewriting stage
+    (``"c4"``) hands its cleaned text to every later stage and to
+    materialization.  ``keep`` is the AND of all stage keeps, and
+    rows failing an early stage are still scored by later stages —
+    the counters shape of the q223 funnel (per-stage rates stay
+    derivable from one pass; a real deployment that wants to skip
+    model cost on rule-rejects filters between two separate gate
+    calls instead).  Returns ALL input columns plus ``keep`` and
+    ``clean`` (the final text — equal to the raw ``text_col`` when
+    no stage rewrites), so the registry entry materializes
+    ``clean`` uniformly.
+
+    Streaming params are fingerprint-friendly: ``stages`` is plain
+    (str, dict) data, so the gate-config drift guard covers every
+    nested threshold; a callable classifier ``scorer`` inside a
+    stage's kwargs encodes by qualname like any top-level scorer.
+
+    Scale shape: the composition of its stages' shapes — rule gates
+    stay scan-local Projects, the classifier stays ONE Arrow
+    ``mapInPandas``; the bookkeeping columns add no shuffle, no
+    extra pass (plan-asserted: the composed plan equals the q223
+    hand spelling's shape)."""
+    stages = [(n, dict(kw or {})) for n, kw in stages]
+    if not stages:
+        raise ValueError("composed_gate needs at least one stage")
+    for name, _kw in stages:
+        if name == "composed" or name not in GATES:
+            raise ValueError(
+                f"unknown or non-composable stage {name!r}: "
+                f"expected one of "
+                f"{sorted(k for k in GATES if k != 'composed')}")
+    clash = [c for c in ("keep", "clean", "__cg_keep", "__cg_text")
+             if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"composed_gate input already has column(s) {clash}: "
+            f"rename or drop them — the gate appends its own "
+            f"keep/clean")
+    cur = (df.withColumn("__cg_keep", F.lit(True))
+             .withColumn("__cg_text", F.col(text_col)))
+    for name, kw in stages:
+        fn, out_c = GATES[name]
+        before = set(cur.columns)
+        gated = fn(cur, id_col=id_col, text_col="__cg_text", **kw)
+        gated = gated.withColumn(
+            "__cg_keep",
+            F.col("__cg_keep") & F.coalesce(F.col("keep"),
+                                            F.lit(False)))
+        if out_c:
+            gated = gated.withColumn("__cg_text", F.col(out_c))
+        # drop the stage's metric columns (incl. its keep) so the
+        # next stage sees a clean frame — per-stage metrics belong
+        # to the standalone gates; the funnel's contract is the
+        # composite keep + final text
+        cur = gated.drop(*[c for c in gated.columns
+                           if c not in before])
+    return (cur.withColumn("keep", F.col("__cg_keep"))
+            .withColumn("clean", F.col("__cg_text"))
+            .drop("__cg_keep", "__cg_text"))
+
+
+GATES["composed"] = (composed_gate, "clean")
+
+
 def _fake_text_embedding(texts, dim: int):
     """The deterministic FAKE embedder behind :func:`embed_text`
     (``embedder="fake"``): component ``j`` of a document's vector is

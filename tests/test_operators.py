@@ -1459,6 +1459,116 @@ def test_classifier_gate_streaming_registry(eng, tmp_path):
     assert stored.count() == kept.count()
 
 
+def test_composed_gate(eng):
+    """The composed funnel gate: keep == AND of stage keeps over
+    the batch gates run standalone (rules-then-classifier); a
+    text-rewriting stage (c4) hands its cleaned text to later
+    stages AND to the `clean` output; schema = input + (keep,
+    clean); bad stages / collisions are clear upfront errors."""
+    from preql_spark.operators.text import (c4_clean, classifier_gate,
+                                            composed_gate,
+                                            gopher_quality_gate)
+    d = eng.t.documents.df.select("doc_id", "source", "text") \
+        .filter(F.col("doc_id") < 120)
+    out = composed_gate(
+        d, stages=[("gopher", {"min_words": 40, "min_stop_words": 1}),
+                   ("classifier", {"threshold": 0.5})])
+    assert out.columns == ["doc_id", "source", "text", "keep",
+                           "clean"]
+    rule = gopher_quality_gate(d, min_words=40, min_stop_words=1) \
+        .select("doc_id", F.col("keep").alias("rk"))
+    clf = classifier_gate(d, threshold=0.5) \
+        .select("doc_id", F.col("keep").alias("ck"))
+    want = {r["doc_id"]: r["rk"] and r["ck"]
+            for r in rule.join(clf, "doc_id").collect()}
+    got = {r["doc_id"]: (r["keep"], r["clean"], r["text"])
+          for r in out.collect()}
+    assert {k: v[0] for k, v in got.items()} == want
+    # no rewriting stage: clean == raw text
+    assert all(v[1] == v[2] for v in got.values())
+    # c4 FIRST: the classifier scores the CLEANED text, and `clean`
+    # carries it
+    multi = d.withColumn(
+        "text", F.concat_ws(
+            "\n", F.concat(F.substring("text", 1, 50),
+                           F.lit(". keep me here fine!")),
+            F.lit("junk line no punctuation"),
+            F.concat(F.substring("text", 51, 40),
+                     F.lit(". another proper sentence right here."))))
+    c = composed_gate(multi, stages=[("c4", {"min_sentences": 2}),
+                                     ("classifier",
+                                      {"threshold": 0.0})])
+    cb = c4_clean(multi, min_sentences=2)
+    ref = {r["doc_id"]: (r["keep"], r["clean"]) for r in cb.collect()}
+    clf2 = {r["doc_id"]: r["keep"] for r in classifier_gate(
+        cb.select("doc_id", F.col("clean").alias("text")),
+        threshold=0.0).collect()}
+    for r in c.collect():
+        k, cl = ref[r["doc_id"]]
+        assert r["clean"] == cl                   # rewritten text
+        assert r["keep"] == (k and clf2[r["doc_id"]])
+    with pytest.raises(ValueError, match="at least one stage"):
+        composed_gate(d, stages=[])
+    with pytest.raises(ValueError, match="non-composable"):
+        composed_gate(d, stages=[("composed", {})])
+    with pytest.raises(ValueError, match="non-composable"):
+        composed_gate(d, stages=[("nope", {})])
+    with pytest.raises(ValueError, match="keep"):
+        composed_gate(d.withColumn("keep", F.lit(True)))
+
+
+def test_composed_gate_streaming(eng, tmp_path):
+    """GATES["composed"] through BOTH streaming ingests with zero
+    ingest edits: the keep-rate monitor's counters equal the batch
+    funnel, the curation ingest materializes the funnel's final
+    text for keepers, and a changed NESTED stage threshold raises
+    the config-drift guard (the fingerprint covers the stages
+    data)."""
+    from preql_spark.operators.text import composed_gate
+    from preql_spark.streaming.stream import (
+        incremental_curation_ingest, incremental_gate_rate_ingest)
+    spark = eng.spark
+    d = eng.t.documents.df.select("doc_id", "source", "text") \
+        .filter(F.col("doc_id") < 200)
+    stages = [("gopher", {"min_words": 40, "min_stop_words": 1}),
+              ("classifier", {"threshold": 0.5})]
+    batch = composed_gate(d, stages=stages)
+    want = {r["source"]: (r["n"], r["k"])
+            for r in batch.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("keep").cast("long")).alias("k"))
+            .collect()}
+    base = tmp_path / "rate"
+    src, st, ids, ck = (str(base / x) for x in ("src", "st", "ids", "ck"))
+    d.filter(F.col("doc_id") < 100).write.mode("overwrite").parquet(src)
+    incremental_gate_rate_ingest(spark, src, ck, st, ids,
+                                 gate="composed", stages=stages)
+    d.filter(F.col("doc_id") >= 100).write.mode("append").parquet(src)
+    out = incremental_gate_rate_ingest(spark, src, ck, st, ids,
+                                       gate="composed", stages=stages)
+    assert {r["source"]: (r["n_docs"], r["n_keep"])
+            for r in out.collect()} == want
+    # nested threshold drift raises
+    with pytest.raises(ValueError, match="gate-config drift"):
+        incremental_gate_rate_ingest(
+            spark, src, str(base / "ck2"), st, ids, gate="composed",
+            stages=[("gopher", {"min_words": 40,
+                                "min_stop_words": 1}),
+                    ("classifier", {"threshold": 0.9})])
+    base = tmp_path / "cur"
+    src, store, ck = (str(base / x) for x in ("src", "store", "ck"))
+    d.write.mode("overwrite").parquet(src)
+    rep = incremental_curation_ingest(spark, src, ck, store,
+                                      gate="composed", stages=stages)
+    assert {r["source"]: r["n_docs"] for r in rep.collect()} == \
+        {s: k for s, (n, k) in want.items() if k}
+    stored = spark.read.parquet(store)
+    kept = batch.filter("keep").select("doc_id", "clean")
+    assert stored.join(kept, "doc_id") \
+        .filter(stored["text"] != kept["clean"]).isEmpty()
+    assert stored.count() == kept.count()
+
+
 def test_strip_repeated_units(eng):
     """Intra-doc self-repetition: repeated units collapse to the
     FIRST occurrence with order preserved, distinct units all

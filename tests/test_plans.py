@@ -266,6 +266,29 @@ def test_classifier_gate_plan_contract(spark):
     assert "BatchEvalPython" not in fplan
 
 
+def test_composed_gate_plan_contract(spark):
+    """The composed funnel gate adds NO plan weight over its
+    stages: rules stay scan-local Projects, the classifier stays
+    ONE Arrow MapInPandas, the bookkeeping columns introduce no
+    shuffle and no extra Python boundary — the registry dispatch
+    costs nothing at plan level."""
+    import re
+
+    from preql_spark.operators.text import composed_gate
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")) \
+        .select("doc_id", "source", "text")
+
+    def n_nodes(plan, kind):
+        return len(re.findall(rf"\b{kind} \(\d+\)", plan))
+
+    plan = plan_of(composed_gate(
+        d, stages=[("gopher", {"min_words": 40}),
+                   ("classifier", {"threshold": 0.5})]))
+    assert n_nodes(plan, "MapInPandas") == 1
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_embed_text_plan_contract(spark):
     """embed_text is ONE Arrow MapInPandas at scan position — no
     shuffle, no row-at-a-time Python; schema = input + embedding, so
