@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "q209_curation_pipeline",# end-to-end curation capstone (6 stages)
     "q215_gopher_quality_gate",  # Gopher gate (one scan-local Project)
     "q217_gate_rate_ingest",  # streaming keep-rate ingest (two waves)
+    "q221_classifier_gate",  # Arrow mapInPandas model gate (one pass)
+    "q218_curation_ingest",  # streaming sidecar materialization (two waves)
 ]
 
 # iterative queries whose localCheckpoints materialize at construction
@@ -59,7 +61,7 @@ BENCH_QUERIES = [
 # analogue: its two availableNow ingests over fresh scratch dirs ARE
 # the work; a prebuilt report frame would time only the state agg.
 CONSTRUCT_EACH_RUN = {"q185_weighted_pagerank", "q209_curation_pipeline",
-                      "q217_gate_rate_ingest"}
+                      "q217_gate_rate_ingest", "q218_curation_ingest"}
 
 
 def main():

@@ -46,6 +46,12 @@ def normalized_plan(df: DataFrame) -> str:
         text = text.replace(f"{orig}# AS {alias}#", f"{orig}#")
         text = text.replace(f"{alias}#", f"{orig}#")
     text = re.sub(r"\b([a-z]+)_\d+#", r"\1_#", text)   # lambda vars
+    # Arrow-boundary nodes embed the PYTHON function's name — plan
+    # structure is what the comparison is about, and engine vs twin
+    # legitimately name their kernels differently (_gate vs _score)
+    text = re.sub(
+        r"\b(MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas"
+        r"|ApplyInPandasWithState) \w+\(", r"\1 <fn>(", text)
     text = re.sub(r"plan_id=\d+", "plan_id=", text)
     text = re.sub(r"\[id=#\]", "", text)
     # truncated field lists diverge at the cut point — elide them
@@ -970,6 +976,171 @@ def q217_gate_rate_ingest(spark, sf_dir):
                       p4(F.col("keep_rate")).alias("keep_rate"))
 
 
+def q221_classifier_gate(spark, sf_dir):
+    """Hand model-scored gate — the raw ``mapInPandas`` a user
+    writes for the q221 contract: inline md5-top-32-bits fake
+    scorer (hashlib, spelled from scratch), schema = input +
+    (score, keep), then the lossless u32 projection.  The engine
+    side adds only its registry/guard plumbing at CONSTRUCTION
+    time; the physical plans are identical (Project over one
+    MapInPandas over the scan), so the ratio measures pure Arrow
+    boundary throughput — the one plan shape the bench never
+    covered before r14."""
+    from pyspark.sql import types as T
+    d = _read(spark, sf_dir, "documents") \
+        .select("doc_id", "source", "text")
+
+    def _score(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype="float64")
+            for i, t in enumerate(pdf["text"].astype(object)):
+                out[i] = (int(hashlib.md5(t.encode("utf-8"))
+                              .hexdigest()[:8], 16) / 4294967296.0
+                          if isinstance(t, str) else np.nan)
+            pdf = pdf.copy()
+            s = pd.Series(out, index=pdf.index)
+            pdf["score"] = s
+            pdf["keep"] = s.ge(0.5).fillna(False).astype(bool)
+            yield pdf
+
+    sch = T.StructType(list(d.schema.fields) + [
+        T.StructField("score", T.DoubleType()),
+        T.StructField("keep", T.BooleanType())])
+    return d.mapInPandas(_score, sch).select(
+        "doc_id", "source",
+        F.floor(F.col("score") * F.lit(4294967296.0)).cast("long")
+        .alias("score_u32"),
+        "keep")
+
+
+def _hand_c4_cleaned(df, min_sentences=2):
+    """Hand-spelled C4 clean at q218's thresholds (line keeps:
+    terminal punctuation, no trailing ellipsis, >= 5 words, no
+    javascript/policy boilerplate; page keeps: >= min_sentences
+    terminators, no brace, no lorem) — the expression battery a
+    competent author writes once as columns, shared by the q218
+    twin's per-batch sink."""
+    c = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.filter(F.split(c, r"\n"),
+                     lambda ln: ~ln.rlike(r"^\s*$"))
+
+    def ok(ln):
+        low = F.lower(ln)
+        e = (ln.rlike(r'[.!?"”]\s*$')
+             & ~ln.rlike(r"(\.\.\.|…)\s*$")
+             & (F.size(F.filter(F.split(ln, r"\s+"),
+                                lambda w: w != F.lit(""))) >= 5)
+             & ~low.contains("javascript"))
+        for p in ("terms of use", "privacy policy", "cookie policy",
+                  "uses cookies", "use of cookies", "use cookies"):
+            e = e & ~low.contains(p)
+        return e
+
+    kept = F.filter(lines, ok)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"),
+                                         F.lit(0)))
+    keep = ((n_sent >= min_sentences) & ~c.contains("{")
+            & ~F.lower(c).contains("lorem ipsum"))
+    return df.withColumns({"clean": clean, "keep": keep})
+
+
+def q218_curation_ingest(spark, sf_dir):
+    """Hand streaming curated-corpus materialization with an ids
+    sidecar — the foreachBatch loop a user writes from scratch for
+    the q218 contract: two availableNow waves over fresh scratch
+    dirs; per batch one sidecar anti-join + in-batch id dedup + an
+    intent marker (exactly-once protocol) + the hand C4 expression
+    battery + the keepers' CLEANED-text store append + the sidecar
+    ids append with the NULL epoch-marker row; the report counts
+    the store per source.  Construct-per-run timed
+    (CONSTRUCT_EACH_RUN) — the measured wall includes both stream
+    executions AND both sinks' appends on each side, so the ratio
+    is the engine layer's overhead over this loop (registry
+    dispatch, fingerprint/stranded guards, crash-recovery
+    branching)."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="twin_q218_")
+    src, store, ids = (os.path.join(tmp, x)
+                       for x in ("src", "store", "ids"))
+    intent, ck = os.path.join(tmp, "ids__intent"), os.path.join(tmp, "ck")
+    i, t = F.col("doc_id"), F.col("text")
+    dirty = F.concat_ws(
+        "\n",
+        F.concat(F.substring(t, 1, 40), F.lit(".")),
+        F.substring(t, 41, 30),
+        F.lit("Too short."),
+        F.when(i % 3 == 0,
+               F.lit("Please enable javascript to continue here."))
+        .otherwise(F.concat(F.substring(t, 71, 40), F.lit("!"))),
+        F.when(i % 5 == 0,
+               F.concat(F.substring(t, 111, 40), F.lit("?")))
+        .otherwise(F.substring(t, 111, 40)),
+        F.when(i % 7 == 0, F.lit("a curly { brace"))
+        .otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit("this page is Lorem Ipsum filler"))
+        .otherwise(F.lit("")))
+    d = _read(spark, sf_dir, "documents") \
+        .select("doc_id", "source", dirty.alias("text"))
+
+    def _has_files(path: str) -> bool:
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path))
+
+    def _sink(batch, batch_id):
+        s = batch.sparkSession
+        rows = batch.dropDuplicates(["doc_id"])
+        if _has_files(ids):
+            side = s.read.parquet(ids)
+            if not side.filter(
+                    (F.col("run_id") == "hand")
+                    & (F.col("batch_id") == int(batch_id))).isEmpty():
+                return                      # committed epoch: replay no-op
+            seen = side.select(F.col("__id").alias("__seen")).distinct()
+            rows = rows.join(seen, rows["doc_id"] == seen["__seen"],
+                             "left_anti").drop("__seen")
+        (s.range(1)
+         .select(F.lit("hand").alias("run_id"),
+                 F.lit(int(batch_id)).cast("long").alias("batch_id"))
+         .write.mode("append").parquet(intent))
+        # two actions follow and the second must not recompute the
+        # anti-join after the first append — same lineage-cut a
+        # from-scratch author needs
+        rows = rows.localCheckpoint(eager=True)
+        gated = _hand_c4_cleaned(rows)
+        (gated.filter(F.col("keep"))
+         .select("doc_id", "source", F.col("clean").alias("text"))
+         .write.mode("append").parquet(store))
+        mark = rows.select(F.col("doc_id").alias("__id")).unionByName(
+            s.range(1).select(F.lit(None).cast("long").alias("__id")))
+        (mark.withColumn("run_id", F.lit("hand"))
+         .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+         .coalesce(1).write.mode("append").parquet(ids))
+
+    def _wave():
+        q = (spark.readStream.schema(d.schema).parquet(src)
+             .writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
+    _wave()
+    d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    _wave()
+    return (spark.read.parquet(store)
+            .groupBy(F.col("source"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("text")).alias("total_chars"))
+            .select("source", "n_docs", "total_chars"))
+
+
 TWINS = {
     "q01_pricing_summary": q01_pricing_summary,
     "q04_revenue_by_nation": q04_revenue_by_nation,
@@ -999,4 +1170,6 @@ TWINS = {
     "q209_curation_pipeline": q209_curation_pipeline,
     "q215_gopher_quality_gate": q215_gopher_quality_gate,
     "q217_gate_rate_ingest": q217_gate_rate_ingest,
+    "q221_classifier_gate": q221_classifier_gate,
+    "q218_curation_ingest": q218_curation_ingest,
 }
