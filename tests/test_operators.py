@@ -1459,6 +1459,30 @@ def test_classifier_gate_streaming_registry(eng, tmp_path):
     assert stored.count() == kept.count()
 
 
+def test_gates_registry_contract(eng):
+    """EVERY GATES entry honors the registry contract the streaming
+    ingests depend on: callable as (df, id_col=..., text_col=...),
+    returns ALL input columns plus a boolean `keep`, and the
+    declared out_text_col (when set) is a string column present in
+    the output — so a new gate that breaks the shape fails here,
+    not inside a foreachBatch sink."""
+    from preql_spark.operators.text import GATES
+    d = eng.t.documents.df.select("doc_id", "source", "text") \
+        .filter(F.col("doc_id") < 20)
+    for name, (fn, out_col) in GATES.items():
+        out = fn(d, id_col="doc_id", text_col="text")
+        missing = [c for c in d.columns if c not in out.columns]
+        assert not missing, (name, missing)
+        assert dict(out.dtypes)["keep"] == "boolean", name
+        if out_col is not None:
+            assert dict(out.dtypes).get(out_col) == "string", \
+                (name, out_col)
+        # keep is concrete (executable), never all-NULL
+        rows = out.select("keep").collect()
+        assert rows and all(r["keep"] in (True, False)
+                            for r in rows), name
+
+
 def test_composed_gate(eng):
     """The composed funnel gate: keep == AND of stage keeps over
     the batch gates run standalone (rules-then-classifier); a

@@ -339,6 +339,31 @@ def test_gate_rate_per_batch_plan_equals_hand(spark):
     assert normalized_plan(eng) == normalized_plan(hand)
 
 
+def test_curation_per_batch_plan_equals_hand(spark):
+    """The q218 streaming pair's PER-BATCH store-append plan (what
+    each foreachBatch epoch executes on the hot side: in-batch id
+    dedup → C4 gate → keep filter → (id, group, cleaned text)
+    projection) equals the hand spelling — the bench's plan_match
+    covers the REPORT side; this pins the per-epoch side.  Built
+    exactly as the sinks build it, on a static batch (the
+    localCheckpoint/anti-join stages are protocol, not plan: they
+    depend on runtime store state)."""
+    from bench_twins import _hand_c4_cleaned, normalized_plan
+    from preql_spark.operators.text import GATES
+    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")) \
+        .select("doc_id", "source", "text")
+    gate_fn, out_col = GATES["c4"]
+    batch = d.dropDuplicates(["doc_id"])
+    eng = (gate_fn(batch, id_col="doc_id", text_col="text",
+                   min_sentences=2)
+           .filter(F.col("keep"))
+           .select("doc_id", "source", F.col(out_col).alias("text")))
+    hand = (_hand_c4_cleaned(batch, min_sentences=2)
+            .filter(F.col("keep"))
+            .select("doc_id", "source", F.col("clean").alias("text")))
+    assert normalized_plan(eng) == normalized_plan(hand)
+
+
 def test_repetition_metrics_narrow_shuffle(spark):
     """The document text column must never reach an Exchange — lines
     and bigrams are hashed to narrow rows before any shuffle."""
