@@ -1591,6 +1591,31 @@ def test_composed_gate_streaming(eng, tmp_path):
     assert stored.join(kept, "doc_id") \
         .filter(stored["text"] != kept["clean"]).isEmpty()
     assert stored.count() == kept.count()
+    # a REWRITING stage in the funnel: the curation store must
+    # materialize the c4-cleaned text (composed declares out col
+    # `clean` uniformly), not the raw crawl text
+    multi = d.withColumn(
+        "text", F.concat_ws(
+            "\n", F.concat(F.substring("text", 1, 50),
+                           F.lit(". keep me here fine!")),
+            F.lit("junk line no punctuation"),
+            F.concat(F.substring("text", 51, 40),
+                     F.lit(". another proper sentence right here."))))
+    st2 = [("c4", {"min_sentences": 2}),
+           ("classifier", {"threshold": 0.3})]
+    b2 = composed_gate(multi, stages=st2)
+    base = tmp_path / "cur2"
+    src, store, ck = (str(base / x) for x in ("src", "store", "ck"))
+    multi.write.mode("overwrite").parquet(src)
+    incremental_curation_ingest(spark, src, ck, store,
+                                gate="composed", stages=st2)
+    stored = spark.read.parquet(store)
+    kept = b2.filter("keep").select("doc_id", "clean", "text")
+    assert stored.count() == kept.count()
+    j = stored.join(kept, "doc_id")
+    assert j.filter(stored["text"] != kept["clean"]).isEmpty()
+    # and the cleaned text genuinely differs from the raw crawl
+    assert not j.filter(stored["text"] == kept["text"]).count()
 
 
 def test_strip_repeated_units(eng):
