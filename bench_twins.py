@@ -621,7 +621,7 @@ def q137_duplicate_spans(spark, sf_dir):
         "doc_id", F.explode("__starts").alias("__pos"),
         F.xxhash64(F.array_join(
             F.slice(F.col("__toks"), F.col("__pos") + 1, F.lit(k)),
-            " ")).alias("__gh"))
+            " ")).alias("__gh")).persist()   # r14 mirror: gram pass once
     dup = (grams.groupBy("__gh")
            .agg(F.countDistinct("doc_id").alias("__nd"))
            .filter(F.col("__nd") >= 2).select("__gh"))
@@ -675,13 +675,17 @@ def q138_pq_adc_topk(spark, sf_dir):
                                      * (a.cast("double") - b))),
             F.lit(0.0), lambda acc, x: acc + x)
 
+    # r14 mirror: distance arrays staged once (single evaluation)
+    staged = e.select("*", *[
+        F.array(*[sq(j * sub, c) for c in cb[j]]).alias(f"__pqd{j}")
+        for j in range(m)])
     code = F.array(*[
-        (F.array_position(
-            F.array(*[sq(j * sub, c) for c in cb[j]]),
-            F.array_min(F.array(*[sq(j * sub, c) for c in cb[j]])))
+        (F.array_position(F.col(f"__pqd{j}"),
+                          F.array_min(F.col(f"__pqd{j}")))
          - 1).cast("int")
         for j in range(m)])
-    enc = e.withColumn("pq_code", code)
+    enc = (staged.withColumn("pq_code", code)
+           .drop(*[f"__pqd{j}" for j in range(m)]))
     qrows = (e.filter(F.col("vec_id") < 4)
              .select(F.col("vec_id").alias("__qid"),
                      F.col("embedding").alias("__qv")).collect())

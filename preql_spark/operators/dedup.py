@@ -284,24 +284,52 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     formulation): each round every node takes the min of its own label
     and its neighbors'; converges in O(cluster diameter) rounds — near-
     dup clusters are shallow, so a handful.  Per round: one join + one
-    partial-agg shuffle on node; `localCheckpoint` cuts lineage."""
+    partial-agg shuffle on node; `localCheckpoint` cuts lineage.
+
+    Convergence test (r14, guide §1.2 "don't compute what you throw
+    away"): labels only ever DECREASE, so the round changed something
+    iff the exact label sum dropped.  One scalar aggregate over the
+    just-checkpointed labels replaces the former join + isEmpty
+    action per round (the sum is decimal(38,0) — exact, no int64
+    overflow at any corpus size).  Same labels, same round count,
+    one cheap bounded driver scalar instead of a per-round join.
+    Non-numeric node ids (where a sum is undefined) keep the join
+    test."""
+    from pyspark.sql import types as T
+
     edges = pairs.select(F.col(id_a).alias("__a"), F.col(id_b).alias("__b"))
     sym = edges.union(edges.select(F.col("__b").alias("__a"),
                                    F.col("__a").alias("__b")))
     sym = sym.localCheckpoint(eager=True)
     labels = (sym.select(F.col("__a").alias("node")).distinct()
               .withColumn("component", F.col("node")))
+    numeric = isinstance(
+        labels.schema["component"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.DecimalType))
+
+    def _label_sum(frame: DataFrame):
+        # exact scalar: sum of all labels (None on an empty frame)
+        return frame.agg(F.sum(
+            F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev = _label_sum(labels) if numeric else None
     for i in range(max_iter):
         neighbor = (sym.join(labels, sym["__a"] == labels["node"])
                     .select(F.col("__b").alias("node"), "component"))
         new = (labels.select("node", "component").union(neighbor)
                .groupBy("node").agg(F.min("component").alias("component")))
         new = new.localCheckpoint(eager=True)
-        changed = (new.join(labels.withColumnRenamed("component", "__old"),
-                            "node")
-                   .filter(F.col("component") != F.col("__old")).isEmpty())
+        if numeric:
+            cur = _label_sum(new)
+            done = cur == prev
+            prev = cur
+        else:
+            done = (new.join(
+                labels.withColumnRenamed("component", "__old"), "node")
+                .filter(F.col("component") != F.col("__old")).isEmpty())
         labels = new
-        if changed:
+        if done:
             break
     return labels
 
@@ -616,7 +644,12 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     >= ``min_docs`` docs; a semi-join (AQE-broadcastable — the dup
     set is tiny relative to the corpus) flags positions; interval
     merging is two windows partitioned by document id.  At 100 TB the
-    only wide exchange is gram-keyed, and it carries 24-byte rows."""
+    only wide exchange is gram-keyed, and it carries 24-byte rows.
+
+    r14: the gram frame (tokenize + explode + per-gram hash — the
+    CPU-heavy pass) is persisted, so it is computed ONCE instead of
+    once per consumer (the dup-set build and the position flagging
+    both read it); same reuse-point pattern as tf_idf's doc_term."""
     toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     n = F.size(toks)
     # guard: sequence(0, negative) generates a DESCENDING ramp, not
@@ -629,7 +662,7 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
         id_col, F.explode("__starts").alias("__pos"),
         F.xxhash64(F.array_join(
             F.slice(F.col("__toks"), F.col("__pos") + 1, F.lit(k)),
-            " ")).alias("__gh"))
+            " ")).alias("__gh")).persist()
     dup = (grams.groupBy("__gh")
            .agg(F.countDistinct(id_col).alias("__nd"))
            .filter(F.col("__nd") >= min_docs).select("__gh"))

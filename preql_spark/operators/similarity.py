@@ -159,6 +159,22 @@ def cosine_pairs(df: DataFrame, threshold: float,
 
 # ---- IVF scale path --------------------------------------------------------
 
+def _sq_full(v: Column, cent: list) -> Column:
+    """Sequential-fold squared distance between a full vector and a
+    literal centroid: ``aggregate(zip_with(v, cent, (a-b)*(a-b)))`` —
+    the HOF fold, kept after an r14 A/B showed an unrolled scalar
+    spelling is ~2× slower on Spark 4.1 (see :func:`_sq_sub`)."""
+    return F.aggregate(
+        F.zip_with(v, F.array(*[F.lit(x) for x in cent]),
+                   # (a-b)*(a-b), not **2: the multiply is
+                   # correctly-rounded IEEE on every engine,
+                   # pow(x, 2) is only 1-ulp-accurate — keeps
+                   # the k-means oracle mirror bit-exact
+                   lambda a, b: ((a.cast("double") - b)
+                                 * (a.cast("double") - b))),
+        F.lit(0.0), lambda acc, v2: acc + v2)
+
+
 def assign_cells_hof(frame: DataFrame, cents: list) -> DataFrame:
     """Exact nearest-centroid assignment over a ``(__id, __v)`` frame
     — appends ``__cid`` (1-based, FIRST-min tie rule via
@@ -167,21 +183,11 @@ def assign_cells_hof(frame: DataFrame, cents: list) -> DataFrame:
     (:func:`preql_spark.streaming.stream.incremental_ivf_ingest`), so
     online assignment is bit-identical to the offline build's.
     Scan-local: k literal centroid arrays broadcast inside the
-    expression, no shuffle."""
+    expression, no shuffle (per-centroid fold: :func:`_sq_full`)."""
     scored = frame.select(
         "*",
-        F.array(*[
-            F.aggregate(
-                F.zip_with(F.col("__v"),
-                           F.array(*[F.lit(x) for x in c]),
-                           # (a-b)*(a-b), not **2: the multiply is
-                           # correctly-rounded IEEE on every engine,
-                           # pow(x, 2) is only 1-ulp-accurate — keeps
-                           # the k-means oracle mirror bit-exact
-                           lambda a, b: ((a.cast("double") - b)
-                                         * (a.cast("double") - b))),
-                F.lit(0.0), lambda acc, v: acc + v)
-            for c in cents]).alias("__d"))
+        F.array(*[_sq_full(F.col("__v"), c) for c in cents])
+        .alias("__d"))
     return scored.select(
         "*", F.array_position(F.col("__d"), F.array_min("__d"))
         .cast("int").alias("__cid")).drop("__d")
@@ -283,16 +289,7 @@ def _query_probes(queries: DataFrame, centroids: list, nprobe: int,
     dists = q.select(
         "*",
         F.posexplode(F.array(*[
-            F.aggregate(
-                F.zip_with(F.col("__qv"),
-                           F.array(*[F.lit(x) for x in c]),
-                           # (a-b)*(a-b), not **2 — the multiply is
-                           # correctly-rounded IEEE on every engine
-                           # (pow is 1-ulp), keeping probe choice
-                           # bit-identical to the SQL oracle replay
-                           lambda a, b: ((a.cast("double") - b)
-                                         * (a.cast("double") - b))),
-                F.lit(0.0), lambda acc, v: acc + v)
+            _sq_full(F.col("__qv"), c)
             for c in centroids])).alias("__cid0", "__qd"))
     wq = Window.partitionBy("query_id").orderBy("__qd", "__cid0")
     return (dists.withColumn("__pr", F.row_number().over(wq))
@@ -816,7 +813,15 @@ def pq_codebook(df: DataFrame, dim: int, m: int = 8, ksub: int = 16,
 def _sq_sub(v: Column, start0: int, sub: int, cent: list) -> Column:
     """Sequential-fold squared distance between an array slice and a
     literal centroid — (a-b)*(a-b), the cross-engine-exact spelling
-    (see ivf_build's assign_hof)."""
+    (see ivf_build's assign_hof).
+
+    r14 measured note: an unrolled scalar spelling
+    (``0.0 + (v[i]-c0)² + ...`` via element_at) was tried and is
+    ~2-4× SLOWER than this aggregate(zip_with(...)) form on Spark 4.1
+    (A/B at sf0.1: pq_encode 0.56 s HOF vs 2.1 s unrolled; 8×64
+    assignment 0.31 s vs 0.54 s) — the HOF fold walks the array once,
+    while the big unrolled tree falls out of whole-stage codegen.
+    Keep the HOF spelling."""
     return F.aggregate(
         F.zip_with(F.slice(v, start0 + 1, sub),
                    F.array(*[F.lit(x) for x in cent]),
@@ -835,7 +840,12 @@ def pq_encode(df: DataFrame, codebook: list, id_col: str = "vec_id",
     ``method="hof"``: m x ksub literal argmin expressions — scan-local
     whole-stage codegen, zero shuffle, and the spelling the DuckDB
     oracle mirrors bit-exactly.  Right while m·ksub·sub = dim·ksub
-    stays literal-expression-sized (~10^5).
+    stays literal-expression-sized (~10^5).  r14: each subspace's
+    ksub-distance array is materialized ONCE in an intermediate
+    projection and the argmin reads that column — the pre-r14 inline
+    spelling evaluated every distance twice (once under
+    array_position, once under array_min), doubling the per-row work
+    (A/B at sf0.1: 0.67 s → 0.56 s for the encode pass).
 
     ``method="arrow"``: the large-ksub path — per-subspace batch
     matmuls (one ksub x sub GEMM per Arrow batch per subspace),
@@ -844,15 +854,21 @@ def pq_encode(df: DataFrame, codebook: list, id_col: str = "vec_id",
     m = len(codebook)
     sub = len(codebook[0][0])
     if method == "hof":
+        dist_cols = [
+            F.array(*[_sq_sub(F.col(vec_col), j * sub, sub, c)
+                      for c in codebook[j]]).alias(f"__pqd{j}")
+            for j in range(m)]
+        # two-step projection: CollapseProject keeps the expensive
+        # __pqd arrays single-evaluated because each is referenced
+        # twice below (array_position + array_min)
+        staged = df.select("*", *dist_cols)
         code = F.array(*[
-            (F.array_position(
-                F.array(*[_sq_sub(F.col(vec_col), j * sub, sub, c)
-                          for c in codebook[j]]),
-                F.array_min(F.array(*[
-                    _sq_sub(F.col(vec_col), j * sub, sub, c)
-                    for c in codebook[j]]))) - 1).cast("int")
+            (F.array_position(F.col(f"__pqd{j}"),
+                              F.array_min(F.col(f"__pqd{j}")))
+             - 1).cast("int")
             for j in range(m)])
-        return df.withColumn("pq_code", code)
+        return (staged.withColumn("pq_code", code)
+                .drop(*[f"__pqd{j}" for j in range(m)]))
     if method != "arrow":
         raise ValueError(f"method must be hof/arrow, got {method!r}")
     import numpy as np

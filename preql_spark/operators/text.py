@@ -164,7 +164,14 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     df-cap) values broadcast.  ``min_df``/``max_df_ratio`` prune the
     long tail and the stopword head before the join — at 100 TB the
     df table is the hot side, and pruning it is what keeps the
-    term-join fan-out bounded."""
+    term-join fan-out bounded.
+
+    Doc length is a window sum over the persisted doc-term table
+    partitioned by the id (r14, guide §2.4): the same int64 sum the
+    former ``groupBy(id) + join`` produced, but one aggregation and
+    one join cheaper — and the window's hash(id) exchange is exactly
+    the partitioning a per-doc consumer window (top-k terms per doc)
+    reuses, so the downstream rank costs no extra shuffle."""
     base = (ensure_parallelism(df)
             .select(F.col(id_col), tokens(text_col).alias("__t")))
     toks = (base.select(id_col, F.explode("__t").alias("token"))
@@ -179,7 +186,6 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # instead of a second explode
     doc_term = (toks.groupBy(id_col, "token")
                 .agg(F.count(F.lit(1)).alias("__n")).persist())
-    doc_len = doc_term.groupBy(id_col).agg(F.sum("__n").alias("__len"))
     dfreq = (doc_term.groupBy("token")
              .agg(F.count(F.lit(1)).alias("df"))
              .join(n_docs)           # 1-row broadcast cross join
@@ -187,9 +193,10 @@ def tf_idf(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                      & (F.col("df") <= max_df_ratio * F.col("__ndocs"))))
     # no broadcast hint on the df table: a pruned vocabulary is often
     # broadcastable but can reach GBs at corpus scale — AQE decides
+    wlen = Window.partitionBy(id_col)
     return (doc_term
+            .withColumn("__len", F.sum("__n").over(wlen))
             .join(dfreq, "token")
-            .join(doc_len, id_col)
             .select(F.col(id_col), "token",
                     (F.col("__n") / F.col("__len")).alias("tf"),
                     "df",
@@ -410,66 +417,76 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
     - ``top_bigram_frac``    share of the most frequent word bigram
                              among all bigram occurrences
 
-    Scale shape: lines/bigrams are exploded to NARROW rows (id, hash,
-    len) before any shuffle — the text itself never moves.  Each branch
-    is two partial-agg shuffles keyed by (id, unit-hash) then (id); the
-    final joins are between doc-keyed aggregates (co-partitioned, AQE
-    broadcasts the small side).  Collision risk of grouping on xxhash64
-    instead of the raw line is ~2^-64 per doc — the values the oracle
-    compares are counts and lengths, which hashing preserves."""
-    base = df.select(F.col(id_col),
-                     F.length(F.col(text_col)).alias("__tc"),
-                     # NB: lambda wrapper is load-bearing — F.trim has
-                     # an optional 2nd param, so passing it bare makes
-                     # transform() treat it as an (element, index)
-                     # lambda and call trim(x, index): it then trims
-                     # the INDEX DIGIT, not whitespace
-                     F.filter(F.transform(F.split(F.col(text_col), r"\n"),
-                                          lambda x: F.trim(x)),
-                              lambda x: x != "").alias("__lines"),
-                     tokens(F.col(text_col)).alias("__toks"))
+    Scale shape (r14, guide §2.4): fully SCAN-LOCAL — one Project,
+    zero shuffles, zero joins.  Every metric is a within-document
+    statistic, so it folds over the document's own line/bigram arrays
+    with higher-order functions instead of exploding to rows and
+    shuffling twice by (id, unit-hash)/(id) as the pre-r14 spelling
+    did: duplicate counts come from ``size - size(array_distinct)``,
+    duplicate chars from ``total chars - distinct chars``, and the
+    top-bigram multiplicity from a longest-equal-run fold over the
+    sorted bigram array.  The arithmetic is identical (same integer
+    counts and lengths, same divisions) and now groups on the RAW
+    strings, so even the former ~2^-64 xxhash64 collision caveat is
+    gone.  At 100 TB the text never leaves its scan task."""
+    # NB: lambda wrapper is load-bearing — F.trim has an optional 2nd
+    # param, so passing it bare makes transform() treat it as an
+    # (element, index) lambda and call trim(x, index): it then trims
+    # the INDEX DIGIT, not whitespace
+    lines = F.filter(F.transform(F.split(F.col(text_col), r"\n"),
+                                 lambda x: F.trim(x)),
+                     lambda x: x != "")
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), lines.alias("__lines"),
+                     toks.alias("__toks"))
 
-    ln = (base.select(id_col, F.explode("__lines").alias("__ln"))
-          .select(id_col, F.xxhash64("__ln").alias("__h"),
-                  F.length("__ln").alias("__len")))
-    per_line = (ln.groupBy(id_col, "__h")
-                .agg(F.count(F.lit(1)).alias("__c"),
-                     F.min("__len").alias("__len")))
-    line_stats = (per_line.groupBy(id_col)
-                  .agg(F.sum("__c").alias("n_lines"),
-                       F.sum(F.col("__c") - 1).alias("__dup"),
-                       F.sum(F.col("__c") * F.col("__len")).alias("__chars"),
-                       F.sum((F.col("__c") - 1) * F.col("__len"))
-                       .alias("__dup_chars")))
+    zero = F.lit(0).cast("long")
+    dlines = F.array_distinct(F.col("__lines"))
+    n_lines = F.size("__lines").cast("long")
+    n_dup = (F.size("__lines") - F.size(dlines)).cast("long")
+    chars = F.aggregate(F.col("__lines"), zero,
+                        lambda a, x: a + F.length(x))
+    chars_dist = F.aggregate(dlines, zero, lambda a, x: a + F.length(x))
 
     n = F.size("__toks")
     bigrams = F.zip_with(F.slice("__toks", 1, F.greatest(n - 1, F.lit(0))),
                          F.slice("__toks", 2, F.greatest(n - 1, F.lit(0))),
                          lambda a, b: F.concat_ws(" ", a, b))
-    bg = (base.select(id_col, F.explode(bigrams).alias("__g"))
-          .select(id_col, F.xxhash64("__g").alias("__h")))
-    per_gram = (bg.groupBy(id_col, "__h")
-                .agg(F.count(F.lit(1)).alias("__c")))
-    gram_stats = (per_gram.groupBy(id_col)
-                  .agg(F.max("__c").alias("__mx"),
-                       F.sum("__c").alias("__tot")))
+    sb = F.array_sort(bigrams)
+    n_bigrams = F.size(sb).cast("long")
+    # longest run of equal adjacent elements in the sorted array ==
+    # the max multiplicity of any bigram; the "" sentinel is safe
+    # because run starts at 0, so a first-element match still yields 1
+    run_next = lambda acc, x: (          # noqa: E731 - local fold step
+        F.when(x == acc["prev"], acc["run"] + 1)
+        .otherwise(F.lit(1).cast("long")))
+    top_count = F.aggregate(
+        sb,
+        F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                 zero.alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"), run_next(acc, x).alias("run"),
+            F.greatest(acc["best"], run_next(acc, x)).alias("best")),
+        lambda acc: acc["best"])
 
-    docs = base.select(id_col)
-    zero = F.lit(0).cast("long")
-    return (docs.join(line_stats, id_col, "left")
-            .join(gram_stats, id_col, "left")
-            .select(
-                F.col(id_col),
-                F.coalesce("n_lines", zero).alias("n_lines"),
-                F.when(F.coalesce("n_lines", zero) > 0,
-                       F.col("__dup") / F.col("n_lines"))
-                .otherwise(F.lit(0.0)).alias("dup_line_frac"),
-                F.when(F.coalesce("__chars", zero) > 0,
-                       F.col("__dup_chars") / F.col("__chars"))
-                .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
-                F.when(F.coalesce("__tot", zero) > 0,
-                       F.col("__mx") / F.col("__tot"))
-                .otherwise(F.lit(0.0)).alias("top_bigram_frac")))
+    stats = base.select(
+        F.col(id_col),
+        # NULL text: size(NULL array) is NULL — the pre-r14 left join
+        # yielded 0 for such docs, so pin that contract here
+        F.coalesce(n_lines, zero).alias("n_lines"), n_dup.alias("__dup"),
+        chars.alias("__chars"), chars_dist.alias("__chars_dist"),
+        top_count.alias("__mx"), n_bigrams.alias("__tot"))
+    return stats.select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.when(F.col("n_lines") > 0, F.col("__dup") / F.col("n_lines"))
+        .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(F.col("__chars") > 0,
+               (F.col("__chars") - F.col("__chars_dist"))
+               / F.col("__chars"))
+        .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+        F.when(F.col("__tot") > 0, F.col("__mx") / F.col("__tot"))
+        .otherwise(F.lit(0.0)).alias("top_bigram_frac"))
 
 
 #: one IPv4 octet, range-exact (0-255) — RE2-portable alternation,

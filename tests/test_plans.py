@@ -364,19 +364,15 @@ def test_curation_per_batch_plan_equals_hand(spark):
     assert normalized_plan(eng) == normalized_plan(hand)
 
 
-def test_repetition_metrics_narrow_shuffle(spark):
-    """The document text column must never reach an Exchange — lines
-    and bigrams are hashed to narrow rows before any shuffle."""
+def test_repetition_metrics_scan_local(spark):
+    """r14: the whole operator is ONE scan-local Project — zero
+    exchanges, zero joins (every metric folds over the document's own
+    line/bigram arrays), so the text never leaves its scan task."""
     from preql_spark.operators import text
     d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     plan = plan_of(text.repetition_metrics(d))
-    for block in plan.split("\n\n"):
-        if block.strip().startswith("(") and "Exchange" in block.splitlines()[0]:
-            assert "text" not in block, block
-    # cheaper global form: no exchange's Arguments list carries text
-    import re
-    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
-        assert "text" not in m.group(1)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_scd2_single_exchange(spark):
