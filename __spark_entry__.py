@@ -1124,11 +1124,27 @@ def q209_curation_pipeline(spark, sf_dir) -> DataFrame:
                           dirty.alias("dirty"))))
     canon = crawl.withColumn("curl", text.canonicalize_url("url"))
     w = Window.partitionBy("curl").orderBy("seq")
-    page = (canon.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("doc_id", "dirty",
-                    text.host_of("curl").alias("host"),
-                    text.normalize_text("dirty").alias("ntext")))
+    # r14 (guide §2.5/§2.6): the URL window's output shuffle is tiny
+    # in BYTES, so AQE coalesces it to ~2 partitions — but the rows
+    # are regex-EXPENSIVE (host_of + the normalize_text fold chain),
+    # which serialized the heaviest per-row work of the pipeline on 2
+    # cores (stage-profiled: ~11 s task-time in a 2-task stage).
+    # Re-establish parallelism BETWEEN the window and the regex
+    # projection (ensure_parallelism: no-op at real scale where the
+    # scan already has >= cores files), and persist the finished page
+    # frame: it is consumed by BOTH the LSH pass and keep-best, and
+    # without the persist the whole canonicalize→window→normalize
+    # chain was evaluated twice per run.  Values are unchanged —
+    # repartition/persist reorder nothing the window hasn't already
+    # decided (winner = min seq per curl, computed before either).
+    page = text.ensure_parallelism(
+        canon.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "dirty", "curl"))
+    page = (page.select("doc_id", "dirty",
+                        text.host_of("curl").alias("host"),
+                        text.normalize_text("dirty").alias("ntext"))
+            .persist())
     pairs = dedup.minhash_lsh_pairs(page, "doc_id", text_col="ntext",
                                     threshold=0.9)
     # ONE CC pass shared by keep-best and the split (the components

@@ -828,11 +828,16 @@ def q209_curation_pipeline(spark, sf_dir):
                           dirty.alias("dirty"))))
     canon = crawl.withColumn("curl", text.canonicalize_url("url"))
     w = Window.partitionBy("curl").orderBy("seq")
-    page = (canon.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("doc_id", "dirty",
-                    text.host_of("curl").alias("host"),
-                    text.normalize_text("dirty").alias("ntext")))
+    # r14 mirror: re-parallelize between the window and the regex
+    # projection; persist page (two consumers) — see q209 entry
+    page = text.ensure_parallelism(
+        canon.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "dirty", "curl"))
+    page = (page.select("doc_id", "dirty",
+                        text.host_of("curl").alias("host"),
+                        text.normalize_text("dirty").alias("ntext"))
+            .persist())
     pairs = dedup.minhash_lsh_pairs(page, "doc_id", text_col="ntext",
                                     threshold=0.9)
     comp = dedup.connected_components(pairs)
