@@ -379,7 +379,19 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
     pre-partitioned by src once) + one dst-keyed min agg + a min
     merge with the current frontier — the Pregel relaxation;
     ``localCheckpoint`` per round bounds lineage; early-exit on
-    convergence."""
+    convergence.
+
+    Convergence test (r14, guide §1.2 — same argument as
+    connected_components' label-sum): nodes never LEAVE the dist
+    table (``new`` unions the old table) and distances only ever
+    DECREASE, so the round changed something iff the row count grew
+    or the exact dist sum dropped.  One (count, decimal(38,0) sum)
+    scalar aggregate over the just-checkpointed table replaces the
+    former ``new ⋈ old`` join + ``isEmpty`` action per round —
+    count equal ⇒ same node set (nodes never leave), and then sum
+    equal with every term ≤ its old value ⇒ every term equal.
+    Exact at any graph size (no int64 overflow in the decimal
+    sum)."""
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     if weight_col is None:
@@ -399,6 +411,15 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
     dist = (sources.select(F.col(sources.columns[0]).alias("node"))
             .distinct().withColumn("dist", F.lit(0).cast("long"))
             .localCheckpoint(eager=True))
+
+    def _state(frame: DataFrame):
+        # exact (row count, dist sum) scalar pair — see docstring
+        row = frame.agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("dist").cast("decimal(38,0)"))).collect()[0]
+        return row[0], row[1]
+
+    prev = _state(dist)
     for _ in range(max_rounds):
         relaxed = (e.join(dist, e["__s"] == dist["node"])
                    .select(F.col("__d").alias("node"),
@@ -407,12 +428,9 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
         new = (dist.unionByName(relaxed)
                .groupBy("node").agg(F.min("dist").alias("dist"))
                .localCheckpoint(eager=True))
-        changed = (new.join(dist.withColumnRenamed("dist", "__old"),
-                            "node", "left")
-                   .filter(F.col("__old").isNull()
-                           | (F.col("dist") < F.col("__old")))
-                   .isEmpty())
+        cur = _state(new)
         dist = new
-        if changed:
+        if cur == prev:
             break
+        prev = cur
     return dist

@@ -4653,6 +4653,25 @@ def test_shortest_paths_matches_model(spark):
         shortest_paths(df, srcs, max_rounds=0)
 
 
+def test_shortest_paths_scalar_convergence_edges(spark):
+    """The r14 (count, dist-sum) convergence scalar handles the two
+    boundary states the old join+isEmpty test got for free: an empty
+    sources frame (sum aggregate is NULL — must converge, not loop
+    max_rounds) and a source with no outgoing edges (state is
+    unchanged after round 1 — must early-exit with just the source).
+    Values must match the pre-r14 join-test semantics exactly."""
+    from preql_spark.operators.graph import shortest_paths
+    edges = spark.createDataFrame([("a", "b", 2)],
+                                  "src: string, dst: string, w: long")
+    empty = spark.createDataFrame([], "n: string")
+    assert shortest_paths(edges, empty, weight_col="w").count() == 0
+    lone = spark.createDataFrame([("z",)], "n: string")
+    got = {r.node: r.dist for r in
+           shortest_paths(edges, lone, weight_col="w",
+                          max_rounds=80).collect()}
+    assert got == {"z": 0}
+
+
 def test_ks_statistic_empty_side_null(spark):
     """An empty side makes D undefined: NULL d_stat instead of an
     ANSI divide-by-zero (review-found via the q192 capstone)."""
