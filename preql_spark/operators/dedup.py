@@ -106,28 +106,46 @@ def minhash_signature_df(shingled: DataFrame, id_col: str = "__id",
                          shingle_col: str = "__sh",
                          n_hashes: int = 16,
                          portable: bool = True) -> DataFrame:
-    """Signature as a DataFrame aggregation: explode shingles to
-    narrow rows, hash each shingle ONCE, take the n_hashes universal-
-    hash minima as grouped aggregates.  Unlike the array-expression
-    form (higher-order functions are CodegenFallback and re-evaluate
-    the base hash per seed), this stays in whole-stage codegen and
-    scales as one narrow shuffle.  Returns (id, __sig array).
+    """MinHash signature per document as a scan-local projection:
+    hash each shingle ONCE into a staged array column, then take the
+    n_hashes universal-hash minima with ``array_min`` folds over that
+    column.  Returns (id, __sig array).
 
     ``portable=True`` uses the md5-based cross-engine hash (needed when
     signature *values* are compared against another engine);
     ``portable=False`` uses xxhash64 — ~3× cheaper, same statistical
-    quality, right default when signatures are internal."""
-    base = portable_hash(F.col("__s")) if portable \
-        else F.abs(F.xxhash64(F.col("__s")))
-    ex = (shingled.select(F.col(id_col), F.explode(shingle_col).alias("__s"))
-          .select(id_col, (base % _MERSENNE31).alias("__h")))
-    aggs = []
-    for i in range(n_hashes):
-        a, b = _universal_params(i)
-        aggs.append(F.min((F.col("__h") * a + b) % _MERSENNE31).alias(f"__mh{i}"))
-    sig = ex.groupBy(id_col).agg(*aggs)
-    return sig.select(id_col, F.array(*[f"__mh{i}" for i in range(n_hashes)])
-                      .alias("__sig"))
+    quality, right default when signatures are internal.
+
+    r14 (guide §2.4): formerly an explode + ``groupBy(id)`` with
+    n_hashes min-aggregates — whose corpus-cardinality exchange was
+    the only shuffle of the signature pass.  The minimum of each
+    universal-hash variant folds over the document's OWN shingle
+    array, so it is now a scan-local two-step projection: the base
+    hash materializes ONCE into an array column (each min below
+    references the column, so CollapseProject keeps it
+    single-evaluated — the ``__pqd`` staging idiom), then
+    ``array_min`` per variant.  Zero shuffles, identical values.
+    Docs with empty/NULL shingle arrays drop out exactly as the
+    exploded grouping dropped them (no rows to aggregate)."""
+    def base_h(e: Column) -> Column:
+        return (portable_hash(e) if portable
+                else F.abs(F.xxhash64(e))) % _MERSENNE31
+
+    hs = (shingled.filter(F.size(F.col(shingle_col)) > 0)
+          .select(F.col(id_col),
+                  F.transform(F.col(shingle_col), base_h).alias("__hs")))
+
+    def mixer(a: int, b: int):
+        # factory: F.transform requires a 1-arg lambda (a 2-arg
+        # lambda means (element, index) to pyspark)
+        return lambda h: (h * a + b) % _MERSENNE31
+
+    return hs.select(
+        F.col(id_col),
+        F.array(*[
+            F.array_min(F.transform(F.col("__hs"),
+                                    mixer(*_universal_params(i))))
+            for i in range(n_hashes)]).alias("__sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",

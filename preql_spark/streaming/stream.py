@@ -249,7 +249,7 @@ def incremental_dedup_ingest(spark: SparkSession, src_path: str,
     ``hdfs://``/``s3a://`` included, not just the local disk."""
     from preql_spark.operators.text import fingerprint64
 
-    schema = spark.read.parquet(src_path).schema  # footer-only peek
+    schema = _source_schema(spark, src_path, checkpoint)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         b = batch.withColumn("__fp", fingerprint64(F.col(text_col)))
@@ -348,7 +348,7 @@ def incremental_neardup_ingest(spark: SparkSession, src_path: str,
                 f" but shingle_mode={shingle_mode!r} needs "
                 f"{want.simpleString()} — re-invoke with the mode the "
                 "state was built with, or point at a fresh state_path")
-    schema = spark.read.parquet(src_path).schema  # footer-only peek
+    schema = _source_schema(spark, src_path, checkpoint)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
@@ -469,7 +469,7 @@ def incremental_postings_ingest(spark: SparkSession, src_path: str,
     from preql_spark.operators.text import postings
     from preql_spark.parquet_io import hadoop_dir_has_files
 
-    schema = spark.read.parquet(src_path).schema  # footer-only peek
+    schema = _source_schema(spark, src_path, checkpoint)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
@@ -550,7 +550,7 @@ def incremental_ivf_ingest(spark: SparkSession, src_path: str,
     intent_path = (ids_path.rstrip("/") + "__intent"
                    if ids_path else None)
     _guard_stranded(spark, index_path, ids_path, intent_path)
-    schema = spark.read.parquet(src_path).schema  # footer-only peek
+    schema = _source_schema(spark, src_path, checkpoint)
     run_id = _ingest_run_id(spark, checkpoint) if ids_path else None
 
     def _index_seen(s: SparkSession) -> DataFrame | None:
@@ -664,6 +664,61 @@ def incremental_ivf_ingest(spark: SparkSession, src_path: str,
             .agg(F.count(F.lit(1)).alias("n_vectors")))
 
 
+def _read_marker_text(spark: SparkSession, fs, marker,
+                      limit: int = 65536) -> str:
+    """Read a small marker FILE (run-id, gate fingerprint) in ONE
+    py4j round trip.  The naive ``FSDataInputStream.read()``
+    byte-at-a-time loop costs one JVM gateway call PER BYTE —
+    ~0.1 ms each, so a ~200-byte fingerprint read burned ~20-60 ms
+    on every ingest call's hot path; ``IOUtils.toByteArray`` (the
+    commons-io shipped in Spark's own jars) pulls the whole stream
+    across the gateway once."""
+    ins = fs.open(marker)
+    try:
+        data = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(ins))
+    finally:
+        ins.close()
+    return data[:limit].decode("utf-8", errors="replace").strip()
+
+
+def _source_schema(spark: SparkSession, src_path: str,
+                   checkpoint: str):
+    """Source schema pinned per CHECKPOINT LINEAGE: inferred from the
+    parquet dir once (a batch-read relation resolve costs ~100 ms of
+    driver work even for a one-file dir — measured r14) and stored as
+    ``<checkpoint>/__source_schema``; every later ingest call under
+    the same checkpoint reads the marker back in one FS round trip.
+
+    Pinning is a CONTRACT, not just a cache: the states and stores an
+    ingest maintains were built under this schema, and a later call
+    silently adopting a drifted source schema mid-lineage (the old
+    per-call re-infer behavior) would feed the same state from a
+    different shape.  A fresh checkpoint re-infers — delete the
+    checkpoint (which also resets epochs/run-id) to restart under a
+    new source schema."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from preql_spark.parquet_io import _hadoop_fs_path
+    fs, cp = _hadoop_fs_path(spark, checkpoint)
+    marker = spark._jvm.org.apache.hadoop.fs.Path(
+        checkpoint.rstrip("/") + "/__source_schema")
+    if fs.exists(marker):
+        return StructType.fromJson(
+            json.loads(_read_marker_text(spark, fs, marker,
+                                         limit=1 << 24)))
+    schema = spark.read.parquet(src_path).schema
+    fs.mkdirs(cp)
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(json.dumps(schema.jsonValue()).encode()))
+    finally:
+        out.close()
+    return schema
+
+
 def _ingest_run_id(spark: SparkSession, checkpoint: str) -> str:
     """Stable id for THIS checkpoint lineage: a uuid minted once and
     stored inside the checkpoint dir, so the append-only ingest
@@ -680,16 +735,7 @@ def _ingest_run_id(spark: SparkSession, checkpoint: str) -> str:
     marker = spark._jvm.org.apache.hadoop.fs.Path(
         checkpoint.rstrip("/") + "/__ingest_run_id")
     if fs.exists(marker):
-        ins = fs.open(marker)
-        try:
-            data = []
-            b = ins.read()
-            while b != -1 and len(data) < 64:
-                data.append(chr(b))
-                b = ins.read()
-            return "".join(data).strip()
-        finally:
-            ins.close()
+        return _read_marker_text(spark, fs, marker, limit=64)
     rid = uuid.uuid4().hex
     fs.mkdirs(cp)
     out = fs.create(marker, True)
@@ -977,7 +1023,7 @@ def incremental_frequent_items_ingest(
         raise ValueError(f"capacity must be >= 1, got {cap}")
     state_path = state_path or store_path.rstrip("/") + "_state"
     _guard_stranded(spark, state_path)
-    schema = spark.read.parquet(src_path).schema  # footer-only peek
+    schema = _source_schema(spark, src_path, checkpoint)
     run_id = _ingest_run_id(spark, checkpoint)
 
     def _items(df: DataFrame) -> DataFrame:
@@ -1126,7 +1172,7 @@ def _group_value_histogram_ingest(
     from preql_spark.parquet_io import hadoop_dir_has_files
 
     _guard_stranded(spark, state_path, ids_path)
-    schema = spark.read.parquet(src_path).schema  # footer-only peek
+    schema = _source_schema(spark, src_path, checkpoint)
     run_id = _ingest_run_id(spark, checkpoint)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -1227,7 +1273,7 @@ def _side_value_histogram_ingest(
     from preql_spark.parquet_io import hadoop_dir_has_files
 
     _guard_stranded(spark, state_path, ids_path)
-    schema = spark.read.parquet(src_path).schema  # footer-only peek
+    schema = _source_schema(spark, src_path, checkpoint)
     run_id = _ingest_run_id(spark, checkpoint)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -1425,7 +1471,7 @@ def incremental_datacard_ingest(
 
     gc = list(group_cols)
     _guard_stranded(spark, state_path, pairs_path, ids_path)
-    schema = spark.read.parquet(src_path).schema  # footer-only peek
+    schema = _source_schema(spark, src_path, checkpoint)
     run_id = _ingest_run_id(spark, checkpoint)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -1560,16 +1606,7 @@ def _gate_fingerprint_guard(spark: SparkSession, path: str,
     fp_file = path.rstrip("/") + "__gate_fp"
     fs, marker = _hadoop_fs_path(spark, fp_file)
     if fs.exists(marker):
-        ins = fs.open(marker)
-        try:
-            data = []
-            b = ins.read()
-            while b != -1 and len(data) < 65536:
-                data.append(chr(b))
-                b = ins.read()
-            old = "".join(data).strip()
-        finally:
-            ins.close()
+        old = _read_marker_text(spark, fs, marker)
         if old != fp:
             raise ValueError(
                 f"gate-config drift: the state at {path} was built "
@@ -1631,7 +1668,7 @@ def incremental_gate_rate_ingest(
     _gate_fingerprint_guard(spark, state_path, gate, {
         **gate_kwargs, "group_col": group_col, "id_col": id_col,
         "text_col": text_col})
-    schema = spark.read.parquet(src_path).schema  # footer-only peek
+    schema = _source_schema(spark, src_path, checkpoint)
     run_id = _ingest_run_id(spark, checkpoint)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -1772,7 +1809,7 @@ def incremental_curation_ingest(
     _gate_fingerprint_guard(spark, store_path, gate, {
         **gate_kwargs, "group_col": group_col, "id_col": id_col,
         "text_col": text_col})
-    schema = spark.read.parquet(src_path).schema  # footer-only peek
+    schema = _source_schema(spark, src_path, checkpoint)
     run_id = _ingest_run_id(spark, checkpoint) if ids_path else None
 
     if (ids_path is not None
@@ -1937,7 +1974,7 @@ def incremental_distinct_ingest(
     from preql_spark.parquet_io import hadoop_dir_has_files
 
     _guard_stranded(spark, state_path, ids_path)
-    schema = spark.read.parquet(src_path).schema  # footer-only peek
+    schema = _source_schema(spark, src_path, checkpoint)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
@@ -2009,7 +2046,7 @@ def incremental_hll_ingest(
     from preql_spark.parquet_io import hadoop_dir_has_files
 
     _guard_stranded(spark, state_path, ids_path)
-    schema = spark.read.parquet(src_path).schema  # footer-only peek
+    schema = _source_schema(spark, src_path, checkpoint)
     run_id = _ingest_run_id(spark, checkpoint)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -2091,7 +2128,7 @@ def incremental_tdigest_ingest(
     from preql_spark.parquet_io import hadoop_dir_has_files
 
     _guard_stranded(spark, state_path, ids_path)
-    schema = spark.read.parquet(src_path).schema  # footer-only peek
+    schema = _source_schema(spark, src_path, checkpoint)
     run_id = _ingest_run_id(spark, checkpoint)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:

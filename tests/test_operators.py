@@ -42,6 +42,36 @@ def test_minhash_vs_exact_jaccard(eng, docs):
     assert lsh == exact  # at j>=0.9 with 16 hashes / 8 bands recall is ~1
 
 
+def test_minhash_signature_matches_exploded_model(eng):
+    """r14: the scan-local signature projection must value-match the
+    exploded groupBy model it replaced — including the edge rows the
+    grouping handled implicitly: empty shingle arrays and NULL arrays
+    (absent from the output), NULL elements (hash to the xxhash64
+    seed, exactly as an exploded NULL row did), duplicate shingles
+    (min-invariant)."""
+    spark = eng.spark
+    df = spark.createDataFrame(
+        [(1, ["abc", "def", "abc", "zzz"]), (2, []), (3, None),
+         (4, ["abc", None, "x"]), (5, ["ü ñ 漢", ""])],
+        "__id long, __sh array<string>")
+    for portable in (True, False):
+        base = (dedup.portable_hash(F.col("__s")) if portable
+                else F.abs(F.xxhash64(F.col("__s"))))
+        ex = (df.select("__id", F.explode("__sh").alias("__s"))
+              .select("__id", (base % dedup._MERSENNE31).alias("__h")))
+        aggs = []
+        for i in range(16):
+            a, b = dedup._universal_params(i)
+            aggs.append(F.min((F.col("__h") * a + b)
+                              % dedup._MERSENNE31).alias(f"__mh{i}"))
+        model = (ex.groupBy("__id").agg(*aggs)
+                 .select("__id", F.array(*[f"__mh{i}" for i in range(16)])
+                         .alias("__sig")))
+        got = dedup.minhash_signature_df(df, portable=portable)
+        assert sorted(map(tuple, got.collect())) \
+            == sorted(map(tuple, model.collect()))
+
+
 def test_simhash_pairs(eng, docs):
     sig = docs.select(dedup.simhash("text").alias("s")).limit(5).collect()
     assert all(isinstance(r.s, int) for r in sig)

@@ -375,6 +375,23 @@ def test_repetition_metrics_scan_local(spark):
     assert "Join" not in plan, plan
 
 
+def test_minhash_signature_scan_local(spark):
+    """r14: the MinHash signature pass is a scan-local two-step
+    projection — zero exchanges (the former explode + groupBy(id)
+    shuffled corpus-cardinality rows purely to take per-document
+    minima), and the base hash is evaluated ONCE (the staged __hs
+    column keeps CollapseProject from re-inlining one xxhash64 per
+    universal-hash variant)."""
+    from preql_spark.operators.dedup import minhash_signature_df
+    d = (spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+         .select(F.col("doc_id").alias("__id"),
+                 F.split("text", " ").alias("__sh")))
+    sig = minhash_signature_df(d, portable=False)
+    plan = plan_of(sig)
+    assert "Exchange" not in plan, plan
+    assert plan.count("xxhash64") == 1, plan
+
+
 def test_scd2_single_exchange(spark):
     """Both SCD2 window passes partition on the business key — the
     second window must reuse the first's hash partitioning (exactly
