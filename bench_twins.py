@@ -304,6 +304,12 @@ def q215_gopher_quality_gate(spark, sf_dir):
             " the be to of and that have with"))
         .otherwise(F.lit("")))
     d = d.select("doc_id", c.alias("text"))
+    # mirror of the engine's r14 parallelism lift (honest pairing):
+    # the gate is regex-heavy per-row work, so a hand author lifts a
+    # small file count to full parallelism before it too
+    par = spark.sparkContext.defaultParallelism
+    if 0 < len(d.inputFiles()) < par:
+        d = d.repartition(par)
     c = F.coalesce(F.col("text"), F.lit(""))
     base = d.withColumns({
         "__w": F.filter(F.split(c, r"\s+"),

@@ -577,8 +577,11 @@ def chunk_dedup(df: DataFrame, id_col: str = "doc_id",
     unit_list = F.transform(
         F.sequence(F.lit(0), n_units - 1),
         lambda i: F.array_join(F.slice(words, i * chunk + 1, chunk), sep))
-    units = df.select(id_col,
-                      F.posexplode(unit_list).alias("unit_no", "unit"))
+    # r14 guide §2.5: chunking (split + per-unit array_join) is the
+    # CPU-heavy pass — lift a small file count to full parallelism
+    # before it (no-op at real scale)
+    units = ensure_parallelism(df).select(
+        id_col, F.posexplode(unit_list).alias("unit_no", "unit"))
     kept = dedup_units(units, id_col, "unit_no", "unit")
     return (kept.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_kept"),

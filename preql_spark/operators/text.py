@@ -35,15 +35,29 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     # parallelism floor is its file count (files may split further by
     # maxPartitionBytes, so this only ever under-counts — worst case a
     # no-op-at-scale repartition).  Non-file frames (createDataFrame,
-    # post-shuffle) already parallelize to defaultParallelism /
-    # shuffle.partitions, so they skip the repartition.
+    # streaming foreachBatch) already parallelize to
+    # defaultParallelism / shuffle.partitions, so they skip the
+    # repartition.
     try:
         n_files = len(df.inputFiles())
     except Exception:  # pragma: no cover - non-file-backed plans
         n_files = 0
-    if 0 < n_files < target:
-        return df.repartition(target)
-    return df
+    if not 0 < n_files < target:
+        return df
+    # the file count only floors the parallelism of a NARROW chain
+    # over the scan; past any wide operator (join/agg/window/…) the
+    # frame is already at shuffle parallelism and a lift would be a
+    # pure extra hop (r14) — detect wide nodes at node-name position
+    # in the analyzed plan (names can't be confused with column
+    # references there)
+    import re as _re
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    if _re.search(
+            r"(?m)^[\s:+\-*(]*(Join|Aggregate|Deduplicate|Window|"
+            r"Sort|Repartition|RepartitionByExpression|"
+            r"GlobalLimit|Distinct|Intersect|Except)\b", analyzed):
+        return df
+    return df.repartition(target)
 
 
 def portable_hash(col) -> Column:
@@ -109,7 +123,10 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     # score NULL instead (fixture corpora never contain them, so the
     # oracle comparison is unaffected; tests/test_differential_edges
     # pins the behavior)
-    return df.withColumn("__qm_tokens", tokens(F.col(text_col))).withColumns({
+    # r14 guide §2.5: regex-heavy per-row work — lift a small file
+    # count to full parallelism first (no-op at real scale)
+    return ensure_parallelism(df) \
+        .withColumn("__qm_tokens", tokens(F.col(text_col))).withColumns({
         "n_chars": F.length(F.col(text_col)),
         "n_tokens": n_tok,
         "avg_token_len": F.try_divide(
@@ -437,8 +454,10 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
                                  lambda x: F.trim(x)),
                      lambda x: x != "")
     toks = tokens(F.col(text_col))
-    base = df.select(F.col(id_col), lines.alias("__lines"),
-                     toks.alias("__toks"))
+    # r14 guide §2.5: the whole operator is per-row CPU work, so a
+    # small file count must not serialize it (no-op at real scale)
+    base = ensure_parallelism(df).select(
+        F.col(id_col), lines.alias("__lines"), toks.alias("__toks"))
 
     zero = F.lit(0).cast("long")
     dlines = F.array_distinct(F.col("__lines"))
@@ -702,7 +721,11 @@ def gopher_quality_gate(df: DataFrame, id_col: str = "doc_id",
     RE2/DuckDB-portably so the oracle replays the identical
     arithmetic."""
     c = F.coalesce(F.col(text_col), F.lit(""))
-    out = df.withColumns({
+    # r14 guide §2.5: the gate is regex-heavy per-row work — lift a
+    # small file count to full parallelism first (no-op at real
+    # scale, and a no-op on streaming batch frames, which report no
+    # input files — the pinned per-batch plans are untouched)
+    out = ensure_parallelism(df).withColumns({
         "__w": F.filter(F.split(c, r"\s+"),
                         lambda w: w != F.lit("")),
         # blank = only \s characters (trim() strips SPACES only — a
@@ -1147,7 +1170,10 @@ def embed_text(df: DataFrame, id_col: str = "doc_id",
                                      dtype="object")
             yield pdf
 
-    return df.mapInPandas(_embed, out_schema)
+    # r14 guide §2.5: the embedding kernel is the CPU cost — lift a
+    # small file count to full parallelism so all workers embed
+    # (no-op at real scale)
+    return ensure_parallelism(df).mapInPandas(_embed, out_schema)
 
 
 def strip_repeated_units(col, sep: str = "\n") -> Column:

@@ -222,14 +222,18 @@ def test_quantize_normalize_zero_exchange(spark):
 
 
 def test_gopher_gate_zero_exchange(spark):
-    """The Gopher composite gate and the C4 cleaner are each ONE
-    scan-local Project — metrics, per-rule booleans, composite keep,
-    and the cleaned text all compute over the materialized word/line
-    arrays with no Exchange anywhere."""
+    """The Gopher composite gate and the C4 cleaner each compute as
+    ONE Project — metrics, per-rule booleans, composite keep, and
+    the cleaned text all fold over the materialized word/line arrays
+    with no data-keyed (hash) exchange and no join.  r14: the gate
+    may carry ONE round-robin parallelism lift when file count <
+    cores (no-op at real scale and on streaming batch frames)."""
     from preql_spark.operators import text
     d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     plan = plan_of(text.gopher_quality_gate(d))
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert plan.count("RoundRobinPartitioning") <= 1, plan
     plan = plan_of(text.c4_clean(d))
     assert "Exchange" not in plan
 
@@ -262,7 +266,10 @@ def test_classifier_gate_plan_contract(spark):
                    .alias("n_rule_keep")))
     fplan = plan_of(funnel)
     assert n_nodes(fplan, "MapInPandas") == 1
-    assert n_nodes(fplan, "Exchange") == 1       # the final agg only
+    # exactly ONE data-keyed exchange (the final agg); the rule
+    # stage may add its round-robin parallelism lift (r14)
+    assert fplan.count("hashpartitioning") == 1, fplan
+    assert fplan.count("RoundRobinPartitioning") <= 1, fplan
     assert "BatchEvalPython" not in fplan
 
 
@@ -285,7 +292,10 @@ def test_composed_gate_plan_contract(spark):
         d, stages=[("gopher", {"min_words": 40}),
                    ("classifier", {"threshold": 0.5})]))
     assert n_nodes(plan, "MapInPandas") == 1
-    assert "Exchange" not in plan
+    # no data-keyed exchange, no join; the gopher stage may carry
+    # its round-robin parallelism lift (r14)
+    assert "hashpartitioning" not in plan
+    assert plan.count("RoundRobinPartitioning") <= 1, plan
     assert "BatchEvalPython" not in plan
 
 
@@ -306,7 +316,11 @@ def test_embed_text_plan_contract(spark):
 
     plan = plan_of(embed_text(d, dim=8))
     assert n_nodes(plan, "MapInPandas") == 1
-    assert "Exchange" not in plan
+    # no data-keyed exchange; the round-robin parallelism lift (r14)
+    # may appear when file count < cores, and column pruning must
+    # STILL reach the scan through it
+    assert "hashpartitioning" not in plan
+    assert plan.count("RoundRobinPartitioning") <= 1, plan
     assert "BatchEvalPython" not in plan
     assert re.search(r"ReadSchema:.*doc_id.*text", plan)
     assert "lang" not in plan.split("ReadSchema")[1].split("\n")[0]
@@ -365,14 +379,18 @@ def test_curation_per_batch_plan_equals_hand(spark):
 
 
 def test_repetition_metrics_scan_local(spark):
-    """r14: the whole operator is ONE scan-local Project — zero
-    exchanges, zero joins (every metric folds over the document's own
-    line/bigram arrays), so the text never leaves its scan task."""
+    """r14: the compute is ONE scan-local Project — zero joins, zero
+    data-keyed (hash) exchanges: every metric folds over the
+    document's own line/bigram arrays, so the text crosses the wire
+    at most once, in the optional round-robin parallelism lift that
+    fires only when file count < cores (a no-op at real scale).  The
+    pre-r14 spelling shuffled twice by (id, unit-hash)/(id)."""
     from preql_spark.operators import text
     d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     plan = plan_of(text.repetition_metrics(d))
-    assert "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
     assert "Join" not in plan, plan
+    assert plan.count("RoundRobinPartitioning") <= 1, plan
 
 
 def test_minhash_signature_scan_local(spark):
