@@ -38,26 +38,20 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     # streaming foreachBatch) already parallelize to
     # defaultParallelism / shuffle.partitions, so they skip the
     # repartition.
+    # NB (r14): do NOT skip the lift just because a wide operator
+    # (join/agg/window) sits between the scan and this point — AQE
+    # coalesces post-shuffle partitions by BYTES, so a byte-small but
+    # CPU-heavy frame downstream of a shuffle can sit on ~2
+    # partitions (the q209 stage profile: an 11 s two-task regex
+    # stage directly after a window).  A tried-and-reverted wide-op
+    # guard here silently undid that fix.
     try:
         n_files = len(df.inputFiles())
     except Exception:  # pragma: no cover - non-file-backed plans
         n_files = 0
-    if not 0 < n_files < target:
-        return df
-    # the file count only floors the parallelism of a NARROW chain
-    # over the scan; past any wide operator (join/agg/window/…) the
-    # frame is already at shuffle parallelism and a lift would be a
-    # pure extra hop (r14) — detect wide nodes at node-name position
-    # in the analyzed plan (names can't be confused with column
-    # references there)
-    import re as _re
-    analyzed = df._jdf.queryExecution().analyzed().toString()
-    if _re.search(
-            r"(?m)^[\s:+\-*(]*(Join|Aggregate|Deduplicate|Window|"
-            r"Sort|Repartition|RepartitionByExpression|"
-            r"GlobalLimit|Distinct|Intersect|Except)\b", analyzed):
-        return df
-    return df.repartition(target)
+    if 0 < n_files < target:
+        return df.repartition(target)
+    return df
 
 
 def portable_hash(col) -> Column:

@@ -335,8 +335,13 @@ def test_gate_rate_per_batch_plan_equals_hand(spark):
     build them, on a static batch."""
     from bench_twins import normalized_plan
     from preql_spark.operators.text import GATES
-    d = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")) \
-        .select("doc_id", "source", "text")
+    # the stand-in batch must NOT be file-backed: a real foreachBatch
+    # frame reports no input files, so the gate's r14 parallelism
+    # lift is a no-op per batch — a raw parquet read here would fire
+    # it and diverge from what the sink actually executes
+    rows = (spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+            .select("doc_id", "source", "text").collect())
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
     gate_fn, _ = GATES["gopher"]
     batch = d.dropDuplicates(["doc_id"])
     eng = (gate_fn(batch.select("doc_id", "source", "text"),
