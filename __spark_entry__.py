@@ -1644,7 +1644,11 @@ def q218_curation_ingest(spark, sf_dir) -> DataFrame:
         .otherwise(F.lit("")))
     d = eng.t.documents.df.select("doc_id", "source",
                                   dirty.alias("text"))
-    kw = dict(gate="c4", ids_path=ids, min_sentences=2)
+    # the entry holds the producing frame, so the ingest can skip its
+    # first-call source-schema infer (~170 ms of driver work) — the
+    # checkpoint marker still pins the schema for later calls
+    kw = dict(gate="c4", ids_path=ids, min_sentences=2,
+              source_schema=d.schema)
     d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
     incremental_curation_ingest(spark, src, ck, store, **kw)
     d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
@@ -1668,7 +1672,10 @@ def q217_gate_rate_ingest(spark, sf_dir) -> DataFrame:
     src, st, ids, ck = (os.path.join(tmp, x)
                         for x in ("src", "st", "ids", "ck"))
     d = eng.t.documents.df.select("doc_id", "source", "text")
-    kw = dict(gate="gopher", min_words=40, min_stop_words=1)
+    # schema handed to the ingest: skips the first-call infer (the
+    # hand twin reads its own frame's schema the same way)
+    kw = dict(gate="gopher", min_words=40, min_stop_words=1,
+              source_schema=d.schema)
     d.filter(F.col("doc_id") < 250).write.mode("overwrite").parquet(src)
     incremental_gate_rate_ingest(spark, src, ck, st, ids, **kw)
     d.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)

@@ -63,6 +63,21 @@ BENCH_QUERIES = [
 CONSTRUCT_EACH_RUN = {"q185_weighted_pagerank", "q209_curation_pipeline",
                       "q217_gate_rate_ingest", "q218_curation_ingest"}
 
+# r15 (VERDICT r14 item 3): queries whose OPERATORS persist an internal
+# reuse frame (q137 grams, tf_idf doc_term, q99 bigrams) previously
+# served that subtree from the InMemoryRelation built in the untimed
+# warm run — the timed reps measured "compute zero times", not the
+# production "compute once, consume twice".  They are now timed
+# construct-per-rep with spark.catalog.clearCache() before EACH side's
+# construct (see time_fn/time_fn_pair), so every timed rep rebuilds
+# and re-registers its own cache from the parquet inputs.  The clear
+# also stops CacheManager plan-matching from re-serving one rep's (or
+# one SIDE's — engine vs twin plans canonicalize equal) cache to the
+# next.  Methodology change is additions-only and documented in
+# OPTIMIZATION_r15.md; r14 walls for these queries are NOT comparable.
+CACHE_REBASE = {"q64_tfidf_top_terms", "q99_lm_perplexity",
+                "q137_duplicate_spans"}
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,6 +116,7 @@ def main():
         # so the ratio stays apples-to-apples.
         best = float("inf")
         for _ in range(3):
+            spark.catalog.clearCache()   # r15: no cross-rep cache serving
             t0 = time.perf_counter()
             run_once(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
@@ -130,9 +146,11 @@ def main():
         # run, for the CONSTRUCT_EACH_RUN iterative queries)
         be = bt = float("inf")
         for _ in range(3):
+            spark.catalog.clearCache()   # r15: each side rebuilds its own
             t0 = time.perf_counter()
             run_once(efn(spark, sf_dir))
             be = min(be, time.perf_counter() - t0)
+            spark.catalog.clearCache()   # ... cache from parquet inputs
             t0 = time.perf_counter()
             run_once(tfn(spark, sf_dir))
             bt = min(bt, time.perf_counter() - t0)
@@ -177,7 +195,8 @@ def main():
             # independent paths below only on a timing exception
             try:
                 be, bt = (time_fn_pair(qs[name], TWINS[name], sf_dir)
-                          if name in CONSTRUCT_EACH_RUN
+                          if (name in CONSTRUCT_EACH_RUN
+                              or name in CACHE_REBASE)
                           else time_pair(eng_df, twin_df))
                 timings[name] = round(be, 4)
                 hand[name] = round(bt, 4)
@@ -189,7 +208,8 @@ def main():
             try:
                 timings[name] = round(
                     time_fn(qs[name], sf_dir)
-                    if name in CONSTRUCT_EACH_RUN else time_df(eng_df), 4)
+                    if (name in CONSTRUCT_EACH_RUN
+                        or name in CACHE_REBASE) else time_df(eng_df), 4)
             except Exception as e:  # noqa: BLE001
                 errors[name] = (errors.get(name, "") +
                                 f" engine: {type(e).__name__}: {e}"[:500]).strip()
@@ -197,7 +217,8 @@ def main():
             try:
                 hand[name] = round(
                     time_fn(TWINS[name], sf_dir)
-                    if name in CONSTRUCT_EACH_RUN else time_df(twin_df), 4)
+                    if (name in CONSTRUCT_EACH_RUN
+                        or name in CACHE_REBASE) else time_df(twin_df), 4)
             except Exception as e:  # noqa: BLE001
                 errors[name] = (errors.get(name, "") +
                                 f" twin: {type(e).__name__}: {e}"[:500]).strip()

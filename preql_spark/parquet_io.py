@@ -109,12 +109,47 @@ def compact_parquet(spark: SparkSession, src: str, dst: str,
     return n
 
 
+#: FileSystem handle cache, keyed (JVM context id, scheme, authority).
+#: ``Path.getFileSystem(conf)`` costs 2 extra py4j round trips (~7 ms)
+#: per call even though Hadoop itself caches the FileSystem instance —
+#: and the streaming ingests' guard/marker path calls this 20+ times
+#: per ingest.  Mirrors Hadoop's own FileSystem.get cache key (scheme +
+#: authority), so a cached handle is exactly the object Hadoop would
+#: return; the py4j target id of the JavaSparkContext distinguishes a
+#: restarted context (fresh JVM object -> fresh entries) without
+#: paying a gateway round trip to read applicationId.
+_FS_CACHE: dict = {}
+
+#: the org.apache.hadoop.fs.Path JavaClass per JVM view — resolving it
+#: through the ``jvm.org.apache...`` package chain costs py4j
+#: reflection round trips on EVERY lookup (~4 ms); the JavaClass
+#: object itself is stable for the life of the gateway.
+_JPATH_CACHE: dict = {}
+
+
+def _jpath_cls(spark: SparkSession):
+    key = spark._jsc._target_id
+    cls = _JPATH_CACHE.get(key)
+    if cls is None:
+        cls = spark._jvm.org.apache.hadoop.fs.Path
+        _JPATH_CACHE[key] = cls
+    return cls
+
+
 def _hadoop_fs_path(spark: SparkSession, path: str):
     """(FileSystem, Path) for any URI Spark's Hadoop conf resolves."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    conf = spark._jsc.hadoopConfiguration()
-    return hpath.getFileSystem(conf), hpath
+    from urllib.parse import urlparse
+    hpath = _jpath_cls(spark)(path)
+    u = urlparse(path)
+    # non-URI local paths ('/x/y') parse as scheme='' -> default FS
+    key = (spark._jsc._target_id,
+           u.scheme if "://" in path else "", u.netloc)
+    fs = _FS_CACHE.get(key)
+    if fs is None:
+        conf = spark._jsc.hadoopConfiguration()
+        fs = hpath.getFileSystem(conf)
+        _FS_CACHE[key] = fs
+    return fs, hpath
 
 
 def hadoop_dir_size(spark: SparkSession, path: str) -> int:

@@ -664,6 +664,10 @@ def incremental_ivf_ingest(spark: SparkSession, src_path: str,
             .agg(F.count(F.lit(1)).alias("n_vectors")))
 
 
+#: commons-io IOUtils JavaClass per JVM view (see _read_marker_text)
+_JIOUTILS_CACHE: dict = {}
+
+
 def _read_marker_text(spark: SparkSession, fs, marker,
                       limit: int = 65536) -> str:
     """Read a small marker FILE (run-id, gate fingerprint) in ONE
@@ -672,18 +676,24 @@ def _read_marker_text(spark: SparkSession, fs, marker,
     ~0.1 ms each, so a ~200-byte fingerprint read burned ~20-60 ms
     on every ingest call's hot path; ``IOUtils.toByteArray`` (the
     commons-io shipped in Spark's own jars) pulls the whole stream
-    across the gateway once."""
+    across the gateway once.  The IOUtils JavaClass is cached per
+    JVM view — the ``jvm.org.apache...`` package-chain lookup costs
+    py4j reflection round trips (~4 ms) on every resolve."""
+    key = spark._jsc._target_id
+    cls = _JIOUTILS_CACHE.get(key)
+    if cls is None:
+        cls = spark._jvm.org.apache.commons.io.IOUtils
+        _JIOUTILS_CACHE[key] = cls
     ins = fs.open(marker)
     try:
-        data = bytes(
-            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(ins))
+        data = bytes(cls.toByteArray(ins))
     finally:
         ins.close()
     return data[:limit].decode("utf-8", errors="replace").strip()
 
 
 def _source_schema(spark: SparkSession, src_path: str,
-                   checkpoint: str):
+                   checkpoint: str, schema=None):
     """Source schema pinned per CHECKPOINT LINEAGE: inferred from the
     parquet dir once (a batch-read relation resolve costs ~100 ms of
     driver work even for a one-file dir — measured r14) and stored as
@@ -696,26 +706,53 @@ def _source_schema(spark: SparkSession, src_path: str,
     per-call re-infer behavior) would feed the same state from a
     different shape.  A fresh checkpoint re-infers — delete the
     checkpoint (which also resets epochs/run-id) to restart under a
-    new source schema."""
+    new source schema.
+
+    ``schema``: callers that already KNOW the source schema (they
+    wrote the source, or hold the producing frame) pass it to skip
+    the ~170 ms first-call batch-relation infer entirely; an existing
+    marker still wins (the pin is the contract, the argument is only
+    the infer shortcut).
+
+    The marker write is ATOMIC (temp file + rename): a crash
+    mid-write can no longer strand a truncated marker that every
+    later call chokes on — and if one exists from a pre-atomic
+    release, the unparseable read falls through to re-infer and
+    rewrite instead of raising forever."""
     import json
 
     from pyspark.sql.types import StructType
 
-    from preql_spark.parquet_io import _hadoop_fs_path
+    from preql_spark.parquet_io import _hadoop_fs_path, _jpath_cls
     fs, cp = _hadoop_fs_path(spark, checkpoint)
-    marker = spark._jvm.org.apache.hadoop.fs.Path(
-        checkpoint.rstrip("/") + "/__source_schema")
+    jpath = _jpath_cls(spark)
+    mpath = checkpoint.rstrip("/") + "/__source_schema"
+    marker = jpath(mpath)
     if fs.exists(marker):
-        return StructType.fromJson(
-            json.loads(_read_marker_text(spark, fs, marker,
-                                         limit=1 << 24)))
-    schema = spark.read.parquet(src_path).schema
+        try:
+            return StructType.fromJson(
+                json.loads(_read_marker_text(spark, fs, marker,
+                                             limit=1 << 24)))
+        except Exception:
+            # empty/truncated/corrupt marker (crash mid-write in a
+            # pre-atomic release): json/StructType parse errors, or a
+            # read-side ChecksumException from Hadoop's checksummed
+            # local FS (a torn write tears the .crc sidecar too).
+            # Either way the pin is unusable — re-infer and re-pin.
+            fs.delete(marker, False)
+    if schema is None:
+        schema = spark.read.parquet(src_path).schema
     fs.mkdirs(cp)
-    out = fs.create(marker, True)
+    tmp = jpath(mpath + ".tmp")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(schema.jsonValue()).encode()))
     finally:
         out.close()
+    if not fs.rename(tmp, marker):
+        # lost a (benign) creation race: another call pinned first —
+        # same lineage, same source, same schema; drop the temp
+        fs.delete(tmp, False)
     return schema
 
 
@@ -730,9 +767,9 @@ def _ingest_run_id(spark: SparkSession, checkpoint: str) -> str:
     collide with state written under the old lineage."""
     import uuid
 
-    from preql_spark.parquet_io import _hadoop_fs_path
+    from preql_spark.parquet_io import _hadoop_fs_path, _jpath_cls
     fs, cp = _hadoop_fs_path(spark, checkpoint)
-    marker = spark._jvm.org.apache.hadoop.fs.Path(
+    marker = _jpath_cls(spark)(
         checkpoint.rstrip("/") + "/__ingest_run_id")
     if fs.exists(marker):
         return _read_marker_text(spark, fs, marker, limit=64)
@@ -1628,6 +1665,7 @@ def incremental_gate_rate_ingest(
         state_path: str, ids_path: str,
         group_col: str = "source", id_col: str = "doc_id",
         text_col: str = "text", gate: str = "gopher",
+        source_schema=None,
         **gate_kwargs) -> DataFrame:
     """Streaming KEEP-RATE monitor for a rule-based quality gate —
     the observability half of corpus curation: as batches of crawl
@@ -1668,7 +1706,8 @@ def incremental_gate_rate_ingest(
     _gate_fingerprint_guard(spark, state_path, gate, {
         **gate_kwargs, "group_col": group_col, "id_col": id_col,
         "text_col": text_col})
-    schema = _source_schema(spark, src_path, checkpoint)
+    schema = _source_schema(spark, src_path, checkpoint,
+                            schema=source_schema)
     run_id = _ingest_run_id(spark, checkpoint)
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -1724,6 +1763,7 @@ def incremental_curation_ingest(
         group_col: str = "source", id_col: str = "doc_id",
         text_col: str = "text", gate: str = "c4",
         ids_path: str | None = None,
+        source_schema=None,
         **gate_kwargs) -> DataFrame:
     """Streaming MATERIALIZATION of a curated corpus — the
     production shape of rule-based curation: as crawl batches land,
@@ -1809,7 +1849,8 @@ def incremental_curation_ingest(
     _gate_fingerprint_guard(spark, store_path, gate, {
         **gate_kwargs, "group_col": group_col, "id_col": id_col,
         "text_col": text_col})
-    schema = _source_schema(spark, src_path, checkpoint)
+    schema = _source_schema(spark, src_path, checkpoint,
+                            schema=source_schema)
     run_id = _ingest_run_id(spark, checkpoint) if ids_path else None
 
     if (ids_path is not None

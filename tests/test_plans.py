@@ -358,6 +358,38 @@ def test_gate_rate_per_batch_plan_equals_hand(spark):
     assert normalized_plan(eng) == normalized_plan(hand)
 
 
+def test_real_micro_batch_reports_no_input_files(spark, tmp_path):
+    """The contract the per-batch plan tests above stand on, asserted
+    against a REAL micro-batch instead of the createDataFrame
+    stand-in (r14 ADVICE): a foreachBatch frame from a parquet file
+    stream reports ZERO input files on this Spark version, so
+    ensure_parallelism (which keys on 0 < n_files < cores) is a
+    no-op per batch and the gate's per-epoch plan cannot grow a
+    round-robin exchange the pinned hand twin lacks.  If a Spark
+    upgrade ever makes file-stream batches report their backing
+    files, this fails loudly and the lift needs an explicit
+    streaming-frame guard."""
+    from preql_spark.operators.text import ensure_parallelism
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    d = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("source"),
+        F.lit("one two three").alias("text"))
+    d.write.mode("overwrite").parquet(src)
+    seen: dict = {}
+
+    def _probe(batch, batch_id):
+        seen["n_files"] = len(batch.inputFiles())
+        seen["lift_noop"] = ensure_parallelism(batch) is batch
+
+    q = (spark.readStream.schema(d.schema).parquet(src)
+         .writeStream.foreachBatch(_probe)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert seen == {"n_files": 0, "lift_noop": True}
+
+
 def test_curation_per_batch_plan_equals_hand(spark):
     """The q218 streaming pair's PER-BATCH store-append plan (what
     each foreachBatch epoch executes on the hot side: in-batch id

@@ -2382,3 +2382,51 @@ def test_quantile_ingest_survives_fresh_checkpoint(spark, eng,
             for r in out.collect()} == one
     assert (spark.read.parquet(st)
             .select("run_id").distinct().count() == 2)
+
+
+def test_source_schema_pin_atomic_and_recoverable(spark, tmp_path):
+    """r15 hardening of the checkpoint schema pin: (a) the marker is
+    written atomically (temp + rename — no ``.tmp`` stranded, marker
+    parseable); (b) a truncated/corrupt marker from a pre-atomic
+    crash falls back to re-infer + re-pin instead of raising forever;
+    (c) a caller-provided schema skips the infer, but an EXISTING
+    marker still wins — the pin is the contract, the argument is only
+    the infer shortcut."""
+    from pyspark.sql import types as T
+
+    from preql_spark.streaming.stream import _source_schema
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    ).write.mode("overwrite").parquet(src)
+
+    # (a) first call pins atomically
+    got = _source_schema(spark, src, ck)
+    assert [f.name for f in got.fields] == ["doc_id", "text"]
+    marker = os.path.join(ck, "__source_schema")
+    assert os.path.exists(marker)
+    assert not os.path.exists(marker + ".tmp")
+    import json
+    json.loads(open(marker).read())  # parseable
+
+    # (b) corrupt the marker (simulated mid-write crash of the old
+    # non-atomic writer): next call re-infers and re-pins
+    open(marker, "w").write('{"type":"struct","fie')
+    got2 = _source_schema(spark, src, ck)
+    assert got2 == got
+    json.loads(open(marker).read())  # re-pinned, parseable again
+
+    # (c) caller schema skips the infer on a FRESH checkpoint...
+    ck2 = str(tmp_path / "ck2")
+    handed = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    got3 = _source_schema(spark, "/nonexistent/never/read", ck2,
+                          schema=handed)
+    assert got3 == handed
+    # ...but an existing marker wins over a conflicting argument
+    drifted = T.StructType([T.StructField("other", T.IntegerType())])
+    got4 = _source_schema(spark, "/nonexistent/never/read", ck2,
+                          schema=drifted)
+    assert got4 == handed
