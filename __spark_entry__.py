@@ -13,6 +13,7 @@ import os
 import sys
 from collections.abc import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1144,7 +1145,7 @@ def q209_curation_pipeline(spark, sf_dir) -> DataFrame:
     page = (page.select("doc_id", "dirty",
                         text.host_of("curl").alias("host"),
                         text.normalize_text("dirty").alias("ntext"))
-            .persist())
+            .persist(StorageLevel.MEMORY_AND_DISK))
     pairs = dedup.minhash_lsh_pairs(page, "doc_id", text_col="ntext",
                                     threshold=0.9)
     # ONE CC pass shared by keep-best and the split (the components

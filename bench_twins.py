@@ -19,6 +19,7 @@ from __future__ import annotations
 import os
 import re
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -547,7 +548,7 @@ def q73_dedup_canonical(spark, sf_dir):
                                     F.lit(0))),
               lambda i: F.concat_ws(" ", F.slice(F.col("__t"), i + 1,
                                                  shingle_k))))
-              .alias("__sh")).persist())
+              .alias("__sh")).persist(StorageLevel.MEMORY_AND_DISK))
 
     ex = (sh.select("__id", F.explode("__sh").alias("__s"))
           .select("__id", (F.abs(F.xxhash64("__s")) % M31).alias("__h")))
@@ -627,7 +628,8 @@ def q137_duplicate_spans(spark, sf_dir):
         "doc_id", F.explode("__starts").alias("__pos"),
         F.xxhash64(F.array_join(
             F.slice(F.col("__toks"), F.col("__pos") + 1, F.lit(k)),
-            " ")).alias("__gh")).persist()   # r14 mirror: gram pass once
+            " ")).alias("__gh")).persist(
+        StorageLevel.MEMORY_AND_DISK)   # r14 mirror: gram pass once
     dup = (grams.groupBy("__gh")
            .agg(F.countDistinct("doc_id").alias("__nd"))
            .filter(F.col("__nd") >= 2).select("__gh"))
@@ -843,7 +845,7 @@ def q209_curation_pipeline(spark, sf_dir):
     page = (page.select("doc_id", "dirty",
                         text.host_of("curl").alias("host"),
                         text.normalize_text("dirty").alias("ntext"))
-            .persist())
+            .persist(StorageLevel.MEMORY_AND_DISK))
     pairs = dedup.minhash_lsh_pairs(page, "doc_id", text_col="ntext",
                                     threshold=0.9)
     comp = dedup.connected_components(pairs)

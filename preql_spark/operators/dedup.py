@@ -24,7 +24,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from preql_spark.operators.text import (
-    ensure_parallelism, fingerprint, fingerprint64, portable_hash, tokens)
+    _SER_LEVEL, ensure_parallelism, fingerprint, fingerprint64,
+    portable_hash, tokens)
 
 
 # ---- exact -----------------------------------------------------------------
@@ -179,7 +180,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     sh = (ensure_parallelism(df)
           .select(F.col(id_col).alias("__id"), tokens(text_col).alias("__t"))
           .select("__id", shingles_from_tokens(F.col("__t"), shingle_k)
-                  .alias("__sh")).persist())
+                  .alias("__sh")).persist(_SER_LEVEL))
     sig = minhash_signature_df(sh, "__id", "__sh", n_hashes, portable=False)
 
     # banding frame is NARROW (id, band, bkey) — the shuffle moves a
@@ -326,12 +327,21 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
          T.DecimalType))
 
-    def _label_sum(frame: DataFrame):
-        # exact scalar: sum of all labels (None on an empty frame)
-        return frame.agg(F.sum(
-            F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+    def _label_state(frame: DataFrame):
+        # exact (row count, label sum) scalar pair; the count guards
+        # the sum: a NULL sum with rows present is a decimal(38,0)
+        # overflow (possible with DecimalType ids near 10^38 — int64
+        # ids cannot overflow it at any corpus size), and equality of
+        # two overflow-NULLs proves nothing, so convergence is only
+        # declared on a non-NULL sum (or an empty frame).  (r15,
+        # ADVICE r14 — same guard as shortest_paths.)
+        row = frame.agg(
+            F.count(F.lit(1)),
+            F.try_sum(F.col("component")
+                      .cast("decimal(38,0)"))).collect()[0]
+        return row[0], row[1]
 
-    prev = _label_sum(labels) if numeric else None
+    prev = _label_state(labels) if numeric else None
     for i in range(max_iter):
         neighbor = (sym.join(labels, sym["__a"] == labels["node"])
                     .select(F.col("__b").alias("node"), "component"))
@@ -339,8 +349,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                .groupBy("node").agg(F.min("component").alias("component")))
         new = new.localCheckpoint(eager=True)
         if numeric:
-            cur = _label_sum(new)
-            done = cur == prev
+            cur = _label_state(new)
+            done = cur == prev and not (cur[0] > 0 and cur[1] is None)
             prev = cur
         else:
             done = (new.join(
@@ -683,7 +693,7 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
         id_col, F.explode("__starts").alias("__pos"),
         F.xxhash64(F.array_join(
             F.slice(F.col("__toks"), F.col("__pos") + 1, F.lit(k)),
-            " ")).alias("__gh")).persist()
+            " ")).alias("__gh")).persist(_SER_LEVEL)
     dup = (grams.groupBy("__gh")
            .agg(F.countDistinct(id_col).alias("__nd"))
            .filter(F.col("__nd") >= min_docs).select("__gh"))

@@ -416,7 +416,7 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
         # exact (row count, dist sum) scalar pair — see docstring
         row = frame.agg(
             F.count(F.lit(1)),
-            F.sum(F.col("dist").cast("decimal(38,0)"))).collect()[0]
+            F.try_sum(F.col("dist").cast("decimal(38,0)"))).collect()[0]
         return row[0], row[1]
 
     prev = _state(dist)
@@ -430,7 +430,14 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
                .localCheckpoint(eager=True))
         cur = _state(new)
         dist = new
-        if cur == prev:
+        # a NULL sum with rows present means the decimal(38,0) sum
+        # overflowed (non-ANSI sum returns NULL) — two consecutive
+        # NULLs would compare equal and stop the loop while distances
+        # may still be dropping.  Equality then proves nothing, so
+        # keep relaxing (worst case: max_rounds, still the correct
+        # fixpoint).  An EMPTY table's NULL sum still converges via
+        # the count.  (r15, ADVICE r14.)
+        if cur == prev and not (cur[0] > 0 and cur[1] is None):
             break
         prev = cur
     return dist

@@ -4702,6 +4702,27 @@ def test_shortest_paths_scalar_convergence_edges(spark):
     assert got == {"z": 0}
 
 
+def test_connected_components_decimal_sum_overflow(spark):
+    """r15 (ADVICE r14): with DecimalType(38,0) node ids near 10^38
+    the convergence label-sum overflows to NULL (non-ANSI sum), and
+    two consecutive overflow-NULLs must NOT read as converged — the
+    guarded loop keeps iterating and still lands on the exact
+    min-label clusters."""
+    from decimal import Decimal
+
+    from preql_spark.operators.dedup import connected_components
+    big = int(Decimal(10) ** 37) * 9  # 9e37: two of these overflow 38,0
+    pairs = spark.createDataFrame(
+        [(Decimal(big), Decimal(big + 1)),
+         (Decimal(big + 1), Decimal(big + 2)),
+         (Decimal(big + 5), Decimal(big + 6))],
+        "id_a: decimal(38,0), id_b: decimal(38,0)")
+    got = {int(r.node): int(r.component)
+           for r in connected_components(pairs).collect()}
+    assert got == {big: big, big + 1: big, big + 2: big,
+                   big + 5: big + 5, big + 6: big + 5}
+
+
 def test_ks_statistic_empty_side_null(spark):
     """An empty side makes D undefined: NULL d_stat instead of an
     ANSI divide-by-zero (review-found via the q192 capstone)."""
