@@ -41,12 +41,20 @@ from pyspark.sql import types as T
 
 
 def _assign_ids(df: DataFrame, id_col: str, base: int) -> DataFrame:
+    return _assign_ids_counted(df, id_col, base)[0]
+
+
+def _assign_ids_counted(df: DataFrame, id_col: str,
+                        base: int) -> tuple[DataFrame, int]:
     """Prepend unique sequential longs ``base, base+1, ...`` to ``df``
     without a global single-partition window: freeze partition ids,
     count rows per partition (one small job), then per-partition
     row_number + broadcast cumulative offsets.  Parallel at any batch
     size; ids are dense but their order across partitions is the
-    partition order, which the reference does not promise either."""
+    partition order, which the reference does not promise either.
+    Also returns the batch row count (already computed for the
+    offsets), letting callers maintain an id watermark without a
+    second job."""
     cols = df.columns
     tagged = df.withColumn("__pid", F.spark_partition_id()) \
         .localCheckpoint(eager=False)
@@ -64,7 +72,7 @@ def _assign_ids(df: DataFrame, id_col: str, base: int) -> DataFrame:
         id_col,
         (F.row_number().over(w).cast("long") - 1
          + omap[F.col("__pid")] + F.lit(base)))
-    return out.select(id_col, *cols)
+    return out.select(id_col, *cols), acc
 
 
 def _locked(fn):
@@ -100,6 +108,18 @@ class MutableTable:
         # __builtins__.pql:176-189): creation state is the implicit
         # first commit point; GC never collects the marked version
         self._mark: int = 0
+        # driver-side caches, both owned by the same single-writer
+        # lock as the version lineage: the resolved reader handle for
+        # the current version (a parquet read re-resolves the footer
+        # on every df() call — ~0.2 s of driver work that the DML
+        # paths each paid 3x per statement) and the id watermark
+        # (saves a full-table max(id) job per insert; at scale that
+        # job reads every footer).  Invalidated on every version
+        # change; the watermark is maintained exactly only on the
+        # insert_rows path, where the batch is a local list.
+        self._df_cache: DataFrame | None = None
+        self._df_cache_key: tuple | None = None
+        self._max_id_cache: int | None = None
         os.makedirs(self.root, exist_ok=True)
 
     # ---- versioning ------------------------------------------------
@@ -111,11 +131,40 @@ class MutableTable:
         vs = self._versions()
         return os.path.join(self.root, f"v{vs[-1]}") if vs else None
 
-    def _write_version(self, df: DataFrame) -> None:
+    def _table_bytes(self) -> int:
+        """On-disk bytes of the current version (driver-owned dir)."""
+        path = self._current_path()
+        if path is None:
+            return 0
+        return sum(e.stat().st_size for e in os.scandir(path)
+                   if e.is_file())
+
+    # target output-file size for version writes (guide: 128 MB-1 GB
+    # parquet files); versions smaller than this compact to one file
+    _TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+    def _write_version(self, df: DataFrame,
+                       compact: bool = False) -> None:
+        """``compact=True`` coalesces the write to ceil(table bytes /
+        128 MB) tasks — callers set it when the output is known to be
+        roughly current-table-sized (insert of a local batch, update,
+        delete), where per-tiny-file write tasks + commit renames
+        otherwise dominate.  A no-op at scale: coalesce only ever
+        REDUCES partitions, so a table with many 128 MB files keeps
+        its parallelism.  Not used for insert_from/merge, whose source
+        size is unknown to the driver."""
         vs = self._versions()
         nxt = (vs[-1] + 1) if vs else 0
         target = os.path.join(self.root, f"v{nxt}")
+        if compact:
+            nparts = max(1, -(-self._table_bytes() // self._TARGET_FILE_BYTES))
+            df = df.coalesce(nparts)
         df.write.mode("overwrite").parquet(target)
+        # version changed: drop the cached reader handle (version
+        # numbers can be REUSED after a transaction rollback, so a
+        # path-keyed cache alone would serve deleted files)
+        self._df_cache = None
+        self._df_cache_key = None
         # retain the latest four versions: lazily-held reader handles
         # (df() is lazy) must survive a few subsequent writes before
         # they execute (real deployments use Delta/Iceberg snapshot
@@ -166,11 +215,17 @@ class MutableTable:
             path = self._current_path()
             if path is None:
                 raise ValueError(f"table {self.name} has no data")
-            return self.spark.read.parquet(path)
+            if self._df_cache is not None and self._df_cache_key == path:
+                return self._df_cache
+            out = self.spark.read.parquet(path)
+            self._df_cache, self._df_cache_key = out, path
+            return out
 
     # ---- DML -------------------------------------------------------
-    def _next_id_base(self) -> int:
-        cur = self.df()
+    def _next_id_base(self, cur: DataFrame | None = None) -> int:
+        if self._max_id_cache is not None:
+            return self._max_id_cache + 1
+        cur = cur if cur is not None else self.df()
         row = cur.agg(F.max(self.id_col).alias("m")).collect()[0]
         # first id is 1, like the reference's sqlite autoincrement
         # (docs/tutorial.md shows Country ids starting at 1)
@@ -181,6 +236,82 @@ class MutableTable:
         rows = self.insert_rows([values])
         return rows[0]
 
+    # ---- append-delta insert path -----------------------------------
+    # An insert only ADDS rows, so rewriting the whole table per
+    # insert (the v0..vN copy-on-write) is O(table) work for an
+    # O(batch) change — at scale that is rewriting the entire table to
+    # add a handful of rows.  When no transaction is open and the
+    # current version is NOT the rollback target (_mark), the batch is
+    # instead appended as extra parquet files inside the current
+    # version directory: rollback() still discards the whole version,
+    # lazily-held df() handles keep their frozen file list (same
+    # snapshot semantics as before), and readers under the lock see
+    # the append atomically (the cached handle is dropped).  A
+    # copy-on-write still happens for the FIRST insert after create/
+    # commit (opening a fresh version to protect the rollback target)
+    # and for every statement inside an open transaction.
+
+    def _can_append(self) -> bool:
+        vs = self._versions()
+        return self._pin is None and bool(vs) and vs[-1] > self._mark
+
+    # types whose Spark-collected Python values round-trip exactly
+    # through pyarrow without coercion ambiguity; anything else takes
+    # the Spark writer
+    _PA_SAFE = (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+                T.DoubleType, T.FloatType, T.StringType, T.BooleanType,
+                T.DateType)
+
+    def _append_batch(self, batch: DataFrame, rows: list[Row],
+                      schema: T.StructType) -> None:
+        """Append the batch's rows as new file(s) inside the current
+        version dir.  Simple-typed batches are written driver-side
+        with pyarrow (zero Spark jobs — the values are the
+        Spark-verified ones from the LocalRelation collect); anything
+        else goes through a one-task Spark write into a temp dir whose
+        part files are then moved in."""
+        import uuid
+        cur_path = self._current_path()
+        tag = uuid.uuid4().hex[:12]
+        if all(isinstance(f.dataType, self._PA_SAFE) for f in schema.fields):
+            try:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+                from pyspark.sql.pandas.types import to_arrow_schema
+                aschema = to_arrow_schema(schema)
+                arrays = [
+                    pa.array([r[i] for r in rows], type=aschema.field(i).type)
+                    for i in range(len(schema.fields))]
+                tmp = os.path.join(cur_path, f".append-{tag}.parquet.tmp")
+                pq.write_table(pa.Table.from_arrays(arrays, schema=aschema),
+                               tmp)
+                os.rename(tmp,
+                          os.path.join(cur_path, f"append-{tag}.parquet"))
+                self._df_cache = None
+                self._df_cache_key = None
+                return
+            except Exception:
+                pass   # fall through to the Spark writer
+        self._append_df(batch.coalesce(1))
+
+    def _append_df(self, df: DataFrame) -> None:
+        """Spark-writer append: write ``df`` to a temp dir, move its
+        part files into the current version.  The write keeps the
+        frame's own partitioning — a distributed ``t += expr`` batch
+        appends in parallel and never rewrites the existing table."""
+        import uuid
+        cur_path = self._current_path()
+        tag = uuid.uuid4().hex[:12]
+        tmpdir = os.path.join(self.root, f".append-{tag}")
+        df.write.mode("overwrite").parquet(tmpdir)
+        for f in os.listdir(tmpdir):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(tmpdir, f),
+                          os.path.join(cur_path, f"append-{tag}-{f}"))
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        self._df_cache = None
+        self._df_cache_key = None
+
     @_locked
     def insert_rows(self, rows: list[dict]) -> list[Row]:
         """Bulk ``new[]`` — vectorized (the reference loops row-at-a-
@@ -189,18 +320,30 @@ class MutableTable:
         Python list, so this costs zero Spark jobs and preserves the
         reference's insertion-order id sequence."""
         cur = self.df()
-        base = self._next_id_base()
+        base = self._next_id_base(cur)
         data_schema = T.StructType(
             [f for f in cur.schema.fields if f.name != self.id_col])
         full_schema = T.StructType(
             [T.StructField(self.id_col, T.LongType(), False)]
             + list(data_schema.fields))
+        # the batch is a LocalRelation: collect() is pure driver-side
+        # (no job) and runs Spark's own type verification/coercion
         batch = self.spark.createDataFrame(
             [(base + i, *(r.get(f.name) for f in data_schema.fields))
              for i, r in enumerate(rows)],
             full_schema)
-        self._write_version(cur.unionByName(batch))
-        return batch.collect()
+        out = batch.collect()
+        # append only when the stored id column is already long —
+        # otherwise the copy-on-write union's type widening applies
+        if (self._can_append()
+                and isinstance(cur.schema[self.id_col].dataType
+                               if self.id_col in cur.columns else None,
+                               T.LongType)):
+            self._append_batch(batch, out, full_schema)
+        else:
+            self._write_version(cur.unionByName(batch), compact=True)
+        self._max_id_cache = base + len(rows) - 1
+        return out
 
     @_locked
     def insert_from(self, src: DataFrame) -> None:
@@ -209,10 +352,21 @@ class MutableTable:
         assignment stays parallel (per-partition offsets, no global
         window) so a 100 TB backfill doesn't serialize."""
         cur = self.df()
-        base = self._next_id_base()
+        base = self._next_id_base(cur)
         cols = [c for c in cur.columns if c != self.id_col]
-        batch = _assign_ids(src.select(*cols), self.id_col, base)
-        self._write_version(cur.unionByName(batch))
+        batch, n = _assign_ids_counted(src.select(*cols), self.id_col, base)
+        # O(batch) append instead of an O(table) rewrite — at scale
+        # this is the difference between writing the new rows and
+        # rewriting the entire table per insert.  Only when the batch
+        # column types already equal the stored ones: unionByName in
+        # the copy-on-write path coerces to common types (possibly
+        # widening the table schema), which an append cannot express.
+        aligned = batch.select(*cur.columns)
+        if self._can_append() and dict(aligned.dtypes) == dict(cur.dtypes):
+            self._append_df(aligned)
+        else:
+            self._write_version(cur.unionByName(batch))
+        self._max_id_cache = base + n - 1
 
     @_locked
     def update(self, cond, count: bool = True, _cur: DataFrame | None = None,
@@ -229,7 +383,9 @@ class MutableTable:
         updated = cur.withColumns(
             {k: F.when(cond, v if isinstance(v, Column) else F.lit(v))
              .otherwise(F.col(k)) for k, v in sets.items()})
-        self._write_version(updated)
+        self._write_version(updated, compact=True)
+        if self.id_col in sets:
+            self._max_id_cache = None
         return n
 
     @_locked
@@ -267,19 +423,22 @@ class MutableTable:
                              for c in data_cols if c not in keys]))
         n_upd = matched.count() if counts else -1
         fresh = src.join(cur.select(*keys), keys, "left_anti")
-        base = self._next_id_base()
-        inserted = _assign_ids(
+        base = self._next_id_base(cur)
+        # the id-assignment pass already counts the fresh rows — that
+        # count IS "inserted", so the separate fresh.count() job goes
+        inserted, n_fresh = _assign_ids_counted(
             fresh.select(
                 *keys, *upd_cols,
                 *[F.lit(None).cast(cur.schema[c].dataType).alias(c)
                   for c in data_cols if c not in keys and c not in upd_cols]
             ).select(*data_cols),
             self.id_col, base)
-        n_ins = fresh.count() if counts else -1
+        n_ins = n_fresh if counts else -1
         out = (kept.select(self.id_col, *data_cols)
                .unionByName(matched.select(self.id_col, *data_cols))
                .unionByName(inserted))
         self._write_version(out)
+        self._max_id_cache = base + n_fresh - 1
         return {"updated": n_upd, "inserted": n_ins}
 
     @_locked
@@ -293,7 +452,10 @@ class MutableTable:
         cur = _cur if _cur is not None else self.df()
         hit = cond if isinstance(cond, Column) else F.expr(cond)
         n = cur.filter(hit).count() if count else -1
-        self._write_version(cur.filter(~hit.eqNullSafe(True)))
+        self._write_version(cur.filter(~hit.eqNullSafe(True)), compact=True)
+        # deleting the max-id row must re-open its id for reuse
+        # (max(id)+1 semantics) — recompute lazily
+        self._max_id_cache = None
         return n
 
 
@@ -301,6 +463,10 @@ def _rollback_to(t: MutableTable, version: int | None) -> None:
     for v in t._versions():
         if version is None or v > version:
             shutil.rmtree(os.path.join(t.root, f"v{v}"), ignore_errors=True)
+    # current version changed out from under the caches
+    t._df_cache = None
+    t._df_cache_key = None
+    t._max_id_cache = None
 
 
 def _gc(t: MutableTable) -> None:
