@@ -794,16 +794,20 @@ def q185_weighted_pagerank(spark, sf_dir):
     base = (units * (den - num)) // den
     r = nodes.select("node",
                      F.lit(units).cast("long").alias("rank_units"))
+    # zero-inflow nodes ride the agg's exchange as unioned zero rows
+    # (mirrors the engine: two shuffles per round, no third join)
+    zero_in = nodes.select("node", F.lit(0).cast("long").alias("__c"))
     for i in range(3):
         inflow = (e_deg.join(r, e_deg["__s"] == r["node"])
                   .select(F.col("__d").alias("node"),
                           F.expr("(rank_units * __w) DIV __deg")
                           .alias("__c"))
+                  .unionAll(zero_in)
                   .groupBy("node").agg(F.sum("__c").alias("__in")))
-        r = nodes.join(inflow, "node", "left").select(
+        r = inflow.select(
             "node",
             (F.lit(base) + F.expr(
-                f"(coalesce(__in, 0L) * {num}) DIV {den}"))
+                f"(__in * {num}) DIV {den}"))
             .cast("long").alias("rank_units"))
         if i % 3 == 2:
             r = r.localCheckpoint(eager=False)

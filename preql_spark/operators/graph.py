@@ -183,13 +183,21 @@ def pagerank(edges: DataFrame, iters: int = 10,
         # the dangling node set is fixed across iterations
         no_out = nodes.join(deg.select(F.col("__s").alias("node")),
                             "node", "left_anti")
+    # nodes that receive no inflow must still appear with __in = 0:
+    # instead of a per-iteration nodes⋈inflow LEFT JOIN (a third
+    # node-keyed shuffle every round), a zero-contribution row per
+    # node is unioned into the aggregation — the zeros ride the
+    # inflow agg's own exchange, int64 sums are unchanged, and every
+    # iteration costs exactly two shuffles (rank join + inflow agg)
+    zero_in = nodes.select("node", F.lit(0).cast("long").alias("__c"))
     for i in range(iters):
         inflow = (e_deg.join(r, e_deg["__s"] == r["node"])
                   .select(F.col("__d").alias("node"),
                           F.expr("(rank_units * __w) DIV __deg")
                           .alias("__c"))
+                  .unionAll(zero_in)
                   .groupBy("node").agg(F.sum("__c").alias("__in")))
-        stepped = nodes.join(inflow, "node", "left")
+        stepped = inflow
         if no_out is not None:
             # single-row broadcast: (dangling rank sum) DIV |nodes|
             share = (r.join(no_out, "node", "leftsemi")
@@ -199,9 +207,9 @@ def pagerank(edges: DataFrame, iters: int = 10,
                          F.count(F.lit(1)).alias("__nn")))
                      .select(F.expr("__dm DIV __nn").alias("__share")))
             stepped = stepped.crossJoin(F.broadcast(share))
-            in_expr = "(coalesce(__in, 0L) + __share)"
+            in_expr = "(__in + __share)"
         else:
-            in_expr = "coalesce(__in, 0L)"
+            in_expr = "__in"
         r = stepped.select(
             "node",
             (F.lit(int(base)) + F.expr(
