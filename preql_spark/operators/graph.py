@@ -350,18 +350,22 @@ def hits(edges: DataFrame, iters: int = 5,
                     .otherwise(F.expr(f"({col} * {u}) DIV __mx")))
                 .drop("__mx"))
 
+    # zero-score nodes ride each aggregation's own exchange as
+    # unioned zero rows (the pagerank r15 spelling): two per-round
+    # node-keyed LEFT JOINs gone, int64 sums unchanged (sum + 0)
+    zero_v = nodes.select("node", F.lit(0).cast("long").alias("__v"))
     for i in range(iters):
         av = (e.join(hv, e["__s"] == hv["node"])
-              .groupBy(F.col("__d").alias("node"))
-              .agg(F.sum("h").alias("a")))
-        av = nodes.join(av, "node", "left").select(
-            "node", F.coalesce("a", F.lit(0)).cast("long").alias("a"))
+              .select(F.col("__d").alias("node"),
+                      F.col("h").alias("__v"))
+              .unionAll(zero_v)
+              .groupBy("node").agg(F.sum("__v").alias("a")))
         av = _rescale(av, "a").localCheckpoint(eager=False)
         hv = (e.join(av, e["__d"] == av["node"])
-              .groupBy(F.col("__s").alias("node"))
-              .agg(F.sum("a").alias("h")))
-        hv = nodes.join(hv, "node", "left").select(
-            "node", F.coalesce("h", F.lit(0)).cast("long").alias("h"))
+              .select(F.col("__s").alias("node"),
+                      F.col("a").alias("__v"))
+              .unionAll(zero_v)
+              .groupBy("node").agg(F.sum("__v").alias("h")))
         hv = _rescale(hv, "h")
         if i % checkpoint_every == checkpoint_every - 1:
             hv = hv.localCheckpoint(eager=False)
