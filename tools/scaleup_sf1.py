@@ -84,7 +84,7 @@ def build(spark):
         print("copied dim", name, flush=True)
 
 
-def run(spark):
+def run(spark, only=()):
     import math
 
     import __spark_entry__ as entry
@@ -93,15 +93,19 @@ def run(spark):
     qs = entry.queries()
 
     def t(fn, sf_dir) -> float:
+        # clearCache per rep (r15): operators with internal persists
+        # (q64/q99/q137/q209) must rebuild their caches inside the
+        # measured rep at BOTH scales or alpha reads cache-hit noise
         best = float("inf")
         for _ in range(3):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
     rows = {}
-    for name in BENCH_QUERIES:
+    for name in (list(only) or BENCH_QUERIES):
         try:
             t1 = t(qs[name], SRC)
             t10 = t(qs[name], DST)
@@ -131,7 +135,7 @@ def main():
     if mode in ("build", "all") or not os.path.isdir(DST):
         build(spark)
     if mode in ("run", "all"):
-        run(spark)
+        run(spark, only=sys.argv[2:])
 
 
 if __name__ == "__main__":
