@@ -9,14 +9,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    # suite fixtures run kilobyte frames: per-task scheduling cost
-    # dominates, so the session core count is a wall-time lever
-    # (A/B'd in OPTIMIZATION_r15.md), overridable for slow boxes
-    # 4 measured fastest on the heavy modules (8: 138 s, 4: 77 s,
-    # 2: 118 s on the property trio; the 64-plane LSH test 120->71 s)
+    # session core count, overridable for slow boxes.  A global 4-core
+    # session was A/B'd in r15 and REJECTED: module-level wins
+    # (property trio 138->77 s, 64-plane LSH 120->71 s) were cancelled
+    # suite-wide by Arrow/CPU-bound tests losing parallelism
+    # (signature_frame 127->223 s; full suite 2971->3021 s) and one
+    # order-fragile join assert only passes under the 8-core split.
     s = default_session("preql_spark_tests",
                         cpus=int(os.environ.get(
-                            "SPARK_GRAFT_TEST_CPUS", "4")))
+                            "SPARK_GRAFT_TEST_CPUS", "8")))
     yield s
 
 

@@ -192,6 +192,7 @@ def test_semdedup_arrow_blockwise(eng, emb):
     assert big == small
 
 
+@pytest.mark.slow
 def test_lsh_exact_64_planes_sign_safe(eng, emb):
     """With n_planes=64 the signature's sign bit can be set; band keys
     must be pmod-positive or negative-sig rows never equi-join their
@@ -2768,6 +2769,7 @@ def test_cosine_topk_arrow_equals_hof(eng, emb):
     assert similarity.cosine_topk_arrow(emb, q.limit(0), k=3).count() == 0
 
 
+@pytest.mark.slow
 def test_signature_frame_arrow_equals_hof(eng, emb):
     """The BLAS signature kernel reproduces the HOF expression's
     signatures bit-for-bit (16 and 64 planes — the 64-plane case

@@ -500,6 +500,7 @@ def test_lang_plan_equals_api_plan(spark, eng):
             normalized_plan(api().df), src
 
 
+@pytest.mark.slow
 def test_lsh_selective_candidate_count(spark):
     """The q124 selective regime (64 planes, 10-bit bands) must
     generate FAR fewer banded candidates than all-pairs — the scale
@@ -545,6 +546,7 @@ def test_lsh_selective_candidate_count(spark):
     assert found > 0
 
 
+@pytest.mark.slow
 def test_lsh_selective_banding_not_cartesian(spark):
     """q124's selective regime keeps the same structural guarantees
     as q41: banded equi-join candidates, no cartesian/BNLJ, vectors
