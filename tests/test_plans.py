@@ -851,3 +851,85 @@ def test_session_paths_one_event_shuffle_takeordered(spark):
     assert plan.count("Arguments: hashpartitioning(user_id") == 1
     assert plan.count("Arguments: hashpartitioning") == 2
     assert "Join" not in plan
+
+
+def test_cached_copartition_survives_join_checkpoint_does_not(spark):
+    """r15 mechanism pin for the iterative graph/dedup loops
+    (pagerank e_deg, hits e/e_byd, shortest_paths e,
+    connected_components sym): a repartition(k, key) behind
+    ``persist`` keeps hashpartitioning(key, k) visible through
+    InMemoryTableScan, so per-round joins on that key do NOT
+    re-shuffle the big cached side; behind ``localCheckpoint`` the
+    LogicalRDD drops the partitioning and every round re-shuffles
+    it (measured at sf0.01, broadcast off: ~2x total shuffle bytes
+    across all four operators).  This test pins the mechanism in
+    isolation so a Spark upgrade that breaks it fails loudly."""
+    from pyspark import StorageLevel
+
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 11) for i in range(60)], "src int, dst int")
+    ranks = spark.createDataFrame(
+        [(i, i * 10) for i in range(11)], "node int, r long")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_abc = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        def edge_side_exchanges(e) -> int:
+            # count Exchange nodes in the join's EDGE branch (the
+            # ranks branch always re-shuffles; the cached plan's own
+            # build exchange is inside InMemoryRelation, below the
+            # scan, and does not run per consumer)
+            j = e.join(ranks, e["src"] == ranks["node"]).select("dst", "r")
+            tree = plan_of(j).split("\n\n")[0]
+            edge_branch = []
+            for line in tree.splitlines():
+                if "InMemoryTableScan" in line or "Scan ExistingRDD" in line:
+                    break
+                edge_branch.append(line)
+            return sum("Exchange" in line for line in edge_branch)
+
+        cached = (edges.repartition(nshuf, "src")
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        cached.count()          # materialize -> partitioning advertised
+        try:
+            assert edge_side_exchanges(cached) == 0
+        finally:
+            cached.unpersist()
+
+        ckpt = (edges.repartition(nshuf, "src")
+                .localCheckpoint(eager=True))
+        assert edge_side_exchanges(ckpt) == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        if old_abc is None:
+            spark.conf.unset(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_abc)
+
+
+def test_iterative_loops_persist_edge_frames(spark):
+    """The four loop operators keep their reused big frame in a
+    serialized cache (InMemoryRelation), not a localCheckpoint —
+    the spelling the co-partitioning mechanism above relies on."""
+    from preql_spark.operators.dedup import connected_components
+    from preql_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 11, 1 + i % 3) for i in range(60)],
+        "src int, dst int, w int")
+    plan = plan_of(pagerank(edges, iters=2, weight_col="w"))
+    assert "InMemoryRelation" in plan
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "id_a long, id_b long")
+    comp = connected_components(pairs)
+    # the convergence loop ran at construction; the pair cache is
+    # unpersisted before return (operator owns the terminal action),
+    # and the returned labels are an eager checkpoint independent of
+    # it — counting after unpersist must still work
+    assert comp.count() == 40
